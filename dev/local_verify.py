@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tool only — the
+Scala library never depends on this).
+
+Runs graft.Verify at a given SF, then executes each oracle_sql.json entry in
+DuckDB over the same parquet tables and compares: row count, column names,
+and a hash of the value matrix with columns sorted by name (mirroring the
+documented driver behavior). Rows are compared as sorted multisets.
+
+Usage: python3 dev/local_verify.py [sfdir] [outdir] [--skip-spark]
+"""
+import json
+import math
+import subprocess
+import sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_spark_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[error]" in l or "verify]" in l) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-2000:])
+        sys.exit(1)
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return mat
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+            s_cols = [c.lower() for c in spark_rel.columns]
+            s_rows = spark_rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            duck_rel = con.sql(sql)
+            d_cols = [c.lower() for c in duck_rel.columns]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append((name, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"))
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append((name, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"))
+            continue
+        sm, dm = canon(s_rows, s_cols), canon(d_rows, d_cols)
+        if sm != dm:
+            diff = next(i for i in range(len(sm)) if sm[i] != dm[i])
+            failures.append((name, f"values differ at sorted-row {diff}:\n  spark={sm[diff]}\n  duck ={dm[diff]}"))
+            continue
+        print(f"PASS {name} ({len(s_rows)} rows)")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    # queries with no oracle: rows-only sanity
+    import os
+    all_q = [d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}")]
+    for name in sorted(set(all_q) - set(oracle)):
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+        print(f"INFO {name}: no oracle, {n} rows")
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries pass")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

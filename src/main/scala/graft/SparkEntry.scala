@@ -1,13 +1,616 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config._
+import graft.functions.{VectorFunctions => V}
+import graft.meta.Metadata
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.query.QueryPipeline
+import graft.query.QueryPipeline.{NearbyRequest, Request}
+import graft.sql.SqlEndpoint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus the training-data-pipeline operators (dedup / ANN / text analysis /
+  * multimodal). Each query routes through the engine's own modules
+  * (QueryPipeline / FilterCompiler / operators), not ad-hoc DataFrame code,
+  * so the correctness gate exercises the real code paths.
+  *
+  * Oracle notes (driver compares against DuckDB on the same parquet):
+  *  - every query carries a total ORDER BY so row order is deterministic
+  *  - float aggregates go through exact DECIMAL sums cast back to double
+  *    (bit-identical across engines), never raw double accumulation
+  *  - min-of-md5-hex is used wherever a portable hash is needed
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val seeds = 16 // minhash signature size = 4 bands x 4 rows
+
+  private def table(dir: String, t: String,
+      params: Seq[Param] = Nil, sortby: Seq[SortBy] = Nil,
+      select: Seq[SelectColumn] = Nil,
+      search: Option[SearchConfig] = None,
+      nearby: Option[NearbyConfig] = None): TableConfig =
+    TableConfig(name = t, tag = "test",
+      datasource = DatasourceConfig(uri = s"$dir/$t.parquet", select = select, sortby = sortby),
+      params = params, search = search, nearby = nearby, allowGetAllPages = true)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 filters through the param->predicate compiler ----
+    "q_filter_eq" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        params = Seq(Param("l_returnflag"), Param("l_linestatus")),
+        sortby = Seq(SortBy("l_orderkey"), SortBy("l_linenumber")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("l_returnflag" -> "A", "l_linestatus" -> "F"),
+        select = Some(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+        limit = Some(-1)))
+    }),
+    "q_filter_range" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        params = Seq(Param("l_quantity", operators = Seq(">=", "<")),
+          Param("l_shipdate", operators = Seq("<", ">="))),
+        sortby = Seq(SortBy("l_orderkey"), SortBy("l_linenumber")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("l_quantity_gte" -> "30", "l_shipdate_lt" -> "1996-01-01"),
+        select = Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
+        limit = Some(-1)))
+        .withColumn("ship_date", to_date(col("l_shipdate"))).drop("l_shipdate")
+    }),
+    "q_filter_between" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        params = Seq(Param("l_discount", operators = Seq("between")),
+          Param("l_shipdate", operators = Seq("between"))),
+        sortby = Seq(SortBy("l_orderkey"), SortBy("l_linenumber")))
+      QueryPipeline.run(s, t, Request(
+        params = Map(
+          "l_discount_between" -> Seq("0.05", "0.07"),
+          "l_shipdate_between" -> Seq("1995-06-01", "1996-05-31 23:59:59")),
+        select = Some(Seq("l_orderkey", "l_linenumber", "l_discount")),
+        limit = Some(-1)))
+    }),
+    "q_filter_in" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        params = Seq(Param("l_returnflag", operators = Seq("in")),
+          Param("l_linenumber", operators = Seq("not in"))),
+        sortby = Seq(SortBy("l_orderkey"), SortBy("l_linenumber")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("l_returnflag_in" -> "A,N", "l_linenumber_not_in" -> Seq("5", "6", "7")),
+        select = Some(Seq("l_orderkey", "l_linenumber", "l_returnflag")),
+        limit = Some(-1)))
+    }),
+    "q_filter_like" -> ((s, dir) => {
+      val t = table(dir, "part",
+        params = Seq(Param("p_name", operators = Seq("contains")),
+          Param("p_type", operators = Seq("startswith"))),
+        sortby = Seq(SortBy("p_partkey")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("p_name_contains" -> "red", "p_type_startswith" -> "ECO"),
+        select = Some(Seq("p_partkey", "p_name", "p_type")),
+        limit = Some(-1)))
+    }),
+    "q_filter_has" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+      val t = table(dir, "documents",
+        params = Seq(Param("ws", operators = Seq("has"))),
+        sortby = Seq(SortBy("doc_id")))
+      QueryPipeline.runOn(docs, t, Request(
+        params = Map("ws_has" -> "data"),
+        select = Some(Seq("doc_id", "lang")),
+        limit = Some(-1)))
+    }),
+    "q_combi" -> ((s, dir) => {
+      val t = table(dir, "customer",
+        params = Seq(Param("pk", combi = Some(Seq("c_mktsegment", "c_nationkey")))),
+        sortby = Seq(SortBy("c_custkey")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("pk" -> Seq(
+          Map("c_mktsegment" -> "BUILDING", "c_nationkey" -> 5),
+          Map("c_mktsegment" -> "AUTOMOBILE", "c_nationkey" -> 10))),
+        select = Some(Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")),
+        limit = Some(-1)))
+    }),
+    // ---- §2.3 projection/rename; §2.5 sort/limit/offset/distinct/top-k ----
+    "q_select_alias" -> ((s, dir) => {
+      val t = TableConfig(name = "customer", tag = "test",
+        datasource = DatasourceConfig(uri = s"$dir/customer.parquet",
+          select = Seq(SelectColumn("c_custkey", Some("id")),
+            SelectColumn("c_name", Some("name")), SelectColumn("c_acctbal", Some("balance"))),
+          sortby = Seq(SortBy("id"))),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(limit = Some(-1)))
+    }),
+    "q_distinct" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        sortby = Seq(SortBy("l_returnflag"), SortBy("l_linestatus")))
+      QueryPipeline.run(s, t, Request(
+        select = Some(Seq("l_returnflag", "l_linestatus")),
+        distinct = true, limit = Some(-1)))
+    }),
+    "q_sort_paging" -> ((s, dir) => {
+      val t = table(dir, "orders",
+        sortby = Seq(SortBy("o_totalprice", "desc"), SortBy("o_orderkey")))
+      QueryPipeline.run(s, t, Request(
+        select = Some(Seq("o_orderkey", "o_totalprice")),
+        offset = Some(100), limit = Some(50)))
+    }),
+    "q_limit_default" -> ((s, dir) => {
+      val t = table(dir, "region", sortby = Seq(SortBy("r_regionkey")))
+      QueryPipeline.run(s, t, Request()) // default limit=100 (endpoint.py:164)
+    }),
+    "q_topk" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+    // ---- §2.9 search; §2.8 nearby ----
+    "q_search" -> ((s, dir) => {
+      val t = table(dir, "documents",
+        search = Some(SearchConfig("search", Seq("text", "source"))))
+      QueryPipeline.run(s, t, Request(
+        searchQuery = Some("merge stream"),
+        select = Some(Seq("doc_id", "text", "source")),
+        limit = Some(-1)))
+        .select(col("doc_id"), col("search_score"))
+        .orderBy(col("search_score").desc, col("doc_id"))
+    }),
+    "q_nearby" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("lat", lit(40.0) + (col("user_id") % 1000) * 0.01)
+        .withColumn("lon", lit(5.0) + (col("event_id") % 1000) * 0.01)
+      val t = table(dir, "events", nearby = Some(NearbyConfig("distance", "lat", "lon")))
+      QueryPipeline.runOn(ev, t, Request(
+        select = Some(Seq("event_id", "lat", "lon")),
+        nearby = Some(NearbyRequest(40.7, 9.0, 50000.0)),
+        limit = Some(-1)))
+        .select(col("event_id"),
+          floor(col("distance") / 100).cast("long").as("distance_100m"))
+        .orderBy(col("distance_100m"), col("event_id"))
+    }),
+    // ---- §2.7 aggregations & window; §2.6 joins / set ops (SQL surface) ----
+    "q_agg_tpch_q1" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("double").as("sum_disc_price"),
+          (sum(col("l_discount").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q_join_multi" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      // dims are broadcast: no shuffle of the fact side for those joins
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q_setops" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      SqlEndpoint.query(s,
+        """(SELECT s_nationkey AS nkey FROM supplier
+          | INTERSECT
+          | SELECT c_nationkey AS nkey FROM customer)
+          |UNION
+          |(SELECT n_nationkey AS nkey FROM nation WHERE n_regionkey = 0)
+          |ORDER BY nkey""".stripMargin,
+        Tables.all.toSet)
+    }),
+    // ---- §3.3 metadata computations ----
+    "q_meta_maxlen" -> ((s, dir) => {
+      val m = Metadata.maxStringLengths(Tables.load(s, dir, "part"))
+      m.select(m.columns.map(c => col(c).cast("long").as(c)): _*)
+    }),
+    "q_meta_partition_values" -> ((s, dir) =>
+      Metadata.distinctValues(Tables.load(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+    // ---- P5 jsonify of complex columns through the pipeline ----
+    "q_jsonify" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("o", struct(col("o_orderkey").as("k"), col("o_orderstatus").as("st")))
+      val t = table(dir, "orders", sortby = Seq(SortBy("o_orderkey")))
+      QueryPipeline.runOn(o, t, Request(
+        select = Some(Seq("o_orderkey", "o")),
+        jsonifyComplex = true, limit = Some(100)))
+    }),
+    // ---- training-data ops: dedup family ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSketches(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, numPlanes = 6, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- similarity search ----
+    "q_ann_brute" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
+    }),
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q_text_quality" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        T.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+        T.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"),
+        round(T.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(T.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        T.fingerprint(col("text")).as("fp"),
+        T.robustFingerprint(col("text"), 3, 4).as("robust_fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
+    "q_multimodal" -> ((s, dir) => {
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(payloads, "payload")
+        .select(col("doc_id"), col("media.width").as("width"),
+          col("media.height").as("height"), col("media.brightness").as("brightness"),
+          col("media.fp").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- events aggregation (decimal-exact sums) ----
+    "q_events_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy(col("event_type")))
+  )
+
+  /** DuckDB-equivalent SQL per query (driver runs these on the same parquet
+    * tables). Non-SQL-expressible queries are omitted → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_between" ->
+      """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1996-05-31 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_in" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N') AND l_linenumber NOT IN (5, 6, 7)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%red%' AND p_type LIKE 'ECO%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_filter_has" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(str_split(text, ' '), 'data')
+        |ORDER BY doc_id""".stripMargin,
+    "q_combi" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
+        |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 5)
+        |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 10)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_select_alias" ->
+      "SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance FROM customer ORDER BY id",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sort_paging" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_limit_default" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 100",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_search" -> {
+      def term(t: String) =
+        s"(CASE WHEN contains(lower(concat_ws(' ', text, source)), '$t') THEN 1 ELSE 0 END)"
+      s"""SELECT doc_id, search_score FROM (
+         |  SELECT doc_id, NULLIF(${term("merge")} + ${term("stream")}, 0) AS search_score
+         |  FROM documents)
+         |WHERE search_score IS NOT NULL
+         |ORDER BY search_score DESC, doc_id""".stripMargin
+    },
+    "q_nearby" -> {
+      val dist = "6371000.0 * acos(LEAST(1.0, GREATEST(-1.0, " +
+        "cos(radians(40.7)) * cos(radians(lat)) * cos(radians(lon) - radians(9.0)) + " +
+        "sin(radians(40.7)) * sin(radians(lat)))))"
+      s"""SELECT event_id, CAST(floor($dist / 100) AS BIGINT) AS distance_100m
+         |FROM (SELECT event_id, 40.0 + (user_id % 1000) * 0.01 AS lat,
+         |             5.0 + (event_id % 1000) * 0.01 AS lon FROM events)
+         |WHERE $dist <= 50000.0
+         |ORDER BY distance_100m, event_id""".stripMargin
+    },
+    "q_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_setops" ->
+      """(SELECT s_nationkey AS nkey FROM supplier
+        | INTERSECT
+        | SELECT c_nationkey AS nkey FROM customer)
+        |UNION
+        |(SELECT n_nationkey AS nkey FROM nation WHERE n_regionkey = 0)
+        |ORDER BY nkey""".stripMargin,
+    "q_meta_maxlen" ->
+      """SELECT max(length(p_name)) AS len_p_name, max(length(p_brand)) AS len_p_brand,
+        |  max(length(p_type)) AS len_p_type FROM part""".stripMargin,
+    "q_meta_partition_values" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_jsonify" ->
+      """SELECT o_orderkey, to_json(struct_pack(k := o_orderkey, st := o_orderstatus))::VARCHAR AS o
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_simhash" -> simhashOracleSql,
+    "q_lang_id" -> langIdOracleSql,
+    "q_text_quality" -> textQualityOracleSql,
+    "q_fingerprint" -> fingerprintOracleSql,
+    "q_multimodal" -> multimodalOracleSql,
+    "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  // ---- generated oracle SQL for the hash-based operators ----
+
+  /** Normalized whitespace words, as a DuckDB expression. */
+  private def wsSql(textExpr: String) =
+    s"str_split(regexp_replace(trim(lower($textExpr)), '\\s+', ' ', 'g'), ' ')"
+
+  /** 3-word shingles with the same small-doc fallback as
+    * TextFunctions.shingles.
+    */
+  private def shinglesSql(n: Int) =
+    s"""list_distinct(CASE WHEN len(ws) >= $n
+       |  THEN [array_to_string(ws[i:i+${n - 1}], ' ') for i in range(1, len(ws) - ${n - 2})]
+       |  ELSE [array_to_string(ws, ' ')] END)""".stripMargin
+
+  private def minhashOracleSql: String = {
+    val seedList = (0 until seeds).map(i => s"'$i'").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
+       |sig AS (SELECT doc_id, shingles,
+       |  [list_min([md5(sd || ' ' || x) for x in shingles]) for sd in $seedList] AS sg FROM sh),
+       |bands AS (SELECT doc_id, shingles,
+       |  [md5(array_to_string(sg[b*4+1:b*4+4], '|')) for b in range(0, 4)] AS bk FROM sig),
+       |ex AS (SELECT doc_id, shingles, unnest(bk) AS key, generate_subscripts(bk, 1) AS band FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, shingles FROM sh)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jaccard
+       |FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+       |WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashOracleSql: String = {
+    val hexVal = "(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1)"
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |h AS (SELECT doc_id,
+       |  [list_sum([$hexVal * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) for wd in ws] AS hs
+       |  FROM w)
+       |SELECT doc_id,
+       |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
+       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdOracleSql: String = {
+    import graft.functions.TextFunctions.langStopwords
+    val scores = langStopwords.map { case (lang, dict) =>
+      val d = dict.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(ws, x -> list_contains($d, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = langStopwords.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n  ")
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |s AS (SELECT doc_id, $scores FROM w)
+       |SELECT doc_id, CASE WHEN $best <= 0 THEN 'und'
+       |  $cases
+       |  ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def textQualityOracleSql: String = {
+    import graft.functions.TextFunctions.{bpeTokenPattern, stopwords}
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    s"""WITH base AS (SELECT doc_id, text, $norm AS nt, ${wsSql("text")} AS ws FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(ws)::BIGINT AS n_tok_ws,
+       |  len(regexp_extract_all(text, '$bpeTokenPattern'))::BIGINT AS n_tok_bpe,
+       |  CASE WHEN length(replace(nt, ' ', '')) > 0
+       |    THEN (length(nt) - length(regexp_replace(nt, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |         / length(replace(nt, ' ', ''))::DOUBLE
+       |    ELSE 0.0 END AS praw,
+       |  CASE WHEN len(ws) > 0
+       |    THEN len(list_filter(ws, x -> list_contains($sw, x)))::DOUBLE / len(ws)::DOUBLE
+       |    ELSE 0.0 END AS sraw
+       |  FROM base)
+       |SELECT doc_id, n_tok_ws, n_tok_bpe,
+       |  round(praw, 4) AS punct_ratio,
+       |  round(sraw, 4) AS stopword_ratio,
+       |  round((CASE WHEN n_tok_ws >= 5 AND n_tok_ws <= 10000 THEN 0.5 ELSE 0.0 END)
+       |      + (CASE WHEN sraw > 0.01 THEN 0.3 ELSE 0.0 END)
+       |      + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END), 2) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def fingerprintOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, text, ${wsSql("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, text, ${shinglesSql(3)} AS shingles FROM w)
+       |SELECT doc_id,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       |  array_to_string((list_sort([md5(x) for x in shingles]))[1:4], '|') AS robust_fp
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  private def multimodalOracleSql: String = {
+    def b(i: Int) = s"ascii(substring(md5(text), $i, 1))"
+    s"""SELECT doc_id,
+       |  16 + (${b(1)} * 256 + ${b(2)}) % 1024 AS width,
+       |  16 + (${b(3)} * 256 + ${b(4)}) % 1024 AS height,
+       |  round((${b(5)} * 256 + ${b(6)}) / 65535.0, 4) AS brightness,
+       |  md5(text) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Plane literals shared by the Spark LSH implementation and its oracle. */
+  private def planesSqlLiteral(numPlanes: Int, dim: Int): String =
+    V.deterministicPlanes(numPlanes, dim)
+      .map(p => p.map(x => f"$x%.17g").mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+
+  private def bucketSql(vExpr: String, numPlanes: Int): String =
+    s"""list_sum([CASE WHEN list_dot_product($vExpr, pl[i+1]) >= 0
+       |  THEN (1::BIGINT << i) ELSE 0 END for i in range(0, $numPlanes)])""".stripMargin
+
+  private def embeddingDedupOracleSql: String = {
+    val cos = "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+    s"""WITH planes AS (SELECT ${planesSqlLiteral(6, 64)} AS pl),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  ${bucketSql("CAST(embedding AS DOUBLE[])", 6)} AS bucket
+       |  FROM embeddings, planes)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $cos >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    val cos = "round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)"
+    s"""WITH planes AS (SELECT ${planesSqlLiteral(8, 64)} AS pl),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+       |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8)} AS qbucket
+       |  FROM embeddings, planes WHERE vec_id = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8)} AS bucket
+       |  FROM embeddings, planes)
+       |SELECT vec_id, $cos AS score
+       |FROM e, q
+       |WHERE bit_count(xor(bucket, qbucket)) <= 1
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+  }
 }

@@ -1,0 +1,123 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** YAML config loader.
+  *
+  * Semantics from the reference loader (core/config.py:433-484): YAML parse,
+  * `${ENV_VAR}` expansion (config.py:129-130), wildcard-table expansion
+  * (config.py:330-384). Implemented on snakeyaml (ships with Spark).
+  */
+object ConfigLoader {
+
+  def loadYaml(path: String): Configs = parseYaml(Files.readString(Paths.get(path)))
+
+  def parseYaml(text: String): Configs = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = asMap(yaml.load[Any](expandEnv(text)))
+    val tables = seqOf(root.getOrElse("tables", Nil)).map(t => parseTable(asMap(t)))
+    Configs(tables.flatMap(expandWildcard), parseBasic(root.get("app").map(asMap)))
+  }
+
+  /** `${VAR}` → environment value (empty if unset); config.py:129-130. */
+  def expandEnv(text: String): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+      .replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(
+        sys.env.getOrElse(m.group(1), "")))
+
+  private def parseBasic(m: Option[Map[String, Any]]): BasicConfig = m match {
+    case None => BasicConfig()
+    case Some(app) => BasicConfig(
+      minSearchLength = int(app.getOrElse("min_search_length", 3)),
+      defaultLimit = int(app.getOrElse("default_limit", 100)),
+      hardLimit = int(app.getOrElse("hard_limit", 1000)),
+      maxDistinctColumns = int(app.getOrElse("max_distinct_columns", 3)))
+  }
+
+  private def parseTable(m: Map[String, Any]): TableConfig = TableConfig(
+    name = str(m("name")),
+    tag = str(m.getOrElse("tag", "default")),
+    version = int(m.getOrElse("version", 1)),
+    datasource = parseDatasource(asMap(m.getOrElse("datasource", Map.empty[String, Any]))),
+    params = seqOf(m.getOrElse("params", Nil)).map(parseParam),
+    search = m.get("search").map(s => parseSearch(asMap(s))),
+    nearby = m.get("nearby").map(n => parseNearby(asMap(n))),
+    allowGetAllPages = bool(m.getOrElse("allow_get_all_pages", false)))
+
+  private def parseDatasource(m: Map[String, Any]): DatasourceConfig = DatasourceConfig(
+    uri = str(m.getOrElse("uri", "")),
+    fileType = str(m.getOrElse("file_type", "parquet")),
+    select = seqOf(m.getOrElse("select", Nil)).map {
+      case s: String => SelectColumn(s)
+      case other =>
+        val sm = asMap(other)
+        SelectColumn(str(sm("name")), sm.get("alias").map(str))
+    },
+    exclude = seqOf(m.getOrElse("exclude", Nil)).map(str),
+    sortby = seqOf(m.getOrElse("sortby", Nil)).map {
+      case s: String => SortBy(s)
+      case other =>
+        val sm = asMap(other)
+        SortBy(str(sm("by")), str(sm.getOrElse("direction", "asc")))
+    },
+    tableName = m.get("table_name").map(str),
+    options = m.get("options").map(asMap(_).map { case (k, v) => k -> str(v) }).getOrElse(Map.empty))
+
+  private def parseParam(v: Any): Param = v match {
+    case s: String => Param(name = s)
+    case other =>
+      val m = asMap(other)
+      Param(
+        name = str(m("name")),
+        operators = m.get("operators").map(o => seqOf(o).map(str)).getOrElse(Seq("=")),
+        colname = m.get("colname").map(str),
+        combi = m.get("combi").map(c => seqOf(c).map(str)),
+        default = m.get("default").map(str),
+        required = bool(m.getOrElse("required", false)))
+  }
+
+  private def parseSearch(m: Map[String, Any]): SearchConfig =
+    SearchConfig(str(m.getOrElse("name", "search")), seqOf(m("columns")).map(str))
+
+  private def parseNearby(m: Map[String, Any]): NearbyConfig =
+    NearbyConfig(str(m.getOrElse("name", "nearby")), str(m("lat_col")), str(m("lon_col")))
+
+  /** Wildcard tables (config.py:330-384): `name: "*"` with a uri ending in
+    * a slash-star glob expands to one table per child dir/file at load time.
+    */
+  private[config] def expandWildcard(t: TableConfig): Seq[TableConfig] = {
+    if (t.name != "*" || !t.datasource.uri.endsWith("/*")) return Seq(t)
+    val base = t.datasource.uri.stripSuffix("/*")
+    val dir = Paths.get(base)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString).map { child =>
+      val leaf = child.getFileName.toString
+      val table = leaf.replaceAll("\\.(parquet|csv|json|ndjson)$", "")
+      t.copy(name = table, datasource = t.datasource.copy(uri = child.toString))
+    }
+  }
+
+  // ---- loose-typed helpers over snakeyaml output ----
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> x.asInstanceOf[Any] }.toMap
+    case m: Map[_, _] => m.map { case (k, x) => k.toString -> x.asInstanceOf[Any] }
+    case other => throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+  private def seqOf(v: Any): Seq[Any] = v match {
+    case null => Nil
+    case l: java.util.List[_] => l.asScala.toSeq
+    case l: Seq[_] => l
+    case other => Seq(other)
+  }
+  private def str(v: Any): String = String.valueOf(v)
+  private def int(v: Any): Int = v match {
+    case n: Number => n.intValue()
+    case s => s.toString.toInt
+  }
+  private def bool(v: Any): Boolean = v match {
+    case b: java.lang.Boolean => b
+    case s => s.toString.equalsIgnoreCase("true")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.config
+
+/** Config data model — semantics mirror the reference's config surface
+  * (reference: bmsdna/lakeapi/core/config.py:114-195, core/types.py:118-145),
+  * re-expressed as plain Scala case classes. A YAML file declares tables;
+  * each table maps to one queryable unit with a whitelist of parameters.
+  */
+
+/** Fixed projection with optional rename (core/config.py:120-126). */
+final case class SelectColumn(name: String, alias: Option[String] = None) {
+  def outputName: String = alias.getOrElse(name)
+}
+
+/** Declarative sort (core/config.py:114-117). Direction: "asc" | "desc". */
+final case class SortBy(by: String, direction: String = "asc") {
+  def isDesc: Boolean = direction.equalsIgnoreCase("desc")
+}
+
+/** Full-text search surface (core/types.py:118-121): the request-param name
+  * and the columns scored.
+  */
+final case class SearchConfig(name: String, columns: Seq[String])
+
+/** Geo "nearby" surface (core/types.py:124-128). */
+final case class NearbyConfig(name: String, latCol: String, lonCol: String)
+
+/** One whitelisted query parameter (core/types.py:131-145).
+  *
+  * @param name      request-facing name
+  * @param operators allowed operator tokens ("=", "<", ">", "<=", ">=", "<>",
+  *                  "in", "not in", "between", "not between", "contains",
+  *                  "not contains", "has", "startswith", "null", "not null")
+  * @param colname   underlying column if it differs from `name`
+  * @param combi     multi-column point-lookup: list of column names; the
+  *                  request value is a list of maps, each map AND-ed, maps
+  *                  OR-ed (core/datasource.py:400-423, 486-496)
+  */
+final case class Param(
+    name: String,
+    operators: Seq[String] = Seq("="),
+    colname: Option[String] = None,
+    combi: Option[Seq[String]] = None,
+    default: Option[String] = None,
+    required: Boolean = false) {
+  def column: String = colname.getOrElse(name)
+}
+
+/** Where and how to read the data (core/config.py:133-155).
+  * fileType: parquet | csv | json | ndjson | delta | jdbc.
+  */
+final case class DatasourceConfig(
+    uri: String,
+    fileType: String = "parquet",
+    select: Seq[SelectColumn] = Nil,
+    exclude: Seq[String] = Nil,
+    sortby: Seq[SortBy] = Nil,
+    tableName: Option[String] = None,
+    options: Map[String, String] = Map.empty)
+
+/** One queryable table (core/config.py:172-195). */
+final case class TableConfig(
+    name: String,
+    tag: String,
+    version: Int = 1,
+    datasource: DatasourceConfig,
+    params: Seq[Param] = Nil,
+    search: Option[SearchConfig] = None,
+    nearby: Option[NearbyConfig] = None,
+    allowGetAllPages: Boolean = false) {
+
+  /** View-naming rule (core/datasource.py:198-210): `{tag}_{name}`, with a
+    * `_v{version}` suffix for versions beyond 1.
+    */
+  def routeName: String = {
+    val base = s"${tag}_${name}"
+    if (version > 1) s"${base}_v${version}" else base
+  }
+}
+
+/** Engine-wide knobs (core/config.py:56-83). */
+final case class BasicConfig(
+    minSearchLength: Int = 3,
+    defaultLimit: Int = 100,
+    hardLimit: Int = 1000,
+    maxDistinctColumns: Int = 3)
+
+final case class Configs(tables: Seq[TableConfig], basic: BasicConfig = BasicConfig()) {
+  def byRoute: Map[String, TableConfig] = tables.map(t => t.routeName -> t).toMap
+}

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo distance as pure Column arithmetic — no UDF, fully codegen'd.
+  *
+  * Replicates the reference's haversine-by-acos formula exactly
+  * (context/df_base.py:349-352; the DuckDB macro at df_duckdb.py:381-389):
+  * `6371000 * acos(cos(lat1)cos(lat2)cos(lon2-lon1) + sin(lat1)sin(lat2))`
+  * in meters. The acos form (not atan2) is deliberate: oracle outputs must
+  * match the reference's numbers.
+  */
+object Geo {
+
+  def haversineMeters(latCol: Column, lonCol: Column, lat: Column, lon: Column): Column =
+    lit(6371000.0) * acos(
+      cos(radians(lat)) * cos(radians(latCol)) * cos(radians(lonCol) - radians(lon)) +
+        sin(radians(lat)) * sin(radians(latCol)))
+
+  def haversineMeters(latCol: Column, lonCol: Column, lat: Double, lon: Double): Column =
+    haversineMeters(latCol, lonCol, lit(lat), lit(lon))
+}

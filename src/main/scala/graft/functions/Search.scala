@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Full-text search scoring.
+  *
+  * The correctness target is the reference's generic LIKE fallback
+  * (context/df_base.py:354-377): split the query on spaces; for each term,
+  * `CASE WHEN concat(cols) LIKE '%term%' THEN 1 ELSE 0 END`; sum the terms;
+  * `NULLIF(sum, 0)` so non-matches score NULL (and are filtered out by the
+  * search endpoint's `WHERE score IS NOT NULL`).
+  *
+  * Matching is case-insensitive (the reference lowercases terms and DuckDB's
+  * generic path concats raw columns; we lowercase both sides so behavior is
+  * deterministic across engines).
+  */
+object Search {
+
+  def searchScore(columns: Seq[Column], query: String): Column = {
+    val haystack = lower(concat_ws(" ", columns: _*))
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val score = terms
+      .map(t => when(haystack.contains(t), lit(1)).otherwise(lit(0)))
+      .reduceOption(_ + _)
+      .getOrElse(lit(0))
+    nullif(score, lit(0))
+  }
+}

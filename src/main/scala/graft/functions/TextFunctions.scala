@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * normalization, tokenization, shingling, MinHash signatures, quality
+  * metrics, n-gram language ID, document fingerprints.
+  *
+  * Everything is pure Column expressions over built-in higher-order
+  * functions (`transform` / `filter` / `aggregate`), so the whole pipeline
+  * stays inside WholeStageCodegen with zero UDFs and zero shuffles for the
+  * per-document stages — at 100 TB these run map-side at scan speed.
+  */
+object TextFunctions {
+
+  /** lower-case, trim, collapse whitespace runs to single spaces. */
+  def normalizeWs(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** whitespace tokens of the normalized text. */
+  def words(c: Column): Column = split(normalizeWs(c), " ")
+
+  /** token count, whitespace tokenization. */
+  def tokenCountWs(c: Column): Column = size(words(c))
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, single
+    * punctuation marks — the classic GPT-2-style pre-split shape, counted
+    * with a regex that parses identically under Java and RE2-ish engines.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column = regexp_count(c, lit(bpeTokenPattern))
+
+  /** distinct word n-gram shingles ("w1 w2 w3" strings). */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array(normalizeWs(c))))
+  }
+
+  /** MinHash signature over shingles: element i is the minimum of
+    * `md5(seed_i || ' ' || shingle)` — min-of-md5-hex is engine-portable
+    * (lexicographic order over lowercase hex is universal), unlike native
+    * hash functions. Returns array<string> of length `numHashes`.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shinglesCol, s => md5(concat(seed.cast("string"), lit(" "), s)))))
+
+  /** LSH band keys from a minhash signature: `numBands` bands of
+    * `rowsPerBand` signature entries, each band hashed to one md5 key.
+    * Documents sharing any (band_index, key) pair are candidate duplicates.
+    */
+  def lshBandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** 32-bit SimHash over whitespace words. Each word votes with a 32-bit
+    * hash derived from the first 8 hex chars of its md5; bit b of the result
+    * is set when the weighted vote is positive. Pure expressions — no UDF.
+    */
+  def simhash32(c: Column): Column = {
+    val hashes = transform(words(c), w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** punctuation character ratio (over non-space chars). */
+  def punctRatio(c: Column): Column = {
+    val norm = normalizeWs(c)
+    val nonSpace = length(regexp_replace(norm, " ", ""))
+    val punct = length(norm) - length(regexp_replace(norm, "[^A-Za-z0-9\\s]", ""))
+    when(nonSpace > 0, punct.cast("double") / nonSpace.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** English stopword hit ratio over whitespace tokens. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+  def stopwordRatio(c: Column): Column = {
+    val w = words(c)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(w) > 0,
+      size(filter(w, x => array_contains(sw, x))).cast("double") / size(w).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation noise. A heuristic filter for pre-training corpora; the
+    * exact recipe is less important than it being cheap, deterministic, and
+    * monotone in the obvious directions.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCountWs(c).cast("double")
+    val lengthBand = when(nTok >= 5 && nTok <= 10000, lit(0.5)).otherwise(lit(0.0))
+    val sw = when(stopwordRatio(c) > 0.01, lit(0.3)).otherwise(lit(0.0))
+    val punct = when(punctRatio(c) < 0.2, lit(0.2)).otherwise(lit(0.0))
+    round(lengthBand + sw + punct, 2)
+  }
+
+  /** Language ID over tiny per-language stopword lists — the n-gram/stopword
+    * heuristic in its simplest portable form. Deterministic tie-break by
+    * list order (en, de, fr, es).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "de", "que", "los", "una", "es", "por", "con"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val w = words(c)
+    langStopwords.map { case (lang, dict) =>
+      val d = array(dict.map(lit): _*)
+      lang -> size(filter(w, x => array_contains(d, x)))
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    // argmax with first-wins tie-break; all-zero ⇒ "und" (undetermined)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizeWs(c))
+
+  /** Winnowing-style robust fingerprint: the k lexicographically smallest
+    * md5s of word `n`-gram shingles, joined — stable under small edits
+    * (a rolling-hash window's "record the minimum" trick, expressed
+    * set-wise so it is order-portable across engines).
+    */
+  def robustFingerprint(c: Column, n: Int, k: Int): Column =
+    concat_ws("|", slice(array_sort(transform(shingles(c, n), s => md5(s))), 1, k))
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over embedding columns (`array<float>` / `array<double>`)
+  * as pure Column expressions: `zip_with` for the elementwise product,
+  * `aggregate` for the fold — codegen-friendly, no UDF, no shuffle.
+  *
+  * All math is done in double after an explicit cast so results are
+  * engine-portable (float32 accumulation order would not be).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-random-projection LSH bucket key: the sign bit pattern of the
+    * vector against `planes` fixed hyperplanes. Vectors in the same bucket
+    * are likely cosine-close; used to prune ANN search from O(n) to one
+    * bucket (plus probes) per query at scale.
+    */
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val dv = asDouble(v)
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = aggregate(zip_with(dv, planeCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded, no RNG state):
+    * component (p, d) = fractional part of sin(p*12.9898 + d*78.233)*43758.5453,
+    * shifted to [-0.5, 0.5) — the classic shader-noise construction.
+    */
+  def deterministicPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { d =>
+        val x = math.sin(p * 12.9898 + d * 78.233) * 43758.5453
+        (x - math.floor(x)) - 0.5
+      }
+    }
+}

@@ -1,0 +1,45 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata-endpoint computations (reference: endpoint/detail_endpoint.py:
+  * 42-212): max string lengths per string column (one aggregate job over a
+  * jsonified view, detail_endpoint.py:123-152), distinct partition values
+  * (detail_endpoint.py:90-99), and the recursive schema description
+  * (detail_endpoint.py:156-188).
+  */
+object Metadata {
+
+  /** One row: `max(length(c))` for every string column — complex columns are
+    * measured on their JSON form, mirroring the reference's jsonify CTE.
+    * All maxes computed in a single aggregate (one pass over the data).
+    */
+  def maxStringLengths(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = df.schema.fields.collect {
+      case StructField(name, StringType, _, _) =>
+        max(length(col(name))).as(s"len_$name")
+      case StructField(name, _: StructType | _: ArrayType | _: MapType, _, _) =>
+        max(length(to_json(col(name)))).as(s"len_$name")
+    }.toSeq
+    require(aggs.nonEmpty, "no string/complex columns to measure")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct values of the partition columns (small result by design). */
+  def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Recursive type description, à la detail_endpoint.py:156-188. */
+  def describeType(dt: DataType): String = dt match {
+    case s: StructType =>
+      s.fields.map(f => s"${f.name}: ${describeType(f.dataType)}").mkString("struct<", ", ", ">")
+    case ArrayType(e, _) => s"list<${describeType(e)}>"
+    case MapType(k, v, _) => s"map<${describeType(k)}, ${describeType(v)}>"
+    case other => other.simpleString
+  }
+
+  def describeSchema(schema: StructType): Seq[(String, String)] =
+    schema.fields.map(f => f.name -> describeType(f.dataType)).toSeq
+}

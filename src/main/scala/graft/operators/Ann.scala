@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK` is the exact baseline: one codegen'd map over the
+  *    table computing cosine, then TakeOrderedAndProject (Spark's top-k
+  *    physical operator — per-partition heaps, no global sort, no shuffle
+  *    of the full table). This is the correctness oracle and is already the
+  *    right plan shape for "score 100 TB, return k rows".
+  *  - `lshTopK` is the scale path: sign-random-projection buckets; the
+  *    query probes its own bucket plus all buckets within `probeHamming`
+  *    bit flips, scoring only those rows. With b planes, expected scored
+  *    fraction is sum_{i<=p} C(b,i) / 2^b of the data.
+  */
+object Ann {
+
+  def withCosine(embs: DataFrame, vecCol: String, query: Seq[Double]): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embs.withColumn("score", round(V.cosineSimilarity(col(vecCol), q), 4))
+  }
+
+  /** Exact top-k by cosine similarity against a constant query vector. */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    withCosine(embs, vecCol, query)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** LSH-pruned top-k: score only rows whose SRP bucket is within
+    * `probeHamming` bits of the query's bucket.
+    */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, numPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val dim = query.length
+    val planes = V.deterministicPlanes(numPlanes, dim)
+    val queryBucket: Long = planes.zipWithIndex.map { case (plane, i) =>
+      val d = plane.zip(query).map { case (w, x) => w * x }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    withCosine(embs.withColumn("bucket", V.srpBucket(col(vecCol), planes)), vecCol, query)
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(queryBucket))) <= probeHamming)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

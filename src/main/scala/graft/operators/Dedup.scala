@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: one hash-aggregate (map-side partial combine, single shuffle on
+  *    the 16-byte digest — never on the document text itself)
+  *  - MinHash+LSH: per-doc signature map-side, then a shuffle keyed on
+  *    (band, key) whose fan-in is only candidate groups — the classic
+  *    shingle→minhash→band→bucket-join pipeline; O(n) not O(n²)
+  *  - SimHash: per-doc 32-bit sketch map-side; near-dup pairs via banded
+  *    self-join on sketch quarters (hamming ≤ 3 guarantees one equal quarter
+  *    by pigeonhole)
+  *  - n-gram Jaccard verification on candidate pairs only
+  *  - embedding cosine near-dup: SRP-LSH buckets, cosine verified in-bucket
+  */
+object Dedup {
+
+  /** Exact dedup: group on md5 of normalized text; keep the smallest id.
+    * The shuffle key is the digest, so skew is bounded by true duplicate
+    * groups and the payload never moves — at 100 TB the map-side partial
+    * aggregation reduces each duplicate class to one row per partition.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signatures, computed shuffle-efficiently: explode
+    * shingles to rows, then one hash-aggregate with `numHashes` parallel
+    * `min(md5(seed || shingle))` columns. The mins combine map-side, so the
+    * shuffle carries at most numHashes 32-char values per document — and the
+    * flat expression shape avoids the codegen blowup that deeply nested
+    * higher-order-function signatures trigger (each nested `transform`
+    * re-inlines its input; measured 126 s vs <2 s on 500 docs).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(T.shingles(col(textCol), shingleSize)).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    * numHashes = numBands * rowsPerBand.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
+    val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates filtered by true n-gram
+    * Jaccard similarity ≥ threshold. The expensive set-intersection runs
+    * only on candidate pairs (joined back to the shingle sets), never on
+    * the full cross product.
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    val sets = docs.select(col(idCol).as("sid"), T.shingles(col(textCol), shingleSize).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** n-gram Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Per-document SimHash sketch. */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), T.simhash32(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4 uses
+    * the 4-quarter pigeonhole banding: any pair within hamming 3 shares at
+    * least one exact 8-bit quarter, so the self-join key space stays tiny).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = simhashSketches(docs, idCol, textCol)
+    val banded = sk.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 8).bitwiseAND(lit(255L))): _*)).as(Seq("q", "qv")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.q") === col("b.q") && col("a.qv") === col("b.qv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: SRP-LSH bucket then cosine-verify within buckets.
+    * `numPlanes` trades bucket size vs recall; verification cost is
+    * sum over buckets of |bucket|², not n².
+    */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = V.deterministicPlanes(numPlanes, dim)
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      V.srpBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(V.cosineSimilarity(col("a.v"), col("b.v")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs
+  * per-partition over iterators (the Scala analog of batched Pandas UDFs) so
+  * a real decoder amortizes model/codec init once per partition, not per row.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container): `StubDecoder` derives deterministic pseudo-features from the
+  * md5 of the payload bytes. The Spark-side plumbing — schema, partitioning,
+  * iterator batch shape, feature struct — is real and tested; swapping in a
+  * JNI/JavaCV decoder is a one-class change.
+  */
+object Multimodal {
+
+  /** Decoded per-payload features. For the stub: width/height/brightness
+    * derived from the digest; `fp` is the payload digest (content address).
+    */
+  final case class MediaFeatures(width: Int, height: Int, brightness: Double, fp: String)
+
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic fake decoder: features from md5(payload). Uses only the
+    * hex digest + ascii arithmetic so an engine-side oracle can reproduce
+    * the exact values in SQL.
+    */
+  object StubDecoder extends MediaDecoder {
+    private def hexAt(h: String, i: Int): Int = h.charAt(i).toInt
+    def decode(payload: Array[Byte]): MediaFeatures = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val h = d.map("%02x".format(_)).mkString
+      val width = 16 + (hexAt(h, 0) * 256 + hexAt(h, 1)) % 1024
+      val height = 16 + (hexAt(h, 2) * 256 + hexAt(h, 3)) % 1024
+      val brightness = (hexAt(h, 4) * 256 + hexAt(h, 5)) / 65535.0
+      MediaFeatures(width, height, math.rint(brightness * 10000) / 10000, h)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+
+  /** Attach decoded features for a binary column. Runs as `mapPartitions`
+    * so decoder init happens once per partition; the output schema is the
+    * input schema plus one `media` struct column.
+    */
+  def extractFeatures(df: DataFrame, binaryCol: String,
+      decoder: MediaDecoder = StubDecoder, outputCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, featureSchema, nullable = true))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // per-partition init: a real decoder opens its codec exactly once here
+      val dec = decoder
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binIdx)
+        val media = if (payload == null) null else {
+          val f = dec.decode(payload)
+          Row(f.width, f.height, f.brightness, f.fp)
+        }
+        Row.fromSeq(row.toSeq :+ media)
+      }
+    }(encoder)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: split a binary blob
+    * into fixed-size pseudo-frames and explode to one row per sampled frame
+    * (every `stride`-th frame) — the partition/row-explosion shape a real
+    * frame sampler produces, with byte-slicing standing in for codec work.
+    */
+  def sampleFrames(df: DataFrame, binaryCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col(binaryCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)))
+      .withColumn("frame",
+        col(binaryCol).substr((col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.params
+
+import graft.config.Param
+
+/** Request-key → (Param, operator) resolution.
+  *
+  * Mirrors the reference's postfix scheme (core/model.py:41-72): an incoming
+  * key like `price_lte` resolves to the declared param `price` with operator
+  * `<=`. Matching is case-insensitive and folds spaces to underscores; any
+  * key that does not resolve is silently ignored (the whitelist security
+  * model, core/datasource.py:480-482). `limit`/`offset`/`format` and the
+  * `$`-prefixed controls are reserved words, never filters.
+  */
+object ParamResolver {
+
+  /** Longest-postfix-first operator map (core/model.py:41-58). */
+  val postfixOps: Seq[(String, String)] = Seq(
+    "_not_between" -> "not between",
+    "_not_contains" -> "not contains",
+    "_not_null" -> "not null",
+    "_not_in" -> "not in",
+    "_between" -> "between",
+    "_contains" -> "contains",
+    "_startswith" -> "startswith",
+    "_null" -> "null",
+    "_has" -> "has",
+    "_gte" -> ">=",
+    "_lte" -> "<=",
+    "_gt" -> ">",
+    "_lt" -> "<",
+    "_ne" -> "<>",
+    "_in" -> "in")
+
+  val reserved: Set[String] = Set("limit", "offset", "format", "jsonify_complex")
+
+  private def fold(s: String): String = s.toLowerCase.replace(" ", "_")
+
+  /** Resolve one request key against the declared params. Returns the param
+    * and the operator token, or None when the key is not whitelisted.
+    */
+  def resolve(params: Seq[Param], requestKey: String): Option[(Param, String)] = {
+    val k = fold(requestKey)
+    if (reserved.contains(k) || k.startsWith("$")) return None
+    val byName = params.map(p => fold(p.name) -> p).toMap
+    // exact name → default operator "="
+    byName.get(k).map(p => (p, "=")).orElse {
+      postfixOps.collectFirst {
+        case (postfix, op) if k.endsWith(postfix) && byName.contains(k.dropRight(postfix.length)) &&
+          operatorAllowed(byName(k.dropRight(postfix.length)), op) =>
+          (byName(k.dropRight(postfix.length)), op)
+      }
+    }.filter { case (p, op) => operatorAllowed(p, op) }
+  }
+
+  private def operatorAllowed(p: Param, op: String): Boolean = {
+    val ops = p.operators.map(_.toLowerCase)
+    op match {
+      case "=" => ops.contains("=") || ops.contains("==") || p.combi.isDefined
+      case other => ops.contains(other)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pruning
+
+import graft.filters.FilterCompiler.Filter
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+
+/** md5-hash partition pruning (reference: core/datasource.py:283-362,
+  * README.md:236-248).
+  *
+  * Tables can be physically partitioned by a *derived* helper column:
+  *
+  *  - `{col}_md5_prefix_N`  — first N hex chars of md5(value)
+  *  - `{col}_md5_mod_N`     — decimal string of md5-as-int mod N
+  *  - `{col}_prefix_N`      — plain first-N-chars prefix
+  *
+  * A filter on the logical `col` is semantically invisible to any optimizer
+  * (no engine can infer `col = 'audi'` ⟹ `cars_md5_prefix_2 = '82'`), so the
+  * rewrite happens at query-construction time: for every `=`/`in` filter on
+  * `col` whose table has a matching helper partition column, an extra
+  * equality/IN predicate on the helper column is AND-ed in. Catalyst then
+  * turns that extra predicate into partition pruning for free.
+  *
+  * The value is hashed request-side (driver, not executors) — one tiny md5
+  * per request value, exactly like the reference (datasource.py:320-341).
+  */
+object HashPartitionPruning {
+
+  private val Md5Prefix = "^(.*)_md5_prefix_(\\d+)$".r
+  private val Md5Mod = "^(.*)_md5_mod_(\\d+)$".r
+  private val PlainPrefix = "^(.*)_prefix_(\\d+)$".r
+
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def helperValue(partitionCol: String, value: String): Option[(String, String)] =
+    partitionCol match {
+      case Md5Prefix(_, n) => Some(partitionCol -> md5Hex(value).take(n.toInt))
+      case Md5Mod(_, n) => Some(partitionCol -> (BigInt(md5Hex(value), 16) mod BigInt(n.toInt)).toString)
+      case PlainPrefix(_, n) => Some(partitionCol -> value.take(n.toInt))
+      case _ => None
+    }
+
+  private def sourceColumn(partitionCol: String): Option[String] = partitionCol match {
+    case Md5Prefix(src, _) => Some(src)
+    case Md5Mod(src, _) => Some(src)
+    case PlainPrefix(src, _) => Some(src)
+    case _ => None
+  }
+
+  /** Extra pruning predicates for the given filters. Only `=`/`in` carry
+    * pruning semantics (the reference also passes `not in`/comparisons
+    * through its gate but only equality-shaped ops are semantically sound —
+    * datasource.py:306-341).
+    */
+  def prunePredicates(partitionCols: Seq[String], filters: Seq[Filter]): Seq[Column] =
+    for {
+      pc <- partitionCols
+      src <- sourceColumn(pc).toSeq
+      f <- filters
+      if f.param.column.equalsIgnoreCase(src)
+      pred <- predicateFor(pc, f)
+    } yield pred
+
+  private def predicateFor(pc: String, f: Filter): Option[Column] = f.op match {
+    case "=" | "==" => f.value match {
+      case s: String => helperValue(pc, s).map { case (c, v) => col(c) === lit(v) }
+      case _ => None
+    }
+    case "in" =>
+      val vals = f.value match {
+        case s: Seq[_] => s.map(_.toString)
+        case s: String => s.split(",").toSeq
+        case other => Seq(other.toString)
+      }
+      val hashed = vals.flatMap(v => helperValue(pc, v).map(_._2)).distinct
+      if (hashed.isEmpty) None else Some(col(pc).isin(hashed.map(lit): _*))
+    case _ => None
+  }
+}

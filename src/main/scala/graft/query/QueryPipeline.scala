@@ -1,0 +1,144 @@
+package graft.query
+
+import graft.config.{BasicConfig, TableConfig}
+import graft.filters.FilterCompiler
+import graft.filters.FilterCompiler.Filter
+import graft.functions.{Geo, Search}
+import graft.params.ParamResolver
+import graft.pruning.HashPartitionPruning
+import graft.sources.DataSources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** The request pipeline — replicates the reference endpoint's stage ordering
+  * (endpoint/endpoint.py:213-310) as a chain of pure `DataFrame => DataFrame`
+  * stages:
+  *
+  *   scan → where (+hash-partition pruning) → projection/jsonify →
+  *   distinct → sort → offset/limit → search → nearby
+  *
+  * The sqlglot AST layer of the reference disappears: a `DataFrame` IS the
+  * composable query IR, and Catalyst performs the pushdowns the reference
+  * hand-rolls (scan conditions, limit pushdown, column pruning).
+  */
+object QueryPipeline {
+
+  /** A parsed request against one table. Values: String / Seq[String] /
+    * typed scala values; combi params take Seq[Map[colname, value]].
+    */
+  final case class Request(
+      params: Map[String, Any] = Map.empty,
+      select: Option[Seq[String]] = None, // $select
+      distinct: Boolean = false, // $distinct
+      limit: Option[Int] = None,
+      offset: Option[Int] = None,
+      searchQuery: Option[String] = None,
+      nearby: Option[NearbyRequest] = None,
+      jsonifyComplex: Boolean = false)
+
+  final case class NearbyRequest(lat: Double, lon: Double, distanceM: Double)
+
+  /** Hidden-column policy (core/config.py:59-65): `_`-prefixed names and
+    * hash-partition helper columns never leave the engine.
+    */
+  def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.contains("_md5_prefix_") ||
+      name.contains("_xxhash64_prefix_") || name.contains("_md5_mod_")
+
+  def run(spark: SparkSession, table: TableConfig, req: Request,
+      basic: BasicConfig = BasicConfig(),
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val df = DataSources.read(spark, table.datasource)
+    runOn(df, table, req, basic, partitionCols)
+  }
+
+  /** Pipeline over an already-loaded DataFrame (testable without IO). */
+  def runOn(df: DataFrame, table: TableConfig, req: Request,
+      basic: BasicConfig = BasicConfig(),
+      partitionCols: Seq[String] = Nil): DataFrame = {
+
+    // ---- stage 1: resolve request params to (Param, op, value) filters ----
+    val filters: Seq[Filter] = req.params.toSeq.flatMap { case (key, value) =>
+      ParamResolver.resolve(table.params, key).map { case (p, op) => Filter(p, op, value) }
+    }
+
+    // ---- stage 2: WHERE (+ md5-hash partition pruning predicates) ----
+    val predicate = FilterCompiler.compile(df.schema, filters)
+    val pruning = HashPartitionPruning.prunePredicates(
+      partitionCols.filter(pc => df.columns.contains(pc)), filters)
+    val whereDf = (predicate.toSeq ++ pruning).reduceOption(_ && _)
+      .map(df.filter).getOrElse(df)
+
+    // ---- stage 3: projection — visible ∩ $select (endpoint.py:257-283) ----
+    val visible = whereDf.columns.filterNot(isHidden).toSeq
+    val projected = req.select match {
+      case Some(wanted) =>
+        val want = wanted.map(_.trim.toLowerCase).toSet
+        val cols = visible.filter(c => want.contains(c.toLowerCase))
+        whereDf.select(cols.map(c => col(quote(c))): _*)
+      case None => whereDf.select(visible.map(c => col(quote(c))): _*)
+    }
+
+    // ---- stage 4: jsonify complex columns (df_base.py:317-327) ----
+    val jsonified =
+      if (!req.jsonifyComplex) projected
+      else projected.schema.fields.foldLeft(projected) { (acc, f) =>
+        f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType =>
+            acc.withColumn(f.name, to_json(col(quote(f.name))))
+          case _ => acc
+        }
+      }
+
+    // ---- stage 5: distinct, guarded ≤ maxDistinctColumns (endpoint.py:172-177) ----
+    val distinctDf =
+      if (!req.distinct) jsonified
+      else {
+        require(jsonified.columns.length <= basic.maxDistinctColumns,
+          s"$$distinct allows at most ${basic.maxDistinctColumns} selected columns")
+        jsonified.distinct()
+      }
+
+    // ---- stage 6: config sort; null order pinned to nulls_first to match
+    // the reference's `default_null_order='nulls_first'` (df_duckdb.py:496) ----
+    val sorted =
+      if (table.datasource.sortby.isEmpty || req.searchQuery.isDefined) distinctDf
+      else distinctDf.orderBy(table.datasource.sortby.map(s =>
+        if (s.isDesc) col(quote(s.by)).desc_nulls_first
+        else col(quote(s.by)).asc_nulls_first): _*)
+
+    // ---- stage 7: offset/limit paging (endpoint.py:164, 210-211, 285-293) ----
+    val offsetDf = req.offset.filter(_ > 0).map(sorted.offset).getOrElse(sorted)
+    val limit = req.limit.getOrElse(basic.defaultLimit)
+    val limited =
+      if (limit == -1) {
+        if (table.allowGetAllPages) offsetDf else offsetDf.limit(basic.hardLimit)
+      } else offsetDf.limit(limit)
+
+    // ---- stage 8: search decoration (endpoint_search.py:27-60) ----
+    val searched = (req.searchQuery, table.search) match {
+      case (Some(q), Some(sc)) if q.trim.length >= basic.minSearchLength =>
+        limited
+          .withColumn("search_score",
+            Search.searchScore(sc.columns.map(c => col(quote(c))), q))
+          .filter(col("search_score").isNotNull)
+          .orderBy(col("search_score").desc)
+      case _ => limited
+    }
+
+    // ---- stage 9: nearby decoration (endpoint_nearby.py:37-79) ----
+    (req.nearby, table.nearby) match {
+      case (Some(n), Some(nc)) =>
+        searched
+          .withColumn(nc.name,
+            Geo.haversineMeters(col(quote(nc.latCol)), col(quote(nc.lonCol)), n.lat, n.lon))
+          .filter(col(nc.name) <= lit(n.distanceM))
+          .orderBy(col(nc.name).asc)
+      case _ => searched
+    }
+  }
+
+  private def quote(name: String): String =
+    if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) name else s"`$name`"
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.config.{DatasourceConfig, TableConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Source registry: `DatasourceConfig` → `DataFrame` (SURVEY.md §2.1).
+  *
+  * Reference scans (context/df_duckdb.py:411-466, df_base.py:239-284) map to
+  * plain `spark.read` — filter/limit/column pushdown that the reference
+  * hand-rolls per engine comes free from Catalyst once the scan is
+  * declarative. The baked-in projection/rename (`select`) and `exclude`
+  * (core/datasource.py:46-57, 241-247) are applied here, before any request
+  * processing, exactly like the reference applies them at datasource level.
+  *
+  * Environment note: delta-spark jars are not present in this build
+  * environment, so `file_type: delta` currently routes to the parquet reader
+  * (correct for non-partitioned, no-deletion-vector tables whose data files
+  * are plain parquet is NOT guaranteed — a native _delta_log reader is
+  * planned); jdbc sources compile but need a driver on the classpath.
+  */
+object DataSources {
+
+  def read(spark: SparkSession, ds: DatasourceConfig): DataFrame = {
+    val reader = spark.read.options(ds.options)
+    val df = ds.fileType.toLowerCase match {
+      case "parquet" | "delta" => reader.parquet(ds.uri)
+      case "csv" =>
+        reader
+          .option("header", ds.options.getOrElse("header", "true"))
+          .option("inferSchema", ds.options.getOrElse("inferSchema", "true"))
+          .csv(ds.uri)
+      case "json" => // array-of-records file (df_duckdb.py:411-417)
+        reader.option("multiLine", "true").json(ds.uri)
+      case "ndjson" => reader.json(ds.uri)
+      case "jdbc" => // S7-S9: duckdb/sqlite/odbc become JDBC reads
+        reader.format("jdbc")
+          .option("url", ds.uri)
+          .option("dbtable", ds.tableName.getOrElse(
+            throw new IllegalArgumentException("jdbc source needs table_name")))
+          .load()
+      case other => throw new IllegalArgumentException(s"unsupported file_type: $other")
+    }
+    applyBakedProjection(df, ds)
+  }
+
+  /** Config `select` (rename) + `exclude`, applied before everything. */
+  private def applyBakedProjection(df: DataFrame, ds: DatasourceConfig): DataFrame = {
+    val selected =
+      if (ds.select.isEmpty) df
+      else df.select(ds.select.map(s => col(quote(s.name)).as(s.outputName)): _*)
+    if (ds.exclude.isEmpty) selected else selected.drop(ds.exclude: _*)
+  }
+
+  private def quote(name: String): String =
+    if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) name else s"`$name`"
+
+  /** Register a table under its route name (core/datasource.py:198-210). */
+  def register(spark: SparkSession, t: TableConfig): DataFrame = {
+    val df = read(spark, t.datasource)
+    df.createOrReplaceTempView(t.routeName)
+    df
+  }
+}

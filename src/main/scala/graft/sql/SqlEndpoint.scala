@@ -1,0 +1,45 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Raw read-only SQL endpoint semantics (reference:
+  * endpoint/sql_endpoint.py:89-190): accept one statement, require it to be
+  * a pure query (Select/Union/Intersect/Except/CTE — sql_endpoint.py:117-123),
+  * extract the referenced tables, require every one to be a registered
+  * config table (sql_endpoint.py:124-125, 15-43), then execute.
+  *
+  * On Spark the whitelist is a parse-tree check on the Catalyst
+  * `LogicalPlan`: anything that is a `Command` (DDL, SET, …) or an insert is
+  * rejected; joins, set ops, aggregates, window functions all come free from
+  * Catalyst, exactly as the reference delegates them to DuckDB.
+  */
+object SqlEndpoint {
+
+  final class ForbiddenSqlException(msg: String) extends IllegalArgumentException(msg)
+
+  /** Parse, validate, and return the referenced table identifiers. */
+  def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
+    val plan = parseQueryPlan(spark, sql)
+    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }.distinct
+  }
+
+  private def parseQueryPlan(spark: SparkSession, sql: String): LogicalPlan = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    if (plan.isInstanceOf[Command])
+      throw new ForbiddenSqlException("only plain queries are allowed")
+    if (plan.collectFirst { case i: InsertIntoStatement => i }.nonEmpty)
+      throw new ForbiddenSqlException("INSERT is not allowed")
+    plan
+  }
+
+  /** Validate + execute against the set of registered (allowed) views. */
+  def query(spark: SparkSession, sql: String, allowed: Set[String]): DataFrame = {
+    val refs = referencedTables(spark, sql)
+    val unknown = refs.filterNot(r => allowed.contains(r) || allowed.contains(r.toLowerCase))
+    if (unknown.nonEmpty)
+      throw new ForbiddenSqlException(s"unknown table(s): ${unknown.mkString(", ")}")
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.config.Param
+import graft.filters.FilterCompiler
+import graft.filters.FilterCompiler.{BadRequestException, Filter}
+import org.apache.spark.sql.DataFrame
+
+/** Operator-compiler semantics, mirroring the reference's per-operator tests
+  * (reference tests/test_filters.py) plus its quirks (SURVEY.md §2.4).
+  */
+class FilterCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's canonical `fruits` fixture (FIXTURES.md §1)
+  lazy val fruits: DataFrame = Seq(
+    (1L, "banana", 5L, "beetle"), (2L, "banana", 4L, "audi"),
+    (3L, "apple", 3L, "beetle"), (4L, "apple", 2L, "beetle"),
+    (5L, "banana", 1L, "beetle"), (0L, "apple", 5L, "lamborghini"),
+    (9L, "ananas", 9L, "fiat")).toDF("A", "fruits", "B", "cars")
+
+  private def run(fs: Filter*): Seq[Long] = {
+    val pred = FilterCompiler.compile(fruits.schema, fs)
+    pred.map(fruits.filter).getOrElse(fruits).select("A").as[Long].collect().toSeq.sorted
+  }
+  private def p(name: String, ops: String*) =
+    Param(name, operators = if (ops.isEmpty) Seq("=") else ops)
+
+  test("equality") { assert(run(Filter(p("cars"), "=", "audi")) == Seq(2L)) }
+  test("inequality") {
+    assert(run(Filter(p("fruits", "<>"), "<>", "banana")) == Seq(0L, 3L, 4L, 9L))
+  }
+  test("comparisons") {
+    assert(run(Filter(p("B", "<"), "<", "3")) == Seq(4L, 5L))
+    assert(run(Filter(p("B", ">="), ">=", "5")) == Seq(0L, 1L, 9L))
+  }
+  test("in / not in") {
+    assert(run(Filter(p("cars", "in"), "in", "audi,fiat")) == Seq(2L, 9L))
+    assert(run(Filter(p("cars", "not in"), "not in", Seq("beetle"))) == Seq(0L, 2L, 9L))
+  }
+  test("empty in list drops the predicate (datasource.py:563-570)") {
+    assert(run(Filter(p("cars", "in"), "in", Seq.empty[String])).size == 7)
+  }
+  test("falsy values drop the predicate (datasource.py:478)") {
+    assert(run(Filter(p("cars"), "=", "")).size == 7)
+    assert(run(Filter(p("cars"), "=", null)).size == 7)
+  }
+  test("contains / not contains / startswith") {
+    assert(run(Filter(p("fruits", "contains"), "contains", "nan")) == Seq(1L, 2L, 5L, 9L))
+    assert(run(Filter(p("fruits", "not contains"), "not contains", "nan")) == Seq(0L, 3L, 4L))
+    assert(run(Filter(p("fruits", "startswith"), "startswith", "a")) == Seq(0L, 3L, 4L, 9L))
+  }
+  test("between inclusive; wrong arity is a client error (datasource.py:571-594)") {
+    assert(run(Filter(p("B", "between"), "between", Seq("2", "4"))) == Seq(2L, 3L, 4L))
+    assert(run(Filter(p("B", "not between"), "not between", Seq("2", "4"))) == Seq(0L, 1L, 5L, 9L))
+    intercept[BadRequestException] {
+      run(Filter(p("B", "between"), "between", Seq("2")))
+    }
+  }
+  test("combi: OR of AND-ed null-safe equalities (datasource.py:400-423)") {
+    val combi = Param("pk", combi = Some(Seq("fruits", "cars")))
+    assert(run(Filter(combi, "=", Seq(
+      Map("fruits" -> "banana", "cars" -> "beetle"),
+      Map("fruits" -> "ananas", "cars" -> "fiat")))) == Seq(1L, 5L, 9L))
+  }
+  test("null / not null operators (fixed divergence from reference F11)") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val pred = FilterCompiler.compile(df.schema, Seq(Filter(p("v", "null"), "null", null)))
+    assert(df.filter(pred.get).select("id").as[Long].collect().toSeq == Seq(2L))
+    val pred2 = FilterCompiler.compile(df.schema, Seq(Filter(p("v", "not null"), "not null", null)))
+    assert(df.filter(pred2.get).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+  test("equality with explicit null value means IS NULL (datasource.py:531-538)") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val pred = FilterCompiler.compile(df.schema, Seq(Filter(p("v"), "=", "null")))
+    assert(df.filter(pred.get).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+  test("has: array membership (datasource.py:555-562)") {
+    val df = Seq((1L, Seq("20", "E1")), (2L, Seq("5"))).toDF("id", "temps")
+    val pred = FilterCompiler.compile(df.schema,
+      Seq(Filter(p("temps", "has"), "has", "E1")))
+    assert(df.filter(pred.get).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+  test("predicates AND-compose (datasource.py:387-397)") {
+    assert(run(
+      Filter(p("fruits"), "=", "banana"),
+      Filter(p("B", ">"), ">", "1")) == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import graft.config._
+import graft.meta.Metadata
+import graft.operators.Multimodal
+import graft.pruning.HashPartitionPruning
+import graft.sql.SqlEndpoint
+import graft.filters.FilterCompiler.Filter
+import org.apache.spark.sql.functions._
+
+class ConfigLoaderSpec extends SparkSpec {
+  test("yaml parse: tables, params, select, sortby, search, nearby") {
+    val cfg = ConfigLoader.parseYaml(
+      """tables:
+        |  - name: fruits
+        |    tag: test
+        |    version: 1
+        |    allow_get_all_pages: true
+        |    datasource:
+        |      uri: /data/fruits
+        |      file_type: parquet
+        |      select:
+        |        - name: A
+        |        - name: fruits
+        |          alias: fruit
+        |      sortby:
+        |        - by: A
+        |          direction: desc
+        |    params:
+        |      - name: cars
+        |        operators: ["=", "in"]
+        |      - fruits
+        |    search:
+        |      name: search
+        |      columns: [fruits, cars]
+        |    nearby:
+        |      name: geo
+        |      lat_col: lat
+        |      lon_col: lon
+        |""".stripMargin)
+    val t = cfg.tables.head
+    assert(t.routeName == "test_fruits")
+    assert(t.datasource.select(1).outputName == "fruit")
+    assert(t.datasource.sortby.head.isDesc)
+    assert(t.params.map(_.name) == Seq("cars", "fruits"))
+    assert(t.params.head.operators == Seq("=", "in"))
+    assert(t.search.get.columns == Seq("fruits", "cars"))
+    assert(t.nearby.get.latCol == "lat")
+    assert(t.allowGetAllPages)
+  }
+  test("version suffix naming rule (datasource.py:198-210)") {
+    val t = TableConfig("x", "tag", version = 2, datasource = DatasourceConfig("u"))
+    assert(t.routeName == "tag_x_v2")
+  }
+  test("env-var expansion (config.py:129-130)") {
+    val expanded = ConfigLoader.expandEnv("uri: ${HOME}/data")
+    assert(expanded == s"uri: ${sys.env("HOME")}/data")
+  }
+}
+
+class PruningSpec extends SparkSpec {
+  import graft.config.Param
+
+  test("md5 helper values: prefix / mod / plain-prefix schemes") {
+    assert(HashPartitionPruning.md5Hex("audi").startsWith(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("audi".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString))
+    val preds = HashPartitionPruning.prunePredicates(
+      Seq("cars_md5_prefix_2"),
+      Seq(Filter(Param("cars"), "=", "audi")))
+    assert(preds.size == 1)
+    val expected = HashPartitionPruning.md5Hex("audi").take(2)
+    assert(preds.head.toString.contains(expected))
+  }
+  test("pruned query returns identical rows to unpruned (test_partition.py:11-86)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    val df = Seq(("audi", 1), ("beetle", 2), ("fiat", 3), ("audi", 4))
+      .toDF("cars", "v")
+      .withColumn("cars_md5_prefix_2",
+        substring(md5(col("cars")), 1, 2))
+    df.write.partitionBy("cars_md5_prefix_2").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val filters = Seq(Filter(Param("cars"), "=", "audi"))
+    val preds = HashPartitionPruning.prunePredicates(Seq("cars_md5_prefix_2"), filters)
+    val pruned = loaded.filter(col("cars") === "audi" && preds.reduce(_ && _))
+    assert(pruned.select("v").as[Int].collect().sorted.toSeq == Seq(1, 4))
+    // and the helper predicate actually prunes partitions in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cars_md5_prefix_2"))
+  }
+}
+
+class SqlEndpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plain queries with joins/set-ops pass the whitelist") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("t_allowed")
+    val out = SqlEndpoint.query(spark,
+      "SELECT id FROM t_allowed UNION SELECT id + 1 FROM t_allowed",
+      Set("t_allowed"))
+    assert(out.count() == 2)
+  }
+  test("commands and unknown tables are rejected (sql_endpoint.py:117-125)") {
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark, "DROP TABLE t_allowed", Set("t_allowed"))
+    }
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark, "CREATE TABLE x (id INT) USING parquet", Set("t_allowed"))
+    }
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark, "SELECT * FROM secret_table", Set("t_allowed"))
+    }
+    intercept[Exception] {
+      SqlEndpoint.query(spark, "INSERT INTO t_allowed VALUES (2, 'b')", Set("t_allowed"))
+    }
+  }
+}
+
+class MetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("max string lengths in one aggregate (detail_endpoint.py:123-152)") {
+    val df = Seq(("abc", Seq(1, 2)), ("de", Seq(1, 2, 3))).toDF("s", "arr")
+    val row = Metadata.maxStringLengths(df).head()
+    assert(row.getAs[Int]("len_s") == 3)
+    assert(row.getAs[Int]("len_arr") == "[1,2,3]".length)
+  }
+  test("schema description walks nested types (detail_endpoint.py:156-188)") {
+    val df = spark.sql("SELECT named_struct('a', 1, 'b', 'x') AS st, array(1,2) AS ar, 1 AS i")
+    val desc = Metadata.describeSchema(df.schema).toMap
+    assert(desc("st") == "struct<a: int, b: string>")
+    assert(desc("ar") == "list<int>")
+    assert(desc("i") == "int")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction is deterministic and schema-typed") {
+    val df = Seq((1L, "hello"), (2L, "world"), (3L, "hello"))
+      .toDF("id", "t").withColumn("payload", encode(col("t"), "UTF-8"))
+    val out = Multimodal.extractFeatures(df, "payload")
+    assert(out.schema("media").dataType == Multimodal.featureSchema)
+    val rows = out.select("id", "media.width", "media.fp").collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(byId(1L) == byId(3L)) // same payload, same features
+    assert(byId(1L) != byId(2L))
+    assert(byId(1L)._2 == HashPartitionPruning.md5Hex("hello"))
+  }
+  test("null payloads produce null features, not failures") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "t")
+      .withColumn("payload", encode(col("t"), "UTF-8"))
+    val out = Multimodal.extractFeatures(df, "payload").select("media").collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+  test("frame sampling explodes every stride-th fixed-size slice") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "t")
+      .withColumn("payload", encode(col("t"), "UTF-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 3, stride = 2)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames == Seq(0, 2)) // frames 0..3 exist, stride 2 keeps 0 and 2
+  }
+}

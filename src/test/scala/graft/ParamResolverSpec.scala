@@ -1,0 +1,43 @@
+package graft
+
+import graft.config.Param
+import graft.params.ParamResolver
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Request-key resolution (reference core/model.py:41-72 semantics). */
+class ParamResolverSpec extends AnyFunSuite {
+  val params = Seq(
+    Param("price", operators = Seq("=", "<", "<=", ">", ">=", "between")),
+    Param("name", operators = Seq("=", "contains", "startswith", "in")),
+    Param("Super Name", operators = Seq("=")),
+    Param("tags", operators = Seq("has")))
+
+  test("bare name resolves to equality") {
+    assert(ParamResolver.resolve(params, "price").contains((params.head, "=")))
+  }
+  test("postfix operators resolve, longest-first") {
+    assert(ParamResolver.resolve(params, "price_lte").map(_._2).contains("<="))
+    assert(ParamResolver.resolve(params, "price_between").map(_._2).contains("between"))
+    assert(ParamResolver.resolve(params, "name_contains").map(_._2).contains("contains"))
+    assert(ParamResolver.resolve(params, "name_in").map(_._2).contains("in"))
+    assert(ParamResolver.resolve(params, "tags_has").map(_._2).contains("has"))
+  }
+  test("case-insensitive + space folding (model.py:61-72)") {
+    assert(ParamResolver.resolve(params, "PRICE_LTE").map(_._2).contains("<="))
+    assert(ParamResolver.resolve(params, "super name").isDefined)
+    assert(ParamResolver.resolve(params, "Super_Name").isDefined)
+  }
+  test("undeclared keys are ignored — the whitelist security model") {
+    assert(ParamResolver.resolve(params, "secret_column").isEmpty)
+    assert(ParamResolver.resolve(params, "price; DROP TABLE x").isEmpty)
+  }
+  test("operator not whitelisted on the param is rejected") {
+    assert(ParamResolver.resolve(params, "price_contains").isEmpty)
+    assert(ParamResolver.resolve(params, "name_lt").isEmpty)
+  }
+  test("reserved words are never filters (datasource.py:478)") {
+    assert(ParamResolver.resolve(params, "limit").isEmpty)
+    assert(ParamResolver.resolve(params, "offset").isEmpty)
+    assert(ParamResolver.resolve(params, "$select").isEmpty)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.config._
+import graft.query.QueryPipeline
+import graft.query.QueryPipeline.{NearbyRequest, Request}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** End-to-end pipeline semantics on the reference's golden `fruits` fixture
+  * (reference tests/test_app.py golden rows, FIXTURES.md §1).
+  */
+class QueryPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val fruits: DataFrame = Seq(
+    (1L, "banana", 5L, "beetle"), (2L, "banana", 4L, "audi"),
+    (3L, "apple", 3L, "beetle"), (4L, "apple", 2L, "beetle"),
+    (5L, "banana", 1L, "beetle"), (0L, "apple", 5L, "lamborghini"),
+    (9L, "ananas", 9L, "fiat")).toDF("A", "fruits", "B", "cars")
+
+  def cfg(params: Seq[Param] = Nil, sortby: Seq[SortBy] = Nil,
+      search: Option[SearchConfig] = None, nearby: Option[NearbyConfig] = None) =
+    TableConfig("fruits", "test", datasource = DatasourceConfig("mem", sortby = sortby),
+      params = params, search = search, nearby = nearby, allowGetAllPages = true)
+
+  test("golden: cars=audi returns row (2, banana, 4, audi) — test_app.py:107-121") {
+    val out = QueryPipeline.runOn(fruits, cfg(params = Seq(Param("cars"))),
+      Request(params = Map("cars" -> "audi"))).collect()
+    assert(out.toSeq == Seq(Row(2L, "banana", 4L, "audi")))
+  }
+  test("golden: sort B asc first row is (5, banana, 1, beetle) — test_app.py:47-61") {
+    val out = QueryPipeline.runOn(fruits, cfg(sortby = Seq(SortBy("B"))),
+      Request(limit = Some(1))).collect()
+    assert(out.toSeq == Seq(Row(5L, "banana", 1L, "beetle")))
+  }
+  test("golden: sort A desc first row is (9, ananas, 9, fiat) — test_app.py:64-78") {
+    val out = QueryPipeline.runOn(fruits, cfg(sortby = Seq(SortBy("A", "desc"))),
+      Request(limit = Some(1))).collect()
+    assert(out.toSeq == Seq(Row(9L, "ananas", 9L, "fiat")))
+  }
+  test("$select projects and orders; hidden columns are stripped") {
+    val withHidden = fruits
+      .withColumn("cars_md5_prefix_2", org.apache.spark.sql.functions.lit("xx"))
+      .withColumn("_internal", org.apache.spark.sql.functions.lit(1))
+    val out = QueryPipeline.runOn(withHidden, cfg(), Request())
+    assert(out.columns.toSeq == Seq("A", "fruits", "B", "cars"))
+  }
+  test("default limit is 100; limit=-1 without allow_get_all_pages clamps to 1000") {
+    val big = spark.range(5000).toDF("A")
+    val t = cfg().copy(allowGetAllPages = false)
+    assert(QueryPipeline.runOn(big, t, Request()).count() == 100)
+    assert(QueryPipeline.runOn(big, t, Request(limit = Some(-1))).count() == 1000)
+    assert(QueryPipeline.runOn(big, t.copy(allowGetAllPages = true),
+      Request(limit = Some(-1))).count() == 5000)
+  }
+  test("offset pages past sorted rows (endpoint.py:292-293)") {
+    val out = QueryPipeline.runOn(fruits, cfg(sortby = Seq(SortBy("A"))),
+      Request(select = Some(Seq("A")), offset = Some(2), limit = Some(2))).as[Long].collect()
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+  test("distinct guarded at ≤3 columns (endpoint.py:172-177)") {
+    val out = QueryPipeline.runOn(fruits, cfg(),
+      Request(select = Some(Seq("fruits")), distinct = true)).as[String].collect()
+    assert(out.sorted.toSeq == Seq("ananas", "apple", "banana"))
+    intercept[IllegalArgumentException] {
+      QueryPipeline.runOn(fruits, cfg(), Request(distinct = true)).collect()
+    }
+  }
+  test("search scores, filters non-matches, orders descending (endpoint_search.py)") {
+    val t = cfg(search = Some(SearchConfig("search", Seq("fruits", "cars"))))
+    val out = QueryPipeline.runOn(fruits, t,
+      Request(searchQuery = Some("banana audi"), limit = Some(-1)))
+    val rows = out.select("A", "search_score").as[(Long, Int)].collect()
+    assert(rows.head._1 == 2L && rows.head._2 == 2) // banana+audi double hit first
+    assert(rows.forall(_._2 >= 1))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+  }
+  test("search below min length is ignored (endpoint_search.py:16-24)") {
+    val t = cfg(search = Some(SearchConfig("search", Seq("fruits"))))
+    val out = QueryPipeline.runOn(fruits, t, Request(searchQuery = Some("ba")))
+    assert(!out.columns.contains("search_score"))
+  }
+  test("nearby adds distance, filters by radius, sorts ascending (endpoint_nearby.py)") {
+    val geo = Seq((1L, 47.0, 8.0), (2L, 47.5, 8.0), (3L, 52.0, 13.0))
+      .toDF("id", "lat", "lon")
+    val t = cfg(nearby = Some(NearbyConfig("distance", "lat", "lon")))
+    val out = QueryPipeline.runOn(geo, t,
+      Request(nearby = Some(NearbyRequest(47.0, 8.0, 100000)), limit = Some(-1)))
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L)) // berlin-ish point excluded, nearest first
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "der schnelle braune fuchs ist nicht mit der katze"),
+    (4L, "zzz qqq")).toDF("id", "text")
+
+  test("shingles: n-grams with small-doc fallback") {
+    val sh = docs.filter($"id" === 1).select(T.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh.size == 7 && sh.contains("the quick brown"))
+    val tiny = docs.filter($"id" === 4).select(T.shingles($"text", 3)).head.getSeq[String](0)
+    assert(tiny == Seq("zzz qqq"))
+  }
+  test("token counts") {
+    val r = docs.filter($"id" === 1)
+      .select(T.tokenCountWs($"text"), T.tokenCountBpe(lit("Hello, world! 42"))).head
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 6) // Hello , world ! 4 2
+  }
+  test("minhash signature is deterministic and identical for identical docs") {
+    val sig = docs.select(T.minhashSignature(T.shingles($"text", 3), 16).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sig(0).size == 16)
+    assert(sig(0) != sig(2))
+  }
+  test("simhash: near-identical docs are hamming-close, different docs are not") {
+    val vals = docs.select($"id", T.simhash32($"text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(vals(1L), vals(2L)) < ham(vals(1L), vals(3L)))
+    assert(vals.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+  test("language id picks the right stopword family") {
+    val out = docs.select($"id", T.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(3L) == "de" && out(4L) == "und")
+  }
+  test("quality score is bounded and penalizes junk") {
+    val q = docs.select($"id", T.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(4L))
+  }
+  test("fingerprints: whitespace-insensitive, robust to order of computation") {
+    val a = spark.sql("SELECT 'a  b   c' AS t").select(T.fingerprint($"t")).head.getString(0)
+    val b = spark.sql("SELECT ' a b c ' AS t").select(T.fingerprint($"t")).head.getString(0)
+    assert(a == b)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "spark makes big data small again with catalyst and tungsten engines"),
+    (2L, "spark makes big data small again with catalyst and tungsten engines"), // exact dup of 1
+    (3L, "spark makes big data small again with catalyst and tungsten engine"), // near dup of 1
+    (4L, "completely different text about cooking pasta with tomato sauce"),
+    (5L, "yet another unrelated document mentioning neither engines nor pasta")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+  test("simhash pairs: exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+  test("embedding near-dup finds the planted duplicate vector") {
+    val base = (0 until 16).map(_.toDouble / 16)
+    val near = base.updated(0, base.head + 0.001f.toDouble)
+    val far = (0 until 16).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val embs = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(embs, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random vectors
+  lazy val embs = {
+    val rows = (0 until 200).map { i =>
+      val v = (0 until 16).map(d => math.sin(i * 31 + d * 7).toFloat.toDouble)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: self similarity is 1 and ranks first") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding").head.getSeq[Double](0)
+    val top = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 7L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).toSeq == top.map(_.getDouble(1)).sorted.reverse.toSeq)
+  }
+  test("LSH top-k contains the query itself and only scores its bucket probes") {
+    val q = embs.filter($"vec_id" === 7).select($"embedding").head.getSeq[Double](0)
+    val lsh = Ann.lshTopK(embs, "vec_id", "embedding", q, 5, numPlanes = 6, probeHamming = 1)
+      .collect()
+    assert(lsh.head.getLong(0) == 7L)
+  }
+  test("LSH with full probing equals brute force") {
+    val q = embs.filter($"vec_id" === 3).select($"embedding").head.getSeq[Double](0)
+    val brute = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val lsh = Ann.lshTopK(embs, "vec_id", "embedding", q, 10,
+      numPlanes = 6, probeHamming = 6) // probe all buckets
+      .select("vec_id").as[Long].collect().toSeq
+    assert(lsh == brute)
+  }
+  test("cosine similarity math") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val c = df.select(V.cosineSimilarity($"a", $"b")).as[Double].collect()
+    assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
+  }
+}
