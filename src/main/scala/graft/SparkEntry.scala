@@ -299,14 +299,10 @@ object SparkEntry {
         T.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
-    "q_fingerprint" -> ((s, dir) => {
-      import graft.functions.{TextFunctions => T}
-      Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        T.fingerprint(col("text")).as("fp"),
-        T.robustFingerprint(col("text"), 3, 4).as("robust_fp"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprints(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, k = 4)
+        .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")

@@ -92,9 +92,39 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Per-document SimHash sketch. */
-  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), T.simhash32(col(textCol)).as("simhash"))
+  /** Per-document SimHash sketch.
+    *
+    * Same math as [[graft.functions.TextFunctions.simhash32]] but computed
+    * explode-side: one row per word, a flat codegen'd hash of the word, then
+    * 32 bit-vote sums in a single hash-aggregate (map-side partial combine).
+    * Spark's higher-order array functions are CodegenFallback (interpreted
+    * per row), so the array formulation costs ~10× at scale; this shape is
+    * whole-stage-codegen end to end and shuffles 32 longs per document.
+    */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(T.words(col(textCol))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b"))
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** (id, fp, robust_fp) per document — whole-document md5 fingerprint plus
+    * the winnowing-style smallest-k shingle fingerprint, computed
+    * explode-side for the same CodegenFallback reason as the sketches.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 4): DataFrame =
+    docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"),
+        explode(T.shingles(col(textCol), shingleSize)).as("s"))
+      .groupBy(col(idCol), col("fp"))
+      .agg(concat_ws("|",
+        slice(array_sort(collect_list(md5(col("s")))), 1, k)).as("robust_fp"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4 uses
     * the 4-quarter pigeonhole banding: any pair within hamming 3 shares at
@@ -125,12 +155,16 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = V.deterministicPlanes(numPlanes, dim)
+    // norm precomputed once per vector (the shuffle boundary at the join
+    // materializes it), so each candidate pair costs one dot product
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.srpBucket(col(vecCol), planes).as("bucket"))
+      V.srpBucket(col(vecCol), planes).as("bucket"),
+      V.norm(col(vecCol)).as("nrm"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(V.cosineSimilarity(col("a.v"), col("b.v")), 4))
+      .withColumn("cosine",
+        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

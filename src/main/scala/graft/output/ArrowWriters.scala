@@ -1,0 +1,113 @@
+package graft.output
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.io.ByteArrayOutputStream
+import java.nio.channels.Channels
+import scala.jdk.CollectionConverters._
+
+/** Arrow IPC output (SURVEY.md §2.2 O9/O10; reference response.py:135-149):
+  * "arrow"/"feather"/"ipc" = file format, "arrow-stream" = stream format.
+  *
+  * Rows are pulled with `toLocalIterator` and written in record batches of
+  * `chunkSize` rows — the reference's result batching (10,000 rows per
+  * batch, core/config.py:78). Covers the flat types the serving layer
+  * produces (complex columns are jsonified upstream for these formats).
+  */
+object ArrowWriters {
+
+  val defaultChunkSize = 10000
+
+  def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case ByteType => new ArrowType.Int(8, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case DateType => new ArrowType.Date(DateUnit.DAY)
+      case _: TimestampType | _: TimestampNTZType =>
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      case other =>
+        throw new IllegalArgumentException(
+          s"arrow writer: jsonify complex/unsupported column ${f.name}: $other first")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  def toArrowBytes(df: DataFrame, stream: Boolean,
+      chunkSize: Int = defaultChunkSize): Array[Byte] = {
+    val schema = new ArrowSchema(df.schema.fields.map(arrowField).toList.asJava)
+    val allocator = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val out = new ByteArrayOutputStream()
+    val channel = Channels.newChannel(out)
+    val writer =
+      if (stream) new ArrowStreamWriter(root, null, channel)
+      else new ArrowFileWriter(root, null, channel)
+    try {
+      writer.start()
+      val it = df.toLocalIterator()
+      val sparkFields = df.schema.fields
+      while (it.hasNext) {
+        var n = 0
+        while (it.hasNext && n < chunkSize) {
+          val row = it.next()
+          var i = 0
+          while (i < sparkFields.length) {
+            writeCell(root.getVector(i), sparkFields(i).dataType, n, row, i)
+            i += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+        root.allocateNew()
+      }
+      writer.end()
+    } finally {
+      writer.close(); root.close(); allocator.close()
+    }
+    out.toByteArray
+  }
+
+  private def writeCell(vec: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit = {
+    if (row.isNullAt(col)) { vec.asInstanceOf[BaseValueVector]; setNull(vec, idx); return }
+    (vec, dt) match {
+      case (v: BigIntVector, _) => v.setSafe(idx, row.getLong(col))
+      case (v: IntVector, _) => v.setSafe(idx, row.getInt(col))
+      case (v: SmallIntVector, _) => v.setSafe(idx, row.getShort(col))
+      case (v: TinyIntVector, _) => v.setSafe(idx, row.getByte(col))
+      case (v: Float8Vector, _) => v.setSafe(idx, row.getDouble(col))
+      case (v: Float4Vector, _) => v.setSafe(idx, row.getFloat(col))
+      case (v: VarCharVector, _) => v.setSafe(idx, row.getString(col).getBytes("UTF-8"))
+      case (v: BitVector, _) => v.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+      case (v: VarBinaryVector, _) => v.setSafe(idx, row.getAs[Array[Byte]](col))
+      case (v: DateDayVector, _) =>
+        v.setSafe(idx, row.getAs[java.sql.Date](col).toLocalDate.toEpochDay.toInt)
+      case (v: TimeStampMicroVector, _: TimestampType) =>
+        val ts = row.getAs[java.sql.Timestamp](col)
+        v.setSafe(idx, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000)
+      case (v: TimeStampMicroVector, _: TimestampNTZType) =>
+        val ldt = row.getAs[java.time.LocalDateTime](col)
+        v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
+      case (v, t) =>
+        throw new IllegalArgumentException(s"arrow writer: unhandled $t / ${v.getClass}")
+    }
+  }
+
+  private def setNull(vec: FieldVector, idx: Int): Unit = vec match {
+    case v: BaseFixedWidthVector => v.setNull(idx)
+    case v: BaseVariableWidthVector => v.setNull(idx)
+    case other => other.setNull(idx) // FieldVector#setNull exists on all concrete vectors
+  }
+}

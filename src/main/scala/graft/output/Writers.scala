@@ -1,0 +1,153 @@
+package graft.output
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.Charset
+
+/** Output formats (SURVEY.md §2.2, reference core/response.py).
+  *
+  * The reference streams Arrow record batches into ~12 wire formats; here
+  * the serving-side formats are produced from a `DataFrame` via
+  * `toLocalIterator` (bounded driver memory — one partition in flight, the
+  * serving results are LIMIT-bounded by the pipeline anyway), and the
+  * lake-side formats (parquet/orc/csv directories) via `df.write`.
+  *
+  * Format negotiation tokens follow response.py:44-84.
+  */
+object Writers {
+
+  /** Formats the reference accepts (response.py:44-84). ORC is parsed by the
+    * reference but silently falls back to JSON (response.py:156-157); here
+    * it writes real ORC — a deliberate, documented upgrade.
+    */
+  val formats: Set[String] = Set("json", "ndjson", "csv", "scsv", "tsv",
+    "csv4excel", "xlsx", "html", "xml", "arrow", "arrow-stream", "parquet", "orc")
+
+  // ---- inline (string) writers ----
+
+  /** JSON array of records (response O1; df_base.py:128-134). */
+  def toJsonArray(df: DataFrame): String = {
+    val it = df.toJSON.toLocalIterator()
+    val sb = new StringBuilder("[")
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(',')
+      sb.append(it.next()); first = false
+    }
+    sb.append(']').toString()
+  }
+
+  /** Newline-delimited JSON (O2; df_base.py:136-154). */
+  def toNdjson(df: DataFrame): String = {
+    val sb = new StringBuilder
+    val it = df.toJSON.toLocalIterator()
+    while (it.hasNext) { sb.append(it.next()).append('\n') }
+    sb.toString()
+  }
+
+  /** CSV with configurable separator (O3; response.py:99-116). Complex
+    * columns must be jsonified upstream (the pipeline auto-forces this for
+    * csv-family formats, endpoint.py:272-279).
+    */
+  def toCsv(df: DataFrame, sep: Char = ','): String = {
+    val sb = new StringBuilder
+    val cols = df.columns
+    sb.append(cols.map(csvQuote(_, sep)).mkString(sep.toString)).append("\r\n")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      var i = 0
+      while (i < cols.length) {
+        if (i > 0) sb.append(sep)
+        sb.append(csvQuote(cellString(row, i), sep))
+        i += 1
+      }
+      sb.append("\r\n")
+    }
+    sb.toString()
+  }
+
+  private def cellString(row: Row, i: Int): String =
+    if (row.isNullAt(i)) "" else row.get(i).toString
+
+  private def csvQuote(s: String, sep: Char): String =
+    if (s.indexOf(sep) >= 0 || s.indexOf('"') >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** csv4excel (O4; response.py:111-116, 158-169, 280): a `sep=,` header
+    * line then the CSV body, the whole payload encoded UTF-16-LE so Excel
+    * opens it with correct delimiters and Unicode.
+    */
+  def toCsv4Excel(df: DataFrame): Array[Byte] = {
+    val body = "sep=,\n" + toCsv(df, ',')
+    body.getBytes(Charset.forName("UTF-16LE"))
+  }
+
+  /** Arbitrary charset re-encode (O5; response.py:158-169, `$encoding`). */
+  def encode(text: String, charset: String): Array[Byte] =
+    text.getBytes(Charset.forName(charset))
+
+  /** Minimal HTML table (O7; response.py:125-128). */
+  def toHtmlTable(df: DataFrame): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder("<table border=\"1\"><thead><tr>")
+    df.columns.foreach(c => sb.append("<th>").append(esc(c)).append("</th>"))
+    sb.append("</tr></thead><tbody>")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      sb.append("<tr>")
+      (0 until df.columns.length).foreach(i =>
+        sb.append("<td>").append(esc(cellString(row, i))).append("</td>"))
+      sb.append("</tr>")
+    }
+    sb.append("</tbody></table>").toString()
+  }
+
+  /** Row-templated XML (O8; response.py:130-133 semantics). */
+  def toXml(df: DataFrame, rootTag: String = "data", rowTag: String = "row"): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder(s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<$rootTag>")
+    val cols = df.columns
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      sb.append(s"<$rowTag>")
+      cols.indices.foreach { i =>
+        val tag = cols(i).replaceAll("[^A-Za-z0-9_]", "_")
+        if (row.isNullAt(i)) sb.append(s"<$tag/>")
+        else sb.append(s"<$tag>").append(esc(row.get(i).toString)).append(s"</$tag>")
+      }
+      sb.append(s"</$rowTag>")
+    }
+    sb.append(s"</$rootTag>").toString()
+  }
+
+  // ---- file writers (lake-side formats) ----
+
+  /** Single-file parquet (O11): coalesce(1) is correct here because served
+    * results are page-bounded; lake-scale exports should use `df.write`
+    * directly with natural parallelism instead.
+    */
+  def writeParquetSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** ORC (O12 — real writer, upgrading the reference's silent fallback). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Jsonify complex columns — the pre-step the pipeline forces for
+    * csv/excel formats (P5, df_base.py:317-327).
+    */
+  def jsonifyComplex(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+}

@@ -1,0 +1,240 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.config.{Configs, TableConfig}
+import graft.filters.FilterCompiler
+import graft.meta.Metadata
+import graft.output.{ArrowWriters, Writers}
+import graft.query.QueryPipeline
+import graft.query.QueryPipeline.{NearbyRequest, Request}
+import graft.sources.DataSources
+import graft.sql.SqlEndpoint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** The HTTP surface (reference endpoint/endpoint.py:115-158 route
+  * registration; core/route.py:16-142), on the JDK's built-in HttpServer —
+  * zero extra dependencies, good enough for a serving layer whose heavy
+  * lifting happens inside Spark.
+  *
+  * Routes:
+  *  - `GET|POST /api/v{version}/{tag}/{name}` — the config-table endpoint:
+  *    whitelisted filter params (GET query string or POST JSON body),
+  *    `$select`, `$distinct`, `limit`, `offset`, `format`, search param,
+  *    nearby param (POST dict or GET `lat,lon,distance_m`), combi params
+  *    (POST only, model.py:186-190)
+  *  - `GET .../metadata_detail` — schema/partition/string-length metadata
+  *  - `GET|POST /api/sql` + `GET /api/sql/tables` — guarded raw SQL
+  *  - `GET /metadata` — route listing (route.py:128-133)
+  *
+  * A request never blocks Spark's driver event loops: each exchange runs on
+  * the server executor and issues ordinary lazy DataFrame actions.
+  */
+final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  @volatile private var frames: Map[String, DataFrame] = Map.empty
+
+  private val csvFamily = Set("csv", "scsv", "tsv", "csv4excel", "xlsx")
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    frames = configs.tables.map(t => t.routeName -> DataSources.read(spark, t.datasource)).toMap
+    configs.tables.foreach { t =>
+      frames(t.routeName).createOrReplaceTempView(t.routeName)
+      val path = s"/api/v${t.version}/${t.tag}/${t.name}"
+      server.createContext(path, (ex: HttpExchange) => safely(ex)(handleTable(t, ex)))
+      server.createContext(s"$path/metadata_detail",
+        (ex: HttpExchange) => safely(ex)(handleMetadata(t, ex)))
+    }
+    server.createContext("/api/sql/tables", (ex: HttpExchange) => safely(ex) {
+      sendJson(ex, 200, mapper.writeValueAsString(configs.tables.map(_.routeName).sorted.asJava))
+    })
+    server.createContext("/api/sql", (ex: HttpExchange) => safely(ex)(handleSql(ex)))
+    server.createContext("/metadata", (ex: HttpExchange) => safely(ex) {
+      val routes = configs.tables.map(t => s"/api/v${t.version}/${t.tag}/${t.name}")
+      sendJson(ex, 200, mapper.writeValueAsString(routes.asJava))
+    })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- handlers ----
+
+  private def handleTable(t: TableConfig, ex: HttpExchange): Unit = {
+    val qs = parseQuery(ex)
+    val body = parseBody(ex)
+    val all: Map[String, Any] = qs ++ body
+    val format = str(all.get("format")).getOrElse("json").toLowerCase
+
+    val searchQ = t.search.flatMap(sc => str(all.get(sc.name)))
+    val nearbyReq = t.nearby.flatMap(nc => all.get(nc.name)).flatMap {
+      case m: Map[_, _] =>
+        val mm = m.map { case (k, v) => k.toString -> v }
+        for {
+          lat <- num(mm.get("lat")); lon <- num(mm.get("lon"))
+          d <- num(mm.get("distance_m"))
+        } yield NearbyRequest(lat, lon, d)
+      case s: String => s.split(",") match {
+        case Array(lat, lon, d) =>
+          try Some(NearbyRequest(lat.trim.toDouble, lon.trim.toDouble, d.trim.toDouble))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+      case _ => None
+    }
+
+    val controlKeys = Set("format", "limit", "offset", "$select", "$distinct",
+      "$jsonify_complex", "$encoding") ++
+      t.search.map(_.name).toSet ++ t.nearby.map(_.name).toSet
+    val params = all.view.filterKeys(k => !controlKeys.contains(k)).toMap
+
+    val req = Request(
+      params = params,
+      select = str(all.get("$select")).map(_.split(",").map(_.trim).toSeq),
+      distinct = str(all.get("$distinct")).exists(v => v == "true" || v == "1"),
+      limit = str(all.get("limit")).map(_.toInt),
+      offset = str(all.get("offset")).map(_.toInt),
+      searchQuery = searchQ,
+      nearby = nearbyReq,
+      jsonifyComplex =
+        str(all.get("$jsonify_complex")).exists(v => v == "true" || v == "1") ||
+          csvFamily.contains(format)) // auto-forced (endpoint.py:272-279)
+
+    val df = QueryPipeline.runOn(frames(t.routeName), t, req, configs.basic)
+    render(ex, df, format, str(all.get("$encoding")))
+  }
+
+  private def handleMetadata(t: TableConfig, ex: HttpExchange): Unit = {
+    val df = frames(t.routeName)
+    val visible = df.columns.filterNot(QueryPipeline.isHidden)
+    val schema = visible.map { c =>
+      Map("name" -> c, "type" -> Metadata.describeType(df.schema(c).dataType)).asJava
+    }
+    val lengths =
+      try Metadata.maxStringLengths(df.select(visible.map(df.col): _*))
+        .head().getValuesMap[Any](Nil).map { case (k, v) =>
+          k -> (if (v == null) null else v.toString) }
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
+    val out = Map(
+      "name" -> t.routeName,
+      "data_schema" -> schema.toList.asJava,
+      "max_string_lengths" -> lengths.asJava,
+      "parameters" -> t.params.map(_.name).asJava).asJava
+    sendJson(ex, 200, mapper.writeValueAsString(out))
+  }
+
+  private def handleSql(ex: HttpExchange): Unit = {
+    val sql = str(parseQuery(ex).get("query"))
+      .orElse(Some(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+      .map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new FilterCompiler.BadRequestException("missing sql"))
+    val df = SqlEndpoint.query(spark, sql, frames.keySet)
+    val format = str(parseQuery(ex).get("format")).getOrElse("json")
+    render(ex, df, format, None)
+  }
+
+  // ---- rendering (SURVEY.md §2.2 format negotiation) ----
+
+  private def render(ex: HttpExchange, df: DataFrame, format: String,
+      encoding: Option[String]): Unit = {
+    def reencode(s: String): Array[Byte] =
+      encoding.map(Writers.encode(s, _)).getOrElse(s.getBytes(StandardCharsets.UTF_8))
+    format match {
+      case "json" => send(ex, 200, "application/json", reencode(Writers.toJsonArray(df)))
+      case "ndjson" => send(ex, 200, "application/x-ndjson", reencode(Writers.toNdjson(df)))
+      case "csv" => send(ex, 200, "text/csv", reencode(Writers.toCsv(df, ',')))
+      case "scsv" => send(ex, 200, "text/csv", reencode(Writers.toCsv(df, ';')))
+      case "tsv" => send(ex, 200, "text/tab-separated-values", reencode(Writers.toCsv(df, '\t')))
+      case "csv4excel" => send(ex, 200, "text/csv", Writers.toCsv4Excel(df))
+      case "html" => send(ex, 200, "text/html", reencode(Writers.toHtmlTable(df)))
+      case "xml" => send(ex, 200, "application/xml", reencode(Writers.toXml(df)))
+      case "arrow" | "feather" | "ipc" =>
+        send(ex, 200, "application/vnd.apache.arrow.file",
+          ArrowWriters.toArrowBytes(Writers.jsonifyComplex(df), stream = false))
+      case "arrow-stream" =>
+        send(ex, 200, "application/vnd.apache.arrow.stream",
+          ArrowWriters.toArrowBytes(Writers.jsonifyComplex(df), stream = true))
+      case "parquet" | "orc" =>
+        val dir = java.nio.file.Files.createTempDirectory("serve").toString + "/out"
+        if (format == "parquet") Writers.writeParquetSingle(df, dir) else Writers.writeOrc(df, dir)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        send(ex, 200, "application/octet-stream", java.nio.file.Files.readAllBytes(part))
+      case other =>
+        throw new FilterCompiler.BadRequestException(s"unsupported format: $other")
+    }
+  }
+
+  // ---- plumbing ----
+
+  private def safely(ex: HttpExchange)(body: => Unit): Unit =
+    try body catch {
+      case e @ (_: FilterCompiler.BadRequestException |
+                _: SqlEndpoint.ForbiddenSqlException |
+                _: NumberFormatException | _: IllegalArgumentException) =>
+        sendJson(ex, 400, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
+      case NonFatal(e) =>
+        sendJson(ex, 500, s"""{"detail":${mapper.writeValueAsString(String.valueOf(e))}}""")
+    } finally ex.close()
+
+  /** query-string → map; repeated keys accumulate into a Seq (the GET
+    * convention for list-valued operators like `_in`).
+    */
+  private def parseQuery(ex: HttpExchange): Map[String, Any] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val pairs = raw.split("&").filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) URLDecoder.decode(kv, "UTF-8") -> ""
+      else URLDecoder.decode(kv.take(i), "UTF-8") -> URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+    }
+    pairs.groupBy(_._1).map { case (k, vs) =>
+      k -> (if (vs.size == 1) vs.head._2 else vs.map(_._2))
+    }
+  }
+
+  /** POST JSON body → params map (supports combi list-of-dicts, nearby
+    * dicts, typed scalars — model.py:186-228).
+    */
+  private def parseBody(ex: HttpExchange): Map[String, Any] = {
+    if (ex.getRequestMethod != "POST") return Map.empty
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) return Map.empty
+    mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
+      .asScala.map { case (k, v) => k -> fromJava(v) }.toMap
+  }
+
+  private def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> fromJava(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(fromJava).toSeq
+    case other => other
+  }
+
+  private def str(v: Option[Any]): Option[String] = v.collect {
+    case s: String => s
+    case n: Number => n.toString
+  }
+  private def num(v: Option[Any]): Option[Double] = v.collect {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
+  }
+
+  private def sendJson(ex: HttpExchange, code: Int, body: String): Unit =
+    send(ex, code, "application/json", body.getBytes(StandardCharsets.UTF_8))
+
+  private def send(ex: HttpExchange, code: Int, contentType: String, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.server
+
+import graft.config.ConfigLoader
+import org.apache.spark.sql.SparkSession
+
+/** Standalone server entry point (reference standalone/__init__.py:6-18):
+  * `runMain graft.server.ServeMain <config.yml> [port]`.
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption.getOrElse(
+      sys.error("usage: ServeMain <config.yml> [port]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(
+      sys.env.getOrElse("GRAFT_PORT", "8080").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val configs = ConfigLoader.loadYaml(configPath)
+    val server = new LakeApiServer(spark, configs, port)
+    val bound = server.start()
+    println(s"graft serving ${configs.tables.size} tables on http://127.0.0.1:$bound")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.config.DatasourceConfig
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.file.{Files, Path, Paths}
+
+/** Schema cache (reference core/schema_cache.py:6-32): the resolved schema
+  * is persisted keyed by a SHA-1 of the datasource config with a TTL
+  * (default 300 s, core/config.py:80), so route startup does not re-probe
+  * every source. Spark analog: `StructType` JSON on disk.
+  */
+final class SchemaCache(dir: Path, ttlMillis: Long = 300000L) {
+
+  def this(dir: String) = this(Paths.get(dir))
+
+  Files.createDirectories(dir)
+
+  def key(ds: DatasourceConfig): String = {
+    val canonical = Seq(ds.uri, ds.fileType,
+      ds.select.map(s => s"${s.name}->${s.outputName}").mkString(","),
+      ds.exclude.mkString(","), ds.tableName.getOrElse("")).mkString("|")
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canonical.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def file(ds: DatasourceConfig): Path = dir.resolve(key(ds) + ".json")
+
+  def get(ds: DatasourceConfig): Option[StructType] = {
+    val f = file(ds)
+    if (!Files.exists(f)) return None
+    val age = System.currentTimeMillis() - Files.getLastModifiedTime(f).toMillis
+    if (age > ttlMillis) return None
+    try Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
+    catch { case _: Exception => None }
+  }
+
+  def put(ds: DatasourceConfig, schema: StructType): Unit =
+    Files.writeString(file(ds), schema.json)
+
+  def getOrProbe(ds: DatasourceConfig)(probe: => StructType): StructType =
+    get(ds).getOrElse {
+      val s = probe
+      put(ds, s)
+      s
+    }
+}

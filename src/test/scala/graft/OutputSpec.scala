@@ -1,0 +1,76 @@
+package graft
+
+import graft.output.{ArrowWriters, Writers}
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowStreamReader}
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayInputStream
+import java.nio.channels.Channels
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+
+class OutputSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq((1L, "a,b", 1.5), (2L, "x\"y", 2.5), (3L, null, 3.5))
+    .toDF("id", "s", "v")
+
+  test("json array and ndjson round the same records") {
+    val json = Writers.toJsonArray(df)
+    assert(json.startsWith("[{") && json.endsWith("}]"))
+    assert(json.contains("\"id\":1") && json.contains("\"v\":3.5"))
+    val nd = Writers.toNdjson(df)
+    assert(nd.split("\n").length == 3)
+  }
+  test("csv quotes separators and doubled quotes; null becomes empty (test_app.py:136-178)") {
+    val csv = Writers.toCsv(df, ',')
+    val lines = csv.split("\r\n")
+    assert(lines(0) == "id,s,v")
+    assert(lines(1) == "1,\"a,b\",1.5")
+    assert(lines(2) == "2,\"x\"\"y\",2.5")
+    assert(lines(3) == "3,,3.5")
+    // tab + semicolon variants: separator changes, quoting follows it
+    assert(Writers.toCsv(df, '\t').split("\r\n")(0) == "id\ts\tv")
+    assert(Writers.toCsv(df, ';').split("\r\n")(1) == "1;a,b;1.5")
+  }
+  test("csv4excel: sep= prefix, UTF-16-LE bytes (test_output_formats.py:14-28)") {
+    val bytes = Writers.toCsv4Excel(df)
+    val text = new String(bytes, "UTF-16LE")
+    assert(text.startsWith("sep=,\n"))
+  }
+  test("charset re-encode (test_output_formats.py:32-59)") {
+    val cp850 = Writers.encode("héllo", "cp850")
+    assert(new String(cp850, "cp850") == "héllo")
+    assert(!java.util.Arrays.equals(cp850, "héllo".getBytes("UTF-8")))
+  }
+  test("html and xml escape content") {
+    val d = Seq((1L, "<b>&x")).toDF("id", "s")
+    assert(Writers.toHtmlTable(d).contains("&lt;b&gt;&amp;x"))
+    assert(Writers.toXml(d).contains("<s>&lt;b&gt;&amp;x</s>"))
+  }
+  test("arrow file + stream IPC round-trip (O9/O10, response.py:135-149)") {
+    val bytes = ArrowWriters.toArrowBytes(df, stream = false, chunkSize = 2)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    var rows = 0
+    while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+    assert(rows == 3)
+    reader.close()
+
+    val sbytes = ArrowWriters.toArrowBytes(df, stream = true, chunkSize = 10)
+    val sreader = new ArrowStreamReader(
+      Channels.newChannel(new ByteArrayInputStream(sbytes)), alloc)
+    assert(sreader.loadNextBatch())
+    val root = sreader.getVectorSchemaRoot
+    assert(root.getRowCount == 3)
+    assert(root.getVector("id").getObject(0) == 1L)
+    assert(root.getVector("s").isNull(2))
+    sreader.close(); alloc.close()
+  }
+  test("jsonify turns complex columns into JSON strings (P5)") {
+    val d = spark.sql("SELECT 1 AS id, named_struct('a', 1) AS st, array(1,2) AS ar")
+    val out = Writers.jsonifyComplex(d)
+    assert(out.schema("st").dataType == org.apache.spark.sql.types.StringType)
+    val row = out.head()
+    assert(row.getString(1) == """{"a":1}""" && row.getString(2) == "[1,2]")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.config._
+import graft.server.LakeApiServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** e2e through the HTTP surface — the reference's own test style
+  * (tests/test_app.py golden rows via TestClient).
+  */
+class ServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private lazy val (port, srv) = {
+    val dir = Files.createTempDirectory("srv").toString + "/fruits"
+    Seq((1L, "banana", 5L, "beetle"), (2L, "banana", 4L, "audi"),
+      (3L, "apple", 3L, "beetle"), (9L, "ananas", 9L, "fiat"))
+      .toDF("A", "fruits", "B", "cars").write.parquet(dir)
+    val cfg = Configs(Seq(TableConfig(
+      name = "fruits", tag = "test",
+      datasource = DatasourceConfig(uri = dir, sortby = Seq(SortBy("A"))),
+      params = Seq(Param("cars", operators = Seq("=", "in")),
+        Param("B", operators = Seq("=", "<", ">", "between")),
+        Param("pk", combi = Some(Seq("cars", "fruits")))),
+      search = Some(SearchConfig("search", Seq("fruits", "cars"))),
+      allowGetAllPages = true)))
+    val s = new LakeApiServer(spark, cfg)
+    (s.start(), s)
+  }
+  private def base = s"http://127.0.0.1:$port"
+
+  test("golden row: ?cars=audi — test_app.py:107-121") {
+    val r = get(s"$base/api/v1/test/fruits?cars=audi")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"A":2,"fruits":"banana","B":4,"cars":"audi"}]""")
+  }
+  test("operators through the query string: B_lt, cars_in, between") {
+    assert(get(s"$base/api/v1/test/fruits?B_lt=4&format=json").body()
+      .contains("\"A\":3"))
+    val in = get(s"$base/api/v1/test/fruits?cars_in=audi,fiat")
+    assert(in.body().contains("audi") && in.body().contains("fiat"))
+    val bw = get(s"$base/api/v1/test/fruits?B_between=3&B_between=5")
+    assert(bw.statusCode() == 200 && bw.body().contains("\"A\":1"))
+  }
+  test("between with wrong arity is HTTP 400 (test_filters.py:166-203)") {
+    val r = get(s"$base/api/v1/test/fruits?B_between=3")
+    assert(r.statusCode() == 400 && r.body().contains("between"))
+  }
+  test("limit/offset/$select/$distinct controls") {
+    assert(get(s"$base/api/v1/test/fruits?limit=2").body().count(_ == '{') == 2)
+    val sel = get(s"$base/api/v1/test/fruits?$$select=A,cars&limit=1")
+    assert(sel.body() == """[{"A":1,"cars":"beetle"}]""")
+    val dis = get(s"$base/api/v1/test/fruits?$$select=fruits&$$distinct=true&limit=-1")
+    assert(dis.body().count(_ == '{') == 3)
+  }
+  test("POST combi param — test_app.py:303-318") {
+    val r = post(s"$base/api/v1/test/fruits",
+      """{"pk": [{"cars": "audi"}, {"cars": "fiat", "fruits": "ananas"}]}""")
+    assert(r.body().count(_ == '{') == 2)
+    assert(r.body().contains("audi") && r.body().contains("fiat"))
+  }
+  test("search scores and orders (endpoint_search.py)") {
+    val r = get(s"$base/api/v1/test/fruits?search=banana%20audi&limit=-1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("search_score"))
+    assert(r.body().indexOf("audi") < r.body().indexOf("beetle")) // top score first
+  }
+  test("format negotiation: csv, ndjson, html, arrow-stream") {
+    val csv = get(s"$base/api/v1/test/fruits?cars=audi&format=csv")
+    assert(csv.headers().firstValue("Content-Type").get.startsWith("text/csv"))
+    assert(csv.body().startsWith("A,fruits,B,cars"))
+    val nd = get(s"$base/api/v1/test/fruits?limit=2&format=ndjson")
+    assert(nd.body().trim.split("\n").length == 2)
+    assert(get(s"$base/api/v1/test/fruits?limit=1&format=html").body().startsWith("<table"))
+    val arrow = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/api/v1/test/fruits?limit=3&format=arrow-stream"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(arrow.statusCode() == 200 && arrow.body().length > 0)
+    assert(get(s"$base/api/v1/test/fruits?limit=1&format=nope").statusCode() == 400)
+  }
+  test("metadata detail + route listing + sql endpoint") {
+    val md = get(s"$base/api/v1/test/fruits/metadata_detail")
+    assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
+    assert(get(s"$base/metadata").body().contains("/api/v1/test/fruits"))
+    assert(get(s"$base/api/sql/tables").body().contains("test_fruits"))
+    val sql = post(s"$base/api/sql", "SELECT count(*) AS n FROM test_fruits")
+    assert(sql.body() == """[{"n":4}]""")
+    assert(post(s"$base/api/sql", "DROP TABLE test_fruits").statusCode() == 400)
+    assert(post(s"$base/api/sql", "SELECT * FROM secrets").statusCode() == 400)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.config.{DatasourceConfig, SelectColumn}
+import graft.sources.{DataSources, SchemaCache}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Scan registry (SURVEY.md §2.1) + schema cache (§1.3). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("src").toString
+
+  test("parquet scan with baked select/alias/exclude (S2 + P1/P3)") {
+    val dir = tmp() + "/t"
+    Seq((1L, "a", 9.0), (2L, "b", 8.0)).toDF("id", "name", "score")
+      .write.parquet(dir)
+    val ds = DatasourceConfig(uri = dir,
+      select = Seq(SelectColumn("id", Some("key")), SelectColumn("name", None)),
+      exclude = Nil)
+    val df = DataSources.read(spark, ds)
+    assert(df.columns.toSeq == Seq("key", "name"))
+    assert(df.count() == 2)
+  }
+  test("csv scan with header + inferred schema (S3)") {
+    val dir = tmp() + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.option("header", "true").csv(dir)
+    val df = DataSources.read(spark, DatasourceConfig(uri = dir, fileType = "csv"))
+    assert(df.schema("id").dataType == IntegerType ||
+      df.schema("id").dataType == LongType)
+    assert(df.count() == 2)
+  }
+  test("json array-of-records scan (S4, read_json_auto format=array)") {
+    val d = tmp()
+    Files.writeString(java.nio.file.Paths.get(d, "data.json"),
+      """[{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]""")
+    val df = DataSources.read(spark, DatasourceConfig(uri = s"$d/data.json", fileType = "json"))
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("id", "v"))
+  }
+  test("ndjson scan (S5)") {
+    val d = tmp()
+    Files.writeString(java.nio.file.Paths.get(d, "data.ndjson"),
+      "{\"id\": 1}\n{\"id\": 2}\n{\"id\": 3}\n")
+    val df = DataSources.read(spark, DatasourceConfig(uri = s"$d/data.ndjson", fileType = "ndjson"))
+    assert(df.count() == 3)
+  }
+  test("schema cache: hit within TTL, keyed by config, expiring (schema_cache.py:6-32)") {
+    val cache = new SchemaCache(Files.createTempDirectory("sc"), ttlMillis = 60000)
+    val ds = DatasourceConfig(uri = "/some/uri")
+    val schema = StructType(Seq(StructField("a", LongType)))
+    var probes = 0
+    def probe: StructType = { probes += 1; schema }
+    assert(cache.getOrProbe(ds)(probe) == schema)
+    assert(cache.getOrProbe(ds)(probe) == schema)
+    assert(probes == 1) // second call served from cache
+    assert(cache.get(ds.copy(uri = "/other")).isEmpty) // different key
+    val expiring = new SchemaCache(Files.createTempDirectory("sc2"), ttlMillis = -1)
+    expiring.put(ds, schema)
+    assert(expiring.get(ds).isEmpty) // instantly stale
+  }
+}
+
+/** Plan-quality assertions: the declarative pipeline must produce scans with
+  * pushed filters — the property that replaces the reference's hand-rolled
+  * scan-condition layer (datasource.py:437-465) at 100 TB.
+  */
+class PlanQualitySpec extends SparkSpec {
+  import graft.config._
+  import graft.query.QueryPipeline
+  import graft.query.QueryPipeline.Request
+
+  test("filter params reach the parquet scan as PushedFilters") {
+    val dir = Files.createTempDirectory("plan").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val t = TableConfig("t", "test", datasource = DatasourceConfig(dir),
+      params = Seq(Param("v")), allowGetAllPages = true)
+    val df = QueryPipeline.run(spark, t, Request(params = Map("v" -> "a"), limit = Some(-1)))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(v), EqualTo(v,a)]"),
+      s"expected pushdown in plan:\n$physical")
+  }
+  test("projection prunes the read schema to selected columns") {
+    val dir = Files.createTempDirectory("plan2").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a", 1.0, "x")).toDF("id", "v", "w", "z").write.parquet(dir)
+    val t = TableConfig("t", "test", datasource = DatasourceConfig(dir), allowGetAllPages = true)
+    val df = QueryPipeline.run(spark, t,
+      Request(select = Some(Seq("id", "v")), limit = Some(-1)))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("ReadSchema: struct<id:bigint,v:string>"),
+      s"expected pruned ReadSchema in plan:\n$physical")
+  }
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan3").toString + "/t"
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, 3.0)).toDF("k", "p").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .orderBy(org.apache.spark.sql.functions.col("p").desc).limit(5)
+    assert(df.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+  }
+}

@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+  test("explode-based sketches equal the Column-level simhash32 definition") {
+    val arr = docs.select($"doc_id", T.simhash32($"text").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expl = Dedup.simhashSketches(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arr == expl)
+  }
+  test("explode-based fingerprints equal the Column-level definitions") {
+    val a = docs.select($"doc_id", T.fingerprint($"text").as("fp"),
+        T.robustFingerprint($"text", 3, 4).as("robust_fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = Dedup.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b)
+  }
   test("simhash pairs: exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
