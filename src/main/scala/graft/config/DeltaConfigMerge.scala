@@ -1,0 +1,56 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Config-from-delta (reference core/config.py:227-254): a Delta table can
+  * carry its own serving config as JSON under the table property
+  * `lakeapi.config`; it is merged at startup, with explicitly-declared YAML
+  * fields taking precedence over the embedded ones.
+  */
+object DeltaConfigMerge {
+
+  private val mapper = new ObjectMapper()
+
+  def apply(spark: SparkSession, configs: Configs): Configs =
+    configs.copy(tables = configs.tables.map(t => merge(spark, t)))
+
+  def merge(spark: SparkSession, t: TableConfig): TableConfig = {
+    if (!t.datasource.fileType.equalsIgnoreCase("delta") ||
+        !DeltaLogReader.isDeltaTable(t.datasource.uri)) return t
+    DeltaLogReader.embeddedConfig(spark, t.datasource.uri) match {
+      case None => t
+      case Some(json) =>
+        val n = mapper.readTree(json)
+        t.copy(
+          params = if (t.params.nonEmpty) t.params else parseParams(n.get("params")),
+          search = t.search.orElse(parseSearch(n.get("search"))),
+          nearby = t.nearby.orElse(parseNearby(n.get("nearby"))))
+    }
+  }
+
+  private def parseParams(n: JsonNode): Seq[Param] =
+    if (n == null || !n.isArray) Nil
+    else n.elements().asScala.map { p =>
+      if (p.isTextual) Param(p.asText())
+      else Param(
+        name = p.get("name").asText(),
+        operators = Option(p.get("operators"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("=")),
+        colname = Option(p.get("colname")).filterNot(_.isNull).map(_.asText()),
+        combi = Option(p.get("combi")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq))
+    }.toSeq
+
+  private def parseSearch(n: JsonNode): Option[SearchConfig] =
+    Option(n).filterNot(_.isNull).map(s => SearchConfig(
+      Option(s.get("name")).map(_.asText()).getOrElse("search"),
+      s.get("columns").elements().asScala.map(_.asText()).toSeq))
+
+  private def parseNearby(n: JsonNode): Option[NearbyConfig] =
+    Option(n).filterNot(_.isNull).map(g => NearbyConfig(
+      Option(g.get("name")).map(_.asText()).getOrElse("nearby"),
+      g.get("lat_col").asText(), g.get("lon_col").asText()))
+}

@@ -121,10 +121,13 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0) 
       Map("name" -> c, "type" -> Metadata.describeType(df.schema(c).dataType)).asJava
     }
     val lengths =
-      try Metadata.maxStringLengths(df.select(visible.map(df.col): _*))
-        .head().getValuesMap[Any](Nil).map { case (k, v) =>
-          k -> (if (v == null) null else v.toString) }
-      catch { case _: IllegalArgumentException => Map.empty[String, String] }
+      try {
+        val mdf = Metadata.maxStringLengths(df.select(visible.map(df.col): _*))
+        val row = mdf.head()
+        mdf.columns.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) null else row.get(i).toString)
+        }.toMap
+      } catch { case _: IllegalArgumentException => Map.empty[String, String] }
     val out = Map(
       "name" -> t.routeName,
       "data_schema" -> schema.toList.asJava,

@@ -14,16 +14,19 @@ import org.apache.spark.sql.functions.col
   * processing, exactly like the reference applies them at datasource level.
   *
   * Environment note: delta-spark jars are not present in this build
-  * environment, so `file_type: delta` currently routes to the parquet reader
-  * (correct for non-partitioned, no-deletion-vector tables whose data files
-  * are plain parquet is NOT guaranteed — a native _delta_log reader is
-  * planned); jdbc sources compile but need a driver on the classpath.
+  * environment, so `file_type: delta` uses [[DeltaLogReader]], a native
+  * _delta_log replay (JSON commits + checkpoint, partition values, column
+  * mapping); a bare parquet directory without a log falls back to the
+  * parquet reader. jdbc sources compile but need a driver on the classpath.
   */
 object DataSources {
 
   def read(spark: SparkSession, ds: DatasourceConfig): DataFrame = {
     val reader = spark.read.options(ds.options)
     val df = ds.fileType.toLowerCase match {
+      case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
+        DeltaLogReader.read(spark, ds.uri,
+          ds.options.get("versionAsOf").map(_.toLong))
       case "parquet" | "delta" => reader.parquet(ds.uri)
       case "csv" =>
         reader

@@ -1,0 +1,197 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Minimal native Delta Lake reader (SURVEY.md §2.1 S1) — delta-spark jars
+  * are not available in this environment, so the transaction log is replayed
+  * directly, following the public Delta protocol
+  * (github.com/delta-io/delta/blob/master/PROTOCOL.md):
+  *
+  *  - `_delta_log/{version}.json` commits with `add` / `remove` /
+  *    `metaData` / `protocol` actions
+  *  - `_last_checkpoint` + `{version}.checkpoint.parquet` (read with Spark's
+  *    own parquet reader) as the replay starting point
+  *  - partition values re-attached from `add.partitionValues` (works for
+  *    any physical layout, hive-style or not)
+  *  - column mapping `name` mode: physical parquet names from
+  *    `delta.columnMapping.physicalName` field metadata, renamed back to
+  *    logical names after the scan (README.md:66 — the reference supports
+  *    exactly this mode)
+  *  - table `configuration` surfaced for config-from-delta
+  *    (`lakeapi.config`, reference config.py:227-254)
+  *  - protocol gate: deletion vectors and unknown reader features are
+  *    rejected rather than silently misread
+  */
+object DeltaLogReader {
+
+  final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      files: Seq[AddFile]) {
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+    def dataSchema: StructType =
+      StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+  }
+
+  private val mapper = new ObjectMapper()
+
+  def isDeltaTable(uri: String): Boolean =
+    Files.isDirectory(Paths.get(uri, "_delta_log"))
+
+  /** Replay the log into a snapshot (optionally up to `versionAsOf`). */
+  def snapshot(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Snapshot = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
+
+    val commitFiles = Files.list(logDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .filter(p => versionAsOf.forall(v => versionOf(p) <= v))
+    require(commitFiles.nonEmpty || lastCheckpoint(logDir).isDefined,
+      s"empty delta log: $tablePath")
+
+    var schema: StructType = null
+    var partitionCols: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+
+    // start from the newest usable checkpoint, if any
+    val cp = lastCheckpoint(logDir).filter(v => versionAsOf.forall(v <= _))
+    cp.foreach { cpVersion =>
+      val cpPath = logDir.resolve(f"$cpVersion%020d.checkpoint.parquet")
+      val rows = spark.read.parquet(cpPath.toString)
+        .select("add", "remove", "metaData", "protocol").collect()
+      rows.foreach { r =>
+        Option(r.getStruct(2)).foreach { md => // metaData
+          val mdJson = mapper.readTree(r.json).get("metaData")
+          schema = DataType.fromJson(mdJson.get("schemaString").asText).asInstanceOf[StructType]
+          partitionCols = mdJson.get("partitionColumns").elements().asScala.map(_.asText).toSeq
+          configuration = jsonMap(mdJson.get("configuration"))
+        }
+        Option(r.getStruct(3)).foreach(_ => ()) // protocol checked via commits
+        Option(r.getStruct(0)).foreach { _ =>
+          val addJson = mapper.readTree(r.json).get("add")
+          val a = parseAdd(addJson)
+          adds(a.path) = a
+        }
+        Option(r.getStruct(1)).foreach { _ =>
+          val rm = mapper.readTree(r.json).get("remove")
+          adds.remove(rm.get("path").asText)
+        }
+      }
+    }
+
+    val replayFrom = cp.getOrElse(-1L)
+    commitFiles.filter(p => versionOf(p) > replayFrom).foreach { p =>
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        if (action.has("protocol")) checkProtocol(action.get("protocol"))
+        if (action.has("metaData")) {
+          val md = action.get("metaData")
+          schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+          partitionCols = md.get("partitionColumns").elements().asScala.map(_.asText).toSeq
+          configuration = jsonMap(md.get("configuration"))
+        }
+        if (action.has("add")) {
+          val a = parseAdd(action.get("add"))
+          adds(a.path) = a
+        }
+        if (action.has("remove"))
+          adds.remove(action.get("remove").get("path").asText)
+      }
+    }
+    require(schema != null, s"no metaData action found in $tablePath")
+    val version = commitFiles.lastOption.map(versionOf).orElse(cp).getOrElse(0L)
+    Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq)
+  }
+
+  private def parseAdd(a: JsonNode): AddFile = {
+    require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+      "deletion vectors are not supported by this reader")
+    AddFile(
+      java.net.URLDecoder.decode(a.get("path").asText, "UTF-8"),
+      jsonMap(a.get("partitionValues")))
+  }
+
+  private def checkProtocol(p: JsonNode): Unit = {
+    val supported = Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
+      "v2Checkpoint", "appendOnly", "invariants")
+    val minReader = p.get("minReaderVersion").asInt(1)
+    if (minReader >= 3 && p.has("readerFeatures")) {
+      val feats = p.get("readerFeatures").elements().asScala.map(_.asText).toSet
+      val unknown = feats -- supported
+      require(unknown.isEmpty, s"unsupported delta reader features: $unknown")
+    }
+  }
+
+  private def jsonMap(n: JsonNode): Map[String, String] =
+    if (n == null || n.isNull) Map.empty
+    else n.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+
+  private def versionOf(p: Path): Long =
+    p.getFileName.toString.takeWhile(_.isDigit).toLong
+
+  private def lastCheckpoint(logDir: Path): Option[Long] = {
+    val f = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(f)) None
+    else Some(mapper.readTree(Files.readString(f)).get("version").asLong())
+  }
+
+  /** physical parquet field name under column mapping `name` mode. */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Materialize the snapshot as a DataFrame. Partition values are attached
+    * per file group as typed literal columns — layout-independent and
+    * partition-pruning-friendly (the literals fold into comparisons).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    val mapped = snap.columnMappingMode == "name"
+    val dataFields = snap.dataSchema.fields
+    val physicalSchema = StructType(dataFields.map(f => f.copy(name = physicalName(f))))
+
+    def readFiles(paths: Seq[String]): DataFrame = {
+      val df = spark.read.schema(physicalSchema).parquet(paths: _*)
+      if (!mapped) df
+      else df.select(dataFields.map(f => col(s"`${physicalName(f)}`").as(f.name)): _*)
+    }
+
+    if (snap.partitionColumns.isEmpty) {
+      readFiles(snap.files.map(f => s"$tablePath/${f.path}"))
+    } else {
+      val partFields = snap.partitionColumns.map(c => snap.schema(c))
+      val groups = snap.files.groupBy(_.partitionValues)
+      groups.map { case (pv, files) =>
+        val base = readFiles(files.map(f => s"$tablePath/${f.path}"))
+        partFields.foldLeft(base) { (acc, f) =>
+          val raw = pv.getOrElse(f.name, null)
+          acc.withColumn(f.name,
+            (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
+        }
+      }.reduce(_ unionByName _)
+        .select(snap.schema.fields.map(f => col(s"`${f.name}`")): _*)
+    }
+  }
+
+  /** Embedded table config JSON, if present (config-from-delta,
+    * reference config.py:227-254: key `lakeapi.config`).
+    */
+  def embeddedConfig(spark: SparkSession, tablePath: String): Option[String] =
+    snapshot(spark, tablePath).configuration.get("lakeapi.config")
+}

@@ -1,0 +1,152 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.config.DatasourceConfig
+import graft.sources.{DataSources, DeltaLogReader}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Native _delta_log replay. Logs are authored by hand per the public Delta
+  * protocol (PROTOCOL.md) — which doubles as a spec of what the reader
+  * understands.
+  */
+class DeltaLogReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def writeCommit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"$version%020d.json"), lines.mkString("\n"))
+  }
+  private def schemaJson(fields: (String, String)*): String = {
+    val fs = fields.map { case (n, t) =>
+      s"""{"name":"$n","type":"$t","nullable":true,"metadata":{}}"""
+    }.mkString(",")
+    s"""{"type":"struct","fields":[$fs]}"""
+  }
+  private def metaAction(schema: String, partitionCols: Seq[String] = Nil,
+      config: Map[String, String] = Map.empty): String = {
+    val md = mapper.createObjectNode()
+    md.put("id", "m1")
+    val fmt = md.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", schema)
+    val pc = md.putArray("partitionColumns"); partitionCols.foreach(pc.add)
+    val cfg = md.putObject("configuration"); config.foreach { case (k, v) => cfg.put(k, v) }
+    md.put("createdTime", 0L)
+    val root = mapper.createObjectNode(); root.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+    mapper.writeValueAsString(root)
+  }
+  private val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  /** Move the single part-file of a one-file parquet dir to `table/name`. */
+  private def relocate(table: String, subdir: String, name: String): Unit = {
+    val dir = Paths.get(table, subdir)
+    val part = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, Paths.get(table, name))
+  }
+
+  test("replay: adds, then a remove supersedes (compaction); time travel") {
+    val t = Files.createTempDirectory("dlt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("id" -> "long", "v" -> "string")),
+      """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    writeCommit(t, 1, Seq(
+      """{"add":{"path":"part-2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"remove":{"path":"part-1.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+
+    val df = DeltaLogReader.read(spark, t)
+    assert(df.select("id").as[Long].collect().toSeq == Seq(3L))
+    val v0 = DeltaLogReader.read(spark, t, versionAsOf = Some(0L))
+    assert(v0.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("partition values re-attached as typed columns, any layout") {
+    val t = Files.createTempDirectory("dlt2").toString
+    Seq(("x", 1.5)).toDF("name", "score").coalesce(1)
+      .write.parquet(s"$t/d1"); relocate(t, "d1", "data-a.parquet")
+    Seq(("y", 2.5)).toDF("name", "score").coalesce(1)
+      .write.parquet(s"$t/d2"); relocate(t, "d2", "data-b.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("part" -> "integer", "name" -> "string", "score" -> "double"),
+        partitionCols = Seq("part")),
+      """{"add":{"path":"data-a.parquet","partitionValues":{"part":"7"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"data-b.parquet","partitionValues":{"part":"9"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DeltaLogReader.read(spark, t)
+    assert(df.columns.toSeq == Seq("part", "name", "score"))
+    assert(df.schema("part").dataType == org.apache.spark.sql.types.IntegerType)
+    val rows = df.select("part", "name").as[(Int, String)].collect().toSet
+    assert(rows == Set((7, "x"), (9, "y")))
+  }
+
+  test("column mapping name mode: physical names renamed to logical (test_colmap.py)") {
+    val t = Files.createTempDirectory("dlt3").toString
+    Seq((1L, "hi")).toDF("col-uuid-1", "col-uuid-2").coalesce(1)
+      .write.parquet(s"$t/d"); relocate(t, "d", "data.parquet")
+    def field(name: String, tpe: String, phys: String, id: Int) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{"delta.columnMapping.physicalName":"$phys","delta.columnMapping.id":$id}}"""
+    val schema = s"""{"type":"struct","fields":[${field("id", "long", "col-uuid-1", 1)},${field("Super Name_", "string", "col-uuid-2", 2)}]}"""
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schema, config = Map("delta.columnMapping.mode" -> "name")),
+      """{"add":{"path":"data.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DeltaLogReader.read(spark, t)
+    assert(df.columns.toSeq == Seq("id", "Super Name_"))
+    assert(df.select(col("`Super Name_`")).as[String].head() == "hi")
+  }
+
+  test("embedded lakeapi.config surfaces from table configuration (config.py:227-254)") {
+    val t = Files.createTempDirectory("dlt4").toString
+    Seq(1L).toDF("id").coalesce(1).write.parquet(s"$t/d"); relocate(t, "d", "d.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("id" -> "long"),
+        config = Map("lakeapi.config" -> """{"params": [{"name": "id"}]}""")),
+      """{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val cfg = DeltaLogReader.embeddedConfig(spark, t)
+    assert(cfg.contains("""{"params": [{"name": "id"}]}"""))
+  }
+
+  test("config-from-delta merges embedded params, YAML wins when declared") {
+    val t = Files.createTempDirectory("dlt7").toString
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(s"$t/d"); relocate(t, "d", "d.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("id" -> "long", "v" -> "string"),
+        config = Map("lakeapi.config" ->
+          """{"params": [{"name": "v", "operators": ["=", "contains"]}], "search": {"columns": ["v"]}}""")),
+      """{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val base = graft.config.TableConfig("d", "test",
+      datasource = graft.config.DatasourceConfig(uri = t, fileType = "delta"))
+    val merged = graft.config.DeltaConfigMerge.merge(spark, base)
+    assert(merged.params.map(_.name) == Seq("v"))
+    assert(merged.params.head.operators == Seq("=", "contains"))
+    assert(merged.search.get.columns == Seq("v"))
+    // explicit YAML params win over embedded ones
+    val explicit = base.copy(params = Seq(graft.config.Param("id")))
+    assert(graft.config.DeltaConfigMerge.merge(spark, explicit).params.map(_.name) == Seq("id"))
+  }
+
+  test("deletion vectors and unknown reader features are rejected") {
+    val t = Files.createTempDirectory("dlt5").toString
+    writeCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schemaJson("id" -> "long"))))
+    intercept[IllegalArgumentException] { DeltaLogReader.snapshot(spark, t) }
+  }
+
+  test("DataSources routes file_type delta through the log reader") {
+    val t = Files.createTempDirectory("dlt6").toString
+    Seq((5L, "z")).toDF("id", "v").coalesce(1).write.parquet(s"$t/d")
+    relocate(t, "d", "d.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("id" -> "long", "v" -> "string")),
+      """{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DataSources.read(spark, DatasourceConfig(uri = t, fileType = "delta"))
+    assert(df.select("id").as[Long].head() == 5L)
+  }
+}

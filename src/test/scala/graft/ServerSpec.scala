@@ -94,6 +94,7 @@ class ServerSpec extends SparkSpec {
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
+    assert(md.body().contains("\"len_fruits\":\"6\"")) // max string length measured
     assert(get(s"$base/metadata").body().contains("/api/v1/test/fruits"))
     assert(get(s"$base/api/sql/tables").body().contains("test_fruits"))
     val sql = post(s"$base/api/sql", "SELECT count(*) AS n FROM test_fruits")
