@@ -39,7 +39,12 @@ object Bench {
     // warmup: JVM + codegen + parquet footer caches
     execute("q_agg_tpch_q1")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
+    // optional subset for focused measurement: comma-separated names
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
+    val results = names.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

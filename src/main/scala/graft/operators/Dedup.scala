@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB shape:
@@ -31,18 +32,45 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signatures, computed shuffle-efficiently: explode
-    * shingles to rows, then one hash-aggregate with `numHashes` parallel
-    * `min(md5(seed || shingle))` columns. The mins combine map-side, so the
-    * shuffle carries at most numHashes 32-char values per document — and the
-    * flat expression shape avoids the codegen blowup that deeply nested
-    * higher-order-function signatures trigger (each nested `transform`
-    * re-inlines its input; measured 126 s vs <2 s on 500 docs).
+  /** One (id, shingle) row per word n-gram, duplicates allowed — the
+    * explode-side source every shingle consumer builds on.
+    *
+    * Why not `TextFunctions.shingles` (the array formulation)? Spark's
+    * higher-order functions are CodegenFallback — interpreted per row — and
+    * cost milliseconds per document at realistic text lengths. This shape is
+    * whole-stage-codegen'd end to end: `posexplode(split(...))`, then
+    * `lead(word, k)` over (id, pos) to assemble n-grams. The window shuffle
+    * hash-partitions by document id, and every downstream `groupBy(id)`
+    * reuses that partitioning — one shuffle for the whole sketch pipeline.
+    * Consumers that need set semantics dedup in their aggregate
+    * (min/collect_set are duplicate-insensitive), so no distinct shuffle.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "shingleRows needs n >= 2")
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
+    val grams = words
+      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("shingle"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+    // docs with fewer than n words contribute their whole normalized text
+    // (the same fallback as TextFunctions.shingles)
+    val fallback = docs
+      .filter(size(T.words(col(textCol))) < n)
+      .select(col(idCol).as("id"), T.normalizeWs(col(textCol)).as("shingle"))
+    grams.union(fallback)
+  }
+
+  /** Per-document MinHash signatures: one hash-aggregate over the shingle
+    * rows with `numHashes` parallel `min(md5(seed || shingle))` columns.
+    * The mins combine map-side, so the shuffle carries at most numHashes
+    * 32-char values per document.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(T.shingles(col(textCol), shingleSize)).as("shingle"))
+    val exploded = shingleRows(docs, idCol, textCol, shingleSize)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
     exploded.groupBy(col("id"))
@@ -76,7 +104,9 @@ object Dedup {
       shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleSize, numBands, rowsPerBand)
-    val sets = docs.select(col(idCol).as("sid"), T.shingles(col(textCol), shingleSize).as("sh"))
+    val sets = shingleRows(docs, idCol, textCol, shingleSize)
+      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
+      .withColumnRenamed("id", "sid")
     cands
       .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -119,12 +149,15 @@ object Dedup {
     * explode-side for the same CodegenFallback reason as the sketches.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, k: Int = 4): DataFrame =
-    docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"),
-        explode(T.shingles(col(textCol), shingleSize)).as("s"))
-      .groupBy(col(idCol), col("fp"))
+      shingleSize: Int = 3, k: Int = 4): DataFrame = {
+    val robust = shingleRows(docs, idCol, textCol, shingleSize)
+      .groupBy(col("id"))
       .agg(concat_ws("|",
-        slice(array_sort(collect_list(md5(col("s")))), 1, k)).as("robust_fp"))
+        slice(array_sort(collect_set(md5(col("shingle")))), 1, k)).as("robust_fp"))
+    docs.select(col(idCol).as("id"), T.fingerprint(col(textCol)).as("fp"))
+      .join(robust, "id")
+      .select(col("id").as(idCol), col("fp"), col("robust_fp"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4 uses
     * the 4-quarter pigeonhole banding: any pair within hamming 3 shares at

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Arrow/IPC/Feather file scan (SURVEY.md §2.1 S6; reference
+  * df_base.py:251-258). Spark has no built-in Arrow file source; the file is
+  * decoded with the Arrow Java libraries that ship with Spark and turned
+  * into a DataFrame on the driver — appropriate for the config-fixture-sized
+  * files this source type serves in the reference (large data belongs in
+  * parquet/delta).
+  */
+object ArrowSource {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sparkSchema = StructType(root.getSchema.getFields.asScala.map(sparkField).toSeq)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (reader.loadNextBatch()) {
+        val n = root.getRowCount
+        val vectors = root.getFieldVectors.asScala.toSeq
+        (0 until n).foreach { i =>
+          rows += Row.fromSeq(vectors.map(v => cell(v, i)))
+        }
+      }
+      spark.createDataFrame(rows.asJava, sparkSchema)
+    } finally {
+      reader.close(); allocator.close()
+    }
+  }
+
+  private def sparkField(f: org.apache.arrow.vector.types.pojo.Field): StructField = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    val dt: DataType = f.getType match {
+      case t: ArrowType.Int => t.getBitWidth match {
+        case 64 => LongType
+        case 32 => IntegerType
+        case 16 => ShortType
+        case _ => ByteType
+      }
+      case t: ArrowType.FloatingPoint =>
+        if (t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
+          DoubleType else FloatType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Date => DateType
+      case _: ArrowType.Timestamp => TimestampNTZType
+      case other => throw new IllegalArgumentException(s"arrow source: unsupported $other")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  private def cell(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) return null
+    v match {
+      case x: BigIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: TinyIntVector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: Float4Vector => x.get(i)
+      case x: VarCharVector => new String(x.get(i), "UTF-8")
+      case x: BitVector => x.get(i) == 1
+      case x: VarBinaryVector => x.get(i)
+      case x: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i)))
+      case x: TimeStampMicroVector =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(x.get(i), 1000000L),
+          (Math.floorMod(x.get(i), 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(s"arrow source: unsupported ${other.getClass}")
+    }
+  }
+}

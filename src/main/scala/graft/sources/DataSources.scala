@@ -36,6 +36,7 @@ object DataSources {
       case "json" => // array-of-records file (df_duckdb.py:411-417)
         reader.option("multiLine", "true").json(ds.uri)
       case "ndjson" => reader.json(ds.uri)
+      case "arrow" | "feather" | "ipc" => ArrowSource.read(spark, ds.uri)
       case "jdbc" => // S7-S9: duckdb/sqlite/odbc become JDBC reads
         reader.format("jdbc")
           .option("url", ds.uri)

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (TESTDATA.md: event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no stream processing (SURVEY.md §2.11 — its
+  * "arrow-stream" is a serialization format), so this module is part of the
+  * beyond-parity training-pipeline surface: the same engine that batch-dedups
+  * a corpus can ingest events continuously with watermarked state.
+  *
+  * All operators follow the scale rules: state is keyed and bounded by
+  * watermark, aggregations are partial-combined, nothing collects to the
+  * driver.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, started_at: java.sql.Timestamp,
+      ended_at: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Tumbling-window event counts with a watermark: late rows beyond
+    * `watermarkDelay` are dropped, state for closed windows is evicted —
+    * the canonical `readStream → withWatermark → window → agg` shape.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming twin of Dedup.exact: state size is bounded by
+    * (arrival rate × watermark), not by history.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives for `gapSeconds` (event time). Custom
+    * state machine — the operator Spark's built-in windows can't express
+    * (session_window exists, but per-group custom state shows the
+    * KeyValueGroupedDataset path the reference lacks entirely).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    final case class Buf(start: Long, end: Long, n: Int, total: Double)
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[(Long, Long, Int, Double)])
+        : Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val (s, e, n, tot) = state.get
+        state.remove()
+        return Iterator.single(Session(userId, new java.sql.Timestamp(s),
+          new java.sql.Timestamp(e), n, tot))
+      }
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { ev =>
+        val t = ev.ts.getTime
+        cur match {
+          case Some((s, e, n, tot)) if t - e <= gapMs =>
+            cur = Some((s, math.max(e, t), n + 1, tot + ev.value))
+          case Some((s, e, n, tot)) =>
+            closed ::= Session(userId, new java.sql.Timestamp(s),
+              new java.sql.Timestamp(e), n, tot)
+            cur = Some((t, t, 1, ev.value))
+          case None =>
+            cur = Some((t, t, 1, ev.value))
+        }
+      }
+      cur.foreach { c =>
+        state.update(c)
+        state.setTimeoutTimestamp(c._2 + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

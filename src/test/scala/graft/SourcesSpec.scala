@@ -44,6 +44,18 @@ class SourcesSpec extends SparkSpec {
     val df = DataSources.read(spark, DatasourceConfig(uri = s"$d/data.ndjson", fileType = "ndjson"))
     assert(df.count() == 3)
   }
+  test("arrow IPC file round-trip through writer then source (S6)") {
+    import graft.output.ArrowWriters
+    import graft.sources.ArrowSource
+    val df = Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], 2.5)).toDF("id", "s", "v")
+    val bytes = ArrowWriters.toArrowBytes(df, stream = false)
+    val path = tmp() + "/t.arrow"
+    Files.write(java.nio.file.Paths.get(path), bytes)
+    val back = DataSources.read(spark, DatasourceConfig(uri = path, fileType = "arrow"))
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
   test("schema cache: hit within TTL, keyed by config, expiring (schema_cache.py:6-32)") {
     val cache = new SchemaCache(Files.createTempDirectory("sc"), ttlMillis = 60000)
     val ds = DatasourceConfig(uri = "/some/uri")

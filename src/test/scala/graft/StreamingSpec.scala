@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  test("watermarked windowed counts drop late data, close windows") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1, ts(0, 10), 1, "click", 1.0),
+      Event(2, ts(0, 40), 1, "click", 2.0),
+      Event(3, ts(1, 10), 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 + 10:01 windows
+    input.addData(Event(4, ts(9, 0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // a straggler behind the watermark: silently dropped
+    input.addData(Event(5, ts(0, 50), 1, "click", 99.0))
+    q.processAllAvailable()
+    input.addData(Event(6, ts(20, 0), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains((ts(0), "click", 2L, 3.0))) // late event 5 NOT counted
+    assert(rows.contains((ts(1), "view", 1L, 3.0)))
+  }
+
+  test("streaming dedup within watermark (the streaming twin of Dedup.exact)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // duplicate id
+      Event(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("gap sessionization with custom state (flatMapGroupsWithState)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1, ts(0, 0), 7, "click", 1.0),
+      Event(2, ts(0, 30), 7, "click", 2.0), // same session (30s gap)
+      Event(3, ts(5, 0), 7, "click", 4.0)) // new session (gap > 60s)
+    q.processAllAvailable()
+    input.addData(Event(4, ts(30, 0), 8, "view", 1.0)) // pushes watermark, times out session 2
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(sessions.contains((7L, 2, 3.0))) // first session: 2 events, value 3
+    assert(sessions.contains((7L, 1, 4.0))) // second session closed by timeout
+  }
+}

@@ -1,0 +1,26 @@
+package graft.dev
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (test scope, not shipped). */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+    time("shingleRows")(Dedup.shingleRows(docs, "doc_id", "text", 3).count())
+    time("signatures")(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16).count())
+    time("candidates")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
+    time("minhashDedup")(Dedup.minhashDedup(docs, "doc_id", "text").count())
+    time("minhashDedup2")(Dedup.minhashDedup(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}
