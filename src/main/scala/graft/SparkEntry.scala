@@ -104,6 +104,35 @@ object SparkEntry {
         select = Some(Seq("doc_id", "lang")),
         limit = Some(-1)))
     }),
+    "q_filter_ne" -> ((s, dir) => {
+      val t = table(dir, "lineitem",
+        params = Seq(Param("l_linestatus", operators = Seq("<>"))),
+        sortby = Seq(SortBy("l_orderkey"), SortBy("l_linenumber")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("l_linestatus_ne" -> "F"),
+        select = Some(Seq("l_orderkey", "l_linenumber", "l_linestatus")),
+        limit = Some(-1)))
+    }),
+    "q_filter_null" -> ((s, dir) => {
+      // F11: the reference declares null/not-null but never implemented them
+      // (datasource.py:596-597) — here they work; nulls derived in-query
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("maybe", when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")))
+      val t = table(dir, "documents",
+        params = Seq(Param("maybe", operators = Seq("null", "not null"))),
+        sortby = Seq(SortBy("doc_id")))
+      QueryPipeline.runOn(docs, t, Request(
+        params = Map("maybe_null" -> ""),
+        select = Some(Seq("doc_id", "lang")),
+        limit = Some(-1)))
+    }),
+    "q_select_exclude" -> ((s, dir) => {
+      val t = TableConfig(name = "supplier", tag = "test",
+        datasource = DatasourceConfig(uri = s"$dir/supplier.parquet",
+          exclude = Seq("s_acctbal"), sortby = Seq(SortBy("s_suppkey"))),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(limit = Some(-1)))
+    }),
     "q_combi" -> ((s, dir) => {
       val t = table(dir, "customer",
         params = Seq(Param("pk", combi = Some(Seq("c_mktsegment", "c_nationkey")))),
@@ -352,6 +381,16 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(str_split(text, ' '), 'data')
         |ORDER BY doc_id""".stripMargin,
+    "q_filter_ne" ->
+      """SELECT l_orderkey, l_linenumber, l_linestatus FROM lineitem
+        |WHERE l_linestatus <> 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_null" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END) IS NULL
+        |ORDER BY doc_id""".stripMargin,
+    "q_select_exclude" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey""",
     "q_combi" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 5)

@@ -20,7 +20,9 @@ object Ann {
 
   def withCosine(embs: DataFrame, vecCol: String, query: Seq[Double]): DataFrame = {
     val q = array(query.map(lit): _*)
-    embs.withColumn("score", round(V.cosineSimilarity(col(vecCol), q), 4))
+    // native codegen'd expression; bit-identical to V.cosineSimilarity
+    embs.withColumn("score",
+      round(graft.plans.VectorExpressions.cosine(embs.sparkSession, col(vecCol), q), 4))
   }
 
   /** Exact top-k by cosine similarity against a constant query vector. */

@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for vector math.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) can express a
+  * dot product, but they are CodegenFallback — evaluated interpretively per
+  * row with closure dispatch per element. For ANN scoring that interpretive
+  * overhead dominates the query (measured on the `embeddings` table). This
+  * expression generates a fused Java loop via `doGenCode`: one pass
+  * accumulating dot(a,b), |a|² and |b|², no allocation, inside
+  * whole-stage codegen.
+  *
+  * Semantics match `VectorFunctions.cosineSimilarity` exactly: left-to-right
+  * double accumulation ⇒ bit-identical results, so DuckDB oracles and the
+  * portable Column formulation remain valid cross-checks.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<double>; the companion's `cosine` inserts the casts
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so input coercion
+  // is handled at construction instead of via the type-check framework)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  val cosineFn = "graft_cosine"
+
+  /** Register the native functions in the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      cosineFn, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+
+  /** Codegen'd cosine similarity; arrays are cast to double first so float
+    * embeddings score identically to the portable formulation.
+    */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(cosineFn, a.cast("array<double>"), b.cast("array<double>"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = (0 until 100).map { i =>
+    (i.toLong, (0 until 32).map(d => math.sin(i * 13 + d * 3)))
+  }.toDF("id", "v")
+
+  test("native cosine is bit-identical to the portable HOF formulation") {
+    val q = (0 until 32).map(d => math.cos(d * 5).toDouble)
+    val qc = array(q.map(lit): _*)
+    val rows = vecs.select(
+      VectorExpressions.cosine(spark, $"v", qc).as("native"),
+      V.cosineSimilarity($"v", qc).as("portable")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+  test("the expression participates in whole-stage codegen (no fallback)") {
+    val dir = java.nio.file.Files.createTempDirectory("vx").toString + "/t"
+    vecs.write.parquet(dir) // LocalRelation would be constant-folded away
+    val q = (0 until 32).map(_.toDouble)
+    val df = spark.read.parquet(dir)
+      .select(VectorExpressions.cosine(spark, $"v", array(q.map(lit): _*)))
+    df.collect() // would throw on bad generated code
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // the * marks a codegen stage
+  }
+  test("registered for SQL use") {
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("vx")
+    val out = spark.sql(
+      "SELECT graft_cosine(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) AS c FROM vx LIMIT 5")
+      .as[Double].collect()
+    out.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+}
