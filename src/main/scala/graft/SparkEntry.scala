@@ -188,6 +188,12 @@ object SparkEntry {
         .select(col("doc_id"), col("search_score"))
         .orderBy(col("search_score").desc, col("doc_id"))
     }),
+    "q_search_bm25" -> ((s, dir) => {
+      val idx = graft.operators.SearchIndex.build(
+        Tables.load(s, dir, "documents"), "doc_id", Seq("text", "source"))
+      graft.operators.SearchIndex.score(idx, "merge stream")
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_nearby" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .withColumn("lat", lit(40.0) + (col("user_id") % 1000) * 0.01)
@@ -418,6 +424,21 @@ object SparkEntry {
          |WHERE search_score IS NOT NULL
          |ORDER BY search_score DESC, doc_id""".stripMargin
     },
+    "q_search_bm25" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(str_split(regexp_replace(trim(lower(text || ' ' || source)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('merge', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS bm25
+        |FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id""".stripMargin,
     "q_nearby" -> {
       val dist = "6371000.0 * acos(LEAST(1.0, GREATEST(-1.0, " +
         "cos(radians(40.7)) * cos(radians(lat)) * cos(radians(lon) - radians(9.0)) + " +

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text search as a batch-computed index (SURVEY.md §2.9).
+  *
+  * The reference persists a DuckDB FTS index rebuilt on source mtime
+  * (df_duckdb.py:321-379). The Spark-native shape is the same idea as data:
+  * term statistics (tf, df, doc length) computed once with two
+  * hash-aggregates, persisted as parquet, and scored per query with one
+  * broadcast-joined aggregation. At 100 TB the index build is a linear scan
+  * + shuffles keyed on (doc, term) / term; queries touch only the posting
+  * rows of the query terms.
+  *
+  * Scoring is standard Okapi BM25:
+  *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+  *   s(d, q) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·|d|/avgdl))
+  *
+  * The reference's tests assert ranking monotonicity + membership, not
+  * score values (test_search.py:24-32) — same invariants spec'd here.
+  */
+object SearchIndex {
+
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Tokenize: normalized whitespace words of all search columns. */
+  private def tokens(docs: DataFrame, idCol: String, textCols: Seq[String]) =
+    docs.select(col(idCol).as("id"),
+        explode(T.words(concat_ws(" ", textCols.map(col): _*))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Build the index: postings (id, term, tf, dl) + corpus stats (n, avgdl). */
+  def build(docs: DataFrame, idCol: String, textCols: Seq[String]): Bm25Index = {
+    val tok = tokens(docs, idCol, textCols)
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "id")
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** Persist / reload the index (the mtime-keyed rebuild of the reference
+    * maps to rewriting these two tables when the source changes).
+    */
+  def save(index: Bm25Index, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+  def load(spark: SparkSession, dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+
+  /** Score a query: (id, bm25) for every document matching ≥1 term,
+    * descending. Only the query terms' posting rows participate.
+    */
+  def score(index: Bm25Index, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val relevant = index.postings.filter(col("term").isin(terms.map(lit): _*))
+    val df = relevant.groupBy(col("term"))
+      .agg(countDistinct(col("id")).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    relevant
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(index.stats))
+      .withColumn("w", idf * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("w")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+  }
+}

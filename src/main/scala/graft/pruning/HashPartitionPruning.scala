@@ -34,7 +34,7 @@ object HashPartitionPruning {
     d.map("%02x".format(_)).mkString
   }
 
-  private def helperValue(partitionCol: String, value: String): Option[(String, String)] =
+  def helperValue(partitionCol: String, value: String): Option[(String, String)] =
     partitionCol match {
       case Md5Prefix(_, n) => Some(partitionCol -> md5Hex(value).take(n.toInt))
       case Md5Mod(_, n) => Some(partitionCol -> (BigInt(md5Hex(value), 16) mod BigInt(n.toInt)).toString)
@@ -42,7 +42,7 @@ object HashPartitionPruning {
       case _ => None
     }
 
-  private def sourceColumn(partitionCol: String): Option[String] = partitionCol match {
+  def sourceColumn(partitionCol: String): Option[String] = partitionCol match {
     case Md5Prefix(src, _) => Some(src)
     case Md5Mod(src, _) => Some(src)
     case PlainPrefix(src, _) => Some(src)

@@ -1,0 +1,91 @@
+package graft.pruning
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+/** Catalyst optimizer rule generalizing md5-hash partition pruning to
+  * arbitrary SQL (SURVEY.md §4 "optional stretch": the query-construction-
+  * time rewrite in [[HashPartitionPruning]] covers the config pipeline, but
+  * raw `/api/sql` queries bypass it).
+  *
+  * For any `Filter` whose child exposes a helper partition column
+  * (`{col}_md5_prefix_N`, `{col}_md5_mod_N`, `{col}_prefix_N`) and whose
+  * condition constrains the source `col` with `=` or `IN` string literals,
+  * AND in the equivalent helper predicate. Spark's own partition pruning
+  * then skips the non-matching partitions — a rewrite no cost-based
+  * optimizer could infer, because the col→hash relationship is application
+  * knowledge.
+  *
+  * Idempotent (required: the user-rule batch runs to fixpoint): helper
+  * predicates are only added when the condition does not already reference
+  * the helper attribute.
+  */
+object HashPartitionPruningRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val helperAttrs = child.output.filter(a => HashPartitionPruning.sourceColumn(a.name).isDefined)
+      if (helperAttrs.isEmpty) f
+      else {
+        val alreadyReferenced = cond.references.map(_.name).toSet
+        val extras = helperAttrs
+          .filterNot(h => alreadyReferenced.contains(h.name))
+          .flatMap(h => helperPredicate(h, cond, child))
+        if (extras.isEmpty) f
+        else Filter(extras.foldLeft(cond)(And(_, _)), child)
+      }
+  }
+
+  /** Build the helper predicate for one helper attribute, if the condition
+    * constrains its source column with string-literal equality/IN.
+    */
+  private def helperPredicate(helper: Attribute, cond: Expression,
+      child: LogicalPlan): Option[Expression] = {
+    val src = HashPartitionPruning.sourceColumn(helper.name).get
+    val eqValues = collectEqualities(cond, src)
+    if (eqValues.isEmpty) return None
+    val hashed = eqValues.flatMap(v =>
+      HashPartitionPruning.helperValue(helper.name, v).map(_._2)).distinct
+    // partition-type inference may have made the helper column numeric
+    // (all-digit directory names); the literal must match its type exactly
+    // since optimizer-inserted expressions are not re-analyzed
+    val lits = hashed.flatMap(v => typedLiteral(helper, v))
+    if (lits.isEmpty || lits.size != hashed.size) None
+    else if (lits.size == 1) Some(EqualTo(helper, lits.head))
+    else Some(In(helper, lits))
+  }
+
+  private def typedLiteral(helper: Attribute, v: String): Option[Literal] =
+    helper.dataType match {
+      case StringType => Some(Literal(v))
+      case org.apache.spark.sql.types.IntegerType => v.toIntOption.map(Literal(_))
+      case org.apache.spark.sql.types.LongType => v.toLongOption.map(Literal(_))
+      case _ => None
+    }
+
+  /** String literals compared to `src` by `=` or `IN` in any conjunct.
+    * Only conjunctive positions are safe to strengthen; a disjunction
+    * containing other columns is left alone.
+    */
+  private def collectEqualities(cond: Expression, src: String): Seq[String] = cond match {
+    case And(l, r) => collectEqualities(l, src) ++ collectEqualities(r, src)
+    case EqualTo(a: Attribute, Literal(v, StringType)) if a.name.equalsIgnoreCase(src) =>
+      Seq(String.valueOf(v))
+    case EqualTo(Literal(v, StringType), a: Attribute) if a.name.equalsIgnoreCase(src) =>
+      Seq(String.valueOf(v))
+    case In(a: Attribute, vs) if a.name.equalsIgnoreCase(src) &&
+        vs.forall { case Literal(_, StringType) => true; case _ => false } =>
+      vs.map { case Literal(v, _) => String.valueOf(v) }
+    case _ => Nil
+  }
+
+  /** Install into a session's experimental optimizer batch (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+}

@@ -46,6 +46,9 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0) 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // md5-partition pruning for the raw-SQL path too (config-path pruning
+    // happens at predicate-build time in QueryPipeline)
+    graft.pruning.HashPartitionPruningRule.install(spark)
     frames = configs.tables.map(t => t.routeName -> DataSources.read(spark, t.datasource)).toMap
     configs.tables.foreach { t =>
       frames(t.routeName).createOrReplaceTempView(t.routeName)

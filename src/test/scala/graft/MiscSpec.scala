@@ -91,6 +91,37 @@ class PruningSpec extends SparkSpec {
   }
 }
 
+class HashPartitionPruningRuleSpec extends SparkSpec {
+  import graft.pruning.HashPartitionPruningRule
+  import spark.implicits._
+
+  test("raw SQL on an md5-partitioned table gets the helper partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("prule").toString + "/t"
+    val df = Seq(("audi", 1), ("beetle", 2), ("fiat", 3), ("audi", 4))
+      .toDF("cars", "v")
+      .withColumn("cars_md5_prefix_2", substring(md5(col("cars")), 1, 2))
+    df.write.partitionBy("cars_md5_prefix_2").parquet(dir)
+    HashPartitionPruningRule.install(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("cars_part")
+
+    val q = spark.sql("SELECT v FROM cars_part WHERE cars = 'audi'")
+    assert(q.as[Int].collect().sorted.toSeq == Seq(1, 4)) // correct rows
+    val physical = q.queryExecution.executedPlan.toString
+    val expected = graft.pruning.HashPartitionPruning.md5Hex("audi").take(2)
+    assert(physical.contains("cars_md5_prefix_2") && physical.contains(expected),
+      s"helper predicate missing from plan:\n$physical")
+    assert(physical.contains("PartitionFilters: [") &&
+      !physical.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"no partition filter in:\n$physical")
+
+    // IN lists prune to multiple partitions; disjunctions are left alone
+    val in = spark.sql("SELECT v FROM cars_part WHERE cars IN ('audi', 'fiat')")
+    assert(in.as[Int].collect().sorted.toSeq == Seq(1, 3, 4))
+    val or = spark.sql("SELECT v FROM cars_part WHERE cars = 'audi' OR v = 2")
+    assert(or.as[Int].collect().sorted.toSeq == Seq(1, 2, 4)) // not over-pruned
+  }
+}
+
 class SqlEndpointSpec extends SparkSpec {
   import spark.implicits._
 

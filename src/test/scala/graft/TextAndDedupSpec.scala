@@ -113,6 +113,36 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SearchIndexSpec extends SparkSpec {
+  import graft.operators.SearchIndex
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "spark engine with fast spark joins"), // 'spark' twice
+    (2L, "a slow engine without joins"),
+    (3L, "gardening tips for spring"),
+    (4L, "spark streaming engine")).toDF("doc_id", "text")
+
+  test("bm25: membership + ranking monotonicity (test_search.py:24-32 invariants)") {
+    val idx = SearchIndex.build(docs, "doc_id", Seq("text"))
+    val scores = SearchIndex.score(idx, "spark engine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(3L)) // no term hit → absent
+    assert(scores.keySet == Set(1L, 2L, 4L))
+    assert(scores(1L) > scores(2L)) // both terms + higher tf beats one term
+    assert(scores(4L) > scores(2L)) // both terms beat one term
+  }
+  test("index persists and reloads (the mtime-rebuild analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    val idx = SearchIndex.build(docs, "doc_id", Seq("text"))
+    SearchIndex.save(idx, dir)
+    val back = SearchIndex.load(spark, dir)
+    val a = SearchIndex.score(idx, "engine").collect().toSeq
+    val b = SearchIndex.score(back, "engine").collect().toSeq
+    assert(a == b)
+  }
+}
+
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
