@@ -1,0 +1,68 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import java.util.Base64
+import javax.crypto.SecretKeyFactory
+import javax.crypto.spec.PBEKeySpec
+
+/** Basic-Auth credential store (reference core/uservalidation.py:27-77).
+  * The reference hashes with argon2; no argon2 implementation ships in this
+  * environment, so passwords are PBKDF2-HmacSHA256 (JDK built-in) — a
+  * documented divergence with the same interface: a stored string fully
+  * describes its own parameters.
+  *
+  * Stored format: `pbkdf2-sha256$<iterations>$<saltB64>$<hashB64>`.
+  */
+object Auth {
+
+  private val iterations = 120000
+  private val keyBits = 256
+
+  def hashPassword(password: String): String = {
+    val salt = new Array[Byte](16)
+    new SecureRandom().nextBytes(salt)
+    val hash = pbkdf2(password, salt, iterations)
+    s"pbkdf2-sha256$$${iterations}$$${b64(salt)}$$${b64(hash)}"
+  }
+
+  def verify(password: String, stored: String): Boolean = stored.split("\\$") match {
+    case Array("pbkdf2-sha256", iters, saltB64, hashB64) =>
+      val expected = Base64.getDecoder.decode(hashB64)
+      val actual = pbkdf2(password, Base64.getDecoder.decode(saltB64), iters.toInt)
+      java.security.MessageDigest.isEqual(expected, actual) // constant-time
+    case _ => false
+  }
+
+  private def pbkdf2(password: String, salt: Array[Byte], iters: Int): Array[Byte] =
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new PBEKeySpec(password.toCharArray, salt, iters, keyBits))
+      .getEncoded
+
+  private def b64(b: Array[Byte]): String = Base64.getEncoder.withoutPadding.encodeToString(b)
+
+  /** Parse an `Authorization: Basic ...` header into (user, password). */
+  def parseBasic(header: String): Option[(String, String)] = {
+    if (!header.toLowerCase.startsWith("basic ")) return None
+    val decoded = new String(
+      Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+    decoded.indexOf(':') match {
+      case -1 => None
+      case i => Some(decoded.take(i) -> decoded.drop(i + 1))
+    }
+  }
+
+  /** Validate a request header against a user→storedHash map. */
+  def authorize(users: Map[String, String], header: Option[String]): Boolean =
+    header.flatMap(parseBasic).exists { case (u, pw) =>
+      users.get(u).exists(stored => verify(pw, stored))
+    }
+}
+
+/** CLI analog of the reference's useradd tool (tools/useradd.py). */
+object UserAdd {
+  def main(args: Array[String]): Unit = args match {
+    case Array(user, password) => println(s"$user: ${Auth.hashPassword(password)}")
+    case _ => System.err.println("usage: UserAdd <user> <password>"); sys.exit(2)
+  }
+}

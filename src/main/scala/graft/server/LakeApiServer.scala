@@ -35,7 +35,8 @@ import scala.util.control.NonFatal
   * A request never blocks Spark's driver event loops: each exchange runs on
   * the server executor and issues ordinary lazy DataFrame actions.
   */
-final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0) {
+final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
+    users: Option[Map[String, String]] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -184,7 +185,17 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0) 
   // ---- plumbing ----
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
-    try body catch {
+    try {
+      users match {
+        case Some(us) if !Auth.authorize(us,
+            Option(ex.getRequestHeaders.getFirst("Authorization"))) =>
+          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+          sendJson(ex, 401, """{"detail":"unauthorized"}""")
+          return
+        case _ =>
+      }
+      body
+    } catch {
       case e @ (_: FilterCompiler.BadRequestException |
                 _: SqlEndpoint.ForbiddenSqlException |
                 _: NumberFormatException | _: IllegalArgumentException) =>

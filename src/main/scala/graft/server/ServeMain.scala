@@ -24,7 +24,17 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val configs = ConfigLoader.loadYaml(configPath)
-    val server = new LakeApiServer(spark, configs, port)
+    // optional Basic-Auth: GRAFT_USERS_FILE points at "user: <stored-hash>"
+    // lines as produced by `runMain graft.server.UserAdd <user> <pw>`
+    val users = sys.env.get("GRAFT_USERS_FILE").map { f =>
+      scala.io.Source.fromFile(f).getLines().flatMap { line =>
+        line.split(": ", 2) match {
+          case Array(u, h) => Some(u.trim -> h.trim)
+          case _ => None
+        }
+      }.toMap
+    }
+    val server = new LakeApiServer(spark, configs, port, users)
     val bound = server.start()
     println(s"graft serving ${configs.tables.size} tables on http://127.0.0.1:$bound")
     Thread.currentThread().join()

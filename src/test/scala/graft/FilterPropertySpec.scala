@@ -1,0 +1,102 @@
+package graft
+
+import graft.config.Param
+import graft.filters.FilterCompiler
+import graft.filters.FilterCompiler.Filter
+import org.scalacheck.{Gen, Prop}
+
+/** Property-based check of the operator compiler (SURVEY.md §5: the
+  * reference has no property tests — this is the roundtrip the survey
+  * prescribes: params → Column predicate → row-level truth).
+  *
+  * A reference model of each operator is implemented in plain Scala and
+  * compared against the compiled predicate evaluated by Spark on a
+  * generated table.
+  */
+class FilterPropertySpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val values: Gen[String] = Gen.oneOf("apple", "banana", "Ba na", "", "z")
+  private val numbers: Gen[Long] = Gen.chooseNum(-5L, 15L)
+
+  private case class R(id: Long, s: String, n: Long) // model rows (driver-side)
+  private val rows: Seq[R] = {
+    val ss = Seq("apple", "banana", "Ba na", "z", "zz", "appleseed")
+    (0 until 60).map(i => R(i.toLong, ss(i % ss.length), (i % 21) - 5L))
+  }
+  private lazy val df = rows.map(r => (r.id, r.s, r.n)).toDF("id", "s", "n")
+
+  private def runFilter(f: Filter): Set[Long] = {
+    val pred = FilterCompiler.compile(df.schema, Seq(f))
+    pred.map(df.filter).getOrElse(df).select("id").as[Long].collect().toSet
+  }
+  private def p(name: String, op: String) = Param(name, operators = Seq(op))
+
+  test("string equality matches the scala model (incl. falsy-drop)") {
+    check(Prop.forAll(values) { v =>
+      val expected =
+        if (v.isEmpty) rows.map(_.id).toSet // falsy-drop: no predicate
+        else rows.filter(_.s == v).map(_.id).toSet
+      runFilter(Filter(p("s", "="), "=", v)) == expected
+    })
+  }
+  test("numeric comparisons match the scala model") {
+    check(Prop.forAll(numbers, Gen.oneOf("<", "<=", ">", ">=")) { (v, op) =>
+      val model: Long => Boolean = op match {
+        case "<" => _ < v
+        case "<=" => _ <= v
+        case ">" => _ > v
+        case ">=" => _ >= v
+      }
+      runFilter(Filter(p("n", op), op, v.toString)) ==
+        rows.filter(r => model(r.n)).map(_.id).toSet
+    })
+  }
+  test("in / not in match the scala model (empty list drops)") {
+    check(Prop.forAll(Gen.listOf(values)) { vs =>
+      val inSet = vs.toSet
+      val expectedIn =
+        if (vs.isEmpty) rows.map(_.id).toSet
+        else rows.filter(r => inSet.contains(r.s)).map(_.id).toSet
+      val expectedNotIn =
+        if (vs.isEmpty) rows.map(_.id).toSet
+        else rows.filterNot(r => inSet.contains(r.s)).map(_.id).toSet
+      runFilter(Filter(p("s", "in"), "in", vs)) == expectedIn &&
+        runFilter(Filter(p("s", "not in"), "not in", vs)) == expectedNotIn
+    })
+  }
+  test("between matches inclusive-bound scala model") {
+    check(Prop.forAll(numbers, numbers) { (a, b) =>
+      runFilter(Filter(p("n", "between"), "between", Seq(a.toString, b.toString))) ==
+        rows.filter(r => r.n >= a && r.n <= b).map(_.id).toSet
+    })
+  }
+  test("contains / startswith match the scala model (case-sensitive)") {
+    check(Prop.forAll(Gen.oneOf("a", "pp", "Ba", "na", "Q", "")) { v =>
+      val expectedC =
+        if (v.isEmpty) rows.map(_.id).toSet
+        else rows.filter(_.s.contains(v)).map(_.id).toSet
+      val expectedS =
+        if (v.isEmpty) rows.map(_.id).toSet
+        else rows.filter(_.s.startsWith(v)).map(_.id).toSet
+      runFilter(Filter(p("s", "contains"), "contains", v)) == expectedC &&
+        runFilter(Filter(p("s", "startswith"), "startswith", v)) == expectedS
+    })
+  }
+  test("combi OR-of-AND matches the scala model") {
+    check(Prop.forAll(Gen.listOfN(2, Gen.zip(values, numbers))) { dicts =>
+      val combi = Param("pk", combi = Some(Seq("s", "n")))
+      val value = dicts.map { case (s, n) => Map("s" -> s, "n" -> n) }
+      val expected = rows.filter(r =>
+        dicts.exists { case (s, n) => r.s == s && r.n == n }).map(_.id).toSet
+      val got = runFilter(Filter(combi, "=", value))
+      if (dicts.isEmpty) got == rows.map(_.id).toSet else got == expected
+    })
+  }
+}

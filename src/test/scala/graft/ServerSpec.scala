@@ -91,6 +91,29 @@ class ServerSpec extends SparkSpec {
     assert(arrow.statusCode() == 200 && arrow.body().length > 0)
     assert(get(s"$base/api/v1/test/fruits?limit=1&format=nope").statusCode() == 400)
   }
+  test("basic auth: 401 without/with-bad creds, 200 with valid (uservalidation.py)") {
+    import graft.server.{Auth, LakeApiServer}
+    val dir = Files.createTempDirectory("authsrv").toString + "/t"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(dir)
+    val cfg = Configs(Seq(TableConfig(name = "t", tag = "sec",
+      datasource = DatasourceConfig(uri = dir), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg,
+      users = Some(Map("alice" -> Auth.hashPassword("s3cret"))))
+    val p = srv.start()
+    try {
+      val noAuth = get(s"http://127.0.0.1:$p/api/v1/sec/t")
+      assert(noAuth.statusCode() == 401 &&
+        noAuth.headers().firstValue("WWW-Authenticate").isPresent)
+      def withAuth(pw: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/sec/t"))
+          .header("Authorization", "Basic " + java.util.Base64.getEncoder
+            .encodeToString(s"alice:$pw".getBytes)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(withAuth("wrong").statusCode() == 401)
+      val ok = withAuth("s3cret")
+      assert(ok.statusCode() == 200 && ok.body() == """[{"id":1,"v":"x"}]""")
+    } finally srv.stop()
+  }
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
