@@ -268,6 +268,26 @@ object SparkEntry {
           |ORDER BY nkey""".stripMargin,
         Tables.all.toSet)
     }),
+    "q_cte_having" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      SqlEndpoint.query(s,
+        """WITH big AS (
+          |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+          |  FROM orders GROUP BY o_custkey HAVING count(*) >= 5)
+          |SELECT c_mktsegment, count(*) AS n_big, max(spend) AS top_spend
+          |FROM big JOIN customer ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
+        Tables.all.toSet)
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      SqlEndpoint.query(s,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+        Tables.all.toSet)
+    }),
     // ---- §3.3 metadata computations ----
     "q_meta_maxlen" -> ((s, dir) => {
       val m = Metadata.maxStringLengths(Tables.load(s, dir, "part"))
@@ -492,6 +512,18 @@ object SparkEntry {
         |UNION
         |(SELECT n_nationkey AS nkey FROM nation WHERE n_regionkey = 0)
         |ORDER BY nkey""".stripMargin,
+    "q_cte_having" ->
+      """WITH big AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 5)
+        |SELECT c_mktsegment, count(*) AS n_big, max(spend) AS top_spend
+        |FROM big JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
     "q_meta_maxlen" ->
       """SELECT max(length(p_name)) AS len_p_name, max(length(p_brand)) AS len_p_brand,
         |  max(length(p_type)) AS len_p_type FROM part""".stripMargin,

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
 /** Raw read-only SQL endpoint semantics (reference:
   * endpoint/sql_endpoint.py:89-190): accept one statement, require it to be
@@ -22,7 +22,13 @@ object SqlEndpoint {
   /** Parse, validate, and return the referenced table identifiers. */
   def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
     val plan = parseQueryPlan(spark, sql)
-    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }.distinct
+    // names defined by the query's own CTEs are not external references
+    val cteNames = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }
+      .distinct
+      .filterNot(r => cteNames.contains(r.toLowerCase))
   }
 
   private def parseQueryPlan(spark: SparkSession, sql: String): LogicalPlan = {

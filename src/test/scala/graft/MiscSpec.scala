@@ -56,6 +56,23 @@ class ConfigLoaderSpec extends SparkSpec {
     val expanded = ConfigLoader.expandEnv("uri: ${HOME}/data")
     assert(expanded == s"uri: ${sys.env("HOME")}/data")
   }
+  test("wildcard tables expand to one table per child (config.py:330-384)") {
+    val dir = java.nio.file.Files.createTempDirectory("wild")
+    java.nio.file.Files.createDirectory(dir.resolve("alpha"))
+    java.nio.file.Files.createDirectory(dir.resolve("beta"))
+    java.nio.file.Files.writeString(dir.resolve("gamma.parquet"), "")
+    val cfg = ConfigLoader.parseYaml(
+      s"""tables:
+         |  - name: "*"
+         |    tag: wild
+         |    datasource:
+         |      uri: $dir/*
+         |""".stripMargin)
+    assert(cfg.tables.map(_.name).sorted == Seq("alpha", "beta", "gamma"))
+    assert(cfg.tables.map(_.routeName).sorted ==
+      Seq("wild_alpha", "wild_beta", "wild_gamma"))
+    assert(cfg.tables.find(_.name == "alpha").get.datasource.uri == s"$dir/alpha")
+  }
 }
 
 class PruningSpec extends SparkSpec {
