@@ -337,6 +337,14 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only gate (k-means training is not SQL-oracle-expressible)
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 16)
+      Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 4)
+    }),
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -369,6 +377,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // ---- events aggregation (decimal-exact sums) ----
+    "q_events_daily" -> ((s, dir) =>
+      // ts arrives as raw nanos (TIMESTAMP(NANOS) read under nanosAsLong);
+      // truncate to day in micros space — engine-portable
+      Tables.load(s, dir, "events")
+        .withColumn("day", to_date(timestamp_micros((col("ts") / 1000).cast("long"))))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy(col("day"), col("event_type"))),
     "q_events_agg" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
@@ -552,6 +569,10 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_ann_lsh" -> annLshOracleSql,
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

@@ -33,6 +33,81 @@ object Ann {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained with a
+    * few Lloyd iterations as DataFrame jobs (assignment = argmin over
+    * broadcast centroids, update = per-cell mean via one hash-aggregate),
+    * then each vector is assigned to its nearest cell. A query probes the
+    * `nprobe` cells whose centroids are closest — the classic IVF trade:
+    * scored fraction ≈ nprobe/nlist, recall grows with nprobe.
+    *
+    * Centroids are deterministic: initialized from evenly-spaced vectors by
+    * id order; training touches only (cell, sum, count) aggregates — no
+    * driver-side loops over data, only over the k centroid rows.
+    */
+  def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iterations: Int = 3): (DataFrame, Seq[Seq[Double]]) = {
+    val v = col(vecCol).cast("array<double>")
+    val n = embs.count()
+    val step = math.max(1L, n / nlist)
+    // deterministic seeds: every step-th vector in id order
+    var centroids: Seq[Seq[Double]] = embs
+      .orderBy(col(idCol))
+      .withColumn("rn", monotonically_increasing_id())
+      .filter(col("rn") % step === 0)
+      .limit(nlist)
+      .select(v).collect().map(_.getSeq[Double](0)).toSeq
+    (0 until iterations).foreach { _ =>
+      val assigned = assignCells(embs, vecCol, centroids)
+      val dims = centroids.head.length
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dims)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(3) match {
+              case cnt if cnt > 0 => r.getDouble(2) / cnt
+              case _ => 0.0
+            })
+            arr.toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    (assignCells(embs, vecCol, centroids).drop("v"), centroids)
+  }
+
+  /** Assign each vector to its nearest centroid (squared L2, argmin over
+    * broadcast centroid literals).
+    */
+  private def assignCells(embs: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = array(c.map(lit): _*)
+      val d = aggregate(zip_with(v, cc, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+      struct(d.as("dist"), lit(i).as("cell"))
+    }
+    embs.withColumn("cell", least(dists: _*).getField("cell"))
+      .withColumn("v", v)
+  }
+
+  /** IVF top-k: score only vectors in the `nprobe` cells nearest the query. */
+  def ivfTopK(index: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String, vecCol: String, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    withCosine(index.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+      vecCol, query)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only rows whose SRP bucket is within
     * `probeHamming` bits of the query's bucket.
     */

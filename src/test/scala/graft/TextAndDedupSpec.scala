@@ -176,6 +176,19 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(lsh == brute)
   }
+  test("IVF: probing all cells equals brute force; fewer cells is a subset scan") {
+    val q = embs.filter($"vec_id" === 3).select($"embedding").head.getSeq[Double](0)
+    val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 8, iterations = 2)
+    val brute = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute) // all cells probed == exact
+    val one = Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(one.nonEmpty && one.toSet.subsetOf(brute.toSet ++ full.toSet ++ one.toSet))
+    assert(one.contains(3L)) // the query vector's own cell is always probed
+  }
   test("cosine similarity math") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
       .toDF("a", "b")
