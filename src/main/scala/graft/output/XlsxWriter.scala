@@ -1,0 +1,86 @@
+package graft.output
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Minimal XLSX writer (SURVEY.md §2.2 O6; reference response.py:118-124
+  * uses polars' writer). No spreadsheet library ships in this environment,
+  * but XLSX is a zip of SpreadsheetML parts — this emits the four required
+  * parts with inline strings, which Excel/LibreOffice open directly.
+  *
+  * Strings are inline (no shared-string table) and numerics are native
+  * number cells; rows stream from `toLocalIterator` like every other
+  * serving-side writer.
+  */
+object XlsxWriter {
+
+  def toXlsxBytes(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(out)
+    def part(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val w = new java.io.OutputStreamWriter(zip, "UTF-8")
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    val numeric = df.schema.fields.map(_.dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def writeRow(rowIdx: Int, cells: Seq[(String, Boolean)]): Unit = {
+      w.write(s"""<row r="$rowIdx">""")
+      cells.foreach { case (value, isNum) =>
+        if (value == null) w.write("<c/>")
+        else if (isNum) w.write(s"<c><v>${value}</v></c>")
+        else w.write(s"""<c t="inlineStr"><is><t xml:space="preserve">${esc(value)}</t></is></c>""")
+      }
+      w.write("</row>")
+    }
+    writeRow(1, df.columns.map(c => (c, false)).toSeq)
+    val it = df.toLocalIterator()
+    var r = 2
+    while (it.hasNext) {
+      val row = it.next()
+      writeRow(r, df.columns.indices.map { i =>
+        if (row.isNullAt(i)) (null, false)
+        else (row.get(i).toString, numeric(i))
+      })
+      r += 1
+    }
+    w.write("</sheetData></worksheet>")
+    w.flush()
+    zip.closeEntry()
+    zip.close()
+    out.toByteArray
+  }
+}

@@ -163,6 +163,9 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       case "scsv" => send(ex, 200, "text/csv", reencode(Writers.toCsv(df, ';')))
       case "tsv" => send(ex, 200, "text/tab-separated-values", reencode(Writers.toCsv(df, '\t')))
       case "csv4excel" => send(ex, 200, "text/csv", Writers.toCsv4Excel(df))
+      case "xlsx" => send(ex, 200,
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        graft.output.XlsxWriter.toXlsxBytes(df))
       case "html" => send(ex, 200, "text/html", reencode(Writers.toHtmlTable(df)))
       case "xml" => send(ex, 200, "application/xml", reencode(Writers.toXml(df)))
       case "arrow" | "feather" | "ipc" =>

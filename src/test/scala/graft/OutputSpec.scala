@@ -66,6 +66,23 @@ class OutputSpec extends SparkSpec {
     assert(root.getVector("s").isNull(2))
     sreader.close(); alloc.close()
   }
+  test("xlsx: valid zip with the four SpreadsheetML parts and inline data (O6)") {
+    import graft.output.XlsxWriter
+    val bytes = XlsxWriter.toXlsxBytes(df)
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    var entries = Map.empty[String, String]
+    var e = zin.getNextEntry
+    while (e != null) {
+      entries += e.getName -> new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    assert(entries.keySet == Set("[Content_Types].xml", "_rels/.rels",
+      "xl/workbook.xml", "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+    val sheet = entries("xl/worksheets/sheet1.xml")
+    assert(sheet.contains("<t xml:space=\"preserve\">a,b</t>")) // string cell
+    assert(sheet.contains("<c><v>1.5</v></c>")) // numeric cell
+    assert(sheet.contains("<c/>")) // null cell
+  }
   test("jsonify turns complex columns into JSON strings (P5)") {
     val d = spark.sql("SELECT 1 AS id, named_struct('a', 1) AS st, array(1,2) AS ar")
     val out = Writers.jsonifyComplex(d)
