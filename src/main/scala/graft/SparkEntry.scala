@@ -337,6 +337,18 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // for each click, the user's most recent prior-or-simultaneous purchase
+      val ev = Tables.load(s, dir, "events") // ts = raw nanos (nanosAsLong)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("purchase_id")) // unique per (key, ts)
+      graft.operators.AsOfJoin.backward(clicks, purchases, "user_id", "ts", "purchase_id")
+        .select(col("event_id"), col("asof_purchase_id").as("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only gate (k-means training is not SQL-oracle-expressible)
       val embs = Tables.load(s, dir, "embeddings")
@@ -561,6 +573,16 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracleSql,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, min(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — for each left row, the most recent right row with
+  * `rightTs <= leftTs` in the same key group. Spark has no built-in as-of
+  * join; the classic native-engine formulation (kdb aj, DuckDB ASOF JOIN,
+  * Pandas merge_asof) is re-expressed with Spark primitives:
+  *
+  * union the two sides tagged, sort each key group by (ts, side) with right
+  * rows first at equal timestamps (so `<=` semantics hold), and carry the
+  * last non-null right payload forward with a running `last(ignoreNulls)`
+  * window. One shuffle on the key, one sort — the same cost shape as a sort
+  * -merge join, and no row explosion for many-to-many time overlaps.
+  */
+object AsOfJoin {
+
+  /** @param left     left rows
+    * @param right    right rows (must be unique per (key, ts) — pre-aggregate
+    *                 if not, or the carried value is ambiguous)
+    * @param key      equi-join key column name (present on both sides)
+    * @param ts       event-time column name (present on both sides, any
+    *                 orderable type)
+    * @param rightVal right column to carry; emitted as `asof_<rightVal>`
+    */
+  def backward(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightVal: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right
+      .select(col(key), col(ts), col(rightVal).as("__rv"))
+      .withColumn("__side", lit(0))
+    // align schemas: left payload columns are null on the right side
+    val rAligned = leftCols.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn(s"asof_$rightVal", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+}

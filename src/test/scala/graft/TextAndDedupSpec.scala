@@ -113,6 +113,25 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import graft.operators.AsOfJoin
+  import spark.implicits._
+
+  test("backward as-of: latest right row at-or-before each left row, per key") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L), (4L, "C", 10L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10L), ("A", 100L, 11L), ("A", 200L, 12L), ("B", 60L, 20L))
+      .toDF("sym", "t", "quote_id")
+    val out = AsOfJoin.backward(trades, quotes, "sym", "t", "quote_id")
+      .select("trade_id", "asof_quote_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 11L) // equal timestamp counts (<= semantics)
+    assert(out(2L) == 12L) // most recent prior
+    assert(out(3L) == -1L) // B's only quote is later → no match
+    assert(out(4L) == -1L) // key with no right rows at all
+  }
+}
+
 class SearchIndexSpec extends SparkSpec {
   import graft.operators.SearchIndex
   import spark.implicits._
