@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins (the 100 TB survival kit).
+  *
+  * AQE's skew-join splitting handles most cases at runtime; salting is the
+  * explicit tool for the pathological ones (a handful of keys carrying a
+  * large share of a fact table — the "null key" / "default tenant" shape):
+  * the big side gets a random salt in [0, factor), the small side is
+  * replicated once per salt value, and the join key becomes (key, salt) so
+  * one hot key spreads over `factor` reducers.
+  */
+object SkewTools {
+
+  /** Inner equi-join with the left (big, possibly skewed) side salted.
+    * Result is row-identical to `big.join(small, keys)`.
+    *
+    * The salt is derived deterministically from a uniformly-distributed
+    * spread column (e.g. a unique id) rather than rand(), so the operator
+    * stays deterministic and retry-safe (a failed task recomputes the same
+    * salt — rand() would silently change the partition a row lands in
+    * between attempts).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      spreadCol: String, factor: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(col(spreadCol)), lit(factor)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.SkewTools
+import org.apache.spark.sql.functions._
+
+class SkewToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join") {
+    val big = (0 until 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
+      .toDF("key", "id") // 'hot' carries 10% of all rows
+    val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i")).zipWithIndex
+      .map { case (k, v) => (k, v) }.toDF("key", "dim")
+    val plain = big.join(small, "key").select("id", "dim")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val salted = SkewTools.saltedJoin(big, small, "key", "id", factor = 8)
+      .select("id", "dim")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+  test("salt spreads the hot key across the factor space") {
+    val big = (0 until 1000).map(i => ("hot", i.toLong)).toDF("key", "id")
+    val salts = big.withColumn("s", pmod(hash(col("id")), lit(8)))
+      .select("s").distinct().count()
+    assert(salts == 8)
+  }
+}
+
+/** Bucketing: pre-partitioned co-located joins — the shuffle-elimination
+  * lever for repeated fact-fact joins at scale (SURVEY.md "Partitioning &
+  * shuffle"). Asserts the actual plan property, not a proxy.
+  */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join of two tables bucketed on the key runs with zero exchanges") {
+    // default warehouse dir (./spark-warehouse, gitignored)
+    (0 until 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("b_left")
+    (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("b_right")
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_left").join(spark.table("b_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
+}
