@@ -17,9 +17,12 @@ final case class SortBy(by: String, direction: String = "asc") {
 }
 
 /** Full-text search surface (core/types.py:118-121): the request-param name
-  * and the columns scored.
+  * and the columns scored. `method` selects the scorer: "like" = the
+  * reference's generic CASE/LIKE fallback (df_base.py:354-377), "bm25" =
+  * the Okapi BM25 index path (the reference's DuckDB-FTS analog, §2.9).
   */
-final case class SearchConfig(name: String, columns: Seq[String])
+final case class SearchConfig(name: String, columns: Seq[String],
+    method: String = "like")
 
 /** Geo "nearby" surface (core/types.py:124-128). */
 final case class NearbyConfig(name: String, latCol: String, lonCol: String)

@@ -31,6 +31,26 @@ object Metadata {
   def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
 
+  /** Source modified date (df_base.py:379-399): the Delta table's last
+    * commit time when a log exists, else the newest file mtime under the
+    * uri. Drives cache invalidation (schema cache, search index rebuild).
+    */
+  def modifiedDate(uri: String): Option[java.time.Instant] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(uri)
+    if (!Files.exists(p)) return None
+    val logDir = p.resolve("_delta_log")
+    val scanRoot = if (Files.isDirectory(logDir)) logDir else p
+    val times =
+      if (Files.isDirectory(scanRoot))
+        Files.walk(scanRoot).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => Files.getLastModifiedTime(f).toInstant).toSeq
+      else Seq(Files.getLastModifiedTime(scanRoot).toInstant)
+    times.sorted.lastOption
+  }
+
   /** Recursive type description, à la detail_endpoint.py:156-188. */
   def describeType(dt: DataType): String = dt match {
     case s: StructType =>

@@ -51,6 +51,47 @@ object SearchIndex {
   def load(spark: SparkSession, dir: String): Bm25Index =
     Bm25Index(spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
 
+  /** Corpus statistics needed for per-row scoring: doc count, average
+    * length, and per-term document frequencies for one query's terms.
+    */
+  final case class CorpusStats(n: Double, avgdl: Double, df: Map[String, Double])
+
+  /** One small aggregate over the corpus for a query's terms. */
+  def corpusStats(docs: DataFrame, idCol: String, textCols: Seq[String],
+      query: String): CorpusStats = {
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val tok = tokens(docs, idCol, textCols)
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val base = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")).head()
+    val dfRows = tok.filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("term")).agg(countDistinct(col("id")).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    CorpusStats(base.getDouble(0), base.getDouble(1), dfRows)
+  }
+
+  /** Per-row BM25 score as a pure Column: corpus stats are inlined as
+    * literals (driver-side, a handful of numbers), tf and doc length are
+    * computed from the row itself — no join, no row-id needed, which is
+    * what lets BM25 drop into the request pipeline as a scoring column.
+    * Non-matching rows score NULL (like the LIKE fallback's NULLIF).
+    */
+  def scoreColumn(stats: CorpusStats, textCols: Seq[org.apache.spark.sql.Column],
+      query: String, k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.Column = {
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val ws = T.words(concat_ws(" ", textCols: _*))
+    val dlCol = size(filter(ws, w => w =!= "")).cast("double")
+    val contributions = terms.flatMap { t =>
+      stats.df.get(t).map { dfT =>
+        val idf = math.log(1.0 + (stats.n - dfT + 0.5) / (dfT + 0.5))
+        val tf = size(filter(ws, w => w === t)).cast("double")
+        lit(idf) * (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * dlCol / lit(stats.avgdl)))
+      }
+    }
+    val total = contributions.reduceOption(_ + _).getOrElse(lit(0.0))
+    nullif(round(total, 4), lit(0.0))
+  }
+
   /** Score a query: (id, bm25) for every document matching ≥1 term,
     * descending. Only the query terms' posting rows participate.
     */

@@ -81,7 +81,7 @@ object ArrowWriters {
   }
 
   private def writeCell(vec: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit = {
-    if (row.isNullAt(col)) { vec.asInstanceOf[BaseValueVector]; setNull(vec, idx); return }
+    if (row.isNullAt(col)) { setNull(vec, idx); return }
     (vec, dt) match {
       case (v: BigIntVector, _) => v.setSafe(idx, row.getLong(col))
       case (v: IntVector, _) => v.setSafe(idx, row.getInt(col))

@@ -117,11 +117,21 @@ object QueryPipeline {
       } else offsetDf.limit(limit)
 
     // ---- stage 8: search decoration (endpoint_search.py:27-60) ----
+    // scorer choice per config: the reference's LIKE fallback (the oracle
+    // target) or BM25 with cached corpus stats (the DuckDB-FTS analog)
     val searched = (req.searchQuery, table.search) match {
       case (Some(q), Some(sc)) if q.trim.length >= basic.minSearchLength =>
+        val score = sc.method.toLowerCase match {
+          case "bm25" =>
+            val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
+              df.withColumn("__sid", monotonically_increasing_id())
+            })
+            graft.operators.SearchIndex.scoreColumn(
+              stats, sc.columns.map(c => col(quote(c))), q)
+          case _ => Search.searchScore(sc.columns.map(c => col(quote(c))), q)
+        }
         limited
-          .withColumn("search_score",
-            Search.searchScore(sc.columns.map(c => col(quote(c))), q))
+          .withColumn("search_score", score)
           .filter(col("search_score").isNotNull)
           .orderBy(col("search_score").desc)
       case _ => limited

@@ -1,0 +1,28 @@
+package graft.query
+
+import graft.meta.Metadata
+import graft.operators.SearchIndex
+import org.apache.spark.sql.DataFrame
+import java.util.concurrent.ConcurrentHashMap
+
+/** Cache of BM25 corpus statistics, keyed by (source uri, source modified
+  * date, search columns, query terms) — the Spark analog of the reference's
+  * persisted FTS index rebuilt when the source's modified date changes
+  * (df_duckdb.py:341-353). A stale source timestamp invalidates the entry
+  * naturally because the key changes.
+  */
+object SearchStatsCache {
+
+  private val cache = new ConcurrentHashMap[String, SearchIndex.CorpusStats]()
+
+  def stats(uri: String, cols: Seq[String], query: String,
+      corpus: => DataFrame): SearchIndex.CorpusStats = {
+    val mtime = Metadata.modifiedDate(uri).map(_.toEpochMilli).getOrElse(0L)
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted
+    val key = s"$uri|$mtime|${cols.mkString(",")}|${terms.mkString(" ")}"
+    cache.computeIfAbsent(key,
+      _ => SearchIndex.corpusStats(corpus, "__sid", cols, query))
+  }
+
+  def clear(): Unit = cache.clear()
+}

@@ -74,6 +74,25 @@ class QueryPipelineSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 1))
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
   }
+  test("search method bm25: scores through the pipeline, matches the index scorer") {
+    import graft.operators.SearchIndex
+    val docs = Seq(
+      (1L, "spark engine with fast spark joins"),
+      (2L, "a slow engine without joins"),
+      (3L, "gardening tips for spring")).toDF("doc_id", "text")
+    val t = cfg(search = Some(SearchConfig("search", Seq("text"), method = "bm25")))
+    val out = QueryPipeline.runOn(docs, t,
+      Request(searchQuery = Some("spark engine"), limit = Some(-1)))
+      .select("doc_id", "search_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 3 scores null → filtered
+    assert(out(1L) > out(2L))
+    // same math as the join-based index scorer
+    val viaIndex = SearchIndex.score(
+      SearchIndex.build(docs, "doc_id", Seq("text")), "spark engine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, s) => assert(math.abs(s - viaIndex(id)) < 1e-9) }
+  }
   test("search below min length is ignored (endpoint_search.py:16-24)") {
     val t = cfg(search = Some(SearchConfig("search", Seq("fruits"))))
     val out = QueryPipeline.runOn(fruits, t, Request(searchQuery = Some("ba")))
