@@ -395,6 +395,14 @@ object SparkEntry {
           col("media.fp").as("fp"))
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_embed" -> ((s, dir) => {
+      // media → stub embedding → similarity: cosine of every doc's
+      // pseudo-embedding against doc 0's, top 10
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.stubEmbedding(col("text"), 16).as("emb"))
+      val q = docs.filter(col("doc_id") === 0).select(col("emb")).head.getSeq[Double](0)
+      Ann.bruteForceTopK(docs, "doc_id", "emb", q, 10)
+    }),
     // ---- events aggregation (decimal-exact sums) ----
     "q_events_daily" -> ((s, dir) =>
       // ts arrives as raw nanos (TIMESTAMP(NANOS) read under nanosAsLong);
@@ -602,6 +610,7 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_ann_lsh" -> annLshOracleSql,
+    "q_multimodal_embed" -> multimodalEmbedOracleSql,
     "q_events_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -717,6 +726,19 @@ object SparkEntry {
        |  round((${b(5)} * 256 + ${b(6)}) / 65535.0, 4) AS brightness,
        |  md5(text) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def multimodalEmbedOracleSql: String = {
+    // hexval of the first 4 hex chars of md5(text || '#' || i)
+    val hexval = "list_sum([(strpos('0123456789abcdef', substring(md5(text || '#' || i), j, 1)) - 1) * (1::BIGINT << (4 * (4 - j))) for j in range(1, 5)])"
+    s"""WITH e AS (SELECT doc_id,
+       |  [($hexval)::DOUBLE / 65535.0 - 0.5 for i in range(0, 16)] AS emb
+       |  FROM documents),
+       |q AS (SELECT emb AS qv FROM e WHERE doc_id = 0)
+       |SELECT doc_id,
+       |  round(list_dot_product(emb, qv) / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+       |FROM e, q
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
   /** Plane literals shared by the Spark LSH implementation and its oracle. */

@@ -74,6 +74,18 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Stub media embedding: a deterministic pseudo-embedding derived from
+    * md5 of (payload text, dimension index), standing in for a CLIP-style
+    * encoder so the media → embedding → similarity-search chain is fully
+    * exercisable (and engine-portable: only md5 + hex arithmetic).
+    * Component i = hexval(md5(text || '#' || i)[0:4]) / 65535 − 0.5.
+    */
+  def stubEmbedding(textPayload: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val h = md5(concat(textPayload, lit("#"), i.cast("string")))
+      conv(substring(h, 1, 4), 16, 10).cast("double") / 65535.0 - 0.5
+    })
+
   /** Frame-sampling plumbing for video-like payloads: split a binary blob
     * into fixed-size pseudo-frames and explode to one row per sampled frame
     * (every `stride`-th frame) — the partition/row-explosion shape a real
