@@ -78,7 +78,8 @@ object ConfigLoader {
   }
 
   private def parseSearch(m: Map[String, Any]): SearchConfig =
-    SearchConfig(str(m.getOrElse("name", "search")), seqOf(m("columns")).map(str))
+    SearchConfig(str(m.getOrElse("name", "search")), seqOf(m("columns")).map(str),
+      method = str(m.getOrElse("method", "like")))
 
   private def parseNearby(m: Map[String, Any]): NearbyConfig =
     NearbyConfig(str(m.getOrElse("name", "nearby")), str(m("lat_col")), str(m("lon_col")))
@@ -91,7 +92,9 @@ object ConfigLoader {
     val base = t.datasource.uri.stripSuffix("/*")
     val dir = Paths.get(base)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString).map { child =>
+    val listing = Files.list(dir)
+    val children = try listing.iterator().asScala.toSeq finally listing.close()
+    children.sortBy(_.getFileName.toString).map { child =>
       val leaf = child.getFileName.toString
       val table = leaf.replaceAll("\\.(parquet|csv|json|ndjson)$", "")
       t.copy(name = table, datasource = t.datasource.copy(uri = child.toString))

@@ -47,7 +47,8 @@ object DeltaConfigMerge {
   private def parseSearch(n: JsonNode): Option[SearchConfig] =
     Option(n).filterNot(_.isNull).map(s => SearchConfig(
       Option(s.get("name")).map(_.asText()).getOrElse("search"),
-      s.get("columns").elements().asScala.map(_.asText()).toSeq))
+      s.get("columns").elements().asScala.map(_.asText()).toSeq,
+      method = Option(s.get("method")).filterNot(_.isNull).map(_.asText()).getOrElse("like")))
 
   private def parseNearby(n: JsonNode): Option[NearbyConfig] =
     Option(n).filterNot(_.isNull).map(g => NearbyConfig(

@@ -43,11 +43,13 @@ object Metadata {
     val logDir = p.resolve("_delta_log")
     val scanRoot = if (Files.isDirectory(logDir)) logDir else p
     val times =
-      if (Files.isDirectory(scanRoot))
-        Files.walk(scanRoot).iterator().asScala
+      if (Files.isDirectory(scanRoot)) {
+        val walk = Files.walk(scanRoot)
+        try walk.iterator().asScala
           .filter(Files.isRegularFile(_))
           .map(f => Files.getLastModifiedTime(f).toInstant).toSeq
-      else Seq(Files.getLastModifiedTime(scanRoot).toInstant)
+        finally walk.close()
+      } else Seq(Files.getLastModifiedTime(scanRoot).toInstant)
     times.sorted.lastOption
   }
 

@@ -25,9 +25,19 @@ import org.apache.spark.sql.types.StringType
   */
 object HashPartitionPruningRule extends Rule[LogicalPlan] {
 
+  /** Only the explicit md5 markers are safe to infer from a name alone: a
+    * plain `{col}_prefix_N` could be an ordinary data column, and wrongly
+    * strengthening a filter silently drops rows. The construction-time
+    * rewrite still covers plain-prefix helpers because there the caller
+    * names the partition columns explicitly.
+    */
+  private def isUnambiguousHelper(name: String): Boolean =
+    name.contains("_md5_prefix_") || name.contains("_md5_mod_")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val helperAttrs = child.output.filter(a => HashPartitionPruning.sourceColumn(a.name).isDefined)
+      val helperAttrs = child.output.filter(a => isUnambiguousHelper(a.name) &&
+        HashPartitionPruning.sourceColumn(a.name).isDefined)
       if (helperAttrs.isEmpty) f
       else {
         val alreadyReferenced = cond.references.map(_.name).toSet

@@ -59,9 +59,19 @@ object QueryPipeline {
       partitionCols: Seq[String] = Nil): DataFrame = {
 
     // ---- stage 1: resolve request params to (Param, op, value) filters ----
-    val filters: Seq[Filter] = req.params.toSeq.flatMap { case (key, value) =>
+    val resolved: Seq[Filter] = req.params.toSeq.flatMap { case (key, value) =>
       ParamResolver.resolve(table.params, key).map { case (p, op) => Filter(p, op, value) }
     }
+    // required params must arrive (model.py semantics: missing ⇒ client
+    // error); defaults fill in as equality filters when the param is absent
+    val providedNames = resolved.map(_.param.name).toSet
+    table.params.filter(p => p.required && !providedNames.contains(p.name)).foreach { p =>
+      throw new FilterCompiler.BadRequestException(s"missing required parameter: ${p.name}")
+    }
+    val defaults = table.params
+      .filter(p => p.default.isDefined && !providedNames.contains(p.name) && p.combi.isEmpty)
+      .map(p => Filter(p, "=", p.default.get))
+    val filters = resolved ++ defaults
 
     // ---- stage 2: WHERE (+ md5-hash partition pruning predicates) ----
     val predicate = FilterCompiler.compile(df.schema, filters)
@@ -114,6 +124,10 @@ object QueryPipeline {
     val limited =
       if (limit == -1) {
         if (table.allowGetAllPages) offsetDf else offsetDf.limit(basic.hardLimit)
+      } else if (limit == 0) {
+        // the reference coerces falsy limit 0 to the hard cap
+        // (endpoint.py:289-291 `limit or 1000`), not to an empty page
+        offsetDf.limit(basic.hardLimit)
       } else offsetDf.limit(limit)
 
     // ---- stage 8: search decoration (endpoint_search.py:27-60) ----

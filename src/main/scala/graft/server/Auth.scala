@@ -41,11 +41,15 @@ object Auth {
 
   private def b64(b: Array[Byte]): String = Base64.getEncoder.withoutPadding.encodeToString(b)
 
-  /** Parse an `Authorization: Basic ...` header into (user, password). */
+  /** Parse an `Authorization: Basic ...` header into (user, password).
+    * Malformed base64 is just bad credentials (None ⇒ 401 challenge), not
+    * a 400.
+    */
   def parseBasic(header: String): Option[(String, String)] = {
     if (!header.toLowerCase.startsWith("basic ")) return None
-    val decoded = new String(
-      Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+    val decoded =
+      try new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => return None }
     decoded.indexOf(':') match {
       case -1 => None
       case i => Some(decoded.take(i) -> decoded.drop(i + 1))

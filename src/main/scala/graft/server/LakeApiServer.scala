@@ -54,18 +54,24 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     configs.tables.foreach { t =>
       frames(t.routeName).createOrReplaceTempView(t.routeName)
       val path = s"/api/v${t.version}/${t.tag}/${t.name}"
-      server.createContext(path, (ex: HttpExchange) => safely(ex)(handleTable(t, ex)))
-      server.createContext(s"$path/metadata_detail",
-        (ex: HttpExchange) => safely(ex)(handleMetadata(t, ex)))
+      // JDK HttpServer contexts prefix-match, so /test/part would also
+      // capture /test/partsupp — every handler pins the exact path
+      server.createContext(path, (ex: HttpExchange) =>
+        safely(ex)(exactPath(ex, path)(handleTable(t, ex))))
+      server.createContext(s"$path/metadata_detail", (ex: HttpExchange) =>
+        safely(ex)(exactPath(ex, s"$path/metadata_detail")(handleMetadata(t, ex))))
     }
-    server.createContext("/api/sql/tables", (ex: HttpExchange) => safely(ex) {
-      sendJson(ex, 200, mapper.writeValueAsString(configs.tables.map(_.routeName).sorted.asJava))
-    })
-    server.createContext("/api/sql", (ex: HttpExchange) => safely(ex)(handleSql(ex)))
-    server.createContext("/metadata", (ex: HttpExchange) => safely(ex) {
-      val routes = configs.tables.map(t => s"/api/v${t.version}/${t.tag}/${t.name}")
-      sendJson(ex, 200, mapper.writeValueAsString(routes.asJava))
-    })
+    server.createContext("/api/sql/tables", (ex: HttpExchange) =>
+      safely(ex)(exactPath(ex, "/api/sql/tables") {
+        sendJson(ex, 200, mapper.writeValueAsString(configs.tables.map(_.routeName).sorted.asJava))
+      }))
+    server.createContext("/api/sql", (ex: HttpExchange) =>
+      safely(ex)(exactPath(ex, "/api/sql")(handleSql(ex))))
+    server.createContext("/metadata", (ex: HttpExchange) =>
+      safely(ex)(exactPath(ex, "/metadata") {
+        val routes = configs.tables.map(t => s"/api/v${t.version}/${t.tag}/${t.name}")
+        sendJson(ex, 200, mapper.writeValueAsString(routes.asJava))
+      }))
     server.start()
     server.getAddress.getPort
   }
@@ -175,17 +181,33 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
         send(ex, 200, "application/vnd.apache.arrow.stream",
           ArrowWriters.toArrowBytes(Writers.jsonifyComplex(df), stream = true))
       case "parquet" | "orc" =>
-        val dir = java.nio.file.Files.createTempDirectory("serve").toString + "/out"
-        if (format == "parquet") Writers.writeParquetSingle(df, dir) else Writers.writeOrc(df, dir)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
-        send(ex, 200, "application/octet-stream", java.nio.file.Files.readAllBytes(part))
+        import java.nio.file.{Files, Paths}
+        val tmp = Files.createTempDirectory("serve")
+        try {
+          val dir = s"$tmp/out"
+          if (format == "parquet") Writers.writeParquetSingle(df, dir) else Writers.writeOrc(df, dir)
+          val listing = Files.list(Paths.get(dir))
+          val part =
+            try listing.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+            finally listing.close()
+          send(ex, 200, "application/octet-stream", Files.readAllBytes(part))
+        } finally { // per-request temp files must not accumulate
+          val walk = Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+        }
       case other =>
         throw new FilterCompiler.BadRequestException(s"unsupported format: $other")
     }
   }
 
   // ---- plumbing ----
+
+  private def exactPath(ex: HttpExchange, expected: String)(body: => Unit): Unit = {
+    val p = ex.getRequestURI.getPath.stripSuffix("/")
+    if (p == expected) body
+    else sendJson(ex, 404, """{"detail":"not found"}""")
+  }
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
     try {

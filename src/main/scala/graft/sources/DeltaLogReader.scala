@@ -172,6 +172,10 @@ object DeltaLogReader {
       else df.select(dataFields.map(f => col(s"`${physicalName(f)}`").as(f.name)): _*)
     }
 
+    if (snap.files.isEmpty) { // fully-deleted snapshot: empty frame, right schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    }
     if (snap.partitionColumns.isEmpty) {
       readFiles(snap.files.map(f => s"$tablePath/${f.path}"))
     } else {

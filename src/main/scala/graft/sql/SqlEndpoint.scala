@@ -23,11 +23,15 @@ object SqlEndpoint {
   def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
     val plan = parseQueryPlan(spark, sql)
     // names defined by the query's own CTEs are not external references
-    val cteNames = plan.collect {
+    val cteNames = plan.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
-    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }
-      .distinct
+    // collectWithSubqueries: relations inside IN/EXISTS/scalar subquery
+    // EXPRESSIONS are not plan children — plain collect would let
+    // `... WHERE x IN (SELECT ... FROM secret)` bypass the whitelist
+    plan.collectWithSubqueries {
+      case r: UnresolvedRelation => Seq(r.multipartIdentifier.mkString("."))
+    }.flatten.distinct
       .filterNot(r => cteNames.contains(r.toLowerCase))
   }
 

@@ -149,6 +149,19 @@ class SqlEndpointSpec extends SparkSpec {
       Set("t_allowed"))
     assert(out.count() == 2)
   }
+  test("subquery expressions cannot smuggle unregistered tables past the whitelist") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("t_allowed")
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark,
+        "SELECT * FROM t_allowed WHERE id IN (SELECT id FROM secret_table)",
+        Set("t_allowed"))
+    }
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark,
+        "SELECT (SELECT max(x) FROM hidden) AS m FROM t_allowed",
+        Set("t_allowed"))
+    }
+  }
   test("commands and unknown tables are rejected (sql_endpoint.py:117-125)") {
     intercept[SqlEndpoint.ForbiddenSqlException] {
       SqlEndpoint.query(spark, "DROP TABLE t_allowed", Set("t_allowed"))

@@ -52,6 +52,27 @@ class QueryPipelineSpec extends SparkSpec {
     assert(QueryPipeline.runOn(big, t.copy(allowGetAllPages = true),
       Request(limit = Some(-1))).count() == 5000)
   }
+  test("required params enforced, defaults fill in as equality filters (model.py)") {
+    val t = cfg(params = Seq(
+      Param("cars", required = true),
+      Param("fruits", default = Some("banana"))))
+    intercept[graft.filters.FilterCompiler.BadRequestException] {
+      QueryPipeline.runOn(fruits, t, Request()).collect()
+    }
+    val out = QueryPipeline.runOn(fruits, t,
+      Request(params = Map("cars" -> "beetle"), select = Some(Seq("A")), limit = Some(-1)))
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 5L)) // default fruits=banana applied
+    val overridden = QueryPipeline.runOn(fruits, t,
+      Request(params = Map("cars" -> "beetle", "fruits" -> "apple"),
+        select = Some(Seq("A")), limit = Some(-1))).as[Long].collect().sorted
+    assert(overridden.toSeq == Seq(3L, 4L)) // explicit value beats default
+  }
+  test("limit=0 coerces to the hard cap, not an empty page (endpoint.py:289-291)") {
+    val big = spark.range(5000).toDF("A")
+    assert(QueryPipeline.runOn(big, cfg().copy(allowGetAllPages = false),
+      Request(limit = Some(0))).count() == 1000)
+  }
   test("offset pages past sorted rows (endpoint.py:292-293)") {
     val out = QueryPipeline.runOn(fruits, cfg(sortby = Seq(SortBy("A"))),
       Request(select = Some(Seq("A")), offset = Some(2), limit = Some(2))).as[Long].collect()

@@ -91,6 +91,11 @@ class ServerSpec extends SparkSpec {
     assert(arrow.statusCode() == 200 && arrow.body().length > 0)
     assert(get(s"$base/api/v1/test/fruits?limit=1&format=nope").statusCode() == 400)
   }
+  test("paths that merely extend a route 404 instead of serving the shorter route") {
+    assert(get(s"$base/api/v1/test/fruitsupp").statusCode() == 404)
+    assert(get(s"$base/api/v1/test/fruits/extra").statusCode() == 404)
+    assert(get(s"$base/api/sql/tablesXYZ").statusCode() == 404)
+  }
   test("basic auth: 401 without/with-bad creds, 200 with valid (uservalidation.py)") {
     import graft.server.{Auth, LakeApiServer}
     val dir = Files.createTempDirectory("authsrv").toString + "/t"

@@ -29,6 +29,16 @@ class VectorExpressionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan) // the * marks a codegen stage
   }
+  test("degenerate inputs are NULL, never NaN (zero vectors would top every top-k)") {
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(1.0, 2.0)), // zero left vector
+      (2L, Seq(1.0, 2.0), Seq(1.0)), // length mismatch
+      (3L, Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("id", "a", "b")
+    val out = df.select($"id", VectorExpressions.cosine(spark, $"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(math.abs(out(3L).get - 1.0) < 1e-12)
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
