@@ -67,6 +67,11 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       }))
     server.createContext("/api/sql", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/api/sql")(handleSql(ex))))
+    server.createContext("/openapi.json", (ex: HttpExchange) =>
+      safely(ex)(exactPath(ex, "/openapi.json") {
+        sendJson(ex, 200, OpenApi.specJson(configs,
+          frames.map { case (k, v) => k -> v.schema }))
+      }))
     server.createContext("/metadata", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/metadata") {
         val routes = configs.tables.map(t => s"/api/v${t.version}/${t.tag}/${t.name}")

@@ -1,0 +1,118 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.config.{Configs, Param, TableConfig}
+import graft.params.ParamResolver
+import org.apache.spark.sql.types._
+
+/** OpenAPI 3 document generated from the config + resolved schemas — the
+  * analog of the reference's FastAPI-generated contract (request models
+  * model.py:171-236, response models model.py:243-254; contract-tested in
+  * tests/test_openid.py). Spark `StructType` maps straight onto JSON
+  * schema.
+  */
+object OpenApi {
+
+  private val mapper = new ObjectMapper()
+
+  def specJson(configs: Configs, schemas: Map[String, StructType]): String = {
+    val root = mapper.createObjectNode()
+    root.put("openapi", "3.0.3")
+    val info = root.putObject("info")
+    info.put("title", "graft lake API"); info.put("version", "1")
+    val paths = root.putObject("paths")
+    val components = root.putObject("components").putObject("schemas")
+
+    configs.tables.foreach { t =>
+      val schema = schemas.get(t.routeName)
+      val path = s"/api/v${t.version}/${t.tag}/${t.name}"
+      val item = paths.putObject(path)
+      val get = item.putObject("get")
+      val params = get.putArray("parameters")
+      controlParams(params)
+      t.params.foreach(p => operatorParams(params, p, schema))
+      t.search.foreach(sc => queryParam(params, sc.name, "string",
+        s"full-text search over ${sc.columns.mkString(", ")} (${sc.method})"))
+      val resp = get.putObject("responses").putObject("200")
+      resp.put("description", "rows")
+      schema.foreach { st =>
+        val ref = s"${t.routeName}_row"
+        resp.putObject("content").putObject("application/json")
+          .putObject("schema").put("type", "array")
+          .putObject("items").put("$ref", s"#/components/schemas/$ref")
+        components.set[ObjectNode](ref, structSchema(st))
+      }
+      paths.putObject(s"$path/metadata_detail").putObject("get")
+        .putObject("responses").putObject("200").put("description", "metadata")
+    }
+    paths.putObject("/api/sql").putObject("post")
+      .putObject("responses").putObject("200").put("description", "query result")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def controlParams(arr: ArrayNode): Unit = {
+    queryParam(arr, "limit", "integer", "page size; -1 = all pages when allowed")
+    queryParam(arr, "offset", "integer", "page offset")
+    queryParam(arr, "format", "string", "output format token")
+    queryParam(arr, "$select", "string", "CSV list of output columns")
+    queryParam(arr, "$distinct", "boolean", "distinct over selected columns")
+    queryParam(arr, "$jsonify_complex", "boolean", "stringify nested columns")
+  }
+
+  /** One query parameter per allowed operator postfix (model.py:41-58). */
+  private def operatorParams(arr: ArrayNode, p: Param,
+      schema: Option[StructType]): Unit = {
+    val baseType = schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(p.column)))
+      .map(f => jsonType(f.dataType)).getOrElse("string")
+    queryParam(arr, p.name, baseType, s"${p.column} equals")
+    val postfixFor = ParamResolver.postfixOps.map(_.swap).toMap
+    p.operators.map(_.toLowerCase).filterNot(o => o == "=" || o == "==").foreach { op =>
+      postfixFor.get(op).foreach { postfix =>
+        queryParam(arr, s"${p.name}$postfix", baseType, s"${p.column} $op")
+      }
+    }
+  }
+
+  private def queryParam(arr: ArrayNode, name: String, tpe: String, desc: String): Unit = {
+    val p = arr.addObject()
+    p.put("name", name); p.put("in", "query"); p.put("required", false)
+    p.put("description", desc)
+    p.putObject("schema").put("type", tpe)
+  }
+
+  def structSchema(st: StructType): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", "object")
+    val props = o.putObject("properties")
+    st.fields.foreach(f => props.set[ObjectNode](f.name, typeSchema(f.dataType)))
+    o
+  }
+
+  private def typeSchema(dt: DataType): ObjectNode = {
+    val o = mapper.createObjectNode()
+    dt match {
+      case s: StructType => return structSchema(s)
+      case ArrayType(e, _) =>
+        o.put("type", "array"); o.set[ObjectNode]("items", typeSchema(e))
+      case MapType(_, v, _) =>
+        o.put("type", "object"); o.set[ObjectNode]("additionalProperties", typeSchema(v))
+      case _ =>
+        o.put("type", jsonType(dt))
+        dt match {
+          case _: DateType => o.put("format", "date")
+          case _: TimestampType | _: TimestampNTZType => o.put("format", "date-time")
+          case _: BinaryType => o.put("format", "byte")
+          case _ =>
+        }
+    }
+    o
+  }
+
+  private def jsonType(dt: DataType): String = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "integer"
+    case _: FloatType | _: DoubleType | _: DecimalType => "number"
+    case _: BooleanType => "boolean"
+    case _ => "string"
+  }
+}

@@ -119,6 +119,22 @@ class ServerSpec extends SparkSpec {
       assert(ok.statusCode() == 200 && ok.body() == """[{"id":1,"v":"x"}]""")
     } finally srv.stop()
   }
+  test("openapi contract: paths, operator params, row schema (test_openid.py)") {
+    val r = get(s"$base/openapi.json")
+    assert(r.statusCode() == 200)
+    val spec = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    val path = spec.get("paths").get("/api/v1/test/fruits")
+    assert(path != null && path.has("get"))
+    val paramNames = path.get("get").get("parameters").elements()
+    val names = Iterator.continually(paramNames).takeWhile(_.hasNext).map(_.next())
+      .map(_.get("name").asText()).toSet
+    assert(names.contains("limit") && names.contains("cars") &&
+      names.contains("cars_in") && names.contains("B_lt") &&
+      names.contains("B_between") && names.contains("search"))
+    val row = spec.get("components").get("schemas").get("test_fruits_row")
+    assert(row.get("properties").get("A").get("type").asText() == "integer")
+    assert(row.get("properties").get("cars").get("type").asText() == "string")
+  }
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
