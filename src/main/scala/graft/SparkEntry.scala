@@ -587,6 +587,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
     "q_lang_id" -> langIdOracleSql,
     "q_text_quality" -> textQualityOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
@@ -666,6 +667,28 @@ object SparkEntry {
        |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
        |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private def simhashPairsOracleSql: String = {
+    val hexVal = "(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1)"
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |h AS (SELECT doc_id,
+       |  [list_sum([$hexVal * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) for wd in ws] AS hs
+       |  FROM w),
+       |sh AS (SELECT doc_id,
+       |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
+       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
+       |  FROM h),
+       |banded AS (SELECT doc_id, simhash, unnest([(simhash >> (q * 8)) & 255 for q in range(0, 4)]) AS qv,
+       |  generate_subscripts([(simhash >> (q * 8)) & 255 for q in range(0, 4)], 1) AS q
+       |  FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   private def langIdOracleSql: String = {

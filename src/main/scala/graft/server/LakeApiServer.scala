@@ -89,7 +89,10 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     val qs = parseQuery(ex)
     val body = parseBody(ex)
     val all: Map[String, Any] = qs ++ body
-    val format = str(all.get("format")).getOrElse("json").toLowerCase
+    // format param wins; otherwise Accept-header negotiation (response.py:44-84)
+    val format = str(all.get("format"))
+      .orElse(acceptFormat(Option(ex.getRequestHeaders.getFirst("Accept"))))
+      .getOrElse("json").toLowerCase
 
     val searchQ = t.search.flatMap(sc => str(all.get(sc.name)))
     val nearbyReq = t.nearby.flatMap(nc => all.get(nc.name)).flatMap {
@@ -207,6 +210,20 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
   }
 
   // ---- plumbing ----
+
+  /** Accept-header → format token (response.py:44-84). */
+  private[server] def acceptFormat(accept: Option[String]): Option[String] =
+    accept.flatMap(_.split(",").map(_.trim.takeWhile(_ != ';')).collectFirst {
+      case "application/json" => "json"
+      case "application/x-ndjson" | "application/jsonlines" => "ndjson"
+      case "text/csv" => "csv"
+      case "text/html" => "html"
+      case "application/xml" | "text/xml" => "xml"
+      case "application/parquet" | "application/x-parquet" => "parquet"
+      case "application/vnd.apache.arrow.file" => "arrow"
+      case "application/vnd.apache.arrow.stream" => "arrow-stream"
+      case "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet" => "xlsx"
+    })
 
   private def exactPath(ex: HttpExchange, expected: String)(body: => Unit): Unit = {
     val p = ex.getRequestURI.getPath.stripSuffix("/")

@@ -78,6 +78,20 @@ class ServerSpec extends SparkSpec {
     assert(r.body().contains("search_score"))
     assert(r.body().indexOf("audi") < r.body().indexOf("beetle")) // top score first
   }
+  test("Accept-header negotiation when no format param (response.py:44-84)") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/api/v1/test/fruits?limit=1"))
+        .header("Accept", "text/csv;q=0.9, application/json")
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(r.headers().firstValue("Content-Type").get.startsWith("text/csv"))
+    assert(r.body().startsWith("A,fruits,B,cars"))
+    // explicit format param wins over Accept
+    val r2 = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/api/v1/test/fruits?limit=1&format=json"))
+        .header("Accept", "text/csv").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r2.body().startsWith("[{"))
+  }
   test("format negotiation: csv, ndjson, html, arrow-stream") {
     val csv = get(s"$base/api/v1/test/fruits?cars=audi&format=csv")
     assert(csv.headers().firstValue("Content-Type").get.startsWith("text/csv"))
