@@ -89,6 +89,21 @@ class FilterPropertySpec extends SparkSpec {
         runFilter(Filter(p("s", "startswith"), "startswith", v)) == expectedS
     })
   }
+  test("param resolution: every declared (param, op) round-trips through its postfix key") {
+    import graft.params.ParamResolver
+    val nameGen = Gen.oneOf("price", "Super Name", "n_chars", "x")
+    val opGen = Gen.oneOf(ParamResolver.postfixOps.map(_._2) :+ "=")
+    check(Prop.forAll(nameGen, opGen) { (name, op) =>
+      val param = Param(name, operators = Seq(op))
+      val postfix = if (op == "=") "" else ParamResolver.postfixOps.find(_._2 == op).get._1
+      val key = name.replace(" ", "_") + postfix
+      ParamResolver.resolve(Seq(param), key).contains((param, op)) &&
+        ParamResolver.resolve(Seq(param), key.toUpperCase).contains((param, op)) &&
+        // an operator the param does not declare never resolves
+        (op == "=" || ParamResolver.resolve(
+          Seq(Param(name, operators = Seq("="))), key).isEmpty)
+    })
+  }
   test("combi OR-of-AND matches the scala model") {
     check(Prop.forAll(Gen.listOfN(2, Gen.zip(values, numbers))) { dicts =>
       val combi = Param("pk", combi = Some(Seq("s", "n")))
