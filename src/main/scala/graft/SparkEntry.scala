@@ -321,6 +321,11 @@ object SparkEntry {
       Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
+        .orderBy(col("doc_id"))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSketches(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -586,6 +591,7 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
     "q_lang_id" -> langIdOracleSql,
@@ -636,9 +642,12 @@ object SparkEntry {
        |  THEN [array_to_string(ws[i:i+${n - 1}], ' ') for i in range(1, len(ws) - ${n - 2})]
        |  ELSE [array_to_string(ws, ' ')] END)""".stripMargin
 
-  private def minhashOracleSql: String = {
+  /** The minhash-LSH pipeline as a chain of CTEs ending in `pairs`
+    * (id_a, id_b, jaccard ≥ 0.5) — shared by the pairs and clusters oracles.
+    */
+  private def minhashPairsCtes: String = {
     val seedList = (0 until seeds).map(i => s"'$i'").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+    s"""w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
        |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
        |sig AS (SELECT doc_id, shingles,
        |  [list_min([md5(sd || ' ' || x) for x in shingles]) for sd in $seedList] AS sg FROM sh),
@@ -647,15 +656,34 @@ object SparkEntry {
        |ex AS (SELECT doc_id, shingles, unnest(bk) AS key, generate_subscripts(bk, 1) AS band FROM bands),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, shingles FROM sh)
-       |SELECT id_a, id_b,
-       |  round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
-       |        len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jaccard
-       |FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
-       |WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
-       |        len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |sets AS (SELECT doc_id, shingles FROM sh),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+       |          len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jaccard
+       |  FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+       |  WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+       |          len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) >= 0.5)""".stripMargin
   }
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components over the pairs: transitive closure via a
+    * recursive CTE (no aggregates inside the recursion), then the cluster
+    * representative is the min reachable id including self.
+    */
+  private def minhashClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   private def simhashOracleSql: String = {
     val hexVal = "(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1)"

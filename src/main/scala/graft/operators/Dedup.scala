@@ -115,6 +115,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over near-dup pairs, labeling
+    * every member with the smallest doc id in its component — the final
+    * step of corpus dedup (one canonical document per cluster).
+    *
+    * Iterative min-label propagation: each round joins labels to neighbors
+    * and takes the min (one shuffle per round); labels jump toward the
+    * component minimum so rounds ≤ component diameter, which for duplicate
+    * clusters is tiny. `localCheckpoint` truncates the growing lineage so
+    * the plan stays flat across iterations — the standard guard for
+    * iterative DataFrame algorithms.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.withColumnRenamed("id", "doc_id").withColumnRenamed("label", "cluster")
+  }
+
   /** n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -100,6 +100,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
+  test("duplicate clusters: transitive chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b") // components: {1,2,3,8,9} and {5,6}
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 8L, 9L).forall(out(_) == 1L))
+    assert(out(5L) == 5L && out(6L) == 5L)
+  }
   test("embedding near-dup finds the planted duplicate vector") {
     val base = (0 until 16).map(_.toDouble / 16)
     val near = base.updated(0, base.head + 0.001f.toDouble)
