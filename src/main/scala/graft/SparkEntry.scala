@@ -692,8 +692,8 @@ object SparkEntry {
        |  [list_sum([$hexVal * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) for wd in ws] AS hs
        |  FROM w)
        |SELECT doc_id,
-       |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
-       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
+       |  CAST(list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
+       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
   }
 

@@ -83,7 +83,9 @@ object Writers {
     */
   def toCsv4Excel(df: DataFrame): Array[Byte] = {
     val body = "sep=,\n" + toCsv(df, ',')
-    body.getBytes(Charset.forName("UTF-16LE"))
+    // Excel cannot detect BOM-less UTF-16LE — without the 0xFF 0xFE BOM the
+    // whole format's purpose (delimiter + Unicode detection) fails
+    Array(0xFF.toByte, 0xFE.toByte) ++ body.getBytes(Charset.forName("UTF-16LE"))
   }
 
   /** Arbitrary charset re-encode (O5; response.py:158-169, `$encoding`). */

@@ -15,8 +15,23 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   * (endpoint/endpoint.py:213-310) as a chain of pure `DataFrame => DataFrame`
   * stages:
   *
-  *   scan → where (+hash-partition pruning) → projection/jsonify →
-  *   distinct → sort → offset/limit → search → nearby
+  *   scan → where (+hash-partition pruning) → search score/filter →
+  *   projection/jsonify → distinct → sort → offset/limit → nearby
+  *
+  * Ordering notes (matches the reference's SQL evaluation order, not its
+  * Python statement order):
+  *  - search (endpoint_search.py:56-59) appends the `search_score`
+  *    projection, `IS NOT NULL` predicate and `ORDER BY` to the SAME
+  *    `SELECT` that carries the `LIMIT` (endpoint.py:290-301), so in SQL
+  *    they all evaluate BEFORE pagination — a searched page is the top-k
+  *    scored rows, not an arbitrary page re-scored. The search `ORDER BY`
+  *    uses `append=False`, replacing the config sort.
+  *  - the score references source columns, so it is computed before the
+  *    `$select` projection (a search column need not be selected).
+  *  - nearby (endpoint_nearby.py:68-75) is different by construction: the
+  *    distance projection joins the limited SELECT, but the distance
+  *    filter and sort wrap the limited query in a CTE — they apply AFTER
+  *    pagination. That asymmetry is deliberate reference behavior.
   *
   * The sqlglot AST layer of the reference disappears: a `DataFrame` IS the
   * composable query IR, and Catalyst performs the pushdowns the reference
@@ -80,17 +95,45 @@ object QueryPipeline {
     val whereDf = (predicate.toSeq ++ pruning).reduceOption(_ && _)
       .map(df.filter).getOrElse(df)
 
-    // ---- stage 3: projection — visible ∩ $select (endpoint.py:257-283) ----
+    // ---- stage 3: search score + NOT NULL predicate (endpoint_search.py:
+    // 56-58). Computed on the pre-projection frame: the score may reference
+    // columns that $select drops. The added column survives projection and
+    // participates in $distinct, exactly like the reference's appended
+    // SELECT item.
+    val searchActive = (req.searchQuery, table.search) match {
+      case (Some(q), Some(_)) => q.trim.length >= basic.minSearchLength
+      case _ => false
+    }
+    val scored =
+      if (!searchActive) whereDf
+      else {
+        val q = req.searchQuery.get
+        val sc = table.search.get
+        val score = sc.method.toLowerCase match {
+          case "bm25" =>
+            val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
+              df.withColumn("__sid", monotonically_increasing_id())
+            })
+            graft.operators.SearchIndex.scoreColumn(
+              stats, sc.columns.map(c => col(quote(c))), q)
+          case _ => Search.searchScore(sc.columns.map(c => col(quote(c))), q)
+        }
+        whereDf.withColumn("search_score", score)
+          .filter(col("search_score").isNotNull)
+      }
+
+    // ---- stage 4: projection — visible ∩ $select (endpoint.py:257-283) ----
     val visible = whereDf.columns.filterNot(isHidden).toSeq
+    val searchCols = if (searchActive) Seq("search_score") else Nil
     val projected = req.select match {
       case Some(wanted) =>
         val want = wanted.map(_.trim.toLowerCase).toSet
-        val cols = visible.filter(c => want.contains(c.toLowerCase))
-        whereDf.select(cols.map(c => col(quote(c))): _*)
-      case None => whereDf.select(visible.map(c => col(quote(c))): _*)
+        val cols = visible.filter(c => want.contains(c.toLowerCase)) ++ searchCols
+        scored.select(cols.map(c => col(quote(c))): _*)
+      case None => scored.select((visible ++ searchCols).map(c => col(quote(c))): _*)
     }
 
-    // ---- stage 4: jsonify complex columns (df_base.py:317-327) ----
+    // ---- stage 5: jsonify complex columns (df_base.py:317-327) ----
     val jsonified =
       if (!req.jsonifyComplex) projected
       else projected.schema.fields.foldLeft(projected) { (acc, f) =>
@@ -101,24 +144,30 @@ object QueryPipeline {
         }
       }
 
-    // ---- stage 5: distinct, guarded ≤ maxDistinctColumns (endpoint.py:172-177) ----
+    // ---- stage 6: distinct, guarded ≤ maxDistinctColumns (endpoint.py:172-177) ----
     val distinctDf =
       if (!req.distinct) jsonified
       else {
-        require(jsonified.columns.length <= basic.maxDistinctColumns,
+        // the reference's ≤3 guard (endpoint.py:285-286) counts the selected
+        // columns only — search_score is appended after the guard
+        require(jsonified.columns.count(_ != "search_score") <= basic.maxDistinctColumns,
           s"$$distinct allows at most ${basic.maxDistinctColumns} selected columns")
         jsonified.distinct()
       }
 
-    // ---- stage 6: config sort; null order pinned to nulls_first to match
-    // the reference's `default_null_order='nulls_first'` (df_duckdb.py:496) ----
+    // ---- stage 7: sort. Search replaces the config sort (endpoint_search
+    // .py:59 `order_by(..., append=False)`); otherwise config sortby with
+    // null order pinned to nulls_first, matching the reference's
+    // `default_null_order='nulls_first'` (df_duckdb.py:496) ----
     val sorted =
-      if (table.datasource.sortby.isEmpty || req.searchQuery.isDefined) distinctDf
+      if (searchActive) distinctDf.orderBy(col("search_score").desc)
+      else if (table.datasource.sortby.isEmpty) distinctDf
       else distinctDf.orderBy(table.datasource.sortby.map(s =>
         if (s.isDesc) col(quote(s.by)).desc_nulls_first
         else col(quote(s.by)).asc_nulls_first): _*)
 
-    // ---- stage 7: offset/limit paging (endpoint.py:164, 210-211, 285-293) ----
+    // ---- stage 8: offset/limit paging (endpoint.py:164, 210-211, 285-293);
+    // evaluates after the search sort — a searched page is the top-k ----
     val offsetDf = req.offset.filter(_ > 0).map(sorted.offset).getOrElse(sorted)
     val limit = req.limit.getOrElse(basic.defaultLimit)
     val limited =
@@ -130,36 +179,17 @@ object QueryPipeline {
         offsetDf.limit(basic.hardLimit)
       } else offsetDf.limit(limit)
 
-    // ---- stage 8: search decoration (endpoint_search.py:27-60) ----
-    // scorer choice per config: the reference's LIKE fallback (the oracle
-    // target) or BM25 with cached corpus stats (the DuckDB-FTS analog)
-    val searched = (req.searchQuery, table.search) match {
-      case (Some(q), Some(sc)) if q.trim.length >= basic.minSearchLength =>
-        val score = sc.method.toLowerCase match {
-          case "bm25" =>
-            val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
-              df.withColumn("__sid", monotonically_increasing_id())
-            })
-            graft.operators.SearchIndex.scoreColumn(
-              stats, sc.columns.map(c => col(quote(c))), q)
-          case _ => Search.searchScore(sc.columns.map(c => col(quote(c))), q)
-        }
-        limited
-          .withColumn("search_score", score)
-          .filter(col("search_score").isNotNull)
-          .orderBy(col("search_score").desc)
-      case _ => limited
-    }
-
-    // ---- stage 9: nearby decoration (endpoint_nearby.py:37-79) ----
+    // ---- stage 9: nearby decoration (endpoint_nearby.py:37-79) — the
+    // reference wraps the LIMITed query in a CTE and filters/sorts outside
+    // it, so nearby applies to the already-paged rows by design ----
     (req.nearby, table.nearby) match {
       case (Some(n), Some(nc)) =>
-        searched
+        limited
           .withColumn(nc.name,
             Geo.haversineMeters(col(quote(nc.latCol)), col(quote(nc.lonCol)), n.lat, n.lon))
           .filter(col(nc.name) <= lit(n.distanceM))
           .orderBy(col(nc.name).asc)
-      case _ => searched
+      case _ => limited
     }
   }
 

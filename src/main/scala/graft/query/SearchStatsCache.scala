@@ -3,26 +3,64 @@ package graft.query
 import graft.meta.Metadata
 import graft.operators.SearchIndex
 import org.apache.spark.sql.DataFrame
-import java.util.concurrent.ConcurrentHashMap
 
-/** Cache of BM25 corpus statistics, keyed by (source uri, source modified
-  * date, search columns, query terms) — the Spark analog of the reference's
+/** Cache of BM25 corpus statistics — the Spark analog of the reference's
   * persisted FTS index rebuilt when the source's modified date changes
-  * (df_duckdb.py:341-353). A stale source timestamp invalidates the entry
-  * naturally because the key changes.
+  * (df_duckdb.py:341-353).
+  *
+  * Bounded on both axes (this backs a public endpoint, so cache growth is
+  * attacker-controlled): entries are keyed per (uri, columns) — NOT per
+  * query string — with LRU eviction over tables, and each entry holds an
+  * LRU-bounded map of per-term document frequencies filled lazily as
+  * queries arrive. A changed source mtime replaces the entry in place, so
+  * stale-mtime stats never linger.
   */
 object SearchStatsCache {
 
-  private val cache = new ConcurrentHashMap[String, SearchIndex.CorpusStats]()
+  private val MaxTables = 64
+  private val MaxTermsPerTable = 4096
 
-  def stats(uri: String, cols: Seq[String], query: String,
-      corpus: => DataFrame): SearchIndex.CorpusStats = {
-    val mtime = Metadata.modifiedDate(uri).map(_.toEpochMilli).getOrElse(0L)
-    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted
-    val key = s"$uri|$mtime|${cols.mkString(",")}|${terms.mkString(" ")}"
-    cache.computeIfAbsent(key,
-      _ => SearchIndex.corpusStats(corpus, "__sid", cols, query))
+  private final class Entry(val mtime: Long, val n: Double, val avgdl: Double) {
+    // accessOrder=true ⇒ LRU; absent-from-corpus terms are cached as 0.0 so
+    // a repeated unknown term does not re-scan the corpus every request
+    val dfs = new java.util.LinkedHashMap[String, java.lang.Double](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Double]): Boolean =
+        size > MaxTermsPerTable
+    }
   }
 
-  def clear(): Unit = cache.clear()
+  private val cache = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+      size > MaxTables
+  }
+
+  def stats(uri: String, cols: Seq[String], query: String,
+      corpus: => DataFrame): SearchIndex.CorpusStats = synchronized {
+    val mtime = Metadata.modifiedDate(uri).map(_.toEpochMilli).getOrElse(0L)
+    val key = s"$uri|${cols.mkString(",")}"
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+
+    var entry = cache.get(key)
+    if (entry == null || entry.mtime != mtime) {
+      val cs = SearchIndex.corpusStats(corpus, "__sid", cols, query)
+      entry = new Entry(mtime, cs.n, cs.avgdl)
+      merge(entry, terms, cs.df)
+      cache.put(key, entry) // replaces any superseded-mtime entry
+    } else {
+      val missing = terms.filterNot(entry.dfs.containsKey)
+      if (missing.nonEmpty)
+        merge(entry, missing,
+          SearchIndex.corpusStats(corpus, "__sid", cols, missing.mkString(" ")).df)
+    }
+
+    val dfMap = terms.flatMap { t =>
+      Option(entry.dfs.get(t)).collect { case d if d.doubleValue > 0.0 => t -> d.doubleValue }
+    }.toMap
+    SearchIndex.CorpusStats(entry.n, entry.avgdl, dfMap)
+  }
+
+  private def merge(entry: Entry, queried: Seq[String], found: Map[String, Double]): Unit =
+    queried.foreach(t => entry.dfs.put(t, java.lang.Double.valueOf(found.getOrElse(t, 0.0))))
+
+  def clear(): Unit = synchronized(cache.clear())
 }

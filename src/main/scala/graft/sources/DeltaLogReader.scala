@@ -87,7 +87,7 @@ object DeltaLogReader {
         }
         Option(r.getStruct(1)).foreach { _ =>
           val rm = mapper.readTree(r.json).get("remove")
-          adds.remove(rm.get("path").asText)
+          adds.remove(decodePath(rm.get("path").asText))
         }
       }
     }
@@ -108,7 +108,7 @@ object DeltaLogReader {
           adds(a.path) = a
         }
         if (action.has("remove"))
-          adds.remove(action.get("remove").get("path").asText)
+          adds.remove(decodePath(action.get("remove").get("path").asText))
       }
     }
     require(schema != null, s"no metaData action found in $tablePath")
@@ -119,10 +119,22 @@ object DeltaLogReader {
   private def parseAdd(a: JsonNode): AddFile = {
     require(!a.has("deletionVector") || a.get("deletionVector").isNull,
       "deletion vectors are not supported by this reader")
-    AddFile(
-      java.net.URLDecoder.decode(a.get("path").asText, "UTF-8"),
-      jsonMap(a.get("partitionValues")))
+    AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")))
   }
+
+  /** Delta stores `add.path`/`remove.path` percent-encoded (URI syntax,
+    * PROTOCOL.md "Add File and Remove File"); delta-spark decodes them with
+    * `new Path(new URI(path))`. The same decoder MUST be applied to both
+    * action kinds or a remove never cancels its add for any path with
+    * encoded characters (partition values with spaces, ':', '='), and it
+    * must be URI-style: `URLDecoder` is for form data and corrupts a
+    * legitimate '+' into a space.
+    */
+  private[graft] def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null) u.getPath else p // absolute URIs kept verbatim
+    } catch { case _: java.net.URISyntaxException => p }
 
   private def checkProtocol(p: JsonNode): Unit = {
     val supported = Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",

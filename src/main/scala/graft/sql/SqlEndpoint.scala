@@ -2,6 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
 /** Raw read-only SQL endpoint semantics (reference:
@@ -14,26 +15,60 @@ import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement
   * `LogicalPlan`: anything that is a `Command` (DDL, SET, …) or an insert is
   * rejected; joins, set ops, aggregates, window functions all come free from
   * Catalyst, exactly as the reference delegates them to DuckDB.
+  *
+  * CTE handling uses proper lexical scoping, not a global name subtraction:
+  * a WITH-bound name only shadows single-part references in the scopes
+  * where SQL actually binds it — the WITH body, and later (not earlier,
+  * not its own, unless RECURSIVE) definitions in the same WITH clause. A
+  * global subtraction is bypassable: `WITH secret AS (SELECT * FROM secret)
+  * SELECT * FROM secret` would hide the real table `secret`, and a quoted
+  * CTE named `parquet./path` would hide a path-based relation that still
+  * executes as a raw file read. Multi-part relations (catalog-qualified or
+  * `format`.`/path` file reads) never bind to CTEs and always count as
+  * external references, so they fail the single-part whitelist.
   */
 object SqlEndpoint {
 
   final class ForbiddenSqlException(msg: String) extends IllegalArgumentException(msg)
 
-  /** Parse, validate, and return the referenced table identifiers. */
+  /** Parse, validate, and return the externally-referenced table
+    * identifiers (CTE-bound names excluded with lexical scoping).
+    */
   def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
     val plan = parseQueryPlan(spark, sql)
-    // names defined by the query's own CTEs are not external references
-    val cteNames = plan.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    // collectWithSubqueries: relations inside IN/EXISTS/scalar subquery
-    // EXPRESSIONS are not plan children — plain collect would let
-    // `... WHERE x IN (SELECT ... FROM secret)` bypass the whitelist
-    plan.collectWithSubqueries {
-      case r: UnresolvedRelation => Seq(r.multipartIdentifier.mkString("."))
-    }.flatten.distinct
-      .filterNot(r => cteNames.contains(r.toLowerCase))
+    externalRefs(plan, Set.empty).distinct
   }
+
+  /** Walk the parse tree with an explicit scope of in-force CTE names.
+    * Expression subqueries (IN/EXISTS/scalar) are walked too — they are not
+    * plan children, and `… WHERE x IN (SELECT … FROM secret)` must count.
+    */
+  private def externalRefs(plan: LogicalPlan, scope: Set[String]): Seq[String] =
+    plan match {
+      case w: UnresolvedWith =>
+        // each definition sees the outer scope plus names defined EARLIER in
+        // this WITH clause; its own name is visible inside its definition
+        // only for WITH RECURSIVE
+        var defScope = scope
+        val fromDefs = w.cteRelations.flatMap { case (name, defn, _) =>
+          val selfScope =
+            if (w.allowRecursion) defScope + name.toLowerCase else defScope
+          val refs = externalRefs(defn, selfScope)
+          defScope += name.toLowerCase
+          refs
+        }
+        fromDefs ++ externalRefs(w.child, defScope)
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        if (parts.length == 1 && scope.contains(parts.head.toLowerCase)) Nil
+        else Seq(parts.mkString("."))
+      case other =>
+        val fromChildren = other.children.flatMap(externalRefs(_, scope))
+        val fromExprs = other.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression => externalRefs(sq.plan, scope)
+        }.flatten)
+        fromChildren ++ fromExprs
+    }
 
   private def parseQueryPlan(spark: SparkSession, sql: String): LogicalPlan = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
@@ -44,9 +79,17 @@ object SqlEndpoint {
     plan
   }
 
-  /** Validate + execute against the set of registered (allowed) views. */
+  /** Validate + execute against the set of registered (allowed) views.
+    * Multi-part references (`catalog.table`, `parquet`.`/path`) are rejected
+    * outright — registered tables are single-part session views, and
+    * path-based relations are raw file reads the whitelist must never pass.
+    */
   def query(spark: SparkSession, sql: String, allowed: Set[String]): DataFrame = {
     val refs = referencedTables(spark, sql)
+    val multipart = refs.filter(_.contains("."))
+    if (multipart.nonEmpty)
+      throw new ForbiddenSqlException(
+        s"qualified or path-based relations are not allowed: ${multipart.mkString(", ")}")
     val unknown = refs.filterNot(r => allowed.contains(r) || allowed.contains(r.toLowerCase))
     if (unknown.nonEmpty)
       throw new ForbiddenSqlException(s"unknown table(s): ${unknown.mkString(", ")}")

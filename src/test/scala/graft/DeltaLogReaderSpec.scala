@@ -68,6 +68,32 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(v0.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("percent-encoded paths: remove cancels add; '+' survives decoding") {
+    // URI-style decoding, applied identically to add and remove (delta-spark
+    // uses `new Path(new URI(path))`); URLDecoder would corrupt '+' → ' '
+    assert(DeltaLogReader.decodePath("a%20b/f%3A1=x%3Dy.parquet") == "a b/f:1=x=y.parquet")
+    assert(DeltaLogReader.decodePath("part+1.parquet") == "part+1.parquet")
+    assert(DeltaLogReader.decodePath("s3://bucket/k%20ey") == "s3://bucket/k%20ey")
+
+    val t = Files.createTempDirectory("dltenc").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part a+b.parquet")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schemaJson("id" -> "long", "v" -> "string")),
+      """{"add":{"path":"part%20a+b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"part-2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // the add resolved to an on-disk file with space AND literal '+'
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // the remove (same encoded form) must cancel it — not resurface it
+    writeCommit(t, 1, Seq(
+      """{"remove":{"path":"part%20a+b.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
   test("partition values re-attached as typed columns, any layout") {
     val t = Files.createTempDirectory("dlt2").toString
     Seq(("x", 1.5)).toDF("name", "score").coalesce(1)

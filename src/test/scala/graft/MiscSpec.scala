@@ -176,6 +176,40 @@ class SqlEndpointSpec extends SparkSpec {
       SqlEndpoint.query(spark, "INSERT INTO t_allowed VALUES (2, 'b')", Set("t_allowed"))
     }
   }
+  test("CTE name cannot shadow a real table inside its own definition (lexical scoping)") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("t_allowed")
+    // non-recursive CTE: the inner FROM secret refers to the REAL table
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark,
+        "WITH secret AS (SELECT * FROM secret) SELECT * FROM secret",
+        Set("t_allowed"))
+    }
+    // legitimate chained CTEs still pass: later defs and the body see
+    // earlier names
+    val ok = SqlEndpoint.query(spark,
+      "WITH a AS (SELECT id FROM t_allowed), b AS (SELECT id + 1 AS id FROM a) SELECT * FROM b",
+      Set("t_allowed"))
+    assert(ok.count() == 1)
+    // a CTE name is NOT visible to definitions that precede it
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark,
+        "WITH a AS (SELECT * FROM b), b AS (SELECT 1 AS id) SELECT * FROM a",
+        Set("t_allowed"))
+    }
+  }
+  test("path-based relations are rejected even when a quoted CTE shadows the name") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlpath").toString
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/d")
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark, s"SELECT * FROM parquet.`$dir/d`", Set("t_allowed"))
+    }
+    // even force-allowing the dotted name must not open the raw file read
+    intercept[SqlEndpoint.ForbiddenSqlException] {
+      SqlEndpoint.query(spark,
+        s"WITH `parquet.$dir/d` AS (SELECT 1 AS x) SELECT * FROM parquet.`$dir/d`",
+        Set("t_allowed", s"parquet.$dir/d"))
+    }
+  }
 }
 
 class MetadataSpec extends SparkSpec {

@@ -32,10 +32,14 @@ class OutputSpec extends SparkSpec {
     assert(Writers.toCsv(df, '\t').split("\r\n")(0) == "id\ts\tv")
     assert(Writers.toCsv(df, ';').split("\r\n")(1) == "1;a,b;1.5")
   }
-  test("csv4excel: sep= prefix, UTF-16-LE bytes (test_output_formats.py:14-28)") {
+  test("csv4excel: BOM + sep= prefix, UTF-16-LE bytes (test_output_formats.py:14-28)") {
     val bytes = Writers.toCsv4Excel(df)
-    val text = new String(bytes, "UTF-16LE")
+    // Excel can only detect UTF-16LE through the BOM
+    assert(bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+    val text = new String(bytes.drop(2), "UTF-16LE")
     assert(text.startsWith("sep=,\n"))
+    // java's "UTF-16" decoder consumes the BOM the same way Excel does
+    assert(new String(bytes, "UTF-16").startsWith("sep=,\n"))
   }
   test("charset re-encode (test_output_formats.py:32-59)") {
     val cp850 = Writers.encode("héllo", "cp850")

@@ -114,6 +114,52 @@ class QueryPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     out.foreach { case (id, s) => assert(math.abs(s - viaIndex(id)) < 1e-9) }
   }
+  test("search evaluates before pagination: a limited page is the top-k by score") {
+    // the reference adds score/filter/order to the SAME SELECT as the LIMIT
+    // (endpoint.py:290-301 + endpoint_search.py:56-59) — SQL evaluates them
+    // before pagination, so limit=1 must return the best row, not whatever
+    // row happened to be first
+    val t = cfg(search = Some(SearchConfig("search", Seq("fruits", "cars"))))
+    val out = QueryPipeline.runOn(fruits, t,
+      Request(searchQuery = Some("banana audi"), limit = Some(1)))
+      .select("A").as[Long].collect()
+    assert(out.toSeq == Seq(2L)) // the only double-hit row, mid-frame
+  }
+  test("default-limit search still finds matches beyond the first page") {
+    val big = ((1 to 200).map(i => (i.toLong, "pear", i.toLong, "fiat")) :+
+      ((999L, "banana", 1L, "audi"))).toDF("A", "fruits", "B", "cars")
+    val t = cfg(search = Some(SearchConfig("search", Seq("fruits", "cars"))))
+    val out = QueryPipeline.runOn(big, t, Request(searchQuery = Some("banana")))
+      .select("A").as[Long].collect()
+    assert(out.toSeq == Seq(999L)) // was: empty page (scored after limit 100)
+  }
+  test("search score may use columns dropped by $select") {
+    val t = cfg(search = Some(SearchConfig("search", Seq("fruits", "cars"))))
+    val out = QueryPipeline.runOn(fruits, t,
+      Request(searchQuery = Some("banana audi"), select = Some(Seq("A")), limit = Some(-1)))
+    assert(out.columns.toSeq == Seq("A", "search_score"))
+    assert(out.count() == 3)
+  }
+  test("search stats cache: keyed per table, term dfs merged lazily, misses bounded") {
+    import graft.query.SearchStatsCache
+    SearchStatsCache.clear()
+    var builds = 0
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "text")
+    def corpus = { builds += 1
+      docs.withColumn("__sid", org.apache.spark.sql.functions.monotonically_increasing_id()) }
+    val uri = "mem://stats-test"
+    val s1 = SearchStatsCache.stats(uri, Seq("text"), "alpha", corpus)
+    assert(builds == 1 && s1.df.keySet == Set("alpha"))
+    val s2 = SearchStatsCache.stats(uri, Seq("text"), "alpha beta", corpus)
+    assert(builds == 2) // only the missing term hit the corpus
+    assert(s2.df("beta") == 2.0 && s2.df("alpha") == 1.0)
+    SearchStatsCache.stats(uri, Seq("text"), "beta alpha", corpus)
+    assert(builds == 2) // fully cached — distinct query strings don't grow it
+    val s4 = SearchStatsCache.stats(uri, Seq("text"), "zzz", corpus)
+    assert(builds == 3 && s4.df.isEmpty)
+    SearchStatsCache.stats(uri, Seq("text"), "zzz", corpus)
+    assert(builds == 3) // absent-from-corpus terms are cached too
+  }
   test("search below min length is ignored (endpoint_search.py:16-24)") {
     val t = cfg(search = Some(SearchConfig("search", Seq("fruits"))))
     val out = QueryPipeline.runOn(fruits, t, Request(searchQuery = Some("ba")))
