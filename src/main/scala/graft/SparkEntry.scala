@@ -40,6 +40,51 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
 
+  /** Author a small Delta table under java.io.tmpdir from `nation`: two
+    * commits, one percent-encoded file name — so the q_delta_* gates drive
+    * the native log replay (schemaString, add actions, versionAsOf, path
+    * decoding) end to end against a plain-SQL oracle over the source
+    * parquet. Idempotent per sf dir; rebuilt only when absent.
+    */
+  private def deltaFixture(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_gate_v1_${math.abs(dir.hashCode)}")
+    val logDir = root.resolve("_delta_log")
+    if (Files.exists(logDir.resolve(f"${1L}%020d.json"))) return root.toString
+    def deleteRec(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    deleteRec(root)
+    Files.createDirectories(logDir)
+    val nation = Tables.load(s, dir, "nation")
+    def writeFile(df: DataFrame, name: String): Unit = {
+      val tmp = root.resolve("staging")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, root.resolve(name))
+      deleteRec(tmp)
+    }
+    writeFile(nation.filter(col("n_regionkey") < 2), "part-0.parquet")
+    writeFile(nation.filter(col("n_regionkey") >= 2), "part 1+x.parquet")
+    // Delta's schemaString IS Spark's StructType JSON; escape it as a JSON
+    // string value (quotes + backslashes only — StructType.json emits no
+    // control characters)
+    val schemaStr = nation.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    def add(path: String) =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"gate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      add("part-0.parquet")).mkString("\n"))
+    // version 1 adds a file whose log path is URI-encoded (space) and
+    // contains a literal '+' that must survive decoding
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      add("part%201+x.parquet"))
+    root.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -264,6 +309,89 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    "q_window_funcs" -> ((s, dir) => {
+      // §2.7 depth: ranking + offset window functions beyond ROW_NUMBER
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      val byTime = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(byPrice).as("price_rank"),
+          dense_rank().over(byPrice).as("price_dense_rank"),
+          lag(col("o_totalprice"), 1).over(byTime).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byTime).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q_window_rolling" -> ((s, dir) => {
+      // rolling frame aggregation; sums go through DECIMAL for bit-exact
+      // cross-engine match; ts is raw nanos here (nanosAsLong) but ordering
+      // is order-isomorphic to the oracle's timestamp ordering
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      Tables.load(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(frame)
+            .cast("double").as("rolling_value"),
+          max(col("value")).over(frame).as("rolling_max"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_join_left" -> ((s, dir) => {
+      // left join keeps order-less customers; aggregates stay NULL for them
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") < 200)
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_join_semi_anti" -> ((s, dir) => {
+      // semi/anti joins: customers with vs without an URGENT order; the
+      // anti side never materializes the join — one existence probe
+      val c = Tables.load(s, dir, "customer")
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val semi = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_urgent").as("bucket"))
+      val anti = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_urgent").as("bucket"))
+      semi.unionByName(anti).orderBy(col("c_custkey"))
+    }),
+    "q_pivot" -> ((s, dir) =>
+      // pivot with an explicit value list: one shuffle, no value-discovery
+      // pass; sum (not count) so empty cells are NULL on both engines
+      Tables.load(s, dir, "events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+        .orderBy(col("user_id"))),
+    "q_json_funcs" -> ((s, dir) =>
+      // JSON scalar extraction from a string column (§2.10)
+      Tables.load(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))),
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 5).as("name_pre"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_key"),
+          when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("bal_sign"),
+          floor(col("c_acctbal")).cast("long").as("bal_floor"))
+        .orderBy(col("c_custkey"))),
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders").filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_98"))
+        .orderBy(col("o_orderkey"))),
     "q_setops" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       SqlEndpoint.query(s,
@@ -294,6 +422,19 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
         Tables.all.toSet)
+    }),
+    // ---- §2.1 delta scan, gated end-to-end against a plain-SQL oracle ----
+    "q_delta_scan" -> ((s, dir) => {
+      val path = deltaFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_time_travel" -> ((s, dir) => {
+      val path = deltaFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, path, versionAsOf = Some(0L))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }),
     // ---- §3.3 metadata computations ----
     "q_meta_maxlen" -> ((s, dir) => {
@@ -368,6 +509,16 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 16)
       Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 4)
+    }),
+    "q_ann_ivf_exact" -> ((s, dir) => {
+      // probing every cell makes IVF exact: its top-k must equal the brute
+      // force oracle regardless of where k-means put the centroids — a full
+      // value gate on the IVF plumbing (assignment, probe, scoring)
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 8)
+      Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 8)
     }),
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
@@ -558,6 +709,77 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_dense_rank,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rolling_value,
+        |  max(value) OVER w AS rolling_max
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey < 200
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT c_custkey,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey
+        |                      AND o_orderpriority = '1-URGENT')
+        |       THEN 'has_urgent' ELSE 'no_urgent' END AS bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view') AS DOUBLE) AS "view",
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'error') AS DOUBLE) AS "error"
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substring(c_name, 1, 5) AS name_pre,
+        |  concat_ws('-', c_mktsegment, c_nationkey) AS seg_key,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders WHERE o_custkey < 30 ORDER BY o_orderkey""".stripMargin,
+    "q_delta_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_delta_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_ann_ivf_exact" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_setops" ->
       """(SELECT s_nationkey AS nkey FROM supplier
         | INTERSECT

@@ -66,33 +66,50 @@ object DeltaLogReader {
     var configuration: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    // start from the newest usable checkpoint, if any
-    val cp = lastCheckpoint(logDir).filter(v => versionAsOf.forall(v <= _))
-    cp.foreach { cpVersion =>
-      val cpPath = logDir.resolve(f"$cpVersion%020d.checkpoint.parquet")
-      val rows = spark.read.parquet(cpPath.toString)
-        .select("add", "remove", "metaData", "protocol").collect()
-      rows.foreach { r =>
-        Option(r.getStruct(2)).foreach { md => // metaData
-          val mdJson = mapper.readTree(r.json).get("metaData")
-          schema = DataType.fromJson(mdJson.get("schemaString").asText).asInstanceOf[StructType]
-          partitionCols = mdJson.get("partitionColumns").elements().asScala.map(_.asText).toSeq
-          configuration = jsonMap(mdJson.get("configuration"))
+    /** Apply one checkpoint parquet's action rows; v2 manifests carry
+      * `sidecar` actions whose referenced files hold the add/remove rows —
+      * recurse into them (PROTOCOL.md "V2 Spec Checkpoints").
+      */
+    def applyCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cols = df.columns.toSet
+      val actions = Seq("metaData", "add", "remove").filter(cols.contains)
+      if (actions.nonEmpty) {
+        df.select(actions.map(c => col(s"`$c`")): _*).collect().foreach { r =>
+          val row = mapper.readTree(r.json)
+          Option(row.get("metaData")).filterNot(_.isNull).foreach { md =>
+            schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+            partitionCols = md.get("partitionColumns").elements().asScala.map(_.asText).toSeq
+            configuration = jsonMap(md.get("configuration"))
+          }
+          Option(row.get("add")).filterNot(_.isNull).foreach { a =>
+            val add = parseAdd(a); adds(add.path) = add
+          }
+          Option(row.get("remove")).filterNot(_.isNull).foreach { rm =>
+            adds.remove(decodePath(rm.get("path").asText))
+          }
         }
-        Option(r.getStruct(3)).foreach(_ => ()) // protocol checked via commits
-        Option(r.getStruct(0)).foreach { _ =>
-          val addJson = mapper.readTree(r.json).get("add")
-          val a = parseAdd(addJson)
-          adds(a.path) = a
-        }
-        Option(r.getStruct(1)).foreach { _ =>
-          val rm = mapper.readTree(r.json).get("remove")
-          adds.remove(decodePath(rm.get("path").asText))
+      }
+      if (cols.contains("sidecar")) {
+        val sidecarDir = logDir.resolve("_sidecars")
+        df.select(col("sidecar")).filter(col("sidecar").isNotNull).collect().foreach { r =>
+          val path = mapper.readTree(r.json).get("sidecar").get("path").asText
+          applyCheckpoint(spark.read.parquet(sidecarDir.resolve(path).toString))
         }
       }
     }
 
-    val replayFrom = cp.getOrElse(-1L)
+    // start from the newest usable checkpoint, if any; classic single-file,
+    // classic multi-part, and v2 (uuid-named manifest + sidecars) layouts
+    val cp = lastCheckpoint(logDir).filter(v => versionAsOf.forall(v <= _))
+    val cpFiles = cp.map(v => checkpointFiles(logDir, v)).getOrElse(Nil)
+    if (cpFiles.nonEmpty)
+      applyCheckpoint(spark.read.parquet(cpFiles.map(_.toString): _*))
+    else
+      require(cp.isEmpty || commitFiles.headOption.exists(versionOf(_) == 0L),
+        s"checkpoint ${cp.getOrElse(-1L)} has no readable files and the " +
+          s"commit log does not start at version 0: $tablePath")
+
+    val replayFrom = if (cpFiles.nonEmpty) cp.get else -1L
     commitFiles.filter(p => versionOf(p) > replayFrom).foreach { p =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
