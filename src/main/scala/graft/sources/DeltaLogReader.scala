@@ -172,6 +172,36 @@ object DeltaLogReader {
   private def versionOf(p: Path): Long =
     p.getFileName.toString.takeWhile(_.isDigit).toLong
 
+  /** Parquet files making up checkpoint `version`, per PROTOCOL.md
+    * "Checkpoints": classic single-file `%020d.checkpoint.parquet`,
+    * classic multi-part `%020d.checkpoint.%010d.%010d.parquet` (all parts,
+    * sorted by part index), or a v2 uuid-named manifest
+    * `%020d.checkpoint.<uuid>.parquet` (whose `sidecar` actions
+    * `applyCheckpoint` recurses into). Empty if none are readable.
+    */
+  private[graft] def checkpointFiles(logDir: Path, version: Long): Seq[Path] = {
+    val prefix = f"$version%020d.checkpoint"
+    val single = logDir.resolve(s"$prefix.parquet")
+    if (Files.exists(single)) return Seq(single)
+    val candidates = Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$prefix."))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val multiPart = "\\d{20}\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val parts = candidates.flatMap { p =>
+      p.getFileName.toString match {
+        case multiPart(idx, total) => Some((idx.toInt, total.toInt, p))
+        case _ => None
+      }
+    }
+    if (parts.nonEmpty) {
+      val total = parts.head._2
+      require(parts.length == total && parts.map(_._1).sorted == (1 to total),
+        s"incomplete multi-part checkpoint $version in $logDir: " +
+          s"have ${parts.length} of $total parts")
+      parts.sortBy(_._1).map(_._3)
+    } else candidates // v2 uuid manifest (at most one) or nothing
+  }
+
   private def lastCheckpoint(logDir: Path): Option[Long] = {
     val f = logDir.resolve("_last_checkpoint")
     if (!Files.exists(f)) None
