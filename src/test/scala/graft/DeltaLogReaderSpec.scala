@@ -165,6 +165,111 @@ class DeltaLogReaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] { DeltaLogReader.snapshot(spark, t) }
   }
 
+  // ---- checkpoints (PROTOCOL.md "Checkpoints") -------------------------
+  // Real Delta tables checkpoint every ~10 commits; the reader must be able
+  // to start replay from one (the early commits may be vacuumed away).
+
+  /** Author a checkpoint parquet from one action-JSON line per row. A split
+    * predicate writes multi-part files from the SAME DataFrame so the parts
+    * share one schema, as delta writers produce.
+    */
+  private def writeActionsParquet(table: String, relName: String,
+      lines: Seq[String],
+      filter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+    val df = filter(spark.read.json(lines.toDS))
+    val tmpName = s"_cptmp${cpTmpCounter.incrementAndGet()}"
+    df.coalesce(1).write.parquet(s"$table/$tmpName")
+    relocate(table, tmpName, relName)
+  }
+  private val cpTmpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def writeLastCheckpoint(table: String, version: Long): Unit =
+    Files.writeString(Paths.get(table, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$version,"size":1}""")
+  private def addJson(path: String) =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+
+  test("classic checkpoint: replay equals full-log replay; survives truncated early commits") {
+    val t = Files.createTempDirectory("dltcp1").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    Seq((4L, "d")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f3"); relocate(t, "f3", "part-3.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta, addJson("part-1.parquet")))
+    writeCommit(t, 1, Seq(addJson("part-2.parquet"),
+      """{"remove":{"path":"part-1.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    val fullReplay = DeltaLogReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq
+
+    // checkpoint at version 1 = complete state after commit 1
+    writeActionsParquet(t, "_delta_log/00000000000000000001.checkpoint.parquet",
+      Seq(meta, addJson("part-2.parquet")))
+    writeLastCheckpoint(t, 1)
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == fullReplay)
+    // versionAsOf BEFORE the checkpoint falls back to commit replay
+    assert(DeltaLogReader.read(spark, t, versionAsOf = Some(0L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // vacuum scenario: early commits gone, checkpoint is the only start point
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000001.json"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == fullReplay)
+    // commits after the checkpoint still apply on top of it
+    writeCommit(t, 2, Seq(addJson("part-3.parquet")))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    assert(DeltaLogReader.snapshot(spark, t).version == 2L)
+  }
+
+  test("multi-part checkpoint: parts combined in index order; incomplete set rejected") {
+    val t = Files.createTempDirectory("dltcp2").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta, addJson("part-1.parquet"), addJson("part-2.parquet")))
+    val all = Seq(meta, addJson("part-1.parquet"), addJson("part-2.parquet"))
+    writeActionsParquet(t, "_delta_log/00000000000000000000.checkpoint.0000000001.0000000002.parquet",
+      all, _.where(col("add").isNull || col("add.path") === "part-1.parquet"))
+    writeActionsParquet(t, "_delta_log/00000000000000000000.checkpoint.0000000002.0000000002.parquet",
+      all, _.where(col("add.path") === "part-2.parquet"))
+    writeLastCheckpoint(t, 0)
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // a missing part must fail loudly, not silently drop files
+    Files.delete(Paths.get(t, "_delta_log",
+      "00000000000000000000.checkpoint.0000000002.0000000002.parquet"))
+    intercept[IllegalArgumentException] { DeltaLogReader.snapshot(spark, t) }
+  }
+
+  test("v2 uuid checkpoint: manifest + sidecar files under _sidecars") {
+    val t = Files.createTempDirectory("dltcp3").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta,
+      addJson("part-1.parquet"), addJson("part-2.parquet")))
+    Files.createDirectories(Paths.get(t, "_delta_log", "_sidecars"))
+    writeActionsParquet(t, "_delta_log/_sidecars/sc-1.parquet", Seq(addJson("part-1.parquet")))
+    writeActionsParquet(t, "_delta_log/_sidecars/sc-2.parquet", Seq(addJson("part-2.parquet")))
+    writeActionsParquet(t,
+      "_delta_log/00000000000000000000.checkpoint.3a0d65cd-4056-49b8-937b-95f9e3ee90e5.parquet",
+      Seq(meta,
+        """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1,"modificationTime":0}}""",
+        """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":1,"modificationTime":0}}"""))
+    writeLastCheckpoint(t, 0)
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("DataSources routes file_type delta through the log reader") {
     val t = Files.createTempDirectory("dlt6").toString
     Seq((5L, "z")).toDF("id", "v").coalesce(1).write.parquet(s"$t/d")
