@@ -44,12 +44,18 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.contains(n)))
-    // best-of-2: transient host contention showed up as rare 10x spikes on
-    // single runs; the min of two runs is the engine's actual cost
+    // best-of-3: transient host contention showed up as rare 10x spikes on
+    // single runs (the official r3 record was 2.9x an immediate rerun with
+    // best-of-2); the min of three runs with a brief settle between them is
+    // the engine's actual cost
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = names.map { n =>
-      val a = execute(n)
-      val b = execute(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val times = (0 until runsPerQuery).map { i =>
+        if (i > 0) Thread.sleep(50) // let other tenants' bursts pass
+        execute(n)
+      }
+      val ok = times.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

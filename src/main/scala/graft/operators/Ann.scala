@@ -47,13 +47,14 @@ object Ann {
   def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iterations: Int = 3): (DataFrame, Seq[Seq[Double]]) = {
     val v = col(vecCol).cast("array<double>")
-    val n = embs.count()
-    val step = math.max(1L, n / nlist)
-    // deterministic seeds: every step-th vector in id order
+    // Deterministic pseudo-random seeds: the nlist rows with the smallest
+    // xxhash64(id). orderBy+limit is TakeOrderedAndProject — per-partition
+    // top-k heaps, no global sort and no single-partition window — so
+    // seeding stays distributed at any scale, and a hash-ordered sample is
+    // a better k-means init than evenly-spaced ids (ids often correlate
+    // with insertion order and therefore with the data distribution).
     var centroids: Seq[Seq[Double]] = embs
-      .orderBy(col(idCol))
-      .withColumn("rn", monotonically_increasing_id())
-      .filter(col("rn") % step === 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
       .select(v).collect().map(_.getSeq[Double](0)).toSeq
     (0 until iterations).foreach { _ =>
@@ -81,14 +82,18 @@ object Ann {
   }
 
   /** Assign each vector to its nearest centroid (squared L2, argmin over
-    * broadcast centroid literals).
+    * broadcast centroid literals). Distances use the codegen'd
+    * [[graft.plans.L2DistanceSquared]] expression — the portable
+    * `aggregate(zip_with(...))` formulation is CodegenFallback (interpreted
+    * per row × per centroid), which made assignment the hot spot of the
+    * whole IVF path; the fused loop keeps it inside whole-stage codegen.
     */
   private def assignCells(embs: DataFrame, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = array(c.map(lit): _*)
-      val d = aggregate(zip_with(v, cc, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+      val d = graft.plans.VectorExpressions.l2sq(embs.sparkSession, v, cc)
       struct(d.as("dist"), lit(i).as("cell"))
     }
     embs.withColumn("cell", least(dists: _*).getField("cell"))

@@ -87,14 +87,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean (L2²) distance between two array<double> vectors.
+  *
+  * Same motivation as [[CosineSimilarity]]: the portable
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)²), 0, +)` formulation is
+  * CodegenFallback — interpreted per row with per-element closure dispatch —
+  * which is ~10× slower in the IVF cell-assignment hot path (one distance
+  * per row × per centroid). This generates one fused Java loop inside
+  * whole-stage codegen. Squared distance is returned (argmin-equivalent,
+  * no sqrt), which is all k-means assignment needs.
+  *
+  * NULL on length mismatch, matching zip_with's null-padding semantics.
+  */
+case class L2DistanceSquared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   val cosineFn = "graft_cosine"
+  val l2sqFn = "graft_l2sq"
 
   /** Register the native functions in the session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineFn, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      l2sqFn, exprs => L2DistanceSquared(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Codegen'd cosine similarity; arrays are cast to double first so float
     * embeddings score identically to the portable formulation.
@@ -102,5 +165,11 @@ object VectorExpressions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(cosineFn, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Codegen'd squared L2 distance (no sqrt — argmin-equivalent). */
+  def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(l2sqFn, a.cast("array<double>"), b.cast("array<double>"))
   }
 }

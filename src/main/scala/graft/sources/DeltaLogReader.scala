@@ -54,9 +54,9 @@ object DeltaLogReader {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
 
-    val commitFiles = Files.list(logDir).iterator().asScala
+    val commitFiles = listDir(logDir)
       .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .filter(p => versionAsOf.forall(v => versionOf(p) <= v))
     require(commitFiles.nonEmpty || lastCheckpoint(logDir).isDefined,
       s"empty delta log: $tablePath")
@@ -102,9 +102,14 @@ object DeltaLogReader {
     // classic multi-part, and v2 (uuid-named manifest + sidecars) layouts
     val cp = lastCheckpoint(logDir).filter(v => versionAsOf.forall(v <= _))
     val cpFiles = cp.map(v => checkpointFiles(logDir, v)).getOrElse(Nil)
-    if (cpFiles.nonEmpty)
-      applyCheckpoint(spark.read.parquet(cpFiles.map(_.toString): _*))
-    else
+    if (cpFiles.nonEmpty) {
+      // classic/multi-part checkpoints are parquet; a v2 manifest (always a
+      // single file here) may be json (PROTOCOL.md permits both encodings)
+      val df = if (cpFiles.forall(_.toString.endsWith(".json")))
+        spark.read.json(cpFiles.map(_.toString): _*)
+      else spark.read.parquet(cpFiles.map(_.toString): _*)
+      applyCheckpoint(df)
+    } else
       require(cp.isEmpty || commitFiles.headOption.exists(versionOf(_) == 0L),
         s"checkpoint ${cp.getOrElse(-1L)} has no readable files and the " +
           s"commit log does not start at version 0: $tablePath")
@@ -172,20 +177,19 @@ object DeltaLogReader {
   private def versionOf(p: Path): Long =
     p.getFileName.toString.takeWhile(_.isDigit).toLong
 
-  /** Parquet files making up checkpoint `version`, per PROTOCOL.md
-    * "Checkpoints": classic single-file `%020d.checkpoint.parquet`,
-    * classic multi-part `%020d.checkpoint.%010d.%010d.parquet` (all parts,
-    * sorted by part index), or a v2 uuid-named manifest
-    * `%020d.checkpoint.<uuid>.parquet` (whose `sidecar` actions
+  /** Files making up checkpoint `version`, per PROTOCOL.md "Checkpoints":
+    * classic single-file `%020d.checkpoint.parquet`, classic multi-part
+    * `%020d.checkpoint.%010d.%010d.parquet` (a complete part set, sorted by
+    * part index), or a v2 uuid-named manifest
+    * `%020d.checkpoint.<uuid>.{parquet,json}` (whose `sidecar` actions
     * `applyCheckpoint` recurses into). Empty if none are readable.
     */
   private[graft] def checkpointFiles(logDir: Path, version: Long): Seq[Path] = {
     val prefix = f"$version%020d.checkpoint"
     val single = logDir.resolve(s"$prefix.parquet")
     if (Files.exists(single)) return Seq(single)
-    val candidates = Files.list(logDir).iterator().asScala
+    val candidates = listDir(logDir)
       .filter(_.getFileName.toString.startsWith(s"$prefix."))
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     val multiPart = "\\d{20}\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
     val parts = candidates.flatMap { p =>
       p.getFileName.toString match {
@@ -194,12 +198,35 @@ object DeltaLogReader {
       }
     }
     if (parts.nonEmpty) {
-      val total = parts.head._2
-      require(parts.length == total && parts.map(_._1).sorted == (1 to total),
-        s"incomplete multi-part checkpoint $version in $logDir: " +
-          s"have ${parts.length} of $total parts")
-      parts.sortBy(_._1).map(_._3)
-    } else candidates // v2 uuid manifest (at most one) or nothing
+      // A version may be checkpointed more than once with different part
+      // counts (retried writers) — each distinct <total> is its own
+      // checkpoint set. Any complete set (parts 1..total all present) is
+      // valid; fail only when none is.
+      val complete = parts.groupBy(_._2).filter { case (total, ps) =>
+        ps.map(_._1).distinct.sorted == (1 to total)
+      }
+      require(complete.nonEmpty,
+        s"no complete multi-part checkpoint set for version $version in " +
+          s"$logDir: parts on disk ${parts.map(p => (p._1, p._2)).sorted}")
+      complete.maxBy(_._1)._2.sortBy(_._1).map(_._3)
+    } else {
+      // v2 uuid manifests: the protocol permits several per version, each
+      // self-contained (parquet or json) — pick exactly one. Reading more
+      // than one would double-count adds and, under one spark.read without
+      // mergeSchema, silently drop columns present only in another file.
+      val v2 = "\\d{20}\\.checkpoint\\.[^.]+\\.(parquet|json)".r
+      candidates
+        .filter(p => v2.pattern.matcher(p.getFileName.toString).matches())
+        .sortBy(_.getFileName.toString).lastOption.toSeq
+    }
+  }
+
+  /** Eagerly list a directory, closing the stream (Files.list leaks a file
+    * descriptor per call otherwise — material in a long-running server).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   private def lastCheckpoint(logDir: Path): Option[Long] = {

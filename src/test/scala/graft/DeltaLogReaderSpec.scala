@@ -270,6 +270,71 @@ class DeltaLogReaderSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("multi-part checkpoint retried with different part counts: a complete set wins") {
+    // The protocol allows one version to be checkpointed several times with
+    // different <total> values (retried writers). Grouping by <total> must
+    // find the complete set; counting all parts together would reject it.
+    val t = Files.createTempDirectory("dltcp4").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta, addJson("part-1.parquet"), addJson("part-2.parquet")))
+    val all = Seq(meta, addJson("part-1.parquet"), addJson("part-2.parquet"))
+    // complete set: total=2, parts 1 and 2
+    writeActionsParquet(t, "_delta_log/00000000000000000000.checkpoint.0000000001.0000000002.parquet",
+      all, _.where(col("add").isNull || col("add.path") === "part-1.parquet"))
+    writeActionsParquet(t, "_delta_log/00000000000000000000.checkpoint.0000000002.0000000002.parquet",
+      all, _.where(col("add.path") === "part-2.parquet"))
+    // abandoned retry: total=3, only part 1 present
+    writeActionsParquet(t, "_delta_log/00000000000000000000.checkpoint.0000000001.0000000003.parquet",
+      all, _.where(col("add").isNull || col("add.path") === "part-1.parquet"))
+    writeLastCheckpoint(t, 0)
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("several v2 uuid manifests for one version: exactly one is read, no double-count") {
+    val t = Files.createTempDirectory("dltcp5").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-2.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta, addJson("part-1.parquet"), addJson("part-2.parquet")))
+    // two self-contained manifests; the lexicographically-last one must win
+    // (reading both would double-count adds and merge unrelated schemas)
+    writeActionsParquet(t,
+      "_delta_log/00000000000000000000.checkpoint.0aaaaaaa-0000-0000-0000-000000000000.parquet",
+      Seq(meta, addJson("part-1.parquet")))
+    writeActionsParquet(t,
+      "_delta_log/00000000000000000000.checkpoint.ffffffff-0000-0000-0000-000000000000.parquet",
+      Seq(meta, addJson("part-1.parquet"), addJson("part-2.parquet")))
+    writeLastCheckpoint(t, 0)
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    val snap = DeltaLogReader.snapshot(spark, t)
+    assert(snap.files.map(_.path).sorted == Seq("part-1.parquet", "part-2.parquet"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("v2 uuid manifest in JSON encoding (PROTOCOL.md permits json or parquet)") {
+    val t = Files.createTempDirectory("dltcp6").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    val meta = metaAction(schemaJson("id" -> "long", "v" -> "string"))
+    writeCommit(t, 0, Seq(protocol, meta, addJson("part-1.parquet")))
+    Files.writeString(Paths.get(t,
+      "_delta_log/00000000000000000000.checkpoint.3a0d65cd-4056-49b8-937b-95f9e3ee90e5.json"),
+      Seq(meta, addJson("part-1.parquet")).mkString("\n"))
+    writeLastCheckpoint(t, 0)
+    Files.delete(Paths.get(t, "_delta_log", "00000000000000000000.json"))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   test("DataSources routes file_type delta through the log reader") {
     val t = Files.createTempDirectory("dlt6").toString
     Seq((5L, "z")).toDF("id", "v").coalesce(1).write.parquet(s"$t/d")

@@ -39,6 +39,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1L).isEmpty && out(2L).isEmpty)
     assert(math.abs(out(3L).get - 1.0) < 1e-12)
   }
+  test("native l2sq matches the portable HOF formulation bit-for-bit") {
+    val q = (0 until 32).map(d => math.cos(d * 5).toDouble)
+    val qc = array(q.map(lit): _*)
+    val portable = aggregate(zip_with($"v".cast("array<double>"), qc,
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    val rows = vecs.select(
+      VectorExpressions.l2sq(spark, $"v", qc).as("native"),
+      portable.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+  test("l2sq participates in whole-stage codegen and nulls on length mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("vx2").toString + "/t"
+    vecs.write.parquet(dir)
+    val q = (0 until 32).map(_.toDouble)
+    val df = spark.read.parquet(dir)
+      .select(VectorExpressions.l2sq(spark, $"v", array(q.map(lit): _*)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(VectorExpressions.l2sq(spark, $"a", $"b")).collect()
+    assert(mm.head.isNullAt(0))
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
