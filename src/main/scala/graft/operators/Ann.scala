@@ -60,20 +60,20 @@ object Ann {
     (0 until iterations).foreach { _ =>
       val assigned = assignCells(embs, vecCol, centroids)
       val dims = centroids.head.length
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+      // per-cell mean as one hash-aggregate with `dims` flat sum columns
+      // (sum(element_at(...)) is codegen'd; exploding to (cell, dim, x)
+      // rows would shuffle n×dims rows per iteration — 64× the data)
+      val sumCols = (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s$d"))
+      val byCell = assigned
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("c"), sumCols: _*)
         .collect()
-      val byCell = sums.groupBy(_.getInt(0))
+        .map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { c =>
         byCell.get(c) match {
-          case Some(rows) =>
-            val arr = new Array[Double](dims)
-            rows.foreach(r => arr(r.getInt(1)) = r.getLong(3) match {
-              case cnt if cnt > 0 => r.getDouble(2) / cnt
-              case _ => 0.0
-            })
-            arr.toSeq
+          case Some(r) =>
+            val cnt = r.getLong(1)
+            (0 until dims).map(d => if (cnt > 0) r.getDouble(d + 2) / cnt else 0.0)
           case None => centroids(c) // empty cell keeps its centroid
         }
       }
