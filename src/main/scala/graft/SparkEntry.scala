@@ -907,30 +907,34 @@ object SparkEntry {
        |SELECT u AS doc_id, least(u, min(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
-  private def simhashOracleSql: String = {
-    val hexVal = "(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1)"
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
-       |h AS (SELECT doc_id,
-       |  [list_sum([$hexVal * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) for wd in ws] AS hs
-       |  FROM w)
-       |SELECT doc_id,
-       |  CAST(list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
-       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS simhash
-       |FROM h ORDER BY doc_id""".stripMargin
+  /** 64-bit word hash and sketch in DuckDB: BIGINT left-shifts raise on
+    * overflow (no wrap), so the hash and the bit-weight sums run in HUGEINT
+    * and the final sketch converts to the signed-long bit pattern
+    * (u ≥ 2⁶³ ⇒ u − 2⁶⁴) to match Spark's LongType exactly.
+    */
+  private val simhashSketchCtes = {
+    val h64 = "(('0x' || substring(md5(wd), 1, 8))::BIGINT::HUGEINT * 4294967296" +
+      " + ('0x' || substring(md5(wd), 9, 8))::BIGINT::HUGEINT)"
+    s"""w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |h AS (SELECT doc_id, [$h64 for wd in ws] AS hs FROM w),
+       |u AS (SELECT doc_id,
+       |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
+       |            THEN (1::HUGEINT << b) ELSE 0::HUGEINT END for b in range(0, 64)]) AS su
+       |  FROM h),
+       |sh AS (SELECT doc_id,
+       |  (CASE WHEN su >= 9223372036854775808::HUGEINT
+       |        THEN su - 18446744073709551616::HUGEINT ELSE su END)::BIGINT AS simhash
+       |  FROM u)""".stripMargin
   }
 
+  private def simhashOracleSql: String =
+    s"""WITH $simhashSketchCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
   private def simhashPairsOracleSql: String = {
-    val hexVal = "(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1)"
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
-       |h AS (SELECT doc_id,
-       |  [list_sum([$hexVal * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) for wd in ws] AS hs
-       |  FROM w),
-       |sh AS (SELECT doc_id,
-       |  list_sum([CASE WHEN list_sum([((hh >> b) & 1) * 2 - 1 for hh in hs]) > 0
-       |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
-       |  FROM h),
-       |banded AS (SELECT doc_id, simhash, unnest([(simhash >> (q * 8)) & 255 for q in range(0, 4)]) AS qv,
-       |  generate_subscripts([(simhash >> (q * 8)) & 255 for q in range(0, 4)], 1) AS q
+    s"""WITH $simhashSketchCtes,
+       |banded AS (SELECT doc_id, simhash, unnest([(simhash >> (q * 16)) & 65535 for q in range(0, 4)]) AS qv,
+       |  generate_subscripts([(simhash >> (q * 16)) & 65535 for q in range(0, 4)], 1) AS q
        |  FROM sh),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.simhash AS sh_a, b.simhash AS sh_b

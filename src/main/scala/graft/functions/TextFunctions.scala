@@ -60,15 +60,32 @@ object TextFunctions {
       sequence(lit(0), lit(numBands - 1)),
       b => md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
-  /** 32-bit SimHash over whitespace words. Each word votes with a 32-bit
-    * hash derived from the first 8 hex chars of its md5; bit b of the result
-    * is set when the weighted vote is positive. Pure expressions — no UDF.
+  /** 64-bit word hash: the first 16 hex chars of md5, assembled from two
+    * 32-bit halves (a single conv over 16 hex digits overflows the signed
+    * long for values ≥ 2⁶³ and nulls out on the cast; two 8-digit halves
+    * stay in range and the shift wraps to the intended bit pattern).
     */
-  def simhash32(c: Column): Column = {
-    val hashes = transform(words(c), w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    val bits = (0 until 32).map { b =>
+  def wordHash64(w: Column): Column =
+    shiftleft(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+
+  /** 64-bit SimHash over whitespace words. Each word votes with the 64-bit
+    * hash of its md5 prefix; bit b of the result is set when the weighted
+    * vote is positive. Pure expressions — no UDF. 64 bits (vs a 32-bit
+    * sketch) matters at corpus scale: a 32-bit simhash saturates near 10⁵
+    * documents (birthday collisions between unrelated docs), and the wider
+    * sketch allows 16-bit LSH bands (65,536 keys/band vs 256).
+    *
+    * This array formulation is the readable reference definition — it is
+    * CodegenFallback (interpreted); the production path is the explode-side
+    * [[graft.operators.Dedup.simhashSketches]], spec-checked equal.
+    */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(words(c), w => wordHash64(w))
+    val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L))
+      // 1L << 63 is Long.MinValue — the sign bit, still the correct pattern
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -13,9 +13,9 @@ import org.apache.spark.sql.expressions.Window
   *  - MinHash+LSH: per-doc signature map-side, then a shuffle keyed on
   *    (band, key) whose fan-in is only candidate groups — the classic
   *    shingle→minhash→band→bucket-join pipeline; O(n) not O(n²)
-  *  - SimHash: per-doc 32-bit sketch map-side; near-dup pairs via banded
-  *    self-join on sketch quarters (hamming ≤ 3 guarantees one equal quarter
-  *    by pigeonhole)
+  *  - SimHash: per-doc 64-bit sketch map-side; near-dup pairs via banded
+  *    self-join on 16-bit sketch quarters (hamming ≤ 3 guarantees one equal
+  *    quarter by pigeonhole; 4×65,536 band keys bound the candidate blowup)
   *  - n-gram Jaccard verification on candidate pairs only
   *  - embedding cosine near-dup: SRP-LSH buckets, cosine verified in-bucket
   */
@@ -157,25 +157,25 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Per-document SimHash sketch.
+  /** Per-document SimHash sketch (64-bit).
     *
-    * Same math as [[graft.functions.TextFunctions.simhash32]] but computed
+    * Same math as [[graft.functions.TextFunctions.simhash64]] but computed
     * explode-side: one row per word, a flat codegen'd hash of the word, then
-    * 32 bit-vote sums in a single hash-aggregate (map-side partial combine).
+    * 64 bit-vote sums in a single hash-aggregate (map-side partial combine).
     * Spark's higher-order array functions are CodegenFallback (interpreted
     * per row), so the array formulation costs ~10× at scale; this shape is
-    * whole-stage-codegen end to end and shuffles 32 longs per document.
+    * whole-stage-codegen end to end and shuffles 64 longs per document.
     */
   def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol),
       explode(T.words(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    val votes = (0 until 32).map(b =>
+      .withColumn("h", T.wordHash64(col("w")))
+    val votes = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b"))
     words.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -196,14 +196,17 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4 uses
     * the 4-quarter pigeonhole banding: any pair within hamming 3 shares at
-    * least one exact 8-bit quarter, so the self-join key space stays tiny).
+    * least one exact 16-bit quarter). 16-bit bands give 4×65,536 join keys —
+    * at corpus scale the banded self-join emits O(n²/65,536) candidates per
+    * band instead of the O(n²/256) a 32-bit sketch's 8-bit quarters would,
+    * which is the difference between a bounded shuffle and a quadratic one.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sk = simhashSketches(docs, idCol, textCol)
     val banded = sk.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 8).bitwiseAND(lit(255L))): _*)).as(Seq("q", "qv")))
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(65535L))): _*)).as(Seq("q", "qv")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.q") === col("b.q") && col("a.qv") === col("b.qv") &&

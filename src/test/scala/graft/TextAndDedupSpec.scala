@@ -32,11 +32,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sig(0) != sig(2))
   }
   test("simhash: near-identical docs are hamming-close, different docs are not") {
-    val vals = docs.select($"id", T.simhash32($"text")).collect()
+    val vals = docs.select($"id", T.simhash64($"text")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(vals(1L), vals(2L)) < ham(vals(1L), vals(3L)))
-    assert(vals.values.forall(v => v >= 0 && v < (1L << 32)))
+    // 64-bit sketches use the full long range (bit 63 = sign bit); distinct
+    // docs should produce distinct sketches
+    assert(vals.values.toSet.size == vals.size)
+  }
+  test("wordHash64 equals the big-integer interpretation of the md5 prefix") {
+    val words = Seq("hello", "world", "zzz").toDF("w")
+    val out = words.select($"w", T.wordHash64($"w").as("h")).collect()
+    out.foreach { r =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val expected = java.lang.Long.parseUnsignedLong(md5hex, 16)
+      assert(r.getLong(1) == expected, s"word ${r.getString(0)}")
+    }
   }
   test("language id picks the right stopword family") {
     val out = docs.select($"id", T.langId($"text").as("l")).collect()
@@ -80,8 +93,8 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
-  test("explode-based sketches equal the Column-level simhash32 definition") {
-    val arr = docs.select($"doc_id", T.simhash32($"text").as("simhash"))
+  test("explode-based sketches equal the Column-level simhash64 definition") {
+    val arr = docs.select($"doc_id", T.simhash64($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expl = Dedup.simhashSketches(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
