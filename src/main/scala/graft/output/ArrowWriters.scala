@@ -46,10 +46,20 @@ object ArrowWriters {
 
   def toArrowBytes(df: DataFrame, stream: Boolean,
       chunkSize: Int = defaultChunkSize): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeArrow(df, stream, out, chunkSize)
+    out.toByteArray
+  }
+
+  /** Stream Arrow record batches into `out` one chunk at a time — the
+    * IPC format is batch-framed, so nothing bigger than a chunk is ever
+    * buffered (the file variant's footer is written at `end()`).
+    */
+  def writeArrow(df: DataFrame, stream: Boolean, out: java.io.OutputStream,
+      chunkSize: Int = defaultChunkSize): Unit = {
     val schema = new ArrowSchema(df.schema.fields.map(arrowField).toList.asJava)
     val allocator = new RootAllocator(Long.MaxValue)
     val root = VectorSchemaRoot.create(schema, allocator)
-    val out = new ByteArrayOutputStream()
     val channel = Channels.newChannel(out)
     val writer =
       if (stream) new ArrowStreamWriter(root, null, channel)
@@ -77,7 +87,6 @@ object ArrowWriters {
     } finally {
       writer.close(); root.close(); allocator.close()
     }
-    out.toByteArray
   }
 
   private def writeCell(vec: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit = {

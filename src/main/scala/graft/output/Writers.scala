@@ -25,48 +25,59 @@ object Writers {
   val formats: Set[String] = Set("json", "ndjson", "csv", "scsv", "tsv",
     "csv4excel", "xlsx", "html", "xml", "arrow", "arrow-stream", "parquet", "orc")
 
-  // ---- inline (string) writers ----
+  // ---- streaming writers ----
+  //
+  // Each write* variant streams rows from `toLocalIterator` (one partition
+  // in flight) straight into a `java.io.Writer`, so driver memory stays
+  // O(partition) however large the export — the serving layer points these
+  // at a chunked HTTP response body for `limit=-1` exports. The to* String
+  // variants wrap them for bounded results and tests.
 
   /** JSON array of records (response O1; df_base.py:128-134). */
-  def toJsonArray(df: DataFrame): String = {
+  def writeJsonArray(df: DataFrame, w: java.io.Writer): Unit = {
     val it = df.toJSON.toLocalIterator()
-    val sb = new StringBuilder("[")
+    w.write('[')
     var first = true
     while (it.hasNext) {
-      if (!first) sb.append(',')
-      sb.append(it.next()); first = false
+      if (!first) w.write(',')
+      w.write(it.next()); first = false
     }
-    sb.append(']').toString()
+    w.write(']')
   }
+  def toJsonArray(df: DataFrame): String = stringOf(writeJsonArray(df, _))
 
   /** Newline-delimited JSON (O2; df_base.py:136-154). */
-  def toNdjson(df: DataFrame): String = {
-    val sb = new StringBuilder
+  def writeNdjson(df: DataFrame, w: java.io.Writer): Unit = {
     val it = df.toJSON.toLocalIterator()
-    while (it.hasNext) { sb.append(it.next()).append('\n') }
-    sb.toString()
+    while (it.hasNext) { w.write(it.next()); w.write('\n') }
   }
+  def toNdjson(df: DataFrame): String = stringOf(writeNdjson(df, _))
 
   /** CSV with configurable separator (O3; response.py:99-116). Complex
     * columns must be jsonified upstream (the pipeline auto-forces this for
     * csv-family formats, endpoint.py:272-279).
     */
-  def toCsv(df: DataFrame, sep: Char = ','): String = {
-    val sb = new StringBuilder
+  def writeCsv(df: DataFrame, w: java.io.Writer, sep: Char = ','): Unit = {
     val cols = df.columns
-    sb.append(cols.map(csvQuote(_, sep)).mkString(sep.toString)).append("\r\n")
+    w.write(cols.map(csvQuote(_, sep)).mkString(sep.toString)); w.write("\r\n")
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
       var i = 0
       while (i < cols.length) {
-        if (i > 0) sb.append(sep)
-        sb.append(csvQuote(cellString(row, i), sep))
+        if (i > 0) w.write(sep)
+        w.write(csvQuote(cellString(row, i), sep))
         i += 1
       }
-      sb.append("\r\n")
+      w.write("\r\n")
     }
-    sb.toString()
+  }
+  def toCsv(df: DataFrame, sep: Char = ','): String = stringOf(writeCsv(df, _, sep))
+
+  private def stringOf(write: java.io.Writer => Unit): String = {
+    val sw = new java.io.StringWriter()
+    write(sw)
+    sw.toString
   }
 
   private def cellString(row: Row, i: Int): String =
@@ -81,11 +92,19 @@ object Writers {
     * line then the CSV body, the whole payload encoded UTF-16-LE so Excel
     * opens it with correct delimiters and Unicode.
     */
-  def toCsv4Excel(df: DataFrame): Array[Byte] = {
-    val body = "sep=,\n" + toCsv(df, ',')
+  def writeCsv4Excel(df: DataFrame, out: java.io.OutputStream): Unit = {
     // Excel cannot detect BOM-less UTF-16LE — without the 0xFF 0xFE BOM the
     // whole format's purpose (delimiter + Unicode detection) fails
-    Array(0xFF.toByte, 0xFE.toByte) ++ body.getBytes(Charset.forName("UTF-16LE"))
+    out.write(0xFF); out.write(0xFE)
+    val w = new java.io.OutputStreamWriter(out, Charset.forName("UTF-16LE"))
+    w.write("sep=,\n")
+    writeCsv(df, w, ',')
+    w.flush()
+  }
+  def toCsv4Excel(df: DataFrame): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeCsv4Excel(df, bos)
+    bos.toByteArray
   }
 
   /** Arbitrary charset re-encode (O5; response.py:158-169, `$encoding`). */
@@ -93,40 +112,44 @@ object Writers {
     text.getBytes(Charset.forName(charset))
 
   /** Minimal HTML table (O7; response.py:125-128). */
-  def toHtmlTable(df: DataFrame): String = {
+  def writeHtmlTable(df: DataFrame, w: java.io.Writer): Unit = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    val sb = new StringBuilder("<table border=\"1\"><thead><tr>")
-    df.columns.foreach(c => sb.append("<th>").append(esc(c)).append("</th>"))
-    sb.append("</tr></thead><tbody>")
+    w.write("<table border=\"1\"><thead><tr>")
+    df.columns.foreach(c => w.write("<th>" + esc(c) + "</th>"))
+    w.write("</tr></thead><tbody>")
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
-      sb.append("<tr>")
+      w.write("<tr>")
       (0 until df.columns.length).foreach(i =>
-        sb.append("<td>").append(esc(cellString(row, i))).append("</td>"))
-      sb.append("</tr>")
+        w.write("<td>" + esc(cellString(row, i)) + "</td>"))
+      w.write("</tr>")
     }
-    sb.append("</tbody></table>").toString()
+    w.write("</tbody></table>")
   }
+  def toHtmlTable(df: DataFrame): String = stringOf(writeHtmlTable(df, _))
 
   /** Row-templated XML (O8; response.py:130-133 semantics). */
-  def toXml(df: DataFrame, rootTag: String = "data", rowTag: String = "row"): String = {
+  def writeXml(df: DataFrame, w: java.io.Writer,
+      rootTag: String = "data", rowTag: String = "row"): Unit = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    val sb = new StringBuilder(s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<$rootTag>")
+    w.write(s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<$rootTag>")
     val cols = df.columns
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
-      sb.append(s"<$rowTag>")
+      w.write(s"<$rowTag>")
       cols.indices.foreach { i =>
         val tag = cols(i).replaceAll("[^A-Za-z0-9_]", "_")
-        if (row.isNullAt(i)) sb.append(s"<$tag/>")
-        else sb.append(s"<$tag>").append(esc(row.get(i).toString)).append(s"</$tag>")
+        if (row.isNullAt(i)) w.write(s"<$tag/>")
+        else w.write(s"<$tag>" + esc(row.get(i).toString) + s"</$tag>")
       }
-      sb.append(s"</$rowTag>")
+      w.write(s"</$rowTag>")
     }
-    sb.append(s"</$rootTag>").toString()
+    w.write(s"</$rootTag>")
   }
+  def toXml(df: DataFrame, rootTag: String = "data", rowTag: String = "row"): String =
+    stringOf(writeXml(df, _, rootTag, rowTag))
 
   // ---- file writers (lake-side formats) ----
 
