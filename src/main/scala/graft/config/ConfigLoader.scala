@@ -32,7 +32,8 @@ object ConfigLoader {
       minSearchLength = int(app.getOrElse("min_search_length", 3)),
       defaultLimit = int(app.getOrElse("default_limit", 100)),
       hardLimit = int(app.getOrElse("hard_limit", 1000)),
-      maxDistinctColumns = int(app.getOrElse("max_distinct_columns", 3)))
+      maxDistinctColumns = int(app.getOrElse("max_distinct_columns", 3)),
+      maxRouteInitSeconds = int(app.getOrElse("max_route_init_time", 200)))
   }
 
   private def parseTable(m: Map[String, Any]): TableConfig = TableConfig(

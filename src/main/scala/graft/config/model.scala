@@ -80,12 +80,19 @@ final case class TableConfig(
   }
 }
 
-/** Engine-wide knobs (core/config.py:56-83). */
+/** Engine-wide knobs (core/config.py:56-83).
+  *
+  * `maxRouteInitSeconds` is the startup schema-probe budget
+  * (core/route.py:39-43, `max_route_init_time`, default 200 s): once
+  * exceeded, remaining routes are still registered but their frames
+  * resolve lazily on first request instead of eagerly at startup.
+  */
 final case class BasicConfig(
     minSearchLength: Int = 3,
     defaultLimit: Int = 100,
     hardLimit: Int = 1000,
-    maxDistinctColumns: Int = 3)
+    maxDistinctColumns: Int = 3,
+    maxRouteInitSeconds: Int = 200)
 
 final case class Configs(tables: Seq[TableConfig], basic: BasicConfig = BasicConfig()) {
   def byRoute: Map[String, TableConfig] = tables.map(t => t.routeName -> t).toMap

@@ -13,7 +13,7 @@ import graft.sql.SqlEndpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.net.InetSocketAddress
 import java.net.URLDecoder
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
@@ -36,13 +36,52 @@ import scala.util.control.NonFatal
   * the server executor and issues ordinary lazy DataFrame actions.
   */
 final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
-    users: Option[Map[String, String]] = None) {
+    users: Option[Map[String, String]] = None,
+    frameTtlMillis: Long = 300000L) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
-  @volatile private var frames: Map[String, DataFrame] = Map.empty
 
   private val csvFamily = Set("csv", "scsv", "tsv", "csv4excel", "xlsx")
+
+  // ---- per-request frame resolution (schema-drift survival) ----
+  //
+  // The reference re-resolves the datasource on every request behind a 300 s
+  // schema cache (core/schema_cache.py:6-32), so a table overwritten
+  // mid-session serves fresh rows (tests/test_datamove.py:16-42). A Spark
+  // DataFrame freezes its file listing at read time, so the analog is a TTL
+  // cache of resolved frames: within the TTL serve the cached plan (zero
+  // per-request overhead); on expiry compare the source's modified date and
+  // re-read — with the path's metadata caches invalidated — only when the
+  // data actually moved.
+
+  private final case class CachedFrame(df: DataFrame,
+      modified: Option[java.time.Instant], at: Long)
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedFrame]()
+
+  private def frame(t: TableConfig): DataFrame = {
+    val now = System.currentTimeMillis()
+    val cached = Option(frameCache.get(t.routeName))
+    cached match {
+      case Some(c) if now - c.at < frameTtlMillis => c.df
+      case _ =>
+        val mtime = Metadata.modifiedDate(t.datasource.uri)
+        cached match {
+          case Some(c) if mtime.isDefined && c.modified == mtime =>
+            frameCache.put(t.routeName, c.copy(at = now)); c.df
+          case _ =>
+            // drop Spark's cached file listings/footers for the path, else
+            // the re-read can resurrect the pre-overwrite file list
+            try spark.catalog.refreshByPath(t.datasource.uri)
+            catch { case NonFatal(_) => () } // non-FS uris (jdbc) have no path
+            val df = DataSources.read(spark, t.datasource)
+            df.createOrReplaceTempView(t.routeName) // SQL endpoint sees it too
+            frameCache.put(t.routeName, CachedFrame(df, mtime, now))
+            df
+        }
+    }
+  }
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -50,9 +89,17 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     // md5-partition pruning for the raw-SQL path too (config-path pruning
     // happens at predicate-build time in QueryPipeline)
     graft.pruning.HashPartitionPruningRule.install(spark)
-    frames = configs.tables.map(t => t.routeName -> DataSources.read(spark, t.datasource)).toMap
+    // eager schema probe, time-boxed (route.py:39-43): routes past the
+    // budget — or whose source is momentarily unreadable — still register
+    // and resolve lazily on the first request instead of failing startup
+    val initStart = System.currentTimeMillis()
+    val initBudget = configs.basic.maxRouteInitSeconds * 1000L
     configs.tables.foreach { t =>
-      frames(t.routeName).createOrReplaceTempView(t.routeName)
+      if (System.currentTimeMillis() - initStart <= initBudget)
+        try frame(t)
+        catch { case NonFatal(e) =>
+          System.err.println(s"[graft] startup probe failed for ${t.routeName}: $e")
+        }
       val path = s"/api/v${t.version}/${t.tag}/${t.name}"
       // JDK HttpServer contexts prefix-match, so /test/part would also
       // capture /test/partsupp — every handler pins the exact path
@@ -70,7 +117,7 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     server.createContext("/openapi.json", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/openapi.json") {
         sendJson(ex, 200, OpenApi.specJson(configs,
-          frames.map { case (k, v) => k -> v.schema }))
+          configs.tables.map(t => t.routeName -> frame(t).schema).toMap))
       }))
     server.createContext("/metadata", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/metadata") {
@@ -128,12 +175,18 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
         str(all.get("$jsonify_complex")).exists(v => v == "true" || v == "1") ||
           csvFamily.contains(format)) // auto-forced (endpoint.py:272-279)
 
-    val df = QueryPipeline.runOn(frames(t.routeName), t, req, configs.basic)
+    val df = QueryPipeline.runOn(frame(t), t, req, configs.basic)
     render(ex, df, format, str(all.get("$encoding")))
   }
 
+  /** Full metadata contract (detail_endpoint.py:42-212, types.py:148-158):
+    * data_schema, max_string_lengths, partition_columns + their distinct
+    * values, delta metaData/schema when the source is a delta table,
+    * search/nearby config, and the source's modified_date.
+    */
   private def handleMetadata(t: TableConfig, ex: HttpExchange): Unit = {
-    val df = frames(t.routeName)
+    import graft.sources.DeltaLogReader
+    val df = frame(t)
     val visible = df.columns.filterNot(QueryPipeline.isHidden)
     val schema = visible.map { c =>
       Map("name" -> c, "type" -> Metadata.describeType(df.schema(c).dataType)).asJava
@@ -146,11 +199,52 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
           c -> (if (row.isNullAt(i)) null else row.get(i).toString)
         }.toMap
       } catch { case _: IllegalArgumentException => Map.empty[String, String] }
-    val out = Map(
-      "name" -> t.routeName,
-      "data_schema" -> schema.toList.asJava,
-      "max_string_lengths" -> lengths.asJava,
-      "parameters" -> t.params.map(_.name).asJava).asJava
+
+    val snap =
+      if (t.datasource.fileType.equalsIgnoreCase("delta") &&
+          DeltaLogReader.isDeltaTable(t.datasource.uri))
+        Some(DeltaLogReader.snapshot(spark, t.datasource.uri,
+          t.datasource.options.get("versionAsOf").map(_.toLong)))
+      else None
+    // partition columns come from the delta metaData action, hidden columns
+    // stripped like the reference (detail_endpoint.py:84-89)
+    val partCols = snap.map(_.partitionColumns.filterNot(QueryPipeline.isHidden))
+      .getOrElse(Nil).filter(visible.contains)
+    // distinct partition values: small by design (one row per partition
+    // tuple), same probe the reference issues (detail_endpoint.py:90-99)
+    val partValues: Any =
+      if (partCols.isEmpty) null
+      else Metadata.distinctValues(df, partCols)
+        .orderBy(partCols.map(df.col): _*).collect()
+        .map(r => partCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else r.get(i).toString)
+        }.toMap.asJava).toList.asJava
+    val deltaMeta: Any = snap.map(s => Map[String, Any](
+      "version" -> s.version,
+      "partitionColumns" -> s.partitionColumns.asJava,
+      "configuration" -> s.configuration.asJava).asJava).orNull
+    val deltaSchema: Any =
+      snap.map(s => mapper.readTree(s.schema.json): Any).orNull
+    val searchCfg: Any = t.search.map(sc => Map[String, Any](
+      "name" -> sc.name, "columns" -> sc.columns.asJava,
+      "method" -> sc.method).asJava).orNull
+    val nearbyCfg: Any = t.nearby.map(nc => Map[String, Any](
+      "name" -> nc.name, "lat_col" -> nc.latCol,
+      "lon_col" -> nc.lonCol).asJava).orNull
+
+    val out = new java.util.LinkedHashMap[String, Any]()
+    out.put("name", t.routeName)
+    out.put("partition_values", partValues)
+    out.put("partition_columns", partCols.asJava)
+    out.put("max_string_lengths", lengths.asJava)
+    out.put("data_schema", schema.toList.asJava)
+    out.put("delta_meta", deltaMeta)
+    out.put("delta_schema", deltaSchema)
+    out.put("parameters", t.params.map(_.name).asJava)
+    out.put("search", searchCfg)
+    out.put("nearby", nearbyCfg)
+    out.put("modified_date", Metadata.modifiedDate(t.datasource.uri)
+      .map(_.toString).orNull)
     sendJson(ex, 200, mapper.writeValueAsString(out))
   }
 
@@ -159,35 +253,61 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       .orElse(Some(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
       .map(_.trim).filter(_.nonEmpty)
       .getOrElse(throw new FilterCompiler.BadRequestException("missing sql"))
-    val df = SqlEndpoint.query(spark, sql, frames.keySet)
+    // re-resolve expired frames so the temp views the SQL reads are fresh
+    configs.tables.foreach(frame)
+    val df = SqlEndpoint.query(spark, sql, configs.tables.map(_.routeName).toSet)
     val format = str(parseQuery(ex).get("format")).getOrElse("json")
     render(ex, df, format, None)
   }
 
   // ---- rendering (SURVEY.md §2.2 format negotiation) ----
 
+  /** Stream the result as a chunked HTTP response (response.py:267-353).
+    *
+    * `sendResponseHeaders(200, 0)` puts the exchange in chunked
+    * transfer-encoding; each format's `write*` variant pulls rows via
+    * `toLocalIterator` straight into the response body, so driver memory is
+    * O(one partition / one batch) however large the export — `limit=-1` on
+    * a big table streams instead of materializing. xlsx stays buffered (the
+    * format needs its full zip central directory and results are
+    * clamp-bounded); parquet/orc are written to a temp file by Spark and
+    * then `Files.copy`'d into the body without ever being held in memory.
+    */
   private def render(ex: HttpExchange, df: DataFrame, format: String,
       encoding: Option[String]): Unit = {
-    def reencode(s: String): Array[Byte] =
-      encoding.map(Writers.encode(s, _)).getOrElse(s.getBytes(StandardCharsets.UTF_8))
+    val charset = encoding.map(Charset.forName).getOrElse(StandardCharsets.UTF_8)
+    def chunked(contentType: String)(write: java.io.OutputStream => Unit): Unit = {
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      headersSent.set(true)
+      ex.sendResponseHeaders(200, 0)
+      val os = ex.getResponseBody
+      write(os)
+      os.close() // finishes the chunked stream (0-length terminator)
+    }
+    def chunkedText(contentType: String)(write: java.io.Writer => Unit): Unit =
+      chunked(contentType) { os =>
+        val w = new java.io.OutputStreamWriter(os, charset)
+        write(w)
+        w.flush()
+      }
     format match {
-      case "json" => send(ex, 200, "application/json", reencode(Writers.toJsonArray(df)))
-      case "ndjson" => send(ex, 200, "application/x-ndjson", reencode(Writers.toNdjson(df)))
-      case "csv" => send(ex, 200, "text/csv", reencode(Writers.toCsv(df, ',')))
-      case "scsv" => send(ex, 200, "text/csv", reencode(Writers.toCsv(df, ';')))
-      case "tsv" => send(ex, 200, "text/tab-separated-values", reencode(Writers.toCsv(df, '\t')))
-      case "csv4excel" => send(ex, 200, "text/csv", Writers.toCsv4Excel(df))
+      case "json" => chunkedText("application/json")(Writers.writeJsonArray(df, _))
+      case "ndjson" => chunkedText("application/x-ndjson")(Writers.writeNdjson(df, _))
+      case "csv" => chunkedText("text/csv")(Writers.writeCsv(df, _, ','))
+      case "scsv" => chunkedText("text/csv")(Writers.writeCsv(df, _, ';'))
+      case "tsv" => chunkedText("text/tab-separated-values")(Writers.writeCsv(df, _, '\t'))
+      case "csv4excel" => chunked("text/csv")(Writers.writeCsv4Excel(df, _))
       case "xlsx" => send(ex, 200,
         "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
         graft.output.XlsxWriter.toXlsxBytes(df))
-      case "html" => send(ex, 200, "text/html", reencode(Writers.toHtmlTable(df)))
-      case "xml" => send(ex, 200, "application/xml", reencode(Writers.toXml(df)))
+      case "html" => chunkedText("text/html")(Writers.writeHtmlTable(df, _))
+      case "xml" => chunkedText("application/xml")(Writers.writeXml(df, _))
       case "arrow" | "feather" | "ipc" =>
-        send(ex, 200, "application/vnd.apache.arrow.file",
-          ArrowWriters.toArrowBytes(Writers.jsonifyComplex(df), stream = false))
+        chunked("application/vnd.apache.arrow.file")(
+          ArrowWriters.writeArrow(Writers.jsonifyComplex(df), stream = false, _))
       case "arrow-stream" =>
-        send(ex, 200, "application/vnd.apache.arrow.stream",
-          ArrowWriters.toArrowBytes(Writers.jsonifyComplex(df), stream = true))
+        chunked("application/vnd.apache.arrow.stream")(
+          ArrowWriters.writeArrow(Writers.jsonifyComplex(df), stream = true, _))
       case "parquet" | "orc" =>
         import java.nio.file.{Files, Paths}
         val tmp = Files.createTempDirectory("serve")
@@ -198,7 +318,7 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
           val part =
             try listing.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
             finally listing.close()
-          send(ex, 200, "application/octet-stream", Files.readAllBytes(part))
+          chunked("application/octet-stream")(Files.copy(part, _))
         } finally { // per-request temp files must not accumulate
           val walk = Files.walk(tmp)
           try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -231,8 +351,16 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     else sendJson(ex, 404, """{"detail":"not found"}""")
   }
 
+  /** Whether chunked response headers already went out for the exchange
+    * this thread is handling (an HttpExchange runs start-to-finish on one
+    * executor thread; exchange attributes won't do — they are shared across
+    * the whole HttpContext, not per-exchange).
+    */
+  private val headersSent = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
     try {
+      headersSent.set(false)
       users match {
         case Some(us) if !Auth.authorize(us,
             Option(ex.getRequestHeaders.getFirst("Authorization"))) =>
@@ -243,6 +371,11 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       }
       body
     } catch {
+      // a failure after chunked headers went out cannot become an error
+      // status any more — closing the exchange truncates the chunked body,
+      // which HTTP clients surface as a transfer error
+      case NonFatal(e) if headersSent.get() =>
+        System.err.println(s"[graft] response aborted mid-stream: $e")
       case e @ (_: FilterCompiler.BadRequestException |
                 _: SqlEndpoint.ForbiddenSqlException |
                 _: NumberFormatException | _: IllegalArgumentException) =>

@@ -149,6 +149,89 @@ class ServerSpec extends SparkSpec {
     assert(row.get("properties").get("A").get("type").asText() == "integer")
     assert(row.get("properties").get("cars").get("type").asText() == "string")
   }
+  test("responses stream chunked — no Content-Length, identical content (response.py:267-353)") {
+    val r = get(s"$base/api/v1/test/fruits?cars=audi")
+    assert(r.headers().firstValue("Content-Length").isEmpty,
+      "chunked export must not carry Content-Length")
+    assert(r.body() == """[{"A":2,"fruits":"banana","B":4,"cars":"audi"}]""")
+    // binary formats stream too
+    val pq = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/api/v1/test/fruits?limit=2&format=parquet"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(pq.statusCode() == 200 && pq.headers().firstValue("Content-Length").isEmpty)
+    assert(new String(pq.body().take(4)) == "PAR1")
+    // $encoding still honored through the chunked writer path
+    val enc = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"$base/api/v1/test/fruits?cars=audi&format=csv&$$encoding=UTF-16LE"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(new String(enc.body(), "UTF-16LE").startsWith("A,fruits,B,cars"))
+  }
+  test("schema drift: a mid-session overwrite serves fresh rows (test_datamove.py:16-42)") {
+    val dir = Files.createTempDirectory("drift").toString + "/t"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(dir)
+    val cfg = Configs(Seq(TableConfig(name = "t", tag = "mv",
+      datasource = DatasourceConfig(uri = dir), allowGetAllPages = true)))
+    // ttl 0 = re-check the source's modified date on every request
+    val srv = new LakeApiServer(spark, cfg, frameTtlMillis = 0L)
+    val p = srv.start()
+    try {
+      assert(get(s"http://127.0.0.1:$p/api/v1/mv/t").body().contains("\"old\""))
+      Seq((1L, "new"), (2L, "newer")).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir)
+      val after = get(s"http://127.0.0.1:$p/api/v1/mv/t?limit=-1")
+      assert(after.statusCode() == 200 && after.body().contains("\"newer\""),
+        s"stale frame after overwrite: ${after.body()}")
+      assert(after.body().count(_ == '{') == 2)
+      // the SQL endpoint's temp view must re-resolve too
+      val sql = post(s"http://127.0.0.1:$p/api/sql", "SELECT count(*) AS n FROM mv_t")
+      assert(sql.body() == """[{"n":2}]""", s"stale SQL view: ${sql.body()}")
+    } finally srv.stop()
+  }
+  test("metadata_detail full contract: partitions, delta meta, search, modified_date") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    // hand-authored delta table with a partition column (PROTOCOL.md)
+    val t = Files.createTempDirectory("mdd").toString
+    def relocate(sub: String, name: String): Unit = {
+      val d = java.nio.file.Paths.get(t, sub)
+      val part = java.nio.file.Files.list(d).iterator()
+      val it = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(it, java.nio.file.Paths.get(t, name))
+    }
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(s"$t/f1")
+    relocate("f1", "part-1.parquet")
+    Seq((2L, "y")).toDF("id", "v").coalesce(1).write.parquet(s"$t/f2")
+    relocate("f2", "part-2.parquet")
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    Files.createDirectories(logDir)
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.writeString(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{"k":"val"},"createdTime":0}}""",
+      """{"add":{"path":"part-1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"part-2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":0,"dataChange":true}}""").mkString("\n"))
+    val cfg = Configs(Seq(TableConfig(name = "dt", tag = "md",
+      datasource = DatasourceConfig(uri = t, fileType = "delta"),
+      search = Some(SearchConfig("search", Seq("v"))), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg)
+    val p = srv.start()
+    try {
+      val md = new ObjectMapper().readTree(
+        get(s"http://127.0.0.1:$p/api/v1/md/dt/metadata_detail").body())
+      assert(md.get("partition_columns").toString == """["p"]""")
+      assert(md.get("partition_values").toString == """[{"p":"a"},{"p":"b"}]""")
+      assert(md.get("delta_meta").get("partitionColumns").get(0).asText() == "p")
+      assert(md.get("delta_meta").get("configuration").get("k").asText() == "val")
+      assert(md.get("delta_schema").get("fields").size() == 3)
+      assert(md.get("search").get("columns").get(0).asText() == "v")
+      assert(!md.get("modified_date").isNull && md.get("modified_date").asText().nonEmpty)
+      assert(md.has("max_string_lengths") && md.has("data_schema") && md.has("parameters"))
+    } finally srv.stop()
+  }
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
