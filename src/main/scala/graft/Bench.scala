@@ -48,7 +48,11 @@ object Bench {
     // single runs (the official r3 record was 2.9x an immediate rerun with
     // best-of-2); the min of three runs with a brief settle between them is
     // the engine's actual cost
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // non-numeric or <1 values fall back to the default instead of crashing
+    // the bench (or, at 0, silently reporting every query as -1.0)
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(3)
     val results = names.map { n =>
       val times = (0 until runsPerQuery).map { i =>
         if (i > 0) Thread.sleep(50) // let other tenants' bursts pass

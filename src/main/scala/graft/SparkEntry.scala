@@ -503,11 +503,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      // rows-only gate (k-means training is not SQL-oracle-expressible)
+      // full hash gate with FIXED centroids (the embeddings of vec_id
+      // 1..16) so the DuckDB oracle can replicate cell assignment, probe
+      // selection and in-cell scoring exactly; k-means *training* is
+      // value-gated separately by q_ann_ivf_exact (whose top-k must equal
+      // brute force no matter where training put the centroids)
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
-      val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 16)
+      val centroids = embs.filter(col("vec_id").between(1, 16))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      val index = Ann.ivfAssign(embs, "embedding", centroids)
       Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 4)
     }),
     "q_ann_ivf_exact" -> ((s, dir) => {
@@ -773,6 +781,36 @@ object SparkEntry {
     "q_delta_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_ann_ivf" ->
+      // replicates the fixed-centroid IVF path: centroids are the
+      // embeddings of vec_id 1..16; each vector goes to its nearest
+      // centroid (squared L2 via the dot-product expansion, ties to the
+      // smaller cell id — Spark's least(struct(dist, cell)) order); the 4
+      // cells nearest the query are probed and only their members scored
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |         FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM cent, q
+        |  ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(cv, qv)
+        |    + list_dot_product(qv, qv), cid
+        |  LIMIT 4)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM assigned, q
+        |WHERE cid IN (SELECT cid FROM probe)
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_ann_ivf_exact" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -40,8 +40,9 @@ object Ann {
     * `nprobe` cells whose centroids are closest — the classic IVF trade:
     * scored fraction ≈ nprobe/nlist, recall grows with nprobe.
     *
-    * Centroids are deterministic: initialized from evenly-spaced vectors by
-    * id order; training touches only (cell, sum, count) aggregates — no
+    * Centroids are deterministic: seeded from the `nlist` rows with the
+    * smallest `xxhash64(id)` (a distributed top-k, no global sort); training
+    * touches only (cell, per-dimension sum/count) aggregates — no
     * driver-side loops over data, only over the k centroid rows.
     */
   def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
@@ -60,26 +61,45 @@ object Ann {
     (0 until iterations).foreach { _ =>
       val assigned = assignCells(embs, vecCol, centroids)
       val dims = centroids.head.length
-      // per-cell mean as one hash-aggregate with `dims` flat sum columns
-      // (sum(element_at(...)) is codegen'd; exploding to (cell, dim, x)
-      // rows would shuffle n×dims rows per iteration — 64× the data)
-      val sumCols = (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s$d"))
+      // per-cell mean as one hash-aggregate with `dims` flat sum + count
+      // columns (sum/count(element_at(...)) are codegen'd; exploding to
+      // (cell, dim, x) rows would shuffle n×dims rows per iteration — 64×
+      // the data). Counting per dimension, not per row, keeps the mean
+      // unbiased when vectors are null or ragged: sum skips missing
+      // elements, so the divisor must skip them too.
+      val aggCols = (0 until dims).map(d =>
+        sum(element_at(col("v"), d + 1)).as(s"s$d")) ++
+        (0 until dims).map(d =>
+          count(element_at(col("v"), d + 1)).as(s"c$d"))
       val byCell = assigned
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("c"), sumCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { c =>
         byCell.get(c) match {
           case Some(r) =>
-            val cnt = r.getLong(1)
-            (0 until dims).map(d => if (cnt > 0) r.getDouble(d + 2) / cnt else 0.0)
+            (0 until dims).map { d =>
+              val cnt = r.getLong(1 + dims + d)
+              // a dimension no vector in the cell carries keeps its value
+              if (cnt > 0 && !r.isNullAt(1 + d)) r.getDouble(1 + d) / cnt
+              else centroids(c)(d)
+            }
           case None => centroids(c) // empty cell keeps its centroid
         }
       }
     }
     (assignCells(embs, vecCol, centroids).drop("v"), centroids)
   }
+
+  /** Assign every vector to its nearest of the given centroids, no
+    * training — the building block for serving a pre-trained IVF index
+    * (centroids are tiny state, nlist×dims doubles, shipped as literals),
+    * and for oracle gates that pin centroids to SQL-replicable rows.
+    */
+  def ivfAssign(embs: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    assignCells(embs, vecCol, centroids).drop("v")
 
   /** Assign each vector to its nearest centroid (squared L2, argmin over
     * broadcast centroid literals). Distances use the codegen'd

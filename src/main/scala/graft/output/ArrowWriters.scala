@@ -58,7 +58,10 @@ object ArrowWriters {
   def writeArrow(df: DataFrame, stream: Boolean, out: java.io.OutputStream,
       chunkSize: Int = defaultChunkSize): Unit = {
     val schema = new ArrowSchema(df.schema.fields.map(arrowField).toList.asJava)
-    val allocator = new RootAllocator(Long.MaxValue)
+    // a real cap, not Long.MaxValue: the writer only ever holds one chunk
+    // of vectors, so a runaway row (or a bug) fails the one request with an
+    // OutOfMemoryException instead of exhausting the server's direct memory
+    val allocator = new RootAllocator(1L << 30)
     val root = VectorSchemaRoot.create(schema, allocator)
     val channel = Channels.newChannel(out)
     val writer =

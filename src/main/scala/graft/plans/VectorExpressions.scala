@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for vector math.
   *
@@ -26,16 +27,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // inputs must be array<double>; the companion's `cosine` inserts the casts
   // (AbstractDataType/ExpectsInputTypes are private[sql], so input coercion
-  // is handled at construction instead of via the type-check framework)
+  // is handled at construction; checkInputDataTypes rejects anything else)
   override def dataType: DataType = DoubleType
 
   // NULL for degenerate inputs (below), regardless of child nullability
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayDouble("graft_cosine", left, right)
+
+  // whether a null array slot is possible per the schema — when it is not,
+  // the codegen'd loop stays branch-free
+  private def elementsNullable: Boolean =
+    VectorExpressions.elementsNullable(left, right)
+
   /** Degenerate inputs produce NULL, matching the portable zip_with/
     * aggregate formulation: mismatched lengths (zip_with pads with null ⇒
-    * null sum) and zero vectors (Spark's Divide yields null on 0/0 in ANSI-
-    * off mode; NaN here would sort ABOVE every real score in a top-k).
+    * null sum), null array slots (null propagates through the sum), and
+    * zero vectors (Spark's Divide yields null on 0/0 in ANSI-off mode; NaN
+    * here would sort ABOVE every real score in a top-k).
     */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -45,6 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -62,6 +73,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -69,11 +83,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $x = $a.getDouble($i);
          |    double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if (${ev.isNull} || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -97,13 +112,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * whole-stage codegen. Squared distance is returned (argmin-equivalent,
   * no sqrt), which is all k-means assignment needs.
   *
-  * NULL on length mismatch, matching zip_with's null-padding semantics.
+  * NULL on length mismatch or a null array slot, matching zip_with's
+  * null-padding/propagation semantics.
   */
 case class L2DistanceSquared(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayDouble("graft_l2sq", left, right)
+
+  private def elementsNullable: Boolean =
+    VectorExpressions.elementsNullable(left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -113,6 +135,7 @@ case class L2DistanceSquared(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
@@ -126,6 +149,11 @@ case class L2DistanceSquared(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      // elided when the schema says slots cannot be null, keeping the
+      // k-means assignment loop branch-free
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -133,10 +161,11 @@ case class L2DistanceSquared(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $d = $a.getDouble($i) - $b.getDouble($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -150,6 +179,27 @@ object VectorExpressions {
 
   val cosineFn = "graft_cosine"
   val l2sqFn = "graft_l2sq"
+
+  /** Both inputs must be array<double> (the Column builders below insert
+    * the casts; direct SQL calls get a real analysis error, not a
+    * ClassCastException at runtime).
+    */
+  private[plans] def requireArrayDouble(fn: String,
+      left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires (array<double>, array<double>) arguments, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  /** Whether either argument's schema admits null array slots. */
+  private[plans] def elementsNullable(left: Expression, right: Expression): Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   /** Register the native functions in the session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -197,28 +197,31 @@ object DeltaLogReader {
         case _ => None
       }
     }
-    if (parts.nonEmpty) {
-      // A version may be checkpointed more than once with different part
-      // counts (retried writers) — each distinct <total> is its own
-      // checkpoint set. Any complete set (parts 1..total all present) is
-      // valid; fail only when none is.
-      val complete = parts.groupBy(_._2).filter { case (total, ps) =>
-        ps.map(_._1).distinct.sorted == (1 to total)
-      }
-      require(complete.nonEmpty,
-        s"no complete multi-part checkpoint set for version $version in " +
-          s"$logDir: parts on disk ${parts.map(p => (p._1, p._2)).sorted}")
-      complete.maxBy(_._1)._2.sortBy(_._1).map(_._3)
-    } else {
-      // v2 uuid manifests: the protocol permits several per version, each
-      // self-contained (parquet or json) — pick exactly one. Reading more
-      // than one would double-count adds and, under one spark.read without
-      // mergeSchema, silently drop columns present only in another file.
-      val v2 = "\\d{20}\\.checkpoint\\.[^.]+\\.(parquet|json)".r
-      candidates
-        .filter(p => v2.pattern.matcher(p.getFileName.toString).matches())
-        .sortBy(_.getFileName.toString).lastOption.toSeq
+    // A version may be checkpointed more than once with different part
+    // counts (retried writers) — each distinct <total> is its own
+    // checkpoint set. Any complete set (parts 1..total all present) is
+    // valid.
+    val complete = parts.groupBy(_._2).filter { case (total, ps) =>
+      ps.map(_._1).distinct.sorted == (1 to total)
     }
+    if (complete.nonEmpty)
+      return complete.maxBy(_._1)._2.sortBy(_._1).map(_._3)
+    // v2 uuid manifests: the protocol permits several per version, each
+    // self-contained (parquet or json) — pick exactly one. Reading more
+    // than one would double-count adds and, under one spark.read without
+    // mergeSchema, silently drop columns present only in another file.
+    // This branch is also the fallback when multi-part fragments exist but
+    // no set is complete — a valid v2 manifest alongside torn multi-part
+    // writes still makes the table readable.
+    val v2 = "\\d{20}\\.checkpoint\\.[^.]+\\.(parquet|json)".r
+    val manifests = candidates
+      .filter(p => v2.pattern.matcher(p.getFileName.toString).matches())
+      .sortBy(_.getFileName.toString).lastOption.toSeq
+    require(parts.isEmpty || manifests.nonEmpty,
+      s"no complete multi-part checkpoint set (and no v2 manifest) for " +
+        s"version $version in $logDir: parts on disk " +
+        s"${parts.map(p => (p._1, p._2)).sorted}")
+    manifests
   }
 
   /** Eagerly list a directory, closing the stream (Files.list leaks a file

@@ -245,6 +245,13 @@ class DeltaLogReaderSpec extends SparkSpec {
     Files.delete(Paths.get(t, "_delta_log",
       "00000000000000000000.checkpoint.0000000002.0000000002.parquet"))
     intercept[IllegalArgumentException] { DeltaLogReader.snapshot(spark, t) }
+    // ...unless a self-contained v2 manifest for the same version exists:
+    // torn multi-part writes with a valid uuid checkpoint stay readable
+    writeActionsParquet(t,
+      "_delta_log/00000000000000000000.checkpoint.3a0d65cd-4056-49b8-b26c-b8aa044f0fe4.parquet",
+      all)
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("v2 uuid checkpoint: manifest + sidecar files under _sidecars") {

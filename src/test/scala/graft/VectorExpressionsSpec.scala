@@ -62,6 +62,34 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorExpressions.l2sq(spark, $"a", $"b")).collect()
     assert(mm.head.isNullAt(0))
   }
+  test("null array slots propagate to NULL (zip_with parity), interpreted and codegen'd") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "a", "b")
+    // LocalRelation path (interpreted eval via constant folding is possible)
+    val out = df.select($"id",
+      VectorExpressions.l2sq(spark, $"a", $"b").as("d"),
+      VectorExpressions.cosine(spark, $"a", $"b").as("c")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((true, true)) && out(2L) == ((false, false)))
+    // parquet path (whole-stage codegen)
+    val dir = java.nio.file.Files.createTempDirectory("vxn").toString + "/t"
+    df.write.parquet(dir)
+    val cg = spark.read.parquet(dir).select($"id",
+      VectorExpressions.l2sq(spark, $"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(cg(1L) && !cg(2L))
+  }
+  test("non-array arguments are an analysis error, not a runtime cast failure") {
+    VectorExpressions.register(spark)
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("vx_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_l2sq(s, s) FROM vx_bad").collect()
+    }
+    assert(e.getMessage.contains("graft_l2sq") || e.getMessage.contains("array"),
+      e.getMessage)
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
