@@ -467,6 +467,10 @@ object SparkEntry {
         Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
           shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSketches(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -851,6 +855,7 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_jaccard" -> jaccardPairsOracleSql,
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
@@ -929,6 +934,27 @@ object SparkEntry {
   private def minhashOracleSql: String =
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact n-gram Jaccard via the same inverted-index shape as
+    * Dedup.jaccardPairs: count shared shingles per pair, union from
+    * per-doc set sizes.
+    */
+  private def jaccardPairsOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Connected components over the pairs: transitive closure via a
     * recursive CTE (no aggregates inside the recursion), then the cluster

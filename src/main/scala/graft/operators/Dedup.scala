@@ -150,6 +150,38 @@ object Dedup {
     labels.withColumnRenamed("id", "doc_id").withColumnRenamed("label", "cluster")
   }
 
+  /** Exact n-gram Jaccard duplicate pairs — no sketching.
+    *
+    * Inverted-index formulation: the shingle→doc join generates only pairs
+    * that share at least one shingle (the only pairs with J > 0); the
+    * intersection size is a count over that join, and the union follows
+    * from per-document distinct-shingle counts (|A∪B| = |A|+|B|−|A∩B|) —
+    * no per-pair set materialization. Two shuffles: by shingle, then by
+    * (id_a, id_b), both with map-side partial aggregation.
+    *
+    * Exact but quadratic in shingle collisions: a shingle occurring in k
+    * documents emits k(k−1)/2 join rows. Use when exact similarity is
+    * required; at web scale prefer [[minhashDedup]] (band join bounds the
+    * candidates) or cap shingle document frequency upstream.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleSize).distinct() // sets, not bags
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

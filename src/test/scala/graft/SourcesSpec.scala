@@ -112,4 +112,15 @@ class PlanQualitySpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.col("p").desc).limit(5)
     assert(df.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
   }
+  test("exact jaccard joins on the shingle key — never a cartesian/nested-loop plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text")
+    val physical = df.queryExecution.sparkPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical)
+    // both aggregates partial-combine before their exchanges
+    assert(physical.contains("partial_count"), physical)
+  }
 }

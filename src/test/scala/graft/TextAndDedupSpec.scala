@@ -93,6 +93,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+  test("exact n-gram jaccard pairs: hand-computed similarity, no false pairs") {
+    // 3-shingle sets: d1 {abc,bcd,cde}, d2 {abc,bcd,cdf} ⇒ J = 2/4 = 0.5
+    val tiny = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(tiny, "doc_id", "text", shingleSize = 3,
+      threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L && out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 0.5)
+    // exact jaccard agrees with the minhash pipeline's verified jaccard on
+    // the corpus pairs it emits (minhash can only miss pairs, never re-score)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    lsh.foreach { case (a, b, j) => assert(exact((a, b)) == j, s"($a,$b)") }
+    assert(exact.contains((1L, 2L)) && exact((1L, 2L)) == 1.0)
+  }
   test("explode-based sketches equal the Column-level simhash64 definition") {
     val arr = docs.select($"doc_id", T.simhash64($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
