@@ -494,6 +494,19 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
+    "q_knn_join" -> ((s, dir) =>
+      // exact kNN graph (k=5) over the whole embeddings table; the LSH
+      // variant is spec-gated (approximate results have no SQL oracle)
+      Ann.knnJoin(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("id_a"), col("rnk"))),
+    "q_sessionize" -> ((s, dir) => {
+      // 30-minute inactivity gap; ts is raw nanos (nanosAsLong)
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.Sessionize.summary(ev, "user_id", "ts", "event_id",
+        maxGap = 30L * 60 * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // for each click, the user's most recent prior-or-simultaneous purchase
       val ev = Tables.load(s, dir, "events") // ts = raw nanos (nanosAsLong)
@@ -864,6 +877,36 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracleSql,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT id_a, id_b, score,
+        |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS INTEGER) AS rnk
+        |  FROM p)
+        |SELECT id_a, id_b, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY id_a, rnk""".stripMargin,
+    "q_sessionize" ->
+      // same two-pass window shape; session_seq sums to BIGINT explicitly
+      // (DuckDB sum() of an int is HUGEINT)
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

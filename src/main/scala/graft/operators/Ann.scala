@@ -133,6 +133,73 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact k-NN join: every vector's k most similar *other* vectors by
+    * cosine — the kNN graph behind semantic dedup, clustering and
+    * retrieval evaluation.
+    *
+    * All-pairs scoring is inherent to exactness; the plan makes it cheap
+    * per pair: the right side is broadcast (no shuffle to form pairs, the
+    * codegen'd cosine runs in the scan's stage) and only the skinny
+    * (id_a, id_b, score) rows shuffle once, by id_a, for the per-row
+    * top-k window. Use when one side fits in a broadcast (a reference
+    * corpus, a centroid set, gate-scale data); for huge×huge prefer
+    * [[knnJoinLsh]], which scores only same-or-nearby-bucket pairs.
+    */
+  def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    val left = embs.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+    val right = embs.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    val scored = left.join(broadcast(right), col("id_a") =!= col("id_b"))
+      .withColumn("score",
+        round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+  }
+
+  /** Approximate k-NN join at scale: vectors meet only inside their SRP
+    * bucket — plus, via multi-probe, buckets within `probeHamming` bit
+    * flips — so scored pairs drop from n² to Σ|bucket|² × probes.
+    *
+    * The probe is an EQUI-join: each left row explodes into its
+    * Σ_{i≤h} C(planes,i) probe keys (bucket xor every ≤h-bit mask) and
+    * joins `probe = bucket` — a hash join on a long key. The tempting
+    * `bit_count(ba ^ bb) <= h` theta-join degenerates to a nested loop
+    * over all n² pairs, which is exactly what LSH exists to avoid.
+    *
+    * Same output shape as [[knnJoin]]; rows with fewer than k candidates
+    * return what exists — recall is tuned by planes/probes.
+    */
+  def knnJoinLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val spark = embs.sparkSession
+    val dim = embs.select(size(col(vecCol))).head.getInt(0) // one-row job
+    val planes = V.deterministicPlanes(numPlanes, dim)
+    val bucketed = embs.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+      V.srpBucket(col(vecCol), planes).as("bucket"))
+    def masks(h: Int): Seq[Long] =
+      if (h == 0) Seq(0L)
+      else masks(h - 1) ++ (0 until numPlanes).combinations(h)
+        .map(_.map(1L << _).sum).toSeq
+    val left = bucketed
+      .select(col(idCol).as("id_a"), col("v").as("va"), col("bucket").as("ba"))
+      .withColumn("probe",
+        explode(array(masks(probeHamming).distinct.map(m =>
+          col("ba").bitwiseXOR(lit(m))): _*)))
+    val right = bucketed
+      .select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket").as("bb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
+    left.join(right, col("probe") === col("bb") && col("id_a") =!= col("id_b"))
+      .withColumn("score",
+        round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+  }
+
   /** LSH-pruned top-k: score only rows whose SRP bucket is within
     * `probeHamming` bits of the query's bucket.
     */

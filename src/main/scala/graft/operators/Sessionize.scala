@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event log — the batch twin of
+  * [[graft.streaming.EventStreams.sessionize]] (which keeps the same
+  * semantics incrementally with `flatMapGroupsWithState`).
+  *
+  * A new session starts at a user's first event and whenever the gap from
+  * their previous event exceeds `maxGap`. The classic two-pass window
+  * formulation: flag session starts with `lag`, then a running sum of the
+  * flags numbers the sessions — both windows share one partitioning (by
+  * user) and one ordering (ts, id), so the physical plan is a single
+  * exchange + a single sort feeding two Window operators. Per-user state
+  * during execution is one row; nothing is collected.
+  *
+  * At scale: the only shuffle is by user id. Session counts per user are
+  * bounded by that user's event count, so skew equals the busiest user —
+  * the same bound any per-user analysis has; AQE's skew-join handling does
+  * not apply (no join), but a pathological single user is already the
+  * bottleneck of the *data*, not the plan.
+  */
+object Sessionize {
+
+  /** Events + a 1-based `session_seq` per user. `tsCol` is any totally
+    * ordered numeric/timestamp column; `maxGap` is in the same unit
+    * (for the raw-nanos `events` table: nanoseconds).
+    */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, maxGap: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = col(tsCol) - lag(col(tsCol), 1).over(w)
+    val isNew = when(gap.isNull || gap > maxGap, 1L).otherwise(0L)
+    events.withColumn("session_seq", sum(isNew).over(w))
+  }
+
+  /** One row per (user, session): event count and the min/max event ids —
+    * deterministic summary columns (first-by-time ids would need an
+    * arbitrary tie-break; min/max are total-order stable on both the
+    * engine and any SQL oracle).
+    */
+  def summary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, maxGap: Long): DataFrame =
+    sessions(events, userCol, tsCol, idCol, maxGap)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(idCol)).as("first_event"),
+        max(col(idCol)).as("last_event"))
+}

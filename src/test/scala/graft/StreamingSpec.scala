@@ -76,5 +76,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(sessions.contains((7L, 2, 3.0))) // first session: 2 events, value 3
     assert(sessions.contains((7L, 1, 4.0))) // second session closed by timeout
+
+    // the batch twin (operators/Sessionize) carves the same sessions from
+    // the same events — batch additionally reports the still-open ones
+    import spark.implicits._
+    val batchEv = Seq(
+      (1L, ts(0, 0).getTime, 7L), (2L, ts(0, 30).getTime, 7L),
+      (3L, ts(5, 0).getTime, 7L), (4L, ts(30, 0).getTime, 8L))
+      .toDF("event_id", "ts", "user_id")
+    val batch = graft.operators.Sessionize
+      .summary(batchEv, "user_id", "ts", "event_id", maxGap = 60L * 1000)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(identity).map { case (k, v) => (k, v.length) }
+    assert(batch == Map((7L, 2L) -> 1, (7L, 1L) -> 1, (8L, 1L) -> 1))
   }
 }

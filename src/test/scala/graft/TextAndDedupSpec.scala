@@ -174,6 +174,34 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class SessionizeSpec extends SparkSpec {
+  import graft.operators.Sessionize
+  import spark.implicits._
+
+  // gap threshold 100 time units; user 1 has two sessions (gap 150 between
+  // t=300 and t=450), user 2 one session, boundary gap == 100 does NOT split
+  lazy val ev = Seq(
+    (10L, 100L, 1L), (11L, 200L, 1L), (12L, 300L, 1L), (13L, 450L, 1L),
+    (20L, 500L, 2L), (21L, 600L, 2L)).toDF("event_id", "ts", "user_id")
+
+  test("sessions split on gap > maxGap, boundary gap stays in-session") {
+    val out = Sessionize.summary(ev, "user_id", "ts", "event_id", maxGap = 100L)
+      .orderBy($"user_id", $"session_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 10L, 12L), // events 10..12 (gaps 100,100 — boundary holds)
+      (1L, 2L, 1L, 13L, 13L), // gap 150 > 100 → new session
+      (2L, 1L, 2L, 20L, 21L)))
+  }
+  test("one exchange only: both windows and the aggregate share the user partitioning") {
+    val plan = Sessionize.summary(ev, "user_id", "ts", "event_id", maxGap = 100L)
+      .queryExecution.executedPlan.toString
+    // LocalRelation input ⇒ exactly one shuffle introduces the user_id
+    // hash partitioning; lag-window, sum-window and groupBy all reuse it
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+}
+
 class SearchIndexSpec extends SparkSpec {
   import graft.operators.SearchIndex
   import spark.implicits._
@@ -255,5 +283,28 @@ class AnnSpec extends SparkSpec {
       .toDF("a", "b")
     val c = df.select(V.cosineSimilarity($"a", $"b")).as[Double].collect()
     assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
+  }
+  test("kNN join: k rows per id, self excluded, planted duplicate is rank 1 both ways") {
+    val planted = embs.union(Seq((1000L,
+      embs.filter($"vec_id" === 7).head.getSeq[Double](1))).toDF("vec_id", "embedding"))
+    val out = Ann.knnJoin(planted, "vec_id", "embedding", k = 3).collect()
+    val byA = out.groupBy(_.getLong(0))
+    assert(byA.forall(_._2.length == 3))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1))) // never self
+    def rank1(a: Long) = byA(a).minBy(_.getInt(3)).getLong(1)
+    assert(rank1(7L) == 1000L && rank1(1000L) == 7L) // identical vectors find each other
+    // the LSH variant agrees on the planted pair and is bucket-bounded
+    val lsh = Ann.knnJoinLsh(planted, "vec_id", "embedding", k = 3,
+      numPlanes = 6, probeHamming = 1).collect()
+    val lshByA = lsh.groupBy(_.getLong(0))
+    assert(lshByA(7L).minBy(_.getInt(3)).getLong(1) == 1000L)
+    assert(lshByA.forall(_._2.length <= 3)) // at most k, possibly fewer (bucket-bounded)
+  }
+  test("kNN join plan: broadcast pair generation, no extra shuffle before the top-k window") {
+    val plan = Ann.knnJoin(embs, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // pairs form shuffle-free
+    // exactly one hash exchange: the skinny scored rows, by id_a, for the window
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 }
