@@ -147,7 +147,19 @@ object Ann {
     */
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = embs.sparkSession
+    // pre-partition the streamed side by id_a: (a) a small input (one
+    // parquet file = one partition) would otherwise push ALL n×m pairs
+    // through a single task's sort; (b) the broadcast join preserves the
+    // streamed side's partitioning, which is exactly the clustering the
+    // top-k window needs — so the n×m scored pairs are never shuffled at
+    // all, only the n input rows are
+    // explicit partition count: AQE would coalesce a bare repartition(col)
+    // of a few-MB input back to one partition — but each input row fans out
+    // ×m after the join, so sizing must follow the pair count, not the
+    // input bytes
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val left = embs.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+      .repartition(shufflePartitions, col("id_a"))
     val right = embs.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
     val scored = left.join(broadcast(right), col("id_a") =!= col("id_b"))
       .withColumn("score",
