@@ -494,6 +494,14 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
+    "q_column_stats" -> ((s, dir) =>
+      graft.operators.Profile.columnStats(
+        Tables.load(s, dir, "customer"))
+        .orderBy(col("column_name"))),
+    "q_quantiles" -> ((s, dir) =>
+      graft.operators.Profile.numericSummary(
+        Tables.load(s, dir, "events"), Seq("event_type"), "value")
+        .orderBy(col("event_type"))),
     "q_knn_join" -> ((s, dir) =>
       // exact kNN graph (k=5) over the whole embeddings table; the LSH
       // variant is spec-gated (approximate results have no SQL oracle)
@@ -501,10 +509,14 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("id_a"), col("rnk"))),
     "q_sessionize" -> ((s, dir) => {
-      // 30-minute inactivity gap; ts is raw nanos (nanosAsLong)
+      // 30-minute inactivity gap. ts is raw nanos (nanosAsLong) but the
+      // gate compares at MICROsecond granularity (ts div 1000): DuckDB's
+      // TIMESTAMP truncates the parquet nanos to micros, so a gap within
+      // 1 µs of the boundary would otherwise split sessions differently
       val ev = Tables.load(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
       graft.operators.Sessionize.summary(ev, "user_id", "ts", "event_id",
-        maxGap = 30L * 60 * 1000 * 1000 * 1000)
+        maxGap = 30L * 60 * 1000 * 1000)
         .orderBy(col("user_id"), col("session_seq"))
     }),
     "q_asof_join" -> ((s, dir) => {
@@ -877,6 +889,34 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracleSql,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_column_stats" ->
+      // one UNION ALL branch per customer column, counts only (no float
+      // formatting risk); DuckDB sum() is HUGEINT, hence the BIGINT casts
+      """SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT c_custkey) AS n_distinct FROM customer
+        |UNION ALL SELECT 'c_name', count(*),
+        |  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*),
+        |  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT c_nationkey) FROM customer
+        |UNION ALL SELECT 'c_acctbal', count(*),
+        |  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT c_acctbal) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*),
+        |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT c_mktsegment) FROM customer
+        |ORDER BY column_name""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  round(min(value), 4) AS vmin,
+        |  round(max(value), 4) AS vmax,
+        |  count(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (

@@ -161,9 +161,16 @@ object Ann {
     val left = embs.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
       .repartition(shufflePartitions, col("id_a"))
     val right = embs.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
-    val scored = left.join(broadcast(right), col("id_a") =!= col("id_b"))
-      .withColumn("score",
-        round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4))
+    topKPerRow(left.join(broadcast(right), col("id_a") =!= col("id_b")), k)
+  }
+
+  /** Shared kNN tail: score candidate pairs with the codegen'd cosine and
+    * keep each id_a's top-k by (score desc, id_b).
+    */
+  private def topKPerRow(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.withColumn("score",
+      round(graft.plans.VectorExpressions.cosine(
+        pairs.sparkSession, col("va"), col("vb")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
     scored.withColumn("rank", row_number().over(w))
@@ -195,21 +202,21 @@ object Ann {
       if (h == 0) Seq(0L)
       else masks(h - 1) ++ (0 until numPlanes).combinations(h)
         .map(_.map(1L << _).sum).toSeq
+    // pin the join's partition count on both sides (same fan-out lesson as
+    // knnJoin: pairs multiply AFTER the exchange, so AQE — which sizes by
+    // the few-MB shuffle input — must not coalesce the scoring stage)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val left = bucketed
       .select(col(idCol).as("id_a"), col("v").as("va"), col("bucket").as("ba"))
       .withColumn("probe",
         explode(array(masks(probeHamming).distinct.map(m =>
           col("ba").bitwiseXOR(lit(m))): _*)))
+      .repartition(shufflePartitions, col("probe"))
     val right = bucketed
       .select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket").as("bb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
-    left.join(right, col("probe") === col("bb") && col("id_a") =!= col("id_b"))
-      .withColumn("score",
-        round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+      .repartition(shufflePartitions, col("bb"))
+    topKPerRow(
+      left.join(right, col("probe") === col("bb") && col("id_a") =!= col("id_b")), k)
   }
 
   /** LSH-pruned top-k: score only rows whose SRP bucket is within

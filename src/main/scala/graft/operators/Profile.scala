@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the stats pass a training-data pipeline runs before
+  * (and after) every curation step: per-column completeness/cardinality and
+  * per-group value distributions.
+  *
+  * Everything is flat hash-aggregates: one pass for [[columnStats]] (all
+  * columns' counters in a single `agg`, then a `stack` to long form — no
+  * per-column jobs), one partial-aggregated pass per group for
+  * [[numericSummary]]. Nothing collects to the driver.
+  */
+object Profile {
+
+  /** One row per column: total rows, nulls, exact distinct count.
+    *
+    * Exact distinct over many columns expands the aggregate (Spark plans
+    * multi-distinct via `Expand`, one replica of the input per distinct
+    * column) — the honest cost of exact cardinality. At lake scale, pass
+    * `approx = true` to swap in HyperLogLog (`approx_count_distinct`),
+    * which collapses the plan back to one pass.
+    */
+  def columnStats(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      // maps are unorderable (count_distinct rejects them) — count their
+      // canonical JSON form instead; null map stays null through to_json
+      val v = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(c))
+        case _ => col(c)
+      }
+      val distinct =
+        if (approx) approx_count_distinct(v) else count_distinct(v)
+      // coalesce: sum over zero rows is NULL, but "no rows" means 0 nulls
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"nn_$c"),
+        distinct.as(s"nd_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // stack to (column, n_rows, n_null, n_distinct) — constant-size input,
+    // so the reshape is free
+    val stackArgs = cols.map(c => s"'$c', `nn_$c`, `nd_$c`").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_null, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+  }
+
+  /** Per-group distribution summary of a numeric column: exact
+    * interpolated percentiles plus min/max. `percentile` is Spark's exact
+    * sort-based aggregate — at 100 TB swap for `approx_percentile`
+    * (t-digest) the same way columnStats swaps HLL in; the exact form is
+    * the oracle-checkable reference.
+    */
+  def numericSummary(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val v = col(valueCol)
+    // exact decimal labels: double math ((q*100).toInt) truncates 0.99×100
+    // unreliably, and 0.999 would collide with 0.99 as "p99"
+    def label(q: Double): String =
+      "p" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m")
+    val qAggs = quantiles.map(q =>
+      round(expr(s"percentile($valueCol, $q)"), 4).as(label(q)))
+    val aggs = qAggs ++ Seq(round(min(v), 4).as("vmin"), round(max(v), 4).as("vmax"),
+      count(v).as("n"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -71,9 +71,14 @@ object ArrowWriters {
       writer.start()
       val it = df.toLocalIterator()
       val sparkFields = df.schema.fields
+      // batches are bounded by rows AND bytes: with a fixed row count
+      // alone, a wide-text corpus could need more buffer than the
+      // allocator cap for one batch — cut early instead of failing
+      val maxBatchBytes = 64L << 20
       while (it.hasNext) {
         var n = 0
-        while (it.hasNext && n < chunkSize) {
+        var cut = false
+        while (it.hasNext && n < chunkSize && !cut) {
           val row = it.next()
           var i = 0
           while (i < sparkFields.length) {
@@ -81,6 +86,11 @@ object ArrowWriters {
             i += 1
           }
           n += 1
+          if ((n & 0xFF) == 0) { // probe size every 256 rows
+            root.setRowCount(n)
+            cut = (0 until sparkFields.length)
+              .map(root.getVector(_).getBufferSize.toLong).sum > maxBatchBytes
+          }
         }
         root.setRowCount(n)
         writer.writeBatch()

@@ -116,8 +116,12 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       safely(ex)(exactPath(ex, "/api/sql")(handleSql(ex))))
     server.createContext("/openapi.json", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/openapi.json") {
+        // a single unreadable table must not take the whole spec down —
+        // its route is simply omitted until it resolves (route.py analog)
         sendJson(ex, 200, OpenApi.specJson(configs,
-          configs.tables.map(t => t.routeName -> frame(t).schema).toMap))
+          configs.tables.flatMap(t =>
+            try Some(t.routeName -> frame(t).schema)
+            catch { case NonFatal(_) => None }).toMap))
       }))
     server.createContext("/metadata", (ex: HttpExchange) =>
       safely(ex)(exactPath(ex, "/metadata") {
@@ -253,8 +257,11 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       .orElse(Some(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
       .map(_.trim).filter(_.nonEmpty)
       .getOrElse(throw new FilterCompiler.BadRequestException("missing sql"))
-    // re-resolve expired frames so the temp views the SQL reads are fresh
-    configs.tables.foreach(frame)
+    // re-resolve expired frames so the temp views the SQL reads are fresh;
+    // a table whose source is currently broken only fails queries that
+    // reference it (its stale view, if any, is simply not refreshed)
+    configs.tables.foreach(t =>
+      try frame(t) catch { case NonFatal(_) => () })
     val df = SqlEndpoint.query(spark, sql, configs.tables.map(_.routeName).toSet)
     val format = str(parseQuery(ex).get("format")).getOrElse("json")
     render(ex, df, format, None)

@@ -258,3 +258,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 2)) // frames 0..3 exist, stride 2 keeps 0 and 2
   }
 }
+
+class ProfileSpec extends SparkSpec {
+  import graft.operators.Profile
+  import spark.implicits._
+
+  test("columnStats: rows, nulls, exact distincts per column in one pass") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("a"))).toDF("id", "v")
+    val out = Profile.columnStats(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("id") == ((3L, 0L, 3L)))
+    assert(out("v") == ((3L, 1L, 1L))) // one null, one distinct non-null
+    // approx variant: same shape, HLL instead of Expand-planned exact
+    assert(Profile.columnStats(df, approx = true).columns.toSeq ==
+      Seq("column_name", "n_rows", "n_null", "n_distinct"))
+  }
+  test("numericSummary: exact interpolated percentiles bounded by min/max") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val r = Profile.numericSummary(df, Seq("g"), "x").head()
+    assert(r.getAs[Double]("p50") == 50.5) // 0.5*(n-1) interpolation
+    assert(r.getAs[Double]("p90") == 90.1)
+    assert(r.getAs[Double]("vmin") == 1.0 && r.getAs[Double]("vmax") == 100.0)
+    assert(r.getAs[Long]("n") == 100L)
+  }
+}

@@ -232,6 +232,25 @@ class ServerSpec extends SparkSpec {
       assert(md.has("max_string_lengths") && md.has("data_schema") && md.has("parameters"))
     } finally srv.stop()
   }
+  test("one broken table degrades only its own route — sql/openapi keep serving") {
+    val dir = Files.createTempDirectory("brk").toString
+    Seq((1L, "ok")).toDF("id", "v").write.parquet(s"$dir/good")
+    val cfg = Configs(Seq(
+      TableConfig(name = "good", tag = "mix",
+        datasource = DatasourceConfig(uri = s"$dir/good"), allowGetAllPages = true),
+      TableConfig(name = "broken", tag = "mix",
+        datasource = DatasourceConfig(uri = s"$dir/missing"))))
+    val srv = new LakeApiServer(spark, cfg, frameTtlMillis = 0L)
+    val p = srv.start()
+    try {
+      val sql = post(s"http://127.0.0.1:$p/api/sql", "SELECT count(*) AS n FROM mix_good")
+      assert(sql.statusCode() == 200 && sql.body() == """[{"n":1}]""")
+      val api = get(s"http://127.0.0.1:$p/openapi.json")
+      assert(api.statusCode() == 200 && api.body().contains("/api/v1/mix/good"))
+      assert(get(s"http://127.0.0.1:$p/api/v1/mix/broken").statusCode() == 500)
+      assert(get(s"http://127.0.0.1:$p/api/v1/mix/good").statusCode() == 200)
+    } finally srv.stop()
+  }
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
