@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for dataset curation.
+  *
+  * `df.sample`/`sampleBy` draw from a per-partition RNG: the selected rows
+  * change with partitioning, cluster size and execution order — unusable
+  * for reproducible training mixes or for sampling two tables
+  * consistently. Hash-based sampling fixes both: a row is kept iff
+  * `xxhash64(id, salt) mod M < fraction·M`, a pure map-side predicate that
+  * is stable under any repartitioning, resumable, and consistent across
+  * tables sharing the id (sample a doc table and its embeddings table with
+  * the same salt → the same ids survive in both).
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  private def keep(idCol: Column, salt: Long, fraction: Double): Column =
+    pmod(xxhash64(idCol, lit(salt)), lit(M)) < (fraction * M).toLong
+
+  /** Uniform deterministic sample of `fraction` of rows by id hash. */
+  def uniform(df: DataFrame, idCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame =
+    df.filter(keep(col(idCol), salt, fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g. keep 100%
+    * of high-quality docs, 5% of boilerplate). Strata missing from the map
+    * fall back to `defaultFraction`. One codegen'd CASE per row, no
+    * shuffle, no RNG.
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: Long = 0L): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, f).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(idCol), lit(salt)), lit(M))
+      .cast("double") < frac * M)
+  }
+}

@@ -282,3 +282,36 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 100L)
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import graft.operators.Sampling
+  import spark.implicits._
+
+  lazy val docs = (1 to 2000).map(i =>
+    (i.toLong, if (i % 4 == 0) "high" else "low")).toDF("id", "quality")
+
+  test("hash sampling is deterministic and invariant under repartitioning") {
+    val a = Sampling.uniform(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.uniform(docs.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // same rows regardless of physical layout
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05) // fraction honored
+    // different salt → a different (but equally deterministic) subset
+    val c = Sampling.uniform(docs, "id", 0.3, salt = 7).select("id").as[Long].collect().toSet
+    assert(c != a && c == Sampling.uniform(docs, "id", 0.3, salt = 7)
+      .select("id").as[Long].collect().toSet)
+  }
+  test("stratified fractions per stratum; consistent ids across tables sharing the key") {
+    val out = Sampling.stratified(docs, "quality", "id",
+      Map("high" -> 1.0, "low" -> 0.1))
+    val byQ = out.groupBy("quality").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byQ("high") == 500L) // keep-all stratum is exact
+    assert(byQ("low") > 75L && byQ("low") < 225L) // ~10% of 1500
+    // consistency: sampling a sibling table by the same id+salt keeps the same ids
+    val sibling = docs.select($"id", lit("x").as("payload"))
+    val sampledDocs = Sampling.uniform(docs, "id", 0.2).select("id").as[Long].collect().toSet
+    val sampledSib = Sampling.uniform(sibling, "id", 0.2).select("id").as[Long].collect().toSet
+    assert(sampledDocs == sampledSib)
+  }
+}
