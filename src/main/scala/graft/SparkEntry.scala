@@ -494,6 +494,11 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
+    "q_tfidf" -> ((s, dir) =>
+      graft.operators.SearchIndex.tfidfTopTerms(
+        Tables.load(s, dir, "documents"), "doc_id", Seq("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
     "q_column_stats" -> ((s, dir) =>
       graft.operators.Profile.columnStats(
         Tables.load(s, dir, "customer"))
@@ -889,6 +894,21 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracleSql,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(str_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * ln(nn.n / dfx.df), 4) AS score
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+        |r AS (SELECT doc_id, term, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_column_stats" ->
       // one UNION ALL branch per customer column, counts only (no float
       // formatting risk); DuckDB sum() is HUGEINT, hence the BIGINT casts

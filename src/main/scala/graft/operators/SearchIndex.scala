@@ -31,6 +31,31 @@ object SearchIndex {
         explode(T.words(concat_ws(" ", textCols.map(col): _*))).as("term"))
       .filter(col("term") =!= "")
 
+  /** TF-IDF top terms per document — the keyword/fingerprint summary a
+    * curation pipeline attaches to every doc (near-dup triage, topic
+    * binning, index pruning). score = tf · ln(N / df), each document's k
+    * highest kept.
+    *
+    * Shuffle profile: tf aggregate by (id, term) with map-side combine, df
+    * aggregate by term over the already-small tf rows, one broadcast-able
+    * join back, and the per-doc top-k window clustered by id. N is a
+    * single count job (one scalar to the driver, same as BM25's stats).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCols: Seq[String],
+      k: Int): DataFrame = {
+    val n = docs.count().toDouble
+    val tf = tokens(docs, idCol, textCols)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("term"), col("score"), col("rnk"))
+  }
+
   /** Build the index: postings (id, term, tf, dl) + corpus stats (n, avgdl). */
   def build(docs: DataFrame, idCol: String, textCols: Seq[String]): Bm25Index = {
     val tok = tokens(docs, idCol, textCols)

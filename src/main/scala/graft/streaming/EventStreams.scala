@@ -45,6 +45,26 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: each click matched to the
+    * same user's purchases in the preceding `lookback`. Both sides carry
+    * watermarks AND the join condition bounds event-time distance, so
+    * Spark can evict buffered rows that can no longer match — state is
+    * O(arrival rate × (watermark + lookback)), not O(history). Without
+    * the time bound a stream-stream inner join must buffer forever; the
+    * interval is what makes the operator production-safe.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "1 hour", watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay).alias("c")
+    val p = purchases.withWatermark("ts", watermarkDelay).alias("p")
+    c.join(p, expr(
+        s"c.user_id = p.user_id AND " +
+          s"p.ts >= c.ts - INTERVAL $lookback AND p.ts <= c.ts"))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when no event arrives for `gapSeconds` (event time). Custom
     * state machine — the operator Spark's built-in windows can't express

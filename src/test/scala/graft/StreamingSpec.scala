@@ -55,6 +55,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("stream-stream interval join: purchases within the lookback, state bounded") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(
+        clicks.toDS().toDF(), purchases.toDS().toDF(),
+        lookback = "5 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("cpjoin")
+      .outputMode("append").start()
+
+    purchases.addData(
+      Event(100, ts(0, 0), 7, "purchase", 9.0), // 4 min before click → in window
+      Event(101, ts(20, 0), 7, "purchase", 9.0)) // 16 min AFTER click → out
+    clicks.addData(
+      Event(1, ts(4, 0), 7, "click", 1.0),
+      Event(2, ts(4, 0), 8, "click", 1.0)) // other user → no match
+    q.processAllAvailable()
+    // advance both watermarks so the joinable region closes and emits
+    purchases.addData(Event(199, ts(40, 0), 9, "purchase", 1.0))
+    clicks.addData(Event(99, ts(40, 0), 9, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("cpjoin")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 100L))) // in-window purchase matched
+    assert(!out.exists(_._2 == 101L)) // later purchase never matches an earlier click
+    assert(!out.exists(_._1 == 2L)) // user 8 had no purchases
+  }
+
   test("gap sessionization with custom state (flatMapGroupsWithState)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]

@@ -221,6 +221,19 @@ class SearchIndexSpec extends SparkSpec {
     assert(scores(1L) > scores(2L)) // both terms + higher tf beats one term
     assert(scores(4L) > scores(2L)) // both terms beat one term
   }
+  test("tf-idf top terms: discriminative terms win, ties break lexically") {
+    val top = SearchIndex.tfidfTopTerms(docs, "doc_id", Seq("text"), k = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(top.forall(_._2.length == 2))
+    // doc 3's words are all unique (idf ln4), tf 1 each → tie, term asc
+    assert(top(3L).sortBy(_.getInt(3)).map(_.getString(1)).toSeq ==
+      Seq("for", "gardening"))
+    // doc 1: spark(tf2·ln2)=fast(ln4)=with(ln4)=1.3863 → "fast","spark" lexically
+    assert(top(1L).sortBy(_.getInt(3)).map(_.getString(1)).toSeq ==
+      Seq("fast", "spark"))
+    // ubiquitous-ish 'engine' (3 of 4 docs, idf ln(4/3)≈0.29) never ranks top-2
+    assert(!top.values.flatten.exists(_.getString(1) == "engine"))
+  }
   test("index persists and reloads (the mtime-rebuild analog)") {
     val dir = java.nio.file.Files.createTempDirectory("bm25").toString
     val idx = SearchIndex.build(docs, "doc_id", Seq("text"))
