@@ -18,13 +18,21 @@ object Sampling {
 
   private val M = 1000000L
 
-  private def keep(idCol: Column, salt: Long, fraction: Double): Column =
-    pmod(xxhash64(idCol, lit(salt)), lit(M)) < (fraction * M).toLong
+  /** The ONE keep-predicate both entry points share — uniform and
+    * stratified must agree bucket-for-bucket or the cross-table guarantee
+    * breaks at fraction boundaries. The id is hashed through its string
+    * form so the same logical id selects identically whether a table
+    * stores it as int, long or string (xxhash64 hashes raw bytes and is
+    * type-sensitive otherwise).
+    */
+  private def keep(idCol: Column, salt: Long, fraction: Column): Column =
+    pmod(xxhash64(idCol.cast("string"), lit(salt)), lit(M)) <
+      floor(fraction * M).cast("long")
 
   /** Uniform deterministic sample of `fraction` of rows by id hash. */
   def uniform(df: DataFrame, idCol: String, fraction: Double,
       salt: Long = 0L): DataFrame =
-    df.filter(keep(col(idCol), salt, fraction))
+    df.filter(keep(col(idCol), salt, lit(fraction)))
 
   /** Stratified deterministic sample: per-stratum fractions (e.g. keep 100%
     * of high-quality docs, 5% of boilerplate). Strata missing from the map
@@ -37,7 +45,6 @@ object Sampling {
     val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
       when(col(stratumCol) === s, f).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(col(idCol), lit(salt)), lit(M))
-      .cast("double") < frac * M)
+    df.filter(keep(col(idCol), salt, frac))
   }
 }

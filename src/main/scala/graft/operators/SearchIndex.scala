@@ -31,6 +31,13 @@ object SearchIndex {
         explode(T.words(concat_ws(" ", textCols.map(col): _*))).as("term"))
       .filter(col("term") =!= "")
 
+  /** (id, term, tf) — the aggregate BM25 postings and TF-IDF summaries
+    * share; one definition so tokenization/tf semantics cannot drift.
+    */
+  private def termFreqs(docs: DataFrame, idCol: String, textCols: Seq[String]) =
+    tokens(docs, idCol, textCols)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** TF-IDF top terms per document — the keyword/fingerprint summary a
     * curation pipeline attaches to every doc (near-dup triage, topic
     * binning, index pruning). score = tf · ln(N / df), each document's k
@@ -44,8 +51,7 @@ object SearchIndex {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCols: Seq[String],
       k: Int): DataFrame = {
     val n = docs.count().toDouble
-    val tf = tokens(docs, idCol, textCols)
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCols)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
@@ -59,7 +65,7 @@ object SearchIndex {
   /** Build the index: postings (id, term, tf, dl) + corpus stats (n, avgdl). */
   def build(docs: DataFrame, idCol: String, textCols: Seq[String]): Bm25Index = {
     val tok = tokens(docs, idCol, textCols)
-    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCols)
     val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
