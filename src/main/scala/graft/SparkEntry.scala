@@ -235,7 +235,7 @@ object SparkEntry {
     }),
     "q_search_bm25" -> ((s, dir) => {
       val idx = graft.operators.SearchIndex.build(
-        Tables.load(s, dir, "documents"), "doc_id", Seq("text", "source"))
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", Seq("text", "source"))
       graft.operators.SearchIndex.score(idx, "merge stream")
         .withColumnRenamed("id", "doc_id")
     }),
@@ -456,29 +456,29 @@ object SparkEntry {
     }),
     // ---- training-data ops: dedup family ----
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.exact(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("fp"))),
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
           shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
         .orderBy(col("doc_id"))),
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashSketches(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashSketches(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      Dedup.embeddingNearDup(Tables.loadParallel(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         threshold = 0.3, numPlanes = 6, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
     // ---- similarity search ----
@@ -496,7 +496,7 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, dir) =>
       graft.operators.SearchIndex.tfidfTopTerms(
-        Tables.load(s, dir, "documents"), "doc_id", Seq("text"), k = 5)
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", Seq("text"), k = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
     "q_column_stats" -> ((s, dir) =>
@@ -542,7 +542,7 @@ object SparkEntry {
       // selection and in-cell scoring exactly; k-means *training* is
       // value-gated separately by q_ann_ivf_exact (whose top-k must equal
       // brute force no matter where training put the centroids)
-      val embs = Tables.load(s, dir, "embeddings")
+      val embs = Tables.loadParallel(s, dir, "embeddings", "vec_id")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       val centroids = embs.filter(col("vec_id").between(1, 16))
@@ -556,7 +556,7 @@ object SparkEntry {
       // probing every cell makes IVF exact: its top-k must equal the brute
       // force oracle regardless of where k-means put the centroids — a full
       // value gate on the IVF plumbing (assignment, probe, scoring)
-      val embs = Tables.load(s, dir, "embeddings")
+      val embs = Tables.loadParallel(s, dir, "embeddings", "vec_id")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 8)
@@ -564,13 +564,13 @@ object SparkEntry {
     }),
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadParallel(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, dir) => {
       import graft.functions.{TextFunctions => T}
-      Tables.load(s, dir, "documents").select(
+      Tables.loadParallel(s, dir, "documents", "doc_id").select(
         col("doc_id"),
         T.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
         T.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"),
@@ -580,12 +580,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_fingerprint" -> ((s, dir) =>
-      Dedup.fingerprints(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.fingerprints(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, k = 4)
         .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
-      val payloads = Tables.load(s, dir, "documents")
+      val payloads = Tables.loadParallel(s, dir, "documents", "doc_id")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.extractFeatures(payloads, "payload")
         .select(col("doc_id"), col("media.width").as("width"),
@@ -596,7 +596,7 @@ object SparkEntry {
     "q_multimodal_embed" -> ((s, dir) => {
       // media → stub embedding → similarity: cosine of every doc's
       // pseudo-embedding against doc 0's, top 10
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
         .select(col("doc_id"), Multimodal.stubEmbedding(col("text"), 16).as("emb"))
       val q = docs.filter(col("doc_id") === 0).select(col("emb")).head.getSeq[Double](0)
       Ann.bruteForceTopK(docs, "doc_id", "emb", q, 10)

@@ -13,6 +13,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** For compute-dense narrow tables (documents, embeddings): a single
+    * parquet row group scans as a single partition, which serializes every
+    * downstream per-row stage (regex metrics, shingle explosion, vector
+    * math) no matter how many cores the cluster has. Repartitioning to the
+    * session's parallelism ships the table's few MBs once and fans the
+    * heavy map out — the standard Spark pattern for small-input/heavy-CPU
+    * work. Partitioning is HASHED ON THE TABLE'S ID so downstream per-id
+    * windows/aggregates reuse the clustering instead of exchanging again
+    * (bare round-robin would also trigger Spark's sort-before-repartition).
+    * Scan-heavy tables (lineitem, orders) must NOT use this: an
+    * unconditional exchange above the scan would defeat pushdown-measured
+    * plans for nothing.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    load(spark, dir, name).repartition(
+      spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
+
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
