@@ -235,7 +235,7 @@ object SparkEntry {
     }),
     "q_search_bm25" -> ((s, dir) => {
       val idx = graft.operators.SearchIndex.build(
-        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", Seq("text", "source"))
+        Tables.load(s, dir, "documents"), "doc_id", Seq("text", "source"))
       graft.operators.SearchIndex.score(idx, "merge stream")
         .withColumnRenamed("id", "doc_id")
     }),
@@ -456,7 +456,7 @@ object SparkEntry {
     }),
     // ---- training-data ops: dedup family ----
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("fp"))),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -542,7 +542,7 @@ object SparkEntry {
       // selection and in-cell scoring exactly; k-means *training* is
       // value-gated separately by q_ann_ivf_exact (whose top-k must equal
       // brute force no matter where training put the centroids)
-      val embs = Tables.loadParallel(s, dir, "embeddings", "vec_id")
+      val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       val centroids = embs.filter(col("vec_id").between(1, 16))
@@ -556,7 +556,7 @@ object SparkEntry {
       // probing every cell makes IVF exact: its top-k must equal the brute
       // force oracle regardless of where k-means put the centroids — a full
       // value gate on the IVF plumbing (assignment, probe, scoring)
-      val embs = Tables.loadParallel(s, dir, "embeddings", "vec_id")
+      val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
       val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 8)
@@ -585,7 +585,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
-      val payloads = Tables.loadParallel(s, dir, "documents", "doc_id")
+      val payloads = Tables.load(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.extractFeatures(payloads, "payload")
         .select(col("doc_id"), col("media.width").as("width"),
@@ -596,7 +596,7 @@ object SparkEntry {
     "q_multimodal_embed" -> ((s, dir) => {
       // media → stub embedding → similarity: cosine of every doc's
       // pseudo-embedding against doc 0's, top 10
-      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), Multimodal.stubEmbedding(col("text"), 16).as("emb"))
       val q = docs.filter(col("doc_id") === 0).select(col("emb")).head.getSeq[Double](0)
       Ann.bruteForceTopK(docs, "doc_id", "emb", q, 10)
