@@ -496,7 +496,8 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, dir) =>
       graft.operators.SearchIndex.tfidfTopTerms(
-        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", Seq("text"), k = 5)
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", Seq("text"), k = 5,
+        corpusSize = Some(Tables.load(s, dir, "documents").count()))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
     "q_column_stats" -> ((s, dir) =>

@@ -24,6 +24,11 @@ object Sampling {
     * form so the same logical id selects identically whether a table
     * stores it as int, long or string (xxhash64 hashes raw bytes and is
     * type-sensitive otherwise).
+    *
+    * The exact predicate — string-canonicalized id, xxhash64, mod 10⁶,
+    * floor threshold — IS the reproducibility contract: any change to it
+    * re-selects every corpus, so treat a change like a salt bump and
+    * never mix subsets produced by different predicate versions.
     */
   private def keep(idCol: Column, salt: Long, fraction: Column): Column =
     pmod(xxhash64(idCol.cast("string"), lit(salt)), lit(M)) <

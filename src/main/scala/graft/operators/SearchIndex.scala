@@ -49,8 +49,11 @@ object SearchIndex {
     * single count job (one scalar to the driver, same as BM25's stats).
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCols: Seq[String],
-      k: Int): DataFrame = {
-    val n = docs.count().toDouble
+      k: Int, corpusSize: Option[Long] = None): DataFrame = {
+    // corpusSize lets a caller that repartitioned `docs` for the token
+    // explosion supply N from the cheap un-shuffled scan instead of
+    // paying the repartition exchange once more for a scalar count
+    val n = corpusSize.getOrElse(docs.count()).toDouble
     val tf = termFreqs(docs, idCol, textCols)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
