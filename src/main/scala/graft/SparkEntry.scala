@@ -821,15 +821,19 @@ object SparkEntry {
       // embeddings of vec_id 1..16; each vector goes to its nearest
       // centroid (squared L2 via the dot-product expansion, ties to the
       // smaller cell id — Spark's least(struct(dist, cell)) order); the 4
-      // cells nearest the query are probed and only their members scored
+      // cells nearest the query are probed and only their members scored.
+      // Distances round to 6 dp BEFORE the argmin on both engines (Spark
+      // fuses Σ(a−b)², DuckDB expands to dot products — the two differ in
+      // the last float bits, so an unrounded comparison would make
+      // near-equidistant assignments engine-dependent)
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         |         FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dists AS (
         |  SELECT e.vec_id, e.v, c.cid,
-        |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-        |      + list_dot_product(c.cv, c.cv) AS dist
+        |    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS dist
         |  FROM e CROSS JOIN cent c),
         |assigned AS (
         |  SELECT vec_id, v, cid FROM (
@@ -838,8 +842,8 @@ object SparkEntry {
         |    FROM dists) WHERE rn = 1),
         |probe AS (
         |  SELECT cid FROM cent, q
-        |  ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(cv, qv)
-        |    + list_dot_product(qv, qv), cid
+        |  ORDER BY round(list_dot_product(cv, cv) - 2 * list_dot_product(cv, qv)
+        |    + list_dot_product(qv, qv), 6), cid
         |  LIMIT 4)
         |SELECT vec_id,
         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score

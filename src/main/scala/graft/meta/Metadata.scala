@@ -35,22 +35,37 @@ object Metadata {
     * commit time when a log exists, else the newest file mtime under the
     * uri. Drives cache invalidation (schema cache, search index rebuild).
     */
-  def modifiedDate(uri: String): Option[java.time.Instant] = {
+  def modifiedDate(uri: String): Option[java.time.Instant] =
+    sourceFingerprint(uri).map(_.modified)
+
+  /** Staleness key for a source path. Mtime alone is not enough: filesystem
+    * mtime granularity is a full second on many systems, so an overwrite
+    * landing in the same second as its predecessor would compare equal and
+    * keep serving stale frames — and a directory's own mtime may not change
+    * when only nested partition files do. Counting files and summing their
+    * sizes makes any realistic rewrite (compaction, append, overwrite)
+    * observable even inside one mtime tick.
+    */
+  final case class SourceFingerprint(modified: java.time.Instant,
+      fileCount: Long, totalBytes: Long)
+
+  def sourceFingerprint(uri: String): Option[SourceFingerprint] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val p = Paths.get(uri)
     if (!Files.exists(p)) return None
     val logDir = p.resolve("_delta_log")
     val scanRoot = if (Files.isDirectory(logDir)) logDir else p
-    val times =
+    val files =
       if (Files.isDirectory(scanRoot)) {
         val walk = Files.walk(scanRoot)
-        try walk.iterator().asScala
-          .filter(Files.isRegularFile(_))
-          .map(f => Files.getLastModifiedTime(f).toInstant).toSeq
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
         finally walk.close()
-      } else Seq(Files.getLastModifiedTime(scanRoot).toInstant)
-    times.sorted.lastOption
+      } else Seq(scanRoot)
+    if (files.isEmpty) return None
+    val times = files.map(f => Files.getLastModifiedTime(f).toInstant)
+    Some(SourceFingerprint(times.max, files.size.toLong,
+      files.map(Files.size).sum))
   }
 
   /** Recursive type description, à la detail_endpoint.py:156-188. */

@@ -113,7 +113,13 @@ object Ann {
     val v = col(vecCol).cast("array<double>")
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = array(c.map(lit): _*)
-      val d = graft.plans.VectorExpressions.l2sq(embs.sparkSession, v, cc)
+      // rounded before the argmin: different engines (and different
+      // algebraic forms of L2 — fused Σ(a−b)² here, the dot-product
+      // expansion elsewhere) disagree in the last float bits, so a raw
+      // comparison makes near-equidistant assignments platform-dependent.
+      // At 6 dp the tie-break (smaller cell id) decides identically
+      // everywhere; within 1e-6 the cell choice is arbitrary anyway.
+      val d = round(graft.plans.VectorExpressions.l2sq(embs.sparkSession, v, cc), 6)
       struct(d.as("dist"), lit(i).as("cell"))
     }
     embs.withColumn("cell", least(dists: _*).getField("cell"))
@@ -125,7 +131,11 @@ object Ann {
       idCol: String, vecCol: String, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
-      .sortBy(_._1).take(nprobe).map(_._2)
+      // same 6-dp rounding (HALF_UP, matching Spark/DuckDB `round` on
+      // nonnegative values) as cell assignment, for the same reason: probe
+      // choice must not hinge on last-bit float disagreement across engines
+      .map { case (d, i) => (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP), i) }
+      .sortBy(identity).take(nprobe).map(_._2)
     withCosine(index.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
       vecCol, query)
       .select(col(idCol), col("score"))

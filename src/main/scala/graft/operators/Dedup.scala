@@ -138,13 +138,16 @@ object Dedup {
     while (i < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter over already-materialized partitions — not a join of two
+      // checkpointed tables, which would add a shuffle per round
       val updated = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
         .select(labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+          labels("label").as("old"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("old")).isEmpty
+      labels = updated.drop("old")
       i += 1
     }
     labels.withColumnRenamed("id", "doc_id").withColumnRenamed("label", "cluster")

@@ -24,25 +24,39 @@ object Profile {
     */
   def columnStats(df: DataFrame, approx: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      // maps are unorderable (count_distinct rejects them) — count their
-      // canonical JSON form instead; null map stays null through to_json
-      val v = df.schema(c).dataType match {
-        case _: org.apache.spark.sql.types.MapType => to_json(col(c))
-        case _ => col(c)
+    // a zero-column frame has nothing to profile — empty result, same schema
+    if (cols.isEmpty)
+      return df.sparkSession.range(0).select(lit("").as("column_name"),
+        lit(0L).as("n_rows"), lit(0L).as("n_null"), lit(0L).as("n_distinct"))
+    // aliases are keyed by POSITION, not name: a column literally named
+    // `nn_x` (or one containing quotes/backticks) must not collide with or
+    // break the scratch names, and the reshape below never round-trips a
+    // user-supplied name through SQL text
+    // backtick-quote so names with dots (or embedded backticks, doubled per
+    // Spark's rule) resolve as one top-level column, not a nested path
+    def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        // maps are unorderable (count_distinct rejects them) — count their
+        // canonical JSON form instead; null map stays null through to_json
+        val v = df.schema(i).dataType match {
+          case _: org.apache.spark.sql.types.MapType => to_json(df(quoted(c)))
+          case _ => df(quoted(c))
+        }
+        val distinct =
+          if (approx) approx_count_distinct(v) else count_distinct(v)
+        // coalesce: sum over zero rows is NULL, but "no rows" means 0 nulls
+        Seq(coalesce(sum(when(v.isNull, 1L).otherwise(0L)), lit(0L)).as(s"nn_$i"),
+          distinct.as(s"nd_$i"))
       }
-      val distinct =
-        if (approx) approx_count_distinct(v) else count_distinct(v)
-      // coalesce: sum over zero rows is NULL, but "no rows" means 0 nulls
-      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"nn_$c"),
-        distinct.as(s"nd_$c"))
-    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // stack to (column, n_rows, n_null, n_distinct) — constant-size input,
-    // so the reshape is free
-    val stackArgs = cols.map(c => s"'$c', `nn_$c`, `nd_$c`").mkString(", ")
-    wide.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (column_name, n_null, n_distinct)")
+    // stack to (column, n_rows, n_null, n_distinct) via the typed Column
+    // API — constant-size input, so the reshape is free; column names enter
+    // only as string LITERALS (lit(c)), immune to quoting
+    val stackArgs: Seq[Column] = lit(cols.length) +:
+      cols.indices.flatMap(i => Seq(lit(cols(i)), col(s"nn_$i"), col(s"nd_$i")))
+    wide.select(col("n_rows"),
+        stack(stackArgs: _*).as(Seq("column_name", "n_null", "n_distinct")))
       .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"))
   }
 

@@ -78,19 +78,20 @@ object ArrowWriters {
       while (it.hasNext) {
         var n = 0
         var cut = false
+        // incremental byte tracking: writeCell reports what each cell
+        // appended, so the bound fires on ANY row — a periodic-only probe
+        // would let a handful of very wide rows blow past the allocator cap
+        // before the first check
+        var batchBytes = 0L
         while (it.hasNext && n < chunkSize && !cut) {
           val row = it.next()
           var i = 0
           while (i < sparkFields.length) {
-            writeCell(root.getVector(i), sparkFields(i).dataType, n, row, i)
+            batchBytes += writeCell(root.getVector(i), sparkFields(i).dataType, n, row, i)
             i += 1
           }
           n += 1
-          if ((n & 0xFF) == 0) { // probe size every 256 rows
-            root.setRowCount(n)
-            cut = (0 until sparkFields.length)
-              .map(root.getVector(_).getBufferSize.toLong).sum > maxBatchBytes
-          }
+          cut = batchBytes > maxBatchBytes
         }
         root.setRowCount(n)
         writer.writeBatch()
@@ -102,26 +103,34 @@ object ArrowWriters {
     }
   }
 
-  private def writeCell(vec: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit = {
-    if (row.isNullAt(col)) { setNull(vec, idx); return }
+  /** Writes one cell and returns the bytes it appended to the batch (exact
+    * for variable-width values, width-of-type for fixed) so the caller can
+    * bound batch size incrementally.
+    */
+  private def writeCell(vec: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Long = {
+    if (row.isNullAt(col)) { setNull(vec, idx); return 1L }
     (vec, dt) match {
-      case (v: BigIntVector, _) => v.setSafe(idx, row.getLong(col))
-      case (v: IntVector, _) => v.setSafe(idx, row.getInt(col))
-      case (v: SmallIntVector, _) => v.setSafe(idx, row.getShort(col))
-      case (v: TinyIntVector, _) => v.setSafe(idx, row.getByte(col))
-      case (v: Float8Vector, _) => v.setSafe(idx, row.getDouble(col))
-      case (v: Float4Vector, _) => v.setSafe(idx, row.getFloat(col))
-      case (v: VarCharVector, _) => v.setSafe(idx, row.getString(col).getBytes("UTF-8"))
-      case (v: BitVector, _) => v.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
-      case (v: VarBinaryVector, _) => v.setSafe(idx, row.getAs[Array[Byte]](col))
+      case (v: BigIntVector, _) => v.setSafe(idx, row.getLong(col)); 8L
+      case (v: IntVector, _) => v.setSafe(idx, row.getInt(col)); 4L
+      case (v: SmallIntVector, _) => v.setSafe(idx, row.getShort(col)); 2L
+      case (v: TinyIntVector, _) => v.setSafe(idx, row.getByte(col)); 1L
+      case (v: Float8Vector, _) => v.setSafe(idx, row.getDouble(col)); 8L
+      case (v: Float4Vector, _) => v.setSafe(idx, row.getFloat(col)); 4L
+      case (v: VarCharVector, _) =>
+        val b = row.getString(col).getBytes("UTF-8")
+        v.setSafe(idx, b); b.length.toLong + 4L // value + offset slot
+      case (v: BitVector, _) => v.setSafe(idx, if (row.getBoolean(col)) 1 else 0); 1L
+      case (v: VarBinaryVector, _) =>
+        val b = row.getAs[Array[Byte]](col)
+        v.setSafe(idx, b); b.length.toLong + 4L
       case (v: DateDayVector, _) =>
-        v.setSafe(idx, row.getAs[java.sql.Date](col).toLocalDate.toEpochDay.toInt)
+        v.setSafe(idx, row.getAs[java.sql.Date](col).toLocalDate.toEpochDay.toInt); 4L
       case (v: TimeStampMicroVector, _: TimestampType) =>
         val ts = row.getAs[java.sql.Timestamp](col)
-        v.setSafe(idx, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000)
+        v.setSafe(idx, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000); 8L
       case (v: TimeStampMicroVector, _: TimestampNTZType) =>
         val ldt = row.getAs[java.time.LocalDateTime](col)
-        v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
+        v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000); 8L
       case (v, t) =>
         throw new IllegalArgumentException(s"arrow writer: unhandled $t / ${v.getClass}")
     }

@@ -56,7 +56,7 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
   // data actually moved.
 
   private final case class CachedFrame(df: DataFrame,
-      modified: Option[java.time.Instant], at: Long)
+      modified: Option[Metadata.SourceFingerprint], at: Long)
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedFrame]()
 
@@ -66,7 +66,9 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     cached match {
       case Some(c) if now - c.at < frameTtlMillis => c.df
       case _ =>
-        val mtime = Metadata.modifiedDate(t.datasource.uri)
+        // mtime alone misses same-second overwrites (1 s granularity on many
+        // filesystems) — the fingerprint also compares file count and bytes
+        val mtime = Metadata.sourceFingerprint(t.datasource.uri)
         cached match {
           case Some(c) if mtime.isDefined && c.modified == mtime =>
             frameCache.put(t.routeName, c.copy(at = now)); c.df
@@ -365,7 +367,8 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     */
   private val headersSent = ThreadLocal.withInitial[java.lang.Boolean](() => false)
 
-  private def safely(ex: HttpExchange)(body: => Unit): Unit =
+  private def safely(ex: HttpExchange)(body: => Unit): Unit = {
+    var aborted = false
     try {
       headersSent.set(false)
       users match {
@@ -379,17 +382,25 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       body
     } catch {
       // a failure after chunked headers went out cannot become an error
-      // status any more — closing the exchange truncates the chunked body,
-      // which HTTP clients surface as a transfer error
+      // status any more. Crucially, a graceful ex.close() would flush the
+      // chunked stream's 0-chunk terminator, making the truncated body look
+      // like a validly-completed 200 — for row-framed formats (csv/ndjson)
+      // the client would silently keep a partial result. Rethrow WITHOUT
+      // closing: the JDK server's dispatcher closes the raw connection
+      // abruptly, so the client sees a premature EOF mid-chunk, which every
+      // HTTP client surfaces as a transfer error.
       case NonFatal(e) if headersSent.get() =>
         System.err.println(s"[graft] response aborted mid-stream: $e")
+        aborted = true
+        throw e
       case e @ (_: FilterCompiler.BadRequestException |
                 _: SqlEndpoint.ForbiddenSqlException |
                 _: NumberFormatException | _: IllegalArgumentException) =>
         sendJson(ex, 400, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
       case NonFatal(e) =>
         sendJson(ex, 500, s"""{"detail":${mapper.writeValueAsString(String.valueOf(e))}}""")
-    } finally ex.close()
+    } finally if (!aborted) ex.close()
+  }
 
   /** query-string → map; repeated keys accumulate into a Seq (the GET
     * convention for list-valued operators like `_in`).

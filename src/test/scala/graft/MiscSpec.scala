@@ -228,6 +228,25 @@ class MetadataSpec extends SparkSpec {
     assert(desc("ar") == "list<int>")
     assert(desc("i") == "int")
   }
+  test("sourceFingerprint sees a same-mtime rewrite (mtime granularity)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_fp")
+    val f = dir.resolve("part-0.parquet")
+    Files.write(f, "0123456789".getBytes)
+    val t0 = Files.getLastModifiedTime(f)
+    val fp1 = Metadata.sourceFingerprint(dir.toString).get
+    // overwrite with different content, then pin the mtime back — the
+    // worst case for a timestamp-only staleness key
+    Files.write(f, "01234".getBytes)
+    Files.setLastModifiedTime(f, t0)
+    val fp2 = Metadata.sourceFingerprint(dir.toString).get
+    assert(fp1.modified == fp2.modified) // timestamp alone can't tell...
+    assert(fp1 != fp2)                   // ...but the fingerprint can
+    assert(fp2.totalBytes == 5L && fp2.fileCount == 1L)
+    assert(Metadata.modifiedDate(dir.toString).contains(fp1.modified))
+    Files.delete(f); Files.delete(dir)
+    assert(Metadata.sourceFingerprint(Paths.get("/nonexistent-graft").toString).isEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -272,6 +291,21 @@ class ProfileSpec extends SparkSpec {
     // approx variant: same shape, HLL instead of Expand-planned exact
     assert(Profile.columnStats(df, approx = true).columns.toSeq ==
       Seq("column_name", "n_rows", "n_null", "n_distinct"))
+  }
+  test("columnStats survives hostile column names and zero columns") {
+    // names that would break string-SQL interpolation: quote, backtick,
+    // dot, and a collision with the scratch-alias prefix
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("it's", "nn_0")
+      .withColumnRenamed("nn_0", "a.b`c")
+    val out = Profile.columnStats(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("it's") == ((3L, 0L, 3L)))
+    assert(out("a.b`c") == ((3L, 0L, 2L)))
+    // zero-column frame: empty result, stable schema
+    val empty = Profile.columnStats(spark.emptyDataFrame)
+    assert(empty.columns.toSeq == Seq("column_name", "n_rows", "n_null", "n_distinct"))
+    assert(empty.count() == 0L)
   }
   test("numericSummary: exact interpolated percentiles bounded by min/max") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "x")

@@ -70,6 +70,28 @@ class OutputSpec extends SparkSpec {
     assert(root.getVector("s").isNull(2))
     sreader.close(); alloc.close()
   }
+  test("arrow batches cut on bytes for wide rows, well before the 256-row probe") {
+    // 6 rows × ~20 MiB strings: a row-count-only bound (chunkSize=1000)
+    // would buffer all ~120 MiB in one batch; the incremental byte bound
+    // must cut at ~64 MiB — i.e. every 3-4 rows — long before row 256
+    val wide = "x" * (20 << 20)
+    val df6 = spark.range(6).selectExpr("id", s"repeat('x', ${20 << 20}) AS s")
+    val bytes = ArrowWriters.toArrowBytes(df6, stream = true, chunkSize = 1000)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(
+      Channels.newChannel(new ByteArrayInputStream(bytes)), alloc)
+    var batches = 0
+    var rows = 0
+    while (reader.loadNextBatch()) {
+      batches += 1
+      val root = reader.getVectorSchemaRoot
+      rows += root.getRowCount
+      assert(root.getRowCount <= 4) // 64 MiB bound / 20 MiB rows
+      assert(root.getVector("s").getObject(0).toString == wide)
+    }
+    assert(rows == 6 && batches >= 2)
+    reader.close(); alloc.close()
+  }
   test("xlsx: valid zip with the four SpreadsheetML parts and inline data (O6)") {
     import graft.output.XlsxWriter
     val bytes = XlsxWriter.toXlsxBytes(df)
