@@ -584,6 +584,32 @@ object SparkEntry {
       Dedup.fingerprints(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, k = 4)
         .orderBy(col("doc_id"))),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark-leakage check: every 20th document plays the eval set,
+      // the rest are the training corpus being screened
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      graft.operators.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, flagThreshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.metrics(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_redact" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      Tables.loadParallel(s, dir, "documents", "doc_id").select(
+        col("doc_id"),
+        T.redactionCount(col("text"), redactPattern).as("n_hits"),
+        md5(T.redact(col("text"), redactPattern, "[PII]")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_ngram_freq" -> ((s, dir) =>
+      graft.operators.CorpusStats.ngramFrequency(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        n = 3, k = 20)),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")
@@ -897,6 +923,14 @@ object SparkEntry {
     "q_lang_id" -> langIdOracleSql,
     "q_text_quality" -> textQualityOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
+    "q_decontaminate" -> decontaminateOracleSql,
+    "q_repetition" -> repetitionOracleSql,
+    "q_ngram_freq" -> ngramFreqOracleSql,
+    "q_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,
+         |  md5(regexp_replace(text, '$redactPattern', '[PII]', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_tfidf" ->
@@ -1003,6 +1037,12 @@ object SparkEntry {
 
   // ---- generated oracle SQL for the hash-based operators ----
 
+  /** Scrub pattern for the redaction gate — a stand-in term list (real
+    * pipelines plug email/phone/credential patterns in here); `\b` parses
+    * identically under Java regex and RE2.
+    */
+  private val redactPattern = "\\b(key|table|scan)\\b"
+
   /** Normalized whitespace words, as a DuckDB expression. */
   private def wsSql(textExpr: String) =
     s"str_split(regexp_replace(trim(lower($textExpr)), '\\s+', ' ', 'g'), ' ')"
@@ -1063,6 +1103,60 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Decontamination oracle: same split (doc_id % 20 = 0 ⇒ eval), same
+    * distinct-shingle overlap counts — the join multiplicities differ from
+    * the Spark plan (the oracle pre-distincts per-document shingles, Spark
+    * dedups inside the aggregate) but count(DISTINCT) makes both exact.
+    */
+  private def decontaminateOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+       |agg AS (
+       |  SELECT tr.doc_id,
+       |    count(DISTINCT tr.shingle) AS n_shingles,
+       |    count(DISTINCT CASE WHEN ev.shingle IS NOT NULL THEN tr.shingle END) AS n_overlap
+       |  FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+       |  GROUP BY tr.doc_id)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |  round(n_overlap::DOUBLE / n_shingles::DOUBLE, 4) AS overlap_ratio,
+       |  CASE WHEN round(n_overlap::DOUBLE / n_shingles::DOUBLE, 4) >= 0.2
+       |       THEN 1 ELSE 0 END AS contaminated
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Repetition-metrics oracle: token and bigram bags via list
+    * comprehensions, rolled up exactly like the Spark two-level aggregate.
+    */
+  private def repetitionOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wc AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |         count(*) AS n_distinct_words, CAST(max(n) AS BIGINT) AS top_n
+       |       FROM wc GROUP BY 1),
+       |bgl AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bgs FROM w),
+       |bge AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+       |bgc AS (SELECT doc_id, bg, count(*) AS n FROM bge GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bg, count(*) AS nd_bg
+       |       FROM bgc GROUP BY 1)
+       |SELECT wa.doc_id, n_words, n_distinct_words,
+       |  round(1 - n_distinct_words::DOUBLE / n_words::DOUBLE, 4) AS dup_word_frac,
+       |  round(top_n::DOUBLE / n_words::DOUBLE, 4) AS top_word_frac,
+       |  coalesce(round(1 - nd_bg::DOUBLE / n_bg::DOUBLE, 4), 0.0) AS dup_bigram_frac
+       |FROM wa LEFT JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Corpus n-gram frequency oracle (n=3, k=20). */
+  private def ngramFreqOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |gl AS (SELECT doc_id, [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] AS gs
+       |       FROM w WHERE len(ws) >= 3),
+       |ge AS (SELECT doc_id, unnest(gs) AS ngram FROM gl)
+       |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |FROM ge GROUP BY ngram
+       |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin
 
   /** Connected components over the pairs: transitive closure via a
     * recursive CTE (no aggregates inside the recursion), then the cluster

@@ -151,6 +151,20 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
+  /** Number of matches of `pattern` in the raw text — the counting half of
+    * a scrubbing pass (how much PII/boilerplate a redaction would touch).
+    */
+  def redactionCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
+  /** Replace every match of `pattern` with `replacement` — the PII/
+    * boilerplate scrubbing primitive. Pure codegen'd regexp_replace (global
+    * by default in Spark), so it runs map-side at scan speed; compose
+    * multiple patterns by chaining.
+    */
+  def redact(c: Column, pattern: String, replacement: String = "[REDACTED]"): Column =
+    regexp_replace(c, pattern, replacement)
+
   /** Whole-document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeWs(c))
 

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level n-gram statistics: the "what is this corpus made of"
+  * report a data pipeline runs before and after filtering — top n-grams by
+  * occurrence with their document frequency, the raw material for
+  * boilerplate detection (n-grams occurring in thousands of documents) and
+  * corpus drift tracking between snapshot versions.
+  */
+object CorpusStats {
+
+  /** Top `k` word n-grams corpus-wide, as occurrences (bag semantics) plus
+    * the number of distinct documents containing each. Documents shorter
+    * than `n` words contribute nothing (a 2-word document has no trigrams).
+    *
+    * Plan shape at scale: the n-gram explosion is map-side over the scan;
+    * its window (lead over doc-id/position) and both counters hash on keys
+    * with map-side partial aggregation, and the final top-k is
+    * TakeOrderedAndProject — per-partition heaps, never a global sort of
+    * the n-gram vocabulary.
+    */
+  def ngramFrequency(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, "ngramFrequency needs n >= 2")
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(kk => lead(col("w"), kk).over(win))
+    val grams = words
+      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("ngram"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+    grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination: flag training documents whose word n-grams
+  * overlap an evaluation corpus — the standard guard against benchmark
+  * leakage when assembling a pre-training set (the "13-gram overlap" check
+  * of the GPT-3/PaLM data recipes, parameterized on n).
+  *
+  * Scale shape: the evaluation corpus is benchmark data — thousands of
+  * documents against the training set's billions — so its distinct shingle
+  * set is broadcast and the whole check runs as one map-side hash lookup
+  * per training shingle plus a single aggregate keyed on the document id.
+  * Nothing about the training side is ever shuffled except the final
+  * per-document counters (which combine map-side). For an eval corpus too
+  * large to broadcast, drop the hint and the same plan becomes a shuffle
+  * hash join on the shingle — the semantics don't change.
+  */
+object Decontaminate {
+
+  /** One row per training document: distinct shingle count, how many of
+    * those shingles appear anywhere in `eval`, their ratio, and a 0/1
+    * contamination flag at `flagThreshold`.
+    */
+  def overlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, flagThreshold: Double = 0.2): DataFrame = {
+    val trainSh = Dedup.shingleRows(train, idCol, textCol, n)
+    val evalSh = Dedup.shingleRows(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    // left join against the broadcast eval set marks overlapping shingles;
+    // count_distinct in the aggregate gives set semantics without a
+    // distinct shuffle of the (much larger) training shingle rows
+    val marked = trainSh.join(
+      broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+    marked.groupBy(col("id"))
+      .agg(count_distinct(col("shingle")).as("n_shingles"),
+        count_distinct(when(col("hit").isNotNull, col("shingle"))).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 4))
+      .withColumn("contaminated",
+        (col("overlap_ratio") >= flagThreshold).cast("int"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_ratio"), col("contaminated"))
+  }
+}

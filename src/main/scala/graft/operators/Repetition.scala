@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repetition metrics per document — the Gopher-style quality signals
+  * (Rae et al. 2021, §A1.1) that catch boilerplate and degenerate text:
+  * what fraction of a document is repeated words / repeated bigrams, and
+  * how dominant its single most frequent word is.
+  *
+  * Everything is explode + two-level flat hash aggregation (token counts,
+  * then per-document rollup) — the codegen-friendly shape, no higher-order
+  * functions in the hot path. Both aggregations and the final join are
+  * keyed on the document id, so one hash partitioning is reused end to
+  * end; at 100 TB the heavy stage (token explosion) combines map-side
+  * before anything shuffles.
+  */
+object Repetition {
+
+  /** Per document: word count, distinct word count, duplicate-word
+    * fraction (1 − distinct/total), top-word dominance (max term count /
+    * total), and duplicate-bigram fraction. Documents with fewer than two
+    * words have no bigrams and report 0.0 there.
+    */
+  def metrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
+
+    val wordCounts = words.groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val wordAgg = wordCounts.groupBy(col("id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("n")).as("top_n"))
+
+    // bag bigrams via lead over (id, pos) — same codegen'd shape as
+    // Dedup.shingleRows, but without the short-doc fallback (a one-word
+    // document has no bigrams, it is not its own bigram)
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val bigrams = words
+      .select(col("id"), concat_ws(" ", col("w"), lead(col("w"), 1).over(win)).as("bg"),
+        lead(col("w"), 1).over(win).isNotNull.as("full"))
+      .filter(col("full"))
+    val bigramAgg = bigrams.groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bg"), count(lit(1)).as("nd_bg"))
+
+    wordAgg.join(bigramAgg, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") /
+          col("n_words").cast("double"), 4).as("dup_word_frac"),
+        round(col("top_n").cast("double") /
+          col("n_words").cast("double"), 4).as("top_word_frac"),
+        coalesce(round(lit(1.0) - col("nd_bg").cast("double") /
+          col("n_bg").cast("double"), 4), lit(0.0)).as("dup_bigram_frac"))
+  }
+}

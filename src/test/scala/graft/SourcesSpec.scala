@@ -123,4 +123,20 @@ class PlanQualitySpec extends SparkSpec {
     // both aggregates partial-combine before their exchanges
     assert(physical.contains("partial_count"), physical)
   }
+  test("decontaminate broadcasts the eval shingle set — training side joins map-side") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val physical = graft.operators.Decontaminate.overlap(train, eval, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical)
+    assert(!physical.contains("SortMergeJoin"), physical)
+  }
+  test("ngram frequency ends in TakeOrderedAndProject, never a global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val physical = graft.operators.CorpusStats.ngramFrequency(docs, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+  }
 }

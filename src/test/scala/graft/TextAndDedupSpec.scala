@@ -321,3 +321,69 @@ class AnnSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 }
+
+class PipelineOpsSpec extends SparkSpec {
+  import graft.operators.{CorpusStats, Decontaminate, Repetition}
+  import spark.implicits._
+
+  test("decontaminate: overlap counts, ratio, flag against an eval split") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),          // shares "alpha beta gamma" path with eval
+      (2L, "one two three four five"),         // disjoint from eval
+      (3L, "alpha beta gamma")                 // fully contained in eval doc
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val out = Decontaminate.overlap(train, eval, "doc_id", "text", n = 3, flagThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    // doc 1: shingles {a b g, b g d} — eval has {a b g, b g e} → 1 of 2 overlap
+    assert(out(1L) == ((2L, 1L, 0.5, 1)))
+    // doc 2: 3 shingles, none shared
+    assert(out(2L) == ((3L, 0L, 0.0, 0)))
+    // doc 3: exactly 3 words → single shingle, present in eval
+    assert(out(3L) == ((1L, 1L, 1.0, 1)))
+  }
+
+  test("repetition: duplicate-word/bigram fractions and top-word dominance") {
+    val docs = Seq(
+      (1L, "spam spam spam eggs"),  // 4 words, 2 distinct; top=3; bigrams: s s, s s, s e → 3 total 2 distinct
+      (2L, "all words unique here"),
+      (3L, "solo")                  // one word: no bigrams → frac 0.0
+    ).toDF("doc_id", "text")
+    val out = Repetition.metrics(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 4L && r1.getAs[Long]("n_distinct_words") == 2L)
+    assert(r1.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r1.getAs[Double]("top_word_frac") == 0.75)
+    assert(r1.getAs[Double]("dup_bigram_frac") == round(1.0 - 2.0 / 3.0, 4))
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_word_frac") == 0.0 && r2.getAs[Double]("top_word_frac") == 0.25)
+    assert(out(3L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+  private def round(x: Double, p: Int): Double =
+    BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ngram frequency: bag counts, doc frequency, deterministic top-k") {
+    val docs = Seq(
+      (1L, "x y z x y z"),   // "x y z" ×2, "y z x" ×1, "z x y" ×1
+      (2L, "x y z"),         // "x y z" ×1
+      (3L, "a b")            // shorter than n → contributes nothing
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.ngramFrequency(docs, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("x y z", 3L, 2L)))
+    assert(out.length == 2)
+    // tie between "y z x" and "z x y" (1 occurrence each) broken lexically
+    assert(out(1) == (("y z x", 1L, 1L)))
+  }
+
+  test("redact: count and global replacement") {
+    val df = Seq((1L, "the key to the table is the key")).toDF("id", "t")
+    val row = df.select(
+      T.redactionCount($"t", "\\b(key|table)\\b").as("n"),
+      T.redact($"t", "\\b(key|table)\\b", "[PII]").as("r")).head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getString(1) == "the [PII] to the [PII] is the [PII]")
+  }
+}
