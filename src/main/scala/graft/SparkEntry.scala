@@ -610,6 +610,16 @@ object SparkEntry {
       graft.operators.CorpusStats.ngramFrequency(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         n = 3, k = 20)),
+    "q_chunk" -> ((s, dir) =>
+      graft.operators.Chunking.chunk(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        windowTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    "q_pack" -> ((s, dir) =>
+      graft.operators.Chunking.pack(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        budgetTokens = 2048)
+        .orderBy(col("shard"), col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")
@@ -926,6 +936,8 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,
     "q_ngram_freq" -> ngramFreqOracleSql,
+    "q_chunk" -> chunkOracleSql,
+    "q_pack" -> packOracleSql,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,
@@ -1147,6 +1159,33 @@ object SparkEntry {
        |  round(top_n::DOUBLE / n_words::DOUBLE, 4) AS top_word_frac,
        |  coalesce(round(1 - nd_bg::DOUBLE / n_bg::DOUBLE, 4), 0.0) AS dup_bigram_frac
        |FROM wa LEFT JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Chunking oracle: same start offsets (0, 24, 48, … inside the doc),
+    * same inclusive-slice window (DuckDB `ws[a:b]` and Spark
+    * `slice(ws, a, len)` both clamp at the array end).
+    */
+  private def chunkOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st,
+       |       generate_subscripts(range(0, len(ws), 24), 1) - 1 AS chunk_id FROM w)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(ws[st+1:st+32]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ws[st+1:st+32], ' ')) AS chunk_md5
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Packing oracle: exclusive running token sum per shard, integer
+    * div/mod by the budget.
+    */
+  private def packOracleSql: String =
+    s"""WITH t AS (SELECT source AS shard, doc_id,
+       |  CAST(len(${wsSql("text")}) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT shard, doc_id, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+       |SELECT shard, doc_id, n_tokens,
+       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+       |FROM c ORDER BY shard, doc_id""".stripMargin
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */
   private def ngramFreqOracleSql: String =

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for LLM training: split long documents into
+  * overlapping token windows (chunking), and assign documents to
+  * fixed-token-budget training sequences (packing).
+  *
+  * Both are pure column pipelines: chunking is one generator expression
+  * per document (sequence → posexplode → slice — all codegen'd, no
+  * higher-order functions), packing is one running-sum window per corpus
+  * shard. No operator here ever shuffles more than once.
+  */
+object Chunking {
+
+  /** Sliding-window chunks of `windowTokens` whitespace tokens with stride
+    * `strideTokens` (overlap = window − stride). Start offsets are
+    * 0, stride, 2·stride, … while they fall inside the document, so the
+    * final chunk may be shorter than the window (standard trailing-chunk
+    * semantics). Emits the chunk's token count and md5 (the compact,
+    * oracle-comparable stand-in for shipping the text itself).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1, "window/stride must be >= 1")
+    val withWords = docs.select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+    // one row per start offset; the words array rides along the explode
+    // (chunks overlap, so per-chunk duplication is inherent to the op)
+    val starts = withWords.select(col("doc_id"), col("ws"),
+      posexplode(sequence(lit(0), size(col("ws")) - 1, lit(strideTokens)))
+        .as(Seq("chunk_id", "start")))
+    starts.select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ws"), col("start") + 1, lit(windowTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
+  /** Sequence packing: documents are concatenated shard by shard (ordered
+    * by id within `shardCol`) and cut into training sequences of
+    * `budgetTokens` — each document reports which pack it starts in and at
+    * what offset, exactly the bookkeeping a fixed-context pre-training
+    * loader needs. Documents may straddle a pack boundary (the
+    * concatenate-then-cut convention); a document's pack is where its
+    * first token lands.
+    *
+    * One window over (shard, id) — a single hash exchange on the shard —
+    * computes the exclusive running token sum; pack id and offset are
+    * integer arithmetic on it.
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sized = docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+      T.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    sized
+      .withColumn("cum_incl", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        ((col("cum_incl") - col("n_tokens")) / budgetTokens).cast("long").as("pack_id"),
+        ((col("cum_incl") - col("n_tokens")) % budgetTokens).as("pack_offset"))
+  }
+}

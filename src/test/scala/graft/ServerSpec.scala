@@ -167,6 +167,20 @@ class ServerSpec extends SparkSpec {
         .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
     assert(new String(enc.body(), "UTF-16LE").startsWith("A,fruits,B,cars"))
   }
+  test("mid-stream failure aborts the connection — truncation is detectable") {
+    // raise_error fires at execution time, AFTER chunked headers went out
+    // (render sends headers, then the writer pulls toLocalIterator). The
+    // server must NOT close the exchange gracefully: that would emit the
+    // chunked 0-terminator and a client would accept the truncated ndjson
+    // as a complete 200. An abrupt connection close surfaces as an
+    // IOException in any HTTP client.
+    intercept[java.io.IOException] {
+      post(s"$base/api/sql?format=ndjson",
+        "SELECT CASE WHEN B > 0 THEN raise_error('mid-stream boom') ELSE 'x' END AS v FROM test_fruits")
+    }
+    // and the server keeps serving on a fresh connection afterwards
+    assert(get(s"$base/api/v1/test/fruits?cars=audi").statusCode() == 200)
+  }
   test("schema drift: a mid-session overwrite serves fresh rows (test_datamove.py:16-42)") {
     val dir = Files.createTempDirectory("drift").toString + "/t"
     Seq((1L, "old")).toDF("id", "v").write.parquet(dir)

@@ -387,3 +387,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getString(1) == "the [PII] to the [PII] is the [PII]")
   }
 }
+
+class ChunkingSpec extends SparkSpec {
+  import graft.operators.Chunking
+  import spark.implicits._
+
+  test("chunk: stride offsets, trailing short chunk, token counts") {
+    // 7 words, window 3, stride 2 → starts 0,2,4,6; last chunk is 1 token
+    val docs = Seq((1L, "w0 w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, "doc_id", "text", windowTokens = 3, strideTokens = 2)
+      .orderBy($"chunk_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 3L, 3L, 1L))
+    // chunk 1 covers words 2..4
+    val expectMd5 = docs.sparkSession.sql("SELECT md5('w2 w3 w4') AS m").head.getString(0)
+    assert(out(1).getString(3) == expectMd5)
+  }
+
+  test("pack: documents straddle budget boundaries, offsets restart per shard") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),   // 4 tokens → pack 0, offset 0
+      (2L, "e f g", "s1"),     // starts at 4 → pack 0, offset 4
+      (3L, "h i", "s1"),       // starts at 7 → pack 0 offset 7 (straddles into pack 1)
+      (10L, "x y z", "s2")     // fresh shard → pack 0, offset 0
+    ).toDF("doc_id", "text", "source")
+    val out = Chunking.pack(docs, "doc_id", "text", "source", budgetTokens = 8)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 4L)))
+    assert(out(3L) == ((0L, 7L))) // first token in pack 0, even though it spills
+    assert(out(10L) == ((0L, 0L)))
+    // push s1 past the budget: a later doc lands in pack 1 at the wrapped offset
+    val more = docs.union(Seq((4L, "j k l", "s1")).toDF("doc_id", "text", "source"))
+    val out2 = Chunking.pack(more, "doc_id", "text", "source", budgetTokens = 8)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out2(4L) == ((1L, 1L))) // cum-exclusive 9 → pack 1, offset 1
+  }
+}
