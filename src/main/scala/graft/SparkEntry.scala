@@ -620,6 +620,10 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", "source",
         budgetTokens = 2048)
         .orderBy(col("shard"), col("doc_id"))),
+    "q_embed_centroids" -> ((s, dir) =>
+      graft.operators.EmbeddingStats.labelCentroids(
+        Tables.load(s, dir, "embeddings"), "embedding", "label", dims = 64)
+        .orderBy(col("label"), col("dim"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")
@@ -938,6 +942,7 @@ object SparkEntry {
     "q_ngram_freq" -> ngramFreqOracleSql,
     "q_chunk" -> chunkOracleSql,
     "q_pack" -> packOracleSql,
+    "q_embed_centroids" -> embedCentroidsOracleSql,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,
@@ -1186,6 +1191,18 @@ object SparkEntry {
        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
        |FROM c ORDER BY shard, doc_id""".stripMargin
+
+  /** Per-label centroid oracle: long-form via unnest + generate_subscripts;
+    * decimal sums on both sides make the mean order-independent.
+    */
+  private def embedCentroidsOracleSql: String =
+    s"""WITH x AS (
+       |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS BIGINT) AS dim
+       |  FROM embeddings)
+       |SELECT label, dim,
+       |  round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / count(v), 4) + 0.0 AS centroid
+       |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */
   private def ngramFreqOracleSql: String =

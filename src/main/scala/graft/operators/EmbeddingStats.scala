@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-space analytics: per-class centroids — the summary a
+  * training-data pipeline uses to audit semantic coverage (are classes
+  * separated? did a filter collapse a class?) and the building block for
+  * centroid-based outlier pruning.
+  */
+object EmbeddingStats {
+
+  /** One row per (label, dimension): the mean of that dimension over the
+    * label's vectors, long-form (label, dim, centroid).
+    *
+    * Same scale shape as the IVF centroid update (Ann.ivfIndex): one flat
+    * hash-aggregate with `dims` codegen'd sum columns + a count, then a
+    * constant-size stack to long form — NOT an explode to n×dims rows,
+    * which would shuffle 64× the table. Dimensions missing from every
+    * vector of a label (null/ragged rows) yield a null centroid entry
+    * rather than a skewed mean: per-dim counts divide, not the row count.
+    */
+  def labelCentroids(embs: DataFrame, vecCol: String, labelCol: String,
+      dims: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // decimal sums: double addition is order-dependent (partition order
+    // here, scan order in any other engine) — exact decimal accumulation
+    // makes the mean reproducible bit-for-bit regardless of row order
+    // try_element_at: a ragged (short) vector contributes nothing to the
+    // missing dimensions instead of failing the job (element_at throws on
+    // out-of-bounds under Spark 4's ANSI-leaning semantics)
+    val sums = (0 until dims).map(d =>
+      sum(try_element_at(v, lit(d + 1)).cast("decimal(30,15)")).cast("double").as(s"s$d"))
+    val counts = (0 until dims).map(d => count(try_element_at(v, lit(d + 1))).as(s"c$d"))
+    val wide = embs.groupBy(col(labelCol).as("label"))
+      .agg(sums.head, (sums.tail ++ counts): _*)
+    // `+ 0.0` collapses IEEE signed zero: a tiny negative mean rounds to
+    // -0.0 in engines whose round keeps the sign (DuckDB) but to 0.0 in
+    // Spark's BigDecimal-based round — normalizing keeps the output (and
+    // any value-hash built on it) engine-independent
+    val stackArgs = lit(dims) +: (0 until dims).flatMap(d =>
+      Seq(lit(d), when(col(s"c$d") > 0, round(col(s"s$d") / col(s"c$d"), 4) + 0.0)))
+    wide.select(col("label"),
+        stack(stackArgs: _*).as(Seq("dim", "centroid")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"))
+  }
+}

@@ -424,3 +424,24 @@ class ChunkingSpec extends SparkSpec {
     assert(out2(4L) == ((1L, 1L))) // cum-exclusive 9 → pack 1, offset 1
   }
 }
+
+class EmbeddingStatsSpec extends SparkSpec {
+  import graft.operators.EmbeddingStats
+  import spark.implicits._
+
+  test("labelCentroids: per-dim means, long form, null dim handled") {
+    val df = Seq(
+      (0, Seq(1.0, 10.0)), (0, Seq(3.0, 20.0)),  // label 0 → (2.0, 15.0)
+      (1, Seq(5.0, -2.0))                         // label 1 → (5.0, -2.0)
+    ).toDF("label", "embedding")
+    val out = EmbeddingStats.labelCentroids(df, "embedding", "label", dims = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 0L)) == 2.0 && out((0, 1L)) == 15.0)
+    assert(out((1, 0L)) == 5.0 && out((1, 1L)) == -2.0)
+    // a dimension absent from every vector of a label → null centroid
+    val ragged = Seq((7, Seq(1.0))).toDF("label", "embedding")
+    val r = EmbeddingStats.labelCentroids(ragged, "embedding", "label", dims = 2)
+      .orderBy($"dim").collect()
+    assert(r(0).getDouble(2) == 1.0 && r(1).isNullAt(2))
+  }
+}
