@@ -624,6 +624,10 @@ object SparkEntry {
       graft.operators.EmbeddingStats.labelCentroids(
         Tables.load(s, dir, "embeddings"), "embedding", "label", dims = 64)
         .orderBy(col("label"), col("dim"))),
+    "q_quality_filter" -> ((s, dir) =>
+      graft.operators.QualityFilter.verdicts(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")
@@ -943,6 +947,7 @@ object SparkEntry {
     "q_chunk" -> chunkOracleSql,
     "q_pack" -> packOracleSql,
     "q_embed_centroids" -> embedCentroidsOracleSql,
+    "q_quality_filter" -> qualityFilterOracleSql,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,
@@ -1203,6 +1208,32 @@ object SparkEntry {
        |SELECT label, dim,
        |  round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / count(v), 4) + 0.0 AS centroid
        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** Quality-filter verdict oracle: word-band, dup-word, top-word and
+    * stopword rules over the same integer-ratio doubles.
+    */
+  private def qualityFilterOracleSql: String = {
+    val sw = graft.functions.TextFunctions.stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wc AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |         count(*) AS nd, CAST(max(n) AS BIGINT) AS top_n FROM wc GROUP BY 1),
+       |sr AS (SELECT doc_id,
+       |  CASE WHEN len(ws) > 0
+       |    THEN len(list_filter(ws, x -> list_contains($sw, x)))::DOUBLE / len(ws)::DOUBLE
+       |    ELSE 0.0 END AS sraw FROM w),
+       |f AS (SELECT wa.doc_id, n_words,
+       |  CASE WHEN n_words >= 10 AND n_words <= 10000 THEN 1 ELSE 0 END AS ok_length,
+       |  CASE WHEN round(1 - nd::DOUBLE / n_words::DOUBLE, 4) <= 0.5 THEN 1 ELSE 0 END AS ok_dup,
+       |  CASE WHEN round(top_n::DOUBLE / n_words::DOUBLE, 4) <= 0.2 THEN 1 ELSE 0 END AS ok_top,
+       |  CASE WHEN sraw >= 0.01 THEN 1 ELSE 0 END AS ok_stopword
+       |  FROM wa JOIN sr ON sr.doc_id = wa.doc_id)
+       |SELECT doc_id, n_words, ok_length, ok_dup, ok_top, ok_stopword,
+       |  ok_length * ok_dup * ok_top * ok_stopword AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */
   private def ngramFreqOracleSql: String =

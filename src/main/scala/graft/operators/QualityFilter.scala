@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The keep/drop verdict of a C4/Gopher-style quality filter chain — the
+  * decision step that actually shrinks a pre-training corpus. Each rule is
+  * reported as its own 0/1 flag (pipelines track per-rule rejection rates
+  * to debug filter drift) plus the conjunctive `keep`.
+  *
+  * Rules: word-count band, duplicate-word fraction cap, top-word dominance
+  * cap (both Gopher §A1.1 repetition signals), stopword-ratio floor (the
+  * classic "is this prose" test). All thresholds compare against exact
+  * integer-ratio doubles (identical in any engine), so verdicts are
+  * reproducible bit-for-bit.
+  *
+  * One word-explode + two-level flat aggregate (the Repetition shape)
+  * joined with a map-side stopword ratio — two shuffles total, both keyed
+  * on the document id.
+  */
+object QualityFilter {
+
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 10000,
+      maxDupWordFrac: Double = 0.5, maxTopWordFrac: Double = 0.2,
+      minStopwordRatio: Double = 0.01): DataFrame = {
+    val wordAgg = docs
+      .select(col(idCol).as("doc_id"), explode(T.words(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("nd"), max(col("n")).as("top_n"))
+    val side = docs.select(col(idCol).as("doc_id"),
+      T.stopwordRatio(col(textCol)).as("sraw"))
+    val flags = wordAgg.join(side, "doc_id")
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("nd").cast("double") / col("n_words").cast("double"), 4))
+      .withColumn("top_frac",
+        round(col("top_n").cast("double") / col("n_words").cast("double"), 4))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int").as("ok_length"),
+        (col("dup_frac") <= maxDupWordFrac).cast("int").as("ok_dup"),
+        (col("top_frac") <= maxTopWordFrac).cast("int").as("ok_top"),
+        (col("sraw") >= minStopwordRatio).cast("int").as("ok_stopword"))
+    flags.withColumn("keep",
+      (col("ok_length") * col("ok_dup") * col("ok_top") * col("ok_stopword"))
+        .cast("int"))
+  }
+}

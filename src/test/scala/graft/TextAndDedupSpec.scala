@@ -445,3 +445,28 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(r(0).getDouble(2) == 1.0 && r(1).isNullAt(2))
   }
 }
+
+class QualityFilterSpec extends SparkSpec {
+  import graft.operators.QualityFilter
+  import spark.implicits._
+
+  test("verdicts: per-rule flags and the conjunctive keep") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the dog sat on the cat"), // prose: keep
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),      // dup + dominance fail
+      (3L, "too short")                                               // length fail
+    ).toDF("doc_id", "text")
+    val out = QualityFilter.verdicts(docs, "doc_id", "text",
+      minWords = 5, maxWords = 100, maxDupWordFrac = 0.6,
+      maxTopWordFrac = 0.35, minStopwordRatio = 0.01)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("ok_length") == 1 && r1.getAs[Int]("ok_dup") == 1 &&
+      r1.getAs[Int]("ok_stopword") == 1 && r1.getAs[Int]("keep") == 1)
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("ok_dup") == 0 && r2.getAs[Int]("ok_top") == 0 &&
+      r2.getAs[Int]("keep") == 0)
+    val r3 = out(3L)
+    assert(r3.getAs[Int]("ok_length") == 0 && r3.getAs[Int]("keep") == 0)
+  }
+}
