@@ -1153,7 +1153,7 @@ object SparkEntry {
     * comprehensions, rolled up exactly like the Spark two-level aggregate.
     */
   private def repetitionOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
        |ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
        |wc AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2),
        |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
@@ -1175,7 +1175,7 @@ object SparkEntry {
     * `slice(ws, a, len)` both clamp at the array end).
     */
   private def chunkOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
        |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st,
        |       generate_subscripts(range(0, len(ws), 24), 1) - 1 AS chunk_id FROM w)
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
@@ -1188,7 +1188,7 @@ object SparkEntry {
     */
   private def packOracleSql: String =
     s"""WITH t AS (SELECT source AS shard, doc_id,
-       |  CAST(len(${wsSql("text")}) AS BIGINT) AS n_tokens FROM documents),
+       |  CAST(len(${wsSql("coalesce(text, '')")}) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT shard, doc_id, n_tokens,
        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
@@ -1215,7 +1215,7 @@ object SparkEntry {
   private def qualityFilterOracleSql: String = {
     val sw = graft.functions.TextFunctions.stopwords
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
        |ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
        |wc AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2),
        |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,

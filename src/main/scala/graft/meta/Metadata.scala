@@ -62,10 +62,18 @@ object Metadata {
         try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
         finally walk.close()
       } else Seq(scanRoot)
-    if (files.isEmpty) return None
-    val times = files.map(f => Files.getLastModifiedTime(f).toInstant)
-    Some(SourceFingerprint(times.max, files.size.toLong,
-      files.map(Files.size).sum))
+    // one stat per file, tolerating files that vanish mid-walk: fingerprints
+    // are taken exactly when a writer may be rewriting the table (that's
+    // what they detect), so a deleted-underneath part-file must read as
+    // "skip this file" — the resulting fingerprint differs from the cached
+    // one and forces a re-read — never as an error up to the caller
+    val stats = files.flatMap { f =>
+      try Some((Files.getLastModifiedTime(f).toInstant, Files.size(f)))
+      catch { case _: java.io.IOException => None }
+    }
+    if (stats.isEmpty) return None
+    Some(SourceFingerprint(stats.map(_._1).max, stats.size.toLong,
+      stats.map(_._2).sum))
   }
 
   /** Recursive type description, à la detail_endpoint.py:156-188. */

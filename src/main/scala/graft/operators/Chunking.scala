@@ -26,7 +26,11 @@ object Chunking {
   def chunk(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, strideTokens: Int): DataFrame = {
     require(windowTokens >= 1 && strideTokens >= 1, "window/stride must be >= 1")
-    val withWords = docs.select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+    // null text = the empty normalized document (one empty token, one
+    // chunk): every input document must appear in the chunk listing — a
+    // silently chunk-less document would vanish from the training set
+    val withWords = docs.select(col(idCol).as("doc_id"),
+      T.words(coalesce(col(textCol), lit(""))).as("ws"))
     // one row per start offset; the words array rides along the explode
     // (chunks overlap, so per-chunk duplication is inherent to the op)
     val starts = withWords.select(col("doc_id"), col("ws"),
@@ -57,7 +61,9 @@ object Chunking {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sized = docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
-      T.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      // null text = empty doc (1 token after normalization), not a null
+      // that would poison the running sum for the rest of the shard
+      T.tokenCountWs(coalesce(col(textCol), lit(""))).cast("long").as("n_tokens"))
     sized
       .withColumn("cum_incl", sum(col("n_tokens")).over(w))
       .select(col("shard"), col("doc_id"), col("n_tokens"),

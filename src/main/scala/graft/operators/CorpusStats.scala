@@ -1,8 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level n-gram statistics: the "what is this corpus made of"
@@ -24,20 +22,11 @@ object CorpusStats {
     * the n-gram vocabulary.
     */
   def ngramFrequency(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 20): DataFrame = {
-    require(n >= 2, "ngramFrequency needs n >= 2")
-    val words = docs.select(col(idCol).as("id"),
-      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(kk => lead(col("w"), kk).over(win))
-    val grams = words
-      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("ngram"),
-        leads.last.isNotNull.as("full"))
-      .filter(col("full"))
-    grams.groupBy(col("ngram"))
+      n: Int = 3, k: Int = 20): DataFrame =
+    Dedup.bagNgramRows(docs, idCol, textCol, n)
+      .groupBy(col("shingle").as("ngram"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
-  }
 }

@@ -46,21 +46,31 @@ object Dedup {
     * (min/collect_set are duplicate-insensitive), so no distinct shuffle.
     */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 2, "shingleRows needs n >= 2")
-    val words = docs.select(col(idCol).as("id"),
-      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
-    val grams = words
-      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("shingle"),
-        leads.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
     // docs with fewer than n words contribute their whole normalized text
     // (the same fallback as TextFunctions.shingles)
     val fallback = docs
       .filter(size(T.words(col(textCol))) < n)
       .select(col(idCol).as("id"), T.normalizeWs(col(textCol)).as("shingle"))
-    grams.union(fallback)
+    bagNgramRows(docs, idCol, textCol, n).union(fallback)
+  }
+
+  /** The fallback-free core of [[shingleRows]]: one (id, shingle) row per
+    * full word n-gram, bag semantics, documents shorter than `n` words
+    * contributing nothing. Shared by every n-gram consumer (shingle
+    * pipelines here, `Repetition` bigrams, `CorpusStats` frequency) so the
+    * tokenization and window shape live in exactly one place.
+    */
+  private[operators] def bagNgramRows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "bagNgramRows needs n >= 2")
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
+    words
+      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("shingle"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full")).drop("full")
   }
 
   /** Per-document MinHash signatures: one hash-aggregate over the shingle

@@ -32,7 +32,12 @@ object EmbeddingStats {
     val sums = (0 until dims).map(d =>
       sum(try_element_at(v, lit(d + 1)).cast("decimal(30,15)")).cast("double").as(s"s$d"))
     val counts = (0 until dims).map(d => count(try_element_at(v, lit(d + 1))).as(s"c$d"))
-    val wide = embs.groupBy(col(labelCol).as("label"))
+    // null vectors carry no dimensions: dropping their rows up front keeps
+    // a label whose vectors are ALL null out of the output entirely (the
+    // same shape any engine's unnest produces), instead of emitting a
+    // phantom label with every centroid null
+    val wide = embs.filter(v.isNotNull)
+      .groupBy(col(labelCol).as("label"))
       .agg(sums.head, (sums.tail ++ counts): _*)
     // `+ 0.0` collapses IEEE signed zero: a tiny negative mean rounds to
     // -0.0 in engines whose round keeps the sign (DuckDB) but to 0.0 in

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,9 +14,9 @@ import org.apache.spark.sql.functions._
   * integer-ratio doubles (identical in any engine), so verdicts are
   * reproducible bit-for-bit.
   *
-  * One word-explode + two-level flat aggregate (the Repetition shape)
-  * joined with a map-side stopword ratio — two shuffles total, both keyed
-  * on the document id.
+  * One word-explode + two-level flat aggregate ([[Repetition.wordRollup]],
+  * which also carries the stopword count) — a single scan and one id-keyed
+  * shuffle for the whole verdict.
   */
 object QualityFilter {
 
@@ -25,19 +24,17 @@ object QualityFilter {
       minWords: Int = 10, maxWords: Int = 10000,
       maxDupWordFrac: Double = 0.5, maxTopWordFrac: Double = 0.2,
       minStopwordRatio: Double = 0.01): DataFrame = {
-    val wordAgg = docs
-      .select(col(idCol).as("doc_id"), explode(T.words(col(textCol))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_words"),
-        count(lit(1)).as("nd"), max(col("n")).as("top_n"))
-    val side = docs.select(col(idCol).as("doc_id"),
-      T.stopwordRatio(col(textCol)).as("sraw"))
-    val flags = wordAgg.join(side, "doc_id")
+    // one shared rollup carries word counts AND stopword occurrences
+    // (Repetition.wordRollup) — a single scan/aggregate, no second pass
+    // and no interpreted higher-order stopword filter; null-text documents
+    // surface with keep = 0 instead of vanishing from the verdict list
+    val flags = Repetition.wordRollup(docs, idCol, textCol)
       .withColumn("dup_frac",
         round(lit(1.0) - col("nd").cast("double") / col("n_words").cast("double"), 4))
       .withColumn("top_frac",
         round(col("top_n").cast("double") / col("n_words").cast("double"), 4))
+      .withColumn("sraw",
+        col("n_stop").cast("double") / col("n_words").cast("double"))
       .select(col("doc_id"), col("n_words"),
         (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int").as("ok_length"),
         (col("dup_frac") <= maxDupWordFrac).cast("int").as("ok_dup"),

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Repetition metrics per document — the Gopher-style quality signals
@@ -19,39 +18,47 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
+  /** Per-document word rollup via the two-level flat aggregate:
+    * (doc_id, n_words, nd distinct words, top_n max term count, n_stop
+    * stopword occurrences). Null text counts as the empty normalized
+    * document (one empty-string token), so EVERY input document appears
+    * exactly once — an absent verdict is how filters silently leak rows.
+    * Shared with [[QualityFilter]].
+    */
+  private[operators] def wordRollup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(T.words(coalesce(col(textCol), lit("")))).as("w"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("nd"),
+        max(col("n")).as("top_n"),
+        // stopword occurrences fold into the same aggregate — a codegen'd
+        // In predicate, not an interpreted higher-order filter
+        sum(when(col("w").isin(T.stopwords: _*), col("n")).otherwise(0L)).as("n_stop"))
+  }
+
   /** Per document: word count, distinct word count, duplicate-word
     * fraction (1 − distinct/total), top-word dominance (max term count /
     * total), and duplicate-bigram fraction. Documents with fewer than two
     * words have no bigrams and report 0.0 there.
     */
   def metrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
-
-    val wordCounts = words.groupBy(col("id"), col("w"))
-      .agg(count(lit(1)).as("n"))
-    val wordAgg = wordCounts.groupBy(col("id"))
-      .agg(sum(col("n")).as("n_words"),
-        count(lit(1)).as("n_distinct_words"),
-        max(col("n")).as("top_n"))
-
-    // bag bigrams via lead over (id, pos) — same codegen'd shape as
-    // Dedup.shingleRows, but without the short-doc fallback (a one-word
-    // document has no bigrams, it is not its own bigram)
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val bigrams = words
-      .select(col("id"), concat_ws(" ", col("w"), lead(col("w"), 1).over(win)).as("bg"),
-        lead(col("w"), 1).over(win).isNotNull.as("full"))
-      .filter(col("full"))
-    val bigramAgg = bigrams.groupBy(col("id"), col("bg"))
+    val wordAgg = wordRollup(docs, idCol, textCol)
+    // bag bigrams (no short-doc fallback: a one-word document has no
+    // bigrams, it is not its own bigram)
+    val bigramAgg = Dedup.bagNgramRows(docs, idCol, textCol, 2)
+      .groupBy(col("id"), col("shingle"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("id"))
       .agg(sum(col("n")).as("n_bg"), count(lit(1)).as("nd_bg"))
+      .withColumnRenamed("id", "doc_id")
 
-    wordAgg.join(bigramAgg, Seq("id"), "left")
-      .select(col("id").as("doc_id"),
-        col("n_words"), col("n_distinct_words"),
-        round(lit(1.0) - col("n_distinct_words").cast("double") /
+    wordAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words"), col("nd").as("n_distinct_words"),
+        round(lit(1.0) - col("nd").cast("double") /
           col("n_words").cast("double"), 4).as("dup_word_frac"),
         round(col("top_n").cast("double") /
           col("n_words").cast("double"), 4).as("top_word_frac"),

@@ -12,15 +12,16 @@ import org.apache.spark.sql.DataFrame
   * attacker-controlled): entries are keyed per (uri, columns) — NOT per
   * query string — with LRU eviction over tables, and each entry holds an
   * LRU-bounded map of per-term document frequencies filled lazily as
-  * queries arrive. A changed source mtime replaces the entry in place, so
-  * stale-mtime stats never linger.
+  * queries arrive. A changed source fingerprint (mtime + file count +
+  * bytes) replaces the entry in place, so stale stats never linger.
   */
 object SearchStatsCache {
 
   private val MaxTables = 64
   private val MaxTermsPerTable = 4096
 
-  private final class Entry(val mtime: Long, val n: Double, val avgdl: Double) {
+  private final class Entry(val fingerprint: Option[Metadata.SourceFingerprint],
+      val n: Double, val avgdl: Double) {
     // accessOrder=true ⇒ LRU; absent-from-corpus terms are cached as 0.0 so
     // a repeated unknown term does not re-scan the corpus every request
     val dfs = new java.util.LinkedHashMap[String, java.lang.Double](16, 0.75f, true) {
@@ -36,16 +37,19 @@ object SearchStatsCache {
 
   def stats(uri: String, cols: Seq[String], query: String,
       corpus: => DataFrame): SearchIndex.CorpusStats = synchronized {
-    val mtime = Metadata.modifiedDate(uri).map(_.toEpochMilli).getOrElse(0L)
+    // fingerprint, not bare mtime: an overwrite inside one mtime tick (1 s
+    // granularity on many filesystems) must still invalidate corpus stats —
+    // the same staleness rule the server's frame cache applies
+    val fp = Metadata.sourceFingerprint(uri)
     val key = s"$uri|${cols.mkString(",")}"
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
 
     var entry = cache.get(key)
-    if (entry == null || entry.mtime != mtime) {
+    if (entry == null || entry.fingerprint != fp) {
       val cs = SearchIndex.corpusStats(corpus, "__sid", cols, query)
-      entry = new Entry(mtime, cs.n, cs.avgdl)
+      entry = new Entry(fp, cs.n, cs.avgdl)
       merge(entry, terms, cs.df)
-      cache.put(key, entry) // replaces any superseded-mtime entry
+      cache.put(key, entry) // replaces any superseded entry
     } else {
       val missing = terms.filterNot(entry.dfs.containsKey)
       if (missing.nonEmpty)

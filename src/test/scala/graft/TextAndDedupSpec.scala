@@ -348,10 +348,12 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "spam spam spam eggs"),  // 4 words, 2 distinct; top=3; bigrams: s s, s s, s e → 3 total 2 distinct
       (2L, "all words unique here"),
-      (3L, "solo")                  // one word: no bigrams → frac 0.0
+      (3L, "solo"),                 // one word: no bigrams → frac 0.0
+      (4L, null.asInstanceOf[String]) // null text must still yield a row
     ).toDF("doc_id", "text")
     val out = Repetition.metrics(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(4L) && out(4L).getAs[Long]("n_words") == 1L)
     val r1 = out(1L)
     assert(r1.getAs[Long]("n_words") == 4L && r1.getAs[Long]("n_distinct_words") == 2L)
     assert(r1.getAs[Double]("dup_word_frac") == 0.5)
@@ -454,7 +456,8 @@ class QualityFilterSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the cat sat on the mat and then the dog sat on the cat"), // prose: keep
       (2L, "spam spam spam spam spam spam spam spam spam spam"),      // dup + dominance fail
-      (3L, "too short")                                               // length fail
+      (3L, "too short"),                                              // length fail
+      (4L, null.asInstanceOf[String])                                 // null text: keep=0, not dropped
     ).toDF("doc_id", "text")
     val out = QualityFilter.verdicts(docs, "doc_id", "text",
       minWords = 5, maxWords = 100, maxDupWordFrac = 0.6,
@@ -468,5 +471,8 @@ class QualityFilterSpec extends SparkSpec {
       r2.getAs[Int]("keep") == 0)
     val r3 = out(3L)
     assert(r3.getAs[Int]("ok_length") == 0 && r3.getAs[Int]("keep") == 0)
+    // a null-text document gets an explicit reject, not a silent absence
+    // (an anti-join on keep=0 would otherwise leak it into the output set)
+    assert(out.contains(4L) && out(4L).getAs[Int]("keep") == 0)
   }
 }
