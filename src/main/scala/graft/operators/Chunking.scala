@@ -54,6 +54,11 @@ object Chunking {
     * One window over (shard, id) — a single hash exchange on the shard —
     * computes the exclusive running token sum; pack id and offset are
     * integer arithmetic on it.
+    *
+    * Scale note: parallelism equals shard cardinality (a running sum is
+    * sequential within a shard by definition). At 100 TB pack within
+    * fine-grained shards — per input file, per (source, date) — never a
+    * handful of coarse sources; the pack ids are shard-local either way.
     */
   def pack(docs: DataFrame, idCol: String, textCol: String,
       shardCol: String, budgetTokens: Int): DataFrame = {
