@@ -628,6 +628,11 @@ object SparkEntry {
       graft.operators.QualityFilter.verdicts(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_top_fraction" -> ((s, dir) =>
+      graft.operators.Sampling.topFractionByGroup(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", fraction = 0.5)
+        .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
       val payloads = Tables.load(s, dir, "documents")
@@ -948,6 +953,12 @@ object SparkEntry {
     "q_pack" -> packOracleSql,
     "q_embed_centroids" -> embedCentroidsOracleSql,
     "q_quality_filter" -> qualityFilterOracleSql,
+    "q_top_fraction" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk,
+        |  count(*) OVER (PARTITION BY source) AS n FROM documents)
+        |SELECT doc_id, source, n_chars FROM r
+        |WHERE rnk <= ceil(n * 0.5) ORDER BY doc_id""".stripMargin,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,

@@ -52,4 +52,27 @@ object Sampling {
     }
     df.filter(keep(col(idCol), salt, frac))
   }
+
+  /** Keep the best `fraction` of rows per group by score — "top half of
+    * every domain by quality", the rank-based counterpart to [[stratified]]
+    * (which keeps a random subset; this keeps the best one). Deterministic
+    * total order: (score desc, id) so ties never make the cut depend on
+    * execution order. Kept rows = ceil(fraction · group size), so any
+    * non-empty group keeps at least one row.
+    *
+    * One window per group (rank + group count share a single exchange); at
+    * 100 TB group cardinality is the parallelism, same caveat as
+    * Chunking.pack — rank within fine groups.
+    */
+  def topFractionByGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("rnk", row_number().over(w))
+      .withColumn("grp_n", count(lit(1)).over(wAll))
+      .filter(col("rnk") <= ceil(col("grp_n") * fraction))
+      .drop("rnk", "grp_n")
+  }
 }

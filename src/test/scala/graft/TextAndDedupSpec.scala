@@ -476,3 +476,46 @@ class QualityFilterSpec extends SparkSpec {
     assert(out.contains(4L) && out(4L).getAs[Int]("keep") == 0)
   }
 }
+
+class SamplingTopFractionSpec extends SparkSpec {
+  import graft.operators.Sampling
+  import spark.implicits._
+
+  test("topFractionByGroup: best ceil(f·n) per group, deterministic ties") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),        // a: keep 30, 20
+      (4L, "b", 5L), (5L, "b", 5L), (6L, "b", 5L),           // b: all tied → ids 4, 5
+      (7L, "c", 1L)                                          // c: 1 row → keeps 1 (ceil)
+    ).toDF("doc_id", "source", "score")
+    val kept = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L, 7L))
+  }
+}
+
+class ChunkPropertySpec extends SparkSpec {
+  import graft.operators.Chunking
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.propBoolean
+  import spark.implicits._
+
+  test("non-overlapping chunks partition the document exactly (ScalaCheck)") {
+    val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta")))
+    val windowGen = Gen.chooseNum(1, 7)
+    val prop = Prop.forAll(wordsGen, windowGen) { (ws, w) =>
+      val doc = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      // window == stride → no overlap: chunks must tile the word sequence
+      val chunks = Chunking.chunk(doc, "doc_id", "text", w, w)
+        .orderBy($"chunk_id").collect()
+      val total = chunks.map(_.getLong(2)).sum
+      val lastShort = chunks.last.getLong(2)
+      (total == ws.length) :| s"token conservation: $total vs ${ws.length}" &&
+        (chunks.init.forall(_.getLong(2) == w)) :| "all but last chunk full" &&
+        (lastShort <= w) :| "last chunk never exceeds window"
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
