@@ -610,6 +610,10 @@ object SparkEntry {
       graft.operators.CorpusStats.ngramFrequency(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         n = 3, k = 20)),
+    "q_ngram_profile" -> ((s, dir) =>
+      graft.operators.CorpusStats.duplicatedNgramProfile(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Chunking.chunk(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -949,6 +953,7 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,
     "q_ngram_freq" -> ngramFreqOracleSql,
+    "q_ngram_profile" -> ngramProfileOracleSql,
     "q_chunk" -> chunkOracleSql,
     "q_pack" -> packOracleSql,
     "q_embed_centroids" -> embedCentroidsOracleSql,
@@ -1245,6 +1250,25 @@ object SparkEntry {
        |  ok_length * ok_dup * ok_top * ok_stopword AS keep
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  /** Duplicated-n-gram profile oracle: per-n-gram distinct-doc frequency,
+    * rolled back up per document. Spark's fallback-free bag n-grams mean
+    * docs shorter than n words contribute nothing — the `len(ws) >= 3`
+    * guard mirrors that.
+    */
+  private def ngramProfileOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |gl AS (SELECT doc_id, [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] AS gs
+       |       FROM w WHERE len(ws) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, unnest(gs) AS ngram FROM gl),
+       |dfreq AS (SELECT ngram, count(*) AS docfreq FROM sh GROUP BY ngram)
+       |SELECT sh.doc_id,
+       |  count(*) AS n_ngrams,
+       |  CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS shared_frac
+       |FROM sh JOIN dfreq USING (ngram)
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */
   private def ngramFreqOracleSql: String =

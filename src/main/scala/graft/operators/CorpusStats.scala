@@ -29,4 +29,32 @@ object CorpusStats {
         count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
+
+  /** Per-document duplicated-n-gram profile: how much of each document's
+    * distinct n-gram set also appears in at least one OTHER document — the
+    * memorization-risk signal behind substring-level dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * a document made of corpus-repeated n-grams is boilerplate even when
+    * no single near-duplicate partner exists for pair-based dedup to find.
+    *
+    * Inverted-index shape, no pair join at all: one aggregate computes
+    * each n-gram's distinct-document frequency; joining it back is an
+    * equi-join on the n-gram key that reuses the aggregate's partitioning,
+    * and the per-document rollup combines map-side. Nothing is quadratic —
+    * unlike jaccardPairs, a hot n-gram costs its document count, not its
+    * document count squared.
+    */
+  def duplicatedNgramProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.bagNgramRows(docs, idCol, textCol, n)
+      .distinct() // set semantics per document
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
+    sh.join(df, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("n_ngrams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_ngrams").cast("double"), 4)
+          .as("shared_frac"))
+  }
 }

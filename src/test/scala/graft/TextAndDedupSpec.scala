@@ -519,3 +519,23 @@ class ChunkPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 }
+
+class NgramProfileSpec extends SparkSpec {
+  import graft.operators.CorpusStats
+  import spark.implicits._
+
+  test("duplicated-ngram profile: shared fraction against the rest of the corpus") {
+    val docs = Seq(
+      (1L, "a b c d"),       // trigrams {abc, bcd}
+      (2L, "a b c e"),       // {abc, bce} — shares abc with 1
+      (3L, "x y z w"),       // {xyz, yzw} — shares nothing
+      (4L, "hi")             // < 3 words → absent
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.duplicatedNgramProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+}
