@@ -70,9 +70,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    df.withColumn("rnk", row_number().over(w))
-      .withColumn("grp_n", count(lit(1)).over(wAll))
-      .filter(col("rnk") <= ceil(col("grp_n") * fraction))
-      .drop("rnk", "grp_n")
+    // reserved-prefix scratch names: withColumn REPLACES an existing column
+    // of the same name, so a user table with its own `rnk` would be
+    // silently clobbered and dropped
+    df.withColumn("__tf_rnk", row_number().over(w))
+      .withColumn("__tf_n", count(lit(1)).over(wAll))
+      .filter(col("__tf_rnk") <= ceil(col("__tf_n") * fraction))
+      .drop("__tf_rnk", "__tf_n")
   }
 }
