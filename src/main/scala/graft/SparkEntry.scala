@@ -963,7 +963,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk,
         |  count(*) OVER (PARTITION BY source) AS n FROM documents)
         |SELECT doc_id, source, n_chars FROM r
-        |WHERE rnk <= ceil(n * 0.5) ORDER BY doc_id""".stripMargin,
+        |WHERE rnk <= ceil(n * 0.5 - 1e-9) ORDER BY doc_id""".stripMargin,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,

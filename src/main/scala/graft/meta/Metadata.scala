@@ -49,7 +49,7 @@ object Metadata {
   final case class SourceFingerprint(modified: java.time.Instant,
       fileCount: Long, totalBytes: Long)
 
-  def sourceFingerprint(uri: String): Option[SourceFingerprint] = {
+  def sourceFingerprint(uri: String): Option[SourceFingerprint] = try {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val p = Paths.get(uri)
@@ -71,9 +71,16 @@ object Metadata {
       try Some((Files.getLastModifiedTime(f).toInstant, Files.size(f)))
       catch { case _: java.io.IOException => None }
     }
-    if (stats.isEmpty) return None
-    Some(SourceFingerprint(stats.map(_._1).max, stats.size.toLong,
+    if (stats.isEmpty) None
+    else Some(SourceFingerprint(stats.map(_._1).max, stats.size.toLong,
       stats.map(_._2).sum))
+  } catch {
+    // the walk itself can also trip over a concurrently-deleted entry
+    // (thrown wrapped as UncheckedIOException from the directory stream,
+    // which a bare IOException catch would miss) — same contract: a source
+    // being rewritten reads as "unknown", which every caller treats as
+    // stale, never as a request failure
+    case _: java.io.IOException | _: java.io.UncheckedIOException => None
   }
 
   /** Recursive type description, à la detail_endpoint.py:156-188. */

@@ -32,11 +32,11 @@ object EmbeddingStats {
     val sums = (0 until dims).map(d =>
       sum(try_element_at(v, lit(d + 1)).cast("decimal(30,15)")).cast("double").as(s"s$d"))
     val counts = (0 until dims).map(d => count(try_element_at(v, lit(d + 1))).as(s"c$d"))
-    // null vectors carry no dimensions: dropping their rows up front keeps
-    // a label whose vectors are ALL null out of the output entirely (the
-    // same shape any engine's unnest produces), instead of emitting a
-    // phantom label with every centroid null
-    val wide = embs.filter(v.isNotNull)
+    // null and EMPTY vectors carry no dimensions: dropping their rows up
+    // front keeps a label whose vectors are all null/[] out of the output
+    // entirely (the same shape any engine's unnest produces), instead of
+    // emitting a phantom label with every centroid null
+    val wide = embs.filter(v.isNotNull && size(v) > 0)
       .groupBy(col(labelCol).as("label"))
       .agg(sums.head, (sums.tail ++ counts): _*)
     // `+ 0.0` collapses IEEE signed zero: a tiny negative mean rounds to

@@ -75,7 +75,10 @@ object Sampling {
     // silently clobbered and dropped
     df.withColumn("__tf_rnk", row_number().over(w))
       .withColumn("__tf_n", count(lit(1)).over(wAll))
-      .filter(col("__tf_rnk") <= ceil(col("__tf_n") * fraction))
+      // the epsilon guards double slop in n·fraction: 0.57×100 evaluates
+      // to 57.000000000000007, whose bare ceil would keep an extra row
+      // beyond the documented ceil(fraction·n) contract
+      .filter(col("__tf_rnk") <= ceil(col("__tf_n") * fraction - 1e-9))
       .drop("__tf_rnk", "__tf_n")
   }
 }

@@ -445,6 +445,12 @@ class EmbeddingStatsSpec extends SparkSpec {
     val r = EmbeddingStats.labelCentroids(ragged, "embedding", "label", dims = 2)
       .orderBy($"dim").collect()
     assert(r(0).getDouble(2) == 1.0 && r(1).isNullAt(2))
+    // labels whose vectors are all null or all empty never appear (the
+    // shape unnest produces in any engine — no phantom all-null rows)
+    val degenerate = Seq((8, Seq.empty[Double]), (9, null.asInstanceOf[Seq[Double]]))
+      .toDF("label", "embedding")
+    assert(EmbeddingStats.labelCentroids(degenerate, "embedding", "label", dims = 2)
+      .count() == 0L)
   }
 }
 
@@ -490,6 +496,14 @@ class SamplingTopFractionSpec extends SparkSpec {
     val kept = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 4L, 5L, 7L))
+  }
+  test("topFractionByGroup honors ceil exactly despite double slop") {
+    // 0.57 × 100 = 57.000000000000007 in IEEE double: a naive ceil keeps 58
+    val docs = (1L to 100L).map(i => (i, "g", i)).toDF("doc_id", "source", "score")
+    val n = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.57).count()
+    assert(n == 57L)
+    val n7 = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.07).count()
+    assert(n7 == 7L) // 0.07 × 100 = 7.000000000000001
   }
 }
 
