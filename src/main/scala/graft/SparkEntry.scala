@@ -624,6 +624,11 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", "source",
         budgetTokens = 2048)
         .orderBy(col("shard"), col("doc_id"))),
+    "q_cdc_chunk" -> ((s, dir) =>
+      graft.operators.Chunking.contentDefinedChunks(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        boundaryZeros = 1)
+        .orderBy(col("doc_id"), col("chunk_seq"))),
     "q_embed_centroids" -> ((s, dir) =>
       graft.operators.EmbeddingStats.labelCentroids(
         Tables.load(s, dir, "embeddings"), "embedding", "label", dims = 64)
@@ -955,6 +960,7 @@ object SparkEntry {
     "q_ngram_freq" -> ngramFreqOracleSql,
     "q_ngram_profile" -> ngramProfileOracleSql,
     "q_chunk" -> chunkOracleSql,
+    "q_cdc_chunk" -> cdcChunkOracleSql,
     "q_pack" -> packOracleSql,
     "q_embed_centroids" -> embedCentroidsOracleSql,
     "q_quality_filter" -> qualityFilterOracleSql,
@@ -1198,6 +1204,24 @@ object SparkEntry {
        |  CAST(len(ws[st+1:st+32]) AS BIGINT) AS n_tokens,
        |  md5(array_to_string(ws[st+1:st+32], ' ')) AS chunk_md5
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Content-defined chunking oracle: same boundary rule (md5 leading
+    * zero), running boundary count as the chunk id, ordered string_agg
+    * for the chunk hash. posexplode is 0-based, generate_subscripts is
+    * 1-based — hence the `pos - 1`.
+    */
+  private def cdcChunkOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM w),
+       |f AS (SELECT doc_id, w, pos,
+       |      CASE WHEN substring(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b FROM t),
+       |c AS (SELECT doc_id, w, pos,
+       |      sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid FROM f)
+       |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_seq,
+       |  count(*) AS n_tokens,
+       |  CAST(min(pos) - 1 AS BIGINT) AS start_pos,
+       |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM c GROUP BY doc_id, cid ORDER BY doc_id, chunk_seq""".stripMargin
 
   /** Packing oracle: exclusive running token sum per shard, integer
     * div/mod by the budget.

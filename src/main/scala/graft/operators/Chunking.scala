@@ -43,6 +43,41 @@ object Chunking {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /** Content-defined chunking: chunk boundaries are placed where a word's
+    * hash matches a pattern (md5 starting with `boundaryZeros` zero hex
+    * digits ⇒ expected chunk length 16^zeros words), so chunk edges move
+    * WITH the content — an insertion shifts one chunk, not every chunk
+    * after it, which is what makes chunk-hash dedup robust to edits
+    * (the rolling-hash trick of rsync/LBFS, word-granular here).
+    *
+    * Shape: boundary flags are pure map-side column math; the running
+    * boundary count (= chunk id) is one window over (id, pos); chunk
+    * assembly is a per-chunk aggregate. The in-chunk reassembly sorts a
+    * collected (pos, word) array — bounded by the expected chunk length
+    * (16 words at one zero), not the document length, so the interpreted
+    * per-chunk transform is constant-bounded work per row, unlike the
+    * per-document higher-order patterns this repo avoids.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      boundaryZeros: Int = 1): DataFrame = {
+    require(boundaryZeros >= 1 && boundaryZeros <= 4, "boundaryZeros in 1..4")
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(T.words(coalesce(col(textCol), lit("")))).as(Seq("pos", "w")))
+    val boundary = when(
+      substring(md5(col("w")), 1, boundaryZeros) === "0" * boundaryZeros, 1L)
+      .otherwise(0L)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words
+      .withColumn("chunk_seq", sum(boundary).over(win))
+      .groupBy(col("doc_id"), col("chunk_seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("start_pos"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("chunk_md5"))
+  }
+
   /** Sequence packing: documents are concatenated shard by shard (ordered
     * by id within `shardCol`) and cut into training sequences of
     * `budgetTokens` — each document reports which pack it starts in and at

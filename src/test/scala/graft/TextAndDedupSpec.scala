@@ -553,3 +553,27 @@ class NgramProfileSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 }
+
+class CdcChunkSpec extends SparkSpec {
+  import graft.operators.Chunking
+  import spark.implicits._
+
+  test("content-defined chunks: conservation, and edits only shift local chunks") {
+    val words = (1 to 200).map(i => s"w$i")
+    val original = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val edited = Seq((1L, ("INSERTED" +: words).mkString(" "))).toDF("doc_id", "text")
+    val a = Chunking.contentDefinedChunks(original, "doc_id", "text").collect()
+    val b = Chunking.contentDefinedChunks(edited, "doc_id", "text").collect()
+    // every token lands in exactly one chunk
+    assert(a.map(_.getAs[Long]("n_tokens")).sum == 200L)
+    assert(b.map(_.getAs[Long]("n_tokens")).sum == 201L)
+    // content-defined boundaries: the insertion at the front changes only
+    // chunks up to the next boundary — the rest re-align by content, which
+    // is the whole point vs fixed-stride chunking (where every chunk after
+    // an edit shifts and re-hashes)
+    val hashesA = a.map(_.getAs[String]("chunk_md5")).toSet
+    val hashesB = b.map(_.getAs[String]("chunk_md5")).toSet
+    assert((hashesA intersect hashesB).size >= hashesA.size - 2,
+      s"expected all but the leading chunk(s) shared: ${hashesA.size} vs shared ${(hashesA intersect hashesB).size}")
+  }
+}
