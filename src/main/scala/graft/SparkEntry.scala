@@ -614,6 +614,10 @@ object SparkEntry {
       graft.operators.CorpusStats.duplicatedNgramProfile(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))),
+    "q_surprisal" -> ((s, dir) =>
+      graft.operators.CorpusStats.unigramSurprisal(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Chunking.chunk(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -959,6 +963,7 @@ object SparkEntry {
     "q_repetition" -> repetitionOracleSql,
     "q_ngram_freq" -> ngramFreqOracleSql,
     "q_ngram_profile" -> ngramProfileOracleSql,
+    "q_surprisal" -> surprisalOracleSql,
     "q_chunk" -> chunkOracleSql,
     "q_cdc_chunk" -> cdcChunkOracleSql,
     "q_pack" -> packOracleSql,
@@ -1293,6 +1298,22 @@ object SparkEntry {
        |    / count(*), 4) AS shared_frac
        |FROM sh JOIN dfreq USING (ngram)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** Unigram-surprisal oracle: MLE unigram distribution from the corpus,
+    * per-doc weighted mean of −ln p; surprisal terms sum as exact decimals
+    * on both sides so row order cannot move the result.
+    */
+  private def surprisalOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |tf AS (SELECT doc_id, word, count(*) AS n FROM tok GROUP BY 1, 2),
+       |uf AS (SELECT word, CAST(sum(n) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uf)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |  round(CAST(sum(CAST(n * -ln(cnt::DOUBLE / tot::DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 4) AS mean_surprisal
+       |FROM tf JOIN uf USING (word) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */
   private def ngramFreqOracleSql: String =

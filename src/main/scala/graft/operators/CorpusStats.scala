@@ -30,6 +30,36 @@ object CorpusStats {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Per-document mean unigram surprisal, −ln p(word), under the corpus's
+    * OWN maximum-likelihood unigram distribution — the portable baseline
+    * of the CCNet-style language-model quality filter: typical prose
+    * scores low, rare-token soup and gibberish score high, no external
+    * model required.
+    *
+    * Two hash aggregates (per-doc term counts, corpus unigram counts) and
+    * an equi-join on the word; the corpus total rides in as a broadcast
+    * single-row frame, so the whole plan is one job. Per-word surprisal
+    * terms accumulate as exact decimals — double addition is
+    * row-order-dependent, and the per-document sum must not change with
+    * partitioning (same trick as EmbeddingStats.labelCentroids).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val uf = tf.groupBy(col("w")).agg(sum(col("n")).as("cnt"))
+    val total = uf.agg(sum(col("cnt")).as("tot"))
+    val surprisal = -log(col("cnt").cast("double") / col("tot").cast("double"))
+    tf.join(uf, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum((col("n") * surprisal).cast("decimal(30,15)")).as("s"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("s").cast("double") / col("n_words").cast("double"), 4)
+          .as("mean_surprisal"))
+  }
+
   /** Per-document duplicated-n-gram profile: how much of each document's
     * distinct n-gram set also appears in at least one OTHER document — the
     * memorization-risk signal behind substring-level dedup (Lee et al.

@@ -577,3 +577,21 @@ class CdcChunkSpec extends SparkSpec {
       s"expected all but the leading chunk(s) shared: ${hashesA.size} vs shared ${(hashesA intersect hashesB).size}")
   }
 }
+
+class SurprisalSpec extends SparkSpec {
+  import graft.operators.CorpusStats
+  import spark.implicits._
+
+  test("unigram surprisal: hand-computed MLE values, rare words score higher") {
+    // corpus counts: a→2, b→1; total 3 ⇒ −ln(2/3)=0.4055, −ln(1/3)=1.0986
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 0.4055)))
+    assert(out(2L) == ((1L, 1.0986)))
+    // result is invariant under repartitioning (decimal-sum accumulation)
+    val shuffled = CorpusStats.unigramSurprisal(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(shuffled(1L) == 0.4055 && shuffled(2L) == 1.0986)
+  }
+}
