@@ -481,6 +481,46 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.loadParallel(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         threshold = 0.3, numPlanes = 6, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup with FIXED centroids (embeddings of vec_id 1..16, the
+      // q_ann_ivf pattern) so the oracle replicates cell assignment; the
+      // 0.25 threshold sits inside the synthetic embeddings' observed
+      // cosine range (near-orthogonal, max ≈ 0.51) so the dup path is
+      // exercised — production corpora would run ≥ 0.9
+      val embs = Tables.loadParallel(s, dir, "embeddings", "vec_id")
+      val centroids = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").between(1, 16))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      graft.operators.SemDedup.semanticDedup(embs, "vec_id", "embedding",
+        centroids, threshold = 0.25)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy(col("vec_id"))
+    }),
+    "q_dedup_canonical" -> ((s, dir) => {
+      // cluster labels from the same minhash pipeline as q_dedup_clusters;
+      // canonical member = longest doc (n_chars), ties to the smaller id
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashDedup(docs, "doc_id", "text",
+          shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
+      Dedup.keepCanonical(Tables.load(s, dir, "documents"), clusters,
+        "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // steady-state ingestion: ids ≡ 0 (mod 3) play the ingested corpus,
+      // ids ≡ 0 (mod 2) the incoming batch — the mod-6 overlap carries
+      // identical text, so the anti-join genuinely drops rows
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
@@ -645,6 +685,24 @@ object SparkEntry {
       graft.operators.Sampling.topFractionByGroup(
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "source", "doc_id", "n_chars", fraction = 0.5)
+        .orderBy(col("doc_id"))),
+    "q_mix_plan" -> ((s, dir) =>
+      graft.operators.Sampling.mixPlan(
+        Tables.load(s, dir, "documents"), "source", mixWeights)
+        .orderBy(col("stratum"))),
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.takeByTokenBudget(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.tokenCountWs(col("text"))
+              .cast("long").as("n_tokens"), col("n_chars")),
+        "source", "doc_id", "n_tokens", "n_chars", budgetTokens = 2000L)
+        .select("source", "doc_id", "n_tokens", "taken_before")
+        .orderBy(col("source"), col("doc_id"))),
+    "q_shuffle_shards" -> ((s, dir) =>
+      graft.operators.Sharding.shuffleShards(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", numShards = 8, salt = 0L)
         .orderBy(col("doc_id"))),
     // ---- multimodal binary plumbing (stubbed decode, real plumbing) ----
     "q_multimodal" -> ((s, dir) => {
@@ -982,6 +1040,34 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
+    "q_semantic_dedup" -> semanticDedupOracleSql,
+    "q_dedup_canonical" -> canonicalOracleSql,
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+        |batch AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 0 GROUP BY 1)
+        |SELECT doc_id, fp FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_plan" -> mixPlanOracleSql,
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(${wsSql("text")}) AS BIGINT) AS n_tokens, n_chars FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS taken_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, taken_before FROM c
+         |WHERE taken_before + n_tokens <= 2000 ORDER BY source, doc_id""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),
+        |s AS (SELECT doc_id, ord_key,
+        |  (('0x' || substring(ord_key, 1, 8))::BIGINT % 8) AS shard FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+        |  ord_key
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(str_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
@@ -1324,6 +1410,87 @@ object SparkEntry {
        |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
        |FROM ge GROUP BY ngram
        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin
+
+  /** Target corpus mix for the mix-plan gate — shared by the Spark query
+    * and the generated oracle SQL so the two can never drift.
+    */
+  private val mixWeights: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2)
+
+  /** Mix-plan oracle: per-stratum counts, weights normalized over strata
+    * present in the data, T = min(n/w), keep fractions — the same double
+    * arithmetic as Sampling.mixPlan, rounded at 4 dp (which absorbs the
+    * ±1-ulp summation-order noise of the weight normalization).
+    */
+  private def mixPlanOracleSql: String = {
+    val cases = mixWeights.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN stratum = '$s' THEN $v" }.mkString(" ")
+    s"""WITH c AS (SELECT source AS stratum, count(*) AS n_rows FROM documents GROUP BY 1),
+       |w AS (SELECT stratum, n_rows, CASE $cases ELSE 0.0 END AS raw_w FROM c),
+       |s AS (SELECT sum(CASE WHEN raw_w > 0 THEN raw_w ELSE 0.0 END) AS w_sum FROM w),
+       |n AS (SELECT stratum, n_rows, raw_w / w_sum AS weight FROM w, s),
+       |t AS (SELECT min(n_rows::DOUBLE / weight) AS t_total FROM n WHERE weight > 0)
+       |SELECT stratum, n_rows, round(weight, 4) AS weight,
+       |  CASE WHEN weight > 0 THEN round(weight * t_total / n_rows::DOUBLE, 4)
+       |       ELSE 0.0 END AS keep_frac,
+       |  CASE WHEN weight > 0 THEN round(weight * t_total, 4)
+       |       ELSE 0.0 END AS expected_rows
+       |FROM n, t ORDER BY stratum""".stripMargin
+  }
+
+  /** SemDeDup oracle: the q_ann_ivf fixed-centroid cell assignment
+    * (vec_id 1..16, 6-dp-rounded L2 argmin, ties to the smaller cell),
+    * then within each cell the smallest lower-id mate at cosine ≥ 0.25
+    * (4-dp-rounded, the engine-portable comparison both sides use).
+    */
+  private def semanticDedupOracleSql: String =
+    """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |              FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT e.vec_id, e.v, c.cid,
+      |  round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+      |    + list_dot_product(c.cv, c.cv), 6) AS dist
+      |  FROM e CROSS JOIN cent c),
+      |a AS (SELECT vec_id, v, cid FROM (
+      |  SELECT vec_id, v, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d) WHERE rn = 1),
+      |dup AS (SELECT x.vec_id AS ia, min(y.vec_id) AS dup_of
+      |  FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      |   AND round(list_dot_product(x.v, y.v)
+      |     / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.25
+      |  GROUP BY 1)
+      |SELECT a.vec_id, CAST(a.cid - 1 AS BIGINT) AS cell, dup_of,
+      |  CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM a LEFT JOIN dup ON dup.ia = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Canonical-selection oracle: minhash duplicate clusters (same recursive
+    * closure as q_dedup_clusters), argmax by (n_chars desc, doc_id) inside
+    * each cluster; unclustered docs are their own cluster and keep.
+    */
+  private def canonicalOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |       FROM reach GROUP BY u),
+       |lab AS (SELECT d.doc_id, d.n_chars AS score, cl.cluster
+       |        FROM documents d LEFT JOIN cl USING (doc_id)),
+       |ranked AS (SELECT doc_id, cluster, score,
+       |  row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+       |  FROM lab WHERE cluster IS NOT NULL)
+       |SELECT doc_id, cluster, score,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM ranked
+       |UNION ALL
+       |SELECT doc_id, doc_id AS cluster, score, CAST(1 AS BIGINT) AS keep
+       |FROM lab WHERE cluster IS NULL
+       |ORDER BY doc_id""".stripMargin
 
   /** Connected components over the pairs: transitive closure via a
     * recursive CTE (no aggregates inside the recursion), then the cluster

@@ -284,4 +284,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Canonical-document selection: the step after clustering that actually
+    * shrinks the corpus. Every document gets its duplicate-cluster label
+    * (its own id when it has no near-dups) and a keep verdict: the
+    * highest-scoring member of each cluster survives, ties broken by the
+    * smaller id so the choice never depends on execution order. "Score" is
+    * whatever quality signal the pipeline trusts — length, quality-filter
+    * score, surprisal.
+    *
+    * Shapes at scale: `clusters` (from [[duplicateClusters]]) covers only
+    * documents that appear in near-dup pairs — a small fraction of the
+    * corpus — so the left join is skinny; the argmax is one window over
+    * cluster ids. Non-clustered docs never enter the window (their
+    * keep=1 verdict is a map-side coalesce).
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(clusters.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("id"))
+    labeled.filter(col("cluster").isNotNull)
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .unionByName(labeled.filter(col("cluster").isNull)
+        .select(col("id"), col("score"), col("id").as("cluster"), lit(1L).as("keep")))
+      .select(col("id").as("doc_id"), col("cluster"), col("score"), col("keep"))
+  }
+
+  /** Incremental exact dedup: screen a new batch against an already-ingested
+    * corpus, keeping only rows that are new both to the corpus and within
+    * the batch (smallest id wins inside the batch, matching [[exact]]).
+    * This is the steady-state shape of corpus building — the full-corpus
+    * dedup runs once, then every delivery anti-joins against the corpus
+    * fingerprint index instead of re-scanning history.
+    *
+    * Both sides shuffle on the 16-byte digest only; at scale the corpus
+    * side is a persisted fingerprint table (bucketed by `fp` so the
+    * anti-join co-locates without a corpus-side exchange).
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFps = corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct()
+    batch.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
 }

@@ -81,4 +81,83 @@ object Sampling {
       .filter(col("__tf_rnk") <= ceil(col("__tf_n") * fraction - 1e-9))
       .drop("__tf_rnk", "__tf_n")
   }
+
+  /** Plan a downsample to a target corpus mix (DoReMi-style static domain
+    * reweighting, without upsampling): given relative weights per stratum
+    * (e.g. {web→0.5, books→0.3, code→0.2}), find the largest total T such
+    * that every stratum can supply its share w_s·T from the rows it has,
+    * i.e. T = min_s(n_s / w_s), and report per stratum the keep fraction
+    * that realizes the mix. Strata absent from `weights` get keep_frac 0
+    * (excluded from the mix); weights are normalized over the strata that
+    * actually appear in the data, so a weights entry with no rows shifts
+    * the mix to the strata that exist instead of zeroing T.
+    *
+    * Output per stratum: `(stratum, n_rows, weight, keep_frac,
+    * expected_rows)`, all doubles rounded to 4 dp. One tiny hash-aggregate
+    * (stratum cardinality rows) plus a broadcast of the 1-row min — the
+    * plan never touches row data twice. Feed `keep_frac` into
+    * [[stratified]] to materialize the sample deterministically.
+    */
+  def mixPlan(df: DataFrame, stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be positive")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+    val rawW = weights.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col("stratum") === s, v).otherwise(acc)
+    }
+    val present = counts.withColumn("raw_w", rawW)
+    // normalize over strata present in the data; tiny frame, broadcast
+    val wSum = present.agg(sum(when(col("raw_w") > 0, col("raw_w"))
+      .otherwise(0.0)).as("w_sum"))
+    val normed = present.crossJoin(broadcast(wSum))
+      .withColumn("weight", col("raw_w") / col("w_sum"))
+    val minT = normed.filter(col("weight") > 0)
+      .agg(min(col("n_rows") / col("weight")).as("t_total"))
+    normed.crossJoin(broadcast(minT))
+      .select(col("stratum"), col("n_rows"),
+        round(col("weight"), 4).as("weight"),
+        when(col("weight") > 0,
+          round(col("weight") * col("t_total") / col("n_rows"), 4))
+          .otherwise(0.0).as("keep_frac"),
+        when(col("weight") > 0, round(col("weight") * col("t_total"), 4))
+          .otherwise(0.0).as("expected_rows"))
+  }
+
+  /** Plan + materialize in one call: [[mixPlan]]'s keep fractions applied
+    * through [[stratified]]'s hash predicate. The collect is bounded by
+    * stratum cardinality (domains, not rows).
+    */
+  def resampleToMix(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val plan = mixPlan(df, stratumCol, weights)
+      .select("stratum", "keep_frac").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    stratified(df, stratumCol, idCol, plan, defaultFraction = 0.0, salt)
+  }
+
+  /** Greedy prefix selection under a per-group token budget: order each
+    * group by (priority desc, id), keep the longest prefix whose token sum
+    * stays within `budgetTokens`. Prefix semantics on purpose — selection
+    * stops at the first row that would overflow, even if a later smaller
+    * row would still fit — so the kept set is a contiguous prefix of a
+    * deterministic total order (resumable, auditable), not a bin-packing
+    * solution. Global corpus budgets compose: [[mixPlan]] splits a corpus
+    * budget into per-group shares, this realizes each share.
+    *
+    * One window per group (running sum and rank share the exchange);
+    * group cardinality is the parallelism, same shape as topFractionByGroup.
+    */
+  def takeByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, priorityCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(priorityCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__tb_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("__tb_before") + col(tokenCol) <= budgetTokens)
+      .withColumnRenamed("__tb_before", "taken_before")
+  }
 }

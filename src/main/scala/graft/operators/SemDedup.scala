@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions
+
+/** Semantic deduplication over an embedding column — SemDeDup (Abbas et
+  * al. 2023, arXiv:2303.09540): cluster the embedding space into cells,
+  * then within each cell drop every vector whose cosine similarity to a
+  * cell-mate with a smaller id is at or above the threshold. One
+  * representative (the smallest id) survives per semantic near-dup group;
+  * cross-cell near-dups are intentionally not compared — that is the
+  * SemDeDup trade that makes the pairwise step tractable.
+  *
+  * Scale shape: cell assignment is a codegen'd map over broadcast centroid
+  * literals (reuses [[Ann.ivfAssign]]); the pairwise step is an equi-join
+  * on `cell`, so scored pairs cost Σ|cell|² — bounded by sizing `nlist`
+  * so the expected cell is a few thousand vectors — never n². The verdict
+  * aggregate (`min(id_b)` per id_a) is partial-aggregated map-side inside
+  * the same partitioning the cell join produced.
+  *
+  * Centroids arrive as plain literals (train with [[Ann.ivfIndex]], or pin
+  * rows for replay): nlist×dims doubles of driver state, broadcast with
+  * the plan — the same serving contract as the IVF index.
+  */
+object SemDedup {
+
+  /** Per-vector verdict: `(id, cell, dup_of, keep)` where `dup_of` is the
+    * smallest cell-mate id whose cosine ≥ `threshold` (null ⇒ kept).
+    * Cosine is rounded to 4 dp before the comparison so the verdict does
+    * not hinge on last-bit float disagreement between engines.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val spark = embs.sparkSession
+    // reserved scratch name first: Ann.ivfAssign uses `v` internally and
+    // drops it, which would clobber a user vector column named `v`
+    val prepped = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("__sd_v"))
+    val idx = Ann.ivfAssign(prepped, "__sd_v", centroids)
+      .select(col("id"), col("cell"), col("__sd_v").as("v"))
+    val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    // pairs restricted to (same cell, lower id); cosine runs codegen'd in
+    // the join's output stage, before any further shuffle
+    val dupOf = a.join(b, "cell")
+      .filter(col("id_b") < col("id_a"))
+      .filter(round(VectorExpressions.cosine(spark, col("va"), col("vb")), 4)
+        >= threshold)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("dup_of"))
+    idx.join(dupOf, idx("id") === dupOf("id_a"), "left")
+      .select(idx("id"), idx("cell"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + sharding for training-order assignment.
+  *
+  * Training runs need every example assigned a reproducible (shard,
+  * position) independent of cluster size, partition layout or execution
+  * order — `orderBy(rand())` gives none of that. Hashing the id through a
+  * salted md5 gives a pseudo-random but stable total order; the first 32
+  * hash bits pick the shard and a per-shard row_number gives the position.
+  * Re-running with the same salt reproduces the epoch exactly; bumping the
+  * salt is a fresh, uncorrelated shuffle (one per epoch).
+  *
+  * Scale shape: the only exchange is the per-shard window — `numShards`
+  * partitions, each sorting its own slice by hash key. No global sort, no
+  * single-partition window: at lake scale set `numShards` high enough
+  * (10³–10⁴) that a shard's rows fit an executor's sort buffer.
+  *
+  * md5 (not xxhash64) on purpose: the order key doubles as a portable
+  * audit artifact — any engine can recompute `md5(id || '#' || salt)` and
+  * verify the assignment, which is exactly how the oracle gate checks it.
+  */
+object Sharding {
+
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val ordKey = md5(concat(col(idCol).cast("string"), lit("#" + salt)))
+    // first 8 hex chars = top 32 hash bits: non-negative, fits a long
+    val shard = pmod(conv(substring(ordKey, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord_key"), col(idCol))
+    df.select(col(idCol), ordKey.as("ord_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("ord_key"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, SemDedup, Sharding}
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators: semantic dedup, canonical selection,
+  * incremental dedup, mix planning, token budgets, shuffle sharding.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDedup keeps one representative per near-dup group, per cell") {
+    // two orthogonal directions; ids 1 and 2 colinear (cos = 1), 3 orthogonal
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(2.0, 0.0)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.0, 3.0))).toDF("id", "v")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = SemDedup.semanticDedup(embs, "id", "v", centroids, 0.9)
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toSeq ===
+      Seq(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    // dup_of points at the smallest qualifying cell-mate
+    assert(out(1).getLong(2) === 1L)
+    assert(out(3).getLong(2) === 3L)
+  }
+
+  test("semanticDedup never compares across cells") {
+    // identical vectors forced into different cells by distinct centroids
+    // stay independent — the SemDeDup trade, asserted
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0))).toDF("id", "v")
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.9, 0.1, 0.0))
+    val out = SemDedup.semanticDedup(embs, "id", "v", centroids, 0.5)
+      .orderBy("id").collect()
+    assert(out.forall(_.getLong(3) === 1L))
+  }
+
+  test("keepCanonical keeps the best-scored member per cluster, all singletons") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val out = Dedup.keepCanonical(docs, clusters, "doc_id", "n_chars")
+      .orderBy("doc_id").collect()
+    // 2 and 3 tie on score 30 — smaller id wins; 9 is unclustered → kept
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toSeq ===
+      Seq(1L -> 0L, 2L -> 1L, 3L -> 0L, 9L -> 1L))
+    assert(out(3).getLong(1) === 9L) // own cluster label
+  }
+
+  test("incrementalExact drops batch rows already in the corpus and batch-internal dups") {
+    val corpus = Seq((1L, "seen before")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // in corpus → dropped
+      (11L, "brand new"),
+      (12L, "brand new"),     // batch-internal dup → only 11 survives
+      (13L, "also new")).toDF("id", "text")
+    val out = Dedup.incrementalExact(batch, corpus, "id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(11L, 13L))
+  }
+
+  test("mixPlan hits the largest achievable total for the target mix") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i <= 60) "web" else if (i <= 90) "books" else "code"))
+      .toDF("id", "src")
+    val plan = Sampling.mixPlan(df, "src", Map("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+      .orderBy("stratum").collect()
+    // binding stratum is code: 10 rows / 0.2 ⇒ T = 50
+    val byName = plan.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byName("code") === ((10L, 1.0, 10.0)))
+    assert(byName("web") === ((60L, 0.4167, 25.0)))
+    assert(byName("books") === ((30L, 0.5, 15.0)))
+  }
+
+  test("mixPlan excludes strata without weights and renormalizes over present ones") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "junk")).toDF("id", "src")
+    val plan = Sampling.mixPlan(df, "src",
+      Map("a" -> 1.0, "b" -> 1.0, "ghost" -> 98.0))
+      .orderBy("stratum").collect()
+    val byName = plan.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // ghost has no rows → weights renormalize over a and b (0.5 each);
+    // binding is b (1 row / 0.5 ⇒ T = 2) ⇒ a keeps 1 of 2 rows
+    assert(byName("junk") === 0.0)
+    assert(byName("b") === 1.0)
+    assert(byName("a") === 0.5)
+  }
+
+  test("resampleToMix realizes the plan through the deterministic hash predicate") {
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = Sampling.resampleToMix(df, "src", "id", Map("a" -> 0.9, "b" -> 0.1))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(200/0.9, 200/0.1) = 222.2 ⇒ a keeps all, b keeps ~11%
+    assert(counts("a") === 200L)
+    assert(counts("b") < 40L && counts("b") > 5L)
+    // determinism: same salt, same selection
+    val again = Sampling.resampleToMix(df, "src", "id", Map("a" -> 0.9, "b" -> 0.1))
+    assert(again.orderBy("id").collect().toSeq === out.orderBy("id").collect().toSeq)
+  }
+
+  test("takeByTokenBudget keeps the greedy prefix by (priority, id) within budget") {
+    val df = Seq(
+      // group g: priorities 9,8,7 with token costs 50,40,30
+      ("g", 1L, 50L, 9L), ("g", 2L, 40L, 8L), ("g", 3L, 30L, 7L),
+      ("h", 4L, 10L, 1L)).toDF("src", "id", "toks", "prio")
+    val out = Sampling.takeByTokenBudget(df, "src", "id", "toks", "prio", 90L)
+      .orderBy("id").collect()
+    // g keeps 1 (cum 50) and 2 (cum 90); 3 would overflow. h keeps 4.
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 4L))
+    assert(out.map(_.getLong(4)).toSeq === Seq(0L, 50L, 0L))
+  }
+
+  test("shuffleShards is a deterministic permutation; salt reshuffles it") {
+    val df = (1 to 200).map(_.toLong).toDF("id")
+    val a = Sharding.shuffleShards(df, "id", 4, salt = 0L)
+    val b = Sharding.shuffleShards(df, "id", 4, salt = 0L)
+    assert(a.orderBy("id").collect().toSeq === b.orderBy("id").collect().toSeq)
+    // every row gets exactly one (shard, pos); positions are 1..n per shard
+    val perShard = a.groupBy("shard").agg(count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .collect()
+    assert(perShard.map(_.getLong(1)).sum === 200L)
+    perShard.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    assert(perShard.length === 4)
+    // a different salt produces a genuinely different order
+    val c = Sharding.shuffleShards(df, "id", 4, salt = 1L)
+    val ordA = a.orderBy("shard", "pos").select("id").collect().map(_.getLong(0)).toSeq
+    val ordC = c.orderBy("shard", "pos").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ordA !== ordC)
+  }
+}
