@@ -510,6 +510,12 @@ object SparkEntry {
         "doc_id", "n_chars")
         .orderBy(col("doc_id"))
     }),
+    "q_segment_dedup" -> ((s, dir) =>
+      // repeated-substring scrub at 5-word granularity (~6% of segments in
+      // the synthetic corpus are cross-document repeats)
+      Dedup.segmentDedup(Tables.loadParallel(s, dir, "documents", "doc_id"),
+        "doc_id", "text", segmentWords = 5)
+        .orderBy(col("doc_id"))),
     "q_dedup_incremental" -> ((s, dir) => {
       // steady-state ingestion: ids ≡ 0 (mod 3) play the ingested corpus,
       // ids ≡ 0 (mod 2) the incoming batch — the mod-6 overlap carries
@@ -1041,6 +1047,7 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
+    "q_segment_dedup" -> segmentDedupOracleSql,
     "q_dedup_canonical" -> canonicalOracleSql,
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -1464,6 +1471,29 @@ object SparkEntry {
       |  CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM a LEFT JOIN dup ON dup.ia = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+
+  /** Segment-dedup oracle: the q_chunk tiling at window = stride = 5, the
+    * global first occurrence of each segment hash by (doc_id, chunk_id),
+    * and an ordered string_agg of surviving hashes per document. The
+    * coalesce('') keeps fully-scrubbed documents comparable (md5 of the
+    * empty string on both sides, not NULL).
+    */
+  private def segmentDedupOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
+       |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 5)) AS st,
+       |       generate_subscripts(range(0, len(ws), 5), 1) - 1 AS chunk_id FROM w),
+       |seg AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(ws[st+1:st+5]) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(ws[st+1:st+5], ' ')) AS m FROM st),
+       |fst AS (SELECT m, min(ROW(doc_id, chunk_id)) AS f FROM seg GROUP BY m),
+       |mk AS (SELECT seg.*, CASE WHEN ROW(doc_id, chunk_id) = f THEN 1 ELSE 0 END AS keep
+       |       FROM seg JOIN fst USING (m))
+       |SELECT doc_id, count(*) AS n_segments,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       |  md5(coalesce(string_agg(m, ' ' ORDER BY chunk_id) FILTER (WHERE keep = 1), ''))
+       |    AS scrubbed_md5
+       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Canonical-selection oracle: minhash duplicate clusters (same recursive
     * closure as q_dedup_clusters), argmax by (n_chars desc, doc_id) inside

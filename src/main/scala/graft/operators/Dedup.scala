@@ -312,6 +312,46 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster"), col("score"), col("keep"))
   }
 
+  /** Segment-level exact dedup — the repeated-substring scrub (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better") at
+    * fixed word granularity: tile every document into non-overlapping
+    * `segmentWords`-word segments, keep only the globally FIRST occurrence
+    * of each distinct segment (ordered by (doc_id, position) so the verdict
+    * is execution-order-free), and report per document how much text
+    * survives plus a fingerprint of the scrubbed remainder.
+    *
+    * First-occurrence is computed as `min(struct(doc_id, chunk_id))` per
+    * segment hash — a hash-aggregate with map-side partial combine — then
+    * joined back on the hash, NOT as a row_number window over the hash:
+    * boilerplate segments repeat millions of times in web corpora, and a
+    * window would sort each such group in one task, while the min-aggregate
+    * collapses them map-side. The join reuses the aggregate's hash
+    * partitioning, so the pipeline costs two exchanges end to end.
+    *
+    * The per-doc reassembly (ordered scrubbed fingerprint) sorts a
+    * collected (chunk_id, md5) array — bounded by segments-per-document,
+    * the same constant-bounded-interpreted-work budget as
+    * Chunking.contentDefinedChunks's in-chunk sort.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int): DataFrame = {
+    val segs = Chunking.chunk(docs, idCol, textCol, segmentWords, segmentWords)
+    val first = segs.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+    val marked = segs.join(first, "chunk_md5")
+      .withColumn("keep",
+        when(struct(col("doc_id"), col("chunk_id")) === col("first"), 1L)
+          .otherwise(0L))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segments"),
+      sum(col("keep")).as("n_kept"),
+      sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L)).as("n_tokens_kept"),
+      md5(concat_ws(" ", transform(
+        array_sort(collect_list(when(col("keep") === 1,
+          struct(col("chunk_id"), col("chunk_md5"))))),
+        x => x.getField("chunk_md5")))).as("scrubbed_md5"))
+  }
+
   /** Incremental exact dedup: screen a new batch against an already-ingested
     * corpus, keeping only rows that are new both to the corpus and within
     * the batch (smallest id wins inside the batch, matching [[exact]]).

@@ -50,6 +50,22 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getLong(1) === 9L) // own cluster label
   }
 
+  test("segmentDedup scrubs repeated segments, keeping the global first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // segments: "a b c" (first), "d e f" (first)
+      (2L, "a b c x y z"),          // "a b c" repeated → dropped; "x y z" kept
+      (3L, "d e f d e f")).toDF("id", "text") // both copies dropped? no: within-doc
+    val out = Dedup.segmentDedup(docs, "id", "text", 3).orderBy("doc_id").collect()
+    // doc 1: both kept
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((2L, 2L)))
+    // doc 2: one of two kept, 3 tokens survive
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3)) === ((2L, 1L, 3L)))
+    // doc 3: both segments are "d e f", already seen in doc 1 → zero kept,
+    // scrubbed fingerprint = md5 of the empty remainder
+    assert((out(2).getLong(1), out(2).getLong(2)) === ((2L, 0L)))
+    assert(out(2).getString(4) === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
   test("incrementalExact drops batch rows already in the corpus and batch-internal dups") {
     val corpus = Seq((1L, "seen before")).toDF("id", "text")
     val batch = Seq(
