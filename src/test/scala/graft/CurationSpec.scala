@@ -131,6 +131,24 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).toSeq === Seq(0L, 50L, 0L))
   }
 
+  test("plan shapes: shuffle sharding has no global sort; segment dedup shuffles twice") {
+    val df = (1 to 50).map(_.toLong).toDF("id")
+    val shardPlan = Sharding.shuffleShards(df, "id", 4)
+      .queryExecution.executedPlan.toString
+    // the only exchange is the per-shard hash partitioning — a global
+    // range exchange (Sort across all rows) would be the scale bug
+    assert(!shardPlan.contains("rangepartitioning"), shardPlan)
+    assert(shardPlan.split("Exchange hashpartitioning").length - 1 == 1, shardPlan)
+
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val segPlan = Dedup.segmentDedup(docs, "id", "text", 3)
+      .queryExecution.executedPlan.toString
+    // min-struct aggregate on the hash + doc rollup: the first-occurrence
+    // decision must be an Aggregate (map-side combined), never a Window
+    // sorting a boilerplate hash group in one task
+    assert(!segPlan.contains("Window"), segPlan)
+  }
+
   test("shuffleShards is a deterministic permutation; salt reshuffles it") {
     val df = (1 to 200).map(_.toLong).toDF("id")
     val a = Sharding.shuffleShards(df, "id", 4, salt = 0L)
