@@ -516,6 +516,19 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", segmentWords = 5)
         .orderBy(col("doc_id"))),
+    "q_dedup_incremental_minhash" -> ((s, dir) => {
+      // near-dup screening of an incoming batch (ids ≡ 0 mod 2) against
+      // the ingested corpus (ids ≡ 0 mod 3); same banding/threshold as
+      // q_dedup_minhash so the oracle reuses the shared pairs closure.
+      // The mod-6 overlap self-matches at Jaccard 1.
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text",
+        shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // steady-state ingestion: ids ≡ 0 (mod 3) play the ingested corpus,
       // ids ≡ 0 (mod 2) the incoming batch — the mod-6 overlap carries
@@ -663,6 +676,12 @@ object SparkEntry {
     "q_surprisal" -> ((s, dir) =>
       graft.operators.CorpusStats.unigramSurprisal(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_vocab_coverage" -> ((s, dir) =>
+      // vocabSize 20 of the corpus's 31 distinct words ⇒ real OOV mass
+      graft.operators.CorpusStats.vocabCoverage(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        vocabSize = 20)
         .orderBy(col("doc_id"))),
     "q_chunk" -> ((s, dir) =>
       graft.operators.Chunking.chunk(
@@ -1048,6 +1067,17 @@ object SparkEntry {
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
+    "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
+    "q_vocab_coverage" ->
+      s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
+         |          ORDER BY cnt DESC, w LIMIT 20)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN tok.w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN tok.w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / count(*), 4) AS oov_rate
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_canonical" -> canonicalOracleSql,
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -1494,6 +1524,26 @@ object SparkEntry {
        |  md5(coalesce(string_agg(m, ' ' ORDER BY chunk_id) FILTER (WHERE keep = 1), ''))
        |    AS scrubbed_md5
        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Incremental-minhash oracle: the shared verified-pairs closure over the
+    * whole table restricted to cross-set (batch, corpus) pairs in either
+    * orientation, plus the self-match rows for batch ids that are also
+    * corpus ids (identical text ⇒ Jaccard 1 ≥ threshold by construction).
+    */
+  private def incrementalMinhashOracleSql: String =
+    s"""WITH $minhashPairsCtes,
+       |crossm AS (
+       |  SELECT id_a AS bid, id_b AS cid FROM pairs WHERE id_a % 2 = 0 AND id_b % 3 = 0
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs WHERE id_b % 2 = 0 AND id_a % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
+       |dup AS (SELECT bid, min(cid) AS dup_of FROM crossm GROUP BY bid)
+       |SELECT doc_id, dup_of,
+       |  CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) b
+       |LEFT JOIN dup ON dup.bid = b.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Canonical-selection oracle: minhash duplicate clusters (same recursive
     * closure as q_dedup_clusters), argmax by (n_chars desc, doc_id) inside

@@ -60,6 +60,36 @@ object CorpusStats {
           .as("mean_surprisal"))
   }
 
+  /** Vocabulary coverage / OOV profiling — the tokenizer-fit check run
+    * before committing to a vocabulary: take the `vocabSize` most frequent
+    * corpus words (ties broken by the word itself, so the vocabulary is
+    * deterministic) and report per document how many tokens fall outside
+    * it. High-OOV documents are either foreign-language, noise, or a sign
+    * the vocabulary is too small — all three are routing signals.
+    *
+    * Plan shape: one corpus word count (map-side combined), a top-k via
+    * TakeOrderedAndProject (never a vocabulary-wide sort), then a
+    * broadcast left join of the vocabulary (vocabSize rows by
+    * construction) against the token stream — the per-doc rollup combines
+    * map-side, so row data crosses the wire once, keyed by doc.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
+  }
+
   /** Per-document duplicated-n-gram profile: how much of each document's
     * distinct n-gram set also appears in at least one OTHER document — the
     * memorization-risk signal behind substring-level dedup (Lee et al.

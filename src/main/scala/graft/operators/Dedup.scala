@@ -352,6 +352,45 @@ object Dedup {
         x => x.getField("chunk_md5")))).as("scrubbed_md5"))
   }
 
+  /** Incremental NEAR-dup screening: the [[minhashDedup]] pipeline in its
+    * steady-state ingestion shape — band keys of the incoming batch join
+    * against band keys of the already-ingested corpus (at scale a persisted
+    * `(band, key) → id` index, bucketed so the probe side co-locates), and
+    * only colliding cross-set pairs pay the exact-Jaccard verification. A
+    * batch document is dropped when any corpus document reaches the
+    * threshold; `dup_of` reports the smallest such corpus id (a batch id
+    * that is itself already in the corpus matches itself at Jaccard 1).
+    *
+    * Candidate cost is O(cross-set band collisions) — within-batch and
+    * within-corpus collisions never form pairs, which is what makes the
+    * per-delivery cost proportional to the delivery, not the corpus.
+    */
+  def incrementalMinhash(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, numBands: Int = 4,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    def bandRows(df: DataFrame) =
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+        .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val cands = bandRows(batch).as("b")
+      .join(bandRows(corpus).as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.id").as("id_b"), col("c.id").as("id_c"))
+      .distinct()
+    def sets(df: DataFrame, as: String) =
+      shingleRows(df, idCol, textCol, shingleSize)
+        .groupBy(col("id")).agg(collect_set(col("shingle")).as(s"sh_$as"))
+        .withColumnRenamed("id", s"id_$as")
+    val dup = cands.join(sets(batch, "b"), "id_b").join(sets(corpus, "c"), "id_c")
+      .filter(round(jaccard(col("sh_b"), col("sh_c")), 4) >= threshold)
+      .groupBy(col("id_b")).agg(min(col("id_c")).as("dup_of"))
+    batch.select(col(idCol))
+      .join(dup, batch(idCol) === dup("id_b"), "left")
+      .select(col(idCol), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Incremental exact dedup: screen a new batch against an already-ingested
     * corpus, keeping only rows that are new both to the corpus and within
     * the batch (smallest id wins inside the batch, matching [[exact]]).

@@ -78,6 +78,37 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(11L, 13L))
   }
 
+  test("incrementalMinhash drops batch docs near-dup to any corpus doc, keeps the rest") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated corpus material about spark plans")).toDF("id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup of 100
+      (2L, "statistics on shuffle exchange behavior under adaptive execution"),
+      (100L, "the quick brown fox jumps over the lazy dog today")) // already ingested
+      .toDF("id", "text")
+    val out = Dedup.incrementalMinhash(batch, corpus, "id", "text",
+      shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(2)).toSeq ===
+      Seq(1L -> 0L, 2L -> 1L, 100L -> 0L))
+    assert(out(0).getLong(1) === 100L) // dup_of the corpus partner
+    assert(out(2).getLong(1) === 100L) // self-match at Jaccard 1
+  }
+
+  test("vocabCoverage counts tokens outside the deterministic top-k vocabulary") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "a a a b b c"),   // corpus counts: a=4, b=3, c=1, z=1
+      (2L, "a b z")).toDF("id", "text")
+    val out = CorpusStats.vocabCoverage(docs, "id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    // vocab = {a, b}; doc 1: c is OOV; doc 2: z is OOV
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 6L, 1L), (2L, 3L, 1L)))
+    assert(out(0).getDouble(3) === 0.1667)
+  }
+
   test("mixPlan hits the largest achievable total for the target mix") {
     val df = (1 to 100).map(i =>
       (i.toLong, if (i <= 60) "web" else if (i <= 90) "books" else "code"))
