@@ -724,6 +724,11 @@ object SparkEntry {
         "source", "doc_id", "n_tokens", "n_chars", budgetTokens = 2000L)
         .select("source", "doc_id", "n_tokens", "taken_before")
         .orderBy(col("source"), col("doc_id"))),
+    "q_split" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplit(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))),
     "q_shuffle_shards" -> ((s, dir) =>
       graft.operators.Sharding.shuffleShards(
         Tables.load(s, dir, "documents").select("doc_id"),
@@ -1097,6 +1102,13 @@ object SparkEntry {
          |  FROM t)
          |SELECT source, doc_id, n_tokens, taken_before FROM c
          |WHERE taken_before + n_tokens <= 2000 ORDER BY source, doc_id""".stripMargin,
+    "q_split" ->
+      """WITH t AS (SELECT doc_id,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),
         |s AS (SELECT doc_id, ord_key,

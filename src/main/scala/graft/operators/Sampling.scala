@@ -82,6 +82,37 @@ object Sampling {
       .drop("__tf_rnk", "__tf_n")
   }
 
+  /** Deterministic train/val/test split: every row gets a split label from
+    * its id hash and the cumulative fraction thresholds — reproducible
+    * across cluster sizes and runs, consistent for any table sharing the
+    * id, and disjoint-and-exhaustive by construction (the bucket falls in
+    * exactly one threshold interval; any remainder mass goes to the last
+    * label). Fractions must sum to ≤ 1 + ε.
+    *
+    * Unlike [[uniform]] (xxhash64, Spark-specific), the bucket here is the
+    * top 32 bits of a salted md5 — deliberately portable, so any engine
+    * can recompute the assignment for audit (and the oracle gate does).
+    * One codegen'd CASE per row; no shuffle, no RNG.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
+      "fractions must be positive")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    // cumulative thresholds: floor(cum·M) boundaries make the intervals
+    // integers, so the label decision is exact (no double comparison)
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = fractions.map(_._1).zip(cums.map(c => math.floor(c * M).toLong))
+    val expr = labeled.init.foldRight(
+      lit(labeled.last._1): Column) { case ((name, bound), rest) =>
+      when(bucket < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Plan a downsample to a target corpus mix (DoReMi-style static domain
     * reweighting, without upsampling): given relative weights per stratum
     * (e.g. {web→0.5, books→0.3, code→0.2}), find the largest total T such

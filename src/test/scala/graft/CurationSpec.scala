@@ -180,6 +180,21 @@ class CurationSpec extends SparkSpec {
     assert(!segPlan.contains("Window"), segPlan)
   }
 
+  test("assignSplit is disjoint-exhaustive, deterministic, near the target fractions") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val out = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1500L && counts("train") < 1700L)
+    assert(counts("val") > 120L && counts("val") < 280L)
+    // same input, same assignment; the split survives repartitioning
+    val again = Sampling.assignSplit(df.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(again.orderBy("id").collect().toSeq === out.orderBy("id").collect().toSeq)
+  }
+
   test("shuffleShards is a deterministic permutation; salt reshuffles it") {
     val df = (1 to 200).map(_.toLong).toDF("id")
     val a = Sharding.shuffleShards(df, "id", 4, salt = 0L)
