@@ -677,6 +677,15 @@ object SparkEntry {
       graft.operators.CorpusStats.unigramSurprisal(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_corpus_drift" -> ((s, dir) => {
+      // snapshot A = even doc ids, snapshot B = odd — the word-frequency
+      // movers between two crawls of the same corpus
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      graft.operators.CorpusStats.frequencyDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 20)
+    }),
     "q_vocab_coverage" -> ((s, dir) =>
       // vocabSize 20 of the corpus's 31 distinct words ⇒ real OOV mass
       graft.operators.CorpusStats.vocabCoverage(
@@ -1073,6 +1082,25 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
+    "q_corpus_drift" ->
+      s"""WITH wa AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 0),
+         |wb AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT w, count(*) AS cnt_a FROM (SELECT unnest(ws) AS w FROM wa) GROUP BY 1),
+         |cb AS (SELECT w, count(*) AS cnt_b FROM (SELECT unnest(ws) AS w FROM wb) GROUP BY 1),
+         |ta AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a FROM ca),
+         |tb AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM cb)
+         |SELECT coalesce(ca.w, cb.w) AS word,
+         |  CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+         |  CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b,
+         |  round(coalesce(cnt_a, 0)::DOUBLE / tot_a::DOUBLE, 4) AS freq_a,
+         |  round(coalesce(cnt_b, 0)::DOUBLE / tot_b::DOUBLE, 4) AS freq_b,
+         |  round(coalesce(cnt_b, 0)::DOUBLE / tot_b::DOUBLE
+         |    - coalesce(cnt_a, 0)::DOUBLE / tot_a::DOUBLE, 4) AS delta
+         |FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+         |CROSS JOIN ta CROSS JOIN tb
+         |ORDER BY abs(round(coalesce(cnt_b, 0)::DOUBLE / tot_b::DOUBLE
+         |    - coalesce(cnt_a, 0)::DOUBLE / tot_a::DOUBLE, 4)) DESC,
+         |  coalesce(ca.w, cb.w) LIMIT 20""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
          |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),

@@ -90,6 +90,45 @@ object CorpusStats {
           .as("oov_rate"))
   }
 
+  /** Corpus drift between two snapshots: per-word relative-frequency delta,
+    * largest movers first — the crawl-over-crawl monitoring report run
+    * before a new snapshot is allowed into the training mix (vocabulary
+    * shifts, boilerplate floods and language drift all surface here first).
+    *
+    * Frequencies are exact integer counts over exact integer totals,
+    * divided and rounded at 4 dp only at the end, so the report is
+    * partitioning- and engine-invariant. Words absent from one snapshot
+    * count 0 there (full outer join). One hash-aggregate per side (map-side
+    * combined), the totals broadcast as 1-row frames, top-k by
+    * TakeOrderedAndProject — never a vocabulary-wide global sort.
+    */
+  def frequencyDrift(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, k: Int = 20): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(graft.functions.TextFunctions.words(
+        coalesce(col(textCol), lit("")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val ta = ca.agg(sum(col("cnt")).as("tot_a"))
+    val tb = cb.agg(sum(col("cnt")).as("tot_b"))
+    ca.withColumnRenamed("cnt", "cnt_a")
+      .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("w"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("w").as("word"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+        round(coalesce(col("cnt_a"), lit(0L)).cast("double")
+          / col("tot_a").cast("double"), 4).as("freq_a"),
+        round(coalesce(col("cnt_b"), lit(0L)).cast("double")
+          / col("tot_b").cast("double"), 4).as("freq_b"),
+        round(coalesce(col("cnt_b"), lit(0L)).cast("double") / col("tot_b").cast("double")
+          - coalesce(col("cnt_a"), lit(0L)).cast("double") / col("tot_a").cast("double"),
+          4).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-document duplicated-n-gram profile: how much of each document's
     * distinct n-gram set also appears in at least one OTHER document — the
     * memorization-risk signal behind substring-level dedup (Lee et al.

@@ -20,7 +20,9 @@ object ArrowSource {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    val allocator = new RootAllocator(Long.MaxValue)
+    // fixture-sized source (see object doc): cap the allocator at 1 GiB so
+    // a mistakenly-huge file fails fast instead of exhausting the driver
+    val allocator = new RootAllocator(1L << 30)
     val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     try {
       val root = reader.getVectorSchemaRoot

@@ -109,6 +109,21 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getDouble(3) === 0.1667)
   }
 
+  test("frequencyDrift surfaces the largest relative-frequency movers") {
+    import graft.operators.CorpusStats
+    val a = Seq((1L, "x x x y")).toDF("id", "text")       // x: 0.75, y: 0.25
+    val b = Seq((2L, "x y y z")).toDF("id", "text")       // x: 0.25, y: 0.5, z: 0.25
+    val out = CorpusStats.frequencyDrift(a, b, "id", "text", k = 10)
+      .collect()
+    val byWord = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(byWord("x") === ((3L, 1L, -0.5)))
+    assert(byWord("y") === ((1L, 2L, 0.25)))
+    assert(byWord("z") === ((0L, 1L, 0.25)))  // absent from A counts zero
+    // biggest mover first
+    assert(out.head.getString(0) === "x")
+  }
+
   test("mixPlan hits the largest achievable total for the target mix") {
     val df = (1 to 100).map(i =>
       (i.toLong, if (i <= 60) "web" else if (i <= 90) "books" else "code"))
