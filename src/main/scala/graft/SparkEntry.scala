@@ -677,6 +677,13 @@ object SparkEntry {
       graft.operators.CorpusStats.unigramSurprisal(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_curation_report" -> ((s, dir) =>
+      // the capstone composition: quality ∧ exact-dedup ∧ canonical near-dup
+      // verdicts plus the split label, one row per document
+      graft.operators.Curation.report(
+        Tables.loadParallel(s, dir, "documents", "doc_id"),
+        "doc_id", "text", "n_chars")
+        .orderBy(col("doc_id"))),
     "q_corpus_drift" -> ((s, dir) => {
       // snapshot A = even doc ids, snapshot B = odd — the word-frequency
       // movers between two crawls of the same corpus
@@ -1082,6 +1089,7 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
+    "q_curation_report" -> curationReportOracleSql,
     "q_corpus_drift" ->
       s"""WITH wa AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 0),
          |wb AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 1),
@@ -1564,6 +1572,48 @@ object SparkEntry {
        |  md5(coalesce(string_agg(m, ' ' ORDER BY chunk_id) FILTER (WHERE keep = 1), ''))
        |    AS scrubbed_md5
        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Curation-report oracle: the quality-filter oracle embedded as a
+    * derived table, exact-fingerprint first-copy, the shared recursive
+    * cluster closure + canonical argmax, and the split bucket CASE — the
+    * same composition, component for component, as Curation.report.
+    */
+  private def curationReportOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |       FROM reach GROUP BY u),
+       |qf AS (SELECT doc_id, keep AS ok_quality FROM ($qualityFilterOracleSql) q),
+       |fps AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |        FROM documents),
+       |exk AS (SELECT f.doc_id,
+       |  CASE WHEN f.doc_id = m.keep_id THEN 1 ELSE 0 END AS ok_exact
+       |  FROM fps f JOIN (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1) m USING (fp)),
+       |lab AS (SELECT d.doc_id, d.n_chars AS score, cl.cluster
+       |        FROM documents d LEFT JOIN cl USING (doc_id)),
+       |canon AS (
+       |  SELECT doc_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS ok_canonical FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+       |    FROM lab WHERE cluster IS NOT NULL)
+       |  UNION ALL
+       |  SELECT doc_id, 1 FROM lab WHERE cluster IS NULL),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
+       |    FROM documents))
+       |SELECT qf.doc_id, CAST(ok_quality AS BIGINT) AS ok_quality,
+       |  CAST(ok_exact AS BIGINT) AS ok_exact,
+       |  CAST(ok_canonical AS BIGINT) AS ok_canonical,
+       |  CAST(ok_quality * ok_exact * ok_canonical AS BIGINT) AS keep, split
+       |FROM qf JOIN exk USING (doc_id) JOIN canon USING (doc_id) JOIN sp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Incremental-minhash oracle: the shared verified-pairs closure over the
     * whole table restricted to cross-set (batch, corpus) pairs in either

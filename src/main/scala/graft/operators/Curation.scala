@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The capstone composition: one call producing the per-document verdict
+  * table a training-data pipeline actually ships — every standard signal
+  * side by side and the conjunctive keep, plus the train/val/test split
+  * for the survivors. This is deliberately a COMPOSITION of the dedicated
+  * operators (QualityFilter, Dedup, Sampling), not a re-implementation:
+  * each signal keeps its own tested semantics, and the report is one join
+  * tree on the document id.
+  *
+  * Keep semantics: a document survives iff it passes the C4/Gopher-style
+  * quality rules, is the first copy of its exact fingerprint, and is the
+  * canonical (best-scored) member of its near-dup cluster. Each verdict
+  * column is also reported on its own so downstream consumers can relax
+  * any single rule without re-running the pipeline.
+  *
+  * Scale shape: every component is id-keyed; the joins reuse the id
+  * partitioning the components already produce, and the exact-dedup
+  * verdict joins back on the 16-byte digest (never the text). Nothing in
+  * the composition adds a shuffle beyond what the components cost alone.
+  */
+object Curation {
+
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val quality = QualityFilter.verdicts(docs, idCol, textCol)
+      .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
+    // first copy of the exact fingerprint wins (same rule as Dedup.exact)
+    val fps = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val exactKeep = fps
+      .join(fps.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
+      .select(col("id"),
+        when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashDedup(docs, idCol, textCol,
+        shingleSize, numBands, rowsPerBand, threshold))
+    val canonical = Dedup.keepCanonical(docs, clusters, idCol, scoreCol)
+      .select(col("doc_id").as("id"), col("keep").as("ok_canonical"))
+    val split = Sampling.assignSplit(docs.select(col(idCol).as("id")), "id", splits)
+    quality
+      .join(exactKeep, "id")
+      .join(canonical, "id")
+      .join(split, "id")
+      .select(col("id").as("doc_id"),
+        col("ok_quality").cast("long").as("ok_quality"),
+        col("ok_exact").cast("long").as("ok_exact"),
+        col("ok_canonical").cast("long").as("ok_canonical"),
+        (col("ok_quality") * col("ok_exact") * col("ok_canonical"))
+          .cast("long").as("keep"),
+        col("split"))
+  }
+}

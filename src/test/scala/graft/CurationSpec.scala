@@ -109,6 +109,33 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getDouble(3) === 0.1667)
   }
 
+  test("curation report composes quality, exact-dup, canonical and split verdicts") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "the data engine reads the table and the filter prunes the partitions well", 10L),
+      (2L, "the red car drives down the long road past the old mill", 10L),
+      (3L, "the red car drives down the long road past the old mill", 10L), // exact dup of 2
+      (10L, "the quick brown fox jumps over the lazy dog", 3L),
+      (11L, "the quick brown fox jumps over the lazy cat", 7L)) // near-dup pair, higher score
+      .toDF("id", "text", "score")
+    val out = Curation.report(docs, "id", "text", "score")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact dup: first copy survives, second is cut by ok_exact
+    assert(byId(2L)._2 === 1L)
+    assert(byId(3L)._2 === 0L)
+    assert(byId(3L)._4 === 0L)
+    // near-dup cluster {10, 11}: the higher-scored 11 is canonical
+    assert(byId(10L)._3 === 0L)
+    assert(byId(11L)._3 === 1L)
+    // keep is the conjunction of its three columns, split is always present
+    out.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1) * r.getLong(2) * r.getLong(3))
+      assert(Set("train", "val", "test").contains(r.getString(5)))
+    }
+  }
+
   test("frequencyDrift surfaces the largest relative-frequency movers") {
     import graft.operators.CorpusStats
     val a = Seq((1L, "x x x y")).toDF("id", "text")       // x: 0.75, y: 0.25

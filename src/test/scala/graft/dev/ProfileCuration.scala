@@ -1,0 +1,36 @@
+package graft.dev
+
+import graft.Tables
+import graft.operators.{Curation, Dedup, QualityFilter, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness for the composed curation report (test scope). */
+object ProfileCuration {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.loadParallel(spark, dir, "documents", "doc_id")
+    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    time("quality")(QualityFilter.verdicts(docs, "doc_id", "text"))
+    time("clusters")(Dedup.duplicateClusters(
+      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5)))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+    time("canonical")(Dedup.keepCanonical(docs, clusters, "doc_id", "n_chars"))
+    time("split")(Sampling.assignSplit(docs.select(col("doc_id").as("id")), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    time("report-cold")(Curation.report(docs, "doc_id", "text", "n_chars"))
+    time("report-warm")(Curation.report(docs, "doc_id", "text", "n_chars"))
+    time("report-warm2")(Curation.report(docs, "doc_id", "text", "n_chars"))
+    spark.stop()
+  }
+}
