@@ -98,6 +98,8 @@ object Sampling {
       fractions: Seq[(String, Double)], salt: Long = 0L): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
       "fractions must be positive")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column (generated output name)")
     require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
     val bucket = pmod(
       conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
@@ -183,6 +185,8 @@ object Sampling {
   def takeByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
       tokenCol: String, priorityCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(!df.columns.contains("taken_before"),
+      "input already has a 'taken_before' column (generated output name)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(priorityCol).desc, col(idCol))

@@ -27,6 +27,8 @@ object Sharding {
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
       salt: Long = 0L): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    require(!Set("shard", "pos", "ord_key").contains(idCol),
+      s"idCol '$idCol' collides with a generated output column")
     val ordKey = md5(concat(col(idCol).cast("string"), lit("#" + salt)))
     // first 8 hex chars = top 32 hash bits: non-negative, fits a long
     val shard = pmod(conv(substring(ordKey, 1, 8), 16, 10).cast("long"),
