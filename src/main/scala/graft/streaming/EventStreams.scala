@@ -45,6 +45,29 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus-ingestion screen — the streaming twin of
+    * Dedup.incrementalExact: arriving documents are dropped when their
+    * normalized-text fingerprint already exists in the ingested corpus's
+    * fingerprint table (a stream-static left-anti join, natively
+    * incremental in Structured Streaming: the static side is re-read per
+    * micro-batch, so a corpus table updated between batches screens
+    * against fresh fingerprints), then deduplicated within the stream
+    * itself inside the watermark horizon. State is bounded by (arrival
+    * rate × watermark), never by corpus size — the corpus lives in the
+    * static table, not in streaming state.
+    *
+    * `corpusFps` must expose a single `fp` column (md5 of normalized
+    * text — persist `Dedup.exact`'s output, bucketed by `fp` at scale).
+    */
+  def ingestScreen(docs: DataFrame, corpusFps: DataFrame, idCol: String,
+      textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's purchases in the preceding `lookback`. Both sides carry
     * watermarks AND the join condition bounds event-time distance, so

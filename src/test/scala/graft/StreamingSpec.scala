@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("streaming ingest screen: corpus fingerprints and in-stream dups both drop") {
+    implicit val sq = spark.sqlContext
+    val corpusFps = Seq("seen before").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.ingestScreen(docs, corpusFps, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("screen")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "seen before", ts(0)),      // already in corpus → dropped
+      (2L, "brand new", ts(0)),
+      (3L, "brand new", ts(1)),        // in-stream duplicate → dropped
+      (4L, "also new", ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("screen").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("stream-stream interval join: purchases within the lookback, state bounded") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Event]
