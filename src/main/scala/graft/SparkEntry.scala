@@ -677,6 +677,9 @@ object SparkEntry {
       graft.operators.CorpusStats.unigramSurprisal(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_corpus_card" -> ((s, dir) =>
+      graft.operators.Curation.corpusCard(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")),
     "q_curation_report" -> ((s, dir) =>
       // the capstone composition: quality ∧ exact-dedup ∧ canonical near-dup
       // verdicts plus the split label, one row per document
@@ -1090,6 +1093,19 @@ object SparkEntry {
     "q_segment_dedup" -> segmentDedupOracleSql,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "q_curation_report" -> curationReportOracleSql,
+    "q_corpus_card" ->
+      s"""WITH tok AS (SELECT unnest(${wsSql("coalesce(text, '')")}) AS w FROM documents),
+         |b AS (SELECT count(*) AS n_docs FROM documents),
+         |t AS (SELECT count(*) AS n_tokens, count(DISTINCT w) AS n_distinct_words FROM tok),
+         |c AS (SELECT count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         |        AS n_content_classes FROM documents),
+         |q AS (SELECT CAST(sum(keep) AS BIGINT) AS n_quality_pass
+         |      FROM ($qualityFilterOracleSql) qf)
+         |SELECT n_docs, n_tokens, n_distinct_words, n_content_classes,
+         |  round(1.0 - n_content_classes::DOUBLE / n_docs::DOUBLE, 4) AS exact_dup_rate,
+         |  round(n_quality_pass::DOUBLE / n_docs::DOUBLE, 4) AS quality_pass_rate,
+         |  round(n_tokens::DOUBLE / n_docs::DOUBLE, 4) AS mean_doc_tokens
+         |FROM b, t, c, q""".stripMargin,
     "q_corpus_drift" ->
       s"""WITH wa AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 0),
          |wb AS (SELECT ${wsSql("coalesce(text, '')")} AS ws FROM documents WHERE doc_id % 2 = 1),

@@ -57,4 +57,34 @@ object Curation {
           .cast("long").as("keep"),
         col("split"))
   }
+
+  /** One-row dataset card: the corpus-level summary published next to a
+    * training set — sizes, vocabulary, exact-duplicate mass and the
+    * quality pass rate. Every input is a 1-row aggregate broadcast into a
+    * single output row; the corpus is scanned twice (token stats, quality
+    * rollup), never shuffled by anything wider than a word.
+    */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val tok = docs.select(explode(
+      graft.functions.TextFunctions.words(text)).as("w"))
+    val base = docs.agg(count(lit(1)).as("n_docs"))
+    val tokens = tok.agg(count(lit(1)).as("n_tokens"),
+      count_distinct(col("w")).as("n_distinct_words"))
+    val classes = docs
+      .select(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count_distinct(col("fp")).as("n_content_classes"))
+    val quality = QualityFilter.verdicts(docs, idCol, textCol)
+      .agg(sum(col("keep").cast("long")).as("n_quality_pass"))
+    base.crossJoin(broadcast(tokens)).crossJoin(broadcast(classes))
+      .crossJoin(broadcast(quality))
+      .select(col("n_docs"), col("n_tokens"), col("n_distinct_words"),
+        col("n_content_classes"),
+        round(lit(1.0) - col("n_content_classes").cast("double")
+          / col("n_docs").cast("double"), 4).as("exact_dup_rate"),
+        round(col("n_quality_pass").cast("double")
+          / col("n_docs").cast("double"), 4).as("quality_pass_rate"),
+        round(col("n_tokens").cast("double")
+          / col("n_docs").cast("double"), 4).as("mean_doc_tokens"))
+  }
 }

@@ -136,6 +136,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("corpusCard reduces the corpus to one summary row with exact ratios") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"),   // exact dup of 1 → 3 content classes / 4 docs
+      (3L, "five six"),
+      (4L, "seven")).toDF("id", "text")
+    val r = Curation.corpusCard(docs, "id", "text").collect().head
+    assert(r.getLong(0) === 4L)      // n_docs
+    assert(r.getLong(1) === 11L)     // n_tokens
+    assert(r.getLong(2) === 7L)      // distinct words
+    assert(r.getLong(3) === 3L)      // content classes
+    assert(r.getDouble(4) === 0.25)  // exact dup rate
+    assert(r.getDouble(6) === 2.75)  // mean doc tokens
+  }
+
   test("frequencyDrift surfaces the largest relative-frequency movers") {
     import graft.operators.CorpusStats
     val a = Seq((1L, "x x x y")).toDF("id", "text")       // x: 0.75, y: 0.25
