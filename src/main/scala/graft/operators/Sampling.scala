@@ -145,7 +145,10 @@ object Sampling {
     val wSum = present.agg(sum(when(col("raw_w") > 0, col("raw_w"))
       .otherwise(0.0)).as("w_sum"))
     val normed = present.crossJoin(broadcast(wSum))
-      .withColumn("weight", col("raw_w") / col("w_sum"))
+      // guard the degenerate corpus where no weighted stratum has rows:
+      // 0/0 would make every weight NaN instead of an honest zero
+      .withColumn("weight",
+        when(col("w_sum") > 0, col("raw_w") / col("w_sum")).otherwise(lit(0.0)))
     val minT = normed.filter(col("weight") > 0)
       .agg(min(col("n_rows") / col("weight")).as("t_total"))
     normed.crossJoin(broadcast(minT))
