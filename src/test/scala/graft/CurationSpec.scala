@@ -238,6 +238,36 @@ class CurationSpec extends SparkSpec {
     assert(!segPlan.contains("Window"), segPlan)
   }
 
+  test("assignSplit property: every fraction list labels each row exactly once (scalacheck)") {
+    import org.scalacheck.{Gen, Prop}
+    val fracGen = for {
+      n <- Gen.choose(1, 4)
+      raws <- Gen.listOfN(n, Gen.choose(1, 10))
+    } yield {
+      val tot = raws.sum.toDouble
+      raws.zipWithIndex.map { case (r, i) => (s"s$i", r / tot) }
+    }
+    val ids = (1 to 300).map(_.toLong).toDF("id").cache()
+    val prop = Prop.forAll(fracGen, Gen.choose(0L, 5L)) { (fracs, salt) =>
+      val out = Sampling.assignSplit(ids, "id", fracs, salt)
+        .groupBy("split").count().collect()
+      val labels = out.map(_.getString(0)).toSet
+      out.map(_.getLong(1)).sum == 300L && labels.subsetOf(fracs.map(_._1).toSet)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("vocabCoverage plan broadcasts the vocabulary") {
+    import graft.operators.CorpusStats
+    val docs = Seq((1L, "a b c"), (2L, "a z")).toDF("id", "text")
+    val plan = CorpusStats.vocabCoverage(docs, "id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the k-row vocabulary must never shuffle the token stream for its join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("assignSplit is disjoint-exhaustive, deterministic, near the target fractions") {
     val df = (1 to 2000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id",
