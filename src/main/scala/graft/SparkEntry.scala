@@ -439,7 +439,7 @@ object SparkEntry {
     // ---- §3.3 metadata computations ----
     "q_meta_maxlen" -> ((s, dir) => {
       val m = Metadata.maxStringLengths(Tables.load(s, dir, "part"))
-      m.select(m.columns.map(c => col(c).cast("long").as(c)): _*)
+      m.select(m.columns.toIndexedSeq.map(c => col(c).cast("long").as(c)): _*)
     }),
     "q_meta_partition_values" -> ((s, dir) =>
       Metadata.distinctValues(Tables.load(s, dir, "orders"),
@@ -544,13 +544,13 @@ object SparkEntry {
     "q_ann_brute" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)
     }),
     "q_ann_lsh" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.lshTopK(embs, "vec_id", "embedding", q, 20, numPlanes = 8, probeHamming = 1)
     }),
     "q_tfidf" -> ((s, dir) =>
@@ -604,7 +604,7 @@ object SparkEntry {
       // brute force no matter where training put the centroids)
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       val centroids = embs.filter(col("vec_id").between(1, 16))
         .orderBy(col("vec_id"))
         .select(col("embedding").cast("array<double>"))
@@ -618,7 +618,7 @@ object SparkEntry {
       // value gate on the IVF plumbing (assignment, probe, scoring)
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       val (index, centroids) = Ann.ivfIndex(embs, "vec_id", "embedding", nlist = 8)
       Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 8)
     }),
@@ -768,7 +768,7 @@ object SparkEntry {
       // pseudo-embedding against doc 0's, top 10
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), Multimodal.stubEmbedding(col("text"), 16).as("emb"))
-      val q = docs.filter(col("doc_id") === 0).select(col("emb")).head.getSeq[Double](0)
+      val q = docs.filter(col("doc_id") === 0).select(col("emb")).head().getSeq[Double](0)
       Ann.bruteForceTopK(docs, "doc_id", "emb", q, 10)
     }),
     // ---- events aggregation (decimal-exact sums) ----

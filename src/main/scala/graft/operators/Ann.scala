@@ -204,7 +204,7 @@ object Ann {
   def knnJoinLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
     val spark = embs.sparkSession
-    val dim = embs.select(size(col(vecCol))).head.getInt(0) // one-row job
+    val dim = embs.select(size(col(vecCol))).head().getInt(0) // one-row job
     val planes = V.deterministicPlanes(numPlanes, dim)
     val bucketed = embs.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
       V.srpBucket(col(vecCol), planes).as("bucket"))

@@ -38,7 +38,7 @@ object AsOfJoin {
     val rAligned = leftCols.foldLeft(r) { (acc, c) =>
       if (acc.columns.contains(c)) acc
       else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)

@@ -199,7 +199,7 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     }
     val lengths =
       try {
-        val mdf = Metadata.maxStringLengths(df.select(visible.map(df.col): _*))
+        val mdf = Metadata.maxStringLengths(df.select(visible.toIndexedSeq.map(df.col): _*))
         val row = mdf.head()
         mdf.columns.zipWithIndex.map { case (c, i) =>
           c -> (if (row.isNullAt(i)) null else row.get(i).toString)

@@ -258,7 +258,7 @@ object DeltaLogReader {
     def readFiles(paths: Seq[String]): DataFrame = {
       val df = spark.read.schema(physicalSchema).parquet(paths: _*)
       if (!mapped) df
-      else df.select(dataFields.map(f => col(s"`${physicalName(f)}`").as(f.name)): _*)
+      else df.select(dataFields.toIndexedSeq.map(f => col(s"`${physicalName(f)}`").as(f.name)): _*)
     }
 
     if (snap.files.isEmpty) { // fully-deleted snapshot: empty frame, right schema
@@ -278,7 +278,7 @@ object DeltaLogReader {
             (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
         }
       }.reduce(_ unionByName _)
-        .select(snap.schema.fields.map(f => col(s"`${f.name}`")): _*)
+        .select(snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
     }
   }
 
