@@ -66,10 +66,45 @@ object Bench {
       val ok = times.filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision record: to a repo file + stderr (human/log audit trail).
+    // The driver's stdout tail capture keeps only the LAST 2000 bytes, so the
+    // official artifact must be a single compact final line that fits whole
+    // (BENCH_r06 was `parsed: null` because the full-precision 88-query line
+    // was ~2.6 KB and lost its front). Precision ladder: 3 decimals, then 2;
+    // if even that ever outgrows the tail, per-query detail stays in the
+    // full-precision file and the final line carries the total alone.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] full record: $fullLine")
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
+
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def compactLine(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(v, dp))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    }
+    val maxLen = 1990 // 2000-byte tail minus newline + slack
+    val line = Seq(compactLine(3), compactLine(2)).find(_.length <= maxLen)
+      .getOrElse {
+        System.err.println(
+          s"[bench] per-query map no longer fits the 2000-byte tail; see bench_full.json")
+        s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"sf":"$sfShort","detail":"bench_full.json"}"""
+      }
+    println(line)
     spark.stop()
   }
 }

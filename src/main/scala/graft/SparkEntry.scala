@@ -1529,7 +1529,8 @@ object SparkEntry {
     s"""WITH c AS (SELECT source AS stratum, count(*) AS n_rows FROM documents GROUP BY 1),
        |w AS (SELECT stratum, n_rows, CASE $cases ELSE 0.0 END AS raw_w FROM c),
        |s AS (SELECT sum(CASE WHEN raw_w > 0 THEN raw_w ELSE 0.0 END) AS w_sum FROM w),
-       |n AS (SELECT stratum, n_rows, raw_w / w_sum AS weight FROM w, s),
+       |n AS (SELECT stratum, n_rows,
+       |  CASE WHEN w_sum > 0 THEN raw_w / w_sum ELSE 0.0 END AS weight FROM w, s),
        |t AS (SELECT min(n_rows::DOUBLE / weight) AS t_total FROM n WHERE weight > 0)
        |SELECT stratum, n_rows, round(weight, 4) AS weight,
        |  CASE WHEN weight > 0 THEN round(weight * t_total / n_rows::DOUBLE, 4)

@@ -58,15 +58,26 @@ object EventStreams {
     *
     * `corpusFps` must expose a single `fp` column (md5 of normalized
     * text — persist `Dedup.exact`'s output, bucketed by `fp` at scale).
+    *
+    * Tie-break note: within the stream, the FIRST-ARRIVING copy of a
+    * fingerprint survives (`dropDuplicatesWithinWatermark` keeps the row
+    * that reaches the operator first), whereas the batch twin
+    * `Dedup.incrementalExact` keeps the smallest id. Under reordered
+    * arrival the two can keep different representatives of the same
+    * duplicate set — the *set of surviving fingerprints* is identical,
+    * the chosen row may not be.
     */
   def ingestScreen(docs: DataFrame, corpusFps: DataFrame, idCol: String,
       textCol: String, tsCol: String,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(!docs.columns.contains("fp"),
+      "ingestScreen generates an `fp` column; rename the input's `fp` first")
     docs
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's purchases in the preceding `lookback`. Both sides carry
