@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Generate src/test/resources/sqlite/fixture.db for SQLiteReaderSpec.
+
+Dev-side tooling only (the library itself never uses Python): builds a
+small SQLite file whose contents exercise every decode path of
+graft.sources.SQLiteReader — serial-type extremes, NULLs, unicode,
+blobs, overflow-page chains (page_size=512), a multi-level b-tree,
+column-level and table-level INTEGER PRIMARY KEY rowid aliases, a
+no-alias table, and a WITHOUT ROWID table (which the reader must
+reject with a clear error). All values are deterministic; the spec
+asserts them as golden rows.
+"""
+import os
+import sqlite3
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "sqlite", "fixture.db")
+
+
+def main():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if os.path.exists(OUT):
+        os.remove(OUT)
+    con = sqlite3.connect(OUT)
+    c = con.cursor()
+    c.execute("PRAGMA page_size=512")
+    c.execute("PRAGMA journal_mode=OFF")
+
+    c.execute("""CREATE TABLE typed (
+        id INTEGER PRIMARY KEY,
+        i INT, r REAL, t TEXT, b BLOB, n NUMERIC(10,2), misc TEXT)""")
+    rows = [
+        (1, 0, 1.5, 'héllo wörld 你好',
+         bytes([0, 255, 16, 170]), 12.25, None),
+        (2, -1, -2.25, '', b'', 3, 'x'),
+        (3, 127, 1e300, None, None, None, None),
+        (4, 32767, -0.001, 'quote\'s "and" [brackets]',
+         bytes(range(16)), 0.5, None),
+        (5, 2147483647, 0.0, 'plain', None, -7.125, None),
+        (6, 140737488355327, 123456.789, None, None, None, None),
+        (7, 9223372036854775807, None, 'max', None, None, None),
+        (8, -9223372036854775808, None, 'min', None, None, None),
+        (9, 1, None, 'A' * 3000, None, None, 'of'),          # text overflow
+        (10, None, None, None, bytes(i % 256 for i in range(2500)),
+         None, 'bf'),                                        # blob overflow
+    ]
+    c.executemany("INSERT INTO typed VALUES (?,?,?,?,?,?,?)", rows)
+
+    c.execute("CREATE TABLE many (k INTEGER PRIMARY KEY, v TEXT)")
+    c.executemany("INSERT INTO many VALUES (?,?)",
+                  [(k, f"v{k:05d}" + "x" * 80) for k in range(1, 4001)])
+
+    c.execute("CREATE TABLE plain (a TEXT, b INT)")
+    c.executemany("INSERT INTO plain VALUES (?,?)",
+                  [('p1', 10), ('p2', None), (None, 30)])
+
+    c.execute("CREATE TABLE tpk (x INTEGER NOT NULL, y TEXT, PRIMARY KEY (x))")
+    c.executemany("INSERT INTO tpk VALUES (?,?)", [(5, 'a'), (6, None)])
+
+    c.execute("CREATE TABLE norowid (a TEXT PRIMARY KEY, b INT) WITHOUT ROWID")
+    c.execute("INSERT INTO norowid VALUES ('w', 1)")
+
+    con.commit()
+    con.close()
+    # sanity: multi-level b-tree reached?
+    con = sqlite3.connect(OUT)
+    print("pages:", con.execute("PRAGMA page_count").fetchone()[0],
+          "page_size:", con.execute("PRAGMA page_size").fetchone()[0])
+    for t in ("typed", "many", "plain", "tpk"):
+        print(t, con.execute(f"SELECT count(*) FROM {t}").fetchone()[0])
+    con.close()
+    print("wrote", os.path.abspath(OUT), os.path.getsize(OUT), "bytes")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,10 @@ object DataSources {
         reader.option("multiLine", "true").json(ds.uri)
       case "ndjson" => reader.json(ds.uri)
       case "arrow" | "feather" | "ipc" => ArrowSource.read(spark, ds.uri)
-      case "jdbc" => // S7-S9: duckdb/sqlite/odbc become JDBC reads
+      case "sqlite" => // S8: native B-tree reader (no JDBC jars in env)
+        SQLiteReader.read(spark, ds.uri, ds.tableName.getOrElse(
+          throw new IllegalArgumentException("sqlite source needs table_name")))
+      case "jdbc" => // S7/S9: duckdb/odbc become JDBC reads
         reader.format("jdbc")
           .option("url", ds.uri)
           .option("dbtable", ds.tableName.getOrElse(

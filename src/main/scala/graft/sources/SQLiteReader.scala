@@ -1,0 +1,409 @@
+package graft.sources
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.io.RandomAccessFile
+import scala.collection.mutable.ArrayBuffer
+
+/** Native read-only SQLite scan (SURVEY.md §2.1 S8).
+  *
+  * The reference serves SQLite files by attaching them read-only and
+  * exposing one table as a view (context/df_duckdb.py:459-466,
+  * tests/test_sqlite.py) — the serving shape is a full-table scan that the
+  * query pipeline then filters/limits. This environment has no JDBC driver
+  * jars and no egress, so — like [[DeltaLogReader]] for Delta — the public
+  * SQLite file format (sqlite.org/fileformat2.html) is read directly:
+  *
+  *  - 100-byte header: page size, reserved space, text encoding (UTF-8
+  *    only; UTF-16 files are rejected with a clear error)
+  *  - `sqlite_schema` table b-tree rooted at page 1 → table name, root
+  *    page, `CREATE TABLE` sql
+  *  - declared column types → Spark schema via SQLite's affinity rules
+  *    (INT→Long, CHAR/CLOB/TEXT→String, REAL/FLOA/DOUB→Double, BLOB→Binary,
+  *    NUMERIC→Double as the narrowing this engine documents)
+  *  - table b-tree walk: interior pages (0x05) on the driver only, leaf
+  *    pages (0x0d) decoded on executors
+  *  - record format: varint header, serial types, overflow-page chains
+  *  - `INTEGER PRIMARY KEY` rowid aliasing: the aliased column stores NULL
+  *    in the record and takes the cell's rowid
+  *
+  * Scale shape: the driver reads only the header, the schema table and the
+  * interior pages (b-trees are uniform-depth, so leaves are enumerated
+  * without touching them — interiors are ~1/fanout of the file). The leaf
+  * page list is parallelized and each executor opens the file itself and
+  * decodes its pages plus any overflow chains — the same
+  * metadata-on-driver / data-on-executors split as the Delta reader. The
+  * path must be visible to executors (local[n] here; a shared mount or
+  * distributed FS on a real cluster — SQLite files are single-host by
+  * nature, so this source is for ingest/fixture use, not lake-scale data).
+  *
+  * Not supported (clear errors, documented): `WITHOUT ROWID` tables (index
+  * b-tree layout), UTF-16 encodings, virtual tables.
+  */
+object SQLiteReader {
+
+  private final case class DbInfo(pageSize: Int, usable: Int)
+
+  final case class TableInfo(name: String, rootPage: Int, sql: String)
+
+  // ---------------------------------------------------------------- header
+
+  private def openInfo(raf: RandomAccessFile): DbInfo = {
+    val hdr = new Array[Byte](100)
+    raf.seek(0); raf.readFully(hdr)
+    val magic = new String(hdr, 0, 16, "ISO-8859-1")
+    require(magic.startsWith("SQLite format 3"), "not a SQLite 3 file")
+    val psRaw = ((hdr(16) & 0xff) << 8) | (hdr(17) & 0xff)
+    val pageSize = if (psRaw == 1) 65536 else psRaw
+    val reserved = hdr(20) & 0xff
+    val enc = readU32(hdr, 56)
+    require(enc == 1L || enc == 0L, // 0 = empty db never written
+      s"unsupported SQLite text encoding $enc (only UTF-8 is supported)")
+    DbInfo(pageSize, pageSize - reserved)
+  }
+
+  private def readU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def readPage(raf: RandomAccessFile, db: DbInfo, pageNo: Int): Array[Byte] = {
+    val buf = new Array[Byte](db.pageSize)
+    raf.seek((pageNo - 1).toLong * db.pageSize)
+    raf.readFully(buf)
+    buf
+  }
+
+  /** Varint: 1–9 bytes, 7 bits each, 9th byte contributes all 8. */
+  private def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val x = b(off + i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(off + 8) & 0xff), 9)
+  }
+
+  // ------------------------------------------------------------- b-tree walk
+
+  /** Page header offset: page 1 carries the 100-byte file header first. */
+  private def hdrOff(pageNo: Int): Int = if (pageNo == 1) 100 else 0
+
+  private def pageType(page: Array[Byte], pageNo: Int): Int =
+    page(hdrOff(pageNo)) & 0xff
+
+  private def cellCount(page: Array[Byte], pageNo: Int): Int = {
+    val h = hdrOff(pageNo)
+    ((page(h + 3) & 0xff) << 8) | (page(h + 4) & 0xff)
+  }
+
+  private def cellPointer(page: Array[Byte], pageNo: Int, i: Int): Int = {
+    val h = hdrOff(pageNo)
+    val headerLen = pageType(page, pageNo) match {
+      case 0x05 | 0x02 => 12
+      case _           => 8
+    }
+    val p = h + headerLen + 2 * i
+    ((page(p) & 0xff) << 8) | (page(p + 1) & 0xff)
+  }
+
+  /** Enumerate the leaf pages of a table b-tree. B-trees are uniform-depth,
+    * so after probing the leftmost path for the depth, only interior pages
+    * are read — leaf page numbers are recorded sight-unseen.
+    */
+  private def leafPages(raf: RandomAccessFile, db: DbInfo, root: Int): Seq[Int] = {
+    def children(page: Array[Byte], pageNo: Int): Seq[Int] = {
+      val h = hdrOff(pageNo)
+      val n = cellCount(page, pageNo)
+      val kids = (0 until n).map { i =>
+        val off = cellPointer(page, pageNo, i)
+        readU32(page, off).toInt // interior table cell: 4-byte child, varint key
+      }
+      kids :+ readU32(page, h + 8).toInt // rightmost child
+    }
+    // depth probe down the leftmost chain
+    var depth = 0
+    var p = root
+    var page = readPage(raf, db, p)
+    while (pageType(page, p) == 0x05) {
+      depth += 1
+      p = children(page, p).head
+      page = readPage(raf, db, p)
+    }
+    pageType(page, p) match {
+      case 0x0d => // rowid table leaf — expected
+      case 0x02 | 0x0a => throw new UnsupportedOperationException(
+        "WITHOUT ROWID tables (index b-tree layout) are not supported")
+      case t => throw new IllegalStateException(f"unexpected page type 0x$t%02x")
+    }
+    if (depth == 0) return Seq(root)
+    def collect(pageNo: Int, level: Int): Seq[Int] =
+      if (level == depth) Seq(pageNo)
+      else children(readPage(raf, db, pageNo), pageNo)
+        .flatMap(collect(_, level + 1))
+    collect(root, 0)
+  }
+
+  // ----------------------------------------------------------- cell decoding
+
+  /** Assemble a table-leaf cell's full payload (inline + overflow chain)
+    * and return (rowid, payload).
+    */
+  private def leafCell(raf: RandomAccessFile, db: DbInfo, page: Array[Byte],
+      off: Int): (Long, Array[Byte]) = {
+    var p = off
+    val (payloadLen, n1) = varint(page, p); p += n1
+    val (rowid, n2) = varint(page, p); p += n2
+    val total = payloadLen.toInt
+    val u = db.usable
+    val x = u - 35
+    if (total <= x) {
+      val payload = java.util.Arrays.copyOfRange(page, p, p + total)
+      (rowid, payload)
+    } else {
+      // spill arithmetic from the file-format spec
+      val m = (u - 12) * 32 / 255 - 23
+      val k = m + (total - m) % (u - 4)
+      val inline = if (k <= x) k else m
+      val payload = new Array[Byte](total)
+      System.arraycopy(page, p, payload, 0, inline)
+      var next = readU32(page, p + inline).toInt
+      var have = inline
+      while (next != 0 && have < total) {
+        val op = readPage(raf, db, next)
+        next = readU32(op, 0).toInt
+        val take = math.min(u - 4, total - have)
+        System.arraycopy(op, 4, payload, have, take)
+        have += take
+      }
+      require(have == total, s"truncated overflow chain: $have of $total bytes")
+      (rowid, payload)
+    }
+  }
+
+  /** Decode a record payload into raw values: null | Long | Double |
+    * String | Array[Byte].
+    */
+  private def decodeRecord(payload: Array[Byte]): Array[Any] = {
+    val (headerLen, n0) = varint(payload, 0)
+    val types = ArrayBuffer.empty[Long]
+    var p = n0
+    while (p < headerLen) {
+      val (t, n) = varint(payload, p); types += t; p += n
+    }
+    var body = headerLen.toInt
+    val out = new Array[Any](types.length)
+    var i = 0
+    while (i < types.length) {
+      types(i) match {
+        case 0 => out(i) = null
+        case 8 => out(i) = 0L
+        case 9 => out(i) = 1L
+        case t if t >= 1 && t <= 6 =>
+          val len = t match {
+            case 1 => 1; case 2 => 2; case 3 => 3; case 4 => 4; case 5 => 6; case _ => 8
+          }
+          var v = (payload(body).toLong) // sign-extend from the first byte
+          var j = 1
+          while (j < len) { v = (v << 8) | (payload(body + j) & 0xffL); j += 1 }
+          out(i) = v; body += len
+        case 7 =>
+          var bits = 0L; var j = 0
+          while (j < 8) { bits = (bits << 8) | (payload(body + j) & 0xffL); j += 1 }
+          out(i) = java.lang.Double.longBitsToDouble(bits); body += 8
+        case t if t >= 13 && t % 2 == 1 =>
+          val len = ((t - 13) / 2).toInt
+          out(i) = new String(payload, body, len, "UTF-8"); body += len
+        case t if t >= 12 =>
+          val len = ((t - 12) / 2).toInt
+          out(i) = java.util.Arrays.copyOfRange(payload, body, body + len); body += len
+        case t => throw new IllegalStateException(s"reserved serial type $t")
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ----------------------------------------------------------- schema table
+
+  /** All ordinary tables: (name, rootpage, sql) from `sqlite_schema`.
+    * The schema table is tiny — decoded on the driver, like a Delta log.
+    */
+  def tables(path: String): Seq[TableInfo] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val db = openInfo(raf)
+      leafPages(raf, db, 1).flatMap { pg =>
+        val page = readPage(raf, db, pg)
+        (0 until cellCount(page, pg)).flatMap { i =>
+          val (_, payload) = leafCell(raf, db, page, cellPointer(page, pg, i))
+          val r = decodeRecord(payload) // type, name, tbl_name, rootpage, sql
+          (r(0), r(1), r(3), r(4)) match {
+            case ("table", name: String, root: Long, sql: String)
+                if root > 0 && !name.startsWith("sqlite_") =>
+              Some(TableInfo(name, root.toInt, sql))
+            case _ => None
+          }
+        }
+      }
+    } finally raf.close()
+  }
+
+  // -------------------------------------------------- CREATE TABLE → schema
+
+  private[sources] final case class ColumnDef(name: String, declaredType: String,
+      rawDef: String)
+
+  /** Split the CREATE TABLE column list on top-level commas, respecting
+    * parens and the four identifier-quoting styles.
+    */
+  private[sources] def parseColumns(sql: String): (Seq[ColumnDef], Option[String]) = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    val parts = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    body.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch; cur += ch
+        case '[' => quote = ']'; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    val constraintKw = Set("constraint", "primary", "unique", "check", "foreign")
+    val (constraints, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
+      .partition(p => constraintKw.contains(p.split("[\\s(]+", 2).head.toLowerCase))
+    val cols = colDefs.map { d =>
+      val (name, rest) = d.head match {
+        case '"' | '\'' | '`' =>
+          val end = d.indexOf(d.head, 1); (d.substring(1, end), d.substring(end + 1))
+        case '[' =>
+          val end = d.indexOf(']'); (d.substring(1, end), d.substring(end + 1))
+        case _ =>
+          val m = d.split("\\s+", 2); (m(0), if (m.length > 1) m(1) else "")
+      }
+      // declared type = tokens up to the first constraint keyword
+      val stopKw = Set("primary", "not", "null", "unique", "check", "default",
+        "collate", "references", "generated", "as", "autoincrement")
+      val tokens = rest.trim.split("\\s+").takeWhile(t =>
+        t.nonEmpty && !stopKw.contains(t.toLowerCase.stripSuffix("(")))
+      ColumnDef(name, tokens.mkString(" "), d)
+    }.toSeq
+    // single-column table-level PRIMARY KEY (for rowid-alias detection);
+    // a DESC key order disables aliasing per the file-format doc
+    val tablePk = constraints.iterator
+      .map(_.replaceAll("(?i)^constraint\\s+\\S+\\s+", ""))
+      .find(_.toLowerCase.matches("(?s)primary\\s+key\\s*\\(.*"))
+      .map(c => c.substring(c.indexOf('(') + 1, c.lastIndexOf(')')).trim)
+      .filter(inner => !inner.contains(",") && !inner.toLowerCase.endsWith(" desc"))
+      .map(_.replaceAll("\"|'|`|\\[|\\]", "").split("\\s+").head)
+    (cols, tablePk)
+  }
+
+  /** SQLite column affinity (file-format doc §"Type Affinity") → Spark. */
+  private[sources] def affinity(declared: String): DataType = {
+    val u = declared.toUpperCase
+    if (u.contains("INT")) LongType
+    else if (u.contains("CHAR") || u.contains("CLOB") || u.contains("TEXT")) StringType
+    else if (u.isEmpty || u.contains("BLOB")) BinaryType
+    else if (u.contains("REAL") || u.contains("FLOA") || u.contains("DOUB")) DoubleType
+    else DoubleType // NUMERIC affinity, narrowed to double (documented)
+  }
+
+  /** Index of the rowid-aliasing `INTEGER PRIMARY KEY` column, if any.
+    * Per the CREATE TABLE doc the alias forms are column-level
+    * `INTEGER PRIMARY KEY [ASC]` and table-level `PRIMARY KEY(col [ASC])`
+    * over an INTEGER column; the DESC variants do NOT alias.
+    */
+  private[sources] def rowidAlias(cols: Seq[ColumnDef],
+      tablePk: Option[String]): Option[Int] = {
+    val colLevel = cols.indexWhere { c =>
+      c.declaredType.equalsIgnoreCase("INTEGER") &&
+        c.rawDef.matches("(?is).*primary\\s+key(?!\\s+desc).*")
+    }
+    if (colLevel >= 0) Some(colLevel)
+    else tablePk.flatMap { pk =>
+      val i = cols.indexWhere(_.name.equalsIgnoreCase(pk))
+      if (i >= 0 && cols(i).declaredType.equalsIgnoreCase("INTEGER")) Some(i) else None
+    }
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Full-table scan → DataFrame. Metadata on the driver, leaf-page decode
+    * distributed over executors.
+    */
+  def read(spark: SparkSession, path: String, table: String): DataFrame = {
+    val info = tables(path).find(_.name.equalsIgnoreCase(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table `$table` not found in $path (tables: ${tables(path).map(_.name).mkString(", ")})"))
+    val (cols, tablePk) = parseColumns(info.sql)
+    val aliasIdx = rowidAlias(cols, tablePk)
+    val schema = StructType(cols.map(c => StructField(c.name, affinity(c.declaredType))))
+    val fieldTypes: Array[DataType] = schema.fields.map(_.dataType)
+
+    val raf = new RandomAccessFile(path, "r")
+    val leaves = try {
+      val db = openInfo(raf)
+      leafPages(raf, db, info.rootPage)
+    } finally raf.close()
+
+    val slices = math.max(1, math.min(leaves.size,
+      spark.sparkContext.defaultParallelism))
+    val alias = aliasIdx.getOrElse(-1)
+    val nCols = fieldTypes.length
+    val rdd = spark.sparkContext.parallelize(leaves, slices).mapPartitions { pages =>
+      val raf = new RandomAccessFile(path, "r")
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+      val db = openInfo(raf)
+      pages.flatMap { pg =>
+        val page = readPage(raf, db, pg)
+        (0 until cellCount(page, pg)).map { i =>
+          val (rowid, payload) = leafCell(raf, db, page, cellPointer(page, pg, i))
+          val raw = decodeRecord(payload)
+          val vals = new Array[Any](nCols)
+          var c = 0
+          while (c < nCols) {
+            // records may have fewer columns than the schema (ALTER TABLE
+            // ADD COLUMN leaves old rows short — missing slots are null)
+            val v = if (c < raw.length) raw(c) else null
+            vals(c) =
+              if (c == alias) rowid // aliased column stores NULL, takes rowid
+              else coerce(v, fieldTypes(c))
+            c += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** SQLite is dynamically typed per-value; coerce to the declared
+    * affinity's Spark type, nulling what cannot convert.
+    */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Long, LongType) => x
+    case (x: Double, LongType) => x.toLong
+    case (s: String, LongType) => s.toLongOption.map(Long.box).orNull
+    case (x: Long, DoubleType) => x.toDouble
+    case (x: Double, DoubleType) => x
+    case (s: String, DoubleType) => s.toDoubleOption.map(Double.box).orNull
+    case (s: String, StringType) => s
+    case (x: Long, StringType) => x.toString
+    case (x: Double, StringType) => x.toString
+    case (b: Array[Byte], BinaryType) => b
+    case (s: String, BinaryType) => s.getBytes("UTF-8")
+    case _ => null
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.config.{DatasourceConfig, Param, TableConfig}
+import graft.query.QueryPipeline
+import graft.query.QueryPipeline.Request
+import graft.sources.{DataSources, SQLiteReader}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Native SQLite scan (SURVEY.md §2.1 S8) — golden rows against two files:
+  *
+  *  - `src/test/resources/sqlite/fixture.db`, generated deterministically
+  *    by dev/make_sqlite_fixture.py (page_size 512: overflow chains and a
+  *    multi-level b-tree on a 427 KB file)
+  *  - the reference's own serving fixture
+  *    (/root/reference/tests/data/chinook.db, tests/test_sqlite.py), whose
+  *    golden counts mirror the reference's HTTP tests: 59 customers,
+  *    4 with Country=Germany.
+  */
+class SQLiteReaderSpec extends SparkSpec {
+
+  private val fixture = getClass.getResource("/sqlite/fixture.db").getPath
+  private val chinook = "/root/reference/tests/data/chinook.db"
+
+  test("typed table: affinity schema, serial-type extremes, unicode, blobs") {
+    val df = SQLiteReader.read(spark, fixture, "typed")
+    assert(df.schema == StructType(Seq(
+      StructField("id", LongType), StructField("i", LongType),
+      StructField("r", DoubleType), StructField("t", StringType),
+      StructField("b", BinaryType), StructField("n", DoubleType),
+      StructField("misc", StringType))))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 10)
+    val r1 = rows(1L)
+    assert(r1.getLong(1) == 0L && r1.getDouble(2) == 1.5)
+    assert(r1.getString(3) == "héllo wörld 你好")
+    assert(r1.getAs[Array[Byte]](4).toSeq == Seq(0, -1, 16, -86).map(_.toByte))
+    assert(r1.getDouble(5) == 12.25 && r1.isNullAt(6))
+    assert(rows(2L).getLong(1) == -1L && rows(2L).getString(3) == ""
+      && rows(2L).getAs[Array[Byte]](4).isEmpty && rows(2L).getDouble(5) == 3.0)
+    assert(rows(3L).getDouble(2) == 1e300 && rows(3L).isNullAt(3))
+    assert(rows(4L).getString(3) == "quote's \"and\" [brackets]"
+      && rows(4L).getAs[Array[Byte]](4).toSeq == (0 until 16).map(_.toByte))
+    assert(rows(5L).getLong(1) == 2147483647L && rows(5L).getDouble(5) == -7.125)
+    assert(rows(6L).getLong(1) == 140737488355327L)
+    assert(rows(7L).getLong(1) == Long.MaxValue)
+    assert(rows(8L).getLong(1) == Long.MinValue)
+  }
+
+  test("overflow-page chains reassemble text and blob payloads exactly") {
+    val df = SQLiteReader.read(spark, fixture, "typed")
+    val r9 = df.filter("id = 9").collect().head
+    assert(r9.getString(3) == "A" * 3000) // ~6 overflow pages at 512
+    val r10 = df.filter("id = 10").collect().head
+    val b = r10.getAs[Array[Byte]](4)
+    assert(b.length == 2500 && b.zipWithIndex.forall {
+      case (v, i) => (v & 0xff) == i % 256
+    })
+  }
+
+  test("multi-level b-tree: 4000 rows, distributed leaf decode") {
+    val df = SQLiteReader.read(spark, fixture, "many")
+    assert(df.rdd.getNumPartitions > 1) // leaf pages spread over executors
+    assert(df.count() == 4000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+      == 4000L * 4001 / 2)
+    val v = df.filter("k = 1234").head.getString(1)
+    assert(v == "v01234" + "x" * 80)
+  }
+
+  test("rowid aliasing: column-level, table-level, and none") {
+    // table-level PRIMARY KEY (x) over INTEGER: stored NULL, takes rowid
+    val tpk = SQLiteReader.read(spark, fixture, "tpk").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(tpk.toSet == Set((5L, "a"), (6L, null)))
+    // no alias: plain rowid table, nulls preserved
+    val plain = SQLiteReader.read(spark, fixture, "plain").collect()
+    assert(plain.length == 3 &&
+      plain.count(_.isNullAt(0)) == 1 && plain.count(_.isNullAt(1)) == 1)
+  }
+
+  test("WITHOUT ROWID tables are rejected with a clear error") {
+    val e = intercept[UnsupportedOperationException] {
+      SQLiteReader.read(spark, fixture, "norowid").collect()
+    }
+    assert(e.getMessage.contains("WITHOUT ROWID"))
+  }
+
+  test("unknown table error lists available tables") {
+    val e = intercept[IllegalArgumentException] {
+      SQLiteReader.read(spark, fixture, "nope")
+    }
+    assert(e.getMessage.contains("typed") && e.getMessage.contains("many"))
+  }
+
+  test("chinook: golden counts and rows via the reference's own fixture") {
+    assume(new java.io.File(chinook).canRead)
+    assert(SQLiteReader.tables(chinook).map(_.name).toSet
+      .contains("customers"))
+    val cust = SQLiteReader.read(spark, chinook, "customers")
+    assert(cust.count() == 59)
+    // CustomerId is a column-level INTEGER PRIMARY KEY alias: all non-null
+    assert(cust.filter("CustomerId IS NULL").count() == 0)
+    val first = cust.filter("CustomerId = 1")
+      .select("FirstName", "LastName", "Country", "SupportRepId").head
+    assert(first == Row("Luís", "Gonçalves", "Brazil", 3L))
+    assert(cust.filter("Company IS NULL").count() == 49)
+    assert(SQLiteReader.read(spark, chinook, "artists").count() == 275)
+    assert(SQLiteReader.read(spark, chinook, "albums").count() == 347)
+    val tracks = SQLiteReader.read(spark, chinook, "tracks")
+    import org.apache.spark.sql.functions._
+    val agg = tracks.agg(sum("Milliseconds"), round(sum("UnitPrice"), 2),
+      count(lit(1))).head
+    assert(agg.getLong(0) == 1378778040L && agg.getDouble(1) == 3680.97
+      && agg.getLong(2) == 3503L)
+  }
+
+  test("chinook serves through DataSources + QueryPipeline like the reference") {
+    assume(new java.io.File(chinook).canRead)
+    val table = TableConfig(name = "sqlite_customers", tag = "sqlite",
+      datasource = DatasourceConfig(uri = chinook, fileType = "sqlite",
+        tableName = Some("customers")),
+      params = Seq(Param("Country")))
+    // /api/v1/sqlite/sqlite_customers?limit=50  (tests/test_sqlite.py:4-8)
+    val limited = QueryPipeline.run(spark, table, Request(limit = Some(50)))
+    assert(limited.count() == 50)
+    // ...&Country=Germany returns 4 rows (tests/test_sqlite.py:11-17)
+    val germany = QueryPipeline.run(spark, table,
+      Request(params = Map("Country" -> "Germany"), limit = Some(100)))
+    assert(germany.count() == 4)
+  }
+}
