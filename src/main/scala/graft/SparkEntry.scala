@@ -771,6 +771,21 @@ object SparkEntry {
       val q = docs.filter(col("doc_id") === 0).select(col("emb")).head().getSeq[Double](0)
       Ann.bruteForceTopK(docs, "doc_id", "emb", q, 10)
     }),
+    "q_mm_decode" -> ((s, dir) => {
+      // REAL image decode: deterministic PNGs synthesized per doc_id on
+      // executors, decoded back with javax.imageio; PNG is lossless, so
+      // the oracle recomputes the channel means analytically from the
+      // generator formula — the gate fails unless actual pixels decode
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val png = Multimodal.synthesizeTestImages(ids, "doc_id")
+      Multimodal.decodeImageFeatures(png, "payload")
+        .select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"), col("img.channels").as("channels"),
+          round(col("img.mean_r"), 4).as("mean_r"),
+          round(col("img.mean_g"), 4).as("mean_g"),
+          round(col("img.mean_b"), 4).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- events aggregation (decimal-exact sums) ----
     "q_events_daily" -> ((s, dir) =>
       // ts arrives as raw nanos (TIMESTAMP(NANOS) read under nanosAsLong);
@@ -1088,6 +1103,7 @@ object SparkEntry {
          |  md5(regexp_replace(text, '$redactPattern', '[PII]', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal" -> multimodalOracleSql,
+    "q_mm_decode" -> mmDecodeOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
@@ -1791,6 +1807,25 @@ object SparkEntry {
        |  md5(text) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Decode-gate oracle: pixel statistics computed analytically from the
+    * synthesizeTestImages generator formula (PNG is lossless, so the
+    * engine's decoded means must equal these exactly at 4 dp).
+    */
+  private def mmDecodeOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(8 + doc_id % 13 AS BIGINT) AS w,
+      |  CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents),
+      |xs AS (SELECT x FROM generate_series(0, 19) gx(x)),
+      |ys AS (SELECT y FROM generate_series(0, 13) gy(y)),
+      |px AS (SELECT doc_id, w, h, x, y
+      |       FROM d, xs, ys WHERE x < w AND y < h)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  round(avg((doc_id * 31 + x * 7 + y * 13) % 256), 4) AS mean_r,
+      |  round(avg((doc_id * 17 + x * 3 + y * 5) % 256), 4) AS mean_g,
+      |  round(avg((doc_id * 23 + x * 11 + y * 2) % 256), 4) AS mean_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   private def multimodalEmbedOracleSql: String = {
     // hexval of the first 4 hex chars of md5(text || '#' || i)

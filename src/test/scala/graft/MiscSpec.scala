@@ -276,6 +276,49 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq
     assert(frames == Seq(0, 2)) // frames 0..3 exist, stride 2 keeps 0 and 2
   }
+  test("real PNG decode: round-trips exact pixels through javax.imageio") {
+    // 2×2 image with known pixels: means are hand-computable
+    val png = Multimodal.encodePng(2, 2, {
+      case (0, 0) => (255, 0, 0); case (1, 0) => (0, 255, 0)
+      case (0, 1) => (0, 0, 255); case _ => (255, 255, 255)
+    })
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) // PNG magic
+    val r = Multimodal.decodeImage(png)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 3)
+    assert(r.getDouble(3) == 127.5 && r.getDouble(4) == 127.5
+      && r.getDouble(5) == 127.5)
+  }
+  test("real decode distributed: synthesized PNGs decode to formula means") {
+    val ids = Seq(0L, 1L, 7L, 12L, 40L).toDF("doc_id")
+    val out = Multimodal.decodeImageFeatures(
+      Multimodal.synthesizeTestImages(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("img.width"), col("img.height"),
+        col("img.channels"), col("img.mean_r")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((d, r) <- out) {
+      val (w, h) = ((8 + d % 13).toInt, (8 + d % 7).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 3)
+      val expected = (for (x <- 0 until w; y <- 0 until h)
+        yield ((d * 31 + x * 7 + y * 13) % 256).toDouble).sum / (w * h)
+      assert(math.abs(r.getDouble(4) - expected) < 1e-9)
+    }
+  }
+  test("jpeg decode: dimensions and channels from a lossy codec") {
+    // JPEG is lossy (means shift) but geometry must survive
+    val img = new java.awt.image.BufferedImage(9, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val r = Multimodal.decodeImage(out.toByteArray)
+    assert(r.getInt(0) == 9 && r.getInt(1) == 5 && r.getInt(2) == 3)
+  }
+  test("non-image payload fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("not an image".getBytes)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
 }
 
 class ProfileSpec extends SparkSpec {
