@@ -367,14 +367,35 @@ object Dedup {
     */
   def incrementalMinhash(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, numBands: Int = 4,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    def bandRows(df: DataFrame) =
-      minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-        .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
-        .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
-    val cands = bandRows(batch).as("b")
-      .join(bandRows(corpus).as("c"),
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    incrementalMinhashIndexed(batch,
+      minhashBandIndex(corpus, idCol, textCol, shingleSize, numBands, rowsPerBand),
+      corpus, idCol, textCol, shingleSize, numBands, rowsPerBand, threshold)
+
+  /** The `(band, key) → id` rows of the corpus's LSH index — what
+    * [[writeMinhashIndex]] persists and [[incrementalMinhashIndexed]]
+    * probes.
+    */
+  def minhashBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashSignatures(corpus, idCol, textCol, shingleSize, numBands * rowsPerBand)
+      .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+
+  /** [[incrementalMinhash]] against a prebuilt corpus band index (the
+    * steady-state shape): band keys are computed for the batch only; the
+    * corpus side is the persisted index. Exact-Jaccard verification joins
+    * back to `corpusDocs` by id for the COLLIDING candidates only, so the
+    * corpus text is touched id-keyed, never rescanned wholesale.
+    */
+  def incrementalMinhashIndexed(batch: DataFrame, corpusIndex: DataFrame,
+      corpusDocs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val batchBands =
+      minhashBandIndex(batch, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    val cands = batchBands.as("b")
+      .join(corpusIndex.as("c"),
         col("b.band") === col("c.band") && col("b.key") === col("c.key"))
       .select(col("b.id").as("id_b"), col("c.id").as("id_c"))
       .distinct()
@@ -382,7 +403,8 @@ object Dedup {
       shingleRows(df, idCol, textCol, shingleSize)
         .groupBy(col("id")).agg(collect_set(col("shingle")).as(s"sh_$as"))
         .withColumnRenamed("id", s"id_$as")
-    val dup = cands.join(sets(batch, "b"), "id_b").join(sets(corpus, "c"), "id_c")
+    val dup = cands.join(sets(batch, "b"), "id_b")
+      .join(sets(corpusDocs, "c"), "id_c")
       .filter(round(jaccard(col("sh_b"), col("sh_c")), 4) >= threshold)
       .groupBy(col("id_b")).agg(min(col("id_c")).as("dup_of"))
     batch.select(col(idCol))
@@ -390,6 +412,20 @@ object Dedup {
       .select(col(idCol), col("dup_of"),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
   }
+
+  /** Persist the corpus LSH band index bucketed AND sorted by the probe
+    * keys, so [[incrementalMinhashIndexed]]'s candidate join reads the
+    * corpus side with no exchange and no sort — per-delivery cost is the
+    * delivery's own banding plus a co-located probe
+    * (DedupIndexSpec asserts the exchange count on the plan).
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64, shingleSize: Int = 3,
+      numBands: Int = 4, rowsPerBand: Int = 4): Unit =
+    minhashBandIndex(corpus, idCol, textCol, shingleSize, numBands, rowsPerBand)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(table)
 
   /** Incremental exact dedup: screen a new batch against an already-ingested
     * corpus, keeping only rows that are new both to the corpus and within
@@ -399,15 +435,35 @@ object Dedup {
     * fingerprint index instead of re-scanning history.
     *
     * Both sides shuffle on the 16-byte digest only; at scale the corpus
-    * side is a persisted fingerprint table (bucketed by `fp` so the
-    * anti-join co-locates without a corpus-side exchange).
+    * side is a persisted fingerprint table — [[writeExactIndex]] +
+    * [[incrementalExactIndexed]], bucketed by `fp` so the anti-join
+    * co-locates without a corpus-side exchange.
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val corpusFps = corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct()
+      textCol: String): DataFrame =
+    incrementalExactIndexed(batch,
+      corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct(),
+      idCol, textCol)
+
+  /** [[incrementalExact]] against a prebuilt `fp` index (one column, one
+    * row per distinct corpus fingerprint).
+    */
+  def incrementalExactIndexed(batch: DataFrame, corpusFps: DataFrame,
+      idCol: String, textCol: String): DataFrame =
     batch.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-      .join(corpusFps, Seq("fp"), "left_anti")
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
-  }
+
+  /** Persist the corpus fingerprint index bucketed and sorted by `fp`:
+    * [[incrementalExactIndexed]] over `spark.table(table)` then anti-joins
+    * with no exchange and no sort on the corpus side, and appending a
+    * screened delivery's new fingerprints keeps the index current without
+    * rebuilding (DedupIndexSpec asserts both the plan and the round-trip).
+    */
+  def writeExactIndex(corpus: DataFrame, textCol: String, table: String,
+      buckets: Int = 64): Unit =
+    corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(table)
 }

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Persisted incremental-dedup indexes (the steady-state corpus-building
+  * shape): the corpus side of `incrementalExactIndexed` /
+  * `incrementalMinhashIndexed` is a bucketed table, and the plan must show
+  * it — a bucketed scan feeding the join with NO exchange on that subtree.
+  * Asserted on the physical plan itself, not a string proxy.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "pack my box with five dozen liquor jugs",
+    3L -> "sphinx of black quartz judge my vow today")
+
+  private val batch = docs(
+    10L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    11L -> "the quick brown fox jumps over the lazy cat", // near dup of 1
+    12L -> "completely different content nothing shared here at all",
+    13L -> "completely different content nothing shared here at all") // in-batch dup
+
+  /** The anti/inner join under test, unwrapped from AQE; `side` picks the
+    * subtree that must be exchange-free.
+    */
+  private def joinSides(df: DataFrame): Seq[(SparkPlan, SparkPlan)] =
+    df.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec => (j.left, j.right)
+      case j: ShuffledHashJoinExec => (j.left, j.right)
+    }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  private def bucketedScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("exact index: bucketed corpus side joins with zero exchanges") {
+    Dedup.writeExactIndex(corpus, "text", "fp_idx", buckets = 4)
+    try withNoBroadcast {
+      val screened = Dedup.incrementalExactIndexed(
+        batch, spark.table("fp_idx"), "doc_id", "text")
+      // correctness: identical to the direct (unindexed) screen
+      val direct = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(screened.select("doc_id").as[Long].collect().toSet == direct)
+      assert(direct == Set(11L, 12L)) // 10 in corpus, 13 loses in-batch tie
+      // plan: the anti-join's corpus side is a bucketed scan, no shuffle
+      val sides = joinSides(screened)
+      assert(sides.nonEmpty, screened.queryExecution.sparkPlan.toString)
+      val (_, corpusSide) = sides.head
+      assert(shuffles(corpusSide).isEmpty,
+        s"corpus side of the anti-join must not shuffle:\n$corpusSide")
+      assert(bucketedScans(corpusSide).nonEmpty,
+        s"corpus side must be the bucketed index scan:\n$corpusSide")
+    } finally spark.sql("DROP TABLE IF EXISTS fp_idx")
+  }
+
+  test("exact index: appending a screened delivery keeps the index current") {
+    Dedup.writeExactIndex(corpus, "text", "fp_idx2", buckets = 4)
+    try {
+      val firstKept = Dedup.incrementalExactIndexed(
+        batch, spark.table("fp_idx2"), "doc_id", "text")
+      // append the delivery's new fingerprints with the same bucket spec
+      firstKept.select("fp").write.mode("append")
+        .bucketBy(4, "fp").sortBy("fp").saveAsTable("fp_idx2")
+      // a second delivery repeating batch-1 content is now fully screened
+      val second = docs(
+        20L -> "completely different content nothing shared here at all",
+        21L -> "genuinely new text that no delivery has carried before")
+      val kept = Dedup.incrementalExactIndexed(
+        second, spark.table("fp_idx2"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(21L))
+    } finally spark.sql("DROP TABLE IF EXISTS fp_idx2")
+  }
+
+  test("minhash index: bucketed (band, key) probe with zero corpus-side exchanges") {
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "band_idx", buckets = 4)
+    try withNoBroadcast {
+      val screened = Dedup.incrementalMinhashIndexed(
+        batch, spark.table("band_idx"), corpus, "doc_id", "text")
+      val direct = Dedup.incrementalMinhash(batch, corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(screened.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        == direct)
+      assert(direct(10L) == 0L) // exact dup screened out
+      assert(direct(12L) == 1L) // novel content kept
+      // the candidate join probing the index: corpus side bucketed, no shuffle
+      val sides = joinSides(screened)
+      val indexSides = sides.map(_._2).filter(s => bucketedScans(s).nonEmpty)
+      assert(indexSides.nonEmpty, screened.queryExecution.sparkPlan.toString)
+      assert(indexSides.forall(s => shuffles(s).isEmpty),
+        s"index side of the probe join must not shuffle:\n${indexSides.head}")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.dev
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness (test scope): incremental minhash screen, direct
+  * vs against the persisted bucketed band index, at sf0.1.
+  */
+object ProfileDedupIndex {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    // warm the minhash codegen unit, unbilled
+    Dedup.incrementalMinhash(batch.limit(100), corpus.limit(100), "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 2) time(s"direct-$i") {
+      Dedup.incrementalMinhash(batch, corpus, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("index-build") {
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", "mh_idx_bench", buckets = 32)
+    }
+    for (i <- 1 to 2) time(s"indexed-$i") {
+      Dedup.incrementalMinhashIndexed(batch, spark.table("mh_idx_bench"),
+        corpus, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.sql("DROP TABLE IF EXISTS mh_idx_bench")
+    spark.stop()
+  }
+}
