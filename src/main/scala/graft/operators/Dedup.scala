@@ -175,11 +175,27 @@ object Dedup {
     * Exact but quadratic in shingle collisions: a shingle occurring in k
     * documents emits k(k−1)/2 join rows. Use when exact similarity is
     * required; at web scale prefer [[minhashDedup]] (band join bounds the
-    * candidates) or cap shingle document frequency upstream.
+    * candidates) or set `maxDocFreq` — the standard guard for boilerplate:
+    * shingles occurring in more than `maxDocFreq` documents are dropped
+    * from the universe BEFORE the self-join (both intersections and set
+    * sizes — the result is exact Jaccard over the capped shingle universe,
+    * and equals the uncapped result whenever no shingle exceeds the cap;
+    * property-tested in TextAndDedupSpec). Cost of the cap itself is one
+    * count-window over the same shingle key the join shuffles on — linear
+    * in the hot shingle's k, precisely where uncapped pays k²/2.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleSize).distinct() // sets, not bags
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingleRows(docs, idCol, textCol, shingleSize).distinct() // sets, not bags
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        require(cap >= 1, s"maxDocFreq must be >= 1, got $cap")
+        val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        shAll.withColumn("__docfreq", count(lit(1)).over(perShingle))
+          .filter(col("__docfreq") <= cap).drop("__docfreq")
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

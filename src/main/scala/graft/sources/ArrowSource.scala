@@ -14,11 +14,25 @@ import scala.jdk.CollectionConverters._
   * decoded with the Arrow Java libraries that ship with Spark and turned
   * into a DataFrame on the driver — appropriate for the config-fixture-sized
   * files this source type serves in the reference (large data belongs in
-  * parquet/delta).
+  * parquet/delta). Because the decode is driver-side, the file size is
+  * gated: anything over `graft.arrow.maxBytes` (default 256 MiB) fails
+  * fast with a clear error instead of exhausting the driver heap.
   */
 object ArrowSource {
 
+  /** Default driver-side materialization cap; override per session with
+    * `spark.conf.set("graft.arrow.maxBytes", n)`.
+    */
+  val DefaultMaxBytes: Long = 256L << 20
+
   def read(spark: SparkSession, path: String): DataFrame = {
+    val cap = spark.conf.getOption("graft.arrow.maxBytes")
+      .map(_.toLong).getOrElse(DefaultMaxBytes)
+    val size = Files.size(Paths.get(path))
+    require(size <= cap,
+      s"arrow file $path is $size bytes, over the driver-side cap of $cap " +
+        "(this source materializes on the driver; store large data as " +
+        "parquet/delta, or raise graft.arrow.maxBytes)")
     val bytes = Files.readAllBytes(Paths.get(path))
     // fixture-sized source (see object doc): cap the allocator at 1 GiB so
     // a mistakenly-huge file fails fast instead of exhausting the driver

@@ -56,6 +56,23 @@ class SourcesSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
+  test("arrow scan fails fast past the driver-side byte cap (S6 guard)") {
+    import graft.output.ArrowWriters
+    import graft.sources.ArrowSource
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val path = tmp() + "/big.arrow"
+    Files.write(java.nio.file.Paths.get(path),
+      ArrowWriters.toArrowBytes(df, stream = false))
+    spark.conf.set("graft.arrow.maxBytes", "16")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ArrowSource.read(spark, path)
+      }
+      assert(e.getMessage.contains("graft.arrow.maxBytes"))
+    } finally spark.conf.unset("graft.arrow.maxBytes")
+    // default cap (256 MiB) still admits the fixture-sized file
+    assert(ArrowSource.read(spark, path).count() == 2)
+  }
   test("schema cache: hit within TTL, keyed by config, expiring (schema_cache.py:6-32)") {
     val cache = new SchemaCache(Files.createTempDirectory("sc"), ttlMillis = 60000)
     val ds = DatasourceConfig(uri = "/some/uri")

@@ -114,6 +114,38 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (a, b, j) => assert(exact((a, b)) == j, s"($a,$b)") }
     assert(exact.contains((1L, 2L)) && exact((1L, 2L)) == 1.0)
   }
+  test("jaccardPairs maxDocFreq: equals uncapped when no shingle exceeds the cap") {
+    // property over generated corpora: with cap >= max docfreq, identical output
+    val words = org.scalacheck.Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = org.scalacheck.Gen.listOfN(6, words).map(_.mkString(" "))
+    val corpus = org.scalacheck.Gen.listOfN(5, doc)
+    val prop = org.scalacheck.Prop.forAll(corpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(cap: Option[Int]) =
+        Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.1, maxDocFreq = cap)
+          .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+          .collect().toSet
+      // no shingle can occur in more than 5 docs here, so cap=5 is a no-op
+      run(None) == run(Some(5))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+  test("jaccardPairs maxDocFreq: boilerplate-only pairs drop, real pairs survive") {
+    val boiler = "all rights reserved by the"
+    val capped = Dedup.jaccardPairs(Seq(
+      (1L, s"a b c d e $boiler"),
+      (2L, s"a b c d f $boiler"),
+      (3L, s"x y z w v $boiler"),
+      (4L, s"p q r s t $boiler")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.1, maxDocFreq = Some(3)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the boilerplate shingles occur in all 4 docs (> cap) and vanish;
+    // only 1-2 still overlap on their own content
+    assert(capped == Set((1L, 2L)))
+  }
   test("explode-based sketches equal the Column-level simhash64 definition") {
     val arr = docs.select($"doc_id", T.simhash64($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
