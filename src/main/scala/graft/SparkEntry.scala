@@ -471,6 +471,12 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_jaccard_cap" -> ((s, dir) =>
+      // the boilerplate guard: shingles in > 5 docs leave the universe
+      // before the self-join; exact Jaccard over the capped universe
+      Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDocFreq = Some(5))
+        .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSketches(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1075,6 +1081,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_jaccard" -> jaccardPairsOracleSql,
+    "q_dedup_jaccard_cap" -> jaccardPairsOracle(Some(5)),
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
@@ -1339,10 +1346,24 @@ object SparkEntry {
     * Dedup.jaccardPairs: count shared shingles per pair, union from
     * per-doc set sizes.
     */
-  private def jaccardPairsOracleSql: String =
+  private def jaccardPairsOracleSql: String = jaccardPairsOracle(None)
+
+  /** Shared body for the capped/uncapped jaccard oracles; `cap` mirrors
+    * Dedup.jaccardPairs(maxDocFreq): shingles with docfreq > cap leave the
+    * universe before sizes, intersections and the self-join.
+    */
+  private def jaccardPairsOracle(cap: Option[Int]): String = {
+    val shCte = cap match {
+      case None => "sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)"
+      case Some(c) =>
+        s"""sh_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+           |df AS (SELECT shingle, count(*) AS docfreq FROM sh_all GROUP BY 1),
+           |sh AS (SELECT doc_id, shingle FROM sh_all JOIN df USING (shingle)
+           |       WHERE docfreq <= $c)""".stripMargin
+    }
     s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
        |sh0 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
-       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+       |$shCte,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -1355,6 +1376,7 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Decontamination oracle: same split (doc_id % 20 = 0 ⇒ eval), same
     * distinct-shingle overlap counts — the join multiplicities differ from

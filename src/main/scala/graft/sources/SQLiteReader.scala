@@ -228,10 +228,23 @@ object SQLiteReader {
 
   // ----------------------------------------------------------- schema table
 
+  /** A non-empty `-wal` sidecar means committed rows may live outside the
+    * main file until the next checkpoint — reading just the main file
+    * would silently serve stale data, so fail loudly instead.
+    */
+  private def requireNoWal(path: String): Unit = {
+    val wal = new java.io.File(path + "-wal")
+    require(!wal.exists() || wal.length() == 0L,
+      s"$path has a non-empty WAL sidecar (${wal.length()} bytes); " +
+        "checkpoint the database (PRAGMA wal_checkpoint) before scanning — " +
+        "this reader reads the main file only and would miss WAL frames")
+  }
+
   /** All ordinary tables: (name, rootpage, sql) from `sqlite_schema`.
     * The schema table is tiny — decoded on the driver, like a Delta log.
     */
   def tables(path: String): Seq[TableInfo] = {
+    requireNoWal(path)
     val raf = new RandomAccessFile(path, "r")
     try {
       val db = openInfo(raf)

@@ -86,6 +86,20 @@ class SQLiteReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("WITHOUT ROWID"))
   }
 
+  test("a non-empty WAL sidecar is rejected (stale-read guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("waldb")
+    val db = dir.resolve("w.db")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+    java.nio.file.Files.write(dir.resolve("w.db-wal"), Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException] {
+      SQLiteReader.read(spark, db.toString, "typed")
+    }
+    assert(e.getMessage.contains("WAL"))
+    // an empty WAL (fully checkpointed) is fine
+    java.nio.file.Files.write(dir.resolve("w.db-wal"), Array.empty[Byte])
+    assert(SQLiteReader.read(spark, db.toString, "plain").count() == 3)
+  }
+
   test("unknown table error lists available tables") {
     val e = intercept[IllegalArgumentException] {
       SQLiteReader.read(spark, fixture, "nope")

@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("ingest screen over the persisted bucketed fp index (steady-state shape)") {
+    implicit val sq = spark.sqlContext
+    // the batch-side index written by Dedup.writeExactIndex is exactly the
+    // static side the stream-static anti-join wants: re-read per micro-batch
+    graft.operators.Dedup.writeExactIndex(
+      Seq((1L, "seen before"), (2L, "other corpus text")).toDF("doc_id", "text"),
+      "text", "stream_fp_idx", buckets = 4)
+    try {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val docs = input.toDF().toDF("doc_id", "text", "ts")
+      val q = EventStreams.ingestScreen(docs, spark.table("stream_fp_idx"),
+          "doc_id", "text", "ts")
+        .writeStream.format("memory").queryName("screen_idx")
+        .outputMode("append").start()
+      input.addData(
+        (1L, "seen before", ts(0)), // screened by the persisted index
+        (2L, "fresh", ts(0)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("screen_idx").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+    } finally spark.sql("DROP TABLE IF EXISTS stream_fp_idx")
+  }
+
   test("stream-stream interval join: purchases within the lookback, state bounded") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Event]
