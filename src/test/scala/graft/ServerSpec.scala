@@ -265,6 +265,29 @@ class ServerSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:$p/api/v1/mix/good").statusCode() == 200)
     } finally srv.stop()
   }
+  test("sqlite table over HTTP — the reference's test_sqlite.py surface") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val chinook = "/root/reference/tests/data/chinook.db"
+    assume(new java.io.File(chinook).canRead)
+    val cfg = Configs(Seq(TableConfig(name = "sqlite_customers", tag = "sqlite",
+      datasource = DatasourceConfig(uri = chinook, fileType = "sqlite",
+        tableName = Some("customers")),
+      params = Seq(Param("Country")), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg)
+    val p = srv.start()
+    try {
+      // test_simple_customers: ?format=json&limit=50 → 50 records
+      val r = get(s"http://127.0.0.1:$p/api/v1/sqlite/sqlite_customers?format=json&limit=50")
+      assert(r.statusCode() == 200)
+      assert(new ObjectMapper().readTree(r.body()).size() == 50)
+      // test_filter_country: &Country=Germany → 4 records
+      val de = get(s"http://127.0.0.1:$p/api/v1/sqlite/sqlite_customers?format=json&limit=100&Country=Germany")
+      assert(new ObjectMapper().readTree(de.body()).size() == 4)
+      // test_metadata_detail: 200 with schema
+      val md = get(s"http://127.0.0.1:$p/api/v1/sqlite/sqlite_customers/metadata_detail")
+      assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
+    } finally srv.stop()
+  }
   test("metadata detail + route listing + sql endpoint") {
     val md = get(s"$base/api/v1/test/fruits/metadata_detail")
     assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
