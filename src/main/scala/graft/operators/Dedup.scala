@@ -188,7 +188,7 @@ object Dedup {
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
     val shAll = shingleRows(docs, idCol, textCol, shingleSize).distinct() // sets, not bags
-    val sh = maxDocFreq match {
+    val shPlan = maxDocFreq match {
       case None => shAll
       case Some(cap) =>
         require(cap >= 1, s"maxDocFreq must be >= 1, got $cap")
@@ -196,6 +196,12 @@ object Dedup {
         shAll.withColumn("__docfreq", count(lit(1)).over(perShingle))
           .filter(col("__docfreq") <= cap).drop("__docfreq")
     }
+    // the inverted index feeds three consumers (join side a, side b, sizes);
+    // materialize it once instead of re-deriving shingles per branch — the
+    // same localCheckpoint trade duplicateClusters makes (at lake scale this
+    // is "persist the inverted index", the standard shape). Measured at
+    // sf0.1: 2.1 → 1.6 s uncapped, 3.1 → 1.1 s capped (PERF.md r7).
+    val sh = shPlan.localCheckpoint(false)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
