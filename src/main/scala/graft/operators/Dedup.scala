@@ -96,7 +96,11 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
       .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
+    // the self-join would re-derive shingles + signatures for each side;
+    // materialize the small (id, band, key) frame once (same trade as
+    // jaccardPairs — persist the index, then fan out)
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .localCheckpoint(false)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -114,9 +118,12 @@ object Dedup {
       shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    // consumed by both candidate joins (id_a and id_b): derive the shingle
+    // sets once, not twice
     val sets = shingleRows(docs, idCol, textCol, shingleSize)
       .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
       .withColumnRenamed("id", "sid")
+      .localCheckpoint(false)
     cands
       .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
