@@ -144,8 +144,11 @@ object Dedup {
     * iterative DataFrame algorithms.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // the union scans `pairs` twice; materialize the caller's (possibly
+    // expensive — typically minhashDedup) pair plan once before mirroring
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))

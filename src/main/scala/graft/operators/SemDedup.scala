@@ -38,8 +38,11 @@ object SemDedup {
     // drops it, which would clobber a user vector column named `v`
     val prepped = embs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("__sd_v"))
+    // consumed three times (both join sides + the final keep join): run
+    // the codegen'd cell assignment once, not per consumer
     val idx = Ann.ivfAssign(prepped, "__sd_v", centroids)
       .select(col("id"), col("cell"), col("__sd_v").as("v"))
+      .localCheckpoint(false)
     val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
     // pairs restricted to (same cell, lower id); cosine runs codegen'd in
