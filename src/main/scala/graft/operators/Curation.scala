@@ -32,9 +32,11 @@ object Curation {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val quality = QualityFilter.verdicts(docs, idCol, textCol)
       .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
-    // first copy of the exact fingerprint wins (same rule as Dedup.exact)
+    // first copy of the exact fingerprint wins (same rule as Dedup.exact);
+    // consumed twice (rows + its own min-id rollup) — fingerprint once
     val fps = docs.select(col(idCol).as("id"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint(false)
     val exactKeep = fps
       .join(fps.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
       .select(col("id"),

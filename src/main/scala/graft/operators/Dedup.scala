@@ -308,6 +308,7 @@ object Dedup {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       V.srpBucket(col(vecCol), planes).as("bucket"),
       V.norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(false) // both self-join sides read one materialization
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
