@@ -60,6 +60,37 @@ def main():
     c.execute("CREATE TABLE norowid (a TEXT PRIMARY KEY, b INT) WITHOUT ROWID")
     c.execute("INSERT INTO norowid VALUES ('w', 1)")
 
+    # generated columns: VIRTUAL values are omitted from the record payload
+    # (reader must reject), STORED ones are materialized (reader must read)
+    c.execute("""CREATE TABLE gen_virtual (
+        id INTEGER PRIMARY KEY, a INT,
+        dbl INT GENERATED ALWAYS AS (a * 2) VIRTUAL,
+        tail TEXT)""")
+    c.executemany("INSERT INTO gen_virtual (id, a, tail) VALUES (?,?,?)",
+                  [(1, 10, 't1'), (2, 20, 't2')])
+    # shorthand form, no GENERATED ALWAYS and no keyword -> default VIRTUAL
+    c.execute("CREATE TABLE gen_implicit (id INTEGER PRIMARY KEY, a INT, "
+              "dbl INT AS (a * 3))")
+    c.execute("INSERT INTO gen_implicit (id, a) VALUES (1, 5)")
+    c.execute("""CREATE TABLE gen_stored (
+        id INTEGER PRIMARY KEY, a INT,
+        dbl INT GENERATED ALWAYS AS (a * 2) STORED,
+        tail TEXT)""")
+    c.executemany("INSERT INTO gen_stored (id, a, tail) VALUES (?,?,?)",
+                  [(1, 10, 's1'), (2, 20, 's2')])
+
+    # rowid-alias trap: an INTEGER column whose DEFAULT literal says
+    # 'primary key' must NOT be treated as the rowid alias
+    c.execute("CREATE TABLE trap (x INTEGER DEFAULT 'primary key', y TEXT)")
+    c.executemany("INSERT INTO trap VALUES (?,?)", [(100, 'p'), (200, 'q')])
+
+    # doubled-quote escapes in quoted identifiers: column "a""b" is named
+    # a"b; a quoted name containing ', ' and 'as (' must not break the
+    # column-list splitter or look like a generated column
+    c.execute('CREATE TABLE oddnames ('
+              '"a""b" TEXT, "c, as (weird)" INT, id INTEGER PRIMARY KEY)')
+    c.execute('INSERT INTO oddnames VALUES (\'v1\', 7, 3)')
+
     con.commit()
     con.close()
     # sanity: multi-level b-tree reached?

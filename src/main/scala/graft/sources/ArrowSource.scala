@@ -26,8 +26,13 @@ object ArrowSource {
   val DefaultMaxBytes: Long = 256L << 20
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val cap = spark.conf.getOption("graft.arrow.maxBytes")
-      .map(_.toLong).getOrElse(DefaultMaxBytes)
+    val cap = spark.conf.getOption("graft.arrow.maxBytes").map { s =>
+      try s.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.arrow.maxBytes must be a byte count, got '$s'", e)
+      }
+    }.getOrElse(DefaultMaxBytes)
     val size = Files.size(Paths.get(path))
     require(size <= cap,
       s"arrow file $path is $size bytes, over the driver-side cap of $cap " +

@@ -39,7 +39,11 @@ import scala.collection.mutable.ArrayBuffer
   * nature, so this source is for ingest/fixture use, not lake-scale data).
   *
   * Not supported (clear errors, documented): `WITHOUT ROWID` tables (index
-  * b-tree layout), UTF-16 encodings, virtual tables.
+  * b-tree layout), UTF-16 encodings, virtual tables, VIRTUAL generated
+  * columns (their values are omitted from the record payload, which would
+  * shift every later column — STORED generated columns are materialized
+  * and read fine), databases left with a non-empty WAL or rollback-journal
+  * sidecar (uncheckpointed / mid-transaction state).
   */
 object SQLiteReader {
 
@@ -229,22 +233,30 @@ object SQLiteReader {
   // ----------------------------------------------------------- schema table
 
   /** A non-empty `-wal` sidecar means committed rows may live outside the
-    * main file until the next checkpoint — reading just the main file
-    * would silently serve stale data, so fail loudly instead.
+    * main file until the next checkpoint, and a non-empty `-journal` means
+    * a transaction died mid-write and the main file holds uncommitted /
+    * torn pages until rollback — reading just the main file would silently
+    * serve wrong data in either case, so fail loudly instead.
     */
-  private def requireNoWal(path: String): Unit = {
+  private def requireNoHotSidecars(path: String): Unit = {
     val wal = new java.io.File(path + "-wal")
     require(!wal.exists() || wal.length() == 0L,
       s"$path has a non-empty WAL sidecar (${wal.length()} bytes); " +
         "checkpoint the database (PRAGMA wal_checkpoint) before scanning — " +
         "this reader reads the main file only and would miss WAL frames")
+    val journal = new java.io.File(path + "-journal")
+    require(!journal.exists() || journal.length() == 0L,
+      s"$path has a non-empty rollback journal (${journal.length()} bytes); " +
+        "the main file may contain uncommitted pages from an interrupted " +
+        "transaction — open the database once with SQLite to roll back " +
+        "(or delete the journal if it is known stale) before scanning")
   }
 
   /** All ordinary tables: (name, rootpage, sql) from `sqlite_schema`.
     * The schema table is tiny — decoded on the driver, like a Delta log.
     */
   def tables(path: String): Seq[TableInfo] = {
-    requireNoWal(path)
+    requireNoHotSidecars(path)
     val raf = new RandomAccessFile(path, "r")
     try {
       val db = openInfo(raf)
@@ -280,9 +292,19 @@ object SQLiteReader {
     val parts = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var quote: Char = 0
-    body.foreach { ch =>
-      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
-      else ch match {
+    var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (quote != 0) {
+        cur += ch
+        if (ch == quote) {
+          // doubled closing quote = escaped literal quote, stay in-quote
+          // (SQL quoting; does not apply to the `[...]` style)
+          if (quote != ']' && i + 1 < body.length && body(i + 1) == quote) {
+            cur += body(i + 1); i += 1
+          } else quote = 0
+        }
+      } else ch match {
         case '\'' | '"' | '`' => quote = ch; cur += ch
         case '[' => quote = ']'; cur += ch
         case '(' => depth += 1; cur += ch
@@ -290,6 +312,7 @@ object SQLiteReader {
         case ',' if depth == 0 => parts += cur.toString; cur.clear()
         case _ => cur += ch
       }
+      i += 1
     }
     if (cur.nonEmpty) parts += cur.toString
     val constraintKw = Set("constraint", "primary", "unique", "check", "foreign")
@@ -297,10 +320,8 @@ object SQLiteReader {
       .partition(p => constraintKw.contains(p.split("[\\s(]+", 2).head.toLowerCase))
     val cols = colDefs.map { d =>
       val (name, rest) = d.head match {
-        case '"' | '\'' | '`' =>
-          val end = d.indexOf(d.head, 1); (d.substring(1, end), d.substring(end + 1))
-        case '[' =>
-          val end = d.indexOf(']'); (d.substring(1, end), d.substring(end + 1))
+        case q @ ('"' | '\'' | '`') => quotedIdent(d, q, q)
+        case '[' => quotedIdent(d, '[', ']')
         case _ =>
           val m = d.split("\\s+", 2); (m(0), if (m.length > 1) m(1) else "")
       }
@@ -311,6 +332,17 @@ object SQLiteReader {
         t.nonEmpty && !stopKw.contains(t.toLowerCase.stripSuffix("(")))
       ColumnDef(name, tokens.mkString(" "), d)
     }.toSeq
+    // VIRTUAL generated columns are computed on read and omitted from the
+    // record payload, so every stored column after one would shift position
+    // — wrong data with no error. Reject loudly; STORED ones are
+    // materialized at their ordinal slot and decode fine.
+    cols.find(c => isVirtualGenerated(stripQuoted(c.rawDef))).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"column `${c.name}` is a VIRTUAL generated column; its values are " +
+          "not stored in the record payload, which would misalign every " +
+          "later column — rewrite it as GENERATED ALWAYS AS (...) STORED " +
+          "or drop it before scanning")
+    }
     // single-column table-level PRIMARY KEY (for rowid-alias detection);
     // a DESC key order disables aliasing per the file-format doc
     val tablePk = constraints.iterator
@@ -320,6 +352,78 @@ object SQLiteReader {
       .filter(inner => !inner.contains(",") && !inner.toLowerCase.endsWith(" desc"))
       .map(_.replaceAll("\"|'|`|\\[|\\]", "").split("\\s+").head)
     (cols, tablePk)
+  }
+
+  /** Leading quoted identifier of a column def → (unescaped name, rest).
+    * Doubled closing quotes inside `"…"`/`'…'`/`` `…` `` are escapes
+    * (`"a""b"` names the column `a"b`); the `[…]` style has no escape.
+    */
+  private def quotedIdent(d: String, openQ: Char, closeQ: Char): (String, String) = {
+    val name = new StringBuilder
+    var j = 1
+    while (j < d.length) {
+      val c = d(j)
+      if (c == closeQ) {
+        if (openQ != '[' && j + 1 < d.length && d(j + 1) == closeQ) {
+          name += closeQ; j += 2
+        } else return (name.toString, d.substring(j + 1))
+      } else { name += c; j += 1 }
+    }
+    throw new IllegalArgumentException(s"unterminated quoted identifier in: $d")
+  }
+
+  /** Quoted literals/identifiers replaced by a single space (doubled-quote
+    * escapes consumed), so keyword scans cannot match text inside quotes —
+    * e.g. a DEFAULT 'primary key' string must not look like a constraint.
+    */
+  private[sources] def stripQuoted(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          var open = true
+          while (i < s.length && open) {
+            if (s(i) == q) {
+              if (i + 1 < s.length && s(i + 1) == q) i += 2
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+          out += ' '
+        case '[' =>
+          val e = s.indexOf(']', i)
+          i = if (e < 0) s.length else e + 1
+          out += ' '
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** True when a (literal-stripped) column definition declares a VIRTUAL
+    * generated column. A depth-0 `AS (` token sequence only occurs in
+    * generated columns (`[GENERATED ALWAYS] AS (expr) [STORED|VIRTUAL]`,
+    * default VIRTUAL) — `AS` inside CHECK(...) expressions sits at
+    * depth > 0 and is skipped.
+    */
+  private[sources] def isVirtualGenerated(defStripped: String): Boolean = {
+    val toks = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    def flush(): Unit =
+      if (cur.nonEmpty) { toks += cur.toString.toLowerCase; cur.clear() }
+    defStripped.foreach { ch =>
+      if (ch == '(') { if (depth == 0) { flush(); toks += "(" }; depth += 1 }
+      else if (ch == ')') depth -= 1
+      else if (depth > 0) ()
+      else if (ch.isWhitespace) flush()
+      else cur += ch
+    }
+    flush()
+    val asIdx = toks.indexOf("as")
+    asIdx >= 0 && toks.lift(asIdx + 1).contains("(") &&
+      !toks.lift(asIdx + 2).contains("stored")
   }
 
   /** SQLite column affinity (file-format doc §"Type Affinity") → Spark. */
@@ -339,9 +443,11 @@ object SQLiteReader {
     */
   private[sources] def rowidAlias(cols: Seq[ColumnDef],
       tablePk: Option[String]): Option[Int] = {
+    // scan the literal-stripped definition so a DEFAULT 'primary key'
+    // string cannot masquerade as the constraint
     val colLevel = cols.indexWhere { c =>
       c.declaredType.equalsIgnoreCase("INTEGER") &&
-        c.rawDef.matches("(?is).*primary\\s+key(?!\\s+desc).*")
+        stripQuoted(c.rawDef).matches("(?is).*primary\\s+key(?!\\s+desc).*")
     }
     if (colLevel >= 0) Some(colLevel)
     else tablePk.flatMap { pk =>

@@ -100,6 +100,55 @@ class SQLiteReaderSpec extends SparkSpec {
     assert(SQLiteReader.read(spark, db.toString, "plain").count() == 3)
   }
 
+  test("VIRTUAL generated columns are rejected; STORED ones decode") {
+    // VIRTUAL values are omitted from the record payload — mapping slots
+    // 1:1 would serve `tail` under `dbl`; must throw instead
+    val e = intercept[UnsupportedOperationException] {
+      SQLiteReader.read(spark, fixture, "gen_virtual")
+    }
+    assert(e.getMessage.contains("VIRTUAL") && e.getMessage.contains("dbl"))
+    // shorthand `col AS (expr)` with no keyword defaults to VIRTUAL
+    val e2 = intercept[UnsupportedOperationException] {
+      SQLiteReader.read(spark, fixture, "gen_implicit")
+    }
+    assert(e2.getMessage.contains("VIRTUAL"))
+    // STORED generated columns are materialized at their ordinal slot
+    val stored = SQLiteReader.read(spark, fixture, "gen_stored").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(stored.toSet == Set((1L, 10L, 20L, "s1"), (2L, 20L, 40L, "s2")))
+  }
+
+  test("a non-empty rollback journal is rejected (torn-write guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("journaldb")
+    val db = dir.resolve("j.db")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+    java.nio.file.Files.write(dir.resolve("j.db-journal"), Array[Byte](1, 2))
+    val e = intercept[IllegalArgumentException] {
+      SQLiteReader.read(spark, db.toString, "typed")
+    }
+    assert(e.getMessage.contains("journal"))
+    // an empty journal (cleanly committed under journal_mode=PERSIST) is fine
+    java.nio.file.Files.write(dir.resolve("j.db-journal"), Array.empty[Byte])
+    assert(SQLiteReader.read(spark, db.toString, "plain").count() == 3)
+  }
+
+  test("a DEFAULT 'primary key' literal is not a rowid alias") {
+    // x stores real values; treating it as the alias would replace them
+    // with rowids 1,2
+    val rows = SQLiteReader.read(spark, fixture, "trap").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((100L, "p"), (200L, "q")))
+  }
+
+  test("doubled-quote escapes in quoted identifiers") {
+    val df = SQLiteReader.read(spark, fixture, "oddnames")
+    // "a""b" names the column a"b; a quoted name containing ', ' and
+    // 'as (' must neither split the column list nor read as generated
+    assert(df.schema.fieldNames.toSeq == Seq("a\"b", "c, as (weird)", "id"))
+    val r = df.collect().head
+    assert(r.getString(0) == "v1" && r.getLong(1) == 7L && r.getLong(2) == 3L)
+  }
+
   test("unknown table error lists available tables") {
     val e = intercept[IllegalArgumentException] {
       SQLiteReader.read(spark, fixture, "nope")

@@ -72,6 +72,16 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.arrow.maxBytes")
     // default cap (256 MiB) still admits the fixture-sized file
     assert(ArrowSource.read(spark, path).count() == 2)
+    // a non-numeric cap names the config key instead of a bare
+    // NumberFormatException
+    spark.conf.set("graft.arrow.maxBytes", "lots")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ArrowSource.read(spark, path)
+      }
+      assert(e.getMessage.contains("graft.arrow.maxBytes")
+        && e.getMessage.contains("lots"))
+    } finally spark.conf.unset("graft.arrow.maxBytes")
   }
   test("schema cache: hit within TTL, keyed by config, expiring (schema_cache.py:6-32)") {
     val cache = new SchemaCache(Files.createTempDirectory("sc"), ttlMillis = 60000)
