@@ -754,6 +754,19 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id"),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))),
+    "q_split_leakage_safe" -> ((s, dir) => {
+      // near-dup clusters (same minhash pipeline as q_dedup_clusters)
+      // hashed as whole groups: a cluster never straddles train/test
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashDedup(docs, "doc_id", "text",
+          shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
+      graft.operators.Sampling.assignSplitByGroup(
+        Tables.load(s, dir, "documents").select("doc_id"), "doc_id",
+        clusters, "doc_id", "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
     "q_shuffle_shards" -> ((s, dir) =>
       graft.operators.Sharding.shuffleShards(
         Tables.load(s, dir, "documents").select("doc_id"),
@@ -1184,6 +1197,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_split_leakage_safe" -> splitLeakageSafeOracleSql,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),
         |s AS (SELECT doc_id, ord_key,
@@ -1731,6 +1745,29 @@ object SparkEntry {
        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** Cluster-aware split: the clusters closure, then every document
+    * bucketed on its cluster label (own id when unclustered) with the same
+    * portable salted-md5 thresholds as q_split.
+    */
+  private def splitLeakageSafeOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |       FROM reach GROUP BY u),
+       |g AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS split_group
+       |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |t AS (SELECT doc_id, split_group,
+       |  ('0x' || substring(md5(split_group::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
+       |  FROM g)
+       |SELECT doc_id, split_group,
+       |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** 64-bit word hash and sketch in DuckDB: BIGINT left-shifts raise on
     * overflow (no wrap), so the hash and the bit-weight sums run in HUGEINT

@@ -115,6 +115,36 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: split labels assigned per GROUP — typically the
+    * near-duplicate cluster from
+    * [[graft.operators.Dedup.duplicateClusters]] — so correlated rows can
+    * never straddle train/val/test. A plain per-id split puts one copy of
+    * a near-duplicate pair in train and its twin in test, silently leaking
+    * training content into evaluation; hashing the group label instead
+    * sends whole clusters to one side. Rows absent from `groups` form
+    * singleton groups keyed by their own id, so for a fully-deduplicated
+    * corpus this degrades to exactly [[assignSplit]].
+    *
+    * `groups` maps member → group label, one row per grouped member
+    * (duplicateClusters' output shape). It only contains rows that HAVE
+    * near-dups, so it is tiny next to the corpus — the left join
+    * broadcasts under AQE at any realistic dup rate, and the bucket
+    * itself is the same portable salted-md5 map-side CASE as
+    * [[assignSplit]] (same md5 contract, auditable from any engine).
+    * Output adds `split_group` (the hashed key) and `split`.
+    */
+  def assignSplitByGroup(df: DataFrame, idCol: String,
+      groups: DataFrame, memberCol: String, groupCol: String,
+      fractions: Seq[(String, Double)], salt: Long = 0L): DataFrame = {
+    require(!df.columns.contains("split_group"),
+      "input already has a 'split_group' column (generated output name)")
+    val g = groups.select(col(memberCol).as("__sg_id"), col(groupCol).as("__sg_grp"))
+    val joined = df.join(g, df(idCol) === col("__sg_id"), "left")
+      .withColumn("split_group", coalesce(col("__sg_grp"), df(idCol)))
+      .drop("__sg_id", "__sg_grp")
+    assignSplit(joined, "split_group", fractions, salt)
+  }
+
   /** Plan a downsample to a target corpus mix (DoReMi-style static domain
     * reweighting, without upsampling): given relative weights per stratum
     * (e.g. {web→0.5, books→0.3, code→0.2}), find the largest total T such

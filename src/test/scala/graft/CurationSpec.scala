@@ -283,6 +283,30 @@ class CurationSpec extends SparkSpec {
     assert(again.orderBy("id").collect().toSeq === out.orderBy("id").collect().toSeq)
   }
 
+  test("assignSplitByGroup: clusters never straddle splits; singletons match assignSplit") {
+    val df = (1L to 100L).toDF("id")
+    // three clusters, labeled by their min member (duplicateClusters shape)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (50L, 50L), (51L, 50L), (52L, 50L)).toDF("doc_id", "cluster")
+    val out = Sampling.assignSplitByGroup(df, "id", clusters, "doc_id", "cluster",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every clustered member lands where its cluster label lands
+    assert(Seq(2L, 3L).forall(bySplit(_) == bySplit(1L)))
+    assert(bySplit(11L) == bySplit(10L))
+    assert(Seq(51L, 52L).forall(bySplit(_) == bySplit(50L)))
+    // unclustered rows degrade to exactly the per-id assignSplit label
+    val plain = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L, 50L, 51L, 52L)
+    (1L to 100L).filterNot(clustered).foreach(id =>
+      assert(bySplit(id) == plain(id), s"id $id"))
+    // disjoint-exhaustive: one label per row
+    assert(out.count() == 100L &&
+      out.filter(col("split").isin("train", "val", "test")).count() == 100L)
+  }
+
   test("shuffleShards is a deterministic permutation; salt reshuffles it") {
     val df = (1 to 200).map(_.toLong).toDF("id")
     val a = Sharding.shuffleShards(df, "id", 4, salt = 0L)
