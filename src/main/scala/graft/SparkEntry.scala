@@ -794,8 +794,11 @@ object SparkEntry {
       // REAL image decode: deterministic PNGs synthesized per doc_id on
       // executors, decoded back with javax.imageio; PNG is lossless, so
       // the oracle recomputes the channel means analytically from the
-      // generator formula — the gate fails unless actual pixels decode
-      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      // generator formula — the gate fails unless actual pixels decode.
+      // loadParallel: the single-row-group parquet would otherwise run
+      // the whole encode+decode codec chain on ONE core
+      val ids = Tables.loadParallel(s, dir, "documents", "doc_id")
+        .select(col("doc_id"))
       val png = Multimodal.synthesizeTestImages(ids, "doc_id")
       Multimodal.decodeImageFeatures(png, "payload")
         .select(col("doc_id"), col("img.width").as("width"),

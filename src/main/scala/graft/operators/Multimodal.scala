@@ -95,19 +95,19 @@ object Multimodal {
     * palette/gray expansion are handled uniformly across formats.
     */
   def decodeImage(payload: Array[Byte]): Row = {
+    ensureNoImageIoDiskCache()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
+    // bulk transfer: one color-model conversion pass instead of a virtual
+    // getRGB call per pixel
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      i += 1
     }
     val n = w.toLong * h
     val (mr, mg, mb) = (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
@@ -145,20 +145,37 @@ object Multimodal {
   def encodePng(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // fill the packed-int raster directly; setRGB would round-trip the
+    // color model once per pixel
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val (r, g, b) = rgb(x, y)
-        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
+        px(y * width + x) = (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val out = new java.io.ByteArrayOutputStream()
+    ensureNoImageIoDiskCache()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** ImageIO defaults to a DISK-backed stream cache: every read/write
+    * creates and deletes a temp file, which at thousands of small images
+    * per partition costs more than the codec itself (and hammers /tmp on
+    * every executor). Switch the JVM to in-memory streams once.
+    */
+  @volatile private var imageIoCacheOff = false
+  private def ensureNoImageIoDiskCache(): Unit =
+    if (!imageIoCacheOff) {
+      javax.imageio.ImageIO.setUseCache(false)
+      imageIoCacheOff = true
+    }
 
   /** Deterministic per-id test images, synthesized ON EXECUTORS (the
     * fixture side of the decode gate): id `d` maps to a
