@@ -334,8 +334,11 @@ object Dedup {
     */
   def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
+    // consumed by both branches (clustered window + singleton pass-through):
+    // materialize the narrow (id, score, cluster) join once, not twice
     val labeled = docs.select(col(idCol).as("id"), col(scoreCol).as("score"))
       .join(clusters.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
     labeled.filter(col("cluster").isNotNull)

@@ -39,10 +39,23 @@ object ArrowSource {
         "(this source materializes on the driver; store large data as " +
         "parquet/delta, or raise graft.arrow.maxBytes)")
     val bytes = Files.readAllBytes(Paths.get(path))
+    // both Arrow IPC layouts are served (the reference's `arrow` AND
+    // `arrow-stream` file types, types.py:15-17): the random-access FILE
+    // format opens with magic "ARROW1", the STREAM format starts directly
+    // with an encapsulated message — sniff the magic instead of trusting
+    // the extension
+    val isFile = bytes.length >= 6 &&
+      bytes(0) == 'A' && bytes(1) == 'R' && bytes(2) == 'R' &&
+      bytes(3) == 'O' && bytes(4) == 'W' && bytes(5) == '1'
     // fixture-sized source (see object doc): cap the allocator at 1 GiB so
     // a mistakenly-huge file fails fast instead of exhausting the driver
     val allocator = new RootAllocator(1L << 30)
-    val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    val reader: org.apache.arrow.vector.ipc.ArrowReader =
+      if (isFile)
+        new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      else
+        new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new java.io.ByteArrayInputStream(bytes), allocator)
     try {
       val root = reader.getVectorSchemaRoot
       val sparkSchema = StructType(root.getSchema.getFields.asScala.map(sparkField).toSeq)

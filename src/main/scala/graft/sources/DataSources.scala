@@ -36,7 +36,8 @@ object DataSources {
       case "json" => // array-of-records file (df_duckdb.py:411-417)
         reader.option("multiLine", "true").json(ds.uri)
       case "ndjson" => reader.json(ds.uri)
-      case "arrow" | "feather" | "ipc" => ArrowSource.read(spark, ds.uri)
+      case "arrow" | "arrow-stream" | "feather" | "ipc" =>
+        ArrowSource.read(spark, ds.uri) // layout sniffed from the magic bytes
       case "sqlite" => // S8: native B-tree reader (no JDBC jars in env)
         SQLiteReader.read(spark, ds.uri, ds.tableName.getOrElse(
           throw new IllegalArgumentException("sqlite source needs table_name")))

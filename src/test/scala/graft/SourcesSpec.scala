@@ -56,6 +56,21 @@ class SourcesSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
+  test("arrow-stream IPC files read back via magic-byte sniffing (S6, types.py:16)") {
+    import graft.output.ArrowWriters
+    val df = Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], 2.5)).toDF("id", "s", "v")
+    val path = tmp() + "/t.arrows"
+    Files.write(java.nio.file.Paths.get(path),
+      ArrowWriters.toArrowBytes(df, stream = true))
+    // explicit arrow-stream file type AND the generic arrow type both work
+    // (stream files carry no ARROW1 magic; the sniffer must not mistake them)
+    Seq("arrow-stream", "arrow").foreach { ft =>
+      val back = DataSources.read(spark, DatasourceConfig(uri = path, fileType = ft))
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    }
+  }
   test("arrow scan fails fast past the driver-side byte cap (S6 guard)") {
     import graft.output.ArrowWriters
     import graft.sources.ArrowSource
