@@ -754,6 +754,13 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id"),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))),
+    "q_sample_uniform" -> ((s, dir) =>
+      // portable deterministic sample: any engine can recompute the kept
+      // set (md5 bucket), unlike the xxhash64 fast path
+      graft.operators.Sampling.uniformPortable(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", 0.37)
+        .orderBy(col("doc_id"))),
     "q_split_leakage_safe" -> ((s, dir) => {
       // near-dup clusters (same minhash pipeline as q_dedup_clusters)
       // hashed as whole groups: a cluster never straddles train/test
@@ -1200,6 +1207,11 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_sample_uniform" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM t WHERE b < 370000 ORDER BY doc_id""".stripMargin,
     "q_split_leakage_safe" -> splitLeakageSafeOracleSql,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),

@@ -39,6 +39,23 @@ object Sampling {
       salt: Long = 0L): DataFrame =
     df.filter(keep(col(idCol), salt, lit(fraction)))
 
+  /** [[uniform]] with the PORTABLE bucket ([[assignSplit]]'s salted md5
+    * instead of Spark's xxhash64): any engine can recompute which rows
+    * were kept, so audits and cross-engine reproduction work — the same
+    * trade assignSplit makes, at the cost of md5 over xxhash64 per row.
+    * Same map-side-predicate shape, no shuffle, no RNG; the kept set is
+    * stable under repartitioning and consistent across tables sharing
+    * the id.
+    */
+  def uniformPortable(df: DataFrame, idCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    df.filter(bucket < math.floor(fraction * M).toLong)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. keep 100%
     * of high-quality docs, 5% of boilerplate). Strata missing from the map
     * fall back to `defaultFraction`. One codegen'd CASE per row, no

@@ -378,6 +378,20 @@ class SamplingSpec extends SparkSpec {
     assert(c != a && c == Sampling.uniform(docs, "id", 0.3, salt = 7)
       .select("id").as[Long].collect().toSet)
   }
+  test("uniformPortable: md5 bucket, repartition-stable, agrees with assignSplit's train set") {
+    val a = Sampling.uniformPortable(docs, "id", 0.37).select("id").as[Long].collect().toSet
+    val b = Sampling.uniformPortable(docs.repartition(11), "id", 0.37)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && math.abs(a.size / 2000.0 - 0.37) < 0.05)
+    // same bucket contract as assignSplit: fraction 0.8 == the train label
+    val kept = Sampling.uniformPortable(docs, "id", 0.8).select("id").as[Long].collect().toSet
+    val train = Sampling.assignSplit(docs, "id", Seq("train" -> 0.8, "rest" -> 0.2))
+      .filter($"split" === "train").select("id").as[Long].collect().toSet
+    assert(kept == train)
+    // boundary fractions are exact
+    assert(Sampling.uniformPortable(docs, "id", 0.0).count() == 0L)
+    assert(Sampling.uniformPortable(docs, "id", 1.0).count() == 2000L)
+  }
   test("stratified fractions per stratum; consistent ids across tables sharing the key") {
     val out = Sampling.stratified(docs, "quality", "id",
       Map("high" -> 1.0, "low" -> 0.1))
