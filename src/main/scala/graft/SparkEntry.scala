@@ -553,6 +553,16 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)
     }),
+    "q_ann_sq8" -> ((s, dir) => {
+      // int8 scalar quantization: 8x smaller stored vectors, asymmetric
+      // cosine over the dequantized codes — exact over the quantized
+      // representation, so the oracle replicates it from the ranges
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val (index, ranges) = Ann.sq8Index(embs, "vec_id", "embedding")
+      Ann.sq8TopK(index, ranges, "vec_id", q, 20)
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
@@ -1310,6 +1320,19 @@ object SparkEntry {
         |SELECT vec_id,
         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
         |FROM e, q
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+        |r AS (SELECT d, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc FROM x GROUP BY d),
+        |dq AS (SELECT vec_id, d,
+        |  CASE WHEN sc = 0 THEN mn ELSE mn + floor((x - mn) / sc + 0.5) * sc END AS dx
+        |  FROM x JOIN r USING (d)),
+        |dv AS (SELECT vec_id, list(dx ORDER BY d) AS v FROM dq GROUP BY vec_id),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM dv, q
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_ann_lsh" -> annLshOracleSql,
     "q_multimodal_embed" -> multimodalEmbedOracleSql,

@@ -229,6 +229,55 @@ object Ann {
       left.join(right, col("probe") === col("bb") && col("id_a") =!= col("id_b")), k)
   }
 
+  /** Scalar-quantized (SQ8) index: per-dimension corpus [min, max] ranges
+    * affine-encode every component to one unsigned byte — codes store 8×
+    * less than float64 (4× less than float32), which at lake scale is the
+    * difference between a scan that fits page cache and one that doesn't.
+    * Returns (codes frame, interleaved [min, scale]× ranges to pass to
+    * [[sq8TopK]]).
+    *
+    * The range aggregate is one flat min/max-per-dimension hash-aggregate
+    * (2·dims columns, combines map-side — same shape as the IVF centroid
+    * update, never an n×dims explode) collected as 2·dims doubles; encode
+    * itself is a codegen'd map ([[graft.plans.Sq8Quantize]]).
+    */
+  def sq8Index(embs: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, Seq[Double]) = {
+    val v = col(vecCol).cast("array<double>")
+    val dims = embs.select(size(v)).head().getInt(0)
+    val aggs = (0 until dims).flatMap(d => Seq(
+      min(element_at(v, d + 1)).as(s"mn$d"),
+      max(element_at(v, d + 1)).as(s"mx$d")))
+    val r = embs.agg(aggs.head, aggs.tail: _*).head()
+    val ranges: Seq[Double] = (0 until dims).flatMap { d =>
+      val mn = r.getDouble(2 * d); val mx = r.getDouble(2 * d + 1)
+      Seq(mn, (mx - mn) / 255.0)
+    }
+    val rangesCol = array(ranges.map(lit): _*)
+    val codes = embs.select(col(idCol),
+      graft.plans.VectorExpressions.sq8Quantize(embs.sparkSession, v, rangesCol)
+        .as("codes"))
+    (codes, ranges)
+  }
+
+  /** Top-k over an SQ8 index by asymmetric cosine: the stored side is
+    * dequantized inside the same codegen span that scores it (no
+    * full-precision vector ever materializes), the query stays full
+    * precision. Exact over the quantized representation — deterministic
+    * and reproducible by any engine from the [min, scale] ranges.
+    */
+  def sq8TopK(index: DataFrame, ranges: Seq[Double], idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val spark = index.sparkSession
+    val dq = graft.plans.VectorExpressions.sq8Dequantize(spark, col("codes"),
+      array(ranges.map(lit): _*))
+    index.select(col(idCol),
+      round(graft.plans.VectorExpressions.cosine(spark, dq,
+        array(query.map(lit): _*)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only rows whose SRP bucket is within
     * `probeHamming` bits of the query's bucket.
     */

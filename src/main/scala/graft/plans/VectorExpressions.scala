@@ -175,10 +175,167 @@ case class L2DistanceSquared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar quantization (SQ8) encode: array<double> vector → one unsigned
+  * byte per dimension under per-dimension affine ranges. `ranges` is the
+  * interleaved [min0, scale0, min1, scale1, …] corpus statistics (scale =
+  * (max−min)/255), so codes store TRUE 8× less than float64 embeddings —
+  * the standard memory/IO reduction for lake-scale vector search. The code
+  * is floor((x−min)/scale + 0.5) clamped to [0, 255] (floor(+0.5), not
+  * banker's/half-away rounding, so any SQL engine reproduces it exactly);
+  * a degenerate dimension (max = min ⇒ scale 0) encodes 0.
+  *
+  * NULL on a null array slot or when ranges' length ≠ 2 × vector length,
+  * matching the null propagation of the other vector expressions.
+  */
+case class Sq8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayDouble("graft_sq8_quantize", left, right)
+
+  private def elementsNullable: Boolean =
+    VectorExpressions.elementsNullable(left, right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val rg = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (rg.numElements() != 2 * n) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || rg.isNullAt(2 * i) || rg.isNullAt(2 * i + 1)) return null
+      val x = a.getDouble(i)
+      val mn = rg.getDouble(2 * i)
+      val sc = rg.getDouble(2 * i + 1)
+      var code = if (sc == 0.0) 0L else math.floor((x - mn) / sc + 0.5).toLong
+      if (code < 0L) code = 0L
+      if (code > 255L) code = 255L
+      out(i) = code.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val x = ctx.freshName("x")
+      val mn = ctx.freshName("mn")
+      val sc = ctx.freshName("sc")
+      val code = ctx.freshName("code")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt(2*$i) || $b.isNullAt(2*$i+1)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != 2 * $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = $a.getDouble($i);
+         |    double $mn = $b.getDouble(2 * $i);
+         |    double $sc = $b.getDouble(2 * $i + 1);
+         |    long $code = $sc == 0.0 ? 0L : (long) java.lang.Math.floor(($x - $mn) / $sc + 0.5);
+         |    if ($code < 0L) $code = 0L;
+         |    if ($code > 255L) $code = 255L;
+         |    $out[$i] = (byte) $code;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $out; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQ8 decode: byte codes + the interleaved ranges → array<double> of
+  * min + code·scale per dimension. Composes with [[CosineSimilarity]] /
+  * [[L2DistanceSquared]] inside the same whole-stage-codegen span, so a
+  * quantized scan scores without ever materializing full-precision
+  * vectors outside the generated loop (asymmetric distance: stored side
+  * dequantized, query side full precision).
+  */
+case class Sq8Dequantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8_dequantize requires (binary, array<double>) arguments, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  private def rangesNullable: Boolean = right.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val rg = r.asInstanceOf[ArrayData]
+    val n = codes.length
+    if (rg.numElements() != 2 * n) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (rg.isNullAt(2 * i) || rg.isNullAt(2 * i + 1)) return null
+      out(i) = rg.getDouble(2 * i) + (codes(i) & 0xff) * rg.getDouble(2 * i + 1)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val nullCheck = if (rangesNullable)
+        s"if ($b.isNullAt(2*$i) || $b.isNullAt(2*$i+1)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |int $n = $a.length;
+         |if ($b.numElements() != 2 * $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $out[$i] = $b.getDouble(2 * $i) + ($a[$i] & 0xFF) * $b.getDouble(2 * $i + 1);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   val cosineFn = "graft_cosine"
   val l2sqFn = "graft_l2sq"
+  val sq8QuantizeFn = "graft_sq8_quantize"
+  val sq8DequantizeFn = "graft_sq8_dequantize"
 
   /** Both inputs must be array<double> (the Column builders below insert
     * the casts; direct SQL calls get a real analysis error, not a
@@ -207,6 +364,10 @@ object VectorExpressions {
       cosineFn, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       l2sqFn, exprs => L2DistanceSquared(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      sq8QuantizeFn, exprs => Sq8Quantize(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      sq8DequantizeFn, exprs => Sq8Dequantize(exprs.head, exprs(1)), "built-in")
   }
 
   /** Codegen'd cosine similarity; arrays are cast to double first so float
@@ -221,5 +382,17 @@ object VectorExpressions {
   def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(l2sqFn, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Codegen'd SQ8 encode: vector + interleaved [min, scale]× → binary. */
+  def sq8Quantize(spark: SparkSession, vec: Column, ranges: Column): Column = {
+    register(spark)
+    call_function(sq8QuantizeFn, vec.cast("array<double>"), ranges.cast("array<double>"))
+  }
+
+  /** Codegen'd SQ8 decode: binary codes + interleaved ranges → vector. */
+  def sq8Dequantize(spark: SparkSession, codes: Column, ranges: Column): Column = {
+    register(spark)
+    call_function(sq8DequantizeFn, codes, ranges.cast("array<double>"))
   }
 }

@@ -90,6 +90,43 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_l2sq") || e.getMessage.contains("array"),
       e.getMessage)
   }
+  test("sq8: quantize/dequantize round-trip within half a step, codegen'd") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("vxsq").toString + "/t"
+    vecs.write.parquet(dir)
+    val embs = spark.read.parquet(dir)
+    val (index, ranges) = Ann.sq8Index(embs, "id", "v")
+    assert(ranges.length == 64) // 32 dims interleaved [min, scale]
+    // codes are true int8: one byte per dimension
+    val code0 = index.orderBy("id").select("codes").head().getAs[Array[Byte]](0)
+    assert(code0.length == 32)
+    // dequantized values sit within scale/2 of the originals, and the
+    // whole decode+score runs inside one codegen stage
+    val dq = index.select($"id",
+      VectorExpressions.sq8Dequantize(spark, $"codes",
+        array(ranges.map(lit): _*)).as("dv"))
+    val plan = dq.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val orig = embs.orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    dq.collect().foreach { r =>
+      val v = orig(r.getLong(0))
+      r.getSeq[Double](1).zipWithIndex.foreach { case (x, d) =>
+        val half = ranges(2 * d + 1) / 2 + 1e-12
+        assert(math.abs(x - v(d)) <= half, s"dim $d: $x vs ${v(d)}")
+      }
+    }
+    // degenerate dimension (max == min) decodes exactly, not NaN
+    val const = Seq((1L, Seq(5.0, 1.0)), (2L, Seq(5.0, 2.0))).toDF("id", "v")
+    val (ci, cr) = Ann.sq8Index(const, "id", "v")
+    assert(cr(1) == 0.0) // dim 0 scale
+    val back = ci.select(VectorExpressions.sq8Dequantize(spark, $"codes",
+      array(cr.map(lit): _*))).collect().map(_.getSeq[Double](0))
+    assert(back.forall(_.head == 5.0))
+    // sq8TopK: self-query ranks itself first
+    val top = Ann.sq8TopK(index, ranges, "id", orig(7L), 3).collect()
+    assert(top.head.getLong(0) == 7L)
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
