@@ -88,23 +88,43 @@ object Bench {
     }
 
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(formatFinalLine(results, total, sfShort))
+    spark.stop()
+  }
+
+  /** The single compact stdout line the driver's 2000-byte tail capture
+    * must hold whole. Precision ladder: 3 decimals, then 2; when even 2
+    * decimals outgrow the budget (the suite keeps growing), keep the
+    * SLOWEST queries' entries — the ones a reader grading against a
+    * baseline actually needs — and say how many fast ones were cut
+    * (`omitted_fastest`; the full map is always in bench_full.json).
+    * Never an empty map while any entry fits.
+    */
+  private[graft] def formatFinalLine(results: Seq[(String, Double)],
+      total: Double, sfShort: String, maxLen: Int = 1990): String = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    def compactLine(dp: Int): String = {
-      val qs = results.map { case (k, v) =>
+    def entries(kept: Seq[(String, Double)], dp: Int): String =
+      kept.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(v, dp))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
-    }
-    val maxLen = 1990 // 2000-byte tail minus newline + slack
-    val line = Seq(compactLine(3), compactLine(2)).find(_.length <= maxLen)
-      .getOrElse {
-        System.err.println(
-          s"[bench] per-query map no longer fits the 2000-byte tail; see bench_full.json")
-        s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"sf":"$sfShort","detail":"bench_full.json"}"""
+    def compactLine(dp: Int): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${entries(results, dp)},"sf":"$sfShort"}"""
+    def partial(kept: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${entries(kept, 2)},"sf":"$sfShort","omitted_fastest":${results.size - kept.size},"detail":"bench_full.json"}"""
+    Seq(compactLine(3), compactLine(2)).find(_.length <= maxLen).getOrElse {
+      System.err.println(
+        "[bench] full per-query map exceeds the tail budget; emitting " +
+          "slowest-first partial map (full record in bench_full.json)")
+      val bySlow = results.sortBy(-_._2)
+      // largest slowest-prefix that fits the budget
+      var lo = 0; var hi = bySlow.size
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (partial(bySlow.take(mid)).length <= maxLen) lo = mid else hi = mid - 1
       }
-    println(line)
-    spark.stop()
+      partial(bySlow.take(lo))
+    }
   }
 }

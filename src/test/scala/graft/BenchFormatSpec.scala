@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's final stdout line must fit the driver's 2000-byte
+  * tail capture WHOLE (a clipped front made BENCH_r06 unparseable), stay
+  * valid JSON, and never degrade to an empty per-query map while any entry
+  * fits — the suite keeps growing, so the ladder's last rung keeps the
+  * slowest queries and reports how many fast ones it cut.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => f"q_synthetic_gate_name_$i%03d" -> (0.1 + i * 0.01))
+
+  private def parse(line: String): Map[String, Any] = {
+    // minimal JSON sanity without a parser dependency: balanced braces,
+    // key presence, and extractable queries map
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"metric\":\"total\""))
+    Map("line" -> line)
+  }
+
+  test("small suites use full 3-decimal precision") {
+    val line = Bench.formatFinalLine(results(10), 1.45, "sf0.1")
+    parse(line)
+    assert(line.contains("\"q_synthetic_gate_name_000\":0.100"))
+    assert(!line.contains("omitted_fastest"))
+  }
+
+  test("mid-size suites drop to 2 decimals before dropping entries") {
+    // pick n so 3dp (~35 bytes/entry = 1960 + envelope, overflows) drops
+    // to 2dp (~34 bytes/entry, fits) without truncating entries
+    val n = 57 // 3dp renders 2009 bytes (> 1990), 2dp 1952 (fits)
+    val line3dp = Bench.formatFinalLine(results(n), 12.3, "sf0.1", maxLen = 100000)
+    assert(line3dp.contains(":0.100")) // unconstrained budget keeps 3dp
+    val line = Bench.formatFinalLine(results(n), 12.3, "sf0.1", maxLen = 1990)
+    parse(line)
+    assert(line.contains(":0.10") && !line.contains(":0.100")) // 2dp rung
+    if (line.contains("\"omitted_fastest\"")) fail(s"should not truncate at n=$n: $line")
+  }
+
+  test("oversized suites keep the slowest entries and count the cut") {
+    val n = 200 // far past any precision rung at the real budget
+    val line = Bench.formatFinalLine(results(n), 99.9, "sf0.1", maxLen = 1990)
+    assert(line.length <= 1990, s"line ${line.length} bytes")
+    parse(line)
+    assert(line.contains("\"omitted_fastest\":"))
+    assert(line.contains("\"detail\":\"bench_full.json\""))
+    // the slowest query (highest index by construction) must be present,
+    // the fastest must be the one sacrificed
+    assert(line.contains("q_synthetic_gate_name_199"))
+    assert(!line.contains("\"q_synthetic_gate_name_000\""))
+    // still a non-empty map
+    assert(line.contains("\"queries\":{\"q_"))
+  }
+
+  test("the current real suite size fits with a non-empty map") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val sim = names.map(n => n -> 0.73)
+    val line = Bench.formatFinalLine(sim, 48.4, "sf0.1", maxLen = 1990)
+    assert(line.length <= 1990, s"line ${line.length} bytes for ${names.size} queries")
+    // whichever rung it lands on, every-or-most entries are present and
+    // the line is tail-safe; an empty queries map is a regression
+    assert(line.contains("\"queries\":{\"q_"))
+  }
+
+  test("failed queries render as -1, not as a malformed number") {
+    val line = Bench.formatFinalLine(Seq("q_ok" -> 0.5, "q_bad" -> -1.0), 0.5, "sf0.1")
+    assert(line.contains("\"q_bad\":-1"))
+  }
+}
