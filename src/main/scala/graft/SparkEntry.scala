@@ -553,6 +553,15 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)
     }),
+    "q_ann_binary" -> ((s, dir) => {
+      // 1-bit quantization: 64 dims -> one long, Hamming pre-screen; the
+      // decimal-sum means make the thresholds engine-reproducible
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding")
+      Ann.binaryTopK(index, means, "vec_id", q, 20)
+    }),
     "q_ann_sq8" -> ((s, dir) => {
       // int8 scalar quantization: 8x smaller stored vectors, asymmetric
       // cosine over the dequantized codes — exact over the quantized
@@ -1321,6 +1330,18 @@ object SparkEntry {
         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
         |FROM e, q
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_binary" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+        |m AS (SELECT d, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |      FROM x GROUP BY d),
+        |b AS (SELECT vec_id, d, CASE WHEN x > mu THEN 1 ELSE 0 END AS bit
+        |      FROM x JOIN m USING (d)),
+        |qb AS (SELECT d, bit AS qbit FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id,
+        |  CAST(sum(CASE WHEN b.bit <> qb.qbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM b JOIN qb USING (d)
+        |GROUP BY b.vec_id ORDER BY hamming, vec_id LIMIT 20""".stripMargin,
     "q_ann_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),

@@ -278,6 +278,55 @@ object Ann {
       .limit(k)
   }
 
+  /** Binary (1-bit) quantization index: bit d is set iff component d
+    * exceeds the corpus's per-dimension mean — 64 dims collapse into ONE
+    * long (64× less storage than float64), and search is Hamming distance
+    * via Spark's codegen'd `bit_count(xor)`. The coarsest point on the
+    * quantization ladder ([[sq8Index]] is the 8-bit rung): at lake scale
+    * a binary pre-screen scans longs and only the shortlist ever touches
+    * real vectors.
+    *
+    * The means use decimal(38,12) sums cast back to double — double
+    * summation is partition-order dependent, and a mean that moved by one
+    * ulp could flip the bit of a component sitting exactly on it; decimal
+    * accumulation makes the index deterministic under any partitioning
+    * AND lets any engine reproduce the exact thresholds (the oracle does).
+    */
+  def binaryIndex(embs: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, Seq[Double]) = {
+    val v = col(vecCol).cast("array<double>")
+    val dims = embs.select(size(v)).head().getInt(0)
+    require(dims <= 64, s"binaryIndex packs into one long: dims $dims > 64")
+    val aggs = (0 until dims).map(d =>
+      (sum(element_at(v, d + 1).cast("decimal(38,12)")).cast("double") /
+        count(element_at(v, d + 1))).as(s"mu$d"))
+    val r = embs.agg(aggs.head, aggs.tail: _*).head()
+    val means = (0 until dims).map(r.getDouble)
+    val meansCol = array(means.map(lit): _*)
+    val codes = embs.select(col(idCol),
+      graft.plans.VectorExpressions.signPack(embs.sparkSession, v, meansCol)
+        .as("code"))
+    (codes, means)
+  }
+
+  /** Top-k by Hamming distance over a binary index: one codegen'd
+    * `bit_count(code ^ queryCode)` per row + TakeOrderedAndProject —
+    * per-partition heaps, no shuffle of the table. Ties break on id, so
+    * results are total-ordered and reproducible.
+    */
+  def binaryTopK(index: DataFrame, means: Seq[Double], idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    require(query.length == means.length,
+      s"query dims ${query.length} != index dims ${means.length}")
+    val qCode = query.zip(means).zipWithIndex.foldLeft(0L) {
+      case (bits, ((x, mu), d)) => if (x > mu) bits | (1L << d) else bits
+    }
+    index.select(col(idCol),
+      bit_count(col("code").bitwiseXOR(lit(qCode))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only rows whose SRP bucket is within
     * `probeHamming` bits of the query's bucket.
     */

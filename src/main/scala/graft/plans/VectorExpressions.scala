@@ -330,12 +330,76 @@ case class Sq8Dequantize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Binary (1-bit) quantization: bit d of the result is set iff
+  * vector[d] > thresholds[d] (typically the per-dimension corpus mean) —
+  * 64× less storage than float64, and similarity search degrades to
+  * Hamming distance over a single long (`bit_count(a ^ b)`, codegen'd by
+  * Spark itself). Requires dims ≤ 64; NULL on longer vectors, length
+  * mismatch, or null slots. The strict `>` comparison is exactly
+  * reproducible by any engine given the same thresholds.
+  */
+case class SignPack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayDouble("graft_sign_pack", left, right)
+
+  private def elementsNullable: Boolean =
+    VectorExpressions.elementsNullable(left, right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val t = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n > 64 || t.numElements() != n) return null
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || t.isNullAt(i)) return null
+      if (a.getDouble(i) > t.getDouble(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bits = ctx.freshName("bits")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n > 64 || $b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $bits = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    if ($a.getDouble($i) > $b.getDouble($i)) $bits |= 1L << $i;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $bits; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   val cosineFn = "graft_cosine"
   val l2sqFn = "graft_l2sq"
   val sq8QuantizeFn = "graft_sq8_quantize"
   val sq8DequantizeFn = "graft_sq8_dequantize"
+  val signPackFn = "graft_sign_pack"
 
   /** Both inputs must be array<double> (the Column builders below insert
     * the casts; direct SQL calls get a real analysis error, not a
@@ -368,6 +432,8 @@ object VectorExpressions {
       sq8QuantizeFn, exprs => Sq8Quantize(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       sq8DequantizeFn, exprs => Sq8Dequantize(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      signPackFn, exprs => SignPack(exprs.head, exprs(1)), "built-in")
   }
 
   /** Codegen'd cosine similarity; arrays are cast to double first so float
@@ -394,5 +460,11 @@ object VectorExpressions {
   def sq8Dequantize(spark: SparkSession, codes: Column, ranges: Column): Column = {
     register(spark)
     call_function(sq8DequantizeFn, codes, ranges.cast("array<double>"))
+  }
+
+  /** Codegen'd 1-bit sign pack: vector + per-dim thresholds → long. */
+  def signPack(spark: SparkSession, vec: Column, thresholds: Column): Column = {
+    register(spark)
+    call_function(signPackFn, vec.cast("array<double>"), thresholds.cast("array<double>"))
   }
 }

@@ -127,6 +127,34 @@ class VectorExpressionsSpec extends SparkSpec {
     val top = Ann.sq8TopK(index, ranges, "id", orig(7L), 3).collect()
     assert(top.head.getLong(0) == 7L)
   }
+  test("signPack: bit-per-dim over thresholds, codegen'd; binaryTopK self-ranks first") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("vxbq").toString + "/t"
+    vecs.write.parquet(dir)
+    val embs = spark.read.parquet(dir)
+    val (index, means) = Ann.binaryIndex(embs, "id", "v")
+    assert(means.length == 32)
+    // codes match a row-by-row reference pack
+    val orig = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val plan = index.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // pack runs inside codegen
+    index.collect().foreach { r =>
+      val expected = orig(r.getLong(0)).zipWithIndex.foldLeft(0L) {
+        case (bits, (x, d)) => if (x > means(d)) bits | (1L << d) else bits
+      }
+      assert(r.getLong(1) == expected)
+    }
+    // self-query has Hamming 0 and ranks first; distances are monotone
+    val top = Ann.binaryTopK(index, means, "id", orig(7L), 5).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(1) == 0L)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted)
+    // > 64 dims is an argument error at index build, NULL from the raw fn
+    val wide = Seq((1L, (0 until 65).map(_.toDouble))).toDF("id", "v")
+    intercept[IllegalArgumentException] { Ann.binaryIndex(wide, "id", "v") }
+    val raw = wide.select(VectorExpressions.signPack(spark, $"v",
+      array((0 until 65).map(_ => lit(0.0)): _*))).collect()
+    assert(raw.head.isNullAt(0))
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
