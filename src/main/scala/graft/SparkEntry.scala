@@ -562,6 +562,16 @@ object SparkEntry {
       val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding")
       Ann.binaryTopK(index, means, "vec_id", q, 20)
     }),
+    "q_ann_binary_rerank" -> ((s, dir) => {
+      // two-stage retrieval: Hamming shortlist over the 1-bit index, exact
+      // cosine re-rank of the shortlist only — the production ANN shape
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding")
+      Ann.binaryRerankTopK(index, means, embs, "vec_id", "embedding", q,
+        k = 10, shortlist = 100)
+    }),
     "q_ann_sq8" -> ((s, dir) => {
       // int8 scalar quantization: 8x smaller stored vectors, asymmetric
       // cosine over the dequantized codes — exact over the quantized
@@ -1342,6 +1352,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN b.bit <> qb.qbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
         |FROM b JOIN qb USING (d)
         |GROUP BY b.vec_id ORDER BY hamming, vec_id LIMIT 20""".stripMargin,
+    "q_ann_binary_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+        |m AS (SELECT d, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |      FROM x GROUP BY d),
+        |b AS (SELECT vec_id, d, CASE WHEN x > mu THEN 1 ELSE 0 END AS bit
+        |      FROM x JOIN m USING (d)),
+        |qb AS (SELECT d, bit AS qbit FROM b WHERE vec_id = 0),
+        |short AS (SELECT b.vec_id,
+        |    sum(CASE WHEN b.bit <> qb.qbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM b JOIN qb USING (d)
+        |  GROUP BY b.vec_id ORDER BY hamming, vec_id LIMIT 100),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM e JOIN short USING (vec_id), q
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_ann_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),

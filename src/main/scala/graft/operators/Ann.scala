@@ -327,6 +327,31 @@ object Ann {
       .limit(k)
   }
 
+  /** Two-stage retrieval: binary Hamming shortlist → exact cosine re-rank
+    * — the standard production shape for lake-scale vector search. Stage 1
+    * scans only the one-long-per-row binary index (64× less IO than the
+    * vectors) and keeps a deterministic `shortlist` (hamming, id)-ordered
+    * candidate set; stage 2 joins those ids back to the full-precision
+    * vectors and scores exact cosine for the final top-k.
+    *
+    * The shortlist is k-ish rows by construction, so the re-rank join
+    * broadcasts the shortlist against the corpus — the full vectors are
+    * touched only for a semi-join's worth of rows, never scanned wide.
+    * Recall is governed by `shortlist` (the usual quality/IO dial).
+    */
+  def binaryRerankTopK(index: DataFrame, means: Seq[Double],
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = binaryTopK(index, means, idCol, query, shortlist)
+      .select(col(idCol))
+    embs.join(broadcast(cands), idCol)
+      .transform(withCosine(_, vecCol, query))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only rows whose SRP bucket is within
     * `probeHamming` bits of the query's bucket.
     */

@@ -155,6 +155,27 @@ class VectorExpressionsSpec extends SparkSpec {
       array((0 until 65).map(_ => lit(0.0)): _*))).collect()
     assert(raw.head.isNullAt(0))
   }
+  test("binaryRerankTopK: full-corpus shortlist equals brute force; smaller shortlists screen") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("vxrr").toString + "/t"
+    vecs.write.parquet(dir)
+    val embs = spark.read.parquet(dir)
+    val (index, means) = Ann.binaryIndex(embs, "id", "v")
+    val q = embs.filter($"id" === 7).select($"v".cast("array<double>"))
+      .head().getSeq[Double](0)
+    // shortlist = whole corpus -> exact: must equal bruteForceTopK
+    val exact = Ann.bruteForceTopK(embs, "id", "v", q, 10).collect().toSeq
+    val rr = Ann.binaryRerankTopK(index, means, embs, "id", "v", q,
+      k = 10, shortlist = 100).collect().toSeq
+    assert(rr == exact)
+    // a tight shortlist still self-ranks first with score 1.0
+    val tight = Ann.binaryRerankTopK(index, means, embs, "id", "v", q,
+      k = 3, shortlist = 10).collect()
+    assert(tight.head.getLong(0) == 7L && tight.head.getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] {
+      Ann.binaryRerankTopK(index, means, embs, "id", "v", q, k = 20, shortlist = 10)
+    }
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
