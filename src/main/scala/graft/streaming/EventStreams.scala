@@ -79,6 +79,41 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming semantic near-dup screen over a BINARY-QUANTIZED corpus
+    * index: each arriving embedding is sign-packed against the corpus's
+    * per-dimension means (one codegen'd map, no state) and joined to the
+    * one-long-per-row index; rows whose Hamming distance to any corpus
+    * code is ≤ `maxHamming` are flagged. The static side carries 64× less
+    * than the raw vectors ([[graft.operators.Ann.binaryIndex]]'s shape),
+    * so the screen's working set is longs — a stream-static join whose
+    * static side fits memory ~64× longer than a full-precision screen
+    * would, and no streaming state at all beyond the join itself.
+    *
+    * This is a SCREEN (cheap recall-oriented pre-filter): survivors of
+    * the flag go to exact verification offline, the same contract as the
+    * minhash [[ingestScreen]] family. Aggregate per arriving id, so one
+    * arriving row emits one row with its nearest-corpus distance.
+    */
+  def binaryScreen(arrivals: DataFrame, corpusCodes: DataFrame,
+      means: Seq[Double], idCol: String, vecCol: String,
+      maxHamming: Int): DataFrame = {
+    val spark = arrivals.sparkSession
+    val packed = arrivals.select(col(idCol),
+      graft.plans.VectorExpressions.signPack(spark,
+        col(vecCol).cast("array<double>"),
+        org.apache.spark.sql.functions.array(means.map(lit): _*)).as("code"))
+    // broadcast pins the stream-static nested loop map-side: every micro-
+    // batch scans the (tiny: 8 bytes/doc) code table in memory. A corpus
+    // too big even as longs would shard this screen by LSH band/cell
+    // first — the same partition-the-index answer as the minhash family.
+    packed.join(broadcast(corpusCodes.select(col("code").as("corpus_code"))))
+      .withColumn("hamming",
+        bit_count(col("code").bitwiseXOR(col("corpus_code"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(min(col("hamming")).as("min_hamming"))
+      .withColumn("flagged", (col("min_hamming") <= maxHamming).cast("int"))
+  }
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's purchases in the preceding `lookback`. Both sides carry
     * watermarks AND the join condition bounds event-time distance, so

@@ -75,6 +75,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("streaming binary screen: arriving embeddings flagged by Hamming vs corpus codes") {
+    implicit val sq = spark.sqlContext
+    // corpus: two reference vectors -> 1-bit index (means + codes)
+    val corpus = Seq(
+      (10L, Seq(1.0, 1.0, -1.0, -1.0)),
+      (11L, Seq(-1.0, -1.0, 1.0, 1.0))).toDF("id", "v")
+    val (codes, means) = graft.operators.Ann.binaryIndex(corpus, "id", "v")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val arrivals = input.toDF().toDF("vec_id", "emb")
+    val q = EventStreams.binaryScreen(arrivals, codes, means,
+        "vec_id", "emb", maxHamming = 1)
+      .writeStream.format("memory").queryName("bscreen")
+      .outputMode("complete").start()
+    input.addData(
+      (1L, Seq(0.9, 1.1, -0.8, -1.2)),  // same sign pattern as corpus 10 → 0
+      (2L, Seq(-0.9, 1.1, -0.8, 1.2)),  // 2 bits from both corpus codes
+      (3L, Seq(-1.0, -0.9, 1.2, 0.8)))  // matches corpus 11 → 0
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bscreen").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L) == ((0L, 1)) && out(3L) == ((0L, 1)))
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0)
+  }
+
   test("ingest screen over the persisted bucketed fp index (steady-state shape)") {
     implicit val sq = spark.sqlContext
     // the batch-side index written by Dedup.writeExactIndex is exactly the
