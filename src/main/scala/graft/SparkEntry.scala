@@ -553,6 +553,23 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)
     }),
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      // the classic composite: IVF coarse routing (full-precision
+      // assignment, fixed oracle-replicable centroids) x SQ8 in-cell
+      // scoring — nprobe/nlist corpus fraction AND 8x narrower rows
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val centroids = embs.filter(col("vec_id").between(1, 16))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      val cells = Ann.ivfAssign(embs, "embedding", centroids)
+        .select(col("vec_id"), col("cell"))
+      val (codes, ranges) = Ann.sq8Index(embs, "vec_id", "embedding")
+      Ann.ivfSq8TopK(cells.join(codes, "vec_id"), centroids, ranges,
+        "vec_id", q, 20, nprobe = 4)
+    }),
     "q_ann_binary" -> ((s, dir) => {
       // 1-bit quantization: 64 dims -> one long, Hamming pre-screen; the
       // decimal-sum means make the thresholds engine-reproducible
@@ -1340,6 +1357,39 @@ object SparkEntry {
         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
         |FROM e, q
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_ivf_sq8" ->
+      // IVF assignment/probe CTEs are q_ann_ivf's; the dequantized-vector
+      // CTEs are q_ann_sq8's; scoring runs over dv for probed-cell members
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |         FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM cent, q
+        |  ORDER BY round(list_dot_product(cv, cv) - 2 * list_dot_product(cv, qv)
+        |    + list_dot_product(qv, qv), 6), cid
+        |  LIMIT 4),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+        |r AS (SELECT d, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc FROM x GROUP BY d),
+        |dq AS (SELECT vec_id, d,
+        |  CASE WHEN sc = 0 THEN mn ELSE mn + floor((x - mn) / sc + 0.5) * sc END AS dx
+        |  FROM x JOIN r USING (d)),
+        |dv AS (SELECT vec_id, list(dx ORDER BY d) AS v FROM dq GROUP BY vec_id)
+        |SELECT a.vec_id,
+        |  round(list_dot_product(dv.v, qv) / (sqrt(list_dot_product(dv.v, dv.v)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+        |FROM assigned a JOIN dv ON dv.vec_id = a.vec_id, q
+        |WHERE a.cid IN (SELECT cid FROM probe)
+        |ORDER BY score DESC, a.vec_id LIMIT 20""".stripMargin,
     "q_ann_binary" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),

@@ -126,19 +126,49 @@ object Ann {
       .withColumn("v", v)
   }
 
+  /** The `nprobe` cells whose centroids are nearest the query, with the
+    * same 6-dp rounding (HALF_UP, matching Spark/DuckDB `round` on
+    * nonnegative values) as cell assignment: probe choice must not hinge
+    * on last-bit float disagreement across engines.
+    */
+  private def probeCells(centroids: Seq[Seq[Double]], query: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .map { case (d, i) => (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP), i) }
+      .sortBy(identity).take(nprobe).map(_._2)
+
   /** IVF top-k: score only vectors in the `nprobe` cells nearest the query. */
   def ivfTopK(index: DataFrame, centroids: Seq[Seq[Double]],
       idCol: String, vecCol: String, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
-      // same 6-dp rounding (HALF_UP, matching Spark/DuckDB `round` on
-      // nonnegative values) as cell assignment, for the same reason: probe
-      // choice must not hinge on last-bit float disagreement across engines
-      .map { case (d, i) => (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP), i) }
-      .sortBy(identity).take(nprobe).map(_._2)
-    withCosine(index.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+    val cells = probeCells(centroids, query, nprobe)
+    withCosine(index.filter(col("cell").isin(cells.map(Integer.valueOf): _*)),
       vecCol, query)
       .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF + SQ8 composite (the classic "IVF,SQ8" index): the coarse
+    * quantizer routes the query to `nprobe` cells over FULL-precision
+    * assignment, and in-cell scoring runs over the 8× smaller SQ8 codes,
+    * dequantized inside the same codegen span as the cosine. `index` is
+    * (id, cell, codes) — [[ivfAssign]] joined to [[sq8Index]]'s codes —
+    * so a probe reads nprobe/nlist of the corpus AND each row read is 8×
+    * narrower: the two scan-reduction dials compose multiplicatively at
+    * lake scale.
+    */
+  def ivfSq8TopK(index: DataFrame, centroids: Seq[Seq[Double]],
+      ranges: Seq[Double], idCol: String, query: Seq[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    val cells = probeCells(centroids, query, nprobe)
+    val dq = graft.plans.VectorExpressions.sq8Dequantize(spark, col("codes"),
+      array(ranges.map(lit): _*))
+    index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol),
+        round(graft.plans.VectorExpressions.cosine(spark, dq,
+          array(query.map(lit): _*)), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -176,6 +176,29 @@ class VectorExpressionsSpec extends SparkSpec {
       Ann.binaryRerankTopK(index, means, embs, "id", "v", q, k = 20, shortlist = 10)
     }
   }
+  test("ivfSq8TopK: probing every cell equals plain sq8TopK; probes restrict the scan") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("vxivfsq").toString + "/t"
+    vecs.write.parquet(dir)
+    val embs = spark.read.parquet(dir)
+    val q = embs.filter($"id" === 7).select($"v".cast("array<double>"))
+      .head().getSeq[Double](0)
+    val centroids = embs.filter($"id".between(1, 4)).orderBy("id")
+      .select($"v".cast("array<double>")).collect().map(_.getSeq[Double](0)).toSeq
+    val cells = Ann.ivfAssign(embs, "v", centroids).select($"id", $"cell")
+    val (codes, ranges) = Ann.sq8Index(embs, "id", "v")
+    val index = cells.join(codes, "id")
+    // nprobe = nlist -> every row scored -> must equal the flat SQ8 path
+    val all = Ann.ivfSq8TopK(index, centroids, ranges, "id", q, 10,
+      nprobe = centroids.size).collect().toSeq
+    val flat = Ann.sq8TopK(codes, ranges, "id", q, 10).collect().toSeq
+    assert(all == flat)
+    // nprobe = 1 scores a strict subset of rows (cells partition the corpus)
+    val one = Ann.ivfSq8TopK(index, centroids, ranges, "id", q, 10, nprobe = 1)
+    val cellSizes = cells.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.length > 1) // the probe genuinely restricts
+    assert(one.count() <= 10)
+  }
   test("registered for SQL use") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
