@@ -861,6 +861,22 @@ object SparkEntry {
           round(col("img.mean_b"), 4).as("mean_b"))
         .orderBy(col("doc_id"))
     }),
+    "q_mm_resize" -> ((s, dir) => {
+      // REAL resize: synthesized PNGs -> nearest-neighbor 6x5 (integer
+      // floor mapping) -> re-encode -> decode; the oracle recomputes the
+      // sampled source pixels analytically from the generator formula
+      val ids = Tables.loadParallel(s, dir, "documents", "doc_id")
+        .select(col("doc_id"))
+      val png = Multimodal.synthesizeTestImages(ids, "doc_id")
+      val small = Multimodal.resizeImages(png, "payload", 6, 5)
+      Multimodal.decodeImageFeatures(small, "resized")
+        .select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"), col("img.channels").as("channels"),
+          round(col("img.mean_r"), 4).as("mean_r"),
+          round(col("img.mean_g"), 4).as("mean_g"),
+          round(col("img.mean_b"), 4).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- events aggregation (decimal-exact sums) ----
     "q_events_daily" -> ((s, dir) =>
       // ts arrives as raw nanos (TIMESTAMP(NANOS) read under nanosAsLong);
@@ -1180,6 +1196,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal" -> multimodalOracleSql,
     "q_mm_decode" -> mmDecodeOracleSql,
+    "q_mm_resize" -> mmResizeOracleSql,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
@@ -2007,6 +2024,26 @@ object SparkEntry {
     * synthesizeTestImages generator formula (PNG is lossless, so the
     * engine's decoded means must equal these exactly at 4 dp).
     */
+  /** Resize oracle: destination pixel (x, y) of the 6×5 output samples
+    * source pixel (x·w // 6, y·h // 5) — DuckDB `//` is floor division,
+    * identical to Java int division on the nonnegative operands here —
+    * and the sampled pixel's channels come from the generator formula.
+    */
+  private def mmResizeOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(8 + doc_id % 13 AS BIGINT) AS w,
+      |  CAST(8 + doc_id % 7 AS BIGINT) AS h FROM documents),
+      |xs AS (SELECT x FROM generate_series(0, 5) gx(x)),
+      |ys AS (SELECT y FROM generate_series(0, 4) gy(y)),
+      |px AS (SELECT doc_id, (x * w) // 6 AS sx, (y * h) // 5 AS sy
+      |       FROM d, xs, ys)
+      |SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  round(avg((doc_id * 31 + sx * 7 + sy * 13) % 256), 4) AS mean_r,
+      |  round(avg((doc_id * 17 + sx * 3 + sy * 5) % 256), 4) AS mean_g,
+      |  round(avg((doc_id * 23 + sx * 11 + sy * 2) % 256), 4) AS mean_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def mmDecodeOracleSql: String =
     """WITH d AS (SELECT doc_id,
       |  CAST(8 + doc_id % 13 AS BIGINT) AS w,

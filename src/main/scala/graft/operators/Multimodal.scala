@@ -137,6 +137,60 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL nearest-neighbor image resize through the JDK codecs: source
+    * pixel for destination (x, y) is (x·srcW / dstW, y·srcH / dstH) with
+    * INTEGER division — the standard floor mapping, chosen over bilinear
+    * because it is exactly replicable by any engine from the pixel
+    * formula (the resize gate's oracle recomputes the sampled pixels in
+    * SQL). Output re-encodes as PNG (lossless), so chained decode steps
+    * see the selected pixels bit-exactly.
+    */
+  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, s"bad target size ${dstW}x$dstH")
+    ensureNoImageIoDiskCache()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val out = new Array[Int](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * sh / dstH
+      var x = 0
+      while (x < dstW) {
+        out(y * dstW + x) = src(sy * sw + x * sw / dstW)
+        x += 1
+      }
+      y += 1
+    }
+    val dst = new java.awt.image.BufferedImage(dstW, dstH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    dst.setRGB(0, 0, dstW, dstH, out, 0, dstW)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[resizeImage]] over a binary column — the same per-partition
+    * iterator shape as [[decodeImageFeatures]] (executor-side codec, no
+    * driver involvement, null payloads pass through as null).
+    */
+  def resizeImages(df: DataFrame, binaryCol: String, dstW: Int, dstH: Int,
+      outputCol: String = "resized"): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, BinaryType, nullable = true))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binIdx)
+        val resized = if (payload == null) null else resizeImage(payload, dstW, dstH)
+        Row.fromSeq(row.toSeq :+ resized)
+      }
+    }(encoder)
+  }
+
   /** Encode a W×H RGB image to PNG bytes. PNG is lossless, so a decode of
     * the result reproduces `rgb` exactly — which is what lets the decode
     * gate be verified by an oracle that computes pixel statistics

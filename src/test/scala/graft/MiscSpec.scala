@@ -263,6 +263,28 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) != byId(2L))
     assert(byId(1L)._2 == HashPartitionPruning.md5Hex("hello"))
   }
+  test("resizeImage: nearest-neighbor floor mapping selects exact source pixels") {
+    // 4x2 source with a distinct color per pixel; resize to 2x2 must pick
+    // source pixels (x*4/2, y*2/2) = (0,0),(2,0),(0,1),(2,1)
+    val src = Multimodal.encodePng(4, 2, (x, y) => (x * 10, y * 100, x + y))
+    val out = Multimodal.resizeImage(src, 2, 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    def rgb(x: Int, y: Int) = {
+      val p = img.getRGB(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    assert(rgb(0, 0) == ((0, 0, 0)) && rgb(1, 0) == ((20, 0, 2)))
+    assert(rgb(0, 1) == ((0, 100, 1)) && rgb(1, 1) == ((20, 100, 3)))
+    // column form: null payloads pass through, shape is (binary)
+    val df = Seq((1L, src), (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val rs = Multimodal.resizeImages(df, "payload", 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(rs(2L) == null && rs(1L).length > 0)
+    // upscale also floor-maps (2x2 -> 4x2 repeats columns)
+    val up = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(out, 4, 2)))
+    assert(up.getRGB(0, 0) == up.getRGB(1, 0) && up.getRGB(2, 0) == up.getRGB(3, 0))
+  }
   test("null payloads produce null features, not failures") {
     val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "t")
       .withColumn("payload", encode(col("t"), "UTF-8"))
