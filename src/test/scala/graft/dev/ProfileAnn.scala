@@ -1,0 +1,54 @@
+package graft.dev
+
+import graft.Tables
+import graft.operators.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness for the ANN quantization ladder (test scope):
+  * separates INDEX BUILD cost from SEARCH cost per representation —
+  * the gate numbers bill both to one query, but at scale the index is
+  * built once and searched millions of times, so search-only time is
+  * the number that matters for serving.
+  */
+object ProfileAnn {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      r
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    drain(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20))
+
+    time("brute-search")(drain(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 20)))
+
+    val (sq8Codes, ranges) = time("sq8-index-build")(
+      Ann.sq8Index(embs, "vec_id", "embedding"))
+    val sq8Mat = sq8Codes.localCheckpoint(true) // built once, searched many
+    time("sq8-search")(drain(Ann.sq8TopK(sq8Mat, ranges, "vec_id", q, 20)))
+
+    val (binCodes, means) = time("binary-index-build")(
+      Ann.binaryIndex(embs, "vec_id", "embedding"))
+    val binMat = binCodes.localCheckpoint(true)
+    time("binary-search")(drain(Ann.binaryTopK(binMat, means, "vec_id", q, 20)))
+    time("binary-rerank-search")(drain(Ann.binaryRerankTopK(
+      binMat, means, embs, "vec_id", "embedding", q, 10, 100)))
+
+    spark.stop()
+  }
+}
