@@ -861,6 +861,18 @@ object SparkEntry {
           round(col("img.mean_b"), 4).as("mean_b"))
         .orderBy(col("doc_id"))
     }),
+    "q_mm_frames" -> ((s, dir) => {
+      // frame sampling over opaque binary payloads: every 2nd 32-byte
+      // frame, fingerprinted — the corpus text is ASCII so the oracle
+      // replicates the byte slicing with character substrings
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(payloads, "payload", frameBytes = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "q_mm_resize" -> ((s, dir) => {
       // REAL resize: synthesized PNGs -> nearest-neighbor 6x5 (integer
       // floor mapping) -> re-encode -> decode; the oracle recomputes the
@@ -1197,6 +1209,17 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracleSql,
     "q_mm_decode" -> mmDecodeOracleSql,
     "q_mm_resize" -> mmResizeOracleSql,
+    "q_mm_frames" ->
+      // ASCII corpus: byte slicing == character slicing; frames start at
+      // 1 + idx*32 for every even idx below ceil(len/32)
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n, CAST(ceil(n / 32.0) AS BIGINT) AS nf FROM d),
+        |ix AS (SELECT doc_id, text, n, unnest(range(0, nf)) AS frame_idx FROM f),
+        |fr AS (SELECT doc_id, frame_idx, substring(text, CAST(frame_idx * 32 + 1 AS INT), 32) AS frame
+        |       FROM ix WHERE frame_idx % 2 = 0)
+        |SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
+        |  md5(frame) AS frame_fp
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
