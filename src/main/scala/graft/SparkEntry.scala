@@ -807,6 +807,13 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "doc_id", 0.37)
         .orderBy(col("doc_id"))),
+    "q_sample_weighted" -> ((s, dir) =>
+      // importance sampling: keep probability proportional to doc length
+      // (n_chars/1000 clamped to 1) — per-row weights, portable md5 bucket
+      graft.operators.Sampling.bernoulliByWeight(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", col("n_chars").cast("double") / 1000.0)
+        .orderBy(col("doc_id"))),
     "q_split_leakage_safe" -> ((s, dir) => {
       // near-dup clusters (same minhash pipeline as q_dedup_clusters)
       // hashed as whole groups: a cluster never straddles train/test
@@ -1298,6 +1305,13 @@ object SparkEntry {
         |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM t WHERE b < 370000 ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b,
+        |  least(greatest(n_chars / 1000.0, 0.0), 1.0) AS w
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM t
+        |WHERE b < CAST(floor(w * 1000000) AS BIGINT) ORDER BY doc_id""".stripMargin,
     "q_split_leakage_safe" -> splitLeakageSafeOracleSql,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),

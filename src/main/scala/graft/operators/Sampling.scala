@@ -70,6 +70,27 @@ object Sampling {
     df.filter(keep(col(idCol), salt, frac))
   }
 
+  /** Per-ROW weighted Bernoulli sample: row i survives iff
+    * `bucket(id) < floor(keepProb_i · M)` where keepProb_i =
+    * `fraction · clamp(weight_i, 0, 1)` — importance sampling with the
+    * keep probability taken from a COLUMN (quality score, dup penalty,
+    * recency decay) instead of [[stratified]]'s per-stratum literals.
+    * The bucket is the portable salted-md5 of [[assignSplit]], and the
+    * threshold is an integer, so any engine reproduces the kept set
+    * exactly (the gate's oracle does); same map-side predicate shape —
+    * no shuffle, no RNG, repartition-stable, and consistent across
+    * tables sharing the id.
+    */
+  def bernoulliByWeight(df: DataFrame, idCol: String, weightCol: Column,
+      fraction: Double = 1.0, salt: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    val w = least(greatest(weightCol.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(bucket < floor(w * fraction * M).cast("long"))
+  }
+
   /** Keep the best `fraction` of rows per group by score — "top half of
     * every domain by quality", the rank-based counterpart to [[stratified]]
     * (which keeps a random subset; this keeps the best one). Deterministic

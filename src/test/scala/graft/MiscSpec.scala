@@ -414,6 +414,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.uniformPortable(docs, "id", 0.0).count() == 0L)
     assert(Sampling.uniformPortable(docs, "id", 1.0).count() == 2000L)
   }
+  test("bernoulliByWeight: per-row keep probability, monotone, degrades to uniformPortable") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // constant weight w == uniformPortable(w): same bucket, same threshold
+    val flat = Sampling.bernoulliByWeight(docs, "id", lit(0.37))
+      .select("id").as[Long].collect().toSet
+    val uni = Sampling.uniformPortable(docs, "id", 0.37)
+      .select("id").as[Long].collect().toSet
+    assert(flat == uni)
+    // weight 0 keeps nothing, weight 1 keeps everything, clamp handles overrun
+    assert(Sampling.bernoulliByWeight(docs, "id", lit(0.0)).count() == 0L)
+    assert(Sampling.bernoulliByWeight(docs, "id", lit(1.0)).count() == 2000L)
+    assert(Sampling.bernoulliByWeight(docs, "id", lit(7.5)).count() == 2000L)
+    // monotone per row: a higher-weight run keeps a superset
+    val wLo = when(col("quality") === "high", 0.9).otherwise(0.1)
+    val wHi = when(col("quality") === "high", 1.0).otherwise(0.4)
+    val lo = Sampling.bernoulliByWeight(docs, "id", wLo).select("id").as[Long].collect().toSet
+    val hi = Sampling.bernoulliByWeight(docs, "id", wHi).select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // and the per-class rates track the weights
+    val kept = Sampling.bernoulliByWeight(docs, "id", wLo)
+      .groupBy("quality").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("high") > 400L && kept.getOrElse("low", 0L) < 250L)
+  }
   test("stratified fractions per stratum; consistent ids across tables sharing the key") {
     val out = Sampling.stratified(docs, "quality", "id",
       Map("high" -> 1.0, "low" -> 0.1))
