@@ -1864,9 +1864,9 @@ object SparkEntry {
        |  SELECT doc_id, 1 FROM lab WHERE cluster IS NULL),
        |sp AS (SELECT doc_id,
        |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT doc_id,
-       |    ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
-       |    FROM documents))
+       |  FROM (SELECT d.doc_id,
+       |    ('0x' || substring(md5(coalesce(cl2.cluster, d.doc_id)::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
+       |    FROM documents d LEFT JOIN cl cl2 ON d.doc_id = cl2.doc_id))
        |SELECT qf.doc_id, CAST(ok_quality AS BIGINT) AS ok_quality,
        |  CAST(ok_exact AS BIGINT) AS ok_exact,
        |  CAST(ok_canonical AS BIGINT) AS ok_canonical,

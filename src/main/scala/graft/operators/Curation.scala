@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * quality rules, is the first copy of its exact fingerprint, and is the
   * canonical (best-scored) member of its near-dup cluster. Each verdict
   * column is also reported on its own so downstream consumers can relax
-  * any single rule without re-running the pipeline.
+  * any single rule without re-running the pipeline. The split label is
+  * LEAKAGE-SAFE (r8): it hashes the near-dup cluster label (own id when
+  * unclustered), so both copies of a near-duplicate pair always land in
+  * the same split — the clusters are already on hand for the canonical
+  * verdict, so this costs one extra skinny left join.
   *
   * Scale shape: every component is id-keyed; the joins reuse the id
   * partitioning the components already produce, and the exact-dedup
@@ -46,7 +50,13 @@ object Curation {
         shingleSize, numBands, rowsPerBand, threshold))
     val canonical = Dedup.keepCanonical(docs, clusters, idCol, scoreCol)
       .select(col("doc_id").as("id"), col("keep").as("ok_canonical"))
-    val split = Sampling.assignSplit(docs.select(col(idCol).as("id")), "id", splits)
+    // leakage-safe split (r8): the clusters are already computed for the
+    // canonical verdict, so hashing the cluster label instead of the doc
+    // id costs one extra skinny left join and guarantees a near-dup pair
+    // never straddles train/test
+    val split = Sampling.assignSplitByGroup(docs.select(col(idCol).as("id")),
+        "id", clusters, "doc_id", "cluster", splits)
+      .drop("split_group")
     quality
       .join(exactKeep, "id")
       .join(canonical, "id")
