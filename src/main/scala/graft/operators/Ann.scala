@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Dimensionality probe shared by the index builders: fails fast with an
+    * actionable message on an empty corpus or a null first vector instead
+    * of the bare NoSuchElementException / NPE `head().getInt` would throw.
+    */
+  private[operators] def vecDims(embs: DataFrame, vecCol: String): Int = {
+    val row = embs.select(size(col(vecCol).cast("array<double>"))).head(1)
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"cannot build an index over an empty corpus (no rows in '$vecCol')"))
+    require(!row.isNullAt(0) && row.getInt(0) > 0,
+      s"cannot build an index: first '$vecCol' vector is null or empty")
+    row.getInt(0)
+  }
+
   def withCosine(embs: DataFrame, vecCol: String, query: Seq[Double]): DataFrame = {
     val q = array(query.map(lit): _*)
     // native codegen'd expression; bit-identical to V.cosineSimilarity
@@ -274,7 +287,7 @@ object Ann {
   def sq8Index(embs: DataFrame, idCol: String,
       vecCol: String): (DataFrame, Seq[Double]) = {
     val v = col(vecCol).cast("array<double>")
-    val dims = embs.select(size(v)).head().getInt(0)
+    val dims = vecDims(embs, vecCol)
     val aggs = (0 until dims).flatMap(d => Seq(
       min(element_at(v, d + 1)).as(s"mn$d"),
       max(element_at(v, d + 1)).as(s"mx$d")))
@@ -325,7 +338,7 @@ object Ann {
   def binaryIndex(embs: DataFrame, idCol: String,
       vecCol: String): (DataFrame, Seq[Double]) = {
     val v = col(vecCol).cast("array<double>")
-    val dims = embs.select(size(v)).head().getInt(0)
+    val dims = vecDims(embs, vecCol)
     require(dims <= 64, s"binaryIndex packs into one long: dims $dims > 64")
     val aggs = (0 until dims).map(d =>
       (sum(element_at(v, d + 1).cast("decimal(38,12)")).cast("double") /

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.Ops
+
 /** The capstone composition: one call producing the per-document verdict
   * table a training-data pipeline actually ships — every standard signal
   * side by side and the conjunctive keep, plus the train/val/test split
@@ -36,31 +38,37 @@ object Curation {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val quality = QualityFilter.verdicts(docs, idCol, textCol)
       .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
-    // first copy of the exact fingerprint wins (same rule as Dedup.exact);
-    // consumed twice (rows + its own min-id rollup) — fingerprint once
-    val fps = docs.select(col(idCol).as("id"),
-      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
-      .localCheckpoint(false)
-    val exactKeep = fps
-      .join(fps.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
+    // fused base pass (r9): the exact-dedup fingerprint, the canonical
+    // score, and the split's id list are all per-row Column work over the
+    // same scan — compute them in ONE materialized pass instead of three
+    // source scans (fps, keepCanonical's (id, score), the split ids)
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(scoreCol).as("score"))
+      .materialize()
+    val exactKeep = base
+      .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
       .select(col("id"),
         when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+    // shared shingle frame (r9): the pair generation derives shingles once
+    // (materialized inside minhashDedup's FromShingles path) instead of
+    // twice — candidates and verification sets read one derivation
+    val sh = Dedup.shingleRows(docs, idCol, textCol, shingleSize)
+      .materialize()
     val clusters = Dedup.duplicateClusters(
-      Dedup.minhashDedup(docs, idCol, textCol,
-        shingleSize, numBands, rowsPerBand, threshold))
-    val canonical = Dedup.keepCanonical(docs, clusters, idCol, scoreCol)
-      .select(col("doc_id").as("id"), col("keep").as("ok_canonical"))
-    // leakage-safe split (r8): the clusters are already computed for the
-    // canonical verdict, so hashing the cluster label instead of the doc
-    // id costs one extra skinny left join and guarantees a near-dup pair
-    // never straddles train/test
-    val split = Sampling.assignSplitByGroup(docs.select(col(idCol).as("id")),
-        "id", clusters, "doc_id", "cluster", splits)
-      .drop("split_group")
+      Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+    // leakage-safe split fused onto the canonical verdict (r9): keepCanonical
+    // already emits every document labeled by its near-dup cluster (own id
+    // when unclustered) — exactly [[Sampling.assignSplitByGroup]]'s
+    // split_group — so the split is ONE map-side md5 CASE over the canonical
+    // frame instead of a separate clusters join + a fourth id join
+    val canonicalSplit = Sampling.assignSplit(
+        Dedup.keepCanonicalScored(base.select(col("id"), col("score")), clusters),
+        "cluster", splits)
+      .select(col("doc_id").as("id"), col("keep").as("ok_canonical"), col("split"))
     quality
       .join(exactKeep, "id")
-      .join(canonical, "id")
-      .join(split, "id")
+      .join(canonicalSplit, "id")
       .select(col("id").as("doc_id"),
         col("ok_quality").cast("long").as("ok_quality"),
         col("ok_exact").cast("long").as("ok_exact"),

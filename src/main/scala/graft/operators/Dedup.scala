@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -79,11 +80,16 @@ object Dedup {
     * 32-char values per document.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = shingleRows(docs, idCol, textCol, shingleSize)
+      shingleSize: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      shingleRows(docs, idCol, textCol, shingleSize), numHashes)
+
+  /** [[minhashSignatures]] over a prebuilt (id, shingle) frame. */
+  private[operators] def minhashSignaturesFromShingles(sh: DataFrame,
+      numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
-    exploded.groupBy(col("id"))
+    sh.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -92,15 +98,23 @@ object Dedup {
     * numHashes = numBands * rowsPerBand.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesFromShingles(
+      shingleRows(docs, idCol, textCol, shingleSize), numBands, rowsPerBand)
+
+  /** [[minhashCandidates]] over a prebuilt (id, shingle) frame. The caller
+    * is responsible for materializing `sh` when it feeds more than this
+    * one consumer ([[minhashDedup]] / [[Curation.report]] do).
+    */
+  private[operators] def minhashCandidatesFromShingles(sh: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignaturesFromShingles(sh, numBands * rowsPerBand)
       .select(col("id"), T.lshBandKeys(col("sig"), numBands, rowsPerBand).as("bands"))
     // the self-join would re-derive shingles + signatures for each side;
     // materialize the small (id, band, key) frame once (same trade as
     // jaccardPairs — persist the index, then fan out)
     val exploded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
-      .localCheckpoint(false)
+      .materialize()
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -113,17 +127,33 @@ object Dedup {
     * Jaccard similarity ≥ threshold. The expensive set-intersection runs
     * only on candidate pairs (joined back to the shingle sets), never on
     * the full cross product.
+    *
+    * The candidate banding AND the verification sets both consume the
+    * shingle frame, so the explode+window derivation runs ONCE and is
+    * materialized — the same persist-the-inverted-index trade
+    * [[jaccardPairs]] makes (r9: previously derived twice; PERF.md).
     */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    val sh = shingleRows(docs, idCol, textCol, shingleSize).materialize()
+    minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold)
+  }
+
+  /** [[minhashDedup]] over a prebuilt — and, when shared, already
+    * materialized — (id, shingle) frame, so fan-out compositions
+    * ([[Curation.report]]) pay the shingle derivation once across every
+    * shingle consumer.
+    */
+  private[operators] def minhashDedupFromShingles(sh: DataFrame,
+      numBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cands = minhashCandidatesFromShingles(sh, numBands, rowsPerBand)
     // consumed by both candidate joins (id_a and id_b): derive the shingle
     // sets once, not twice
-    val sets = shingleRows(docs, idCol, textCol, shingleSize)
+    val sets = sh
       .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
       .withColumnRenamed("id", "sid")
-      .localCheckpoint(false)
+      .materialize()
     cands
       .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -139,21 +169,35 @@ object Dedup {
     * Iterative min-label propagation: each round joins labels to neighbors
     * and takes the min (one shuffle per round); labels jump toward the
     * component minimum so rounds ≤ component diameter, which for duplicate
-    * clusters is tiny. `localCheckpoint` truncates the growing lineage so
-    * the plan stays flat across iterations — the standard guard for
-    * iterative DataFrame algorithms.
+    * clusters is tiny. Each round's label frame is materialized under the
+    * [[Materialize]] strategy (`spark.graft.materialize`) so the growing
+    * lineage is truncated (local/reliable) or at least executed once and
+    * cached replicated — the standard guard for iterative DataFrame
+    * algorithms; use `reliable` for multi-hour cluster runs.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // the union scans `pairs` twice; materialize the caller's (possibly
     // expensive — typically minhashDedup) pair plan once before mirroring
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val p = pairs.select(col("id_a"), col("id_b")).materialize()
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var i = 0
+      .materialize()
+    // fused round 1 (r9): with every node initially labeled by its own id,
+    // the first propagation round is just min-over-neighbors — ONE
+    // aggregate over the mirrored edges replaces the init-distinct job
+    // plus a full join round (the groupBy also dedups nodes, so the old
+    // `distinct` init is subsumed). Round counting below starts at 1.
+    // every materialization below is LAZY (r9): the convergence probe at
+    // the end of each round is the action that runs the whole round — an
+    // eager materialize + separate probe would schedule two jobs per round
+    // for the same work. A probe that short-circuits (found a changed row
+    // early) leaves some partitions unmaterialized; the next round's join
+    // completes them — same total work, half the scheduled jobs.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("id"), col("label"))
+      .materialize()
+    var i = 1
     var converged = false
     while (i < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("v") === labels("id"))
@@ -165,7 +209,7 @@ object Dedup {
         .select(labels("id"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
           labels("label").as("old"))
-        .localCheckpoint(true)
+        .materialize()
       converged = updated.filter(col("label") =!= col("old")).isEmpty
       labels = updated.drop("old")
       i += 1
@@ -208,10 +252,10 @@ object Dedup {
     }
     // the inverted index feeds three consumers (join side a, side b, sizes);
     // materialize it once instead of re-deriving shingles per branch — the
-    // same localCheckpoint trade duplicateClusters makes (at lake scale this
+    // same materialization trade duplicateClusters makes (at lake scale this
     // is "persist the inverted index", the standard shape). Measured at
     // sf0.1: 2.1 → 1.6 s uncapped, 3.1 → 1.1 s capped (PERF.md r7).
-    val sh = shPlan.localCheckpoint(false)
+    val sh = shPlan.materialize()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -308,7 +352,7 @@ object Dedup {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       V.srpBucket(col(vecCol), planes).as("bucket"),
       V.norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(false) // both self-join sides read one materialization
+      .materialize() // both self-join sides read one materialization
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -333,12 +377,21 @@ object Dedup {
     * keep=1 verdict is a map-side coalesce).
     */
   def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
-      scoreCol: String): DataFrame = {
+      scoreCol: String): DataFrame =
+    keepCanonicalScored(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("score")), clusters)
+
+  /** [[keepCanonical]] over a prebuilt (id, score) frame, so compositions
+    * that already carry one ([[Curation.report]]'s fused base pass) skip
+    * the extra source scan.
+    */
+  private[operators] def keepCanonicalScored(scored: DataFrame,
+      clusters: DataFrame): DataFrame = {
     // consumed by both branches (clustered window + singleton pass-through):
     // materialize the narrow (id, score, cluster) join once, not twice
-    val labeled = docs.select(col(idCol).as("id"), col(scoreCol).as("score"))
+    val labeled = scored
       .join(clusters.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
-      .localCheckpoint(false)
+      .materialize()
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
     labeled.filter(col("cluster").isNotNull)

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cluster-durability knob for the iterative / fan-out materialization
+  * points in the dedup family ([[Dedup]], [[SemDedup]], [[Curation]]).
+  *
+  * These operators materialize an intermediate frame whenever it feeds two
+  * or more consumers (both sides of a self-join, an iterative loop's label
+  * frame) — recomputing a shingle explode or an LSH banding per consumer
+  * would double the dominant cost. HOW that frame is materialized is an
+  * operational choice, not an algorithmic one, so it is a runtime conf
+  * (`spark.graft.materialize`) rather than a parameter threaded through
+  * every operator signature:
+  *
+  *  - `local` (default) — `Dataset.localCheckpoint`: executor-local,
+  *    UNREPLICATED blocks with lineage truncated. Fastest, and the right
+  *    choice on `local[*]` or for short jobs — but on a real cluster a
+  *    single lost executor makes the truncated lineage unrecoverable and
+  *    kills the job. Do not use for multi-hour 100 TB runs.
+  *  - `replicated` — `persist(MEMORY_AND_DISK_2)`: blocks replicated to
+  *    two executors AND full lineage retained, so the job survives
+  *    executor loss twice over (replica read, else recompute). Lineage is
+  *    NOT truncated, so for long iterative chains ([[Dedup.duplicateClusters]])
+  *    the logical plan still grows per round — fine at the ≤ 20-iteration
+  *    bound those loops carry, but analysis cost is O(rounds²).
+  *  - `reliable` — `Dataset.checkpoint`: writes to
+  *    `SparkContext.setCheckpointDir` (HDFS / object store), truncating
+  *    lineage against durable storage. The production answer for
+  *    multi-hour iterative dedup at 100 TB: survives any executor loss
+  *    AND keeps iterative plans flat. Requires the checkpoint dir to be
+  *    set; fails fast with Spark's own error when it is not.
+  *
+  * The three strategies are result-identical (MaterializeStrategySpec
+  * asserts it per operator); only failure-domain and plan shape differ.
+  */
+object Materialize {
+
+  /** Runtime conf key selecting the strategy: `local` | `replicated` |
+    * `reliable`. Read per materialization call, so a session can switch
+    * strategies between pipelines without rebuilding anything.
+    */
+  val ConfKey = "spark.graft.materialize"
+
+  /** Materialize `df` for multi-consumer / iterative reuse under the
+    * session's configured strategy.
+    *
+    * `eager` mirrors `localCheckpoint`/`checkpoint`'s flag: `true` runs
+    * the plan now (iterative loops want this — the loop's own action would
+    * otherwise run it), `false` defers to the first consumer. Under
+    * `replicated`, eager is a `count()` to populate the cache before the
+    * fan-out; lazy persist fills on first action exactly like a lazy
+    * checkpoint.
+    */
+  def apply(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val strategy = df.sparkSession.conf.get(ConfKey, "local")
+    strategy match {
+      case "local" => df.localCheckpoint(eager)
+      case "replicated" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        if (eager) p.count()
+        p
+      case "reliable" => df.checkpoint(eager)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be one of local|replicated|reliable, got '$other'")
+    }
+  }
+
+  /** `df.materialize(eager)` syntax so multi-step plans keep reading as a
+    * single chain at the call sites.
+    */
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    def materialize(eager: Boolean = false): DataFrame = Materialize(df, eager)
+  }
+}

@@ -282,8 +282,13 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, binaryCol: String, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col(binaryCol)).cast("double") / frameBytes).cast("int")
-    df.withColumn("frame_idx",
-        explode(filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)))
+    // guard nFrames = 0: sequence(0, -1) is the DESCENDING [0, -1], which
+    // would emit a phantom frame_idx=0 row with an empty frame for an
+    // empty payload — an empty payload must produce zero frames
+    val frameIds = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_idx", explode(frameIds))
       .withColumn("frame",
         col(binaryCol).substr((col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))
   }

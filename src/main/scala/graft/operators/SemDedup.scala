@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.Ops
 import graft.plans.VectorExpressions
 
 /** Semantic deduplication over an embedding column — SemDeDup (Abbas et
@@ -42,7 +43,7 @@ object SemDedup {
     // the codegen'd cell assignment once, not per consumer
     val idx = Ann.ivfAssign(prepped, "__sd_v", centroids)
       .select(col("id"), col("cell"), col("__sd_v").as("v"))
-      .localCheckpoint(false)
+      .materialize()
     val a = idx.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val b = idx.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
     // pairs restricted to (same cell, lower id); cosine runs codegen'd in

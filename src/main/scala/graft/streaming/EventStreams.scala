@@ -91,8 +91,20 @@ object EventStreams {
     *
     * This is a SCREEN (cheap recall-oriented pre-filter): survivors of
     * the flag go to exact verification offline, the same contract as the
-    * minhash [[ingestScreen]] family. Aggregate per arriving id, so one
-    * arriving row emits one row with its nearest-corpus distance.
+    * minhash [[ingestScreen]] family. One arriving row emits exactly one
+    * row with its nearest-corpus distance, and the operator is STATELESS:
+    * the corpus codes are collapsed into one array row cross-joined in
+    * (broadcast), and the per-arrival min-Hamming is an `array_min` over
+    * the XOR bit-counts in a projection. A stream-side `groupBy(id)` here
+    * would be an unwatermarked streaming aggregation — per-ever-seen-id
+    * state growing without bound and complete/update-only output — for
+    * what is semantically a per-row map. The `transform` HOF is
+    * interpreted, but its width is the broadcastable corpus (the same
+    * bound the join shape had), and append mode works.
+    *
+    * An EMPTY corpus yields min_hamming null / flagged 0 for every
+    * arrival (nothing can match), rather than silently swallowing rows
+    * the way an inner join against zero corpus rows would.
     */
   def binaryScreen(arrivals: DataFrame, corpusCodes: DataFrame,
       means: Seq[Double], idCol: String, vecCol: String,
@@ -102,16 +114,17 @@ object EventStreams {
       graft.plans.VectorExpressions.signPack(spark,
         col(vecCol).cast("array<double>"),
         org.apache.spark.sql.functions.array(means.map(lit): _*)).as("code"))
-    // broadcast pins the stream-static nested loop map-side: every micro-
-    // batch scans the (tiny: 8 bytes/doc) code table in memory. A corpus
-    // too big even as longs would shard this screen by LSH band/cell
-    // first — the same partition-the-index answer as the minhash family.
-    packed.join(broadcast(corpusCodes.select(col("code").as("corpus_code"))))
-      .withColumn("hamming",
-        bit_count(col("code").bitwiseXOR(col("corpus_code"))).cast("long"))
-      .groupBy(col(idCol))
-      .agg(min(col("hamming")).as("min_hamming"))
-      .withColumn("flagged", (col("min_hamming") <= maxHamming).cast("int"))
+    // the static side becomes ONE row carrying every corpus code (8
+    // bytes/doc — the same broadcast budget as before). A corpus too big
+    // even as longs would shard this screen by LSH band/cell first — the
+    // same partition-the-index answer as the minhash family.
+    val codesRow = corpusCodes.agg(collect_list(col("code")).as("__corpus_codes"))
+    packed.crossJoin(broadcast(codesRow))
+      .withColumn("min_hamming", array_min(transform(col("__corpus_codes"),
+        c => bit_count(col("code").bitwiseXOR(c)).cast("long"))))
+      .withColumn("flagged",
+        coalesce((col("min_hamming") <= maxHamming).cast("int"), lit(0)))
+      .select(col(idCol), col("min_hamming"), col("flagged"))
   }
 
   /** Watermarked stream-stream interval join: each click matched to the

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Materialize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** The cluster-durability knob (`spark.graft.materialize`): every strategy
+  * must produce identical results, and each must actually materialize —
+  * one derivation feeding every consumer — not silently fall back to
+  * recomputing the plan per consumer.
+  */
+class MaterializeStrategySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+    2L -> "the quick brown fox jumps over the lazy dog and runs far away tonight",
+    3L -> "pack my box with five dozen liquor jugs before the long trip begins",
+    4L -> "pack my box with five dozen liquor jugs before the long trip starts",
+    5L -> "sphinx of black quartz judge my vow in the quiet hall this evening",
+    6L -> "completely unrelated content that matches nothing else in the corpus"
+  ).toDF("doc_id", "text").withColumn("n_chars",
+    org.apache.spark.sql.functions.length($"text"))
+
+  private def withStrategy[A](s: String)(body: => A): A = {
+    spark.conf.set(Materialize.ConfKey, s)
+    try body
+    finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  private def pairsUnder(s: String): Set[(Long, Long)] = withStrategy(s) {
+    Dedup.minhashDedup(docs, "doc_id", "text", shingleSize = 3,
+      numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+  }
+
+  private def clustersUnder(s: String): Map[Long, Long] = withStrategy(s) {
+    Dedup.duplicateClusters(
+      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+  }
+
+  private def reportUnder(s: String): Set[(Long, Long)] = withStrategy(s) {
+    Curation.report(docs, "doc_id", "text", "n_chars")
+      .select($"doc_id", $"keep").as[(Long, Long)].collect().toSet
+  }
+
+  test("all three strategies produce identical minhash pairs") {
+    val local = pairsUnder("local")
+    assert(local.nonEmpty, "fixture must exercise the near-dup path")
+    assert(pairsUnder("replicated") === local)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    assert(pairsUnder("reliable") === local)
+  }
+
+  test("all three strategies produce identical duplicate clusters") {
+    val local = clustersUnder("local")
+    assert(local.values.toSet.size < local.size, "fixture must form clusters")
+    assert(clustersUnder("replicated") === local)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    assert(clustersUnder("reliable") === local)
+  }
+
+  test("all three strategies produce an identical curation report") {
+    val local = reportUnder("local")
+    assert(local.exists(_._2 == 0L) && local.exists(_._2 == 1L))
+    assert(reportUnder("replicated") === local)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    assert(reportUnder("reliable") === local)
+  }
+
+  test("replicated strategy reads ONE cached derivation, not two plans") {
+    withStrategy("replicated") {
+      // minhashCandidates materializes the banded (id, band, key) frame and
+      // self-joins it: both join sides must be InMemoryTableScans of the
+      // SAME cached relation — the single-derivation guarantee
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 4, 4)
+      // AQE wraps the physical tree, so assert on the optimized logical
+      // plan: both self-join sides must be the SAME InMemoryRelation
+      val cached = cands.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r
+      }
+      assert(cached.size >= 2, s"expected both self-join sides cached, got ${cached.size}")
+      assert(cached.map(_.cacheBuilder).distinct.size === 1,
+        "both sides must share one cached derivation")
+      cands.collect() // release: drop this test's persisted frames
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("unknown strategy fails fast with the conf key in the message") {
+    val e = intercept[IllegalArgumentException](withStrategy("turbo") {
+      Materialize(docs)
+    })
+    assert(e.getMessage.contains(Materialize.ConfKey))
+  }
+}

@@ -298,6 +298,15 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq
     assert(frames == Seq(0, 2)) // frames 0..3 exist, stride 2 keeps 0 and 2
   }
+  test("frame sampling of an empty payload emits zero frames, not a phantom") {
+    // sequence(0, -1) is the descending [0, -1] — unguarded it would emit
+    // a frame_idx=0 row with an empty frame for an empty payload
+    val df = Seq((1L, ""), (2L, "abcdef")).toDF("id", "t")
+      .withColumn("payload", encode(col("t"), "UTF-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 3, stride = 1)
+      .select("id", "frame_idx").as[(Long, Int)].collect().toSeq.sorted
+    assert(frames == Seq((2L, 0), (2L, 1)))
+  }
   test("real PNG decode: round-trips exact pixels through javax.imageio") {
     // 2×2 image with known pixels: means are hand-computable
     val png = Multimodal.encodePng(2, 2, {

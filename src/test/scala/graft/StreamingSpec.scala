@@ -84,10 +84,11 @@ class StreamingSpec extends SparkSpec {
     val (codes, means) = graft.operators.Ann.binaryIndex(corpus, "id", "v")
     val input = MemoryStream[(Long, Seq[Double])]
     val arrivals = input.toDF().toDF("vec_id", "emb")
+    // stateless screen: append mode works (no streaming aggregation)
     val q = EventStreams.binaryScreen(arrivals, codes, means,
         "vec_id", "emb", maxHamming = 1)
       .writeStream.format("memory").queryName("bscreen")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     input.addData(
       (1L, Seq(0.9, 1.1, -0.8, -1.2)),  // same sign pattern as corpus 10 → 0
       (2L, Seq(-0.9, 1.1, -0.8, 1.2)),  // 2 bits from both corpus codes
@@ -98,6 +99,23 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(out(1L) == ((0L, 1)) && out(3L) == ((0L, 1)))
     assert(out(2L)._1 == 2L && out(2L)._2 == 0)
+  }
+
+  test("binary screen vs an EMPTY corpus emits every arrival with flagged 0") {
+    implicit val sq = spark.sqlContext
+    val emptyCodes = Seq.empty[(Long, Long)].toDF("id", "code")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val arrivals = input.toDF().toDF("vec_id", "emb")
+    val q = EventStreams.binaryScreen(arrivals, emptyCodes,
+        Seq(0.0, 0.0, 0.0, 0.0), "vec_id", "emb", maxHamming = 1)
+      .writeStream.format("memory").queryName("bscreen_empty")
+      .outputMode("append").start()
+    input.addData((1L, Seq(0.9, 1.1, -0.8, -1.2)), (2L, Seq(-0.9, 1.1, -0.8, 1.2)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bscreen_empty").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2)))
+    assert(out.length == 2 && out.forall { case (_, hNull, f) => hNull && f == 0 })
   }
 
   test("ingest screen over the persisted bucketed fp index (steady-state shape)") {

@@ -90,6 +90,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_l2sq") || e.getMessage.contains("array"),
       e.getMessage)
   }
+  test("index builders fail fast on an empty corpus with an actionable message") {
+    import graft.operators.Ann
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](Ann.sq8Index(empty, "id", "v"))
+    assert(e1.getMessage.contains("empty corpus"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Ann.binaryIndex(empty, "id", "v"))
+    assert(e2.getMessage.contains("empty corpus"), e2.getMessage)
+    // a null first vector is an error, not an NPE
+    val nullVec = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException](Ann.sq8Index(nullVec, "id", "v"))
+    assert(e3.getMessage.contains("null or empty"), e3.getMessage)
+  }
   test("sq8: quantize/dequantize round-trip within half a step, codegen'd") {
     import graft.operators.Ann
     val dir = java.nio.file.Files.createTempDirectory("vxsq").toString + "/t"

@@ -2,6 +2,7 @@ package graft.dev
 
 import graft.Tables
 import graft.operators.{Curation, Dedup, QualityFilter, Sampling}
+import graft.operators.Materialize.Ops
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -20,15 +21,23 @@ object ProfileCuration {
       f.write.format("noop").mode("overwrite").save()
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // warm the JVM/codegen caches so component numbers aren't startup noise
+    Curation.report(docs, "doc_id", "text", "n_chars")
+      .write.format("noop").mode("overwrite").save()
+    println("--- warm components ---")
     time("quality")(QualityFilter.verdicts(docs, "doc_id", "text"))
-    time("clusters")(Dedup.duplicateClusters(
-      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5)))
-    val clusters = Dedup.duplicateClusters(
-      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+    time("shingles-mat") {
+      Dedup.shingleRows(docs, "doc_id", "text", 3).materialize()
+    }
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).materialize()
+    time("pairs-shared-sh")(Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5)
+    time("clusters-from-pairs")(Dedup.duplicateClusters(pairs))
+    val clusters = Dedup.duplicateClusters(pairs)
     time("canonical")(Dedup.keepCanonical(docs, clusters, "doc_id", "n_chars"))
     time("split")(Sampling.assignSplit(docs.select(col("doc_id").as("id")), "id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
-    time("report-cold")(Curation.report(docs, "doc_id", "text", "n_chars"))
+    println("--- warm full report ---")
     time("report-warm")(Curation.report(docs, "doc_id", "text", "n_chars"))
     time("report-warm2")(Curation.report(docs, "doc_id", "text", "n_chars"))
     spark.stop()

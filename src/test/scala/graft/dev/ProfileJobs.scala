@@ -1,0 +1,43 @@
+package graft.dev
+
+import graft.Tables
+import graft.operators.Curation
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-Spark-job wall-time breakdown of one warm curation report. */
+object ProfileJobs {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.loadParallel(spark, "/root/testdata/sf0.1", "documents", "doc_id")
+    // warm twice
+    (1 to 2).foreach { _ =>
+      Curation.report(docs, "doc_id", "text", "n_chars")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val starts = mutable.Map[Int, (Long, String)]()
+    val rows = mutable.ArrayBuffer[(Int, Double, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = (System.nanoTime(),
+          j.stageInfos.map(si => si.name.take(30) + ":" + si.numTasks).mkString(" | ").take(110))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (t0, d) =>
+          rows += ((j.jobId, (System.nanoTime() - t0) / 1e9, d.take(80)))
+        }
+    })
+    val t0 = System.nanoTime()
+    Curation.report(docs, "doc_id", "text", "n_chars")
+      .write.format("noop").mode("overwrite").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500)
+    rows.sortBy(_._1).foreach { case (id, s, d) => println(f"job $id%3d $s%6.2f s  $d") }
+    println(f"TOTAL $total%.2f s over ${rows.size} jobs; sum ${rows.map(_._2).sum}%.2f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.dev
+
+import graft.Tables
+import graft.operators.Curation
+import org.apache.spark.sql.SparkSession
+
+/** Does repeated in-session execution of checkpoint-heavy queries slow
+  * down over time (accumulated executor-local checkpoint blocks), the way
+  * the official bench's dedup outliers suggest? Run the capstone N times
+  * and print each wall time plus the block-manager footprint.
+  */
+object ProfileRepeat {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gcBetween = args.headOption.contains("gc")
+    val docs = Tables.loadParallel(spark, "/root/testdata/sf0.1", "documents", "doc_id")
+    (1 to 6).foreach { i =>
+      val t0 = System.nanoTime()
+      Curation.report(docs, "doc_id", "text", "n_chars")
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val status = spark.sparkContext.getExecutorMemoryStatus
+      val rddBlocks = spark.sparkContext.getPersistentRDDs.size
+      println(f"run $i: $sec%5.2f s  persistentRDDs=$rddBlocks gc=$gcBetween")
+      if (gcBetween) { System.gc(); Thread.sleep(500) }
+    }
+    spark.stop()
+  }
+}

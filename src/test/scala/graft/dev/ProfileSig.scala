@@ -1,0 +1,38 @@
+package graft.dev
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Is the 16×md5 signature aggregate the minhash hotspot, and what would a
+  * 1×md5 + 15 affine permutation family save?
+  */
+object ProfileSig {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import graft.operators.Materialize.Ops
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).materialize()
+    sh.count() // materialize now
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+    // current: 16 independent md5s per shingle row
+    val aggs16 = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
+    def run16() = sh.groupBy(col("id")).agg(aggs16.head, aggs16.tail: _*).count()
+    // candidate: one md5 -> 60-bit int, 16 multiply-add permutations
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+    val P = 1000000007L
+    val aggsPerm = (0 until 16).map(i =>
+      min(pmod(h * lit(2 * i + 1) + lit(i * 2654435761L), lit(P))).as(s"h$i"))
+    def runPerm() = sh.groupBy(col("id")).agg(aggsPerm.head, aggsPerm.tail: _*).count()
+    (1 to 3).foreach { i => time(s"md5x16 #$i")(run16()); time(s"perm   #$i")(runPerm()) }
+    spark.stop()
+  }
+}
