@@ -75,11 +75,48 @@ object SearchIndex {
     Bm25Index(postings, stats)
   }
 
+  /** Number of term-range partitions the persisted postings are split
+    * into. Fixed (not a knob) so [[save]], [[load]] and [[score]] can
+    * never disagree about the layout: the bucket of a term is a pure
+    * function of the term. 64 directories keeps the listing cheap while
+    * a one-term query prunes 63/64 of a 100 TB postings table.
+    */
+  val TermBuckets = 64
+
+  /** Term → partition bucket, as a Column (index build) and as a plain
+    * function (query side — the query's terms are driver-side strings, so
+    * the matching partition values are literals in the pruning filter).
+    * Both sides take the first 8 hex chars of md5(utf8(term)) mod
+    * [[TermBuckets]]; Bm25IndexSpec asserts they agree.
+    */
+  private[graft] def termBucketCol(term: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"),
+      lit(TermBuckets.toLong)).cast("int")
+  private[graft] def termBucket(term: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).%(TermBuckets).toInt
+  }
+
   /** Persist / reload the index (the mtime-keyed rebuild of the reference
-    * maps to rewriting these two tables when the source changes).
+    * maps to rewriting these two tables when the source changes; reference
+    * analog: the persisted FTS index, df_duckdb.py:336-379).
+    *
+    * Postings are PARTITIONED BY term bucket (`tb` =
+    * md5-range of the term, [[TermBuckets]] directories): a query's
+    * posting probe carries `tb IN (buckets of its terms)`, so Spark's
+    * partition pruning skips every other directory at file-listing time —
+    * the probe reads O(query terms / TermBuckets) of the table instead of
+    * scanning all postings (Bm25IndexSpec asserts the pruned scan on the
+    * physical plan).
     */
   def save(index: Bm25Index, dir: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.postings.withColumn("tb", termBucketCol(col("term")))
+      // one file per partition dir: the postings of one bucket at one
+      // write are a single coherent run, not 32 shuffle shards
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
   def load(spark: SparkSession, dir: String): Bm25Index =
@@ -127,12 +164,20 @@ object SearchIndex {
   }
 
   /** Score a query: (id, bm25) for every document matching ≥1 term,
-    * descending. Only the query terms' posting rows participate.
+    * descending. Only the query terms' posting rows participate — and for
+    * a [[load]]ed index (postings carry the `tb` partition column) only
+    * the terms' PARTITIONS are even listed: the bucket ids are computed
+    * driver-side from the query terms and pushed as a partition filter.
     */
   def score(index: Bm25Index, query: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val relevant = index.postings.filter(col("term").isin(terms.map(lit): _*))
+    val pruned =
+      if (index.postings.columns.contains("tb")) {
+        val buckets = terms.map(termBucket).distinct
+        index.postings.filter(col("tb").isin(buckets.map(lit): _*))
+      } else index.postings
+    val relevant = pruned.filter(col("term").isin(terms.map(lit): _*))
     val df = relevant.groupBy(col("term"))
       .agg(countDistinct(col("id")).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))

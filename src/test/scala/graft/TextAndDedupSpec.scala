@@ -275,6 +275,51 @@ class SearchIndexSpec extends SparkSpec {
     val b = SearchIndex.score(back, "engine").collect().toSeq
     assert(a == b)
   }
+  test("term bucket: the Column and driver-side functions agree (incl. non-ascii)") {
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("spark", "engine", "joins", "gardening", "a",
+      "caffè", "日本語", "emojiéß")
+    val got = terms.toDF("term")
+      .select(col("term"), SearchIndex.termBucketCol(col("term")).as("tb"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(got(t) == SearchIndex.termBucket(t), s"bucket mismatch for '$t'")
+      assert(got(t) >= 0 && got(t) < SearchIndex.TermBuckets)
+    }
+  }
+  test("persisted postings: a probe lists only its terms' partitions (pruned scan)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("bm25p").toString
+    // widen the vocabulary so the postings span many tb directories
+    val wide = docs.union(Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"))
+      .toDF("doc_id", "text"))
+    SearchIndex.save(SearchIndex.build(wide, "doc_id", Seq("text")), dir)
+    val totalDirs = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(totalDirs > 3, s"fixture too narrow: $totalDirs partition dirs")
+    val back = SearchIndex.load(spark, dir)
+    val scored = SearchIndex.score(back, "spark engine")
+    // results identical to the unpartitioned in-memory index
+    val mem = SearchIndex.score(SearchIndex.build(wide, "doc_id", Seq("text")),
+      "spark engine").collect().toSeq
+    assert(scored.collect().toSeq == mem)
+    // the postings scan carries the tb partition filter and listed only
+    // the buckets of the two query terms
+    val scans = scored.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.output.exists(_.name == "tf") => s
+    }
+    assert(scans.nonEmpty, scored.queryExecution.sparkPlan.toString)
+    val wantBuckets = Seq("spark", "engine").map(SearchIndex.termBucket).distinct
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"tb pruning filter must reach the postings scan:\n$s")
+      val listed = s.selectedPartitions.partitionCount
+      assert(listed <= wantBuckets.length && listed < totalDirs,
+        s"probe listed $listed of $totalDirs partitions, want <= ${wantBuckets.length}")
+    }
+  }
 }
 
 class AnnSpec extends SparkSpec {
