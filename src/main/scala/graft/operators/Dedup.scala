@@ -60,18 +60,26 @@ object Dedup {
     * contributing nothing. Shared by every n-gram consumer (shingle
     * pipelines here, `Repetition` bigrams, `CorpusStats` frequency) so the
     * tokenization and window shape live in exactly one place.
+    *
+    * Entirely MAP-SIDE (r9): the words array rides along the posexplode and
+    * each n-gram is assembled with `element_at(ws, pos + k)` — all
+    * whole-stage-codegen'd, and unlike the previous `lead(w, k)`-over-
+    * (id, pos) formulation there is NO window, so the first shuffle any
+    * shingle consumer pays is its own aggregate. (Why not
+    * `TextFunctions.shingles`, the transform-HOF array form? Spark's
+    * higher-order functions are CodegenFallback — interpreted per row.)
     */
   private[operators] def bagNgramRows(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     require(n >= 2, "bagNgramRows needs n >= 2")
-    val words = docs.select(col(idCol).as("id"),
-      posexplode(T.words(col(textCol))).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
-    words
-      .select(col("id"), concat_ws(" ", (col("w") +: leads): _*).as("shingle"),
-        leads.last.isNotNull.as("full"))
-      .filter(col("full")).drop("full")
+    // posexplode's pos is 0-based, element_at is 1-based: the k-th
+    // successor of w = ws[pos] is element_at(ws, pos + k + 1), and the
+    // n-gram is full iff pos + n <= size(ws)
+    val grams = (1 until n).map(k => element_at(col("ws"), col("pos") + k + 1))
+    docs.select(col(idCol).as("id"), T.words(col(textCol)).as("ws"))
+      .select(col("id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .filter(col("pos") + n <= size(col("ws")))
+      .select(col("id"), concat_ws(" ", (col("w") +: grams): _*).as("shingle"))
   }
 
   /** Per-document MinHash signatures: one hash-aggregate over the shingle
@@ -144,16 +152,43 @@ object Dedup {
     * materialized — (id, shingle) frame, so fan-out compositions
     * ([[Curation.report]]) pay the shingle derivation once across every
     * shingle consumer.
+    *
+    * The minhash signatures (candidate generation) and the exact shingle
+    * sets (Jaccard verification) are computed in ONE fused groupBy(id)
+    * aggregate (r9): both would otherwise shuffle and re-scan the full
+    * shingle frame — the largest intermediate of the whole pipeline — once
+    * each. collect_set forces the fused aggregate off whole-stage codegen
+    * (ObjectHashAggregate), but the verification agg paid that anyway;
+    * net effect is one shuffle of the shingle frame instead of two
+    * (measured 2.6 → 2.1 s on the sf0.1 pair chain, PERF.md).
     */
   private[operators] def minhashDedupFromShingles(sh: DataFrame,
       numBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val cands = minhashCandidatesFromShingles(sh, numBands, rowsPerBand)
-    // consumed by both candidate joins (id_a and id_b): derive the shingle
-    // sets once, not twice
-    val sets = sh
-      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
-      .withColumnRenamed("id", "sid")
+    val numHashes = numBands * rowsPerBand
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
+    val prof = sh.groupBy(col("id"))
+      .agg(sigAggs.head, sigAggs.tail :+ collect_set(col("shingle")).as("sh"): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        col("sh"))
       .materialize()
+    // candidate generation: band the fused profile's signatures; the tiny
+    // (id, band, key) frame feeds both self-join sides — materialize it
+    // (same trade as minhashCandidatesFromShingles, which standalone
+    // callers still use)
+    val exploded = prof.select(col("id"),
+        posexplode(T.lshBandKeys(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "key")))
+      .materialize()
+    val cands = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verification reads the sets straight off the materialized profile
+    val sets = prof.select(col("id").as("sid"), col("sh"))
     cands
       .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
