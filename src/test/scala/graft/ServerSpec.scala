@@ -246,6 +246,49 @@ class ServerSpec extends SparkSpec {
       assert(md.has("max_string_lengths") && md.has("data_schema") && md.has("parameters"))
     } finally srv.stop()
   }
+  test("concurrency smoke: 100 parallel mixed requests, all correct, bounded wall") {
+    // the reference's only hard perf number is a concurrency one: 3,200
+    // concurrent requests each under 1.5 s on a warmed server
+    // (tests/test_performance.py:14-75). Scaled to the fixture: 100
+    // simultaneous mixed requests through the shared local Spark session
+    // must all answer 200 with the RIGHT payload (no cross-request bleed
+    // through the shared session/pipeline) inside a generous wall bound.
+    get(s"$base/api/v1/test/fruits?cars=audi&format=json") // warm route + plan
+    get(s"$base/api/v1/test/fruits/metadata_detail")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val t0 = System.nanoTime()
+      val futures = (1 to 100).map { i =>
+        scala.concurrent.Future {
+          val r = i % 4 match {
+            case 0 => get(s"$base/api/v1/test/fruits?cars=audi&format=json")
+            case 1 => get(s"$base/api/v1/test/fruits?B_lt=5&format=ndjson")
+            case 2 => get(s"$base/api/v1/test/fruits?limit=2&format=csv")
+            case _ => get(s"$base/api/v1/test/fruits/metadata_detail")
+          }
+          (i, r.statusCode(), r.body())
+        }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(120, "s"))
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(results.forall(_._2 == 200),
+        results.filter(_._2 != 200).take(3).toString)
+      results.foreach { case (i, _, body) =>
+        i % 4 match {
+          case 0 => assert(body.contains("audi") && !body.contains("beetle"), s"req $i")
+          case 1 => assert(body.trim.split("\n").length == 2, s"req $i: B<5 rows A=2,3")
+          case 2 => assert(body.startsWith("A,fruits,B,cars"), s"req $i: csv header")
+          case _ => assert(body.contains("partition_columns"), s"req $i")
+        }
+      }
+      assert(wall < 60.0, f"100 concurrent requests took $wall%.1f s")
+      info(f"100 concurrent mixed requests in $wall%.2f s on the 8-thread server pool")
+    } finally pool.shutdown()
+  }
+
   test("one broken table degrades only its own route — sql/openapi keep serving") {
     val dir = Files.createTempDirectory("brk").toString
     Seq((1L, "ok")).toDF("id", "v").write.parquet(s"$dir/good")
