@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Delta deletion-vector decoding (PROTOCOL.md "Deletion Vectors") — makes
+  * [[DeltaLogReader]] a strict SUPERSET of the reference, which cannot read
+  * DV tables at all (reference README.md:66).
+  *
+  * A deletion vector marks row positions of one data file as deleted
+  * without rewriting the file. The descriptor on the `add` action says
+  * where the serialized bitmap lives:
+  *
+  *  - `u`: in a `deletion_vector_<uuid>.bin` sidecar under the table (the
+  *    20-char Z85-encoded uuid is the tail of `pathOrInlineDv`, an optional
+  *    random prefix the head), at byte `offset`, framed as
+  *    [size: 4B big-endian][bitmap bytes][CRC-32 of bitmap: 4B big-endian]
+  *    inside a file that starts with a format-version byte (1)
+  *  - `p`: same framing at an absolute path
+  *  - `i`: the bitmap bytes Z85-encoded inline in `pathOrInlineDv`
+  *
+  * The bitmap bytes are a "RoaringBitmapArray" in the 64-bit portable
+  * format: magic 1681511377 (4B little-endian), number of 32-bit bitmaps
+  * (8B little-endian), then each standard 32-bit roaring bitmap in its
+  * portable serialization (cookie 12346/12347, array / bitmap / run
+  * containers). Deleted row position = (bitmap index << 32) | low32.
+  *
+  * Scale shape: descriptors are parsed on the driver (they are log
+  * metadata, a few hundred bytes each), but the bitmaps themselves are
+  * fetched and decoded on EXECUTORS — `deletedRows` parallelizes the
+  * descriptor list and flatMaps it into (file, position) rows, so a table
+  * with thousands of DV files never funnels bitmap bytes through the
+  * driver. The reader applies them as one anti-join against
+  * `_metadata.row_index` (DeltaLogReader.read).
+  */
+object DeletionVectors {
+
+  final case class Descriptor(storageType: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int, cardinality: Long)
+
+  // ---- Z85 (ZeroMQ base-85) ----------------------------------------------
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  /** Z85-decode (length must be a multiple of 5; 5 chars → 4 bytes). */
+  private[graft] def z85(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"Z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      (0 until 5).foreach { k =>
+        val c = s.charAt(i + k)
+        val dig = if (c < 128) Z85Decode(c.toInt) else -1
+        require(dig >= 0, s"invalid Z85 character '$c'")
+        v = v * 85 + dig
+      }
+      val o = i / 5 * 4
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  /** Resolve a `u`-storage descriptor to its sidecar file name:
+    * `<prefix>/deletion_vector_<canonical uuid>.bin`.
+    */
+  private[graft] def uuidPath(pathOrInlineDv: String): String = {
+    val (prefix, encoded) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val b = z85(encoded)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) name else s"$prefix/$name"
+  }
+
+  // ---- bitmap fetch + decode ---------------------------------------------
+
+  /** The serialized RoaringBitmapArray bytes of one descriptor. */
+  private[graft] def dvBytes(tablePath: String, d: Descriptor): Array[Byte] =
+    d.storageType match {
+      // Z85 works in 4-byte blocks, so writers pad the tail; sizeInBytes
+      // is authoritative for the payload length
+      case "i" => z85(d.pathOrInlineDv).take(d.sizeInBytes)
+      case "u" | "p" =>
+        val file = if (d.storageType == "p") d.pathOrInlineDv
+          else s"$tablePath/${uuidPath(d.pathOrInlineDv)}"
+        val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+        require(all.nonEmpty && all(0) == 1,
+          s"unsupported DV file format version ${if (all.isEmpty) "?" else all(0)} in $file")
+        val bb = java.nio.ByteBuffer.wrap(all) // big-endian by default
+        bb.position(d.offset)
+        val size = bb.getInt
+        require(size == d.sizeInBytes,
+          s"DV size $size at offset ${d.offset} != descriptor sizeInBytes ${d.sizeInBytes} in $file")
+        val data = new Array[Byte](size)
+        bb.get(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val stored = bb.getInt
+        require(stored == crc.getValue.toInt,
+          s"DV checksum mismatch in $file at offset ${d.offset}")
+        data
+      case other =>
+        throw new IllegalArgumentException(s"unknown DV storageType '$other'")
+    }
+
+  /** Decode the 64-bit RoaringBitmapArray portable serialization into the
+    * sorted deleted row positions.
+    */
+  private[graft] def decode(bytes: Array[Byte]): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == 1681511377, s"bad RoaringBitmapArray magic $magic")
+    val nBitmaps = bb.getLong
+    val out = Seq.newBuilder[Long]
+    (0L until nBitmaps).foreach { hi =>
+      decode32(bb).foreach(lo => out += (hi << 32) | (lo & 0xFFFFFFFFL))
+    }
+    out.result()
+  }
+
+  /** One standard 32-bit roaring bitmap, portable format: advances `bb`
+    * past it and returns its values (as unsigned ints in a Long).
+    * Reference: RoaringFormatSpec — cookie 12346 (no run containers, with
+    * an offset section) or 12347 (run-capable: low 16 bits of the first
+    * word, container count − 1 in the high 16, then the run-flag bitset;
+    * the offset section is present only for ≥ 4 containers).
+    */
+  private def decode32(bb: java.nio.ByteBuffer): Seq[Long] = {
+    val start = bb.position()
+    val cookie = bb.getInt
+    val (nContainers, runFlags) =
+      if ((cookie & 0xFFFF) == 12347) {
+        val n = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((n + 7) / 8)
+        bb.get(flags)
+        (n, flags)
+      } else {
+        require(cookie == 12346, s"bad roaring cookie $cookie")
+        (bb.getInt, null)
+      }
+    def isRun(i: Int) =
+      runFlags != null && (runFlags(i / 8) & (1 << (i % 8))) != 0
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    (0 until nContainers).foreach { i =>
+      keys(i) = bb.getShort & 0xFFFF
+      cards(i) = (bb.getShort & 0xFFFF) + 1
+    }
+    val hasOffsets = runFlags == null || nContainers >= 4
+    val offsets = if (hasOffsets) (0 until nContainers).map(_ => bb.getInt) else null
+    val out = Seq.newBuilder[Long]
+    (0 until nContainers).foreach { i =>
+      if (offsets != null) bb.position(start + offsets(i))
+      val base = keys(i).toLong << 16
+      if (isRun(i)) {
+        val nRuns = bb.getShort & 0xFFFF
+        (0 until nRuns).foreach { _ =>
+          val first = bb.getShort & 0xFFFF
+          val len = bb.getShort & 0xFFFF
+          (first to first + len).foreach(v => out += base | v)
+        }
+      } else if (cards(i) <= 4096) { // array container: sorted 16-bit values
+        (0 until cards(i)).foreach(_ => out += base | (bb.getShort & 0xFFFF))
+      } else { // bitmap container: 1024 64-bit words
+        (0 until 1024).foreach { w =>
+          var word = bb.getLong
+          while (word != 0) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            out += base | (w * 64 + bit)
+            word &= word - 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** All deleted (file path, row position) pairs of a snapshot as a
+    * DataFrame, decoded on executors. `files` pairs each ABSOLUTE data-file
+    * path (exactly as handed to `spark.read.parquet`) with its descriptor.
+    */
+  def deletedRows(spark: SparkSession,
+      tablePath: String, files: Seq[(String, Descriptor)]): DataFrame = {
+    import spark.implicits._
+    val tp = tablePath
+    spark.createDataset(files.map { case (p, d) =>
+      (p, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)
+    }).flatMap { case (p, st, pidv, off, size, card) =>
+      val positions = decode(dvBytes(tp, Descriptor(st, pidv, off, size, card)))
+      require(positions.length == card,
+        s"DV of $p decoded ${positions.length} rows, descriptor says $card")
+      positions.map(pos => (p, pos))
+    }.toDF("__dv_file", "__dv_pos")
+  }
+}

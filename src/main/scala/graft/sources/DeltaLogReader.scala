@@ -24,12 +24,17 @@ import scala.jdk.CollectionConverters._
   *    exactly this mode)
   *  - table `configuration` surfaced for config-from-delta
   *    (`lakeapi.config`, reference config.py:227-254)
-  *  - protocol gate: deletion vectors and unknown reader features are
-  *    rejected rather than silently misread
+  *  - deletion vectors (r9): `add.deletionVector` descriptors are decoded
+  *    ([[DeletionVectors]]) and applied as an anti-join on
+  *    `_metadata.row_index` — a strict superset of the reference, which
+  *    rejects DV tables (README.md:66)
+  *  - protocol gate: unknown reader features are rejected rather than
+  *    silently misread
   */
 object DeltaLogReader {
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+      deletionVector: Option[DeletionVectors.Descriptor] = None)
 
   final case class Snapshot(
       version: Long,
@@ -139,9 +144,17 @@ object DeltaLogReader {
   }
 
   private def parseAdd(a: JsonNode): AddFile = {
-    require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-      "deletion vectors are not supported by this reader")
-    AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")))
+    val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText,
+        d.get("pathOrInlineDv").asText,
+        // offset is optional; a `u`/`p` DV with no offset starts right
+        // after the file's 1-byte format version
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt).getOrElse(1),
+        d.get("sizeInBytes").asInt,
+        d.get("cardinality").asLong)
+    }
+    AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")), dv)
   }
 
   /** Delta stores `add.path`/`remove.path` percent-encoded (URI syntax,
@@ -160,7 +173,7 @@ object DeltaLogReader {
 
   private def checkProtocol(p: JsonNode): Unit = {
     val supported = Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint", "appendOnly", "invariants")
+      "v2Checkpoint", "appendOnly", "invariants", "deletionVectors")
     val minReader = p.get("minReaderVersion").asInt(1)
     if (minReader >= 3 && p.has("readerFeatures")) {
       val feats = p.get("readerFeatures").elements().asScala.map(_.asText).toSet
@@ -247,6 +260,12 @@ object DeltaLogReader {
   /** Materialize the snapshot as a DataFrame. Partition values are attached
     * per file group as typed literal columns — layout-independent and
     * partition-pruning-friendly (the literals fold into comparisons).
+    *
+    * Files carrying a deletion vector are filtered with ONE anti-join of
+    * `(_metadata.file_path, _metadata.row_index)` against the decoded
+    * deleted positions ([[DeletionVectors.deletedRows]], executor-side
+    * decode). Files without a DV skip the metadata projection and the join
+    * entirely — an undeleted table pays nothing.
     */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -255,31 +274,53 @@ object DeltaLogReader {
     val dataFields = snap.dataSchema.fields
     val physicalSchema = StructType(dataFields.map(f => f.copy(name = physicalName(f))))
 
-    def readFiles(paths: Seq[String]): DataFrame = {
-      val df = spark.read.schema(physicalSchema).parquet(paths: _*)
-      if (!mapped) df
-      else df.select(dataFields.toIndexedSeq.map(f => col(s"`${physicalName(f)}`").as(f.name)): _*)
+    /** `file:` URI → plain absolute path, matching [[absPath]]'s keys. */
+    def normFile(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    def absPath(f: AddFile): String =
+      Paths.get(s"$tablePath/${f.path}").toAbsolutePath.normalize.toString
+
+    def readFiles(files: Seq[AddFile], withPos: Boolean): DataFrame = {
+      val df = spark.read.schema(physicalSchema).parquet(files.map(absPath): _*)
+      val dataCols = dataFields.toIndexedSeq.map(f =>
+        if (mapped) col(s"`${physicalName(f)}`").as(f.name) else col(s"`${f.name}`"))
+      if (withPos)
+        df.select(dataCols
+          :+ normFile(col("_metadata.file_path")).as("__dv_file")
+          :+ col("_metadata.row_index").as("__dv_pos"): _*)
+      else if (mapped) df.select(dataCols: _*)
+      else df
     }
 
     if (snap.files.isEmpty) { // fully-deleted snapshot: empty frame, right schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     }
-    if (snap.partitionColumns.isEmpty) {
-      readFiles(snap.files.map(f => s"$tablePath/${f.path}"))
-    } else {
-      val partFields = snap.partitionColumns.map(c => snap.schema(c))
-      val groups = snap.files.groupBy(_.partitionValues)
-      groups.map { case (pv, files) =>
-        val base = readFiles(files.map(f => s"$tablePath/${f.path}"))
-        partFields.foldLeft(base) { (acc, f) =>
-          val raw = pv.getOrElse(f.name, null)
-          acc.withColumn(f.name,
-            (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
-        }
-      }.reduce(_ unionByName _)
-        .select(snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
+    val dvFiles = snap.files.collect {
+      case f if f.deletionVector.isDefined => (absPath(f), f.deletionVector.get)
     }
+    val withPos = dvFiles.nonEmpty
+    val joined =
+      if (snap.partitionColumns.isEmpty) {
+        readFiles(snap.files, withPos)
+      } else {
+        val partFields = snap.partitionColumns.map(c => snap.schema(c))
+        val groups = snap.files.groupBy(_.partitionValues)
+        groups.map { case (pv, files) =>
+          val base = readFiles(files, withPos)
+          partFields.foldLeft(base) { (acc, f) =>
+            val raw = pv.getOrElse(f.name, null)
+            acc.withColumn(f.name,
+              (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
+          }
+        }.reduce(_ unionByName _)
+      }
+    val live =
+      if (!withPos) joined
+      else joined.join(
+        DeletionVectors.deletedRows(spark, tablePath, dvFiles),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    live.select(snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
   }
 
   /** Embedded table config JSON, if present (config-from-delta,

@@ -157,12 +157,150 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(graft.config.DeltaConfigMerge.merge(spark, explicit).params.map(_.name) == Seq("id"))
   }
 
-  test("deletion vectors and unknown reader features are rejected") {
+  test("unknown reader features are rejected; deletionVectors is accepted") {
     val t = Files.createTempDirectory("dlt5").toString
     writeCommit(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timeTravelFromTheFuture"]}}""",
       metaAction(schemaJson("id" -> "long"))))
     intercept[IllegalArgumentException] { DeltaLogReader.snapshot(spark, t) }
+    val t2 = Files.createTempDirectory("dlt5b").toString
+    writeCommit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schemaJson("id" -> "long"))))
+    assert(DeltaLogReader.snapshot(spark, t2).files.isEmpty)
+  }
+
+  // ---- deletion vectors (PROTOCOL.md "Deletion Vectors") ----------------
+  // Fixtures serialize REAL RoaringBitmapArray bytes (portable 64-bit
+  // format, array containers) so the reader is exercised against the
+  // actual on-disk layout, not a mock.
+
+  /** Portable-serialize one 32-bit roaring bitmap (array containers). */
+  private def roaring32(values: Seq[Int]): Array[Byte] = {
+    val groups = values.sorted.groupBy(_ >>> 16).toSeq.sortBy(_._1)
+    val n = groups.size
+    val headerSize = 4 + 4 + n * 4 + n * 4
+    val bb = java.nio.ByteBuffer.allocate(headerSize + values.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12346).putInt(n) // SERIAL_COOKIE_NO_RUNCONTAINER
+    groups.foreach { case (k, vs) =>
+      bb.putShort(k.toShort).putShort((vs.size - 1).toShort)
+    }
+    var off = headerSize
+    groups.foreach { case (_, vs) => bb.putInt(off); off += vs.size * 2 }
+    groups.foreach { case (_, vs) => vs.foreach(v => bb.putShort((v & 0xFFFF).toShort)) }
+    bb.array()
+  }
+
+  /** RoaringBitmapArray bytes for 64-bit positions (all < 2^32 here). */
+  private def rbArrayBytes(positions: Seq[Long]): Array[Byte] = {
+    require(positions.forall(p => p >= 0 && p < (1L << 32)))
+    val bm = roaring32(positions.map(_.toInt))
+    java.nio.ByteBuffer.allocate(12 + bm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1681511377).putLong(1L).put(bm).array()
+  }
+
+  private val Z85 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  /** Z85-encode, zero-padding to a 4-byte multiple (as Delta writers do). */
+  private def z85enc(raw: Array[Byte]): String = {
+    val bytes = raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
+    bytes.grouped(4).map { g =>
+      var v = g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
+      val out = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => out(i) = Z85((v % 85).toInt); v /= 85 }
+      new String(out)
+    }.mkString
+  }
+
+  /** Write a `u`-storage DV sidecar: version byte 1, then the framed
+    * bitmap at offset 1; returns the descriptor JSON fragment.
+    */
+  private def writeDvFile(table: String, uuid: java.util.UUID,
+      positions: Seq[Long]): String = {
+    val data = rbArrayBytes(positions)
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4) // big-endian
+    bb.put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
+    Files.write(Paths.get(table, s"deletion_vector_$uuid.bin"), bb.array())
+    val idBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    s"""{"storageType":"u","pathOrInlineDv":"${z85enc(idBytes)}","offset":1,"sizeInBytes":${data.length},"cardinality":${positions.size}}"""
+  }
+
+  test("z85 decodes the ZeroMQ reference vector and round-trips a uuid path") {
+    // RFC spec vector: "HelloWorld" -> 86 4F D2 6F B5 59 F7 5B
+    assert(graft.sources.DeletionVectors.z85("HelloWorld").map(b => f"${b & 0xFF}%02X")
+      .mkString(" ") == "86 4F D2 6F B5 59 F7 5B")
+    val uuid = java.util.UUID.fromString("01234567-89ab-cdef-0123-456789abcdef")
+    val idBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    assert(graft.sources.DeletionVectors.uuidPath(z85enc(idBytes))
+      == s"deletion_vector_$uuid.bin")
+    assert(graft.sources.DeletionVectors.uuidPath("ab/cd" + z85enc(idBytes))
+      == s"ab/cd/deletion_vector_$uuid.bin")
+  }
+
+  test("deletion vectors: u-storage sidecar hides deleted rows; time travel restores them") {
+    val t = Files.createTempDirectory("dltdv1").toString
+    Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    writeCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schemaJson("id" -> "long", "v" -> "string")),
+      """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // version 1: a DV delete of rows at positions 1 and 3 re-adds the file
+    val dv = writeDvFile(t, java.util.UUID.randomUUID(), Seq(1L, 3L))
+    writeCommit(t, 1, Seq(
+      s"""{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":$dv}}"""))
+    assert(DeltaLogReader.read(spark, t).select("id").as[Long].collect().sorted
+      .toSeq == Seq(0L, 2L, 4L))
+    // before the delete, every row is visible
+    assert(DeltaLogReader.read(spark, t, versionAsOf = Some(0L))
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+  }
+
+  test("deletion vectors: inline storage, partitioned table, un-deleted files untouched") {
+    val t = Files.createTempDirectory("dltdv2").toString
+    Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$t/f1"); relocate(t, "f1", "part-a.parquet")
+    Seq((10L, "p"), (11L, "q")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$t/f2"); relocate(t, "f2", "part-b.parquet")
+    val data = rbArrayBytes(Seq(0L, 2L)) // delete ids 0 and 2 of part-a
+    val inline =
+      s"""{"storageType":"i","pathOrInlineDv":"${z85enc(data)}","sizeInBytes":${data.length},"cardinality":2}"""
+    writeCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schemaJson("id" -> "long", "v" -> "string", "part" -> "string"),
+        partitionCols = Seq("part")),
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$inline}}""",
+      """{"add":{"path":"part-b.parquet","partitionValues":{"part":"b"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val out = DeltaLogReader.read(spark, t)
+      .select("id", "part").as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (10L, "b"), (11L, "b")))
+  }
+
+  test("deletion vector checksum mismatch fails loudly, not with silent rows") {
+    val t = Files.createTempDirectory("dltdv3").toString
+    Seq((0L, "a"), (1L, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$t/f1"); relocate(t, "f1", "part-1.parquet")
+    val uuid = java.util.UUID.randomUUID()
+    val dv = writeDvFile(t, uuid, Seq(0L))
+    // corrupt one payload byte after the frame header
+    val binPath = Paths.get(t, s"deletion_vector_$uuid.bin")
+    val bytes = Files.readAllBytes(binPath)
+    bytes(7) = (bytes(7) ^ 0x1).toByte
+    Files.write(binPath, bytes)
+    writeCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schemaJson("id" -> "long", "v" -> "string")),
+      s"""{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dv}}"""))
+    val e = intercept[org.apache.spark.SparkException] {
+      DeltaLogReader.read(spark, t).collect()
+    }
+    assert(e.getMessage.contains("checksum") ||
+      Option(e.getCause).exists(_.getMessage.contains("checksum")), e.getMessage)
   }
 
   // ---- checkpoints (PROTOCOL.md "Checkpoints") -------------------------
