@@ -6,9 +6,10 @@ small SQLite file whose contents exercise every decode path of
 graft.sources.SQLiteReader — serial-type extremes, NULLs, unicode,
 blobs, overflow-page chains (page_size=512), a multi-level b-tree,
 column-level and table-level INTEGER PRIMARY KEY rowid aliases, a
-no-alias table, and a WITHOUT ROWID table (which the reader must
-reject with a clear error). All values are deterministic; the spec
-asserts them as golden rows.
+no-alias table, and WITHOUT ROWID tables: a one-row one, a composite-
+key multi-page one (rows on interior index pages, PK columns stored
+first), and one with an overflowing TEXT key. All values are
+deterministic; the spec asserts them as golden rows.
 """
 import os
 import sqlite3
@@ -60,6 +61,24 @@ def main():
     c.execute("CREATE TABLE norowid (a TEXT PRIMARY KEY, b INT) WITHOUT ROWID")
     c.execute("INSERT INTO norowid VALUES ('w', 1)")
 
+    # multi-page WITHOUT ROWID table with a composite key declared in
+    # (k2, k1) order and NOT first in the column list: records store
+    # (k2, k1, payload, seq) and the reader must map them back; enough
+    # rows at page_size 512 to force interior index pages carrying rows
+    c.execute("""CREATE TABLE norowid_multi (
+        payload TEXT, k1 INT, k2 TEXT, seq REAL,
+        PRIMARY KEY (k2, k1)) WITHOUT ROWID""")
+    c.executemany("INSERT INTO norowid_multi VALUES (?,?,?,?)",
+                  [(f"pay{i:04d}" + "y" * 40, i, f"key{i % 7}", i / 4.0)
+                   for i in range(1, 801)])
+
+    # WITHOUT ROWID with an overflowing key/payload (index-page spill
+    # threshold differs from table leaves)
+    c.execute("CREATE TABLE norowid_over (a TEXT PRIMARY KEY, b INT) "
+              "WITHOUT ROWID")
+    c.executemany("INSERT INTO norowid_over VALUES (?,?)",
+                  [("K" * 1500, 1), ("L" * 2000, 2), ("m", 3)])
+
     # generated columns: VIRTUAL values are omitted from the record payload
     # (reader must reject), STORED ones are materialized (reader must read)
     c.execute("""CREATE TABLE gen_virtual (
@@ -97,7 +116,7 @@ def main():
     con = sqlite3.connect(OUT)
     print("pages:", con.execute("PRAGMA page_count").fetchone()[0],
           "page_size:", con.execute("PRAGMA page_size").fetchone()[0])
-    for t in ("typed", "many", "plain", "tpk"):
+    for t in ("typed", "many", "plain", "tpk", "norowid_multi", "norowid_over"):
         print(t, con.execute(f"SELECT count(*) FROM {t}").fetchone()[0])
     con.close()
     print("wrote", os.path.abspath(OUT), os.path.getsize(OUT), "bytes")

@@ -38,12 +38,17 @@ import scala.collection.mutable.ArrayBuffer
   * distributed FS on a real cluster — SQLite files are single-host by
   * nature, so this source is for ingest/fixture use, not lake-scale data).
   *
-  * Not supported (clear errors, documented): `WITHOUT ROWID` tables (index
-  * b-tree layout), UTF-16 encodings, virtual tables, VIRTUAL generated
-  * columns (their values are omitted from the record payload, which would
-  * shift every later column — STORED generated columns are materialized
-  * and read fine), databases left with a non-empty WAL or rollback-journal
-  * sidecar (uncheckpointed / mid-transaction state).
+  * `WITHOUT ROWID` tables are supported (r9): their index-b-tree layout
+  * stores rows on interior pages too (B-tree, not B+-tree), cells carry no
+  * rowid, the inline-payload threshold is the index one, and the record
+  * holds PRIMARY KEY columns first — all handled in [[read]].
+  *
+  * Not supported (clear errors, documented): UTF-16 encodings, virtual
+  * tables, VIRTUAL generated columns (their values are omitted from the
+  * record payload, which would shift every later column — STORED generated
+  * columns are materialized and read fine), databases left with a
+  * non-empty WAL or rollback-journal sidecar (uncheckpointed /
+  * mid-transaction state).
   */
 object SQLiteReader {
 
@@ -138,8 +143,9 @@ object SQLiteReader {
     }
     pageType(page, p) match {
       case 0x0d => // rowid table leaf — expected
-      case 0x02 | 0x0a => throw new UnsupportedOperationException(
-        "WITHOUT ROWID tables (index b-tree layout) are not supported")
+      case 0x02 | 0x0a => throw new IllegalStateException(
+        "index b-tree pages under a table not declared WITHOUT ROWID — " +
+          "corrupt schema row or mis-parsed CREATE TABLE suffix")
       case t => throw new IllegalStateException(f"unexpected page type 0x$t%02x")
     }
     if (depth == 0) return Seq(root)
@@ -148,6 +154,29 @@ object SQLiteReader {
       else children(readPage(raf, db, pageNo), pageNo)
         .flatMap(collect(_, level + 1))
     collect(root, 0)
+  }
+
+  /** Every page of an index b-tree (the WITHOUT ROWID table layout).
+    * Unlike table b-trees, index INTERIOR pages carry records too — a
+    * B-tree, not a B+-tree — so the walk returns interior AND leaf pages;
+    * executors re-read each page and decode whichever cell shape its type
+    * requires. Interior pages are read here anyway (for their child
+    * pointers, at hdr+8 the rightmost); leaves are recorded sight-unseen.
+    */
+  private def indexTreePages(raf: RandomAccessFile, db: DbInfo, root: Int): Seq[Int] = {
+    val page = readPage(raf, db, root)
+    pageType(page, root) match {
+      case 0x0a => Seq(root)
+      case 0x02 =>
+        val h = hdrOff(root)
+        val n = cellCount(page, root)
+        val kids = (0 until n).map(i => readU32(page, cellPointer(page, root, i)).toInt) :+
+          readU32(page, h + 8).toInt
+        root +: kids.flatMap(indexTreePages(raf, db, _))
+      case 0x0d | 0x05 => throw new IllegalStateException(
+        s"page $root is a table b-tree page inside a WITHOUT ROWID table")
+      case t => throw new IllegalStateException(f"unexpected page type 0x$t%02x")
+    }
   }
 
   // ----------------------------------------------------------- cell decoding
@@ -160,12 +189,30 @@ object SQLiteReader {
     var p = off
     val (payloadLen, n1) = varint(page, p); p += n1
     val (rowid, n2) = varint(page, p); p += n2
-    val total = payloadLen.toInt
+    (rowid, assemblePayload(raf, db, page, p, payloadLen.toInt, db.usable - 35))
+  }
+
+  /** An index-page cell's full payload. Index cells carry no rowid, the
+    * interior variant leads with its 4-byte child pointer, and the inline
+    * threshold is the INDEX one: x = (u−12)·64/255 − 23 (file-format doc
+    * §"B-tree Pages" — table leaves use u−35).
+    */
+  private def indexCell(raf: RandomAccessFile, db: DbInfo, page: Array[Byte],
+      off: Int, interior: Boolean): Array[Byte] = {
+    var p = off + (if (interior) 4 else 0)
+    val (payloadLen, n1) = varint(page, p); p += n1
+    assemblePayload(raf, db, page, p, payloadLen.toInt,
+      (db.usable - 12) * 64 / 255 - 23)
+  }
+
+  /** Inline bytes + overflow chain → the cell's `total`-byte payload;
+    * `x` is the page-kind-specific max inline payload.
+    */
+  private def assemblePayload(raf: RandomAccessFile, db: DbInfo,
+      page: Array[Byte], p: Int, total: Int, x: Int): Array[Byte] = {
     val u = db.usable
-    val x = u - 35
     if (total <= x) {
-      val payload = java.util.Arrays.copyOfRange(page, p, p + total)
-      (rowid, payload)
+      java.util.Arrays.copyOfRange(page, p, p + total)
     } else {
       // spill arithmetic from the file-format spec
       val m = (u - 12) * 32 / 255 - 23
@@ -183,7 +230,7 @@ object SQLiteReader {
         have += take
       }
       require(have == total, s"truncated overflow chain: $have of $total bytes")
-      (rowid, payload)
+      payload
     }
   }
 
@@ -284,7 +331,8 @@ object SQLiteReader {
   /** Split the CREATE TABLE column list on top-level commas, respecting
     * parens and the four identifier-quoting styles.
     */
-  private[sources] def parseColumns(sql: String): (Seq[ColumnDef], Option[String]) = {
+  private[sources] def parseColumns(
+      sql: String): (Seq[ColumnDef], Option[String], Seq[String]) = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
@@ -316,8 +364,9 @@ object SQLiteReader {
     }
     if (cur.nonEmpty) parts += cur.toString
     val constraintKw = Set("constraint", "primary", "unique", "check", "foreign")
-    val (constraints, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
+    val (constraints0, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
       .partition(p => constraintKw.contains(p.split("[\\s(]+", 2).head.toLowerCase))
+    val constraints = constraints0.toSeq
     val cols = colDefs.map { d =>
       val (name, rest) = d.head match {
         case q @ ('"' | '\'' | '`') => quotedIdent(d, q, q)
@@ -351,7 +400,39 @@ object SQLiteReader {
       .map(c => c.substring(c.indexOf('(') + 1, c.lastIndexOf(')')).trim)
       .filter(inner => !inner.contains(",") && !inner.toLowerCase.endsWith(" desc"))
       .map(_.replaceAll("\"|'|`|\\[|\\]", "").split("\\s+").head)
-    (cols, tablePk)
+    (cols, tablePk, constraints)
+  }
+
+  /** Is this a `CREATE TABLE ... WITHOUT ROWID` table? (Scanned on the
+    * literal-stripped SQL so a column default can't fake the suffix.)
+    */
+  private[graft] def isWithoutRowid(sql: String): Boolean =
+    stripQuoted(sql).toLowerCase
+      .matches("(?s).*\\)\\s*(,\\s*)?(strict\\s*,\\s*)?without\\s+rowid(\\s*,\\s*strict)?\\s*;?\\s*$")
+
+  /** The PRIMARY KEY columns of a WITHOUT ROWID table, in KEY order —
+    * the record stored in the index b-tree carries these columns FIRST
+    * (file-format doc §"Index B-Tree Pages" / "WITHOUT ROWID Tables"),
+    * then the remaining columns in declaration order. The table-level
+    * `PRIMARY KEY (a, b, ...)` constraint wins; otherwise the single
+    * column-level `PRIMARY KEY` column is the key.
+    */
+  private[graft] def pkColumns(cols: Seq[ColumnDef],
+      constraints: Seq[String]): Seq[String] = {
+    val tableLevel = constraints.iterator
+      .map(_.replaceAll("(?i)^constraint\\s+\\S+\\s+", ""))
+      .find(_.toLowerCase.matches("(?s)primary\\s+key\\s*\\(.*"))
+      .map(c => c.substring(c.indexOf('(') + 1, c.lastIndexOf(')')))
+    tableLevel match {
+      case Some(inner) =>
+        inner.split(",").toSeq
+          .map(_.trim.replaceAll("\"|'|`|\\[|\\]", "").split("\\s+").head)
+          .filter(_.nonEmpty)
+      case None =>
+        cols.filter(c => stripQuoted(c.rawDef)
+            .matches("(?is).*\\bprimary\\s+key\\b.*"))
+          .map(_.name)
+    }
   }
 
   /** Leading quoted identifier of a column def → (unescaped name, rest).
@@ -458,43 +539,67 @@ object SQLiteReader {
 
   // ------------------------------------------------------------------- read
 
-  /** Full-table scan → DataFrame. Metadata on the driver, leaf-page decode
-    * distributed over executors.
+  /** Full-table scan → DataFrame. Metadata on the driver, page decode
+    * distributed over executors. Handles both layouts: rowid tables
+    * (table b-tree, rows on leaves) and WITHOUT ROWID tables (index
+    * b-tree, rows on every page, PRIMARY KEY columns stored first and
+    * mapped back to declaration order here).
     */
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
     val info = tables(path).find(_.name.equalsIgnoreCase(table)).getOrElse(
       throw new IllegalArgumentException(
         s"table `$table` not found in $path (tables: ${tables(path).map(_.name).mkString(", ")})"))
-    val (cols, tablePk) = parseColumns(info.sql)
-    val aliasIdx = rowidAlias(cols, tablePk)
+    val (cols, tablePk, constraints) = parseColumns(info.sql)
+    val noRowid = isWithoutRowid(info.sql)
+    val aliasIdx = if (noRowid) None else rowidAlias(cols, tablePk)
     val schema = StructType(cols.map(c => StructField(c.name, affinity(c.declaredType))))
     val fieldTypes: Array[DataType] = schema.fields.map(_.dataType)
 
+    // WITHOUT ROWID records carry PK columns first (key order), then the
+    // rest in declaration order: storedToDecl(storedIdx) = declaredIdx
+    val storedToDecl: Array[Int] =
+      if (!noRowid) Array.empty
+      else {
+        val pks = pkColumns(cols, constraints)
+        require(pks.nonEmpty,
+          s"WITHOUT ROWID table `$table` declares no PRIMARY KEY (unparseable): ${info.sql}")
+        val pkIdx = pks.map(pk => cols.indexWhere(_.name.equalsIgnoreCase(pk)))
+        require(pkIdx.forall(_ >= 0),
+          s"PRIMARY KEY columns $pks not all found in ${cols.map(_.name)}")
+        (pkIdx ++ cols.indices.filterNot(pkIdx.contains)).toArray
+      }
+
     val raf = new RandomAccessFile(path, "r")
-    val leaves = try {
+    val pageNos = try {
       val db = openInfo(raf)
-      leafPages(raf, db, info.rootPage)
+      if (noRowid) indexTreePages(raf, db, info.rootPage)
+      else leafPages(raf, db, info.rootPage)
     } finally raf.close()
 
-    val slices = math.max(1, math.min(leaves.size,
+    val slices = math.max(1, math.min(pageNos.size,
       spark.sparkContext.defaultParallelism))
     val alias = aliasIdx.getOrElse(-1)
     val nCols = fieldTypes.length
-    val rdd = spark.sparkContext.parallelize(leaves, slices).mapPartitions { pages =>
+    val rdd = spark.sparkContext.parallelize(pageNos, slices).mapPartitions { pages =>
       val raf = new RandomAccessFile(path, "r")
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
       val db = openInfo(raf)
       pages.flatMap { pg =>
         val page = readPage(raf, db, pg)
+        val interior = pageType(page, pg) == 0x02
         (0 until cellCount(page, pg)).map { i =>
-          val (rowid, payload) = leafCell(raf, db, page, cellPointer(page, pg, i))
+          val off = cellPointer(page, pg, i)
+          val (rowid, payload) =
+            if (noRowid) (0L, indexCell(raf, db, page, off, interior))
+            else leafCell(raf, db, page, off)
           val raw = decodeRecord(payload)
           val vals = new Array[Any](nCols)
           var c = 0
           while (c < nCols) {
             // records may have fewer columns than the schema (ALTER TABLE
             // ADD COLUMN leaves old rows short — missing slots are null)
-            val v = if (c < raw.length) raw(c) else null
+            val stored = if (noRowid) storedToDecl.indexOf(c) else c
+            val v = if (stored >= 0 && stored < raw.length) raw(stored) else null
             vals(c) =
               if (c == alias) rowid // aliased column stores NULL, takes rowid
               else coerce(v, fieldTypes(c))

@@ -79,11 +79,41 @@ class SQLiteReaderSpec extends SparkSpec {
       plain.count(_.isNullAt(0)) == 1 && plain.count(_.isNullAt(1)) == 1)
   }
 
-  test("WITHOUT ROWID tables are rejected with a clear error") {
-    val e = intercept[UnsupportedOperationException] {
-      SQLiteReader.read(spark, fixture, "norowid").collect()
+  test("WITHOUT ROWID: single-row table reads (index-leaf root)") {
+    val rows = SQLiteReader.read(spark, fixture, "norowid").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "w" && rows.head.getLong(1) == 1L)
+  }
+
+  test("WITHOUT ROWID: composite key, interior-page rows, columns remapped") {
+    // declared (payload, k1, k2, seq) with PRIMARY KEY (k2, k1): records
+    // store (k2, k1, payload, seq); 800 rows at page_size 512 guarantee a
+    // multi-level index b-tree whose INTERIOR pages carry rows too
+    val df = SQLiteReader.read(spark, fixture, "norowid_multi")
+    assert(df.columns.toSeq == Seq("payload", "k1", "k2", "seq"))
+    val rows = df.collect().map(r =>
+      (r.getLong(1), r.getString(2), r.getString(0), r.getDouble(3)))
+    assert(rows.length == 800) // nothing lost between leaf and interior pages
+    assert(rows.map(_._1).sorted.toSeq == (1L to 800L))
+    rows.foreach { case (k1, k2, payload, seq) =>
+      assert(k2 == s"key${k1 % 7}", s"k1=$k1")
+      assert(payload == f"pay$k1%04d" + "y" * 40, s"k1=$k1")
+      assert(seq == k1 / 4.0, s"k1=$k1")
     }
-    assert(e.getMessage.contains("WITHOUT ROWID"))
+  }
+
+  test("WITHOUT ROWID: overflowing key payload uses the index spill threshold") {
+    val rows = SQLiteReader.read(spark, fixture, "norowid_over").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq(("K" * 1500, 1L), ("L" * 2000, 2L), ("m", 3L)))
+  }
+
+  test("WITHOUT ROWID detection ignores literals and trailing clauses") {
+    import graft.sources.{SQLiteReader => R}
+    assert(R.isWithoutRowid("CREATE TABLE t (a TEXT PRIMARY KEY) WITHOUT ROWID"))
+    assert(R.isWithoutRowid("create table t (a text primary key)without  rowid ;"))
+    assert(!R.isWithoutRowid("CREATE TABLE t (a TEXT DEFAULT 'without rowid')"))
+    assert(!R.isWithoutRowid("CREATE TABLE t (a TEXT PRIMARY KEY)"))
   }
 
   test("a non-empty WAL sidecar is rejected (stale-read guard)") {
