@@ -251,10 +251,7 @@ object Ann {
     val planes = V.deterministicPlanes(numPlanes, dim)
     val bucketed = embs.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
       V.srpBucket(col(vecCol), planes).as("bucket"))
-    def masks(h: Int): Seq[Long] =
-      if (h == 0) Seq(0L)
-      else masks(h - 1) ++ (0 until numPlanes).combinations(h)
-        .map(_.map(1L << _).sum).toSeq
+    val probes = probeMasks(numPlanes, probeHamming)
     // pin the join's partition count on both sides (same fan-out lesson as
     // knnJoin: pairs multiply AFTER the exchange, so AQE — which sizes by
     // the few-MB shuffle input — must not coalesce the scoring stage)
@@ -262,8 +259,7 @@ object Ann {
     val left = bucketed
       .select(col(idCol).as("id_a"), col("v").as("va"), col("bucket").as("ba"))
       .withColumn("probe",
-        explode(array(masks(probeHamming).distinct.map(m =>
-          col("ba").bitwiseXOR(lit(m))): _*)))
+        explode(array(probes.map(m => col("ba").bitwiseXOR(lit(m))): _*)))
       .repartition(shufflePartitions, col("probe"))
     val right = bucketed
       .select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket").as("bb"))
@@ -271,6 +267,15 @@ object Ann {
     topKPerRow(
       left.join(right, col("probe") === col("bb") && col("id_a") =!= col("id_b")), k)
   }
+
+  /** The ≤`h`-bit-flip probe masks of a `planes`-bit SRP bucket — the
+    * multi-probe key set (Σ_{i≤h} C(planes, i) masks, distinct by
+    * construction). Driver-side and tiny (h ≤ 2, planes ≤ 16 in every
+    * caller); built once per plan, not per row.
+    */
+  private def probeMasks(planes: Int, h: Int): Seq[Long] =
+    (0 to h).flatMap(i =>
+      (0 until planes).combinations(i).map(_.map(1L << _).sum))
 
   /** Scalar-quantized (SQ8) index: per-dimension corpus [min, max] ranges
     * affine-encode every component to one unsigned byte — codes store 8×

@@ -30,6 +30,16 @@ import graft.operators.Materialize.Ops
   */
 object Curation {
 
+  /** Tuning note (banding vs threshold): the LSH banding scheme has an
+    * implicit similarity sweet spot s* ≈ (1/numBands)^(1/rowsPerBand) —
+    * the Jaccard level where a pair's candidate probability crosses ½
+    * (defaults: (1/4)^(1/4) ≈ 0.71, recall-leaning for threshold 0.5
+    * since candidates are cheap and verification exact). Keep `threshold`
+    * near or below s*: a threshold far ABOVE s* wastes candidate
+    * generation on pairs verification then discards; far BELOW it, banding
+    * misses pairs the threshold would have accepted (verification can only
+    * filter candidates, never add them).
+    */
   def report(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String,
       shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
