@@ -85,6 +85,46 @@ object SparkEntry {
     root.toString
   }
 
+  /** A second Delta fixture whose version-1 commit re-adds its data file
+    * with an inline DELETION VECTOR marking every odd n_nationkey row
+    * deleted — so q_delta_dv gates the roaring-bitmap decode and the
+    * row_index anti-join against a plain-SQL oracle (`n_nationkey % 2 =
+    * 0`). Rows are written ordered by n_nationkey, making row position a
+    * pure function of the key on both sides.
+    */
+  private def deltaDvFixture(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_dv_gate_v1_${math.abs(dir.hashCode)}")
+    val logDir = root.resolve("_delta_log")
+    if (Files.exists(logDir.resolve(f"${1L}%020d.json"))) return root.toString
+    def deleteRec(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    deleteRec(root)
+    Files.createDirectories(logDir)
+    val nation = Tables.load(s, dir, "nation")
+      .filter(col("n_regionkey") < 2).orderBy(col("n_nationkey"))
+    val tmp = root.resolve("staging")
+    nation.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, root.resolve("part-0.parquet"))
+    deleteRec(tmp)
+    val keys = nation.select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)) // ordered: position i ↔ keys(i)
+    val deleted = keys.zipWithIndex.collect { case (k, i) if k % 2 == 1 => i.toLong }
+    val (inline, size) = graft.sources.DeletionVectors.encodeInline(deleted.toSeq)
+    val schemaStr = nation.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"dvgate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""").mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      s"""{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${deleted.length}}}}""")
+    root.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -433,6 +473,12 @@ object SparkEntry {
     "q_delta_time_travel" -> ((s, dir) => {
       val path = deltaFixture(s, dir)
       graft.sources.DeltaLogReader.read(s, path, versionAsOf = Some(0L))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_dv" -> ((s, dir) => {
+      val path = deltaDvFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, path)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
@@ -1110,6 +1156,9 @@ object SparkEntry {
     "q_delta_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_dv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 2 AND n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
     "q_ann_ivf" ->
       // replicates the fixed-centroid IVF path: centroids are the
       // embeddings of vec_id 1..16; each vector goes to its nearest

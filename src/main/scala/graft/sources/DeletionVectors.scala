@@ -185,6 +185,42 @@ object DeletionVectors {
     out.result()
   }
 
+  /** Serialize row positions as an inline-DV payload: (Z85 text for
+    * `pathOrInlineDv`, sizeInBytes) — a fixture-AUTHORING utility (the
+    * q_delta_dv gate builds its table with it). It dogfoods [[decode]],
+    * but decoder correctness does not rest on that: DeltaLogReaderSpec
+    * hand-rolls its own independent serializer bytes.
+    */
+  private[graft] def encodeInline(positions: Seq[Long]): (String, Int) = {
+    require(positions.forall(p => p >= 0 && p < (1L << 32)),
+      "encodeInline supports positions < 2^32 (fixture scale)")
+    val values = positions.map(_.toInt).sorted
+    val groups = values.groupBy(_ >>> 16).toSeq.sortBy(_._1)
+    val n = groups.size
+    val headerSize = 4 + 4 + n * 4 + n * 4
+    val bm = java.nio.ByteBuffer.allocate(headerSize + values.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bm.putInt(12346).putInt(n) // no-run cookie; array containers only
+    groups.foreach { case (k, vs) =>
+      bm.putShort(k.toShort).putShort((vs.size - 1).toShort)
+    }
+    var off = headerSize
+    groups.foreach { case (_, vs) => bm.putInt(off); off += vs.size * 2 }
+    groups.foreach { case (_, vs) => vs.foreach(v => bm.putShort((v & 0xFFFF).toShort)) }
+    val data = java.nio.ByteBuffer.allocate(12 + bm.array().length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1681511377).putLong(1L).put(bm.array()).array()
+    val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+    val sb = new StringBuilder
+    padded.grouped(4).foreach { g =>
+      var v = g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
+      val out = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => out(i) = Z85Alphabet((v % 85).toInt); v /= 85 }
+      sb.appendAll(out)
+    }
+    (sb.toString, data.length)
+  }
+
   /** All deleted (file path, row position) pairs of a snapshot as a
     * DataFrame, decoded on executors. `files` pairs each ABSOLUTE data-file
     * path (exactly as handed to `spark.read.parquet`) with its descriptor.
