@@ -568,6 +568,11 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", segmentWords = 5)
         .orderBy(col("doc_id"))),
+    "q_dedup_spans" -> ((s, dir) =>
+      // maximal cross-document duplicated word ranges (sliding 5-gram)
+      Dedup.duplicateSpans(Tables.loadParallel(s, dir, "documents", "doc_id"),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
     "q_dedup_incremental_minhash" -> ((s, dir) => {
       // near-dup screening of an incoming batch (ids ≡ 0 mod 2) against
       // the ingested corpus (ids ≡ 0 mod 3); same banding/threshold as
@@ -1279,6 +1284,7 @@ object SparkEntry {
     "q_dedup_embedding" -> embeddingDedupOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
+    "q_dedup_spans" -> duplicateSpansOracleSql,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "q_curation_report" -> curationReportOracleSql,
     "q_corpus_card" ->
@@ -1599,6 +1605,32 @@ object SparkEntry {
     * Dedup.jaccardPairs: count shared shingles per pair, union from
     * per-doc set sizes.
     */
+  /** Duplicate-spans oracle: position-tagged 5-grams (0-based starts, like
+    * posexplode), grams in ≥ 2 distinct docs, gaps-and-islands stitch with
+    * the same p' − p ≤ n chaining rule.
+    */
+  private def duplicateSpansOracleSql: String = {
+    val n = 5
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |g0 AS (SELECT doc_id,
+       |  [i - 1 for i in range(1, len(ws) - ${n - 2})] AS ps,
+       |  [md5(array_to_string(ws[i:i+${n - 1}], ' ')) for i in range(1, len(ws) - ${n - 2})] AS hs
+       |  FROM w WHERE len(ws) >= $n),
+       |g AS (SELECT doc_id, unnest(ps) AS pos, unnest(hs) AS h FROM g0),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+       |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) > $n THEN 1 ELSE 0 END AS ni FROM m),
+       |isl AS (SELECT doc_id, pos,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $n - min(pos) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   private def jaccardPairsOracleSql: String = jaccardPairsOracle(None)
 
   /** Shared body for the capped/uncapped jaccard oracles; `cap` mirrors

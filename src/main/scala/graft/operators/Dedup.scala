@@ -70,8 +70,15 @@ object Dedup {
     * higher-order functions are CodegenFallback — interpreted per row.)
     */
   private[operators] def bagNgramRows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    posNgramRows(docs, idCol, textCol, n).drop("pos")
+
+  /** [[bagNgramRows]] keeping each n-gram's 0-based start position —
+    * [[duplicateSpans]] needs it to stitch hits back into word ranges.
+    */
+  private[operators] def posNgramRows(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    require(n >= 2, "bagNgramRows needs n >= 2")
+    require(n >= 2, "posNgramRows needs n >= 2")
     // posexplode's pos is 0-based, element_at is 1-based: the k-th
     // successor of w = ws[pos] is element_at(ws, pos + k + 1), and the
     // n-gram is full iff pos + n <= size(ws)
@@ -79,7 +86,8 @@ object Dedup {
     docs.select(col(idCol).as("id"), T.words(col(textCol)).as("ws"))
       .select(col("id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
       .filter(col("pos") + n <= size(col("ws")))
-      .select(col("id"), concat_ws(" ", (col("w") +: grams): _*).as("shingle"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", (col("w") +: grams): _*).as("shingle"))
   }
 
   /** Per-document MinHash signatures: one hash-aggregate over the shingle
@@ -474,6 +482,45 @@ object Dedup {
         array_sort(collect_list(when(col("keep") === 1,
           struct(col("chunk_id"), col("chunk_md5"))))),
         x => x.getField("chunk_md5")))).as("scrubbed_md5"))
+  }
+
+  /** Cross-document duplicated SPANS — the sliding-window refinement of
+    * [[segmentDedup]]'s fixed tiling: every maximal word range whose every
+    * `n`-gram also occurs in at least one OTHER document. This is the
+    * exact-substring signal of Lee et al. 2022 restricted to cross-document
+    * repeats (within-document repetition is [[Repetition]]'s job), at word
+    * rather than byte granularity: a suffix array over 100 TB is a
+    * single-machine structure, while this is three data-parallel passes.
+    *
+    * Shape: (1) position-tagged n-grams, map-side ([[posNgramRows]]);
+    * (2) one hash-aggregate per distinct gram counting distinct docs
+    * (map-side partial combine; the gram TEXT never shuffles — only its
+    * md5); (3) hits joined back (reusing the hash partitioning) and
+    * stitched into maximal spans with a per-document gaps-and-islands
+    * window — start positions p, p' chain into one span iff p' − p ≤ n
+    * (overlapping or adjacent windows). Returns one row per span:
+    * (doc_id, span_start, span_end, span_len), word indexes 0-based
+    * inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    // consumed twice (distinct-doc counts + the join back): hash once
+    val hashed = posNgramRows(docs, idCol, textCol, n)
+      .select(col("id"), col("pos"), md5(col("shingle")).as("h"))
+      .materialize()
+    val dup = hashed.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    hashed.join(dup, "h")
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
   /** Incremental NEAR-dup screening: the [[minhashDedup]] pipeline in its

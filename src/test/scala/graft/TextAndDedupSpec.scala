@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     // only 1-2 still overlap on their own content
     assert(capped == Set((1L, 2L)))
   }
+  test("duplicate spans: hand-computed maximal cross-doc ranges, gaps split islands") {
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),            // shares a..f with doc 2
+      (2L, "x y a b c d e f q r"),
+      (3L, "p q r s t"),                  // no 3-gram shared with anyone
+      (4L, "a b c z1 z2 z3 z4 d e f"),    // two separate shared spans vs 5
+      (5L, "a b c q1 q2 q3 q4 d e f")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(tiny, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(spans == List(
+      (1L, 0L, 5L, 6L),   // "a b c d e f"
+      (2L, 2L, 7L, 6L),
+      (4L, 0L, 2L, 3L), (4L, 7L, 9L, 3L), // gap > n ⇒ two islands
+      (5L, 0L, 2L, 3L), (5L, 7L, 9L, 3L)))
+  }
+
   test("explode-based sketches equal the Column-level simhash64 definition") {
     val arr = docs.select($"doc_id", T.simhash64($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
