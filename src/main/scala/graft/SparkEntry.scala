@@ -573,6 +573,15 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"), col("span_start"))),
+    "q_zorder" -> ((s, dir) =>
+      // the z-value driving Layout.zorderWrite's range exchange, on a
+      // fixed 8-bit quantization so the oracle is pure arithmetic
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
+            bits = 8).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_dedup_incremental_minhash" -> ((s, dir) => {
       // near-dup screening of an incoming batch (ids ≡ 0 mod 2) against
       // the ingested corpus (ids ≡ 0 mod 3); same banding/threshold as
@@ -1285,6 +1294,13 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_segment_dedup" -> segmentDedupOracleSql,
     "q_dedup_spans" -> duplicateSpansOracleSql,
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([
+        |    (((l_partkey % 256) >> i) & 1) * (1::BIGINT << (2*i)) +
+        |    (((l_suppkey % 256) >> i) & 1) * (1::BIGINT << (2*i + 1))
+        |    for i in range(8)]) AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "q_curation_report" -> curationReportOracleSql,
     "q_corpus_card" ->

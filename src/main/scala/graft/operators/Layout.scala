@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side data layout: Z-ORDER clustering (Morton interleave), the
+  * multi-column locality optimization behind `OPTIMIZE ... ZORDER BY`
+  * (Delta/Databricks) and Iceberg's sort-order z-curves.
+  *
+  * Why a training-data engine needs it: 100 TB corpora are re-read many
+  * times with per-column predicates (source, language, date, quality
+  * band). Files sorted by ONE column prune scans on that column only;
+  * files clustered by the z-curve of k columns give every one of those
+  * columns partial locality — parquet min/max row-group stats stay narrow
+  * on ALL of them, so predicate pushdown skips files/row-groups for any
+  * of the clustered dimensions.
+  *
+  * Shape: quantize each dimension to `bits` (rank-free min/max affine —
+  * two driver scalars per column from one aggregate job), bit-interleave
+  * into the z-value (pure codegen'd arithmetic — the bit positions of the
+  * two operands are disjoint, so the interleave is a SUM of shifted
+  * masked bits, no UDF), then `repartitionByRange(numFiles, z)` +
+  * `sortWithinPartitions(z)` and write. The range exchange samples the
+  * z distribution, so files get near-equal ROW counts even when the
+  * dimensions are skewed; the explicit partition count keeps AQE from
+  * coalescing the layout away. LayoutSpec asserts the written files
+  * carry DISJOINT z ranges and that both dimensions' per-file min/max
+  * spans shrink vs an unclustered write.
+  */
+object Layout {
+
+  /** Morton z-value of two already-quantized non-negative `bits`-wide
+    * values: x's bit i lands at 2i, y's at 2i+1. Disjoint target bits ⇒
+    * the interleave is a plain sum — stays in whole-stage codegen.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits out of range [1, 31]")
+    val xs = x.cast("long"); val ys = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Min/max-affine quantization of a numeric column to [0, 2^bits − 1].
+    * `lo`/`hi` are corpus scalars (one driver aggregate); a degenerate
+    * range maps everything to 0.
+    */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    val span = hi - lo
+    val top = (1L << bits) - 1
+    if (span <= 0) lit(0L)
+    else least(lit(top), floor((c.cast("double") - lit(lo)) / lit(span) * top).cast("long"))
+  }
+
+  /** Z-order-cluster `df` by two numeric columns into `numFiles` parquet
+    * files under `path`. Returns the written DataFrame reader.
+    */
+  def zorderWrite(df: DataFrame, cx: String, cy: String, path: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    val r = df.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+      min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
+    require(!r.anyNull, s"z-order columns $cx/$cy are all-null or empty input")
+    val z = zValue(
+      quantize(col(cx), r.getDouble(0), r.getDouble(1), bits),
+      quantize(col(cy), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn("__z", z)
+      // explicit partition count: this IS the file layout — AQE must not
+      // re-size it (same pin as the kNN fan-out joins)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: hand-computed Morton interleaves") {
+    val rows = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z")).as[Long].collect().toSeq
+    // x bits land at even positions, y bits at odd
+    assert(rows == Seq(1L, 2L, 15L, 25L, (1L << 32) - 1))
+  }
+
+  test("zorderWrite: disjoint per-file z ranges, both dimensions localized") {
+    val n = 128
+    val grid = spark.range(n.toLong * n).select(
+      col("id"),
+      (col("id") % n).as("x"),
+      (col("id") / n).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    val back = Layout.zorderWrite(grid, "x", "y", dir, numFiles = 8)
+    assert(back.count() == n.toLong * n) // nothing lost in the rewrite
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 8)
+    // recompute each file's z range from its data: ranges must be disjoint
+    // (the range exchange put each z interval in exactly one file)
+    val stats = files.map { f =>
+      val d = spark.read.parquet(f)
+        .select(Layout.zValue(
+          Layout.quantize(col("x"), 0, n - 1),
+          Layout.quantize(col("y"), 0, n - 1)).as("z"),
+          col("x"), col("y"))
+      val r = d.agg(min("z"), max("z"), min("x"), max("x"),
+        min("y"), max("y"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }
+    stats.map(s => (s._1, s._2)).sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "z ranges overlap")
+      case _ =>
+    }
+    // near-equal file sizes from the range sampler (uniform grid)
+    val counts = stats.map(_._7)
+    assert(counts.min > counts.max / 2, counts.mkString(","))
+    // locality: a predicate on EITHER dimension skips files. x < n/4
+    // touches at most half the files, same for y (single-column sort
+    // would give file skipping on one dimension only).
+    val touchedX = stats.count(s => s._3 < n / 4)
+    val touchedY = stats.count(s => s._5 < n / 4)
+    assert(touchedX <= 4, s"x<32 touches $touchedX of 8 files")
+    assert(touchedY <= 4, s"y<32 touches $touchedY of 8 files")
+  }
+}
