@@ -3,29 +3,91 @@ package graft.sources
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowFileReader
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Arrow/IPC/Feather file scan (SURVEY.md §2.1 S6; reference
-  * df_base.py:251-258). Spark has no built-in Arrow file source; the file is
-  * decoded with the Arrow Java libraries that ship with Spark and turned
-  * into a DataFrame on the driver — appropriate for the config-fixture-sized
-  * files this source type serves in the reference (large data belongs in
-  * parquet/delta). Because the decode is driver-side, the file size is
-  * gated: anything over `graft.arrow.maxBytes` (default 256 MiB) fails
-  * fast with a clear error instead of exhausting the driver heap.
+  * df_base.py:251-258). Spark has no built-in Arrow file source; the file
+  * is decoded with the Arrow Java libraries that ship with Spark. Both IPC
+  * layouts are served (the reference's `arrow` AND `arrow-stream` file
+  * types, types.py:15-17), sniffed from the leading bytes — the
+  * random-access FILE format opens with magic "ARROW1", the STREAM format
+  * starts directly with an encapsulated message:
+  *
+  *  - FILE format (r9): decoded DISTRIBUTED — the driver reads only the
+  *    footer (schema + record-batch blocks), executors each open the file
+  *    and decode their assigned batches, so memory is bounded per BATCH,
+  *    not per file, and there is no size cap. The path must be visible to
+  *    executors (same contract as the SQLite reader: local[n] here, a
+  *    shared mount on a real cluster).
+  *  - STREAM format: no random access, so it is decoded on the driver,
+  *    gated by `graft.arrow.maxBytes` (default 256 MiB) — anything larger
+  *    fails fast with a clear error instead of exhausting the driver heap.
   */
 object ArrowSource {
 
-  /** Default driver-side materialization cap; override per session with
-    * `spark.conf.set("graft.arrow.maxBytes", n)`.
+  /** Default driver-side materialization cap for STREAM-layout files;
+    * override per session with `spark.conf.set("graft.arrow.maxBytes", n)`.
     */
   val DefaultMaxBytes: Long = 256L << 20
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    val head = {
+      val in = Files.newInputStream(Paths.get(path))
+      try in.readNBytes(6) finally in.close()
+    }
+    val isFile = head.length >= 6 &&
+      head(0) == 'A' && head(1) == 'R' && head(2) == 'R' &&
+      head(3) == 'O' && head(4) == 'W' && head(5) == '1'
+    if (isFile) readFileDistributed(spark, path)
+    else readStreamOnDriver(spark, path)
+  }
+
+  /** FILE layout: footer-only metadata on the driver, batch decode on
+    * executors keyed by record-block index.
+    */
+  private def readFileDistributed(spark: SparkSession, path: String): DataFrame = {
+    val (sparkSchema, nBatches) = {
+      val allocator = new RootAllocator(1L << 30)
+      val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+      val reader = new ArrowFileReader(ch, allocator)
+      try {
+        (StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala
+          .map(sparkField).toSeq),
+          reader.getRecordBlocks.size)
+      } finally { reader.close(); allocator.close(); ch.close() }
+    }
+    if (nBatches == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], sparkSchema)
+    val slices = math.min(nBatches, spark.sparkContext.defaultParallelism)
+    val rdd = spark.sparkContext.parallelize(0 until nBatches, slices)
+      .mapPartitions { idxs =>
+        val allocator = new RootAllocator(1L << 30)
+        val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+        val reader = new ArrowFileReader(ch, allocator)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            reader.close(); allocator.close(); ch.close()
+          })
+        val blocks = reader.getRecordBlocks
+        idxs.flatMap { bi =>
+          reader.loadRecordBatch(blocks.get(bi))
+          val root = reader.getVectorSchemaRoot
+          val vectors = root.getFieldVectors.asScala.toSeq
+          // eager per-batch materialization: the NEXT loadRecordBatch
+          // reuses the vectors, so rows must not be built lazily
+          (0 until root.getRowCount)
+            .map(i => Row.fromSeq(vectors.map(v => cell(v, i)))).toIndexedSeq
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** STREAM layout: sequential decode on the driver behind the byte cap. */
+  private def readStreamOnDriver(spark: SparkSession, path: String): DataFrame = {
     val cap = spark.conf.getOption("graft.arrow.maxBytes").map { s =>
       try s.trim.toLong
       catch {
@@ -35,27 +97,14 @@ object ArrowSource {
     }.getOrElse(DefaultMaxBytes)
     val size = Files.size(Paths.get(path))
     require(size <= cap,
-      s"arrow file $path is $size bytes, over the driver-side cap of $cap " +
-        "(this source materializes on the driver; store large data as " +
-        "parquet/delta, or raise graft.arrow.maxBytes)")
+      s"arrow stream file $path is $size bytes, over the driver-side cap " +
+        s"of $cap (the stream layout has no random access for a " +
+        "distributed read; store large data as parquet/delta or as the " +
+        "ARROW1 file layout, or raise graft.arrow.maxBytes)")
     val bytes = Files.readAllBytes(Paths.get(path))
-    // both Arrow IPC layouts are served (the reference's `arrow` AND
-    // `arrow-stream` file types, types.py:15-17): the random-access FILE
-    // format opens with magic "ARROW1", the STREAM format starts directly
-    // with an encapsulated message — sniff the magic instead of trusting
-    // the extension
-    val isFile = bytes.length >= 6 &&
-      bytes(0) == 'A' && bytes(1) == 'R' && bytes(2) == 'R' &&
-      bytes(3) == 'O' && bytes(4) == 'W' && bytes(5) == '1'
-    // fixture-sized source (see object doc): cap the allocator at 1 GiB so
-    // a mistakenly-huge file fails fast instead of exhausting the driver
     val allocator = new RootAllocator(1L << 30)
-    val reader: org.apache.arrow.vector.ipc.ArrowReader =
-      if (isFile)
-        new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
-      else
-        new org.apache.arrow.vector.ipc.ArrowStreamReader(
-          new java.io.ByteArrayInputStream(bytes), allocator)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), allocator)
     try {
       val root = reader.getVectorSchemaRoot
       val sparkSchema = StructType(root.getSchema.getFields.asScala.map(sparkField).toSeq)

@@ -71,13 +71,13 @@ class SourcesSpec extends SparkSpec {
       assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
     }
   }
-  test("arrow scan fails fast past the driver-side byte cap (S6 guard)") {
+  test("arrow STREAM scan fails fast past the driver-side byte cap (S6 guard)") {
     import graft.output.ArrowWriters
     import graft.sources.ArrowSource
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
-    val path = tmp() + "/big.arrow"
+    val path = tmp() + "/big.arrows"
     Files.write(java.nio.file.Paths.get(path),
-      ArrowWriters.toArrowBytes(df, stream = false))
+      ArrowWriters.toArrowBytes(df, stream = true))
     spark.conf.set("graft.arrow.maxBytes", "16")
     try {
       val e = intercept[IllegalArgumentException] {
@@ -96,6 +96,46 @@ class SourcesSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("graft.arrow.maxBytes")
         && e.getMessage.contains("lots"))
+    } finally spark.conf.unset("graft.arrow.maxBytes")
+  }
+
+  test("arrow FILE scan is distributed per record batch, uncapped (S6, r9)") {
+    import graft.sources.ArrowSource
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    // author a 3-batch ARROW1 file directly: the distributed path must
+    // reassemble every batch, not just the first
+    val path = tmp() + "/multi.arrow"
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("s", FieldType.nullable(new ArrowType.Utf8), null)).asJava)
+    val alloc = new RootAllocator(1L << 28)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new java.io.FileOutputStream(path)
+    val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+    w.start()
+    (0 until 3).foreach { b =>
+      val ids = root.getVector("id").asInstanceOf[BigIntVector]
+      val ss = root.getVector("s").asInstanceOf[VarCharVector]
+      root.allocateNew()
+      (0 until 4).foreach { i =>
+        ids.setSafe(i, b * 4L + i)
+        ss.setSafe(i, s"r${b * 4 + i}".getBytes("UTF-8"))
+      }
+      root.setRowCount(4)
+      w.writeBatch()
+    }
+    w.end(); w.close(); out.close(); root.close(); alloc.close()
+    // a tiny maxBytes must NOT bite: the file layout has no cap
+    spark.conf.set("graft.arrow.maxBytes", "16")
+    try {
+      val back = ArrowSource.read(spark, path)
+      assert(back.rdd.getNumPartitions > 1) // batches spread over executors
+      assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq ==
+        (0 until 12).map(i => (i.toLong, s"r$i")))
     } finally spark.conf.unset("graft.arrow.maxBytes")
   }
   test("schema cache: hit within TTL, keyed by config, expiring (schema_cache.py:6-32)") {
