@@ -637,4 +637,66 @@ object Dedup {
     corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("overwrite").bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(table)
+
+  /** Bloom PRE-screen for steady-state ingestion: tags each delivery row
+    * with `maybe_dup` — 0 means its fingerprint is CERTAINLY absent from
+    * the corpus (Bloom filters have no false negatives), 1 means it might
+    * be present. In a healthy pipeline most arrivals are novel, so the
+    * certainly-new majority is admitted from a map-side membership test
+    * and only the `maybe_dup = 1` sliver pays the exact index anti-join
+    * ([[incrementalExactIndexed]]) — the classic filter-before-join shape.
+    *
+    * Fully distributed build: `BloomFilterAggregate` condenses the corpus
+    * fingerprints WITHOUT collecting them to the driver (partial filters
+    * merge associatively map-side); only the finished filter lands on the
+    * driver and ships back as a constant for the per-row
+    * `might_contain` probe. Sizing: `numBits ≈ −n·ln(fpp)/ln²2`
+    * from the caller's corpus estimate; at fpp 1% that is ~9.6 bits
+    * (1.2 bytes) per corpus document — 100 TB of documents (~10¹⁰ docs)
+    * needs a ~12 GB filter, at which point shard the screen by fp prefix
+    * (the same partition-the-index answer as the minhash family).
+    *
+    * `corpusFps` is any frame with an `fp` column — typically the
+    * persisted [[writeExactIndex]] table, so screen and verifier share
+    * one source of truth.
+    */
+  def bloomScreen(batch: DataFrame, idCol: String, textCol: String,
+      corpusFps: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bloomScreen needs expectedItems > 0 and fpp in (0, 1), got $expectedItems / $fpp")
+    val ln2 = math.log(2)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    // BloomFilterAggregate/BloomFilterMightContain are Catalyst built-ins
+    // (they power Spark's own runtime row-level filtering) but are not in
+    // the public function registry — register them the same way the
+    // custom vector expressions are (VectorExpressions.register)
+    val spark = batch.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
+    // the aggregate condenses the corpus distributed (partial filters
+    // merge map-side); only the FINISHED filter reaches the driver — one
+    // row of numBits/8 bytes, the same bounded-driver-state budget as the
+    // IVF centroids — because might_contain requires a constant filter.
+    // It then ships to executors inside the task binary, exactly like a
+    // broadcast variable.
+    val filterBytes = corpusFps.agg(
+      call_function("graft_bloom_agg", xxhash64(col("fp")),
+        lit(expectedItems), lit(numBits)).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    batch
+      .withColumn("fp", T.fingerprint(col(textCol)))
+      .withColumn("maybe_dup",
+        call_function("graft_bloom_contains", lit(filterBytes),
+          xxhash64(col("fp"))).cast("int"))
+  }
 }
