@@ -777,6 +777,15 @@ object SparkEntry {
         md5(T.redact(col("text"), redactPattern, "[PII]")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q_secret_scan" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      Tables.loadParallel(s, dir, "documents", "doc_id").select(
+        col("doc_id"),
+        T.secretTokenCount(col("text")).as("n_keylike"),
+        T.secretPrefixCount(col("text")).as("n_prefixed"),
+        md5(T.scrubSecrets(col("text"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_ngram_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.ngramFrequency(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -1276,6 +1285,17 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,
          |  md5(regexp_replace(text, '$redactPattern', '[PII]', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_secret_scan" -> {
+      val tok = graft.functions.TextFunctions.SecretTokenPattern
+      val pre = graft.functions.TextFunctions.SecretPrefixPattern
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$tok'),
+         |    t -> regexp_matches(t, '[0-9]') AND regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_keylike,
+         |  CAST(len(regexp_extract_all(text, '$pre')) AS BIGINT) AS n_prefixed,
+         |  md5(regexp_replace(regexp_replace(text, '$pre', '[SECRET]', 'g'),
+         |    '$tok', '[SECRET]', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_multimodal" -> multimodalOracleSql,
     "q_mm_decode" -> mmDecodeOracleSql,
     "q_mm_resize" -> mmResizeOracleSql,

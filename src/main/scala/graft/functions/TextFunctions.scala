@@ -165,6 +165,49 @@ object TextFunctions {
   def redact(c: Column, pattern: String, replacement: String = "[REDACTED]"): Column =
     regexp_replace(c, pattern, replacement)
 
+  /** Credential-shaped token pattern: a ≥24-char run of the base64/url
+    * token alphabet. Counted as a secret only when it mixes letters AND
+    * digits ([[secretTokenCount]]) — prose never produces 24-char
+    * mixed-class runs, hashes/keys almost always do. Lookahead-free on
+    * purpose: the class test is a separate per-hit filter so the SAME
+    * pattern runs under RE2 (the DuckDB oracle) and java.util.regex.
+    */
+  val SecretTokenPattern = "[A-Za-z0-9+/=_\\-]{24,}"
+
+  /** Known credential prefixes (AWS access key ids, GitHub/OpenAI/Slack
+    * token families, PEM private-key headers) — high-precision hits
+    * regardless of length or character mix.
+    */
+  val SecretPrefixPattern =
+    "(AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36,}|sk-[A-Za-z0-9]{20,}|" +
+      "xox[baprs]-[A-Za-z0-9\\-]{10,}|-----BEGIN [A-Z ]*PRIVATE KEY-----)"
+
+  /** Count of credential-shaped tokens (mixed-class ≥24-char runs). The
+    * per-hit class filter is an interpreted HOF, but its width is the HIT
+    * list — O(few) per document, the same bounded budget as lang-id.
+    */
+  def secretTokenCount(c: Column): Column =
+    size(filter(regexp_extract_all(c, lit(SecretTokenPattern), lit(0)),
+      t => t.rlike("[0-9]") && t.rlike("[A-Za-z]"))).cast("long")
+
+  /** Count of known-prefix credential hits. */
+  def secretPrefixCount(c: Column): Column =
+    regexp_count(c, lit(SecretPrefixPattern)).cast("long")
+
+  /** Scrub both secret families to `[SECRET]` — prefixes first so a
+    * prefixed token is consumed by its high-precision rule, then the
+    * generic shape. Pure chained regexp_replace, map-side at scan speed.
+    *
+    * Deliberately RECALL-leaning: every ≥24-char token-alphabet run is
+    * scrubbed, including single-class ones [[secretTokenCount]] does not
+    * count — when in doubt, a training corpus drops the token; the
+    * counter stays precision-leaning for reporting.
+    */
+  def scrubSecrets(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, SecretPrefixPattern, "[SECRET]"),
+      SecretTokenPattern, "[SECRET]")
+
   /** Whole-document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeWs(c))
 
