@@ -808,6 +808,18 @@ object SparkEntry {
         Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", "n_chars")
         .orderBy(col("doc_id"))),
+    "q_curation_ingest" -> ((s, dir) => {
+      // the steady-state counterpart: one DELIVERY (ids ≡ 0 mod 2)
+      // screened against the ingested corpus (ids ≡ 0 mod 3) — quality ∧
+      // corpus-novelty (bloom + exact) ∧ in-delivery first copy
+      val docs = Tables.loadParallel(s, dir, "documents", "doc_id")
+      graft.operators.Curation.ingest(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")),
+        expectedItems = 100000)
+        .orderBy(col("doc_id"))
+    }),
     "q_corpus_drift" -> ((s, dir) => {
       // snapshot A = even doc ids, snapshot B = odd — the word-frequency
       // movers between two crawls of the same corpus
@@ -1323,6 +1335,7 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_dedup_incremental_minhash" -> incrementalMinhashOracleSql,
     "q_curation_report" -> curationReportOracleSql,
+    "q_curation_ingest" -> curationIngestOracleSql,
     "q_corpus_card" ->
       s"""WITH tok AS (SELECT unnest(${wsSql("coalesce(text, '')")}) AS w FROM documents),
          |b AS (SELECT count(*) AS n_docs FROM documents),
@@ -1665,6 +1678,47 @@ object SparkEntry {
        |  CAST(max(pos) + $n - min(pos) AS BIGINT) AS span_len
        |FROM isl GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** Ingestion-curation oracle: the quality CTE chain restricted to the
+    * delivery (ids ≡ 0 mod 2), novelty = fp NOT IN the mod-3 corpus,
+    * first copy = min delivery id per fp. The Spark side's Bloom stage is
+    * an optimization re-checked exactly, so plain SQL expresses the full
+    * semantics.
+    */
+  private def curationIngestOracleSql: String = {
+    val sw = graft.functions.TextFunctions.stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM d),
+       |ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wc AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |         count(*) AS nd, CAST(max(n) AS BIGINT) AS top_n FROM wc GROUP BY 1),
+       |sr AS (SELECT doc_id,
+       |  CASE WHEN len(ws) > 0
+       |    THEN len(list_filter(ws, x -> list_contains($sw, x)))::DOUBLE / len(ws)::DOUBLE
+       |    ELSE 0.0 END AS sraw FROM w),
+       |q AS (SELECT wa.doc_id,
+       |  (CASE WHEN n_words >= 10 AND n_words <= 10000 THEN 1 ELSE 0 END) *
+       |  (CASE WHEN round(1 - nd::DOUBLE / n_words::DOUBLE, 4) <= 0.5 THEN 1 ELSE 0 END) *
+       |  (CASE WHEN round(top_n::DOUBLE / n_words::DOUBLE, 4) <= 0.2 THEN 1 ELSE 0 END) *
+       |  (CASE WHEN sraw >= 0.01 THEN 1 ELSE 0 END) AS ok_quality
+       |  FROM wa JOIN sr ON sr.doc_id = wa.doc_id),
+       |f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM d),
+       |corpus AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |           FROM documents WHERE doc_id % 3 = 0),
+       |nov AS (SELECT doc_id, fp,
+       |  CASE WHEN fp IN (SELECT fp FROM corpus) THEN 0 ELSE 1 END AS ok_novel FROM f),
+       |fc AS (SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1)
+       |SELECT q.doc_id,
+       |  CAST(ok_quality AS BIGINT) AS ok_quality,
+       |  CAST(ok_novel AS BIGINT) AS ok_novel,
+       |  CAST(CASE WHEN nov.doc_id = fc.first_id THEN 1 ELSE 0 END AS BIGINT) AS ok_first,
+       |  CAST(ok_quality * ok_novel *
+       |    (CASE WHEN nov.doc_id = fc.first_id THEN 1 ELSE 0 END) AS BIGINT) AS admit
+       |FROM q JOIN nov ON nov.doc_id = q.doc_id JOIN fc ON fc.fp = nov.fp
+       |ORDER BY q.doc_id""".stripMargin
   }
 
   private def jaccardPairsOracleSql: String = jaccardPairsOracle(None)

@@ -117,4 +117,46 @@ object Curation {
         round(col("n_tokens").cast("double")
           / col("n_docs").cast("double"), 4).as("mean_doc_tokens"))
   }
+
+  /** Steady-state ingestion curation — [[report]]'s per-DELIVERY
+    * counterpart: each arriving document gets its quality verdict, its
+    * corpus-novelty verdict, its in-delivery first-copy verdict, and the
+    * conjunctive `admit`. One row per delivery document, so rejected rows
+    * stay auditable (the same per-rule-column contract as [[report]]).
+    *
+    * The novelty check is the two-stage screen: [[Dedup.bloomScreen]]
+    * tags the delivery map-side (no join for the certainly-new majority)
+    * and only the `maybe_dup` sliver pays the exact left-semi probe of
+    * `corpusFps` — which at scale is the persisted bucketed
+    * [[Dedup.writeExactIndex]] table, making the probe exchange-free on
+    * the corpus side. The Bloom stage is an OPTIMIZATION only: false
+    * positives are re-checked exactly, so `admit` is fpp-independent
+    * (which is what lets a plain-SQL oracle gate it).
+    */
+  def ingest(delivery: DataFrame, idCol: String, textCol: String,
+      corpusFps: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val quality = QualityFilter.verdicts(delivery, idCol, textCol)
+      .select(col("doc_id").as("id"), col("keep").cast("long").as("ok_quality"))
+    val screened = Dedup.bloomScreen(delivery, idCol, textCol,
+        corpusFps, expectedItems, fpp)
+      .select(col(idCol).as("id"), col("fp"), col("maybe_dup"))
+      .materialize()
+    val confirmed = screened.filter(col("maybe_dup") === 1)
+      .join(corpusFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("id"), lit(1).as("in_corpus"))
+    val novel = screened
+      .join(confirmed, Seq("id"), "left")
+      .select(col("id"), col("fp"),
+        when(col("in_corpus").isNull, 1L).otherwise(0L).as("ok_novel"))
+    // in-delivery first copy: one min-aggregate per fingerprint (the
+    // boilerplate-skew-robust shape, not a window over the fp)
+    val firstCopy = novel.groupBy(col("fp")).agg(min(col("id")).as("first_id"))
+    novel.join(firstCopy, "fp")
+      .withColumn("ok_first", (col("id") === col("first_id")).cast("long"))
+      .join(quality, Seq("id"))
+      .select(col("id").as("doc_id"), col("ok_quality"),
+        col("ok_novel"), col("ok_first"),
+        (col("ok_quality") * col("ok_novel") * col("ok_first")).as("admit"))
+  }
 }
