@@ -663,16 +663,50 @@ object Dedup {
   def bloomScreen(batch: DataFrame, idCol: String, textCol: String,
       corpusFps: DataFrame, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    val filterBytes = buildBloom(corpusFps, expectedItems, fpp)
+    batch
+      .withColumn("fp", T.fingerprint(col(textCol)))
+      .withColumn("maybe_dup", bloomMaybeDup(col("fp"), filterBytes))
+  }
+
+  /** Build the corpus-fingerprint Bloom filter bytes: the aggregate
+    * condenses the corpus DISTRIBUTED (partial filters merge map-side);
+    * only the finished filter reaches the driver — one row of numBits/8
+    * bytes, the same bounded-driver-state budget as the IVF centroids —
+    * because `might_contain` requires a constant filter. It then ships to
+    * executors inside the task binary, exactly like a broadcast variable.
+    * Shared by the batch screen and the streaming
+    * `EventStreams.bloomIngestScreen` (built once at stream setup).
+    */
+  def buildBloom(corpusFps: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
-      s"bloomScreen needs expectedItems > 0 and fpp in (0, 1), got $expectedItems / $fpp")
+      s"buildBloom needs expectedItems > 0 and fpp in (0, 1), got $expectedItems / $fpp")
     val ln2 = math.log(2)
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
-    // BloomFilterAggregate/BloomFilterMightContain are Catalyst built-ins
-    // (they power Spark's own runtime row-level filtering) but are not in
-    // the public function registry — register them the same way the
-    // custom vector expressions are (VectorExpressions.register)
-    val spark = batch.sparkSession
+    registerBloomFns(corpusFps.sparkSession)
+    corpusFps.agg(
+      call_function("graft_bloom_agg", xxhash64(col("fp")),
+        lit(expectedItems), lit(numBits)).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Per-row membership probe of a [[buildBloom]] filter over a
+    * fingerprint column: 1 = maybe present, 0 = certainly absent.
+    */
+  def bloomMaybeDup(fp: Column, filterBytes: Array[Byte]): Column = {
+    registerBloomFns(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_bloom_contains", lit(filterBytes), xxhash64(fp))
+      .cast("int")
+  }
+
+  /** BloomFilterAggregate/BloomFilterMightContain are Catalyst built-ins
+    * (they power Spark's own runtime row-level filtering) but are not in
+    * the public function registry — register them the same way the custom
+    * vector expressions are (VectorExpressions.register; idempotent).
+    */
+  private def registerBloomFns(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -683,20 +717,5 @@ object Dedup {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1)),
       "built-in")
-    // the aggregate condenses the corpus distributed (partial filters
-    // merge map-side); only the FINISHED filter reaches the driver — one
-    // row of numBits/8 bytes, the same bounded-driver-state budget as the
-    // IVF centroids — because might_contain requires a constant filter.
-    // It then ships to executors inside the task binary, exactly like a
-    // broadcast variable.
-    val filterBytes = corpusFps.agg(
-      call_function("graft_bloom_agg", xxhash64(col("fp")),
-        lit(expectedItems), lit(numBits)).as("__bf"))
-      .head().getAs[Array[Byte]](0)
-    batch
-      .withColumn("fp", T.fingerprint(col(textCol)))
-      .withColumn("maybe_dup",
-        call_function("graft_bloom_contains", lit(filterBytes),
-          xxhash64(col("fp"))).cast("int"))
   }
 }

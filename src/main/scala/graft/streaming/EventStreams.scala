@@ -79,6 +79,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming Bloom exact-dup screen — [[ingestScreen]]'s stream-static
+    * anti-join replaced by a STATELESS per-row probe: the corpus
+    * fingerprint Bloom filter is built ONCE at stream setup
+    * ([[graft.operators.Dedup.buildBloom]], distributed aggregate, bytes
+    * shipped as a plan constant) and every arrival is tagged `maybe_dup`
+    * map-side. No join, no state, append mode — micro-batch latency is a
+    * projection regardless of corpus size, at the price of fpp false
+    * positives (route `maybe_dup = 1` rows to exact verification offline,
+    * the same screen-then-verify contract as the minhash family). A
+    * filter too big for a plan constant (~10¹⁰ docs) shards by fp prefix.
+    */
+  def bloomIngestScreen(docs: DataFrame, corpusFps: DataFrame,
+      textCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(!docs.columns.contains("fp"),
+      "bloomIngestScreen generates an `fp` column; rename the input's `fp` first")
+    val filter = graft.operators.Dedup.buildBloom(corpusFps, expectedItems, fpp)
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withColumn("maybe_dup", graft.operators.Dedup.bloomMaybeDup(col("fp"), filter))
+  }
+
   /** Streaming semantic near-dup screen over a BINARY-QUANTIZED corpus
     * index: each arriving embedding is sign-packed against the corpus's
     * per-dimension means (one codegen'd map, no state) and joined to the

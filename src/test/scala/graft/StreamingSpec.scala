@@ -142,6 +142,29 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS stream_fp_idx")
   }
 
+  test("bloom ingest screen: stateless per-row tag, no false negatives, append mode") {
+    implicit val sq = spark.sqlContext
+    val corpusFps = Seq((1L, "seen before"), (2L, "other corpus text"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.bloomIngestScreen(docs, corpusFps,
+        "text", expectedItems = 100)
+      .writeStream.format("memory").queryName("bloom_screen")
+      .outputMode("append").start() // stateless: append works
+    input.addData(
+      (10L, "seen before"),  // in corpus: MUST be tagged (no false negatives)
+      (11L, "fresh arrival never seen"),
+      (12L, "another novel document entirely"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bloom_screen")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("maybe_dup")).toMap
+    assert(out(10L) == 1, "true duplicate must be tagged maybe_dup")
+    assert(out(11L) == 0 && out(12L) == 0, out.toString) // fpp 1%: clean here
+  }
+
   test("stream-stream interval join: purchases within the lookback, state bounded") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Event]

@@ -1,0 +1,21 @@
+package graft.dev
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("==== duplicateSpans ====")
+    Dedup.duplicateSpans(docs, "doc_id", "text", 5).explain("formatted")
+    println("==== ingest ====")
+    Curation.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")),
+      1000).explain("formatted")
+    spark.stop()
+  }
+}
