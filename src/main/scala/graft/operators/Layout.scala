@@ -53,6 +53,39 @@ object Layout {
     else least(lit(top), floor((c.cast("double") - lit(lo)) / lit(span) * top).cast("long"))
   }
 
+  /** Small-file compaction — the OPTIMIZE/bin-packing half of layout
+    * maintenance: rewrite a parquet directory into files of roughly
+    * `targetBytes` each. Streaming ingestion and fine-grained partitioned
+    * writes leave lakes with many KB-scale files whose per-file open/
+    * footer/listing overhead dominates 100 TB scans; compaction divides
+    * current on-disk bytes by the target to pick the output file count
+    * (round-robin repartition — even sizes, no shuffle key needed, and at
+    * most one wide exchange). Pair with [[zorderWrite]] when the rewrite
+    * should also re-cluster. Returns a reader of the rewritten table.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    require(bytes > 0, s"nothing to compact under $path")
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    // parquet bytes, not row bytes, drive the estimate — close enough for
+    // bin-packing since the rewrite re-encodes with the same codec
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: the rewrite lands fully before the source moves
+    val old = new java.io.File(tmp)
+    val bak = new java.io.File(path.stripSuffix("/") + ".__compact_old")
+    require(dir.renameTo(bak), s"could not move $path aside")
+    require(old.renameTo(dir), s"could not activate $tmp")
+    bak.listFiles().foreach(_.delete()); bak.delete()
+    spark.read.parquet(path)
+  }
+
   /** Z-order-cluster `df` by two numeric columns into `numFiles` parquet
     * files under `path`. Returns the written DataFrame reader.
     */

@@ -14,6 +14,24 @@ class LayoutSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L, 15L, 25L, (1L << 32) - 1))
   }
 
+  test("compact: many small files rewritten near the byte target, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    // 64 tiny files
+    spark.range(64L * 200).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(before.length == 64)
+    val total = before.map(_.length()).sum
+    val back = Layout.compact(spark, dir, targetBytes = total / 4)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(after.length <= 5 && after.length >= 3, s"${after.length} files")
+    assert(back.count() == 64L * 200)
+    assert(back.agg(sum(col("id"))).head.getLong(0)
+      == (0L until 64 * 200).sum) // content identical, not just counted
+  }
+
   test("zorderWrite: disjoint per-file z ranges, both dimensions localized") {
     val n = 128
     val grid = spark.range(n.toLong * n).select(
