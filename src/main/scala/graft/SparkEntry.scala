@@ -798,6 +798,10 @@ object SparkEntry {
       graft.operators.CorpusStats.unigramSurprisal(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q_surprisal_bigram" -> ((s, dir) =>
+      graft.operators.CorpusStats.bigramSurprisal(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q_corpus_card" -> ((s, dir) =>
       graft.operators.Curation.corpusCard(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")),
@@ -1281,6 +1285,7 @@ object SparkEntry {
     "q_ngram_freq" -> ngramFreqOracleSql,
     "q_ngram_profile" -> ngramProfileOracleSql,
     "q_surprisal" -> surprisalOracleSql,
+    "q_surprisal_bigram" -> bigramSurprisalOracleSql,
     "q_chunk" -> chunkOracleSql,
     "q_cdc_chunk" -> cdcChunkOracleSql,
     "q_pack" -> packOracleSql,
@@ -1913,6 +1918,26 @@ object SparkEntry {
        |  round(CAST(sum(CAST(n * -ln(cnt::DOUBLE / tot::DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
        |    / CAST(sum(n) AS DOUBLE), 4) AS mean_surprisal
        |FROM tf JOIN uf USING (word) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bigram-surprisal oracle: corpus-MLE conditional p(w₂|w₁) with the
+    * per-w₁ normalizer summed from the bigram counts themselves, exact
+    * decimal accumulation mirroring the Spark side.
+    */
+  private def bigramSurprisalOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("coalesce(text, '')")} AS ws FROM documents),
+       |g0 AS (SELECT doc_id,
+       |  [ws[i] for i in range(1, len(ws))] AS w1s,
+       |  [ws[i+1] for i in range(1, len(ws))] AS w2s
+       |  FROM w WHERE len(ws) >= 2),
+       |bp AS (SELECT doc_id, unnest(w1s) AS w1, unnest(w2s) AS w2 FROM g0),
+       |tf AS (SELECT doc_id, w1, w2, count(*) AS n FROM bp GROUP BY 1, 2, 3),
+       |bf AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+       |w1f AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bf GROUP BY 1)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(CAST(n * -ln(c2::DOUBLE / c1::DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 4) AS mean_bigram_surprisal
+       |FROM tf JOIN bf USING (w1, w2) JOIN w1f USING (w1)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Corpus n-gram frequency oracle (n=3, k=20). */

@@ -60,6 +60,43 @@ object CorpusStats {
           .as("mean_surprisal"))
   }
 
+  /** Per-document mean BIGRAM surprisal, −ln p(w₂ | w₁), under the
+    * corpus's own MLE bigram model — the next rung of the CCNet/KenLM
+    * quality-filter ladder above [[unigramSurprisal]]: a document of
+    * common words in an uncommon ORDER (shuffled prose, keyword stuffing,
+    * template soup) scores high here while scoring low on unigrams.
+    * p(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w), so the conditionals sum to one and
+    * every document bigram exists in the model (the model IS the corpus)
+    * — no smoothing constant to pick or port.
+    *
+    * Shape: map-side bigram pairs (the words array rides the posexplode,
+    * previous word via `element_at` — no window, same trick as
+    * Dedup.bagNgramRows), then three hash aggregates (per-doc pair
+    * counts, corpus pair counts, per-w₁ totals) and two equi-joins that
+    * reuse the aggregate partitioning. Surprisal terms accumulate as
+    * exact decimals so per-document sums are partition-order-free.
+    * Documents under two words contribute no row.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.words(coalesce(col(textCol), lit(""))).as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w2")))
+      .filter(col("pos") > 0) // element_at is 1-based: ws[pos] is the PREVIOUS word
+      .select(col("doc_id"), element_at(col("ws"), col("pos")).as("w1"), col("w2"))
+    val tf = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val bf = tf.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+    val w1f = bf.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val surprisal = -log(col("c2").cast("double") / col("c1").cast("double"))
+    tf.join(bf, Seq("w1", "w2")).join(w1f, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum((col("n") * surprisal).cast("decimal(30,15)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("mean_bigram_surprisal"))
+  }
+
   /** Vocabulary coverage / OOV profiling — the tokenizer-fit check run
     * before committing to a vocabulary: take the `vocabSize` most frequent
     * corpus words (ties broken by the word itself, so the vocabulary is

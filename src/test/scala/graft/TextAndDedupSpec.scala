@@ -711,4 +711,24 @@ class SurprisalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(shuffled(1L) == 0.4055 && shuffled(2L) == 1.0986)
   }
+
+  test("bigram surprisal: word ORDER matters — shuffled prose scores higher") {
+    // docs 4 and 5 carry IDENTICAL unigram multisets {a×2, b×2}; doc 4's
+    // order is rare in the corpus, doc 5's is the common one. Unigram
+    // surprisal cannot separate them; the bigram model must.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "a b a b"),
+      (4L, "a a b b"), (5L, "a b a b")).toDF("doc_id", "text")
+    val bi = CorpusStats.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val uni = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(4L) == uni(5L)) // unigram-blind
+    assert(bi.values.forall(_._1 == 3L)) // 4 words ⇒ 3 bigrams each
+    // corpus bigrams: 'a b'=9, 'b a'=4, 'a a'=1, 'b b'=1; c1(a)=10, c1(b)=5
+    // doc 5: (2·ln(10/9) + ln(5/4))/3 = 0.1446
+    // doc 4: (ln 10 + ln(10/9) + ln 5)/3 = 1.3391
+    assert(bi(5L)._2 == 0.1446, bi(5L).toString)
+    assert(bi(4L)._2 == 1.3391, bi(4L).toString)
+  }
 }
