@@ -18,11 +18,12 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def run_spark_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}' + (f' {ONLY}' if ONLY else '')]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[error]" in l or "verify]" in l) + "\n")
     if r.returncode != 0:

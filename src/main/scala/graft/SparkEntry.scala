@@ -708,6 +708,19 @@ object SparkEntry {
         .select(col("event_id"), col("asof_purchase_id").as("purchase_id"))
         .orderBy(col("event_id"))
     }),
+    "q_embed_outliers" -> ((s, dir) => {
+      // fixed centroids (embeddings of vec_id 1..16, like q_ann_ivf) so
+      // the oracle replicates assignment + per-cell z-scores exactly
+      val embs = Tables.load(s, dir, "embeddings")
+      val centroids = embs.filter(col("vec_id").between(1, 16))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      graft.operators.Ann.embeddingOutliers(embs, "vec_id", "embedding",
+          centroids, zThreshold = 2.0)
+        .withColumn("cell", col("cell").cast("long")) // oracle cid is BIGINT
+        .orderBy(col("vec_id"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // full hash gate with FIXED centroids (the embeddings of vec_id
       // 1..16) so the DuckDB oracle can replicate cell assignment, probe
@@ -1198,6 +1211,40 @@ object SparkEntry {
     "q_delta_dv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 AND n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_embed_outliers" ->
+      // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
+      // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate
+      // would be float-order-dependent); z rounds to 4 dp BEFORE the
+      // threshold compare, mirroring the Spark side
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |             FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell, dist FROM (
+        |    SELECT vec_id, cid - 1 AS cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |stats AS (
+        |  SELECT cell,
+        |    CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS cell_mean,
+        |    sqrt(greatest(0.0,
+        |      CAST(sum(CAST(dist * dist AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+        |      - pow(CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2)))
+        |      AS cell_std
+        |  FROM assigned GROUP BY cell)
+        |SELECT vec_id, a.cell, dist,
+        |  round(cell_mean, 6) AS cell_mean,
+        |  -- + 0.0 canonicalizes -0.0 (DuckDB round keeps the sign, Spark's doesn't)
+        |  round(CASE WHEN cell_std > 0 THEN (dist - cell_mean) / cell_std ELSE 0.0 END, 4) + 0.0 AS z,
+        |  CAST(CASE WHEN round(CASE WHEN cell_std > 0 THEN (dist - cell_mean) / cell_std
+        |    ELSE 0.0 END, 4) > 2.0 THEN 1 ELSE 0 END AS INT) AS outlier
+        |FROM assigned a JOIN stats USING (cell)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       // replicates the fixed-centroid IVF path: centroids are the
       // embeddings of vec_id 1..16; each vector goes to its nearest

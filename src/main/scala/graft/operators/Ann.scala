@@ -102,7 +102,7 @@ object Ann {
         }
       }
     }
-    (assignCells(embs, vecCol, centroids).drop("v"), centroids)
+    (assignCells(embs, vecCol, centroids).drop("v", "__cell_dist"), centroids)
   }
 
   /** Assign every vector to its nearest of the given centroids, no
@@ -112,7 +112,7 @@ object Ann {
     */
   def ivfAssign(embs: DataFrame, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame =
-    assignCells(embs, vecCol, centroids).drop("v")
+    assignCells(embs, vecCol, centroids).drop("v", "__cell_dist")
 
   /** Assign each vector to its nearest centroid (squared L2, argmin over
     * broadcast centroid literals). Distances use the codegen'd
@@ -136,7 +136,48 @@ object Ann {
       struct(d.as("dist"), lit(i).as("cell"))
     }
     embs.withColumn("cell", least(dists: _*).getField("cell"))
+      .withColumn("__cell_dist", least(dists: _*).getField("dist"))
       .withColumn("v", v)
+  }
+
+  /** Embedding OUTLIER screen — the noise / mislabeled-shard / poisoning
+    * check a curation pipeline runs over every embedded corpus: each
+    * vector's squared-L2 distance to its own (nearest) centroid is
+    * z-scored against its cell's distance distribution; a vector that is
+    * far from even its best-matching cell is structurally anomalous.
+    *
+    * Shape: one codegen'd assignment pass ([[ivfAssign]]'s fused argmin,
+    * which already produces the winning distance), one per-cell aggregate
+    * of (n, Σd, Σd²) — mean and variance from exact DECIMAL sums, so the
+    * statistics are partition-order-free where a streaming stddev
+    * aggregate would be float-order-dependent — and a broadcast join of
+    * the #cells-row statistics back onto the assignments. z is rounded to
+    * 4 dp BEFORE the threshold compare so the flag cannot hinge on
+    * last-bit float disagreement between engines (same discipline as the
+    * 6-dp assignment rounding).
+    */
+  def embeddingOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], zThreshold: Double = 2.0): DataFrame = {
+    val assigned = assignCells(embs, vecCol, centroids)
+      .select(col(idCol), col("cell"), col("__cell_dist").as("dist"))
+    val stats = assigned.groupBy(col("cell")).agg(
+      count(lit(1)).as("n"),
+      sum(col("dist").cast("decimal(30,10)")).as("s1"),
+      sum((col("dist") * col("dist")).cast("decimal(30,15)")).as("s2"))
+      .select(col("cell"),
+        (col("s1").cast("double") / col("n")).as("cell_mean"),
+        sqrt(greatest(lit(0.0),
+          col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")))).as("cell_std"))
+    assigned.join(broadcast(stats), "cell")
+      .withColumn("z", round(
+        when(col("cell_std") > 0,
+          (col("dist") - col("cell_mean")) / col("cell_std"))
+          .otherwise(lit(0.0)), 4))
+      .select(col(idCol), col("cell"), col("dist"),
+        round(col("cell_mean"), 6).as("cell_mean"), col("z"),
+        (col("z") > zThreshold).cast("int").as("outlier"))
   }
 
   /** The `nprobe` cells whose centroids are nearest the query, with the

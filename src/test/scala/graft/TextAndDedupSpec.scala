@@ -437,6 +437,25 @@ class AnnSpec extends SparkSpec {
     // exactly one hash exchange: the skinny scored rows, by id_a, for the window
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
+  test("embedding outliers: planted far vector is flagged, its cell-mates are not") {
+    // two tight clusters around fixed centroids, plus one vector far from
+    // both: the far vector must be the only outlier_z flag in its cell
+    val c0 = Seq.fill(16)(0.0)
+    val c1 = Seq.tabulate(16)(d => if (d == 0) 10.0 else 0.0)
+    val near = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) c0 else c1
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01 * math.sin(i * 13 + d) })
+    }
+    val planted = (999L, c0.zipWithIndex.map { case (x, d) => x + (if (d < 4) 3.0 else 0.0) })
+    val df = (near :+ planted).toDF("vec_id", "embedding")
+    val out = Ann.embeddingOutliers(df, "vec_id", "embedding", Seq(c0, c1), zThreshold = 2.0)
+    val flagged = out.filter($"outlier" === 1).select($"vec_id").as[Long].collect().toSeq
+    assert(flagged == Seq(999L), s"expected only the planted vector, got $flagged")
+    // every row assigned, exactly one per input, stats are per-cell
+    assert(out.count() == 31)
+    val cells = out.select($"cell").distinct().as[Int].collect().toSet
+    assert(cells == Set(0, 1))
+  }
 }
 
 class PipelineOpsSpec extends SparkSpec {
