@@ -880,6 +880,16 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "source", "doc_id", "n_chars", fraction = 0.5)
         .orderBy(col("doc_id"))),
+    "q_quality_decile" -> ((s, dir) =>
+      graft.operators.Sampling.quantileBucket(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", buckets = 10)
+        .orderBy(col("doc_id"))),
+    "q_embed_project" -> ((s, dir) =>
+      graft.operators.Ann.randomProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        outDims = 8, dims = 64)
+        .orderBy(col("vec_id"), col("j"))),
     "q_mix_plan" -> ((s, dir) =>
       graft.operators.Sampling.mixPlan(
         Tables.load(s, dir, "documents"), "source", mixWeights)
@@ -1344,6 +1354,32 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY source) AS n FROM documents)
         |SELECT doc_id, source, n_chars FROM r
         |WHERE rnk <= ceil(n * 0.5 - 1e-9) ORDER BY doc_id""".stripMargin,
+    "q_quality_decile" ->
+      // ntile is SQL-standard (first n mod b buckets take the extra row)
+      // and the (score, id) tiebreak pins every row, so the two engines'
+      // bucket assignment is bit-identical
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INT) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_project" ->
+      // JL sign projection: the ±1 matrix is re-derived from md5("j:d")
+      // first-hex-digit parity; components accumulate round(v·2^20) longs
+      // (exact integer sums — double→DECIMAL casts are NOT engine-portable
+      // in the 15th decimal), then one bit-identical float division
+      """WITH e AS (SELECT vec_id,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0, 0) AS BIGINT) AS q,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS BIGINT) AS d
+        |  FROM embeddings),
+        |m AS (SELECT j, d,
+        |    CASE WHEN substring(md5(j || ':' || d), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+        |  FROM range(8) t1(j) CROSS JOIN range(64) t2(d)),
+        |p AS (SELECT e.vec_id, m.j, sum(e.q * m.s) AS acc
+        |  FROM e JOIN m ON m.d = e.d GROUP BY e.vec_id, m.j)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |  round(CAST(acc AS DOUBLE) / (1048576.0 * sqrt(8.0)), 6) + 0.0 AS value
+        |FROM p ORDER BY vec_id, j""".stripMargin,
     "q_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_hits,

@@ -180,6 +180,59 @@ object Ann {
         (col("z") > zThreshold).cast("int").as("outlier"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection: reduce `dims`-wide
+    * vectors to `outDims` components, `out[j] = Σ_d v[d]·s(j,d) / √outDims`
+    * with `s(j,d) ∈ {−1,+1}` derived from md5("j:d") (first hex digit
+    * parity) — the same portable-hash discipline as the md5 sampling
+    * family, so the matrix is identical on any engine with no stored
+    * state and no RNG.
+    *
+    * This is the dimensionality-reduction front end for the ANN ladder:
+    * at 100 TB, projecting 768-dim embeddings to 64 dims before LSH /
+    * IVF cuts every downstream shuffle and scan ~12× while approximately
+    * preserving pairwise distances (JL lemma). The projection is one
+    * codegen'd map — each component accumulates the ±v_d terms on a
+    * 2^-20 fixed-point grid (`round(v·2^20)` as long): integer addition
+    * is exact and associative, so the result is partition- and
+    * evaluation-order-free AND engine-portable (a double→DECIMAL cast is
+    * neither — Spark goes through the shortest string representation,
+    * other engines expand the full binary double, and the last retained
+    * digit can differ). Quantization error is ≤ dims·2^-21/√outDims
+    * (~3e-5 at 768→64), orders below embedding noise.
+    *
+    * Output is LONG FORM (id, j, value): array column ordering never
+    * enters a comparison, and downstream consumers (`labelCentroids`
+    * style aggregates) take long form anyway.
+    */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    require(outDims > 0 && dims > 0, s"outDims $outDims / dims $dims must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val grid = 1048576.0 // 2^20
+    // divide by the same expression shape the oracle uses: grid·√outDims
+    // composed left-to-right, so the doubles are bit-identical
+    val denom = lit(grid) * sqrt(lit(outDims.toDouble))
+    val comps = (0 until outDims).map { j =>
+      val acc = (0 until dims).map { d =>
+        val q = round(element_at(v, d + 1) * lit(grid), 0).cast("long")
+        if (projectionSign(j, d) > 0) q else -q
+      }.reduce(_ + _)
+      struct(lit(j).as("j"),
+        (round(acc.cast("double") / denom, 6) + lit(0.0)).as("value"))
+    }
+    embs.select(col(idCol), explode(array(comps: _*)).as("c"))
+      .select(col(idCol), col("c.j").as("j"), col("c.value").as("value"))
+  }
+
+  /** ±1 matrix entry: parity of the first hex digit of md5("j:d").
+    * Any engine reproduces it from the two integers alone.
+    */
+  private[graft] def projectionSign(j: Int, d: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 1) == 0) 1 else -1
+  }
+
   /** The `nprobe` cells whose centroids are nearest the query, with the
     * same 6-dp rounding (HALF_UP, matching Spark/DuckDB `round` on
     * nonnegative values) as cell assignment: probe choice must not hinge

@@ -120,6 +120,52 @@ object Sampling {
       .drop("__tf_rnk", "__tf_n")
   }
 
+  /** Per-group quantile bucketing: every row gets its `buckets`-ile rank
+    * within its group — `ntile(buckets)` over (group, ORDER BY score, id)
+    * — the per-domain quality-threshold primitive (keep each source's top
+    * deciles, curriculum-order by within-domain quality, per-dump filter
+    * cutoffs à la the C4/FineWeb pipelines). Deterministic: the (score,
+    * id) tiebreak pins every row's bucket.
+    *
+    * Exact ntile SORTS each group (one window exchange). That is correct
+    * at any scale but pays a per-group sort; when groups are huge and an
+    * approximate boundary is acceptable, use
+    * [[quantileBucketByThreshold]] — one aggregate + broadcast, no sort.
+    */
+  def quantileBucket(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    df.withColumn("bucket", ntile(buckets).over(w))
+  }
+
+  /** Scale variant of [[quantileBucket]]: per-group score thresholds from
+    * ONE `approx_percentile` aggregate (t-digest — mergeable, map-side
+    * combined), broadcast back, bucket assigned map-side as
+    * 1 + #thresholds strictly below the score. No per-group sort, no
+    * wide shuffle: the only exchange is the #groups-row aggregate.
+    *
+    * Buckets are value-based, not count-based: heavy score ties land in
+    * one bucket rather than splitting by row count, and boundary rows can
+    * land one bucket off exact ntile (accuracy knob bounds the rank
+    * error). At 100 TB that trade is the point — the sort ntile pays is
+    * the thing being avoided.
+    */
+  def quantileBucketByThreshold(df: DataFrame, groupCol: String,
+      scoreCol: String, buckets: Int, accuracy: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val thresholds = df.groupBy(col(groupCol)).agg(
+      expr(s"approx_percentile($scoreCol, array(${probs.mkString(",")}), $accuracy)")
+        .as("__qb_ts"))
+    df.join(broadcast(thresholds), groupCol)
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__qb_ts"),
+          t => t < col(scoreCol)))).cast("int"))
+      .drop("__qb_ts")
+  }
+
   /** Deterministic train/val/test split: every row gets a split label from
     * its id hash and the cumulative fraction thresholds — reproducible
     * across cluster sizes and runs, consistent for any table sharing the

@@ -437,6 +437,47 @@ class AnnSpec extends SparkSpec {
     // exactly one hash exchange: the skinny scored rows, by id_a, for the window
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
+  test("random projection: matches a direct reference computation, long form complete") {
+    val dims = 16
+    val k = 4
+    val out = Ann.randomProject(embs, "vec_id", "embedding", k, dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 200 * k) // every (vector, component) present exactly once
+    // reference: same md5-derived ±1 matrix applied in plain Scala
+    val ref = embs.collect().map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      id -> (0 until k).map { j =>
+        val s = (0 until dims).map(d => v(d) * Ann.projectionSign(j, d)).sum
+        BigDecimal(s / math.sqrt(k.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    ref.foreach { case (id, comps) =>
+      (0 until k).foreach { j =>
+        // the engine accumulates on the 2^-20 grid; the unquantized
+        // double-sum reference can differ by dims·2^-21/√k plus a final
+        // rounding step
+        assert(math.abs(out((id, j)) - comps(j)) < 1e-5,
+          s"vec $id comp $j: got ${out((id, j))}, want ${comps(j)}")
+      }
+    }
+    // JL property on this corpus: projected pairwise distance correlates
+    // with the original (sign test on a fixed sample of pairs)
+    val full = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val proj = out.groupBy(_._1._1).map { case (id, m) =>
+      id -> (0 until k).map(j => m((id, j))).toSeq
+    }
+    val pairs = for (a <- 0L until 20L; b <- (a + 1) until 20L) yield (a, b)
+    val agree = pairs.count { case (a, b) =>
+      val near = d2(full(a), full(b)) < 8.0 // half the expected distance for random sin vectors
+      val nearP = d2(proj(a), proj(b)) < 8.0
+      near == nearP
+    }
+    assert(agree >= (pairs.size * 0.6).toInt, s"only $agree/${pairs.size} pairs agree")
+  }
   test("embedding outliers: planted far vector is flagged, its cell-mates are not") {
     // two tight clusters around fixed centroids, plus one vector far from
     // both: the far vector must be the only outlier_z flag in its cell
@@ -640,6 +681,44 @@ class SamplingTopFractionSpec extends SparkSpec {
     assert(n == 57L)
     val n7 = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.07).count()
     assert(n7 == 7L) // 0.07 × 100 = 7.000000000000001
+  }
+  test("quantileBucket: even deciles per group, monotone in score, deterministic ties") {
+    // group g: 100 distinct scores → exactly 10 per decile; group h: 25
+    // rows → first 5 buckets get 3, rest 2 (SQL ntile remainder rule)
+    val rows = (1L to 100L).map(i => (i, "g", i.toDouble)) ++
+      (101L to 125L).map(i => (i, "h", (i % 5).toDouble)) // heavy ties
+    val out = Sampling.quantileBucket(rows.toDF("doc_id", "source", "score"),
+      "source", "doc_id", "score", buckets = 10).collect()
+    val g = out.filter(_.getString(1) == "g")
+    assert(g.groupBy(_.getAs[Int]("bucket")).forall(_._2.length == 10))
+    // bucket is monotone in score within a group
+    assert(g.sortBy(_.getDouble(2)).map(_.getAs[Int]("bucket")).toSeq ==
+      g.map(_.getAs[Int]("bucket")).sorted.toSeq)
+    val h = out.filter(_.getString(1) == "h")
+    val sizes = h.groupBy(_.getAs[Int]("bucket")).map { case (b, r) => b -> r.length }
+    assert((1 to 5).forall(sizes(_) == 3) && (6 to 10).forall(sizes(_) == 2))
+    // ties broken by id: re-running yields the identical assignment
+    val again = Sampling.quantileBucket(rows.toDF("doc_id", "source", "score"),
+      "source", "doc_id", "score", 10).collect()
+    assert(out.map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap ==
+      again.map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap)
+  }
+  test("quantileBucketByThreshold tracks exact ntile without a per-group sort") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", i.toDouble))
+    val df = rows.toDF("doc_id", "source", "score")
+    val exact = Sampling.quantileBucket(df, "source", "doc_id", "score", 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val approx = Sampling.quantileBucketByThreshold(df, "source", "score", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    assert(approx.keySet == exact.keySet)
+    // distinct uniform scores at full t-digest accuracy: boundary rows may
+    // sit one bucket off exact rank-ntile, never more
+    assert(exact.forall { case (id, b) => math.abs(approx(id) - b) <= 1 })
+    assert(exact.count { case (id, b) => approx(id) == b } >= (exact.size * 0.9).toInt)
+    // the scale claim: no window sort — the plan's only window-free path
+    val plan = Sampling.quantileBucketByThreshold(df, "source", "score", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 }
 
