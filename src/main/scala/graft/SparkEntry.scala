@@ -685,6 +685,15 @@ object SparkEntry {
       Ann.knnJoin(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("id_a"), col("rnk"))),
+    "q_knn_align" -> ((s, dir) => {
+      // cross-corpus kNN: every 10th vector is the "delivery", the rest
+      // the curated corpus (modulus split keeps proportions scale-stable)
+      val e = Tables.load(s, dir, "embeddings")
+      Ann.knnJoinAgainst(e.filter(col("vec_id") % 10 === 0),
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("id_a"), col("rnk"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // 30-minute inactivity gap. ts is raw nanos (nanosAsLong) but the
       // gate compares at MICROsecond granularity (ts div 1000): DuckDB's
@@ -1556,6 +1565,21 @@ object SparkEntry {
         |  round(max(value), 4) AS vmax,
         |  count(value) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_knn_align" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |p AS (
+        |  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT id_a, id_b, score,
+        |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS INTEGER) AS rnk
+        |  FROM p)
+        |SELECT id_a, id_b, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY id_a, rnk""".stripMargin,
     "q_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (

@@ -212,15 +212,20 @@ object Ann {
     // divide by the same expression shape the oracle uses: grid·√outDims
     // composed left-to-right, so the doubles are bit-identical
     val denom = lit(grid) * sqrt(lit(outDims.toDouble))
+    // quantize ONCE per element via transform — inlining the round into
+    // every (j, d) term would re-evaluate it outDims× per element and
+    // blow the generated method past JIT limits (measured 10× slower)
+    val qv = transform(v, e => round(e * lit(grid), 0).cast("long"))
+    val pre = embs.select(col(idCol), qv.as("__qv"))
     val comps = (0 until outDims).map { j =>
       val acc = (0 until dims).map { d =>
-        val q = round(element_at(v, d + 1) * lit(grid), 0).cast("long")
+        val q = element_at(col("__qv"), d + 1)
         if (projectionSign(j, d) > 0) q else -q
       }.reduce(_ + _)
       struct(lit(j).as("j"),
         (round(acc.cast("double") / denom, 6) + lit(0.0)).as("value"))
     }
-    embs.select(col(idCol), explode(array(comps: _*)).as("c"))
+    pre.select(col(idCol), explode(array(comps: _*)).as("c"))
       .select(col(idCol), col("c.j").as("j"), col("c.value").as("value"))
   }
 
@@ -338,6 +343,57 @@ object Ann {
     * Same output shape as [[knnJoin]]; rows with fewer than k candidates
     * return what exists — recall is tuned by planes/probes.
     */
+  /** Cross-corpus kNN: for every `queries` row, the `k` nearest `corpus`
+    * rows by cosine — the align-a-delivery-against-the-curated-corpus
+    * primitive (embedding-space decontamination of an eval set, hard
+    * negative mining, retrieval evaluation). Unlike [[knnJoin]] there is
+    * no self-exclusion: the two frames are distinct tables and an exact
+    * match (score 1.0, rank 1) is usually the signal being hunted.
+    *
+    * Exact: broadcasts the corpus, same contract as [[knnJoin]] — one
+    * side must fit the broadcast budget. For huge×huge use
+    * [[knnJoinLshAgainst]], whose cost is bucket-bounded on both sides.
+    */
+  def knnJoinAgainst(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    // same fan-out lesson as knnJoin: pairs multiply AFTER the broadcast
+    // join, so partitioning must be pinned before it, by pair count
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val left = queries.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+      .repartition(shufflePartitions, col("id_a"))
+    val right = corpus.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    topKPerRow(left.crossJoin(broadcast(right)), k)
+  }
+
+  /** Bucket-bounded cross-corpus kNN: both sides SRP-bucketed with the
+    * same deterministic planes, queries probe their bucket plus all
+    * buckets within `probeHamming` bit flips — cost is Σ|q-bucket|·
+    * |c-bucket| over colliding buckets, never |Q|·|C|. Approximate (a
+    * true neighbor whose bucket differs by more than `probeHamming` bits
+    * is missed), so spec-gated like [[knnJoinLsh]], not oracle-gated.
+    */
+  def knnJoinLshAgainst(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val dim = vecDims(corpus, vecCol)
+    val planes = V.deterministicPlanes(numPlanes, dim)
+    val probes = probeMasks(numPlanes, probeHamming)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val left = queries
+      .select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"),
+        V.srpBucket(col(vecCol), planes).as("ba"))
+      .withColumn("probe",
+        explode(array(probes.map(m => col("ba").bitwiseXOR(lit(m))): _*)))
+      .repartition(shufflePartitions, col("probe"))
+    val right = corpus
+      .select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"),
+        V.srpBucket(col(vecCol), planes).as("bb"))
+      .repartition(shufflePartitions, col("bb"))
+    topKPerRow(left.join(right, col("probe") === col("bb")), k)
+  }
+
   def knnJoinLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
     val spark = embs.sparkSession

@@ -437,6 +437,26 @@ class AnnSpec extends SparkSpec {
     // exactly one hash exchange: the skinny scored rows, by id_a, for the window
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
+  test("cross-corpus kNN: planted duplicate ranks first, queries only on the left") {
+    val corpus = embs.filter($"vec_id" < 150)
+    // queries: one planted exact copy of corpus vec 7, one fresh vector
+    val q = Seq(
+      (1007L, embs.filter($"vec_id" === 7).head.getSeq[Double](1)),
+      (2000L, (0 until 16).map(d => math.cos(d * 3.1).toFloat.toDouble).toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = Ann.knnJoinAgainst(q, corpus, "vec_id", "embedding", k = 4).collect()
+    val byA = out.groupBy(_.getLong(0))
+    assert(byA.keySet == Set(1007L, 2000L)) // corpus rows never appear as queries
+    assert(byA.forall(_._2.length == 4))
+    val top = byA(1007L).minBy(_.getInt(3))
+    assert(top.getLong(1) == 7L && math.abs(top.getDouble(2) - 1.0) < 1e-9)
+    // LSH variant: bucket-bounded, still finds the planted duplicate
+    val lsh = Ann.knnJoinLshAgainst(q, corpus, "vec_id", "embedding", k = 4,
+      numPlanes = 6, probeHamming = 1).collect()
+    val lshTop = lsh.filter(_.getLong(0) == 1007L).minBy(_.getInt(3))
+    assert(lshTop.getLong(1) == 7L)
+    assert(lsh.groupBy(_.getLong(0)).forall(_._2.length <= 4))
+  }
   test("random projection: matches a direct reference computation, long form complete") {
     val dims = 16
     val k = 4
