@@ -924,6 +924,12 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "doc_id", 0.37)
         .orderBy(col("doc_id"))),
+    "q_sample_priority" -> ((s, dir) =>
+      // fixed-size weighted sample (Efraimidis–Spirakis), length-weighted
+      graft.operators.Sampling.prioritySample(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", col("n_chars"), n = 100, salt = 7L)
+        .orderBy(col("doc_id"))),
     "q_sample_weighted" -> ((s, dir) =>
       // importance sampling: keep probability proportional to doc length
       // (n_chars/1000 clamped to 1) — per-row weights, portable md5 bucket
@@ -1506,6 +1512,18 @@ object SparkEntry {
         |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM t WHERE b < 370000 ORDER BY doc_id""".stripMargin,
+    "q_sample_priority" ->
+      // same portable md5 bucket as q_split/q_sample_uniform; priority
+      // rounds to 9 dp BEFORE ranking so pow's last ulp (libm-dependent)
+      // cannot flip the cut, and ties break by doc_id in both engines
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#7'), 1, 8))::BIGINT % 1000000 AS b
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT doc_id, source, n_chars,
+        |  round(pow((b + 1.0) / 1000001.0, 1.0 / n_chars), 9) AS priority FROM t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p)
+        |SELECT doc_id, source, n_chars, priority FROM r WHERE rn <= 100
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" ->
       """WITH t AS (SELECT doc_id, source, n_chars,
         |  ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT % 1000000 AS b,

@@ -120,6 +120,36 @@ object Sampling {
       .drop("__tf_rnk", "__tf_n")
   }
 
+  /** Fixed-SIZE weighted sample without replacement (Efraimidis–Spirakis
+    * priority sampling): each row draws its deterministic uniform u from
+    * the portable salted-md5 bucket ((bucket+1)/(M+1) ∈ (0,1]) and gets
+    * priority u^(1/w); the n largest priorities are the sample. The
+    * fixed-n complement of [[bernoulliByWeight]] (fixed expected
+    * fraction): "give me exactly 10k docs, length-weighted" — eval-set
+    * carving, budgeted annotation batches.
+    *
+    * Deterministic end to end (same salt → same sample on any engine —
+    * the oracle gate recomputes it in SQL), and scale-correct: the top-n
+    * is TakeOrderedAndProject (per-partition heaps + driver merge of n
+    * rows), never a global sort. Priorities round to 9 dp before ranking
+    * (ties then break by id) so the selection cannot hinge on the last
+    * ulp of `pow`, which differs across libm implementations.
+    * Nonpositive-weight rows are excluded — a zero-weight row must never
+    * be sampled, and u^(1/w) is not meaningful for w ≤ 0.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column, n: Int,
+      salt: Long = 0L): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    val u = (bucket.cast("double") + lit(1.0)) / lit((M + 1).toDouble)
+    df.filter(weightCol.cast("double") > 0)
+      .withColumn("priority", round(pow(u, lit(1.0) / weightCol.cast("double")), 9))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Per-group quantile bucketing: every row gets its `buckets`-ile rank
     * within its group — `ntile(buckets)` over (group, ORDER BY score, id)
     * — the per-domain quality-threshold primitive (keep each source's top

@@ -702,6 +702,32 @@ class SamplingTopFractionSpec extends SparkSpec {
     val n7 = Sampling.topFractionByGroup(docs, "source", "doc_id", "score", 0.07).count()
     assert(n7 == 7L) // 0.07 × 100 = 7.000000000000001
   }
+  test("prioritySample: exactly n rows, deterministic, weight-biased, top-k plan") {
+    import org.apache.spark.sql.functions.col
+    // weights 1 vs 100: heavy rows must dominate a half-size sample
+    val rows = (1L to 200L).map(i => (i, if (i <= 100) 1.0 else 100.0))
+    val df = rows.toDF("doc_id", "w")
+    val s1 = Sampling.prioritySample(df, "doc_id", col("w"), n = 50, salt = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 50)
+    assert(s1.count(_ > 100L) > 40, s"heavy rows under-represented: $s1")
+    // same salt → identical sample; different salt → different sample
+    val s2 = Sampling.prioritySample(df, "doc_id", col("w"), 50, 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s1)
+    val s3 = Sampling.prioritySample(df, "doc_id", col("w"), 50, 4L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // nonpositive weights are never sampled, even when n exceeds the rest
+    val withZero = rows ++ Seq((300L, 0.0), (301L, -5.0))
+    val s4 = Sampling.prioritySample(withZero.toDF("doc_id", "w"), "doc_id",
+      col("w"), n = 500).select("doc_id").as[Long].collect()
+    assert(s4.length == 200 && !s4.contains(300L) && !s4.contains(301L))
+    // scale shape: top-n is TakeOrdered, not a global sort
+    val plan = Sampling.prioritySample(df, "doc_id", col("w"), 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
   test("quantileBucket: even deciles per group, monotone in score, deterministic ties") {
     // group g: 100 distinct scores → exactly 10 per decile; group h: 25
     // rows → first 5 buckets get 3, rest 2 (SQL ntile remainder rule)
