@@ -517,6 +517,13 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_edit" -> ((s, dir) =>
+      // final exact stage of the dedup ladder: low-threshold Jaccard
+      // recall, normalized-Levenshtein confirmation over 2k-char prefixes
+      Dedup.editVerifiedPairs(Tables.loadParallel(s, dir, "documents", "doc_id"),
+        "doc_id", "text", shingleSize = 3, candidateThreshold = 0.3,
+        minSimilarity = 0.8, maxLen = 2000)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_jaccard_cap" -> ((s, dir) =>
       // the boilerplate guard: shingles in > 5 docs leave the universe
       // before the self-join; exact Jaccard over the capped universe
@@ -937,6 +944,21 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "doc_id", col("n_chars").cast("double") / 1000.0)
         .orderBy(col("doc_id"))),
+    "q_sample_stratified" -> ((s, dir) =>
+      // per-source keep fractions (portable md5 bucket): keep all of
+      // src0, half of src1, a quarter of src2, 10% of the rest
+      graft.operators.Sampling.stratifiedPortable(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1, salt = 3L)
+        .orderBy(col("doc_id"))),
+    "q_sample_priority_group" -> ((s, dir) =>
+      // exactly 5 docs per source, length-weighted without replacement
+      graft.operators.Sampling.prioritySampleByGroup(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", col("n_chars"), nPerGroup = 5, salt = 11L)
+        .orderBy(col("doc_id"))),
     "q_split_leakage_safe" -> ((s, dir) => {
       // near-dup clusters (same minhash pipeline as q_dedup_clusters)
       // hashed as whole groups: a cluster never straddles train/test
@@ -1029,6 +1051,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy(col("day"), col("event_type"))),
+    "q_funnel" -> ((s, dir) => {
+      // ordered view→click→purchase funnel, 7-day window from first view;
+      // ts is raw nanos (nanosAsLong) → micros via integer div, matching
+      // DuckDB's micros-truncated TIMESTAMP exactly
+      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      graft.operators.Funnel.conversion(ev, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 7L * 86400 * 1000000)
+        .orderBy(col("step_idx"))
+    }),
+    "q_funnel_users" -> ((s, dir) => {
+      // the per-user step-time frame behind q_funnel: micros values and
+      // reached depth are hash-compared, so both engines must agree on
+      // every chain's exact event choice
+      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      graft.operators.Funnel.userFunnel(ev, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 7L * 86400 * 1000000)
+        .orderBy(col("user"))
+    }),
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle; cohort week surfaced as DATE so
+      // both engines hash the same representation
+      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      graft.operators.Funnel.retention(ev, "user_id", "us")
+        .withColumn("cohort_week", to_date(col("cohort_week")))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
     "q_events_agg" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
@@ -1346,6 +1394,7 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_jaccard" -> jaccardPairsOracleSql,
     "q_dedup_jaccard_cap" -> jaccardPairsOracle(Some(5)),
+    "q_dedup_edit" -> editVerifiedOracleSql,
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
@@ -1531,6 +1580,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM t
         |WHERE b < CAST(floor(w * 1000000) AS BIGINT) ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      // same portable md5 bucket; per-stratum integer thresholds
+      // (floor(f·M)) so the kept set is float-rounding-proof in both engines
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#3'), 1, 8))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM t
+        |WHERE b < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+        |  WHEN 'src2' THEN 250000 ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_priority_group" ->
+      // q_sample_priority's Efraimidis–Spirakis priority, ranked per
+      // source with row_number instead of a global top-n
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || '#11'), 1, 8))::BIGINT % 1000000 AS b
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT doc_id, source, n_chars,
+        |  round(pow((b + 1.0) / 1000001.0, 1.0 / n_chars), 9) AS priority FROM t),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM p)
+        |SELECT doc_id, source, n_chars, priority FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
     "q_split_leakage_safe" -> splitLeakageSafeOracleSql,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR || '#0') AS ord_key FROM documents),
@@ -1726,6 +1797,30 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_funnel" ->
+      // DuckDB's TIMESTAMP is the parquet nanos truncated to micros, so
+      // epoch_us(ts) equals the Spark side's `ts div 1000` exactly
+      (funnelCtes +
+        """
+          |SELECT 1 AS step_idx, 'view' AS step, count(t_1) AS users FROM s3
+          |UNION ALL SELECT 2, 'click', count(t_2) FROM s3
+          |UNION ALL SELECT 3, 'purchase', count(t_3) FROM s3
+          |ORDER BY step_idx""".stripMargin),
+    "q_funnel_users" ->
+      (funnelCtes +
+        """
+          |SELECT u AS user, t_1, t_2, t_3,
+          |  1 + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+          |    + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END AS depth
+          |FROM s3 ORDER BY u""".stripMargin),
+    "q_retention" ->
+      """WITH f AS (SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY 1)
+        |SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        |  (epoch_us(date_trunc('week', e.ts)) -
+        |   epoch_us(date_trunc('week', first_ts))) // 604800000000 AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN f ON f.u = e.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -1852,6 +1947,52 @@ object SparkEntry {
   }
 
   private def jaccardPairsOracleSql: String = jaccardPairsOracle(None)
+
+  /** Shared CTE chain for the funnel gates: per-user earliest view, then
+    * earliest later click / purchase inside the 7-day window from the
+    * first view — the same left-join-then-min chain Funnel.userFunnel
+    * builds (a null t_k nulls the next step's time predicate, so a broken
+    * chain stays broken).
+    */
+  private def funnelCtes: String =
+    """WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et FROM events),
+      |s1 AS (SELECT u, min(us) AS t_1 FROM base WHERE et = 'view' GROUP BY u),
+      |s2 AS (SELECT s1.u, t_1, min(b.us) AS t_2 FROM s1 LEFT JOIN base b
+      |  ON b.u = s1.u AND b.et = 'click' AND b.us > t_1
+      |  AND b.us <= t_1 + 604800000000 GROUP BY s1.u, t_1),
+      |s3 AS (SELECT s2.u, t_1, t_2, min(b.us) AS t_3 FROM s2 LEFT JOIN base b
+      |  ON b.u = s2.u AND b.et = 'purchase' AND b.us > t_2
+      |  AND b.us <= t_1 + 604800000000 GROUP BY s2.u, t_1, t_2)""".stripMargin
+
+  /** Dedup edit-verify oracle: the jaccard-pairs chain at recall
+    * threshold 0.3, each candidate confirmed by normalized Levenshtein
+    * over 2000-char prefixes at >= 0.8 (both engines' `levenshtein` is
+    * the plain character-level edit distance).
+    */
+  private def editVerifiedOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM w),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |  round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) >= 0.3),
+       |t AS (SELECT doc_id, substring(text, 1, 2000) AS t FROM documents),
+       |v AS (SELECT id_a, id_b, jaccard,
+       |  CASE WHEN greatest(length(ta.t), length(tb.t)) > 0
+       |    THEN round(1.0 - levenshtein(ta.t, tb.t)::DOUBLE /
+       |      greatest(length(ta.t), length(tb.t))::DOUBLE, 4)
+       |    ELSE 1.0 END AS edit_sim
+       |  FROM j JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard, edit_sim FROM v WHERE edit_sim >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared body for the capped/uncapped jaccard oracles; `cap` mirrors
     * Dedup.jaccardPairs(maxDocFreq): shingles with docfreq > cap leave the

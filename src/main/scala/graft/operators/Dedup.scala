@@ -314,6 +314,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance VERIFICATION of near-dup candidates: the final exact
+    * stage of the dedup ladder. [[jaccardPairs]] at a deliberately LOW
+    * `candidateThreshold` recalls candidate pairs cheaply (set overlap is
+    * order-blind and forgiving); each candidate is then confirmed with a
+    * normalized Levenshtein similarity `1 − dist/max(len)` over the first
+    * `maxLen` chars, keeping pairs at `>= minSimilarity`. Catches what
+    * shingle Jaccard alone cannot distinguish — reorderings of the same
+    * vocabulary score high on sets but low on edit similarity.
+    *
+    * Levenshtein is O(len_a·len_b) PER PAIR — this must only ever run on
+    * the banded/thresholded candidate set, never all pairs, and `maxLen`
+    * bounds the worst-case DP cell count per pair (a prefix comparison is
+    * the standard trade: near-identical long docs agree on their prefix).
+    * The verify joins are id-keyed equi-joins of the (small) candidate
+    * frame against the docs projection; at lake scale the candidate side
+    * is orders of magnitude below the corpus, so both joins broadcast or
+    * shuffle only candidates. Both empty ⇒ similarity 1.0 (identical).
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, candidateThreshold: Double = 0.3,
+      minSimilarity: Double = 0.8, maxLen: Int = 2000): DataFrame = {
+    require(minSimilarity >= 0.0 && minSimilarity <= 1.0,
+      s"minSimilarity must be in [0, 1], got $minSimilarity")
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val cands = jaccardPairs(docs, idCol, textCol, shingleSize, candidateThreshold)
+    val texts = docs.select(col(idCol).as("__ev_id"),
+      substring(col(textCol), 1, maxLen).as("__ev_t"))
+    val maxSide = greatest(length(col("t_a")), length(col("t_b")))
+    cands
+      .join(texts.select(col("__ev_id").as("id_a"), col("__ev_t").as("t_a")), "id_a")
+      .join(texts.select(col("__ev_id").as("id_b"), col("__ev_t").as("t_b")), "id_b")
+      .withColumn("edit_sim", round(
+        when(maxSide > 0,
+          lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+            maxSide.cast("double"))
+          .otherwise(lit(1.0)), 4))
+      .filter(col("edit_sim") >= minSimilarity)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_sim"))
+  }
+
   /** n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

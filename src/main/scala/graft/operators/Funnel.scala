@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over an event log — the
+  * two classic product-analytics shapes the reference serves via raw SQL
+  * (its `sql_endpoint`, sql.py) but has no first-class operator for.
+  *
+  * Both operators key every shuffle on the user id and nothing else, so
+  * at 100 TB the plan is a sequence of co-partitioned aggregates/joins on
+  * one key: Catalyst reuses the hash partitioning across stages instead
+  * of exchanging per step, and skew equals the busiest user — the
+  * irreducible bound of any per-user analysis.
+  */
+object Funnel {
+
+  /** Per-user ordered funnel: for each user, the earliest time they
+    * completed step 1, then the earliest step-2 event STRICTLY AFTER
+    * their step-1 time, and so on — every step must land within
+    * `windowMicros` of the step-1 time. Returns one row per user who
+    * completed step 1: `(user, t_1 … t_n, depth)` where `t_k` is the
+    * step-k completion time in MICROseconds (null once the chain
+    * breaks) and `depth` is the number of completed steps. Conversion
+    * counts per step are then one tiny aggregate over this frame.
+    *
+    * Shape: step 1 is a filtered min-aggregate by user; each later step
+    * is a left join of the accumulated frame against that step's
+    * events (equi-join ON USER — the time predicates are join filters,
+    * never a theta-join fan-out) followed by a min-aggregate, all keyed
+    * by user. A broken chain propagates for free: `t_{k-1}` null makes
+    * the time predicate null, the left join keeps the user with
+    * `t_k` null. Events are touched once per step with the step's type
+    * filter pushed to the scan; nothing is collected.
+    *
+    * Strictly-after (`>`) rather than `>=` keeps a single event from
+    * satisfying two adjacent identical steps; a same-micro burst of
+    * distinct steps therefore counts as broken, which is the
+    * conservative reading of "ordered".
+    */
+  def userFunnel(events: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val stepEvents: Int => DataFrame = k => events
+      .filter(col(typeCol) === steps(k))
+      .select(col(userCol).as("user"), col(tsMicrosCol).cast("long").as("us"))
+    var acc = stepEvents(0).groupBy(col("user")).agg(min(col("us")).as("t_1"))
+    for (k <- 1 until steps.size) {
+      val prev = (1 to k).map(i => col(s"t_$i"))
+      // renamed step-side columns: both sides descend from `events`, and
+      // distinct names sidestep ambiguous-self-join attribute resolution
+      val sk = stepEvents(k).withColumnRenamed("user", "__f_user")
+        .withColumnRenamed("us", "__f_us")
+      acc = acc.join(sk,
+          col("user") === col("__f_user") &&
+            col("__f_us") > col(s"t_$k") &&
+            col("__f_us") <= col("t_1") + windowMicros,
+          "left")
+        .groupBy(col("user") +: prev: _*)
+        .agg(min(col("__f_us")).as(s"t_${k + 1}"))
+    }
+    val depth = (2 to steps.size).foldLeft(lit(1)) {
+      case (d, i) => d + when(col(s"t_$i").isNotNull, 1).otherwise(0)
+    }
+    acc.withColumn("depth", depth)
+  }
+
+  /** Funnel conversion counts: one row per step with the number of users
+    * whose [[userFunnel]] chain reached it. `users` is monotonically
+    * non-increasing by construction. The per-user frame is computed once;
+    * the unpivot-and-count is a #steps-row aggregate.
+    */
+  def conversion(events: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    val perUser = userFunnel(events, userCol, tsMicrosCol, typeCol, steps,
+      windowMicros)
+    val rows = steps.indices.map { i =>
+      struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+        when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L).as("hit"))
+    }
+    perUser.select(explode(array(rows: _*)).as("s"))
+      .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
+      .agg(sum(col("s.hit")).as("users"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (date_trunc) of the
+    * user's FIRST event ever; a user is retained in week offset `w` if
+    * they have any event in the week `w` weeks after their cohort week.
+    * Returns `(cohort_week, week_offset, active_users)` — the classic
+    * retention triangle, distinct users per cell.
+    *
+    * Two shuffles total, both on user: the first-event min-aggregate,
+    * and the events⋈firsts equi-join feeding the cell aggregate (the
+    * join reuses the aggregate's partitioning). Week arithmetic happens
+    * in micros space on week-aligned values, so the offset division is
+    * exact; `tsMicrosCol` is epoch MICROseconds (UTC weeks).
+    */
+  def retention(events: DataFrame, userCol: String,
+      tsMicrosCol: String): DataFrame = {
+    val us = col(tsMicrosCol).cast("long")
+    val weekUs: Column => Column =
+      c => unix_micros(date_trunc("week", timestamp_micros(c)))
+    val firsts = events.groupBy(col(userCol).as("user"))
+      .agg(min(us).as("first_us"))
+    val weekMicros = 7L * 24 * 3600 * 1000 * 1000
+    events.select(col(userCol).as("user"), weekUs(us).as("event_week"))
+      .join(firsts, "user")
+      .select(col("user"),
+        timestamp_micros(weekUs(col("first_us"))).as("cohort_week"),
+        ((col("event_week") - weekUs(col("first_us"))) / weekMicros)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user")).as("active_users"))
+  }
+}

@@ -70,6 +70,32 @@ object Sampling {
     df.filter(keep(col(idCol), salt, frac))
   }
 
+  /** [[stratified]] with the PORTABLE salted-md5 bucket of [[assignSplit]]
+    * instead of Spark's xxhash64 — per-stratum keep fractions any engine
+    * can re-derive row by row (the oracle gate does). The per-row work is
+    * one codegen'd CASE picking the stratum's integer threshold plus one
+    * md5; no shuffle, no RNG, repartition-stable, and consistent across
+    * tables sharing the id, so a "keep 100% of wiki, 5% of crawl" policy
+    * applied to the docs table selects the same ids when applied to a
+    * features table keyed the same way.
+    */
+  def stratifiedPortable(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    // integer thresholds (floor(f·M)) rather than a double fraction per
+    // row: the comparison is exact in both engines, so the kept set can
+    // never hinge on float rounding of fraction · M
+    val threshold = fractions.foldLeft(lit(math.floor(defaultFraction * M).toLong)) {
+      case (acc, (s, f)) => when(col(stratumCol) === s, math.floor(f * M).toLong).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Per-ROW weighted Bernoulli sample: row i survives iff
     * `bucket(id) < floor(keepProb_i · M)` where keepProb_i =
     * `fraction · clamp(weight_i, 0, 1)` — importance sampling with the
@@ -148,6 +174,35 @@ object Sampling {
       .withColumn("priority", round(pow(u, lit(1.0) / weightCol.cast("double")), 9))
       .orderBy(col("priority").desc, col(idCol))
       .limit(n)
+  }
+
+  /** [[prioritySample]] per GROUP: exactly `min(n, group size)` rows from
+    * every group, weighted without replacement — "2k docs from each
+    * source, quality-weighted", the budgeted-quota counterpart to
+    * [[topFractionByGroup]] (which keeps the deterministic best; this
+    * keeps a weighted random draw, so low-weight rows still have mass).
+    *
+    * Same Efraimidis–Spirakis priority as [[prioritySample]] (portable
+    * salted-md5 uniform, 9-dp rounding, id tiebreak), but ranked with
+    * `row_number` over (group, priority desc, id) instead of a global
+    * top-n: one shuffle by group, each partition heap-sorts only its
+    * groups' rows. Group cardinality is the parallelism; no global sort
+    * or driver collect at any scale.
+    */
+  def prioritySampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, nPerGroup: Int, salt: Long = 0L): DataFrame = {
+    require(nPerGroup > 0, s"sample size must be positive, got $nPerGroup")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    val u = (bucket.cast("double") + lit(1.0)) / lit((M + 1).toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol))
+    df.filter(weightCol.cast("double") > 0)
+      .withColumn("priority", round(pow(u, lit(1.0) / weightCol.cast("double")), 9))
+      .withColumn("__ps_rn", row_number().over(w))
+      .filter(col("__ps_rn") <= nPerGroup)
+      .drop("__ps_rn")
   }
 
   /** Per-group quantile bucketing: every row gets its `buckets`-ile rank

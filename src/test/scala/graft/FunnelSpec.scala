@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{Dedup, Funnel}
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-checkable event log; times are epoch micros
+  lazy val ev = Seq(
+    // user 1 completes all three in order
+    (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+    // user 2: a click BEFORE the first view must not count; no purchase
+    (2L, 100L, "click"), (2L, 150L, "view"), (2L, 160L, "click"),
+    // user 3: view only
+    (3L, 50L, "view"),
+    // user 4: never views → not in the funnel at all
+    (4L, 10L, "click"), (4L, 20L, "purchase"),
+    // user 5: purchase before click is out of order; the later one counts
+    (5L, 1L, "view"), (5L, 2L, "purchase"), (5L, 3L, "click"), (5L, 4L, "purchase")
+  ).toDF("user_id", "us", "event_type")
+
+  test("userFunnel: ordered chains, strictly-after steps, per-user times") {
+    val f = Funnel.userFunnel(ev, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 1000L)
+      .orderBy("user").collect()
+    assert(f.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    val byUser = f.map(r => r.getLong(0) ->
+      ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(byUser(1L) == ((Some(100L), Some(200L), Some(300L), 3)))
+    assert(byUser(2L) == ((Some(150L), Some(160L), None, 2)))
+    assert(byUser(3L) == ((Some(50L), None, None, 1)))
+    assert(byUser(5L) == ((Some(1L), Some(3L), Some(4L), 3)))
+  }
+
+  test("userFunnel: the window is anchored at step 1") {
+    // user 1: window 150 from t_1=100 admits the click at 200? no —
+    // 200 <= 250 yes; the purchase at 300 > 250 is cut
+    val f = Funnel.userFunnel(ev, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 150L)
+      .filter($"user" === 1L).collect().head
+    assert(f.getLong(1) == 100L && f.getLong(2) == 200L && f.isNullAt(3))
+  }
+
+  test("conversion: per-step distinct-user counts, monotone") {
+    val c = Funnel.conversion(ev, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"), 1000L)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(c == Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 2L)))
+  }
+
+  test("retention: cohort = first-event week, distinct users per cell") {
+    val week = 604800000000L
+    val rev = Seq(
+      (1L, 0L), (1L, week + 1), (1L, 3 * week), // cohort w0: offsets 0,1,3
+      (2L, week), (2L, week + 5),               // cohort w1: offset 0 twice, one user
+      (3L, 0L), (3L, 2 * week)                  // cohort w0: offsets 0,2
+    ).toDF("user_id", "us")
+    val r = Funnel.retention(rev, "user_id", "us")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(x => (x.getTimestamp(0).getTime, x.getLong(1), x.getLong(2))).toSeq
+    val cohorts = r.map(_._1).distinct
+    assert(cohorts.size == 2)
+    val (c0, c1) = (cohorts.min, cohorts.max)
+    assert(c1 - c0 == week / 1000) // cohort weeks one week apart (millis)
+    assert(r == Seq(
+      (c0, 0L, 2L), (c0, 1L, 1L), (c0, 2L, 1L), (c0, 3L, 1L),
+      (c1, 0L, 1L)))
+  }
+}
+
+class EditVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editVerifiedPairs confirms true near-dups and rejects block-moved text") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    // same vocabulary, first/second half swapped: bigram Jaccard stays
+    // high (one seam bigram changes) but edit similarity collapses
+    val words = base.split(" ")
+    val rotated = (words.drop(7) ++ words.take(7)).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, rotated),
+      (4L, "completely different text about spark aggregation plans")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      shingleSize = 2, candidateThreshold = 0.3, minSimilarity = 0.7)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))  // one-word edit survives verification
+    assert(!pairs.contains((1L, 3L))) // candidate by shingles, killed by edit distance
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // and the rotation really was a candidate (the verify stage did the work)
+    val cands = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L)))
+  }
+
+  test("editVerifiedPairs: identical and both-empty texts score 1.0") {
+    val docs = Seq((1L, "same words here"), (2L, "same words here"),
+      (3L, ""), (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      shingleSize = 2, candidateThreshold = 0.1, minSimilarity = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.get((3L, 4L)).forall(_ == 1.0)) // empty docs: shingle [""] match
+  }
+}

@@ -459,4 +459,42 @@ class SamplingSpec extends SparkSpec {
     val sampledSib = Sampling.uniform(sibling, "id", 0.2).select("id").as[Long].collect().toSet
     assert(sampledDocs == sampledSib)
   }
+  test("stratifiedPortable: exact boundaries, uniformPortable contract, repartition-stable") {
+    // keep-all / drop-all strata are exact
+    val out = Sampling.stratifiedPortable(docs, "quality", "id", Map("high" -> 1.0))
+    assert(out.count() == 500L &&
+      out.select("quality").distinct().collect().map(_.getString(0)).toSeq == Seq("high"))
+    // with no per-stratum override the default fraction IS uniformPortable:
+    // same md5 bucket, same integer threshold
+    val one = Sampling.stratifiedPortable(docs, "quality", "id",
+      Map.empty, defaultFraction = 0.37).select("id").as[Long].collect().toSet
+    val uni = Sampling.uniformPortable(docs, "id", 0.37).select("id").as[Long].collect().toSet
+    assert(one == uni)
+    val a = Sampling.stratifiedPortable(docs, "quality", "id",
+      Map("high" -> 0.5, "low" -> 0.2)).select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedPortable(docs.repartition(7), "quality", "id",
+      Map("high" -> 0.5, "low" -> 0.2)).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+  test("prioritySampleByGroup: exact per-group n, deterministic, weight-responsive") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val out = Sampling.prioritySampleByGroup(docs, "quality", "id", lit(1.0), nPerGroup = 50)
+    val byQ = out.groupBy("quality").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byQ == Map("high" -> 50L, "low" -> 50L))
+    // n >= group size keeps whole groups; nonpositive weights keep nothing
+    assert(Sampling.prioritySampleByGroup(docs, "quality", "id", lit(1.0), 5000).count() == 2000L)
+    assert(Sampling.prioritySampleByGroup(docs, "quality", "id", lit(0.0), 50).count() == 0L)
+    // deterministic and repartition-stable
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.prioritySampleByGroup(docs.repartition(9), "quality", "id", lit(1.0), 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // heavy weights dominate the draw: ids <= 100 at 1000 vs 0.001 should
+    // take nearly all of their groups' slots (25 high + 50-of-75 low)
+    val w = when(col("id") <= 100, 1000.0).otherwise(0.001)
+    val heavy = Sampling.prioritySampleByGroup(docs, "quality", "id", w, 50)
+      .filter(col("id") <= 100).count()
+    assert(heavy >= 60L)
+  }
 }
