@@ -1077,6 +1077,36 @@ object SparkEntry {
         .withColumn("cohort_week", to_date(col("cohort_week")))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      // event correlation: purchases within ±1 h of each error, counted —
+      // the bucketized tolerance join (equi-join on the time grid), never
+      // a nested-loop theta join
+      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("us").as("p_us"))
+      graft.operators.RangeJoin.withinTolerance(errors, "us",
+          purchases, "p_us", tol = 3600L * 1000000)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("event_id"))
+    }),
+    "q_range_in_interval" -> ((s, dir) => {
+      // purchases (any user) landing inside each user-session's time span:
+      // sessionize → [min,max] intervals → bucketized point-in-interval
+      val gap = 30L * 60 * 1000000
+      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val iv = graft.operators.Sessionize.sessions(ev, "user_id", "us", "event_id", gap)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("us").as("p_us"))
+      graft.operators.RangeJoin.pointInInterval(purchases, "p_us",
+          iv, "lo", "hi", bucketWidth = gap)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     "q_events_agg" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
@@ -1813,6 +1843,34 @@ object SparkEntry {
           |  1 + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
           |    + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END AS depth
           |FROM s3 ORDER BY u""".stripMargin),
+    "q_range_join" ->
+      // the oracle states the SEMANTICS as the plain theta join; the
+      // Spark side must reach the same pairs through the bucket grid
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, count(*) AS n_purchases
+        |FROM e JOIN p ON abs(e.us - p.us) <= 3600000000
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
+    "q_range_in_interval" ->
+      // q_sessionize's session CTE in micros space, rolled to [lo, hi]
+      // intervals, then the BETWEEN theta join the bucket grid expresses
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_seq
+        |  FROM o),
+        |iv AS (SELECT user_id, session_seq, min(us) AS lo, max(us) AS hi
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, session_seq, count(*) AS n_purchases
+        |FROM iv JOIN p ON p.us BETWEEN iv.lo AND iv.hi
+        |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
     "q_retention" ->
       """WITH f AS (SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY 1)
         |SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized range joins. A naive `a.join(b, abs(a.ts - b.ts) <= tol)`
+  * has no equi-condition, so Spark plans a broadcast-nested-loop join —
+  * O(|A|·|B|) compares and a broadcast of a whole side; at lake scale
+  * that is the single worst plan the optimizer can emit. The classic fix
+  * (Databricks' range-join optimization, Flink's interval join) is to
+  * overlay a bucket grid: each point lands in one bucket, each
+  * interval/window is exploded to every bucket it touches, and the join
+  * becomes an EQUI-join on the bucket id with the exact range predicate
+  * as a post-filter. Each matching pair meets in exactly one bucket (the
+  * point's), so no dedup pass is needed.
+  *
+  * Cost model: the shuffle is keyed on the bucket id, so parallelism is
+  * the number of occupied buckets and per-task work is (points in
+  * bucket) × (windows touching it). Pick the bucket width near the
+  * tolerance / typical interval length: a too-narrow grid explodes the
+  * interval side (rows ∝ span/width), a too-wide one degrades toward
+  * per-bucket cross products. Both operators keep the exact predicate
+  * codegen'd next to the join, and the spec pins the plan to a shuffled
+  * equi-join (never a nested loop).
+  */
+object RangeJoin {
+
+  private val B = "__rj_bucket"
+
+  /** Pairs (left row, right row) with `|left.lCol − right.rCol| <= tol`
+    * (both numeric, e.g. epoch micros). Left points key by their own
+    * bucket (width = `tol`); right points explode to the up-to-3 buckets
+    * their ±tol window touches, so every qualifying pair meets once.
+    * Column-name collisions between the two sides are the caller's to
+    * resolve (select/alias before joining), same as Spark's own join.
+    */
+  def withinTolerance(left: DataFrame, lCol: String,
+      right: DataFrame, rCol: String, tol: Long): DataFrame = {
+    require(tol > 0, s"tolerance must be positive, got $tol")
+    val lb = left.withColumn(B, floor(col(lCol).cast("long") / tol))
+    val rb = right.withColumn(B, explode(sequence(
+      floor((col(rCol).cast("long") - tol) / tol),
+      floor((col(rCol).cast("long") + tol) / tol))))
+    lb.join(rb, B)
+      .filter(abs(col(lCol).cast("long") - col(rCol).cast("long")) <= tol)
+      .drop(B)
+  }
+
+  /** Pairs (point row, interval row) with `lo <= point <= hi`. Points key
+    * by their bucket; intervals explode across `floor(lo/w)..floor(hi/w)`.
+    * `bucketWidth` is the scale dial: set it near the typical interval
+    * length (see the object doc). Degenerate intervals (hi < lo) emit
+    * nothing, matching the SQL BETWEEN the post-filter expresses.
+    */
+  def pointInInterval(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pb = points.withColumn(B, floor(col(pCol).cast("long") / bucketWidth))
+    val ib = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn(B, explode(sequence(
+        floor(col(loCol).cast("long") / bucketWidth),
+        floor(col(hiCol).cast("long") / bucketWidth))))
+    pb.join(ib, B)
+      .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop(B)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case j: BroadcastNestedLoopJoinExec => j
+    case j: CartesianProductExec => j
+  }
+
+  test("withinTolerance: exact pairs incl. bucket-boundary straddlers, no duplicates") {
+    val left = Seq((1L, 100L), (2L, 995L), (3L, 2000L)).toDF("lid", "lv")
+    val right = Seq((10L, 150L), (11L, 1004L), (12L, 5000L), (13L, 90L))
+      .toDF("rid", "rv")
+    // tol 10: pairs must cross bucket edges (995 vs 1004 straddles the
+    // 990/1000 grid line) and 100 vs 90 sits exactly at distance 10
+    val out = RangeJoin.withinTolerance(left, "lv", right, "rv", tol = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 11L), (1L, 13L)))
+    // no duplicate pair from the multi-bucket explode
+    val all = RangeJoin.withinTolerance(left, "lv", right, "rv", 10L).count()
+    assert(all == 2L)
+  }
+
+  test("withinTolerance matches the naive theta join on random data") {
+    val r = new scala.util.Random(42)
+    val a = (1 to 300).map(i => (i.toLong, r.nextInt(10000).toLong)).toDF("lid", "lv")
+    val b = (1 to 300).map(i => (i.toLong, r.nextInt(10000).toLong)).toDF("rid", "rv")
+    val fast = RangeJoin.withinTolerance(a, "lv", b, "rv", 37L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = a.join(b, abs(col("lv") - col("rv")) <= 37L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("pointInInterval: inclusive bounds, degenerate intervals drop, wide intervals match") {
+    val points = Seq((1L, 5L), (2L, 100L), (3L, 2500L)).toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 0L, 5L),      // inclusive hi: catches p=5
+      (11L, 100L, 100L),  // zero-length: catches p=100 exactly
+      (12L, 50L, 40L),    // degenerate (hi < lo): matches nothing
+      (13L, 0L, 3000L)    // spans many buckets: catches all three
+    ).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi", bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 11L), (1L, 13L), (2L, 13L), (3L, 13L)))
+  }
+
+  test("the plan is a shuffled equi-join on the bucket grid, never a nested loop") {
+    val left = (1 to 50).map(i => (i.toLong, i * 100L)).toDF("lid", "lv")
+    val right = (1 to 50).map(i => (i.toLong, i * 90L)).toDF("rid", "rv")
+    val tolPlan = RangeJoin.withinTolerance(left, "lv", right, "rv", 50L)
+      .queryExecution.sparkPlan
+    assert(nestedLoops(tolPlan).isEmpty, s"theta join leaked into:\n$tolPlan")
+    val ivs = Seq((1L, 0L, 500L)).toDF("iid", "lo", "hi")
+    val ivPlan = RangeJoin.pointInInterval(left, "lv", ivs, "lo", "hi", 100L)
+      .queryExecution.sparkPlan
+    assert(nestedLoops(ivPlan).isEmpty, s"theta join leaked into:\n$ivPlan")
+    // and the naive formulation really does plan a nested loop — the
+    // operator exists precisely to avoid this
+    val naive = left.join(right, abs(col("lv") - col("rv")) <= 50L)
+      .queryExecution.sparkPlan
+    assert(nestedLoops(naive).nonEmpty)
+  }
+}
