@@ -702,13 +702,12 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rnk"))
     }),
     "q_sessionize" -> ((s, dir) => {
-      // 30-minute inactivity gap. ts is raw nanos (nanosAsLong) but the
-      // gate compares at MICROsecond granularity (ts div 1000): DuckDB's
-      // TIMESTAMP truncates the parquet nanos to micros, so a gap within
-      // 1 µs of the boundary would otherwise split sessions differently
-      val ev = Tables.load(s, dir, "events")
-        .withColumn("ts", expr("ts div 1000"))
-      graft.operators.Sessionize.summary(ev, "user_id", "ts", "event_id",
+      // 30-minute inactivity gap. The gate compares at MICROsecond
+      // granularity (Tables.loadEventsUs): DuckDB's TIMESTAMP is micros,
+      // so a gap within 1 µs of the boundary would otherwise split
+      // sessions differently across engines
+      val ev = Tables.loadEventsUs(s, dir)
+      graft.operators.Sessionize.summary(ev, "user_id", "us", "event_id",
         maxGap = 30L * 60 * 1000 * 1000)
         .orderBy(col("user_id"), col("session_seq"))
     }),
@@ -1043,19 +1042,19 @@ object SparkEntry {
     }),
     // ---- events aggregation (decimal-exact sums) ----
     "q_events_daily" -> ((s, dir) =>
-      // ts arrives as raw nanos (TIMESTAMP(NANOS) read under nanosAsLong);
-      // truncate to day in micros space — engine-portable
-      Tables.load(s, dir, "events")
-        .withColumn("day", to_date(timestamp_micros((col("ts") / 1000).cast("long"))))
+      // truncate to day in micros space (Tables.loadEventsUs) —
+      // engine-portable whatever precision the parquet shipped
+      Tables.loadEventsUs(s, dir)
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy(col("day"), col("event_type"))),
     "q_funnel" -> ((s, dir) => {
       // ordered view→click→purchase funnel, 7-day window from first view;
-      // ts is raw nanos (nanosAsLong) → micros via integer div, matching
-      // DuckDB's micros-truncated TIMESTAMP exactly
-      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      // epoch-micros comparison space (Tables.loadEventsUs) matches
+      // DuckDB's micros TIMESTAMP exactly
+      val ev = Tables.loadEventsUs(s, dir)
       graft.operators.Funnel.conversion(ev, "user_id", "us", "event_type",
         Seq("view", "click", "purchase"), windowMicros = 7L * 86400 * 1000000)
         .orderBy(col("step_idx"))
@@ -1064,7 +1063,7 @@ object SparkEntry {
       // the per-user step-time frame behind q_funnel: micros values and
       // reached depth are hash-compared, so both engines must agree on
       // every chain's exact event choice
-      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev = Tables.loadEventsUs(s, dir)
       graft.operators.Funnel.userFunnel(ev, "user_id", "us", "event_type",
         Seq("view", "click", "purchase"), windowMicros = 7L * 86400 * 1000000)
         .orderBy(col("user"))
@@ -1072,7 +1071,7 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => {
       // weekly cohort retention triangle; cohort week surfaced as DATE so
       // both engines hash the same representation
-      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev = Tables.loadEventsUs(s, dir)
       graft.operators.Funnel.retention(ev, "user_id", "us")
         .withColumn("cohort_week", to_date(col("cohort_week")))
         .orderBy(col("cohort_week"), col("week_offset"))
@@ -1081,7 +1080,7 @@ object SparkEntry {
       // event correlation: purchases within ±1 h of each error, counted —
       // the bucketized tolerance join (equi-join on the time grid), never
       // a nested-loop theta join
-      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev = Tables.loadEventsUs(s, dir)
       val errors = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("us"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1095,7 +1094,7 @@ object SparkEntry {
       // purchases (any user) landing inside each user-session's time span:
       // sessionize → [min,max] intervals → bucketized point-in-interval
       val gap = 30L * 60 * 1000000
-      val ev = Tables.load(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev = Tables.loadEventsUs(s, dir)
       val iv = graft.operators.Sessionize.sessions(ev, "user_id", "us", "event_id", gap)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))

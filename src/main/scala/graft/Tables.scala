@@ -13,6 +13,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `us` = epoch MICROseconds of `ts` as BIGINT, whatever
+    * physical representation the driver-generated parquet shipped.
+    * TESTDATA has carried both TIMESTAMP(NANOS) (which Spark reads as a
+    * BIGINT of nanos under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * plain timestamp[us] (which Spark reads as TIMESTAMP_NTZ) across
+    * rounds — a representation change that silently failed every
+    * events-time gate once. DuckDB's `epoch_us(ts)` sees micros in every
+    * case, so epoch-micros BIGINT is the portable comparison space.
+    * The TIMESTAMP_NTZ branch interprets the naive wall-clock as UTC via
+    * the session zone — Verify/Bench/ServeMain all pin
+    * `spark.sql.session.timeZone=UTC`, matching DuckDB's naive-as-UTC
+    * reading.
+    */
+  def loadEventsUs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = load(spark, dir, "events")
+    val us = ev.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // nanos under nanosAsLong
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp_ltz))")
+      case TimestampType    => expr("unix_micros(ts)")
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type: $other")
+    }
+    ev.withColumn("us", us)
+  }
+
   /** For compute-dense narrow tables (documents, embeddings): a single
     * parquet row group scans as a single partition, which serializes every
     * downstream per-row stage (regex metrics, shingle explosion, vector

@@ -1,0 +1,49 @@
+package graft
+
+/** Every SparkEntry gate must at least ANALYZE and EXECUTE against the
+  * driver's real testdata. This is the safety net for a failure mode that
+  * actually happened (round 9): the testdata's events.ts column changed
+  * physical representation (TIMESTAMP(NANOS) → timestamp[us]), seven
+  * events-time gates started throwing at analysis time, Verify caught the
+  * exceptions and wrote nothing, and the driver's correctness record
+  * silently DROPPED those gates instead of failing them — green-looking
+  * round, seven gates dark. Running every gate here turns any such silent
+  * drop into a red test.
+  *
+  * Scale: sf0.001 (the smallest driver-generated set) — execution cost is
+  * seconds, and analysis alone catches schema-shape regressions. Suites
+  * run without the testdata mount skip rather than fail.
+  */
+class EntryGatesSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val available = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  test("every gate analyzes against the current testdata schemas") {
+    assume(available, s"testdata not mounted at $sfDir")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfDir).queryExecution.analyzed; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, s"gates failing analysis:\n${failures.mkString("\n")}")
+  }
+
+  test("every gate executes end-to-end at sf0.001") {
+    assume(available, s"testdata not mounted at $sfDir")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+        }
+    }
+    assert(failures.isEmpty, s"gates failing execution:\n${failures.mkString("\n")}")
+  }
+
+  test("flagship entry returns rows (the driver's smoke check)") {
+    assume(available, s"testdata not mounted at $sfDir")
+    assert(SparkEntry.entry(spark).limit(1).count() > 0)
+  }
+}
