@@ -513,6 +513,14 @@ object SparkEntry {
         Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
           shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    "q_dedup_cc" -> ((s, dir) =>
+      // same clusters via alternating large-star/small-star (O(log n)
+      // rounds vs label-prop's O(diameter)) — shares q_dedup_clusters'
+      // closure oracle, so label agreement is hash-proved cross-engine
+      graft.operators.Graph.connectedComponents(
+        Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+          shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
+        .orderBy(col("doc_id"))),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
@@ -1425,6 +1433,7 @@ object SparkEntry {
     "q_dedup_jaccard_cap" -> jaccardPairsOracle(Some(5)),
     "q_dedup_edit" -> editVerifiedOracleSql,
     "q_dedup_clusters" -> minhashClustersOracleSql,
+    "q_dedup_cc" -> minhashClustersOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
     "q_lang_id" -> langIdOracleSql,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.operators.Materialize.Ops
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over pair frames (`id_a`, `id_b`) — the duplicate-pair
+  * graphs the dedup family produces, but any edge list works.
+  *
+  * [[connectedComponents]] is the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014): each round strictly flattens the forest, and the
+  * round count is O(log n) in the component size — versus the O(diameter)
+  * rounds of plain min-label propagation ([[Dedup.duplicateClusters]]).
+  * On the typical near-dup graph (small, dense clusters) both finish in a
+  * couple of rounds and label-prop's cheaper round wins; on chain-shaped
+  * components — transcript families, crawl re-posts with drifting edits,
+  * anything where A~B~C but A≁C — diameter grows with corpus size and the
+  * logarithmic round count is the difference between a 10-round and a
+  * 40-round job at 100 TB. Per-round cost is two group-by passes over the
+  * edge set (each with map-side partial aggregation); edges are id pairs
+  * only, so nothing wider than two longs ever shuffles.
+  *
+  * Output contract matches [[Dedup.duplicateClusters]] exactly: one row
+  * per node, `(doc_id, cluster)` with `cluster` = the component's minimum
+  * id (proved equal on the same pair input by its shared oracle gate).
+  */
+object Graph {
+
+  /** One large-star round (paper Alg. 3): symmetrize, then every node
+    * links its strictly-LARGER neighbors to the minimum of its closed
+    * neighborhood. Emits nothing for the smaller side of an edge — the
+    * small-star round covers those.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round (paper Alg. 4): orient every edge
+    * (max, min), then every node links its smaller neighbors AND itself
+    * to the minimum of its closed neighborhood (self-parent rows for the
+    * minimum itself are dropped — roots carry no edge).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of the undirected pair graph: `(doc_id,
+    * cluster)` with cluster = min id of the component. `maxIter` bounds
+    * the large/small round pairs; O(log n) rounds suffice by construction,
+    * so the default is generous.
+    *
+    * Each round's edge frame goes through the [[Materialize]] strategy
+    * knob (lineage truncation locally, replicated/reliable durability on a
+    * long cluster job — same contract as the dedup family). The
+    * convergence probe compares consecutive edge sets exactly; both sets
+    * are distinct by construction, so equal cardinality plus an empty
+    * one-sided difference proves set equality.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .materialize()
+    var edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .distinct()
+      .materialize()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).materialize()
+      // star-shaped fixpoint: both frames are distinct sets, so equal
+      // counts + one empty one-sided difference ⇔ identical edge sets
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    // at the fixpoint every edge is (node, component-min) and roots carry
+    // no outgoing edge — the left join labels them with their own id
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    nodes.join(edges.groupBy(col("u")).agg(min(col("v")).as("m")),
+        nodes("id") === col("u"), "left")
+      .select(col("id").as("doc_id"),
+        least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+/** Large-star/small-star connected components: correctness on adversarial
+  * shapes (chains are the worst case for label propagation and the reason
+  * this operator exists), and label agreement with the propagation-based
+  * [[Dedup.duplicateClusters]] on a randomized graph.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labels(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to its minimum (diameter >> rounds)") {
+    // 0-1-2-...-29: label propagation needs ~29 rounds; large/small star
+    // must finish inside the default budget
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val got = labels(chain)
+    assert(got.size == 30 && got.values.forall(_ == 0L))
+  }
+
+  test("disjoint components, cycles and stars label independently") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),      // triangle → 1
+      (10L, 11L), (10L, 12L), (10L, 13L), // star → 10
+      (20L, 21L))                         // single edge → 20
+    val got = labels(pairs)
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = labels(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    // the pure self-loop node is dropped (no real edge); the rest cluster
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("agrees with duplicateClusters on a randomized graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val df = pairs.toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(df)
+      .withColumnRenamed("cluster", "cc")
+    val lp = Dedup.duplicateClusters(df)
+      .withColumnRenamed("cluster", "lp").withColumnRenamed("doc_id", "id")
+    val joined = cc.join(lp, cc("doc_id") === lp("id"))
+    assert(joined.count() == cc.count())
+    assert(joined.filter(col("cc") =!= col("lp")).isEmpty)
+  }
+}
