@@ -525,6 +525,23 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "q_entity_match" -> ((s, dir) =>
+      // record-linkage twin of the dedup ladder: brand-blocked candidate
+      // equi-join, codegen'd Jaro-Winkler verify (native expression — Spark
+      // has no built-in), 4-dp rounding before the threshold verdict
+      graft.operators.EntityMatch.fuzzyPairs(Tables.load(s, dir, "part"),
+        "p_partkey", "p_name", Seq("p_brand"), minSimilarity = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_entity_link" -> ((s, dir) => {
+      // cross-table linkage: odd-key parts matched against even-key parts
+      // within brand blocks, best match per left row by (sim desc, id)
+      val p = Tables.load(s, dir, "part")
+      graft.operators.EntityMatch.fuzzyJoin(
+        p.filter(col("p_partkey") % 2 === 1),
+        p.filter(col("p_partkey") % 2 === 0),
+        "p_partkey", "p_name", Seq("p_brand"), minSimilarity = 0.85, topK = 1)
+        .orderBy(col("id_a"))
+    }),
     "q_dedup_edit" -> ((s, dir) =>
       // final exact stage of the dedup ladder: low-threshold Jaccard
       // recall, normalized-Levenshtein confirmation over 2k-char prefixes
@@ -1434,6 +1451,27 @@ object SparkEntry {
     "q_dedup_edit" -> editVerifiedOracleSql,
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_cc" -> minhashClustersOracleSql,
+    "q_entity_match" ->
+      // DuckDB's jaro_winkler_similarity IS the pinned semantics of the
+      // native expression (fuzz-verified over 20k random pairs); both
+      // engines round to 4 dp before the keep verdict
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_entity_link" ->
+      """WITH s AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  WHERE a.p_partkey % 2 = 1 AND b.p_partkey % 2 = 0
+        |    AND round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85),
+        |r AS (SELECT id_a, id_b, sim,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS INT) AS rnk
+        |  FROM s)
+        |SELECT id_a, id_b, sim, rnk FROM r WHERE rnk <= 1 ORDER BY id_a""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
     "q_lang_id" -> langIdOracleSql,

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity as a native Catalyst expression.
+  *
+  * Spark ships `levenshtein` but no Jaro–Winkler, and the UDF route would
+  * put an interpreted closure in the middle of an n×m verification join —
+  * the hot path of fuzzy entity matching. This expression stays inside
+  * whole-stage codegen; the generated code calls one static, allocation-
+  * bounded method (the matching table is two boolean arrays sized by the
+  * inputs), the same shape Spark's own regexp expressions use.
+  *
+  * Semantics are the classic definition, pinned to DuckDB's
+  * `jaro_winkler_similarity` (the oracle engine) and fuzz-verified against
+  * it over 20k random pairs:
+  *   - match window = max(0, ⌊max(|a|,|b|)/2⌋ − 1), greedy left-to-right
+  *     matching;
+  *   - transpositions = ⌊mismatched-aligned-pairs / 2⌋ (integer floor —
+  *     odd counts happen and the floor is observable);
+  *   - Winkler prefix boost (≤ 4 code points, weight 0.1) applied only
+  *     when the Jaro score exceeds 0.7;
+  *   - either side empty ⇒ 0.0 (including both empty — DuckDB's choice);
+  *   - comparison is over Unicode code points, not UTF-16 units.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"${StringExpressions.jaroWinklerFn} requires (string, string), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringExpressions.jaroWinklerCompute(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // one static call, resolved via the object's static forwarder — keeps
+    // the expression inside the WholeStageCodegen span (no fallback row)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.StringExpressions.jaroWinklerCompute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StringExpressions {
+
+  val jaroWinklerFn = "graft_jaro_winkler"
+
+  /** Register the native string functions in the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      jaroWinklerFn, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+
+  /** Codegen'd Jaro–Winkler similarity of two string columns. */
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(jaroWinklerFn, a, b)
+  }
+
+  /** The scalar kernel — public so generated code can call the static
+    * forwarder. Single pass allocation: two code-point arrays + two
+    * boolean match tables.
+    */
+  def jaroWinklerCompute(l: UTF8String, r: UTF8String): Double = {
+    val s1 = toCodePoints(l)
+    val s2 = toCodePoints(r)
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val hi = math.min(n2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var mismatched = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) mismatched += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = mismatched / 2
+    val jaro = (m.toDouble / n1 + m.toDouble / n2 + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(n1, n2))
+    while (p < maxP && s1(p) == s2(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+
+  private def toCodePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var o = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(o) = cp
+      o += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+}

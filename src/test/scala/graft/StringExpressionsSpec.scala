@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.EntityMatch
+import graft.plans.StringExpressions
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler expression: golden values (computed with DuckDB's
+  * jaro_winkler_similarity, the oracle engine), edge cases, codegen
+  * placement, and the blocked entity-match operator on a hand-built
+  * fixture.
+  */
+class StringExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    StringExpressions.jaroWinklerCompute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("golden values match DuckDB") {
+    // classic textbook pairs + probes that pin the ambiguous choices:
+    // floor transposition halving, the 0.7 boost threshold, empty-empty=0
+    val golden = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.84),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333333),
+      ("abcd", "badc", 0.8333333333333334),
+      ("ab", "abcdefgh", 0.8),
+      ("abcxxx", "bcaxxx", 0.9444444444444445), // odd mismatch count → floor
+      ("aaaaaabc", "aaxxxxxx", 0.5),            // jaro ≤ 0.7 → no boost
+      ("abc", "xyz", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("same", "same", 1.0))
+    golden.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-12, s"($a, $b)")
+    }
+  }
+
+  test("symmetric and bounded") {
+    val pairs = Seq(("kettle", "kitten"), ("a", "ab"), ("xyz", "zyx"))
+    pairs.foreach { case (a, b) =>
+      assert(jw(a, b) == jw(b, a))
+      assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
+    }
+  }
+
+  test("operates on code points, not UTF-16 units") {
+    // U+1D400 (surrogate pair in UTF-16) must count as ONE unit: as a
+    // 2-unit string, "𝐀x" vs "𝐀y" would have window/length distortions
+    val a = new String(Character.toChars(0x1D400)) + "x"
+    val b = new String(Character.toChars(0x1D400)) + "y"
+    // 2 code points each, 1 match, jaro = (1/2 + 1/2 + 1)/3 = 2/3
+    assert(math.abs(jw(a, b) - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("expression evaluates in the plan and handles nulls") {
+    // RDD-backed input: a local literal relation would constant-fold the
+    // whole projection into a LocalTableScan and bypass codegen entirely
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row("MARTHA", "MARHTA"),
+      org.apache.spark.sql.Row(null, "x"),
+      org.apache.spark.sql.Row("y", null))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .select(StringExpressions.jaroWinkler(spark, col("a"), col("b")).as("sim"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(math.abs(got(0).get - 0.9611111111111111) < 1e-12)
+    assert(got(1).isEmpty && got(2).isEmpty)
+    // the expression must stay inside whole-stage codegen: the starred
+    // `*(1) Project` prefix marks the codegen stage in the compact plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("fuzzyPairs blocks and verifies") {
+    val rows = Seq(
+      (1L, "acme widget deluxe", "A"),
+      (2L, "acme widget deluxo", "A"),  // near-dup of 1, same block
+      (3L, "acme widget deluxe", "B"),  // identical text, different block
+      (4L, "zzz unrelated name", "A"))
+      .toDF("id", "name", "blk")
+    val got = EntityMatch.fuzzyPairs(rows, "id", "name", Seq("blk"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // cross-block identity never scored
+  }
+
+  test("fuzzyJoin ranks best match per left row") {
+    val left = Seq((1L, "acme widget", "A")).toDF("id", "name", "blk")
+    val right = Seq(
+      (10L, "acme widget", "A"),   // exact → rank 1
+      (11L, "acme widgets", "A"),  // close → filtered by topK
+      (12L, "acme widget", "B"))   // exact but wrong block
+      .toDF("id", "name", "blk")
+    val got = EntityMatch.fuzzyJoin(left, right, "id", "name", Seq("blk"),
+      minSimilarity = 0.8, topK = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 10L)
+    assert(got.head.getDouble(2) == 1.0)
+  }
+}
