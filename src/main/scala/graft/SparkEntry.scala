@@ -125,6 +125,150 @@ object SparkEntry {
     root.toString
   }
 
+  /** Hand-authored two-snapshot Iceberg v2 table over `nation`, exercising
+    * the whole metadata plane the reader implements: snapshot 1 adds file
+    * A (n_regionkey < 2, sorted by key so row position is a pure function
+    * of the key); snapshot 2 adds file B (n_regionkey >= 2) AND a
+    * position-delete file marking file A's odd n_nationkey rows deleted —
+    * manifest entries carry null sequence numbers so inheritance from the
+    * manifest list is on the gated path too. Both gate oracles are plain
+    * SQL over `nation`.
+    */
+  private def icebergFixture(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_gate_v1_${math.abs(dir.hashCode)}")
+    val mdDir = root.resolve("metadata")
+    if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
+    def deleteRec(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    deleteRec(root)
+    Files.createDirectories(mdDir)
+    Files.createDirectories(root.resolve("data"))
+    val nation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def writeFile(df: DataFrame, name: String): String = {
+      val tmp = root.resolve("staging")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root.resolve(name)
+      Files.move(part, dest)
+      deleteRec(tmp)
+      dest.toString
+    }
+    val fileA = writeFile(
+      nation.filter(col("n_regionkey") < 2).orderBy(col("n_nationkey")),
+      "data/a.parquet")
+    val fileB = writeFile(nation.filter(col("n_regionkey") >= 2), "data/b.parquet")
+    // position-delete file: (file_path, pos) of file A's odd-key rows
+    val keys = nation.filter(col("n_regionkey") < 2).orderBy(col("n_nationkey"))
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    val deletedPos = keys.zipWithIndex.collect { case (k, i) if k % 2 == 1 => i.toLong }
+    val delDf = {
+      import s.implicits._
+      deletedPos.toSeq.map(p => (fileA, p)).toDF("file_path", "pos")
+    }
+    val delFile = writeFile(delDf, "data/del-a.parquet")
+
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def writeAvro(path: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, path.toFile)
+      records.foreach(w.append)
+      w.close()
+    }
+    def manifest(name: String, content: Int, files: Seq[String]): String = {
+      val recs = files.map { f =>
+        val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+        df.put("content", content)
+        df.put("file_path", f)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(entrySchema.getField("data_file").schema()
+            .getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", 1L)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("data_file", df) // sequence_number stays null → inherited
+        e
+      }
+      val p = mdDir.resolve(name)
+      writeAvro(p, entrySchema, recs)
+      p.toString
+    }
+    def manifestList(name: String, entries: Seq[(String, Int, Long)]): String = {
+      val recs = entries.map { case (path, content, seq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path)
+        r.put("manifest_length", 1L)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", 1L)
+        r
+      }
+      val p = mdDir.resolve(name)
+      writeAvro(p, listSchema, recs)
+      p.toString
+    }
+    val m1 = manifest("m1.avro", 0, Seq(fileA))
+    val m2 = manifest("m2.avro", 0, Seq(fileB))
+    val m3 = manifest("m3.avro", 1, Seq(delFile))
+    val list1 = manifestList("snap-1.avro", Seq((m1, 0, 1L)))
+    val list2 = manifestList("snap-2.avro",
+      Seq((m1, 0, 1L), (m2, 0, 2L), (m3, 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+        |{"id":2,"name":"n_name","required":false,"type":"string"},
+        |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}""".stripMargin
+    def metadataJson(snapshots: String, current: Long): String =
+      s"""{"format-version":2,"table-uuid":"gate","location":"$root",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"current-snapshot-id":$current,"snapshots":[$snapshots]}""".stripMargin
+    def snapJson(id: Long, seq: Long, list: String): String =
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":0,
+         |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
+    Files.writeString(mdDir.resolve("v1.metadata.json"),
+      metadataJson(snapJson(1L, 1L, list1), 1L))
+    Files.writeString(mdDir.resolve("v2.metadata.json"),
+      metadataJson(Seq(snapJson(1L, 1L, list1), snapJson(2L, 2L, list2))
+        .mkString(","), 2L))
+    Files.writeString(mdDir.resolve("version-hint.text"), "2")
+    root.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -480,6 +624,20 @@ object SparkEntry {
       val path = deltaDvFixture(s, dir)
       graft.sources.DeltaLogReader.read(s, path)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_scan" -> ((s, dir) => {
+      // latest snapshot: files A+B live, A's odd keys position-deleted —
+      // manifest-list/manifest replay, sequence inheritance and the
+      // (_metadata.file_path, row_index) anti-join all on the gated path
+      val path = icebergFixture(s, dir)
+      graft.sources.IcebergReader.read(s, path)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_time_travel" -> ((s, dir) => {
+      // snapshot 1: file A only, before the delete existed
+      val path = icebergFixture(s, dir)
+      graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
     // ---- §3.3 metadata computations ----
@@ -1338,6 +1496,13 @@ object SparkEntry {
     "q_delta_dv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 AND n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0) OR n_regionkey >= 2
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

@@ -28,6 +28,9 @@ object DataSources {
         DeltaLogReader.read(spark, ds.uri,
           ds.options.get("versionAsOf").map(_.toLong))
       case "parquet" | "delta" => reader.parquet(ds.uri)
+      case "iceberg" => // native metadata/manifest replay (no iceberg jars)
+        IcebergReader.read(spark, ds.uri,
+          ds.options.get("snapshotId").map(_.toLong))
       case "csv" =>
         reader
           .option("header", ds.options.getOrElse("header", "true"))

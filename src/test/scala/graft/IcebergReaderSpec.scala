@@ -1,0 +1,313 @@
+package graft
+
+import graft.sources.IcebergReader
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Native Iceberg scan: hand-authored spec-conformant tables (the same
+  * approach as DeltaLogReaderSpec's hand-authored logs) covering v1 and v2
+  * layouts, snapshot selection, sequence-number gating of position
+  * deletes, schema evolution, and the documented rejections.
+  */
+class IcebergReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- avro fixture plumbing ----------------------------------------
+
+  private val listSchemaV2 = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  // v1 manifest lists have no content/sequence_number fields at all —
+  // exercises the reader's default-on-missing-field paths
+  private val listSchemaV1 = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private val entrySchemaV2 = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private val entrySchemaV1 = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(path: Path, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  /** (status, content, path, explicitSeq) rows → manifest avro file. */
+  private def manifest(path: Path, entrySchema: Schema,
+      entries: Seq[(Int, Int, String, Option[Long])]): String = {
+    val recs = entries.map { case (status, content, file, seq) =>
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      if (dfSchema.getField("content") != null) df.put("content", content)
+      df.put("file_path", file)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      if (entrySchema.getField("sequence_number") != null)
+        seq.foreach(v => e.put("sequence_number", v))
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(path, entrySchema, recs)
+    path.toString
+  }
+
+  private def manifestList(path: Path, listSchema: Schema,
+      entries: Seq[(String, Int, Long)]): String = {
+    val recs = entries.map { case (mp, content, seq) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      if (listSchema.getField("content") != null) r.put("content", content)
+      if (listSchema.getField("sequence_number") != null) {
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+      }
+      r.put("added_snapshot_id", 1L)
+      r
+    }
+    writeAvro(path, listSchema, recs)
+    path.toString
+  }
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"}]}""".stripMargin
+
+  private def freshRoot(tag: String): Path = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_spec_${tag}_${System.nanoTime()}")
+    Files.createDirectories(p.resolve("metadata"))
+    Files.createDirectories(p.resolve("data"))
+    p
+  }
+
+  private def writeData(root: Path, name: String,
+      rows: Seq[(Long, String)]): String = {
+    val tmp = root.resolve("staging")
+    rows.toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val dest = root.resolve("data").resolve(name)
+    Files.move(part, dest)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    dest.toString
+  }
+
+  private def writeMetadata(root: Path, version: Int, formatVersion: Int,
+      snapshots: Seq[(Long, Long, String)], current: Long,
+      schema: String = schemaJson, hint: Boolean = true): Unit = {
+    val snaps = snapshots.map { case (id, seq, list) =>
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":0,
+         |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
+    }.mkString(",")
+    val schemas =
+      if (formatVersion >= 2)
+        s""""schemas":[$schema],"current-schema-id":0,"""
+      else s""""schema":$schema,"""
+    Files.writeString(root.resolve(s"metadata/v$version.metadata.json"),
+      s"""{"format-version":$formatVersion,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":9,"last-updated-ms":0,"last-column-id":2,
+         |$schemas
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"current-snapshot-id":$current,"snapshots":[$snaps]}""".stripMargin)
+    if (hint)
+      Files.writeString(root.resolve("metadata/version-hint.text"),
+        version.toString)
+  }
+
+  // ---- scenarios -----------------------------------------------------
+
+  test("v2 table with position deletes gated by sequence number") {
+    val root = freshRoot("v2del")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // delete rows at pos 1 and 3 of file A (ids 2 and 4)
+    val del = {
+      val tmp = root.resolve("staging")
+      Seq((fileA, 1L), (fileA, 3L)).toDF("file_path", "pos").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root.resolve("data/del.parquet")
+      Files.move(part, dest)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+      dest.toString
+    }
+    val m1 = manifest(md.resolve("m1.avro"), entrySchemaV2,
+      Seq((1, 0, fileA, None))) // seq inherited from list
+    val mDel = manifest(md.resolve("mdel.avro"), entrySchemaV2,
+      Seq((1, 1, del, None)))
+    val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((m1, 0, 1L), (mDel, 1, 2L)))
+    writeMetadata(root, 1, 2, Seq((1L, 2L, list)), 1L)
+    val got = IcebergReader.read(spark, root.toString)
+      .orderBy(col("id")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 3L))
+
+    // a delete OLDER than the data file must NOT apply: same layout but
+    // the data manifest carries seq 5 > the delete's seq 2
+    val root2 = freshRoot("v2stale")
+    val md2 = root2.resolve("metadata")
+    val fileA2 = writeData(root2, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    val del2 = {
+      val tmp = root2.resolve("staging")
+      Seq((fileA2, 0L)).toDF("file_path", "pos").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root2.resolve("data/del.parquet")
+      Files.move(part, dest)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+      dest.toString
+    }
+    val m2 = manifest(md2.resolve("m1.avro"), entrySchemaV2,
+      Seq((1, 0, fileA2, None)))
+    val mDel2 = manifest(md2.resolve("mdel.avro"), entrySchemaV2,
+      Seq((1, 1, del2, None)))
+    val list2 = manifestList(md2.resolve("snap-1.avro"), listSchemaV2,
+      Seq((m2, 0, 5L), (mDel2, 1, 2L)))
+    writeMetadata(root2, 1, 2, Seq((1L, 5L, list2)), 1L)
+    val got2 = IcebergReader.read(spark, root2.toString).count()
+    assert(got2 == 2L)
+  }
+
+  test("v1 table (no content/sequence fields) reads and time-travels") {
+    val root = freshRoot("v1")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    val fileB = writeData(root, "b.parquet", Seq((3L, "c")))
+    val m1 = manifest(md.resolve("m1.avro"), entrySchemaV1,
+      Seq((1, 0, fileA, None)))
+    val m2 = manifest(md.resolve("m2.avro"), entrySchemaV1,
+      Seq((1, 0, fileB, None)))
+    val list1 = manifestList(md.resolve("snap-1.avro"), listSchemaV1,
+      Seq((m1, 0, 0L)))
+    val list2 = manifestList(md.resolve("snap-2.avro"), listSchemaV1,
+      Seq((m1, 0, 0L), (m2, 0, 0L)))
+    writeMetadata(root, 2, 1,
+      Seq((10L, 0L, list1), (20L, 0L, list2)), current = 20L)
+    assert(IcebergReader.read(spark, root.toString).count() == 3L)
+    assert(IcebergReader.read(spark, root.toString,
+      snapshotId = Some(10L)).count() == 2L)
+    val err = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root.toString, snapshotId = Some(99L))
+    }
+    assert(err.getMessage.contains("snapshot 99"))
+  }
+
+  test("status=2 tombstones leave the table; schema evolution nulls") {
+    val root = freshRoot("evolve")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    val m1 = manifest(md.resolve("m1.avro"), entrySchemaV2,
+      Seq((1, 0, fileA, None), (2, 0, fileA + ".gone", None)))
+    val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((m1, 0, 1L)))
+    // table schema has a column the data file predates
+    val evolved =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"added_later","required":false,"type":"double"}]}""".stripMargin
+    writeMetadata(root, 1, 2, Seq((1L, 1L, list)), 1L, schema = evolved)
+    val df = IcebergReader.read(spark, root.toString)
+    assert(df.columns.toSeq == Seq("id", "v", "added_later"))
+    assert(df.count() == 2L)
+    assert(df.filter(col("added_later").isNull).count() == 2L)
+  }
+
+  test("equality deletes and unknown formats are rejected clearly") {
+    val root = freshRoot("eq")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a")))
+    val mEq = manifest(md.resolve("meq.avro"), entrySchemaV2,
+      Seq((1, 2, fileA, None))) // content=2: equality delete
+    val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((mEq, 1, 1L)))
+    writeMetadata(root, 1, 2, Seq((1L, 1L, list)), 1L)
+    val err = intercept[UnsupportedOperationException] {
+      IcebergReader.read(spark, root.toString)
+    }
+    assert(err.getMessage.contains("equality deletes"))
+  }
+
+  test("no-snapshot table is empty with the declared schema") {
+    val root = freshRoot("empty")
+    writeMetadata(root, 1, 2, Nil, current = -1L)
+    val df = IcebergReader.read(spark, root.toString)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.count() == 0L)
+  }
+
+  test("version selection: hint wins, max-version is the fallback") {
+    val root = freshRoot("ver")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a")))
+    val fileB = writeData(root, "b.parquet", Seq((2L, "b")))
+    val m1 = manifest(md.resolve("m1.avro"), entrySchemaV2, Seq((1, 0, fileA, None)))
+    val m2 = manifest(md.resolve("m2.avro"), entrySchemaV2, Seq((1, 0, fileB, None)))
+    val l1 = manifestList(md.resolve("snap-1.avro"), listSchemaV2, Seq((m1, 0, 1L)))
+    val l2 = manifestList(md.resolve("snap-2.avro"), listSchemaV2, Seq((m2, 0, 1L)))
+    writeMetadata(root, 1, 2, Seq((1L, 1L, l1)), 1L, hint = false)
+    writeMetadata(root, 2, 2, Seq((2L, 1L, l2)), 2L, hint = false)
+    // no hint: picks v2 (max)
+    assert(IcebergReader.read(spark, root.toString)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // hint pinned to 1: reads the older metadata
+    Files.writeString(root.resolve("metadata/version-hint.text"), "1")
+    assert(IcebergReader.read(spark, root.toString)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(IcebergReader.isIcebergTable(root.toString))
+    assert(!IcebergReader.isIcebergTable(
+      System.getProperty("java.io.tmpdir")))
+  }
+}
