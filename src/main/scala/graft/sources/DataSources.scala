@@ -30,7 +30,9 @@ object DataSources {
       case "parquet" | "delta" => reader.parquet(ds.uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         IcebergReader.read(spark, ds.uri,
-          ds.options.get("snapshotId").map(_.toLong))
+          ds.options.get("snapshotId").map(_.toLong),
+          ds.options.get("asOfTimestampMs").map(_.toLong))
+      case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
       case "csv" =>
         reader
           .option("header", ds.options.getOrElse("header", "true"))

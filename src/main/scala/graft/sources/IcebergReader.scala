@@ -81,7 +81,8 @@ object IcebergReader {
       positionDeletes: Seq[DataFileEntry])
 
   private def resolveSnapshot(tablePath: String,
-      snapshotId: Option[Long]): Snapshot = {
+      snapshotId: Option[Long],
+      asOfTimestampMs: Option[Long] = None): Snapshot = {
     val root = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
     val version = root.get("format-version").asInt()
     require(version == 1 || version == 2,
@@ -93,7 +94,14 @@ object IcebergReader {
     val snapNode = {
       val snaps = Option(root.get("snapshots")).toSeq
         .flatMap(_.elements().asScala)
-      val wanted = snapshotId.orElse(
+      // timestamp travel: latest snapshot at-or-before the asked instant
+      val byTime = asOfTimestampMs.map { ts =>
+        val eligible = snaps.filter(_.get("timestamp-ms").asLong() <= ts)
+        if (eligible.isEmpty) throw new IllegalArgumentException(
+          s"no snapshot at or before timestamp $ts")
+        eligible.maxBy(_.get("timestamp-ms").asLong()).get("snapshot-id").asLong()
+      }
+      val wanted = snapshotId.orElse(byTime).orElse(
         Option(root.get("current-snapshot-id")).map(_.asLong())
           .filter(_ != -1L))
       wanted match {
@@ -208,12 +216,15 @@ object IcebergReader {
 
   // ---------- data plane ----------
 
-  /** Materialize a snapshot as a DataFrame (latest when `snapshotId` is
-    * None). See object doc for the delete-application plan shape.
+  /** Materialize a snapshot as a DataFrame (latest when `snapshotId` and
+    * `asOfTimestampMs` are both None; `snapshotId` wins when both given —
+    * timestamp travel picks the latest snapshot at-or-before the instant).
+    * See object doc for the delete-application plan shape.
     */
   def read(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
-    val snap = resolveSnapshot(tablePath, snapshotId)
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
+    val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

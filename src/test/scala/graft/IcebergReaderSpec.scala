@@ -143,7 +143,8 @@ class IcebergReaderSpec extends SparkSpec {
       snapshots: Seq[(Long, Long, String)], current: Long,
       schema: String = schemaJson, hint: Boolean = true): Unit = {
     val snaps = snapshots.map { case (id, seq, list) =>
-      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":0,
+      // timestamp-ms = snapshot id, so timestamp travel is testable
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$id,
          |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
     }.mkString(",")
     val schemas =
@@ -242,6 +243,16 @@ class IcebergReaderSpec extends SparkSpec {
       IcebergReader.read(spark, root.toString, snapshotId = Some(99L))
     }
     assert(err.getMessage.contains("snapshot 99"))
+    // timestamp travel (fixture timestamps == snapshot ids): between the
+    // two snapshots → the older one; after both → latest; before all → err
+    assert(IcebergReader.read(spark, root.toString,
+      asOfTimestampMs = Some(15L)).count() == 2L)
+    assert(IcebergReader.read(spark, root.toString,
+      asOfTimestampMs = Some(25L)).count() == 3L)
+    val terr = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root.toString, asOfTimestampMs = Some(5L))
+    }
+    assert(terr.getMessage.contains("no snapshot at or before"))
   }
 
   test("status=2 tombstones leave the table; schema evolution nulls") {

@@ -22,6 +22,14 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("key", "name"))
     assert(df.count() == 2)
   }
+  test("orc scan round-trips the O12 orc writer's output (r10)") {
+    val dir = tmp() + "/t"
+    Seq((1L, "a", 9.0), (2L, "b", 8.0)).toDF("id", "name", "score")
+      .write.orc(dir)
+    val df = DataSources.read(spark, DatasourceConfig(uri = dir, fileType = "orc"))
+    assert(df.schema("id").dataType == LongType)
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
   test("csv scan with header + inferred schema (S3)") {
     val dir = tmp() + "/t"
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.option("header", "true").csv(dir)
