@@ -25,16 +25,31 @@ object EntityMatch {
 
   /** Within-table near-match pairs: same blocking key(s), name similarity
     * ≥ `minSimilarity`. Output: (id_a, id_b, sim), id_a < id_b.
+    *
+    * Fan-out shape (the measured knnJoin lesson, PERF.md): a plain
+    * equi-join on the block keys caps parallelism at the BLOCK count —
+    * with few blocks (25 brands) the Σ|block|² scored pairs serialize
+    * onto a handful of tasks, and AQE coalesces the tiny shuffle further
+    * (measured 23.6 s at sf0.1). With `broadcastBuild` (default) the
+    * probe side is instead hash-repartitioned by id to the session
+    * parallelism and the build side broadcasts: pairs are generated and
+    * verified IN PLACE, partitioned by probe rows, never shuffled
+    * (measured 0.9 s). Set it false only when neither side fits a
+    * broadcast — the equi-join is then the right plan because a corpus
+    * that large has blocks ≫ cores.
     */
   def fuzzyPairs(rows: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String], minSimilarity: Double): DataFrame = {
+      blockCols: Seq[String], minSimilarity: Double,
+      broadcastBuild: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty, "blocking on no columns is the n² cross join")
     val spark = rows.sparkSession
     val base = rows.select(
       (Seq(col(idCol).as("id"), col(nameCol).as("name")) ++
         blockCols.map(col)): _*)
-    val a = base.as("a")
-    val b = base.as("b")
+    val a = (if (broadcastBuild)
+        base.repartition(spark.sparkContext.defaultParallelism, col("id"))
+      else base).as("a")
+    val b = (if (broadcastBuild) broadcast(base) else base).as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
     a.join(b, blockEq && col("a.id") < col("b.id"))
@@ -51,14 +66,20 @@ object EntityMatch {
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       idCol: String, nameCol: String, blockCols: Seq[String],
-      minSimilarity: Double, topK: Int = 1): DataFrame = {
+      minSimilarity: Double, topK: Int = 1,
+      broadcastBuild: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty, "blocking on no columns is the n² cross join")
     val spark = left.sparkSession
     def shape(df: DataFrame) = df.select(
       (Seq(col(idCol).as("id"), col(nameCol).as("name")) ++
         blockCols.map(col)): _*)
-    val a = shape(left).as("a")
-    val b = shape(right).as("b")
+    // same fan-out shape as fuzzyPairs; the id repartition doubles as the
+    // top-k window's partitioning, so the scored pairs never exchange
+    val a = (if (broadcastBuild)
+        shape(left).repartition(spark.sparkContext.defaultParallelism, col("id"))
+      else shape(left)).as("a")
+    val b = (if (broadcastBuild) broadcast(shape(right))
+      else shape(right)).as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
     val scored = a.join(b, blockEq)

@@ -75,18 +75,25 @@ object Graph {
     val p = pairs.select(col("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .materialize()
+    // round 1 consumes the raw pair projection straight off the cached
+    // `p` — its own distinct dedups, so a separate init
+    // distinct+materialize+count would be a wasted shuffle and job
     var edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
-      .distinct()
-      .materialize()
+    // track the cardinality across rounds: each round then pays ONE count
+    // job (which doubles as the materializing action), and the exceptAll
+    // set-equality check runs only when counts match — typically once, at
+    // the fixpoint (the sentinel skips it for round 1)
+    var edgeCount = -1L
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).materialize()
+      val nextCount = next.count()
       // star-shaped fixpoint: both frames are distinct sets, so equal
       // counts + one empty one-sided difference ⇔ identical edge sets
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     // at the fixpoint every edge is (node, component-min) and roots carry

@@ -122,16 +122,26 @@ object StringExpressions {
   }
 
   private def toCodePoints(s: UTF8String): Array[Int] = {
-    val str = s.toString
-    val out = new Array[Int](str.codePointCount(0, str.length))
-    var i = 0
-    var o = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      out(o) = cp
-      o += 1
-      i += Character.charCount(cp)
+    val nb = s.numBytes
+    if (s.numChars == nb) {
+      // all-ASCII fast path: bytes ARE the code points — no String, no
+      // stream; this is the hot case for the verification-join kernel
+      val out = new Array[Int](nb)
+      var i = 0
+      while (i < nb) { out(i) = s.getByte(i) & 0xff; i += 1 }
+      out
+    } else {
+      val str = s.toString
+      val out = new Array[Int](str.codePointCount(0, str.length))
+      var i = 0
+      var o = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        out(o) = cp
+        o += 1
+        i += Character.charCount(cp)
+      }
+      out
     }
-    out
   }
 }

@@ -34,9 +34,12 @@ import scala.jdk.CollectionConverters._
   * Supported: format v1 and v2, unpartitioned and identity-partitioned
   * layouts (identity source columns are PRESENT in Iceberg data files, so
   * no partition-value attachment is needed for correctness), snapshot
-  * time travel by id, position deletes (content=1), sequence-number
-  * inheritance. Rejected with clear errors: format v3+, equality deletes
-  * (content=2), non-parquet data files, unknown schema types.
+  * time travel by id or timestamp, sequence-number inheritance, position
+  * deletes (content=1, data seq <= delete seq), and equality deletes
+  * (content=2, strict data seq < delete seq, null-safe column equality,
+  * one anti-join per delete file). Rejected with clear errors: format
+  * v3+, non-parquet data files, unknown schema types, equality deletes
+  * without `equality_ids`.
   */
 object IcebergReader {
 
@@ -73,12 +76,15 @@ object IcebergReader {
     "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(-1L)
   }
 
-  private case class DataFileEntry(path: String, seq: Long)
+  private case class DataFileEntry(path: String, seq: Long,
+      equalityIds: Seq[Int] = Nil)
 
   private case class Snapshot(
       schema: StructType,
+      fieldNames: Map[Int, String], // iceberg field id -> column name
       dataFiles: Seq[DataFileEntry],
-      positionDeletes: Seq[DataFileEntry])
+      positionDeletes: Seq[DataFileEntry],
+      equalityDeletes: Seq[DataFileEntry])
 
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
@@ -89,7 +95,7 @@ object IcebergReader {
       s"unsupported iceberg format-version $version (this reader handles 1 and 2)")
     val location = Option(root.get("location")).map(_.asText()).getOrElse(tablePath)
 
-    val schema = currentSchema(root)
+    val (schema, fieldNames) = currentSchema(root)
 
     val snapNode = {
       val snaps = Option(root.get("snapshots")).toSeq
@@ -113,24 +119,27 @@ object IcebergReader {
       }
     }
     snapNode match {
-      case None => Snapshot(schema, Nil, Nil)
+      case None => Snapshot(schema, fieldNames, Nil, Nil, Nil)
       case Some(snap) =>
         val manifestList = remap(snap.get("manifest-list").asText(),
           location, tablePath)
-        val (dataFiles, deletes) = readManifests(manifestList, location, tablePath)
-        Snapshot(schema, dataFiles, deletes)
+        val (dataFiles, posDeletes, eqDeletes) =
+          readManifests(manifestList, location, tablePath)
+        Snapshot(schema, fieldNames, dataFiles, posDeletes, eqDeletes)
     }
   }
 
   /** Manifest list + every manifest → (live data files, live position
-    * delete files), each with its data sequence number (entry value, or
-    * inherited from the manifest when written as null — spec §"Sequence
-    * Number Inheritance").
+    * delete files, live equality delete files), each with its data
+    * sequence number (entry value, or inherited from the manifest when
+    * written as null — spec §"Sequence Number Inheritance").
     */
   private def readManifests(manifestList: String, location: String,
-      tablePath: String): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
+      tablePath: String)
+      : (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry]) = {
     val data = Seq.newBuilder[DataFileEntry]
     val deletes = Seq.newBuilder[DataFileEntry]
+    val eqDeletes = Seq.newBuilder[DataFileEntry]
     readAvro(manifestList).foreach { m =>
       val manifestPath = remap(str(m, "manifest_path"), location, tablePath)
       val manifestContent = intField(m, "content", 0) // v1: always data
@@ -148,22 +157,30 @@ object IcebergReader {
           content match {
             case 0 => data += DataFileEntry(path, seq)
             case 1 => deletes += DataFileEntry(path, seq)
-            case 2 => throw new UnsupportedOperationException(
-              "iceberg equality deletes (content=2) are not supported; " +
-                "compact the table or use position deletes")
+            case 2 =>
+              val ids = fieldOpt(df, "equality_ids")
+                .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+                  .map(_.asInstanceOf[Number].intValue))
+                .getOrElse(Nil)
+              require(ids.nonEmpty, "iceberg equality delete file " +
+                s"$path carries no equality_ids")
+              eqDeletes += DataFileEntry(path, seq, ids)
             case other => throw new IllegalArgumentException(
               s"unknown iceberg file content $other")
           }
         }
       }
     }
-    (data.result(), deletes.result())
+    (data.result(), deletes.result(), eqDeletes.result())
   }
 
   // ---------- schema ----------
 
-  /** `schemas` + `current-schema-id` (v2) or legacy single `schema` (v1). */
-  private def currentSchema(root: JsonNode): StructType = {
+  /** `schemas` + `current-schema-id` (v2) or legacy single `schema` (v1),
+    * plus the top-level field-id → name map (equality deletes reference
+    * columns by field id).
+    */
+  private def currentSchema(root: JsonNode): (StructType, Map[Int, String]) = {
     val node = Option(root.get("schemas")) match {
       case Some(schemas) =>
         val id = root.get("current-schema-id").asInt()
@@ -173,7 +190,9 @@ object IcebergReader {
             s"current-schema-id $id not present in schemas"))
       case None => root.get("schema")
     }
-    structOf(node)
+    val ids = node.get("fields").elements().asScala.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
+    (structOf(node), ids)
   }
 
   private def structOf(node: JsonNode): StructType =
@@ -232,7 +251,8 @@ object IcebergReader {
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
     val base = spark.read.schema(snap.schema)
       .parquet(snap.dataFiles.map(_.path): _*)
-    if (snap.positionDeletes.isEmpty) return base.select(dataCols: _*)
+    if (snap.positionDeletes.isEmpty && snap.equalityDeletes.isEmpty)
+      return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
     def norm(c: org.apache.spark.sql.Column) =
@@ -245,20 +265,39 @@ object IcebergReader {
     val seqDf = broadcast(snap.dataFiles
       .map(f => (normPath(f.path), f.seq)).toDF("__ib_file", "__ib_seq"))
     val withSeq = withPos.join(seqDf, "__ib_file")
-    // delete frame: (path, pos) rows from each delete file, carrying the
-    // delete file's sequence number; a position delete applies to data
-    // files with data seq <= delete seq (spec "Scan Planning")
-    val deletes = snap.positionDeletes.map { d =>
-      spark.read.parquet(d.path)
-        .select(norm(col("file_path")).as("__del_file"),
-          col("pos").as("__del_pos"), lit(d.seq).as("__del_seq"))
-    }.reduce(_ union _)
-    withSeq.join(deletes,
-        col("__ib_file") === col("__del_file") &&
-          col("__ib_pos") === col("__del_pos") &&
-          col("__del_seq") >= col("__ib_seq"),
+    // position deletes: (path, pos) rows from each delete file, carrying
+    // the delete file's sequence number; a position delete applies to
+    // data files with data seq <= delete seq (spec "Scan Planning")
+    val afterPos =
+      if (snap.positionDeletes.isEmpty) withSeq
+      else {
+        val deletes = snap.positionDeletes.map { d =>
+          spark.read.parquet(d.path)
+            .select(norm(col("file_path")).as("__del_file"),
+              col("pos").as("__del_pos"), lit(d.seq).as("__del_seq"))
+        }.reduce(_ union _)
+        withSeq.join(deletes,
+          col("__ib_file") === col("__del_file") &&
+            col("__ib_pos") === col("__del_pos") &&
+            col("__del_seq") >= col("__ib_seq"),
+          "left_anti")
+      }
+    // equality deletes: each file lists (by field id) the columns whose
+    // values identify deleted rows; applies STRICTLY to older rows
+    // (data seq < delete seq) — one anti-join per delete file, null-safe
+    // equality per the spec ("null values ... match rows with null")
+    val afterEq = snap.equalityDeletes.foldLeft(afterPos) { (acc, d) =>
+      val cols = d.equalityIds.map(id => snap.fieldNames.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"equality delete references unknown field id $id")))
+      val delRows = spark.read.parquet(d.path)
+        .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
+      acc.join(delRows,
+        cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+          acc("__ib_seq") < lit(d.seq),
         "left_anti")
-      .select(dataCols: _*)
+    }
+    afterEq.select(dataCols: _*)
   }
 
   // ---------- helpers ----------

@@ -276,19 +276,76 @@ class IcebergReaderSpec extends SparkSpec {
     assert(df.filter(col("added_later").isNull).count() == 2L)
   }
 
-  test("equality deletes and unknown formats are rejected clearly") {
+  test("equality deletes apply null-safe and strictly to OLDER rows") {
+    // data file A (seq 1): ids 1,2,3. equality delete on id (seq 2): id=2.
+    // data file B (seq 3): a REINSERTED id 2. The delete must remove A's
+    // row (1 < 2) and keep B's (3 > 2) — the upsert pattern eq deletes
+    // exist for.
+    val entrySchemaEq = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        |"default":null}]}}]}""".stripMargin)
+    def manifestEq(path: Path, entries: Seq[(Int, Int, String, Seq[Int])]): String = {
+      val recs = entries.map { case (status, content, file, eqIds) =>
+        val dfSchema = entrySchemaEq.getField("data_file").schema()
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", content)
+        df.put("file_path", file)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfSchema.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", 1L)
+        if (eqIds.nonEmpty)
+          df.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+        val e = new GenericData.Record(entrySchemaEq)
+        e.put("status", status)
+        e.put("data_file", df)
+        e
+      }
+      writeAvro(path, entrySchemaEq, recs)
+      path.toString
+    }
     val root = freshRoot("eq")
     val md = root.resolve("metadata")
-    val fileA = writeData(root, "a.parquet", Seq((1L, "a")))
-    val mEq = manifest(md.resolve("meq.avro"), entrySchemaV2,
-      Seq((1, 2, fileA, None))) // content=2: equality delete
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val fileB = writeData(root, "b.parquet", Seq((2L, "b2")))
+    val eqDel = writeData(root, "eqdel.parquet", Seq((2L, "ignored")))
+    val mA = manifestEq(md.resolve("ma.avro"), Seq((1, 0, fileA, Nil)))
+    val mB = manifestEq(md.resolve("mb.avro"), Seq((1, 0, fileB, Nil)))
+    val mD = manifestEq(md.resolve("md.avro"), Seq((1, 2, eqDel, Seq(1))))
     val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
-      Seq((mEq, 1, 1L)))
-    writeMetadata(root, 1, 2, Seq((1L, 1L, list)), 1L)
-    val err = intercept[UnsupportedOperationException] {
-      IcebergReader.read(spark, root.toString)
+      Seq((mA, 0, 1L), (mD, 1, 2L), (mB, 0, 3L)))
+    writeMetadata(root, 1, 2, Seq((1L, 3L, list)), 1L)
+    val got = IcebergReader.read(spark, root.toString)
+      .orderBy(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // equality delete without equality_ids → clear rejection
+    val root2 = freshRoot("eqbad")
+    val md2 = root2.resolve("metadata")
+    val fileA2 = writeData(root2, "a.parquet", Seq((1L, "a")))
+    val del2 = writeData(root2, "d.parquet", Seq((1L, "x")))
+    val mA2 = manifestEq(md2.resolve("ma.avro"), Seq((1, 0, fileA2, Nil)))
+    val mD2 = manifestEq(md2.resolve("md.avro"), Seq((1, 2, del2, Nil)))
+    val list2 = manifestList(md2.resolve("snap-1.avro"), listSchemaV2,
+      Seq((mA2, 0, 1L), (mD2, 1, 2L)))
+    writeMetadata(root2, 1, 2, Seq((1L, 2L, list2)), 1L)
+    val err = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root2.toString)
     }
-    assert(err.getMessage.contains("equality deletes"))
+    assert(err.getMessage.contains("equality_ids"))
   }
 
   test("no-snapshot table is empty with the declared schema") {
