@@ -599,6 +599,19 @@ object SparkEntry {
           |ORDER BY c_mktsegment""".stripMargin,
         Tables.all.toSet)
     }),
+    "q_subquery_exists" -> ((s, dir) => {
+      // correlated EXISTS / NOT EXISTS through the guarded endpoint —
+      // Catalyst rewrites these to semi/anti joins (the §2.6 plan family)
+      Tables.registerAll(s, dir)
+      SqlEndpoint.query(s, subqueryExistsSql, Tables.all.toSet)
+    }),
+    "q_subquery_scalar" -> ((s, dir) => {
+      // correlated scalar subqueries with EXACT decimal arithmetic
+      // (price·count > 2·sum) so row membership can never flip on a
+      // float ulp between engines
+      Tables.registerAll(s, dir)
+      SqlEndpoint.query(s, subqueryScalarSql, Tables.all.toSet)
+    }),
     "q_grouping_sets" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       SqlEndpoint.query(s,
@@ -678,6 +691,15 @@ object SparkEntry {
       graft.operators.Graph.connectedComponents(
         Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
           shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
+        .orderBy(col("doc_id"))),
+    "q_pagerank" -> ((s, dir) =>
+      // duplicate-authority centrality over the near-dup graph; every
+      // arithmetic step is double-div-then-round or exact decimal, so the
+      // unrolled SQL oracle reproduces ranks bit-for-bit
+      graft.operators.Graph.pageRank(
+        Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+          shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5),
+        iterations = 3)
         .orderBy(col("doc_id"))),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -1597,6 +1619,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+    "q_subquery_exists" -> subqueryExistsSql,
+    "q_subquery_scalar" -> subqueryScalarSql,
     "q_meta_maxlen" ->
       """SELECT max(length(p_name)) AS len_p_name, max(length(p_brand)) AS len_p_brand,
         |  max(length(p_type)) AS len_p_type FROM part""".stripMargin,
@@ -1616,6 +1640,7 @@ object SparkEntry {
     "q_dedup_edit" -> editVerifiedOracleSql,
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_cc" -> minhashClustersOracleSql,
+    "q_pagerank" -> pageRankOracleSql,
     "q_entity_match" ->
       // DuckDB's jaro_winkler_similarity IS the pinned semantics of the
       // native expression (fuzz-verified over 20k random pairs); both
@@ -2119,6 +2144,68 @@ object SparkEntry {
   /** The minhash-LSH pipeline as a chain of CTEs ending in `pairs`
     * (id_a, id_b, jaccard ≥ 0.5) — shared by the pairs and clusters oracles.
     */
+  /** Correlated EXISTS / NOT EXISTS — the same SQL text runs through the
+    * guarded endpoint (Spark) and DuckDB; Catalyst plans it as one semi
+    * plus one anti join, no per-row subquery execution.
+    */
+  private def subqueryExistsSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |              WHERE o2.o_custkey = c.c_custkey
+      |                AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated scalar subqueries: orders above twice their customer's
+    * average price, compared as price·count > 2·sum — decimal/integer
+    * arithmetic is EXACT in both engines, so no avg-division ulp can flip
+    * a row's membership (Spark's decimal avg and DuckDB's differ in
+    * rounding; sums and products do not).
+    */
+  private def subqueryScalarSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (
+      |    SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+      |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** One unrolled PageRank iteration over `prev` — the exact arithmetic
+    * contract of [[graft.operators.Graph.pageRank]]: double division
+    * rounded to 12 dp, DECIMAL(20,12) contributions summed exactly into
+    * DECIMAL(30,12), exact ×(4,2) damping (result (35,14), inside both
+    * engines' 38-digit exactness), no decimal division/rounding anywhere.
+    */
+  private def pageRankIterSql(prev: String): String =
+    s"""SELECT nd.u,
+       |  CAST(round(0.15 / (SELECT n FROM nn), 12) AS DECIMAL(20,12))
+       |    + CAST(0.85 AS DECIMAL(4,2)) *
+       |      COALESCE(s.sm, CAST(0 AS DECIMAL(30,12))) AS pr
+       |FROM nodes nd LEFT JOIN (
+       |  SELECT e.v AS u,
+       |    CAST(sum(CAST(round(CAST(p.pr AS DOUBLE) / d.deg, 12)
+       |      AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS sm
+       |  FROM und e JOIN $prev p ON e.u = p.u JOIN deg d ON e.u = d.u
+       |  GROUP BY e.v) s ON nd.u = s.u""".stripMargin
+
+  private def pageRankOracleSql: String =
+    s"""WITH $minhashPairsCtes,
+       |und AS (SELECT DISTINCT u, v FROM (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs)),
+       |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+       |nodes AS (SELECT DISTINCT u FROM und),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT u, CAST(round(1.0 / (SELECT n FROM nn), 12)
+       |  AS DECIMAL(20,12)) AS pr FROM nodes),
+       |it1 AS (${pageRankIterSql("pr0")}),
+       |it2 AS (${pageRankIterSql("it1")}),
+       |it3 AS (${pageRankIterSql("it2")})
+       |SELECT u AS doc_id, round(CAST(pr AS DOUBLE), 9) AS rank
+       |FROM it3 ORDER BY doc_id""".stripMargin
+
   private def minhashPairsCtes: String = {
     val seedList = (0 until seeds).map(i => s"'$i'").mkString("[", ", ", "]")
     s"""w AS (SELECT doc_id, ${wsSql("text")} AS ws FROM documents),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.operators.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph operators over pair frames (`id_a`, `id_b`) — the duplicate-pair
   * graphs the dedup family produces, but any edge list works.
@@ -104,5 +105,71 @@ object Graph {
         nodes("id") === col("u"), "left")
       .select(col("id").as("doc_id"),
         least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
+  }
+
+  /** PageRank over the undirected pair graph, fixed iteration count —
+    * centrality of documents inside their near-dup neighborhoods (a
+    * duplicate-authority signal: the canonical copy of a template family
+    * accumulates rank from its variants), or of any (id_a, id_b) edge set.
+    *
+    * Engine-portable by construction — the driver's oracle hash-compares
+    * values, so every arithmetic step must be bit-reproducible in SQL:
+    *  - divisions (the only non-exact operation) happen in DOUBLE and are
+    *    rounded to 12 dp immediately — one IEEE division + one rounding is
+    *    identical everywhere;
+    *  - those rounded contributions are summed as DECIMAL (exact,
+    *    order-independent — a double sum would vary with partitioning);
+    *  - the damping multiply (0.85, an exact decimal) is exact; no decimal
+    *    division or decimal rounding is ever used, because THOSE differ
+    *    between engines (Spark HALF_UP vs DuckDB's banker-ish casts).
+    * The published rank rounds to 9 dp, well inside the 12-dp state.
+    *
+    * Scale shape: per iteration, contributions shuffle once on the
+    * destination node; the degree frame rides the same partitioning as
+    * the rank frame (both keyed by node). Iteration state is one row per
+    * node, materialized per round through the durability knob. The node
+    * count (one scalar) is the only driver-side value.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "iterations must be 1..20")
+    // widths chosen so EVERY decimal op stays exact (≤ 38 precision) in
+    // both engines: contribs (20,12) → sum (30,12) → ×(4,2) = (35,14)
+    val dec = DecimalType(20, 12)
+    val sumDec = DecimalType(30, 12)
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .materialize()
+    val und = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .materialize()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nodes = und.select(col("u")).distinct().materialize()
+    val n = nodes.count()
+    val base = BigDecimal(0.15 / n)  // (1-d)/n, rounded at 12 dp below
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val init = BigDecimal(1.0 / n)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dampDec = BigDecimal(damping).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    var pr = nodes.select(col("u"), lit(init.bigDecimal).cast(dec).as("pr"))
+      .materialize()
+    var i = 0
+    while (i < iterations) {
+      val contribs = und.join(pr, "u").join(deg, "u")
+        .select(col("v").as("u"),
+          round(col("pr").cast("double") / col("deg"), 12).cast(dec).as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).cast(sumDec).as("sm"))
+      pr = nodes.join(contribs, Seq("u"), "left")
+        .select(col("u"),
+          (lit(base.bigDecimal).cast(dec) +
+            lit(dampDec.bigDecimal).cast(DecimalType(4, 2)) *
+              coalesce(col("sm"), lit(java.math.BigDecimal.ZERO).cast(sumDec)))
+            .as("pr"))
+        .materialize()
+      i += 1
+    }
+    pr.select(col("u").as("doc_id"),
+      round(col("pr").cast("double"), 9).as("rank"))
   }
 }

@@ -40,6 +40,34 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("pageRank: symmetry, centrality ordering, mass conservation") {
+    // 4-cycle: every node degree 2 → identical ranks, total mass ~1
+    val cyc = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")).collect()
+    val ranks = cyc.map(_.getDouble(1))
+    assert(ranks.distinct.length == 1)
+    assert(math.abs(ranks.sum - 1.0) < 1e-6)
+    // star: the center accumulates rank from every leaf
+    val star = Graph.pageRank(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => star(1L) > star(l)))
+    assert(star(2L) == star(5L)) // leaves identical
+  }
+
+  test("pageRank is invariant to input partitioning (decimal sums)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    val df = pairs.toDF("id_a", "id_b")
+    val a = Graph.pageRank(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-identical, not approximately equal
+  }
+
   test("agrees with duplicateClusters on a randomized graph") {
     val rnd = new scala.util.Random(42)
     val pairs = (1 to 400).map(_ =>
