@@ -692,6 +692,22 @@ object SparkEntry {
         Dedup.minhashDedup(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
           shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5))
         .orderBy(col("doc_id"))),
+    "q_dedup_cc_incremental" -> ((s, dir) => {
+      // steady-state shape: label the %5≠0 corpus first, then fold in the
+      // pairs that touch %5==0 deliveries — must equal the full closure
+      // (banding is per-doc deterministic, so corpus-restricted pairs are
+      // exactly the full pairs with both ends in the corpus)
+      import graft.operators.Materialize.Ops
+      val pairs = Dedup.minhashDedup(
+        Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
+        shingleSize = 3, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .materialize()
+      val corpus = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val delivery = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      graft.operators.Graph.incrementalComponents(
+        graft.operators.Graph.connectedComponents(corpus), delivery)
+        .orderBy(col("doc_id"))
+    }),
     "q_pagerank" -> ((s, dir) =>
       // duplicate-authority centrality over the near-dup graph; every
       // arithmetic step is double-div-then-round or exact decimal, so the
@@ -1641,6 +1657,7 @@ object SparkEntry {
     "q_dedup_clusters" -> minhashClustersOracleSql,
     "q_dedup_cc" -> minhashClustersOracleSql,
     "q_pagerank" -> pageRankOracleSql,
+    "q_dedup_cc_incremental" -> minhashClustersOracleSql,
     "q_entity_match" ->
       // DuckDB's jaro_winkler_similarity IS the pinned semantics of the
       // native expression (fuzz-verified over 20k random pairs); both

@@ -107,6 +107,41 @@ object Graph {
         least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
   }
 
+  /** Fold a batch of NEW near-dup pairs into an existing component
+    * labeling — the steady-state complement of [[connectedComponents]],
+    * exactly as [[Dedup.incrementalMinhash]] is to [[Dedup.minhashDedup]]:
+    * per delivery, work is proportional to (labeled nodes + new pairs),
+    * never to the historical pair set, and historical pairs are never
+    * re-verified.
+    *
+    * The old labeling is itself a star forest (member → min-id root), so
+    * its (doc_id, cluster) rows ARE a faithful edge encoding of the old
+    * components: run the star rounds over star-edges ∪ new pairs and
+    * merged components converge to the new global minimum. Nodes whose
+    * component is untouched keep their label (min is stable under union
+    * with nothing); singletons ride through the final left join.
+    *
+    * Output contract matches [[connectedComponents]] run over the FULL
+    * pair history — hash-proved by the shared closure oracle of
+    * `q_dedup_cc_incremental`.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val lab = labels.select(col("doc_id"), col("cluster")).materialize()
+    val starEdges = lab.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("id_a"), col("cluster").as("id_b"))
+    val merged = connectedComponents(
+        starEdges.union(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+      .withColumnRenamed("doc_id", "nid").withColumnRenamed("cluster", "ncl")
+    val nodes = lab.select(col("doc_id"))
+      .union(newPairs.select(col("id_a").as("doc_id")))
+      .union(newPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    nodes.join(merged, nodes("doc_id") === col("nid"), "left")
+      .select(nodes("doc_id"),
+        coalesce(col("ncl"), nodes("doc_id")).as("cluster"))
+  }
+
   /** PageRank over the undirected pair graph, fixed iteration count —
     * centrality of documents inside their near-dup neighborhoods (a
     * duplicate-authority signal: the canonical copy of a template family

@@ -40,6 +40,20 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("incrementalComponents equals full CC over the union of pairs") {
+    // old corpus: {1,2,3} and {10,11}; delivery merges the two clusters
+    // (3-10), extends one (11-12), and adds a fresh pair (20,21)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val newPairs = Seq((3L, 10L), (11L, 12L), (20L, 21L))
+    val labels0 = Graph.connectedComponents(oldPairs.toDF("id_a", "id_b"))
+    val got = Graph.incrementalComponents(labels0, newPairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Graph.connectedComponents((oldPairs ++ newPairs).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got(12L) == 1L && got(20L) == 20L) // merged chain + fresh pair
+  }
+
   test("pageRank: symmetry, centrality ordering, mass conservation") {
     // 4-cycle: every node degree 2 → identical ranks, total mass ~1
     val cyc = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Shared builders for hand-authored, spec-conformant Iceberg fixtures
+  * (IcebergReaderSpec's edge cases, ServerSpec's served table) — field
+  * names per the public table spec, Avro via the Spark-bundled jars.
+  */
+object IcebergTestFixtures {
+
+  val listSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  val entrySchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  def writeAvro(path: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  /** (status, content, path, explicitSeq) rows → manifest avro file. */
+  def manifest(path: Path, entrySchema: Schema,
+      entries: Seq[(Int, Int, String, Option[Long])]): String = {
+    val recs = entries.map { case (status, content, file, seq) =>
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      if (dfSchema.getField("content") != null) df.put("content", content)
+      df.put("file_path", file)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      if (entrySchema.getField("sequence_number") != null)
+        seq.foreach(v => e.put("sequence_number", v))
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(path, entrySchema, recs)
+    path.toString
+  }
+
+  def manifestList(path: Path, listSchema: Schema,
+      entries: Seq[(String, Int, Long)]): String = {
+    val recs = entries.map { case (mp, content, seq) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      if (listSchema.getField("content") != null) r.put("content", content)
+      if (listSchema.getField("sequence_number") != null) {
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+      }
+      r.put("added_snapshot_id", 1L)
+      r
+    }
+    writeAvro(path, listSchema, recs)
+    path.toString
+  }
+
+  def writeMetadata(root: Path, version: Int, formatVersion: Int,
+      snapshots: Seq[(Long, Long, String)], current: Long,
+      schema: String, hint: Boolean = true): Unit = {
+    val snaps = snapshots.map { case (id, seq, list) =>
+      // timestamp-ms = snapshot id, so timestamp travel is testable
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$id,
+         |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
+    }.mkString(",")
+    val schemas =
+      if (formatVersion >= 2)
+        s""""schemas":[$schema],"current-schema-id":0,"""
+      else s""""schema":$schema,"""
+    Files.writeString(root.resolve(s"metadata/v$version.metadata.json"),
+      s"""{"format-version":$formatVersion,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":9,"last-updated-ms":0,"last-column-id":9,
+         |$schemas
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"current-snapshot-id":$current,"snapshots":[$snaps]}""".stripMargin)
+    if (hint)
+      Files.writeString(root.resolve("metadata/version-hint.text"),
+        version.toString)
+  }
+
+  /** Single-parquet-file data write under `root/data/<name>`. */
+  def writeDataFile(df: DataFrame, root: Path, name: String): String = {
+    val tmp = root.resolve("staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val dest = root.resolve("data").resolve(name)
+    Files.move(part, dest)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    dest.toString
+  }
+
+  /** A minimal one-snapshot v2 table over `df` (schemaJson must describe
+    * df's columns); returns the table root.
+    */
+  def simpleTable(df: DataFrame, root: Path, schemaJson: String): String = {
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val file = writeDataFile(df, root, "a.parquet")
+    val m = manifest(root.resolve("metadata/m1.avro"), entrySchemaV2,
+      Seq((1, 0, file, None)))
+    val l = manifestList(root.resolve("metadata/snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, 2, Seq((1L, 1L, l)), 1L, schemaJson)
+    root.toString
+  }
+}

@@ -319,6 +319,32 @@ class ServerSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:$p/api/v1/mix/good").statusCode() == 200)
     } finally srv.stop()
   }
+  test("iceberg table over HTTP (file_type: iceberg, r10)") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_srv_iceberg_${System.nanoTime()}")
+    IcebergTestFixtures.simpleTable(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "v"), root,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}""".stripMargin)
+    val cfg = Configs(Seq(TableConfig(name = "ice", tag = "lake",
+      datasource = DatasourceConfig(uri = root.toString, fileType = "iceberg"),
+      params = Seq(Param("v")), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg)
+    val p = srv.start()
+    try {
+      val all = get(s"http://127.0.0.1:$p/api/v1/lake/ice?format=json&limit=10")
+      assert(all.statusCode() == 200)
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(all.body()).size() == 3)
+      val f = get(s"http://127.0.0.1:$p/api/v1/lake/ice?format=json&limit=10&v=alpha")
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f.body()).size() == 2)
+      val md = get(s"http://127.0.0.1:$p/api/v1/lake/ice/metadata_detail")
+      assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
+    } finally srv.stop()
+  }
   test("sqlite table over HTTP — the reference's test_sqlite.py surface") {
     import com.fasterxml.jackson.databind.ObjectMapper
     val chinook = "/root/reference/tests/data/chinook.db"
