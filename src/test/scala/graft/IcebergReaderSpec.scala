@@ -292,5 +292,33 @@ class IcebergReaderSpec extends SparkSpec {
     assert(IcebergReader.isIcebergTable(root.toString))
     assert(!IcebergReader.isIcebergTable(
       System.getProperty("java.io.tmpdir")))
+
+    // plan shape: a delete-free table is ONE parquet scan — no joins, no
+    // _metadata projection (an undeleted table must pay nothing)
+    val plan = IcebergReader.read(spark, root.toString)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("_metadata"), plan)
+  }
+
+  test("position-delete plan broadcasts the seq frame (no wide shuffle)") {
+    val root = freshRoot("plan")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    val del = IcebergTestFixtures.writeDataFile(
+      Seq((fileA, 0L)).toDF("file_path", "pos"), root, "del.parquet")
+    val m1 = manifest(md.resolve("m1.avro"), entrySchemaV2,
+      Seq((1, 0, fileA, None)))
+    val mDel = manifest(md.resolve("mdel.avro"), entrySchemaV2,
+      Seq((1, 1, del, None)))
+    val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((m1, 0, 1L), (mDel, 1, 2L)))
+    writeMetadata(root, 1, 2, Seq((1L, 2L, list)), 1L)
+    val plan = IcebergReader.read(spark, root.toString)
+      .queryExecution.executedPlan.toString
+    // the per-file seq attach must be a broadcast join, and the delete
+    // anti-join must not introduce a data-side exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 }
