@@ -704,8 +704,11 @@ object SparkEntry {
         .materialize()
       val corpus = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
       val delivery = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      // the initial labeling comes from the label-prop clusterer — same
+      // (doc_id, cluster=min) contract, cheaper on small dense clusters —
+      // proving the two producers interoperate with the incremental fold
       graft.operators.Graph.incrementalComponents(
-        graft.operators.Graph.connectedComponents(corpus), delivery)
+        Dedup.duplicateClusters(corpus), delivery)
         .orderBy(col("doc_id"))
     }),
     "q_pagerank" -> ((s, dir) =>
