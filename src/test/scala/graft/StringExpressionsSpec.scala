@@ -79,6 +79,43 @@ class StringExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("codegen and interpreted eval agree on random unicode strings") {
+    // QuantizationPropertySpec-style: the expression's two execution
+    // paths (doGenCode static call vs nullSafeEval) must be the same
+    // function; strings include multibyte + surrogate-pair code points so
+    // both the ASCII fast path and the code-point path are exercised
+    import org.scalacheck.{Gen, Prop}
+    val alphabet = Gen.oneOf('a', 'b', ' ', 'é', 'ß', '中', '\uD835', 'x')
+    // avoid lone surrogates: replace the high surrogate with a full pair
+    val strGen = Gen.listOfN(8, alphabet).map(_.mkString
+      .replace("\uD835", new String(Character.toChars(0x1D400))))
+    val prop = Prop.forAll(strGen, strGen) { (a, b) =>
+      val interpreted = StringExpressions.jaroWinklerCompute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val viaPlan = Seq((a, b)).toDF("a", "b").repartition(1)
+        .select(StringExpressions.jaroWinkler(spark, col("a"), col("b")))
+        .collect().head.getDouble(0)
+      interpreted == viaPlan
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fuzzyJoin keeps topK ranked matches") {
+    val left = Seq((1L, "acme widget", "A")).toDF("id", "name", "blk")
+    val right = Seq(
+      (10L, "acme widget", "A"),
+      (11L, "acme widgets", "A"),
+      (12L, "acme gadget", "A"))
+      .toDF("id", "name", "blk")
+    val got = EntityMatch.fuzzyJoin(left, right, "id", "name", Seq("blk"),
+      minSimilarity = 0.5, topK = 2)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((10L, 1), (11L, 2))) // best two, stable order
+  }
+
   test("fuzzyPairs blocks and verifies") {
     val rows = Seq(
       (1L, "acme widget deluxe", "A"),
