@@ -301,6 +301,63 @@ class IcebergReaderSpec extends SparkSpec {
     assert(!plan.contains("_metadata"), plan)
   }
 
+  test("identity-partitioned layout: partition struct in manifests, columns in files") {
+    // identity transforms keep the source column IN the data files (the
+    // spec guarantee the reader relies on); the manifest's non-empty
+    // partition record must parse without being consumed
+    val entryPart = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |{"name":"part","type":["null","long"],"default":null}]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val root = freshRoot("part")
+    val md = root.resolve("metadata")
+    Files.createDirectories(root.resolve("data/part=1"))
+    Files.createDirectories(root.resolve("data/part=2"))
+    val f1 = IcebergTestFixtures.writeDataFile(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "part"),
+      root, "part=1/a.parquet")
+    val f2 = IcebergTestFixtures.writeDataFile(
+      Seq((3L, "c", 2L)).toDF("id", "v", "part"), root, "part=2/b.parquet")
+    val recs = Seq((f1, 1L), (f2, 2L)).map { case (f, pv) =>
+      val dfSchema = entryPart.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", f)
+      d.put("file_format", "PARQUET")
+      val part = new GenericData.Record(dfSchema.getField("partition").schema())
+      part.put("part", pv)
+      d.put("partition", part)
+      d.put("record_count", 1L)
+      d.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entryPart)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e
+    }
+    writeAvro(md.resolve("m1.avro"), entryPart, recs)
+    val list = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((md.resolve("m1.avro").toString, 0, 1L)))
+    val schema3 =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"part","required":false,"type":"long"}]}""".stripMargin
+    writeMetadata(root, 1, 2, Seq((1L, 1L, list)), 1L, schema = schema3)
+    val got = IcebergReader.read(spark, root.toString)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
   test("position-delete plan broadcasts the seq frame (no wide shuffle)") {
     val root = freshRoot("plan")
     val md = root.resolve("metadata")
