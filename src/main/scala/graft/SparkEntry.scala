@@ -639,6 +639,24 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_write_read" -> ((s, dir) => {
+      // writer→reader round-trip: create with region<2, append the rest,
+      // read the final version back — the oracle is the whole table
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_wr_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(
+            nation.filter(col("n_regionkey") < 2), root.toString)
+          graft.output.DeltaWriter.append(
+            nation.filter(col("n_regionkey") >= 2), root.toString)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_scan" -> ((s, dir) => {
       // latest snapshot: files A+B live, A's odd keys position-deleted —
       // manifest-list/manifest replay, sequence inheritance and the
@@ -1537,6 +1555,9 @@ object SparkEntry {
     "q_delta_dv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 AND n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_write_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0) OR n_regionkey >= 2

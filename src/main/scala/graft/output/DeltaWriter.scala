@@ -1,0 +1,148 @@
+package graft.output
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Delta Lake WRITER — the output-side complement of
+  * [[graft.sources.DeltaLogReader]] (no delta jars in this environment,
+  * so the public transaction-log format is written directly): a curation
+  * pipeline's verdicts land as a real Delta table that delta-spark,
+  * DuckDB's delta extension, or this repo's own reader replay
+  * identically.
+  *
+  * Contract (the subset a batch pipeline sink needs):
+  *  - `create`: version 0 = protocol(1,2) + metaData (Spark schema JSON —
+  *    Delta's schemaString IS Spark's StructType JSON) + one add per
+  *    parquet file.
+  *  - `append`: next version with add actions only; the incoming schema
+  *    must equal the table's (fail-fast, no silent evolution).
+  *  - `overwrite`: next version with remove actions for every live file
+  *    plus the new adds — readers at older versions still time-travel.
+  *  - Optional identity partitioning (`partitionBy`): files land under
+  *    `col=value/` directories, partitionValues parsed back from the
+  *    layout Spark wrote.
+  *
+  * Commits are single-writer: the JSON is staged and atomically renamed
+  * into `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`; a concurrent committer
+  * of the same version loses the rename race and errors — optimistic
+  * multi-writer coordination (a LogStore) is out of scope and documented,
+  * matching the single-pipeline sink shape this serves.
+  *
+  * Scale: data files are written by executors via the normal parquet
+  * path (distributed); only the file LIST touches the driver — the same
+  * metadata-plane/data-plane split as the readers.
+  */
+object DeltaWriter {
+
+  def create(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val root = Paths.get(path)
+    require(!Files.exists(root.resolve("_delta_log")),
+      s"$path is already a delta table; use append or overwrite")
+    Files.createDirectories(root.resolve("_delta_log"))
+    val files = writeData(df, root, partitionBy)
+    val schemaStr = escape(df.schema.json)
+    commit(root, 0L,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{},"createdTime":0}}""")
+        ++ files.map(addAction))
+  }
+
+  def append(df: DataFrame, path: String): Unit = {
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
+    require(snap.schema == df.schema,
+      s"append schema mismatch: table has ${snap.schema.simpleString}, " +
+        s"got ${df.schema.simpleString}")
+    val files = writeData(df, root, snap.partitionColumns)
+    commit(root, nextVersion(root), files.map(addAction))
+  }
+
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
+    require(snap.schema == df.schema,
+      s"overwrite schema mismatch: table has ${snap.schema.simpleString}, " +
+        s"got ${df.schema.simpleString}")
+    val files = writeData(df, root, snap.partitionColumns)
+    val removes = snap.files.map(f =>
+      s"""{"remove":{"path":"${escape(f.path)}","deletionTimestamp":0,"dataChange":true}}""")
+    commit(root, nextVersion(root), removes ++ files.map(addAction))
+  }
+
+  // ---------- internals ----------
+
+  private case class Written(relPath: String, size: Long,
+      partitionValues: Map[String, String])
+
+  /** Distributed parquet write into a staging dir, then move the part
+    * files (and their partition directories) into the table root. The
+    * relative path keeps Spark's `col=value/` layout so partitionValues
+    * parse straight back out of it.
+    */
+  private def writeData(df: DataFrame, root: Path,
+      partitionBy: Seq[String]): Seq[Written] = {
+    val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    val parts = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toVector
+    val out = parts.map { p =>
+      val rel = staging.relativize(p).toString
+      val dest = root.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      val pv = rel.split('/').dropRight(1).collect {
+        case seg if seg.contains('=') =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      Written(rel, Files.size(dest), pv)
+    }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    out
+  }
+
+  private def addAction(w: Written): String = {
+    val pv = w.partitionValues.map { case (k, v) =>
+      s""""${escape(k)}":"${escape(v)}"""" }.mkString(",")
+    s"""{"add":{"path":"${escape(w.relPath)}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":true}}"""
+  }
+
+  private def nextVersion(root: Path): Long = {
+    val log = root.resolve("_delta_log")
+    val versions = Files.list(log).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq
+    require(versions.nonEmpty, s"$root has no delta commits")
+    versions.max + 1
+  }
+
+  /** Stage + atomic rename. A same-version race is detected by an
+    * existence check before the rename — BEST-EFFORT only (POSIX rename
+    * replaces silently), which is exactly why the contract above is
+    * single-writer; true multi-writer needs a putIfAbsent LogStore.
+    */
+  private def commit(root: Path, version: Long, actions: Seq[String]): Unit = {
+    val log = root.resolve("_delta_log")
+    val tmp = log.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, actions.mkString("\n"))
+    val dest = log.resolve(f"$version%020d.json")
+    if (Files.exists(dest)) {
+      Files.delete(tmp)
+      throw new IllegalStateException(
+        s"concurrent commit of delta version $version at $root")
+    }
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+}
