@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
 object DeltaWriter {
 
   def create(df: DataFrame, path: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Unit = {
     val root = Paths.get(path)
     require(!Files.exists(root.resolve("_delta_log")),
       s"$path is already a delta table; use append or overwrite")
@@ -46,17 +47,22 @@ object DeltaWriter {
     commit(root, 0L,
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{},"createdTime":0}}""")
-        ++ files.map(addAction))
+        ++ txnActions(txn) ++ files.map(addAction))
   }
 
-  def append(df: DataFrame, path: String): Unit = {
+  /** `txn` stamps the commit with a `{"txn":{"appId","version"}}` action
+    * (the Delta streaming-sink idempotence mechanism): replayed
+    * micro-batches are detected via [[lastTxnVersion]] and skipped.
+    */
+  def append(df: DataFrame, path: String,
+      txn: Option[(String, Long)] = None): Unit = {
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
     require(snap.schema == df.schema,
       s"append schema mismatch: table has ${snap.schema.simpleString}, " +
         s"got ${df.schema.simpleString}")
     val files = writeData(df, root, snap.partitionColumns)
-    commit(root, nextVersion(root), files.map(addAction))
+    commit(root, nextVersion(root), txnActions(txn) ++ files.map(addAction))
   }
 
   def overwrite(df: DataFrame, path: String): Unit = {
@@ -141,6 +147,33 @@ object DeltaWriter {
         s"concurrent commit of delta version $version at $root")
     }
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def txnActions(txn: Option[(String, Long)]): Seq[String] =
+    txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":"${escape(appId)}","version":$v,"lastUpdated":0}}"""
+    }
+
+  /** Highest `txn` version committed for `appId` (streaming idempotence:
+    * a micro-batch whose id is ≤ this has already landed). Scans the
+    * commit JSONs driver-side — metadata-plane work like the replay.
+    */
+  def lastTxnVersion(path: String, appId: String): Option[Long] = {
+    val log = Paths.get(path, "_delta_log")
+    if (!Files.isDirectory(log)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.contains("\"txn\""))
+      .flatMap { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("txn"))
+          .filter(t => t.get("appId").asText() == appId)
+          .map(_.get("version").asLong())
+      }
+      .toSeq
+    if (versions.isEmpty) None else Some(versions.max)
   }
 
   private def escape(s: String): String =

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming → Delta sink: each micro-batch lands as ONE
+  * atomic Delta commit stamped with a `txn` action, so a batch replayed
+  * after a failure (the at-least-once delivery `foreachBatch` gives you)
+  * is detected by its batch id and skipped — the standard Delta
+  * streaming-sink idempotence contract, producing exactly-once TABLE
+  * contents on top of at-least-once batch delivery.
+  *
+  * State lives in two places, both durable: Spark's checkpoint directory
+  * (offsets/batch ids) and the table's own log (`txn` high-water mark per
+  * `appId`). Restarting the query with the same checkpoint and appId
+  * resumes without duplicates; pointing a DIFFERENT query at the same
+  * table needs a different appId.
+  */
+object DeltaSink {
+
+  /** The per-batch body, public so idempotence is directly testable:
+    * creates the table on the first batch, appends afterwards, skips
+    * batches at-or-below the committed `txn` high-water mark.
+    */
+  def appendBatch(batch: DataFrame, path: String, appId: String,
+      batchId: Long): Unit = {
+    if (!DeltaLogReader.isDeltaTable(path))
+      DeltaWriter.create(batch, path, txn = Some(appId -> batchId))
+    else if (!DeltaWriter.lastTxnVersion(path, appId).exists(_ >= batchId))
+      DeltaWriter.append(batch, path, txn = Some(appId -> batchId))
+    // else: replayed batch, already committed — exactly-once by skip
+  }
+
+  def start(df: DataFrame, path: String, checkpointDir: String,
+      appId: String = "graft-delta-sink"): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        appendBatch(batch.toDF(), path, appId, id)
+      }
+      .start()
+}

@@ -66,6 +66,39 @@ class DeltaWriterSpec extends SparkSpec {
     assert(drift.getMessage.contains("schema mismatch"))
   }
 
+  test("streaming sink: txn idempotence and end-to-end micro-batches") {
+    import graft.streaming.DeltaSink
+    // direct idempotence: replaying batch 0 and 1 must not duplicate rows
+    val path = tmp("sink")
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+    DeltaSink.appendBatch(b0, path, "app", 0L)
+    DeltaSink.appendBatch(b1, path, "app", 1L)
+    DeltaSink.appendBatch(b1, path, "app", 1L) // replay → skipped
+    DeltaSink.appendBatch(b0, path, "app", 0L) // late replay → skipped
+    assert(DeltaLogReader.read(spark, path).count() == 2L)
+    assert(graft.output.DeltaWriter.lastTxnVersion(path, "app").contains(1L))
+    // a different appId has its own high-water mark
+    assert(graft.output.DeltaWriter.lastTxnVersion(path, "other").isEmpty)
+
+    // end-to-end: MemoryStream → sink → table
+    val path2 = tmp("sinkstream")
+    val cp = tmp("sinkcp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = DeltaSink.start(input.toDF().toDF("id", "v"), path2, cp)
+    try {
+      input.addData((10L, "x"), (11L, "y"))
+      q.processAllAvailable()
+      assert(DeltaLogReader.read(spark, path2).count() == 2L)
+      input.addData((12L, "z"))
+      q.processAllAvailable()
+      assert(DeltaLogReader.read(spark, path2)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("the written table is readable by an independent engine shape") {
     // the reader here replays the log natively, but also sanity-check the
     // raw layout: version files named %020d, adds carry relative paths
