@@ -182,7 +182,7 @@ object Graph {
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nodes = und.select(col("u")).distinct().materialize()
     val n = nodes.count()
-    val base = BigDecimal(0.15 / n)  // (1-d)/n, rounded at 12 dp below
+    val base = BigDecimal((1.0 - damping) / n)  // (1-d)/n, from the parameter
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val init = BigDecimal(1.0 / n)
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)

@@ -39,9 +39,11 @@ object DeltaWriter {
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Unit = {
     val root = Paths.get(path)
-    require(!Files.exists(root.resolve("_delta_log")),
+    // a table exists only once commit 0 exists — a crash between data
+    // write and commit leaves no _delta_log entry, so create() retries
+    // cleanly instead of wedging on an empty log directory
+    require(!Files.exists(root.resolve("_delta_log").resolve(f"${0L}%020d.json")),
       s"$path is already a delta table; use append or overwrite")
-    Files.createDirectories(root.resolve("_delta_log"))
     val files = writeData(df, root, partitionBy)
     val schemaStr = escape(df.schema.json)
     commit(root, 0L,
@@ -73,7 +75,9 @@ object DeltaWriter {
         s"got ${df.schema.simpleString}")
     val files = writeData(df, root, snap.partitionColumns)
     val removes = snap.files.map(f =>
-      s"""{"remove":{"path":"${escape(f.path)}","deletionTimestamp":0,"dataChange":true}}""")
+      // snapshot paths are already DECODED; re-encode so the remove's
+      // decoded path cancels the original add's
+      s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":true}}""")
     commit(root, nextVersion(root), removes ++ files.map(addAction))
   }
 
@@ -102,10 +106,18 @@ object DeltaWriter {
       val dest = root.resolve(rel)
       Files.createDirectories(dest.getParent)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      // Spark escaped the dir values with ExternalCatalogUtils
+      //.escapePathName (':' -> '%3A', but '+' stays literal) — unescape
+      // with ITS inverse, not URLDecoder (which corrupts '+' into ' ').
+      // Spark writes null partition values as __HIVE_DEFAULT_PARTITION__;
+      // Delta's partitionValues encodes null as JSON null.
       val pv = rel.split('/').dropRight(1).collect {
         case seg if seg.contains('=') =>
           val Array(k, v) = seg.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
+          val unescaped = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v)
+          k -> (if (unescaped == "__HIVE_DEFAULT_PARTITION__") null
+                else unescaped)
       }.toMap
       Written(rel, Files.size(dest), pv)
     }
@@ -116,9 +128,31 @@ object DeltaWriter {
 
   private def addAction(w: Written): String = {
     val pv = w.partitionValues.map { case (k, v) =>
-      s""""${escape(k)}":"${escape(v)}"""" }.mkString(",")
-    s"""{"add":{"path":"${escape(w.relPath)}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":true}}"""
+      s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
+    }.mkString(",")
+    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":true}}"""
   }
+
+  /** add/remove paths are stored PERCENT-ENCODED (URI syntax, PROTOCOL.md
+    * "Add File and Remove File"): one `new URI(p).getPath` decode — what
+    * [[graft.sources.DeltaLogReader.decodePath]] and delta-spark both
+    * apply — must yield the literal on-disk name. Encoding everything
+    * outside the unreserved set also keeps a Spark-escaped partition dir
+    * (`col=a%3Ab` on disk) round-trippable: it lands as `col=a%253Ab` in
+    * the action and decodes back to the on-disk literal.
+    */
+  private[output] def encodePath(rel: String): String =
+    rel.split('/').map { seg =>
+      val sb = new StringBuilder
+      seg.getBytes("UTF-8").foreach { b =>
+        val c = (b & 0xff).toChar
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~')
+          sb.append(c)
+        else sb.append(f"%%${b & 0xff}%02X")
+      }
+      sb.toString
+    }.mkString("/")
 
   private def nextVersion(root: Path): Long = {
     val log = root.resolve("_delta_log")
@@ -138,6 +172,7 @@ object DeltaWriter {
     */
   private def commit(root: Path, version: Long, actions: Seq[String]): Unit = {
     val log = root.resolve("_delta_log")
+    Files.createDirectories(log) // created here, not in create(): see create()
     val tmp = log.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, actions.mkString("\n"))
     val dest = log.resolve(f"$version%020d.json")

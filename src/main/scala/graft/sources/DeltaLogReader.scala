@@ -50,8 +50,21 @@ object DeltaLogReader {
 
   private val mapper = new ObjectMapper()
 
-  def isDeltaTable(uri: String): Boolean =
-    Files.isDirectory(Paths.get(uri, "_delta_log"))
+  /** A table exists only when the log holds at least one commit or
+    * checkpoint — a bare `_delta_log` directory (e.g. left by a writer
+    * crash before its first commit landed) is NOT a table, so the writer's
+    * create() stays retryable instead of wedging on an empty log.
+    */
+  def isDeltaTable(uri: String): Boolean = {
+    val log = Paths.get(uri, "_delta_log")
+    Files.isDirectory(log) && {
+      val it = Files.list(log)
+      try it.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.matches("\\d{20}\\.json") || n.matches("\\d{20}\\.checkpoint.*\\.parquet")
+      } finally it.close()
+    }
+  }
 
   /** Replay the log into a snapshot (optionally up to `versionAsOf`). */
   def snapshot(spark: SparkSession, tablePath: String,

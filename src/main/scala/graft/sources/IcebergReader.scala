@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error, regexp_replace}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -100,8 +100,10 @@ object IcebergReader {
     val snapNode = {
       val snaps = Option(root.get("snapshots")).toSeq
         .flatMap(_.elements().asScala)
-      // timestamp travel: latest snapshot at-or-before the asked instant
-      val byTime = asOfTimestampMs.map { ts =>
+      // timestamp travel: latest snapshot at-or-before the asked instant.
+      // Evaluated LAZILY (def, not val) so an explicit snapshotId wins
+      // even when the timestamp predates every snapshot.
+      def byTime = asOfTimestampMs.map { ts =>
         val eligible = snaps.filter(_.get("timestamp-ms").asLong() <= ts)
         if (eligible.isEmpty) throw new IllegalArgumentException(
           s"no snapshot at or before timestamp $ts")
@@ -264,7 +266,14 @@ object IcebergReader {
     import spark.implicits._
     val seqDf = broadcast(snap.dataFiles
       .map(f => (normPath(f.path), f.seq)).toDF("__ib_file", "__ib_seq"))
-    val withSeq = withPos.join(seqDf, "__ib_file")
+    // LEFT join + fail-fast: an inner join would silently drop every row
+    // of a file whose _metadata.file_path and manifest path disagree
+    // (path-normalization drift); surface that as an error instead.
+    val withSeq = withPos.join(seqDf, Seq("__ib_file"), "left")
+      .withColumn("__ib_seq", coalesce(col("__ib_seq"),
+        raise_error(concat(
+          lit("iceberg scan: data file missing from manifest path map "
+            + "(path normalization drift): "), col("__ib_file")))))
     // position deletes: (path, pos) rows from each delete file, carrying
     // the delete file's sequence number; a position delete applies to
     // data files with data seq <= delete seq (spec "Scan Planning")

@@ -54,6 +54,40 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.filter(col("p") === "y").count() == 1L)
   }
 
+  test("special-character partition values round-trip (URI path encoding)") {
+    val path = tmp("specialpv")
+    // ':' and ' ' are escaped by Spark's partition layout; '+' is NOT —
+    // a form-data decoder would corrupt it into a space
+    val df = Seq((1L, "a:b"), (2L, "a b"), (3L, "a+b"), (4L, "x=y"))
+      .toDF("id", "p")
+    DeltaWriter.create(df, path, partitionBy = Seq("p"))
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.files.flatMap(_.partitionValues.get("p")).toSet ==
+      Set("a:b", "a b", "a+b", "x=y"))
+    // the decoded add.path must name the literal on-disk file
+    snap.files.foreach(f =>
+      assert(Files.exists(Paths.get(path, f.path)), s"missing: ${f.path}"))
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.count() == 4L)
+    assert(back.filter(col("p") === "a+b").select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(back.filter(col("p") === "a:b").select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+    // overwrite's removes must cancel the encoded adds
+    DeltaWriter.overwrite(Seq((9L, "z:z")).toDF("id", "p"), path)
+    val now = DeltaLogReader.read(spark, path).collect()
+    assert(now.length == 1 && now.head.getLong(0) == 9L)
+  }
+
+  test("crashed create (bare _delta_log, no commit) is retryable") {
+    val path = tmp("crash")
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    assert(!DeltaLogReader.isDeltaTable(path))
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    assert(DeltaLogReader.isDeltaTable(path))
+    assert(DeltaLogReader.read(spark, path).count() == 1L)
+  }
+
   test("fail-fast contracts: re-create and schema drift") {
     val path = tmp("guard")
     DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)

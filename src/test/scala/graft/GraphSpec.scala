@@ -69,6 +69,17 @@ class GraphSpec extends SparkSpec {
     assert(star(2L) == star(5L)) // leaves identical
   }
 
+  test("pageRank honors non-default damping (teleport from the parameter)") {
+    // 4-cycle at damping d: the uniform fixed point 1/4 is preserved only
+    // when the teleport term is (1-d)/n — a hardcoded 0.15 would drift the
+    // total mass to 0.15/(1-d) ≠ 1 for d ≠ 0.85
+    val ranks = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b"), iterations = 3, damping = 0.5)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-6)
+    ranks.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
+  }
+
   test("pageRank is invariant to input partitioning (decimal sums)") {
     val rnd = new scala.util.Random(7)
     val pairs = (1 to 300).map(_ =>

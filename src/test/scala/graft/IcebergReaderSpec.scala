@@ -168,6 +168,10 @@ class IcebergReaderSpec extends SparkSpec {
       IcebergReader.read(spark, root.toString, asOfTimestampMs = Some(5L))
     }
     assert(terr.getMessage.contains("no snapshot at or before"))
+    // snapshotId wins when both are given — even a timestamp predating
+    // every snapshot must not throw (byTime is lazy)
+    assert(IcebergReader.read(spark, root.toString,
+      snapshotId = Some(10L), asOfTimestampMs = Some(5L)).count() == 2L)
   }
 
   test("status=2 tombstones leave the table; schema evolution nulls") {
