@@ -1,6 +1,7 @@
 package graft.output
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -64,7 +65,9 @@ object DeltaWriter {
       s"append schema mismatch: table has ${snap.schema.simpleString}, " +
         s"got ${df.schema.simpleString}")
     val files = writeData(df, root, snap.partitionColumns)
-    commit(root, nextVersion(root), txnActions(txn) ++ files.map(addAction))
+    val version = nextVersion(root)
+    commit(root, version, txnActions(txn) ++ files.map(addAction))
+    maybeCheckpoint(df.sparkSession, root, version)
   }
 
   def overwrite(df: DataFrame, path: String): Unit = {
@@ -78,7 +81,9 @@ object DeltaWriter {
       // snapshot paths are already DECODED; re-encode so the remove's
       // decoded path cancels the original add's
       s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":true}}""")
-    commit(root, nextVersion(root), removes ++ files.map(addAction))
+    val version = nextVersion(root)
+    commit(root, version, removes ++ files.map(addAction))
+    maybeCheckpoint(df.sparkSession, root, version)
   }
 
   // ---------- internals ----------
@@ -182,6 +187,174 @@ object DeltaWriter {
         s"concurrent commit of delta version $version at $root")
     }
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---------- checkpoints ----------
+
+  /** Checkpoint cadence: every N commits the live state is compacted into
+    * `%020d.checkpoint.parquet` + `_last_checkpoint` (PROTOCOL.md
+    * "Checkpoints", classic single-file layout). Without this a streaming
+    * sink committing one JSON per micro-batch makes EVERY snapshot replay
+    * O(total batches ever); with it, replay reads one parquet plus at most
+    * N commit JSONs. The reader ([[graft.sources.DeltaLogReader]]) already
+    * consumes all three checkpoint layouts, so the loop closes in-repo —
+    * and delta-spark/DuckDB read the same files.
+    */
+  val CheckpointInterval: Long = 10L
+
+  private def maybeCheckpoint(spark: SparkSession, root: Path,
+      version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeCheckpoint(spark, root, version)
+
+  /** Replay state needed for a checkpoint: last protocol / metaData seen,
+    * latest txn per appId, and the live add set keyed by DECODED path (the
+    * same cancel-keying the reader uses, so adds written by a foreign
+    * writer with a different encoding style still cancel correctly).
+    */
+  private final class ReplayState {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var protocol: com.fasterxml.jackson.databind.JsonNode =
+      mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+    var metaData: com.fasterxml.jackson.databind.JsonNode = _
+    val txns = scala.collection.mutable.LinkedHashMap
+      .empty[String, com.fasterxml.jackson.databind.JsonNode]
+    val adds = scala.collection.mutable.LinkedHashMap
+      .empty[String, com.fasterxml.jackson.databind.JsonNode]
+
+    def applyLine(line: String): Unit = {
+      val n = mapper.readTree(line)
+      if (n.has("protocol")) protocol = n.get("protocol")
+      if (n.has("metaData")) metaData = n.get("metaData")
+      if (n.has("txn")) {
+        val t = n.get("txn"); txns(t.get("appId").asText) = t
+      }
+      if (n.has("add")) {
+        val a = n.get("add")
+        adds(graft.sources.DeltaLogReader.decodePath(a.get("path").asText)) = a
+      }
+      if (n.has("remove")) adds.remove(
+        graft.sources.DeltaLogReader.decodePath(n.get("remove").get("path").asText))
+    }
+  }
+
+  /** Compact commits `0..version` into a classic single-file checkpoint.
+    * Replay starts from the PREVIOUS checkpoint when one exists (via
+    * `toJSON`, which yields the same one-action-per-line shape as commit
+    * files; v2 sidecars are recursed), so checkpointing stays
+    * O(interval + live files), not O(all commits ever).
+    */
+  private def writeCheckpoint(spark: SparkSession, root: Path,
+      version: Long): Unit = {
+    val log = root.resolve("_delta_log")
+    val st = new ReplayState
+
+    val prevCp = {
+      val f = log.resolve("_last_checkpoint")
+      if (Files.exists(f))
+        Some(st.mapper.readTree(Files.readString(f)).get("version").asLong())
+          .filter(_ < version)
+      else None
+    }
+    def applyCheckpointJson(lines: Seq[String]): Unit = lines.foreach { line =>
+      val n = st.mapper.readTree(line)
+      if (n.has("sidecar") && !n.get("sidecar").isNull) {
+        val p = log.resolve("_sidecars")
+          .resolve(n.get("sidecar").get("path").asText)
+        applyCheckpointJson(
+          spark.read.parquet(p.toString).toJSON.collect().toSeq)
+      } else st.applyLine(line)
+    }
+    prevCp.foreach { pv =>
+      val files = graft.sources.DeltaLogReader.checkpointFiles(log, pv)
+      val lines =
+        if (files.forall(_.toString.endsWith(".json")))
+          files.flatMap(p => Files.readAllLines(p).asScala.filter(_.nonEmpty))
+        else spark.read.parquet(files.map(_.toString): _*)
+          .toJSON.collect().toSeq
+      applyCheckpointJson(lines)
+    }
+    val from = prevCp.map(_ + 1).getOrElse(0L)
+    (from to version).foreach { v =>
+      val f = log.resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach(st.applyLine)
+    }
+    require(st.metaData != null, s"no metaData in delta log at $root")
+
+    // typed checkpoint rows (partitionValues/configuration as real maps so
+    // the reader's Row.json round-trip yields protocol-shaped JSON)
+    def jmap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      if (n == null || n.isNull) Map.empty
+      else n.properties().asScala.map(e => e.getKey ->
+        (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+    val protoRow = Row(st.protocol.get("minReaderVersion").asInt(1),
+      st.protocol.get("minWriterVersion").asInt(2))
+    val md = st.metaData
+    val mdRow = Row(md.get("id").asText,
+      Row(Option(md.get("format")).map(_.get("provider").asText)
+        .getOrElse("parquet")),
+      md.get("schemaString").asText,
+      md.get("partitionColumns").elements().asScala.map(_.asText).toSeq,
+      jmap(md.get("configuration")),
+      Option(md.get("createdTime")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L))
+    val txnRows = st.txns.values.toSeq.map(t => Row(t.get("appId").asText,
+      t.get("version").asLong,
+      Option(t.get("lastUpdated")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L)))
+    val addRows = st.adds.values.toSeq.map(a => Row(a.get("path").asText,
+      jmap(a.get("partitionValues")),
+      a.get("size").asLong,
+      Option(a.get("modificationTime")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L),
+      Option(a.get("dataChange")).forall(_.asBoolean)))
+
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows: Seq[Row] =
+      Seq(Row(protoRow, null, null, null), Row(null, mdRow, null, null)) ++
+        txnRows.map(t => Row(null, null, t, null)) ++
+        addRows.map(a => Row(null, null, null, a))
+
+    // single-file parquet: stage a coalesce(1) write, move the part file
+    val staging = root.resolve(s".cp-staging-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+      .write.parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    Files.move(part, log.resolve(f"$version%020d.checkpoint.parquet"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    // _last_checkpoint last: a crash before this line leaves an orphan
+    // checkpoint parquet that readers simply ignore
+    val tmp = log.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"version":$version,"size":${rows.size}}""")
+    Files.move(tmp, log.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def txnActions(txn: Option[(String, Long)]): Seq[String] =

@@ -17,6 +17,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `appId`). Restarting the query with the same checkpoint and appId
   * resumes without duplicates; pointing a DIFFERENT query at the same
   * table needs a different appId.
+  *
+  * Log growth: every [[DeltaWriter.CheckpointInterval]]-th commit the
+  * writer compacts the log into a parquet checkpoint (+
+  * `_last_checkpoint`), so snapshot replay stays O(interval + live files)
+  * no matter how many micro-batches have ever committed. Checkpointing
+  * runs inside the same single-writer contract as the commits themselves
+  * (it is driven by the committing append), so no extra coordination is
+  * introduced; the `txn` high-water marks are carried INTO the checkpoint,
+  * keeping idempotence intact even if old commit JSONs are vacuumed away.
   */
 object DeltaSink {
 

@@ -100,6 +100,31 @@ class DeltaWriterSpec extends SparkSpec {
     assert(drift.getMessage.contains("schema mismatch"))
   }
 
+  test("checkpoints: every 10th commit compacts the log; reader resolves from it") {
+    import graft.streaming.DeltaSink
+    val path = tmp("cp")
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    (1 to 24).foreach(i => DeltaSink.appendBatch(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), path, "cpapp", i.toLong))
+    val log = Paths.get(path, "_delta_log")
+    // checkpoints landed at versions 10 and 20 (20 replayed FROM 10)
+    assert(Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
+    assert(Files.exists(log.resolve(f"${20L}%020d.checkpoint.parquet")))
+    assert(Files.readString(log.resolve("_last_checkpoint"))
+      .contains("\"version\":20"))
+    assert(DeltaLogReader.read(spark, path).count() == 25L)
+    // txn high-water mark survives both the commits and the checkpoint
+    assert(DeltaWriter.lastTxnVersion(path, "cpapp").contains(24L))
+    // prove the reader ACTUALLY resolves state from the checkpoint: delete
+    // every commit json <= 20 — only the checkpoint + commits 21..24 can
+    // supply the first 21 files now
+    (0L to 20L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.count() == 25L)
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 24L).toSeq)
+  }
+
   test("streaming sink: txn idempotence and end-to-end micro-batches") {
     import graft.streaming.DeltaSink
     // direct idempotence: replaying batch 0 and 1 must not duplicate rows
