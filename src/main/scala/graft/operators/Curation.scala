@@ -26,7 +26,12 @@ import graft.operators.Materialize.Ops
   * Scale shape: every component is id-keyed; the joins reuse the id
   * partitioning the components already produce, and the exact-dedup
   * verdict joins back on the 16-byte digest (never the text). Nothing in
-  * the composition adds a shuffle beyond what the components cost alone.
+  * the composition adds a shuffle beyond what the components cost alone,
+  * and the corpus itself is scanned exactly ONCE (r11): all branches read
+  * one materialized narrow projection, so a 100 TB run pays one source
+  * read plus one (knob-durable) materialization instead of a scan per
+  * signal. CurationSpec asserts the single-scan property with a counting
+  * accumulator.
   */
 object Curation {
 
@@ -46,13 +51,20 @@ object Curation {
       threshold: Double = 0.5,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val quality = QualityFilter.verdicts(docs, idCol, textCol)
+    // single corpus scan (r11): quality, fingerprint and shingle branches
+    // each re-scanned the source in r9/r10 — PERF.md measured the report
+    // paying 4-5 source scans. Materialize ONE narrow projection of the
+    // source (through the durability knob: `reliable` for 100 TB runs) and
+    // derive every branch from it, so the corpus is read exactly once.
+    val src = docs.select(col(idCol), col(textCol), col(scoreCol))
+      .materialize()
+    val quality = QualityFilter.verdicts(src, idCol, textCol)
       .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
     // fused base pass (r9): the exact-dedup fingerprint, the canonical
     // score, and the split's id list are all per-row Column work over the
     // same scan — compute them in ONE materialized pass instead of three
     // source scans (fps, keepCanonical's (id, score), the split ids)
-    val base = docs.select(col(idCol).as("id"),
+    val base = src.select(col(idCol).as("id"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
       col(scoreCol).as("score"))
       .materialize()
@@ -63,7 +75,7 @@ object Curation {
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
     // twice — candidates and verification sets read one derivation
-    val sh = Dedup.shingleRows(docs, idCol, textCol, shingleSize)
+    val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
       .materialize()
     val clusters = Dedup.duplicateClusters(
       Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))

@@ -205,11 +205,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Runtime conf selecting the CC algorithm behind [[duplicateClusters]]
+    * (the [[Materialize.ConfKey]] pattern: an operational choice, not an
+    * algorithmic contract, so it is a session conf rather than a parameter
+    * at every call site):
+    *
+    *  - `labelprop` (default) — iterative min-label propagation, O(diameter)
+    *    rounds. Duplicate clusters are typically tiny and shallow, so
+    *    locally and for ordinary corpora this converges in 2-3 rounds with
+    *    the cheapest per-round work.
+    *  - `star` — [[Graph.connectedComponents]]'s large-star/small-star
+    *    alternation, O(log n) rounds (Kiveris et al., SoCC'14). The choice
+    *    for adversarially deep components (chained near-dups) at 100 TB,
+    *    where diameter-many rounds would dominate the job.
+    *
+    * Both produce the identical `(doc_id, cluster = component min id)`
+    * contract — proved on the shared oracle gate and by the consumer
+    * parity spec (CurationSpec) under both settings.
+    */
+  val CcConfKey = "spark.graft.cc"
+
   /** Duplicate clusters: connected components over near-dup pairs, labeling
     * every member with the smallest doc id in its component — the final
-    * step of corpus dedup (one canonical document per cluster).
-    *
-    * Iterative min-label propagation: each round joins labels to neighbors
+    * step of corpus dedup (one canonical document per cluster). The
+    * algorithm is selected by [[CcConfKey]]; both choices share the output
+    * contract.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    pairs.sparkSession.conf.get(CcConfKey, "labelprop") match {
+      case "labelprop" => labelPropClusters(pairs, maxIter)
+      case "star" => Graph.connectedComponents(pairs, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"$CcConfKey must be one of labelprop|star, got '$other'")
+    }
+
+  /** Iterative min-label propagation: each round joins labels to neighbors
     * and takes the min (one shuffle per round); labels jump toward the
     * component minimum so rounds ≤ component diameter, which for duplicate
     * clusters is tiny. Each round's label frame is materialized under the
@@ -218,7 +248,7 @@ object Dedup {
     * cached replicated — the standard guard for iterative DataFrame
     * algorithms; use `reliable` for multi-hour cluster runs.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  private def labelPropClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
     // the union scans `pairs` twice; materialize the caller's (possibly
     // expensive — typically minhashDedup) pair plan once before mirroring
     val p = pairs.select(col("id_a"), col("id_b")).materialize()

@@ -136,6 +136,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.cc: labelprop and star agree at every consumer; bogus fails fast") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "the data engine reads the table and the filter prunes the partitions well", 10L),
+      (2L, "the red car drives down the long road past the old mill", 10L),
+      (3L, "the red car drives down the long road past the old mill", 10L),
+      (10L, "the quick brown fox jumps over the lazy dog", 3L),
+      (11L, "the quick brown fox jumps over the lazy cat", 7L),
+      (12L, "the quick brown fox jumps over the lazy rat", 5L)) // 3-chain cluster
+      .toDF("id", "text", "score")
+    def runBoth[A](f: => A): (A, A) =
+      try {
+        spark.conf.set(Dedup.CcConfKey, "labelprop"); val a = f
+        spark.conf.set(Dedup.CcConfKey, "star"); val b = f
+        (a, b)
+      } finally spark.conf.unset(Dedup.CcConfKey)
+    // consumer 1: duplicateClusters directly (the keepCanonical feed)
+    val (ca, cb) = runBoth(Dedup.duplicateClusters(
+      Dedup.minhashDedup(docs, "id", "text", 3, 4, 4, 0.5))
+      .orderBy("doc_id").collect().toSeq)
+    assert(ca == cb && ca.nonEmpty)
+    // consumer 2: the full curation report
+    val (ra, rb) = runBoth(Curation.report(docs, "id", "text", "score")
+      .orderBy("doc_id").collect().toSeq)
+    assert(ra == rb)
+    try {
+      spark.conf.set(Dedup.CcConfKey, "bogus")
+      val err = intercept[IllegalArgumentException] {
+        Dedup.duplicateClusters(Seq((1L, 2L)).toDF("id_a", "id_b"))
+      }
+      assert(err.getMessage.contains(Dedup.CcConfKey))
+    } finally spark.conf.unset(Dedup.CcConfKey)
+  }
+
+  test("report scans the corpus exactly once (shared materialized base)") {
+    import graft.operators.Curation
+    val n = 40
+    val docs = (1 to n).map(i =>
+      (i.toLong, s"document body number $i with several plain words here", i.toLong))
+      .toDF("id", "text", "score")
+    // nondeterministic identity UDF on the text column: the optimizer may
+    // not duplicate it, so the accumulator counts EXACTLY one increment
+    // per (row, corpus scan) — re-scanning branches would multiply it
+    val acc = spark.sparkContext.longAccumulator("docRowReads")
+    val tick = udf((s: String) => { acc.add(1); s }).asNondeterministic()
+    val counted = docs.withColumn("text", tick(col("text")))
+    assert(Curation.report(counted, "id", "text", "score").count() === n.toLong)
+    assert(acc.value === n.toLong,
+      s"corpus rows evaluated ${acc.value} times for $n rows — a branch re-scans the source")
+  }
+
   test("corpusCard reduces the corpus to one summary row with exact ratios") {
     import graft.operators.Curation
     val docs = Seq(
