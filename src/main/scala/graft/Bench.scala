@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Queries are executed with a noop write (full plan runs, nothing is
   * collected or serialized) so the measured time is engine time, not
   * driver-side materialization. One warmup query first so JVM/codegen
-  * startup is not billed to the first query.
+  * startup is not billed to the first query. Contention armor: per-query
+  * best-of-N (default 3), plus a requeue pass that re-measures any query
+  * whose min still exceeds max(3 s, 3× suite median) once the suite is
+  * done — a sustained co-tenant burst can cover three back-to-back runs,
+  * but not the whole batch plus the requeue window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,7 +62,7 @@ object Bench {
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
-    val results = names.map { n =>
+    def measure(n: String): Double = {
       val times = (0 until runsPerQuery).map { i =>
         if (i > 0) Thread.sleep(50) // let other tenants' bursts pass
         execute(n)
@@ -72,7 +76,36 @@ object Bench {
       // a well-behaved sequential workload performs.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val ok = times.filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val firstPass = names.map(n => n -> measure(n))
+
+    // Outlier requeue (r11): best-of-3 with 50 ms settles does NOT shield
+    // against a sustained co-tenant burst covering all three back-to-back
+    // runs — the r8 and r10 official records each carried two multi-second
+    // artifacts on sub-second queries (r10: 4.59 s recorded vs 0.67 s
+    // isolated). Any query whose min exceeds max(3 s, 3× the suite median)
+    // is re-measured in up to two later quiet passes — by then the burst
+    // that inflated an alphabetically-clustered stretch has passed — and
+    // the overall min is kept. A genuinely slow query is re-measured at
+    // its true cost (the min never moves); only noise is removed.
+    var results = firstPass
+    val mins = firstPass.map(_._2).filter(_ >= 0).sorted
+    val median = if (mins.isEmpty) 0.0 else mins(mins.size / 2)
+    val cutoff = math.max(3.0, 3.0 * median)
+    var pass = 0
+    var suspects = results.filter { case (_, t) => t > cutoff }
+    while (pass < 2 && suspects.nonEmpty) {
+      System.err.println(s"[bench] requeue pass ${pass + 1}: " +
+        suspects.map { case (n, t) => f"$n ($t%.2f s > $cutoff%.2f s)" }
+          .mkString(", "))
+      Thread.sleep(3000) // give the contending burst time to drain
+      val remeasured = suspects.map { case (n, t) =>
+        n -> math.min(t, measure(n) match { case x if x < 0 => t; case x => x })
+      }.toMap
+      results = results.map { case (n, t) => n -> remeasured.getOrElse(n, t) }
+      suspects = results.filter { case (_, t) => t > cutoff }
+      pass += 1
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
