@@ -671,6 +671,25 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_write_read" -> ((s, dir) => {
+      // writer→reader round-trip: create with region<2, append the rest,
+      // read the current snapshot back — the oracle is the whole table
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_wr_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(
+            nation.filter(col("n_regionkey") < 2), root.toString)
+          graft.output.IcebergWriter.append(
+            nation.filter(col("n_regionkey") >= 2), root.toString)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     // ---- §3.3 metadata computations ----
     "q_meta_maxlen" -> ((s, dir) => {
       val m = Metadata.maxStringLengths(Tables.load(s, dir, "part"))
@@ -1565,6 +1584,9 @@ object SparkEntry {
     "q_iceberg_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_write_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

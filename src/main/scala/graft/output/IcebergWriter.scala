@@ -1,0 +1,435 @@
+package graft.output
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Apache Iceberg WRITER — the output-side complement of
+  * [[graft.sources.IcebergReader]] (no iceberg jars in this environment,
+  * so the public table format — https://iceberg.apache.org/spec/ — is
+  * written directly): batch results land as a real Iceberg v2 table that
+  * iceberg-spark, Trino, or this repo's own reader replay identically.
+  * The reference serves delta/parquet only (lakeapi context/source_uri.py
+  * source matrix), so like the reader this is beyond-parity surface.
+  *
+  * Contract (the subset a batch pipeline sink needs):
+  *  - `create`: data files under `data/`, one Avro manifest, one Avro
+  *    manifest list, `metadata/v1.metadata.json` + `version-hint.text`
+  *    (Hadoop-catalog convention — the same resolution order the reader
+  *    implements). Schema JSON is derived from the Spark `StructType`
+  *    with sequentially assigned Iceberg field ids.
+  *  - `append`: next snapshot whose manifest list carries every prior
+  *    manifest forward plus one new manifest; sequence numbers inherit
+  *    from the manifest list (entries write null — spec "Sequence Number
+  *    Inheritance"), matching what the reader resolves.
+  *  - `overwrite`: next snapshot whose manifest list holds ONLY the new
+  *    manifest — prior files leave the current snapshot but remain
+  *    time-travelable through the untouched older snapshots.
+  *  - Unpartitioned layout (spec-id 0, no fields). Identity partitioning
+  *    is a read-side no-op in Iceberg (source columns are present in the
+  *    data files), so a partitioned writer would add manifest partition
+  *    structs without changing any query result — out of scope.
+  *
+  * Crash atomicity mirrors [[DeltaWriter]]: a table exists only once its
+  * metadata JSON exists; data files, manifests and the manifest list are
+  * written first (unreferenced on crash — harmless orphans), then the new
+  * `vN.metadata.json` and finally `version-hint.text` land by atomic
+  * rename, so a failed create/append is cleanly retryable and concurrent
+  * same-version committers lose the rename race. Single-writer, like the
+  * Delta sink — optimistic multi-writer needs a catalog with CAS.
+  *
+  * Scale: data files are written by executors via the normal distributed
+  * parquet path; the driver only lists the part files and reads their
+  * FOOTERS (record counts for manifest stats) — metadata-plane work
+  * proportional to the file count, never the row count.
+  */
+object IcebergWriter {
+
+  private val mapper = new ObjectMapper()
+
+  def create(df: DataFrame, path: String): Unit = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    require(!Files.exists(root.resolve("metadata").resolve("v1.metadata.json")),
+      s"$path is already an iceberg table; use append or overwrite")
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val location = root.toString
+    val files = writeData(df, root)
+    val seq = 1L
+    val manifest = writeManifest(root, location, files)
+    val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
+    val (schemaJson, lastColId) = icebergSchema(df.schema)
+
+    val md = mapper.createObjectNode()
+    md.put("format-version", 2)
+    md.put("table-uuid", java.util.UUID.randomUUID().toString)
+    md.put("location", location)
+    md.put("last-sequence-number", seq)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    md.put("last-column-id", lastColId)
+    md.set[JsonNode]("schemas", mapper.createArrayNode().add(schemaJson))
+    md.put("current-schema-id", 0)
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    spec.set[JsonNode]("fields", mapper.createArrayNode())
+    md.set[JsonNode]("partition-specs", mapper.createArrayNode().add(spec))
+    md.put("default-spec-id", 0)
+    md.put("last-partition-id", 999) // spec: >= 999 before any partition field
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.set[JsonNode]("fields", mapper.createArrayNode())
+    md.set[JsonNode]("sort-orders", mapper.createArrayNode().add(order))
+    md.put("default-sort-order-id", 0)
+    md.put("current-snapshot-id", seq)
+    md.set[JsonNode]("snapshots",
+      mapper.createArrayNode().add(snapshotNode(seq, seq, list,
+        System.currentTimeMillis(), "append")))
+    commitMetadata(root, 1, md)
+  }
+
+  def append(df: DataFrame, path: String): Unit =
+    commitSnapshot(df, path, carryForward = true, operation = "append")
+
+  def overwrite(df: DataFrame, path: String): Unit =
+    commitSnapshot(df, path, carryForward = false, operation = "overwrite")
+
+  // ---------- snapshot commit (append / overwrite) ----------
+
+  private def commitSnapshot(df: DataFrame, path: String,
+      carryForward: Boolean, operation: String): Unit = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    require(md.get("format-version").asInt() == 2,
+      s"can only commit to iceberg format-version 2 tables, " +
+        s"found ${md.get("format-version").asInt()} at $path")
+    // fail-fast on drift between the incoming frame and the table schema
+    // (no silent evolution — the DeltaWriter contract)
+    val (tableSchema, _) = graft.sources.IcebergReader.currentSchema(md)
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(tableSchema) == shape(df.schema),
+      s"$operation schema mismatch: table has ${tableSchema.simpleString}, " +
+        s"got ${df.schema.simpleString}")
+
+    val location = Option(md.get("location")).map(_.asText())
+      .getOrElse(root.toString)
+    val seq = md.get("last-sequence-number").asLong() + 1
+    val version = versionOf(mdFile) + 1
+
+    val files = writeData(df, root)
+    val manifest = writeManifest(root, location, files)
+    val newRef = ManifestRef(manifest, 0, seq)
+    val refs =
+      if (carryForward) currentManifests(md, root) :+ newRef
+      else Seq(newRef)
+    val list = writeManifestList(root, seq, refs)
+
+    // timestamps strictly increase so timestamp travel stays well-ordered
+    // even when two commits land within one clock millisecond
+    val prevMaxTs = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
+    val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+
+    md.put("last-sequence-number", seq)
+    md.put("last-updated-ms", ts)
+    md.put("current-snapshot-id", seq)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapshotNode(seq, seq, list, ts, operation))
+    commitMetadata(root, version, md)
+  }
+
+  /** Manifest refs of the CURRENT snapshot, read back from its manifest
+    * list (append carries them all forward). Foreign-written lists keep
+    * their path/content/sequence fields; extra stats fields (partition
+    * summaries etc.) are planning hints and are not carried.
+    */
+  private def currentManifests(md: JsonNode, root: Path): Seq[ManifestRef] = {
+    val current = Option(md.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L)
+    current match {
+      case None => Nil
+      case Some(id) =>
+        val snap = md.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+          .getOrElse(throw new IllegalStateException(
+            s"current-snapshot-id $id missing from snapshots"))
+        val listPath = remapLocal(snap.get("manifest-list").asText(),
+          Option(md.get("location")).map(_.asText()).getOrElse(root.toString),
+          root)
+        readAvro(listPath).map { r =>
+          ManifestRef(
+            r.get("manifest_path").toString,
+            intOf(r, "content", 0),
+            longOf(r, "sequence_number", 0L))
+        }
+    }
+  }
+
+  // ---------- data plane ----------
+
+  private case class WrittenFile(name: String, size: Long, records: Long)
+  private case class ManifestRef(path: String, content: Int, seq: Long)
+
+  /** Distributed parquet write into a staging dir, then move part files
+    * into `data/`. Record counts come from the parquet FOOTERS (driver-side
+    * metadata read, no data scan) — real stats, so external planners that
+    * trust `record_count` plan correctly.
+    */
+  private def writeData(df: DataFrame, root: Path): Seq[WrittenFile] = {
+    val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toVector
+    val out = parts.map { p =>
+      val name = p.getFileName.toString
+      val dest = root.resolve("data").resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      WrittenFile(name, Files.size(dest), footerRecordCount(dest))
+    }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    out
+  }
+
+  private def footerRecordCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  // ---------- manifests ----------
+
+  private val entrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private val listSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  /** One manifest: status=1 (ADDED) entries with null sequence numbers —
+    * inherited from the manifest list per the spec, which keeps manifests
+    * immutable across carries. File paths are prefixed with the table's
+    * declared `location` (not the physical root) so the reader's
+    * location→root remap serves relocated/copied tables.
+    */
+  private def writeManifest(root: Path, location: String,
+      files: Seq[WrittenFile]): String = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val recs = files.map { f =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", s"$location/data/${f.name}")
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", f.records)
+      d.put("file_size_in_bytes", f.size)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e
+    }
+    val p = root.resolve("metadata")
+      .resolve(s"m-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(p, entrySchema, recs)
+    s"$location/metadata/${p.getFileName}"
+  }
+
+  private def writeManifestList(root: Path, snapshotId: Long,
+      refs: Seq[ManifestRef]): String = {
+    val recs = refs.map { ref =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", ref.path)
+      r.put("manifest_length", localLength(ref.path, root))
+      r.put("partition_spec_id", 0)
+      r.put("content", ref.content)
+      r.put("sequence_number", ref.seq)
+      r.put("min_sequence_number", ref.seq)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
+    val location = root.toString
+    val p = root.resolve("metadata")
+      .resolve(s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(p, listSchema, recs)
+    s"$location/metadata/${p.getFileName}"
+  }
+
+  private def localLength(path: String, root: Path): Long = {
+    val p = Paths.get(graft.sources.IcebergReader.normPath(path))
+    if (Files.exists(p)) Files.size(p)
+    else {
+      // declared-location path on a relocated table: resolve the tail
+      val name = p.getFileName.toString
+      val local = root.resolve("metadata").resolve(name)
+      if (Files.exists(local)) Files.size(local) else 0L
+    }
+  }
+
+  // ---------- metadata JSON ----------
+
+  private def snapshotNode(id: Long, seq: Long, manifestList: String,
+      ts: Long, operation: String): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("snapshot-id", id)
+    n.put("sequence-number", seq)
+    n.put("timestamp-ms", ts)
+    n.put("manifest-list", manifestList)
+    n.set[JsonNode]("summary",
+      mapper.createObjectNode().put("operation", operation))
+    n
+  }
+
+  /** Stage + atomic rename of `vN.metadata.json`, then `version-hint.text`
+    * last — a crash between the two leaves the hint at N−1 and the reader's
+    * hint-first resolution still serves the previous committed version,
+    * while max-version resolution (no hint) serves the new one; both are
+    * fully written states. Same-version races surface as rename conflicts.
+    */
+  private def commitMetadata(root: Path, version: Long, md: JsonNode): Unit = {
+    val mdDir = root.resolve("metadata")
+    val dest = mdDir.resolve(s"v$version.metadata.json")
+    if (Files.exists(dest)) throw new IllegalStateException(
+      s"concurrent commit of iceberg metadata version $version at $root")
+    val tmp = mdDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(md))
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    val hintTmp = mdDir.resolve(s".tmp-hint-${java.util.UUID.randomUUID()}")
+    Files.writeString(hintTmp, version.toString)
+    Files.move(hintTmp, mdDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def versionOf(p: Path): Long =
+    "\\d+".r.findFirstIn(p.getFileName.toString).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(s"unversioned metadata file $p"))
+
+  // ---------- Spark → Iceberg schema ----------
+
+  /** Spark StructType → Iceberg schema JSON node with field ids assigned
+    * depth-first (top-level fields first, then nested element/key/value
+    * ids), plus the last id assigned. The exact inverse of
+    * [[graft.sources.IcebergReader]]'s schema parse: nullable ↔ !required.
+    */
+  private[output] def icebergSchema(schema: StructType): (ObjectNode, Int) = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def struct(s: StructType): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fields = mapper.createArrayNode()
+      // reserve contiguous ids for this level before descending
+      val withIds = s.fields.toSeq.map(f => (f, id()))
+      withIds.foreach { case (f, fid) =>
+        val fn = mapper.createObjectNode()
+        fn.put("id", fid)
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set[JsonNode]("type", typeNode(f.dataType))
+        fields.add(fn)
+      }
+      n.set[JsonNode]("fields", fields)
+      n
+    }
+    def typeNode(dt: DataType): JsonNode = dt match {
+      case st: StructType => struct(st)
+      case ArrayType(el, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", id())
+        n.put("element-required", !containsNull)
+        n.set[JsonNode]("element", typeNode(el))
+        n
+      case MapType(k, v, valueContainsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", id())
+        n.put("value-id", id())
+        n.put("value-required", !valueContainsNull)
+        n.set[JsonNode]("key", typeNode(k))
+        n.set[JsonNode]("value", typeNode(v))
+        n
+      case p => mapper.getNodeFactory.textNode(primitiveName(p))
+    }
+    val rootNode = struct(schema)
+    rootNode.put("schema-id", 0)
+    (rootNode, nextId)
+  }
+
+  private def primitiveName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"no iceberg type for spark type ${other.simpleString} " +
+        "(cast byte/short to int before writing)")
+  }
+
+  // ---------- helpers ----------
+
+  private def remapLocal(path: String, location: String, root: Path): String = {
+    val p = graft.sources.IcebergReader.normPath(path)
+    val loc = graft.sources.IcebergReader.normPath(location)
+    if (loc.nonEmpty && p.startsWith(loc + "/")) root.toString + p.stripPrefix(loc)
+    else if (p.startsWith("/")) p
+    else s"$root/$p"
+  }
+
+  private def writeAvro(path: Path, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val reader = DataFileReader.openReader(
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toVector finally reader.close()
+  }
+
+  private def intOf(r: GenericRecord, f: String, d: Int): Int =
+    if (r.getSchema.getField(f) == null) d
+    else Option(r.get(f)).map(_.asInstanceOf[Number].intValue).getOrElse(d)
+
+  private def longOf(r: GenericRecord, f: String, d: Long): Long =
+    if (r.getSchema.getField(f) == null) d
+    else Option(r.get(f)).map(_.asInstanceOf[Number].longValue).getOrElse(d)
+}

@@ -57,7 +57,7 @@ object IcebergReader {
     * catalog convention), else the highest version number parsed from
     * `v<N>.metadata.json` / `<NNNNN>-<uuid>.metadata.json` names.
     */
-  private[sources] def currentMetadataFile(tablePath: String): Path = {
+  private[graft] def currentMetadataFile(tablePath: String): Path = {
     val md = Paths.get(tablePath, "metadata")
     val hint = md.resolve("version-hint.text")
     if (Files.isRegularFile(hint)) {
@@ -182,7 +182,7 @@ object IcebergReader {
     * plus the top-level field-id → name map (equality deletes reference
     * columns by field id).
     */
-  private def currentSchema(root: JsonNode): (StructType, Map[Int, String]) = {
+  private[graft] def currentSchema(root: JsonNode): (StructType, Map[Int, String]) = {
     val node = Option(root.get("schemas")) match {
       case Some(schemas) =>
         val id = root.get("current-schema-id").asInt()
@@ -324,7 +324,7 @@ object IcebergReader {
     else s"$table/$p" // relative path
   }
 
-  private[sources] def normPath(p: String): String =
+  private[graft] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   private def readAvro(path: String): Seq[GenericRecord] = {

@@ -1,0 +1,151 @@
+package graft
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Iceberg writer ↔ reader round-trips: create/append/overwrite snapshots,
+  * snapshot and timestamp time travel over the writer's own commits, the
+  * schema JSON inverse, and the fail-fast contracts.
+  */
+class IcebergWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_iw_${tag}_${System.nanoTime()}").toString
+
+  test("create → append → overwrite, each snapshot time-travels") {
+    val path = tmp("basic")
+    IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "v"), path)
+    assert(IcebergReader.read(spark, path).count() == 3L)
+    // snapshot ids are the sequence numbers 1, 2, 3...
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L)).count() == 2L)
+    IcebergWriter.overwrite(Seq((9L, "z")).toDF("id", "v"), path)
+    val now = IcebergReader.read(spark, path).collect()
+    assert(now.length == 1 && now.head.getLong(0) == 9L)
+    // pre-overwrite snapshots still replay in full
+    assert(IcebergReader.read(spark, path, snapshotId = Some(2L)).count() == 3L)
+  }
+
+  test("timestamp travel picks the latest snapshot at-or-before the instant") {
+    val path = tmp("ts")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+    // read the committed timestamps back out of the metadata the writer wrote
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val ts = md.get("snapshots").elements()
+    val ts1 = ts.next().get("timestamp-ms").asLong()
+    val ts2 = ts.next().get("timestamp-ms").asLong()
+    assert(ts1 < ts2, "snapshot timestamps must strictly increase")
+    assert(IcebergReader.read(spark, path,
+      asOfTimestampMs = Some(ts1)).count() == 1L)
+    assert(IcebergReader.read(spark, path,
+      asOfTimestampMs = Some(ts2)).count() == 2L)
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, path, asOfTimestampMs = Some(ts1 - 1))
+    }
+  }
+
+  test("round-trips every supported primitive type") {
+    val path = tmp("types")
+    val df = spark.sql(
+      """SELECT true AS b, 1 AS i, 2L AS l, CAST(1.5 AS FLOAT) AS f,
+        |2.5D AS d, DATE '2024-01-02' AS dt, 'x' AS s,
+        |CAST('ab' AS BINARY) AS bin,
+        |TIMESTAMP_NTZ '2024-01-02 03:04:05' AS tsn,
+        |TIMESTAMP '2024-01-02 03:04:05' AS tsz,
+        |CAST(12.34 AS DECIMAL(10,2)) AS dec""".stripMargin)
+    IcebergWriter.create(df, path)
+    val back = IcebergReader.read(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("round-trips nested list / map / struct types") {
+    val path = tmp("nested")
+    val df = spark.sql(
+      """SELECT array(1, 2) AS xs, map('k', 2L) AS kv,
+        |named_struct('a', 1, 'b', 'y') AS st""".stripMargin)
+    IcebergWriter.create(df, path)
+    val back = IcebergReader.read(spark, path)
+    // Spark's file source marks every read field nullable, which for nested
+    // types is embedded in the DataType — compare modulo that normalization
+    import org.apache.spark.sql.types._
+    def nn(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nn(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nn(a.elementType), containsNull = true)
+      case m: MapType => MapType(nn(m.keyType), nn(m.valueType),
+        valueContainsNull = true)
+      case p => p
+    }
+    assert(back.schema.fields.map(f => (f.name, nn(f.dataType))).toSeq ==
+      df.schema.fields.map(f => (f.name, nn(f.dataType))).toSeq)
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("manifest stats carry real record counts and file sizes") {
+    val path = tmp("stats")
+    IcebergWriter.create((1 to 7).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      path)
+    val mdDir = Paths.get(path, "metadata")
+    import scala.jdk.CollectionConverters._
+    val manifest = Files.list(mdDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("m-")).get
+    val reader = org.apache.avro.file.DataFileReader.openReader(
+      manifest.toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entries = try reader.iterator().asScala.toVector finally reader.close()
+    val dataFiles = entries.map(
+      _.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+    assert(dataFiles.map(_.get("record_count").asInstanceOf[Long]).sum == 7L)
+    dataFiles.foreach { d =>
+      val p = IcebergReader.normPath(d.get("file_path").toString)
+      assert(Files.size(Paths.get(p)) == d.get("file_size_in_bytes"))
+    }
+  }
+
+  test("append fails fast on schema drift; create refuses an existing table") {
+    val path = tmp("drift")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.append(Seq((1L, 2L)).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    }.getMessage.contains("already an iceberg table"))
+  }
+
+  test("a crashed create (no metadata json) is cleanly retryable") {
+    val path = tmp("crash")
+    // simulate the crash window: data dir + orphan files, no metadata json
+    Files.createDirectories(Paths.get(path, "metadata"))
+    Files.createDirectories(Paths.get(path, "data"))
+    Files.writeString(Paths.get(path, "data", "orphan.parquet"), "junk")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    // the orphan is unreferenced; the table reads exactly what was committed
+    assert(IcebergReader.read(spark, path).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("the reader's own fixture conventions replay the writer's output " +
+      "(multi-file create lands one manifest, N data files)") {
+    val path = tmp("multifile")
+    val df = spark.range(0, 1000).repartition(4)
+      .select(col("id"), (col("id") % 10).as("k"))
+    IcebergWriter.create(df, path)
+    val back = IcebergReader.read(spark, path)
+    assert(back.count() == 1000L)
+    assert(back.agg(sum("id")).head.getLong(0) == (0L until 1000L).sum)
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.list(Paths.get(path, "data")).iterator().asScala.size
+    assert(dataFiles == 4, s"expected 4 part files, found $dataFiles")
+  }
+}
