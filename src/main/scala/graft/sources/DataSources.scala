@@ -47,11 +47,19 @@ object DataSources {
         SQLiteReader.read(spark, ds.uri, ds.tableName.getOrElse(
           throw new IllegalArgumentException("sqlite source needs table_name")))
       case "jdbc" => // S7/S9: duckdb/odbc become JDBC reads
-        reader.format("jdbc")
+        // `table_name` may be a bare table OR a parenthesized subquery —
+        // the dbtable-subquery shape ships the whole generated query to
+        // the remote engine (full-query pushdown, df_odbc.py:48-209).
+        // jdbc:graft:sqlite: URLs run in-process via GraftSQLiteDriver;
+        // vendor URLs take the same path once their jar is on the
+        // classpath (none exist in this zero-egress environment).
+        val base = reader.format("jdbc")
           .option("url", ds.uri)
           .option("dbtable", ds.tableName.getOrElse(
             throw new IllegalArgumentException("jdbc source needs table_name")))
-          .load()
+        (if (ds.uri.startsWith(graft.sources.jdbc.GraftSQLiteDriver.UrlPrefix))
+          base.option("driver", "graft.sources.jdbc.GraftSQLiteDriver")
+        else base).load()
       case other => throw new IllegalArgumentException(s"unsupported file_type: $other")
     }
     applyBakedProjection(df, ds)

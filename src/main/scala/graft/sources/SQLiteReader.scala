@@ -546,6 +546,30 @@ object SQLiteReader {
     * mapped back to declaration order here).
     */
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
+    val plan = planScan(path, table)
+    val slices = math.max(1, math.min(plan.pageNos.size,
+      spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(plan.pageNos, slices)
+      .mapPartitions { pages =>
+        val raf = new RandomAccessFile(path, "r")
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => raf.close()))
+        val db = openInfo(raf)
+        pages.flatMap(pg => pageValues(raf, db, plan, pg)
+          .map(v => Row.fromSeq(v.toIndexedSeq)))
+      }
+    spark.createDataFrame(rdd, plan.schema)
+  }
+
+  /** Scan metadata resolved once on the driver: schema, the leaf pages to
+    * decode, and the layout mapping. Serializable — shipped into the
+    * executor closure by [[read]], used locally by [[LocalScan]].
+    */
+  private[graft] final case class ScanPlan(schema: StructType,
+      pageNos: Seq[Int], noRowid: Boolean, storedToDecl: Array[Int],
+      alias: Int)
+
+  private[graft] def planScan(path: String, table: String): ScanPlan = {
     val info = tables(path).find(_.name.equalsIgnoreCase(table)).getOrElse(
       throw new IllegalArgumentException(
         s"table `$table` not found in $path (tables: ${tables(path).map(_.name).mkString(", ")})"))
@@ -553,7 +577,6 @@ object SQLiteReader {
     val noRowid = isWithoutRowid(info.sql)
     val aliasIdx = if (noRowid) None else rowidAlias(cols, tablePk)
     val schema = StructType(cols.map(c => StructField(c.name, affinity(c.declaredType))))
-    val fieldTypes: Array[DataType] = schema.fields.map(_.dataType)
 
     // WITHOUT ROWID records carry PK columns first (key order), then the
     // rest in declaration order: storedToDecl(storedIdx) = declaredIdx
@@ -575,41 +598,55 @@ object SQLiteReader {
       if (noRowid) indexTreePages(raf, db, info.rootPage)
       else leafPages(raf, db, info.rootPage)
     } finally raf.close()
+    ScanPlan(schema, pageNos, noRowid, storedToDecl, aliasIdx.getOrElse(-1))
+  }
 
-    val slices = math.max(1, math.min(pageNos.size,
-      spark.sparkContext.defaultParallelism))
-    val alias = aliasIdx.getOrElse(-1)
+  /** Decode one page into declaration-ordered, affinity-coerced value
+    * arrays — the shared core of the distributed read and the JDBC
+    * driver's local scan.
+    */
+  private def pageValues(raf: RandomAccessFile, db: DbInfo, plan: ScanPlan,
+      pg: Int): Seq[Array[Any]] = {
+    val fieldTypes = plan.schema.fields.map(_.dataType)
     val nCols = fieldTypes.length
-    val rdd = spark.sparkContext.parallelize(pageNos, slices).mapPartitions { pages =>
-      val raf = new RandomAccessFile(path, "r")
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
-      val db = openInfo(raf)
-      pages.flatMap { pg =>
-        val page = readPage(raf, db, pg)
-        val interior = pageType(page, pg) == 0x02
-        (0 until cellCount(page, pg)).map { i =>
-          val off = cellPointer(page, pg, i)
-          val (rowid, payload) =
-            if (noRowid) (0L, indexCell(raf, db, page, off, interior))
-            else leafCell(raf, db, page, off)
-          val raw = decodeRecord(payload)
-          val vals = new Array[Any](nCols)
-          var c = 0
-          while (c < nCols) {
-            // records may have fewer columns than the schema (ALTER TABLE
-            // ADD COLUMN leaves old rows short — missing slots are null)
-            val stored = if (noRowid) storedToDecl.indexOf(c) else c
-            val v = if (stored >= 0 && stored < raw.length) raw(stored) else null
-            vals(c) =
-              if (c == alias) rowid // aliased column stores NULL, takes rowid
-              else coerce(v, fieldTypes(c))
-            c += 1
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
+    val page = readPage(raf, db, pg)
+    val interior = pageType(page, pg) == 0x02
+    (0 until cellCount(page, pg)).map { i =>
+      val off = cellPointer(page, pg, i)
+      val (rowid, payload) =
+        if (plan.noRowid) (0L, indexCell(raf, db, page, off, interior))
+        else leafCell(raf, db, page, off)
+      val raw = decodeRecord(payload)
+      val vals = new Array[Any](nCols)
+      var c = 0
+      while (c < nCols) {
+        // records may have fewer columns than the schema (ALTER TABLE
+        // ADD COLUMN leaves old rows short — missing slots are null)
+        val stored = if (plan.noRowid) plan.storedToDecl.indexOf(c) else c
+        val v = if (stored >= 0 && stored < raw.length) raw(stored) else null
+        vals(c) =
+          if (c == plan.alias) rowid // aliased column stores NULL, takes rowid
+          else coerce(v, fieldTypes(c))
+        c += 1
       }
+      vals
     }
-    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Spark-free single-process scan over one table — the row source for
+    * [[graft.sources.jdbc.GraftSQLiteDriver]] (a JDBC ResultSet cannot
+    * hold a SparkSession: the driver runs inside executor tasks). Same
+    * decode path as [[read]], page-streamed, closeable.
+    */
+  private[graft] final class LocalScan(path: String, table: String)
+      extends AutoCloseable {
+    private val plan = planScan(path, table)
+    val schema: StructType = plan.schema
+    private val raf = new RandomAccessFile(path, "r")
+    private val db = openInfo(raf)
+    def rows: Iterator[Array[Any]] =
+      plan.pageNos.iterator.flatMap(pg => pageValues(raf, db, plan, pg))
+    override def close(): Unit = raf.close()
   }
 
   /** SQLite is dynamically typed per-value; coerce to the declared

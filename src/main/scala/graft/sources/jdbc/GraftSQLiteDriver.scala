@@ -1,0 +1,288 @@
+package graft.sources.jdbc
+
+import org.apache.spark.sql.types._
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, DatabaseMetaData, Driver, DriverPropertyInfo,
+  ResultSet, ResultSetMetaData, SQLException, Types}
+import java.util.Properties
+import java.util.logging.Logger
+
+/** Minimal read-only JDBC driver over the native [[graft.sources.SQLiteReader]]
+  * — the in-environment stand-in for the vendor drivers the reference's
+  * ODBC/duckdb sources assume (lakeapi context/df_odbc.py:48-209 ships the
+  * WHOLE generated query to the remote engine; df_duckdb.py:451-458 reads a
+  * database file). No driver jars exist in this zero-egress environment, so
+  * this class makes `spark.read.jdbc` + the `dbtable`-subquery
+  * full-query-pushdown shape EXECUTABLE end-to-end: Spark's JDBC relation
+  * probes the schema with `SELECT * FROM (q) t WHERE 1=0`, then streams
+  * `SELECT "cols" FROM (q) t [WHERE pushed-filters]` — both served here by
+  * [[MiniSql]] over natively-decoded SQLite pages.
+  *
+  * URL: `jdbc:graft:sqlite:/absolute/path/to/file.db`. Register by class
+  * name (`.option("driver", "graft.sources.jdbc.GraftSQLiteDriver")`) —
+  * Spark's DriverRegistry instantiates and registers it with
+  * DriverManager, exactly as for any vendor driver.
+  *
+  * The JDBC object graph (Connection/Statement/ResultSet/metadata) is
+  * implemented with dynamic proxies dispatching the methods Spark's JDBC
+  * source actually calls; unimplemented setters no-op and unknown getters
+  * return type-appropriate defaults, keeping the surface honest at ~300
+  * lines instead of ~3000 stub methods. Read-only by construction: any
+  * executeUpdate/DML surface throws.
+  *
+  * Scale: one JDBC connection streams one process's rows — the serving
+  * shape (reference sqlite tables are lookup-sized). The distributed path
+  * for the same file remains [[graft.sources.SQLiteReader.read]].
+  */
+class GraftSQLiteDriver extends Driver {
+
+  import GraftSQLiteDriver._
+
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(UrlPrefix)
+
+  override def connect(url: String, info: Properties): Connection =
+    if (!acceptsURL(url)) null // JDBC contract: null, not an exception
+    else {
+      val path = url.stripPrefix(UrlPrefix)
+      require(new java.io.File(path).isFile, s"no sqlite file at $path")
+      newConnection(url, path)
+    }
+
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getPropertyInfo(url: String, info: Properties): Array[DriverPropertyInfo] =
+    Array.empty
+  override def getParentLogger: Logger = Logger.getLogger("graft.jdbc")
+}
+
+object GraftSQLiteDriver {
+
+  val UrlPrefix = "jdbc:graft:sqlite:"
+
+  // ---------- proxy plumbing ----------
+
+  private def proxy[T](cls: Class[T])(
+      dispatch: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+      new InvocationHandler {
+        override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+          val a = if (args == null) Array.empty[AnyRef] else args
+          dispatch.applyOrElse((m.getName, a),
+            (_: (String, Array[AnyRef])) => defaultFor(m))
+        }
+      }).asInstanceOf[T]
+
+  /** Unhandled methods: no-op setters, type-appropriate default getters —
+    * never a silent wrong VALUE (value-bearing getters are all dispatched
+    * explicitly below; defaults cover capability probes and lifecycle
+    * calls like setFetchSize/cancel that a streaming source may issue).
+    */
+  private def defaultFor(m: Method): AnyRef = m.getReturnType match {
+    case java.lang.Void.TYPE => null
+    case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+    case java.lang.Integer.TYPE => Integer.valueOf(0)
+    case java.lang.Long.TYPE => java.lang.Long.valueOf(0L)
+    case java.lang.Short.TYPE => java.lang.Short.valueOf(0.toShort)
+    case java.lang.Byte.TYPE => java.lang.Byte.valueOf(0.toByte)
+    case java.lang.Float.TYPE => java.lang.Float.valueOf(0f)
+    case java.lang.Double.TYPE => java.lang.Double.valueOf(0d)
+    case c if c == classOf[String] => null
+    case _ => null
+  }
+
+  // ---------- connection ----------
+
+  private def newConnection(url: String, path: String): Connection = {
+    var closed = false
+    lazy val conn: Connection = proxy(classOf[Connection]) {
+      case ("prepareStatement", args) if args.nonEmpty =>
+        newStatement(conn, path, Some(args(0).asInstanceOf[String]))
+      case ("createStatement", _) => newStatement(conn, path, None)
+      case ("close", _) => closed = true; null
+      case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
+      case ("isValid", _) => java.lang.Boolean.valueOf(!closed)
+      case ("getAutoCommit", _) => java.lang.Boolean.TRUE
+      case ("isReadOnly", _) => java.lang.Boolean.TRUE
+      case ("getMetaData", _) => dbMetaData(conn, url)
+      case ("getTransactionIsolation", _) =>
+        Integer.valueOf(Connection.TRANSACTION_NONE)
+      case ("toString", _) => s"GraftSQLiteConnection($path)"
+    }
+    conn
+  }
+
+  private def dbMetaData(conn: Connection, url: String): DatabaseMetaData =
+    proxy(classOf[DatabaseMetaData]) {
+      case ("getURL", _) => url
+      case ("getConnection", _) => conn
+      case ("getDatabaseProductName", _) => "SQLite"
+      case ("getDatabaseProductVersion", _) => "3"
+      case ("getDatabaseMajorVersion", _) => Integer.valueOf(3)
+      case ("getDriverName", _) => "graft-sqlite"
+      case ("getDriverVersion", _) => "1.0"
+      case ("getJDBCMajorVersion", _) => Integer.valueOf(4)
+      case ("getJDBCMinorVersion", _) => Integer.valueOf(2)
+      case ("getIdentifierQuoteString", _) => "\""
+      case ("isReadOnly", _) => java.lang.Boolean.TRUE
+      case ("supportsMixedCaseIdentifiers", _) => java.lang.Boolean.TRUE
+      case ("getSQLKeywords", _) => ""
+    }
+
+  // ---------- statement ----------
+
+  private def newStatement(conn: Connection, path: String,
+      prepared: Option[String]): AnyRef = {
+    var closed = false
+    var current: ResultSet = null
+    def run(sql: String): ResultSet = {
+      val rel = MiniSql.execute(MiniSql.parse(sql), path)
+      current = newResultSet(rel)
+      current
+    }
+    lazy val stmt: java.sql.PreparedStatement =
+      proxy(classOf[java.sql.PreparedStatement]) {
+        case ("executeQuery", args) if args.nonEmpty =>
+          run(args(0).asInstanceOf[String])
+        case ("executeQuery", _) =>
+          run(prepared.getOrElse(throw new SQLException(
+            "executeQuery() on a plain statement")))
+        case ("execute", args) =>
+          if (args.nonEmpty) run(args(0).asInstanceOf[String]) else run(prepared.get)
+          java.lang.Boolean.TRUE
+        case ("getResultSet", _) => current
+        case ("getUpdateCount", _) => Integer.valueOf(-1)
+        case ("executeUpdate" | "executeBatch" | "addBatch" | "executeLargeUpdate", _) =>
+          throw new SQLException("graft-sqlite is read-only")
+        case ("getConnection", _) => conn
+        case ("close", _) => closed = true; null
+        case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
+        case ("getMoreResults", _) => java.lang.Boolean.FALSE
+        case ("getMetaData", _) =>
+          // PreparedStatement.getMetaData without execution: plan the query
+          prepared.map(sql =>
+            rsMetaData(MiniSql.execute(MiniSql.parse(sql), path).schema)).orNull
+        case ("toString", _) => s"GraftSQLiteStatement(${prepared.getOrElse("")})"
+      }
+    stmt
+  }
+
+  // ---------- result set ----------
+
+  private def newResultSet(rel: MiniSql.Rel): ResultSet = {
+    val it = rel.rows.iterator
+    var row: Array[Any] = null
+    var nullFlag = false
+    var closed = false
+    val names = rel.schema.fields.map(_.name)
+
+    def cell(i: Int): Any = {
+      val v = row(i - 1) // JDBC is 1-based
+      nullFlag = v == null
+      v
+    }
+    def num(i: Int): Double = cell(i) match {
+      case null => 0d
+      case l: Long => l.toDouble
+      case d: Double => d
+      case b: java.lang.Boolean => if (b) 1d else 0d
+      case s: String => try s.toDouble catch { case _: Exception => 0d }
+      case _ => 0d
+    }
+
+    proxy(classOf[ResultSet]) {
+      case ("next", _) =>
+        val has = it.hasNext
+        if (has) row = it.next() else row = null
+        java.lang.Boolean.valueOf(has)
+      case ("close", _) => closed = true; null
+      case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
+      case ("wasNull", _) => java.lang.Boolean.valueOf(nullFlag)
+      case ("getMetaData", _) => rsMetaData(rel.schema)
+      case ("findColumn", args) =>
+        val n = args(0).asInstanceOf[String]
+        val i = names.indexWhere(_.equalsIgnoreCase(n))
+        if (i < 0) throw new SQLException(s"no column $n")
+        Integer.valueOf(i + 1)
+      case ("getString", args) => idx(args, names) match {
+        case i => cell(i) match {
+          case null => null
+          case s: String => s
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case v => v.toString
+        }
+      }
+      case ("getBoolean", args) =>
+        java.lang.Boolean.valueOf(num(idx(args, names)) != 0d)
+      case ("getByte", args) => java.lang.Byte.valueOf(num(idx(args, names)).toByte)
+      case ("getShort", args) => java.lang.Short.valueOf(num(idx(args, names)).toShort)
+      case ("getInt", args) => Integer.valueOf(num(idx(args, names)).toInt)
+      case ("getLong", args) => java.lang.Long.valueOf(num(idx(args, names)).toLong)
+      case ("getFloat", args) => java.lang.Float.valueOf(num(idx(args, names)).toFloat)
+      case ("getDouble", args) => java.lang.Double.valueOf(num(idx(args, names)))
+      case ("getBigDecimal", args) => cell(idx(args, names)) match {
+        case null => null
+        case v => new java.math.BigDecimal(v.toString)
+      }
+      case ("getBytes", args) => cell(idx(args, names)) match {
+        case null => null
+        case b: Array[Byte] => b
+        case s: String => s.getBytes("UTF-8")
+        case v => v.toString.getBytes("UTF-8")
+      }
+      case ("getObject", args) => cell(idx(args, names)).asInstanceOf[AnyRef]
+      case ("getType", _) => Integer.valueOf(ResultSet.TYPE_FORWARD_ONLY)
+      case ("getConcurrency", _) => Integer.valueOf(ResultSet.CONCUR_READ_ONLY)
+    }
+  }
+
+  private def idx(args: Array[AnyRef], names: Seq[String]): Int = args(0) match {
+    case i: Integer => i.intValue
+    case s: String =>
+      val i = names.indexWhere(_.equalsIgnoreCase(s))
+      if (i < 0) throw new SQLException(s"no column $s")
+      i + 1
+    case other => throw new SQLException(s"bad column selector $other")
+  }
+
+  // ---------- result set metadata ----------
+
+  private def jdbcType(dt: DataType): (Int, String, Int) = dt match {
+    case LongType => (Types.BIGINT, "BIGINT", 19)
+    case IntegerType => (Types.INTEGER, "INTEGER", 10)
+    case DoubleType => (Types.DOUBLE, "DOUBLE", 15)
+    case BooleanType => (Types.BOOLEAN, "BOOLEAN", 1)
+    case BinaryType => (Types.VARBINARY, "BLOB", Int.MaxValue)
+    case _ => (Types.VARCHAR, "TEXT", Int.MaxValue)
+  }
+
+  private def rsMetaData(schema: StructType): ResultSetMetaData =
+    proxy(classOf[ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(schema.fields.length)
+      case ("getColumnName" | "getColumnLabel", args) =>
+        schema.fields(args(0).asInstanceOf[Integer] - 1).name
+      case ("getColumnType", args) =>
+        Integer.valueOf(jdbcType(
+          schema.fields(args(0).asInstanceOf[Integer] - 1).dataType)._1)
+      case ("getColumnTypeName", args) =>
+        jdbcType(schema.fields(args(0).asInstanceOf[Integer] - 1).dataType)._2
+      case ("getPrecision", args) =>
+        Integer.valueOf(jdbcType(
+          schema.fields(args(0).asInstanceOf[Integer] - 1).dataType)._3)
+      case ("getScale", _) => Integer.valueOf(0)
+      case ("isSigned", _) => java.lang.Boolean.TRUE
+      case ("isNullable", _) =>
+        Integer.valueOf(ResultSetMetaData.columnNullable)
+      case ("isCaseSensitive", _) => java.lang.Boolean.TRUE
+      case ("getColumnDisplaySize", _) => Integer.valueOf(32)
+      case ("getColumnClassName", args) =>
+        schema.fields(args(0).asInstanceOf[Integer] - 1).dataType match {
+          case LongType => "java.lang.Long"
+          case DoubleType => "java.lang.Double"
+          case BooleanType => "java.lang.Boolean"
+          case BinaryType => "[B"
+          case _ => "java.lang.String"
+        }
+    }
+}

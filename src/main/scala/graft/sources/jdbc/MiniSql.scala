@@ -1,0 +1,649 @@
+package graft.sources.jdbc
+
+import graft.sources.SQLiteReader
+import org.apache.spark.sql.types._
+
+/** Self-contained SQL evaluator over natively-scanned SQLite tables — the
+  * query engine behind [[GraftSQLiteDriver]]. Covers the full-query
+  * pushdown shape the reference ships to remote databases
+  * (lakeapi context/df_odbc.py:48-209 builds SELECT/WHERE/ORDER BY/LIMIT/
+  * OFFSET and wraps it in a subquery), plus the outer queries Spark's JDBC
+  * relation generates around a `dbtable` subquery:
+  * `SELECT * FROM (q) SPARK_GEN_SUBQ_0 WHERE 1=0` (schema probe) and
+  * `SELECT "c1","c2" FROM (q) SPARK_GEN_SUBQ_0 [WHERE pushed-filters]`.
+  *
+  * Supported grammar:
+  * {{{
+  *   query  := SELECT item[, ...] FROM source [WHERE expr]
+  *             [ORDER BY ord[, ...]] [LIMIT n [OFFSET m]]
+  *   source := table | '(' query ')' [AS] alias
+  *   item   := * | expr [[AS] alias]
+  *   expr   := literals, "quoted"/`quoted`/[quoted]/bare columns,
+  *             = <> != < <= > >=, AND OR NOT, IS [NOT] NULL,
+  *             [NOT] IN (...), [NOT] LIKE, [NOT] BETWEEN, + - * / %,
+  *             upper lower length abs round coalesce substr,
+  *             whole-table count/sum/avg/min/max
+  * }}}
+  * GROUP BY is intentionally absent (the reference's pushdown never emits
+  * it; aggregates are whole-table, as its count endpoint uses them).
+  *
+  * Scale note: this engine materializes one table in one process — it is
+  * the SERVING-scale path (the reference's sqlite/ODBC tables are small
+  * configuration/lookup tables, tests/test_sqlite.py). The 100 TB path
+  * for SQLite data remains [[SQLiteReader.read]], which decodes pages
+  * across executors.
+  */
+private[graft] object MiniSql {
+
+  // ---------- AST ----------
+
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr
+  case class ColRef(name: String) extends Expr
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class NotE(e: Expr) extends Expr
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class InList(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  case class LikeE(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  case class BetweenE(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+  case class Func(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
+
+  case class SelectItem(expr: Expr, alias: Option[String], star: Boolean = false)
+  case class OrderItem(expr: Expr, asc: Boolean)
+  case class Query(items: Seq[SelectItem], source: Source, where: Option[Expr],
+      orderBy: Seq[OrderItem], limit: Option[Long], offset: Option[Long])
+  sealed trait Source
+  case class TableSource(name: String) extends Source
+  case class SubquerySource(q: Query) extends Source
+
+  case class Rel(schema: StructType, rows: Vector[Array[Any]])
+
+  // ---------- tokenizer ----------
+
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok   // already unquoted
+  private case class TKw(s: String) extends Tok      // uppercased keyword/bare word
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok
+
+  private val keywords = Set("SELECT", "FROM", "WHERE", "ORDER", "BY", "LIMIT",
+    "OFFSET", "AS", "AND", "OR", "NOT", "IS", "NULL", "IN", "LIKE", "BETWEEN",
+    "ASC", "DESC", "DISTINCT", "GROUP", "HAVING", "TRUE", "FALSE")
+
+  private def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '`') {
+        val close = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && !(sql.charAt(i) == close &&
+            !(i + 1 < n && sql.charAt(i + 1) == close))) {
+          if (sql.charAt(i) == close) { sb.append(close); i += 2 }
+          else { sb.append(sql.charAt(i)); i += 1 }
+        }
+        require(i < n, s"unterminated quoted identifier in: $sql")
+        i += 1
+        out += TIdent(sb.toString)
+      } else if (c == '[') {
+        val j = sql.indexOf(']', i)
+        require(j > 0, s"unterminated [identifier] in: $sql")
+        out += TIdent(sql.substring(i + 1, j)); i = j + 1
+      } else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          require(i < n, s"unterminated string literal in: $sql")
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(sql.charAt(i)); i += 1 }
+        }
+        out += TStr(sb.toString)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.' ||
+            sql.charAt(i) == 'e' || sql.charAt(i) == 'E' ||
+            ((sql.charAt(i) == '+' || sql.charAt(i) == '-') && i > start &&
+              (sql.charAt(i - 1) == 'e' || sql.charAt(i - 1) == 'E')))) i += 1
+        out += TNum(sql.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        val w = sql.substring(start, i)
+        if (keywords.contains(w.toUpperCase)) out += TKw(w.toUpperCase)
+        else out += TIdent(w)
+      } else {
+        val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
+        if (two == "<>" || two == "!=" || two == "<=" || two == ">=" || two == "==") {
+          out += TOp(if (two == "==") "=" else two); i += 2
+        } else if ("=<>+-*/%(),.".indexOf(c) >= 0) {
+          out += TOp(c.toString); i += 1
+        } else throw new IllegalArgumentException(
+          s"unexpected character '$c' at $i in: $sql")
+      }
+    }
+    out.result()
+  }
+
+  // ---------- parser (recursive descent) ----------
+
+  private final class Parser(toks: Vector[Tok], sql: String) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+    private def kw(s: String): Boolean = peek.contains(TKw(s))
+    private def eatKw(s: String): Boolean =
+      if (kw(s)) { pos += 1; true } else false
+    private def expectKw(s: String): Unit =
+      require(eatKw(s), s"expected $s at token $pos in: $sql")
+    private def op(s: String): Boolean = peek.contains(TOp(s))
+    private def eatOp(s: String): Boolean =
+      if (op(s)) { pos += 1; true } else false
+    private def expectOp(s: String): Unit =
+      require(eatOp(s), s"expected '$s' at token $pos in: $sql")
+
+    def parseQuery(): Query = {
+      expectKw("SELECT")
+      require(!eatKw("DISTINCT"), "DISTINCT is not supported by this driver")
+      val items = Vector.newBuilder[SelectItem]
+      items += parseItem()
+      while (eatOp(",")) items += parseItem()
+      expectKw("FROM")
+      val source = parseSource()
+      val where = if (eatKw("WHERE")) Some(parseExpr()) else None
+      require(!kw("GROUP"), "GROUP BY is not supported by this driver " +
+        "(whole-table aggregates only)")
+      val orderBy =
+        if (eatKw("ORDER")) {
+          expectKw("BY")
+          val os = Vector.newBuilder[OrderItem]
+          def one(): OrderItem = {
+            val e = parseExpr()
+            val asc = if (eatKw("DESC")) false else { eatKw("ASC"); true }
+            OrderItem(e, asc)
+          }
+          os += one()
+          while (eatOp(",")) os += one()
+          os.result()
+        } else Vector.empty
+      val limit = if (eatKw("LIMIT")) Some(parseLong()) else None
+      val offset = if (eatKw("OFFSET")) Some(parseLong()) else None
+      Query(items.result(), source, where, orderBy, limit, offset)
+    }
+
+    def atEnd: Boolean = pos == toks.length
+
+    private def parseLong(): Long = advance() match {
+      case TNum(s) => s.toLong
+      case t => throw new IllegalArgumentException(s"expected number, got $t")
+    }
+
+    private def parseItem(): SelectItem =
+      if (eatOp("*")) SelectItem(Lit(null), None, star = true)
+      else {
+        val e = parseExpr()
+        val alias =
+          if (eatKw("AS")) Some(parseIdent())
+          else peek match { // implicit alias: bare identifier after the expr
+            case Some(TIdent(_)) => Some(parseIdent())
+            case _ => None
+          }
+        SelectItem(e, alias)
+      }
+
+    private def parseIdent(): String = advance() match {
+      case TIdent(s) => s
+      case t => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+
+    private def parseSource(): Source = {
+      val src =
+        if (eatOp("(")) { val q = parseQuery(); expectOp(")"); SubquerySource(q) }
+        else TableSource(parseIdent())
+      // optional [AS] alias — resolution is by column name, alias unused
+      if (eatKw("AS")) parseIdent()
+      else peek match { case Some(TIdent(_)) => parseIdent(); case _ => () }
+      src
+    }
+
+    // precedence: OR < AND < NOT < predicate < additive < multiplicative < unary
+    def parseExpr(): Expr = parseOr()
+
+    private def parseOr(): Expr = {
+      var l = parseAnd()
+      while (eatKw("OR")) l = Bin("OR", l, parseAnd())
+      l
+    }
+
+    private def parseAnd(): Expr = {
+      var l = parseNot()
+      while (eatKw("AND")) l = Bin("AND", l, parseNot())
+      l
+    }
+
+    private def parseNot(): Expr =
+      if (eatKw("NOT")) NotE(parseNot()) else parsePredicate()
+
+    private def parsePredicate(): Expr = {
+      var e = parseAdd()
+      var done = false
+      while (!done) {
+        if (eatKw("IS")) {
+          val neg = eatKw("NOT")
+          expectKw("NULL")
+          e = IsNull(e, neg)
+        } else if (kw("NOT") || kw("IN") || kw("LIKE") || kw("BETWEEN")) {
+          val neg = eatKw("NOT")
+          if (eatKw("IN")) {
+            expectOp("(")
+            val list = Vector.newBuilder[Expr]
+            list += parseExpr()
+            while (eatOp(",")) list += parseExpr()
+            expectOp(")")
+            e = InList(e, list.result(), neg)
+          } else if (eatKw("LIKE")) e = LikeE(e, parseAdd(), neg)
+          else if (eatKw("BETWEEN")) {
+            val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
+            e = BetweenE(e, lo, hi, neg)
+          } else throw new IllegalArgumentException(
+            s"dangling NOT at token $pos in: $sql")
+        } else {
+          val cmp = Seq("=", "<>", "!=", "<", "<=", ">", ">=").find(op)
+          cmp match {
+            case Some(o) => pos += 1; e = Bin(if (o == "!=") "<>" else o, e, parseAdd())
+            case None => done = true
+          }
+        }
+      }
+      e
+    }
+
+    private def parseAdd(): Expr = {
+      var l = parseMul()
+      var c = true
+      while (c) {
+        if (eatOp("+")) l = Bin("+", l, parseMul())
+        else if (eatOp("-")) l = Bin("-", l, parseMul())
+        else c = false
+      }
+      l
+    }
+
+    private def parseMul(): Expr = {
+      var l = parseUnary()
+      var c = true
+      while (c) {
+        if (eatOp("*")) l = Bin("*", l, parseUnary())
+        else if (eatOp("/")) l = Bin("/", l, parseUnary())
+        else if (eatOp("%")) l = Bin("%", l, parseUnary())
+        else c = false
+      }
+      l
+    }
+
+    private def parseUnary(): Expr =
+      if (eatOp("-")) Bin("-", Lit(0L), parseUnary())
+      else if (eatOp("+")) parseUnary()
+      else parsePrimary()
+
+    private def parsePrimary(): Expr = advance() match {
+      case TNum(s) =>
+        if (s.contains('.') || s.toLowerCase.contains('e')) Lit(s.toDouble)
+        else Lit(s.toLong)
+      case TStr(s) => Lit(s)
+      case TKw("NULL") => Lit(null)
+      case TKw("TRUE") => Lit(true)
+      case TKw("FALSE") => Lit(false)
+      case TOp("(") => val e = parseExpr(); expectOp(")"); e
+      case TIdent(name) if op("(") =>
+        pos += 1 // '('
+        if (eatOp("*")) { expectOp(")"); Func(name.toLowerCase, Nil, star = true) }
+        else if (eatOp(")")) Func(name.toLowerCase, Nil)
+        else {
+          val args = Vector.newBuilder[Expr]
+          args += parseExpr()
+          while (eatOp(",")) args += parseExpr()
+          expectOp(")")
+          Func(name.toLowerCase, args.result())
+        }
+      case TIdent(name) => ColRef(name)
+      case t => throw new IllegalArgumentException(
+        s"unexpected token $t in: $sql")
+    }
+  }
+
+  def parse(sql: String): Query = {
+    val cleaned = sql.trim.stripSuffix(";")
+    val p = new Parser(tokenize(cleaned), cleaned)
+    val q = p.parseQuery()
+    require(p.atEnd, s"trailing tokens after query in: $cleaned")
+    q
+  }
+
+  // ---------- evaluation ----------
+
+  def execute(q: Query, dbPath: String): Rel = {
+    val base: Rel = q.source match {
+      case TableSource(name) =>
+        val scan = new SQLiteReader.LocalScan(dbPath, name)
+        try Rel(scan.schema, scan.rows.toVector) finally scan.close()
+      case SubquerySource(sub) => execute(sub, dbPath)
+    }
+    val names = base.schema.fields.map(_.name)
+    def colIdx(name: String): Int = {
+      val i = names.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"column `$name` not found (have: ${names.mkString(", ")})")
+      i
+    }
+
+    val filtered = q.where match {
+      case None => base.rows
+      case Some(pred) => base.rows.filter(r => eval(pred, r, colIdx) == TRUE)
+    }
+
+    val aggregate = q.items.exists(i => !i.star && containsAgg(i.expr))
+    val projectedRows: Vector[Array[Any]] =
+      if (aggregate) {
+        require(q.items.forall(i => i.star || containsAgg(i.expr) ||
+            i.expr.isInstanceOf[Lit]),
+          "mixing aggregate and per-row select items needs GROUP BY, " +
+            "which this driver does not support")
+        Vector(q.items.map(i => evalAgg(i.expr, filtered, colIdx)).toArray)
+      } else {
+        val sorted =
+          if (q.orderBy.isEmpty) filtered
+          else filtered.sortWith { (a, b) =>
+            compareByOrder(q.orderBy, a, b, colIdx, q.items) < 0
+          }
+        val window = sorted
+          .drop(q.offset.getOrElse(0L).toInt)
+          .take(q.limit.map(_.toInt).getOrElse(Int.MaxValue))
+        window.map { r =>
+          q.items.flatMap {
+            case SelectItem(_, _, true) => r.toSeq
+            case SelectItem(e, _, _) => Seq(unwrap(eval(e, r, colIdx)))
+          }.toArray
+        }
+      }
+
+    val outSchema = StructType(q.items.zipWithIndex.flatMap {
+      case (SelectItem(_, _, true), _) => base.schema.fields.toSeq
+      case (SelectItem(e, alias, _), i) =>
+        val name = alias.getOrElse(e match {
+          case ColRef(n) => names.lift(colIdx(n)).getOrElse(n)
+          case Func(n, _, _) => n
+          case _ => s"col${i + 1}"
+        })
+        Seq(StructField(name, inferType(e, base.schema), nullable = true))
+    })
+    // aggregates over the ordered window would need the sort first; the
+    // reference's pushdown never combines them — reject loudly if mixed
+    require(!aggregate || q.orderBy.isEmpty,
+      "ORDER BY with whole-table aggregates is not supported")
+    Rel(outSchema, projectedRows)
+  }
+
+  // three-valued logic markers
+  private val TRUE = java.lang.Boolean.TRUE
+  private val FALSE = java.lang.Boolean.FALSE
+
+  private def unwrap(v: Any): Any = v
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case Func(n, args, _) =>
+      Set("count", "sum", "avg", "min", "max").contains(n) ||
+        args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case NotE(x) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case InList(x, xs, _) => containsAgg(x) || xs.exists(containsAgg)
+    case LikeE(x, p, _) => containsAgg(x) || containsAgg(p)
+    case BetweenE(x, lo, hi, _) =>
+      containsAgg(x) || containsAgg(lo) || containsAgg(hi)
+    case _ => false
+  }
+
+  private def evalAgg(e: Expr, rows: Vector[Array[Any]],
+      colIdx: String => Int): Any = e match {
+    case Func("count", _, true) => rows.size.toLong
+    case Func("count", Seq(arg), _) =>
+      rows.count(r => eval(arg, r, colIdx) != null).toLong
+    case Func(n @ ("sum" | "avg" | "min" | "max"), Seq(arg), _) =>
+      val vs = rows.map(r => eval(arg, r, colIdx)).filter(_ != null)
+      if (vs.isEmpty) null
+      else n match {
+        case "sum" =>
+          if (vs.forall(_.isInstanceOf[Long])) vs.map(_.asInstanceOf[Long]).sum
+          else vs.map(toD).sum
+        case "avg" => vs.map(toD).sum / vs.size
+        case "min" => vs.minBy(identity)(valueOrdering)
+        case "max" => vs.maxBy(identity)(valueOrdering)
+      }
+    case Bin(op, l, r) =>
+      arith(op, evalAgg(l, rows, colIdx), evalAgg(r, rows, colIdx))
+    case Lit(v) => v
+    // scalar functions over aggregates, e.g. round(sum(x), 2)
+    case Func(name, args, _) =>
+      scalarFunc(name, args.map(a => evalAgg(a, rows, colIdx)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported aggregate expression: $other")
+  }
+
+  private val valueOrdering: Ordering[Any] = (a: Any, b: Any) => compareVals(a, b)
+
+  private def eval(e: Expr, row: Array[Any], colIdx: String => Int): Any = e match {
+    case Lit(v) => v
+    case ColRef(n) => row(colIdx(n))
+    case NotE(x) => eval(x, row, colIdx) match {
+      case null => null
+      case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b)
+      case v => java.lang.Boolean.valueOf(!truthy(v))
+    }
+    case IsNull(x, neg) =>
+      java.lang.Boolean.valueOf((eval(x, row, colIdx) == null) != neg)
+    case InList(x, list, neg) =>
+      val v = eval(x, row, colIdx)
+      if (v == null) null
+      else {
+        val hit = list.exists(le => compareVals(v, eval(le, row, colIdx)) == 0 &&
+          eval(le, row, colIdx) != null)
+        java.lang.Boolean.valueOf(hit != neg)
+      }
+    case LikeE(x, p, neg) =>
+      (eval(x, row, colIdx), eval(p, row, colIdx)) match {
+        case (null, _) | (_, null) => null
+        case (s: String, pat: String) =>
+          val rx = ("(?is)" + java.util.regex.Pattern.quote(pat)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")).r
+          java.lang.Boolean.valueOf(rx.matches(s) != neg)
+        case _ => FALSE
+      }
+    case BetweenE(x, lo, hi, neg) =>
+      val v = eval(x, row, colIdx)
+      val l = eval(lo, row, colIdx)
+      val h = eval(hi, row, colIdx)
+      if (v == null || l == null || h == null) null
+      else java.lang.Boolean.valueOf(
+        (compareVals(v, l) >= 0 && compareVals(v, h) <= 0) != neg)
+    case Bin("AND", l, r) =>
+      (eval(l, row, colIdx), eval(r, row, colIdx)) match {
+        case (FALSE, _) | (_, FALSE) => FALSE
+        case (null, _) | (_, null) => null
+        case (a, b) => java.lang.Boolean.valueOf(truthy(a) && truthy(b))
+      }
+    case Bin("OR", l, r) =>
+      (eval(l, row, colIdx), eval(r, row, colIdx)) match {
+        case (TRUE, _) | (_, TRUE) => TRUE
+        case (null, _) | (_, null) => null
+        case (a, b) => java.lang.Boolean.valueOf(truthy(a) || truthy(b))
+      }
+    case Bin(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), l, r) =>
+      val a = eval(l, row, colIdx)
+      val b = eval(r, row, colIdx)
+      if (a == null || b == null) null
+      else {
+        val c = compareVals(a, b)
+        java.lang.Boolean.valueOf(op match {
+          case "=" => c == 0
+          case "<>" => c != 0
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+        })
+      }
+    case Bin(op, l, r) =>
+      arith(op, eval(l, row, colIdx), eval(r, row, colIdx))
+    case Func(name, args, _) =>
+      scalarFunc(name, args.map(a => eval(a, row, colIdx)))
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case b: java.lang.Boolean => b
+    case l: Long => l != 0L
+    case d: Double => d != 0.0
+    case null => false
+    case _ => true
+  }
+
+  private def toD(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case s: String => s.toDouble
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private def arith(op: String, a: Any, b: Any): Any =
+    if (a == null || b == null) null
+    else (a, b) match {
+      case (x: Long, y: Long) if op != "/" => op match {
+        case "+" => x + y
+        case "-" => x - y
+        case "*" => x * y
+        case "%" => if (y == 0L) null else x % y
+      }
+      case _ =>
+        val x = toD(a); val y = toD(b)
+        op match {
+          case "+" => x + y
+          case "-" => x - y
+          case "*" => x * y
+          case "/" => if (y == 0.0) null else x / y
+          case "%" => if (y == 0.0) null else x % y
+        }
+    }
+
+  /** SQLite-flavored comparison: numerics numerically, strings binary,
+    * blobs bytewise; cross-class per the SQLite ordering
+    * (null < numeric < text < blob) so mixed columns still sort stably.
+    */
+  private def compareVals(a: Any, b: Any): Int = {
+    def cls(v: Any): Int = v match {
+      case null => 0
+      case _: Long | _: Double | _: java.lang.Boolean => 1
+      case _: String => 2
+      case _ => 3
+    }
+    val (ca, cb) = (cls(a), cls(b))
+    if (ca != cb) ca.compare(cb)
+    else ca match {
+      case 0 => 0
+      case 1 => java.lang.Double.compare(toD(a), toD(b))
+      case 2 => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      case _ =>
+        val x = a.asInstanceOf[Array[Byte]]
+        val y = b.asInstanceOf[Array[Byte]]
+        java.util.Arrays.compareUnsigned(x, y)
+    }
+  }
+
+  private def compareByOrder(order: Seq[OrderItem], a: Array[Any],
+      b: Array[Any], colIdx: String => Int, items: Seq[SelectItem]): Int = {
+    order.foreach { o =>
+      // ORDER BY <ordinal> refers to the select list, SQLite-style
+      val expr = o.expr match {
+        case Lit(i: Long) if i >= 1 && i <= items.size && !items(i.toInt - 1).star =>
+          items(i.toInt - 1).expr
+        case e => e
+      }
+      val va = eval(expr, a, colIdx)
+      val vb = eval(expr, b, colIdx)
+      // SQLite: NULLs first in ASC, last in DESC (class 0 sorts lowest)
+      val c = compareVals(va, vb)
+      if (c != 0) return if (o.asc) c else -c
+    }
+    0
+  }
+
+  private def scalarFunc(name: String, args: Seq[Any]): Any = name match {
+    case "upper" => args.head match { case null => null; case s: String => s.toUpperCase; case v => v }
+    case "lower" => args.head match { case null => null; case s: String => s.toLowerCase; case v => v }
+    case "length" => args.head match {
+      case null => null
+      case s: String => s.length.toLong
+      case b: Array[Byte] => b.length.toLong
+      case v => v.toString.length.toLong
+    }
+    case "abs" => args.head match {
+      case null => null
+      case l: Long => math.abs(l)
+      case d: Double => math.abs(d)
+      case v => math.abs(toD(v))
+    }
+    case "round" => args match {
+      case Seq(null) | Seq(null, _) => null
+      case Seq(v) => math.round(toD(v)).toDouble
+      case Seq(v, p) =>
+        val f = math.pow(10, toD(p))
+        math.round(toD(v) * f) / f
+    }
+    case "coalesce" => args.find(_ != null).orNull
+    case "substr" | "substring" => args.head match {
+      case null => null
+      case s: String =>
+        val start = math.max(0, toD(args(1)).toInt - 1) // SQL is 1-based
+        val len = if (args.size > 2) toD(args(2)).toInt else s.length
+        s.drop(start).take(math.max(0, len))
+      case v => v
+    }
+    case other => throw new IllegalArgumentException(
+      s"unsupported function $other (supported: upper lower length abs " +
+        "round coalesce substr, whole-table count/sum/avg/min/max)")
+  }
+
+  /** Static result type for JDBC metadata — mirrors the evaluator's value
+    * classes so `ResultSetMetaData.getColumnType` and the values agree.
+    */
+  private def inferType(e: Expr, schema: StructType): DataType = e match {
+    case Lit(_: Long) => LongType
+    case Lit(_: Double) => DoubleType
+    case Lit(_: String) => StringType
+    case Lit(_: Boolean) => BooleanType
+    case Lit(_) => StringType
+    case ColRef(n) => schema.fields
+      .find(_.name.equalsIgnoreCase(n)).map(_.dataType).getOrElse(StringType)
+    case Bin("AND" | "OR" | "=" | "<>" | "<" | "<=" | ">" | ">=", _, _) =>
+      BooleanType
+    case NotE(_) | IsNull(_, _) | InList(_, _, _) | LikeE(_, _, _) |
+        BetweenE(_, _, _, _) => BooleanType
+    case Bin("/", _, _) => DoubleType
+    case Bin(_, l, r) =>
+      if (inferType(l, schema) == DoubleType || inferType(r, schema) == DoubleType)
+        DoubleType
+      else LongType
+    case Func("count", _, _) | Func("length", _, _) => LongType
+    case Func("avg" | "round", _, _) => DoubleType
+    case Func("sum" | "min" | "max" | "abs" | "coalesce", args, _) =>
+      args.headOption.map(inferType(_, schema)).getOrElse(DoubleType)
+    case Func("upper" | "lower" | "substr" | "substring", _, _) => StringType
+    case Func(_, _, _) => StringType
+  }
+}
