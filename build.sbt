@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with shuffle buffers + codegen churns an 8g heap into GC
   // stalls (observed 3-10x per-query variance at sf0.1); the box has 128g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // multi-MB serialization buffers (arrow/parquet HTTP responses, shuffle
+  // blocks) are humongous allocations at G1's default region size; under
+  // the 3,200-request serving bench that fragments G1 into multi-second
+  // full GCs — one 32m knob removes the whole failure mode
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -451,6 +451,54 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shipping priority: the canonical 3-table join+topk.
+      // Plan shape: customer (15k rows) broadcasts into the orders probe,
+      // the lineitem⋈orders join shuffles on orderkey (both sides big),
+      // and the top-10 is TakeOrderedAndProject on the EXACT decimal
+      // revenue (double ordering would be merge-order-dependent);
+      // l_orderkey breaks ties deterministically on both engines
+      val cut = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 local supplier volume: the canonical 6-table join. One
+      // genuine shuffle (lineitem⋈orders on orderkey); supplier/customer/
+      // nation/region all broadcast (15k rows max at sf0.1 — at any SF
+      // these are the dimension tables); the double-keyed s/c nationkey
+      // equality rides the broadcast joins
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+        .select(col("n_name"), col("rev").cast("double").as("revenue"))
+    }),
     "q_join_agg" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
@@ -1478,6 +1526,38 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q3" ->
+      // the synthetic orders table has no o_shippriority; o_orderpriority
+      // plays its role, and the date cut sits inside the synthetic
+      // 1995-2001 order-date range
+      """SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate,
+        |       o_orderpriority
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |  FROM customer, orders, lineitem
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY rev DESC, o_orderdate, l_orderkey
+        |  LIMIT 10) t
+        |ORDER BY rev DESC, o_orderdate, l_orderkey""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, n_name""".stripMargin,
     "q_join_agg" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,

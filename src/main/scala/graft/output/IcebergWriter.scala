@@ -53,7 +53,8 @@ object IcebergWriter {
 
   private val mapper = new ObjectMapper()
 
-  def create(df: DataFrame, path: String): Unit = {
+  def create(df: DataFrame, path: String,
+      summary: Map[String, String] = Map.empty): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
     require(!Files.exists(root.resolve("metadata").resolve("v1.metadata.json")),
       s"$path is already an iceberg table; use append or overwrite")
@@ -89,20 +90,52 @@ object IcebergWriter {
     md.put("current-snapshot-id", seq)
     md.set[JsonNode]("snapshots",
       mapper.createArrayNode().add(snapshotNode(seq, seq, list,
-        System.currentTimeMillis(), "append")))
+        System.currentTimeMillis(), "append", summary)))
     commitMetadata(root, 1, md)
   }
 
-  def append(df: DataFrame, path: String): Unit =
-    commitSnapshot(df, path, carryForward = true, operation = "append")
+  /** `summary` entries land in the snapshot's summary map alongside
+    * `operation` — the Iceberg-idiomatic carrier for sink bookkeeping
+    * (real streaming sinks store their committed-checkpoint high-water
+    * marks exactly this way), consumed by [[lastSummaryValue]].
+    */
+  def append(df: DataFrame, path: String,
+      summary: Map[String, String] = Map.empty): Unit =
+    commitSnapshot(df, path, carryForward = true, operation = "append", summary)
 
-  def overwrite(df: DataFrame, path: String): Unit =
-    commitSnapshot(df, path, carryForward = false, operation = "overwrite")
+  def overwrite(df: DataFrame, path: String,
+      summary: Map[String, String] = Map.empty): Unit =
+    commitSnapshot(df, path, carryForward = false, operation = "overwrite",
+      summary)
+
+  /** Highest NUMERIC snapshot summary value for `key` across all
+    * snapshots whose summary carries `matchKey -> matchValue` (numeric,
+    * not lexical — "10" must beat "9") — metadata-plane scan of the
+    * current metadata JSON, proportional to snapshot count, never rows.
+    */
+  def lastSummaryLong(path: String, key: String, matchKey: String,
+      matchValue: String): Option[Long] = {
+    if (!graft.sources.IcebergReader.isIcebergTable(path)) return None
+    val md = mapper.readTree(Files.readString(
+      graft.sources.IcebergReader.currentMetadataFile(path)))
+    Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap { s =>
+        val sum = Option(s.get("summary"))
+        val matches = sum.flatMap(x => Option(x.get(matchKey)))
+          .exists(_.asText() == matchValue)
+        if (matches)
+          sum.flatMap(x => Option(x.get(key))).map(_.asText().toLong)
+        else None
+      }
+      .maxOption
+  }
 
   // ---------- snapshot commit (append / overwrite) ----------
 
   private def commitSnapshot(df: DataFrame, path: String,
-      carryForward: Boolean, operation: String): Unit = {
+      carryForward: Boolean, operation: String,
+      summary: Map[String, String]): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
@@ -141,7 +174,7 @@ object IcebergWriter {
     md.put("last-updated-ms", ts)
     md.put("current-snapshot-id", seq)
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-      .add(snapshotNode(seq, seq, list, ts, operation))
+      .add(snapshotNode(seq, seq, list, ts, operation, summary))
     commitMetadata(root, version, md)
   }
 
@@ -297,14 +330,16 @@ object IcebergWriter {
   // ---------- metadata JSON ----------
 
   private def snapshotNode(id: Long, seq: Long, manifestList: String,
-      ts: Long, operation: String): ObjectNode = {
+      ts: Long, operation: String,
+      summary: Map[String, String] = Map.empty): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", id)
     n.put("sequence-number", seq)
     n.put("timestamp-ms", ts)
     n.put("manifest-list", manifestList)
-    n.set[JsonNode]("summary",
-      mapper.createObjectNode().put("operation", operation))
+    val sum = mapper.createObjectNode().put("operation", operation)
+    summary.foreach { case (k, v) => sum.put(k, v) }
+    n.set[JsonNode]("summary", sum)
     n
   }
 

@@ -87,7 +87,12 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // serving pool sized to the machine (min 8): requests queue in Spark's
+    // fair scheduler rather than the HTTP accept queue, so client-observed
+    // latency under the reference's 3,200-concurrent contract stays flat
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.get("GRAFT_SERVER_THREADS").map(_.toInt).getOrElse(
+        math.max(8, Runtime.getRuntime.availableProcessors()))))
     // md5-partition pruning for the raw-SQL path too (config-path pruning
     // happens at predicate-build time in QueryPipeline)
     graft.pruning.HashPartitionPruningRule.install(spark)

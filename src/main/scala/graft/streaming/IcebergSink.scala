@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming → Iceberg sink, the open-format twin of
+  * [[DeltaSink]]: each micro-batch lands as one atomic Iceberg snapshot
+  * whose summary carries the sink's app id and batch id — the
+  * Iceberg-idiomatic bookkeeping channel (production streaming sinks
+  * store their committed-checkpoint high-water marks in snapshot summary
+  * properties the same way). A batch replayed after a failure (the
+  * at-least-once delivery `foreachBatch` gives you) is detected by the
+  * per-appId high-water mark and skipped: exactly-once TABLE contents on
+  * top of at-least-once batch delivery.
+  *
+  * State lives in two durable places: Spark's checkpoint directory
+  * (offsets/batch ids) and the table's own snapshot summaries. Restarting
+  * the query with the same checkpoint and appId resumes without
+  * duplicates; a DIFFERENT query on the same table needs a different
+  * appId. Single-writer per table, like the writer it drives.
+  *
+  * Log growth: an Iceberg append rewrites only the manifest LIST (one
+  * entry per manifest) plus one new manifest — replay cost is
+  * O(manifests), not O(all commits ever), so no separate compaction step
+  * is needed for snapshot resolution; long-running sinks should still
+  * expire old snapshots out-of-band when time travel beyond a horizon is
+  * not required (metadata JSON grows one snapshot entry per batch).
+  */
+object IcebergSink {
+
+  private[streaming] val AppKey = "graft-app-id"
+  private[streaming] val BatchKey = "graft-batch-id"
+
+  /** The per-batch body, public so idempotence is directly testable. */
+  def appendBatch(batch: DataFrame, path: String, appId: String,
+      batchId: Long): Unit = {
+    val summary = Map(AppKey -> appId, BatchKey -> batchId.toString)
+    if (!IcebergReader.isIcebergTable(path))
+      IcebergWriter.create(batch, path, summary)
+    else if (!IcebergWriter.lastSummaryLong(path, BatchKey, AppKey, appId)
+        .exists(_ >= batchId))
+      IcebergWriter.append(batch, path, summary)
+    // else: replayed batch, already committed — exactly-once by skip
+  }
+
+  def start(df: DataFrame, path: String, checkpointDir: String,
+      appId: String = "graft-iceberg-sink"): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        appendBatch(batch.toDF(), path, appId, id)
+      }
+      .start()
+}

@@ -135,6 +135,46 @@ class IcebergWriterSpec extends SparkSpec {
       == Seq(1L))
   }
 
+  test("streaming sink: summary idempotence and end-to-end micro-batches") {
+    import graft.streaming.IcebergSink
+    // direct idempotence: replaying batch 0 and 1 must not duplicate rows
+    val path = tmp("sink")
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+    IcebergSink.appendBatch(b0, path, "app", 0L)
+    IcebergSink.appendBatch(b1, path, "app", 1L)
+    IcebergSink.appendBatch(b1, path, "app", 1L) // replay → skipped
+    IcebergSink.appendBatch(b0, path, "app", 0L) // late replay → skipped
+    assert(IcebergReader.read(spark, path).count() == 2L)
+    assert(IcebergWriter.lastSummaryLong(path, "graft-batch-id",
+      "graft-app-id", "app").contains(1L))
+    // a different appId has its own high-water mark
+    assert(IcebergWriter.lastSummaryLong(path, "graft-batch-id",
+      "graft-app-id", "other").isEmpty)
+    // numeric (not lexical) comparison: batch 10 must beat batch 9
+    (2L to 10L).foreach(i =>
+      IcebergSink.appendBatch(Seq((i, s"b$i")).toDF("id", "v"), path, "app", i))
+    IcebergSink.appendBatch(b0, path, "app", 9L) // below the 10 mark → skip
+    assert(IcebergReader.read(spark, path).count() == 11L)
+
+    // end-to-end: MemoryStream → sink → table
+    val path2 = tmp("sinkstream")
+    val cp = tmp("sinkcp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IcebergSink.start(input.toDF().toDF("id", "v"), path2, cp)
+    try {
+      input.addData((10L, "x"), (11L, "y"))
+      q.processAllAvailable()
+      assert(IcebergReader.read(spark, path2).count() == 2L)
+      input.addData((12L, "z"))
+      q.processAllAvailable()
+      assert(IcebergReader.read(spark, path2)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("the reader's own fixture conventions replay the writer's output " +
       "(multi-file create lands one manifest, N data files)") {
     val path = tmp("multifile")

@@ -1,0 +1,113 @@
+package graft
+
+import graft.config._
+import graft.server.LakeApiServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The reference's serving-path contract at its EXACT scale: 3,200
+  * concurrent requests (100 iterations × 4 formats × 8 mixed endpoints),
+  * every request answering 200 in under 1.5 s on a warmed server
+  * (tests/test_performance.py:14-75 — 100 × 2 engines × 4 formats × 4
+  * calls; this repo has one engine, so the endpoint mix is doubled to
+  * keep the request count identical). Tables are the sf0.1 parquet set —
+  * ~600k-row lineitem — against the live HTTP server on the shared
+  * local session.
+  *
+  * Env-gated like a load test (minutes of wall, meaningless under a
+  * contended host): set GRAFT_SERVING_BENCH=1 to run, optionally
+  * GRAFT_SF_DIR (default /root/testdata/sf0.1). Emits p50/p95/p99/max
+  * for PERF.md.
+  */
+class ServingBenchSpec extends SparkSpec {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("3,200 concurrent mixed requests, each under the reference's 1.5 s") {
+    assume(sys.env.get("GRAFT_SERVING_BENCH").exists(_.nonEmpty),
+      "set GRAFT_SERVING_BENCH=1 to run the full serving bench")
+    val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def table(name: String, file: String, params: Seq[Param],
+        sortby: Seq[SortBy]) = TableConfig(name = name, tag = "bench",
+      datasource = DatasourceConfig(uri = s"$sf/$file.parquet",
+        sortby = sortby),
+      params = params, allowGetAllPages = true)
+
+    // table sizes match the reference's contract: its fake_delta/fruits
+    // tables are ~100k rows with limit=10000 (tests/conftest.py). At
+    // sf0.1, orders is 150k rows and customer 15k — the same serving
+    // class. (lineitem at 600k rows is 6x the reference's per-request
+    // work and belongs to the analytics budget, not this one.)
+    val ord = Seq(Param("o_orderstatus"))
+    val cust = Seq(Param("c_mktsegment"))
+    val cfg = Configs(Seq(
+      table("orders", "orders", ord, Seq(SortBy("o_orderkey"))),
+      table("orders_desc", "orders", ord, Seq(SortBy("o_orderkey", "desc"))),
+      table("customer", "customer", cust, Seq(SortBy("c_custkey"))),
+      table("customer_desc", "customer", cust,
+        Seq(SortBy("c_custkey", "desc")))))
+    val srv = new LakeApiServer(spark, cfg)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+
+    // the 8 endpoint shapes (plain / filtered / sort-asc / sort-desc × 2
+    // tables), each crossed with the reference's 4 formats
+    val endpoints = Seq(
+      "/api/v1/bench/orders?limit=10000",
+      "/api/v1/bench/orders?o_orderstatus=F&limit=10000",
+      "/api/v1/bench/orders_desc?limit=10000",
+      "/api/v1/bench/orders_desc?o_orderstatus=O&limit=10000",
+      "/api/v1/bench/customer?limit=10000",
+      "/api/v1/bench/customer?c_mktsegment=BUILDING&limit=10000",
+      "/api/v1/bench/customer_desc?limit=10000",
+      "/api/v1/bench/customer_desc?c_mktsegment=MACHINERY&limit=10000")
+    val formats = Seq("json", "csv", "arrow", "parquet")
+
+    try {
+      // warm every route+format once (plan compile + first-touch IO),
+      // mirroring the reference's TestClient warm-up behavior
+      endpoints.foreach(e => formats.foreach(f =>
+        assert(get(s"$base$e&format=$f").statusCode() == 200)))
+
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val t0 = System.nanoTime()
+        val futures = for {
+          _ <- 1 to 100
+          e <- endpoints
+          f <- formats
+        } yield scala.concurrent.Future {
+          val s = System.nanoTime()
+          val r = get(s"$base$e&format=$f")
+          val sec = (System.nanoTime() - s) / 1e9
+          (r.statusCode(), sec, s"$e&format=$f")
+        }
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(1200, "s"))
+        val wall = (System.nanoTime() - t0) / 1e9
+
+        assert(results.size == 3200)
+        val bad = results.filter(_._1 != 200)
+        assert(bad.isEmpty, s"${bad.size} non-200s, first: ${bad.take(3)}")
+        val times = results.map(_._2).sorted
+        def pct(p: Double) = times((p * (times.size - 1)).round.toInt)
+        val line = f"serving bench: 3200 requests in $wall%.1f s — " +
+          f"p50 ${pct(0.50)}%.3f s, p95 ${pct(0.95)}%.3f s, " +
+          f"p99 ${pct(0.99)}%.3f s, max ${times.last}%.3f s"
+        info(line); println(line)
+        val over = results.filter(_._2 >= 1.5)
+        assert(over.isEmpty,
+          s"${over.size} requests over the reference's 1.5 s bound; " +
+            s"slowest: ${over.sortBy(-_._2).take(5).map(r => f"${r._2}%.2fs ${r._3}")}")
+      } finally pool.shutdown()
+    } finally srv.stop()
+  }
+}

@@ -5,8 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide instance). */
 object TestSpark {
+  // local[4] keeps unit runs light; the env override exists for the
+  // serving bench (ServingBenchSpec), which reproduces the reference's
+  // 3,200-concurrent-request contract and needs serving-sized cores
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master(sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"))
+    // FAIR for the serving bench: 32 concurrent jobs round-robin instead
+    // of FIFO head-of-line blocking, which is what a serving cluster runs
+    .config("spark.scheduler.mode",
+      sys.env.getOrElse("GRAFT_TEST_SCHEDULER", "FIFO"))
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
