@@ -50,7 +50,7 @@ object DeltaWriter {
     commit(root, 0L,
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{},"createdTime":0}}""")
-        ++ txnActions(txn) ++ files.map(addAction))
+        ++ txnActions(txn) ++ files.map(addAction(_)))
   }
 
   /** `txn` stamps the commit with a `{"txn":{"appId","version"}}` action
@@ -66,7 +66,7 @@ object DeltaWriter {
         s"got ${df.schema.simpleString}")
     val files = writeData(df, root, snap.partitionColumns)
     val version = nextVersion(root)
-    commit(root, version, txnActions(txn) ++ files.map(addAction))
+    commit(root, version, txnActions(txn) ++ files.map(addAction(_)))
     maybeCheckpoint(df.sparkSession, root, version)
   }
 
@@ -82,8 +82,85 @@ object DeltaWriter {
       // decoded path cancels the original add's
       s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":true}}""")
     val version = nextVersion(root)
-    commit(root, version, removes ++ files.map(addAction))
+    commit(root, version, removes ++ files.map(addAction(_)))
     maybeCheckpoint(df.sparkSession, root, version)
+  }
+
+  /** OPTIMIZE-style small-file compaction — the maintenance pass the
+    * streaming sink's one-file-per-micro-batch layout needs: live files
+    * under `targetBytes` are greedily bin-packed PER PARTITION into
+    * ≥2-file groups, each group rewritten as one parquet file, and the
+    * swap committed atomically with `dataChange=false` on both the adds
+    * and the removes (downstream incremental consumers correctly see no
+    * new data; time travel to pre-compaction versions still replays the
+    * old files, which stay on disk). Returns the number of files removed.
+    *
+    * Scope guards: files carrying deletion vectors are left alone (their
+    * live-row set is not the file's row set), and column-mapped tables
+    * are rejected (physical parquet names differ from the log schema).
+    * Scale: the plan is one distributed read+write per bin driven from
+    * the driver's file list — metadata-plane selection, data-plane
+    * rewrite, the same split as every writer path here. At lake scale
+    * run it per-partition-predicate (the `files.filter` is the hook), not
+    * table-wide.
+    */
+  def optimize(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    require(snap.columnMappingMode == "none",
+      s"optimize does not support columnMapping=${snap.columnMappingMode}")
+    def onDisk(rel: String): Path = root.resolve(rel)
+    val candidates = snap.files
+      .filter(f => f.deletionVector.isEmpty &&
+        Files.size(onDisk(f.path)) < targetBytes)
+
+    val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
+    val adds = Seq.newBuilder[Written]
+    candidates.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      // first-fit-decreasing bin packing on actual on-disk sizes
+      val sized = files.map(f => f -> Files.size(onDisk(f.path)))
+        .sortBy(-_._2)
+      val bins = scala.collection.mutable.ListBuffer
+        .empty[(scala.collection.mutable.ListBuffer[
+          graft.sources.DeltaLogReader.AddFile], Long)]
+      sized.foreach { case (f, sz) =>
+        bins.zipWithIndex.find(_._1._2 + sz <= targetBytes) match {
+          case Some(((bin, total), i)) => bin += f; bins(i) = (bin, total + sz)
+          case None =>
+            bins += ((scala.collection.mutable.ListBuffer(f), sz))
+        }
+      }
+      bins.map(_._1.toSeq).filter(_.size >= 2).foreach { bin =>
+        // rewrite the bin as ONE file (data columns only — partition
+        // values live in the log, exactly as in the original adds)
+        val df = spark.read.schema(snap.dataSchema)
+          .parquet(bin.map(f => onDisk(f.path).toString): _*)
+        val staging = root.resolve(s".opt-staging-${java.util.UUID.randomUUID()}")
+        df.coalesce(1).write.parquet(staging.toString)
+        val part = Files.list(staging).iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            "compaction write produced no part file"))
+        val name = part.getFileName.toString
+        Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(Files.delete(_))
+        adds += Written(name, Files.size(root.resolve(name)), pv)
+        removes ++= bin
+      }
+    }
+
+    val removed = removes.result()
+    if (removed.isEmpty) return 0
+    val version = nextVersion(root)
+    commit(root, version,
+      removed.map(f =>
+        s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
+        ++ adds.result().map(w => addAction(w, dataChange = false)))
+    maybeCheckpoint(spark, root, version)
+    removed.size
   }
 
   // ---------- internals ----------
@@ -131,11 +208,11 @@ object DeltaWriter {
     out
   }
 
-  private def addAction(w: Written): String = {
+  private def addAction(w: Written, dataChange: Boolean = true): String = {
     val pv = w.partitionValues.map { case (k, v) =>
       s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
     }.mkString(",")
-    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":true}}"""
+    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":$dataChange}}"""
   }
 
   /** add/remove paths are stored PERCENT-ENCODED (URI syntax, PROTOCOL.md

@@ -158,6 +158,52 @@ class DeltaWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("optimize: bin-packs the streaming sink's small files, " +
+      "dataChange=false, time travel intact") {
+    import graft.streaming.DeltaSink
+    val path = tmp("opt")
+    (0 to 7).foreach(i => DeltaSink.appendBatch(
+      Seq((i.toLong, s"b$i")).toDF("id", "v"), path, "optapp", i.toLong))
+    val before = DeltaLogReader.snapshot(spark, path)
+    assert(before.files.size == 8, "one file per micro-batch expected")
+    val removed = DeltaWriter.optimize(spark, path)
+    assert(removed == 8)
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.files.size == 1, s"expected 1 compacted file, got ${after.files.size}")
+    // contents identical, txn high-water mark untouched
+    assert(DeltaLogReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == (0L to 7L))
+    assert(DeltaWriter.lastTxnVersion(path, "optapp").contains(7L))
+    // pre-compaction versions still replay the original files
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(before.version))
+      .count() == 8L)
+    // the compaction commit is pure dataChange=false
+    val commitJson = Files.readString(Paths.get(path, "_delta_log",
+      f"${after.version}%020d.json"))
+    assert(!commitJson.contains("\"dataChange\":true"))
+    // a second optimize is a no-op
+    assert(DeltaWriter.optimize(spark, path) == 0)
+  }
+
+  test("optimize: partitioned tables compact within partitions only") {
+    val path = tmp("optpart")
+    DeltaWriter.create(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "p"), path, partitionBy = Seq("p"))
+    (3 to 6).foreach(i => DeltaWriter.append(
+      Seq((i.toLong, if (i % 2 == 0) "x" else "y")).toDF("id", "p"), path))
+    val before = DeltaLogReader.snapshot(spark, path)
+    assert(before.files.size == 6)
+    DeltaWriter.optimize(spark, path)
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.files.size == 2, s"one file per partition, got ${after.files.size}")
+    assert(after.files.map(_.partitionValues("p")).toSet == Set("x", "y"))
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.filter(col("p") === "x").select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L))
+    assert(back.filter(col("p") === "y").select("id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
+  }
+
   test("the written table is readable by an independent engine shape") {
     // the reader here replays the log natively, but also sanity-check the
     // raw layout: version files named %020d, adds carry relative paths

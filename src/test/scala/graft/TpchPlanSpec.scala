@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape audit of the TPC-H join gates: correctness is the oracle's
+  * job (q_tpch_q3/q5 gates); THIS spec pins the physical strategy — the
+  * dimension sides broadcast, only the lineitem⋈orders join shuffles,
+  * and the Q3 top-10 is TakeOrderedAndProject, never a global sort. A
+  * regression here (e.g. a lost broadcast hint turning a 15k-row
+  * dimension into a shuffle side) passes the oracle but dies at 100 TB.
+  */
+class TpchPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q_tpch_q3: customer broadcasts, top-10 is TakeOrderedAndProject") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    // the BUILDING filter reaches the customer scan, not the join output
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"),
+      s"c_mktsegment filter not pushed to the scan:\n$p")
+  }
+
+  test("q_tpch_q5: all four dimensions broadcast; one shuffle join total") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    val p = plan("q_tpch_q5")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    val shuffles = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffles <= 1,
+      s"expected at most the lineitem⋈orders shuffle, got $shuffles:\n$p")
+  }
+}
