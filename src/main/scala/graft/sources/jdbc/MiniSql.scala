@@ -289,7 +289,16 @@ private[graft] object MiniSql {
     }
 
     private def parseUnary(): Expr =
-      if (eatOp("-")) Bin("-", Lit(0L), parseUnary())
+      if (eatOp("-")) peek match {
+        // fold the sign into a numeric literal so Long.MinValue parses
+        // (its magnitude alone overflows Long — the classic -(2^63) case)
+        case Some(TNum(s)) =>
+          pos += 1
+          if (s.contains('.') || s.toLowerCase.contains('e'))
+            Lit(-s.toDouble)
+          else Lit(java.lang.Long.parseLong("-" + s))
+        case _ => Bin("-", Lit(0L), parseUnary())
+      }
       else if (eatOp("+")) parseUnary()
       else parsePrimary()
 
@@ -556,7 +565,18 @@ private[graft] object MiniSql {
     if (ca != cb) ca.compare(cb)
     else ca match {
       case 0 => 0
-      case 1 => java.lang.Double.compare(toD(a), toD(b))
+      case 1 => (a, b) match {
+        // long-long must compare EXACTLY — through double,
+        // Long.MaxValue and Long.MaxValue-1 collapse to the same value
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        // long-double straddles the 2^53 precision edge: BigDecimal is
+        // exact for every (long, double) pair
+        case (x: Long, y: Double) =>
+          BigDecimal(x).compare(BigDecimal(y))
+        case (x: Double, y: Long) =>
+          BigDecimal(x).compare(BigDecimal(y))
+        case _ => java.lang.Double.compare(toD(a), toD(b))
+      }
       case 2 => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
       case _ =>
         val x = a.asInstanceOf[Array[Byte]]
