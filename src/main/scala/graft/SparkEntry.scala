@@ -1102,6 +1102,18 @@ object SparkEntry {
         "doc_id", "text", n = 3, flagThreshold = 0.2)
         .orderBy(col("doc_id"))
     }),
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space leakage screen: the same every-20th eval split as
+      // q_decontaminate, over the embeddings table; 0.3 sits inside the
+      // synthetic near-orthogonal cosine range (max ≈ 0.51) so both flag
+      // values occur
+      val e = Tables.loadParallel(s, dir, "embeddings", "vec_id")
+      graft.operators.Decontaminate.semanticOverlap(
+        e.filter(col("vec_id") % 20 =!= 0),
+        e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+        .orderBy(col("doc_id"))
+    }),
     "q_repetition" -> ((s, dir) =>
       graft.operators.Repetition.metrics(
         Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
@@ -1811,6 +1823,19 @@ object SparkEntry {
     "q_text_quality" -> textQualityOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+        |ev AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+        |m AS (
+        |  SELECT t.vec_id AS doc_id,
+        |    round(max(list_dot_product(t.v, ev.v) /
+        |      (sqrt(list_dot_product(t.v, t.v)) *
+        |       sqrt(list_dot_product(ev.v, ev.v)))), 4) AS max_eval_cos
+        |  FROM t CROSS JOIN ev GROUP BY t.vec_id)
+        |SELECT doc_id, max_eval_cos,
+        |  CAST(max_eval_cos >= 0.3 AS INTEGER) AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_repetition" -> repetitionOracleSql,
     "q_ngram_freq" -> ngramFreqOracleSql,
     "q_ngram_profile" -> ngramProfileOracleSql,

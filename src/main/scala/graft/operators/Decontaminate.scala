@@ -43,4 +43,34 @@ object Decontaminate {
       .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
         col("overlap_ratio"), col("contaminated"))
   }
+
+  /** Semantic decontamination — the embedding-space complement of
+    * [[overlap]]: a training item is contaminated when ANY eval item's
+    * cosine similarity reaches `threshold` (paraphrased benchmark
+    * leakage that n-gram overlap misses; the embedding-similarity decon
+    * pass of modern data recipes). One row per training item with its
+    * max eval cosine (4 dp, the ANN family's rounding) and the 0/1 flag.
+    *
+    * Scale shape mirrors [[overlap]] exactly: the eval corpus is
+    * benchmark-sized, so it broadcasts, and the whole check is one
+    * map-side codegen'd cosine loop + a per-id max aggregate with
+    * map-side combine — the training side is never shuffled wider than
+    * (id, max). For a too-big-to-broadcast eval set, swap the broadcast
+    * for [[Ann.knnJoinLshAgainst]]'s bucketed probe; semantics at the
+    * threshold are unchanged for any bucket recall.
+    */
+  def semanticOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.9): DataFrame = {
+    val spark = train.sparkSession
+    val left = train.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("va"))
+    val right = eval.select(col(vecCol).cast("array<double>").as("vb"))
+    left.crossJoin(broadcast(right))
+      .withColumn("cos",
+        graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")))
+      .groupBy(col("id"))
+      .agg(round(max(col("cos")), 4).as("max_eval_cos"))
+      .select(col("id").as("doc_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= threshold).cast("int").as("contaminated"))
+  }
 }

@@ -163,6 +163,41 @@ object DeltaWriter {
     removed.size
   }
 
+  /** VACUUM: delete data files referenced by NONE of the newest
+    * `retainVersions` snapshots — the space-reclaim half of the
+    * [[optimize]] story (compaction leaves the replaced small files on
+    * disk so older versions keep time-traveling; vacuum trades that
+    * history for space, exactly like Delta's VACUUM trades its retention
+    * window). Version-based rather than wall-clock-based retention keeps
+    * it deterministic. Returns the number of files deleted.
+    *
+    * After a vacuum, time travel to a version whose files were reclaimed
+    * fails at scan time (missing file) — the standard contract. The log
+    * itself is never touched: checkpoints, commit JSONs and the txn
+    * high-water marks all survive. Metadata-plane work: the referenced
+    * set is |files| × retainVersions, the disk walk is one directory
+    * traversal.
+    */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val root = Paths.get(path)
+    val latest = graft.sources.DeltaLogReader.snapshot(spark, path)
+    val keepVersions = (math.max(0L, latest.version - retainVersions + 1)
+      to latest.version)
+    val referenced: Set[Path] = keepVersions.flatMap { v =>
+      graft.sources.DeltaLogReader.snapshot(spark, path, Some(v))
+        .files.map(f => root.resolve(f.path).toAbsolutePath.normalize)
+    }.toSet
+    val victims = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.startsWith(root.resolve("_delta_log")) &&
+        !referenced.contains(p.toAbsolutePath.normalize))
+      .toVector
+    victims.foreach(Files.delete(_))
+    victims.size
+  }
+
   // ---------- internals ----------
 
   private case class Written(relPath: String, size: Long,

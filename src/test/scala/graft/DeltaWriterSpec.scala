@@ -185,6 +185,30 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.optimize(spark, path) == 0)
   }
 
+  test("vacuum reclaims compaction leftovers; history beyond retention dies") {
+    import graft.streaming.DeltaSink
+    val path = tmp("vac")
+    (0 to 4).foreach(i => DeltaSink.appendBatch(
+      Seq((i.toLong, s"b$i")).toDF("id", "v"), path, "vacapp", i.toLong))
+    val preOpt = DeltaLogReader.snapshot(spark, path).version
+    DeltaWriter.optimize(spark, path)
+    // the 5 replaced micro-batch files are still on disk for time travel
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(preOpt))
+      .count() == 5L)
+    val deleted = DeltaWriter.vacuum(spark, path, retainVersions = 1)
+    assert(deleted == 5, s"expected the 5 compacted-away files, got $deleted")
+    // current snapshot intact, txn marks intact
+    assert(DeltaLogReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == (0L to 4L))
+    assert(DeltaWriter.lastTxnVersion(path, "vacapp").contains(4L))
+    // pre-compaction version now fails at scan time (files reclaimed)
+    intercept[Exception] {
+      DeltaLogReader.read(spark, path, versionAsOf = Some(preOpt)).count()
+    }
+    // idempotent
+    assert(DeltaWriter.vacuum(spark, path, retainVersions = 1) == 0)
+  }
+
   test("optimize: partitioned tables compact within partitions only") {
     val path = tmp("optpart")
     DeltaWriter.create(
