@@ -69,8 +69,20 @@ object GraftSQLiteDriver {
       new InvocationHandler {
         override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
           val a = if (args == null) Array.empty[AnyRef] else args
-          dispatch.applyOrElse((m.getName, a),
-            (_: (String, Array[AnyRef])) => defaultFor(m))
+          // java.lang.Object methods must never fall through to a null
+          // default (a null hashCode unboxes to an NPE in any HashMap)
+          m.getName match {
+            case "hashCode" if a.isEmpty =>
+              Integer.valueOf(System.identityHashCode(p))
+            case "equals" if a.length == 1 =>
+              java.lang.Boolean.valueOf(p eq a(0))
+            case _ =>
+              dispatch.applyOrElse((m.getName, a),
+                (_: (String, Array[AnyRef])) =>
+                  if (m.getName == "toString" && a.isEmpty)
+                    s"GraftSQLiteProxy(${cls.getSimpleName})"
+                  else defaultFor(m))
+          }
         }
       }).asInstanceOf[T]
 

@@ -360,10 +360,10 @@ private[graft] object MiniSql {
     val aggregate = q.items.exists(i => !i.star && containsAgg(i.expr))
     val projectedRows: Vector[Array[Any]] =
       if (aggregate) {
-        require(q.items.forall(i => i.star || containsAgg(i.expr) ||
-            i.expr.isInstanceOf[Lit]),
-          "mixing aggregate and per-row select items needs GROUP BY, " +
-            "which this driver does not support")
+        require(q.items.forall(i => !i.star && (containsAgg(i.expr) ||
+            i.expr.isInstanceOf[Lit])),
+          "mixing aggregate and per-row select items (or *) needs " +
+            "GROUP BY, which this driver does not support")
         Vector(q.items.map(i => evalAgg(i.expr, filtered, colIdx)).toArray)
       } else {
         val sorted =
@@ -461,9 +461,12 @@ private[graft] object MiniSql {
       val v = eval(x, row, colIdx)
       if (v == null) null
       else {
-        val hit = list.exists(le => compareVals(v, eval(le, row, colIdx)) == 0 &&
-          eval(le, row, colIdx) != null)
-        java.lang.Boolean.valueOf(hit != neg)
+        val vals = list.map(le => eval(le, row, colIdx))
+        val hit = vals.exists(lv => lv != null && compareVals(v, lv) == 0)
+        // SQL three-valued IN: no match but a NULL in the list → UNKNOWN
+        // (so `1 NOT IN (2, NULL)` drops the row, same as Spark/SQLite)
+        if (!hit && vals.contains(null)) null
+        else java.lang.Boolean.valueOf(hit != neg)
       }
     case LikeE(x, p, neg) =>
       (eval(x, row, colIdx), eval(p, row, colIdx)) match {

@@ -62,11 +62,12 @@ class MiniSqlPropertySpec extends SparkSpec {
       c <- Gen.oneOf("n", "t")
       neg <- Gen.oneOf("", " NOT")
     } yield s"""$c IS$neg NULL""",
-    // [NOT] IN
+    // [NOT] IN — NULLs in the list exercise three-valued IN semantics
+    // (`1 NOT IN (2, NULL)` is UNKNOWN, not true)
     for {
       c <- Gen.oneOf(longCols)
       neg <- Gen.oneOf("", "NOT ")
-      ls <- Gen.listOfN(3, longLit)
+      ls <- Gen.listOfN(3, Gen.frequency(4 -> longLit, 1 -> Gen.const("NULL")))
     } yield s"""$c ${neg}IN (${ls.mkString(", ")})""",
     // [NOT] BETWEEN
     for {
