@@ -163,6 +163,80 @@ object DeltaWriter {
     removed.size
   }
 
+  /** `OPTIMIZE ... ZORDER BY (cx, cy)`: rewrite EVERY live data file of
+    * each partition group clustered by the Morton z-curve of two numeric
+    * columns ([[graft.operators.Layout]] supplies the codegen'd quantize +
+    * interleave), sized to `targetBytes`, and swap atomically with
+    * `dataChange=false` — [[optimize]] merges small files, THIS re-sorts
+    * the data so parquet min/max stats stay narrow on BOTH clustered
+    * dimensions and any predicate on either column prunes files and row
+    * groups. Unlike optimize it intentionally rewrites large files too
+    * (re-clustering is the point); files with deletion vectors are left
+    * alone, groups whose z columns are all-null are skipped. Returns the
+    * number of files replaced.
+    *
+    * Scale: one range-exchange job per partition group (the z sample is
+    * the only coordination), driven from the driver's file list. At lake
+    * scale, scope calls per partition predicate, as with optimize.
+    */
+  def optimizeZOrder(spark: SparkSession, path: String, cx: String,
+      cy: String, targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 16): Int = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    require(snap.columnMappingMode == "none",
+      s"optimizeZOrder does not support columnMapping=${snap.columnMappingMode}")
+    require(snap.dataSchema.fieldNames.contains(cx) &&
+        snap.dataSchema.fieldNames.contains(cy),
+      s"z-order columns must be data columns of ${snap.dataSchema.fieldNames.toSeq}")
+
+    val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
+    val adds = Seq.newBuilder[Written]
+    snap.files.filter(_.deletionVector.isEmpty)
+      .groupBy(_.partitionValues).foreach { case (pv, files) =>
+        val paths = files.map(f => root.resolve(f.path))
+        val bytes = paths.map(Files.size).sum
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = spark.read.schema(snap.dataSchema)
+          .parquet(paths.map(_.toString): _*)
+        val r = df.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+          min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
+        if (!r.anyNull) {
+          val z = graft.operators.Layout.zValue(
+            graft.operators.Layout.quantize(col(cx), r.getDouble(0), r.getDouble(1), bits),
+            graft.operators.Layout.quantize(col(cy), r.getDouble(2), r.getDouble(3), bits),
+            bits)
+          val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
+          df.withColumn("__z", z)
+            .repartitionByRange(nFiles, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+            .write.parquet(staging.toString)
+          Files.list(staging).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              val name = p.getFileName.toString
+              Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+              adds += Written(name, Files.size(root.resolve(name)), pv)
+            }
+          Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(Files.delete(_))
+          removes ++= files
+        }
+      }
+    val removed = removes.result()
+    if (removed.isEmpty) return 0
+    val version = nextVersion(root)
+    commit(root, version,
+      removed.map(f =>
+        s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
+        ++ adds.result().map(w => addAction(w, dataChange = false)))
+    maybeCheckpoint(spark, root, version)
+    removed.size
+  }
+
   /** VACUUM: delete data files referenced by NONE of the newest
     * `retainVersions` snapshots — the space-reclaim half of the
     * [[optimize]] story (compaction leaves the replaced small files on

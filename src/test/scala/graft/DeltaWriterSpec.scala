@@ -209,6 +209,48 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.vacuum(spark, path, retainVersions = 1) == 0)
   }
 
+  test("optimizeZOrder: clustered rewrite narrows per-file spans on both " +
+      "dimensions, dataChange=false") {
+    val path = tmp("zo")
+    // shuffled 64x64 grid: a random layout gives every file near-full
+    // span on both x and y; the z-curve rewrite must shrink both
+    val df = spark.range(0, 4000).select(
+      (col("id") % 64).as("x"),
+      (floor(col("id") / 64).cast("long") % 64).as("y"), col("id"))
+      .orderBy(org.apache.spark.sql.functions.rand(42))
+    DeltaWriter.create(df.repartition(8), path)
+
+    def meanSpans(): (Double, Double) = {
+      val files = DeltaLogReader.snapshot(spark, path).files
+      val spans = files.map { f =>
+        val r = spark.read.parquet(s"$path/${f.path}")
+          .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+          .head()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.size, spans.map(_._2).sum / spans.size)
+    }
+    val (bx, by) = meanSpans()
+    // size the target from the actual bytes → ~16 clustered files, so the
+    // z-range cuts reach the top two bits of BOTH dimensions
+    val total = DeltaLogReader.snapshot(spark, path).files
+      .map(f => Files.size(Paths.get(path, f.path))).sum
+    val replaced = DeltaWriter.optimizeZOrder(spark, path, "x", "y",
+      targetBytes = math.max(1L, total / 16), bits = 6)
+    assert(replaced == 8)
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.files.size >= 2, "expected a multi-file clustered layout")
+    val (ax, ay) = meanSpans()
+    assert(ax < bx && ay < by,
+      f"z-order must narrow BOTH mean spans: x $bx%.0f->$ax%.0f, y $by%.0f->$ay%.0f")
+    // same rows, pure dataChange=false commit
+    assert(DeltaLogReader.read(spark, path).agg(sum(col("id"))).head.getLong(0)
+      == (0L until 4000L).sum)
+    val commitJson = Files.readString(Paths.get(path, "_delta_log",
+      f"${after.version}%020d.json"))
+    assert(!commitJson.contains("\"dataChange\":true"))
+  }
+
   test("optimize: partitioned tables compact within partitions only") {
     val path = tmp("optpart")
     DeltaWriter.create(
