@@ -123,6 +123,20 @@ class IcebergWriterSpec extends SparkSpec {
     }.getMessage.contains("already an iceberg table"))
   }
 
+  test("a lost same-version commit race surfaces as an error, not a clobber") {
+    val path = tmp("race")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    // a concurrent committer already landed v2: our append must refuse
+    Files.writeString(Paths.get(path, "metadata", "v2.metadata.json"),
+      Files.readString(Paths.get(path, "metadata", "v1.metadata.json")))
+    val e = intercept[IllegalStateException] {
+      IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the foreign v2 is untouched and the table still reads (snapshot 1)
+    assert(IcebergReader.read(spark, path).count() == 1L)
+  }
+
   test("a crashed create (no metadata json) is cleanly retryable") {
     val path = tmp("crash")
     // simulate the crash window: data dir + orphan files, no metadata json
