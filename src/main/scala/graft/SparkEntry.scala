@@ -705,6 +705,23 @@ object SparkEntry {
       graft.sources.DeltaLogReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_delete" -> ((s, dir) => {
+      // row-level DELETE via inline deletion vectors: create the table,
+      // mark the odd keys deleted, read the live rows back natively
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_del_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(nation, root.toString)
+          graft.output.DeltaWriter.deleteWhere(s, root.toString,
+            col("n_nationkey") % 2 === 1)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_scan" -> ((s, dir) => {
       // latest snapshot: files A+B live, A's odd keys position-deleted —
       // manifest-list/manifest replay, sequence inheritance and the
@@ -1669,6 +1686,9 @@ object SparkEntry {
     "q_delta_write_read" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_delta_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0) OR n_regionkey >= 2

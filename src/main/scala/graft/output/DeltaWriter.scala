@@ -237,6 +237,98 @@ object DeltaWriter {
     removed.size
   }
 
+  /** Row-level DELETE via deletion vectors: rows matching `predicate`
+    * are marked deleted by re-adding their files with an inline DV — no
+    * data file is rewritten, the GDPR/`DELETE FROM`-shaped operation at
+    * lake scale (rewriting a 1 GB file to drop 3 rows is the thing DVs
+    * exist to avoid; [[graft.sources.DeltaLogReader]] and delta-spark
+    * both apply them). Existing DVs merge (a file's vector is replaced,
+    * so the new one carries old ∪ new positions); already-deleted rows
+    * never match again (the probe reads the LIVE table). The commit
+    * upgrades the protocol to (3,7)+deletionVectors and marks
+    * `dataChange=true`. Returns the number of newly deleted rows.
+    *
+    * Scale shape: the probe is one distributed scan of the live table
+    * with the predicate pushed to parquet; only the MATCHED (file,
+    * position) pairs come to the driver — bounded by the delete's
+    * selectivity, and guarded at `MaxInlinePositions` per file (inline
+    * DVs are a small-cardinality format; on-disk DV files are the
+    * escalation path, not yet needed here).
+    */
+  val MaxInlinePositions: Int = 1 << 20
+
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    require(snap.columnMappingMode == "none",
+      s"deleteWhere does not support columnMapping=${snap.columnMappingMode}")
+    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
+      root.resolve(f.path).toAbsolutePath.normalize.toString
+
+    // matched (file, position) pairs — per partition group so predicates
+    // over partition columns resolve (partition values live in the log,
+    // not the files), LIVE rows only (existing DVs already applied)
+    val partFields = snap.partitionColumns.map(c => snap.schema(c))
+    val matched: Seq[(String, Long)] = snap.files.groupBy(_.partitionValues)
+      .toSeq.flatMap { case (pv, files) =>
+        val base = spark.read.schema(snap.dataSchema)
+          .parquet(files.map(abs): _*)
+          .withColumn("__f",
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("__p", col("_metadata.row_index"))
+        val withParts = partFields.foldLeft(base) { (acc, f) =>
+          val raw = pv.getOrElse(f.name, null)
+          acc.withColumn(f.name,
+            (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
+        }
+        val dvs = files.collect {
+          case f if f.deletionVector.isDefined => (abs(f), f.deletionVector.get)
+        }
+        val live =
+          if (dvs.isEmpty) withParts
+          else withParts.join(
+            graft.sources.DeletionVectors.deletedRows(spark, path, dvs)
+              .withColumnRenamed("__dv_file", "__f")
+              .withColumnRenamed("__dv_pos", "__p"),
+            Seq("__f", "__p"), "left_anti")
+        live.filter(predicate).select(col("__f"), col("__p"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+    if (matched.isEmpty) return 0L
+
+    val byFile = matched.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fileByAbs = snap.files.map(f => abs(f) -> f).toMap
+    val adds = byFile.toSeq.map { case (absPath, newPos) =>
+      val f = fileByAbs.getOrElse(absPath, throw new IllegalStateException(
+        s"matched row in unknown file $absPath"))
+      val oldPos: Seq[Long] = f.deletionVector match {
+        case None => Nil
+        case Some(d) => graft.sources.DeletionVectors
+          .deletedRows(spark, path, Seq(absPath -> d))
+          .collect().map(_.getLong(1)).toSeq
+      }
+      val all = (oldPos ++ newPos).distinct.sorted
+      require(all.size <= MaxInlinePositions,
+        s"${all.size} deleted positions in ${f.path} exceed the inline-DV " +
+          s"guard ($MaxInlinePositions); compact the file instead")
+      val (inline, size) = graft.sources.DeletionVectors.encodeInline(all)
+      val pvJson = f.partitionValues.map { case (k, v) =>
+        s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
+      }.mkString(",")
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${all.size}}}}"""
+    }
+    val version = nextVersion(root)
+    commit(root, version,
+      // DVs need the feature-gated protocol; emitting it in the same
+      // commit upgrades older tables in place (protocol actions replace)
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+        ++ adds)
+    maybeCheckpoint(spark, root, version)
+    matched.size.toLong
+  }
+
   /** VACUUM: delete data files referenced by NONE of the newest
     * `retainVersions` snapshots — the space-reclaim half of the
     * [[optimize]] story (compaction leaves the replaced small files on
@@ -474,8 +566,12 @@ object DeltaWriter {
       if (n == null || n.isNull) Map.empty
       else n.properties().asScala.map(e => e.getKey ->
         (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+    def featArr(name: String): Seq[String] =
+      Option(st.protocol.get(name)).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText).toSeq).orNull
     val protoRow = Row(st.protocol.get("minReaderVersion").asInt(1),
-      st.protocol.get("minWriterVersion").asInt(2))
+      st.protocol.get("minWriterVersion").asInt(2),
+      featArr("readerFeatures"), featArr("writerFeatures"))
     val md = st.metaData
     val mdRow = Row(md.get("id").asText,
       Row(Option(md.get("format")).map(_.get("provider").asText)
@@ -494,12 +590,24 @@ object DeltaWriter {
       a.get("size").asLong,
       Option(a.get("modificationTime")).filterNot(_.isNull).map(_.asLong)
         .getOrElse(0L),
-      Option(a.get("dataChange")).forall(_.asBoolean)))
+      Option(a.get("dataChange")).forall(_.asBoolean),
+      // deletionVector must survive checkpointing — dropping it would
+      // RESURRECT deleted rows the first time a deleteWhere commit gets
+      // compacted away
+      Option(a.get("deletionVector")).filterNot(_.isNull).map(dv => Row(
+        dv.get("storageType").asText,
+        dv.get("pathOrInlineDv").asText,
+        Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
+          .getOrElse(0),
+        dv.get("sizeInBytes").asInt,
+        dv.get("cardinality").asLong)).orNull))
 
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -517,7 +625,13 @@ object DeltaWriter {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     val rows: Seq[Row] =
       Seq(Row(protoRow, null, null, null), Row(null, mdRow, null, null)) ++
         txnRows.map(t => Row(null, null, t, null)) ++

@@ -185,6 +185,60 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.optimize(spark, path) == 0)
   }
 
+  test("deleteWhere: DV deletes, merges on repeat, survives checkpointing") {
+    val path = tmp("del")
+    DeltaWriter.create(
+      (0 to 19).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    // first delete: odd ids
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 2 === 1) == 10L)
+    assert(DeltaLogReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == (0L to 18L by 2))
+    // time travel to the pre-delete version still sees all rows
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(0L))
+      .count() == 20L)
+    // second delete MERGES into the existing vectors; already-deleted
+    // rows don't match again (count is newly-deleted only)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") < 7) == 4L)
+    assert(DeltaLogReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(8L, 10L, 12L, 14L, 16L, 18L))
+    // no-match delete is a no-op (no empty commit)
+    val vBefore = DeltaLogReader.snapshot(spark, path).version
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") > 100) == 0L)
+    assert(DeltaLogReader.snapshot(spark, path).version == vBefore)
+
+    // checkpoint must carry the vectors: push the version to a multiple
+    // of 10, then drop every commit json the checkpoint covers — deleted
+    // rows must NOT resurrect from the compacted state
+    var v = DeltaLogReader.snapshot(spark, path).version
+    while (v % 10 != 0) {
+      DeltaWriter.append(Seq((100L + v, "x")).toDF("id", "v"), path)
+      v = DeltaLogReader.snapshot(spark, path).version
+    }
+    val log = Paths.get(path, "_delta_log")
+    assert(Files.exists(log.resolve(f"$v%020d.checkpoint.parquet")))
+    (0L to v).foreach { i =>
+      val f = log.resolve(f"$i%020d.json")
+      if (Files.exists(f)) Files.delete(f)
+    }
+    val back = DeltaLogReader.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(back.intersect(1L to 19L by 2).isEmpty &&
+      back.intersect(Seq(0L, 2L, 4L, 6L)).isEmpty,
+      s"deleted rows resurrected from the checkpoint: $back")
+    assert(back.take(6) == Seq(8L, 10L, 12L, 14L, 16L, 18L))
+  }
+
+  test("deleteWhere on a partitioned table honors partition-column predicates") {
+    val path = tmp("delpart")
+    DeltaWriter.create(
+      Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "p"),
+      path, partitionBy = Seq("p"))
+    assert(DeltaWriter.deleteWhere(spark, path,
+      col("p") === "x" && col("id") === 1L) == 1L)
+    assert(DeltaLogReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
   test("vacuum reclaims compaction leftovers; history beyond retention dies") {
     import graft.streaming.DeltaSink
     val path = tmp("vac")
