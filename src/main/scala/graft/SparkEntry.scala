@@ -736,6 +736,24 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_delete" -> ((s, dir) => {
+      // position-delete round-trip: create from nation, mark odd keys
+      // deleted (one content=1 manifest), read the live rows back
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_del_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("n_nationkey") % 2 === 1)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_write_read" -> ((s, dir) => {
       // writer→reader round-trip: create with region<2, append the rest,
       // read the current snapshot back — the oracle is the whole table
@@ -1699,6 +1717,9 @@ object SparkEntry {
     "q_iceberg_write_read" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

@@ -205,6 +205,117 @@ object IcebergWriter {
     }
   }
 
+  /** Row-level DELETE via POSITION DELETE files (spec "Position Delete
+    * Files") — the Iceberg twin of [[DeltaWriter.deleteWhere]]: rows
+    * matching `predicate` land as (file_path, pos) rows in one delete
+    * parquet, committed as a content=1 manifest in a new snapshot whose
+    * sequence number makes the delete apply to every current data file
+    * (inheritance gives the delete file the NEW seq; position deletes
+    * apply at delete seq >= data seq). No data file is rewritten; rows
+    * appended AFTER the delete carry a higher sequence number and are
+    * untouched; already-deleted rows never match again (the probe reads
+    * the LIVE table). Returns the number of newly deleted rows.
+    *
+    * Guards: v2 tables without equality deletes (their strict-older
+    * semantics would make the probe's liveness computation
+    * delete-order-dependent). Scale shape matches the Delta twin: one
+    * distributed probe scan, matched pairs only on the driver, one
+    * delete-file write.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    require(md.get("format-version").asInt() == 2,
+      "deleteWhere needs an iceberg format-version 2 table")
+    val location = Option(md.get("location")).map(_.asText())
+      .getOrElse(root.toString)
+    val (schema, _) = graft.sources.IcebergReader.currentSchema(md)
+
+    // current snapshot's entries, with manifest-list-inherited seqs
+    val refs = currentManifests(md, root)
+    case class E(manifestPath: String, localPath: String, content: Int, seq: Long)
+    val entries = refs.flatMap { ref =>
+      readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
+        if (intOf(e, "status", 0) == 2) None
+        else {
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val p = d.get("file_path").toString
+          Some(E(p, remapLocal(p, location, root),
+            intOf(d, "content", ref.content),
+            longOf(e, "sequence_number", ref.seq)))
+        }
+      }
+    }
+    require(!entries.exists(_.content == 2),
+      "deleteWhere does not support tables with equality deletes")
+    val dataFiles = entries.filter(_.content == 0)
+    val posDeletes = entries.filter(_.content == 1)
+    if (dataFiles.isEmpty) return 0L
+
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val base = spark.read.schema(schema)
+      .parquet(dataFiles.map(_.localPath): _*)
+      .withColumn("__f", norm(col("_metadata.file_path")))
+      .withColumn("__p", col("_metadata.row_index"))
+    val live =
+      if (posDeletes.isEmpty) base
+      else base.join(
+        posDeletes.map(d => spark.read.parquet(d.localPath)
+          .select(norm(col("file_path")).as("__f"), col("pos").as("__p")))
+          .reduce(_ union _),
+        Seq("__f", "__p"), "left_anti")
+    val matched = live.filter(predicate).select(col("__f"), col("__p"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (matched.isEmpty) return 0L
+
+    // local probe paths → manifest-form paths (location-prefixed), so the
+    // delete file's content matches the data files as manifests name them
+    val rootStr = root.toString
+    def manifestForm(local: String): String =
+      if (local.startsWith(rootStr + "/")) location + local.stripPrefix(rootStr)
+      else local
+    import spark.implicits._
+    val delDf = matched.map { case (f, p) => (manifestForm(f), p) }
+      .toDF("file_path", "pos").coalesce(1)
+    val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
+    delDf.write.parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        "delete write produced no part file"))
+    val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
+    Files.move(part, root.resolve("data").resolve(delName),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+
+    val seq = md.get("last-sequence-number").asLong() + 1
+    val version = versionOf(mdFile) + 1
+    val delManifest = writeManifest(root, location,
+      Seq(WrittenFile(delName,
+        Files.size(root.resolve("data").resolve(delName)),
+        matched.size.toLong)),
+      content = 1)
+    val list = writeManifestList(root, seq,
+      refs :+ ManifestRef(delManifest, 1, seq))
+    val prevMaxTs = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
+    val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+    md.put("last-sequence-number", seq)
+    md.put("last-updated-ms", ts)
+    md.put("current-snapshot-id", seq)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapshotNode(seq, seq, list, ts, "delete"))
+    commitMetadata(root, version, md)
+    matched.size.toLong
+  }
+
   // ---------- data plane ----------
 
   private case class WrittenFile(name: String, size: Long, records: Long)
@@ -274,11 +385,11 @@ object IcebergWriter {
     * location→root remap serves relocated/copied tables.
     */
   private def writeManifest(root: Path, location: String,
-      files: Seq[WrittenFile]): String = {
+      files: Seq[WrittenFile], content: Int = 0): String = {
     val dfSchema = entrySchema.getField("data_file").schema()
     val recs = files.map { f =>
       val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
+      d.put("content", content)
       d.put("file_path", s"$location/data/${f.name}")
       d.put("file_format", "PARQUET")
       d.put("partition",

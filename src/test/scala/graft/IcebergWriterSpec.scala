@@ -123,6 +123,30 @@ class IcebergWriterSpec extends SparkSpec {
     }.getMessage.contains("already an iceberg table"))
   }
 
+  test("deleteWhere: position deletes, repeat deletes, appends unaffected") {
+    val path = tmp("del")
+    IcebergWriter.create(
+      (0 to 9).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") % 2 === 1) == 5L)
+    assert(IcebergReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    // snapshot 1 (pre-delete) still sees everything
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L)).count() == 10L)
+    // repeat: already-deleted rows don't match again
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") < 3) == 2L)
+    assert(IcebergReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(4L, 6L, 8L))
+    // no match → no new snapshot
+    val hintBefore = Files.readString(Paths.get(path, "metadata", "version-hint.text"))
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") > 100) == 0L)
+    assert(Files.readString(Paths.get(path, "metadata", "version-hint.text"))
+      == hintBefore)
+    // rows appended AFTER a delete carry a higher data seq — untouched
+    IcebergWriter.append(Seq((1L, "again")).toDF("id", "v"), path)
+    assert(IcebergReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
+  }
+
   test("a lost same-version commit race surfaces as an error, not a clobber") {
     val path = tmp("race")
     IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
