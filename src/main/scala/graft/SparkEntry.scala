@@ -736,6 +736,45 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_upsert" -> ((s, dir) => {
+      // MERGE-shaped upsert: region<2 rows come back with upper-cased
+      // names (update), the rest pass through untouched
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_ups_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(nation, root.toString)
+          graft.output.DeltaWriter.upsert(
+            nation.filter(col("n_regionkey") < 2)
+              .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+                col("n_regionkey")),
+            root.toString, Seq("n_nationkey"))
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_ups_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.upsert(
+            nation.filter(col("n_regionkey") < 2)
+              .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+                col("n_regionkey")),
+            root.toString, Seq("n_nationkey"))
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_delete" -> ((s, dir) => {
       // position-delete round-trip: create from nation, mark odd keys
       // deleted (one content=1 manifest), read the live rows back
@@ -1720,6 +1759,14 @@ object SparkEntry {
     "q_iceberg_delete" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_upsert" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
+        |  n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_upsert" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
+        |  n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

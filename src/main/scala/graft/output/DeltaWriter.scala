@@ -258,7 +258,39 @@ object DeltaWriter {
   val MaxInlinePositions: Int = 1 << 20
 
   def deleteWhere(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column): Long =
+    deleteMatching(spark, path, _.filter(predicate))
+
+  /** UPSERT (the two-statement MERGE): rows whose `keyCols` match a row
+    * of `updates` are DV-deleted, then `updates` appends in one new
+    * commit right after — readers at the final version see exactly
+    * base − matched + updates. The probe is a broadcast LEFT SEMI join
+    * of the live table against the update batch's keys (CDC batches are
+    * small against a lake; a too-big-to-broadcast batch belongs to a
+    * partition-scoped rewrite instead). Returns (deleted, inserted).
+    * Non-atomic across the two commits by construction — single-writer
+    * tables observe no intermediate reader, and a crash between them
+    * resumes by re-running the upsert (the delete is idempotent: matched
+    * rows are already gone).
+    */
+  def upsert(updates: DataFrame, path: String,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    val deleted = deleteMatching(spark, path,
+      live => live.join(broadcast(keys), keyCols, "left_semi"))
+    append(updates, path)
+    (deleted, updates.count())
+  }
+
+  /** Shared DV-delete core: `matcher` narrows the LIVE table frame (which
+    * carries `__f`/`__p` file-position columns) to the rows to delete.
+    */
+  private def deleteMatching(spark: SparkSession, path: String,
+      matcher: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
@@ -293,7 +325,7 @@ object DeltaWriter {
               .withColumnRenamed("__dv_file", "__f")
               .withColumnRenamed("__dv_pos", "__p"),
             Seq("__f", "__p"), "left_anti")
-        live.filter(predicate).select(col("__f"), col("__p"))
+        matcher(live).select(col("__f"), col("__p"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       }
     if (matched.isEmpty) return 0L

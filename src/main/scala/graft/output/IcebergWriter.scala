@@ -223,7 +223,31 @@ object IcebergWriter {
     * delete-file write.
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column): Long =
+    deleteMatching(spark, path, _.filter(predicate))
+
+  /** UPSERT, the [[DeltaWriter.upsert]] twin: position-delete the rows
+    * whose `keyCols` match the update batch (broadcast LEFT SEMI probe),
+    * then append the batch as the next snapshot. Returns
+    * (deleted, inserted); same CDC-scale contract and crash-resume
+    * semantics as the Delta twin.
+    */
+  def upsert(updates: DataFrame, path: String,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val keys = updates.select(
+      keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val deleted = deleteMatching(spark, path,
+      live => live.join(broadcast(keys), keyCols, "left_semi"))
+    append(updates, path)
+    (deleted, updates.count())
+  }
+
+  private def deleteMatching(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      matcher: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
@@ -268,7 +292,7 @@ object IcebergWriter {
           .select(norm(col("file_path")).as("__f"), col("pos").as("__p")))
           .reduce(_ union _),
         Seq("__f", "__p"), "left_anti")
-    val matched = live.filter(predicate).select(col("__f"), col("__p"))
+    val matched = matcher(live).select(col("__f"), col("__p"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (matched.isEmpty) return 0L
 

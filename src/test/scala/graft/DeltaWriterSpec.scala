@@ -228,6 +228,16 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.take(6) == Seq(8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("upsert updates matched keys and inserts new ones") {
+    val path = tmp("ups")
+    DeltaWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val (deleted, inserted) = DeltaWriter.upsert(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(deleted == 1L && inserted == 2L)
+    assert(DeltaLogReader.read(spark, path).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("deleteWhere on a partitioned table honors partition-column predicates") {
     val path = tmp("delpart")
     DeltaWriter.create(

@@ -147,6 +147,16 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
   }
 
+  test("upsert updates matched keys and inserts new ones") {
+    val path = tmp("ups")
+    IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val (deleted, inserted) = IcebergWriter.upsert(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(deleted == 1L && inserted == 2L)
+    assert(IcebergReader.read(spark, path).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("a lost same-version commit race surfaces as an error, not a clobber") {
     val path = tmp("race")
     IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
