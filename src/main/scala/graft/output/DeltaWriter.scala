@@ -58,15 +58,36 @@ object DeltaWriter {
     * micro-batches are detected via [[lastTxnVersion]] and skipped.
     */
   def append(df: DataFrame, path: String,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Unit = {
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
-    require(snap.schema == df.schema,
-      s"append schema mismatch: table has ${snap.schema.simpleString}, " +
-        s"got ${df.schema.simpleString}")
+    val evolved = snap.schema != df.schema
+    if (evolved && !mergeSchema)
+      throw new IllegalArgumentException(
+        s"append schema mismatch: table has ${snap.schema.simpleString}, " +
+          s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
+    // add-column evolution only: every existing column must survive with
+    // its type (old files serve NULL for added columns via the reader's
+    // pinned-schema scan — exactly delta's mergeSchema contract; drops
+    // and retypes need a rewrite, not an append)
+    if (evolved) {
+      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val broken = snap.schema.fields.filterNot(f =>
+        incoming.get(f.name).contains(f.dataType))
+      require(broken.isEmpty,
+        s"mergeSchema only ADDS columns; missing/retyped: " +
+          broken.map(_.name).mkString(", "))
+      require(df.schema.fields.filterNot(f =>
+          snap.schema.fieldNames.contains(f.name)).forall(_.nullable),
+        "added columns must be nullable (old files have no values for them)")
+    }
     val files = writeData(df, root, snap.partitionColumns)
     val version = nextVersion(root)
-    commit(root, version, txnActions(txn) ++ files.map(addAction(_)))
+    val mdAction =
+      if (!evolved) Nil
+      else Seq(s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(df.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""$c"""").mkString(",")}],"configuration":{${snap.configuration.map { case (k, v) => s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}""" }.mkString(",")}},"createdTime":0}}""")
+    commit(root, version, mdAction ++ txnActions(txn) ++ files.map(addAction(_)))
     maybeCheckpoint(df.sparkSession, root, version)
   }
 

@@ -100,8 +100,10 @@ object IcebergWriter {
     * marks exactly this way), consumed by [[lastSummaryValue]].
     */
   def append(df: DataFrame, path: String,
-      summary: Map[String, String] = Map.empty): Unit =
-    commitSnapshot(df, path, carryForward = true, operation = "append", summary)
+      summary: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Unit =
+    commitSnapshot(df, path, carryForward = true, operation = "append",
+      summary, mergeSchema)
 
   def overwrite(df: DataFrame, path: String,
       summary: Map[String, String] = Map.empty): Unit =
@@ -135,7 +137,8 @@ object IcebergWriter {
 
   private def commitSnapshot(df: DataFrame, path: String,
       carryForward: Boolean, operation: String,
-      summary: Map[String, String]): Unit = {
+      summary: Map[String, String],
+      mergeSchema: Boolean = false): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
@@ -143,12 +146,15 @@ object IcebergWriter {
       s"can only commit to iceberg format-version 2 tables, " +
         s"found ${md.get("format-version").asInt()} at $path")
     // fail-fast on drift between the incoming frame and the table schema
-    // (no silent evolution — the DeltaWriter contract)
+    // unless mergeSchema authorizes add-column evolution
     val (tableSchema, _) = graft.sources.IcebergReader.currentSchema(md)
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-    require(shape(tableSchema) == shape(df.schema),
-      s"$operation schema mismatch: table has ${tableSchema.simpleString}, " +
-        s"got ${df.schema.simpleString}")
+    val evolved = shape(tableSchema) != shape(df.schema)
+    if (evolved && !mergeSchema)
+      throw new IllegalArgumentException(
+        s"$operation schema mismatch: table has ${tableSchema.simpleString}, " +
+          s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
+    if (evolved) evolveSchema(md, tableSchema, df.schema)
 
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
@@ -502,6 +508,70 @@ object IcebergWriter {
   private def versionOf(p: Path): Long =
     "\\d+".r.findFirstIn(p.getFileName.toString).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"unversioned metadata file $p"))
+
+  /** Add-column schema evolution (spec "Schema Evolution"): a NEW schema
+    * entry is appended with the next schema-id — existing fields keep
+    * their nodes (and therefore their field IDS, the thing Iceberg
+    * evolution is built around) copied verbatim from the current schema;
+    * added fields get fresh ids continuing from `last-column-id`. Old
+    * data files serve NULL for the added columns (the reader pins the
+    * current schema over every file). Drops and retypes are rejected.
+    */
+  private def evolveSchema(md: ObjectNode, tableSchema: StructType,
+      incoming: StructType): Unit = {
+    val existingTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val broken = tableSchema.fields.filterNot(f =>
+      incoming.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    require(broken.isEmpty,
+      s"mergeSchema only ADDS columns; missing/retyped: " +
+        broken.map(_.name).mkString(", "))
+    require(incoming.fields.filterNot(f => existingTypes.contains(f.name))
+        .forall(_.nullable),
+      "added columns must be nullable (old files have no values for them)")
+
+    val schemas = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val curId = md.get("current-schema-id").asInt()
+    val cur = schemas.elements().asScala
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalStateException("current schema missing"))
+    val oldFieldNodes: Map[String, JsonNode] = cur.get("fields")
+      .elements().asScala.map(f => f.get("name").asText() -> f).toMap
+
+    var lastCol = md.get("last-column-id").asInt()
+    def shiftIds(n: JsonNode, offset: Int): Unit = n match {
+      case o: ObjectNode =>
+        Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+          if (o.has(k)) o.put(k, o.get(k).asInt() + offset)
+        }
+        o.properties().asScala.foreach(e => shiftIds(e.getValue, offset))
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        a.elements().asScala.foreach(shiftIds(_, offset))
+      case _ => ()
+    }
+    val newSchemaId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    node.put("schema-id", newSchemaId)
+    val fields = mapper.createArrayNode()
+    incoming.fields.foreach { f =>
+      oldFieldNodes.get(f.name) match {
+        case Some(old) => fields.add(old.deepCopy[JsonNode]())
+        case None =>
+          // build the single new field with fresh ids: local ids 1..k
+          // inside a one-field schema, shifted past last-column-id
+          val (single, k) = icebergSchema(StructType(Seq(f)))
+          val fn = single.get("fields").get(0).deepCopy[JsonNode]()
+          shiftIds(fn, lastCol)
+          lastCol += k
+          fields.add(fn)
+      }
+    }
+    node.set[JsonNode]("fields", fields)
+    schemas.add(node)
+    md.put("current-schema-id", newSchemaId)
+    md.put("last-column-id", lastCol)
+  }
 
   // ---------- Spark → Iceberg schema ----------
 

@@ -41,7 +41,8 @@ object DeltaLogReader {
       schema: StructType,
       partitionColumns: Seq[String],
       configuration: Map[String, String],
-      files: Seq[AddFile]) {
+      files: Seq[AddFile],
+      metaDataId: String = "graft") {
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
     def dataSchema: StructType =
@@ -82,6 +83,7 @@ object DeltaLogReader {
     var schema: StructType = null
     var partitionCols: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
+    var metaDataId: String = "graft"
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
     /** Apply one checkpoint parquet's action rows; v2 manifests carry
@@ -98,6 +100,7 @@ object DeltaLogReader {
             schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
             partitionCols = md.get("partitionColumns").elements().asScala.map(_.asText).toSeq
             configuration = jsonMap(md.get("configuration"))
+            metaDataId = Option(md.get("id")).map(_.asText).getOrElse(metaDataId)
           }
           Option(row.get("add")).filterNot(_.isNull).foreach { a =>
             val add = parseAdd(a); adds(add.path) = add
@@ -142,6 +145,7 @@ object DeltaLogReader {
           schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
           partitionCols = md.get("partitionColumns").elements().asScala.map(_.asText).toSeq
           configuration = jsonMap(md.get("configuration"))
+          metaDataId = Option(md.get("id")).map(_.asText).getOrElse(metaDataId)
         }
         if (action.has("add")) {
           val a = parseAdd(action.get("add"))
@@ -153,7 +157,8 @@ object DeltaLogReader {
     }
     require(schema != null, s"no metaData action found in $tablePath")
     val version = commitFiles.lastOption.map(versionOf).orElse(cp).getOrElse(0L)
-    Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq)
+    Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq,
+      metaDataId)
   }
 
   private def parseAdd(a: JsonNode): AddFile = {

@@ -228,6 +228,28 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.take(6) == Seq(8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("mergeSchema append adds nullable columns; old files serve NULL") {
+    val path = tmp("evo")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    // without the flag, evolution stays an error
+    intercept[IllegalArgumentException] {
+      DeltaWriter.append(Seq((2L, "b", Some(5L))).toDF("id", "v", "w"), path)
+    }
+    DeltaWriter.append(Seq((2L, "b", Some(5L))).toDF("id", "v", "w"), path,
+      mergeSchema = true)
+    val back = DeltaLogReader.read(spark, path).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).isNullAt(2) && back(1).getLong(2) == 5L)
+    // table identity survives the metaData rewrite
+    assert(DeltaLogReader.snapshot(spark, path).metaDataId ==
+      DeltaLogReader.snapshot(spark, path, Some(0L)).metaDataId)
+    // dropping or retyping stays rejected even with the flag
+    intercept[IllegalArgumentException] {
+      DeltaWriter.append(Seq((3L, "c")).toDF("id", "v"), path,
+        mergeSchema = true)
+    }
+  }
+
   test("upsert updates matched keys and inserts new ones") {
     val path = tmp("ups")
     DeltaWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)

@@ -147,6 +147,35 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
   }
 
+  test("mergeSchema append preserves field ids and serves NULL from old files") {
+    val path = tmp("evo")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(Seq((2L, "b", Some(5L))).toDF("id", "v", "w"), path)
+    }
+    IcebergWriter.append(Seq((2L, "b", Some(5L))).toDF("id", "v", "w"), path,
+      mergeSchema = true)
+    val back = IcebergReader.read(spark, path).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).isNullAt(2) && back(1).getLong(2) == 5L)
+    // evolution appended a NEW schema entry; existing field ids survive,
+    // the added column continues from last-column-id
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    assert(md.get("current-schema-id").asInt() == 1)
+    import scala.jdk.CollectionConverters._
+    val cur = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == 1).get
+    val ids = cur.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    assert(ids == Map("id" -> 1, "v" -> 2, "w" -> 3), ids.toString)
+    assert(md.get("last-column-id").asInt() == 3)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(Seq((3L, "c")).toDF("id", "v"), path,
+        mergeSchema = true)
+    }
+  }
+
   test("upsert updates matched keys and inserts new ones") {
     val path = tmp("ups")
     IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
