@@ -736,6 +736,26 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_changes" -> ((s, dir) => {
+      // append-only change feed: create with region<2 (version 0), append
+      // the rest (version 1), poll changes after version 0 — only the
+      // appended rows flow, each tagged _commit_version=1
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_chg_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(
+            nation.filter(col("n_regionkey") < 2), root.toString)
+          graft.output.DeltaWriter.append(
+            nation.filter(col("n_regionkey") >= 2), root.toString)
+        }
+      }
+      graft.sources.DeltaLogReader.readAppends(s, root.toString,
+          afterVersion = 0L)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_delta_upsert" -> ((s, dir) => {
       // MERGE-shaped upsert: region<2 rows come back with upper-cased
       // names (update), the rest pass through untouched
@@ -1759,6 +1779,10 @@ object SparkEntry {
     "q_iceberg_delete" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(1 AS BIGINT) AS _commit_version
+        |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
     "q_delta_upsert" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,

@@ -346,4 +346,95 @@ object DeltaLogReader {
     */
   def embeddedConfig(spark: SparkSession, tablePath: String): Option[String] =
     snapshot(spark, tablePath).configuration.get("lakeapi.config")
+
+  /** Append-only change feed: the rows ADDED by commits in
+    * `(afterVersion, untilVersion]`, tagged with `_commit_version` — the
+    * incremental-consumption contract `dataChange` exists for: maintenance
+    * commits (optimize / z-order / vacuum's `dataChange=false` swaps) are
+    * invisible to the feed, so a downstream pipeline polling a
+    * [[graft.output.DeltaSink]]-fed table re-reads nothing when the table
+    * is merely compacted. Non-append-only history in range — a remove or
+    * a DV'd add with `dataChange=true` (deleteWhere / overwrite / upsert's
+    * delete half) — fails LOUDLY: those commits change rows this feed
+    * cannot express, and a silent skip would desync the consumer (the
+    * answer there is a full refresh, exactly Delta CDF's own rule for
+    * tables without the CDF flag).
+    *
+    * Scale: the commit JSONs in range are scanned driver-side
+    * (metadata-plane, O(commits polled)); the added files are read in one
+    * distributed scan with the CURRENT schema pinned (added columns
+    * backfill NULL for pre-evolution commits).
+    */
+  def readAppends(spark: SparkSession, tablePath: String,
+      afterVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
+    val snap = snapshot(spark, tablePath) // current schema for the scan
+    require(snap.columnMappingMode == "none",
+      "readAppends does not support column-mapped tables")
+    val upper = untilVersion.getOrElse(snap.version)
+    val commits = listDir(logDir)
+      .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter(p => versionOf(p) > afterVersion && versionOf(p) <= upper)
+      .sortBy(versionOf)
+    // versions must be contiguous from afterVersion+1 — a vacuumed/
+    // checkpointed-away gap means missed changes, not an empty feed
+    val versions = commits.map(versionOf)
+    require(versions == (afterVersion + 1 to upper),
+      s"commit range ($afterVersion, $upper] has gaps: " +
+        s"found ${versions.mkString(",")} — feed history is incomplete, " +
+        "full-refresh the consumer")
+    case class Tagged(file: AddFile, version: Long)
+    val added = commits.flatMap { p =>
+      val v = versionOf(p)
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
+        val action = mapper.readTree(line)
+        val rm = Option(action.get("remove")).filterNot(_.isNull)
+        require(!rm.exists(r =>
+            Option(r.get("dataChange")).forall(_.asBoolean)),
+          s"commit $v removes data (overwrite/delete) — not an " +
+            "append-only range; full-refresh the consumer")
+        Option(action.get("add")).filterNot(_.isNull).flatMap { a =>
+          val dataChange = Option(a.get("dataChange")).forall(_.asBoolean)
+          if (!dataChange) None
+          else {
+            val add = parseAdd(a)
+            require(add.deletionVector.isEmpty,
+              s"commit $v rewrites deletion vectors — not an append-only " +
+                "range; full-refresh the consumer")
+            Some(Tagged(add, v))
+          }
+        }
+      }
+    }
+    val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields :+
+          StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    def abs(f: AddFile): String =
+      Paths.get(s"$tablePath/${f.path}").toAbsolutePath.normalize.toString
+    def normFile(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    // one scan per partition group (partition values live in the log, not
+    // the files); the per-file commit version rides a broadcast
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val partFields = snap.partitionColumns.map(c => snap.schema(c))
+    val scanned = added.groupBy(_.file.partitionValues).map { case (pv, ts) =>
+      val base = spark.read.schema(snap.dataSchema)
+        .parquet(ts.map(t => abs(t.file)): _*)
+        .withColumn("__cf", normFile(col("_metadata.file_path")))
+      partFields.foldLeft(base) { (acc, f) =>
+        val raw = pv.getOrElse(f.name, null)
+        acc.withColumn(f.name,
+          (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
+      }
+    }.reduce(_ unionByName _)
+    val versionDf = org.apache.spark.sql.functions.broadcast(
+      added.map(t => (abs(t.file), t.version)).toDF("__cf", "_commit_version"))
+    scanned.join(versionDf, Seq("__cf"))
+      .select(dataCols :+ col("_commit_version"): _*)
+  }
 }

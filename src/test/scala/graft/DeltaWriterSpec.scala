@@ -228,6 +228,37 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.take(6) == Seq(8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("readAppends: maintenance-invisible incremental feed; deletes and " +
+      "gaps fail loudly") {
+    import graft.streaming.DeltaSink
+    val path = tmp("cdf")
+    (0 to 2).foreach(i => DeltaSink.appendBatch(
+      Seq((i.toLong, s"b$i")).toDF("id", "v"), path, "cdf", i.toLong))
+    val v2 = DeltaLogReader.snapshot(spark, path).version
+    DeltaWriter.optimize(spark, path) // dataChange=false — invisible
+    DeltaSink.appendBatch(Seq((3L, "b3")).toDF("id", "v"), path, "cdf", 3L)
+    val feed = DeltaLogReader.readAppends(spark, path, afterVersion = v2)
+    assert(feed.select("id").as[Long].collect().toSeq == Seq(3L),
+      "compaction rows must NOT re-enter the feed")
+    assert(feed.select("_commit_version").as[Long].collect().toSeq
+      == Seq(v2 + 2))
+    // an empty poll window yields an empty, correctly-typed frame
+    val empty = DeltaLogReader.readAppends(spark, path,
+      DeltaLogReader.snapshot(spark, path).version)
+    assert(empty.isEmpty && empty.columns.contains("_commit_version"))
+    // a delete in range cannot be expressed append-only — loud error
+    DeltaWriter.deleteWhere(spark, path, col("id") === 0L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLogReader.readAppends(spark, path, v2)
+    }.getMessage.contains("full-refresh"))
+    // a gap in the commit range (vacuumed history) is an error, not an
+    // empty feed
+    Files.delete(Paths.get(path, "_delta_log", f"${v2 + 1}%020d.json"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLogReader.readAppends(spark, path, v2 - 1)
+    }.getMessage.contains("gaps"))
+  }
+
   test("mergeSchema append adds nullable columns; old files serve NULL") {
     val path = tmp("evo")
     DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
