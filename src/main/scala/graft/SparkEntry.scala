@@ -795,6 +795,27 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_changes" -> ((s, dir) => {
+      // incremental feed: create with region<2 (snapshot 1), append the
+      // rest (snapshot 2), poll after snapshot 1 — only the appended rows
+      // flow, tagged with their commit's sequence number
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_chg_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(
+            nation.filter(col("n_regionkey") < 2), root.toString)
+          graft.output.IcebergWriter.append(
+            nation.filter(col("n_regionkey") >= 2), root.toString)
+        }
+      }
+      graft.sources.IcebergReader.readAppends(s, root.toString,
+          afterSnapshotId = 1L)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_delete" -> ((s, dir) => {
       // position-delete round-trip: create from nation, mark odd keys
       // deleted (one content=1 manifest), read the live rows back
@@ -1782,6 +1803,10 @@ object SparkEntry {
     "q_delta_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(1 AS BIGINT) AS _commit_version
+        |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(2 AS BIGINT) AS _snapshot_seq
         |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
     "q_delta_upsert" ->
       """SELECT n_nationkey,

@@ -346,6 +346,61 @@ object IcebergWriter {
     matched.size.toLong
   }
 
+  /** Snapshot expiration — the [[DeltaWriter.vacuum]] analog (and the
+    * bound on [[graft.streaming.IcebergSink]]'s one-snapshot-per-batch
+    * metadata growth): keep the newest `keepLast` snapshots, drop the
+    * rest from the metadata, and delete every data file, manifest and
+    * manifest list referenced ONLY by dropped snapshots. Returns the
+    * number of files deleted. Time travel to an expired snapshot fails
+    * at metadata resolution (unknown snapshot id) — the standard trade
+    * of history for space; the current snapshot and everything it
+    * references are never touched. Driver-side, file-count-proportional.
+    */
+  def expireSnapshots(path: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    val location = Option(md.get("location")).map(_.asText())
+      .getOrElse(root.toString)
+    val snaps = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toVector
+    if (snaps.size <= keepLast) return 0
+    val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
+    val (dropped, kept) = sorted.splitAt(sorted.size - keepLast)
+    val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
+    require(currentId.forall(id =>
+        kept.exists(_.get("snapshot-id").asLong() == id)),
+      "refusing to expire the current snapshot")
+
+    // full local reference closure of one snapshot: its manifest list,
+    // every manifest, every file those manifests name (any content)
+    def refs(snap: JsonNode): Set[Path] = {
+      val list = remapLocal(snap.get("manifest-list").asText(), location, root)
+      val out = Set.newBuilder[Path]
+      out += Paths.get(list)
+      readAvro(list).foreach { m =>
+        val manifest = remapLocal(m.get("manifest_path").toString, location, root)
+        out += Paths.get(manifest)
+        readAvro(manifest).foreach { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          out += Paths.get(remapLocal(d.get("file_path").toString, location, root))
+        }
+      }
+      out.result()
+    }
+    val keepRefs = kept.flatMap(refs).toSet
+    val victims = (dropped.flatMap(refs).toSet -- keepRefs)
+      .filter(p => p.startsWith(root) && Files.exists(p))
+    victims.foreach(Files.delete(_))
+
+    val arr = mapper.createArrayNode()
+    kept.foreach(s => arr.add(s.deepCopy[JsonNode]()))
+    md.set[JsonNode]("snapshots", arr)
+    commitMetadata(root, versionOf(mdFile) + 1, md)
+    victims.size
+  }
+
   // ---------- data plane ----------
 
   private case class WrittenFile(name: String, size: Long, records: Long)

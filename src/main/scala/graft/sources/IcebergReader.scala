@@ -309,6 +309,51 @@ object IcebergReader {
     afterEq.select(dataCols: _*)
   }
 
+  /** Append-only incremental feed, the Iceberg twin of
+    * [[DeltaLogReader.readAppends]]: the rows of data files whose data
+    * sequence number is GREATER than `afterSnapshotId`'s sequence number,
+    * tagged `_snapshot_seq` — polling consumers of an
+    * [[graft.output.IcebergWriter]]-fed table re-read only new commits.
+    * Any position/equality delete file sequenced after the baseline makes
+    * the range non-append-only and fails LOUDLY (a delete changes rows
+    * this feed cannot express); deletes at or before the baseline cannot
+    * touch the newer files (position deletes apply only at
+    * delete seq >= data seq), so they are safely ignored. An expired /
+    * unknown baseline snapshot errors rather than silently replaying
+    * everything.
+    */
+  def readAppends(spark: SparkSession, tablePath: String,
+      afterSnapshotId: Long): DataFrame = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    val afterSeq = Option(rootNode.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == afterSnapshotId)
+      .map(s => Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"baseline snapshot $afterSnapshotId not found (expired?) — " +
+          "full-refresh the consumer"))
+    val snap = resolveSnapshot(tablePath, snapshotId = None)
+    val lateDeletes = (snap.positionDeletes ++ snap.equalityDeletes)
+      .filter(_.seq > afterSeq)
+    require(lateDeletes.isEmpty,
+      s"${lateDeletes.size} delete file(s) sequenced after snapshot " +
+        s"$afterSnapshotId — not an append-only range; full-refresh " +
+        "the consumer")
+    val newData = snap.dataFiles.filter(_.seq > afterSeq)
+    val outSchema = StructType(snap.schema.fields :+
+      StructField("_snapshot_seq", LongType))
+    if (newData.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    // one scan per distinct commit seq (few), each tagged with a literal
+    newData.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
+      spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+        .select(dataCols :+ lit(seq).as("_snapshot_seq"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   // ---------- helpers ----------
 
   /** Paths inside metadata carry the table's declared `location` (often a

@@ -147,6 +147,34 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
   }
 
+  test("readAppends: incremental feed; deletes in range and unknown " +
+      "baselines fail loudly") {
+    val path = tmp("chg")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)      // seq 1
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)      // seq 2
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "v"), path)      // seq 3
+    val feed = IcebergReader.readAppends(spark, path, afterSnapshotId = 1L)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(feed.select("_snapshot_seq").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    // empty window, correctly typed
+    val empty = IcebergReader.readAppends(spark, path, afterSnapshotId = 3L)
+    assert(empty.isEmpty && empty.columns.contains("_snapshot_seq"))
+    // a delete sequenced after the baseline → loud error
+    IcebergWriter.deleteWhere(spark, path, col("id") === 1L)        // seq 4
+    assert(intercept[IllegalArgumentException] {
+      IcebergReader.readAppends(spark, path, afterSnapshotId = 2L)
+    }.getMessage.contains("full-refresh"))
+    // but a baseline AFTER the delete reads clean again
+    IcebergWriter.append(Seq((4L, "d")).toDF("id", "v"), path)      // seq 5
+    assert(IcebergReader.readAppends(spark, path, afterSnapshotId = 4L)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // unknown baseline
+    assert(intercept[IllegalArgumentException] {
+      IcebergReader.readAppends(spark, path, afterSnapshotId = 99L)
+    }.getMessage.contains("full-refresh"))
+  }
+
   test("mergeSchema append preserves field ids and serves NULL from old files") {
     val path = tmp("evo")
     IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
@@ -210,6 +238,30 @@ class IcebergWriterSpec extends SparkSpec {
     // the orphan is unreferenced; the table reads exactly what was committed
     assert(IcebergReader.read(spark, path).collect().map(_.getLong(0)).toSeq
       == Seq(1L))
+  }
+
+  test("expireSnapshots trims history, reclaims overwritten files, " +
+      "keeps the current snapshot whole") {
+    val path = tmp("exp")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)   // snap 1
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)   // snap 2
+    IcebergWriter.overwrite(Seq((9L, "z")).toDF("id", "v"), path) // snap 3
+    import scala.jdk.CollectionConverters._
+    def dataFiles() = Files.list(Paths.get(path, "data"))
+      .iterator().asScala.size
+    assert(dataFiles() == 3)
+    val deleted = IcebergWriter.expireSnapshots(path, keepLast = 1)
+    // snaps 1+2's data files and their manifests/lists are gone
+    assert(deleted > 0 && dataFiles() == 1)
+    val now = IcebergReader.read(spark, path).collect()
+    assert(now.length == 1 && now.head.getLong(0) == 9L)
+    // expired snapshots no longer time-travel
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, path, snapshotId = Some(1L))
+    }
+    // idempotent; the survivor is never expired
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) == 0)
+    assert(IcebergReader.read(spark, path).count() == 1L)
   }
 
   test("streaming sink: summary idempotence and end-to-end micro-batches") {

@@ -89,6 +89,27 @@ class JdbcDriverSpec extends SparkSpec {
     assert(germany.count() == 4)
   }
 
+  test("partitioned JDBC read: Spark fans out ranged WHERE queries") {
+    assume(new java.io.File(chinook).canRead)
+    // 4 partitions → 4 independent driver queries with range predicates
+    // like `"CustomerId" >= 16 AND "CustomerId" < 31` (plus the null and
+    // edge partitions) — each evaluated by MiniSql over native pages
+    val df = spark.read.format("jdbc")
+      .options(driverOpt)
+      .option("url", url(chinook))
+      .option("dbtable", "(SELECT \"CustomerId\", \"Country\" FROM customers) c")
+      .option("partitionColumn", "CustomerId")
+      .option("lowerBound", "1")
+      .option("upperBound", "60")
+      .option("numPartitions", "4")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 59) // no row lost or duplicated across ranges
+    assert(df.select("CustomerId").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (1L to 59L))
+  }
+
   test("the driver is read-only and rejects foreign URLs") {
     val d = new GraftSQLiteDriver
     assert(!d.acceptsURL("jdbc:sqlite:/tmp/x.db"))
