@@ -42,13 +42,28 @@ object DeltaSink {
     // else: replayed batch, already committed — exactly-once by skip
   }
 
+  /** `compactEvery = Some(n)` runs [[graft.output.DeltaWriter.optimize]]
+    * after every n-th micro-batch — the sink maintains its own
+    * small-file hygiene instead of waiting for an out-of-band job. The
+    * compaction commit is `dataChange=false`, so neither the txn
+    * high-water mark nor [[graft.sources.DeltaLogReader.readAppends]]
+    * consumers observe it; a replayed trigger re-compacting is a no-op
+    * (nothing under the size target remains).
+    */
   def start(df: DataFrame, path: String, checkpointDir: String,
-      appId: String = "graft-delta-sink"): StreamingQuery =
+      appId: String = "graft-delta-sink",
+      compactEvery: Option[Int] = None,
+      targetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         appendBatch(batch.toDF(), path, appId, id)
+        if (compactEvery.exists(n => id > 0 && id % n == 0)) {
+          graft.output.DeltaWriter.optimize(batch.sparkSession, path,
+            targetBytes)
+          ()
+        }
       }
       .start()
 }

@@ -45,13 +45,29 @@ object IcebergSink {
     // else: replayed batch, already committed — exactly-once by skip
   }
 
+  /** `expireEvery = Some(n)` runs
+    * [[graft.output.IcebergWriter.expireSnapshots]] after every n-th
+    * micro-batch, keeping `keepSnapshots` — the sink bounds its own
+    * metadata growth (one snapshot per batch otherwise accumulates
+    * forever). `keepSnapshots` must comfortably exceed any reader's
+    * time-travel/incremental-poll horizon; the per-appId high-water
+    * marks live in the KEPT snapshots' summaries, so keepSnapshots >= 1
+    * always preserves idempotence (the newest snapshot carries the
+    * highest batch id).
+    */
   def start(df: DataFrame, path: String, checkpointDir: String,
-      appId: String = "graft-iceberg-sink"): StreamingQuery =
+      appId: String = "graft-iceberg-sink",
+      expireEvery: Option[Int] = None,
+      keepSnapshots: Int = 10): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         appendBatch(batch.toDF(), path, appId, id)
+        if (expireEvery.exists(n => id > 0 && id % n == 0)) {
+          graft.output.IcebergWriter.expireSnapshots(path, keepSnapshots)
+          ()
+        }
       }
       .start()
 }

@@ -228,6 +228,32 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.take(6) == Seq(8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("sink auto-compaction keeps the file count bounded") {
+    import graft.streaming.DeltaSink
+    val path = tmp("autoc")
+    val cp = tmp("autocp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = DeltaSink.start(input.toDF().toDF("id", "v"), path, cp,
+      compactEvery = Some(2))
+    try {
+      (0 to 4).foreach { i =>
+        input.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+      val snap = DeltaLogReader.snapshot(spark, path)
+      // 5 one-file batches, compacted after batches 2 and 4 — the live
+      // set never grows linearly with the batch count
+      assert(snap.files.size <= 2,
+        s"expected a compacted layout, got ${snap.files.size} files")
+      assert(DeltaLogReader.read(spark, path).select("id")
+        .as[Long].collect().sorted.toSeq == (0L to 4L))
+      assert(DeltaWriter.lastTxnVersion(path, "graft-delta-sink")
+        .contains(4L))
+    } finally q.stop()
+  }
+
   test("readAppends: maintenance-invisible incremental feed; deletes and " +
       "gaps fail loudly") {
     import graft.streaming.DeltaSink

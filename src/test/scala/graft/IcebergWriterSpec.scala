@@ -240,6 +240,34 @@ class IcebergWriterSpec extends SparkSpec {
       == Seq(1L))
   }
 
+  test("sink auto-expiration bounds the snapshot count") {
+    import graft.streaming.IcebergSink
+    val path = tmp("autoe")
+    val cp = tmp("autoecp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IcebergSink.start(input.toDF().toDF("id", "v"), path, cp,
+      expireEvery = Some(2), keepSnapshots = 2)
+    try {
+      (0 to 5).foreach { i =>
+        input.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+      // 6 one-snapshot batches; expiration after batches 2 and 4 keeps
+      // the metadata from growing one entry per batch forever
+      val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readString(IcebergReader.currentMetadataFile(path)))
+      assert(md.get("snapshots").size() <= 3,
+        s"expected a bounded snapshot list, got ${md.get("snapshots").size()}")
+      // all rows survive (appends carry forward) and idempotence holds
+      assert(IcebergReader.read(spark, path).select("id")
+        .as[Long].collect().sorted.toSeq == (0L to 5L))
+      assert(IcebergWriter.lastSummaryLong(path, "graft-batch-id",
+        "graft-app-id", "graft-iceberg-sink").contains(5L))
+    } finally q.stop()
+  }
+
   test("expireSnapshots trims history, reclaims overwritten files, " +
       "keeps the current snapshot whole") {
     val path = tmp("exp")
