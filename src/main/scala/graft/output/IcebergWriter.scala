@@ -232,73 +232,175 @@ object IcebergWriter {
       predicate: org.apache.spark.sql.Column): Long =
     deleteMatching(spark, path, _.filter(predicate))
 
-  /** UPSERT, the [[DeltaWriter.upsert]] twin: position-delete the rows
-    * whose `keyCols` match the update batch (broadcast LEFT SEMI probe),
-    * then append the batch as the next snapshot. Returns
-    * (deleted, inserted); same CDC-scale contract and crash-resume
-    * semantics as the Delta twin.
+  /** UPSERT, Iceberg-native and ATOMIC: ONE snapshot carries an EQUALITY
+    * DELETE file over `keyCols` (spec "Equality Delete Files" — the
+    * mechanism streaming engines use for exactly this) plus the update
+    * batch's data files. Equality deletes apply STRICTLY to older rows
+    * (data seq < delete seq), so the batch's own files — committed at the
+    * same sequence number — are untouched, and readers never observe a
+    * deleted-but-not-yet-reinserted state (unlike the Delta twin's
+    * two-commit shape). Returns (matched-before, inserted).
     */
   def upsert(updates: DataFrame, path: String,
       keyCols: Seq[String]): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val spark = updates.sparkSession
-    import org.apache.spark.sql.functions.broadcast
-    val keys = updates.select(
-      keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-    val deleted = deleteMatching(spark, path,
-      live => live.join(broadcast(keys), keyCols, "left_semi"))
-    append(updates, path)
-    (deleted, updates.count())
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val st = loadState(path)
+    require(keyCols.forall(st.schema.fieldNames.contains),
+      s"upsert keys must be table columns: ${st.schema.fieldNames.toSeq}")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // matched count (the contract's "deleted"): one distributed semi-join
+    // count over the live frame — nothing collected
+    val matched = liveRows(spark, st)
+      .join(broadcast(keys), keyCols, "left_semi").count()
+
+    // equality-delete file: the distinct key rows themselves
+    val nameToId = st.fieldNames.map(_.swap)
+    val eqIds = keyCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalStateException(s"no field id for $c")))
+    val eqName = s"eqdelete-${java.util.UUID.randomUUID()}.parquet"
+    val staging = st.root.resolve(s".eq-staging-${java.util.UUID.randomUUID()}")
+    keys.coalesce(1).write.parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        "equality-delete write produced no part file"))
+    Files.move(part, st.root.resolve("data").resolve(eqName),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+
+    val dataFiles = writeData(updates, st.root)
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dataManifest = writeManifest(st.root, st.location, dataFiles)
+    val eqManifest = writeManifest(st.root, st.location,
+      Seq(WrittenFile(eqName,
+        Files.size(st.root.resolve("data").resolve(eqName)), matched)),
+      content = 2, equalityIds = eqIds)
+    val list = writeManifestList(st.root, seq,
+      st.refs :+ ManifestRef(dataManifest, 0, seq)
+        :+ ManifestRef(eqManifest, 1, seq))
+    commitNewSnapshot(st, seq, list, "overwrite")
+    (matched, updates.count())
   }
 
-  private def deleteMatching(spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      matcher: DataFrame => DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+  /** Current-snapshot state shared by the row-level operations. */
+  private case class TableState(root: Path, md: ObjectNode, location: String,
+      schema: StructType, fieldNames: Map[Int, String],
+      refs: Seq[ManifestRef], entries: Seq[Entry], mdFile: Path)
+
+  private case class Entry(localPath: String, content: Int, seq: Long,
+      equalityIds: Seq[Int])
+
+  private def loadState(path: String): TableState = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
     require(md.get("format-version").asInt() == 2,
-      "deleteWhere needs an iceberg format-version 2 table")
+      "row-level operations need an iceberg format-version 2 table")
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
-    val (schema, _) = graft.sources.IcebergReader.currentSchema(md)
-
-    // current snapshot's entries, with manifest-list-inherited seqs
+    val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
     val refs = currentManifests(md, root)
-    case class E(manifestPath: String, localPath: String, content: Int, seq: Long)
     val entries = refs.flatMap { ref =>
       readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
         if (intOf(e, "status", 0) == 2) None
         else {
           val d = e.get("data_file").asInstanceOf[GenericRecord]
-          val p = d.get("file_path").toString
-          Some(E(p, remapLocal(p, location, root),
+          val ids = Option(
+              if (d.getSchema.getField("equality_ids") == null) null
+              else d.get("equality_ids"))
+            .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+              .map(_.asInstanceOf[Number].intValue))
+            .getOrElse(Nil)
+          Some(Entry(remapLocal(d.get("file_path").toString, location, root),
             intOf(d, "content", ref.content),
-            longOf(e, "sequence_number", ref.seq)))
+            longOf(e, "sequence_number", ref.seq), ids))
         }
       }
     }
-    require(!entries.exists(_.content == 2),
-      "deleteWhere does not support tables with equality deletes")
-    val dataFiles = entries.filter(_.content == 0)
-    val posDeletes = entries.filter(_.content == 1)
-    if (dataFiles.isEmpty) return 0L
+    TableState(root, md, location, schema, fieldNames, refs, entries, mdFile)
+  }
 
+  /** The LIVE rows of the current snapshot with `__f`/`__p`/`__seq`
+    * columns — position deletes applied at delete seq >= data seq,
+    * equality deletes null-safely at strictly delete seq > data seq,
+    * mirroring [[graft.sources.IcebergReader]] exactly.
+    */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      st: TableState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
-    val base = spark.read.schema(schema)
+    val dataFiles = st.entries.filter(_.content == 0)
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(st.schema.fields ++ Seq(
+          StructField("__f", org.apache.spark.sql.types.StringType),
+          StructField("__p", LongType), StructField("__seq", LongType))))
+    import spark.implicits._
+    val base = spark.read.schema(st.schema)
       .parquet(dataFiles.map(_.localPath): _*)
       .withColumn("__f", norm(col("_metadata.file_path")))
       .withColumn("__p", col("_metadata.row_index"))
-    val live =
+      .join(broadcast(dataFiles.map(f =>
+          (graft.sources.IcebergReader.normPath(f.localPath), f.seq))
+        .toDF("__f", "__seq")), Seq("__f"))
+    val posDeletes = st.entries.filter(_.content == 1)
+    val afterPos =
       if (posDeletes.isEmpty) base
-      else base.join(
-        posDeletes.map(d => spark.read.parquet(d.localPath)
-          .select(norm(col("file_path")).as("__f"), col("pos").as("__p")))
-          .reduce(_ union _),
-        Seq("__f", "__p"), "left_anti")
-    val matched = matcher(live).select(col("__f"), col("__p"))
+      else {
+        val dels = posDeletes.map(d => spark.read.parquet(d.localPath)
+          .select(norm(col("file_path")).as("__df"), col("pos").as("__dp"),
+            lit(d.seq).as("__dseq")))
+          .reduce(_ union _)
+        base.join(dels,
+          col("__f") === col("__df") && col("__p") === col("__dp") &&
+            col("__dseq") >= col("__seq"),
+          "left_anti")
+      }
+    st.entries.filter(_.content == 2).foldLeft(afterPos) { (acc, d) =>
+      val cols = d.equalityIds.map(id => st.fieldNames.getOrElse(id,
+        throw new IllegalStateException(s"unknown equality field id $id")))
+      val delRows = spark.read.parquet(d.localPath)
+        .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
+      acc.join(delRows,
+        cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+          acc("__seq") < lit(d.seq),
+        "left_anti")
+    }
+  }
+
+  /** Appends one snapshot node + bumps seq/version on the loaded state. */
+  private def commitNewSnapshot(st: TableState, seq: Long, list: String,
+      operation: String): Unit = {
+    val prevMaxTs = Option(st.md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
+    val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+    st.md.put("last-sequence-number", seq)
+    st.md.put("last-updated-ms", ts)
+    st.md.put("current-snapshot-id", seq)
+    st.md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapshotNode(seq, seq, list, ts, operation))
+    commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
+  }
+
+  private def deleteMatching(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      matcher: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val st = loadState(path)
+    val root = st.root
+    val location = st.location
+    val md = st.md
+    val mdFile = st.mdFile
+    val refs = st.refs
+    if (st.entries.forall(_.content != 0)) return 0L
+    val matched = matcher(liveRows(spark, st)).select(col("__f"), col("__p"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (matched.isEmpty) return 0L
 
@@ -451,7 +553,8 @@ object IcebergWriter {
       |{"name":"file_format","type":"string"},
       |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
   private val listSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -470,7 +573,8 @@ object IcebergWriter {
     * location→root remap serves relocated/copied tables.
     */
   private def writeManifest(root: Path, location: String,
-      files: Seq[WrittenFile], content: Int = 0): String = {
+      files: Seq[WrittenFile], content: Int = 0,
+      equalityIds: Seq[Int] = Nil): String = {
     val dfSchema = entrySchema.getField("data_file").schema()
     val recs = files.map { f =>
       val d = new GenericData.Record(dfSchema)
@@ -481,6 +585,8 @@ object IcebergWriter {
         new GenericData.Record(dfSchema.getField("partition").schema()))
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.size)
+      if (equalityIds.nonEmpty)
+        d.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("data_file", d)

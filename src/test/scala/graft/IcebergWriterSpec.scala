@@ -204,14 +204,32 @@ class IcebergWriterSpec extends SparkSpec {
     }
   }
 
-  test("upsert updates matched keys and inserts new ones") {
+  test("upsert is ONE equality-delete snapshot: updates matched keys, " +
+      "inserts new ones, later ops still work") {
     val path = tmp("ups")
     IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    def snapCount() = {
+      val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readString(IcebergReader.currentMetadataFile(path)))
+      md.get("snapshots").size()
+    }
+    val before = snapCount()
     val (deleted, inserted) = IcebergWriter.upsert(
       Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
     assert(deleted == 1L && inserted == 2L)
+    // atomicity: exactly one snapshot landed (equality delete + data
+    // manifests together), so no reader can see 2 deleted but 'B' absent
+    assert(snapCount() == before + 1)
     assert(IcebergReader.read(spark, path).as[(Long, String)]
       .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // a second upsert over the same key replaces the replacement
+    IcebergWriter.upsert(Seq((2L, "BB")).toDF("id", "v"), path, Seq("id"))
+    assert(IcebergReader.read(spark, path).filter(col("id") === 2L)
+      .select("v").as[String].head() == "BB")
+    // position-delete probe stays correct on a table WITH equality deletes
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 1L) == 1L)
+    assert(IcebergReader.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
   test("a lost same-version commit race surfaces as an error, not a clobber") {
