@@ -24,8 +24,8 @@ import org.apache.spark.sql.types._
   *             upper lower length abs round coalesce substr,
   *             whole-table count/sum/avg/min/max
   * }}}
-  * GROUP BY is intentionally absent (the reference's pushdown never emits
-  * it; aggregates are whole-table, as its count endpoint uses them).
+  * GROUP BY over columns/expressions with the same aggregate set is
+  * supported (r11); HAVING is not (filter the subquery instead).
   *
   * Scale note: this engine materializes one table in one process — it is
   * the SERVING-scale path (the reference's sqlite/ODBC tables are small
@@ -51,7 +51,8 @@ private[graft] object MiniSql {
   case class SelectItem(expr: Expr, alias: Option[String], star: Boolean = false)
   case class OrderItem(expr: Expr, asc: Boolean)
   case class Query(items: Seq[SelectItem], source: Source, where: Option[Expr],
-      orderBy: Seq[OrderItem], limit: Option[Long], offset: Option[Long])
+      groupBy: Seq[Expr], orderBy: Seq[OrderItem], limit: Option[Long],
+      offset: Option[Long])
   sealed trait Source
   case class TableSource(name: String) extends Source
   case class SubquerySource(q: Query) extends Source
@@ -158,8 +159,16 @@ private[graft] object MiniSql {
       expectKw("FROM")
       val source = parseSource()
       val where = if (eatKw("WHERE")) Some(parseExpr()) else None
-      require(!kw("GROUP"), "GROUP BY is not supported by this driver " +
-        "(whole-table aggregates only)")
+      val groupBy =
+        if (eatKw("GROUP")) {
+          expectKw("BY")
+          val gs = Vector.newBuilder[Expr]
+          gs += parseExpr()
+          while (eatOp(",")) gs += parseExpr()
+          gs.result()
+        } else Vector.empty
+      require(!kw("HAVING"),
+        "HAVING is not supported by this driver (filter a subquery instead)")
       val orderBy =
         if (eatKw("ORDER")) {
           expectKw("BY")
@@ -175,7 +184,7 @@ private[graft] object MiniSql {
         } else Vector.empty
       val limit = if (eatKw("LIMIT")) Some(parseLong()) else None
       val offset = if (eatKw("OFFSET")) Some(parseLong()) else None
-      Query(items.result(), source, where, orderBy, limit, offset)
+      Query(items.result(), source, where, groupBy, orderBy, limit, offset)
     }
 
     def atEnd: Boolean = pos == toks.length
@@ -359,7 +368,64 @@ private[graft] object MiniSql {
 
     val aggregate = q.items.exists(i => !i.star && containsAgg(i.expr))
     val projectedRows: Vector[Array[Any]] =
-      if (aggregate) {
+      if (q.groupBy.nonEmpty) {
+        require(q.items.forall(i => !i.star),
+          "* with GROUP BY is not supported")
+        // SQL semantics: one group per distinct key tuple (NULLs group
+        // together); key order of first appearance, then ORDER BY
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[Vector[Any], scala.collection.mutable.ArrayBuffer[Array[Any]]]
+        filtered.foreach { r =>
+          val k = q.groupBy.map(g => eval(g, r, colIdx)).toVector
+          groups.getOrElseUpdate(k,
+            scala.collection.mutable.ArrayBuffer.empty) += r
+        }
+        def itemValue(e: Expr, rows: Vector[Array[Any]],
+            head: Array[Any]): Any =
+          if (q.groupBy.contains(e)) eval(e, head, colIdx)
+          else e match {
+            case l: Lit => l.v
+            case _ if containsAgg(e) => evalAgg(e, rows, colIdx)
+            case ColRef(n) if q.groupBy.exists {
+                case ColRef(m) => m.equalsIgnoreCase(n)
+                case _ => false
+              } => eval(e, head, colIdx)
+            case other => throw new IllegalArgumentException(
+              s"select item $other is neither grouped nor aggregated")
+          }
+        val out = groups.toVector.map { case (_, rs) =>
+          val rows = rs.toVector
+          val head = rows.head
+          val row = q.items.map(i => itemValue(i.expr, rows, head)).toArray
+          val orderKeys = q.orderBy.map { o =>
+            o.expr match {
+              case Lit(i: Long) if i >= 1 && i <= q.items.size =>
+                row((i - 1).toInt)
+              // an output-column ALIAS (`ORDER BY n` for `count(*) AS n`)
+              // resolves to that select item's value
+              case ColRef(name) if q.items.exists(
+                  _.alias.exists(_.equalsIgnoreCase(name))) =>
+                row(q.items.indexWhere(
+                  _.alias.exists(_.equalsIgnoreCase(name))))
+              case e => itemValue(e, rows, head)
+            }
+          }
+          (row, orderKeys)
+        }
+        def cmpKeys(a: Seq[Any], b: Seq[Any]): Int = {
+          q.orderBy.indices.foreach { i =>
+            val c = compareVals(a(i), b(i))
+            if (c != 0) return if (q.orderBy(i).asc) c else -c
+          }
+          0
+        }
+        val sortedG =
+          if (q.orderBy.isEmpty) out
+          else out.sortWith((a, b) => cmpKeys(a._2, b._2) < 0)
+        sortedG.map(_._1)
+          .drop(q.offset.getOrElse(0L).toInt)
+          .take(q.limit.map(_.toInt).getOrElse(Int.MaxValue))
+      } else if (aggregate) {
         require(q.items.forall(i => !i.star && (containsAgg(i.expr) ||
             i.expr.isInstanceOf[Lit])),
           "mixing aggregate and per-row select items (or *) needs " +
@@ -394,7 +460,7 @@ private[graft] object MiniSql {
     })
     // aggregates over the ordered window would need the sort first; the
     // reference's pushdown never combines them — reject loudly if mixed
-    require(!aggregate || q.orderBy.isEmpty,
+    require(!aggregate || q.groupBy.nonEmpty || q.orderBy.isEmpty,
       "ORDER BY with whole-table aggregates is not supported")
     Rel(outSchema, projectedRows)
   }

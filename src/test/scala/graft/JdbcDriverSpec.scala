@@ -163,9 +163,35 @@ class JdbcDriverSpec extends SparkSpec {
     assert(a.rows.head.toSeq == Seq(10L, 1L, 10L, 5.5))
   }
 
+  test("MiniSql: GROUP BY with aggregates, ordering and limits") {
+    val r = run("SELECT id % 3 AS g, count(*) AS n, sum(id) AS s " +
+      "FROM typed GROUP BY id % 3 ORDER BY 1")
+    assert(r.schema.fieldNames.toSeq == Seq("g", "n", "s"))
+    // ids 1..10: group 0={3,6,9}, 1={1,4,7,10}, 2={2,5,8}
+    assert(r.rows.map(_.toSeq) == Vector(
+      Seq(0L, 3L, 18L), Seq(1L, 4L, 22L), Seq(2L, 3L, 15L)))
+    val top = run("SELECT id % 3 AS g, count(*) AS n FROM typed " +
+      "GROUP BY id % 3 ORDER BY n DESC, g LIMIT 1")
+    assert(top.rows.map(_.toSeq) == Vector(Seq(1L, 4L)))
+    // ungrouped, unaggregated select items stay illegal
+    intercept[IllegalArgumentException] {
+      run("SELECT t, count(*) AS n FROM typed GROUP BY id")
+    }
+  }
+
+  test("grouped pushdown through the JDBC driver") {
+    assume(new java.io.File(chinook).canRead)
+    val grouped = jdbc(chinook,
+      """(SELECT "Country", count(*) AS n FROM customers
+        |GROUP BY "Country" ORDER BY n DESC, "Country" LIMIT 3) q""".stripMargin)
+      .collect()
+    assert(grouped.length == 3)
+    assert(grouped.head.getString(0) == "USA" && grouped.head.getLong(1) == 13L)
+  }
+
   test("MiniSql: rejects what it does not implement, loudly") {
     intercept[IllegalArgumentException] {
-      MiniSql.parse("SELECT id FROM typed GROUP BY id")
+      MiniSql.parse("SELECT id FROM typed GROUP BY id HAVING count(*) > 1")
     }
     intercept[IllegalArgumentException] {
       MiniSql.parse("SELECT DISTINCT id FROM typed")

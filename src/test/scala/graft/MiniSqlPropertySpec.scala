@@ -104,6 +104,27 @@ class MiniSqlPropertySpec extends SparkSpec {
     })
   }
 
+  test("grouped aggregates agree with Spark SQL") {
+    SQLiteReader.read(spark, fixture, "typed")
+      .createOrReplaceTempView("minisql_typed")
+    // engine-order-independent: compare row multisets, not orderings
+    // (string collation differs between UTF-16 compareTo and UTF-8 bytes)
+    val groupExpr = Gen.oneOf("id % 2", "id % 3", "i % 5", "t", "n")
+    check(Prop.forAll(groupExpr) { g =>
+      val body = s"$g AS g, count(*) AS cnt, sum(id) AS s, " +
+        s"min(id) AS mn, max(id) AS mx"
+      val mini = MiniSql.execute(
+          MiniSql.parse(s"SELECT $body FROM typed GROUP BY $g"), fixture)
+        .rows.map(_.toSeq).sortBy(_.toString)
+      val viaSpark = spark.sql(
+          s"SELECT $body FROM minisql_typed GROUP BY $g")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      if (mini != viaSpark)
+        println(s"GROUP DIVERGENCE on [$g]: mini=$mini spark=$viaSpark")
+      mini == viaSpark
+    })
+  }
+
   test("random projections with arithmetic agree") {
     SQLiteReader.read(spark, fixture, "typed")
       .createOrReplaceTempView("minisql_typed")
