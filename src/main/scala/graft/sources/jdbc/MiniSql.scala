@@ -15,14 +15,15 @@ import org.apache.spark.sql.types._
   * Supported grammar:
   * {{{
   *   query  := SELECT item[, ...] FROM source [WHERE expr]
-  *             [ORDER BY ord[, ...]] [LIMIT n [OFFSET m]]
+  *             [GROUP BY expr[, ...]] [ORDER BY ord[, ...]]
+  *             [LIMIT n [OFFSET m]]
   *   source := table | '(' query ')' [AS] alias
   *   item   := * | expr [[AS] alias]
   *   expr   := literals, "quoted"/`quoted`/[quoted]/bare columns,
   *             = <> != < <= > >=, AND OR NOT, IS [NOT] NULL,
   *             [NOT] IN (...), [NOT] LIKE, [NOT] BETWEEN, + - * / %,
   *             upper lower length abs round coalesce substr,
-  *             whole-table count/sum/avg/min/max
+  *             count/sum/avg/min/max (whole-table or grouped)
   * }}}
   * GROUP BY over columns/expressions with the same aggregate set is
   * supported (r11); HAVING is not (filter the subquery instead).
