@@ -169,8 +169,12 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       case _ => None
     }
 
+    // $engine is the reference's engine selector (endpoint.py:180,
+    // default duckdb) — every client may send it; this engine has ONE
+    // execution backend, so it is accepted and ignored rather than
+    // rejected as an unknown filter param
     val controlKeys = Set("format", "limit", "offset", "$select", "$distinct",
-      "$jsonify_complex", "$encoding") ++
+      "$jsonify_complex", "$encoding", "$engine") ++
       t.search.map(_.name).toSet ++ t.nearby.map(_.name).toSet
     val params = all.view.filterKeys(k => !controlKeys.contains(k)).toMap
 

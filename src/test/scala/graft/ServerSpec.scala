@@ -47,6 +47,16 @@ class ServerSpec extends SparkSpec {
     assert(r.statusCode() == 200)
     assert(r.body() == """[{"A":2,"fruits":"banana","B":4,"cars":"audi"}]""")
   }
+  test("$engine selector is accepted and ignored (single-engine server)") {
+    // the reference's clients send %24engine=duckdb|polars on every
+    // endpoint (test_performance.py URLs, endpoint.py:180) — rejecting it
+    // as an unknown filter param would break them
+    val r = get(s"$base/api/v1/test/fruits?cars=audi&%24engine=duckdb")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"A":2,"fruits":"banana","B":4,"cars":"audi"}]""")
+    assert(get(s"$base/api/v1/test/fruits?%24engine=polars&limit=1")
+      .statusCode() == 200)
+  }
   test("operators through the query string: B_lt, cars_in, between") {
     assert(get(s"$base/api/v1/test/fruits?B_lt=4&format=json").body()
       .contains("\"A\":3"))
