@@ -172,9 +172,14 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
     // $engine is the reference's engine selector (endpoint.py:180,
     // default duckdb) — every client may send it; this engine has ONE
     // execution backend, so it is accepted and ignored rather than
-    // rejected as an unknown filter param
+    // rejected as an unknown filter param. Ditto chunk_size (a transport
+    // hint; responses already stream in bounded batches). NOTE the
+    // reference's wire keys for jsonify/chunking carry NO '$' (FastAPI
+    // aliases exist only for $select/$distinct/$engine) — both spellings
+    // are accepted here.
     val controlKeys = Set("format", "limit", "offset", "$select", "$distinct",
-      "$jsonify_complex", "$encoding", "$engine") ++
+      "$jsonify_complex", "jsonify_complex", "$encoding", "$engine",
+      "chunk_size", "$chunk_size") ++
       t.search.map(_.name).toSet ++ t.nearby.map(_.name).toSet
     val params = all.view.filterKeys(k => !controlKeys.contains(k)).toMap
 
@@ -187,7 +192,8 @@ final class LakeApiServer(spark: SparkSession, configs: Configs, port: Int = 0,
       searchQuery = searchQ,
       nearby = nearbyReq,
       jsonifyComplex =
-        str(all.get("$jsonify_complex")).exists(v => v == "true" || v == "1") ||
+        (str(all.get("$jsonify_complex")) orElse str(all.get("jsonify_complex")))
+          .exists(v => v == "true" || v == "1") ||
           csvFamily.contains(format)) // auto-forced (endpoint.py:272-279)
 
     val df = QueryPipeline.runOn(frame(t), t, req, configs.basic)

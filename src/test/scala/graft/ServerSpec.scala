@@ -56,6 +56,12 @@ class ServerSpec extends SparkSpec {
     assert(r.body() == """[{"A":2,"fruits":"banana","B":4,"cars":"audi"}]""")
     assert(get(s"$base/api/v1/test/fruits?%24engine=polars&limit=1")
       .statusCode() == 200)
+    // the reference's UNALIASED wire keys (endpoint.py:185-194): both the
+    // bare jsonify_complex spelling and chunk_size must be control params
+    assert(get(s"$base/api/v1/test/fruits?jsonify_complex=true&limit=1")
+      .statusCode() == 200)
+    assert(get(s"$base/api/v1/test/fruits?chunk_size=1000&cars=audi")
+      .body().contains("audi"))
   }
   test("operators through the query string: B_lt, cars_in, between") {
     assert(get(s"$base/api/v1/test/fruits?B_lt=4&format=json").body()
