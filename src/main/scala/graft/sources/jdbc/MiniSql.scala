@@ -25,8 +25,8 @@ import org.apache.spark.sql.types._
   *             upper lower length abs round coalesce substr,
   *             count/sum/avg/min/max (whole-table or grouped)
   * }}}
-  * GROUP BY over columns/expressions with the same aggregate set is
-  * supported (r11); HAVING is not (filter the subquery instead).
+  * GROUP BY (columns, expressions, or output aliases) with HAVING over
+  * keys/aggregates is supported (r11).
   *
   * Scale note: this engine materializes one table in one process — it is
   * the SERVING-scale path (the reference's sqlite/ODBC tables are small
@@ -52,8 +52,8 @@ private[graft] object MiniSql {
   case class SelectItem(expr: Expr, alias: Option[String], star: Boolean = false)
   case class OrderItem(expr: Expr, asc: Boolean)
   case class Query(items: Seq[SelectItem], source: Source, where: Option[Expr],
-      groupBy: Seq[Expr], orderBy: Seq[OrderItem], limit: Option[Long],
-      offset: Option[Long])
+      groupBy: Seq[Expr], having: Option[Expr], orderBy: Seq[OrderItem],
+      limit: Option[Long], offset: Option[Long])
   sealed trait Source
   case class TableSource(name: String) extends Source
   case class SubquerySource(q: Query) extends Source
@@ -168,8 +168,9 @@ private[graft] object MiniSql {
           while (eatOp(",")) gs += parseExpr()
           gs.result()
         } else Vector.empty
-      require(!kw("HAVING"),
-        "HAVING is not supported by this driver (filter a subquery instead)")
+      val having = if (eatKw("HAVING")) Some(parseExpr()) else None
+      require(having.isEmpty || groupBy.nonEmpty,
+        "HAVING requires GROUP BY")
       val orderBy =
         if (eatKw("ORDER")) {
           expectKw("BY")
@@ -185,7 +186,8 @@ private[graft] object MiniSql {
         } else Vector.empty
       val limit = if (eatKw("LIMIT")) Some(parseLong()) else None
       val offset = if (eatKw("OFFSET")) Some(parseLong()) else None
-      Query(items.result(), source, where, groupBy, orderBy, limit, offset)
+      Query(items.result(), source, where, groupBy, having, orderBy, limit,
+        offset)
     }
 
     def atEnd: Boolean = pos == toks.length
@@ -372,29 +374,80 @@ private[graft] object MiniSql {
       if (q.groupBy.nonEmpty) {
         require(q.items.forall(i => !i.star),
           "* with GROUP BY is not supported")
+        // GROUP BY may name an output ALIAS (SQLite/Spark both allow it):
+        // substitute the aliased item's expression, provided it is not
+        // itself an aggregate
+        val groupExprs = q.groupBy.map {
+          case ColRef(n) if !names.exists(_.equalsIgnoreCase(n)) &&
+              q.items.exists(i => i.alias.exists(_.equalsIgnoreCase(n)) &&
+                !containsAgg(i.expr)) =>
+            q.items.find(_.alias.exists(_.equalsIgnoreCase(n))).get.expr
+          case e => e
+        }
         // SQL semantics: one group per distinct key tuple (NULLs group
         // together); key order of first appearance, then ORDER BY
         val groups = scala.collection.mutable.LinkedHashMap
           .empty[Vector[Any], scala.collection.mutable.ArrayBuffer[Array[Any]]]
         filtered.foreach { r =>
-          val k = q.groupBy.map(g => eval(g, r, colIdx)).toVector
+          val k = groupExprs.map(g => eval(g, r, colIdx)).toVector
           groups.getOrElseUpdate(k,
             scala.collection.mutable.ArrayBuffer.empty) += r
         }
         def itemValue(e: Expr, rows: Vector[Array[Any]],
             head: Array[Any]): Any =
-          if (q.groupBy.contains(e)) eval(e, head, colIdx)
+          if (groupExprs.contains(e)) eval(e, head, colIdx)
           else e match {
             case l: Lit => l.v
             case _ if containsAgg(e) => evalAgg(e, rows, colIdx)
-            case ColRef(n) if q.groupBy.exists {
+            case ColRef(n) if groupExprs.exists {
                 case ColRef(m) => m.equalsIgnoreCase(n)
                 case _ => false
               } => eval(e, head, colIdx)
             case other => throw new IllegalArgumentException(
               s"select item $other is neither grouped nor aggregated")
           }
-        val out = groups.toVector.map { case (_, rs) =>
+        val kept = groups.toVector.filter { case (_, rs) =>
+          q.having.forall { h =>
+            val rows = rs.toVector
+            // aliases -> their item expressions, aggregate subtrees -> the
+            // group's computed literals, THEN ordinary predicate eval
+            // (three-valued: a NULL having drops the group, as in SQL)
+            def substAliases(e: Expr): Expr = e match {
+              case ColRef(n) if !names.exists(_.equalsIgnoreCase(n)) &&
+                  q.items.exists(_.alias.exists(_.equalsIgnoreCase(n))) =>
+                q.items.find(_.alias.exists(_.equalsIgnoreCase(n))).get.expr
+              case Bin(op, l, r) => Bin(op, substAliases(l), substAliases(r))
+              case NotE(x) => NotE(substAliases(x))
+              case IsNull(x, neg) => IsNull(substAliases(x), neg)
+              case InList(x, xs, neg) =>
+                InList(substAliases(x), xs.map(substAliases), neg)
+              case LikeE(x, pt, neg) =>
+                LikeE(substAliases(x), substAliases(pt), neg)
+              case BetweenE(x, lo, hi, neg) => BetweenE(substAliases(x),
+                substAliases(lo), substAliases(hi), neg)
+              case Func(n2, args, st) => Func(n2, args.map(substAliases), st)
+              case other => other
+            }
+            def replaceAggs(e: Expr): Expr = e match {
+              case f @ Func(n2, _, _)
+                  if Set("count", "sum", "avg", "min", "max")(n2) =>
+                Lit(evalAgg(f, rows, colIdx))
+              case Bin(op, l, r) => Bin(op, replaceAggs(l), replaceAggs(r))
+              case NotE(x) => NotE(replaceAggs(x))
+              case IsNull(x, neg) => IsNull(replaceAggs(x), neg)
+              case InList(x, xs, neg) =>
+                InList(replaceAggs(x), xs.map(replaceAggs), neg)
+              case LikeE(x, pt, neg) =>
+                LikeE(replaceAggs(x), replaceAggs(pt), neg)
+              case BetweenE(x, lo, hi, neg) => BetweenE(replaceAggs(x),
+                replaceAggs(lo), replaceAggs(hi), neg)
+              case Func(n2, args, st) => Func(n2, args.map(replaceAggs), st)
+              case other => other
+            }
+            eval(replaceAggs(substAliases(h)), rows.head, colIdx) == TRUE
+          }
+        }
+        val out = kept.map { case (_, rs) =>
           val rows = rs.toVector
           val head = rows.head
           val row = q.items.map(i => itemValue(i.expr, rows, head)).toArray
