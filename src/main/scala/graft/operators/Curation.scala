@@ -68,9 +68,14 @@ object Curation {
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
       col(scoreCol).as("score"))
       .materialize()
-    val exactKeep = base
+    // exact-dedup verdict fused ONTO the canonical path's input (r12):
+    // the fp min-aggregate join labels each row, and the ok_exact column
+    // then RIDES keepCanonicalScored's passthrough instead of being a
+    // fourth corpus-sized frame in the final id-join tree — one fewer
+    // id-keyed shuffle join at any scale
+    val withExact = base
       .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
-      .select(col("id"),
+      .select(col("id"), col("score"),
         when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
@@ -85,11 +90,11 @@ object Curation {
     // split_group — so the split is ONE map-side md5 CASE over the canonical
     // frame instead of a separate clusters join + a fourth id join
     val canonicalSplit = Sampling.assignSplit(
-        Dedup.keepCanonicalScored(base.select(col("id"), col("score")), clusters),
+        Dedup.keepCanonicalScored(withExact, clusters),
         "cluster", splits)
-      .select(col("doc_id").as("id"), col("keep").as("ok_canonical"), col("split"))
+      .select(col("doc_id").as("id"), col("ok_exact"),
+        col("keep").as("ok_canonical"), col("split"))
     quality
-      .join(exactKeep, "id")
       .join(canonicalSplit, "id")
       .select(col("id").as("doc_id"),
         col("ok_quality").cast("long").as("ok_quality"),

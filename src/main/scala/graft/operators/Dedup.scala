@@ -496,10 +496,15 @@ object Dedup {
 
   /** [[keepCanonical]] over a prebuilt (id, score) frame, so compositions
     * that already carry one ([[Curation.report]]'s fused base pass) skip
-    * the extra source scan.
+    * the extra source scan. Any EXTRA columns on `scored` ride through to
+    * the output unchanged — [[Curation.report]] threads its exact-dedup
+    * verdict this way, collapsing what would otherwise be a separate
+    * id-keyed shuffle join of two corpus-sized frames into a column.
     */
   private[operators] def keepCanonicalScored(scored: DataFrame,
       clusters: DataFrame): DataFrame = {
+    val passthrough = scored.columns.toIndexedSeq
+      .filterNot(c => c == "id" || c == "score")
     // consumed by both branches (clustered window + singleton pass-through):
     // materialize the narrow (id, score, cluster) join once, not twice
     val labeled = scored
@@ -507,11 +512,14 @@ object Dedup {
       .materialize()
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
+    val outCols = Seq(col("id").as("doc_id"), col("cluster"), col("score"),
+      col("keep")) ++ passthrough.map(col)
     labeled.filter(col("cluster").isNotNull)
       .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(outCols: _*)
       .unionByName(labeled.filter(col("cluster").isNull)
-        .select(col("id"), col("score"), col("id").as("cluster"), lit(1L).as("keep")))
-      .select(col("id").as("doc_id"), col("cluster"), col("score"), col("keep"))
+        .withColumn("cluster", col("id")).withColumn("keep", lit(1L))
+        .select(outCols: _*))
   }
 
   /** Segment-level exact dedup — the repeated-substring scrub (Lee et al.

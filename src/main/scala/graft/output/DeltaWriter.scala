@@ -309,10 +309,20 @@ object DeltaWriter {
 
   /** Shared DV-delete core: `matcher` narrows the LIVE table frame (which
     * carries `__f`/`__p` file-position columns) to the rows to delete.
+    *
+    * Scale shape (r12): the matched (file, position) frame stays
+    * DISTRIBUTED — the old per-group `collect()` made a GDPR-style sweep
+    * matching 10⁹ rows a driver OOM. The driver first sees only per-FILE
+    * cardinalities (metadata-plane, ≤ |files| rows), the inline-DV guard
+    * fires on those counts BEFORE any row-level positions leave the
+    * executors, and only then are the per-file sorted position arrays —
+    * now proven bounded at MaxInlinePositions each, the same data the
+    * inline-DV commit JSON itself must embed — brought back to build the
+    * commit.
     */
   private def deleteMatching(spark: SparkSession, path: String,
       matcher: DataFrame => DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{col, collect_set, count, lit, regexp_replace, sort_array}
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
     require(snap.columnMappingMode == "none",
@@ -320,12 +330,13 @@ object DeltaWriter {
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       root.resolve(f.path).toAbsolutePath.normalize.toString
 
-    // matched (file, position) pairs — per partition group so predicates
+    // matched (file, position) frame — per partition group so predicates
     // over partition columns resolve (partition values live in the log,
-    // not the files), LIVE rows only (existing DVs already applied)
+    // not the files), LIVE rows only (existing DVs already applied),
+    // groups unioned into ONE distributed frame
     val partFields = snap.partitionColumns.map(c => snap.schema(c))
-    val matched: Seq[(String, Long)] = snap.files.groupBy(_.partitionValues)
-      .toSeq.flatMap { case (pv, files) =>
+    val groupFrames = snap.files.groupBy(_.partitionValues)
+      .toSeq.map { case (pv, files) =>
         val base = spark.read.schema(snap.dataSchema)
           .parquet(files.map(abs): _*)
           .withColumn("__f",
@@ -347,15 +358,32 @@ object DeltaWriter {
               .withColumnRenamed("__dv_pos", "__p"),
             Seq("__f", "__p"), "left_anti")
         matcher(live).select(col("__f"), col("__p"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       }
-    if (matched.isEmpty) return 0L
-
-    val byFile = matched.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (groupFrames.isEmpty) return 0L
+    // two aggregates (counts, then positions) read one materialization,
+    // not two table scans
+    import graft.operators.Materialize.Ops
+    val matched = groupFrames.reduce(_ union _).materialize()
     val fileByAbs = snap.files.map(f => abs(f) -> f).toMap
-    val adds = byFile.toSeq.map { case (absPath, newPos) =>
+    val newCounts: Map[String, Long] = matched.groupBy(col("__f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return 0L
+    // the guard needs only counts: new matches + the existing DV's
+    // descriptor cardinality, both metadata-plane
+    newCounts.foreach { case (absPath, n) =>
       val f = fileByAbs.getOrElse(absPath, throw new IllegalStateException(
         s"matched row in unknown file $absPath"))
+      val total = n + f.deletionVector.map(_.cardinality).getOrElse(0L)
+      require(total <= MaxInlinePositions,
+        s"$total deleted positions in ${f.path} exceed the inline-DV " +
+          s"guard ($MaxInlinePositions); compact the file instead")
+    }
+    val byFile: Map[String, Seq[Long]] = matched.groupBy(col("__f"))
+      .agg(sort_array(collect_set(col("__p"))).as("pos"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val adds = byFile.toSeq.map { case (absPath, newPos) =>
+      val f = fileByAbs(absPath)
       val oldPos: Seq[Long] = f.deletionVector match {
         case None => Nil
         case Some(d) => graft.sources.DeletionVectors
@@ -363,9 +391,6 @@ object DeltaWriter {
           .collect().map(_.getLong(1)).toSeq
       }
       val all = (oldPos ++ newPos).distinct.sorted
-      require(all.size <= MaxInlinePositions,
-        s"${all.size} deleted positions in ${f.path} exceed the inline-DV " +
-          s"guard ($MaxInlinePositions); compact the file instead")
       val (inline, size) = graft.sources.DeletionVectors.encodeInline(all)
       val pvJson = f.partitionValues.map { case (k, v) =>
         s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
@@ -375,11 +400,50 @@ object DeltaWriter {
     val version = nextVersion(root)
     commit(root, version,
       // DVs need the feature-gated protocol; emitting it in the same
-      // commit upgrades older tables in place (protocol actions replace)
-      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
-        ++ adds)
+      // commit upgrades older tables in place — MERGED with the current
+      // protocol's features, and only when the table doesn't already
+      // support DVs (protocol actions REPLACE, so a bare deletionVectors
+      // listing would silently drop a foreign table's other features)
+      dvProtocolAction(snap.protocol).toSeq ++ adds)
     maybeCheckpoint(spark, root, version)
-    matched.size.toLong
+    newCounts.values.sum
+  }
+
+  /** Legacy protocol versions imply feature sets (PROTOCOL.md "Table
+    * Features"); an upgrade to (3,7) must carry them forward explicitly or
+    * downstream engines stop enforcing them.
+    */
+  private def legacyWriterFeatures(v: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+      .collect { case (mv, fs) if v >= mv => fs }.flatten.toSet
+
+  private def legacyReaderFeatures(v: Int): Set[String] =
+    if (v >= 2) Set("columnMapping") else Set.empty
+
+  /** The protocol action upgrading a table for inline DVs, merged with its
+    * CURRENT protocol (feature-set union, legacy versions expanded to
+    * their implied features); None when the table already supports DVs.
+    */
+  private[output] def dvProtocolAction(
+      cur: graft.sources.DeltaLogReader.Protocol): Option[String] = {
+    val already = cur.minReaderVersion >= 3 && cur.minWriterVersion >= 7 &&
+      cur.readerFeatures.contains("deletionVectors") &&
+      cur.writerFeatures.contains("deletionVectors")
+    if (already) None
+    else {
+      val rf = ((if (cur.minReaderVersion >= 3) cur.readerFeatures
+                 else legacyReaderFeatures(cur.minReaderVersion)) +
+        "deletionVectors").toSeq.sorted
+      val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
+                 else legacyWriterFeatures(cur.minWriterVersion)) +
+        "deletionVectors").toSeq.sorted
+      def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${arr(rf)}],"writerFeatures":[${arr(wf)}]}}""")
+    }
   }
 
   /** VACUUM: delete data files referenced by NONE of the newest
@@ -650,8 +714,12 @@ object DeltaWriter {
       Option(a.get("deletionVector")).filterNot(_.isNull).map(dv => Row(
         dv.get("storageType").asText,
         dv.get("pathOrInlineDv").asText,
+        // a missing offset means "right after the 1-byte format version",
+        // i.e. 1 — the SAME default DeltaLogReader.parseAdd applies; a 0
+        // here would point a foreign u/p DV's reader one byte early after
+        // the first checkpoint (size/CRC mismatch)
         Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
-          .getOrElse(0),
+          .getOrElse(1),
         dv.get("sizeInBytes").asInt,
         dv.get("cardinality").asLong)).orNull))
 

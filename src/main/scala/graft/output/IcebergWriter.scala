@@ -76,6 +76,7 @@ object IcebergWriter {
     md.put("last-column-id", lastColId)
     md.set[JsonNode]("schemas", mapper.createArrayNode().add(schemaJson))
     md.put("current-schema-id", 0)
+    setNameMapping(md, schemaJson)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
     spec.set[JsonNode]("fields", mapper.createArrayNode())
@@ -203,10 +204,13 @@ object IcebergWriter {
           Option(md.get("location")).map(_.asText()).getOrElse(root.toString),
           root)
         readAvro(listPath).map { r =>
+          val seq = longOf(r, "sequence_number", 0L)
+          val minSeq = longOf(r, "min_sequence_number", seq)
           ManifestRef(
             r.get("manifest_path").toString,
             intOf(r, "content", 0),
-            longOf(r, "sequence_number", 0L))
+            seq,
+            if (minSeq != seq) Some(minSeq) else None)
         }
     }
   }
@@ -277,7 +281,11 @@ object IcebergWriter {
     val dataManifest = writeManifest(st.root, st.location, dataFiles)
     val eqManifest = writeManifest(st.root, st.location,
       Seq(WrittenFile(eqName,
-        Files.size(st.root.resolve("data").resolve(eqName)), matched)),
+        Files.size(st.root.resolve("data").resolve(eqName)),
+        // record_count is the delete FILE's row count (distinct key rows,
+        // from its parquet footer), not the matched-row count — external
+        // planners size delete application off this stat
+        footerRecordCount(st.root.resolve("data").resolve(eqName)))),
       content = 2, equalityIds = eqIds)
     val list = writeManifestList(st.root, seq,
       st.refs :+ ManifestRef(dataManifest, 0, seq)
@@ -389,10 +397,19 @@ object IcebergWriter {
     commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
   }
 
+  /** Row-level DELETE via position-delete files. Scale shape (r12): the
+    * matched (file, pos) frame never reaches the driver — the old
+    * `collect()` made a sweep matching 10⁹ rows a driver OOM. The frame is
+    * range-partitioned on (file_path, pos) and written DISTRIBUTED as one
+    * position-delete file per non-empty partition (each internally sorted
+    * by (file_path, pos) as the spec requires of a delete file; AQE
+    * coalesces the range partitions for small deletes). The driver handles
+    * only file NAMES and footer record counts.
+    */
   private def deleteMatching(spark: org.apache.spark.sql.SparkSession,
       path: String,
       matcher: DataFrame => DataFrame): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
     val st = loadState(path)
     val root = st.root
     val location = st.location
@@ -400,39 +417,43 @@ object IcebergWriter {
     val mdFile = st.mdFile
     val refs = st.refs
     if (st.entries.forall(_.content != 0)) return 0L
-    val matched = matcher(liveRows(spark, st)).select(col("__f"), col("__p"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (matched.isEmpty) return 0L
 
     // local probe paths → manifest-form paths (location-prefixed), so the
-    // delete file's content matches the data files as manifests name them
+    // delete file's content matches the data files as manifests name them —
+    // computed as a COLUMN so the frame stays distributed
     val rootStr = root.toString
-    def manifestForm(local: String): String =
-      if (local.startsWith(rootStr + "/")) location + local.stripPrefix(rootStr)
-      else local
-    import spark.implicits._
-    val delDf = matched.map { case (f, p) => (manifestForm(f), p) }
-      .toDF("file_path", "pos").coalesce(1)
+    val manifestForm = when(col("__f").startsWith(rootStr + "/"),
+        concat(lit(location), col("__f").substr(
+          lit(rootStr.length + 1), lit(Int.MaxValue))))
+      .otherwise(col("__f"))
+    val delDf = matcher(liveRows(spark, st))
+      .select(manifestForm.as("file_path"), col("__p").as("pos"))
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
     val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
     delDf.write.parquet(staging.toString)
-    val part = Files.list(staging).iterator().asScala
-      .find(p => p.getFileName.toString.startsWith("part-") &&
+    val written = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        "delete write produced no part file"))
-    val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
-    Files.move(part, root.resolve("data").resolve(delName),
-      StandardCopyOption.ATOMIC_MOVE)
+      .toVector.sortBy(_.getFileName.toString)
+      .flatMap { part =>
+        val n = footerRecordCount(part)
+        if (n == 0) None // empty range partition: nothing to register
+        else {
+          val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
+          val dest = root.resolve("data").resolve(delName)
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          Some(WrittenFile(delName, Files.size(dest), n))
+        }
+      }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
+    val matchedCount = written.map(_.records).sum
+    if (written.isEmpty) return 0L
 
     val seq = md.get("last-sequence-number").asLong() + 1
     val version = versionOf(mdFile) + 1
-    val delManifest = writeManifest(root, location,
-      Seq(WrittenFile(delName,
-        Files.size(root.resolve("data").resolve(delName)),
-        matched.size.toLong)),
-      content = 1)
+    val delManifest = writeManifest(root, location, written, content = 1)
     val list = writeManifestList(root, seq,
       refs :+ ManifestRef(delManifest, 1, seq))
     val prevMaxTs = Option(md.get("snapshots")).toSeq
@@ -445,7 +466,7 @@ object IcebergWriter {
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snapshotNode(seq, seq, list, ts, "delete"))
     commitMetadata(root, version, md)
-    matched.size.toLong
+    matchedCount
   }
 
   /** Snapshot expiration — the [[DeltaWriter.vacuum]] analog (and the
@@ -505,8 +526,23 @@ object IcebergWriter {
 
   // ---------- data plane ----------
 
-  private case class WrittenFile(name: String, size: Long, records: Long)
-  private case class ManifestRef(path: String, content: Int, seq: Long)
+  /** `seq`/`existing` support rewrite manifests ([[rewriteDataFiles]]):
+    * a carried (kept) file writes status=0 EXISTING with its ORIGINAL
+    * sequence number pinned explicitly — inheriting the new list ref's
+    * seq would lift old rows above existing equality deletes and
+    * resurrect them. Fresh files keep the default (status=1 ADDED, null
+    * seq, inherited from the list per the spec).
+    */
+  private case class WrittenFile(name: String, size: Long, records: Long,
+      seq: Option[Long] = None, existing: Boolean = false)
+  /** `minSeq`: the true minimum entry sequence in the manifest when it
+    * differs from the ref's own seq (rewrite manifests carrying old
+    * entries). External planners prune delete-file application against
+    * min_sequence_number — overstating it would skip deletes that still
+    * apply to carried entries.
+    */
+  private case class ManifestRef(path: String, content: Int, seq: Long,
+      minSeq: Option[Long] = None)
 
   /** Distributed parquet write into a staging dir, then move part files
     * into `data/`. Record counts come from the parquet FOOTERS (driver-side
@@ -537,6 +573,68 @@ object IcebergWriter {
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Rewrite-data-files compaction — [[DeltaWriter.optimize]]'s Iceberg
+    * twin, and the missing half of the streaming sink's self-maintenance
+    * (snapshot expiration bounds metadata growth; THIS bounds small-file
+    * growth). Data files under `targetBytes` are read back LIVE (position
+    * and equality deletes applied — the rewrite materializes deletions
+    * away for those files), bin-packed by byte budget, and committed as a
+    * single `replace` snapshot:
+    *
+    *  - one rewritten DATA manifest carries every surviving data file —
+    *    compacted output as fresh ADDED entries (seq inherited from the
+    *    list = the new snapshot's), untouched big files as EXISTING
+    *    entries with their ORIGINAL sequence numbers pinned explicitly,
+    *    so older equality deletes keep applying to exactly the rows they
+    *    applied to before; the list ref's min_sequence_number reports the
+    *    true minimum so external planners don't skip those deletes;
+    *  - delete manifests carry forward untouched (position deletes whose
+    *    targets were compacted away now match nothing — their rows were
+    *    dropped during the rewrite);
+    *  - query results are IDENTICAL before and after; older snapshots
+    *    still time-travel; [[expireSnapshots]] afterwards reclaims the
+    *    replaced small files.
+    *
+    * Returns the number of small files compacted away (0 = nothing to do,
+    * no snapshot committed). Executors stream the rows; the driver
+    * handles only file names and footers.
+    */
+  def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.functions.col
+    val st = loadState(path)
+    def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val dataEntries = st.entries.filter(_.content == 0)
+    val small = dataEntries.filter(e =>
+      Files.size(Paths.get(norm(e.localPath))) < targetBytes)
+    if (small.size < 2) return 0
+    val smallPaths = small.map(e => norm(e.localPath)).toSet
+
+    val live = liveRows(spark, st)
+      .filter(col("__f").isin(smallPaths.toSeq: _*))
+      .drop("__f", "__p", "__seq")
+    val totalBytes = small.map(e => Files.size(Paths.get(norm(e.localPath)))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val compacted = writeData(live.coalesce(nOut), st.root)
+
+    val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
+    val keptFiles = kept.map { e =>
+      val p = Paths.get(norm(e.localPath))
+      WrittenFile(p.getFileName.toString, Files.size(p), footerRecordCount(p),
+        seq = Some(e.seq), existing = true)
+    }
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dataManifest = writeManifest(st.root, st.location,
+      keptFiles ++ compacted)
+    val minSeq = (kept.map(_.seq) :+ seq).min
+    val refs = st.refs.filter(_.content != 0) :+
+      ManifestRef(dataManifest, 0, seq,
+        if (minSeq != seq) Some(minSeq) else None)
+    val list = writeManifestList(st.root, seq, refs)
+    commitNewSnapshot(st, seq, list, "replace")
+    small.size
   }
 
   // ---------- manifests ----------
@@ -592,7 +690,8 @@ object IcebergWriter {
       if (equalityIds.nonEmpty)
         d.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)
-      e.put("status", 1)
+      e.put("status", if (f.existing) 0 else 1)
+      f.seq.foreach(s => e.put("sequence_number", s))
       e.put("data_file", d)
       e
     }
@@ -611,7 +710,7 @@ object IcebergWriter {
       r.put("partition_spec_id", 0)
       r.put("content", ref.content)
       r.put("sequence_number", ref.seq)
-      r.put("min_sequence_number", ref.seq)
+      r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
       r.put("added_snapshot_id", snapshotId)
       r
     }
@@ -736,6 +835,69 @@ object IcebergWriter {
     schemas.add(node)
     md.put("current-schema-id", newSchemaId)
     md.put("last-column-id", lastCol)
+    setNameMapping(md, node)
+  }
+
+  /** Name mapping (spec "Name Mapping Serialization") derived from an
+    * iceberg schema node. The data files here are written by Spark's
+    * parquet writer WITHOUT parquet field-id metadata; spec-conformant
+    * external readers (iceberg-spark, Trino) resolve columns by field id
+    * and would otherwise project nulls. `schema.name-mapping.default`
+    * tells them to fall back to resolving these files' columns by NAME,
+    * mapped to the schema ids listed here.
+    */
+  private def nameMappingOf(schemaNode: JsonNode)
+      : com.fasterxml.jackson.databind.node.ArrayNode = {
+    def entry(fid: Int, name: String, tpe: JsonNode): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("field-id", fid)
+      n.set[JsonNode]("names", mapper.createArrayNode().add(name))
+      children(tpe).foreach(c => n.set[JsonNode]("fields", c))
+      n
+    }
+    def fromFields(fields: JsonNode)
+        : com.fasterxml.jackson.databind.node.ArrayNode = {
+      val arr = mapper.createArrayNode()
+      fields.elements().asScala.foreach { f =>
+        arr.add(entry(f.get("id").asInt(), f.get("name").asText(),
+          f.get("type")))
+      }
+      arr
+    }
+    def children(tpe: JsonNode)
+        : Option[com.fasterxml.jackson.databind.node.ArrayNode] =
+      if (tpe == null || !tpe.isObject) None
+      else tpe.get("type").asText() match {
+        case "struct" => Some(fromFields(tpe.get("fields")))
+        case "list" =>
+          val arr = mapper.createArrayNode()
+          arr.add(entry(tpe.get("element-id").asInt(), "element",
+            tpe.get("element")))
+          Some(arr)
+        case "map" =>
+          val arr = mapper.createArrayNode()
+          arr.add(entry(tpe.get("key-id").asInt(), "key", tpe.get("key")))
+          arr.add(entry(tpe.get("value-id").asInt(), "value",
+            tpe.get("value")))
+          Some(arr)
+        case _ => None
+      }
+    fromFields(schemaNode.get("fields"))
+  }
+
+  /** (Re)writes `schema.name-mapping.default` for the given CURRENT
+    * schema node into the metadata's properties map.
+    */
+  private def setNameMapping(md: ObjectNode, schemaNode: JsonNode): Unit = {
+    val props = Option(md.get("properties"))
+      .collect { case o: ObjectNode => o }
+      .getOrElse {
+        val p = mapper.createObjectNode()
+        md.set[JsonNode]("properties", p)
+        p
+      }
+    props.put("schema.name-mapping.default",
+      mapper.writeValueAsString(nameMappingOf(schemaNode)))
   }
 
   // ---------- Spark → Iceberg schema ----------

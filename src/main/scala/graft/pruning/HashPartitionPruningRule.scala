@@ -76,19 +76,31 @@ object HashPartitionPruningRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** String literals compared to `src` by `=` or `IN` in any conjunct.
-    * Only conjunctive positions are safe to strengthen; a disjunction
-    * containing other columns is left alone.
+  /** String / exact-integer literals compared to `src` by `=` or `IN` in
+    * any conjunct. Only conjunctive positions are safe to strengthen; a
+    * disjunction containing other columns is left alone. Integer literals
+    * are safe because their decimal rendering is exactly what the
+    * request-side hasher sees for the same value ("12345"); fractional
+    * and date-ish types are NOT (a double renders "12345.0"), so they
+    * never prune.
     */
+  private def hashableLiteral(e: Expression): Option[String] = e match {
+    case Literal(v, StringType) => Some(String.valueOf(v))
+    case Literal(v, org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType) => Some(String.valueOf(v))
+    case _ => None
+  }
+
   private def collectEqualities(cond: Expression, src: String): Seq[String] = cond match {
     case And(l, r) => collectEqualities(l, src) ++ collectEqualities(r, src)
-    case EqualTo(a: Attribute, Literal(v, StringType)) if a.name.equalsIgnoreCase(src) =>
-      Seq(String.valueOf(v))
-    case EqualTo(Literal(v, StringType), a: Attribute) if a.name.equalsIgnoreCase(src) =>
-      Seq(String.valueOf(v))
+    case EqualTo(a: Attribute, l: Literal) if a.name.equalsIgnoreCase(src) =>
+      hashableLiteral(l).toSeq
+    case EqualTo(l: Literal, a: Attribute) if a.name.equalsIgnoreCase(src) =>
+      hashableLiteral(l).toSeq
     case In(a: Attribute, vs) if a.name.equalsIgnoreCase(src) &&
-        vs.forall { case Literal(_, StringType) => true; case _ => false } =>
-      vs.map { case Literal(v, _) => String.valueOf(v) }
+        vs.forall(v => hashableLiteral(v).isDefined) =>
+      vs.flatMap(hashableLiteral)
     case _ => Nil
   }
 

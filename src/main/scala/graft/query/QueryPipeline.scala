@@ -90,8 +90,20 @@ object QueryPipeline {
 
     // ---- stage 2: WHERE (+ md5-hash partition pruning predicates) ----
     val predicate = FilterCompiler.compile(df.schema, filters)
-    val pruning = HashPartitionPruning.prunePredicates(
-      partitionCols.filter(pc => df.columns.contains(pc)), filters)
+    // helper columns: explicitly passed, or (r12) auto-detected from the
+    // frame when none are — the md5 markers are unambiguous by name, and
+    // the HTTP path never threads partitionCols, so a point lookup on an
+    // md5-partitioned table was scanning every partition. Construction-
+    // time pruning hashes the raw request STRING, so it covers numeric
+    // source columns the Catalyst rule's literal-type gate cannot.
+    // (plain `{col}_prefix_N` stays explicit-only: the name alone can't
+    // prove it is a helper and a wrong guess silently drops rows.)
+    val helperCols = partitionCols.filter(pc => df.columns.contains(pc)) match {
+      case Nil => df.columns.toSeq.filter(c =>
+        c.contains("_md5_prefix_") || c.contains("_md5_mod_"))
+      case explicit => explicit
+    }
+    val pruning = HashPartitionPruning.prunePredicates(helperCols, filters)
     val whereDf = (predicate.toSeq ++ pruning).reduceOption(_ && _)
       .map(df.filter).getOrElse(df)
 

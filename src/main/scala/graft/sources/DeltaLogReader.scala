@@ -36,13 +36,20 @@ object DeltaLogReader {
   final case class AddFile(path: String, partitionValues: Map[String, String],
       deletionVector: Option[DeletionVectors.Descriptor] = None)
 
+  /** The table's protocol action as last seen in the log (feature lists
+    * empty below reader 3 / writer 7, where versions imply the features).
+    */
+  final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Set[String], writerFeatures: Set[String])
+
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       configuration: Map[String, String],
       files: Seq[AddFile],
-      metaDataId: String = "graft") {
+      metaDataId: String = "graft",
+      protocol: Protocol = Protocol(1, 2, Set.empty, Set.empty)) {
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
     def dataSchema: StructType =
@@ -84,7 +91,17 @@ object DeltaLogReader {
     var partitionCols: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var metaDataId: String = "graft"
+    var protocol = Protocol(1, 2, Set.empty, Set.empty)
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    def readProtocol(p: JsonNode): Protocol = {
+      def feats(field: String): Set[String] =
+        Option(p.get(field)).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
+      Protocol(
+        Option(p.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1),
+        Option(p.get("minWriterVersion")).map(_.asInt(2)).getOrElse(2),
+        feats("readerFeatures"), feats("writerFeatures"))
+    }
 
     /** Apply one checkpoint parquet's action rows; v2 manifests carry
       * `sidecar` actions whose referenced files hold the add/remove rows —
@@ -92,7 +109,7 @@ object DeltaLogReader {
       */
     def applyCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
       val cols = df.columns.toSet
-      val actions = Seq("metaData", "add", "remove").filter(cols.contains)
+      val actions = Seq("metaData", "add", "remove", "protocol").filter(cols.contains)
       if (actions.nonEmpty) {
         df.select(actions.map(c => col(s"`$c`")): _*).collect().foreach { r =>
           val row = mapper.readTree(r.json)
@@ -101,6 +118,9 @@ object DeltaLogReader {
             partitionCols = md.get("partitionColumns").elements().asScala.map(_.asText).toSeq
             configuration = jsonMap(md.get("configuration"))
             metaDataId = Option(md.get("id")).map(_.asText).getOrElse(metaDataId)
+          }
+          Option(row.get("protocol")).filterNot(_.isNull).foreach { p =>
+            protocol = readProtocol(p)
           }
           Option(row.get("add")).filterNot(_.isNull).foreach { a =>
             val add = parseAdd(a); adds(add.path) = add
@@ -139,7 +159,10 @@ object DeltaLogReader {
     commitFiles.filter(p => versionOf(p) > replayFrom).foreach { p =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
-        if (action.has("protocol")) checkProtocol(action.get("protocol"))
+        if (action.has("protocol")) {
+          checkProtocol(action.get("protocol"))
+          protocol = readProtocol(action.get("protocol"))
+        }
         if (action.has("metaData")) {
           val md = action.get("metaData")
           schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
@@ -158,7 +181,7 @@ object DeltaLogReader {
     require(schema != null, s"no metaData action found in $tablePath")
     val version = commitFiles.lastOption.map(versionOf).orElse(cp).getOrElse(0L)
     Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq,
-      metaDataId)
+      metaDataId, protocol)
   }
 
   private def parseAdd(a: JsonNode): AddFile = {

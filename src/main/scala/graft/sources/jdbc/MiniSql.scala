@@ -656,10 +656,14 @@ private[graft] object MiniSql {
   private def arith(op: String, a: Any, b: Any): Any =
     if (a == null || b == null) null
     else (a, b) match {
-      case (x: Long, y: Long) if op != "/" => op match {
+      case (x: Long, y: Long) => op match {
         case "+" => x + y
         case "-" => x - y
         case "*" => x * y
+        // SQLite divides integers INTEGRALLY (7/2 = 3, truncated toward
+        // zero) — emulating it with double division would make a
+        // pushed-down query disagree with the engine this driver mimics
+        case "/" => if (y == 0L) null else x / y
         case "%" => if (y == 0L) null else x % y
       }
       case _ =>
@@ -777,7 +781,8 @@ private[graft] object MiniSql {
       BooleanType
     case NotE(_) | IsNull(_, _) | InList(_, _, _) | LikeE(_, _, _) |
         BetweenE(_, _, _, _) => BooleanType
-    case Bin("/", _, _) => DoubleType
+    // '/' follows the same promotion as the other operators: Long/Long
+    // divides integrally (SQLite semantics), any double operand promotes
     case Bin(_, l, r) =>
       if (inferType(l, schema) == DoubleType || inferType(r, schema) == DoubleType)
         DoubleType

@@ -69,4 +69,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.formatFinalLine(Seq("q_ok" -> 0.5, "q_bad" -> -1.0), 0.5, "sf0.1")
     assert(line.contains("\"q_bad\":-1"))
   }
+
+  test("latestOfficialRecord picks highest round and survives truncation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_rec").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.toPath.resolve(name), body.getBytes("UTF-8"))
+    write("BENCH_r2.json", """{"tail":"{\"queries\":{\"q_a\":9.99,\"q_b\":9.99}}"}""")
+    // r10 is the latest (numeric compare, not lexicographic: 10 > 2) and its
+    // tail is front-truncated mid-pair, as the driver's capture can be
+    write("BENCH_r10.json", """{"tail":"ary\":0.77,\"q_a\":0.50,\"q_b\":1.25}}"}""")
+    val rec = Bench.latestOfficialRecord(dir.getAbsolutePath)
+    assert(rec == Map("q_a" -> 0.50, "q_b" -> 1.25))
+    // no record files at all: inert, not a crash
+    val empty = java.nio.file.Files.createTempDirectory("graft_bench_none")
+    assert(Bench.latestOfficialRecord(empty.toString).isEmpty)
+  }
 }

@@ -147,6 +147,59 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
   }
 
+  test("rewriteDataFiles: identical rows from fewer files; kept files keep " +
+      "their sequence numbers so older deletes still apply") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("rw")
+    // seq 1: one BIG data file (above the byte threshold → kept, not rewritten)
+    IcebergWriter.create(
+      (0 until 50000).map(i => (i.toLong, s"value_$i")).toDF("id", "v")
+        .coalesce(1), path)
+    // seq 2..4: small appends — the compaction candidates
+    IcebergWriter.append(Seq((90001L, "a"), (90002L, "b")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((90003L, "c")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((90004L, "d")).toDF("id", "v"), path)
+    // a position delete into a small file AND an equality-delete upsert
+    // touching the big KEPT file — compaction must change neither verdict
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 90003L) == 1L)
+    IcebergWriter.upsert(Seq((7L, "updated")).toDF("id", "v"), path, Seq("id"))
+    val before = IcebergReader.read(spark, path)
+      .orderBy("id").collect().toSeq
+    def dataFiles(): Int = Files.list(Paths.get(path, "data"))
+      .iterator().asScala
+      .count(_.getFileName.toString.startsWith("part-"))
+    val filesBefore = dataFiles()
+
+    val n = IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 64 * 1024)
+    assert(n >= 3, s"expected >=3 small files compacted, got $n")
+    // compacted output registered; replaced files still on disk (older
+    // snapshots time-travel) but the CURRENT snapshot reads fewer of them
+    assert(IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    // the kept big file still serves id=7 as the UPSERTED value: its
+    // entry kept seq 1, below the equality delete's seq
+    assert(IcebergReader.read(spark, path).filter(col("id") === 7L)
+      .select("v").as[String].collect().toSeq == Seq("updated"))
+    // pre-compaction snapshots still replay
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L)).count()
+      == 50000L)
+    // nothing small left → second rewrite is a no-op, no new snapshot
+    val hint = Files.readString(Paths.get(path, "metadata", "version-hint.text"))
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 64 * 1024) == 0)
+    assert(Files.readString(
+      Paths.get(path, "metadata", "version-hint.text")) == hint)
+    // appends after compaction behave normally
+    IcebergWriter.append(Seq((90005L, "e")).toDF("id", "v"), path)
+    assert(IcebergReader.read(spark, path).count() == before.size + 1L)
+    // expiration reclaims the replaced small files: fewer live data files
+    // than before the rewrite, rows unchanged
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) > 0)
+    assert(dataFiles() < filesBefore)
+    assert(IcebergReader.read(spark, path).count() == before.size + 1L)
+  }
+
   test("readAppends: incremental feed; deletes in range and unknown " +
       "baselines fail loudly") {
     val path = tmp("chg")

@@ -1,0 +1,161 @@
+package graft
+
+import graft.config._
+import graft.query.QueryPipeline
+import graft.query.QueryPipeline.Request
+import graft.server.LakeApiServer
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+/** README's "sub-second point lookups on very large tables" claim for
+  * md5-hash partition pruning, proven at both levels:
+  *
+  *  - PLAN level (fast, always on): a point lookup over an
+  *    `l_orderkey_md5_prefix_1`-partitioned lineitem lists exactly ONE
+  *    partition — through the SAME call path the HTTP server uses (no
+  *    explicit partitionCols: the helper column is auto-detected from the
+  *    frame), and through the raw-SQL path where the Catalyst rule now
+  *    prunes NUMERIC equality literals too;
+  *  - SERVING level (env-gated like ServingBenchSpec — minutes of wall,
+  *    meaningless on a contended host): point lookups against the 600k-row
+  *    sf0.1 lineitem behind the live HTTP server, every request under the
+  *    reference's 1.5 s bound (tests/test_performance.py:14) — the table
+  *    class that memory/PERF notes blows that bound UNPARTITIONED. Set
+  *    GRAFT_SERVING_BENCH=1; p50/p99 are printed for PERF.md.
+  */
+class Md5PruningServingSpec extends SparkSpec {
+
+  /** Memoized md5-partitioned copy of `sfDir`'s lineitem. */
+  private def fixture(sfDir: String, prefixLen: Int): String = {
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_md5part_gate_v1_${prefixLen}_${math.abs(sfDir.hashCode)}")
+    this.synchronized {
+      if (!Files.exists(root.resolve("_READY"))) {
+        val helper = s"l_orderkey_md5_prefix_$prefixLen"
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn(helper,
+            substring(md5(col("l_orderkey").cast("string")), 1, prefixLen))
+          .write.mode("overwrite").partitionBy(helper)
+          .parquet(root.toString)
+        Files.createFile(root.resolve("_READY"))
+      }
+    }
+    root.toString
+  }
+
+  test("point lookup lists exactly ONE partition via the server call path " +
+      "and via raw SQL with a numeric literal") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    val dir = fixture(sf, 1)
+    val helper = "l_orderkey_md5_prefix_1"
+    val totalDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith(s"$helper="))
+    assert(totalDirs > 4, s"fixture too narrow: $totalDirs partition dirs")
+    val df = spark.read.parquet(dir)
+    val key = df.select("l_orderkey").head.getLong(0)
+    val expect = df.filter(col("l_orderkey") === key).count()
+    assert(expect > 0)
+
+    // the HTTP server's exact invocation: runOn with NO partitionCols —
+    // the md5 helper must be auto-detected or the server path scans all
+    // partitions
+    val t = TableConfig(name = "li", tag = "t",
+      datasource = DatasourceConfig(uri = dir),
+      params = Seq(Param("l_orderkey")))
+    val out = QueryPipeline.runOn(df, t,
+      Request(params = Map("l_orderkey" -> key.toString), limit = Some(-1)))
+    assert(out.count() == expect)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, out.queryExecution.sparkPlan.toString)
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"helper pruning filter must reach the scan:\n$s")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"lookup listed ${s.selectedPartitions.partitionCount} of " +
+          s"$totalDirs partitions, want 1")
+    }
+
+    // raw SQL: `l_orderkey = <long literal>` — the rule hashes the
+    // literal's decimal rendering, which is exactly what the request-side
+    // hasher sees for the same value
+    graft.pruning.HashPartitionPruningRule.install(spark)
+    df.createOrReplaceTempView("li_md5_pruning_fixture")
+    val sqlOut = spark.sql(
+      s"SELECT l_orderkey, l_quantity FROM li_md5_pruning_fixture " +
+        s"WHERE l_orderkey = $key")
+    assert(sqlOut.count() == expect)
+    val sqlScans = sqlOut.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(sqlScans.nonEmpty)
+    sqlScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"raw-SQL lookup listed ${s.selectedPartitions.partitionCount} " +
+          s"partitions, want 1:\n$s")
+    }
+  }
+
+  test("600k-row md5-partitioned lineitem: HTTP point lookups under 1.5 s") {
+    assume(sys.env.get("GRAFT_SERVING_BENCH").exists(_.nonEmpty),
+      "set GRAFT_SERVING_BENCH=1 to run the serving-scale pruning bench")
+    val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = fixture(sf, 2)
+    val df = spark.read.parquet(dir)
+    // sample keys spread across the table (every partition class hit)
+    val keys = df.select("l_orderkey").distinct().limit(4000)
+      .collect().map(_.getLong(0))
+    assert(keys.length >= 100)
+
+    val cfg = Configs(Seq(TableConfig(name = "lineitem_md5", tag = "bench",
+      datasource = DatasourceConfig(uri = dir),
+      params = Seq(Param("l_orderkey")), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/api/v1/bench/lineitem_md5"
+    val client = HttpClient.newHttpClient()
+    def get(url: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // warm: plan compile + first-touch IO
+      (0 until 8).foreach(i =>
+        assert(get(s"$base?l_orderkey=${keys(i)}").statusCode() == 200))
+
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futures = (0 until 320).map { i =>
+          scala.concurrent.Future {
+            val k = keys((i * 37) % keys.length)
+            val s = System.nanoTime()
+            val r = get(s"$base?l_orderkey=$k")
+            ((System.nanoTime() - s) / 1e9, r.statusCode(),
+              r.body().contains("l_quantity"))
+          }
+        }
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(600, "s"))
+        assert(results.forall(_._2 == 200))
+        assert(results.forall(_._3), "lookup responses must carry rows")
+        val times = results.map(_._1).sorted
+        def pct(p: Double) = times((p * (times.size - 1)).round.toInt)
+        val line = f"md5-pruning point lookups (sf0.1 lineitem, 600k rows, " +
+          f"256 partitions): p50 ${pct(0.5)}%.3f s, p95 ${pct(0.95)}%.3f s, " +
+          f"p99 ${pct(0.99)}%.3f s, max ${times.last}%.3f s"
+        info(line); println(line)
+        val over = times.filter(_ >= 1.5)
+        assert(over.isEmpty,
+          s"${over.size} of 320 lookups over the 1.5 s bound " +
+            f"(max ${times.last}%.2f s)")
+      } finally pool.shutdown()
+    } finally srv.stop()
+  }
+}

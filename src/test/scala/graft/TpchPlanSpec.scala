@@ -26,6 +26,36 @@ class TpchPlanSpec extends SparkSpec {
       s"c_mktsegment filter not pushed to the scan:\n$p")
   }
 
+  test("q_tpch_q3: customer broadcast sits BELOW the orderkey shuffle join") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // at sf0.001 EVERY side fits the auto-broadcast threshold, so the
+    // orderkey join would broadcast too and the tree-order assertion has
+    // nothing to check. Disabling the threshold restores the at-scale
+    // shape: only the HINTED customer broadcast survives, the orderkey
+    // join shuffles — which is exactly the 100 TB plan this spec pins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pre-AQE physical plan: tree shape is what the planner chose, no
+    // AdaptiveSparkPlanExec wrapper hiding the subtree from collect
+    val phys =
+      try SparkEntry.queries("q_tpch_q3")(spark, dir).queryExecution.sparkPlan
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val shuffleJoins = phys.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.nonEmpty, s"expected an orderkey shuffle join:\n$phys")
+    // the BUILDING-customer broadcast must be a DESCENDANT of the shuffle
+    // join — it prunes orders before the big orderkey exchange. A broadcast
+    // applied to the join OUTPUT passes a mere existence check while
+    // shuffling ~5x more orders rows (all market segments).
+    val below = shuffleJoins.exists(
+      _.collectFirst { case b: BroadcastHashJoinExec => b }.isDefined)
+    assert(below, s"customer broadcast is not below the shuffle join:\n$phys")
+  }
+
   test("q_tpch_q5: all four dimensions broadcast; one shuffle join total") {
     assume(new java.io.File(s"$dir/lineitem.parquet").exists)
     val p = plan("q_tpch_q5")
