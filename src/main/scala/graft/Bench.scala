@@ -85,6 +85,11 @@ object Bench {
       // a well-behaved sequential workload performs.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val ok = times.filter(_ >= 0)
+      // per-run trace (stderr, not the official record): distinguishes a
+      // genuinely slow query (flat runs) from cold-start or contention
+      // (first run or one spike dominating)
+      System.err.println(
+        s"[bench] $n runs: " + times.map(t => f"$t%.2f").mkString(" "))
       if (ok.isEmpty) -1.0 else ok.min
     }
     val firstPass = names.map(n => n -> measure(n))

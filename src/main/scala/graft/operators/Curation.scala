@@ -55,28 +55,48 @@ object Curation {
     // each re-scanned the source in r9/r10 — PERF.md measured the report
     // paying 4-5 source scans. Materialize ONE narrow projection of the
     // source (through the durability knob: `reliable` for 100 TB runs) and
-    // derive every branch from it, so the corpus is read exactly once.
+    // derive every branch from it, so the corpus is read exactly once —
+    // EAGERLY, so the concurrent branches below start from finished
+    // blocks instead of racing on who materializes the scan.
     val src = docs.select(col(idCol), col(textCol), col(scoreCol))
-      .materialize()
-    val quality = QualityFilter.verdicts(src, idCol, textCol)
-      .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
+      .materialize(eager = true)
+    // concurrent independent branches (r12): the quality rollup and the
+    // exact-dedup fingerprint aggregate depend only on `src`, never on
+    // the cluster pipeline — but the label-prop/star rounds BLOCK the
+    // calling thread on one small job per round, leaving executors mostly
+    // idle between rounds. Materializing the independent branches from
+    // background threads lets Spark schedule their jobs into those gaps,
+    // so wall time is max(cluster pipeline, side branches) + the final
+    // join instead of their sum. Driver-side thread scheduling only —
+    // plans, results and the single-scan property are unchanged
+    // (CurationSpec's accumulator spec still counts one source scan).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val qualityF = Future {
+      QualityFilter.verdicts(src, idCol, textCol)
+        .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
+        .materialize(eager = true)
+    }
     // fused base pass (r9): the exact-dedup fingerprint, the canonical
     // score, and the split's id list are all per-row Column work over the
-    // same scan — compute them in ONE materialized pass instead of three
-    // source scans (fps, keepCanonical's (id, score), the split ids)
-    val base = src.select(col(idCol).as("id"),
-      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
-      col(scoreCol).as("score"))
-      .materialize()
-    // exact-dedup verdict fused ONTO the canonical path's input (r12):
-    // the fp min-aggregate join labels each row, and the ok_exact column
-    // then RIDES keepCanonicalScored's passthrough instead of being a
-    // fourth corpus-sized frame in the final id-join tree — one fewer
-    // id-keyed shuffle join at any scale
-    val withExact = base
-      .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
-      .select(col("id"), col("score"),
-        when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+    // same scan — ONE pass instead of three source scans. The exact-dedup
+    // verdict is fused ONTO the canonical path's input (r12): the fp
+    // min-aggregate join labels each row, and ok_exact then RIDES
+    // keepCanonicalScored's passthrough instead of being a fourth
+    // corpus-sized frame in the final id-join tree — one fewer id-keyed
+    // shuffle join at any scale.
+    val withExactF = Future {
+      val base = src.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+        col(scoreCol).as("score"))
+        .materialize()
+      base
+        .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
+        .select(col("id"), col("score"),
+          when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+        .materialize(eager = true)
+    }
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
     // twice — candidates and verification sets read one derivation
@@ -84,6 +104,8 @@ object Curation {
       .materialize()
     val clusters = Dedup.duplicateClusters(
       Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+    val quality = Await.result(qualityF, Duration.Inf)
+    val withExact = Await.result(withExactF, Duration.Inf)
     // leakage-safe split fused onto the canonical verdict (r9): keepCanonical
     // already emits every document labeled by its near-dup cluster (own id
     // when unclustered) — exactly [[Sampling.assignSplitByGroup]]'s

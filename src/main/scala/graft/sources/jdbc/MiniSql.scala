@@ -17,16 +17,22 @@ import org.apache.spark.sql.types._
   *   query  := SELECT item[, ...] FROM source [WHERE expr]
   *             [GROUP BY expr[, ...]] [ORDER BY ord[, ...]]
   *             [LIMIT n [OFFSET m]]
-  *   source := table | '(' query ')' [AS] alias
+  *   source := primary { [INNER | LEFT [OUTER]] JOIN primary ON expr }
+  *   primary:= table [[AS] alias] | '(' query ')' [AS] alias
   *   item   := * | expr [[AS] alias]
-  *   expr   := literals, "quoted"/`quoted`/[quoted]/bare columns,
-  *             = <> != < <= > >=, AND OR NOT, IS [NOT] NULL,
+  *   expr   := literals, "quoted"/`quoted`/[quoted]/bare or t.qualified
+  *             columns, = <> != < <= > >=, AND OR NOT, IS [NOT] NULL,
   *             [NOT] IN (...), [NOT] LIKE, [NOT] BETWEEN, + - * / %,
   *             upper lower length abs round coalesce substr,
   *             count/sum/avg/min/max (whole-table or grouped)
   * }}}
   * GROUP BY (columns, expressions, or output aliases) with HAVING over
-  * keys/aggregates is supported (r11).
+  * keys/aggregates is supported (r11). INNER and LEFT [OUTER] JOIN with
+  * an arbitrary ON predicate are supported (r12): joins hash-index the
+  * build side on the first equi-conjunct when one exists (the full ON
+  * predicate still verifies every candidate) and fall back to a nested
+  * loop otherwise; `t.col` references resolve against table aliases, and
+  * ambiguous bare names are rejected like any SQL engine rejects them.
   *
   * Scale note: this engine materializes one table in one process — it is
   * the SERVING-scale path (the reference's sqlite/ODBC tables are small
@@ -55,8 +61,12 @@ private[graft] object MiniSql {
       groupBy: Seq[Expr], having: Option[Expr], orderBy: Seq[OrderItem],
       limit: Option[Long], offset: Option[Long])
   sealed trait Source
-  case class TableSource(name: String) extends Source
-  case class SubquerySource(q: Query) extends Source
+  case class TableSource(name: String, alias: Option[String] = None)
+    extends Source
+  case class SubquerySource(q: Query, alias: Option[String] = None)
+    extends Source
+  case class JoinSource(left: Source, right: Source, leftOuter: Boolean,
+      on: Expr) extends Source
 
   case class Rel(schema: StructType, rows: Vector[Array[Any]])
 
@@ -71,7 +81,8 @@ private[graft] object MiniSql {
 
   private val keywords = Set("SELECT", "FROM", "WHERE", "ORDER", "BY", "LIMIT",
     "OFFSET", "AS", "AND", "OR", "NOT", "IS", "NULL", "IN", "LIKE", "BETWEEN",
-    "ASC", "DESC", "DISTINCT", "GROUP", "HAVING", "TRUE", "FALSE")
+    "ASC", "DESC", "DISTINCT", "GROUP", "HAVING", "TRUE", "FALSE",
+    "JOIN", "ON", "INNER", "LEFT", "OUTER")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -215,13 +226,36 @@ private[graft] object MiniSql {
       case t => throw new IllegalArgumentException(s"expected identifier, got $t")
     }
 
+    private def parseAliasOpt(): Option[String] =
+      if (eatKw("AS")) Some(parseIdent())
+      else peek match {
+        case Some(TIdent(_)) => Some(parseIdent())
+        case _ => None
+      }
+
+    private def parsePrimarySource(): Source =
+      if (eatOp("(")) {
+        val q = parseQuery(); expectOp(")"); SubquerySource(q, parseAliasOpt())
+      } else TableSource(parseIdent(), parseAliasOpt())
+
+    // source := primary { [INNER | LEFT [OUTER]] JOIN primary ON expr }
     private def parseSource(): Source = {
-      val src =
-        if (eatOp("(")) { val q = parseQuery(); expectOp(")"); SubquerySource(q) }
-        else TableSource(parseIdent())
-      // optional [AS] alias — resolution is by column name, alias unused
-      if (eatKw("AS")) parseIdent()
-      else peek match { case Some(TIdent(_)) => parseIdent(); case _ => () }
+      var src = parsePrimarySource()
+      var going = true
+      while (going) {
+        val joinType =
+          if (eatKw("INNER")) { expectKw("JOIN"); Some(false) }
+          else if (eatKw("LEFT")) { eatKw("OUTER"); expectKw("JOIN"); Some(true) }
+          else if (eatKw("JOIN")) Some(false)
+          else None
+        joinType match {
+          case Some(leftOuter) =>
+            val right = parsePrimarySource()
+            expectKw("ON")
+            src = JoinSource(src, right, leftOuter, parseExpr())
+          case None => going = false
+        }
+      }
       src
     }
 
@@ -334,6 +368,16 @@ private[graft] object MiniSql {
           expectOp(")")
           Func(name.toLowerCase, args.result())
         }
+      case TIdent(name) if op(".") =>
+        // qualified reference `t.col` (or `"t"."col"`): kept as one
+        // dotted name; resolution prefers an exact schema-name match,
+        // then qualifier+name against the source scope
+        pos += 1
+        advance() match {
+          case TIdent(c) => ColRef(name + "." + c)
+          case t => throw new IllegalArgumentException(
+            s"expected column after `$name.`, got $t in: $sql")
+        }
       case TIdent(name) => ColRef(name)
       case t => throw new IllegalArgumentException(
         s"unexpected token $t in: $sql")
@@ -350,18 +394,127 @@ private[graft] object MiniSql {
 
   // ---------- evaluation ----------
 
+  /** A source tree → (rows, per-column qualifier). Qualifiers are the
+    * table name or its alias (subqueries: the alias alone), used by
+    * `colIdx` to resolve `t.col` references and flag bare ambiguity.
+    */
+  private def buildSource(src: Source,
+      dbPath: String): (Rel, Vector[Option[String]]) = src match {
+    case TableSource(name, alias) =>
+      val scan = new SQLiteReader.LocalScan(dbPath, name)
+      val rel = try Rel(scan.schema, scan.rows.toVector) finally scan.close()
+      (rel, Vector.fill(rel.schema.size)(Some(alias.getOrElse(name))))
+    case SubquerySource(sub, alias) =>
+      val rel = execute(sub, dbPath)
+      (rel, Vector.fill(rel.schema.size)(alias))
+    case JoinSource(l, r, leftOuter, on) =>
+      val (lr, lq) = buildSource(l, dbPath)
+      val (rr, rq) = buildSource(r, dbPath)
+      val schema = StructType(lr.schema.fields ++ rr.schema.fields)
+      val quals = lq ++ rq
+      val names = schema.fields.map(_.name)
+      def idx(name: String): Option[Int] = {
+        val bare = names.indices.filter(i => names(i).equalsIgnoreCase(name))
+        if (bare.size == 1) Some(bare.head)
+        else {
+          val dot = name.indexOf('.')
+          if (dot <= 0) None
+          else {
+            val (qual, c) = (name.substring(0, dot), name.substring(dot + 1))
+            val hits = names.indices.filter(i =>
+              quals(i).exists(_.equalsIgnoreCase(qual)) &&
+                names(i).equalsIgnoreCase(c))
+            if (hits.size == 1) Some(hits.head) else None
+          }
+        }
+      }
+      val lw = lr.schema.size
+      val rw = rr.schema.size
+      def combined(a: Array[Any], b: Array[Any]): Array[Any] = {
+        val out = new Array[Any](lw + rw)
+        System.arraycopy(a, 0, out, 0, lw)
+        System.arraycopy(b, 0, out, lw, rw)
+        out
+      }
+      def resolveForOn(name: String): Int = idx(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column `$name` in ON clause not found or ambiguous"))
+      // exact cross-type numeric key (3L must meet 3.0, and longs past
+      // 2^53 must not collide through double)
+      def normKey(v: Any): Any = v match {
+        case l: Long => BigDecimal(l)
+        case d: Double => BigDecimal(d)
+        case b: java.lang.Boolean => BigDecimal(if (b) 1 else 0)
+        case other => other
+      }
+      def conjuncts(e: Expr): Seq[Expr] = e match {
+        case Bin("AND", a, b) => conjuncts(a) ++ conjuncts(b)
+        case x => Seq(x)
+      }
+      // hash-join fast path: the first `l.col = r.col` equi-conjunct keys
+      // a build-side index; the FULL ON predicate still verifies every
+      // candidate, so extraction is a pure optimization
+      val equi: Option[(Int, Int)] = conjuncts(on).flatMap {
+        case Bin("=", ColRef(a), ColRef(b)) =>
+          (idx(a), idx(b)) match {
+            case (Some(ia), Some(ib)) if ia < lw && ib >= lw => Some((ia, ib))
+            case (Some(ia), Some(ib)) if ib < lw && ia >= lw => Some((ib, ia))
+            case _ => None
+          }
+        case _ => None
+      }.headOption
+      val matches: Vector[(Array[Any], Vector[Array[Any]])] = equi match {
+        case Some((li, ri)) =>
+          val index = rr.rows.filter(_(ri - lw) != null)
+            .groupBy(r => normKey(r(ri - lw)))
+          lr.rows.map { a =>
+            val cands =
+              if (a(li) == null) Vector.empty
+              else index.getOrElse(normKey(a(li)), Vector.empty)
+            a -> cands.filter(b =>
+              eval(on, combined(a, b), resolveForOn) == TRUE)
+          }
+        case None =>
+          lr.rows.map(a => a -> rr.rows.filter(b =>
+            eval(on, combined(a, b), resolveForOn) == TRUE))
+      }
+      val nullRight = Array.fill[Any](rw)(null)
+      val rows = matches.flatMap { case (a, bs) =>
+        if (bs.nonEmpty) bs.map(b => combined(a, b))
+        else if (leftOuter) Vector(combined(a, nullRight))
+        else Vector.empty
+      }
+      (Rel(schema, rows), quals)
+  }
+
   def execute(q: Query, dbPath: String): Rel = {
-    val base: Rel = q.source match {
-      case TableSource(name) =>
-        val scan = new SQLiteReader.LocalScan(dbPath, name)
-        try Rel(scan.schema, scan.rows.toVector) finally scan.close()
-      case SubquerySource(sub) => execute(sub, dbPath)
-    }
+    val (base, quals) = buildSource(q.source, dbPath)
     val names = base.schema.fields.map(_.name)
+    // resolution: exact schema-name match first (a projected column may
+    // legitimately contain a dot), then qualifier.name against the source
+    // scope, then unique bare name — ambiguity is an error, as in SQL
     def colIdx(name: String): Int = {
-      val i = names.indexWhere(_.equalsIgnoreCase(name))
-      require(i >= 0, s"column `$name` not found (have: ${names.mkString(", ")})")
-      i
+      def ambiguous(hits: Seq[Int]): Nothing = throw new IllegalArgumentException(
+        s"ambiguous column `$name` — qualify it (candidates: ${
+          hits.map(i => quals(i).fold(names(i))(q2 => s"$q2.${names(i)}"))
+            .mkString(", ")})")
+      val bare = names.indices.filter(i => names(i).equalsIgnoreCase(name))
+      if (bare.size == 1) bare.head
+      else if (bare.size > 1) ambiguous(bare)
+      else {
+        val dot = name.indexOf('.')
+        require(dot > 0,
+          s"column `$name` not found (have: ${names.mkString(", ")})")
+        val (qual, c) = (name.substring(0, dot), name.substring(dot + 1))
+        val hits = names.indices.filter(i =>
+          quals(i).exists(_.equalsIgnoreCase(qual)) &&
+            names(i).equalsIgnoreCase(c))
+        require(hits.nonEmpty,
+          s"column `$name` not found (have: ${names.indices.map(i =>
+            quals(i).fold(names(i))(q2 => s"$q2.${names(i)}")).mkString(", ")})")
+        if (hits.size > 1) ambiguous(hits)
+        hits.head
+      }
     }
 
     val filtered = q.where match {
@@ -776,7 +929,14 @@ private[graft] object MiniSql {
     case Lit(_: Boolean) => BooleanType
     case Lit(_) => StringType
     case ColRef(n) => schema.fields
-      .find(_.name.equalsIgnoreCase(n)).map(_.dataType).getOrElse(StringType)
+      .find(_.name.equalsIgnoreCase(n))
+      .orElse { // qualified `t.col`: type by the bare column name
+        val dot = n.indexOf('.')
+        if (dot > 0)
+          schema.fields.find(_.name.equalsIgnoreCase(n.substring(dot + 1)))
+        else None
+      }
+      .map(_.dataType).getOrElse(StringType)
     case Bin("AND" | "OR" | "=" | "<>" | "<" | "<=" | ">" | ">=", _, _) =>
       BooleanType
     case NotE(_) | IsNull(_, _) | InList(_, _, _) | LikeE(_, _, _) |

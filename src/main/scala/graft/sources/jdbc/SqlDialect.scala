@@ -1,0 +1,112 @@
+package graft.sources.jdbc
+
+/** Dialect-aware SQL emission for the remote full-query-pushdown shape
+  * (SURVEY §2.1 S9). The reference transpiles its generated query to the
+  * remote server's dialect before shipping it over ODBC — the dialect is
+  * picked from the connection string (context/df_odbc.py:59-67: a
+  * "... for SQL Server" driver name means tsql, anything else the ansi
+  * path), derived tables are force-aliased because SQL Server rejects
+  * unaliased subqueries, and row caps are wrapped dialect-specifically
+  * because T-SQL has no LIMIT (context/df_base.py:51-73:
+  * `SELECT top {n} * FROM (q) s` vs `SELECT * FROM (q) s LIMIT {n}`).
+  *
+  * This object reproduces those emission rules for the Spark
+  * `dbtable`-subquery path: every emitted string drops straight into
+  * `spark.read.jdbc`'s dbtable option (Spark wraps it once more under its
+  * own alias, which both dialects accept). The ANSI dialect executes
+  * end-to-end against the in-process [[GraftSQLiteDriver]]
+  * (SqlDialectSpec); the T-SQL emission is pinned by the same spec so the
+  * S9 residual is solely "no SQL Server to talk to" in this zero-egress
+  * environment.
+  */
+sealed trait SqlDialect {
+  def name: String
+
+  /** Identifier quoting: `"x"` (ANSI / SQLite / DuckDB) vs `[x]` (T-SQL). */
+  def quoteIdent(ident: String): String
+
+  /** A base query wrapped as an ALIASED derived table — the alias is
+    * unconditional because SQL Server requires one on every derived table
+    * (the reference forces `.as_("s"/"t")` for exactly this reason).
+    */
+  def subquery(baseQuery: String, alias: String = "t"): String =
+    s"($baseQuery) $alias"
+
+  /** The reference's limit-wrap over an opaque query string. */
+  def limited(query: String, limit: Int): String
+
+  /** Zero-row schema probe (df_odbc.py `arrow_schema`: the same wrap at
+    * limit 0).
+    */
+  def schemaProbe(query: String): String = limited(query, 0)
+
+  /** Full SELECT emission over an aliased source (bare table or
+    * [[subquery]] output): projection, conjunctive WHERE, ORDER BY with
+    * per-key direction, and the dialect-correct limit/offset clause.
+    * T-SQL's OFFSET/FETCH requires an ORDER BY (SQL Server syntax rule) —
+    * emission fails fast rather than shipping a query the server rejects.
+    */
+  def select(from: String, columns: Seq[String] = Seq("*"),
+      where: Seq[String] = Nil, orderBy: Seq[(String, Boolean)] = Nil,
+      limit: Option[Int] = None, offset: Option[Int] = None): String = {
+    require(offset.forall(_ >= 0) && limit.forall(_ >= 0),
+      "limit/offset must be non-negative")
+    val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
+    val w = if (where.isEmpty) "" else where.mkString(" WHERE (", ") AND (", ")")
+    val o = if (orderBy.isEmpty) ""
+      else orderBy.map { case (c, asc) => c + (if (asc) " ASC" else " DESC") }
+        .mkString(" ORDER BY ", ", ", "")
+    assemble(cols, from, w, o, limit, offset)
+  }
+
+  protected def assemble(cols: String, from: String, where: String,
+      orderBy: String, limit: Option[Int], offset: Option[Int]): String
+}
+
+object SqlDialect {
+
+  /** Reference rule (df_odbc.py:59-67), case-insensitive on the ODBC
+    * driver name embedded in the connection string.
+    */
+  def forConnectionString(connectionString: String): SqlDialect =
+    if (connectionString.toLowerCase.contains(" for sql server")) Tsql
+    else Ansi
+
+  case object Ansi extends SqlDialect {
+    val name = "ansi"
+    def quoteIdent(ident: String): String =
+      "\"" + ident.replace("\"", "\"\"") + "\""
+    def limited(query: String, limit: Int): String =
+      s"SELECT * FROM ($query) s LIMIT $limit"
+    protected def assemble(cols: String, from: String, where: String,
+        orderBy: String, limit: Option[Int], offset: Option[Int]): String = {
+      val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+      val off = offset.filter(_ > 0).map(n => s" OFFSET $n").getOrElse("")
+      s"SELECT $cols FROM $from$where$orderBy$lim$off"
+    }
+  }
+
+  case object Tsql extends SqlDialect {
+    val name = "tsql"
+    def quoteIdent(ident: String): String =
+      "[" + ident.replace("]", "]]") + "]"
+    // "why not just support limit/offset like everyone else, microsoft?"
+    // — the reference's own comment at df_base.py:68
+    def limited(query: String, limit: Int): String =
+      s"SELECT top $limit * FROM ($query) s"
+    protected def assemble(cols: String, from: String, where: String,
+        orderBy: String, limit: Option[Int], offset: Option[Int]): String =
+      offset.filter(_ > 0) match {
+        case None =>
+          val top = limit.map(n => s"top $n ").getOrElse("")
+          s"SELECT $top$cols FROM $from$where$orderBy"
+        case Some(off) =>
+          // OFFSET/FETCH is the only paged form T-SQL has, and it is
+          // syntactically glued to ORDER BY
+          require(orderBy.nonEmpty,
+            "tsql OFFSET requires an ORDER BY (SQL Server syntax rule)")
+          val fetch = limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+          s"SELECT $cols FROM $from$where$orderBy OFFSET $off ROWS$fetch"
+      }
+  }
+}

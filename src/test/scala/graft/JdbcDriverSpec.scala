@@ -126,6 +126,72 @@ class JdbcDriverSpec extends SparkSpec {
   private def run(sql: String): MiniSql.Rel =
     MiniSql.execute(MiniSql.parse(sql), fixture)
 
+  test("JOIN pushdown: grouped customers ⋈ invoices matches Spark's join") {
+    assume(new java.io.File(chinook).canRead)
+    val pushed = jdbc(chinook,
+      """(SELECT c."Country" AS country, count(*) AS n,
+        |round(sum(i."Total"), 2) AS total
+        |FROM customers c JOIN invoices i
+        |ON c."CustomerId" = i."CustomerId"
+        |WHERE c."Country" = 'Germany' OR c."Country" = 'Brazil'
+        |GROUP BY c."Country") q""".stripMargin)
+    val c = SQLiteReader.read(spark, chinook, "customers")
+      .select(col("CustomerId"), col("Country"))
+    val i = SQLiteReader.read(spark, chinook, "invoices")
+      .select(col("CustomerId"), col("Total"))
+    val expect = c.filter(col("Country").isin("Germany", "Brazil"))
+      .join(i, "CustomerId")
+      .groupBy(col("Country").as("country"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("Total")), 2).as("total"))
+    assert(pushed.orderBy("country").collect().toSeq ==
+      expect.orderBy("country").collect().toSeq)
+  }
+
+  test("LEFT JOIN keeps unmatched left rows with NULL right columns") {
+    assume(new java.io.File(chinook).canRead)
+    // right side filtered to big-ticket invoices: most customers unmatched
+    val df = jdbc(chinook,
+      """(SELECT c."CustomerId" AS cid, big."Total" AS total
+        |FROM customers c LEFT OUTER JOIN
+        |(SELECT "CustomerId", "Total" FROM invoices
+        | WHERE "Total" > 20) big
+        |ON c."CustomerId" = big."CustomerId") q""".stripMargin)
+    val c = SQLiteReader.read(spark, chinook, "customers")
+      .select(col("CustomerId").as("cid"))
+    val i = SQLiteReader.read(spark, chinook, "invoices")
+      .filter(col("Total") > 20)
+      .select(col("CustomerId").as("cid"), col("Total").as("total"))
+    val expect = c.join(i, Seq("cid"), "left")
+    assert(df.count() == expect.count())
+    assert(df.filter(col("total").isNull).count() ==
+      expect.filter(col("total").isNull).count())
+    assert(df.orderBy("cid", "total").collect().toSeq ==
+      expect.orderBy("cid", "total").collect().toSeq)
+  }
+
+  test("JOIN resolution: ambiguous bare columns rejected, aliases resolve; " +
+      "non-equi ON falls back to the nested loop") {
+    assume(new java.io.File(chinook).canRead)
+    val amb = intercept[IllegalArgumentException] {
+      graft.sources.jdbc.MiniSql.execute(
+        graft.sources.jdbc.MiniSql.parse(
+          """SELECT "CustomerId" FROM customers c JOIN invoices i
+            |ON c."CustomerId" = i."CustomerId"""".stripMargin), chinook)
+    }
+    assert(amb.getMessage.contains("ambiguous"))
+    // pure range ON (no equi-conjunct): nested-loop path, same semantics
+    val loop = graft.sources.jdbc.MiniSql.execute(
+      graft.sources.jdbc.MiniSql.parse(
+        """SELECT count(*) AS n FROM
+          |(SELECT "CustomerId" AS a FROM customers WHERE "CustomerId" <= 3) x
+          |JOIN
+          |(SELECT "CustomerId" AS b FROM customers WHERE "CustomerId" <= 5) y
+          |ON x.a < y.b""".stripMargin), chinook)
+    // pairs (a,b) with a<=3, b<=5, a<b: a=1→4, a=2→3, a=3→2 ⇒ 9
+    assert(loop.rows.head(0) == 9L)
+  }
+
   test("MiniSql: predicates — IN, NOT IN, LIKE, BETWEEN, IS NULL, <>") {
     assert(run("SELECT id FROM typed WHERE id IN (1, 2, 9)").rows.size == 3)
     assert(run("SELECT id FROM typed WHERE id NOT IN (1, 2)").rows.size == 8)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.jdbc.{GraftSQLiteDriver, SqlDialect}
+import org.apache.spark.sql.functions._
+
+/** S9's dialect emitter: T-SQL emission pinned against the reference's
+  * rules (df_base.py:51-73, df_odbc.py:59-77), ANSI emission EXECUTED
+  * end-to-end through the in-process JDBC driver — so the remote-server
+  * residual is only the missing server, not untested SQL shapes.
+  */
+class SqlDialectSpec extends SparkSpec {
+
+  private val chinook = "/root/reference/tests/data/chinook.db"
+
+  test("dialect pick follows the reference's connection-string rule") {
+    assert(SqlDialect.forConnectionString(
+      "Driver={ODBC Driver 18 for SQL Server};Server=x") == SqlDialect.Tsql)
+    assert(SqlDialect.forConnectionString(
+      "driver={odbc driver 17 FOR sql SERVER};server=y") == SqlDialect.Tsql)
+    assert(SqlDialect.forConnectionString(
+      "Driver={DuckDB Driver};Database=f.db") == SqlDialect.Ansi)
+  }
+
+  test("limit wrap: T-SQL has no LIMIT; both force the subquery alias") {
+    val q = "SELECT a FROM t"
+    assert(SqlDialect.Ansi.limited(q, 7) ==
+      "SELECT * FROM (SELECT a FROM t) s LIMIT 7")
+    assert(SqlDialect.Tsql.limited(q, 7) ==
+      "SELECT top 7 * FROM (SELECT a FROM t) s")
+    // the schema probe is the same wrap at 0 (df_odbc.py arrow_schema)
+    assert(SqlDialect.Tsql.schemaProbe(q) ==
+      "SELECT top 0 * FROM (SELECT a FROM t) s")
+    assert(SqlDialect.Ansi.subquery(q) == "(SELECT a FROM t) t")
+    assert(SqlDialect.Tsql.subquery(q, "s") == "(SELECT a FROM t) s")
+  }
+
+  test("full SELECT emission: TOP vs LIMIT, OFFSET/FETCH needs ORDER BY") {
+    val ansi = SqlDialect.Ansi.select(from = "(SELECT * FROM c) t",
+      columns = Seq("\"Id\"", "\"Country\""),
+      where = Seq("\"Country\" = 'Germany'"),
+      orderBy = Seq(("\"Id\"", true)), limit = Some(5), offset = Some(10))
+    assert(ansi == "SELECT \"Id\", \"Country\" FROM (SELECT * FROM c) t " +
+      "WHERE (\"Country\" = 'Germany') ORDER BY \"Id\" ASC LIMIT 5 OFFSET 10")
+    val tsql = SqlDialect.Tsql.select(from = "(SELECT * FROM c) t",
+      columns = Seq("[Id]", "[Country]"),
+      where = Seq("[Country] = 'Germany'"),
+      orderBy = Seq(("[Id]", true)), limit = Some(5), offset = Some(10))
+    assert(tsql == "SELECT [Id], [Country] FROM (SELECT * FROM c) t " +
+      "WHERE ([Country] = 'Germany') ORDER BY [Id] ASC " +
+      "OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY")
+    // no offset → plain TOP, glued before the projection
+    assert(SqlDialect.Tsql.select(from = "t", limit = Some(3)) ==
+      "SELECT top 3 * FROM t")
+    // T-SQL offset without order: fail fast, don't ship a rejected query
+    intercept[IllegalArgumentException] {
+      SqlDialect.Tsql.select(from = "t", offset = Some(5))
+    }
+    // identifier quoting styles
+    assert(SqlDialect.Ansi.quoteIdent("a\"b") == "\"a\"\"b\"")
+    assert(SqlDialect.Tsql.quoteIdent("a]b") == "[a]]b]")
+  }
+
+  test("ANSI emission EXECUTES through the in-process JDBC driver") {
+    assume(new java.io.File(chinook).canRead)
+    val d = SqlDialect.Ansi
+    val inner = s"SELECT ${d.quoteIdent("CustomerId")}, " +
+      s"${d.quoteIdent("Country")} FROM customers"
+    val emitted = d.select(
+      from = d.subquery(inner),
+      columns = Seq(d.quoteIdent("CustomerId"), d.quoteIdent("Country")),
+      where = Seq(s"${d.quoteIdent("Country")} = 'Germany'"),
+      orderBy = Seq((d.quoteIdent("CustomerId"), true)),
+      limit = Some(3))
+    val df = spark.read.format("jdbc")
+      .option("driver", "graft.sources.jdbc.GraftSQLiteDriver")
+      .option("url", s"${GraftSQLiteDriver.UrlPrefix}$chinook")
+      .option("dbtable", d.subquery(emitted, "q"))
+      .load()
+    val rows = df.orderBy("CustomerId").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1) == "Germany"))
+    // the schema-probe wrap also round-trips (Spark itself issues
+    // `WHERE 1=0` on top, proving nested aliased wraps compose)
+    val probe = spark.read.format("jdbc")
+      .option("driver", "graft.sources.jdbc.GraftSQLiteDriver")
+      .option("url", s"${GraftSQLiteDriver.UrlPrefix}$chinook")
+      .option("dbtable", d.subquery(d.schemaProbe(inner), "p"))
+      .load()
+    assert(probe.columns.toSeq == Seq("CustomerId", "Country"))
+    assert(probe.count() == 0)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Materialize.Ops
+
+/** Dev-only interleaved A/B harness for [[Curation.report]]'s join shape
+  * (run with `sbt "Test/runMain graft.operators.CurationAb"`): measures
+  * the r12 fused composition (exact verdict threaded through the
+  * canonical path) against the r9-r11 shape (separate exactKeep frame,
+  * 3-way id join) in ONE JVM, alternating, so JVM warmup / ambient load
+  * hit both variants equally. Not a test — a measurement tool for
+  * PERF.md numbers.
+  */
+object CurationAb {
+
+  /** The pre-r12 composition, verbatim, for the B side. */
+  private def unfused(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    val shingleSize = 3; val numBands = 4; val rowsPerBand = 4
+    val threshold = 0.5
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val src = docs.select(col(idCol), col(textCol), col(scoreCol))
+      .materialize()
+    val quality = QualityFilter.verdicts(src, idCol, textCol)
+      .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
+    val base = src.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(scoreCol).as("score"))
+      .materialize()
+    val exactKeep = base
+      .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
+      .select(col("id"),
+        when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+    val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
+      .materialize()
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+    val canonicalSplit = Sampling.assignSplit(
+        Dedup.keepCanonicalScored(base.select(col("id"), col("score")), clusters),
+        "cluster", splits)
+      .select(col("doc_id").as("id"), col("keep").as("ok_canonical"), col("split"))
+    quality
+      .join(exactKeep, "id")
+      .join(canonicalSplit, "id")
+      .select(col("id").as("doc_id"),
+        col("ok_quality").cast("long").as("ok_quality"),
+        col("ok_exact").cast("long").as("ok_exact"),
+        col("ok_canonical").cast("long").as("ok_canonical"),
+        (col("ok_quality") * col("ok_exact") * col("ok_canonical"))
+          .cast("long").as("keep"),
+        col("split"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = graft.Tables.loadParallel(spark, sfDir, "documents", "doc_id")
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.orderBy(col("doc_id")).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fusedDf = Curation.report(docs, "doc_id", "text", "n_chars")
+    def unfusedDf = unfused(docs, "doc_id", "text", "n_chars")
+
+    // parity first — the A/B is meaningless if results differ
+    val a = fusedDf.orderBy("doc_id").collect().toSeq
+    val b = unfusedDf.orderBy("doc_id").collect().toSeq
+    require(a == b, "fused and unfused reports differ!")
+    println(s"[ab] parity ok (${a.size} rows)")
+
+    run(fusedDf); run(unfusedDf) // warm both shapes
+    val rounds = sys.env.getOrElse("AB_ROUNDS", "5").toInt
+    val fused = Array.fill(rounds)(0.0)
+    val unf = Array.fill(rounds)(0.0)
+    val viaGate = Array.fill(rounds)(0.0)
+    val gateFn = graft.SparkEntry.queries("q_curation_report")
+    def runGate(): Double = { // gate already carries its orderBy
+      val t0 = System.nanoTime()
+      val mapMs = {
+        val m0 = System.nanoTime()
+        graft.SparkEntry.queries // what does building the 138-entry map cost?
+        (System.nanoTime() - m0) / 1e6
+      }
+      val df = gateFn(spark, sfDir)
+      val buildMs = (System.nanoTime() - t0) / 1e6 - mapMs
+      df.write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"[ab]   gate: map ${mapMs}%.0f ms, frame-build ${buildMs}%.0f ms, total $total%.2f s")
+      total
+    }
+    runGate()
+    (0 until rounds).foreach { i =>
+      fused(i) = run(fusedDf)
+      unf(i) = run(unfusedDf)
+      viaGate(i) = runGate()
+    }
+    def fmt(xs: Array[Double]) =
+      f"min ${xs.min}%.2f median ${xs.sorted.apply(xs.length / 2)}%.2f " +
+        f"all ${xs.map(x => f"$x%.2f").mkString(",")}"
+    println(s"[ab] fused   (r12): ${fmt(fused)}")
+    println(s"[ab] unfused (r11): ${fmt(unf)}")
+    println(s"[ab] via gate     : ${fmt(viaGate)}")
+    spark.stop()
+  }
+}
