@@ -317,6 +317,25 @@ class DeltaWriterSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("the inline-DV guard fires from per-file COUNTS, before any " +
+      "row-level positions reach the driver") {
+    // 1.2M rows in ONE file: a sweep matching them all exceeds the 2^20
+    // inline-position cap — the guard must reject with its documented
+    // message (computed from the distributed count aggregate), never OOM
+    // building a driver-side position list
+    val path = tmp("dvguard")
+    DeltaWriter.create(
+      spark.range(0, 1200000).toDF("id").coalesce(1), path)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.deleteWhere(spark, path, col("id") >= 0L)
+    }
+    assert(e.getMessage.contains("inline-DV guard"), e.getMessage)
+    // nothing was committed: the table still serves every row
+    assert(graft.sources.DeltaLogReader.snapshot(spark, path).version == 0L)
+    // a bounded delete on the same big file still works
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") < 1000L) == 1000L)
+  }
+
   test("deleteWhere on a partitioned table honors partition-column predicates") {
     val path = tmp("delpart")
     DeltaWriter.create(

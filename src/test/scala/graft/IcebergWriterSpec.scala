@@ -147,6 +147,33 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L, 8L))
   }
 
+  test("position-delete files are internally sorted by (file_path, pos) — " +
+      "the spec's delete-file ordering rule, preserved by the " +
+      "distributed multi-file write") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("delsort")
+    IcebergWriter.create(
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    IcebergWriter.append(
+      (4000 until 8000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    // a sweep touching both data files, matched in scattered row order
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") % 7 === 3) > 0)
+    val delFiles = Files.list(Paths.get(path, "data")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("delete-")).toVector
+    assert(delFiles.nonEmpty)
+    delFiles.foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("file_path", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == rows.sortBy(identity),
+        s"delete file ${f.getFileName} is not sorted by (file_path, pos)")
+    }
+    // and the table still reads correctly
+    assert(IcebergReader.read(spark, path)
+      .filter(col("id") % 7 === 3).count() == 0)
+    assert(IcebergReader.read(spark, path).count() == 8000 - (8000 + 3) / 7)
+  }
+
   test("rewriteDataFiles: identical rows from fewer files; kept files keep " +
       "their sequence numbers so older deletes still apply") {
     import scala.jdk.CollectionConverters._
