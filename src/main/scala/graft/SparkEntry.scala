@@ -858,6 +858,57 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_convert_delta_iceberg" -> ((s, dir) => {
+      // ZERO-COPY format conversion: a delta table (with an inline-DV
+      // delete) registered as an iceberg table — data files referenced in
+      // place, the DV translated to a position-delete file — then read
+      // back through the ICEBERG reader. Live rows must equal the delta
+      // table's live rows.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_conv_di_gate_v1_${math.abs(dir.hashCode)}")
+      val delta = root.resolve("delta").toString
+      val iceberg = root.resolve("iceberg").toString
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("iceberg").resolve("metadata")
+              .resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(nation, delta)
+          graft.output.DeltaWriter.deleteWhere(s, delta,
+            col("n_nationkey") % 2 === 1)
+          graft.output.FormatConvert.deltaToIceberg(s, delta, iceberg)
+        }
+      }
+      graft.sources.IcebergReader.read(s, iceberg)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_convert_iceberg_delta" -> ((s, dir) => {
+      // the reverse direction: an iceberg table (two snapshots plus a
+      // position delete) registered as a delta table — files in place,
+      // position deletes folded into inline DVs — read back through the
+      // DELTA log reader
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_conv_id_gate_v1_${math.abs(dir.hashCode)}")
+      val iceberg = root.resolve("iceberg").toString
+      val delta = root.resolve("delta").toString
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("delta").resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(
+            nation.filter(col("n_regionkey") < 2), iceberg)
+          graft.output.IcebergWriter.append(
+            nation.filter(col("n_regionkey") >= 2), iceberg)
+          graft.output.IcebergWriter.deleteWhere(s, iceberg,
+            col("n_nationkey") % 3 === 0)
+          graft.output.FormatConvert.icebergToDelta(s, iceberg, delta)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, delta)
+        .orderBy(col("n_nationkey"))
+    }),
     // ---- §3.3 metadata computations ----
     "q_meta_maxlen" -> ((s, dir) => {
       val m = Metadata.maxStringLengths(Tables.load(s, dir, "part"))
@@ -1823,6 +1874,12 @@ object SparkEntry {
     "q_iceberg_delete" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_convert_delta_iceberg" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_convert_iceberg_delta" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 0 ORDER BY n_nationkey""".stripMargin,
     "q_delta_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(1 AS BIGINT) AS _commit_version

@@ -570,7 +570,8 @@ object DeltaWriter {
     * replaces silently), which is exactly why the contract above is
     * single-writer; true multi-writer needs a putIfAbsent LogStore.
     */
-  private def commit(root: Path, version: Long, actions: Seq[String]): Unit = {
+  private[output] def commit(root: Path, version: Long,
+      actions: Seq[String]): Unit = {
     val log = root.resolve("_delta_log")
     Files.createDirectories(log) // created here, not in create(): see create()
     val tmp = log.resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -805,6 +806,6 @@ object DeltaWriter {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  private def escape(s: String): String =
+  private[output] def escape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 }

@@ -1,0 +1,175 @@
+package graft.output
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** ZERO-COPY format conversion between the two open table formats —
+  * metadata-plane only: the source snapshot's live parquet files are
+  * REGISTERED in the target format's log/manifests at their ABSOLUTE
+  * paths; no row is rewritten or copied. The one thing materialized is
+  * the delete representation each format requires:
+  *
+  *  - Delta → Iceberg: inline deletion vectors become spec-conformant
+  *    position-delete files (written DISTRIBUTED via
+  *    [[IcebergWriter.writePositionDeletes]]);
+  *  - Iceberg → Delta: position-delete files become inline deletion
+  *    vectors per data file (bounded by [[DeltaWriter.MaxInlinePositions]]
+  *    — the same guard row-level DELETE enforces, counted DISTRIBUTED
+  *    before any positions reach the driver).
+  *
+  * Both directions leave the SOURCE table untouched (its own log keeps
+  * time-traveling), and the converted table is a first-class table of its
+  * format: scans, row-level deletes, upserts, compaction and expiration
+  * all work on it afterwards. Cost is file-count-proportional metadata
+  * work (one parquet footer read per file) plus the delete translation.
+  *
+  * Scope (documented, fail-fast): unpartitioned tables — Delta keeps
+  * partition values in its LOG, not its files, so an Iceberg reader could
+  * not project them (and vice versa our identity-partition handling);
+  * columnMapping=none on the Delta side; no equality deletes on the
+  * Iceberg side (Delta has no equality-delete representation — apply
+  * them with a rewrite first). The reference serves a fixed source
+  * matrix; this is beyond-parity lakehouse surface.
+  */
+object FormatConvert {
+
+  /** Registers the Delta table's live files in a NEW Iceberg v2 table at
+    * `icebergPath`. Returns the number of data files registered.
+    */
+  def deltaToIceberg(spark: SparkSession, deltaPath: String,
+      icebergPath: String): Int = {
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, deltaPath)
+    require(snap.partitionColumns.isEmpty,
+      "deltaToIceberg supports unpartitioned tables: delta partition " +
+        "values live in the log, not the data files, so an iceberg " +
+        "reader could not project them")
+    require(snap.columnMappingMode == "none",
+      s"deltaToIceberg does not support columnMapping=${snap.columnMappingMode}")
+    val deltaRoot = Paths.get(deltaPath).toAbsolutePath.normalize
+    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
+      deltaRoot.resolve(f.path).toAbsolutePath.normalize.toString
+
+    val root = IcebergWriter.newTableRoot(icebergPath)
+    val location = root.toString
+    val seq = 1L
+    val dataFiles = snap.files.map { f =>
+      val p = Paths.get(abs(f))
+      IcebergWriter.WrittenFile(p.getFileName.toString, Files.size(p),
+        IcebergWriter.footerRecordCount(p), absPath = Some(abs(f)))
+    }
+    val refs = Seq.newBuilder[IcebergWriter.ManifestRef]
+    refs += IcebergWriter.ManifestRef(
+      IcebergWriter.writeManifest(root, location, dataFiles), 0, seq)
+    // inline DVs → position-delete files: the one data artifact this
+    // conversion writes. Both sides sit at seq 1; position deletes apply
+    // at delete seq >= data seq, so they cover exactly the files they
+    // covered as DVs.
+    val dvd = snap.files.filter(_.deletionVector.isDefined)
+    if (dvd.nonEmpty) {
+      val delDf = graft.sources.DeletionVectors.deletedRows(spark, deltaPath,
+          dvd.map(f => abs(f) -> f.deletionVector.get))
+        .select(col("__dv_file").as("file_path"), col("__dv_pos").as("pos"))
+      val written = IcebergWriter.writePositionDeletes(delDf, root)
+      if (written.nonEmpty)
+        refs += IcebergWriter.ManifestRef(
+          IcebergWriter.writeManifest(root, location, written, content = 1),
+          1, seq)
+    }
+    val list = IcebergWriter.writeManifestList(root, seq, refs.result())
+    IcebergWriter.commitNewTable(root, snap.schema, seq, list, "append",
+      Map("graft.converted-from" -> s"delta:$deltaRoot"))
+    snap.files.size
+  }
+
+  /** Registers the Iceberg table's current-snapshot live files in a NEW
+    * Delta table at `deltaPath`. Returns the number of data files
+    * registered.
+    */
+  def icebergToDelta(spark: SparkSession, icebergPath: String,
+      deltaPath: String): Int = {
+    val st = IcebergWriter.loadState(icebergPath)
+    require(st.entries.forall(_.equalityIds.isEmpty),
+      "icebergToDelta cannot represent equality deletes in delta — " +
+        "rewrite them away first (rewriteDataFiles or upsert-free history)")
+    val root = Paths.get(deltaPath).toAbsolutePath.normalize
+    require(!Files.exists(
+        root.resolve("_delta_log").resolve(f"${0L}%020d.json")),
+      s"$deltaPath is already a delta table")
+
+    def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
+    // manifest-form paths (declared-location-prefixed) → local absolute,
+    // so delete-file contents compare against entry localPaths even on a
+    // relocated table
+    def localForm(p: String): String = {
+      val n = norm(p)
+      val loc = norm(st.location)
+      if (loc.nonEmpty && n.startsWith(loc + "/"))
+        st.root.toString + n.stripPrefix(loc)
+      else n
+    }
+    val dataEntries = st.entries.filter(_.content == 0)
+    val fileSeq: Map[String, Long] =
+      dataEntries.map(e => norm(e.localPath) -> e.seq).toMap
+
+    // position deletes → per-file DV positions, counted DISTRIBUTED
+    // first so the inline guard fires before any row-level collect (the
+    // same discipline as DeltaWriter.deleteMatching). Sequence rule:
+    // a position delete applies to files with data seq <= delete seq.
+    val posDeletes = st.entries.filter(_.content == 1)
+    val dvByFile: Map[String, Seq[Long]] =
+      if (posDeletes.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{collect_set, count, lit, sort_array}
+        val dels = posDeletes.map { d =>
+          spark.read.parquet(norm(d.localPath))
+            .select(col("file_path"), col("pos"), lit(d.seq).as("del_seq"))
+        }.reduce(_ union _)
+        import graft.operators.Materialize.Ops
+        val matched = dels.materialize()
+        val counts = matched.groupBy(col("file_path"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        counts.foreach { case (f, n) =>
+          require(n <= DeltaWriter.MaxInlinePositions,
+            s"$n deleted positions in $f exceed the inline-DV guard " +
+              s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
+              "table before converting")
+        }
+        matched.groupBy(col("file_path"))
+          .agg(sort_array(collect_set(org.apache.spark.sql.functions
+            .struct(col("pos"), col("del_seq")))).as("pd"))
+          .collect().map { r =>
+            val f = localForm(r.getString(0))
+            val pairs = r.getSeq[org.apache.spark.sql.Row](1)
+              .map(p => (p.getLong(0), p.getLong(1)))
+            // keep only positions whose delete seq covers this file
+            val dseqMin = fileSeq.getOrElse(f, Long.MaxValue)
+            f -> pairs.collect {
+              case (pos, dseq) if dseq >= dseqMin => pos
+            }.distinct.sorted
+          }.filter(_._2.nonEmpty).toMap
+      }
+
+    val schemaStr = DeltaWriter.escape(st.schema.json)
+    val needDv = dvByFile.nonEmpty
+    val protocol =
+      if (needDv)
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaData =
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+    val adds = dataEntries.map { e =>
+      val p = norm(e.localPath)
+      val size = Files.size(Paths.get(p))
+      val dv = dvByFile.get(p).map { positions =>
+        val (inline, dvSize) =
+          graft.sources.DeletionVectors.encodeInline(positions)
+        s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$dvSize,"cardinality":${positions.size}}"""
+      }.getOrElse("")
+      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true$dv}}"""
+    }
+    DeltaWriter.commit(root, 0L, Seq(protocol, metaData) ++ adds)
+    dataEntries.size
+  }
+}

@@ -55,18 +55,33 @@ object IcebergWriter {
 
   def create(df: DataFrame, path: String,
       summary: Map[String, String] = Map.empty): Unit = {
-    val root = Paths.get(path).toAbsolutePath.normalize
-    require(!Files.exists(root.resolve("metadata").resolve("v1.metadata.json")),
-      s"$path is already an iceberg table; use append or overwrite")
-    Files.createDirectories(root.resolve("metadata"))
-    Files.createDirectories(root.resolve("data"))
+    val root = newTableRoot(path)
     val location = root.toString
     val files = writeData(df, root)
     val seq = 1L
     val manifest = writeManifest(root, location, files)
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
-    val (schemaJson, lastColId) = icebergSchema(df.schema)
+    commitNewTable(root, df.schema, seq, list, "append", summary)
+  }
 
+  /** Validated, directory-initialized root for a brand-new table. */
+  private[output] def newTableRoot(path: String): Path = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    require(!Files.exists(root.resolve("metadata").resolve("v1.metadata.json")),
+      s"$path is already an iceberg table; use append or overwrite")
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    root
+  }
+
+  /** First metadata JSON (v1) of a new table over an already-written
+    * manifest list — shared by [[create]] and [[FormatConvert]].
+    */
+  private[output] def commitNewTable(root: Path, schema: StructType,
+      seq: Long, list: String, operation: String,
+      summary: Map[String, String] = Map.empty): Unit = {
+    val location = root.toString
+    val (schemaJson, lastColId) = icebergSchema(schema)
     val md = mapper.createObjectNode()
     md.put("format-version", 2)
     md.put("table-uuid", java.util.UUID.randomUUID().toString)
@@ -91,7 +106,7 @@ object IcebergWriter {
     md.put("current-snapshot-id", seq)
     md.set[JsonNode]("snapshots",
       mapper.createArrayNode().add(snapshotNode(seq, seq, list,
-        System.currentTimeMillis(), "append", summary)))
+        System.currentTimeMillis(), operation, summary)))
     commitMetadata(root, 1, md)
   }
 
@@ -295,14 +310,14 @@ object IcebergWriter {
   }
 
   /** Current-snapshot state shared by the row-level operations. */
-  private case class TableState(root: Path, md: ObjectNode, location: String,
-      schema: StructType, fieldNames: Map[Int, String],
+  private[output] case class TableState(root: Path, md: ObjectNode,
+      location: String, schema: StructType, fieldNames: Map[Int, String],
       refs: Seq[ManifestRef], entries: Seq[Entry], mdFile: Path)
 
-  private case class Entry(localPath: String, content: Int, seq: Long,
-      equalityIds: Seq[Int])
+  private[output] case class Entry(localPath: String, content: Int,
+      seq: Long, equalityIds: Seq[Int])
 
-  private def loadState(path: String): TableState = {
+  private[output] def loadState(path: String): TableState = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
@@ -426,28 +441,10 @@ object IcebergWriter {
         concat(lit(location), col("__f").substr(
           lit(rootStr.length + 1), lit(Int.MaxValue))))
       .otherwise(col("__f"))
-    val delDf = matcher(liveRows(spark, st))
-      .select(manifestForm.as("file_path"), col("__p").as("pos"))
-      .repartitionByRange(col("file_path"), col("pos"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
-    val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
-    delDf.write.parquet(staging.toString)
-    val written = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toVector.sortBy(_.getFileName.toString)
-      .flatMap { part =>
-        val n = footerRecordCount(part)
-        if (n == 0) None // empty range partition: nothing to register
-        else {
-          val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
-          val dest = root.resolve("data").resolve(delName)
-          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-          Some(WrittenFile(delName, Files.size(dest), n))
-        }
-      }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    val written = writePositionDeletes(
+      matcher(liveRows(spark, st))
+        .select(manifestForm.as("file_path"), col("__p").as("pos")),
+      root)
     val matchedCount = written.map(_.records).sum
     if (written.isEmpty) return 0L
 
@@ -467,6 +464,39 @@ object IcebergWriter {
       .add(snapshotNode(seq, seq, list, ts, "delete"))
     commitMetadata(root, version, md)
     matchedCount
+  }
+
+  /** Write a (file_path, pos) frame as spec-sorted position-delete
+    * parquet files under `root/data/` — DISTRIBUTED: range-partitioned on
+    * (file_path, pos), each non-empty partition one internally-sorted
+    * delete file; AQE coalesces the range partitions for small deletes.
+    * The driver sees only file names and footer counts.
+    */
+  private[output] def writePositionDeletes(delDf: DataFrame,
+      root: Path): Seq[WrittenFile] = {
+    import org.apache.spark.sql.functions.col
+    val sorted = delDf
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
+    sorted.write.parquet(staging.toString)
+    val written = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toVector.sortBy(_.getFileName.toString)
+      .flatMap { part =>
+        val n = footerRecordCount(part)
+        if (n == 0) None // empty range partition: nothing to register
+        else {
+          val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
+          val dest = root.resolve("data").resolve(delName)
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          Some(WrittenFile(delName, Files.size(dest), n))
+        }
+      }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    written
   }
 
   /** Snapshot expiration — the [[DeltaWriter.vacuum]] analog (and the
@@ -533,16 +563,21 @@ object IcebergWriter {
     * resurrect them. Fresh files keep the default (status=1 ADDED, null
     * seq, inherited from the list per the spec).
     */
-  private case class WrittenFile(name: String, size: Long, records: Long,
-      seq: Option[Long] = None, existing: Boolean = false)
+  /** `absPath` (r12): register the file at an ABSOLUTE path instead of
+    * `location/data/name` — [[FormatConvert]]'s zero-copy registration of
+    * another table's data files in place.
+    */
+  private[output] case class WrittenFile(name: String, size: Long,
+      records: Long, seq: Option[Long] = None, existing: Boolean = false,
+      absPath: Option[String] = None)
   /** `minSeq`: the true minimum entry sequence in the manifest when it
     * differs from the ref's own seq (rewrite manifests carrying old
     * entries). External planners prune delete-file application against
     * min_sequence_number — overstating it would skip deletes that still
     * apply to carried entries.
     */
-  private case class ManifestRef(path: String, content: Int, seq: Long,
-      minSeq: Option[Long] = None)
+  private[output] case class ManifestRef(path: String, content: Int,
+      seq: Long, minSeq: Option[Long] = None)
 
   /** Distributed parquet write into a staging dir, then move part files
     * into `data/`. Record counts come from the parquet FOOTERS (driver-side
@@ -567,7 +602,7 @@ object IcebergWriter {
     out
   }
 
-  private def footerRecordCount(p: Path): Long = {
+  private[output] def footerRecordCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration())
@@ -674,14 +709,14 @@ object IcebergWriter {
     * declared `location` (not the physical root) so the reader's
     * location→root remap serves relocated/copied tables.
     */
-  private def writeManifest(root: Path, location: String,
+  private[output] def writeManifest(root: Path, location: String,
       files: Seq[WrittenFile], content: Int = 0,
       equalityIds: Seq[Int] = Nil): String = {
     val dfSchema = entrySchema.getField("data_file").schema()
     val recs = files.map { f =>
       val d = new GenericData.Record(dfSchema)
       d.put("content", content)
-      d.put("file_path", s"$location/data/${f.name}")
+      d.put("file_path", f.absPath.getOrElse(s"$location/data/${f.name}"))
       d.put("file_format", "PARQUET")
       d.put("partition",
         new GenericData.Record(dfSchema.getField("partition").schema()))
@@ -701,7 +736,7 @@ object IcebergWriter {
     s"$location/metadata/${p.getFileName}"
   }
 
-  private def writeManifestList(root: Path, snapshotId: Long,
+  private[output] def writeManifestList(root: Path, snapshotId: Long,
       refs: Seq[ManifestRef]): String = {
     val recs = refs.map { ref =>
       val r = new GenericData.Record(listSchema)

@@ -206,6 +206,17 @@ object DeltaLogReader {
     * must be URI-style: `URLDecoder` is for form data and corrupts a
     * legitimate '+' into a space.
     */
+  /** An add/remove path resolved against the table root. PROTOCOL.md
+    * allows add paths to be ABSOLUTE (this repo's zero-copy
+    * [[graft.output.FormatConvert]] writes them); string-concatenating
+    * the root in front of one would silently point inside the table dir.
+    */
+  private[graft] def resolveAdd(tablePath: String, p: String): String = {
+    val path = Paths.get(p)
+    (if (path.isAbsolute) path
+     else Paths.get(tablePath).resolve(p)).toAbsolutePath.normalize.toString
+  }
+
   private[graft] def decodePath(p: String): String =
     try {
       val u = new java.net.URI(p)
@@ -318,8 +329,7 @@ object DeltaLogReader {
     /** `file:` URI → plain absolute path, matching [[absPath]]'s keys. */
     def normFile(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
-    def absPath(f: AddFile): String =
-      Paths.get(s"$tablePath/${f.path}").toAbsolutePath.normalize.toString
+    def absPath(f: AddFile): String = resolveAdd(tablePath, f.path)
 
     def readFiles(files: Seq[AddFile], withPos: Boolean): DataFrame = {
       val df = spark.read.schema(physicalSchema).parquet(files.map(absPath): _*)
@@ -436,8 +446,7 @@ object DeltaLogReader {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(snap.schema.fields :+
           StructField("_commit_version", org.apache.spark.sql.types.LongType)))
-    def abs(f: AddFile): String =
-      Paths.get(s"$tablePath/${f.path}").toAbsolutePath.normalize.toString
+    def abs(f: AddFile): String = resolveAdd(tablePath, f.path)
     def normFile(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
     // one scan per partition group (partition values live in the log, not

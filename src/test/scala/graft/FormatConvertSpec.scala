@@ -1,0 +1,115 @@
+package graft
+
+import graft.output.{DeltaWriter, FormatConvert, IcebergWriter}
+import graft.sources.{DeltaLogReader, IcebergReader}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Zero-copy Delta ↔ Iceberg conversion: rows identical through the
+  * TARGET format's reader, no data file copied (the converted table's
+  * data/ holds only translated delete files), the converted table remains
+  * a first-class table of its format (row-level ops keep working), the
+  * SOURCE table is untouched, and the documented restrictions fail fast.
+  */
+class FormatConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fc_${tag}_${System.nanoTime()}").toString
+
+  private def dataParquets(path: String): Seq[String] =
+    Files.list(Paths.get(path, "data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+
+  test("delta (with DV delete) → iceberg: identical rows, zero copies, " +
+      "still a writable iceberg table; source untouched") {
+    val delta = tmp("d2i_src")
+    val iceberg = tmp("d2i_dst")
+    DeltaWriter.create(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), delta)
+    assert(DeltaWriter.deleteWhere(spark, delta, col("id") % 4 === 1) == 25L)
+
+    val n = FormatConvert.deltaToIceberg(spark, delta, iceberg)
+    // every live delta file registered, none copied
+    assert(n == DeltaLogReader.snapshot(spark, delta).files.size && n >= 1)
+    val expect = DeltaLogReader.read(spark, delta)
+      .orderBy("id").collect().toSeq
+    assert(IcebergReader.read(spark, iceberg).orderBy("id").collect().toSeq
+      == expect)
+    // zero-copy: the iceberg data/ holds ONLY the translated position-
+    // delete file(s); the registered data file still lives in the delta dir
+    assert(dataParquets(iceberg).forall(_.startsWith("delete-")))
+    // the converted table is first-class: delete more rows through the
+    // ICEBERG writer, then read both engines' views of their own tables
+    assert(IcebergWriter.deleteWhere(spark, iceberg, col("id") < 10L) > 0)
+    assert(IcebergReader.read(spark, iceberg)
+      .filter(col("id") < 10L).count() == 0)
+    // ...and the SOURCE delta table never noticed
+    assert(DeltaLogReader.read(spark, delta).orderBy("id").collect().toSeq
+      == expect)
+  }
+
+  test("iceberg (two snapshots + position delete) → delta: identical " +
+      "rows, zero copies, DVs carry the deletes; source untouched") {
+    val iceberg = tmp("i2d_src")
+    val delta = tmp("i2d_dst")
+    IcebergWriter.create(
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), iceberg)
+    IcebergWriter.append(
+      (50 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), iceberg)
+    assert(IcebergWriter.deleteWhere(spark, iceberg, col("id") % 5 === 2) > 0)
+
+    val n = FormatConvert.icebergToDelta(spark, iceberg, delta)
+    assert(n >= 2) // both snapshots' data files registered (multi-part)
+    val expect = IcebergReader.read(spark, iceberg)
+      .orderBy("id").collect().toSeq
+    assert(DeltaLogReader.read(spark, delta).orderBy("id").collect().toSeq
+      == expect)
+    // zero-copy: no parquet under the delta root at all (adds are absolute)
+    assert(!Files.exists(Paths.get(delta, "data")))
+    val copied = Files.walk(Paths.get(delta)).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log"))
+    assert(copied == 0, s"$copied parquet files copied into the delta root")
+    // first-class delta table: DV-delete through the DELTA writer
+    assert(DeltaWriter.deleteWhere(spark, delta, col("id") >= 90L) > 0)
+    assert(DeltaLogReader.read(spark, delta)
+      .filter(col("id") >= 90L).count() == 0)
+    // source untouched
+    assert(IcebergReader.read(spark, iceberg).orderBy("id").collect().toSeq
+      == expect)
+  }
+
+  test("round-trip delta → iceberg → delta preserves every live row") {
+    val a = tmp("rt_a"); val b = tmp("rt_b"); val c = tmp("rt_c")
+    DeltaWriter.create(
+      (0 until 60).map(i => (i.toLong, s"r$i")).toDF("id", "v"), a)
+    assert(DeltaWriter.deleteWhere(spark, a, col("id") % 3 === 0) == 20L)
+    FormatConvert.deltaToIceberg(spark, a, b)
+    FormatConvert.icebergToDelta(spark, b, c)
+    val viaA = DeltaLogReader.read(spark, a).orderBy("id").collect().toSeq
+    assert(IcebergReader.read(spark, b).orderBy("id").collect().toSeq == viaA)
+    assert(DeltaLogReader.read(spark, c).orderBy("id").collect().toSeq == viaA)
+  }
+
+  test("documented restrictions fail fast with actionable messages") {
+    // partitioned delta
+    val pd = tmp("part_delta")
+    DeltaWriter.create(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"),
+      pd, partitionBy = Seq("p"))
+    val e1 = intercept[IllegalArgumentException] {
+      FormatConvert.deltaToIceberg(spark, pd, tmp("part_ice"))
+    }
+    assert(e1.getMessage.contains("unpartitioned"))
+    // equality deletes on the iceberg side (from an upsert)
+    val eq = tmp("eq_ice")
+    IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), eq)
+    IcebergWriter.upsert(Seq((1L, "A")).toDF("id", "v"), eq, Seq("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      FormatConvert.icebergToDelta(spark, eq, tmp("eq_delta"))
+    }
+    assert(e2.getMessage.contains("equality deletes"))
+  }
+}
