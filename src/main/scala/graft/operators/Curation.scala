@@ -73,10 +73,18 @@ object Curation {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // side-branch jobs run under their own job group so a cluster-pipeline
+    // failure can CANCEL them instead of leaving orphaned executor work
+    // (job groups are thread-local, so the futures tag only their own jobs)
+    val sc = docs.sparkSession.sparkContext
+    val sideGroup = s"graft-curation-side-${java.util.UUID.randomUUID()}"
     val qualityF = Future {
-      QualityFilter.verdicts(src, idCol, textCol)
+      sc.setJobGroup(sideGroup, "curation report side branches",
+        interruptOnCancel = true)
+      try QualityFilter.verdicts(src, idCol, textCol)
         .select(col("doc_id").as("id"), col("keep").as("ok_quality"))
         .materialize(eager = true)
+      finally sc.clearJobGroup()
     }
     // fused base pass (r9): the exact-dedup fingerprint, the canonical
     // score, and the split's id list are all per-row Column work over the
@@ -87,23 +95,33 @@ object Curation {
     // corpus-sized frame in the final id-join tree — one fewer id-keyed
     // shuffle join at any scale.
     val withExactF = Future {
-      val base = src.select(col(idCol).as("id"),
-        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
-        col(scoreCol).as("score"))
-        .materialize()
-      base
-        .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
-        .select(col("id"), col("score"),
-          when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
-        .materialize(eager = true)
+      sc.setJobGroup(sideGroup, "curation report side branches",
+        interruptOnCancel = true)
+      try {
+        val base = src.select(col(idCol).as("id"),
+          graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+          col(scoreCol).as("score"))
+          .materialize()
+        base
+          .join(base.groupBy(col("fp")).agg(min(col("id")).as("keep_id")), "fp")
+          .select(col("id"), col("score"),
+            when(col("id") === col("keep_id"), 1L).otherwise(0L).as("ok_exact"))
+          .materialize(eager = true)
+      } finally sc.clearJobGroup()
     }
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
     // twice — candidates and verification sets read one derivation
-    val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
-      .materialize()
-    val clusters = Dedup.duplicateClusters(
-      Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+    val clusters =
+      try {
+        val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
+          .materialize()
+        Dedup.duplicateClusters(
+          Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+      } catch { case t: Throwable =>
+        sc.cancelJobGroup(sideGroup)
+        throw t
+      }
     val quality = Await.result(qualityF, Duration.Inf)
     val withExact = Await.result(withExactF, Duration.Inf)
     // leakage-safe split fused onto the canonical verdict (r9): keepCanonical

@@ -99,15 +99,10 @@ object FormatConvert {
 
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
     // manifest-form paths (declared-location-prefixed) → local absolute,
-    // so delete-file contents compare against entry localPaths even on a
-    // relocated table
-    def localForm(p: String): String = {
-      val n = norm(p)
-      val loc = norm(st.location)
-      if (loc.nonEmpty && n.startsWith(loc + "/"))
-        st.root.toString + n.stripPrefix(loc)
-      else n
-    }
+    // the SAME normalization loadState applies to entry localPaths — one
+    // rule, so delete-file contents always compare against entry paths
+    def localForm(p: String): String =
+      IcebergWriter.remapLocal(p, st.location, st.root)
     val dataEntries = st.entries.filter(_.content == 0)
     val fileSeq: Map[String, Long] =
       dataEntries.map(e => norm(e.localPath) -> e.seq).toMap

@@ -657,8 +657,17 @@ object IcebergWriter {
     val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
     val keptFiles = kept.map { e =>
       val p = Paths.get(norm(e.localPath))
+      // pin the entry's EXISTING path explicitly (location-form for files
+      // under this table, absolute otherwise): rebuilding it as
+      // location/data/<name> would break files registered at external
+      // absolute paths by the zero-copy [[FormatConvert]]
+      val rootStr = st.root.toString
+      val manifestPath =
+        if (p.toString.startsWith(rootStr + "/"))
+          st.location + p.toString.stripPrefix(rootStr)
+        else p.toString
       WrittenFile(p.getFileName.toString, Files.size(p), footerRecordCount(p),
-        seq = Some(e.seq), existing = true)
+        seq = Some(e.seq), existing = true, absPath = Some(manifestPath))
     }
     val seq = st.md.get("last-sequence-number").asLong() + 1
     val dataManifest = writeManifest(st.root, st.location,
@@ -1006,7 +1015,8 @@ object IcebergWriter {
 
   // ---------- helpers ----------
 
-  private def remapLocal(path: String, location: String, root: Path): String = {
+  private[output] def remapLocal(path: String, location: String,
+      root: Path): String = {
     val p = graft.sources.IcebergReader.normPath(path)
     val loc = graft.sources.IcebergReader.normPath(location)
     if (loc.nonEmpty && p.startsWith(loc + "/")) root.toString + p.stripPrefix(loc)

@@ -34,9 +34,27 @@ object HashPartitionPruningRule extends Rule[LogicalPlan] {
   private def isUnambiguousHelper(name: String): Boolean =
     name.contains("_md5_prefix_") || name.contains("_md5_mod_")
 
+  /** Partition-schema names of file relations below `plan` — a helper
+    * must be a GENUINE partition column before the rule strengthens a
+    * filter with it: a data column that merely matches the md5 name
+    * pattern (foreign data, different hash rendering) would silently
+    * drop rows.
+    */
+  private def filePartitionCols(plan: LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.partitionSchema.fieldNames.toSeq
+        case _ => Nil
+      }
+    }.flatten.toSet
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
+      lazy val partCols = filePartitionCols(child)
       val helperAttrs = child.output.filter(a => isUnambiguousHelper(a.name) &&
+        partCols.contains(a.name) &&
         HashPartitionPruning.sourceColumn(a.name).isDefined)
       if (helperAttrs.isEmpty) f
       else {

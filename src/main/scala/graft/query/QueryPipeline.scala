@@ -57,6 +57,20 @@ object QueryPipeline {
   /** Hidden-column policy (core/config.py:59-65): `_`-prefixed names and
     * hash-partition helper columns never leave the engine.
     */
+  /** Partition-schema column names of the frame's file relations — the
+    * membership test a name-matched md5 helper must pass before
+    * auto-pruning.
+    */
+  private def filePartitionColumns(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.partitionSchema.fieldNames.toSeq
+        case _ => Nil
+      }
+    }.flatten.toSet
+  }
+
   def isHidden(name: String): Boolean =
     name.startsWith("_") || name.contains("_md5_prefix_") ||
       name.contains("_xxhash64_prefix_") || name.contains("_md5_mod_")
@@ -91,16 +105,23 @@ object QueryPipeline {
     // ---- stage 2: WHERE (+ md5-hash partition pruning predicates) ----
     val predicate = FilterCompiler.compile(df.schema, filters)
     // helper columns: explicitly passed, or (r12) auto-detected from the
-    // frame when none are — the md5 markers are unambiguous by name, and
-    // the HTTP path never threads partitionCols, so a point lookup on an
-    // md5-partitioned table was scanning every partition. Construction-
-    // time pruning hashes the raw request STRING, so it covers numeric
-    // source columns the Catalyst rule's literal-type gate cannot.
-    // (plain `{col}_prefix_N` stays explicit-only: the name alone can't
-    // prove it is a helper and a wrong guess silently drops rows.)
+    // frame when none are — the HTTP path never threads partitionCols, so
+    // a point lookup on an md5-partitioned table was scanning every
+    // partition. Construction-time pruning hashes the raw request STRING,
+    // so it covers numeric source columns the Catalyst rule's
+    // literal-type gate cannot. Auto-detection requires BOTH the md5 name
+    // marker AND membership in the scan's PARTITION schema: a user DATA
+    // column that merely looks like a helper (ingested `x_md5_prefix_4`
+    // whose contents aren't this exact hash rendering) must never
+    // strengthen a filter — that silently drops rows. (plain
+    // `{col}_prefix_N` stays explicit-only even then: the name alone
+    // can't prove the derivation.)
     val helperCols = partitionCols.filter(pc => df.columns.contains(pc)) match {
-      case Nil => df.columns.toSeq.filter(c =>
-        c.contains("_md5_prefix_") || c.contains("_md5_mod_"))
+      case Nil =>
+        val partSchema = filePartitionColumns(df)
+        df.columns.toSeq.filter(c =>
+          (c.contains("_md5_prefix_") || c.contains("_md5_mod_")) &&
+            partSchema.contains(c))
       case explicit => explicit
     }
     val pruning = HashPartitionPruning.prunePredicates(helperCols, filters)

@@ -436,15 +436,23 @@ private[graft] object MiniSql {
         System.arraycopy(b, 0, out, lw, rw)
         out
       }
-      def resolveForOn(name: String): Int = idx(name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column `$name` in ON clause not found or ambiguous"))
+      // resolved once per distinct name, not once per row-pair: eval calls
+      // this for every ColRef on every candidate of the join loop
+      val onIdxCache = scala.collection.mutable.HashMap.empty[String, Int]
+      def resolveForOn(name: String): Int =
+        onIdxCache.getOrElseUpdate(name, idx(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"column `$name` in ON clause not found or ambiguous")))
       // exact cross-type numeric key (3L must meet 3.0, and longs past
-      // 2^53 must not collide through double)
+      // 2^53 must not collide through double); blobs wrap in a Seq so
+      // equality is by CONTENT (Java arrays hash by identity and would
+      // silently lose every match); non-finite doubles can't be
+      // BigDecimal and can't equal any long — keyed as themselves
       def normKey(v: Any): Any = v match {
         case l: Long => BigDecimal(l)
-        case d: Double => BigDecimal(d)
+        case d: Double if java.lang.Double.isFinite(d) => BigDecimal(d)
         case b: java.lang.Boolean => BigDecimal(if (b) 1 else 0)
+        case a: Array[Byte] => a.toSeq
         case other => other
       }
       def conjuncts(e: Expr): Seq[Expr] = e match {

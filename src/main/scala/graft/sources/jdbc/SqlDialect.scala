@@ -80,6 +80,11 @@ object SqlDialect {
       s"SELECT * FROM ($query) s LIMIT $limit"
     protected def assemble(cols: String, from: String, where: String,
         orderBy: String, limit: Option[Int], offset: Option[Int]): String = {
+      // SQLite/DuckDB grammar glues OFFSET to LIMIT — a bare OFFSET is a
+      // syntax error on the very engines this dialect targets; fail at
+      // emission, not at the remote server
+      require(offset.forall(_ == 0) || limit.isDefined,
+        "ansi OFFSET requires a LIMIT (SQLite/DuckDB grammar)")
       val lim = limit.map(n => s" LIMIT $n").getOrElse("")
       val off = offset.filter(_ > 0).map(n => s" OFFSET $n").getOrElse("")
       s"SELECT $cols FROM $from$where$orderBy$lim$off"

@@ -101,6 +101,26 @@ class Md5PruningServingSpec extends SparkSpec {
     }
   }
 
+  test("a DATA column merely named like a helper never strengthens filters") {
+    import spark.implicits._
+    // contents are NOT md5Hex(value).take(2) of anything — if auto-detect
+    // trusted the name alone, the conjoined hash predicate would silently
+    // drop every matching row. The partition-schema gate must skip it.
+    val df = Seq((1L, "zz"), (2L, "zz"), (3L, "aa"))
+      .toDF("l_orderkey", "l_orderkey_md5_prefix_2")
+    val t = TableConfig(name = "fake", tag = "t",
+      datasource = DatasourceConfig(uri = "unused"),
+      params = Seq(Param("l_orderkey")))
+    val out = QueryPipeline.runOn(df, t,
+      Request(params = Map("l_orderkey" -> "2"), limit = Some(-1)))
+    assert(out.count() == 1, "row dropped by a falsely-inferred helper")
+    // the raw-SQL rule applies the same partition-schema gate
+    graft.pruning.HashPartitionPruningRule.install(spark)
+    df.createOrReplaceTempView("md5_fake_helper_tbl")
+    assert(spark.sql(
+      "SELECT * FROM md5_fake_helper_tbl WHERE l_orderkey = 2").count() == 1)
+  }
+
   test("600k-row md5-partitioned lineitem: HTTP point lookups under 1.5 s") {
     assume(sys.env.get("GRAFT_SERVING_BENCH").exists(_.nonEmpty),
       "set GRAFT_SERVING_BENCH=1 to run the serving-scale pruning bench")
