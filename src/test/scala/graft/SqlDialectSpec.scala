@@ -55,6 +55,11 @@ class SqlDialectSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SqlDialect.Tsql.select(from = "t", offset = Some(5))
     }
+    // ANSI offset without limit: SQLite/DuckDB grammar rejects the bare
+    // form — emission fails fast too
+    intercept[IllegalArgumentException] {
+      SqlDialect.Ansi.select(from = "t", offset = Some(5))
+    }
     // identifier quoting styles
     assert(SqlDialect.Ansi.quoteIdent("a\"b") == "\"a\"\"b\"")
     assert(SqlDialect.Tsql.quoteIdent("a]b") == "[a]]b]")
