@@ -270,13 +270,26 @@ object DeltaWriter {
     * `dataChange=true`. Returns the number of newly deleted rows.
     *
     * Scale shape: the probe is one distributed scan of the live table
-    * with the predicate pushed to parquet; only the MATCHED (file,
-    * position) pairs come to the driver — bounded by the delete's
-    * selectivity, and guarded at `MaxInlinePositions` per file (inline
-    * DVs are a small-cardinality format; on-disk DV files are the
-    * escalation path, not yet needed here).
+    * with the predicate pushed to parquet. Small deletes (≤
+    * `MaxInlinePositions` per file AND ≤ `MaxTotalInlinePositions`
+    * across the sweep) inline their bitmaps into the commit JSON — the
+    * positions the driver assembles are exactly the bytes the commit
+    * must embed. Anything bigger routes to on-disk DV sidecar files
+    * (storageType `u`): executors stream sorted positions straight into
+    * `deletion_vector_<uuid>.bin` frames and only per-file DESCRIPTORS
+    * (path, offset, size, cardinality) return to the driver, so a
+    * GDPR-style sweep deleting 10¹⁰ rows across 10⁴ files never
+    * funnels a position through the driver and never produces a
+    * multi-GB commit.
     */
   val MaxInlinePositions: Int = 1 << 20
+
+  /** Total-positions ceiling for the INLINE delete path across all files
+    * of one sweep — above it the commit JSON itself would be the
+    * bottleneck (inline DVs live in the log), so the writer escalates to
+    * sidecar DV files even when every file is individually small.
+    */
+  val MaxTotalInlinePositions: Long = 1L << 22
 
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long =
@@ -369,33 +382,69 @@ object DeltaWriter {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (newCounts.isEmpty) return 0L
-    // the guard needs only counts: new matches + the existing DV's
-    // descriptor cardinality, both metadata-plane
-    newCounts.foreach { case (absPath, n) =>
+    // routing needs only counts: new matches + the existing DV's
+    // descriptor cardinality, both metadata-plane — positions stay on
+    // executors until the format itself demands them (inline) or never
+    // come back at all (sidecar)
+    val perFileTotals: Map[String, Long] = newCounts.map { case (absPath, n) =>
       val f = fileByAbs.getOrElse(absPath, throw new IllegalStateException(
         s"matched row in unknown file $absPath"))
-      val total = n + f.deletionVector.map(_.cardinality).getOrElse(0L)
-      require(total <= MaxInlinePositions,
-        s"$total deleted positions in ${f.path} exceed the inline-DV " +
-          s"guard ($MaxInlinePositions); compact the file instead")
+      absPath -> (n + f.deletionVector.map(_.cardinality).getOrElse(0L))
     }
-    val byFile: Map[String, Seq[Long]] = matched.groupBy(col("__f"))
-      .agg(sort_array(collect_set(col("__p"))).as("pos"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    val adds = byFile.toSeq.map { case (absPath, newPos) =>
-      val f = fileByAbs(absPath)
-      val oldPos: Seq[Long] = f.deletionVector match {
-        case None => Nil
-        case Some(d) => graft.sources.DeletionVectors
-          .deletedRows(spark, path, Seq(absPath -> d))
-          .collect().map(_.getLong(1)).toSeq
-      }
-      val all = (oldPos ++ newPos).distinct.sorted
-      val (inline, size) = graft.sources.DeletionVectors.encodeInline(all)
+    val useSidecar = perFileTotals.values.sum > MaxTotalInlinePositions ||
+      perFileTotals.values.exists(_ > MaxInlinePositions)
+    def dvAdd(f: graft.sources.DeltaLogReader.AddFile, absPath: String,
+        dvJson: String): String = {
       val pvJson = f.partitionValues.map { case (k, v) =>
         s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
       }.mkString(",")
-      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${all.size}}}}"""
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}"""
+    }
+    val adds: Seq[String] = if (useSidecar) {
+      // on-disk DV files (storageType `u`): old ∪ new positions per file
+      // are sorted WITHIN partitions and streamed straight into sidecar
+      // bins by executors — no position ever reaches the driver, so this
+      // path has no cardinality ceiling (PROTOCOL.md "Deletion Vector
+      // Files"; the inline format embeds its bitmap in the commit JSON
+      // and is capped instead)
+      val oldDvFiles = newCounts.keys.toSeq.sorted.flatMap(a =>
+        fileByAbs(a).deletionVector.map(d => a -> d))
+      val allPos =
+        if (oldDvFiles.isEmpty) matched
+        else matched.union(graft.sources.DeletionVectors
+          .deletedRows(spark, path, oldDvFiles)
+          .toDF("__f", "__p"))
+      val nWriters = math.max(1,
+        math.min(newCounts.size, spark.sparkContext.defaultParallelism))
+      val rootStr = root.toAbsolutePath.normalize.toString
+      import spark.implicits._
+      val descs = allPos.repartition(nWriters, col("__f"))
+        .sortWithinPartitions(col("__f"), col("__p"))
+        .as[(String, Long)]
+        .mapPartitions(it =>
+          graft.sources.DeletionVectors.writeSidecars(rootStr, it))
+        .collect() // metadata-plane: one row per rewritten data file
+      descs.toSeq.map { case (absPath, pidv, offset, size, card) =>
+        dvAdd(fileByAbs(absPath), absPath,
+          s"""{"storageType":"u","pathOrInlineDv":"$pidv","offset":$offset,"sizeInBytes":$size,"cardinality":$card}""")
+      }
+    } else {
+      val byFile: Map[String, Seq[Long]] = matched.groupBy(col("__f"))
+        .agg(sort_array(collect_set(col("__p"))).as("pos"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      byFile.toSeq.map { case (absPath, newPos) =>
+        val f = fileByAbs(absPath)
+        val oldPos: Seq[Long] = f.deletionVector match {
+          case None => Nil
+          case Some(d) => graft.sources.DeletionVectors
+            .deletedRows(spark, path, Seq(absPath -> d))
+            .collect().map(_.getLong(1)).toSeq
+        }
+        val all = (oldPos ++ newPos).distinct.sorted
+        val (inline, size) = graft.sources.DeletionVectors.encodeInline(all)
+        dvAdd(f, absPath,
+          s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${all.size}}""")
+      }
     }
     val version = nextVersion(root)
     commit(root, version,
@@ -467,13 +516,26 @@ object DeltaWriter {
     val latest = graft.sources.DeltaLogReader.snapshot(spark, path)
     val keepVersions = (math.max(0L, latest.version - retainVersions + 1)
       to latest.version)
-    val referenced: Set[Path] = keepVersions.flatMap { v =>
-      graft.sources.DeltaLogReader.snapshot(spark, path, Some(v))
-        .files.map(f => root.resolve(f.path).toAbsolutePath.normalize)
-    }.toSet
+    val keptFiles = keepVersions.flatMap { v =>
+      graft.sources.DeltaLogReader.snapshot(spark, path, Some(v)).files
+    }
+    val referenced: Set[Path] = keptFiles
+      .map(f => root.resolve(f.path).toAbsolutePath.normalize).toSet ++
+      // DV sidecar bins referenced by kept versions stay — deleting a
+      // live one would fail every read of its data file, not resurrect
+      // rows
+      keptFiles.flatMap(_.deletionVector).collect {
+        case d if d.storageType == "u" =>
+          root.resolve(graft.sources.DeletionVectors.uuidPath(d.pathOrInlineDv))
+            .toAbsolutePath.normalize
+        case d if d.storageType == "p" =>
+          Paths.get(d.pathOrInlineDv).toAbsolutePath.normalize
+      }
     val victims = Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
+        (p.getFileName.toString.endsWith(".parquet") ||
+          (p.getFileName.toString.startsWith("deletion_vector_") &&
+            p.getFileName.toString.endsWith(".bin"))) &&
         !p.startsWith(root.resolve("_delta_log")) &&
         !referenced.contains(p.toAbsolutePath.normalize))
       .toVector

@@ -185,40 +185,191 @@ object DeletionVectors {
     out.result()
   }
 
-  /** Serialize row positions as an inline-DV payload: (Z85 text for
-    * `pathOrInlineDv`, sizeInBytes) — a fixture-AUTHORING utility (the
-    * q_delta_dv gate builds its table with it). It dogfoods [[decode]],
-    * but decoder correctness does not rest on that: DeltaLogReaderSpec
-    * hand-rolls its own independent serializer bytes.
+  /** Z85-encode bytes (padded with zero bytes to a 4-byte multiple; the
+    * descriptor's `sizeInBytes` is authoritative for the payload length,
+    * so decode-side `take(sizeInBytes)` strips the pad back off).
     */
-  private[graft] def encodeInline(positions: Seq[Long]): (String, Int) = {
-    require(positions.forall(p => p >= 0 && p < (1L << 32)),
-      "encodeInline supports positions < 2^32 (fixture scale)")
-    val values = positions.map(_.toInt).sorted
-    val groups = values.groupBy(_ >>> 16).toSeq.sortBy(_._1)
-    val n = groups.size
-    val headerSize = 4 + 4 + n * 4 + n * 4
-    val bm = java.nio.ByteBuffer.allocate(headerSize + values.size * 2)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bm.putInt(12346).putInt(n) // no-run cookie; array containers only
-    groups.foreach { case (k, vs) =>
-      bm.putShort(k.toShort).putShort((vs.size - 1).toShort)
-    }
-    var off = headerSize
-    groups.foreach { case (_, vs) => bm.putInt(off); off += vs.size * 2 }
-    groups.foreach { case (_, vs) => vs.foreach(v => bm.putShort((v & 0xFFFF).toShort)) }
-    val data = java.nio.ByteBuffer.allocate(12 + bm.array().length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putInt(1681511377).putLong(1L).put(bm.array()).array()
-    val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
-    val sb = new StringBuilder
+  private[graft] def z85Encode(bytes: Array[Byte]): String = {
+    val padded = bytes ++ Array.fill((4 - bytes.length % 4) % 4)(0.toByte)
+    val sb = new StringBuilder(padded.length / 4 * 5)
     padded.grouped(4).foreach { g =>
       var v = g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
       val out = new Array[Char](5)
       (4 to 0 by -1).foreach { i => out(i) = Z85Alphabet((v % 85).toInt); v /= 85 }
       sb.appendAll(out)
     }
-    (sb.toString, data.length)
+    sb.toString
+  }
+
+  /** Streaming RoaringBitmapArray serializer — the writer-side dual of
+    * [[decode]], spec-correct for EXTERNAL readers too: array containers
+    * at cardinality ≤ 4096, bitmap containers (1024 64-bit words) above
+    * (the portable-format rule delta-spark's RoaringBitmapArray applies;
+    * the old fixture encoder emitted array containers unconditionally,
+    * which a foreign reader would misparse past 4096 values).
+    *
+    * Positions MUST arrive strictly ascending (equal repeats are
+    * tolerated and collapsed) — exactly what a sort-within-partitions
+    * stream delivers, so a multi-million-position deletion vector never
+    * needs the full position array in memory at once, only the current
+    * container (≤ 64 Ki values).
+    */
+  private[graft] final class RoaringArrayBuilder {
+    import scala.collection.mutable.ArrayBuffer
+    // finished containers of the CURRENT 32-bit bitmap: (key, card, bytes)
+    private val containers = ArrayBuffer.empty[(Int, Int, Array[Byte])]
+    // finished 32-bit bitmaps, indexed by their high-32 value
+    private val bitmaps = ArrayBuffer.empty[(Long, Array[Byte])]
+    private var curHi = 0L
+    private var curKey = -1
+    private val curVals = new ArrayBuffer[Int]
+    private var last = -1L
+    private var count = 0L
+
+    def cardinality: Long = count
+
+    def add(pos: Long): Unit = {
+      if (pos == last) return
+      require(pos > last, s"positions must be ascending: $pos after $last")
+      last = pos; count += 1
+      val hi = pos >>> 32
+      val key = ((pos >>> 16) & 0xFFFF).toInt
+      if (hi != curHi || key != curKey) {
+        flushContainer()
+        if (hi != curHi) { flushBitmap(); curHi = hi }
+        curKey = key
+      }
+      curVals += (pos & 0xFFFF).toInt
+    }
+
+    private def flushContainer(): Unit = {
+      if (curVals.isEmpty) return
+      val card = curVals.size
+      val bytes = if (card <= 4096) {
+        val bb = java.nio.ByteBuffer.allocate(card * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        curVals.foreach(v => bb.putShort(v.toShort))
+        bb.array()
+      } else {
+        val words = new Array[Long](1024)
+        curVals.foreach(v => words(v >>> 6) |= 1L << (v & 63))
+        val bb = java.nio.ByteBuffer.allocate(8192)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        words.foreach(bb.putLong)
+        bb.array()
+      }
+      containers += ((curKey, card, bytes))
+      curVals.clear()
+    }
+
+    private def flushBitmap(): Unit = {
+      if (containers.isEmpty) return
+      val n = containers.size
+      val headerSize = 4 + 4 + n * 4 + n * 4
+      val bb = java.nio.ByteBuffer
+        .allocate(headerSize + containers.iterator.map(_._3.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(12346).putInt(n) // no-run cookie, offset section present
+      containers.foreach { case (k, card, _) =>
+        bb.putShort(k.toShort).putShort((card - 1).toShort)
+      }
+      var off = headerSize
+      containers.foreach { case (_, _, b) => bb.putInt(off); off += b.length }
+      containers.foreach { case (_, _, b) => bb.put(b) }
+      bitmaps += ((curHi, bb.array()))
+      containers.clear()
+    }
+
+    /** The complete RoaringBitmapArray bytes. The 64-bit portable format
+      * indexes 32-bit bitmaps by POSITION, so gaps up to the highest
+      * populated high-32 value are filled with empty bitmaps (8 bytes
+      * each — cookie + zero container count).
+      */
+    def serialize(): Array[Byte] = {
+      flushContainer(); flushBitmap()
+      val emptyBitmap = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12346).putInt(0)
+        .array()
+      val nBitmaps = if (bitmaps.isEmpty) 0L else bitmaps.last._1 + 1
+      val byHi = bitmaps.toMap
+      val body = (0L until nBitmaps)
+        .map(hi => byHi.getOrElse(hi, emptyBitmap))
+      val bb = java.nio.ByteBuffer
+        .allocate(12 + body.iterator.map(_.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377).putLong(nBitmaps)
+      body.foreach(bb.put)
+      bb.array()
+    }
+  }
+
+  /** Serialize sorted row positions as an inline-DV payload: (Z85 text
+    * for `pathOrInlineDv`, sizeInBytes). Small-cardinality path — the
+    * bytes land in the commit JSON itself; [[writeSidecars]] is the
+    * escalation for large deletes.
+    */
+  private[graft] def encodeInline(positions: Seq[Long]): (String, Int) = {
+    val b = new RoaringArrayBuilder
+    positions.sorted.foreach(b.add)
+    val data = b.serialize()
+    (z85Encode(data), data.length)
+  }
+
+  /** Write one on-disk deletion-vector sidecar file (PROTOCOL.md
+    * "Deletion Vector Files", storageType `u`) for a stream of (data
+    * file, position) pairs sorted by (file, position) — the executor-side
+    * half of DeltaWriter's large-delete path. One sidecar holds the DVs
+    * of every data file in the partition, framed back-to-back as
+    * [size: 4B BE][bitmap][CRC-32: 4B BE] after the leading
+    * format-version byte; each data file's descriptor points at its own
+    * offset. Returns (dataFile, pathOrInlineDv, offset, sizeInBytes,
+    * cardinality) rows — metadata-plane, one per data file.
+    *
+    * Scale shape: positions stream straight from the sorted iterator into
+    * the current container; neither a file's full position array nor the
+    * sidecar bytes are ever held in memory (the frame streams to disk).
+    */
+  private[graft] def writeSidecars(tablePath: String,
+      rows: Iterator[(String, Long)]): Iterator[(String, String, Int, Int, Long)] = {
+    if (!rows.hasNext) return Iterator.empty
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val encodedUuid = z85Encode(uuidBytes) // 16 bytes → exactly 20 chars
+    val target = java.nio.file.Paths.get(tablePath)
+      .resolve(s"deletion_vector_$uuid.bin")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(target))
+    val results = Seq.newBuilder[(String, String, Int, Int, Long)]
+    try {
+      out.write(1) // format version
+      var offset = 1
+      var curFile: String = null
+      var builder: RoaringArrayBuilder = null
+      def finish(): Unit = if (curFile != null) {
+        val data = builder.serialize()
+        val size = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val crcBytes = java.nio.ByteBuffer.allocate(4)
+          .putInt(crc.getValue.toInt).array()
+        out.write(size); out.write(data); out.write(crcBytes)
+        results += ((curFile, encodedUuid, offset, data.length,
+          builder.cardinality))
+        offset += 4 + data.length + 4
+      }
+      rows.foreach { case (f, pos) =>
+        if (f != curFile) {
+          finish()
+          curFile = f
+          builder = new RoaringArrayBuilder
+        }
+        builder.add(pos)
+      }
+      finish()
+    } finally out.close()
+    results.result().iterator
   }
 
   /** All deleted (file path, row position) pairs of a snapshot as a

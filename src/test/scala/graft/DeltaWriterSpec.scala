@@ -317,23 +317,99 @@ class DeltaWriterSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
-  test("the inline-DV guard fires from per-file COUNTS, before any " +
-      "row-level positions reach the driver") {
-    // 1.2M rows in ONE file: a sweep matching them all exceeds the 2^20
-    // inline-position cap — the guard must reject with its documented
-    // message (computed from the distributed count aggregate), never OOM
-    // building a driver-side position list
-    val path = tmp("dvguard")
+  test("a delete past the per-file inline cap escalates to an on-disk " +
+      "DV sidecar; a repeat delete merges into a fresh sidecar") {
+    // 1.2M rows in ONE file: a sweep matching most of them exceeds the
+    // 2^20 inline-position cap — the writer must route to a storageType
+    // `u` sidecar (positions streamed by executors, never collected)
+    // instead of rejecting or OOMing on a driver-side position list
+    val path = tmp("dvsidecar")
     DeltaWriter.create(
       spark.range(0, 1200000).toDF("id").coalesce(1), path)
-    val e = intercept[IllegalArgumentException] {
-      DeltaWriter.deleteWhere(spark, path, col("id") >= 0L)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 8 =!= 0L)
+      == 1050000L)
+    val snap1 = DeltaLogReader.snapshot(spark, path)
+    val dv1 = snap1.files.flatMap(_.deletionVector)
+    assert(dv1.map(_.storageType) == Seq("u"), dv1)
+    assert(dv1.head.cardinality == 1050000L)
+    val bins = Files.list(Paths.get(path)).iterator()
+    val binNames = Iterator.continually(bins).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+      .toSeq
+    assert(binNames.size == 1, binNames)
+    assert(DeltaLogReader.read(spark, path).count() == 150000L)
+    // repeat delete: old (sidecar) positions union with the new matches
+    // into a NEW sidecar; already-deleted rows never match again
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") < 800000L)
+      == 100000L)
+    val snap2 = DeltaLogReader.snapshot(spark, path)
+    val dv2 = snap2.files.flatMap(_.deletionVector)
+    assert(dv2.map(_.storageType) == Seq("u"))
+    assert(dv2.head.cardinality == 1150000L)
+    val kept = DeltaLogReader.read(spark, path).select("id").as[Long]
+    assert(kept.count() == 50000L)
+    assert(kept.agg(min("id"), max("id")).as[(Long, Long)].head() ==
+      ((800000L, 1199992L)))
+    // time travel: version 0 serves everything, version 1 the first cut
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(0L))
+      .count() == 1200000L)
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(1L))
+      .count() == 150000L)
+  }
+
+  test("a broad sweep across many files trips the TOTAL-positions cap, " +
+      "writes sidecars, and survives a checkpoint round-trip") {
+    // 5M rows over 8 files: each file's ~562k matches sit under the
+    // per-file 2^20 cap, but the 4.5M total exceeds 2^22 — the
+    // escalation must fire on the SUM, not only per file
+    val path = tmp("dvtotal")
+    DeltaWriter.create(
+      spark.range(0, 5000000).toDF("id").repartition(8), path)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 10 =!= 0L)
+      == 4500000L)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    val dvs = snap.files.flatMap(_.deletionVector)
+    assert(dvs.nonEmpty && dvs.forall(_.storageType == "u"), dvs)
+    assert(dvs.map(_.cardinality).sum == 4500000L)
+    assert(DeltaLogReader.read(spark, path).count() == 500000L)
+    assert(DeltaLogReader.read(spark, path)
+      .filter(col("id") % 10 =!= 0L).count() == 0L)
+    // checkpoint: push to a multiple of 10, drop the covered commit
+    // JSONs — the u-descriptors must survive via the checkpoint parquet
+    var v = DeltaLogReader.snapshot(spark, path).version
+    while (v % 10 != 0) {
+      DeltaWriter.append(Seq((9000000L + v)).toDF("id"), path)
+      v = DeltaLogReader.snapshot(spark, path).version
     }
-    assert(e.getMessage.contains("inline-DV guard"), e.getMessage)
-    // nothing was committed: the table still serves every row
-    assert(graft.sources.DeltaLogReader.snapshot(spark, path).version == 0L)
-    // a bounded delete on the same big file still works
-    assert(DeltaWriter.deleteWhere(spark, path, col("id") < 1000L) == 1000L)
+    val log = Paths.get(path, "_delta_log")
+    assert(Files.exists(log.resolve(f"$v%020d.checkpoint.parquet")))
+    (0L to v).foreach { i =>
+      val f = log.resolve(f"$i%020d.json")
+      if (Files.exists(f)) Files.delete(f)
+    }
+    assert(DeltaLogReader.read(spark, path)
+      .filter(col("id") < 5000000L).count() == 500000L)
+  }
+
+  test("vacuum keeps live DV sidecars and reclaims superseded ones") {
+    val path = tmp("dvvacuum")
+    DeltaWriter.create(
+      spark.range(0, 2400000).toDF("id").coalesce(1), path)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 2 === 0L)
+      == 1200000L)
+    // second sweep supersedes the first sidecar (new DV carries the union)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 3 === 0L)
+      == 400000L)
+    val binsBefore = Files.list(Paths.get(path)).filter(p =>
+      p.getFileName.toString.startsWith("deletion_vector_")).count()
+    assert(binsBefore == 2L)
+    DeltaWriter.vacuum(spark, path, retainVersions = 1)
+    val binsAfter = Files.list(Paths.get(path)).filter(p =>
+      p.getFileName.toString.startsWith("deletion_vector_")).count()
+    assert(binsAfter == 1L, "superseded sidecar not reclaimed")
+    // the surviving sidecar is the live one: reads still work
+    assert(DeltaLogReader.read(spark, path).count() == 800000L)
   }
 
   test("deleteWhere on a partitioned table honors partition-column predicates") {
