@@ -35,6 +35,20 @@ import graft.operators.Materialize.Ops
   */
 object Curation {
 
+  /** Dedicated pool for the report's side branches. The branch bodies
+    * BLOCK on Spark actions; running them on `ExecutionContext.global`
+    * without `blocking{}` ate fixed global-pool slots, so concurrent
+    * `report()` calls could starve every other global-pool user. A cached
+    * daemon pool grows per demand and idles away after 60 s.
+    */
+  private lazy val sideBranchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-curation-side")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Tuning note (banding vs threshold): the LSH banding scheme has an
     * implicit similarity sweet spot s* ≈ (1/numBands)^(1/rowsPerBand) —
     * the Jaccard level where a pair's candidate probability crosses ½
@@ -72,7 +86,7 @@ object Curation {
     // (CurationSpec's accumulator spec still counts one source scan).
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec: ExecutionContext = sideBranchEc
     // side-branch jobs run under their own job group so a cluster-pipeline
     // failure can CANCEL them instead of leaving orphaned executor work
     // (job groups are thread-local, so the futures tag only their own jobs)
@@ -109,13 +123,26 @@ object Curation {
           .materialize(eager = true)
       } finally sc.clearJobGroup()
     }
+    // a side branch that already FAILED must surface now, not after the
+    // whole cluster pipeline burns through its label-prop rounds — probe
+    // the futures at the pipeline's natural checkpoints (they complete
+    // out-of-band on the dedicated pool)
+    def checkSideBranches(): Unit =
+      Seq(qualityF, withExactF).foreach(_.value match {
+        case Some(scala.util.Failure(t)) =>
+          sc.cancelJobGroup(sideGroup)
+          throw t
+        case _ => ()
+      })
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
     // twice — candidates and verification sets read one derivation
     val clusters =
       try {
+        checkSideBranches()
         val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
           .materialize()
+        checkSideBranches()
         Dedup.duplicateClusters(
           Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
       } catch { case t: Throwable =>

@@ -83,12 +83,35 @@ object DeltaWriter {
         "added columns must be nullable (old files have no values for them)")
     }
     val files = writeData(df, root, snap.partitionColumns)
-    val version = nextVersion(root)
     val mdAction =
       if (!evolved) Nil
       else Seq(s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(df.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""$c"""").mkString(",")}],"configuration":{${snap.configuration.map { case (k, v) => s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}""" }.mkString(",")}},"createdTime":0}}""")
-    commit(root, version, mdAction ++ txnActions(txn) ++ files.map(addAction(_)))
-    maybeCheckpoint(df.sparkSession, root, version)
+    val actions = mdAction ++ txnActions(txn) ++ files.map(addAction(_))
+    // optimistic-concurrency retry: an append composes with ANY competing
+    // commit (append/overwrite/delete) — the data files are already on
+    // disk, so a lost version race just recomputes the version and
+    // re-links, after re-validating that no competing commit retyped a
+    // column out from under these files
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val version = nextVersion(root)
+      try {
+        commit(root, version, actions)
+        maybeCheckpoint(df.sparkSession, root, version)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 10) throw e
+          val cur = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
+          val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+          require(df.schema.fields.forall(f =>
+              curTypes.get(f.name).contains(f.dataType)),
+            s"append lost a commit race and the competing commit changed " +
+              s"the schema incompatibly: table now ${cur.schema.simpleString}")
+      }
+    }
   }
 
   def overwrite(df: DataFrame, path: String): Unit = {
@@ -632,19 +655,33 @@ object DeltaWriter {
     * replaces silently), which is exactly why the contract above is
     * single-writer; true multi-writer needs a putIfAbsent LogStore.
     */
-  private[output] def commit(root: Path, version: Long,
+  /** Lost a commit race: another writer landed this version first. The
+    * caller may retry with a recomputed version after RE-VALIDATING its
+    * preconditions against the new table state ([[append]] does so
+    * automatically; probe-based operations like deleteWhere must re-run
+    * their probe, so they surface this to their caller instead).
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+  private[graft] def commit(root: Path, version: Long,
       actions: Seq[String]): Unit = {
     val log = root.resolve("_delta_log")
     Files.createDirectories(log) // created here, not in create(): see create()
     val tmp = log.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, actions.mkString("\n"))
     val dest = log.resolve(f"$version%020d.json")
-    if (Files.exists(dest)) {
-      Files.delete(tmp)
-      throw new IllegalStateException(
-        s"concurrent commit of delta version $version at $root")
-    }
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    // atomic CREATE-NEW: a hard link fails if dest exists — unlike
+    // rename(2), which silently REPLACES, so the old exists-check-then-
+    // move left a window where two committers of the same version both
+    // "succeeded" and one commit vanished. Exactly one linker wins;
+    // losers get the retryable conflict.
+    try Files.createLink(dest, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"concurrent commit of delta version $version at $root")
+    } finally Files.deleteIfExists(tmp)
   }
 
   // ---------- checkpoints ----------

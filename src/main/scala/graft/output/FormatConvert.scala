@@ -24,13 +24,28 @@ import java.nio.file.{Files, Paths}
   * all work on it afterwards. Cost is file-count-proportional metadata
   * work (one parquet footer read per file) plus the delete translation.
   *
-  * Scope (documented, fail-fast): unpartitioned tables — Delta keeps
-  * partition values in its LOG, not its files, so an Iceberg reader could
-  * not project them (and vice versa our identity-partition handling);
-  * columnMapping=none on the Delta side; no equality deletes on the
-  * Iceberg side (Delta has no equality-delete representation — apply
-  * them with a rewrite first). The reference serves a fixed source
-  * matrix; this is beyond-parity lakehouse surface.
+  * LIFETIME COUPLING (the inverse of "source untouched"): the converted
+  * table references the source's parquet files IN PLACE, so maintenance
+  * on the SOURCE that deletes files — [[DeltaWriter.vacuum]],
+  * [[IcebergWriter.expireSnapshots]], optimize/rewrite followed by
+  * either — breaks the converted table's scans with missing-file errors.
+  * Treat a conversion as a handoff: retire the source, or accept that
+  * the converted table is only valid while the source keeps every file
+  * of the converted-from snapshot. Both tables carry a
+  * `graft.converted-from` marker naming their source so the coupling is
+  * discoverable from either side.
+  *
+  * Scope (documented, fail-fast): Iceberg → Delta handles identity-
+  * partitioned sources (partition tuples become Delta log
+  * partitionValues; Iceberg identity data files retain the source
+  * columns, which Delta readers pinning the log's dataSchema simply
+  * ignore). Delta → Iceberg remains unpartitioned-only: Delta data files
+  * OMIT partition columns, so an Iceberg reader projecting file columns
+  * would serve nulls. columnMapping=none on the Delta side; no equality
+  * deletes on the Iceberg side (Delta has no equality-delete
+  * representation — apply them with a rewrite first). The reference
+  * serves a fixed source matrix; this is beyond-parity lakehouse
+  * surface.
   */
 object FormatConvert {
 
@@ -91,11 +106,19 @@ object FormatConvert {
     val st = IcebergWriter.loadState(icebergPath)
     require(st.entries.forall(_.equalityIds.isEmpty),
       "icebergToDelta cannot represent equality deletes in delta — " +
-        "rewrite them away first (rewriteDataFiles or upsert-free history)")
+        "rewrite them away first (rewriteEqualityDeletes)")
     val root = Paths.get(deltaPath).toAbsolutePath.normalize
-    require(!Files.exists(
-        root.resolve("_delta_log").resolve(f"${0L}%020d.json")),
-      s"$deltaPath is already a delta table")
+    // ANY existing log state rejects — probing only for the version-0
+    // JSON would let a table whose early commits were cleaned up past a
+    // checkpoint slip through, and the conversion would then write a
+    // conflicting version-0 commit into a LIVE table's log (readers
+    // replaying from the checkpoint silently ignore it)
+    val logDir = root.resolve("_delta_log")
+    val hasLogState = Files.isDirectory(logDir) && {
+      val s = Files.list(logDir)
+      try s.findAny().isPresent finally s.close()
+    }
+    require(!hasLogState, s"$deltaPath already carries delta log state")
 
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
     // manifest-form paths (declared-location-prefixed) → local absolute,
@@ -152,8 +175,33 @@ object FormatConvert {
       if (needDv)
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // identity partition spec → Delta partitionColumns; each add carries
+    // the entry's tuple RENDERED to Delta's string form (dates ISO-8601 —
+    // the exact strings DeltaLogReader casts back via the schema type).
+    // The iceberg data files retain the partition columns; Delta readers
+    // pin the log's dataSchema (schema minus partition columns), so the
+    // extra file columns are simply never projected.
+    val partCols = st.spec.map(_.name)
+    val partColsJson = partCols
+      .map(c => s""""${DeltaWriter.escape(c)}"""").mkString(",")
+    def renderPv(e: IcebergWriter.Entry): String = st.spec.map { f =>
+      val raw = e.partitionValues.collectFirst {
+        case (n, v) if n == f.name => v
+      }.orNull
+      val rendered =
+        if (raw == null) null
+        else f.dataType match {
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(
+              raw.asInstanceOf[Number].longValue).toString
+          case _ => raw.toString
+        }
+      s""""${DeltaWriter.escape(f.name)}":${
+        if (rendered == null) "null"
+        else s""""${DeltaWriter.escape(rendered)}""""}"""
+    }.mkString(",")
     val metaData =
-      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[$partColsJson],"configuration":{"graft.converted-from":"iceberg:${DeltaWriter.escape(st.root.toString)}"},"createdTime":0}}"""
     val adds = dataEntries.map { e =>
       val p = norm(e.localPath)
       val size = Files.size(Paths.get(p))
@@ -162,7 +210,7 @@ object FormatConvert {
           graft.sources.DeletionVectors.encodeInline(positions)
         s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$dvSize,"cardinality":${positions.size}}"""
       }.getOrElse("")
-      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true$dv}}"""
+      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{${renderPv(e)}},"size":$size,"modificationTime":0,"dataChange":true$dv}}"""
     }
     DeltaWriter.commit(root, 0L, Seq(protocol, metaData) ++ adds)
     dataEntries.size

@@ -53,15 +53,46 @@ object IcebergWriter {
 
   private val mapper = new ObjectMapper()
 
+  /** `partitionBy`: identity-partition the table on these columns — a
+    * real partition spec (spec-id 0, identity transforms, field ids
+    * 1000+) with per-entry partition tuples in the manifests, data laid
+    * out hive-style under `data/<col>=<value>/`. Source columns stay IN
+    * the data files (Iceberg identity semantics), so scans are correct
+    * with or without the tuples; the tuples buy manifest-level partition
+    * PRUNING ([[graft.sources.IcebergReader.read]]'s partitionFilter)
+    * and external-engine planning.
+    */
   def create(df: DataFrame, path: String,
-      summary: Map[String, String] = Map.empty): Unit = {
+      summary: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Unit = {
     val root = newTableRoot(path)
     val location = root.toString
-    val files = writeData(df, root)
+    val spec = specFor(df.schema, partitionBy)
+    val files = writeData(df, root, spec)
     val seq = 1L
-    val manifest = writeManifest(root, location, files)
+    val manifest = writeManifest(root, location, files, spec = spec)
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
-    commitNewTable(root, df.schema, seq, list, "append", summary)
+    commitNewTable(root, df.schema, seq, list, "append", summary, spec)
+  }
+
+  /** Identity spec fields for `partitionBy` over `schema` — field ids
+    * 1000+ (spec: partition field ids start at 1000), source ids from the
+    * iceberg schema's top-level field ids.
+    */
+  private[output] def specFor(schema: StructType,
+      partitionBy: Seq[String]): Seq[SpecField] = {
+    if (partitionBy.isEmpty) return Nil
+    val (schemaJson, _) = icebergSchema(schema)
+    val topIds: Map[String, Int] = schemaJson.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    partitionBy.zipWithIndex.map { case (c, i) =>
+      val field = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c not in schema ${schema.fieldNames.mkString(", ")}"))
+      require(supportedPartitionTypes.contains(field.dataType),
+        s"unsupported partition type ${field.dataType.simpleString} for $c")
+      SpecField(c, field.dataType, 1000 + i, topIds(c))
+    }
   }
 
   /** Validated, directory-initialized root for a brand-new table. */
@@ -79,7 +110,8 @@ object IcebergWriter {
     */
   private[output] def commitNewTable(root: Path, schema: StructType,
       seq: Long, list: String, operation: String,
-      summary: Map[String, String] = Map.empty): Unit = {
+      summary: Map[String, String] = Map.empty,
+      partitionSpec: Seq[SpecField] = Nil): Unit = {
     val location = root.toString
     val (schemaJson, lastColId) = icebergSchema(schema)
     val md = mapper.createObjectNode()
@@ -94,10 +126,21 @@ object IcebergWriter {
     setNameMapping(md, schemaJson)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
-    spec.set[JsonNode]("fields", mapper.createArrayNode())
+    val specFields = mapper.createArrayNode()
+    partitionSpec.foreach { f =>
+      val n = mapper.createObjectNode()
+      n.put("name", f.name)
+      n.put("transform", "identity")
+      n.put("source-id", f.sourceId)
+      n.put("field-id", f.fieldId)
+      specFields.add(n)
+    }
+    spec.set[JsonNode]("fields", specFields)
     md.set[JsonNode]("partition-specs", mapper.createArrayNode().add(spec))
     md.put("default-spec-id", 0)
-    md.put("last-partition-id", 999) // spec: >= 999 before any partition field
+    // spec: >= 999 before any partition field
+    md.put("last-partition-id",
+      (999 +: partitionSpec.map(_.fieldId)).max)
     val order = mapper.createObjectNode()
     order.put("order-id", 0)
     order.set[JsonNode]("fields", mapper.createArrayNode())
@@ -156,48 +199,80 @@ object IcebergWriter {
       summary: Map[String, String],
       mergeSchema: Boolean = false): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
-    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
-    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
-    require(md.get("format-version").asInt() == 2,
-      s"can only commit to iceberg format-version 2 tables, " +
-        s"found ${md.get("format-version").asInt()} at $path")
-    // fail-fast on drift between the incoming frame and the table schema
-    // unless mergeSchema authorizes add-column evolution
-    val (tableSchema, _) = graft.sources.IcebergReader.currentSchema(md)
-    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-    val evolved = shape(tableSchema) != shape(df.schema)
-    if (evolved && !mergeSchema)
-      throw new IllegalArgumentException(
-        s"$operation schema mismatch: table has ${tableSchema.simpleString}, " +
-          s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
-    if (evolved) evolveSchema(md, tableSchema, df.schema)
 
-    val location = Option(md.get("location")).map(_.asText())
+    def validate(md: ObjectNode): Boolean = {
+      require(md.get("format-version").asInt() == 2,
+        s"can only commit to iceberg format-version 2 tables, " +
+          s"found ${md.get("format-version").asInt()} at $path")
+      // fail-fast on drift between the incoming frame and the table schema
+      // unless mergeSchema authorizes add-column evolution
+      val (tableSchema, _) = graft.sources.IcebergReader.currentSchema(md)
+      def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+      val evolved = shape(tableSchema) != shape(df.schema)
+      if (evolved && !mergeSchema)
+        throw new IllegalArgumentException(
+          s"$operation schema mismatch: table has ${tableSchema.simpleString}, " +
+            s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
+      if (evolved) evolveSchema(md, tableSchema, df.schema)
+      evolved
+    }
+
+    val mdFile0 = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md0 = mapper.readTree(Files.readString(mdFile0)).asInstanceOf[ObjectNode]
+    validate(md0)
+    val location = Option(md0.get("location")).map(_.asText())
       .getOrElse(root.toString)
-    val seq = md.get("last-sequence-number").asLong() + 1
-    val version = versionOf(mdFile) + 1
+    val spec = defaultSpec(md0)
+    // data + manifest are written ONCE: ADDED entries carry null sequence
+    // numbers (inherited from the manifest LIST), so a commit retry only
+    // re-stamps the list, never the manifest or the data
+    val files = writeData(df, root, spec)
+    val manifest = writeManifest(root, location, files, spec = spec)
 
-    val files = writeData(df, root)
-    val manifest = writeManifest(root, location, files)
-    val newRef = ManifestRef(manifest, 0, seq)
-    val refs =
-      if (carryForward) currentManifests(md, root) :+ newRef
-      else Seq(newRef)
-    val list = writeManifestList(root, seq, refs)
+    // optimistic-concurrency retry: re-read the metadata, re-validate,
+    // rebuild the manifest list against the NEW current snapshot, and
+    // re-link; an append composes with any competing commit. Resolution
+    // goes by MAX VERSION, not version-hint.text — a racing writer can
+    // leave the hint one step behind, and a hint-following retry would
+    // spin on the same stale version forever.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val mdFile = latestMetadataFile(root)
+      val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      validate(md)
+      require(defaultSpec(md) == spec,
+        s"$operation lost a commit race and the competing commit changed " +
+          "the partition spec — rewrite the incoming batch")
+      val seq = md.get("last-sequence-number").asLong() + 1
+      val version = versionOf(mdFile) + 1
+      val newRef = ManifestRef(manifest, 0, seq)
+      val refs =
+        if (carryForward) currentManifests(md, root) :+ newRef
+        else Seq(newRef)
+      val list = writeManifestList(root, seq, refs)
 
-    // timestamps strictly increase so timestamp travel stays well-ordered
-    // even when two commits land within one clock millisecond
-    val prevMaxTs = Option(md.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala)
-      .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
-    val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+      // timestamps strictly increase so timestamp travel stays well-ordered
+      // even when two commits land within one clock millisecond
+      val prevMaxTs = Option(md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
+      val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
 
-    md.put("last-sequence-number", seq)
-    md.put("last-updated-ms", ts)
-    md.put("current-snapshot-id", seq)
-    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-      .add(snapshotNode(seq, seq, list, ts, operation, summary))
-    commitMetadata(root, version, md)
+      md.put("last-sequence-number", seq)
+      md.put("last-updated-ms", ts)
+      md.put("current-snapshot-id", seq)
+      md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+        .add(snapshotNode(seq, seq, list, ts, operation, summary))
+      try {
+        commitMetadata(root, version, md)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 10) throw e
+      }
+    }
   }
 
   /** Manifest refs of the CURRENT snapshot, read back from its manifest
@@ -221,11 +296,13 @@ object IcebergWriter {
         readAvro(listPath).map { r =>
           val seq = longOf(r, "sequence_number", 0L)
           val minSeq = longOf(r, "min_sequence_number", seq)
+          val addedBy = longOf(r, "added_snapshot_id", id)
           ManifestRef(
             r.get("manifest_path").toString,
             intOf(r, "content", 0),
             seq,
-            if (minSeq != seq) Some(minSeq) else None)
+            if (minSeq != seq) Some(minSeq) else None,
+            Some(addedBy))
         }
     }
   }
@@ -291,9 +368,10 @@ object IcebergWriter {
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
 
-    val dataFiles = writeData(updates, st.root)
+    val dataFiles = writeData(updates, st.root, st.spec)
     val seq = st.md.get("last-sequence-number").asLong() + 1
-    val dataManifest = writeManifest(st.root, st.location, dataFiles)
+    val dataManifest = writeManifest(st.root, st.location, dataFiles,
+      spec = st.spec)
     val eqManifest = writeManifest(st.root, st.location,
       Seq(WrittenFile(eqName,
         Files.size(st.root.resolve("data").resolve(eqName)),
@@ -301,7 +379,9 @@ object IcebergWriter {
         // from its parquet footer), not the matched-row count — external
         // planners size delete application off this stat
         footerRecordCount(st.root.resolve("data").resolve(eqName)))),
-      content = 2, equalityIds = eqIds)
+      // a cross-partition delete file: the spec shapes the partition
+      // record (all-null tuple = applies table-wide)
+      content = 2, equalityIds = eqIds, spec = st.spec)
     val list = writeManifestList(st.root, seq,
       st.refs :+ ManifestRef(dataManifest, 0, seq)
         :+ ManifestRef(eqManifest, 1, seq))
@@ -309,13 +389,48 @@ object IcebergWriter {
     (matched, updates.count())
   }
 
+  /** The table's DEFAULT partition spec resolved against its current
+    * schema — identity transforms only (this writer refuses to commit
+    * into tables partitioned by bucket/truncate/temporal transforms it
+    * cannot compute).
+    */
+  private[output] def defaultSpec(md: JsonNode): Seq[SpecField] = {
+    val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specNode = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("spec-id").asInt() == specId)
+      .getOrElse(return Nil)
+    val fields = specNode.get("fields").elements().asScala.toSeq
+    if (fields.isEmpty) return Nil
+    val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
+    fields.map { f =>
+      val transform = f.get("transform").asText()
+      require(transform == "identity",
+        s"unsupported partition transform $transform (identity only)")
+      val sourceId = f.get("source-id").asInt()
+      val srcName = fieldNames.getOrElse(sourceId,
+        throw new IllegalArgumentException(
+          s"partition source-id $sourceId not in current schema"))
+      SpecField(f.get("name").asText(),
+        schema(srcName).dataType, f.get("field-id").asInt(), sourceId)
+    }
+  }
+
   /** Current-snapshot state shared by the row-level operations. */
   private[output] case class TableState(root: Path, md: ObjectNode,
       location: String, schema: StructType, fieldNames: Map[Int, String],
-      refs: Seq[ManifestRef], entries: Seq[Entry], mdFile: Path)
+      refs: Seq[ManifestRef], entries: Seq[Entry], mdFile: Path,
+      spec: Seq[SpecField])
 
+  /** `partitionValues`: the entry's identity-partition tuple by spec
+    * field name, Avro-raw values (Utf8 already converted to String);
+    * `snapshotId`/`fileSeq`: resolved (inherited where written null) so
+    * rewrites can pin them on EXISTING entries.
+    */
   private[output] case class Entry(localPath: String, content: Int,
-      seq: Long, equalityIds: Seq[Int])
+      seq: Long, equalityIds: Seq[Int],
+      partitionValues: Seq[(String, AnyRef)] = Nil,
+      snapshotId: Option[Long] = None, fileSeq: Option[Long] = None)
 
   private[output] def loadState(path: String): TableState = {
     val root = Paths.get(path).toAbsolutePath.normalize
@@ -338,13 +453,28 @@ object IcebergWriter {
             .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
               .map(_.asInstanceOf[Number].intValue))
             .getOrElse(Nil)
+          val seq = longOf(e, "sequence_number", ref.seq)
+          val partition = Option(
+              if (d.getSchema.getField("partition") == null) null
+              else d.get("partition"))
+            .collect { case r: GenericRecord =>
+              r.getSchema.getFields.asScala.toSeq.map { f =>
+                f.name -> (r.get(f.name()) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case v => v.asInstanceOf[AnyRef]
+                })
+              }
+            }.getOrElse(Nil)
           Some(Entry(remapLocal(d.get("file_path").toString, location, root),
-            intOf(d, "content", ref.content),
-            longOf(e, "sequence_number", ref.seq), ids))
+            intOf(d, "content", ref.content), seq, ids, partition,
+            snapshotId = Some(longOf(e, "snapshot_id",
+              ref.addedSnapshotId.getOrElse(0L))),
+            fileSeq = Some(longOf(e, "file_sequence_number", seq))))
         }
       }
     }
-    TableState(root, md, location, schema, fieldNames, refs, entries, mdFile)
+    TableState(root, md, location, schema, fieldNames, refs, entries, mdFile,
+      defaultSpec(md))
   }
 
   /** The LIVE rows of the current snapshot with `__f`/`__p`/`__seq`
@@ -450,7 +580,8 @@ object IcebergWriter {
 
     val seq = md.get("last-sequence-number").asLong() + 1
     val version = versionOf(mdFile) + 1
-    val delManifest = writeManifest(root, location, written, content = 1)
+    val delManifest = writeManifest(root, location, written, content = 1,
+      spec = st.spec)
     val list = writeManifestList(root, seq,
       refs :+ ManifestRef(delManifest, 1, seq))
     val prevMaxTs = Option(md.get("snapshots")).toSeq
@@ -567,40 +698,158 @@ object IcebergWriter {
     * `location/data/name` — [[FormatConvert]]'s zero-copy registration of
     * another table's data files in place.
     */
+  /** `partition`: identity-partition values aligned with the default
+    * spec's field order, Avro-ready (Integer/Long/String/Boolean, date as
+    * epoch-day Integer; null for the hive default partition).
+    * `snapshotId`/`fileSeq`: pinned on EXISTING entries only — the spec
+    * makes these inheritable for ADDED entries, so strict external
+    * readers can reject carried entries that leave them null.
+    */
   private[output] case class WrittenFile(name: String, size: Long,
       records: Long, seq: Option[Long] = None, existing: Boolean = false,
-      absPath: Option[String] = None)
+      absPath: Option[String] = None,
+      partition: Seq[(String, AnyRef)] = Nil,
+      snapshotId: Option[Long] = None, fileSeq: Option[Long] = None,
+      equalityIds: Seq[Int] = Nil)
+
+  /** An EXISTING manifest entry carrying a live file forward unchanged:
+    * path pinned (location-form under this table, absolute otherwise),
+    * original sequence numbers, snapshot id and partition tuple
+    * preserved — shared by every rewrite-style maintenance op.
+    */
+  private def existingFile(e: Entry, st: TableState): WrittenFile = {
+    val p = Paths.get(graft.sources.IcebergReader.normPath(e.localPath))
+    val rootStr = st.root.toString
+    val manifestPath =
+      if (p.toString.startsWith(rootStr + "/"))
+        st.location + p.toString.stripPrefix(rootStr)
+      else p.toString
+    WrittenFile(p.getFileName.toString, Files.size(p), footerRecordCount(p),
+      seq = Some(e.seq), existing = true, absPath = Some(manifestPath),
+      partition = e.partitionValues,
+      snapshotId = e.snapshotId, fileSeq = e.fileSeq,
+      equalityIds = e.equalityIds)
+  }
   /** `minSeq`: the true minimum entry sequence in the manifest when it
     * differs from the ref's own seq (rewrite manifests carrying old
     * entries). External planners prune delete-file application against
     * min_sequence_number — overstating it would skip deletes that still
     * apply to carried entries.
     */
+  /** `addedSnapshotId`: the snapshot that FIRST added this manifest —
+    * carried-forward manifests keep their original value instead of
+    * re-stamping the committing snapshot's id (spec `added_snapshot_id`).
+    */
   private[output] case class ManifestRef(path: String, content: Int,
-      seq: Long, minSeq: Option[Long] = None)
+      seq: Long, minSeq: Option[Long] = None,
+      addedSnapshotId: Option[Long] = None)
 
   /** Distributed parquet write into a staging dir, then move part files
     * into `data/`. Record counts come from the parquet FOOTERS (driver-side
     * metadata read, no data scan) — real stats, so external planners that
     * trust `record_count` plan correctly.
+    *
+    * With a partition `spec`, the partition columns are DUPLICATED into
+    * throwaway `__gp_*` staging columns and the write partitions on those
+    * — Spark's `partitionBy` strips its partition columns from the files,
+    * but Iceberg identity-partitioned data files must RETAIN the source
+    * columns (the reader projects them from the files, not the manifest).
+    * Part files land under `data/<col>=<value>/...` (hive-style, so the
+    * layout is self-describing) and each file's partition tuple is parsed
+    * from its staging directory names — still ONE distributed write, no
+    * per-partition driver loop.
     */
-  private def writeData(df: DataFrame, root: Path): Seq[WrittenFile] = {
+  private def writeData(df: DataFrame, root: Path,
+      spec: Seq[SpecField] = Nil): Seq[WrittenFile] = {
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toVector
-    val out = parts.map { p =>
-      val name = p.getFileName.toString
-      val dest = root.resolve("data").resolve(name)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      WrittenFile(name, Files.size(dest), footerRecordCount(dest))
+    val out = if (spec.isEmpty) {
+      df.write.mode("overwrite").parquet(staging.toString)
+      val parts = Files.list(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector
+      parts.map { p =>
+        val name = p.getFileName.toString
+        val dest = root.resolve("data").resolve(name)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        WrittenFile(name, Files.size(dest), footerRecordCount(dest))
+      }
+    } else {
+      import org.apache.spark.sql.functions.col
+      val stagingCols = spec.map(f => s"__gp_${f.name}")
+      val staged = spec.zip(stagingCols).foldLeft(df) { case (acc, (f, c)) =>
+        acc.withColumn(c, col(s"`${f.name}`"))
+      }
+      staged.write.mode("overwrite").partitionBy(stagingCols: _*)
+        .parquet(staging.toString)
+      val parts = Files.walk(staging).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector
+      parts.map { p =>
+        val rel = staging.relativize(p)
+        val dirComps = (0 until rel.getNameCount - 1)
+          .map(rel.getName(_).toString)
+        val valueByCol: Map[String, String] = dirComps.map { c =>
+          val i = c.indexOf('=')
+          require(i > 0, s"unexpected staged partition dir $c")
+          c.take(i) -> c.drop(i + 1)
+        }.toMap
+        val tuple: Seq[(String, AnyRef)] = spec.map { f =>
+          val raw = valueByCol.getOrElse(s"__gp_${f.name}",
+            throw new IllegalStateException(
+              s"staged file $rel missing partition dir for ${f.name}"))
+          f.name -> typedPartitionValue(unescapePath(raw), f.dataType)
+        }
+        // destination keeps the hive layout under data/, with the REAL
+        // column names
+        val destRel = dirComps
+          .map(_.stripPrefix("__gp_")).mkString("/")
+        val destDir = root.resolve("data").resolve(destRel)
+        Files.createDirectories(destDir)
+        val dest = destDir.resolve(p.getFileName)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        WrittenFile(s"$destRel/${p.getFileName}", Files.size(dest),
+          footerRecordCount(dest), partition = tuple)
+      }
     }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
     out
   }
+
+  /** Spark escapes special characters in partition directory names as
+    * %XX; invert that (Spark's own escapePathName inverse). */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Rendered partition-directory value → Avro-ready typed value. */
+  private def typedPartitionValue(raw: String, dt: DataType): AnyRef =
+    if (raw == HiveNullPartition) null
+    else dt match {
+      case IntegerType => Int.box(raw.toInt)
+      case LongType => Long.box(raw.toLong)
+      case BooleanType => Boolean.box(raw.toBoolean)
+      case DateType =>
+        Int.box(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      case StringType => raw
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition type ${other.simpleString}")
+    }
 
   private[output] def footerRecordCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -652,26 +901,26 @@ object IcebergWriter {
       .drop("__f", "__p", "__seq")
     val totalBytes = small.map(e => Files.size(Paths.get(norm(e.localPath)))).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val compacted = writeData(live.coalesce(nOut), st.root)
+    // round-robin repartition, NOT coalesce: a narrow coalesce(nOut) caps
+    // the READ parallelism of a 10⁴-small-file compaction at nOut tasks
+    // and can't balance bytes across skewed inputs — the shuffle is the
+    // price of full-width reads and near-equal outputs (Layout.compact
+    // takes the same trade). Partitioned tables shuffle on the partition
+    // columns so each task writes few hive dirs.
+    val balanced =
+      if (st.spec.isEmpty) live.repartition(nOut)
+      else live.repartition(nOut, st.spec.map(f => col(s"`${f.name}`")): _*)
+    val compacted = writeData(balanced, st.root, st.spec)
 
     val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
-    val keptFiles = kept.map { e =>
-      val p = Paths.get(norm(e.localPath))
-      // pin the entry's EXISTING path explicitly (location-form for files
-      // under this table, absolute otherwise): rebuilding it as
-      // location/data/<name> would break files registered at external
-      // absolute paths by the zero-copy [[FormatConvert]]
-      val rootStr = st.root.toString
-      val manifestPath =
-        if (p.toString.startsWith(rootStr + "/"))
-          st.location + p.toString.stripPrefix(rootStr)
-        else p.toString
-      WrittenFile(p.getFileName.toString, Files.size(p), footerRecordCount(p),
-        seq = Some(e.seq), existing = true, absPath = Some(manifestPath))
-    }
+    // pin each entry's EXISTING path explicitly (location-form for files
+    // under this table, absolute otherwise): rebuilding it as
+    // location/data/<name> would break files registered at external
+    // absolute paths by the zero-copy [[FormatConvert]]
+    val keptFiles = kept.map(existingFile(_, st))
     val seq = st.md.get("last-sequence-number").asLong() + 1
     val dataManifest = writeManifest(st.root, st.location,
-      keptFiles ++ compacted)
+      keptFiles ++ compacted, spec = st.spec)
     val minSeq = (kept.map(_.seq) :+ seq).min
     val refs = st.refs.filter(_.content != 0) :+
       ManifestRef(dataManifest, 0, seq,
@@ -681,26 +930,247 @@ object IcebergWriter {
     small.size
   }
 
+  /** Rebuild the current DELETE manifests (list content = 1 covers both
+    * delete kinds) keeping only entries whose data_file content passes
+    * `keep` — the carry half of the delete-maintenance ops. A manifest
+    * with nothing dropped carries as-is (original ref, original
+    * added_snapshot_id); a fully-dropped manifest disappears; a mixed one
+    * is rewritten with its kept entries pinned EXISTING. Returns the
+    * carried refs and the number of delete FILES dropped.
+    */
+  private def carriedDeleteRefs(st: TableState,
+      keep: Int => Boolean): (Seq[ManifestRef], Int) = {
+    var dropped = 0
+    val refs = st.refs.filter(_.content == 1).flatMap { ref =>
+      val entries = readAvro(remapLocal(ref.path, st.location, st.root))
+        .filter(e => intOf(e, "status", 0) != 2)
+      val (keepE, dropE) = entries.partition { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        keep(intOf(d, "content", 1))
+      }
+      dropped += dropE.size
+      if (dropE.isEmpty) Some(ref)
+      else if (keepE.isEmpty) None
+      else {
+        val files = keepE.map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val entrySeq = longOf(e, "sequence_number", ref.seq)
+          val ids = Option(
+              if (d.getSchema.getField("equality_ids") == null) null
+              else d.get("equality_ids"))
+            .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+              .map(_.asInstanceOf[Number].intValue))
+            .getOrElse(Nil)
+          val fp = d.get("file_path").toString
+          WrittenFile(Paths.get(fp).getFileName.toString,
+            longOf(d, "file_size_in_bytes", 0L),
+            longOf(d, "record_count", 0L),
+            seq = Some(entrySeq), existing = true, absPath = Some(fp),
+            snapshotId = Some(longOf(e, "snapshot_id",
+              ref.addedSnapshotId.getOrElse(0L))),
+            fileSeq = Some(longOf(e, "file_sequence_number", entrySeq)),
+            equalityIds = ids)
+        }
+        val content = {
+          val d = keepE.head.get("data_file").asInstanceOf[GenericRecord]
+          intOf(d, "content", 1)
+        }
+        val m = writeManifest(st.root, st.location, files, content = content,
+          spec = st.spec)
+        val minSeq = files.flatMap(_.seq).min
+        Some(ManifestRef(m, 1, ref.seq,
+          if (minSeq != ref.seq) Some(minSeq) else None,
+          ref.addedSnapshotId))
+      }
+    }
+    (refs, dropped)
+  }
+
+  /** Materialize EQUALITY deletes away — the convertibility unlock
+    * ([[FormatConvert.icebergToDelta]] refuses live equality deletes) and
+    * the upsert-history maintenance op: data files that LOSE rows to an
+    * equality delete are read back live and rewritten; untouched files
+    * carry as EXISTING with their original sequence numbers; position
+    * deletes carry forward (old positions into rewritten files now match
+    * nothing — those rows were dropped in the rewrite); every
+    * equality-delete manifest entry is dropped in one `replace` snapshot.
+    * Query results are identical before and after; older snapshots still
+    * time-travel. Returns the number of equality-delete files removed.
+    *
+    * Scale shape: which-files-lose-rows is ONE distributed count over the
+    * live frame compared against footer counts minus applicable position
+    * deletes (metadata-plane per-file math); only losing files are
+    * rewritten, so an upsert touching 0.1% of a lake rewrites 0.1%.
+    */
+  def rewriteEqualityDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, regexp_replace}
+    val st = loadState(path)
+    val eqFileCount = st.entries.count(_.content == 2)
+    if (eqFileCount == 0) return 0
+    def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val dataEntries = st.entries.filter(_.content == 0)
+    val maxEqSeq = st.entries.filter(_.content == 2).map(_.seq).max
+    // only files OLDER than some equality delete can lose rows to one
+    val candidates = dataEntries.filter(_.seq < maxEqSeq)
+
+    val live = graft.operators.Materialize.Ops(
+      liveRows(spark, st)).materialize()
+    val liveCounts: Map[String, Long] = live.groupBy(col("__f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // rows each candidate would serve if ONLY position deletes applied:
+    // footer count minus applicable distinct (file, pos) pairs
+    val posDeletes = st.entries.filter(_.content == 1)
+    val posApplied: Map[String, Long] =
+      if (posDeletes.isEmpty || candidates.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val seqDf = broadcast(dataEntries
+          .map(e => (norm(e.localPath), e.seq)).toDF("__pf", "__pseq"))
+        posDeletes.map { d =>
+          spark.read.parquet(norm(d.localPath))
+            .select(regexp_replace(col("file_path"), "^file:/+", "/")
+              .as("__pf"), col("pos").as("__pp"), lit(d.seq).as("__dseq"))
+        }.reduce(_ union _)
+          .join(seqDf, Seq("__pf"))
+          .filter(col("__dseq") >= col("__pseq"))
+          .select(col("__pf"), col("__pp")).distinct()
+          .groupBy(col("__pf")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val affected = candidates.filter { e =>
+      val f = norm(e.localPath)
+      val beforeEq = footerRecordCount(Paths.get(f)) -
+        posApplied.getOrElse(f, 0L)
+      liveCounts.getOrElse(f, 0L) != beforeEq
+    }
+    if (affected.isEmpty) {
+      // no row actually lost: just drop the vacuous equality manifests
+      val (delRefs, _) = carriedDeleteRefs(st, keep = _ == 1)
+      val seq = st.md.get("last-sequence-number").asLong() + 1
+      val refs = st.refs.filter(_.content == 0) ++ delRefs
+      val list = writeManifestList(st.root, seq, refs)
+      commitNewSnapshot(st, seq, list, "replace")
+      return eqFileCount
+    }
+    val affectedSet = affected.map(e => norm(e.localPath)).toSet
+    val replacement = live
+      .filter(col("__f").isin(affectedSet.toSeq: _*))
+      .drop("__f", "__p", "__seq")
+    val newFiles = writeData(replacement, st.root, st.spec)
+      .filter(_.records > 0)
+    val kept = dataEntries.filterNot(e => affectedSet.contains(norm(e.localPath)))
+      .map(existingFile(_, st))
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dataManifest = writeManifest(st.root, st.location, kept ++ newFiles,
+      spec = st.spec)
+    val minSeq = (kept.flatMap(_.seq) :+ seq).min
+    val (delRefs, _) = carriedDeleteRefs(st, keep = _ == 1)
+    val refs = delRefs :+ ManifestRef(dataManifest, 0, seq,
+      if (minSeq != seq) Some(minSeq) else None)
+    val list = writeManifestList(st.root, seq, refs)
+    commitNewSnapshot(st, seq, list, "replace")
+    eqFileCount
+  }
+
+  /** POSITION-delete compaction — [[rewriteDataFiles]]'s missing half for
+    * delete-heavy steady-state ingestion: every `deleteWhere` adds delete
+    * files and the scan-side anti-join frame grows per delete, forever.
+    * All live position-delete files merge into ONE freshly-sorted delete
+    * file (per range partition) at the new snapshot's sequence number,
+    * dropping pairs whose target data file is no longer live and pairs
+    * that never applied (delete seq < data seq — re-stamping those at the
+    * new, higher seq would wrongly activate them). Data manifests carry
+    * as-is; equality-delete manifests carry pinned. Older snapshots still
+    * time-travel. Returns the number of delete files compacted away.
+    */
+  def rewritePositionDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    val st = loadState(path)
+    val posEntries = st.entries.filter(_.content == 1)
+    if (posEntries.size < 2) return 0
+    def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val dataEntries = st.entries.filter(_.content == 0)
+    import spark.implicits._
+    val seqDf = broadcast(dataEntries
+      .map(e => (norm(e.localPath), e.seq)).toDF("__pf", "__pseq"))
+    val merged = posEntries.map { d =>
+      spark.read.parquet(norm(d.localPath))
+        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("__pf"),
+          col("pos"), lit(d.seq).as("__dseq"))
+    }.reduce(_ union _)
+      .join(seqDf, Seq("__pf")) // inner: drops pairs aimed at dead files
+      .filter(col("__dseq") >= col("__pseq"))
+      .select(col("__pf").as("file_path"), col("pos")).distinct()
+    val written = writePositionDeletes(merged, st.root)
+    val (eqRefs, _) = carriedDeleteRefs(st, keep = _ == 2)
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val newDelRef =
+      if (written.isEmpty) Nil
+      else Seq(ManifestRef(writeManifest(st.root, st.location, written,
+        content = 1, spec = st.spec), 1, seq))
+    val refs = st.refs.filter(_.content == 0) ++ eqRefs ++ newDelRef
+    val list = writeManifestList(st.root, seq, refs)
+    commitNewSnapshot(st, seq, list, "replace")
+    posEntries.size
+  }
+
   // ---------- manifests ----------
+
+  /** One identity-partition field of the table's default spec: Avro
+    * partition-record shape, metadata-JSON shape, and staged-write
+    * layout all derive from this.
+    */
+  private[output] case class SpecField(name: String, dataType: DataType,
+      fieldId: Int, sourceId: Int)
+
+  private[output] val supportedPartitionTypes: Set[DataType] =
+    Set(IntegerType, LongType, StringType, BooleanType, DateType)
+
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case BooleanType => "\"boolean\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(
+      s"unsupported iceberg partition type ${other.simpleString} " +
+        s"(identity partitioning supports ${supportedPartitionTypes.map(_.simpleString).mkString(", ")})")
+  }
 
   // "field-id" annotations are the spec-assigned manifest field ids
   // (Appendix C "Avro" of the table spec) — strict external readers
   // resolve manifest columns by id, not name; Avro carries the unknown
-  // attribute through untouched, so this costs nothing in-repo
-  private val entrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int","field-id":134},
-      |{"name":"file_path","type":"string","field-id":100},
-      |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-      |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
+  // attribute through untouched, so this costs nothing in-repo. The
+  // `partition` record's fields mirror the table's default partition
+  // spec (empty for unpartitioned tables), so the schema is built per
+  // spec and cached.
+  private def entrySchemaFor(spec: Seq[SpecField]): Schema =
+    entrySchemaCache.computeIfAbsent(spec, { s: Seq[SpecField] =>
+      val partFields = s.map(f =>
+        s"""{"name":"${f.name}","type":["null",${partitionAvroType(f.dataType)}],"default":null,"field-id":${f.fieldId}}""")
+        .mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int","field-id":0},
+          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+          |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+          |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          |{"name":"content","type":"int","field-id":134},
+          |{"name":"file_path","type":"string","field-id":100},
+          |{"name":"file_format","type":"string","field-id":101},
+          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+          |{"name":"record_count","type":"long","field-id":103},
+          |{"name":"file_size_in_bytes","type":"long","field-id":104},
+          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
+    })
+
+  private val entrySchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[SpecField], Schema]()
 
   private val listSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -720,22 +1190,36 @@ object IcebergWriter {
     */
   private[output] def writeManifest(root: Path, location: String,
       files: Seq[WrittenFile], content: Int = 0,
-      equalityIds: Seq[Int] = Nil): String = {
+      equalityIds: Seq[Int] = Nil, spec: Seq[SpecField] = Nil): String = {
+    val entrySchema = entrySchemaFor(spec)
     val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
     val recs = files.map { f =>
       val d = new GenericData.Record(dfSchema)
       d.put("content", content)
       d.put("file_path", f.absPath.getOrElse(s"$location/data/${f.name}"))
       d.put("file_format", "PARQUET")
-      d.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
+      val part = new GenericData.Record(partSchema)
+      f.partition.foreach { case (k, v) =>
+        if (partSchema.getField(k) != null) part.put(k, v)
+      }
+      d.put("partition", part)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.size)
-      if (equalityIds.nonEmpty)
-        d.put("equality_ids", equalityIds.map(Int.box).asJava)
+      val ids = if (f.equalityIds.nonEmpty) f.equalityIds else equalityIds
+      if (ids.nonEmpty)
+        d.put("equality_ids", ids.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)
       e.put("status", if (f.existing) 0 else 1)
       f.seq.foreach(s => e.put("sequence_number", s))
+      if (f.existing) {
+        // EXISTING entries must pin snapshot_id and file_sequence_number
+        // explicitly — per the spec only ADDED entries inherit them from
+        // the committing snapshot, and stricter external readers reject
+        // carried entries that leave them null
+        f.snapshotId.foreach(s => e.put("snapshot_id", s))
+        f.fileSeq.orElse(f.seq).foreach(s => e.put("file_sequence_number", s))
+      }
       e.put("data_file", d)
       e
     }
@@ -755,7 +1239,7 @@ object IcebergWriter {
       r.put("content", ref.content)
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
-      r.put("added_snapshot_id", snapshotId)
+      r.put("added_snapshot_id", ref.addedSnapshotId.getOrElse(snapshotId))
       r
     }
     val location = root.toString
@@ -798,24 +1282,60 @@ object IcebergWriter {
     * while max-version resolution (no hint) serves the new one; both are
     * fully written states. Same-version races surface as rename conflicts.
     */
+  /** Lost a commit race: another writer landed this metadata version
+    * first. [[append]]/[[overwrite]] retry automatically (their manifest
+    * is version-independent); probe-based operations surface this to the
+    * caller, whose probe is now stale.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   private def commitMetadata(root: Path, version: Long, md: JsonNode): Unit = {
     val mdDir = root.resolve("metadata")
     val dest = mdDir.resolve(s"v$version.metadata.json")
-    if (Files.exists(dest)) throw new IllegalStateException(
-      s"concurrent commit of iceberg metadata version $version at $root")
     val tmp = mdDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(md))
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    val hintTmp = mdDir.resolve(s".tmp-hint-${java.util.UUID.randomUUID()}")
-    Files.writeString(hintTmp, version.toString)
-    Files.move(hintTmp, mdDir.resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // atomic CREATE-NEW via hard link — rename(2) silently replaces, so a
+    // check-then-move pair lost one of two same-version committers;
+    // exactly one linker wins, losers get the retryable conflict
+    try Files.createLink(dest, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"concurrent commit of iceberg metadata version $version at $root")
+    } finally Files.deleteIfExists(tmp)
+    // keep the hint MONOTONIC: under a commit race the hint writes can
+    // land out of order, and a lower hint would point readers one step
+    // back until the next commit. (The remaining tiny window is
+    // harmless: the hint always names a fully-committed version, and
+    // writers resolve by max-version scan, never the hint.)
+    val hintFile = mdDir.resolve("version-hint.text")
+    val current = if (Files.exists(hintFile))
+      Files.readString(hintFile).trim.toLongOption.getOrElse(-1L) else -1L
+    if (version > current) {
+      val hintTmp = mdDir.resolve(s".tmp-hint-${java.util.UUID.randomUUID()}")
+      Files.writeString(hintTmp, version.toString)
+      Files.move(hintTmp, hintFile,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def versionOf(p: Path): Long =
     "\\d+".r.findFirstIn(p.getFileName.toString).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"unversioned metadata file $p"))
+
+  /** Highest committed metadata file by VERSION scan (writer-side
+    * resolution; readers may follow the hint, which can trail by one
+    * step during a commit race).
+    */
+  private def latestMetadataFile(root: Path): Path = {
+    val mdDir = root.resolve("metadata")
+    val files = Files.list(mdDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json")).toVector
+    require(files.nonEmpty, s"no *.metadata.json under $mdDir")
+    files.maxBy(versionOf)
+  }
 
   /** Add-column schema evolution (spec "Schema Evolution"): a NEW schema
     * entry is appended with the next schema-id — existing fields keep

@@ -1,7 +1,7 @@
 package graft.pruning
 
 import graft.filters.FilterCompiler.Filter
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, lit}
 
 /** md5-hash partition pruning (reference: core/datasource.py:283-362,
@@ -48,6 +48,35 @@ object HashPartitionPruning {
     case PlainPrefix(src, _) => Some(src)
     case _ => None
   }
+
+  private val derivationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+  /** Derivation PROBE for auto-detected helpers: a name like
+    * `{col}_md5_prefix_4` in the partition schema makes dropped rows
+    * impossible only if the column really is THIS hash rendering of
+    * `{col}` — foreign hive-partitioned data could carry the name with a
+    * different derivation, and strengthening filters on it would silently
+    * drop rows. The probe reads ONE (source, helper) row and checks the
+    * rendering; non-matching, missing-source and empty tables all fail
+    * closed (no pruning — a full scan is correct, just slower). Cached
+    * per (table uri, helper) for the life of the process, so the serving
+    * path pays one single-row job per table, on the first request only.
+    */
+  def verifiedDerivation(df: DataFrame, uri: String, pc: String): Boolean =
+    derivationCache.computeIfAbsent((uri, pc), _ => probeDerivation(df, pc))
+      .booleanValue
+
+  private def probeDerivation(df: DataFrame, pc: String): java.lang.Boolean =
+    sourceColumn(pc) match {
+      case Some(src) if df.columns.contains(src) =>
+        val row = df.select(col(src).cast("string"), col(pc).cast("string"))
+          .filter(col(src).isNotNull && col(pc).isNotNull)
+          .limit(1).collect().headOption
+        row.exists(r =>
+          helperValue(pc, r.getString(0)).exists(_._2 == r.getString(1)))
+      case _ => false
+    }
 
   /** Extra pruning predicates for the given filters. Only `=`/`in` carry
     * pruning semantics (the reference also passes `not in`/comparisons

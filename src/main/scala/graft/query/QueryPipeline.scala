@@ -109,19 +109,24 @@ object QueryPipeline {
     // a point lookup on an md5-partitioned table was scanning every
     // partition. Construction-time pruning hashes the raw request STRING,
     // so it covers numeric source columns the Catalyst rule's
-    // literal-type gate cannot. Auto-detection requires BOTH the md5 name
-    // marker AND membership in the scan's PARTITION schema: a user DATA
-    // column that merely looks like a helper (ingested `x_md5_prefix_4`
-    // whose contents aren't this exact hash rendering) must never
-    // strengthen a filter — that silently drops rows. (plain
-    // `{col}_prefix_N` stays explicit-only even then: the name alone
-    // can't prove the derivation.)
+    // literal-type gate cannot. Auto-detection requires the md5 name
+    // marker, membership in the scan's PARTITION schema, AND (r13) a
+    // one-row derivation PROBE: a user DATA column that merely looks
+    // like a helper, or foreign hive-partitioned data whose
+    // coincidentally-named partition column carries a different hash
+    // rendering, must never strengthen a filter — that silently drops
+    // rows. The probe is cached per (table, column), so the serving
+    // path pays one single-row job on the first request only. (plain
+    // `{col}_prefix_N` stays explicit-only even then: a one-row probe
+    // of a trivial prefix derivation proves little.)
     val helperCols = partitionCols.filter(pc => df.columns.contains(pc)) match {
       case Nil =>
         val partSchema = filePartitionColumns(df)
         df.columns.toSeq.filter(c =>
           (c.contains("_md5_prefix_") || c.contains("_md5_mod_")) &&
-            partSchema.contains(c))
+            partSchema.contains(c) &&
+            HashPartitionPruning.verifiedDerivation(df,
+              table.datasource.uri, c))
       case explicit => explicit
     }
     val pruning = HashPartitionPruning.prunePredicates(helperCols, filters)

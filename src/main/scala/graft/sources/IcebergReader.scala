@@ -1,6 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -76,8 +77,14 @@ object IcebergReader {
     "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(-1L)
   }
 
+  /** `partitionValues`: the entry's identity-partition tuple RENDERED to
+    * strings (dates as ISO-8601), keyed by spec field name — the
+    * manifest-level pruning key. Empty for unpartitioned tables and
+    * foreign manifests without tuples.
+    */
   private case class DataFileEntry(path: String, seq: Long,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      partitionValues: Map[String, String] = Map.empty)
 
   private case class Snapshot(
       schema: StructType,
@@ -157,7 +164,8 @@ object IcebergReader {
           val path = remap(str(df, "file_path"), location, tablePath)
           val content = intField(df, "content", manifestContent)
           content match {
-            case 0 => data += DataFileEntry(path, seq)
+            case 0 => data += DataFileEntry(path, seq,
+              partitionValues = partitionTuple(df))
             case 1 => deletes += DataFileEntry(path, seq)
             case 2 =>
               val ids = fieldOpt(df, "equality_ids")
@@ -174,6 +182,40 @@ object IcebergReader {
       }
     }
     (data.result(), deletes.result(), eqDeletes.result())
+  }
+
+  /** Render a manifest entry's `partition` record to by-name strings.
+    * Dates (Avro int + `date` logical type) render ISO-8601 — the same
+    * form Spark renders in filters and hive paths, so pruning compares
+    * rendered-to-rendered.
+    */
+  private def partitionTuple(df: GenericRecord): Map[String, String] = {
+    val f = df.getSchema.getField("partition")
+    if (f == null) return Map.empty
+    df.get("partition") match {
+      case r: GenericRecord =>
+        r.getSchema.getFields.asScala.flatMap { pf =>
+          Option(r.get(pf.name())).map { v =>
+            val isDate = {
+              val s = pf.schema()
+              val unwrapped =
+                if (s.getType == Schema.Type.UNION)
+                  s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+                else Some(s)
+              unwrapped.exists(t =>
+                t.getLogicalType != null &&
+                  t.getLogicalType.getName == "date")
+            }
+            val rendered =
+              if (isDate)
+                java.time.LocalDate.ofEpochDay(
+                  v.asInstanceOf[Number].longValue).toString
+              else v.toString
+            pf.name() -> rendered
+          }
+        }.toMap
+      case _ => Map.empty
+    }
   }
 
   // ---------- schema ----------
@@ -244,15 +286,27 @@ object IcebergReader {
     */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
-      asOfTimestampMs: Option[Long] = None): DataFrame = {
+      asOfTimestampMs: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
-    if (snap.dataFiles.isEmpty)
+    // manifest-level partition PRUNING: a data file is skipped at PLANNING
+    // time when its partition tuple carries a different rendered value for
+    // every filtered column. Files without a tuple for a filtered column
+    // are conservatively KEPT (pruning may only ever drop provably
+    // non-matching files); delete files are never pruned (a kept data
+    // file's deletes must all apply).
+    val dataFiles =
+      if (partitionFilter.isEmpty) snap.dataFiles
+      else snap.dataFiles.filter(f => partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).forall(_ == v)
+      })
+    if (dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
     val base = spark.read.schema(snap.schema)
-      .parquet(snap.dataFiles.map(_.path): _*)
+      .parquet(dataFiles.map(_.path): _*)
     if (snap.positionDeletes.isEmpty && snap.equalityDeletes.isEmpty)
       return base.select(dataCols: _*)
 

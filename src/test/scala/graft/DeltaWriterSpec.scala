@@ -392,6 +392,33 @@ class DeltaWriterSpec extends SparkSpec {
       .filter(col("id") < 5000000L).count() == 500000L)
   }
 
+  test("two concurrent appends both land (optimistic retry, no lost commit)") {
+    val path = tmp("race")
+    DeltaWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        DeltaWriter.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), path)
+      }
+    }
+    import scala.concurrent.duration.Duration
+    fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+    pool.shutdown()
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.count() == 7L, "a concurrent append was lost")
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (0L to 6L))
+    // the log is a contiguous version chain 0..6 — nothing clobbered
+    val log = Paths.get(path, "_delta_log")
+    val versions = Files.list(log).iterator()
+    val committed = Iterator.continually(versions)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    assert(committed == (0L to 6L), committed)
+  }
+
   test("vacuum keeps live DV sidecars and reclaims superseded ones") {
     val path = tmp("dvvacuum")
     DeltaWriter.create(

@@ -112,4 +112,88 @@ class FormatConvertSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("equality deletes"))
   }
+
+  test("upsert → rewriteEqualityDeletes → convert: the maintenance op " +
+      "unlocks conversion of upserted tables") {
+    val iceberg = tmp("eqrt_src")
+    val delta = tmp("eqrt_dst")
+    IcebergWriter.create(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), iceberg)
+    IcebergWriter.upsert(Seq((1L, "one"), (500L, "new")).toDF("id", "v"),
+      iceberg, Seq("id"))
+    // refused while equality deletes are live...
+    intercept[IllegalArgumentException] {
+      FormatConvert.icebergToDelta(spark, iceberg, tmp("eqrt_refused"))
+    }
+    // ...unlocked by the materialization
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, iceberg) == 1)
+    val expect = IcebergReader.read(spark, iceberg)
+      .orderBy("id").collect().toSeq
+    assert(FormatConvert.icebergToDelta(spark, iceberg, delta) >= 1)
+    assert(DeltaLogReader.read(spark, delta).orderBy("id").collect().toSeq
+      == expect)
+    assert(DeltaLogReader.read(spark, delta)
+      .filter(col("id") === 1L).select("v").as[String].head() == "one")
+  }
+
+  test("icebergToDelta rejects ANY existing delta log state — including " +
+      "a checkpoint-only log whose early commits were cleaned up") {
+    val iceberg = tmp("guard_src")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), iceberg)
+    // a live delta table whose commit JSONs were compacted away: only a
+    // checkpoint + _last_checkpoint remain (standard log cleanup) — the
+    // old version-0-only probe let this through and wrote a conflicting
+    // version-0 commit into a LIVE table
+    val victim = tmp("guard_victim")
+    DeltaWriter.create(spark.range(0, 5).toDF("id"), victim)
+    (1L to 10L).foreach { i =>
+      DeltaWriter.append(Seq(100L + i).toDF("id"), victim)
+    }
+    val log = Paths.get(victim, "_delta_log")
+    assert(Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
+    (0L to 9L).foreach { i =>
+      val f = log.resolve(f"$i%020d.json")
+      if (Files.exists(f)) Files.delete(f)
+    }
+    val rowsBefore = DeltaLogReader.read(spark, victim).count()
+    val e = intercept[IllegalArgumentException] {
+      FormatConvert.icebergToDelta(spark, iceberg, victim)
+    }
+    assert(e.getMessage.contains("delta log state"), e.getMessage)
+    assert(DeltaLogReader.read(spark, victim).count() == rowsBefore)
+  }
+
+  test("identity-partitioned iceberg → delta: partition columns land in " +
+      "the delta log, values round-trip, partition filters work") {
+    val iceberg = tmp("pi2d_src")
+    val delta = tmp("pi2d_dst")
+    val df = (0 until 120).map(i =>
+        (i.toLong, i % 3, java.sql.Date.valueOf(s"2024-0${i % 2 + 1}-10"), s"v$i"))
+      .toDF("id", "bucket", "d", "v")
+    IcebergWriter.create(df, iceberg, partitionBy = Seq("bucket", "d"))
+    assert(IcebergWriter.deleteWhere(spark, iceberg, col("id") % 5 === 0L)
+      == 24L)
+
+    val n = FormatConvert.icebergToDelta(spark, iceberg, delta)
+    assert(n >= 3)
+    val snap = DeltaLogReader.snapshot(spark, delta)
+    assert(snap.partitionColumns == Seq("bucket", "d"))
+    // tuples rendered into the log: every add carries both values
+    assert(snap.files.forall(f =>
+      f.partitionValues.contains("bucket") && f.partitionValues.contains("d")))
+    val expect = IcebergReader.read(spark, iceberg)
+      .orderBy("id").collect().toSeq
+    val back = DeltaLogReader.read(spark, delta)
+      .select("id", "bucket", "d", "v").orderBy("id")
+    assert(back.collect().toSeq ==
+      expect.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.get(1), r.get(2), r.get(3))))
+    // partition-column predicates work through the delta reader
+    assert(back.filter(col("bucket") === 2 &&
+        col("d") === java.sql.Date.valueOf("2024-02-10")).count() ==
+      IcebergReader.read(spark, iceberg).filter(col("bucket") === 2 &&
+        col("d") === java.sql.Date.valueOf("2024-02-10")).count())
+    // zero-copy: no data parquet copied into the delta dir
+    assert(!Files.isDirectory(Paths.get(delta, "data")))
+  }
 }

@@ -312,18 +312,22 @@ class IcebergWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
-  test("a lost same-version commit race surfaces as an error, not a clobber") {
-    val path = tmp("race")
+  test("a lost same-version commit race is retried past the foreign " +
+      "commit, never clobbering it (deterministic forced collision)") {
+    val path = tmp("race1")
     IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
-    // a concurrent committer already landed v2: our append must refuse
-    Files.writeString(Paths.get(path, "metadata", "v2.metadata.json"),
+    // a concurrent committer already landed v2 (the hint still says 1 —
+    // exactly the stale-hint shape a racing writer leaves): our append
+    // must RE-RESOLVE by max version and land as v3, leaving v2 alone
+    val v2 = Paths.get(path, "metadata", "v2.metadata.json")
+    Files.writeString(v2,
       Files.readString(Paths.get(path, "metadata", "v1.metadata.json")))
-    val e = intercept[IllegalStateException] {
-      IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
-    }
-    assert(e.getMessage.contains("concurrent commit"))
-    // the foreign v2 is untouched and the table still reads (snapshot 1)
-    assert(IcebergReader.read(spark, path).count() == 1L)
+    val foreignBytes = Files.readString(v2)
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+    assert(Files.readString(v2) == foreignBytes, "foreign commit clobbered")
+    assert(Files.exists(Paths.get(path, "metadata", "v3.metadata.json")))
+    assert(IcebergReader.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("a crashed create (no metadata json) is cleanly retryable") {
@@ -442,5 +446,242 @@ class IcebergWriterSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val dataFiles = Files.list(Paths.get(path, "data")).iterator().asScala.size
     assert(dataFiles == 4, s"expected 4 part files, found $dataFiles")
+  }
+
+  test("identity-partitioned create/append: hive layout, manifest tuples, " +
+      "partition-pruned read, values round-trip") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("part")
+    val df = (0 until 300).map(i =>
+        (i.toLong, i % 3, java.sql.Date.valueOf(s"2024-0${i % 2 + 1}-15"), s"v$i"))
+      .toDF("id", "bucket", "d", "v")
+    IcebergWriter.create(df, path, partitionBy = Seq("bucket", "d"))
+    // hive-style layout with REAL column names
+    val dirs = Files.list(Paths.get(path, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(dirs == Seq("bucket=0", "bucket=1", "bucket=2"), dirs)
+    assert(Files.isDirectory(Paths.get(path, "data", "bucket=0", "d=2024-01-15")))
+    // identity source columns are RETAINED in the data files (iceberg
+    // semantics, unlike spark's partitionBy) — full round-trip
+    val back = IcebergReader.read(spark, path)
+    assert(back.count() == 300L)
+    assert(back.filter(col("bucket") === 1 && col("id") === 1L)
+      .select("v").as[String].head() == "v1")
+    // append lands in the same layout
+    IcebergWriter.append(Seq((1000L, 7, java.sql.Date.valueOf("2024-01-15"),
+      "new")).toDF("id", "bucket", "d", "v"), path)
+    assert(IcebergReader.read(spark, path).count() == 301L)
+    assert(Files.isDirectory(Paths.get(path, "data", "bucket=7")))
+    // manifest-level pruning: a partitionFilter plans ONLY matching files
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "2", "d" -> "2024-02-15"))
+    val planned = pruned.inputFiles.toSeq
+    assert(planned.nonEmpty &&
+      planned.forall(_.contains("bucket=2/d=2024-02-15")), planned)
+    assert(pruned.count() ==
+      df.filter(col("bucket") === 2 &&
+        col("d") === java.sql.Date.valueOf("2024-02-15")).count())
+    // metadata carries a REAL spec (spec-id 0, identity, field ids 1000+)
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val fields = md.get("partition-specs").get(0).get("fields")
+      .elements().asScala.toSeq
+    assert(fields.map(_.get("name").asText()) == Seq("bucket", "d"))
+    assert(fields.map(_.get("transform").asText()).forall(_ == "identity"))
+    assert(fields.map(_.get("field-id").asInt()) == Seq(1000, 1001))
+    assert(md.get("last-partition-id").asInt() == 1001)
+  }
+
+  test("row-level operations and compaction on a partitioned table") {
+    val path = tmp("partops")
+    val df = (0 until 200).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "bucket", "v")
+    IcebergWriter.create(df, path, partitionBy = Seq("bucket"))
+    // deleteWhere with a partition-column predicate
+    assert(IcebergWriter.deleteWhere(spark, path, col("bucket") === 3) == 50L)
+    assert(IcebergReader.read(spark, path).count() == 150L)
+    assert(IcebergReader.read(spark, path)
+      .filter(col("bucket") === 3).count() == 0L)
+    // upsert: matched keys updated in place, partition layout kept
+    val (matched, inserted) = IcebergWriter.upsert(
+      Seq((0L, 0, "upd"), (999L, 2, "ins")).toDF("id", "bucket", "v"),
+      path, Seq("id"))
+    assert(matched == 1L && inserted == 2L)
+    val cur = IcebergReader.read(spark, path)
+    assert(cur.count() == 151L)
+    assert(cur.filter(col("id") === 0L).select("v").as[String].head() == "upd")
+    // compaction keeps rows within their partitions and results identical
+    (1 to 3).foreach { i =>
+      IcebergWriter.append(Seq((2000L + i, 1, s"x$i")).toDF("id", "bucket", "v"),
+        path)
+    }
+    val before = IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 512 * 1024) > 0)
+    assert(IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    // pruning still holds post-compaction: compacted files keep their
+    // partition dirs and manifest tuples
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "1"))
+    // inputFiles also lists the delete files the anti-joins scan; the
+    // DATA side must be exactly the one partition
+    val dataInputs = pruned.inputFiles.filter(_.contains("/part-"))
+    assert(dataInputs.nonEmpty && dataInputs.forall(_.contains("bucket=1")),
+      pruned.inputFiles.toSeq)
+    assert(pruned.count() == before.count(_.getInt(1) == 1))
+  }
+
+  test("rewriteEqualityDeletes materializes upsert history away: rows " +
+      "identical, only touched files rewritten, position deletes survive") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("eqrw")
+    IcebergWriter.create(
+      (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    def partFiles(): Set[String] =
+      Files.walk(Paths.get(path, "data")).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val createFiles = partFiles()
+    assert(createFiles.size == 1)
+    val firstFile = createFiles.head
+    // a position delete that must SURVIVE the equality materialization
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 999L) == 1L)
+    // two upserts → two equality-delete files
+    IcebergWriter.upsert(Seq((1L, "one"), (2L, "two")).toDF("id", "v"),
+      path, Seq("id"))
+    IcebergWriter.upsert(Seq((2L, "TWO"), (3L, "three")).toDF("id", "v"),
+      path, Seq("id"))
+    // a file appended AFTER the last upsert: younger than every equality
+    // delete, must NOT be rewritten
+    val beforeLate = partFiles()
+    IcebergWriter.append(Seq((5000L, "late")).toDF("id", "v"), path)
+    val lateFiles = partFiles() -- beforeLate
+    assert(lateFiles.size == 1)
+    val before = IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, path) == 2)
+    val after = IcebergReader.read(spark, path)
+    assert(after.orderBy("id").collect().toSeq == before)
+    // upserted values still served; the position-deleted row still gone
+    assert(after.filter(col("id") === 2L).select("v").as[String].head()
+      == "TWO")
+    assert(after.filter(col("id") === 999L).count() == 0L)
+    // idempotent: nothing left to materialize
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, path) == 0)
+    // pre-rewrite snapshots still time-travel (upsert state intact)
+    assert(IcebergReader.read(spark, path, snapshotId = Some(3L))
+      .filter(col("id") === 2L).select("v").as[String].head() == "two")
+    // expiration proves the carry decisions: the AFFECTED create file is
+    // no longer referenced (rewritten away), the LATE file was carried
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) > 0)
+    val live = partFiles()
+    assert(!live.contains(firstFile), "affected file should be rewritten away")
+    assert(lateFiles.subsetOf(live), "untouched late file must be carried")
+    // and the table keeps working
+    IcebergWriter.upsert(Seq((1L, "ONE")).toDF("id", "v"), path, Seq("id"))
+    assert(IcebergReader.read(spark, path)
+      .filter(col("id") === 1L).select("v").as[String].head() == "ONE")
+  }
+
+  test("rewritePositionDeletes folds N delete files into one; dead-file " +
+      "and never-applying pairs dropped; history still travels") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("posrw")
+    IcebergWriter.create(
+      (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    // four deleteWhere calls → four position-delete files
+    (0 until 4).foreach { k =>
+      assert(IcebergWriter.deleteWhere(spark, path,
+        col("id") >= k * 10L && col("id") < k * 10L + 10L) == 10L)
+    }
+    val preCompactSnapshot = 5L // create=1, deletes=2..5
+    val before = IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+    assert(before.size == 960)
+    def deleteFilesOnDisk(): Int =
+      Files.list(Paths.get(path, "data")).iterator().asScala
+        .count(_.getFileName.toString.startsWith("delete-"))
+    assert(deleteFilesOnDisk() == 4)
+
+    assert(IcebergWriter.rewritePositionDeletes(spark, path) == 4)
+    assert(IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    // pre-compaction snapshots still replay their own delete state
+    assert(IcebergReader.read(spark, path,
+      snapshotId = Some(preCompactSnapshot)).count() == 960L)
+    assert(IcebergReader.read(spark, path, snapshotId = Some(2L))
+      .count() == 990L)
+    // expiration proves the old delete files are no longer referenced by
+    // the current snapshot: exactly ONE merged delete file survives
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) > 0)
+    assert(deleteFilesOnDisk() == 1)
+    assert(IcebergReader.read(spark, path).count() == 960L)
+    // further deletes and compactions keep working
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 500L) == 1L)
+    assert(IcebergWriter.rewritePositionDeletes(spark, path) == 2)
+    assert(IcebergReader.read(spark, path).count() == 959L)
+  }
+
+  test("two concurrent appends both land (optimistic retry, no lost commit)") {
+    val path = tmp("race")
+    IcebergWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        IcebergWriter.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), path)
+      }
+    }
+    import scala.concurrent.duration.Duration
+    fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+    pool.shutdown()
+    val back = IcebergReader.read(spark, path)
+    assert(back.count() == 7L, "a concurrent append was lost")
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 6L))
+    // snapshot history is a clean chain: one snapshot per commit
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    import scala.jdk.CollectionConverters._
+    val snapIds = md.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    assert(snapIds.sorted == (1L to 7L), snapIds)
+  }
+
+  test("rewrite manifests pin snapshot_id and file_sequence_number on " +
+      "EXISTING entries (spec: only ADDED entries inherit)") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("pin")
+    IcebergWriter.create(
+      (0 until 50000).map(i => (i.toLong, s"value_$i")).toDF("id", "v")
+        .coalesce(1), path)
+    IcebergWriter.append(Seq((90001L, "a")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((90002L, "b")).toDF("id", "v"), path)
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 64 * 1024) == 2)
+    // read the rewrite manifest raw: the kept big file must be a
+    // status-0 entry with sequence_number AND snapshot_id AND
+    // file_sequence_number all explicitly non-null. Only rewrite
+    // manifests carry status-0 entries, so scan every m-*.avro.
+    def avroEntries(p: java.nio.file.Path) = {
+      val reader = org.apache.avro.file.DataFileReader.openReader(
+        p.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try reader.iterator().asScala.toVector finally reader.close()
+    }
+    val entries = Files.list(Paths.get(path, "metadata")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("m-"))
+      .flatMap(avroEntries).toVector
+    val existing = entries.filter(_.get("status").asInstanceOf[Int] == 0)
+    assert(existing.size == 1, s"expected 1 EXISTING entry, ${entries.size} total")
+    val e = existing.head
+    assert(e.get("sequence_number") != null, "sequence_number null")
+    assert(e.get("snapshot_id") != null, "snapshot_id null")
+    assert(e.get("file_sequence_number") != null, "file_sequence_number null")
+    assert(e.get("sequence_number").asInstanceOf[Long] == 1L)
   }
 }

@@ -99,6 +99,65 @@ class Md5PruningServingSpec extends SparkSpec {
         s"raw-SQL lookup listed ${s.selectedPartitions.partitionCount} " +
           s"partitions, want 1:\n$s")
     }
+
+    // IN-list literals: the rule hashes every member and prunes to the
+    // union of their partitions — at most |IN| of the dirs listed
+    val key2 = df.filter(col("l_orderkey") =!= key)
+      .select("l_orderkey").head.getLong(0)
+    val inExpect = df.filter(col("l_orderkey").isin(key, key2)).count()
+    val inOut = spark.sql(
+      s"SELECT l_orderkey, l_quantity FROM li_md5_pruning_fixture " +
+        s"WHERE l_orderkey IN ($key, $key2)")
+    assert(inOut.count() == inExpect)
+    val inScans = inOut.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(inScans.nonEmpty)
+    inScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"IN-list lookup listed ${s.selectedPartitions.partitionCount} " +
+          s"of $totalDirs partitions, want <= 2:\n$s")
+    }
+  }
+
+  test("a PARTITION column named like a helper but carrying a foreign " +
+      "derivation fails the probe and never strengthens filters") {
+    // foreign hive-partitioned data: the partition column carries the
+    // helper NAME but a different rendering (first char of the key, not
+    // of its md5) — pre-r13 the name+partition-schema gate accepted it
+    // and point lookups silently dropped rows; the one-row derivation
+    // probe must fail closed (scan all partitions, full results)
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_md5foreign_gate_v1_${math.abs(sf.hashCode)}")
+    this.synchronized {
+      if (!Files.exists(root.resolve("_READY"))) {
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .withColumn("l_orderkey_md5_prefix_1",
+            substring(col("l_orderkey").cast("string"), 1, 1))
+          .write.mode("overwrite").partitionBy("l_orderkey_md5_prefix_1")
+          .parquet(root.toString)
+        Files.createFile(root.resolve("_READY"))
+      }
+    }
+    val df = spark.read.parquet(root.toString)
+    val key = df.select("l_orderkey").head.getLong(0)
+    val expect = df.filter(col("l_orderkey") === key).count()
+    assert(expect > 0)
+    val t = TableConfig(name = "lif", tag = "t",
+      datasource = DatasourceConfig(uri = root.toString),
+      params = Seq(Param("l_orderkey")))
+    val out = QueryPipeline.runOn(df, t,
+      Request(params = Map("l_orderkey" -> key.toString), limit = Some(-1)))
+    // correctness first: every matching row survives
+    assert(out.count() == expect)
+    // and the plan proves no helper predicate was injected
+    val scans = out.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    scans.foreach(s => assert(s.partitionFilters.isEmpty,
+      s"foreign-derivation column must not prune:\n$s"))
   }
 
   test("a DATA column merely named like a helper never strengthens filters") {
