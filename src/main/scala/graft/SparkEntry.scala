@@ -800,6 +800,95 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_partitioned" -> ((s, dir) => {
+      // identity-partitioned create: real partition spec + per-entry
+      // tuples in the manifests; the read carries a partitionFilter, so
+      // only the one segment's files are even PLANNED (manifest-level
+      // pruning — at 100 TB the scan lists 1/|segments| of the files)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_part_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+            root.toString, partitionBy = Seq("c_mktsegment"))
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString,
+          partitionFilter = Map("c_mktsegment" -> "BUILDING"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_iceberg_rewrite_eq" -> ((s, dir) => {
+      // upsert (equality deletes) then rewriteEqualityDeletes: the
+      // materialization must not change a single row — same oracle as
+      // q_iceberg_upsert — while making the table convertible again
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_eqrw_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.upsert(
+            nation.filter(col("n_regionkey") < 2)
+              .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+                col("n_regionkey")),
+            root.toString, Seq("n_nationkey"))
+          graft.output.IcebergWriter.rewriteEqualityDeletes(s, root.toString)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_compact_deletes" -> ((s, dir) => {
+      // two deleteWhere sweeps then rewritePositionDeletes: the merged
+      // single delete file serves the same rows (scan-side anti-join
+      // frame stops growing per delete at steady state)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_posrw_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("n_nationkey") % 2 === 1)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("n_regionkey") === 0)
+          graft.output.IcebergWriter.rewritePositionDeletes(s, root.toString)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_convert_partitioned" -> ((s, dir) => {
+      // identity-partitioned iceberg → delta, zero-copy: partition
+      // columns land in the delta LOG (partitionValues per add), and the
+      // delta reader serves a partition-filtered slice correctly
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_convert_part_gate_v1_${math.abs(dir.hashCode)}")
+      val src = root.resolve("ice")
+      val dst = root.resolve("delta")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            dst.resolve("_delta_log").resolve(f"${0L}%020d.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+            src.toString, partitionBy = Seq("c_mktsegment"))
+          graft.output.FormatConvert.icebergToDelta(s, src.toString,
+            dst.toString)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, dst.toString)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_iceberg_changes" -> ((s, dir) => {
       // incremental feed: create with region<2 (snapshot 1), append the
       // rest (snapshot 2), poll after snapshot 1 — only the appended rows
@@ -1896,6 +1985,20 @@ object SparkEntry {
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
         |  n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_partitioned" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_rewrite_eq" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
+        |  n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_compact_deletes" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_convert_partitioned" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'AUTOMOBILE' ORDER BY c_custkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

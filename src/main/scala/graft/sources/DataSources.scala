@@ -53,13 +53,36 @@ object DataSources {
         // jdbc:graft:sqlite: URLs run in-process via GraftSQLiteDriver;
         // vendor URLs take the same path once their jar is on the
         // classpath (none exist in this zero-egress environment).
+        //
+        // Dialect-aware pushdown (df_odbc.py:59-67): the baked `select`
+        // projection is EMITTED into the dbtable subquery in the dialect
+        // the connection string names — `... for SQL Server` picks tsql
+        // (bracket quoting), anything else ansi — so the remote engine
+        // does the projection and the wire carries only those columns;
+        // the baked projection then does NOT re-apply Spark-side.
+        // (`sortby` stays Spark-side: T-SQL rejects ORDER BY inside a
+        // derived table, and Spark's own dbtable re-wrap voids any inner
+        // ordering anyway.)
+        val table = ds.tableName.getOrElse(
+          throw new IllegalArgumentException("jdbc source needs table_name"))
+        val dialect = graft.sources.jdbc.SqlDialect.forConnectionString(ds.uri)
+        val pushed = ds.select.nonEmpty
+        val dbtable =
+          if (!pushed) table
+          else dialect.subquery(dialect.select(
+            from = table,
+            columns = ds.select.map(s =>
+              if (s.outputName == s.name) dialect.quoteIdent(s.name)
+              else s"${dialect.quoteIdent(s.name)} AS ${dialect.quoteIdent(s.outputName)}")))
         val base = reader.format("jdbc")
           .option("url", ds.uri)
-          .option("dbtable", ds.tableName.getOrElse(
-            throw new IllegalArgumentException("jdbc source needs table_name")))
-        (if (ds.uri.startsWith(graft.sources.jdbc.GraftSQLiteDriver.UrlPrefix))
+          .option("dbtable", dbtable)
+        val loaded = (if (ds.uri.startsWith(
+            graft.sources.jdbc.GraftSQLiteDriver.UrlPrefix))
           base.option("driver", "graft.sources.jdbc.GraftSQLiteDriver")
         else base).load()
+        return if (pushed) loaded.drop(ds.exclude: _*)
+        else applyBakedProjection(loaded, ds)
       case other => throw new IllegalArgumentException(s"unsupported file_type: $other")
     }
     applyBakedProjection(df, ds)

@@ -94,4 +94,24 @@ class SqlDialectSpec extends SparkSpec {
     assert(probe.columns.toSeq == Seq("CustomerId", "Country"))
     assert(probe.count() == 0)
   }
+
+  test("DataSources wires the dialect automatically: a baked select " +
+      "config is emitted INTO the dbtable subquery") {
+    assume(new java.io.File(chinook).canRead)
+    // config-driven jdbc source with a baked projection+rename: the
+    // connection string picks the dialect (graft:sqlite → ansi) and the
+    // projection executes REMOTELY via the dbtable subquery, not as a
+    // Spark-side select over SELECT *
+    val ds = graft.config.DatasourceConfig(
+      uri = s"${GraftSQLiteDriver.UrlPrefix}$chinook",
+      fileType = "jdbc",
+      tableName = Some("customers"),
+      select = Seq(
+        graft.config.SelectColumn("CustomerId", Some("cid")),
+        graft.config.SelectColumn("Country")))
+    val df = graft.sources.DataSources.read(spark, ds)
+    assert(df.columns.toSeq == Seq("cid", "Country"))
+    assert(df.filter(org.apache.spark.sql.functions.col("Country")
+      === "Germany").count() > 0)
+  }
 }
