@@ -72,8 +72,13 @@ object Curation {
     // derive every branch from it, so the corpus is read exactly once —
     // EAGERLY, so the concurrent branches below start from finished
     // blocks instead of racing on who materializes the scan.
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def mark(label: String, t0: Long): Unit = if (dbg)
+      System.err.println(f"[report] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tSrc = System.nanoTime()
     val src = docs.select(col(idCol), col(textCol), col(scoreCol))
       .materialize(eager = true)
+    mark("src", tSrc)
     // concurrent independent branches (r12): the quality rollup and the
     // exact-dedup fingerprint aggregate depend only on `src`, never on
     // the cluster pipeline — but the label-prop/star rounds BLOCK the
@@ -137,20 +142,31 @@ object Curation {
     // shared shingle frame (r9): the pair generation derives shingles once
     // (materialized inside minhashDedup's FromShingles path) instead of
     // twice — candidates and verification sets read one derivation
+    // the shingle frame feeds EXACTLY ONE consumer (the fused profile
+    // aggregate inside minhashDedupFromShingles), so it is NOT
+    // materialized (r13): the checkpoint here was a vestigial barrier
+    // from the r9 shape where candidates and verification each
+    // re-derived shingles — under AQE every checkpoint boundary runs its
+    // stages serially on this thread, and caching the LARGEST
+    // intermediate of the whole report paid 2x its bytes in executor
+    // storage for zero reuse
+    val tCl = System.nanoTime()
     val clusters =
       try {
         checkSideBranches()
-        val sh = Dedup.shingleRows(src, idCol, textCol, shingleSize)
-          .materialize()
-        checkSideBranches()
         Dedup.duplicateClusters(
-          Dedup.minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold))
+          Dedup.minhashDedupFromShingles(
+            Dedup.shingleRows(src, idCol, textCol, shingleSize),
+            numBands, rowsPerBand, threshold))
       } catch { case t: Throwable =>
         sc.cancelJobGroup(sideGroup)
         throw t
       }
+    mark("clusters-construct", tCl)
+    val tAwait = System.nanoTime()
     val quality = Await.result(qualityF, Duration.Inf)
     val withExact = Await.result(withExactF, Duration.Inf)
+    mark("await-branches", tAwait)
     // leakage-safe split fused onto the canonical verdict (r9): keepCanonical
     // already emits every document labeled by its near-dup cluster (own id
     // when unclustered) — exactly [[Sampling.assignSplitByGroup]]'s

@@ -144,17 +144,22 @@ object Dedup {
     * only on candidate pairs (joined back to the shingle sets), never on
     * the full cross product.
     *
-    * The candidate banding AND the verification sets both consume the
-    * shingle frame, so the explode+window derivation runs ONCE and is
-    * materialized — the same persist-the-inverted-index trade
-    * [[jaccardPairs]] makes (r9: previously derived twice; PERF.md).
+    * The candidate banding AND the verification sets read the fused
+    * PROFILE aggregate (one row per doc: signature + shingle set), which
+    * is the materialization point; the raw shingle frame itself feeds
+    * only that aggregate and so is derived streaming, never cached (r13 —
+    * checkpointing the largest intermediate for a single consumer paid a
+    * serial stage barrier plus 2x its bytes of executor storage).
     */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleSize).materialize()
-    minhashDedupFromShingles(sh, numBands, rowsPerBand, threshold)
-  }
+      threshold: Double = 0.5): DataFrame =
+    // the shingle frame feeds exactly one consumer (the fused profile
+    // aggregate) — r13 drops the vestigial r9 checkpoint: one fewer
+    // serial stage barrier, and the largest intermediate is never cached
+    minhashDedupFromShingles(
+      shingleRows(docs, idCol, textCol, shingleSize),
+      numBands, rowsPerBand, threshold)
 
   /** [[minhashDedup]] over a prebuilt — and, when shared, already
     * materialized — (id, shingle) frame, so fan-out compositions
@@ -181,14 +186,16 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
         col("sh"))
       .materialize()
-    // candidate generation: band the fused profile's signatures; the tiny
-    // (id, band, key) frame feeds both self-join sides — materialize it
-    // (same trade as minhashCandidatesFromShingles, which standalone
-    // callers still use)
+    // candidate generation: band the fused profile's signatures. The
+    // (id, band, key) frame feeds both self-join sides, but it is a pure
+    // MAP off the already-checkpointed profile (posexplode of a 16-slot
+    // array) — recomputing it per side is executor-local arithmetic,
+    // while checkpointing it added one more serial stage barrier to the
+    // report's critical path (r13; each boundary runs its stages on the
+    // construction thread under AQE)
     val exploded = prof.select(col("id"),
         posexplode(T.lshBandKeys(col("sig"), numBands, rowsPerBand))
           .as(Seq("band", "key")))
-      .materialize()
     val cands = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -252,9 +259,12 @@ object Dedup {
     // the union scans `pairs` twice; materialize the caller's (possibly
     // expensive — typically minhashDedup) pair plan once before mirroring
     val p = pairs.select(col("id_a"), col("id_b")).materialize()
+    // the mirrored edge frame is a pure map+union off the checkpointed
+    // pairs — per-round re-derivation is executor-local, so it carries no
+    // checkpoint of its own (r13: the extra boundary serialized one more
+    // stage on the construction thread)
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
-      .materialize()
     // fused round 1 (r9): with every node initially labeled by its own id,
     // the first propagation round is just min-over-neighbors — ONE
     // aggregate over the mirrored edges replaces the init-distinct job
@@ -283,7 +293,10 @@ object Dedup {
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
           labels("label").as("old"))
         .materialize()
+      val t0 = System.nanoTime()
       converged = updated.filter(col("label") =!= col("old")).isEmpty
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $i probe ${(System.nanoTime() - t0) / 1e9}%.3f s converged=$converged")
       labels = updated.drop("old")
       i += 1
     }
