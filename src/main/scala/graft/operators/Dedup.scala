@@ -518,21 +518,22 @@ object Dedup {
       clusters: DataFrame): DataFrame = {
     val passthrough = scored.columns.toIndexedSeq
       .filterNot(c => c == "id" || c == "score")
-    // consumed by both branches (clustered window + singleton pass-through):
-    // materialize the narrow (id, score, cluster) join once, not twice
+    // ONE branch, ONE window (r13): coalescing unclustered rows to their
+    // own id makes every row a (possibly singleton) cluster member, so
+    // the canonical pick is a single row_number window — a singleton's
+    // sole row is trivially rank 1 / keep 1, identical to the old
+    // two-branch union, without the checkpoint barrier the shared join
+    // needed or the union's second pass
     val labeled = scored
       .join(clusters.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
-      .materialize()
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
     val outCols = Seq(col("id").as("doc_id"), col("cluster"), col("score"),
       col("keep")) ++ passthrough.map(col)
-    labeled.filter(col("cluster").isNotNull)
+    labeled
       .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select(outCols: _*)
-      .unionByName(labeled.filter(col("cluster").isNull)
-        .withColumn("cluster", col("id")).withColumn("keep", lit(1L))
-        .select(outCols: _*))
   }
 
   /** Segment-level exact dedup — the repeated-substring scrub (Lee et al.
