@@ -710,6 +710,25 @@ object SparkEntry {
       graft.sources.DeltaLogReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_purge" -> ((s, dir) => {
+      // DV delete then REORG-PURGE: the deleted rows are physically
+      // rewritten away (clean files, no deletionVector left) and the
+      // served rows are identical to the pre-purge live set
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_purge_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.DeltaWriter.create(nation, root.toString)
+          graft.output.DeltaWriter.deleteWhere(s, root.toString,
+            col("n_nationkey") % 3 === 1)
+          graft.output.DeltaWriter.purgeDeletes(s, root.toString)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_delta_delete" -> ((s, dir) => {
       // row-level DELETE via inline deletion vectors: create the table,
       // mark the odd keys deleted, read the live rows back natively
@@ -1985,6 +2004,9 @@ object SparkEntry {
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
         |  n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_delta_purge" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 1 ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_partitioned" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,

@@ -281,6 +281,73 @@ object DeltaWriter {
     removed.size
   }
 
+  /** REORG-PURGE: materialize deletion vectors away — the maintenance
+    * twin of [[optimize]] (which deliberately skips DV-carrying files)
+    * and the step that turns a soft-deleted table back into plain
+    * parquet: every file carrying a DV is rewritten WITHOUT its deleted
+    * rows and re-added clean, in one `dataChange=false` commit (rows are
+    * unchanged — this is layout work, so incremental consumers correctly
+    * see nothing). After a purge + [[vacuum]], the deleted bytes and the
+    * DV sidecars are physically gone — the GDPR completion of
+    * [[deleteWhere]], which only unlinks logically. Returns the number of
+    * files rewritten.
+    *
+    * Scale shape: one distributed anti-join read + write per partition
+    * group (the same plan [[graft.sources.DeltaLogReader.read]] serves
+    * queries with) — positions never touch the driver; the write keeps
+    * the scan's parallelism (no coalesce: purged files can be large).
+    */
+  def purgeDeletes(spark: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    require(snap.columnMappingMode == "none",
+      s"purgeDeletes does not support columnMapping=${snap.columnMappingMode}")
+    val dvFiles = snap.files.filter(_.deletionVector.isDefined)
+    if (dvFiles.isEmpty) return 0
+    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
+      root.resolve(f.path).toAbsolutePath.normalize.toString
+
+    val adds = Seq.newBuilder[Written]
+    dvFiles.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      val dvs = files.map(f => abs(f) -> f.deletionVector.get)
+      val live = spark.read.schema(snap.dataSchema)
+        .parquet(files.map(abs): _*)
+        .withColumn("__f",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("__p", col("_metadata.row_index"))
+        .join(graft.sources.DeletionVectors.deletedRows(spark, path, dvs)
+            .withColumnRenamed("__dv_file", "__f")
+            .withColumnRenamed("__dv_pos", "__p"),
+          Seq("__f", "__p"), "left_anti")
+        .drop("__f", "__p")
+      val staging = root.resolve(s".purge-staging-${java.util.UUID.randomUUID()}")
+      live.write.parquet(staging.toString)
+      Files.list(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+        .foreach { part =>
+          // empty part files (a fully-deleted partition slice) are not
+          // re-added — the remove alone is the correct state
+          if (IcebergWriter.footerRecordCount(part) > 0L) {
+            val name = part.getFileName.toString
+            Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            adds += Written(name, Files.size(root.resolve(name)), pv)
+          }
+        }
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    }
+    val version = nextVersion(root)
+    commit(root, version,
+      dvFiles.map(f =>
+        s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
+        ++ adds.result().map(w => addAction(w, dataChange = false)))
+    maybeCheckpoint(spark, root, version)
+    dvFiles.size
+  }
+
   /** Row-level DELETE via deletion vectors: rows matching `predicate`
     * are marked deleted by re-adding their files with an inline DV — no
     * data file is rewritten, the GDPR/`DELETE FROM`-shaped operation at

@@ -392,6 +392,43 @@ class DeltaWriterSpec extends SparkSpec {
       .filter(col("id") < 5000000L).count() == 500000L)
   }
 
+  test("purgeDeletes materializes DVs away: clean files, same rows, " +
+      "dataChange=false, vacuum then reclaims the deleted bytes") {
+    val path = tmp("purge")
+    DeltaWriter.create(
+      spark.range(0, 1200000).toDF("id").coalesce(1), path)
+    // sidecar-scale delete, then a small inline one on a second file
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 8 =!= 0L)
+      == 1050000L)
+    DeltaWriter.append(spark.range(2000000, 2000100).toDF("id"), path)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") === 2000002L) == 1L)
+    val before = DeltaLogReader.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq
+    val vBefore = DeltaLogReader.snapshot(spark, path).version
+
+    assert(DeltaWriter.purgeDeletes(spark, path) == 2)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.files.forall(_.deletionVector.isEmpty), "DVs must be gone")
+    assert(DeltaLogReader.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == before)
+    // a layout-only commit: time travel to the pre-purge version intact
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(vBefore))
+      .count() == before.size)
+    // nothing new for incremental consumers (dataChange=false throughout)
+    val feed = DeltaLogReader.readAppends(spark, path,
+      afterVersion = vBefore)
+    assert(feed.count() == 0L)
+    // idempotent
+    assert(DeltaWriter.purgeDeletes(spark, path) == 0)
+    // vacuum now reclaims the DV sidecar AND the pre-purge originals
+    DeltaWriter.vacuum(spark, path, retainVersions = 1)
+    import scala.jdk.CollectionConverters._
+    val bins = Files.list(Paths.get(path)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("deletion_vector_"))
+    assert(bins == 0, "sidecar not reclaimed after purge+vacuum")
+    assert(DeltaLogReader.read(spark, path).count() == before.size)
+  }
+
   test("two concurrent appends both land (optimistic retry, no lost commit)") {
     val path = tmp("race")
     DeltaWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
