@@ -180,11 +180,17 @@ object FormatConvert {
     // the exact strings DeltaLogReader casts back via the schema type).
     // The iceberg data files retain the partition columns; Delta readers
     // pin the log's dataSchema (schema minus partition columns), so the
-    // extra file columns are simply never projected.
-    val partCols = st.spec.map(_.name)
+    // extra file columns are simply never projected. Non-identity specs
+    // (bucket/truncate/temporal) have no Delta partition representation —
+    // those sources convert as UNPARTITIONED tables, which is CORRECT
+    // (every source column lives in the data files) at the cost of
+    // partition pruning on the converted side.
+    val identityOnly = st.spec.forall(_.transform == "identity")
+    val partCols = if (identityOnly) st.spec.map(_.name) else Nil
     val partColsJson = partCols
       .map(c => s""""${DeltaWriter.escape(c)}"""").mkString(",")
-    def renderPv(e: IcebergWriter.Entry): String = st.spec.map { f =>
+    def renderPv(e: IcebergWriter.Entry): String =
+      (if (identityOnly) st.spec else Nil).map { f =>
       val raw = e.partitionValues.collectFirst {
         case (n, v) if n == f.name => v
       }.orNull

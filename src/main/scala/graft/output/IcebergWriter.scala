@@ -75,9 +75,17 @@ object IcebergWriter {
     commitNewTable(root, df.schema, seq, list, "append", summary, spec)
   }
 
-  /** Identity spec fields for `partitionBy` over `schema` — field ids
-    * 1000+ (spec: partition field ids start at 1000), source ids from the
-    * iceberg schema's top-level field ids.
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TruncateRe = """truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TemporalRe = """(days|months|years)\(\s*(\w+)\s*\)""".r
+
+  /** Spec fields for `partitionBy` over `schema` — field ids 1000+
+    * (spec: partition field ids start at 1000), source ids from the
+    * iceberg schema's top-level field ids. Each entry is a bare column
+    * name (identity) or one of the spec's transforms:
+    * `bucket(N, col)` (murmur3 per the spec's bucket rules —
+    * [[graft.plans.IcebergTransforms]]), `truncate(W, col)`,
+    * `days(col)` / `months(col)` / `years(col)`.
     */
   private[output] def specFor(schema: StructType,
       partitionBy: Seq[String]): Seq[SpecField] = {
@@ -85,13 +93,43 @@ object IcebergWriter {
     val (schemaJson, _) = icebergSchema(schema)
     val topIds: Map[String, Int] = schemaJson.get("fields").elements().asScala
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
-    partitionBy.zipWithIndex.map { case (c, i) =>
-      val field = schema.fields.find(_.name == c).getOrElse(
+    def srcField(c: String): StructField =
+      schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $c not in schema ${schema.fieldNames.mkString(", ")}"))
-      require(supportedPartitionTypes.contains(field.dataType),
-        s"unsupported partition type ${field.dataType.simpleString} for $c")
-      SpecField(c, field.dataType, 1000 + i, topIds(c))
+    partitionBy.zipWithIndex.map { case (entry, i) =>
+      val fid = 1000 + i
+      entry.trim match {
+        case BucketRe(n, c) =>
+          val f = srcField(c)
+          require(Seq(IntegerType, LongType, StringType, DateType,
+              TimestampType, TimestampNTZType).contains(f.dataType),
+            s"bucket transform unsupported for ${f.dataType.simpleString} $c")
+          SpecField(s"${c}_bucket", IntegerType, fid, topIds(c),
+            "bucket", c, n.toInt)
+        case TruncateRe(w, c) =>
+          val f = srcField(c)
+          require(Seq(IntegerType, LongType, StringType).contains(f.dataType),
+            s"truncate transform unsupported for ${f.dataType.simpleString} $c")
+          SpecField(s"${c}_trunc", f.dataType, fid, topIds(c),
+            "truncate", c, w.toInt)
+        case TemporalRe(t, c) =>
+          val f = srcField(c)
+          require(Seq(DateType, TimestampType, TimestampNTZType)
+              .contains(f.dataType),
+            s"$t transform unsupported for ${f.dataType.simpleString} $c")
+          val (canonical, suffix, result) = t match {
+            case "days" => ("day", "day", DateType)
+            case "months" => ("month", "month", IntegerType)
+            case _ => ("year", "year", IntegerType)
+          }
+          SpecField(s"${c}_$suffix", result, fid, topIds(c), canonical, c)
+        case c =>
+          val f = srcField(c)
+          require(supportedPartitionTypes.contains(f.dataType),
+            s"unsupported partition type ${f.dataType.simpleString} for $c")
+          SpecField(c, f.dataType, fid, topIds(c))
+      }
     }
   }
 
@@ -130,7 +168,11 @@ object IcebergWriter {
     partitionSpec.foreach { f =>
       val n = mapper.createObjectNode()
       n.put("name", f.name)
-      n.put("transform", "identity")
+      n.put("transform", f.transform match {
+        case "bucket" => s"bucket[${f.param}]"
+        case "truncate" => s"truncate[${f.param}]"
+        case t => t // identity | day | month | year
+      })
       n.put("source-id", f.sourceId)
       n.put("field-id", f.fieldId)
       specFields.add(n)
@@ -403,16 +445,34 @@ object IcebergWriter {
     val fields = specNode.get("fields").elements().asScala.toSeq
     if (fields.isEmpty) return Nil
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
+    val BucketT = """bucket\[(\d+)\]""".r
+    val TruncateT = """truncate\[(\d+)\]""".r
     fields.map { f =>
       val transform = f.get("transform").asText()
-      require(transform == "identity",
-        s"unsupported partition transform $transform (identity only)")
       val sourceId = f.get("source-id").asInt()
       val srcName = fieldNames.getOrElse(sourceId,
         throw new IllegalArgumentException(
           s"partition source-id $sourceId not in current schema"))
-      SpecField(f.get("name").asText(),
-        schema(srcName).dataType, f.get("field-id").asInt(), sourceId)
+      val srcType = schema(srcName).dataType
+      val name = f.get("name").asText()
+      val fid = f.get("field-id").asInt()
+      transform match {
+        case "identity" =>
+          SpecField(name, srcType, fid, sourceId)
+        case BucketT(n) =>
+          SpecField(name, IntegerType, fid, sourceId, "bucket", srcName, n.toInt)
+        case TruncateT(w) =>
+          SpecField(name, srcType, fid, sourceId, "truncate", srcName, w.toInt)
+        case "day" | "days" =>
+          SpecField(name, DateType, fid, sourceId, "day", srcName)
+        case "month" | "months" =>
+          SpecField(name, IntegerType, fid, sourceId, "month", srcName)
+        case "year" | "years" =>
+          SpecField(name, IntegerType, fid, sourceId, "year", srcName)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform $other " +
+            "(identity/bucket/truncate/day/month/year)")
+      }
     }
   }
 
@@ -778,7 +838,7 @@ object IcebergWriter {
       import org.apache.spark.sql.functions.col
       val stagingCols = spec.map(f => s"__gp_${f.name}")
       val staged = spec.zip(stagingCols).foldLeft(df) { case (acc, (f, c)) =>
-        acc.withColumn(c, col(s"`${f.name}`"))
+        acc.withColumn(c, transformColumn(df.sparkSession, f))
       }
       staged.write.mode("overwrite").partitionBy(stagingCols: _*)
         .parquet(staging.toString)
@@ -817,6 +877,32 @@ object IcebergWriter {
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
     out
+  }
+
+  /** The transform's value as a Spark column over the source column —
+    * identity passthrough, codegen murmur3 bucket, floor-truncate,
+    * epoch-relative temporal buckets. Timestamps bucket in the session
+    * time zone (pinned UTC in every graft session), matching iceberg's
+    * UTC temporal transforms.
+    */
+  private def transformColumn(spark: org.apache.spark.sql.SparkSession,
+      f: SpecField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, month, pmod, substring, to_date, year}
+    val src = col(s"`${f.source}`")
+    f.transform match {
+      case "identity" => src
+      case "bucket" => graft.plans.IcebergTransforms.bucket(spark, src, f.param)
+      case "truncate" => f.dataType match {
+        case StringType => substring(src, 1, f.param)
+        // iceberg truncate on numbers is FLOOR to the width multiple
+        // (negative values truncate toward -inf): v - ((v % W + W) % W)
+        case _ => src - pmod(src, lit(f.param))
+      }
+      case "day" => to_date(src)
+      case "month" => (year(src) - 1970) * 12 + (month(src) - 1)
+      case "year" => year(src) - 1970
+      case other => throw new IllegalStateException(s"unknown transform $other")
+    }
   }
 
   /** Spark escapes special characters in partition directory names as
@@ -909,7 +995,8 @@ object IcebergWriter {
     // columns so each task writes few hive dirs.
     val balanced =
       if (st.spec.isEmpty) live.repartition(nOut)
-      else live.repartition(nOut, st.spec.map(f => col(s"`${f.name}`")): _*)
+      else live.repartition(nOut,
+        st.spec.map(f => col(s"`${f.source}`")).distinct: _*)
     val compacted = writeData(balanced, st.root, st.spec)
 
     val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
@@ -1120,12 +1207,18 @@ object IcebergWriter {
 
   // ---------- manifests ----------
 
-  /** One identity-partition field of the table's default spec: Avro
+  /** One partition field of the table's default spec: Avro
     * partition-record shape, metadata-JSON shape, and staged-write
-    * layout all derive from this.
+    * layout all derive from this. `dataType` is the transform's RESULT
+    * type (= source type for identity/truncate, int for bucket/months/
+    * years, date for days); `sourceName` the schema column the transform
+    * reads; `param` the bucket count / truncate width (0 otherwise).
     */
   private[output] case class SpecField(name: String, dataType: DataType,
-      fieldId: Int, sourceId: Int)
+      fieldId: Int, sourceId: Int, transform: String = "identity",
+      sourceName: String = "", param: Int = 0) {
+    def source: String = if (sourceName.nonEmpty) sourceName else name
+  }
 
   private[output] val supportedPartitionTypes: Set[DataType] =
     Set(IntegerType, LongType, StringType, BooleanType, DateType)

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg `bucket[N]` partition transform as a native Catalyst
+  * expression (table spec, "Bucket Transform Details"): the bucket id is
+  * `(murmur3_x86_32(bytes, seed = 0) & Int.MaxValue) % N`, where int,
+  * long, date and timestamp values hash as their 8-byte little-endian
+  * long form (int/date upcast — the spec makes int and long hash
+  * identically so bucketing survives type promotion) and strings hash as
+  * UTF-8 bytes. The hash is pinned by the spec's own appendix vectors
+  * AND cross-validated against Guava's canonical
+  * `murmur3_32_fixed` in `IcebergTransformsSpec` — external engines
+  * (iceberg-java, Trino) must route a row to the same bucket.
+  *
+  * Codegen: one static call per row inside the whole-stage span — this
+  * sits on the WRITE path of every bucketed row at lake scale, so a UDF
+  * closure would be the wrong shape.
+  */
+case class IcebergBucket(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+
+  require(numBuckets > 0, s"bucket count must be positive, got $numBuckets")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType | LongType | DateType | TimestampType |
+        TimestampNTZType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"iceberg bucket supports int/long/date/timestamp/string, " +
+        s"got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case IntegerType | DateType =>
+      IcebergTransforms.bucketLong(v.asInstanceOf[Int].toLong, numBuckets)
+    case LongType | TimestampType | TimestampNTZType =>
+      IcebergTransforms.bucketLong(v.asInstanceOf[Long], numBuckets)
+    case StringType =>
+      IcebergTransforms.bucketUtf8(v.asInstanceOf[UTF8String], numBuckets)
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = child.dataType match {
+    case IntegerType | DateType =>
+      defineCodeGen(ctx, ev, v =>
+        s"graft.plans.IcebergTransforms.bucketLong((long)$v, $numBuckets)")
+    case LongType | TimestampType | TimestampNTZType =>
+      defineCodeGen(ctx, ev, v =>
+        s"graft.plans.IcebergTransforms.bucketLong($v, $numBuckets)")
+    case _ =>
+      defineCodeGen(ctx, ev, v =>
+        s"graft.plans.IcebergTransforms.bucketUtf8($v, $numBuckets)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IcebergTransforms {
+
+  /** Standard murmur3_x86_32 with seed 0 over a byte array — written out
+    * here (public-domain algorithm, the usual constants) because Spark's
+    * own `Murmur3_x86_32.hashUnsafeBytes` deviates from the standard
+    * TAIL handling (it mixes trailing bytes one at a time), which would
+    * silently route strings to different buckets than iceberg-java.
+    */
+  def murmur3(bytes: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0 // seed
+    val nBlocks = bytes.length / 4
+    var i = 0
+    while (i < nBlocks) {
+      val o = i * 4
+      var k = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+      k *= c1
+      k = Integer.rotateLeft(k, 15)
+      k *= c2
+      h ^= k
+      h = Integer.rotateLeft(h, 13)
+      h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    // tail: up to 3 trailing bytes fold into ONE k-block (the standard
+    // form external implementations share)
+    var k = 0
+    (bytes.length & 3) match {
+      case 3 =>
+        k ^= (bytes(nBlocks * 4 + 2) & 0xFF) << 16
+        k ^= (bytes(nBlocks * 4 + 1) & 0xFF) << 8
+        k ^= bytes(nBlocks * 4) & 0xFF
+      case 2 =>
+        k ^= (bytes(nBlocks * 4 + 1) & 0xFF) << 8
+        k ^= bytes(nBlocks * 4) & 0xFF
+      case 1 =>
+        k ^= bytes(nBlocks * 4) & 0xFF
+      case _ => ()
+    }
+    if (k != 0) {
+      k *= c1
+      k = Integer.rotateLeft(k, 15)
+      k *= c2
+      h ^= k
+    }
+    // finalization
+    h ^= bytes.length
+    h ^= h >>> 16
+    h *= 0x85ebca6b
+    h ^= h >>> 13
+    h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  /** murmur3 of the value's 8-byte little-endian form — the two 4-byte
+    * blocks are the low and high ints, so this specialization avoids the
+    * array allocation on the per-row write path.
+    */
+  def hashLong(v: Long): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    var k = v.toInt
+    k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+    h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+    k = (v >>> 32).toInt
+    k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+    h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+    h ^= 8
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  def bucketOf(hash: Int, n: Int): Int = (hash & Integer.MAX_VALUE) % n
+
+  def bucketLong(v: Long, n: Int): Int = bucketOf(hashLong(v), n)
+
+  def bucketUtf8(s: UTF8String, n: Int): Int = bucketOf(murmur3(s.getBytes), n)
+
+  val bucketFn = "graft_iceberg_bucket"
+
+  /** Register the bucket function in the session (idempotent) — the same
+    * temp-function bridge the other native expressions use.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bucketFn, { exprs =>
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+            v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"$bucketFn needs a literal int bucket count, got $other")
+        }
+        IcebergBucket(exprs.head, n)
+      }, "built-in")
+
+  /** Codegen'd iceberg bucket id of a column. */
+  def bucket(spark: org.apache.spark.sql.SparkSession, c: Column,
+      n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(bucketFn, c, lit(n))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.output.IcebergWriter
+import graft.plans.IcebergTransforms
+import graft.sources.IcebergReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg partition transforms beyond identity: the spec-pinned murmur3
+  * bucket hash (validated against BOTH the table spec's appendix vectors
+  * and Guava's canonical murmur3_32_fixed), truncate, and the temporal
+  * transforms — written through real partition specs, read back with
+  * manifest-level pruning.
+  */
+class IcebergTransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_it_${tag}_${System.nanoTime()}").toString
+
+  test("bucket hash matches the iceberg spec's appendix vectors") {
+    // table spec, Appendix B "32-bit Hash Requirements": published
+    // hash values external engines must reproduce
+    assert(IcebergTransforms.hashLong(34L) == 2017239379,
+      "int/long 34")
+    assert(IcebergTransforms.murmur3("iceberg".getBytes("UTF-8"))
+      == 1210000089, "string 'iceberg'")
+    // date 2017-11-16 = 17486 epoch days, hashed as a long
+    assert(java.time.LocalDate.of(2017, 11, 16).toEpochDay == 17486L)
+    assert(IcebergTransforms.hashLong(17486L) == -653330422, "date")
+    // timestamp 2017-11-16T22:31:08 UTC in micros, hashed as a long
+    val micros = java.time.Instant.parse("2017-11-16T22:31:08Z")
+      .getEpochSecond * 1000000L
+    assert(IcebergTransforms.hashLong(micros) == -2047944441, "timestamp")
+  }
+
+  test("murmur3 agrees with Guava's canonical murmur3_32_fixed on " +
+      "arbitrary byte strings (tail handling included)") {
+    val guava = com.google.common.hash.Hashing.murmur3_32_fixed(0)
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val len = rnd.nextInt(24)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(IcebergTransforms.murmur3(bytes) ==
+        guava.hashBytes(bytes).asInt(), s"len $len")
+    }
+    // and the long specialization == bytes form
+    (0 until 200).foreach { _ =>
+      val v = rnd.nextLong()
+      val le = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+      assert(IcebergTransforms.hashLong(v) == IcebergTransforms.murmur3(le))
+    }
+  }
+
+  test("bucket-partitioned create: spec JSON, layout, tuples, pruning, " +
+      "append and deleteWhere keep working") {
+    val path = tmp("bucket")
+    val df = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    IcebergWriter.create(df, path, partitionBy = Seq("bucket(8, id)"))
+    // spec JSON carries the transform
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val f0 = md.get("partition-specs").get(0).get("fields").get(0)
+    assert(f0.get("transform").asText() == "bucket[8]")
+    assert(f0.get("name").asText() == "id_bucket")
+    // full round-trip
+    assert(IcebergReader.read(spark, path).count() == 400L)
+    // layout dirs are id_bucket=<n>
+    val dirs = Files.list(Paths.get(path, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("id_bucket=")), dirs)
+    // pruning: compute the expected bucket of one key and read only it
+    val key = 137L
+    val b = IcebergTransforms.bucketLong(key, 8)
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("id_bucket" -> b.toString))
+    assert(pruned.inputFiles.forall(_.contains(s"id_bucket=$b")))
+    assert(pruned.filter(col("id") === key).count() == 1L)
+    // append on the bucketed spec lands in the right dirs; delete works
+    IcebergWriter.append(Seq((9999L, "x")).toDF("id", "v"), path)
+    val b2 = IcebergTransforms.bucketLong(9999L, 8)
+    assert(IcebergReader.read(spark, path,
+        partitionFilter = Map("id_bucket" -> b2.toString))
+      .filter(col("id") === 9999L).count() == 1L)
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") < 10L) == 10L)
+    assert(IcebergReader.read(spark, path).count() == 391L)
+  }
+
+  test("truncate and temporal transforms round-trip with correct values") {
+    val path = tmp("mix")
+    val df = (0 until 120).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"20${10 + i % 3}-0${i % 4 + 1}-15"),
+        f"name_$i%03d")
+    }.toDF("id", "d", "nm")
+    IcebergWriter.create(df, path,
+      partitionBy = Seq("truncate(100, id)", "months(d)", "truncate(5, nm)"))
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val transforms = md.get("partition-specs").get(0).get("fields")
+      .elements().asScala.map(_.get("transform").asText()).toSeq
+    assert(transforms == Seq("truncate[100]", "month", "truncate[5]"))
+    assert(IcebergReader.read(spark, path).count() == 120L)
+    // months since epoch for 2011-03: (2011-1970)*12 + 2 = 494
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("d_month" -> "494"))
+    assert(pruned.count() ==
+      df.filter(col("d") === java.sql.Date.valueOf("2011-03-15")).count())
+    assert(pruned.inputFiles.forall(_.contains("d_month=494")),
+      pruned.inputFiles.toSeq)
+    // truncate dirs: ids 0..99 under id_trunc=0, 100.. under =100;
+    // names truncate to 5 chars
+    assert(Files.isDirectory(Paths.get(path, "data", "id_trunc=0")))
+    assert(Files.isDirectory(Paths.get(path, "data", "id_trunc=100")))
+    val nmDirs = Files.walk(Paths.get(path, "data")).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("nm_trunc="))
+      .map(_.getFileName.toString).toSet
+    assert(nmDirs == Set("nm_trunc=name_"), nmDirs)
+    // days transform on a second table renders ISO dates
+    val path2 = tmp("days")
+    IcebergWriter.create(df.select("id", "d"), path2,
+      partitionBy = Seq("days(d)"))
+    assert(Files.isDirectory(Paths.get(path2, "data", "d_day=2010-01-15")))
+    assert(IcebergReader.read(spark, path2,
+        partitionFilter = Map("d_day" -> "2010-01-15")).count() ==
+      df.filter(col("d") === java.sql.Date.valueOf("2010-01-15")).count())
+  }
+
+  test("negative numbers truncate toward -infinity (spec rule)") {
+    val path = tmp("neg")
+    val df = Seq(-101L, -100L, -1L, 0L, 99L, 100L).toDF("id")
+    IcebergWriter.create(df, path, partitionBy = Seq("truncate(100, id)"))
+    val dirs = Files.list(Paths.get(path, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dirs == Set("id_trunc=-200", "id_trunc=-100", "id_trunc=0",
+      "id_trunc=100"), dirs)
+    assert(IcebergReader.read(spark, path).count() == 6L)
+  }
+}
