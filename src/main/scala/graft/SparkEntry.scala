@@ -839,6 +839,26 @@ object SparkEntry {
           partitionFilter = Map("c_mktsegment" -> "BUILDING"))
         .orderBy(col("c_custkey"))
     }),
+    "q_iceberg_bucket" -> ((s, dir) => {
+      // bucket[8]-partitioned create (spec-conformant murmur3 routing,
+      // IcebergTransformsSpec pins the hash to the table spec's appendix
+      // vectors): the full-table read proves every row lands in — and is
+      // served back from — its bucket; pruning is plan-asserted in the
+      // spec (an oracle cannot compute murmur3)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_bucket_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+            root.toString, partitionBy = Seq("bucket(8, c_custkey)"))
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("c_custkey"))
+    }),
     "q_iceberg_rewrite_eq" -> ((s, dir) => {
       // upsert (equality deletes) then rewriteEqualityDeletes: the
       // materialization must not change a single row — same oracle as
@@ -2010,6 +2030,9 @@ object SparkEntry {
     "q_iceberg_partitioned" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_bucket" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_iceberg_rewrite_eq" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
