@@ -78,8 +78,67 @@ object QueryPipeline {
   def run(spark: SparkSession, table: TableConfig, req: Request,
       basic: BasicConfig = BasicConfig(),
       partitionCols: Seq[String] = Nil): DataFrame = {
-    val df = DataSources.read(spark, table.datasource)
+    val df = DataSources.read(spark, table.datasource,
+      icebergPartitionFilter =
+        if (table.datasource.fileType.equalsIgnoreCase("iceberg"))
+          icebergServingFilter(table, req)
+        else Map.empty)
     runOn(df, table, req, basic, partitionCols)
+  }
+
+  /** Manifest-level partition pruning for iceberg-served tables — the
+    * iceberg analog of the md5-helper rewrite: an `=` request param whose
+    * column is an IDENTITY partition source becomes a rendered
+    * partitionFilter entry, so a point lookup PLANS only its partition's
+    * files (at lake scale, 1/|partitions| of the manifest entries).
+    * Strictly plan-narrowing and fail-open: values that don't parse as
+    * the source type, falsy values (the compiler drops those predicates
+    * entirely — pruning on them would drop rows the request keeps),
+    * combi params and non-equality ops contribute nothing, and the full
+    * predicate still applies in [[runOn]].
+    */
+  private[query] def icebergServingFilter(table: TableConfig,
+      req: Request): Map[String, String] = {
+    val sources =
+      try graft.sources.IcebergReader.identityPartitionSources(
+        table.datasource.uri)
+      catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    if (sources.isEmpty) return Map.empty
+    val resolved = req.params.toSeq.flatMap { case (key, value) =>
+      ParamResolver.resolve(table.params, key)
+        .map { case (p, op) => (p, op, value) }
+    }
+    val provided = resolved.map(_._1.name).toSet
+    val defaults = table.params
+      .filter(p => p.default.isDefined && !provided.contains(p.name) &&
+        p.combi.isEmpty)
+      .map(p => (p, "=", p.default.get: Any))
+    (resolved ++ defaults).flatMap { case (p, op, value) =>
+      if (!(op == "=" || op == "==") || p.combi.isDefined) None
+      else sources.collectFirst {
+        case (src, (field, dt)) if src.equalsIgnoreCase(p.column) =>
+          renderPartitionValue(value, dt).map(field -> _)
+      }.flatten
+    }.toMap
+  }
+
+  /** Canonical rendered form of a request value under the partition
+    * source type — must equal the reader's tuple rendering exactly
+    * ("042" normalizes to "42"); None = unparseable or falsy = no
+    * pruning.
+    */
+  private def renderPartitionValue(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[String] = v match {
+    case s: String if s.nonEmpty =>
+      import org.apache.spark.sql.types._
+      try dt match {
+        case IntegerType | LongType => Some(s.trim.toLong.toString)
+        case BooleanType => Some(s.trim.toBoolean.toString)
+        case DateType => Some(java.time.LocalDate.parse(s.trim).toString)
+        case StringType => Some(s)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
   }
 
   /** Pipeline over an already-loaded DataFrame (testable without IO). */

@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions.col
   */
 object DataSources {
 
-  def read(spark: SparkSession, ds: DatasourceConfig): DataFrame = {
+  /** `icebergPartitionFilter`: manifest-level partition pruning for
+    * iceberg sources (rendered values per
+    * [[IcebergReader.read]]'s contract) — the serving path derives it
+    * from `=` request params on identity partition columns; every other
+    * file type ignores it.
+    */
+  def read(spark: SparkSession, ds: DatasourceConfig,
+      icebergPartitionFilter: Map[String, String] = Map.empty): DataFrame = {
     val reader = spark.read.options(ds.options)
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
@@ -31,7 +38,8 @@ object DataSources {
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         IcebergReader.read(spark, ds.uri,
           ds.options.get("snapshotId").map(_.toLong),
-          ds.options.get("asOfTimestampMs").map(_.toLong))
+          ds.options.get("asOfTimestampMs").map(_.toLong),
+          partitionFilter = icebergPartitionFilter)
       case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
       case "csv" =>
         reader

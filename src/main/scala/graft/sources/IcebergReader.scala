@@ -184,6 +184,33 @@ object IcebergReader {
     (data.result(), deletes.result(), eqDeletes.result())
   }
 
+  /** Identity-transform fields of the DEFAULT partition spec: source
+    * column name → (spec field name, source type). Metadata-plane only
+    * (one JSON read, no manifests) — the serving path uses this to turn
+    * `=` request filters into [[read]]'s `partitionFilter` so point
+    * lookups plan only their partition's files. Non-identity transforms
+    * are excluded: a raw request value is not their partition value.
+    */
+  def identityPartitionSources(tablePath: String)
+      : Map[String, (String, DataType)] = {
+    val md = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
+    val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("spec-id").asInt() == specId) match {
+      case None => Map.empty
+      case Some(sn) =>
+        val (schema, fieldNames) = currentSchema(md)
+        sn.get("fields").elements().asScala.flatMap { f =>
+          if (f.get("transform").asText() != "identity") None
+          else for {
+            src <- fieldNames.get(f.get("source-id").asInt())
+            fld <- schema.fields.find(_.name == src)
+          } yield src -> (f.get("name").asText(), fld.dataType)
+        }.toMap
+    }
+  }
+
   /** Render a manifest entry's `partition` record to by-name strings.
     * Dates (Avro int + `date` logical type) render ISO-8601 — the same
     * form Spark renders in filters and hive paths, so pruning compares

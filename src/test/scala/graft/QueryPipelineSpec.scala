@@ -174,4 +174,38 @@ class QueryPipelineSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(out.toSeq == Seq(1L, 2L)) // berlin-ish point excluded, nearest first
   }
+
+  test("iceberg-served tables prune at the manifest level on identity " +
+      "partition params; non-canonical and foreign values fail open") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_iceprune_${System.nanoTime()}").toString
+    val df = (0 until 90).map(i => (i.toLong, i % 3, s"v$i"))
+      .toDF("id", "bucket", "v")
+    graft.output.IcebergWriter.create(df, root,
+      partitionBy = Seq("bucket"))
+    val t = TableConfig("ice", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("bucket"), Param("id")))
+
+    // the server call path: run() with NO partitionCols — the '=' param
+    // on the identity partition source must reach the manifest planner
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("bucket" -> "2"), limit = Some(-1)))
+    assert(out.count() == 30L)
+    val dataInputs = out.inputFiles.filter(_.contains("/part-"))
+    assert(dataInputs.nonEmpty && dataInputs.forall(_.contains("bucket=2")),
+      dataInputs.toSeq)
+    // non-canonical rendering ("02") still serves the right rows — the
+    // derived filter normalizes through the source type
+    assert(QueryPipeline.run(spark, t,
+      Request(params = Map("bucket" -> "02"), limit = Some(-1)))
+      .count() == 30L)
+    // params on non-partition columns never prune
+    val full = QueryPipeline.run(spark, t,
+      Request(params = Map("id" -> "5"), limit = Some(-1)))
+    assert(full.count() == 1L)
+    assert(full.inputFiles.count(_.contains("/part-")) ==
+      out.inputFiles.count(_.contains("/part-")) * 3)
+  }
 }
