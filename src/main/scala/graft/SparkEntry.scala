@@ -710,6 +710,29 @@ object SparkEntry {
       graft.sources.DeltaLogReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_stats_skip" -> ((s, dir) => {
+      // the serving path over a delta table whose adds carry per-file
+      // stats: the '=' param becomes a SkipPredicate, so the point lookup
+      // plans only the file(s) whose [min, max] can hold the key — at
+      // lake scale, 1/|files| of the scan before any task launches
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_stats_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          graft.output.DeltaWriter.create(
+            Tables.load(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+              .repartitionByRange(8, col("o_orderkey")), root.toString)
+        }
+      }
+      val t = TableConfig(name = "ord", tag = "t",
+        datasource = DatasourceConfig(uri = root.toString, fileType = "delta"),
+        params = Seq(Param("o_custkey")))
+      QueryPipeline.run(s, t, Request(
+        params = Map("o_custkey" -> "7"), limit = Some(-1)))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_delta_purge" -> ((s, dir) => {
       // DV delete then REORG-PURGE: the deleted rows are physically
       // rewritten away (clean files, no deletionVector left) and the
@@ -2027,6 +2050,9 @@ object SparkEntry {
     "q_delta_purge" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 3 <> 1 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_stats_skip" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey = 7 ORDER BY o_orderkey""".stripMargin,
     "q_iceberg_partitioned" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,

@@ -191,7 +191,8 @@ object DeltaWriter {
         Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(Files.delete(_))
-        adds += Written(name, Files.size(root.resolve(name)), pv)
+        adds += Written(name, Files.size(root.resolve(name)), pv,
+          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
         removes ++= bin
       }
     }
@@ -263,7 +264,8 @@ object DeltaWriter {
             .foreach { p =>
               val name = p.getFileName.toString
               Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-              adds += Written(name, Files.size(root.resolve(name)), pv)
+              adds += Written(name, Files.size(root.resolve(name)), pv,
+          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
             }
           Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
             .forEach(Files.delete(_))
@@ -333,7 +335,8 @@ object DeltaWriter {
           if (IcebergWriter.footerRecordCount(part) > 0L) {
             val name = part.getFileName.toString
             Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-            adds += Written(name, Files.size(root.resolve(name)), pv)
+            adds += Written(name, Files.size(root.resolve(name)), pv,
+          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
           }
         }
       Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -488,7 +491,11 @@ object DeltaWriter {
       val pvJson = f.partitionValues.map { case (k, v) =>
         s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
       }.mkString(",")
-      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}"""
+      // the original add's stats stay valid as SUPERSET bounds (deletes
+      // only remove rows) — dropping them would turn off data skipping
+      // for every file a delete ever touched
+      val st = f.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson$st}}"""
     }
     val adds: Seq[String] = if (useSidecar) {
       // on-disk DV files (storageType `u`): old ∪ new positions per file
@@ -636,7 +643,7 @@ object DeltaWriter {
   // ---------- internals ----------
 
   private case class Written(relPath: String, size: Long,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String], stats: Option[String] = None)
 
   /** Distributed parquet write into a staging dir, then move the part
     * files (and their partition directories) into the table root. The
@@ -671,7 +678,8 @@ object DeltaWriter {
           k -> (if (unescaped == "__HIVE_DEFAULT_PARTITION__") null
                 else unescaped)
       }.toMap
-      Written(rel, Files.size(dest), pv)
+      Written(rel, Files.size(dest), pv,
+        ParquetStats.statsJson(dest, df.schema))
     }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
@@ -682,7 +690,10 @@ object DeltaWriter {
     val pv = w.partitionValues.map { case (k, v) =>
       s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
     }.mkString(",")
-    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":$dataChange}}"""
+    // per-file stats (PROTOCOL.md "Per-file Statistics") make the table
+    // data-skippable — the stats JSON rides the add as an escaped string
+    val st = w.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
+    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":$dataChange$st}}"""
   }
 
   /** add/remove paths are stored PERCENT-ENCODED (URI syntax, PROTOCOL.md
@@ -888,7 +899,10 @@ object DeltaWriter {
         Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
           .getOrElse(1),
         dv.get("sizeInBytes").asInt,
-        dv.get("cardinality").asLong)).orNull))
+        dv.get("cardinality").asLong)).orNull,
+      // stats survive checkpointing — dropping them would turn off data
+      // skipping the first time a stats-bearing commit gets compacted
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).orNull))
 
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -919,7 +933,8 @@ object DeltaWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType)))),
+        StructField("stats", StringType))))))
     val rows: Seq[Row] =
       Seq(Row(protoRow, null, null, null), Row(null, mdRow, null, null)) ++
         txnRows.map(t => Row(null, null, t, null)) ++

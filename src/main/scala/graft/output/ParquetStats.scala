@@ -1,0 +1,122 @@
+package graft.output
+
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.spark.sql.types._
+import java.nio.file.Path
+import scala.jdk.CollectionConverters._
+
+/** Per-file Delta `stats` JSON from the parquet FOOTER — numRecords plus
+  * minValues/maxValues/nullCount for the top-level primitive columns
+  * (PROTOCOL.md "Per-file Statistics"). This is what makes a written
+  * table DATA-SKIPPABLE: engines (delta-spark, and
+  * [[graft.sources.DeltaLogReader]]'s own skipping) prune files whose
+  * [min, max] provably excludes a predicate before planning a single
+  * task. Metadata-plane: one footer read per file, no data scan.
+  *
+  * Rendering rules (what the JSON carries):
+  *  - ints/longs and finite floats/doubles as JSON numbers (non-finite
+  *    values drop the column — they have no JSON form and no total
+  *    order worth skipping on);
+  *  - strings as escaped JSON strings — parquet orders binary stats by
+  *    UNSIGNED BYTES, so consumers must compare the same way
+  *    ([[graft.sources.DeltaLogReader]] does);
+  *  - dates as ISO-8601 days, timestamps as ISO-8601 UTC instants with
+  *    micros;
+  *  - a column with any stats-less or all-null chunk keeps partial
+  *    presence (nullCount without bounds) — consumers treat absent
+  *    bounds as "cannot skip".
+  */
+private[output] object ParquetStats {
+
+  def statsJson(file: Path, schema: StructType): Option[String] = try {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala
+      val numRecords = blocks.map(_.getRowCount).sum
+      // per top-level primitive column: merged chunk statistics
+      case class Agg(var min: Statistics[_], var max: Statistics[_],
+        var nulls: Long, var usable: Boolean)
+      val byCol = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toArray
+          if (path.length == 1) {
+            val st = c.getStatistics
+            val agg = byCol.getOrElseUpdate(path(0),
+              Agg(null, null, 0L, usable = true))
+            if (st == null || st.isEmpty || st.getNumNulls < 0) {
+              agg.usable = false
+            } else {
+              agg.nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                if (agg.min == null ||
+                    compareGeneric(st, agg.min) < 0) agg.min = st
+                if (agg.max == null ||
+                    compareGenericMax(st, agg.max) > 0) agg.max = st
+              }
+            }
+          }
+        }
+      }
+      val fields = schema.fields.filter(f => byCol.contains(f.name))
+      val mins = Seq.newBuilder[String]
+      val maxs = Seq.newBuilder[String]
+      val nulls = Seq.newBuilder[String]
+      fields.foreach { f =>
+        val agg = byCol(f.name)
+        if (agg.usable) {
+          nulls += s""""${esc(f.name)}":${agg.nulls}"""
+          if (agg.min != null && agg.max != null) {
+            for {
+              mn <- render(agg.min.genericGetMin, f.dataType)
+              mx <- render(agg.max.genericGetMax, f.dataType)
+            } {
+              mins += s""""${esc(f.name)}":$mn"""
+              maxs += s""""${esc(f.name)}":$mx"""
+            }
+          }
+        }
+      }
+      Some(s"""{"numRecords":$numRecords,"minValues":{${mins.result().mkString(",")}},"maxValues":{${maxs.result().mkString(",")}},"nullCount":{${nulls.result().mkString(",")}}}""")
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def compareGeneric(a: Statistics[_], b: Statistics[_]): Int =
+    a.genericGetMin.asInstanceOf[Comparable[Any]]
+      .compareTo(b.genericGetMin.asInstanceOf[Any])
+
+  private def compareGenericMax(a: Statistics[_], b: Statistics[_]): Int =
+    a.genericGetMax.asInstanceOf[Comparable[Any]]
+      .compareTo(b.genericGetMax.asInstanceOf[Any])
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** JSON rendering of one parquet stats value under the Spark type;
+    * None = type not skippable (drop the bound, keep the file).
+    */
+  private def render(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (n: java.lang.Integer, DateType) =>
+      Some(s""""${java.time.LocalDate.ofEpochDay(n.longValue)}"""")
+    case (n: java.lang.Integer, _: IntegerType | _: ShortType | _: ByteType) =>
+      Some(n.toString)
+    case (n: java.lang.Long, TimestampType | TimestampNTZType) =>
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(n.longValue, 1000000L),
+        Math.floorMod(n.longValue, 1000000L) * 1000L)
+      Some(s""""$inst"""")
+    case (n: java.lang.Long, _: LongType) => Some(n.toString)
+    case (n: java.lang.Double, _: DoubleType) =>
+      if (java.lang.Double.isFinite(n)) Some(n.toString) else None
+    case (n: java.lang.Float, _: FloatType) =>
+      if (java.lang.Float.isFinite(n)) Some(n.toString) else None
+    case (b: java.lang.Boolean, _: BooleanType) => Some(b.toString)
+    case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
+      Some(s""""${esc(b.toStringUsingUTF8)}"""")
+    case _ => None
+  }
+}

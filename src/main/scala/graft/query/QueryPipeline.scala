@@ -78,13 +78,56 @@ object QueryPipeline {
   def run(spark: SparkSession, table: TableConfig, req: Request,
       basic: BasicConfig = BasicConfig(),
       partitionCols: Seq[String] = Nil): DataFrame = {
+    val ft = table.datasource.fileType.toLowerCase
     val df = DataSources.read(spark, table.datasource,
       icebergPartitionFilter =
-        if (table.datasource.fileType.equalsIgnoreCase("iceberg"))
-          icebergServingFilter(table, req)
-        else Map.empty)
+        if (ft == "iceberg") icebergServingFilter(table, req) else Map.empty,
+      deltaSkipFilters =
+        if (ft == "delta") deltaServingFilters(table, req) else Nil)
     runOn(df, table, req, basic, partitionCols)
   }
+
+  /** The request's effective scalar params — explicitly provided ones
+    * plus the defaults the pipeline would add — shared by the
+    * construction-time pruning paths (iceberg partition filter, delta
+    * stats skipping). Combi params are excluded: their OR-of-maps
+    * semantics must never strengthen a conjunctive plan filter.
+    */
+  private def resolvedScalarParams(table: TableConfig,
+      req: Request): Seq[(graft.config.Param, String, Any)] = {
+    val resolved = req.params.toSeq.flatMap { case (key, value) =>
+      ParamResolver.resolve(table.params, key)
+        .map { case (p, op) => (p, op, value) }
+    }
+    val provided = resolved.map(_._1.name).toSet
+    val defaults = table.params
+      .filter(p => p.default.isDefined && !provided.contains(p.name) &&
+        p.combi.isEmpty)
+      .map(p => (p, "=", p.default.get: Any))
+    (resolved ++ defaults).filter(_._1.combi.isEmpty)
+  }
+
+  /** Stats-based data skipping for delta-served tables: `=` and range
+    * request params become [[graft.sources.DeltaLogReader.SkipPredicate]]s
+    * so point lookups and range scans drop files whose log-carried
+    * [min, max] provably excludes them — before a single task plans.
+    * Fail-open (the reader keeps files on any uncertainty) and strictly
+    * plan-narrowing (the full predicate still applies downstream).
+    */
+  private[query] def deltaServingFilters(table: TableConfig,
+      req: Request): Seq[graft.sources.DeltaLogReader.SkipPredicate] =
+    resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
+      val normalized = op match {
+        case "=" | "==" => Some("=")
+        case "<" | "<=" | ">" | ">=" => Some(op)
+        case _ => None
+      }
+      (normalized, value) match {
+        case (Some(o), s: String) if s.nonEmpty =>
+          Some(graft.sources.DeltaLogReader.SkipPredicate(p.column, o, s))
+        case _ => None
+      }
+    }
 
   /** Manifest-level partition pruning for iceberg-served tables — the
     * iceberg analog of the md5-helper rewrite: an `=` request param whose
@@ -104,17 +147,8 @@ object QueryPipeline {
         table.datasource.uri)
       catch { case scala.util.control.NonFatal(_) => return Map.empty }
     if (sources.isEmpty) return Map.empty
-    val resolved = req.params.toSeq.flatMap { case (key, value) =>
-      ParamResolver.resolve(table.params, key)
-        .map { case (p, op) => (p, op, value) }
-    }
-    val provided = resolved.map(_._1.name).toSet
-    val defaults = table.params
-      .filter(p => p.default.isDefined && !provided.contains(p.name) &&
-        p.combi.isEmpty)
-      .map(p => (p, "=", p.default.get: Any))
-    (resolved ++ defaults).flatMap { case (p, op, value) =>
-      if (!(op == "=" || op == "==") || p.combi.isDefined) None
+    resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
+      if (!(op == "=" || op == "==")) None
       else sources.collectFirst {
         case (src, (field, dt)) if src.equalsIgnoreCase(p.column) =>
           renderPartitionValue(value, dt).map(field -> _)

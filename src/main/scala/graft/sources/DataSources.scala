@@ -28,12 +28,15 @@ object DataSources {
     * file type ignores it.
     */
   def read(spark: SparkSession, ds: DatasourceConfig,
-      icebergPartitionFilter: Map[String, String] = Map.empty): DataFrame = {
+      icebergPartitionFilter: Map[String, String] = Map.empty,
+      deltaSkipFilters: Seq[DeltaLogReader.SkipPredicate] = Nil)
+      : DataFrame = {
     val reader = spark.read.options(ds.options)
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
         DeltaLogReader.read(spark, ds.uri,
-          ds.options.get("versionAsOf").map(_.toLong))
+          ds.options.get("versionAsOf").map(_.toLong),
+          skipFilters = deltaSkipFilters)
       case "parquet" | "delta" => reader.parquet(ds.uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         IcebergReader.read(spark, ds.uri,

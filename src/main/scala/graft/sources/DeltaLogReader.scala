@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -33,8 +33,13 @@ import scala.jdk.CollectionConverters._
   */
 object DeltaLogReader {
 
+  /** `stats`: the add's per-file statistics JSON (numRecords, minValues,
+    * maxValues, nullCount) when the writer emitted one — the data-
+    * skipping plane [[read]]'s `skipFilters` prunes against.
+    */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-      deletionVector: Option[DeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeletionVectors.Descriptor] = None,
+      stats: Option[String] = None)
 
   /** The table's protocol action as last seen in the log (feature lists
     * empty below reader 3 / writer 7, where versions imply the features).
@@ -184,6 +189,68 @@ object DeltaLogReader {
       metaDataId, protocol)
   }
 
+  /** Can a file whose stats JSON is `statsOpt` contain a row matching
+    * `col op value`? Fail-open on every uncertainty (no stats, no
+    * bounds, unparseable value, unsupported type) — skipping may only
+    * ever drop PROVABLY non-matching files.
+    */
+  private def statsMayMatch(statsOpt: Option[String], col: String,
+      op: String, value: String, dt: DataType): Boolean = statsOpt match {
+    case None => true
+    case Some(json) =>
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = mapper.readTree(json)
+        def bound(kind: String): Option[JsonNode] =
+          Option(n.get(kind)).flatMap(m => Option(m.get(col)))
+            .filterNot(_.isNull)
+        (bound("minValues"), bound("maxValues")) match {
+          case (Some(mn), Some(mx)) =>
+            (cmpStat(mn, value, dt), cmpStat(mx, value, dt)) match {
+              case (Some(cMin), Some(cMax)) => op match {
+                // cMin = sign(min - v), cMax = sign(max - v)
+                case "=" | "==" => cMin <= 0 && cMax >= 0
+                case "<" => cMin < 0 // some value < v exists iff min < v
+                case "<=" => cMin <= 0
+                case ">" => cMax > 0
+                case ">=" => cMax >= 0
+                case _ => true
+              }
+              case _ => true
+            }
+          case _ => true
+        }
+      } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** sign(statValue − requestValue) under the column type, None when the
+    * pair is not comparable. Strings compare as UNSIGNED UTF-8 bytes —
+    * the order parquet computed the bounds in.
+    */
+  private def cmpStat(stat: JsonNode, value: String,
+      dt: DataType): Option[Int] = try {
+    dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        Some(java.lang.Long.compare(stat.asLong, value.trim.toLong))
+      case _: DoubleType | _: FloatType =>
+        val v = value.trim.toDouble
+        if (v.isNaN) None
+        else Some(java.lang.Double.compare(stat.asDouble, v))
+      case _: BooleanType =>
+        Some(java.lang.Boolean.compare(stat.asBoolean,
+          value.trim.equalsIgnoreCase("true") || value.trim == "1"))
+      case _: DateType =>
+        Some(java.lang.Long.compare(
+          java.time.LocalDate.parse(stat.asText).toEpochDay,
+          java.time.LocalDate.parse(value.trim.take(10)).toEpochDay))
+      case _: StringType =>
+        val a = stat.asText.getBytes("UTF-8")
+        val b = value.getBytes("UTF-8")
+        Some(java.util.Arrays.compareUnsigned(a, b))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private def parseAdd(a: JsonNode): AddFile = {
     val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
       DeletionVectors.Descriptor(
@@ -195,7 +262,8 @@ object DeltaLogReader {
         d.get("sizeInBytes").asInt,
         d.get("cardinality").asLong)
     }
-    AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")), dv)
+    AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")), dv,
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
   }
 
   /** Delta stores `add.path`/`remove.path` percent-encoded (URI syntax,
@@ -319,9 +387,32 @@ object DeltaLogReader {
     * decode). Files without a DV skip the metadata projection and the join
     * entirely — an undeleted table pays nothing.
     */
+  /** One data-skipping predicate for [[read]]: the raw (request-string)
+    * value compared against each file's stats bounds under the table
+    * column's type. Ops: `=`, `<`, `<=`, `>`, `>=`.
+    */
+  final case class SkipPredicate(column: String, op: String, value: String)
+
   def read(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf)
+      versionAsOf: Option[Long] = None,
+      skipFilters: Seq[SkipPredicate] = Nil): DataFrame = {
+    val snap0 = snapshot(spark, tablePath, versionAsOf)
+    // stats-based FILE skipping (the log-metadata twin of parquet
+    // row-group pruning): a file whose [min, max] provably excludes a
+    // predicate is dropped at PLANNING time — no task, no footer read.
+    // Strictly plan-narrowing and fail-open: files without stats or
+    // bounds, unparseable values and unknown columns are all kept, and
+    // the caller's real predicate still applies on the frame.
+    val snap =
+      if (skipFilters.isEmpty) snap0
+      else {
+        val typed = skipFilters.flatMap(p => snap0.schema.fields
+          .find(_.name.equalsIgnoreCase(p.column)).map(f => (p, f)))
+        snap0.copy(files = snap0.files.filter(f =>
+          typed.forall { case (p, fld) =>
+            statsMayMatch(f.stats, fld.name, p.op, p.value, fld.dataType)
+          }))
+      }
     val mapped = snap.columnMappingMode == "name"
     val dataFields = snap.dataSchema.fields
     val physicalSchema = StructType(dataFields.map(f => f.copy(name = physicalName(f))))

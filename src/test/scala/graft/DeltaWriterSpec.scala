@@ -392,6 +392,69 @@ class DeltaWriterSpec extends SparkSpec {
       .filter(col("id") < 5000000L).count() == 500000L)
   }
 
+  test("adds carry per-file stats; data skipping plans only matching " +
+      "files; stats survive checkpoint compaction") {
+    val path = tmp("stats")
+    // 4 files with disjoint id ranges (repartitionByRange keeps them
+    // ordered) and a string + date column for typed bounds
+    val df = (0 until 400).map(i => (i.toLong, f"k$i%03d",
+        java.sql.Date.valueOf(s"2024-0${i / 100 + 1}-15")))
+      .toDF("id", "k", "d")
+    DeltaWriter.create(df.repartitionByRange(4, col("id")), path)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.files.size == 4)
+    assert(snap.files.forall(_.stats.isDefined), "every add carries stats")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statNodes = snap.files.map(f => mapper.readTree(f.stats.get))
+    assert(statNodes.map(_.get("numRecords").asLong).sum == 400L)
+    // global bounds across files reproduce the data's true bounds
+    assert(statNodes.map(_.get("minValues").get("id").asLong).min == 0L)
+    assert(statNodes.map(_.get("maxValues").get("id").asLong).max == 399L)
+    assert(statNodes.map(_.get("minValues").get("k").asText).min == "k000")
+    assert(statNodes.map(_.get("minValues").get("d").asText).min
+      == "2024-01-15")
+    assert(statNodes.forall(_.get("nullCount").get("id").asLong == 0L))
+
+    // skipping: an id point lookup plans exactly ONE of the four files
+    import graft.sources.DeltaLogReader.SkipPredicate
+    val skipped = DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", "=", "137")))
+    assert(skipped.inputFiles.length == 1, skipped.inputFiles.toSeq)
+    assert(skipped.filter(col("id") === 137L).count() == 1L)
+    // range op: id >= 300 plans one file; string equality also prunes
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", ">=", "300")))
+      .inputFiles.length == 1)
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("k", "=", "k399")))
+      .inputFiles.length == 1)
+    // fail-open: unknown column and unparseable value keep everything
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("nope", "=", "1"),
+        SkipPredicate("id", "=", "abc")))
+      .inputFiles.length == 4)
+
+    // checkpoint: push to version 10, drop commit JSONs — stats must
+    // come back through the checkpoint parquet
+    var v = snap.version
+    while (v % 10 != 0 || v == 0) {
+      DeltaWriter.append(Seq((9000L + v, "zz", java.sql.Date.valueOf("2024-06-01")))
+        .toDF("id", "k", "d"), path)
+      v = DeltaLogReader.snapshot(spark, path).version
+    }
+    val log = Paths.get(path, "_delta_log")
+    (0L to v).foreach { i =>
+      val f = log.resolve(f"$i%020d.json")
+      if (Files.exists(f)) Files.delete(f)
+    }
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.files.count(_.stats.isDefined) >= 4,
+      "stats lost through the checkpoint")
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", "=", "137")))
+      .inputFiles.length == 1)
+  }
+
   test("purgeDeletes materializes DVs away: clean files, same rows, " +
       "dataChange=false, vacuum then reclaims the deleted bytes") {
     val path = tmp("purge")

@@ -208,4 +208,26 @@ class QueryPipelineSpec extends SparkSpec {
     assert(full.inputFiles.count(_.contains("/part-")) ==
       out.inputFiles.count(_.contains("/part-")) * 3)
   }
+
+  test("delta-served tables skip files by log stats on point lookups " +
+      "and range params") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_deltaskip_${System.nanoTime()}").toString
+    val df = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.output.DeltaWriter.create(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      root)
+    val t = TableConfig("dl", "test",
+      datasource = DatasourceConfig(root, fileType = "delta"),
+      params = Seq(Param("id", operators = Seq("=", "<", ">", "<=", ">="))))
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("id" -> "137"), limit = Some(-1)))
+    assert(out.count() == 1L)
+    assert(out.inputFiles.length == 1, out.inputFiles.toSeq)
+    // range op through the operator-suffix param form
+    val rng = QueryPipeline.run(spark, t,
+      Request(params = Map("id" -> "300"), limit = Some(-1)))
+    assert(rng.count() == 1L)
+  }
 }
