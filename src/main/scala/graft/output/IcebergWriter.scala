@@ -68,7 +68,7 @@ object IcebergWriter {
     val root = newTableRoot(path)
     val location = root.toString
     val spec = specFor(df.schema, partitionBy)
-    val files = writeData(df, root, spec)
+    val files = writeData(df, root, spec, topFieldIds(df.schema))
     val seq = 1L
     val manifest = writeManifest(root, location, files, spec = spec)
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
@@ -268,7 +268,8 @@ object IcebergWriter {
     // data + manifest are written ONCE: ADDED entries carry null sequence
     // numbers (inherited from the manifest LIST), so a commit retry only
     // re-stamps the list, never the manifest or the data
-    val files = writeData(df, root, spec)
+    val files = writeData(df, root, spec,
+      invertIds(graft.sources.IcebergReader.currentSchema(md0)._2))
     val manifest = writeManifest(root, location, files, spec = spec)
 
     // optimistic-concurrency retry: re-read the metadata, re-validate,
@@ -410,7 +411,7 @@ object IcebergWriter {
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
 
-    val dataFiles = writeData(updates, st.root, st.spec)
+    val dataFiles = writeData(updates, st.root, st.spec, invertIds(st.fieldNames))
     val seq = st.md.get("last-sequence-number").asLong() + 1
     val dataManifest = writeManifest(st.root, st.location, dataFiles,
       spec = st.spec)
@@ -770,7 +771,46 @@ object IcebergWriter {
       absPath: Option[String] = None,
       partition: Seq[(String, AnyRef)] = Nil,
       snapshotId: Option[Long] = None, fileSeq: Option[Long] = None,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      colStats: Seq[ColStat] = Nil)
+
+  /** Per-column manifest statistics of one data file (spec data_file
+    * fields 109/110/125/128): value/null counts plus the single-value-
+    * serialized lower/upper bounds external planners prune against —
+    * and [[graft.sources.IcebergReader.read]]'s own skipFilters.
+    */
+  private[output] case class ColStat(fieldId: Int, valueCount: Long,
+      nullCount: Long, lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** Top-level column name → iceberg field id of a Spark schema —
+    * identical id assignment to [[icebergSchema]]. */
+  private def topFieldIds(schema: StructType): Map[String, Int] = {
+    val (schemaJson, _) = icebergSchema(schema)
+    schemaJson.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+  }
+
+  private def invertIds(fieldNames: Map[Int, String]): Map[String, Int] =
+    fieldNames.map(_.swap)
+
+  /** Footer-derived [[ColStat]]s for one data file under the table's
+    * top-level field ids — metadata-plane (one footer read, shared with
+    * the record-count read path).
+    */
+  private def colStatsFor(file: Path, schema: StructType,
+      fieldIds: Map[String, Int]): Seq[ColStat] =
+    if (fieldIds.isEmpty) Nil
+    else ParquetStats.columnBounds(file).toSeq.flatMap {
+      case (numRecords, byCol) =>
+        schema.fields.toSeq.flatMap { f =>
+          for {
+            fid <- fieldIds.get(f.name)
+            b <- byCol.get(f.name)
+          } yield ColStat(fid, numRecords, b.nullCount,
+            Option(b.min).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)),
+            Option(b.max).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)))
+        }
+    }
 
   /** An EXISTING manifest entry carrying a live file forward unchanged:
     * path pinned (location-form under this table, absolute otherwise),
@@ -788,7 +828,12 @@ object IcebergWriter {
       seq = Some(e.seq), existing = true, absPath = Some(manifestPath),
       partition = e.partitionValues,
       snapshotId = e.snapshotId, fileSeq = e.fileSeq,
-      equalityIds = e.equalityIds)
+      equalityIds = e.equalityIds,
+      // bounds recomputed from the footer (metadata-plane): carried
+      // entries keep their pruning power through every rewrite
+      colStats =
+        if (e.content == 0) colStatsFor(p, st.schema, invertIds(st.fieldNames))
+        else Nil)
   }
   /** `minSeq`: the true minimum entry sequence in the manifest when it
     * differs from the ref's own seq (rewrite manifests carrying old
@@ -820,7 +865,8 @@ object IcebergWriter {
     * per-partition driver loop.
     */
   private def writeData(df: DataFrame, root: Path,
-      spec: Seq[SpecField] = Nil): Seq[WrittenFile] = {
+      spec: Seq[SpecField] = Nil,
+      fieldIds: Map[String, Int] = Map.empty): Seq[WrittenFile] = {
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val out = if (spec.isEmpty) {
       df.write.mode("overwrite").parquet(staging.toString)
@@ -832,7 +878,8 @@ object IcebergWriter {
         val name = p.getFileName.toString
         val dest = root.resolve("data").resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        WrittenFile(name, Files.size(dest), footerRecordCount(dest))
+        WrittenFile(name, Files.size(dest), footerRecordCount(dest),
+          colStats = colStatsFor(dest, df.schema, fieldIds))
       }
     } else {
       import org.apache.spark.sql.functions.col
@@ -871,7 +918,8 @@ object IcebergWriter {
         val dest = destDir.resolve(p.getFileName)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
         WrittenFile(s"$destRel/${p.getFileName}", Files.size(dest),
-          footerRecordCount(dest), partition = tuple)
+          footerRecordCount(dest), partition = tuple,
+          colStats = colStatsFor(dest, df.schema, fieldIds))
       }
     }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -997,7 +1045,7 @@ object IcebergWriter {
       if (st.spec.isEmpty) live.repartition(nOut)
       else live.repartition(nOut,
         st.spec.map(f => col(s"`${f.source}`")).distinct: _*)
-    val compacted = writeData(balanced, st.root, st.spec)
+    val compacted = writeData(balanced, st.root, st.spec, invertIds(st.fieldNames))
 
     val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
     // pin each entry's EXISTING path explicitly (location-form for files
@@ -1146,7 +1194,8 @@ object IcebergWriter {
     val replacement = live
       .filter(col("__f").isin(affectedSet.toSeq: _*))
       .drop("__f", "__p", "__seq")
-    val newFiles = writeData(replacement, st.root, st.spec)
+    val newFiles = writeData(replacement, st.root, st.spec,
+      invertIds(st.fieldNames))
       .filter(_.records > 0)
     val kept = dataEntries.filterNot(e => affectedSet.contains(norm(e.localPath)))
       .map(existingFile(_, st))
@@ -1259,6 +1308,10 @@ object IcebergWriter {
           |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
           |{"name":"record_count","type":"long","field-id":103},
           |{"name":"file_size_in_bytes","type":"long","field-id":104},
+          |{"name":"value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},
+          |{"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+          |{"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+          |{"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
           |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
     })
 
@@ -1299,6 +1352,33 @@ object IcebergWriter {
       d.put("partition", part)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.size)
+      if (f.colStats.nonEmpty) {
+        def kvArray(field: String, value: ColStat => Option[Any])
+            : java.util.List[GenericRecord] = {
+          val itemSchema = {
+            val s = dfSchema.getField(field).schema()
+            s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+              .getElementType
+          }
+          f.colStats.flatMap { cs =>
+            value(cs).map { v =>
+              val r = new GenericData.Record(itemSchema)
+              r.put("key", cs.fieldId)
+              r.put("value", v match {
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case other => other
+              })
+              r: GenericRecord
+            }
+          }.asJava
+        }
+        d.put("value_counts", kvArray("value_counts",
+          cs => Some(Long.box(cs.valueCount))))
+        d.put("null_value_counts", kvArray("null_value_counts",
+          cs => Some(Long.box(cs.nullCount))))
+        d.put("lower_bounds", kvArray("lower_bounds", _.lower))
+        d.put("upper_bounds", kvArray("upper_bounds", _.upper))
+      }
       val ids = if (f.equalityIds.nonEmpty) f.equalityIds else equalityIds
       if (ids.nonEmpty)
         d.put("equality_ids", ids.map(Int.box).asJava)

@@ -28,7 +28,18 @@ import scala.jdk.CollectionConverters._
   */
 private[output] object ParquetStats {
 
-  def statsJson(file: Path, schema: StructType): Option[String] = try {
+  /** Raw (parquet-typed) merged bounds of one top-level column: min/max
+    * are Integer/Long/Float/Double/Boolean/Binary as the footer carries
+    * them; null when any chunk lacked non-null values.
+    */
+  final case class ColumnBounds(min: Any, max: Any, nullCount: Long)
+
+  /** (total record count, per-top-level-column merged bounds) from the
+    * FOOTER — the shared extraction both stats renderers (Delta JSON,
+    * Iceberg binary single-value) consume. Columns with stats-less
+    * chunks are absent (consumers must fail open).
+    */
+  def columnBounds(file: Path): Option[(Long, Map[String, ColumnBounds])] = try {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri),
       new org.apache.hadoop.conf.Configuration())
@@ -62,28 +73,69 @@ private[output] object ParquetStats {
           }
         }
       }
+      Some((numRecords, byCol.collect {
+        case (name, agg) if agg.usable =>
+          name -> ColumnBounds(
+            if (agg.min == null) null else agg.min.genericGetMin,
+            if (agg.max == null) null else agg.max.genericGetMax,
+            agg.nulls)
+      }.toMap))
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  def statsJson(file: Path, schema: StructType): Option[String] =
+    columnBounds(file).map { case (numRecords, byCol) =>
       val fields = schema.fields.filter(f => byCol.contains(f.name))
       val mins = Seq.newBuilder[String]
       val maxs = Seq.newBuilder[String]
       val nulls = Seq.newBuilder[String]
       fields.foreach { f =>
-        val agg = byCol(f.name)
-        if (agg.usable) {
-          nulls += s""""${esc(f.name)}":${agg.nulls}"""
-          if (agg.min != null && agg.max != null) {
-            for {
-              mn <- render(agg.min.genericGetMin, f.dataType)
-              mx <- render(agg.max.genericGetMax, f.dataType)
-            } {
-              mins += s""""${esc(f.name)}":$mn"""
-              maxs += s""""${esc(f.name)}":$mx"""
-            }
+        val b = byCol(f.name)
+        nulls += s""""${esc(f.name)}":${b.nullCount}"""
+        if (b.min != null && b.max != null) {
+          for {
+            mn <- render(b.min, f.dataType)
+            mx <- render(b.max, f.dataType)
+          } {
+            mins += s""""${esc(f.name)}":$mn"""
+            maxs += s""""${esc(f.name)}":$mx"""
           }
         }
       }
-      Some(s"""{"numRecords":$numRecords,"minValues":{${mins.result().mkString(",")}},"maxValues":{${maxs.result().mkString(",")}},"nullCount":{${nulls.result().mkString(",")}}}""")
-    } finally reader.close()
-  } catch { case scala.util.control.NonFatal(_) => None }
+      s"""{"numRecords":$numRecords,"minValues":{${mins.result().mkString(",")}},"maxValues":{${maxs.result().mkString(",")}},"nullCount":{${nulls.result().mkString(",")}}}"""
+    }
+
+  /** Iceberg single-value serialization (table spec Appendix D) of one
+    * parquet stats value under the Spark type — the bytes that land in a
+    * manifest entry's lower/upper_bounds map. None = not representable
+    * (consumers must fail open).
+    */
+  def icebergSingleValue(v: Any, dt: DataType): Option[Array[Byte]] = {
+    def le(n: Int, bytes: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def le8(n: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+    (v, dt) match {
+      case (n: java.lang.Integer, _: IntegerType | _: DateType) =>
+        Some(le(n, 4))
+      case (n: java.lang.Long, _: LongType | _: TimestampType |
+          _: TimestampNTZType) => Some(le8(n))
+      case (n: java.lang.Float, _: FloatType) if java.lang.Float.isFinite(n) =>
+        Some(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(n).array())
+      case (n: java.lang.Double, _: DoubleType)
+          if java.lang.Double.isFinite(n) =>
+        Some(java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(n).array())
+      case (b: java.lang.Boolean, _: BooleanType) =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
+        Some(b.getBytes)
+      case _ => None
+    }
+  }
 
   private def compareGeneric(a: Statistics[_], b: Statistics[_]): Int =
     a.genericGetMin.asInstanceOf[Comparable[Any]]

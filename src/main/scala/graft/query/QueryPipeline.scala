@@ -82,8 +82,9 @@ object QueryPipeline {
     val df = DataSources.read(spark, table.datasource,
       icebergPartitionFilter =
         if (ft == "iceberg") icebergServingFilter(table, req) else Map.empty,
-      deltaSkipFilters =
-        if (ft == "delta") deltaServingFilters(table, req) else Nil)
+      skipFilters =
+        if (ft == "delta" || ft == "iceberg") servingSkipFilters(table, req)
+        else Nil)
     runOn(df, table, req, basic, partitionCols)
   }
 
@@ -107,15 +108,16 @@ object QueryPipeline {
     (resolved ++ defaults).filter(_._1.combi.isEmpty)
   }
 
-  /** Stats-based data skipping for delta-served tables: `=` and range
-    * request params become [[graft.sources.DeltaLogReader.SkipPredicate]]s
-    * so point lookups and range scans drop files whose log-carried
-    * [min, max] provably excludes them — before a single task plans.
-    * Fail-open (the reader keeps files on any uncertainty) and strictly
-    * plan-narrowing (the full predicate still applies downstream).
+  /** Stats-based data skipping for delta- and iceberg-served tables:
+    * `=` and range request params become [[graft.sources.SkipPredicate]]s
+    * so point lookups and range scans drop files whose recorded
+    * [min, max] (delta log stats / iceberg manifest bounds) provably
+    * excludes them — before a single task plans. Fail-open (the readers
+    * keep files on any uncertainty) and strictly plan-narrowing (the
+    * full predicate still applies downstream).
     */
-  private[query] def deltaServingFilters(table: TableConfig,
-      req: Request): Seq[graft.sources.DeltaLogReader.SkipPredicate] =
+  private[query] def servingSkipFilters(table: TableConfig,
+      req: Request): Seq[graft.sources.SkipPredicate] =
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
       val normalized = op match {
         case "=" | "==" => Some("=")
@@ -124,7 +126,7 @@ object QueryPipeline {
       }
       (normalized, value) match {
         case (Some(o), s: String) if s.nonEmpty =>
-          Some(graft.sources.DeltaLogReader.SkipPredicate(p.column, o, s))
+          Some(graft.sources.SkipPredicate(p.column, o, s))
         case _ => None
       }
     }

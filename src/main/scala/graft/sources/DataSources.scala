@@ -22,27 +22,29 @@ import org.apache.spark.sql.functions.col
 object DataSources {
 
   /** `icebergPartitionFilter`: manifest-level partition pruning for
-    * iceberg sources (rendered values per
-    * [[IcebergReader.read]]'s contract) — the serving path derives it
-    * from `=` request params on identity partition columns; every other
-    * file type ignores it.
+    * iceberg sources (rendered values per [[IcebergReader.read]]'s
+    * contract) — the serving path derives it from `=` request params on
+    * identity partition columns. `skipFilters`: stats/bounds data
+    * skipping for delta (log stats) and iceberg (manifest bounds)
+    * sources. Every other file type ignores both.
     */
   def read(spark: SparkSession, ds: DatasourceConfig,
       icebergPartitionFilter: Map[String, String] = Map.empty,
-      deltaSkipFilters: Seq[DeltaLogReader.SkipPredicate] = Nil)
+      skipFilters: Seq[SkipPredicate] = Nil)
       : DataFrame = {
     val reader = spark.read.options(ds.options)
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
         DeltaLogReader.read(spark, ds.uri,
           ds.options.get("versionAsOf").map(_.toLong),
-          skipFilters = deltaSkipFilters)
+          skipFilters = skipFilters)
       case "parquet" | "delta" => reader.parquet(ds.uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         IcebergReader.read(spark, ds.uri,
           ds.options.get("snapshotId").map(_.toLong),
           ds.options.get("asOfTimestampMs").map(_.toLong),
-          partitionFilter = icebergPartitionFilter)
+          partitionFilter = icebergPartitionFilter,
+          skipFilters = skipFilters)
       case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
       case "csv" =>
         reader

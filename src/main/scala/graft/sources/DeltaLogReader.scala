@@ -387,12 +387,6 @@ object DeltaLogReader {
     * decode). Files without a DV skip the metadata projection and the join
     * entirely — an undeleted table pays nothing.
     */
-  /** One data-skipping predicate for [[read]]: the raw (request-string)
-    * value compared against each file's stats bounds under the table
-    * column's type. Ops: `=`, `<`, `<=`, `>`, `>=`.
-    */
-  final case class SkipPredicate(column: String, op: String, value: String)
-
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
       skipFilters: Seq[SkipPredicate] = Nil): DataFrame = {

@@ -82,9 +82,14 @@ object IcebergReader {
     * manifest-level pruning key. Empty for unpartitioned tables and
     * foreign manifests without tuples.
     */
+  /** `bounds`: field id → (lower, upper) single-value-serialized bytes
+    * from the manifest entry (spec fields 125/128) — the per-file
+    * skipping plane; empty for entries written without stats.
+    */
   private case class DataFileEntry(path: String, seq: Long,
       equalityIds: Seq[Int] = Nil,
-      partitionValues: Map[String, String] = Map.empty)
+      partitionValues: Map[String, String] = Map.empty,
+      bounds: Map[Int, (Option[Array[Byte]], Option[Array[Byte]])] = Map.empty)
 
   private case class Snapshot(
       schema: StructType,
@@ -165,7 +170,8 @@ object IcebergReader {
           val content = intField(df, "content", manifestContent)
           content match {
             case 0 => data += DataFileEntry(path, seq,
-              partitionValues = partitionTuple(df))
+              partitionValues = partitionTuple(df),
+              bounds = entryBounds(df))
             case 1 => deletes += DataFileEntry(path, seq)
             case 2 =>
               val ids = fieldOpt(df, "equality_ids")
@@ -209,6 +215,85 @@ object IcebergReader {
           } yield src -> (f.get("name").asText(), fld.dataType)
         }.toMap
     }
+  }
+
+  /** Decode one bounds map (Avro map-as-array of (key int, value bytes)
+    * records) off a manifest entry's data_file record.
+    */
+  private def boundsMap(df: GenericRecord,
+      field: String): Map[Int, Array[Byte]] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    Option(df.get(field)).map {
+      case l: java.util.List[_] => l.asScala.collect {
+        case r: GenericRecord =>
+          val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining())
+          bb.duplicate().get(bytes)
+          r.get("key").asInstanceOf[Number].intValue -> bytes
+      }.toMap
+      case _ => Map.empty[Int, Array[Byte]]
+    }.getOrElse(Map.empty)
+  }
+
+  /** Can a file whose bounds are `b` contain a row matching
+    * `op value` under `dt`? Fail-open everywhere.
+    */
+  private def boundsMayMatch(
+      b: Option[(Option[Array[Byte]], Option[Array[Byte]])],
+      op: String, value: String, dt: DataType): Boolean = b match {
+    case Some((Some(lo), Some(hi))) =>
+      (cmpBound(lo, value, dt), cmpBound(hi, value, dt)) match {
+        case (Some(cLo), Some(cHi)) => op match {
+          case "=" | "==" => cLo <= 0 && cHi >= 0
+          case "<" => cLo < 0
+          case "<=" => cLo <= 0
+          case ">" => cHi > 0
+          case ">=" => cHi >= 0
+          case _ => true
+        }
+        case _ => true
+      }
+    case _ => true
+  }
+
+  /** sign(boundValue − requestValue) where the bound is Appendix-D
+    * single-value bytes; strings compare as unsigned UTF-8 bytes (the
+    * iceberg string sort order). None = not comparable.
+    */
+  private def cmpBound(bound: Array[Byte], value: String,
+      dt: DataType): Option[Int] = try {
+    def le = java.nio.ByteBuffer.wrap(bound)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case _: IntegerType =>
+        Some(java.lang.Long.compare(le.getInt.toLong, value.trim.toLong))
+      case _: LongType =>
+        Some(java.lang.Long.compare(le.getLong, value.trim.toLong))
+      case _: DoubleType =>
+        val v = value.trim.toDouble
+        if (v.isNaN) None else Some(java.lang.Double.compare(le.getDouble, v))
+      case _: FloatType =>
+        val v = value.trim.toFloat
+        if (v.isNaN) None
+        else Some(java.lang.Float.compare(le.getFloat, v))
+      case _: BooleanType =>
+        Some(java.lang.Boolean.compare(bound(0) != 0,
+          value.trim.equalsIgnoreCase("true") || value.trim == "1"))
+      case _: DateType =>
+        Some(java.lang.Long.compare(le.getInt.toLong,
+          java.time.LocalDate.parse(value.trim.take(10)).toEpochDay))
+      case _: StringType =>
+        Some(java.util.Arrays.compareUnsigned(bound,
+          value.getBytes("UTF-8")))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def entryBounds(df: GenericRecord)
+      : Map[Int, (Option[Array[Byte]], Option[Array[Byte]])] = {
+    val lo = boundsMap(df, "lower_bounds")
+    val hi = boundsMap(df, "upper_bounds")
+    (lo.keySet ++ hi.keySet).map(k => k -> (lo.get(k), hi.get(k))).toMap
   }
 
   /** Render a manifest entry's `partition` record to by-name strings.
@@ -314,7 +399,8 @@ object IcebergReader {
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+      partitionFilter: Map[String, String] = Map.empty,
+      skipFilters: Seq[SkipPredicate] = Nil): DataFrame = {
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
@@ -322,11 +408,30 @@ object IcebergReader {
     // are conservatively KEPT (pruning may only ever drop provably
     // non-matching files); delete files are never pruned (a kept data
     // file's deletes must all apply).
-    val dataFiles =
+    val afterPartition =
       if (partitionFilter.isEmpty) snap.dataFiles
       else snap.dataFiles.filter(f => partitionFilter.forall { case (k, v) =>
         f.partitionValues.get(k).forall(_ == v)
       })
+    // manifest-BOUNDS skipping (the stats plane): files whose
+    // [lower, upper] bound provably excludes a predicate are dropped
+    // before planning; every uncertainty (no bounds, unknown column,
+    // unparseable value) keeps the file — the caller's real predicate
+    // still applies on the frame
+    val dataFiles =
+      if (skipFilters.isEmpty) afterPartition
+      else {
+        val nameToId = snap.fieldNames.map(_.swap)
+        val typed = skipFilters.flatMap { p =>
+          for {
+            fld <- snap.schema.fields.find(_.name.equalsIgnoreCase(p.column))
+            fid <- nameToId.get(fld.name)
+          } yield (p, fid, fld.dataType)
+        }
+        afterPartition.filter(f => typed.forall { case (p, fid, dt) =>
+          boundsMayMatch(f.bounds.get(fid), p.op, p.value, dt)
+        })
+      }
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -416,7 +416,7 @@ class DeltaWriterSpec extends SparkSpec {
     assert(statNodes.forall(_.get("nullCount").get("id").asLong == 0L))
 
     // skipping: an id point lookup plans exactly ONE of the four files
-    import graft.sources.DeltaLogReader.SkipPredicate
+    import graft.sources.SkipPredicate
     val skipped = DeltaLogReader.read(spark, path,
       skipFilters = Seq(SkipPredicate("id", "=", "137")))
     assert(skipped.inputFiles.length == 1, skipped.inputFiles.toSeq)

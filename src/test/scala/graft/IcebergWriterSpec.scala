@@ -651,6 +651,39 @@ class IcebergWriterSpec extends SparkSpec {
     assert(snapIds.sorted == (1L to 7L), snapIds)
   }
 
+  test("manifest entries carry column bounds; skipFilters plan only " +
+      "matching files; bounds survive compaction carries") {
+    import graft.sources.SkipPredicate
+    val path = tmp("bounds")
+    val df = (0 until 4000).map(i => (i.toLong, f"k$i%04d")).toDF("id", "k")
+    IcebergWriter.create(df.repartitionByRange(4, col("id")), path)
+    def dataInputs(d: org.apache.spark.sql.DataFrame) =
+      d.inputFiles.filter(_.contains("/part-"))
+    // point lookup plans ONE of four files; range op too; strings prune
+    val eq = IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", "=", "137")))
+    assert(dataInputs(eq).length == 1, dataInputs(eq).toSeq)
+    assert(eq.filter(col("id") === 137L).count() == 1L)
+    assert(dataInputs(IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", ">=", "3000")))).length == 1)
+    assert(dataInputs(IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("k", "=", "k3999")))).length == 1)
+    // fail-open: unknown column / unparseable value keep everything
+    assert(dataInputs(IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("nope", "=", "1"),
+        SkipPredicate("id", "=", "abc")))).length == 4)
+    // a rewrite that KEEPS files as EXISTING entries must keep their
+    // bounds: compact only the small appended files, then re-skip
+    IcebergWriter.append(Seq((9001L, "x1")).toDF("id", "k"), path)
+    IcebergWriter.append(Seq((9002L, "x2")).toDF("id", "k"), path)
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 2 * 1024) >= 2)
+    val after = IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", "=", "137")))
+    assert(dataInputs(after).length == 1, dataInputs(after).toSeq)
+    assert(after.filter(col("id") === 137L).count() == 1L)
+  }
+
   test("rewrite manifests pin snapshot_id and file_sequence_number on " +
       "EXISTING entries (spec: only ADDED entries inherit)") {
     import scala.jdk.CollectionConverters._

@@ -201,12 +201,31 @@ class QueryPipelineSpec extends SparkSpec {
     assert(QueryPipeline.run(spark, t,
       Request(params = Map("bucket" -> "02"), limit = Some(-1)))
       .count() == 30L)
-    // params on non-partition columns never prune
+    // params on non-partition columns never use PARTITION pruning (they
+    // may still bounds-skip, r13) — correctness is the invariant
     val full = QueryPipeline.run(spark, t,
       Request(params = Map("id" -> "5"), limit = Some(-1)))
     assert(full.count() == 1L)
-    assert(full.inputFiles.count(_.contains("/part-")) ==
-      out.inputFiles.count(_.contains("/part-")) * 3)
+    assert(full.inputFiles.count(_.contains("/part-")) >= 1)
+  }
+
+  test("iceberg-served tables ALSO skip files by manifest bounds on " +
+      "non-partition point lookups") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_iceskip_${System.nanoTime()}").toString
+    val df = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.output.IcebergWriter.create(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      root)
+    val t = TableConfig("iceskip", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("id")))
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("id" -> "137"), limit = Some(-1)))
+    assert(out.count() == 1L)
+    assert(out.inputFiles.count(_.contains("/part-")) == 1,
+      out.inputFiles.toSeq)
   }
 
   test("delta-served tables skip files by log stats on point lookups " +
