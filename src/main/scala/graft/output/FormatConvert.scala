@@ -68,10 +68,14 @@ object FormatConvert {
     val root = IcebergWriter.newTableRoot(icebergPath)
     val location = root.toString
     val seq = 1L
+    // column bounds extracted from the same footers the record counts
+    // come from: the converted table keeps its data-skipping power
+    val convFieldIds = IcebergWriter.topFieldIds(snap.schema)
     val dataFiles = snap.files.map { f =>
       val p = Paths.get(abs(f))
       IcebergWriter.WrittenFile(p.getFileName.toString, Files.size(p),
-        IcebergWriter.footerRecordCount(p), absPath = Some(abs(f)))
+        IcebergWriter.footerRecordCount(p), absPath = Some(abs(f)),
+        colStats = IcebergWriter.colStatsFor(p, snap.dataSchema, convFieldIds))
     }
     val refs = Seq.newBuilder[IcebergWriter.ManifestRef]
     refs += IcebergWriter.ManifestRef(
@@ -211,12 +215,16 @@ object FormatConvert {
     val adds = dataEntries.map { e =>
       val p = norm(e.localPath)
       val size = Files.size(Paths.get(p))
+      // per-file stats from the footer: the converted delta table is
+      // data-skippable from its first commit
+      val stats = ParquetStats.statsJson(Paths.get(p), st.schema)
+        .map(s => s""","stats":"${DeltaWriter.escape(s)}"""").getOrElse("")
       val dv = dvByFile.get(p).map { positions =>
         val (inline, dvSize) =
           graft.sources.DeletionVectors.encodeInline(positions)
         s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$dvSize,"cardinality":${positions.size}}"""
       }.getOrElse("")
-      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{${renderPv(e)}},"size":$size,"modificationTime":0,"dataChange":true$dv}}"""
+      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{${renderPv(e)}},"size":$size,"modificationTime":0,"dataChange":true$dv$stats}}"""
     }
     DeltaWriter.commit(root, 0L, Seq(protocol, metaData) ++ adds)
     dataEntries.size

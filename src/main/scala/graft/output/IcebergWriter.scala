@@ -784,7 +784,7 @@ object IcebergWriter {
 
   /** Top-level column name → iceberg field id of a Spark schema —
     * identical id assignment to [[icebergSchema]]. */
-  private def topFieldIds(schema: StructType): Map[String, Int] = {
+  private[output] def topFieldIds(schema: StructType): Map[String, Int] = {
     val (schemaJson, _) = icebergSchema(schema)
     schemaJson.get("fields").elements().asScala
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
@@ -797,7 +797,7 @@ object IcebergWriter {
     * top-level field ids — metadata-plane (one footer read, shared with
     * the record-count read path).
     */
-  private def colStatsFor(file: Path, schema: StructType,
+  private[output] def colStatsFor(file: Path, schema: StructType,
       fieldIds: Map[String, Int]): Seq[ColStat] =
     if (fieldIds.isEmpty) Nil
     else ParquetStats.columnBounds(file).toSeq.flatMap {
