@@ -77,7 +77,7 @@ object IcebergWriter {
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
   private val TruncateRe = """truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
-  private val TemporalRe = """(days|months|years)\(\s*(\w+)\s*\)""".r
+  private val TemporalRe = """(days|months|years|hours)\(\s*(\w+)\s*\)""".r
 
   /** Spec fields for `partitionBy` over `schema` — field ids 1000+
     * (spec: partition field ids start at 1000), source ids from the
@@ -115,12 +115,15 @@ object IcebergWriter {
             "truncate", c, w.toInt)
         case TemporalRe(t, c) =>
           val f = srcField(c)
-          require(Seq(DateType, TimestampType, TimestampNTZType)
-              .contains(f.dataType),
+          val allowed =
+            if (t == "hours") Seq(TimestampType, TimestampNTZType)
+            else Seq(DateType, TimestampType, TimestampNTZType)
+          require(allowed.contains(f.dataType),
             s"$t transform unsupported for ${f.dataType.simpleString} $c")
           val (canonical, suffix, result) = t match {
             case "days" => ("day", "day", DateType)
             case "months" => ("month", "month", IntegerType)
+            case "hours" => ("hour", "hour", IntegerType)
             case _ => ("year", "year", IntegerType)
           }
           SpecField(s"${c}_$suffix", result, fid, topIds(c), canonical, c)
@@ -468,6 +471,8 @@ object IcebergWriter {
           SpecField(name, DateType, fid, sourceId, "day", srcName)
         case "month" | "months" =>
           SpecField(name, IntegerType, fid, sourceId, "month", srcName)
+        case "hour" | "hours" =>
+          SpecField(name, IntegerType, fid, sourceId, "hour", srcName)
         case "year" | "years" =>
           SpecField(name, IntegerType, fid, sourceId, "year", srcName)
         case other => throw new IllegalArgumentException(
@@ -746,6 +751,63 @@ object IcebergWriter {
     victims.size
   }
 
+  /** Remove ORPHAN files — iceberg's standard third maintenance op
+    * (beside [[expireSnapshots]] and the rewrite family): files under
+    * the table's `data/` and `metadata/` directories referenced by NO
+    * snapshot at all — crash leftovers, manifest lists from lost commit
+    * retries, superseded `vN.metadata.json` older than the retained
+    * history. `olderThanMs` guards in-flight writers: only files whose
+    * mtime predates the horizon are candidates (default 0 = everything,
+    * the test-friendly setting; production passes a multi-hour horizon,
+    * exactly like iceberg's own RemoveOrphanFiles). Returns the number
+    * of files deleted. Driver-side, file-count-proportional.
+    */
+  def removeOrphanFiles(path: String, olderThanMs: Long = 0L): Int = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    val location = Option(md.get("location")).map(_.asText())
+      .getOrElse(root.toString)
+    val snaps = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toVector
+    val referenced: Set[Path] = snaps.flatMap { snap =>
+      val list = remapLocal(snap.get("manifest-list").asText(), location, root)
+      val out = Set.newBuilder[Path]
+      out += Paths.get(list)
+      if (Files.exists(Paths.get(list))) readAvro(list).foreach { m =>
+        val manifest = remapLocal(m.get("manifest_path").toString, location, root)
+        out += Paths.get(manifest)
+        if (Files.exists(Paths.get(manifest))) readAvro(manifest).foreach { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          out += Paths.get(remapLocal(d.get("file_path").toString, location, root))
+        }
+      }
+      out.result()
+    }.toSet + mdFile.toAbsolutePath.normalize
+    val horizon = System.currentTimeMillis() - olderThanMs
+    def isOrphan(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      !referenced.contains(p.toAbsolutePath.normalize) &&
+        Files.getLastModifiedTime(p).toMillis <= horizon &&
+        // never touch the current metadata json, the hint, or tmp files
+        // younger than the horizon; OLDER metadata jsons are orphans by
+        // definition (time travel resolves snapshots, not versions)
+        n != "version-hint.text"
+    }
+    val victims = (listDataFiles(root.resolve("data")) ++
+      listDataFiles(root.resolve("metadata"))).filter(isOrphan)
+    victims.foreach(Files.delete(_))
+    victims.size
+  }
+
+  private def listDataFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+      finally s.close()
+    }
+
   // ---------- data plane ----------
 
   /** `seq`/`existing` support rewrite manifests ([[rewriteDataFiles]]):
@@ -949,6 +1011,11 @@ object IcebergWriter {
       case "day" => to_date(src)
       case "month" => (year(src) - 1970) * 12 + (month(src) - 1)
       case "year" => year(src) - 1970
+      // hours since epoch: micros → hour bucket (timestamps only; the
+      // session is pinned UTC, matching iceberg's UTC temporal rule)
+      case "hour" =>
+        org.apache.spark.sql.functions.floor(
+          src.cast("long") / 3600L).cast("int")
       case other => throw new IllegalStateException(s"unknown transform $other")
     }
   }
@@ -1063,6 +1130,62 @@ object IcebergWriter {
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
     small.size
+  }
+
+  /** Z-ORDER rewrite — [[DeltaWriter.optimizeZOrder]]'s Iceberg twin,
+    * completing the layout family on both formats: every live row is
+    * re-written clustered by the interleaved z-value of (cx, cy), so the
+    * per-file lower/upper bounds the manifests now carry become NARROW
+    * on both columns and bounds-based skipping ([[graft.sources
+    * .IcebergReader.read]]'s skipFilters, external planners) prunes
+    * most files for point/range lookups on either column. Because the
+    * rewrite reads rows LIVE, all position AND equality deletes are
+    * materialized away in the same `replace` snapshot (the delete
+    * manifests are dropped — they'd be vacuous). Older snapshots still
+    * time-travel. Returns the number of data files replaced.
+    *
+    * Unpartitioned tables only: Spark's dynamic-partition write re-sorts
+    * each task's rows by partition key (unstably), which would scramble
+    * the z clustering inside partition directories — partitioned tables
+    * keep [[rewriteDataFiles]] + their partition pruning instead.
+    */
+  def rewriteZOrder(spark: org.apache.spark.sql.SparkSession, path: String,
+      cx: String, cy: String, targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 16): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val st = loadState(path)
+    require(st.spec.isEmpty,
+      "rewriteZOrder supports unpartitioned tables (partitioned tables " +
+        "keep partition pruning via rewriteDataFiles)")
+    require(st.schema.fieldNames.contains(cx) &&
+        st.schema.fieldNames.contains(cy),
+      s"z-order columns must be table columns of ${st.schema.fieldNames.toSeq}")
+    val dataEntries = st.entries.filter(_.content == 0)
+    if (dataEntries.isEmpty) return 0
+    def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val live = liveRows(spark, st).drop("__f", "__p", "__seq")
+    val r = live.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+      min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
+    if (r.anyNull) return 0
+    val totalBytes = dataEntries
+      .map(e => Files.size(Paths.get(norm(e.localPath)))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val z = graft.operators.Layout.zValue(
+      graft.operators.Layout.quantize(col(cx), r.getDouble(0), r.getDouble(1), bits),
+      graft.operators.Layout.quantize(col(cy), r.getDouble(2), r.getDouble(3), bits),
+      bits)
+    val clustered = live.withColumn("__z", z)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val newFiles = writeData(clustered, st.root, Nil, invertIds(st.fieldNames))
+      .filter(_.records > 0)
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val manifest = writeManifest(st.root, st.location, newFiles)
+    val list = writeManifestList(st.root, seq,
+      Seq(ManifestRef(manifest, 0, seq)))
+    commitNewSnapshot(st, seq, list, "replace")
+    dataEntries.size
   }
 
   /** Rebuild the current DELETE manifests (list content = 1 covers both

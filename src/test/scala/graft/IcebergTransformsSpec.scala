@@ -129,6 +129,23 @@ class IcebergTransformsSpec extends SparkSpec {
       df.filter(col("d") === java.sql.Date.valueOf("2010-01-15")).count())
   }
 
+  test("hours transform buckets timestamps by UTC hour") {
+    val path = tmp("hours")
+    val df = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:10:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:50:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 01:10:00"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ts")
+    IcebergWriter.create(df, path, partitionBy = Seq("hours(ts)"))
+    // 2024-01-01T00 UTC = 473352 hours since epoch
+    val h0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond / 3600
+    assert(Files.isDirectory(Paths.get(path, "data", s"ts_hour=$h0")))
+    assert(IcebergReader.read(spark, path,
+      partitionFilter = Map("ts_hour" -> h0.toString)).count() == 2L)
+    assert(IcebergReader.read(spark, path).count() == 3L)
+  }
+
   test("negative numbers truncate toward -infinity (spec rule)") {
     val path = tmp("neg")
     val df = Seq(-101L, -100L, -1L, 0L, 99L, 100L).toDF("id")

@@ -651,6 +651,85 @@ class IcebergWriterSpec extends SparkSpec {
     assert(snapIds.sorted == (1L to 7L), snapIds)
   }
 
+  test("rewriteZOrder clusters rows so bounds-skipping prunes on BOTH " +
+      "columns; deletes materialize away; history still travels") {
+    import graft.sources.SkipPredicate
+    val path = tmp("zorder")
+    // x ascending, y a scrambled permutation: x-ranged files have WIDE
+    // y bounds, so pre-zorder y lookups cannot skip anything
+    val df = (0 until 4000).map(i =>
+        (i.toLong, (i * 2654435761L) % 4000L, s"p$i"))
+      .toDF("x", "y", "p")
+    IcebergWriter.create(df.repartitionByRange(4, col("x")), path)
+    assert(IcebergWriter.deleteWhere(spark, path, col("x") === 7L) == 1L)
+    val before = IcebergReader.read(spark, path).orderBy("x").collect().toSeq
+    def plannedFor(p: SkipPredicate): Int =
+      IcebergReader.read(spark, path, skipFilters = Seq(p))
+        .inputFiles.count(_.contains("/part-"))
+    // pre-zorder: y lookups scan everything (every file spans most of y)
+    assert(plannedFor(SkipPredicate("y", "=", "137")) == 4)
+
+    assert(IcebergWriter.rewriteZOrder(spark, path, "x", "y",
+      targetBytes = 16 * 1024) == 4)
+    assert(IcebergReader.read(spark, path).orderBy("x").collect().toSeq
+      == before)
+    val total = IcebergReader.read(spark, path)
+      .inputFiles.count(_.contains("/part-"))
+    assert(total > 1, "need multiple output files for a pruning claim")
+    // post-zorder: BOTH columns prune below a full scan
+    assert(plannedFor(SkipPredicate("x", "=", "137")) < total)
+    assert(plannedFor(SkipPredicate("y", "=", "137")) < total)
+    // the position delete was materialized away: no delete files planned
+    assert(IcebergReader.read(spark, path)
+      .inputFiles.forall(!_.contains("delete-")))
+    assert(IcebergReader.read(spark, path)
+      .filter(col("x") === 7L).count() == 0L)
+    // pre-rewrite snapshots still replay
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L))
+      .count() == 4000L)
+    // partitioned tables are refused with the documented pointer
+    val pp = tmp("zorder_part")
+    IcebergWriter.create(
+      (0 until 20).map(i => (i.toLong, i % 2, "v")).toDF("a", "b", "c"),
+      pp, partitionBy = Seq("b"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.rewriteZOrder(spark, pp, "a", "b")
+    }.getMessage.contains("unpartitioned"))
+  }
+
+  test("removeOrphanFiles reclaims unreferenced leftovers, honors the " +
+      "age horizon, and never touches live state") {
+    val path = tmp("orphan")
+    IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "v"), path)
+    // plant orphans: a stray data parquet and a stray metadata avro
+    val strayData = Paths.get(path, "data", "stray-crash-leftover.parquet")
+    Files.writeString(strayData, "junk")
+    val strayMeta = Paths.get(path, "metadata", "m-stray.avro")
+    Files.writeString(strayMeta, "junk")
+    // a fresh-files horizon protects in-flight writers: nothing younger
+    // than an hour is touched
+    assert(IcebergWriter.removeOrphanFiles(path,
+      olderThanMs = 3600L * 1000) == 0)
+    assert(Files.exists(strayData) && Files.exists(strayMeta))
+    // horizon 0: the strays AND the superseded v1.metadata.json go
+    // (snapshot time travel resolves through the CURRENT metadata's
+    // snapshot list, which stays fully referenced)
+    val n = IcebergWriter.removeOrphanFiles(path)
+    assert(n >= 3, s"expected >=3 orphans, got $n")
+    assert(!Files.exists(strayData) && !Files.exists(strayMeta))
+    assert(!Files.exists(Paths.get(path, "metadata", "v1.metadata.json")))
+    // live state intact: current read AND snapshot time travel
+    assert(IcebergReader.read(spark, path).count() == 3L)
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L))
+      .count() == 2L)
+    // idempotent
+    assert(IcebergWriter.removeOrphanFiles(path) == 0)
+    // the table keeps working
+    IcebergWriter.append(Seq((4L, "d")).toDF("id", "v"), path)
+    assert(IcebergReader.read(spark, path).count() == 4L)
+  }
+
   test("manifest entries carry column bounds; skipFilters plan only " +
       "matching files; bounds survive compaction carries") {
     import graft.sources.SkipPredicate
