@@ -862,6 +862,29 @@ object SparkEntry {
           partitionFilter = Map("c_mktsegment" -> "BUILDING"))
         .orderBy(col("c_custkey"))
     }),
+    "q_iceberg_zorder" -> ((s, dir) => {
+      // z-order rewrite on an iceberg table: rows identical through the
+      // clustered layout (the narrow per-file bounds it produces are
+      // plan-asserted in IcebergWriterSpec; an oracle can only check the
+      // rows). The pre-rewrite delete must stay materialized away.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_zo_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "part")
+              .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+            root.toString)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("p_partkey") % 10 === 3)
+          graft.output.IcebergWriter.rewriteZOrder(s, root.toString,
+            "p_size", "p_retailprice", targetBytes = 256 * 1024)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("p_partkey"))
+    }),
     "q_iceberg_bucket" -> ((s, dir) => {
       // bucket[8]-partitioned create (spec-conformant murmur3 routing,
       // IcebergTransformsSpec pins the hash to the table spec's appendix
@@ -2059,6 +2082,9 @@ object SparkEntry {
     "q_iceberg_bucket" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_zorder" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+        |WHERE p_partkey % 10 <> 3 ORDER BY p_partkey""".stripMargin,
     "q_iceberg_rewrite_eq" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,
