@@ -145,17 +145,46 @@ object QueryPipeline {
   private[query] def icebergServingFilter(table: TableConfig,
       req: Request): Map[String, String] = {
     val sources =
-      try graft.sources.IcebergReader.identityPartitionSources(
+      try graft.sources.IcebergReader.servablePartitionSources(
         table.datasource.uri)
       catch { case scala.util.control.NonFatal(_) => return Map.empty }
     if (sources.isEmpty) return Map.empty
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
       if (!(op == "=" || op == "==")) None
       else sources.collectFirst {
-        case (src, (field, dt)) if src.equalsIgnoreCase(p.column) =>
-          renderPartitionValue(value, dt).map(field -> _)
+        case (src, ps) if src.equalsIgnoreCase(p.column) =>
+          ps.transform match {
+            case "identity" =>
+              renderPartitionValue(value, ps.sourceType)
+                .map(ps.field -> _)
+            case "bucket" =>
+              // the bucket of a request value is EXACTLY computable —
+              // the same spec-pinned murmur3 the writer routed with, so
+              // this can never drop a matching row
+              bucketOf(value, ps.sourceType, ps.param)
+                .map(b => ps.field -> b.toString)
+            case _ => None
+          }
       }.flatten
     }.toMap
+  }
+
+  private def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType,
+      n: Int): Option[Int] = v match {
+    case s: String if s.nonEmpty =>
+      import org.apache.spark.sql.types._
+      try dt match {
+        case IntegerType | LongType =>
+          Some(graft.plans.IcebergTransforms.bucketLong(s.trim.toLong, n))
+        case DateType =>
+          Some(graft.plans.IcebergTransforms.bucketLong(
+            java.time.LocalDate.parse(s.trim).toEpochDay, n))
+        case StringType =>
+          Some(graft.plans.IcebergTransforms.bucketOf(
+            graft.plans.IcebergTransforms.murmur3(s.getBytes("UTF-8")), n))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
   }
 
   /** Canonical rendered form of a request value under the partition

@@ -190,17 +190,28 @@ object IcebergReader {
     (data.result(), deletes.result(), eqDeletes.result())
   }
 
-  /** Identity-transform fields of the DEFAULT partition spec: source
-    * column name → (spec field name, source type). Metadata-plane only
-    * (one JSON read, no manifests) — the serving path uses this to turn
-    * `=` request filters into [[read]]'s `partitionFilter` so point
-    * lookups plan only their partition's files. Non-identity transforms
-    * are excluded: a raw request value is not their partition value.
+  /** One servable partition-source mapping: the spec field a request
+    * filter on `sourceType`-typed column can prune through. `transform`
+    * is `identity` or `bucket` (with `param` = N) — the two transforms
+    * whose partition value is EXACTLY computable from a request value
+    * (truncate/temporal would need range semantics, not equality).
     */
-  def identityPartitionSources(tablePath: String)
-      : Map[String, (String, DataType)] = {
+  final case class PartitionSource(field: String, sourceType: DataType,
+      transform: String, param: Int = 0)
+
+  /** Prunable fields of the DEFAULT partition spec by source column
+    * name. Metadata-plane only (one JSON read, no manifests) — the
+    * serving path uses this to turn `=` request filters into [[read]]'s
+    * `partitionFilter` so point lookups plan only their partition's
+    * files. Identity values render directly; bucket values hash through
+    * [[graft.plans.IcebergTransforms]] — the same spec-pinned murmur3
+    * the writer routed rows with.
+    */
+  def servablePartitionSources(tablePath: String)
+      : Map[String, PartitionSource] = {
     val md = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
     val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val BucketT = """bucket\[(\d+)\]""".r
     Option(md.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("spec-id").asInt() == specId) match {
@@ -208,11 +219,19 @@ object IcebergReader {
       case Some(sn) =>
         val (schema, fieldNames) = currentSchema(md)
         sn.get("fields").elements().asScala.flatMap { f =>
-          if (f.get("transform").asText() != "identity") None
-          else for {
+          for {
             src <- fieldNames.get(f.get("source-id").asInt())
             fld <- schema.fields.find(_.name == src)
-          } yield src -> (f.get("name").asText(), fld.dataType)
+            ps <- f.get("transform").asText() match {
+              case "identity" =>
+                Some(PartitionSource(f.get("name").asText(), fld.dataType,
+                  "identity"))
+              case BucketT(n) =>
+                Some(PartitionSource(f.get("name").asText(), fld.dataType,
+                  "bucket", n.toInt))
+              case _ => None
+            }
+          } yield src -> ps
         }.toMap
     }
   }

@@ -209,6 +209,26 @@ class QueryPipelineSpec extends SparkSpec {
     assert(full.inputFiles.count(_.contains("/part-")) >= 1)
   }
 
+  test("bucket-partitioned iceberg-served tables prune via the exact " +
+      "murmur3 the writer routed with") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_bucketprune_${System.nanoTime()}").toString
+    val df = (0 until 900).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.output.IcebergWriter.create(df, root,
+      partitionBy = Seq("bucket(8, id)"))
+    val t = TableConfig("icebucket", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("id")))
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("id" -> "137"), limit = Some(-1)))
+    assert(out.count() == 1L)
+    val b = graft.plans.IcebergTransforms.bucketLong(137L, 8)
+    val planned = out.inputFiles.filter(_.contains("/part-"))
+    assert(planned.nonEmpty && planned.forall(_.contains(s"id_bucket=$b")),
+      planned.toSeq)
+  }
+
   test("iceberg-served tables ALSO skip files by manifest bounds on " +
       "non-partition point lookups") {
     val root = java.nio.file.Paths.get(
