@@ -72,7 +72,8 @@ object IcebergWriter {
     val seq = 1L
     val manifest = writeManifest(root, location, files, spec = spec)
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
-    commitNewTable(root, df.schema, seq, list, "append", summary, spec)
+    commitNewTable(root, df.schema, seq, list, "append",
+      summary ++ fileSummary(files), spec)
   }
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
@@ -309,7 +310,8 @@ object IcebergWriter {
       md.put("last-updated-ms", ts)
       md.put("current-snapshot-id", seq)
       md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-        .add(snapshotNode(seq, seq, list, ts, operation, summary))
+        .add(snapshotNode(seq, seq, list, ts, operation,
+          summary ++ fileSummary(files)))
       try {
         commitMetadata(root, version, md)
         committed = true
@@ -1557,6 +1559,16 @@ object IcebergWriter {
   }
 
   // ---------- metadata JSON ----------
+
+  /** The standard summary counts external tools read off a snapshot
+    * (spec "Snapshots" — added-data-files / added-records / added-
+    * files-size), computed from the commit's own written files.
+    */
+  private def fileSummary(files: Seq[WrittenFile]): Map[String, String] =
+    Map(
+      "added-data-files" -> files.size.toString,
+      "added-records" -> files.map(_.records).sum.toString,
+      "added-files-size" -> files.map(_.size).sum.toString)
 
   private def snapshotNode(id: Long, seq: Long, manifestList: String,
       ts: Long, operation: String,
