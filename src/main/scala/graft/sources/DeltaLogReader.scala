@@ -199,7 +199,8 @@ object DeltaLogReader {
     case None => true
     case Some(json) =>
       try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // the OBJECT-level shared mapper: constructing one per file made
+        // skipping cost O(files) mapper builds per serving request
         val n = mapper.readTree(json)
         def bound(kind: String): Option[JsonNode] =
           Option(n.get(kind)).flatMap(m => Option(m.get(col)))
