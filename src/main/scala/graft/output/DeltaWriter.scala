@@ -61,40 +61,53 @@ object DeltaWriter {
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Unit = {
     val root = Paths.get(path)
-    val snap = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
-    val evolved = snap.schema != df.schema
-    if (evolved && !mergeSchema)
-      throw new IllegalArgumentException(
-        s"append schema mismatch: table has ${snap.schema.simpleString}, " +
-          s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
+
     // add-column evolution only: every existing column must survive with
     // its type (old files serve NULL for added columns via the reader's
     // pinned-schema scan — exactly delta's mergeSchema contract; drops
-    // and retypes need a rewrite, not an append)
-    if (evolved) {
-      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      val broken = snap.schema.fields.filterNot(f =>
-        incoming.get(f.name).contains(f.dataType))
-      require(broken.isEmpty,
-        s"mergeSchema only ADDS columns; missing/retyped: " +
-          broken.map(_.name).mkString(", "))
-      require(df.schema.fields.filterNot(f =>
-          snap.schema.fieldNames.contains(f.name)).forall(_.nullable),
-        "added columns must be nullable (old files have no values for them)")
-    }
-    val files = writeData(df, root, snap.partitionColumns)
-    val mdAction =
+    // and retypes need a rewrite, not an append). Returns the metaData
+    // action the commit needs against THIS snapshot — re-derived per
+    // retry attempt, so an evolved append that loses a commit race
+    // re-validates against the competitor's state and re-emits (or
+    // drops, if the competitor already added the column) its evolution
+    // instead of committing a stale metaData or aborting spuriously.
+    def validatedMdAction(
+        snap: graft.sources.DeltaLogReader.Snapshot): Seq[String] = {
+      val evolved = snap.schema != df.schema
+      if (evolved && !mergeSchema)
+        throw new IllegalArgumentException(
+          s"append schema mismatch: table has ${snap.schema.simpleString}, " +
+            s"got ${df.schema.simpleString} (pass mergeSchema=true to evolve)")
+      if (evolved) {
+        val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val broken = snap.schema.fields.filterNot(f =>
+          incoming.get(f.name).contains(f.dataType))
+        require(broken.isEmpty,
+          s"mergeSchema only ADDS columns; missing/retyped: " +
+            broken.map(_.name).mkString(", "))
+        require(df.schema.fields.filterNot(f =>
+            snap.schema.fieldNames.contains(f.name)).forall(_.nullable),
+          "added columns must be nullable (old files have no values for them)")
+      }
       if (!evolved) Nil
       else Seq(s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(df.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""$c"""").mkString(",")}],"configuration":{${snap.configuration.map { case (k, v) => s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}""" }.mkString(",")}},"createdTime":0}}""")
-    val actions = mdAction ++ txnActions(txn) ++ files.map(addAction(_))
+    }
+
+    val snap0 = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
+    validatedMdAction(snap0) // fail fast before any data is written
+    val files = writeData(df, root, snap0.partitionColumns)
     // optimistic-concurrency retry: an append composes with ANY competing
     // commit (append/overwrite/delete) — the data files are already on
-    // disk, so a lost version race just recomputes the version and
-    // re-links, after re-validating that no competing commit retyped a
-    // column out from under these files
+    // disk, so a lost version race re-reads the snapshot, re-validates,
+    // rebuilds the actions and re-links
     var attempt = 0
     var committed = false
     while (!committed) {
+      val snap =
+        if (attempt == 0) snap0
+        else graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
+      val actions =
+        validatedMdAction(snap) ++ txnActions(txn) ++ files.map(addAction(_))
       val version = nextVersion(root)
       try {
         commit(root, version, actions)
@@ -104,12 +117,6 @@ object DeltaWriter {
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > 10) throw e
-          val cur = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
-          val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
-          require(df.schema.fields.forall(f =>
-              curTypes.get(f.name).contains(f.dataType)),
-            s"append lost a commit race and the competing commit changed " +
-              s"the schema incompatibly: table now ${cur.schema.simpleString}")
       }
     }
   }

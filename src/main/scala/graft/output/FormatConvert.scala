@@ -73,9 +73,10 @@ object FormatConvert {
     val convFieldIds = IcebergWriter.topFieldIds(snap.schema)
     val dataFiles = snap.files.map { f =>
       val p = Paths.get(abs(f))
+      val (records, stats) =
+        IcebergWriter.recordsAndStats(p, snap.dataSchema, convFieldIds)
       IcebergWriter.WrittenFile(p.getFileName.toString, Files.size(p),
-        IcebergWriter.footerRecordCount(p), absPath = Some(abs(f)),
-        colStats = IcebergWriter.colStatsFor(p, snap.dataSchema, convFieldIds))
+        records, absPath = Some(abs(f)), colStats = stats)
     }
     val refs = Seq.newBuilder[IcebergWriter.ManifestRef]
     refs += IcebergWriter.ManifestRef(
@@ -190,7 +191,12 @@ object FormatConvert {
     // (every source column lives in the data files) at the cost of
     // partition pruning on the converted side.
     val identityOnly = st.spec.forall(_.transform == "identity")
-    val partCols = if (identityOnly) st.spec.map(_.name) else Nil
+    // Delta partition columns must be SCHEMA columns: use each identity
+    // field's SOURCE column name — a foreign spec may name the field
+    // differently (e.g. "seg_part" over c_mktsegment), and emitting the
+    // field name would declare a partition column absent from the
+    // schema, breaking every read of the converted table
+    val partCols = if (identityOnly) st.spec.map(_.source) else Nil
     val partColsJson = partCols
       .map(c => s""""${DeltaWriter.escape(c)}"""").mkString(",")
     def renderPv(e: IcebergWriter.Entry): String =
@@ -206,7 +212,9 @@ object FormatConvert {
               raw.asInstanceOf[Number].longValue).toString
           case _ => raw.toString
         }
-      s""""${DeltaWriter.escape(f.name)}":${
+      // tuples are keyed by the SPEC FIELD name; the Delta log keys
+      // partitionValues by the (source) partition COLUMN name
+      s""""${DeltaWriter.escape(f.source)}":${
         if (rendered == null) "null"
         else s""""${DeltaWriter.escape(rendered)}""""}"""
     }.mkString(",")

@@ -766,7 +766,12 @@ object IcebergWriter {
     */
   def removeOrphanFiles(path: String, olderThanMs: Long = 0L): Int = {
     val root = Paths.get(path).toAbsolutePath.normalize
-    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    // resolve by MAX VERSION, never the hint: a crash (or the
+    // acknowledged race window) can leave version-hint.text one step
+    // behind a fully-committed vN — hint-following here would treat
+    // vN's entire reference closure as orphaned and destroy a durably
+    // committed transaction's files
+    val mdFile = latestMetadataFile(root)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
@@ -857,23 +862,27 @@ object IcebergWriter {
   private def invertIds(fieldNames: Map[Int, String]): Map[String, Int] =
     fieldNames.map(_.swap)
 
-  /** Footer-derived [[ColStat]]s for one data file under the table's
-    * top-level field ids — metadata-plane (one footer read, shared with
-    * the record-count read path).
+  /** (record count, [[ColStat]]s) of one data file from ONE footer open
+    * — metadata-plane; the bounds extraction already reads the row-group
+    * metadata the record count lives in, so a separate count read would
+    * double the O(files) footer I/O of every commit.
     */
-  private[output] def colStatsFor(file: Path, schema: StructType,
-      fieldIds: Map[String, Int]): Seq[ColStat] =
-    if (fieldIds.isEmpty) Nil
-    else ParquetStats.columnBounds(file).toSeq.flatMap {
-      case (numRecords, byCol) =>
-        schema.fields.toSeq.flatMap { f =>
-          for {
-            fid <- fieldIds.get(f.name)
-            b <- byCol.get(f.name)
-          } yield ColStat(fid, numRecords, b.nullCount,
-            Option(b.min).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)),
-            Option(b.max).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)))
-        }
+  private[output] def recordsAndStats(file: Path, schema: StructType,
+      fieldIds: Map[String, Int]): (Long, Seq[ColStat]) =
+    ParquetStats.columnBounds(file) match {
+      case None => (footerRecordCount(file), Nil)
+      case Some((numRecords, byCol)) =>
+        val stats =
+          if (fieldIds.isEmpty) Nil
+          else schema.fields.toSeq.flatMap { f =>
+            for {
+              fid <- fieldIds.get(f.name)
+              b <- byCol.get(f.name)
+            } yield ColStat(fid, numRecords, b.nullCount,
+              Option(b.min).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)),
+              Option(b.max).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)))
+          }
+        (numRecords, stats)
     }
 
   /** An EXISTING manifest entry carrying a live file forward unchanged:
@@ -888,16 +897,17 @@ object IcebergWriter {
       if (p.toString.startsWith(rootStr + "/"))
         st.location + p.toString.stripPrefix(rootStr)
       else p.toString
-    WrittenFile(p.getFileName.toString, Files.size(p), footerRecordCount(p),
+    // bounds recomputed from the footer (metadata-plane, one open):
+    // carried entries keep their pruning power through every rewrite
+    val (records, stats) =
+      if (e.content == 0) recordsAndStats(p, st.schema, invertIds(st.fieldNames))
+      else (footerRecordCount(p), Nil)
+    WrittenFile(p.getFileName.toString, Files.size(p), records,
       seq = Some(e.seq), existing = true, absPath = Some(manifestPath),
       partition = e.partitionValues,
       snapshotId = e.snapshotId, fileSeq = e.fileSeq,
       equalityIds = e.equalityIds,
-      // bounds recomputed from the footer (metadata-plane): carried
-      // entries keep their pruning power through every rewrite
-      colStats =
-        if (e.content == 0) colStatsFor(p, st.schema, invertIds(st.fieldNames))
-        else Nil)
+      colStats = stats)
   }
   /** `minSeq`: the true minimum entry sequence in the manifest when it
     * differs from the ref's own seq (rewrite manifests carrying old
@@ -942,8 +952,8 @@ object IcebergWriter {
         val name = p.getFileName.toString
         val dest = root.resolve("data").resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        WrittenFile(name, Files.size(dest), footerRecordCount(dest),
-          colStats = colStatsFor(dest, df.schema, fieldIds))
+        val (records, stats) = recordsAndStats(dest, df.schema, fieldIds)
+        WrittenFile(name, Files.size(dest), records, colStats = stats)
       }
     } else {
       import org.apache.spark.sql.functions.col
@@ -981,9 +991,9 @@ object IcebergWriter {
         Files.createDirectories(destDir)
         val dest = destDir.resolve(p.getFileName)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        val (records, stats) = recordsAndStats(dest, df.schema, fieldIds)
         WrittenFile(s"$destRel/${p.getFileName}", Files.size(dest),
-          footerRecordCount(dest), partition = tuple,
-          colStats = colStatsFor(dest, df.schema, fieldIds))
+          records, partition = tuple, colStats = stats)
       }
     }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())

@@ -57,23 +57,34 @@ object HashPartitionPruning {
     * impossible only if the column really is THIS hash rendering of
     * `{col}` — foreign hive-partitioned data could carry the name with a
     * different derivation, and strengthening filters on it would silently
-    * drop rows. The probe reads ONE (source, helper) row and checks the
-    * rendering; non-matching, missing-source and empty tables all fail
-    * closed (no pruning — a full scan is correct, just slower). Cached
-    * per (table uri, helper) for the life of the process, so the serving
-    * path pays one single-row job per table, on the first request only.
+    * drop rows. The probe samples SEVERAL distinct (source, helper) rows
+    * and requires every one to match the rendering: one row would
+    * false-accept a foreign `{col}_md5_mod_2` with probability ~1/2;
+    * eight independent agreements push false-accept below 1/2⁸ even for
+    * mod-2 (and to ~16⁻³² for prefix helpers). Non-matching,
+    * missing-source and empty tables all fail closed (no pruning — a
+    * full scan is correct, just slower). Cached per (table uri, helper)
+    * for the life of the process, so the serving path pays one tiny job
+    * per table, on the first request only; a BLANK uri cannot identify a
+    * table, so it probes uncached every time rather than sharing a
+    * verdict across unrelated frames.
     */
   def verifiedDerivation(df: DataFrame, uri: String, pc: String): Boolean =
-    derivationCache.computeIfAbsent((uri, pc), _ => probeDerivation(df, pc))
+    if (uri == null || uri.trim.isEmpty) probeDerivation(df, pc)
+    else derivationCache
+      .computeIfAbsent((uri, pc), _ => probeDerivation(df, pc))
       .booleanValue
+
+  private val ProbeRows = 8
 
   private def probeDerivation(df: DataFrame, pc: String): java.lang.Boolean =
     sourceColumn(pc) match {
       case Some(src) if df.columns.contains(src) =>
-        val row = df.select(col(src).cast("string"), col(pc).cast("string"))
+        val rows = df.select(col(src).cast("string"), col(pc).cast("string"))
           .filter(col(src).isNotNull && col(pc).isNotNull)
-          .limit(1).collect().headOption
-        row.exists(r =>
+          .dropDuplicates(src)
+          .limit(ProbeRows).collect()
+        rows.nonEmpty && rows.forall(r =>
           helperValue(pc, r.getString(0)).exists(_._2 == r.getString(1)))
       case _ => false
     }

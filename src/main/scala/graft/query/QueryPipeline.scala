@@ -125,7 +125,11 @@ object QueryPipeline {
         case _ => None
       }
       (normalized, value) match {
-        case (Some(o), s: String) if s.nonEmpty =>
+        // "null" is the HTTP layer's explicit-SQL-null sentinel
+        // (FilterCompiler compiles '= null' to IS NULL) — treating it as
+        // the literal string would prune files whose bounds exclude
+        // "null" while they still hold the NULL rows the request serves
+        case (Some(o), s: String) if s.nonEmpty && s != "null" =>
           Some(graft.sources.SkipPredicate(p.column, o, s))
         case _ => None
       }

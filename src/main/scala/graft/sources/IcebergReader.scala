@@ -207,9 +207,25 @@ object IcebergReader {
     * [[graft.plans.IcebergTransforms]] — the same spec-pinned murmur3
     * the writer routed rows with.
     */
+  private val partitionSourceCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[String, PartitionSource]]()
+
   def servablePartitionSources(tablePath: String)
       : Map[String, PartitionSource] = {
-    val md = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
+    // cached per metadata FILE (a commit writes a new vN.metadata.json,
+    // so staleness is impossible): the serving path calls this per
+    // request, and re-parsing the same JSON each time sat on the
+    // p99-sensitive path. The map is tiny; bound the cache against
+    // commit-heavy processes anyway.
+    val mdFile = currentMetadataFile(tablePath).toString
+    if (partitionSourceCache.size > 256) partitionSourceCache.clear()
+    partitionSourceCache.computeIfAbsent(mdFile,
+      _ => computePartitionSources(mdFile))
+  }
+
+  private def computePartitionSources(mdFilePath: String)
+      : Map[String, PartitionSource] = {
+    val md = mapper.readTree(Files.readString(Paths.get(mdFilePath)))
     val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val BucketT = """bucket\[(\d+)\]""".r
     Option(md.get("partition-specs")).toSeq

@@ -728,6 +728,15 @@ class IcebergWriterSpec extends SparkSpec {
     // the table keeps working
     IcebergWriter.append(Seq((4L, "d")).toDF("id", "v"), path)
     assert(IcebergReader.read(spark, path).count() == 4L)
+    // a STALE version hint (the acknowledged commit-race window) must
+    // not roll back the max-version commit: the newest metadata's
+    // closure survives orphan removal
+    val hint = Paths.get(path, "metadata", "version-hint.text")
+    Files.writeString(hint, "2")
+    IcebergWriter.removeOrphanFiles(path)
+    Files.writeString(hint, "3")
+    assert(IcebergReader.read(spark, path).count() == 4L,
+      "hint-following orphan removal destroyed the committed v3 closure")
   }
 
   test("manifest entries carry column bounds; skipFilters plan only " +

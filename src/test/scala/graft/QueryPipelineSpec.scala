@@ -209,6 +209,25 @@ class QueryPipelineSpec extends SparkSpec {
     assert(full.inputFiles.count(_.contains("/part-")) >= 1)
   }
 
+  test("the HTTP null sentinel never becomes a skip predicate: '= null' " +
+      "serves the NULL rows of files whose bounds exclude the string") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_nullskip_${System.nanoTime()}").toString
+    // one file, bounds ["a", "m"], PLUS a null row: a literal "null"
+    // skip-compare ("null" > "m") would prune the whole file
+    val df = Seq((1L, "a"), (2L, "m"), (3L, null))
+      .toDF("id", "name")
+    graft.output.DeltaWriter.create(df.coalesce(1), root)
+    val t = TableConfig("dln", "test",
+      datasource = DatasourceConfig(root, fileType = "delta"),
+      params = Seq(Param("name")))
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("name" -> "null"), limit = Some(-1)))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(3L),
+      "the IS NULL row must survive stats skipping")
+  }
+
   test("bucket-partitioned iceberg-served tables prune via the exact " +
       "murmur3 the writer routed with") {
     val root = java.nio.file.Paths.get(
