@@ -464,7 +464,12 @@ object IcebergWriter {
       val fid = f.get("field-id").asInt()
       transform match {
         case "identity" =>
-          SpecField(name, srcType, fid, sourceId)
+          // pass the RESOLVED source column: spec field names do not track
+          // column renames, and foreign writers may name the spec field
+          // differently from the source column — `source` must always be
+          // the current schema name (iceberg spec §Partition Specs:
+          // source-id is authoritative, the field name is display-only)
+          SpecField(name, srcType, fid, sourceId, "identity", srcName)
         case BucketT(n) =>
           SpecField(name, IntegerType, fid, sourceId, "bucket", srcName, n.toInt)
         case TruncateT(w) =>
@@ -759,12 +764,19 @@ object IcebergWriter {
     * snapshot at all — crash leftovers, manifest lists from lost commit
     * retries, superseded `vN.metadata.json` older than the retained
     * history. `olderThanMs` guards in-flight writers: only files whose
-    * mtime predates the horizon are candidates (default 0 = everything,
-    * the test-friendly setting; production passes a multi-hour horizon,
-    * exactly like iceberg's own RemoveOrphanFiles). Returns the number
-    * of files deleted. Driver-side, file-count-proportional.
+    * mtime predates the horizon are candidates. The DEFAULT is a 3-day
+    * horizon (matching iceberg's own RemoveOrphanFiles default): writeData
+    * moves part files into data/ BEFORE the metadata commit, so a
+    * horizon-0 sweep concurrent with any in-flight append would delete the
+    * writer's already-placed files and the append would then commit
+    * manifests referencing nothing — the unsafe setting must be an
+    * explicit opt-in (tests pass 0), never the default. Returns the
+    * number of files deleted. Driver-side, file-count-proportional.
     */
-  def removeOrphanFiles(path: String, olderThanMs: Long = 0L): Int = {
+  val defaultOrphanHorizonMs: Long = 3L * 24 * 3600 * 1000
+
+  def removeOrphanFiles(path: String,
+      olderThanMs: Long = defaultOrphanHorizonMs): Int = {
     val root = Paths.get(path).toAbsolutePath.normalize
     // resolve by MAX VERSION, never the hint: a crash (or the
     // acknowledged race window) can leave version-hint.text one step

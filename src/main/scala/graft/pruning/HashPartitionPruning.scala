@@ -49,8 +49,13 @@ object HashPartitionPruning {
     case _ => None
   }
 
+  // verdict + probe instant: entries expire so a table REPLACED at the
+  // same uri (foreign re-write with a different derivation) cannot pin a
+  // stale verdict for the life of the process — the probe is
+  // input-bounded (see probeDerivation), so re-probing is cheap
   private val derivationCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (java.lang.Boolean, Long)]()
+  private val DerivationTtlMs = 15L * 60 * 1000
 
   /** Derivation PROBE for auto-detected helpers: a name like
     * `{col}_md5_prefix_4` in the partition schema makes dropped rows
@@ -64,24 +69,38 @@ object HashPartitionPruning {
     * mod-2 (and to ~16⁻³² for prefix helpers). Non-matching,
     * missing-source and empty tables all fail closed (no pruning — a
     * full scan is correct, just slower). Cached per (table uri, helper)
-    * for the life of the process, so the serving path pays one tiny job
-    * per table, on the first request only; a BLANK uri cannot identify a
-    * table, so it probes uncached every time rather than sharing a
-    * verdict across unrelated frames.
+    * with a TTL, so the serving path pays one input-bounded job per
+    * table every expiry window rather than per request; a BLANK uri
+    * cannot identify a table, so it probes uncached every time rather
+    * than sharing a verdict across unrelated frames.
     */
   def verifiedDerivation(df: DataFrame, uri: String, pc: String): Boolean =
-    if (uri == null || uri.trim.isEmpty) probeDerivation(df, pc)
-    else derivationCache
-      .computeIfAbsent((uri, pc), _ => probeDerivation(df, pc))
-      .booleanValue
+    if (uri == null || uri.trim.isEmpty) probeDerivation(df, pc).booleanValue
+    else derivationCache.compute((uri, pc), (_, prev) => {
+      val now = System.currentTimeMillis()
+      if (prev != null && now - prev._2 < DerivationTtlMs) prev
+      else (probeDerivation(df, pc), now)
+    })._1.booleanValue
 
   private val ProbeRows = 8
+  private val ProbeScanRows = 4096
 
   private def probeDerivation(df: DataFrame, pc: String): java.lang.Boolean =
     sourceColumn(pc) match {
       case Some(src) if df.columns.contains(src) =>
+        // bound the INPUT before deduplicating: dropDuplicates over the
+        // raw frame is a full-table aggregate, which would put a
+        // whole-corpus shuffle on the first serving request (the
+        // p99-sensitive path). A LIMIT first caps the scan at a few
+        // thousand rows — Spark stops scheduling splits once the limit is
+        // satisfied — and the dedup then runs over an in-memory-sized
+        // frame. Sampling one partition's rows does NOT weaken the
+        // false-accept bound: the probe needs distinct SOURCE values, and
+        // each distinct source in a single hive dir is still an
+        // independent check of the claimed derivation.
         val rows = df.select(col(src).cast("string"), col(pc).cast("string"))
           .filter(col(src).isNotNull && col(pc).isNotNull)
+          .limit(ProbeScanRows)
           .dropDuplicates(src)
           .limit(ProbeRows).collect()
         rows.nonEmpty && rows.forall(r =>

@@ -715,7 +715,7 @@ class IcebergWriterSpec extends SparkSpec {
     // horizon 0: the strays AND the superseded v1.metadata.json go
     // (snapshot time travel resolves through the CURRENT metadata's
     // snapshot list, which stays fully referenced)
-    val n = IcebergWriter.removeOrphanFiles(path)
+    val n = IcebergWriter.removeOrphanFiles(path, olderThanMs = 0)
     assert(n >= 3, s"expected >=3 orphans, got $n")
     assert(!Files.exists(strayData) && !Files.exists(strayMeta))
     assert(!Files.exists(Paths.get(path, "metadata", "v1.metadata.json")))
@@ -724,7 +724,7 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, path, snapshotId = Some(1L))
       .count() == 2L)
     // idempotent
-    assert(IcebergWriter.removeOrphanFiles(path) == 0)
+    assert(IcebergWriter.removeOrphanFiles(path, olderThanMs = 0) == 0)
     // the table keeps working
     IcebergWriter.append(Seq((4L, "d")).toDF("id", "v"), path)
     assert(IcebergReader.read(spark, path).count() == 4L)
@@ -733,7 +733,7 @@ class IcebergWriterSpec extends SparkSpec {
     // closure survives orphan removal
     val hint = Paths.get(path, "metadata", "version-hint.text")
     Files.writeString(hint, "2")
-    IcebergWriter.removeOrphanFiles(path)
+    IcebergWriter.removeOrphanFiles(path, olderThanMs = 0)
     Files.writeString(hint, "3")
     assert(IcebergReader.read(spark, path).count() == 4L,
       "hint-following orphan removal destroyed the committed v3 closure")
@@ -804,5 +804,44 @@ class IcebergWriterSpec extends SparkSpec {
     assert(e.get("snapshot_id") != null, "snapshot_id null")
     assert(e.get("file_sequence_number") != null, "file_sequence_number null")
     assert(e.get("sequence_number").asInstanceOf[Long] == 1L)
+  }
+
+  test("foreign spec: identity field NAMED differently from its source " +
+      "column resolves by source-id (append, rewrite, delta conversion)") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("renamed")
+    val df = Seq((1L, "A", "x"), (2L, "B", "y")).toDF("id", "seg", "v")
+    IcebergWriter.create(df, path, partitionBy = Seq("seg"))
+    // simulate a foreign writer's spec (or a column renamed after the
+    // spec was created): the spec FIELD becomes "seg_part" while the
+    // source column stays "seg" — per the iceberg spec, source-id is
+    // authoritative and the field name is display-only
+    val mdFile = IcebergReader.currentMetadataFile(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(Files.readString(mdFile))
+    md.get("partition-specs").get(0).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "seg_part")
+    Files.writeString(mdFile, mapper.writeValueAsString(md))
+    // append must resolve the SOURCE column (pre-fix: AnalysisException
+    // on the missing "seg_part" column)
+    IcebergWriter.append(Seq((3L, "A", "z")).toDF("id", "seg", "v"), path)
+    assert(IcebergReader.read(spark, path).count() == 3L)
+    // hive layout keys dirs by the spec field (display) name
+    assert(Files.isDirectory(Paths.get(path, "data", "seg_part=A")))
+    // compaction re-keys every manifest tuple under the current field name
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = 8L * 1024 * 1024) > 0)
+    assert(IcebergReader.read(spark, path).count() == 3L)
+    // conversion declares the SOURCE column as the Delta partition column
+    // and renders real (non-null) tuple values for it
+    val delta = tmp("renamed_delta")
+    graft.output.FormatConvert.icebergToDelta(spark, path, delta)
+    val back = graft.sources.DeltaLogReader.read(spark, delta)
+    assert(back.columns.contains("seg"))
+    assert(back.orderBy("id").select("id", "seg", "v").collect().toSeq ==
+      IcebergReader.read(spark, path).orderBy("id")
+        .select("id", "seg", "v").collect().toSeq)
+    assert(back.filter(col("seg") === "A").count() == 2L)
   }
 }
