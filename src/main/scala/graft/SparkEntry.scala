@@ -928,6 +928,35 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_temporal" -> ((s, dir) => {
+      // month(o_orderdate)-partitioned table served through the full
+      // pipeline: the gte/lte request params become manifest-level
+      // PartitionPredicates (order-preserving transform ⇒ exact
+      // partition-value range), so the date-range request plans only its
+      // months' files — the single most common serving shape on a
+      // date-partitioned lake. Pruning is plan-asserted in
+      // QueryPipelineSpec; the oracle proves no row is lost at the edges.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_temporal_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            root.toString, partitionBy = Seq("months(o_orderdate)"))
+        }
+      }
+      val t = TableConfig(name = "ord", tag = "t",
+        datasource = DatasourceConfig(uri = root.toString,
+          fileType = "iceberg"),
+        params = Seq(Param("o_orderdate", operators = Seq("=", ">=", "<="))))
+      QueryPipeline.run(s, t, Request(params = Map(
+          "o_orderdate_gte" -> "1996-03-15",
+          "o_orderdate_lte" -> "1996-09-15"), limit = Some(-1)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_iceberg_compact_deletes" -> ((s, dir) => {
       // two deleteWhere sweeps then rewritePositionDeletes: the merged
       // single delete file serves the same rows (scan-side anti-join
@@ -2082,6 +2111,11 @@ object SparkEntry {
     "q_iceberg_bucket" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_temporal" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= DATE '1996-03-15'
+        |  AND o_orderdate <= DATE '1996-09-15'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_iceberg_zorder" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part
         |WHERE p_partkey % 10 <> 3 ORDER BY p_partkey""".stripMargin,

@@ -82,6 +82,8 @@ object QueryPipeline {
     val df = DataSources.read(spark, table.datasource,
       icebergPartitionFilter =
         if (ft == "iceberg") icebergServingFilter(table, req) else Map.empty,
+      icebergPartitionPredicates =
+        if (ft == "iceberg") icebergServingPredicates(table, req) else Nil,
       skipFilters =
         if (ft == "delta" || ft == "iceberg") servingSkipFilters(table, req)
         else Nil)
@@ -171,6 +173,150 @@ object QueryPipeline {
           }
       }.flatten
     }.toMap
+  }
+
+  /** Manifest-level RANGE pruning for iceberg-served tables over the
+    * ORDER-PRESERVING transforms — the range complement of
+    * [[icebergServingFilter]]'s equality map. For a monotone transform T,
+    * `src op v` implies a bound on the partition value: `=` maps to
+    * `T(v)` exactly; `<`/`<=` to `field <= T(v)`; `>`/`>=` to
+    * `field >= T(v)` (strict bounds weaken to inclusive because T
+    * collapses — identity keeps them strict). This is the single most
+    * common serving shape on a date-partitioned lake: a time-range
+    * request over `day(ts)` partitioning plans only its days' manifests.
+    * Fail-open everywhere: foreign/unknown transforms and unparseable
+    * values contribute nothing, and the full predicate still applies in
+    * [[runOn]].
+    */
+  private[query] def icebergServingPredicates(table: TableConfig,
+      req: Request): Seq[graft.sources.IcebergReader.PartitionPredicate] = {
+    val sources =
+      try graft.sources.IcebergReader.servablePartitionSources(
+        table.datasource.uri)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    if (sources.isEmpty) return Nil
+    resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
+      val normalized = op match {
+        case "=" | "==" => Some("=")
+        case "<" | "<=" | ">" | ">=" => Some(op)
+        case _ => None
+      }
+      normalized.flatMap { o =>
+        sources.collectFirst {
+          case (src, ps) if src.equalsIgnoreCase(p.column) =>
+            transformPredicate(ps, o, value)
+        }.flatten
+      }
+    }
+  }
+
+  /** `src op value` rewritten to a partition-value bound under the
+    * source's transform; None = transform not order-preserving for this
+    * op, value unparseable, or falsy/sentinel (the compiler drops or
+    * null-rewrites those predicates — pruning on them would drop rows
+    * the request serves). Null partition tuples are never pruned by the
+    * reader regardless, so the `"null"` ⇒ IS NULL rewrite stays safe.
+    */
+  private def transformPredicate(
+      ps: graft.sources.IcebergReader.PartitionSource, op: String,
+      value: Any)
+      : Option[graft.sources.IcebergReader.PartitionPredicate] = {
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergReader.PartitionPredicate
+    // strict bounds weaken to inclusive under a collapsing transform:
+    // src < v ⇒ T(src) <= T(v) (the boundary bucket may hold matches)
+    def weaken(o: String): String = o match {
+      case "<" => "<="
+      case ">" => ">="
+      case other => other
+    }
+    val s = value match {
+      case str: String if str.trim.nonEmpty && str.trim != "null" => str.trim
+      case _ => return None
+    }
+    try ps.transform match {
+      case "identity" =>
+        // equality already prunes through the rendered-value map; ranges
+        // are new here. Identity preserves strictness.
+        if (op == "=") None
+        else ps.sourceType match {
+          case IntegerType | LongType | DateType | StringType =>
+            renderPartitionValue(s, ps.sourceType)
+              .map(PartitionPredicate(ps.field, op, _, ps.sourceType))
+          case _ => None
+        }
+      case "truncate" => ps.sourceType match {
+        case StringType =>
+          // iceberg truncate[W] on strings is the first W CODEPOINTS
+          val cps = s.codePoints().toArray
+          val t = new String(cps, 0, math.min(ps.param, cps.length))
+          Some(PartitionPredicate(ps.field, weaken(op), t, StringType))
+        case IntegerType | LongType =>
+          val v = s.toLong
+          val w = ps.param.toLong
+          Some(PartitionPredicate(ps.field, weaken(op),
+            (v - (((v % w) + w) % w)).toString, LongType))
+        case _ => None
+      }
+      case "day" =>
+        requestDate(s, ps.sourceType).map(d =>
+          PartitionPredicate(ps.field, weaken(op), d.toString, DateType))
+      case "month" =>
+        requestDate(s, ps.sourceType).map(d =>
+          PartitionPredicate(ps.field, weaken(op),
+            ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toString,
+            IntegerType))
+      case "year" =>
+        requestDate(s, ps.sourceType).map(d =>
+          PartitionPredicate(ps.field, weaken(op),
+            (d.getYear - 1970).toString, IntegerType))
+      case "hour" =>
+        requestDateTime(s, ps.sourceType).map(dt =>
+          PartitionPredicate(ps.field, weaken(op),
+            math.floorDiv(
+              dt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toString,
+            IntegerType))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The request literal as a UTC calendar date under the source type
+    * (sessions are pinned UTC, matching iceberg's temporal transforms). */
+  private def requestDate(s: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[java.time.LocalDate] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType =>
+        try Some(java.time.LocalDate.parse(s))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case TimestampType | TimestampNTZType =>
+        requestDateTime(s, dt).map(_.toLocalDate)
+      case _ => None
+    }
+  }
+
+  private def requestDateTime(s: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[java.time.LocalDateTime] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        val iso = s.replace(' ', 'T')
+        try Some(java.time.LocalDateTime.parse(iso))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            try Some(java.time.OffsetDateTime.parse(iso)
+              .withOffsetSameInstant(java.time.ZoneOffset.UTC)
+              .toLocalDateTime)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                try Some(java.time.LocalDate.parse(s).atStartOfDay)
+                catch { case scala.util.control.NonFatal(_) => None }
+            }
+        }
+      case _ => None
+    }
   }
 
   private def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType,

@@ -30,7 +30,8 @@ object DataSources {
     */
   def read(spark: SparkSession, ds: DatasourceConfig,
       icebergPartitionFilter: Map[String, String] = Map.empty,
-      skipFilters: Seq[SkipPredicate] = Nil)
+      skipFilters: Seq[SkipPredicate] = Nil,
+      icebergPartitionPredicates: Seq[IcebergReader.PartitionPredicate] = Nil)
       : DataFrame = {
     val reader = spark.read.options(ds.options)
     val df = ds.fileType.toLowerCase match {
@@ -44,7 +45,8 @@ object DataSources {
           ds.options.get("snapshotId").map(_.toLong),
           ds.options.get("asOfTimestampMs").map(_.toLong),
           partitionFilter = icebergPartitionFilter,
-          skipFilters = skipFilters)
+          skipFilters = skipFilters,
+          partitionPredicates = icebergPartitionPredicates)
       case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
       case "csv" =>
         reader

@@ -193,11 +193,27 @@ object IcebergReader {
   /** One servable partition-source mapping: the spec field a request
     * filter on `sourceType`-typed column can prune through. `transform`
     * is `identity` or `bucket` (with `param` = N) — the two transforms
-    * whose partition value is EXACTLY computable from a request value
-    * (truncate/temporal would need range semantics, not equality).
+    * whose partition value is EXACTLY computable from a request value,
+    * plus the ORDER-PRESERVING transforms (`truncate` with `param` = W,
+    * `day`/`month`/`year`/`hour`) whose partition values admit RANGE
+    * semantics: src op v implies a bound on transform(src), so both `=`
+    * and range request params prune via [[PartitionPredicate]]s.
     */
   final case class PartitionSource(field: String, sourceType: DataType,
       transform: String, param: Int = 0)
+
+  /** Typed range predicate over a partition-spec FIELD for [[read]]'s
+    * `partitionPredicates`: `op` ∈ =,&lt;,&lt;=,&gt;,&gt;= applied to the
+    * entry's RENDERED tuple value (the same rendering
+    * `partitionTuple` produces — ISO dates, decimal integers).
+    * `valueType` drives the comparison: dates as epoch days, integers
+    * numerically, strings as unsigned UTF-8 bytes (the iceberg binary
+    * sort order). Files without a tuple for `field` (foreign manifests,
+    * null partition values) and unparseable renderings are KEPT —
+    * pruning may only drop provably non-matching files.
+    */
+  final case class PartitionPredicate(field: String, op: String,
+      value: String, valueType: DataType)
 
   /** Prunable fields of the DEFAULT partition spec by source column
     * name. Metadata-plane only (one JSON read, no manifests) — the
@@ -228,6 +244,7 @@ object IcebergReader {
     val md = mapper.readTree(Files.readString(Paths.get(mdFilePath)))
     val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val BucketT = """bucket\[(\d+)\]""".r
+    val TruncateT = """truncate\[(\d+)\]""".r
     Option(md.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("spec-id").asInt() == specId) match {
@@ -245,10 +262,51 @@ object IcebergReader {
               case BucketT(n) =>
                 Some(PartitionSource(f.get("name").asText(), fld.dataType,
                   "bucket", n.toInt))
+              case TruncateT(w) =>
+                Some(PartitionSource(f.get("name").asText(), fld.dataType,
+                  "truncate", w.toInt))
+              case t @ ("day" | "days" | "month" | "months" | "year" |
+                  "years" | "hour" | "hours") =>
+                Some(PartitionSource(f.get("name").asText(), fld.dataType,
+                  t.stripSuffix("s")))
+              // anything else (foreign/unknown transform) stays out —
+              // the serving path then simply doesn't prune on it
               case _ => None
             }
           } yield src -> ps
         }.toMap
+    }
+  }
+
+  /** Does the entry's rendered tuple value possibly satisfy `p`? Any
+    * uncertainty — unparseable rendering, uncomparable type, unknown op —
+    * keeps the file.
+    */
+  private def partitionValueMayMatch(rendered: String,
+      p: PartitionPredicate): Boolean = {
+    val cmp: Option[Int] = try p.valueType match {
+      case _: IntegerType | _: LongType =>
+        Some(java.lang.Long.compare(rendered.trim.toLong, p.value.trim.toLong))
+      case _: DateType =>
+        Some(java.lang.Long.compare(
+          java.time.LocalDate.parse(rendered.trim.take(10)).toEpochDay,
+          java.time.LocalDate.parse(p.value.trim.take(10)).toEpochDay))
+      case _: StringType =>
+        Some(java.util.Arrays.compareUnsigned(
+          rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          p.value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    cmp match {
+      case None => true
+      case Some(c) => p.op match {
+        case "=" | "==" => c == 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case _ => true
+      }
     }
   }
 
@@ -435,19 +493,27 @@ object IcebergReader {
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      skipFilters: Seq[SkipPredicate] = Nil): DataFrame = {
+      skipFilters: Seq[SkipPredicate] = Nil,
+      partitionPredicates: Seq[PartitionPredicate] = Nil): DataFrame = {
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column
     // are conservatively KEPT (pruning may only ever drop provably
     // non-matching files); delete files are never pruned (a kept data
-    // file's deletes must all apply).
-    val afterPartition =
+    // file's deletes must all apply). `partitionPredicates` adds typed
+    // RANGE semantics on top of the rendered-equality map — the
+    // order-preserving transforms (identity/truncate/temporal) prune
+    // date-range and comparison requests the equality map cannot express.
+    val afterEquality =
       if (partitionFilter.isEmpty) snap.dataFiles
       else snap.dataFiles.filter(f => partitionFilter.forall { case (k, v) =>
         f.partitionValues.get(k).forall(_ == v)
       })
+    val afterPartition =
+      if (partitionPredicates.isEmpty) afterEquality
+      else afterEquality.filter(f => partitionPredicates.forall(p =>
+        f.partitionValues.get(p.field).forall(partitionValueMayMatch(_, p))))
     // manifest-BOUNDS skipping (the stats plane): files whose
     // [lower, upper] bound provably excludes a predicate are dropped
     // before planning; every uncertainty (no bounds, unknown column,

@@ -288,4 +288,145 @@ class QueryPipelineSpec extends SparkSpec {
       Request(params = Map("id" -> "300"), limit = Some(-1)))
     assert(rng.count() == 1L)
   }
+
+  test("month-partitioned iceberg-served tables prune date-RANGE params " +
+      "at the manifest level; unparseable values fail open") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_monthprune_${System.nanoTime()}").toString
+    val df = (0 until 360).map { i =>
+      val d = java.time.LocalDate.of(1996, 1, 1).plusDays(i.toLong)
+      (i.toLong, java.sql.Date.valueOf(d.toString))
+    }.toDF("id", "d")
+    graft.output.IcebergWriter.create(df, root,
+      partitionBy = Seq("months(d)"))
+    val t = TableConfig("icemonth", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("d", operators = Seq("=", ">=", "<=", "<", ">"))))
+    val out = QueryPipeline.run(spark, t, Request(params = Map(
+      "d_gte" -> "1996-03-15", "d_lte" -> "1996-04-10"), limit = Some(-1)))
+    // exact row semantics at the partition boundaries
+    assert(out.count() == df.filter(col("d") >= "1996-03-15" &&
+      col("d") <= "1996-04-10").count())
+    // ONLY march + april files planned: (1996-1970)*12 + (month-1)
+    val planned = out.inputFiles.filter(_.contains("/part-"))
+    val (mar, apr) = ((1996 - 1970) * 12 + 2, (1996 - 1970) * 12 + 3)
+    assert(planned.nonEmpty && planned.forall(p =>
+      p.contains(s"d_month=$mar") || p.contains(s"d_month=$apr")), planned.toSeq)
+    // a strict bound weakens to the boundary bucket, never past it
+    val strict = QueryPipeline.run(spark, t,
+      Request(params = Map("d_lt" -> "1996-02-01"), limit = Some(-1)))
+    assert(strict.count() == 31L)
+    val strictPlanned = strict.inputFiles.filter(_.contains("/part-"))
+    val (jan, feb) = ((1996 - 1970) * 12, (1996 - 1970) * 12 + 1)
+    assert(strictPlanned.forall(p =>
+      p.contains(s"d_month=$jan") || p.contains(s"d_month=$feb")),
+      strictPlanned.toSeq)
+    // FOREIGN spec fail-open: an unknown transform contributes no
+    // pruning — every month's files stay planned, rows stay correct
+    val allFiles = QueryPipeline.run(spark, t, Request(limit = Some(-1)))
+      .inputFiles.count(_.contains("/part-"))
+    // copy the table to a NEW root (the partition-source cache is keyed
+    // by metadata file path; in-place edits never happen in iceberg —
+    // commits write a new vN) and corrupt its transform there
+    val froot = root + "_foreign"
+    import scala.jdk.CollectionConverters._
+    val srcP = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(srcP).iterator().asScala.foreach { p =>
+      val dest = java.nio.file.Paths.get(froot).resolve(srcP.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest)
+    }
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(froot)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(java.nio.file.Files.readString(mdFile))
+    md.get("partition-specs").get(0).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("transform", "alien[3]")
+    java.nio.file.Files.writeString(mdFile, mapper.writeValueAsString(md))
+    val ft = t.copy(datasource = DatasourceConfig(froot, fileType = "iceberg"))
+    val foreign = QueryPipeline.run(spark, ft, Request(params = Map(
+      "d_gte" -> "1996-03-15", "d_lte" -> "1996-04-10"), limit = Some(-1)))
+    // rows identical — the unknown transform contributed no partition
+    // predicate (the BOUNDS plane may still, correctly, skip by the
+    // column's real min/max, so the file count is not asserted here);
+    // a wrong "alien[3]" interpretation would have dropped rows
+    assert(foreign.count() == out.count())
+    // and with bounds skipping out of the picture (no params), the
+    // foreign table plans everything
+    assert(QueryPipeline.run(spark, ft, Request(limit = Some(-1)))
+      .inputFiles.count(_.contains("/part-")) == allFiles)
+  }
+
+  test("day-partitioned (timestamp source) and truncate-partitioned " +
+      "iceberg-served tables prune; identity sources prune ranges too") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_dayprune_${System.nanoTime()}")
+    // day(ts) over a timestamp column
+    val dayRoot = base.resolve("day").toString
+    val tsDf = (0 until 96).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+          .plusHours(i.toLong * 2).format(
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))))
+    }.toDF("id", "ts")
+    graft.output.IcebergWriter.create(tsDf, dayRoot,
+      partitionBy = Seq("days(ts)"))
+    val dayT = TableConfig("iceday", "test",
+      datasource = DatasourceConfig(dayRoot, fileType = "iceberg"),
+      params = Seq(Param("ts", operators = Seq("=", ">=", "<=", "<", ">"))))
+    val dayOut = QueryPipeline.run(spark, dayT, Request(params = Map(
+      "ts_gte" -> "1996-01-03 06:00:00",
+      "ts_lte" -> "1996-01-04 18:00:00"), limit = Some(-1)))
+    assert(dayOut.count() == tsDf.filter(
+      col("ts") >= "1996-01-03 06:00:00" &&
+        col("ts") <= "1996-01-04 18:00:00").count())
+    val dayPlanned = dayOut.inputFiles.filter(_.contains("/part-"))
+    assert(dayPlanned.nonEmpty && dayPlanned.forall(p =>
+      p.contains("ts_day=1996-01-03") || p.contains("ts_day=1996-01-04")),
+      dayPlanned.toSeq)
+
+    // truncate[2] over a string column: '=' prunes to the prefix bucket
+    val truncRoot = base.resolve("trunc").toString
+    graft.output.IcebergWriter.create(
+      Seq((1L, "banana"), (2L, "berry"), (3L, "apple"), (4L, "cherry"))
+        .toDF("id", "name"),
+      truncRoot, partitionBy = Seq("truncate(2, name)"))
+    val truncT = TableConfig("icetrunc", "test",
+      datasource = DatasourceConfig(truncRoot, fileType = "iceberg"),
+      params = Seq(Param("name", operators = Seq("=", ">=", "<=", "<", ">"))))
+    val truncOut = QueryPipeline.run(spark, truncT,
+      Request(params = Map("name" -> "banana"), limit = Some(-1)))
+    assert(truncOut.select("id").as[Long].collect().toSeq == Seq(1L))
+    val truncPlanned = truncOut.inputFiles.filter(_.contains("/part-"))
+    assert(truncPlanned.nonEmpty &&
+      truncPlanned.forall(_.contains("name_trunc=ba")), truncPlanned.toSeq)
+    // range over the truncated string: name >= 'berry' keeps 'be' + 'ch'
+    val truncRange = QueryPipeline.run(spark, truncT,
+      Request(params = Map("name_gte" -> "berry"), limit = Some(-1)))
+    assert(truncRange.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L))
+    assert(truncRange.inputFiles.filter(_.contains("/part-"))
+      .forall(p => p.contains("name_trunc=be") || p.contains("name_trunc=ch")))
+
+    // identity partitioning prunes RANGE params (equality already did)
+    val idRoot = base.resolve("ident").toString
+    graft.output.IcebergWriter.create(
+      (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "grp"),
+      idRoot, partitionBy = Seq("grp"))
+    val idT = TableConfig("iceid", "test",
+      datasource = DatasourceConfig(idRoot, fileType = "iceberg"),
+      params = Seq(Param("grp", operators = Seq("=", ">=", "<=", "<", ">"))))
+    val idOut = QueryPipeline.run(spark, idT,
+      Request(params = Map("grp_gt" -> "1"), limit = Some(-1)))
+    assert(idOut.count() == 30L)
+    val idPlanned = idOut.inputFiles.filter(_.contains("/part-"))
+    assert(idPlanned.nonEmpty && idPlanned.forall(_.contains("grp=2")),
+      idPlanned.toSeq)
+  }
 }
