@@ -536,15 +536,21 @@ object DeltaWriter {
       val byFile: Map[String, Seq[Long]] = matched.groupBy(col("__f"))
         .agg(sort_array(collect_set(col("__p"))).as("pos"))
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // ALL touched files' existing DVs decode in ONE job (the sidecar
+      // branch's shape) — per-file deletedRows calls ran one tiny
+      // sequential Spark job per already-DV'd file, so a delete touching
+      // hundreds of them serialized hundreds of scheduler round-trips
+      val oldDvFiles = byFile.keys.toSeq.sorted.flatMap(a =>
+        fileByAbs(a).deletionVector.map(d => a -> d))
+      val oldPosByFile: Map[String, Seq[Long]] =
+        if (oldDvFiles.isEmpty) Map.empty
+        else graft.sources.DeletionVectors.deletedRows(spark, path, oldDvFiles)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
       byFile.toSeq.map { case (absPath, newPos) =>
         val f = fileByAbs(absPath)
-        val oldPos: Seq[Long] = f.deletionVector match {
-          case None => Nil
-          case Some(d) => graft.sources.DeletionVectors
-            .deletedRows(spark, path, Seq(absPath -> d))
-            .collect().map(_.getLong(1)).toSeq
-        }
-        val all = (oldPos ++ newPos).distinct.sorted
+        val all =
+          (oldPosByFile.getOrElse(absPath, Nil) ++ newPos).distinct.sorted
         val (inline, size) = graft.sources.DeletionVectors.encodeInline(all)
         dvAdd(f, absPath,
           s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${all.size}}""")

@@ -952,7 +952,9 @@ object IcebergWriter {
     */
   private def writeData(df: DataFrame, root: Path,
       spec: Seq[SpecField] = Nil,
-      fieldIds: Map[String, Int] = Map.empty): Seq[WrittenFile] = {
+      fieldIds: Map[String, Int] = Map.empty,
+      cluster: Option[(org.apache.spark.sql.Column, Int)] = None)
+      : Seq[WrittenFile] = {
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val out = if (spec.isEmpty) {
       df.write.mode("overwrite").parquet(staging.toString)
@@ -970,8 +972,26 @@ object IcebergWriter {
     } else {
       import org.apache.spark.sql.functions.col
       val stagingCols = spec.map(f => s"__gp_${f.name}")
-      val staged = spec.zip(stagingCols).foldLeft(df) { case (acc, (f, c)) =>
+      val staged0 = spec.zip(stagingCols).foldLeft(df) { case (acc, (f, c)) =>
         acc.withColumn(c, transformColumn(df.sparkSession, f))
+      }
+      // `cluster` = (order column, width): range-shuffle AND sort by the
+      // STAGING columns themselves + the order column. Sorting by the
+      // staging attributes — not the source columns they derive from —
+      // is what keeps the dynamic-partition write from inserting its own
+      // (z-scrambling) sort: the write requires task rows ordered by its
+      // partition columns, and (__gp..., __cl) satisfies that prefix
+      // exactly, so each task's partition runs stay internally
+      // cluster-ordered.
+      val staged = cluster match {
+        case Some((orderCol, n)) =>
+          val keys = stagingCols.map(c => col(s"`$c`"))
+          staged0.withColumn("__gp_cluster", orderCol)
+            .repartitionByRange(math.max(1, n),
+              keys :+ col("__gp_cluster"): _*)
+            .sortWithinPartitions(keys :+ col("__gp_cluster"): _*)
+            .drop("__gp_cluster")
+        case None => staged0
       }
       staged.write.mode("overwrite").partitionBy(stagingCols: _*)
         .parquet(staging.toString)
@@ -1121,21 +1141,57 @@ object IcebergWriter {
     if (small.size < 2) return 0
     val smallPaths = small.map(e => norm(e.localPath)).toSet
 
-    val live = liveRows(spark, st)
+    val live0 = liveRows(spark, st)
       .filter(col("__f").isin(smallPaths.toSeq: _*))
-      .drop("__f", "__p", "__seq")
-    val totalBytes = small.map(e => Files.size(Paths.get(norm(e.localPath)))).sum
+    val live = live0.drop("__f", "__p", "__seq")
+    val sizes: Map[String, Long] =
+      small.map { e =>
+        val p = norm(e.localPath)
+        p -> Files.size(Paths.get(p))
+      }.toMap
+    val totalBytes = sizes.values.sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // round-robin repartition, NOT coalesce: a narrow coalesce(nOut) caps
     // the READ parallelism of a 10⁴-small-file compaction at nOut tasks
     // and can't balance bytes across skewed inputs — the shuffle is the
     // price of full-width reads and near-equal outputs (Layout.compact
-    // takes the same trade). Partitioned tables shuffle on the partition
-    // columns so each task writes few hive dirs.
+    // takes the same trade).
     val balanced =
       if (st.spec.isEmpty) live.repartition(nOut)
-      else live.repartition(nOut,
-        st.spec.map(f => col(s"`${f.source}`")).distinct: _*)
+      else {
+        // partitioned tables: a shuffle on the partition columns alone
+        // would collapse a HOT hive partition (10⁴ small files) into ONE
+        // task regardless of nOut. Instead the driver — which already
+        // holds every small file's partition tuple and size — bin-packs
+        // files into ~targetBytes groups WITHIN each partition, and the
+        // shuffle keys on the group id: a hot partition compacts at full
+        // width (one task ≈ one near-target output file in one dir),
+        // while many tiny partitions still fold into single files. The
+        // broadcast map is #smallFiles rows — driver-light at any scale.
+        import spark.implicits._
+        var g = 0
+        val assignment: Seq[(String, Int)] =
+          small.groupBy(_.partitionValues).values.toSeq.flatMap { entries =>
+            var acc = 0L
+            g += 1
+            entries.map(e => norm(e.localPath)).sortBy(p => -sizes(p))
+              .map { p =>
+                val sz = sizes(p)
+                if (acc > 0L && acc + sz > targetBytes) { g += 1; acc = 0L }
+                acc += sz
+                p -> g
+              }
+          }
+        val nGroups = assignment.map(_._2).distinct.size
+        val gdf = org.apache.spark.sql.functions.broadcast(
+          assignment.toDF("__f", "__grp"))
+        // 2× buckets: groups are int keys through a hash partitioner, and
+        // two groups of the SAME dir colliding in one task would merge
+        // into a double-size file; extra empty buckets cost nothing
+        live0.drop("__p", "__seq").join(gdf, Seq("__f"))
+          .repartition(math.max(1, nGroups * 2), col("__grp"))
+          .drop("__f", "__grp")
+      }
     val compacted = writeData(balanced, st.root, st.spec, invertIds(st.fieldNames))
 
     val kept = dataEntries.filterNot(e => smallPaths.contains(norm(e.localPath)))
@@ -1168,19 +1224,20 @@ object IcebergWriter {
     * manifests are dropped — they'd be vacuous). Older snapshots still
     * time-travel. Returns the number of data files replaced.
     *
-    * Unpartitioned tables only: Spark's dynamic-partition write re-sorts
-    * each task's rows by partition key (unstably), which would scramble
-    * the z clustering inside partition directories — partitioned tables
-    * keep [[rewriteDataFiles]] + their partition pruning instead.
+    * Partitioned tables cluster WITHIN each partition: the rewrite
+    * range-shuffles and sorts on (partition staging columns, z), which
+    * both spreads a hot partition over many tasks AND satisfies the
+    * dynamic-partition write's required ordering, so the write inserts
+    * no sort of its own and every partition directory's files carry
+    * narrow, internally-ordered z runs. (A plain z-only sort would be
+    * scrambled by the write's own partition re-sort — the r13 refusal;
+    * the staging-column-prefixed ordering is the fix.)
     */
   def rewriteZOrder(spark: org.apache.spark.sql.SparkSession, path: String,
       cx: String, cy: String, targetBytes: Long = 128L * 1024 * 1024,
       bits: Int = 16): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     val st = loadState(path)
-    require(st.spec.isEmpty,
-      "rewriteZOrder supports unpartitioned tables (partitioned tables " +
-        "keep partition pruning via rewriteDataFiles)")
     require(st.schema.fieldNames.contains(cx) &&
         st.schema.fieldNames.contains(cy),
       s"z-order columns must be table columns of ${st.schema.fieldNames.toSeq}")
@@ -1198,14 +1255,19 @@ object IcebergWriter {
       graft.operators.Layout.quantize(col(cx), r.getDouble(0), r.getDouble(1), bits),
       graft.operators.Layout.quantize(col(cy), r.getDouble(2), r.getDouble(3), bits),
       bits)
-    val clustered = live.withColumn("__z", z)
-      .repartitionByRange(nOut, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val newFiles = writeData(clustered, st.root, Nil, invertIds(st.fieldNames))
-      .filter(_.records > 0)
+    val newFiles = (if (st.spec.isEmpty) {
+      val clustered = live.withColumn("__z", z)
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      writeData(clustered, st.root, Nil, invertIds(st.fieldNames))
+    } else {
+      writeData(live, st.root, st.spec, invertIds(st.fieldNames),
+        cluster = Some((z, nOut)))
+    }).filter(_.records > 0)
     val seq = st.md.get("last-sequence-number").asLong() + 1
-    val manifest = writeManifest(st.root, st.location, newFiles)
+    val manifest = writeManifest(st.root, st.location, newFiles,
+      spec = st.spec)
     val list = writeManifestList(st.root, seq,
       Seq(ManifestRef(manifest, 0, seq)))
     commitNewSnapshot(st, seq, list, "replace")

@@ -647,4 +647,38 @@ class DeltaWriterSpec extends SparkSpec {
       && text.contains("\"add\""))
     assert(!text.contains(path)) // paths are relative, table is relocatable
   }
+
+  test("a repeat inline-DV delete decodes ALL touched files' old DVs in " +
+      "one batched job, not one sequential job per file") {
+    val path = tmp("dvbatch")
+    // 12 files, every one of them DV'd by the first sweep
+    DeltaWriter.create(
+      (0 until 1200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(12, col("id")), path)
+    assert(DeltaWriter.deleteWhere(spark, path, col("id") % 100 === 7) > 0)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path, None)
+    assert(snap.files.count(_.deletionVector.isDefined) == 12)
+    // second sweep touches all 12 DV'd files again — count the jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(DeltaWriter.deleteWhere(spark, path, col("id") % 100 === 13) > 0)
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the per-file shape ran 12 old-DV jobs ALONE; the batched delete
+    // runs a small constant number end to end
+    assert(jobs.get() <= 8, s"delete ran ${jobs.get()} jobs — old DVs " +
+      "are being decoded per-file again")
+    // merged correctly: both sweeps' rows stay deleted
+    val back = graft.sources.DeltaLogReader.read(spark, path)
+    assert(back.filter(col("id") % 100 === 7 || col("id") % 100 === 13)
+      .count() == 0L)
+    assert(back.count() == 1200L - 24L)
+  }
 }

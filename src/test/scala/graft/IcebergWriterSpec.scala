@@ -687,14 +687,98 @@ class IcebergWriterSpec extends SparkSpec {
     // pre-rewrite snapshots still replay
     assert(IcebergReader.read(spark, path, snapshotId = Some(1L))
       .count() == 4000L)
-    // partitioned tables are refused with the documented pointer
-    val pp = tmp("zorder_part")
-    IcebergWriter.create(
-      (0 until 20).map(i => (i.toLong, i % 2, "v")).toDF("a", "b", "c"),
-      pp, partitionBy = Seq("b"))
-    assert(intercept[IllegalArgumentException] {
-      IcebergWriter.rewriteZOrder(spark, pp, "a", "b")
-    }.getMessage.contains("unpartitioned"))
+  }
+
+  test("rewriteZOrder on a PARTITIONED table: per-file bounds narrow on " +
+      "both clustered columns WITHIN each partition dir") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.SkipPredicate
+    val path = tmp("zorder_part")
+    // two partitions; inside each, x ascending and y scrambled — the
+    // r13 refusal case, now clustered within partition dirs
+    val n = 20000
+    val df = (0 until n).map(i =>
+        (i % 2, i.toLong, (i * 2654435761L) % n.toLong))
+      .toDF("part", "x", "y")
+    IcebergWriter.create(df.repartitionByRange(4, col("x")), path,
+      partitionBy = Seq("part"))
+    def planned(part: String, p: Option[SkipPredicate]): Int =
+      IcebergReader.read(spark, path,
+        partitionFilter = Map("part" -> part), skipFilters = p.toSeq)
+        .inputFiles.count(_.contains(s"part=$part"))
+    // pre-zorder: x-ranged files have full-width y bounds — a y lookup
+    // inside one partition scans the whole partition
+    assert(planned("0", Some(SkipPredicate("y", "=", "137"))) ==
+      planned("0", None))
+    val before = IcebergReader.read(spark, path)
+      .orderBy("part", "x").collect().toSeq
+    assert(IcebergWriter.rewriteZOrder(spark, path, "x", "y",
+      targetBytes = 16 * 1024) > 0)
+    assert(IcebergReader.read(spark, path)
+      .orderBy("part", "x").collect().toSeq == before)
+    // post-zorder, WITHIN each partition: point lookups on BOTH columns
+    // plan strictly fewer files than the partition holds — the write
+    // preserved the z runs (a scrambled write would leave every file
+    // with full-width bounds on both)
+    Seq("0", "1").foreach { part =>
+      val tot = planned(part, None)
+      assert(tot > 2, s"part=$part needs >2 files for a pruning claim, got $tot")
+      assert(planned(part, Some(SkipPredicate("x", "=", "137"))) < tot,
+        s"x lookup does not prune in part=$part")
+      assert(planned(part, Some(SkipPredicate("y", "=", "137"))) < tot,
+        s"y lookup does not prune in part=$part")
+    }
+    // partition pruning still works on the rewritten table
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("part" -> "1"))
+    assert(pruned.inputFiles.forall(_.contains("part=1")))
+    assert(pruned.count() == n / 2)
+  }
+
+  test("partitioned rewriteDataFiles compacts a HOT partition at full " +
+      "width: bin-packed groups, near-target outputs, no one-task collapse") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("rdf_skew")
+    // partition h=0 is HOT (24 small files via tiny appends), h=1 tiny
+    val first = (0 until 500).map(i => (0, i.toLong, s"v$i")).toDF("h", "id", "v")
+    IcebergWriter.create(first, path, partitionBy = Seq("h"))
+    (1 until 24).foreach { k =>
+      IcebergWriter.append(
+        (0 until 500).map(i => (0, (k * 500 + i).toLong, s"v$i"))
+          .toDF("h", "id", "v"), path)
+    }
+    IcebergWriter.append(Seq((1, 99999L, "cold")).toDF("h", "id", "v"), path)
+    val hotBytes = Files.list(Paths.get(path, "data", "h=0"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val target = math.max(1L, hotBytes / 6) // expect ~6 near-target groups
+    val before = IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+    assert(IcebergWriter.rewriteDataFiles(spark, path,
+      targetBytes = target) >= 24)
+    assert(IcebergReader.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    val hotFiles = Files.list(Paths.get(path, "data", "h=0"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+    // the manifest references only the compacted files; count THOSE
+    val liveHot = IcebergReader.read(spark, path)
+      .inputFiles.count(_.contains("h=0"))
+    assert(liveHot > 1, "hot partition collapsed into one task/file")
+    assert(liveHot <= 10, s"over-fragmented: $liveHot files")
+    // near-target sizes: no live file wildly above target (2× = one
+    // hash-collided group pair, tolerated; 3× would mean no packing)
+    val liveNames = IcebergReader.read(spark, path).inputFiles
+      .filter(_.contains("h=0")).map(p => Paths.get(
+        p.stripPrefix("file:")).getFileName.toString).toSet
+    hotFiles.filter(f => liveNames.contains(f.getFileName.toString))
+      .foreach { f =>
+        assert(Files.size(f) < target * 3,
+          s"${f.getFileName}: ${Files.size(f)} vs target $target")
+      }
+    // the cold partition folded into a single file
+    assert(IcebergReader.read(spark, path)
+      .inputFiles.count(_.contains("h=1")) == 1)
   }
 
   test("removeOrphanFiles reclaims unreferenced leftovers, honors the " +
