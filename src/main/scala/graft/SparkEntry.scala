@@ -1003,6 +1003,34 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     }),
+    "q_convert_hydrate" -> ((s, dir) => {
+      // PARTITIONED delta → iceberg via hydration (zero-copy is
+      // impossible: delta data files omit partition columns) — the
+      // rewrite materializes the partition columns INTO the new files, a
+      // DV delete on the source is applied, and the result serves with
+      // manifest-level partition pruning and no lifetime coupling
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_convert_hyd_gate_v1_${math.abs(dir.hashCode)}")
+      val src = root.resolve("delta")
+      val dst = root.resolve("ice")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            dst.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.DeltaWriter.create(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+            src.toString, partitionBy = Seq("c_mktsegment"))
+          graft.output.DeltaWriter.deleteWhere(s, src.toString,
+            col("c_custkey") % 10 === 3)
+          graft.output.FormatConvert.deltaToIcebergHydrate(s, src.toString,
+            dst.toString)
+        }
+      }
+      graft.sources.IcebergReader.read(s, dst.toString,
+          partitionFilter = Map("c_mktsegment" -> "MACHINERY"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_iceberg_changes" -> ((s, dir) => {
       // incremental feed: create with region<2 (snapshot 1), append the
       // rest (snapshot 2), poll after snapshot 1 — only the appended rows
@@ -2130,6 +2158,10 @@ object SparkEntry {
     "q_convert_partitioned" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'AUTOMOBILE' ORDER BY c_custkey""".stripMargin,
+    "q_convert_hydrate" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 10 <> 3
+        |ORDER BY c_custkey""".stripMargin,
     "q_embed_outliers" ->
       // same fixed-centroid assignment closure as q_ann_ivf, then per-cell
       // z-scores from exact DECIMAL Σd/Σd² (a streaming stddev aggregate

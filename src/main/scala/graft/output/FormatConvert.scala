@@ -39,9 +39,12 @@ import java.nio.file.{Files, Paths}
   * partitioned sources (partition tuples become Delta log
   * partitionValues; Iceberg identity data files retain the source
   * columns, which Delta readers pinning the log's dataSchema simply
-  * ignore). Delta → Iceberg remains unpartitioned-only: Delta data files
-  * OMIT partition columns, so an Iceberg reader projecting file columns
-  * would serve nulls. columnMapping=none on the Delta side; no equality
+  * ignore). Zero-copy Delta → Iceberg remains unpartitioned-only: Delta
+  * data files OMIT partition columns, so an Iceberg reader projecting
+  * file columns would serve nulls — partitioned sources convert through
+  * [[deltaToIcebergHydrate]], which rewrites the files WITH their
+  * partition columns (explicitly non-zero-copy, coupling-free).
+  * columnMapping=none on the Delta side; no equality
   * deletes on the Iceberg side (Delta has no equality-delete
   * representation — apply them with a rewrite first). The reference
   * serves a fixed source matrix; this is beyond-parity lakehouse
@@ -100,6 +103,38 @@ object FormatConvert {
     IcebergWriter.commitNewTable(root, snap.schema, seq, list, "append",
       Map("graft.converted-from" -> s"delta:$deltaRoot"))
     snap.files.size
+  }
+
+  /** PARTITIONED Delta → Iceberg, by HYDRATION: zero-copy registration is
+    * impossible here (Delta data files OMIT their partition columns — the
+    * values live only in the log — so an Iceberg reader projecting file
+    * columns would serve nulls), which [[deltaToIceberg]] correctly
+    * refuses. This explicit non-zero-copy variant completes the
+    * conversion matrix instead: it reads the Delta table's live rows
+    * (partition columns projected from the log, DV deletes applied) and
+    * WRITES a fresh identity-partitioned Iceberg table — one distributed
+    * write, file-count-independent driver work. The result has NO
+    * lifetime coupling to the source (its data files are its own), at
+    * the price zero-copy avoids: the data is rewritten once.
+    * Unpartitioned sources are accepted too (the caller asked to pay for
+    * hydration; the result is still coupling-free). Returns the number
+    * of data files written.
+    */
+  def deltaToIcebergHydrate(spark: SparkSession, deltaPath: String,
+      icebergPath: String): Int = {
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, deltaPath)
+    require(snap.columnMappingMode == "none",
+      s"deltaToIcebergHydrate does not support " +
+        s"columnMapping=${snap.columnMappingMode}")
+    val deltaRoot = Paths.get(deltaPath).toAbsolutePath.normalize
+    val df = graft.sources.DeltaLogReader.read(spark, deltaPath)
+    IcebergWriter.create(df, icebergPath,
+      summary = Map(
+        "graft.converted-from" -> s"delta:$deltaRoot",
+        "graft.conversion" -> "hydrate"),
+      partitionBy = snap.partitionColumns)
+    graft.sources.IcebergReader.read(spark, icebergPath)
+      .inputFiles.length
   }
 
   /** Registers the Iceberg table's current-snapshot live files in a NEW

@@ -196,4 +196,44 @@ class FormatConvertSpec extends SparkSpec {
     // zero-copy: no data parquet copied into the delta dir
     assert(!Files.isDirectory(Paths.get(delta, "data")))
   }
+
+  test("PARTITIONED delta → iceberg hydrates: partition columns land in " +
+      "the new data files, pruning works, no lifetime coupling, and the " +
+      "round trip back to delta is zero-copy") {
+    val delta = tmp("hyd_src")
+    val iceberg = tmp("hyd_dst")
+    val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", s"v$i"))
+      .toDF("id", "part", "v")
+    DeltaWriter.create(df, delta, partitionBy = Seq("part"))
+    assert(DeltaWriter.deleteWhere(spark, delta, col("id") % 7 === 1) > 0)
+    // the zero-copy direction still refuses (documented)
+    assert(intercept[IllegalArgumentException] {
+      FormatConvert.deltaToIceberg(spark, delta, tmp("hyd_rej"))
+    }.getMessage.contains("unpartitioned"))
+    val n = FormatConvert.deltaToIcebergHydrate(spark, delta, iceberg)
+    assert(n > 0)
+    val expect = DeltaLogReader.read(spark, delta)
+      .orderBy("id").collect().toSeq
+    val back = IcebergReader.read(spark, iceberg)
+      .select("id", "part", "v").orderBy("id")
+    assert(back.collect().toSeq == expect)
+    // identity-partitioned for real: hive layout + manifest pruning
+    assert(Files.isDirectory(Paths.get(iceberg, "data", "part=p1")))
+    val pruned = IcebergReader.read(spark, iceberg,
+      partitionFilter = Map("part" -> "p1"))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("part=p1")))
+    // NO lifetime coupling: every planned file lives under the NEW root,
+    // and the partition column is IN the files (not projected from a log)
+    assert(IcebergReader.read(spark, iceberg).inputFiles
+      .forall(_.contains(Paths.get(iceberg).getFileName.toString)))
+    val oneFile = pruned.inputFiles.head
+    assert(spark.read.parquet(oneFile).columns.contains("part"))
+    // round trip: the hydrated table is identity-partitioned, so the
+    // ZERO-COPY iceberg → delta direction completes the matrix
+    val delta2 = tmp("hyd_back")
+    FormatConvert.icebergToDelta(spark, iceberg, delta2)
+    assert(DeltaLogReader.read(spark, delta2)
+      .select("id", "part", "v").orderBy("id").collect().toSeq == expect)
+  }
 }
