@@ -317,6 +317,12 @@ object IcebergWriter {
         committed = true
       } catch {
         case e: ConcurrentCommitException =>
+          // the losing attempt's manifest list was never referenced by
+          // any committed snapshot (our link lost) and its name is
+          // unique to this attempt — reclaim it eagerly rather than
+          // leaving it for removeOrphanFiles' horizon
+          try Files.deleteIfExists(Paths.get(remapLocal(list, location, root)))
+          catch { case scala.util.control.NonFatal(_) => () }
           attempt += 1
           if (attempt > 10) throw e
       }

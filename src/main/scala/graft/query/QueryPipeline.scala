@@ -196,18 +196,57 @@ object QueryPipeline {
       catch { case scala.util.control.NonFatal(_) => return Nil }
     if (sources.isEmpty) return Nil
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
-      val normalized = op match {
-        case "=" | "==" => Some("=")
-        case "<" | "<=" | ">" | ">=" => Some(op)
+      val forColumn = sources.collectFirst {
+        case (src, ps) if src.equalsIgnoreCase(p.column) => ps
+      }
+      (op, forColumn) match {
+        case (_, None) => None
+        case ("=" | "==", Some(ps)) => transformPredicate(ps, "=", value)
+        case ("<" | "<=" | ">" | ">=", Some(ps)) =>
+          transformPredicate(ps, op, value)
+        // an IN list prunes as the union of its values' partition
+        // values — notably each value of a bucket[N] IN hashes to its
+        // own bucket (the equality map can only carry ONE value per
+        // field, so this path, not icebergServingFilter, owns IN)
+        case ("in", Some(ps)) => inPredicate(ps, value)
         case _ => None
       }
-      normalized.flatMap { o =>
-        sources.collectFirst {
-          case (src, ps) if src.equalsIgnoreCase(p.column) =>
-            transformPredicate(ps, o, value)
-        }.flatten
-      }
     }
+  }
+
+  /** The IN list's values, each transformed exactly; one untransformable
+    * value fails the WHOLE predicate open (pruning on the rest would
+    * drop that value's rows), and renderings containing commas are
+    * declined so the comma-joined encoding stays unambiguous.
+    */
+  private def inPredicate(
+      ps: graft.sources.IcebergReader.PartitionSource, value: Any)
+      : Option[graft.sources.IcebergReader.PartitionPredicate] = {
+    import org.apache.spark.sql.types.IntegerType
+    val vals: Seq[String] = value match {
+      case s: Seq[_] => s.map(String.valueOf)
+      case s: String => s.split(",").toSeq
+      case other => Seq(String.valueOf(other))
+    }
+    if (vals.isEmpty) return None
+    val rendered: Seq[Option[(String, org.apache.spark.sql.types.DataType)]] =
+      vals.map { v =>
+        ps.transform match {
+          case "bucket" =>
+            bucketOf(v, ps.sourceType, ps.param).map(b =>
+              (b.toString, IntegerType))
+          case "identity" =>
+            renderPartitionValue(v, ps.sourceType).map((_, ps.sourceType))
+          case _ =>
+            transformPredicate(ps, "=", v).map(pp => (pp.value, pp.valueType))
+        }
+      }
+    if (rendered.exists(_.isEmpty)) return None
+    val flat = rendered.flatten
+    val values = flat.map(_._1).distinct
+    if (values.exists(_.contains(","))) return None
+    Some(graft.sources.IcebergReader.PartitionPredicate(
+      ps.field, "in", values.mkString(","), flat.head._2))
   }
 
   /** `src op value` rewritten to a partition-value bound under the

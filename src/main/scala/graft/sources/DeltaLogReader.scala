@@ -194,7 +194,7 @@ object DeltaLogReader {
     * bounds, unparseable value, unsupported type) — skipping may only
     * ever drop PROVABLY non-matching files.
     */
-  private def statsMayMatch(statsOpt: Option[String], col: String,
+  private[sources] def statsMayMatch(statsOpt: Option[String], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
     case None => true
     case Some(json) =>
@@ -417,18 +417,6 @@ object DeltaLogReader {
       org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
     def absPath(f: AddFile): String = resolveAdd(tablePath, f.path)
 
-    def readFiles(files: Seq[AddFile], withPos: Boolean): DataFrame = {
-      val df = spark.read.schema(physicalSchema).parquet(files.map(absPath): _*)
-      val dataCols = dataFields.toIndexedSeq.map(f =>
-        if (mapped) col(s"`${physicalName(f)}`").as(f.name) else col(s"`${f.name}`"))
-      if (withPos)
-        df.select(dataCols
-          :+ normFile(col("_metadata.file_path")).as("__dv_file")
-          :+ col("_metadata.row_index").as("__dv_pos"): _*)
-      else if (mapped) df.select(dataCols: _*)
-      else df
-    }
-
     if (snap.files.isEmpty) { // fully-deleted snapshot: empty frame, right schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -437,21 +425,50 @@ object DeltaLogReader {
       case f if f.deletionVector.isDefined => (absPath(f), f.deletionVector.get)
     }
     val withPos = dvFiles.nonEmpty
+    // ONE relation for every layout, via [[GraftFileIndex]]: partition
+    // values surface as PartitionDirectory rows (no more per-group
+    // union — at 10³ hive partitions the old unionByName plan was 10³
+    // relations wide), and Catalyst-pushed =/range predicates prune
+    // files from the log's per-file stats at PLANNING time, so the raw
+    // SQL endpoint data-skips without any request-derived skipFilters.
+    val partFields = snap.partitionColumns.toIndexedSeq.map(c => snap.schema(c))
+    val partStruct = StructType(partFields)
+    val entries = snap.files.map { f =>
+      val abs = absPath(f)
+      IndexedFile(abs, java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
+        partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
+        (colName, op, value) =>
+          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+            case Some(fld) => statsMayMatch(f.stats, fld.name, op, value,
+              fld.dataType)
+            case None => true
+          })
+    }
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new GraftFileIndex(partStruct,
+        new org.apache.hadoop.fs.Path(
+          Paths.get(tablePath).toAbsolutePath.normalize.toUri),
+        entries),
+      partitionSchema = partStruct,
+      dataSchema = physicalSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val base = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+    val dataCols = dataFields.toIndexedSeq.map(f =>
+      if (mapped) col(s"`${physicalName(f)}`").as(f.name)
+      else col(s"`${f.name}`"))
+    val partCols = partFields.map(f => col(s"`${f.name}`"))
     val joined =
-      if (snap.partitionColumns.isEmpty) {
-        readFiles(snap.files, withPos)
-      } else {
-        val partFields = snap.partitionColumns.map(c => snap.schema(c))
-        val groups = snap.files.groupBy(_.partitionValues)
-        groups.map { case (pv, files) =>
-          val base = readFiles(files, withPos)
-          partFields.foldLeft(base) { (acc, f) =>
-            val raw = pv.getOrElse(f.name, null)
-            acc.withColumn(f.name,
-              (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
-          }
-        }.reduce(_ unionByName _)
-      }
+      if (withPos)
+        base.select(dataCols ++ partCols
+          :+ normFile(col("_metadata.file_path")).as("__dv_file")
+          :+ col("_metadata.row_index").as("__dv_pos"): _*)
+      else base.select(dataCols ++ partCols: _*)
     val live =
       if (!withPos) joined
       else joined.join(

@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** Log/manifest-backed [[FileIndex]] — the planning surface that turns the
+  * native Delta/Iceberg readers' file lists into ONE Spark relation.
+  *
+  * Two scale problems this solves at once:
+  *
+  *  1. **Plan width.** The Delta reader used to build one parquet relation
+  *     PER partition-value group and `unionByName` them — at 10³ hive
+  *     partitions that is a 10³-child union plan (analyzer/optimizer cost
+  *     quadratic-ish in practice, PERF.md known cost). Here every file of
+  *     the snapshot lives in one relation; partition values are
+  *     [[PartitionDirectory]] rows exactly as Spark's own
+  *     `InMemoryFileIndex` would surface them.
+  *  2. **Catalyst-pushed file skipping.** `listFiles` receives the query's
+  *     partition filters AND data filters, so `/api/sql` (or any
+  *     DataFrame filter) prunes files from the log's per-file stats /
+  *     the manifests' bounds — at PLANNING time, before a task or footer
+  *     read is scheduled. The serving path's request-derived
+  *     `skipFilters` remain as construction-time pruning; this adds the
+  *     same power to arbitrary pushed predicates the request layer never
+  *     sees (the reference's raw endpoint gets DuckDB zone-map skipping
+  *     for free — this is the match).
+  *
+  * Everything fails open: unknown attribute, uncomparable literal,
+  * missing stats ⇒ the file is kept, and Spark still applies the full
+  * predicate on the rows.
+  *
+  * Driver-memory shape: one [[IndexedFile]] per live file (path + raw
+  * partition strings + a stats closure) — the same O(files) the snapshot
+  * replay already holds; nothing row-proportional.
+  */
+final case class IndexedFile(path: String, size: Long,
+    partitionValues: Seq[String],
+    mayMatch: (String, String, String) => Boolean)
+
+final class GraftFileIndex(
+    override val partitionSchema: StructType,
+    root: HadoopPath,
+    entries: Seq[IndexedFile]) extends FileIndex {
+
+  override def rootPaths: Seq[HadoopPath] = Seq(root)
+  override def refresh(): Unit = ()
+  override lazy val sizeInBytes: Long = entries.map(_.size).sum
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  /** Partition tuple as catalyst values (UTF8String / epoch-day ints /
+    * numerics), via Cast from the log's raw strings — the exact
+    * semantics the old per-group `lit(raw).cast(dataType)` had.
+    */
+  private def typedRow(raw: Seq[String]): InternalRow =
+    InternalRow.fromSeq(raw.zip(partitionSchema.fields).map { case (v, f) =>
+      if (v == null) null
+      else Cast(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          StringType),
+        f.dataType, Some("UTC")).eval(null)
+    })
+
+  private lazy val grouped: Seq[(InternalRow, Seq[IndexedFile])] =
+    if (partitionSchema.isEmpty) Seq(InternalRow.empty -> entries)
+    else entries.groupBy(_.partitionValues).toSeq.map { case (raw, fs) =>
+      typedRow(raw) -> fs
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // ---- partition pruning: bind by NAME to tuple ordinals, evaluate
+    // per group (the PartitioningAwareFileIndex pattern). A filter
+    // touching an unknown attribute is dropped — fail open.
+    val usable = partitionFilters.filter(_.references.forall(a =>
+      partitionSchema.fieldNames.exists(_.equalsIgnoreCase(a.name))))
+    val afterPartition =
+      if (usable.isEmpty || partitionSchema.isEmpty) grouped
+      else {
+        val bound = Predicate.createInterpreted(
+          usable.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldNames
+                .indexWhere(_.equalsIgnoreCase(a.name))
+              BoundReference(i, partitionSchema.fields(i).dataType,
+                nullable = true)
+          })
+        grouped.filter { case (row, _) => bound.eval(row) }
+      }
+    // ---- data skipping: =/range conjuncts against per-file stats
+    val checks = dataFilters.flatMap(skipChecks)
+    afterPartition.map { case (row, fs) =>
+      val kept =
+        if (checks.isEmpty) fs
+        else fs.filter(f => checks.forall { case (c, op, v) =>
+          f.mayMatch(c, op, v)
+        })
+      PartitionDirectory(row, kept.map(f =>
+        new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
+          new HadoopPath(f.path))).toArray)
+    }.filter(_.files.nonEmpty)
+  }
+
+  /** Conjuncts of `e` in (column, op, rendered value) form — only the
+    * shapes the stats planes understand; everything else contributes
+    * nothing (the full predicate still runs on the rows).
+    */
+  private def skipChecks(e: Expression): Seq[(String, String, String)] =
+    e match {
+      case And(l, r) => skipChecks(l) ++ skipChecks(r)
+      case EqualTo(a: AttributeReference, l: Literal) => check(a, "=", l)
+      case EqualTo(l: Literal, a: AttributeReference) => check(a, "=", l)
+      case GreaterThan(a: AttributeReference, l: Literal) => check(a, ">", l)
+      case GreaterThan(l: Literal, a: AttributeReference) => check(a, "<", l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        check(a, ">=", l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        check(a, "<=", l)
+      case LessThan(a: AttributeReference, l: Literal) => check(a, "<", l)
+      case LessThan(l: Literal, a: AttributeReference) => check(a, ">", l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        check(a, "<=", l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        check(a, ">=", l)
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        // IN prunes as the [min, max] envelope of its values — coarse
+        // but sound, and exact for the 1-element case
+        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+        if (rendered.exists(_.isEmpty)) Nil
+        else {
+          val sorted = rendered.flatten.sortWith((x, y) =>
+            compareRendered(a.dataType, x, y) < 0)
+          Seq((a.name, ">=", sorted.head), (a.name, "<=", sorted.last))
+        }
+      case _ => Nil
+    }
+
+  private def check(a: AttributeReference, op: String,
+      l: Literal): Seq[(String, String, String)] =
+    render(l).map(v => (a.name, op, v)).toSeq
+
+  /** The literal in the string form the stats planes parse; None =
+    * a type they don't compare (timestamps, decimals, ...) — no check.
+    */
+  private def render(l: Literal): Option[String] =
+    if (l.value == null) None
+    else l.dataType match {
+      case StringType => Some(l.value.toString)
+      case IntegerType | LongType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType => Some(l.value.toString)
+      case DateType => Some(
+        java.time.LocalDate.ofEpochDay(
+          l.value.asInstanceOf[Number].longValue).toString)
+      case _ => None
+    }
+
+  private def compareRendered(dt: DataType, x: String, y: String): Int =
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        java.lang.Long.compare(x.toLong, y.toLong)
+      case DoubleType | FloatType =>
+        java.lang.Double.compare(x.toDouble, y.toDouble)
+      // unsigned UTF-8 — the order both stats planes compare strings in
+      // (ISO dates are order-isomorphic to it too)
+      case _ => java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+}

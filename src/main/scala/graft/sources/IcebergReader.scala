@@ -280,26 +280,18 @@ object IcebergReader {
 
   /** Does the entry's rendered tuple value possibly satisfy `p`? Any
     * uncertainty — unparseable rendering, uncomparable type, unknown op —
-    * keeps the file.
+    * keeps the file. `op = "in"` matches against the comma-joined
+    * rendered candidates (the caller guarantees comma-free renderings).
     */
   private def partitionValueMayMatch(rendered: String,
-      p: PartitionPredicate): Boolean = {
-    val cmp: Option[Int] = try p.valueType match {
-      case _: IntegerType | _: LongType =>
-        Some(java.lang.Long.compare(rendered.trim.toLong, p.value.trim.toLong))
-      case _: DateType =>
-        Some(java.lang.Long.compare(
-          java.time.LocalDate.parse(rendered.trim.take(10)).toEpochDay,
-          java.time.LocalDate.parse(p.value.trim.take(10)).toEpochDay))
-      case _: StringType =>
-        Some(java.util.Arrays.compareUnsigned(
-          rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          p.value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      case _ => None
-    } catch { case scala.util.control.NonFatal(_) => None }
-    cmp match {
+      p: PartitionPredicate): Boolean = p.op match {
+    case "in" =>
+      val cs = p.value.split(",", -1).toSeq
+        .map(v => cmpRendered(rendered, v, p.valueType))
+      cs.exists(_.isEmpty) || cs.exists(_.contains(0))
+    case op => cmpRendered(rendered, p.value, p.valueType) match {
       case None => true
-      case Some(c) => p.op match {
+      case Some(c) => op match {
         case "=" | "==" => c == 0
         case "<" => c < 0
         case "<=" => c <= 0
@@ -309,6 +301,24 @@ object IcebergReader {
       }
     }
   }
+
+  /** sign(rendered − value) under `dt`; None = not comparable. */
+  private def cmpRendered(rendered: String, value: String,
+      dt: DataType): Option[Int] = try {
+    dt match {
+      case _: IntegerType | _: LongType =>
+        Some(java.lang.Long.compare(rendered.trim.toLong, value.trim.toLong))
+      case _: DateType =>
+        Some(java.lang.Long.compare(
+          java.time.LocalDate.parse(rendered.trim.take(10)).toEpochDay,
+          java.time.LocalDate.parse(value.trim.take(10)).toEpochDay))
+      case _: StringType =>
+        Some(java.util.Arrays.compareUnsigned(
+          rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode one bounds map (Avro map-as-array of (key int, value bytes)
     * records) off a manifest entry's data_file record.
@@ -331,7 +341,7 @@ object IcebergReader {
   /** Can a file whose bounds are `b` contain a row matching
     * `op value` under `dt`? Fail-open everywhere.
     */
-  private def boundsMayMatch(
+  private[sources] def boundsMayMatch(
       b: Option[(Option[Array[Byte]], Option[Array[Byte]])],
       op: String, value: String, dt: DataType): Boolean = b match {
     case Some((Some(lo), Some(hi))) =>
@@ -538,8 +548,40 @@ object IcebergReader {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
-    val base = spark.read.schema(snap.schema)
-      .parquet(dataFiles.map(_.path): _*)
+    // ONE [[GraftFileIndex]]-backed relation (identity sources live IN
+    // the files, so no partitionSchema is needed for correctness):
+    // Catalyst-pushed =/range predicates prune files against the
+    // manifests' lower/upper bounds at PLANNING time — the raw SQL
+    // endpoint data-skips with no request-derived skipFilters at all.
+    val nameToIdIdx = snap.fieldNames.map(_.swap)
+    val entries = dataFiles.map { f =>
+      val p = normPath(f.path)
+      IndexedFile(p, Files.size(Paths.get(p)), Nil,
+        (colName, op, value) =>
+          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+            case Some(fld) => nameToIdIdx.get(fld.name) match {
+              case Some(fid) =>
+                boundsMayMatch(f.bounds.get(fid), op, value, fld.dataType)
+              case None => true
+            }
+            case None => true
+          })
+    }
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new GraftFileIndex(StructType(Nil),
+        new org.apache.hadoop.fs.Path(
+          Paths.get(tablePath).toAbsolutePath.normalize.toUri),
+        entries),
+      partitionSchema = StructType(Nil),
+      dataSchema = snap.schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val base = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
     if (snap.positionDeletes.isEmpty && snap.equalityDeletes.isEmpty)
       return base.select(dataCols: _*)
 

@@ -490,4 +490,60 @@ class DeltaLogReaderSpec extends SparkSpec {
     val df = DataSources.read(spark, DatasourceConfig(uri = t, fileType = "delta"))
     assert(df.select("id").as[Long].head() == 5L)
   }
+
+  test("GraftFileIndex: ONE scan relation for partitioned tables, and " +
+      "Catalyst-pushed predicates prune partitions AND stats-skip files " +
+      "at planning time (the /api/sql path)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_part_${System.nanoTime()}").toString
+    val df = (0 until 1200).map(i => (i.toLong, s"p${i % 12}", s"v$i"))
+      .toDF("id", "part", "v")
+    graft.output.DeltaWriter.create(df, path, partitionBy = Seq("part"))
+    val t = DeltaLogReader.read(spark, path)
+    // plan COLLAPSE: the 12-partition table is one scan node, not a
+    // 12-child unionByName tree
+    val scans0 = t.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans0.size == 1, t.queryExecution.sparkPlan.toString)
+    assert(!t.queryExecution.sparkPlan.toString.contains("Union"))
+    // partition values still serve correctly through the index
+    assert(t.filter(col("part") === "p3").count() == 100L)
+    assert(t.orderBy("id").select("id", "part", "v").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // raw-SQL shape: a pushed PARTITION predicate plans one directory
+    t.createOrReplaceTempView("gfi_part_fixture")
+    val q = spark.sql(
+      "SELECT id, v FROM gfi_part_fixture WHERE part = 'p3'")
+    assert(q.count() == 100L)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"planned ${scan.selectedPartitions.partitionCount} of 12 partitions")
+
+    // raw-SQL shape: a pushed DATA predicate file-skips from log stats
+    val path2 = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_skip_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")), path2)
+    DeltaLogReader.read(spark, path2)
+      .createOrReplaceTempView("gfi_skip_fixture")
+    val q2 = spark.sql("SELECT * FROM gfi_skip_fixture WHERE id = 137")
+    assert(q2.count() == 1L)
+    val scan2 = q2.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan2.selectedPartitions.totalNumberOfFiles == 1,
+      s"point lookup planned ${scan2.selectedPartitions.totalNumberOfFiles} of 8 files")
+    // range predicate narrows too
+    val q3 = spark.sql("SELECT * FROM gfi_skip_fixture WHERE id < 600")
+    assert(q3.count() == 600L)
+    val scan3 = q3.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan3.selectedPartitions.totalNumberOfFiles < 8)
+  }
 }

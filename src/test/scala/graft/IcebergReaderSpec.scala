@@ -382,4 +382,29 @@ class IcebergReaderSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("GraftFileIndex: Catalyst-pushed predicates prune iceberg files " +
+      "from manifest bounds at planning time (the /api/sql path)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_ice_${System.nanoTime()}").toString
+    graft.output.IcebergWriter.create(
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")), path)
+    IcebergReader.read(spark, path)
+      .createOrReplaceTempView("gfi_ice_fixture")
+    val q = spark.sql("SELECT * FROM gfi_ice_fixture WHERE id = 137")
+    assert(q.count() == 1L)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.totalNumberOfFiles == 1,
+      s"point lookup planned ${scan.selectedPartitions.totalNumberOfFiles} of 8 files")
+    val q2 = spark.sql("SELECT * FROM gfi_ice_fixture WHERE id >= 3500")
+    assert(q2.count() == 500L)
+    val scan2 = q2.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan2.selectedPartitions.totalNumberOfFiles < 8)
+  }
 }

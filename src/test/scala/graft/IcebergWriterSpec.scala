@@ -649,6 +649,12 @@ class IcebergWriterSpec extends SparkSpec {
     val snapIds = md.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSeq
     assert(snapIds.sorted == (1L to 7L), snapIds)
+    // losing retry attempts reclaim their superseded manifest LISTS
+    // eagerly: exactly one snap-*.avro per committed snapshot remains
+    val lists = Files.list(Paths.get(path, "metadata")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("snap-"))
+    assert(lists == 7, s"$lists manifest lists for 7 snapshots — " +
+      "commit-race losers leaked theirs")
   }
 
   test("rewriteZOrder clusters rows so bounds-skipping prunes on BOTH " +

@@ -248,6 +248,28 @@ class QueryPipelineSpec extends SparkSpec {
       planned.toSeq)
   }
 
+  test("bucket-partitioned IN-list params prune to exactly their " +
+      "values' buckets") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_bucketin_${System.nanoTime()}").toString
+    val df = (0 until 900).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.output.IcebergWriter.create(df, root,
+      partitionBy = Seq("bucket(8, id)"))
+    val t = TableConfig("icebucketin", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("id", operators = Seq("=", "in"))))
+    val out = QueryPipeline.run(spark, t,
+      Request(params = Map("id_in" -> "137,202"), limit = Some(-1)))
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(137L, 202L))
+    val wanted = Set(137L, 202L).map(v =>
+      s"id_bucket=${graft.plans.IcebergTransforms.bucketLong(v, 8)}")
+    val planned = out.inputFiles.filter(_.contains("/part-"))
+    assert(planned.nonEmpty && planned.forall(p => wanted.exists(p.contains)),
+      planned.toSeq)
+  }
+
   test("iceberg-served tables ALSO skip files by manifest bounds on " +
       "non-partition point lookups") {
     val root = java.nio.file.Paths.get(
