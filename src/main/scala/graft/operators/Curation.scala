@@ -173,7 +173,10 @@ object Curation {
     // split_group — so the split is ONE map-side md5 CASE over the canonical
     // frame instead of a separate clusters join + a fourth id join
     val canonicalSplit = Sampling.assignSplit(
-        Dedup.keepCanonicalScored(withExact, clusters),
+        // withExact is already eagerly materialized above — the operator's
+        // two branches read its blocks, no second checkpoint
+        Dedup.keepCanonicalScored(withExact, clusters,
+          materializeInput = false),
         "cluster", splits)
       .select(col("doc_id").as("id"), col("ok_exact"),
         col("keep").as("ok_canonical"), col("split"))

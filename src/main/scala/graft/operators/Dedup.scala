@@ -514,26 +514,40 @@ object Dedup {
     * verdict this way, collapsing what would otherwise be a separate
     * id-keyed shuffle join of two corpus-sized frames into a column.
     */
-  private[operators] def keepCanonicalScored(scored: DataFrame,
-      clusters: DataFrame): DataFrame = {
-    val passthrough = scored.columns.toIndexedSeq
+  private[operators] def keepCanonicalScored(scored0: DataFrame,
+      clusters: DataFrame,
+      materializeInput: Boolean = true): DataFrame = {
+    val passthrough = scored0.columns.toIndexedSeq
       .filterNot(c => c == "id" || c == "score")
-    // ONE branch, ONE window (r13): coalescing unclustered rows to their
-    // own id makes every row a (possibly singleton) cluster member, so
-    // the canonical pick is a single row_number window — a singleton's
-    // sole row is trivially rank 1 / keep 1, identical to the old
-    // two-branch union, without the checkpoint barrier the shared join
-    // needed or the union's second pass
-    val labeled = scored
-      .join(clusters.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    // window ONLY over clustered docs (r14, reinstating the pre-r13
+    // shape): r13's one-window collapse (cluster = coalesce(cluster, id))
+    // removed a checkpoint barrier and measured faster at sf0.1, but it
+    // routes EVERY row through the window exchange where only the
+    // clustered sliver (a few % of the corpus) needs one — CanonicalAb at
+    // sf1-equivalent (50k docs, 2% clustered, interleaved best-of-5)
+    // measures the two-branch shape 1.5x faster (median 1.01 s vs
+    // 1.49 s), and the gap is the full-corpus exchange, so it widens
+    // with scale. `scored` feeds two consumers (join + anti-join), so it
+    // IS a legitimate materialization point per the r13 barrier rule;
+    // callers that already hold a materialized frame pass
+    // materializeInput = false and the two branches read its blocks.
+    // Both branches shuffle on id, so the exchange is planned once and
+    // reused.
+    val scored = if (materializeInput) scored0.materialize() else scored0
+    val cl = clusters.select(col("doc_id").as("id"), col("cluster"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
     val outCols = Seq(col("id").as("doc_id"), col("cluster"), col("score"),
       col("keep")) ++ passthrough.map(col)
-    labeled
+    val clustered = scored.join(cl, Seq("id"))
       .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select(outCols: _*)
+    // non-clustered docs: keep map-side, own id as singleton cluster
+    val unclustered = scored.join(cl, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+      .withColumn("keep", lit(1L))
+      .select(outCols: _*)
+    clustered.unionByName(unclustered)
   }
 
   /** Segment-level exact dedup — the repeated-substring scrub (Lee et al.
