@@ -121,21 +121,46 @@ object QueryPipeline {
   private[query] def servingSkipFilters(table: TableConfig,
       req: Request): Seq[graft.sources.SkipPredicate] =
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
+      // "null" is the HTTP layer's explicit-SQL-null sentinel
+      // (FilterCompiler compiles '= null' to IS NULL) — treating it as
+      // the literal string would prune files whose bounds exclude
+      // "null" while they still hold the NULL rows the request serves
+      def usable(s: String): Boolean = s.nonEmpty && s != "null"
       val normalized = op match {
         case "=" | "==" => Some("=")
         case "<" | "<=" | ">" | ">=" => Some(op)
         case _ => None
       }
       (normalized, value) match {
-        // "null" is the HTTP layer's explicit-SQL-null sentinel
-        // (FilterCompiler compiles '= null' to IS NULL) — treating it as
-        // the literal string would prune files whose bounds exclude
-        // "null" while they still hold the NULL rows the request serves
-        case (Some(o), s: String) if s.nonEmpty && s != "null" =>
-          Some(graft.sources.SkipPredicate(p.column, o, s))
-        case _ => None
+        case (Some(o), s: String) if usable(s) =>
+          Seq(graft.sources.SkipPredicate(p.column, o, s))
+        // BETWEEN is a conjunctive range — both bounds skip (the single
+        // most common date-window request shape). `not between` is a
+        // disjunction and contributes nothing.
+        case _ if op == "between" =>
+          val xs = betweenBounds(value)
+          xs match {
+            case Some((lo, hi)) if usable(lo) && usable(hi) => Seq(
+              graft.sources.SkipPredicate(p.column, ">=", lo),
+              graft.sources.SkipPredicate(p.column, "<=", hi))
+            case _ => Nil
+          }
+        case _ => Nil
       }
     }
+
+  /** The between param's (lo, hi) as strings; None = not a 2-value list
+    * (the compiler will reject the request anyway). Mirrors
+    * FilterCompiler.seqValue's CSV parsing exactly.
+    */
+  private def betweenBounds(value: Any): Option[(String, String)] = {
+    val xs = value match {
+      case s: Seq[_] => s.map(String.valueOf)
+      case s: String => s.split(",").toSeq
+      case other => Seq(String.valueOf(other))
+    }
+    if (xs.size == 2) Some((xs.head.trim, xs(1).trim)) else None
+  }
 
   /** Manifest-level partition pruning for iceberg-served tables — the
     * iceberg analog of the md5-helper rewrite: an `=` request param whose
@@ -211,6 +236,16 @@ object QueryPipeline {
         case ("in", Some(ps)) => inPredicate(ps, value)
         case _ => None
       }
+    } ++ resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
+      // BETWEEN maps to both bounds on the order-preserving transforms
+      if (op != "between") Nil
+      else sources.collectFirst {
+        case (src, ps) if src.equalsIgnoreCase(p.column) =>
+          betweenBounds(value).toSeq.flatMap { case (lo, hi) =>
+            transformPredicate(ps, ">=", lo).toSeq ++
+              transformPredicate(ps, "<=", hi).toSeq
+          }
+      }.getOrElse(Nil)
     }
   }
 

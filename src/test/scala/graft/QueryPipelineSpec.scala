@@ -300,7 +300,8 @@ class QueryPipelineSpec extends SparkSpec {
       root)
     val t = TableConfig("dl", "test",
       datasource = DatasourceConfig(root, fileType = "delta"),
-      params = Seq(Param("id", operators = Seq("=", "<", ">", "<=", ">="))))
+      params = Seq(Param("id",
+        operators = Seq("=", "<", ">", "<=", ">=", "between"))))
     val out = QueryPipeline.run(spark, t,
       Request(params = Map("id" -> "137"), limit = Some(-1)))
     assert(out.count() == 1L)
@@ -309,6 +310,12 @@ class QueryPipelineSpec extends SparkSpec {
     val rng = QueryPipeline.run(spark, t,
       Request(params = Map("id" -> "300"), limit = Some(-1)))
     assert(rng.count() == 1L)
+    // between: both bounds become skip predicates (4 range files of 100
+    // ids each — a 100..180 window stays inside file 2)
+    val btw = QueryPipeline.run(spark, t,
+      Request(params = Map("id_between" -> "100,180"), limit = Some(-1)))
+    assert(btw.count() == 81L)
+    assert(btw.inputFiles.length <= 2, btw.inputFiles.toSeq)
   }
 
   test("month-partitioned iceberg-served tables prune date-RANGE params " +
@@ -325,7 +332,8 @@ class QueryPipelineSpec extends SparkSpec {
       partitionBy = Seq("months(d)"))
     val t = TableConfig("icemonth", "test",
       datasource = DatasourceConfig(root, fileType = "iceberg"),
-      params = Seq(Param("d", operators = Seq("=", ">=", "<=", "<", ">"))))
+      params = Seq(Param("d",
+        operators = Seq("=", ">=", "<=", "<", ">", "between"))))
     val out = QueryPipeline.run(spark, t, Request(params = Map(
       "d_gte" -> "1996-03-15", "d_lte" -> "1996-04-10"), limit = Some(-1)))
     // exact row semantics at the partition boundaries
@@ -336,6 +344,15 @@ class QueryPipelineSpec extends SparkSpec {
     val (mar, apr) = ((1996 - 1970) * 12 + 2, (1996 - 1970) * 12 + 3)
     assert(planned.nonEmpty && planned.forall(p =>
       p.contains(s"d_month=$mar") || p.contains(s"d_month=$apr")), planned.toSeq)
+    // BETWEEN prunes exactly like the gte/lte pair — the single most
+    // common date-window request shape
+    val btw = QueryPipeline.run(spark, t, Request(params = Map(
+      "d_between" -> "1996-03-15,1996-04-10"), limit = Some(-1)))
+    assert(btw.count() == out.count())
+    val btwPlanned = btw.inputFiles.filter(_.contains("/part-"))
+    assert(btwPlanned.nonEmpty && btwPlanned.forall(p =>
+      p.contains(s"d_month=$mar") || p.contains(s"d_month=$apr")),
+      btwPlanned.toSeq)
     // a strict bound weakens to the boundary bucket, never past it
     val strict = QueryPipeline.run(spark, t,
       Request(params = Map("d_lt" -> "1996-02-01"), limit = Some(-1)))
