@@ -1016,6 +1016,15 @@ object SparkEntry {
       SparkEntry.synchronized {
         if (!java.nio.file.Files.exists(
             dst.resolve("metadata").resolve("v1.metadata.json"))) {
+          // crash-resumable: a kill between the source create and the
+          // hydrate commit leaves a half-built src that create() would
+          // refuse — rebuild the whole fixture from scratch
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),

@@ -524,10 +524,10 @@ object Dedup {
     // removed a checkpoint barrier and measured faster at sf0.1, but it
     // routes EVERY row through the window exchange where only the
     // clustered sliver (a few % of the corpus) needs one — CanonicalAb at
-    // sf1-equivalent (50k docs, 2% clustered, interleaved best-of-5)
-    // measures the two-branch shape 1.5x faster (median 1.01 s vs
-    // 1.49 s), and the gap is the full-corpus exchange, so it widens
-    // with scale. `scored` feeds two consumers (join + anti-join), so it
+    // sf1-equivalent (50k docs, 2% clustered, interleaved best-of-5;
+    // PERF.md r14 table) measures the two-branch shape faster, median
+    // 1.301 s vs 1.671 s, and the gap is the full-corpus exchange.
+    // `scored` feeds two consumers (join + anti-join), so it
     // IS a legitimate materialization point per the r13 barrier rule;
     // callers that already hold a materialized frame pass
     // materializeInput = false and the two branches read its blocks.

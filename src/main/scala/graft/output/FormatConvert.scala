@@ -133,8 +133,9 @@ object FormatConvert {
         "graft.converted-from" -> s"delta:$deltaRoot",
         "graft.conversion" -> "hydrate"),
       partitionBy = snap.partitionColumns)
-    graft.sources.IcebergReader.read(spark, icebergPath)
-      .inputFiles.length
+    // file count straight from the committed manifests — no need to
+    // build a second full read relation just to count
+    IcebergWriter.loadState(icebergPath).entries.count(_.content == 0)
   }
 
   /** Registers the Iceberg table's current-snapshot live files in a NEW

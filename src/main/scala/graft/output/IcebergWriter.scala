@@ -992,11 +992,17 @@ object IcebergWriter {
       val staged = cluster match {
         case Some((orderCol, n)) =>
           val keys = stagingCols.map(c => col(s"`$c`"))
-          staged0.withColumn("__gp_cluster", orderCol)
-            .repartitionByRange(math.max(1, n),
-              keys :+ col("__gp_cluster"): _*)
-            .sortWithinPartitions(keys :+ col("__gp_cluster"): _*)
-            .drop("__gp_cluster")
+          // collision-proof order-column name: a partition FIELD named
+          // e.g. "cluster" stages as "__gp_cluster", and overwriting it
+          // with the z expression would both scramble routing and make
+          // the partitionBy below fail on the dropped column
+          val oc = Iterator.from(0).map(i => s"__gp_order$i")
+            .find(c => !stagingCols.contains(c) &&
+              !staged0.columns.contains(c)).get
+          staged0.withColumn(oc, orderCol)
+            .repartitionByRange(math.max(1, n), keys :+ col(oc): _*)
+            .sortWithinPartitions(keys :+ col(oc): _*)
+            .drop(oc)
         case None => staged0
       }
       staged.write.mode("overwrite").partitionBy(stagingCols: _*)

@@ -151,7 +151,11 @@ object QueryPipeline {
 
   /** The between param's (lo, hi) as strings; None = not a 2-value list
     * (the compiler will reject the request anyway). Mirrors
-    * FilterCompiler.seqValue's CSV parsing exactly.
+    * FilterCompiler.seqValue's CSV parsing exactly — bounds stay RAW
+    * (no trim): the row predicate compares the untrimmed literal, and a
+    * trimmed skip bound would be strictly narrower for string columns,
+    * pruning files whose rows the request serves. Numeric/date parse
+    * sites trim internally, where it cannot change row semantics.
     */
   private def betweenBounds(value: Any): Option[(String, String)] = {
     val xs = value match {
@@ -159,7 +163,7 @@ object QueryPipeline {
       case s: String => s.split(",").toSeq
       case other => Seq(String.valueOf(other))
     }
-    if (xs.size == 2) Some((xs.head.trim, xs(1).trim)) else None
+    if (xs.size == 2) Some((xs.head, xs(1))) else None
   }
 
   /** Manifest-level partition pruning for iceberg-served tables — the
@@ -225,27 +229,24 @@ object QueryPipeline {
         case (src, ps) if src.equalsIgnoreCase(p.column) => ps
       }
       (op, forColumn) match {
-        case (_, None) => None
-        case ("=" | "==", Some(ps)) => transformPredicate(ps, "=", value)
+        case (_, None) => Nil
+        case ("=" | "==", Some(ps)) =>
+          transformPredicate(ps, "=", value).toSeq
         case ("<" | "<=" | ">" | ">=", Some(ps)) =>
-          transformPredicate(ps, op, value)
+          transformPredicate(ps, op, value).toSeq
         // an IN list prunes as the union of its values' partition
         // values — notably each value of a bucket[N] IN hashes to its
         // own bucket (the equality map can only carry ONE value per
         // field, so this path, not icebergServingFilter, owns IN)
-        case ("in", Some(ps)) => inPredicate(ps, value)
-        case _ => None
-      }
-    } ++ resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
-      // BETWEEN maps to both bounds on the order-preserving transforms
-      if (op != "between") Nil
-      else sources.collectFirst {
-        case (src, ps) if src.equalsIgnoreCase(p.column) =>
+        case ("in", Some(ps)) => inPredicate(ps, value).toSeq
+        // BETWEEN maps to both bounds on the order-preserving transforms
+        case ("between", Some(ps)) =>
           betweenBounds(value).toSeq.flatMap { case (lo, hi) =>
             transformPredicate(ps, ">=", lo).toSeq ++
               transformPredicate(ps, "<=", hi).toSeq
           }
-      }.getOrElse(Nil)
+        case _ => Nil
+      }
     }
   }
 
@@ -304,8 +305,13 @@ object QueryPipeline {
       case ">" => ">="
       case other => other
     }
+    // the value stays RAW for string-typed transforms: the row predicate
+    // compares the untrimmed literal, so a trimmed partition bound would
+    // be strictly NARROWER and prune partitions whose rows the request
+    // serves (" Bob" >= bound vs "Bob" >= bound differ). Numeric/date
+    // parses trim internally, where trimming cannot change row semantics.
     val s = value match {
-      case str: String if str.trim.nonEmpty && str.trim != "null" => str.trim
+      case str: String if str.trim.nonEmpty && str.trim != "null" => str
       case _ => return None
     }
     try ps.transform match {
@@ -326,7 +332,7 @@ object QueryPipeline {
           val t = new String(cps, 0, math.min(ps.param, cps.length))
           Some(PartitionPredicate(ps.field, weaken(op), t, StringType))
         case IntegerType | LongType =>
-          val v = s.toLong
+          val v = s.trim.toLong
           val w = ps.param.toLong
           Some(PartitionPredicate(ps.field, weaken(op),
             (v - (((v % w) + w) % w)).toString, LongType))
@@ -362,7 +368,9 @@ object QueryPipeline {
     import org.apache.spark.sql.types._
     dt match {
       case DateType =>
-        try Some(java.time.LocalDate.parse(s))
+        // Spark's string→date cast trims whitespace, so trimming here
+        // matches the row predicate exactly
+        try Some(java.time.LocalDate.parse(s.trim))
         catch { case scala.util.control.NonFatal(_) => None }
       case TimestampType | TimestampNTZType =>
         requestDateTime(s, dt).map(_.toLocalDate)
@@ -376,7 +384,7 @@ object QueryPipeline {
     import org.apache.spark.sql.types._
     dt match {
       case TimestampType | TimestampNTZType =>
-        val iso = s.replace(' ', 'T')
+        val iso = s.trim.replace(' ', 'T')
         try Some(java.time.LocalDateTime.parse(iso))
         catch {
           case scala.util.control.NonFatal(_) =>
@@ -385,7 +393,7 @@ object QueryPipeline {
               .toLocalDateTime)
             catch {
               case scala.util.control.NonFatal(_) =>
-                try Some(java.time.LocalDate.parse(s).atStartOfDay)
+                try Some(java.time.LocalDate.parse(s.trim).atStartOfDay)
                 catch { case scala.util.control.NonFatal(_) => None }
             }
         }
