@@ -79,12 +79,52 @@ object DeltaLogReader {
     }
   }
 
-  /** Replay the log into a snapshot (optionally up to `versionAsOf`). */
+  /** Replay the log into a snapshot (optionally up to `versionAsOf`).
+    * Replayed snapshots cached per (table, asked version, latest version
+    * on disk, latest commit mtime): the serving path replays the log per
+    * REQUEST, and at 10³ commits that is 10³ JSON parses (plus a
+    * checkpoint parquet read) of pure repeat work on the p99-sensitive
+    * path. A new commit changes the latest-version component, a replaced
+    * table changes the mtime component — staleness is structural, the
+    * only steady-state cost is one directory listing per request (the
+    * same freshness probe delta-spark's snapshot cache pays). Bounded
+    * against many-table processes.
+    */
+  private val snapshotCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long, Long, Long), Snapshot]()
+
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
+    val key = try {
+      val all = listDir(logDir)
+      val latest = all
+        .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+        .maxByOption(_.getFileName.toString)
+      val lv = math.max(latest.map(versionOf).getOrElse(-1L),
+        lastCheckpoint(logDir).getOrElse(-1L))
+      // file count + max mtime over the WHOLE log dir: checkpoint parts
+      // can appear/vanish without a new commit (post-hoc checkpointing,
+      // torn multi-part writes), and a version-only key would serve the
+      // pre-mutation replay
+      val maxMtime = all
+        .map(p => Files.getLastModifiedTime(p).toMillis)
+        .maxOption.getOrElse(-1L)
+      (Paths.get(tablePath).toAbsolutePath.normalize.toString,
+        versionAsOf.getOrElse(-1L), lv, all.size.toLong, maxMtime)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        return computeSnapshot(spark, tablePath, versionAsOf)
+    }
+    if (snapshotCache.size > 128) snapshotCache.clear()
+    snapshotCache.computeIfAbsent(key,
+      _ => computeSnapshot(spark, tablePath, versionAsOf))
+  }
 
+  private def computeSnapshot(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Snapshot = {
+    val logDir = Paths.get(tablePath, "_delta_log")
     val commitFiles = listDir(logDir)
       .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
       .sortBy(_.getFileName.toString)
@@ -194,6 +234,12 @@ object DeltaLogReader {
     * bounds, unparseable value, unsupported type) — skipping may only
     * ever drop PROVABLY non-matching files.
     */
+  // parsed stats trees memoized by the stats STRING: with the snapshot
+  // cache the same strings recur across requests, and re-parsing 10⁴
+  // file stats per planned query sat on the p99 path. Bounded.
+  private val statsParseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+
   private[sources] def statsMayMatch(statsOpt: Option[String], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
     case None => true
@@ -201,7 +247,8 @@ object DeltaLogReader {
       try {
         // the OBJECT-level shared mapper: constructing one per file made
         // skipping cost O(files) mapper builds per serving request
-        val n = mapper.readTree(json)
+        if (statsParseCache.size > 16384) statsParseCache.clear()
+        val n = statsParseCache.computeIfAbsent(json, mapper.readTree(_))
         def bound(kind: String): Option[JsonNode] =
           Option(n.get(kind)).flatMap(m => Option(m.get(col)))
             .filterNot(_.isNull)
@@ -444,21 +491,9 @@ object DeltaLogReader {
             case None => true
           })
     }
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new GraftFileIndex(partStruct,
-        new org.apache.hadoop.fs.Path(
-          Paths.get(tablePath).toAbsolutePath.normalize.toUri),
-        entries),
-      partitionSchema = partStruct,
-      dataSchema = physicalSchema,
-      bucketSpec = None,
-      fileFormat =
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map.empty)(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val base = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
+    val base = GraftFileIndex.frame(spark,
+      Paths.get(tablePath).toAbsolutePath.normalize,
+      partStruct, physicalSchema, entries)
     val dataCols = dataFields.toIndexedSeq.map(f =>
       if (mapped) col(s"`${physicalName(f)}`").as(f.name)
       else col(s"`${f.name}`"))
@@ -552,21 +587,27 @@ object DeltaLogReader {
     def abs(f: AddFile): String = resolveAdd(tablePath, f.path)
     def normFile(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
-    // one scan per partition group (partition values live in the log, not
-    // the files); the per-file commit version rides a broadcast
+    // ONE GraftFileIndex relation (partition values live in the log, not
+    // the files — they surface as PartitionDirectory rows exactly like
+    // [[read]]); the per-file commit version rides a broadcast
     import spark.implicits._
-    import org.apache.spark.sql.functions.lit
-    val partFields = snap.partitionColumns.map(c => snap.schema(c))
-    val scanned = added.groupBy(_.file.partitionValues).map { case (pv, ts) =>
-      val base = spark.read.schema(snap.dataSchema)
-        .parquet(ts.map(t => abs(t.file)): _*)
-        .withColumn("__cf", normFile(col("_metadata.file_path")))
-      partFields.foldLeft(base) { (acc, f) =>
-        val raw = pv.getOrElse(f.name, null)
-        acc.withColumn(f.name,
-          (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
-      }
-    }.reduce(_ unionByName _)
+    val partFields = snap.partitionColumns.toIndexedSeq
+      .map(c => snap.schema(c))
+    val entries = added.map { t =>
+      val a = abs(t.file)
+      IndexedFile(a, Files.size(Paths.get(a)),
+        partFields.map(pf => t.file.partitionValues.getOrElse(pf.name, null)),
+        (colName, op, value) =>
+          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+            case Some(fld) =>
+              statsMayMatch(t.file.stats, fld.name, op, value, fld.dataType)
+            case None => true
+          })
+    }
+    val scanned = GraftFileIndex.frame(spark,
+        Paths.get(tablePath).toAbsolutePath.normalize,
+        StructType(partFields), snap.dataSchema, entries)
+      .withColumn("__cf", normFile(col("_metadata.file_path")))
     val versionDf = org.apache.spark.sql.functions.broadcast(
       added.map(t => (abs(t.file), t.version)).toDF("__cf", "_commit_version"))
     scanned.join(versionDf, Seq("__cf"))

@@ -40,6 +40,29 @@ final case class IndexedFile(path: String, size: Long,
     partitionValues: Seq[String],
     mayMatch: (String, String, String) => Boolean)
 
+object GraftFileIndex {
+  /** The index wrapped as a queryable DataFrame — one relation whose
+    * output is dataSchema ++ partitionSchema, shared by every
+    * log/manifest-backed read path.
+    */
+  def frame(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: java.nio.file.Path,
+      partitionSchema: StructType, dataSchema: StructType,
+      entries: Seq[IndexedFile]): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new GraftFileIndex(partitionSchema,
+          new HadoopPath(tableRoot.toUri), entries),
+        partitionSchema = partitionSchema,
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat,
+        options = Map.empty)(classic))
+  }
+}
+
 final class GraftFileIndex(
     override val partitionSchema: StructType,
     root: HadoopPath,

@@ -567,21 +567,9 @@ object IcebergReader {
             case None => true
           })
     }
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new GraftFileIndex(StructType(Nil),
-        new org.apache.hadoop.fs.Path(
-          Paths.get(tablePath).toAbsolutePath.normalize.toUri),
-        entries),
-      partitionSchema = StructType(Nil),
-      dataSchema = snap.schema,
-      bucketSpec = None,
-      fileFormat =
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map.empty)(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val base = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
+    val base = GraftFileIndex.frame(spark,
+      Paths.get(tablePath).toAbsolutePath.normalize,
+      StructType(Nil), snap.schema, entries)
     if (snap.positionDeletes.isEmpty && snap.equalityDeletes.isEmpty)
       return base.select(dataCols: _*)
 
