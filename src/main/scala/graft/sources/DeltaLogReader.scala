@@ -482,6 +482,10 @@ object DeltaLogReader {
     val partStruct = StructType(partFields)
     val entries = snap.files.map { f =>
       val abs = absPath(f)
+      // the FILESYSTEM size, deliberately not the log's recorded one:
+      // FileStatus.len drives split planning, and hand-authored /
+      // foreign minimal logs record wrong sizes (a too-small len would
+      // silently truncate the read) — fail-open beats one stat per file
       IndexedFile(abs, java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
         partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
         (colName, op, value) =>

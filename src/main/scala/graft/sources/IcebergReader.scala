@@ -98,9 +98,36 @@ object IcebergReader {
       positionDeletes: Seq[DataFileEntry],
       equalityDeletes: Seq[DataFileEntry])
 
+  /** Resolved snapshots cached per (metadata file, its mtime, asked
+    * snapshot/timestamp): the serving path resolved metadata JSON AND
+    * re-decoded every Avro manifest per request — at 10³ manifest
+    * entries that is repeat driver work on the p99 path. A commit writes
+    * a NEW vN.metadata.json (new key) and manifests are immutable
+    * uuid-named files, so staleness is structural; the in-place-edit
+    * case (foreign tooling) is covered by the mtime component. Bounded.
+    */
+  private val resolvedSnapshotCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long, Long), Snapshot]()
+
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long] = None): Snapshot = {
+    val key = try {
+      val mdFile = currentMetadataFile(tablePath)
+      (mdFile.toString, Files.getLastModifiedTime(mdFile).toMillis,
+        snapshotId.getOrElse(-1L), asOfTimestampMs.getOrElse(-1L))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
+    }
+    if (resolvedSnapshotCache.size > 128) resolvedSnapshotCache.clear()
+    resolvedSnapshotCache.computeIfAbsent(key,
+      _ => computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs))
+  }
+
+  private def computeResolveSnapshot(tablePath: String,
+      snapshotId: Option[Long],
+      asOfTimestampMs: Option[Long]): Snapshot = {
     val root = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
     val version = root.get("format-version").asInt()
     require(version == 1 || version == 2,
@@ -556,6 +583,9 @@ object IcebergReader {
     val nameToIdIdx = snap.fieldNames.map(_.swap)
     val entries = dataFiles.map { f =>
       val p = normPath(f.path)
+      // filesystem size, not the manifest's recorded one: FileStatus.len
+      // drives split planning and a foreign/minimal manifest's wrong
+      // size would silently truncate the read — fail-open
       IndexedFile(p, Files.size(Paths.get(p)), Nil,
         (colName, op, value) =>
           snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
