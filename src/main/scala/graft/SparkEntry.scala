@@ -928,6 +928,32 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_sql_delta" -> ((s, dir) => {
+      // the raw SQL endpoint over a DELTA-served view: the pushed WHERE
+      // reaches GraftFileIndex, so the point-range scan file-skips from
+      // the log's per-file stats with NO request-derived filters — the
+      // reference's raw endpoint gets DuckDB's zone-map skipping for
+      // free; this is the match (plan-asserted in DeltaLogReaderSpec)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_sql_delta_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+          graft.output.DeltaWriter.create(
+            Tables.load(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderstatus"))
+              .repartitionByRange(8, col("o_orderkey")), root.toString)
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .createOrReplaceTempView("delta_orders_sql")
+      SqlEndpoint.query(s,
+        """SELECT o_orderkey, o_custkey, o_orderstatus
+          |FROM delta_orders_sql
+          |WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+          |ORDER BY o_orderkey""".stripMargin,
+        Set("delta_orders_sql"))
+    }),
     "q_iceberg_temporal" -> ((s, dir) => {
       // month(o_orderdate)-partitioned table served through the full
       // pipeline: the gte/lte request params become manifest-level
@@ -2152,6 +2178,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
         |WHERE o_orderdate >= DATE '1996-03-15'
         |  AND o_orderdate <= DATE '1996-09-15'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_delta" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
     "q_iceberg_zorder" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part

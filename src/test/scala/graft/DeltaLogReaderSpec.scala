@@ -491,6 +491,24 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(df.select("id").as[Long].head() == 5L)
   }
 
+  test("snapshot cache: repeat replays serve the SAME instance; any new " +
+      "commit invalidates") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_snapcache_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val s1 = DeltaLogReader.snapshot(spark, path)
+    assert(DeltaLogReader.snapshot(spark, path) eq s1,
+      "second replay of an unchanged log must be the cached instance")
+    graft.output.DeltaWriter.append(Seq((3L, "c")).toDF("id", "v"), path)
+    val s3 = DeltaLogReader.snapshot(spark, path)
+    assert(!(s3 eq s1) && s3.version == 1L && s3.files.size > s1.files.size,
+      "a new commit must invalidate the cached snapshot")
+    // versionAsOf keys separately and stays correct
+    assert(DeltaLogReader.snapshot(spark, path, Some(0L)).files.size ==
+      s1.files.size)
+  }
+
   test("GraftFileIndex: ONE scan relation for partitioned tables, and " +
       "Catalyst-pushed predicates prune partitions AND stats-skip files " +
       "at planning time (the /api/sql path)") {
