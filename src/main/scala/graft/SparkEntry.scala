@@ -698,7 +698,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_wr_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(
@@ -718,7 +718,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_stats_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "orders")
               .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -740,7 +740,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_purge_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -758,7 +758,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_del_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -790,7 +790,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_chg_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(
@@ -809,7 +809,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_ups_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -937,7 +937,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_sql_delta_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "orders")
               .select(col("o_orderkey"), col("o_custkey"),

@@ -80,46 +80,64 @@ object DeltaLogReader {
   }
 
   /** Replay the log into a snapshot (optionally up to `versionAsOf`).
-    * Replayed snapshots cached per (table, asked version, latest version
-    * on disk, latest commit mtime): the serving path replays the log per
-    * REQUEST, and at 10³ commits that is 10³ JSON parses (plus a
+    * Replayed snapshots cached per (table, asked version) with a
+    * freshness token (latest version, log file count, mtimes of the
+    * latest commit + `_last_checkpoint`): the serving path replays the
+    * log per REQUEST, and at 10³ commits that is 10³ JSON parses (plus a
     * checkpoint parquet read) of pure repeat work on the p99-sensitive
-    * path. A new commit changes the latest-version component, a replaced
-    * table changes the mtime component — staleness is structural, the
-    * only steady-state cost is one directory listing per request (the
-    * same freshness probe delta-spark's snapshot cache pays). Bounded
-    * against many-table processes.
+    * path. A new commit writes a new latest commit file (new version +
+    * mtime), a replaced table changes the latest commit's mtime,
+    * post-hoc checkpointing / torn multi-part checkpoint writes change
+    * the file count — staleness is structural. The steady-state probe is
+    * one directory listing plus TWO stat(2) calls (not one per log
+    * file — commit JSONs are immutable under the protocol, so only the
+    * newest commit and the checkpoint pointer can legally change).
+    * Keying by table (not by token) means a commit REPLACES the entry
+    * instead of stranding the superseded snapshot, so the map grows only
+    * with distinct (table, asked-version) pairs. Replays run OUTSIDE the
+    * map's locks: a cold seconds-long replay of one table must not block
+    * cache hits for others (worst case two threads replay the same cold
+    * log once).
     */
-  private val snapshotCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long, Long, Long), Snapshot]()
+  private val snapshotCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), ((Long, Long, Long, Long), Snapshot)]()
 
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
-    val key = try {
+    val (key, fresh) = try {
       val all = listDir(logDir)
       val latest = all
         .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
         .maxByOption(_.getFileName.toString)
       val lv = math.max(latest.map(versionOf).getOrElse(-1L),
         lastCheckpoint(logDir).getOrElse(-1L))
-      // file count + max mtime over the WHOLE log dir: checkpoint parts
-      // can appear/vanish without a new commit (post-hoc checkpointing,
-      // torn multi-part writes), and a version-only key would serve the
-      // pre-mutation replay
-      val maxMtime = all
-        .map(p => Files.getLastModifiedTime(p).toMillis)
-        .maxOption.getOrElse(-1L)
-      (Paths.get(tablePath).toAbsolutePath.normalize.toString,
-        versionAsOf.getOrElse(-1L), lv, all.size.toLong, maxMtime)
+      def mtimeOf(p: Option[Path]): Long = p.map { f =>
+        try Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      }.getOrElse(-1L)
+      val ckptPtr = all.find(_.getFileName.toString == "_last_checkpoint")
+      ((Paths.get(tablePath).toAbsolutePath.normalize.toString,
+        versionAsOf.getOrElse(-1L)),
+        (lv, all.size.toLong, mtimeOf(latest), mtimeOf(ckptPtr)))
     } catch {
       case scala.util.control.NonFatal(_) =>
         return computeSnapshot(spark, tablePath, versionAsOf)
     }
-    if (snapshotCache.size > 128) snapshotCache.clear()
-    snapshotCache.computeIfAbsent(key,
-      _ => computeSnapshot(spark, tablePath, versionAsOf))
+    Option(snapshotCache.get(key)) match {
+      case Some((`fresh`, snap)) => snap
+      case _ =>
+        val snap = computeSnapshot(spark, tablePath, versionAsOf)
+        if (snapshotCache.size > 128) {
+          // shed time-travel entries first (cold by nature); wholesale
+          // clear only if the live-version working set itself overflows
+          snapshotCache.keySet.removeIf(_._2 != -1L)
+          if (snapshotCache.size > 128) snapshotCache.clear()
+        }
+        snapshotCache.put(key, (fresh, snap))
+        snap
+    }
   }
 
   private def computeSnapshot(spark: SparkSession, tablePath: String,
@@ -236,9 +254,16 @@ object DeltaLogReader {
     */
   // parsed stats trees memoized by the stats STRING: with the snapshot
   // cache the same strings recur across requests, and re-parsing 10⁴
-  // file stats per planned query sat on the p99 path. Bounded.
-  private val statsParseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+  // file stats per planned query sat on the p99 path. A true LRU (not
+  // clear-on-overflow): stats of tables no longer served age out one at
+  // a time instead of pinning tens of MB until a wholesale clear forces
+  // every in-flight plan to re-parse at once.
+  private val statsParseCache: java.util.Map[String, JsonNode] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, JsonNode](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, JsonNode]): Boolean = size > 16384
+      })
 
   private[sources] def statsMayMatch(statsOpt: Option[String], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
@@ -247,7 +272,6 @@ object DeltaLogReader {
       try {
         // the OBJECT-level shared mapper: constructing one per file made
         // skipping cost O(files) mapper builds per serving request
-        if (statsParseCache.size > 16384) statsParseCache.clear()
         val n = statsParseCache.computeIfAbsent(json, mapper.readTree(_))
         def bound(kind: String): Option[JsonNode] =
           Option(n.get(kind)).flatMap(m => Option(m.get(col)))

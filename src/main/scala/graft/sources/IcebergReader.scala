@@ -98,31 +98,52 @@ object IcebergReader {
       positionDeletes: Seq[DataFileEntry],
       equalityDeletes: Seq[DataFileEntry])
 
-  /** Resolved snapshots cached per (metadata file, its mtime, asked
-    * snapshot/timestamp): the serving path resolved metadata JSON AND
-    * re-decoded every Avro manifest per request — at 10³ manifest
-    * entries that is repeat driver work on the p99 path. A commit writes
-    * a NEW vN.metadata.json (new key) and manifests are immutable
-    * uuid-named files, so staleness is structural; the in-place-edit
-    * case (foreign tooling) is covered by the mtime component. Bounded.
+  /** Resolved snapshots cached per (table, asked snapshot/timestamp)
+    * with a freshness token (current metadata file path, its mtime at
+    * full filesystem precision, its size): the serving path resolved
+    * metadata JSON AND re-decoded every Avro manifest per request — at
+    * 10³ manifest entries that is repeat driver work on the p99 path. A
+    * commit writes a NEW vN.metadata.json (new path in the token) and
+    * manifests are immutable uuid-named files, so staleness is
+    * structural; the in-place-edit case (foreign tooling) is covered by
+    * mtime (nanosecond-granular where the filesystem supports it) AND
+    * file size — a sub-granule double edit still almost surely changes
+    * the byte count. Keying by table means a commit REPLACES the entry
+    * (no stranded snapshots); resolution runs OUTSIDE the map's locks so
+    * a cold manifest decode never blocks other tables' cache hits.
     */
   private val resolvedSnapshotCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long, Long), Snapshot]()
+    .ConcurrentHashMap[(String, Long, Long), ((String, Long, Long), Snapshot)]()
 
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long] = None): Snapshot = {
-    val key = try {
+    val (key, fresh) = try {
       val mdFile = currentMetadataFile(tablePath)
-      (mdFile.toString, Files.getLastModifiedTime(mdFile).toMillis,
-        snapshotId.getOrElse(-1L), asOfTimestampMs.getOrElse(-1L))
+      ((java.nio.file.Paths.get(tablePath).toAbsolutePath.normalize.toString,
+        snapshotId.getOrElse(-1L), asOfTimestampMs.getOrElse(-1L)),
+        (mdFile.toString,
+          Files.getLastModifiedTime(mdFile)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS),
+          Files.size(mdFile)))
     } catch {
       case scala.util.control.NonFatal(_) =>
         return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     }
-    if (resolvedSnapshotCache.size > 128) resolvedSnapshotCache.clear()
-    resolvedSnapshotCache.computeIfAbsent(key,
-      _ => computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs))
+    Option(resolvedSnapshotCache.get(key)) match {
+      case Some((`fresh`, snap)) => snap
+      case _ =>
+        val snap = computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
+        if (resolvedSnapshotCache.size > 128) {
+          // shed time-travel entries first; wholesale clear only if the
+          // current-snapshot working set itself overflows
+          resolvedSnapshotCache.keySet
+            .removeIf(k => k._2 != -1L || k._3 != -1L)
+          if (resolvedSnapshotCache.size > 128) resolvedSnapshotCache.clear()
+        }
+        resolvedSnapshotCache.put(key, (fresh, snap))
+        snap
+    }
   }
 
   private def computeResolveSnapshot(tablePath: String,
