@@ -168,6 +168,54 @@ object EventStreams {
         col("c.user_id").as("user_id"))
   }
 
+  /** Streaming MinHash/LSH near-dup screen against a persisted corpus
+    * band index — the TEXT near-dup member of the screen family
+    * ([[ingestScreen]] exact / [[bloomIngestScreen]] Bloom-exact /
+    * [[binaryScreen]] semantic): each arriving document's LSH band keys
+    * are computed as a PURE PROJECTION (`TextFunctions.minhashSignature`
+    * + `lshBandKeys` are per-row column expressions — no aggregation, so
+    * no streaming state for the banding) and probed against the corpus's
+    * `(band, key) → id` index with a stream-static equality join.
+    *
+    * The band keys are BYTE-IDENTICAL to what the batch
+    * [[graft.operators.Dedup.minhashBandIndex]] emits (same
+    * `md5("<seed> " ++ shingle)` scheme, same band slicing — min over a
+    * shingle BAG equals min over its SET, and both sides share the
+    * whole-text fallback for sub-`shingleSize` docs), so the static side
+    * IS the index [[graft.operators.Dedup.writeMinhashIndex]] persists:
+    * bucketed by the probe keys, the per-micro-batch probe reads it with
+    * no corpus-side exchange, and the batch pipeline that maintains the
+    * index needs no streaming twin.
+    *
+    * Output: `(id_b, id_c)` CANDIDATE pairs — arriving doc × corpus doc
+    * sharing ≥ 1 band, deduplicated within the watermark horizon (the
+    * only streaming state, bounded by arrival rate × watermark, NOT by
+    * corpus size). A novel document emits nothing. Same screen-then-
+    * verify contract as the whole family: feed candidates to exact
+    * Jaccard verification offline (the id-keyed join
+    * [[graft.operators.Dedup.incrementalMinhashIndexed]] runs), never
+    * treat a band collision as a confirmed duplicate.
+    */
+  def minhashIngestScreen(docs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      shingleSize: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sig = graft.functions.TextFunctions.minhashSignature(
+      graft.functions.TextFunctions.shingles(col(textCol), shingleSize),
+      numBands * rowsPerBand)
+    val bands = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("__bands",
+        graft.functions.TextFunctions.lshBandKeys(sig, numBands, rowsPerBand))
+      .select(col(idCol).as("id_b"), col(tsCol),
+        posexplode(col("__bands")).as(Seq("band", "key")))
+    bands
+      .join(corpusIndex.select(col("band"), col("key"), col("id").as("id_c")),
+        Seq("band", "key"))
+      .dropDuplicatesWithinWatermark("id_b", "id_c")
+      .select(col("id_b"), col("id_c"))
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when no event arrives for `gapSeconds` (event time). Custom
     * state machine — the operator Spark's built-in windows can't express

@@ -142,6 +142,36 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS stream_fp_idx")
   }
 
+  test("streaming minhash screen: banding is a projection, candidates probe " +
+      "the BATCH band index, band-multiplied hits collapse to one pair") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different corpus text about spark engines")
+    ).toDF("doc_id", "text")
+    // the SAME index the batch pipeline persists (writeMinhashIndex) —
+    // stream-side band keys must be byte-identical to probe it
+    val index = graft.operators.Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.minhashIngestScreen(docs, index, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("mh_screen")
+      .outputMode("append").start()
+    input.addData(
+      // verbatim copy of corpus doc 10: identical signature, so ALL 4
+      // bands collide — must still emit exactly ONE candidate pair
+      (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+      // novel doc: no band shared, no row
+      (2L, "unrelated fresh arrival carrying entirely novel words", ts(0)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("mh_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 10L)))
+    assert(pairs.length == 1,
+      "band-multiplied collisions must collapse to one candidate pair")
+  }
+
   test("bloom ingest screen: stateless per-row tag, no false negatives, append mode") {
     implicit val sq = spark.sqlContext
     val corpusFps = Seq((1L, "seen before"), (2L, "other corpus text"))
