@@ -1197,12 +1197,26 @@ object IcebergWriter {
         val nGroups = assignment.map(_._2).distinct.size
         val gdf = org.apache.spark.sql.functions.broadcast(
           assignment.toDF("__f", "__grp"))
-        // 2× buckets: groups are int keys through a hash partitioner, and
-        // two groups of the SAME dir colliding in one task would merge
-        // into a double-size file; extra empty buckets cost nothing
-        live0.drop("__p", "__seq").join(gdf, Seq("__f"))
-          .repartition(math.max(1, nGroups * 2), col("__grp"))
-          .drop("__f", "__grp")
+        // EXACT one-task-per-group routing. A hash repartition on the
+        // dense int group id collides at birthday rate (~g²/2·buckets
+        // expected pairs — near-certain for g ≳ √buckets, NOT rare), and
+        // two same-dir groups merged into one task write one double-size
+        // file in exactly the hot-partition case this path exists for.
+        // The driver assigned the ids, so it routes them 1:1: group g →
+        // partition g-1 through an identity Partitioner (ids are dense
+        // 1..nGroups by construction). The RDD hop costs one
+        // InternalRow⇄Row conversion each way — maintenance-op price for
+        // a deterministic layout; AQE never re-coalesces an RDD shuffle.
+        val joined = live0.drop("__p", "__seq").join(gdf, Seq("__f"))
+        val keyed = joined.rdd
+          .map(r => r.getAs[Int]("__grp") -> r)
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = nGroups
+            override def getPartition(key: Any): Int =
+              key.asInstanceOf[Int] - 1
+          })
+          .values
+        spark.createDataFrame(keyed, joined.schema).drop("__f", "__grp")
       }
     val compacted = writeData(balanced, st.root, st.spec, invertIds(st.fieldNames))
 

@@ -76,11 +76,21 @@ object HashPartitionPruning {
     */
   def verifiedDerivation(df: DataFrame, uri: String, pc: String): Boolean =
     if (uri == null || uri.trim.isEmpty) probeDerivation(df, pc).booleanValue
-    else derivationCache.compute((uri, pc), (_, prev) => {
+    else {
+      // probe OUTSIDE the map's locks (the snapshot-cache discipline): a
+      // TTL refresh is a Spark job, and running it inside compute() would
+      // stall every other table hashing to the same bin for the job's
+      // duration, recurrently. Two threads racing a refresh at worst
+      // probe twice — benign, the probe is input-bounded.
       val now = System.currentTimeMillis()
-      if (prev != null && now - prev._2 < DerivationTtlMs) prev
-      else (probeDerivation(df, pc), now)
-    })._1.booleanValue
+      Option(derivationCache.get((uri, pc))) match {
+        case Some((v, at)) if now - at < DerivationTtlMs => v.booleanValue
+        case _ =>
+          val v = probeDerivation(df, pc)
+          derivationCache.put((uri, pc), (v, now))
+          v.booleanValue
+      }
+    }
 
   private val ProbeRows = 8
   private val ProbeScanRows = 4096

@@ -185,9 +185,12 @@ object QueryPipeline {
       catch { case scala.util.control.NonFatal(_) => return Map.empty }
     if (sources.isEmpty) return Map.empty
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
-      if (!(op == "=" || op == "==")) None
-      else sources.collectFirst {
-        case (src, ps) if src.equalsIgnoreCase(p.column) =>
+      if (!(op == "=" || op == "==")) Nil
+      // EVERY spec field over the param's source column contributes its
+      // own map entry (distinct field names): a spec transforming one
+      // column twice — (identity(ts), month(ts)) — prunes on both
+      else sources.find(_._1.equalsIgnoreCase(p.column)).toSeq
+        .flatMap(_._2).flatMap { ps =>
           ps.transform match {
             case "identity" =>
               renderPartitionValue(value, ps.sourceType)
@@ -200,7 +203,7 @@ object QueryPipeline {
                 .map(b => ps.field -> b.toString)
             case _ => None
           }
-      }.flatten
+        }
     }.toMap
   }
 
@@ -225,27 +228,29 @@ object QueryPipeline {
       catch { case scala.util.control.NonFatal(_) => return Nil }
     if (sources.isEmpty) return Nil
     resolvedScalarParams(table, req).flatMap { case (p, op, value) =>
-      val forColumn = sources.collectFirst {
-        case (src, ps) if src.equalsIgnoreCase(p.column) => ps
-      }
-      (op, forColumn) match {
-        case (_, None) => Nil
-        case ("=" | "==", Some(ps)) =>
-          transformPredicate(ps, "=", value).toSeq
-        case ("<" | "<=" | ">" | ">=", Some(ps)) =>
-          transformPredicate(ps, op, value).toSeq
-        // an IN list prunes as the union of its values' partition
-        // values — notably each value of a bucket[N] IN hashes to its
-        // own bucket (the equality map can only carry ONE value per
-        // field, so this path, not icebergServingFilter, owns IN)
-        case ("in", Some(ps)) => inPredicate(ps, value).toSeq
-        // BETWEEN maps to both bounds on the order-preserving transforms
-        case ("between", Some(ps)) =>
-          betweenBounds(value).toSeq.flatMap { case (lo, hi) =>
-            transformPredicate(ps, ">=", lo).toSeq ++
-              transformPredicate(ps, "<=", hi).toSeq
-          }
-        case _ => Nil
+      // every spec field over the source column prunes independently —
+      // predicates on distinct fields conjoin at the manifest filter
+      val forColumn = sources.find(_._1.equalsIgnoreCase(p.column))
+        .map(_._2).getOrElse(Nil)
+      forColumn.flatMap { ps =>
+        op match {
+          case "=" | "==" =>
+            transformPredicate(ps, "=", value).toSeq
+          case "<" | "<=" | ">" | ">=" =>
+            transformPredicate(ps, op, value).toSeq
+          // an IN list prunes as the union of its values' partition
+          // values — notably each value of a bucket[N] IN hashes to its
+          // own bucket (the equality map can only carry ONE value per
+          // field, so this path, not icebergServingFilter, owns IN)
+          case "in" => inPredicate(ps, value).toSeq
+          // BETWEEN maps to both bounds on order-preserving transforms
+          case "between" =>
+            betweenBounds(value).toSeq.flatMap { case (lo, hi) =>
+              transformPredicate(ps, ">=", lo).toSeq ++
+                transformPredicate(ps, "<=", hi).toSeq
+            }
+          case _ => Nil
+        }
       }
     }
   }

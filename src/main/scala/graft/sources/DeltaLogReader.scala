@@ -39,7 +39,19 @@ object DeltaLogReader {
     */
   final case class AddFile(path: String, partitionValues: Map[String, String],
       deletionVector: Option[DeletionVectors.Descriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None) {
+    /** stats parsed ONCE per AddFile instance — with the snapshot cache
+      * that is once per file per snapshot lifetime. Replaces the former
+      * process-global parse LRU, whose single mutex serialized every
+      * concurrently-planning thread (access-order LinkedHashMap makes
+      * even a get() a structural write). Malformed stats memoize as
+      * None — fail open, the file is kept.
+      */
+    @transient lazy val statsNode: Option[JsonNode] =
+      stats.flatMap(s =>
+        try Some(mapper.readTree(s))
+        catch { case scala.util.control.NonFatal(_) => None })
+  }
 
   /** The table's protocol action as last seen in the log (feature lists
     * empty below reader 3 / writer 7, where versions imply the features).
@@ -59,6 +71,17 @@ object DeltaLogReader {
       configuration.getOrElse("delta.columnMapping.mode", "none")
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+    /** filesystem size statted ONCE per snapshot instance per file (data
+      * files are immutable once written): with the snapshot cache this
+      * turns the former per-REQUEST O(files) stat(2) storm at plan time
+      * into a one-time cost per replayed snapshot. A missing file still
+      * throws at first touch — same surface as the uncached stat.
+      */
+    @transient private lazy val fsSizes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private[sources] def fileSize(abs: String): Long =
+      fsSizes.computeIfAbsent(abs,
+        p => Files.size(Paths.get(p))).longValue()
   }
 
   private val mapper = new ObjectMapper()
@@ -100,7 +123,15 @@ object DeltaLogReader {
     * log once).
     */
   private val snapshotCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), ((Long, Long, Long, Long), Snapshot)]()
+    (String, Long),
+    ((Long, Long, Long, Long), Snapshot,
+      java.util.concurrent.atomic.AtomicLong)]()
+  // big snapshots (10⁴-file tables hold multi-MB of stats strings) must
+  // not stay pinned for tables no longer served: entries idle past the
+  // horizon are swept every few hundred cache operations — hits included,
+  // so an all-hits steady state still ages out the cold rest
+  private val snapshotCacheOps = new java.util.concurrent.atomic.AtomicLong()
+  private val IdleEvictMs = 30L * 60 * 1000
 
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
@@ -125,8 +156,12 @@ object DeltaLogReader {
       case scala.util.control.NonFatal(_) =>
         return computeSnapshot(spark, tablePath, versionAsOf)
     }
+    val now = System.currentTimeMillis()
+    if (snapshotCacheOps.incrementAndGet() % 512 == 0)
+      snapshotCache.entrySet.removeIf(e =>
+        now - e.getValue._3.get > IdleEvictMs)
     Option(snapshotCache.get(key)) match {
-      case Some((`fresh`, snap)) => snap
+      case Some((`fresh`, snap, at)) => at.set(now); snap
       case _ =>
         val snap = computeSnapshot(spark, tablePath, versionAsOf)
         if (snapshotCache.size > 128) {
@@ -135,7 +170,8 @@ object DeltaLogReader {
           snapshotCache.keySet.removeIf(_._2 != -1L)
           if (snapshotCache.size > 128) snapshotCache.clear()
         }
-        snapshotCache.put(key, (fresh, snap))
+        snapshotCache.put(key,
+          (fresh, snap, new java.util.concurrent.atomic.AtomicLong(now)))
         snap
     }
   }
@@ -252,27 +288,15 @@ object DeltaLogReader {
     * bounds, unparseable value, unsupported type) — skipping may only
     * ever drop PROVABLY non-matching files.
     */
-  // parsed stats trees memoized by the stats STRING: with the snapshot
-  // cache the same strings recur across requests, and re-parsing 10⁴
-  // file stats per planned query sat on the p99 path. A true LRU (not
-  // clear-on-overflow): stats of tables no longer served age out one at
-  // a time instead of pinning tens of MB until a wholesale clear forces
-  // every in-flight plan to re-parse at once.
-  private val statsParseCache: java.util.Map[String, JsonNode] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, JsonNode](1024, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, JsonNode]): Boolean = size > 16384
-      })
-
-  private[sources] def statsMayMatch(statsOpt: Option[String], col: String,
+  /** Skip check against an [[AddFile]]'s pre-parsed stats tree (see
+    * [[AddFile.statsNode]] — parse-once per snapshot-cached instance, no
+    * process-global lock).
+    */
+  private[sources] def statsMayMatch(statsOpt: Option[JsonNode], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
     case None => true
-    case Some(json) =>
+    case Some(n) =>
       try {
-        // the OBJECT-level shared mapper: constructing one per file made
-        // skipping cost O(files) mapper builds per serving request
-        val n = statsParseCache.computeIfAbsent(json, mapper.readTree(_))
         def bound(kind: String): Option[JsonNode] =
           Option(n.get(kind)).flatMap(m => Option(m.get(col)))
             .filterNot(_.isNull)
@@ -476,7 +500,7 @@ object DeltaLogReader {
           .find(_.name.equalsIgnoreCase(p.column)).map(f => (p, f)))
         snap0.copy(files = snap0.files.filter(f =>
           typed.forall { case (p, fld) =>
-            statsMayMatch(f.stats, fld.name, p.op, p.value, fld.dataType)
+            statsMayMatch(f.statsNode, fld.name, p.op, p.value, fld.dataType)
           }))
       }
     val mapped = snap.columnMappingMode == "name"
@@ -504,17 +528,21 @@ object DeltaLogReader {
     // SQL endpoint data-skips without any request-derived skipFilters.
     val partFields = snap.partitionColumns.toIndexedSeq.map(c => snap.schema(c))
     val partStruct = StructType(partFields)
+    // skip closures capture the schema FIELD ARRAY and their own AddFile,
+    // not `snap`: plans outlive snapshots (temp views, cached frames),
+    // and a `snap` capture would pin a superseded snapshot whole
+    val schemaFields = snap.schema.fields
     val entries = snap.files.map { f =>
       val abs = absPath(f)
-      // the FILESYSTEM size, deliberately not the log's recorded one:
-      // FileStatus.len drives split planning, and hand-authored /
-      // foreign minimal logs record wrong sizes (a too-small len would
-      // silently truncate the read) — fail-open beats one stat per file
-      IndexedFile(abs, java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
+      // the FILESYSTEM size (memoized per snapshot), deliberately not
+      // the log's recorded one: FileStatus.len drives split planning,
+      // and hand-authored / foreign minimal logs record wrong sizes (a
+      // too-small len would silently truncate the read) — fail-open
+      IndexedFile(abs, snap.fileSize(abs),
         partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
         (colName, op, value) =>
-          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
-            case Some(fld) => statsMayMatch(f.stats, fld.name, op, value,
+          schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
+            case Some(fld) => statsMayMatch(f.statsNode, fld.name, op, value,
               fld.dataType)
             case None => true
           })
@@ -621,14 +649,15 @@ object DeltaLogReader {
     import spark.implicits._
     val partFields = snap.partitionColumns.toIndexedSeq
       .map(c => snap.schema(c))
+    val schemaFields = snap.schema.fields
     val entries = added.map { t =>
       val a = abs(t.file)
-      IndexedFile(a, Files.size(Paths.get(a)),
+      IndexedFile(a, snap.fileSize(a),
         partFields.map(pf => t.file.partitionValues.getOrElse(pf.name, null)),
         (colName, op, value) =>
-          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+          schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
             case Some(fld) =>
-              statsMayMatch(t.file.stats, fld.name, op, value, fld.dataType)
+              statsMayMatch(t.file.statsNode, fld.name, op, value, fld.dataType)
             case None => true
           })
     }

@@ -96,7 +96,19 @@ object IcebergReader {
       fieldNames: Map[Int, String], // iceberg field id -> column name
       dataFiles: Seq[DataFileEntry],
       positionDeletes: Seq[DataFileEntry],
-      equalityDeletes: Seq[DataFileEntry])
+      equalityDeletes: Seq[DataFileEntry]) {
+    /** filesystem size statted ONCE per resolved-snapshot instance per
+      * file (data files are immutable): with the snapshot cache this
+      * turns the per-REQUEST O(files) stat(2) storm at plan time into a
+      * one-time cost per resolution. Missing files still throw at first
+      * touch — same surface as the uncached stat.
+      */
+    @transient private lazy val fsSizes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def fileSize(abs: String): Long =
+      fsSizes.computeIfAbsent(abs,
+        p => Files.size(Paths.get(p))).longValue()
+  }
 
   /** Resolved snapshots cached per (table, asked snapshot/timestamp)
     * with a freshness token (current metadata file path, its mtime at
@@ -113,7 +125,14 @@ object IcebergReader {
     * a cold manifest decode never blocks other tables' cache hits.
     */
   private val resolvedSnapshotCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long), ((String, Long, Long), Snapshot)]()
+    .ConcurrentHashMap[(String, Long, Long),
+      ((String, Long, Long), Snapshot,
+        java.util.concurrent.atomic.AtomicLong)]()
+  // idle-entry sweep on the same contract as DeltaLogReader's: big
+  // resolved snapshots for tables no longer served age out rather than
+  // staying pinned until a 128-entry overflow
+  private val resolvedCacheOps = new java.util.concurrent.atomic.AtomicLong()
+  private val IdleEvictMs = 30L * 60 * 1000
 
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
@@ -130,8 +149,12 @@ object IcebergReader {
       case scala.util.control.NonFatal(_) =>
         return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     }
+    val now = System.currentTimeMillis()
+    if (resolvedCacheOps.incrementAndGet() % 512 == 0)
+      resolvedSnapshotCache.entrySet.removeIf(e =>
+        now - e.getValue._3.get > IdleEvictMs)
     Option(resolvedSnapshotCache.get(key)) match {
-      case Some((`fresh`, snap)) => snap
+      case Some((`fresh`, snap, at)) => at.set(now); snap
       case _ =>
         val snap = computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
         if (resolvedSnapshotCache.size > 128) {
@@ -141,7 +164,8 @@ object IcebergReader {
             .removeIf(k => k._2 != -1L || k._3 != -1L)
           if (resolvedSnapshotCache.size > 128) resolvedSnapshotCache.clear()
         }
-        resolvedSnapshotCache.put(key, (fresh, snap))
+        resolvedSnapshotCache.put(key,
+          (fresh, snap, new java.util.concurrent.atomic.AtomicLong(now)))
         snap
     }
   }
@@ -272,10 +296,17 @@ object IcebergReader {
     * the writer routed rows with.
     */
   private val partitionSourceCache = new java.util.concurrent
-    .ConcurrentHashMap[String, Map[String, PartitionSource]]()
+    .ConcurrentHashMap[String, Map[String, Seq[PartitionSource]]]()
 
+  /** Partition sources keyed by SOURCE column, each carrying EVERY spec
+    * field derived from that column: a legal spec may transform one
+    * column more than once — e.g. `(identity(ts), month(ts))` or
+    * `(bucket(id), truncate(id))` — and each field prunes independently,
+    * so dropping all but one (a last-wins map) would silently weaken the
+    * serving-path pruning to the weakest surviving transform.
+    */
   def servablePartitionSources(tablePath: String)
-      : Map[String, PartitionSource] = {
+      : Map[String, Seq[PartitionSource]] = {
     // cached per metadata FILE (a commit writes a new vN.metadata.json,
     // so staleness is impossible): the serving path calls this per
     // request, and re-parsing the same JSON each time sat on the
@@ -288,7 +319,7 @@ object IcebergReader {
   }
 
   private def computePartitionSources(mdFilePath: String)
-      : Map[String, PartitionSource] = {
+      : Map[String, Seq[PartitionSource]] = {
     val md = mapper.readTree(Files.readString(Paths.get(mdFilePath)))
     val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val BucketT = """bucket\[(\d+)\]""".r
@@ -322,7 +353,7 @@ object IcebergReader {
               case _ => None
             }
           } yield src -> ps
-        }.toMap
+        }.toSeq.groupBy(_._1).map { case (src, pss) => src -> pss.map(_._2) }
     }
   }
 
@@ -602,19 +633,27 @@ object IcebergReader {
     // manifests' lower/upper bounds at PLANNING time — the raw SQL
     // endpoint data-skips with no request-derived skipFilters at all.
     val nameToIdIdx = snap.fieldNames.map(_.swap)
+    // the skip closures capture a SMALL name→(field id, type) lookup plus
+    // each file's own bounds — never `snap`: they live inside the
+    // returned plan (temp views, cached frames), and capturing the
+    // snapshot would keep a superseded one fully reachable long after
+    // the cache replaced it
+    val colLookup: Map[String, (Int, DataType)] =
+      snap.schema.fields.flatMap(fld => nameToIdIdx.get(fld.name)
+        .map(fid => fld.name.toLowerCase(java.util.Locale.ROOT) ->
+          (fid, fld.dataType))).toMap
     val entries = dataFiles.map { f =>
       val p = normPath(f.path)
-      // filesystem size, not the manifest's recorded one: FileStatus.len
-      // drives split planning and a foreign/minimal manifest's wrong
-      // size would silently truncate the read — fail-open
-      IndexedFile(p, Files.size(Paths.get(p)), Nil,
+      val bounds = f.bounds
+      // filesystem size (memoized per snapshot), not the manifest's
+      // recorded one: FileStatus.len drives split planning and a
+      // foreign/minimal manifest's wrong size would silently truncate
+      // the read — fail-open
+      IndexedFile(p, snap.fileSize(p), Nil,
         (colName, op, value) =>
-          snap.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
-            case Some(fld) => nameToIdIdx.get(fld.name) match {
-              case Some(fid) =>
-                boundsMayMatch(f.bounds.get(fid), op, value, fld.dataType)
-              case None => true
-            }
+          colLookup.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some((fid, dt)) =>
+              boundsMayMatch(bounds.get(fid), op, value, dt)
             case None => true
           })
     }

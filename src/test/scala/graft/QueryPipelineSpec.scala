@@ -399,6 +399,42 @@ class QueryPipelineSpec extends SparkSpec {
       .inputFiles.count(_.contains("/part-")) == allFiles)
   }
 
+  test("a spec transforming one column TWICE — (identity(d), months(d)) — " +
+      "prunes on BOTH fields, not just the last-listed one") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_twospec_${System.nanoTime()}").toString
+    val df = (0 until 90).map { i =>
+      val d = java.time.LocalDate.of(1996, 1, 1).plusDays(i.toLong)
+      (i.toLong, java.sql.Date.valueOf(d.toString))
+    }.toDF("id", "d")
+    graft.output.IcebergWriter.create(df, root,
+      partitionBy = Seq("d", "months(d)"))
+    val t = TableConfig("icetwo", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("d",
+        operators = Seq("=", ">=", "<=", "<", ">"))))
+    // point lookup: the IDENTITY field must prune to exactly one date
+    // dir — a last-wins source map kept only months(d) and weakened
+    // this to month granularity (29 files instead of 1)
+    val point = QueryPipeline.run(spark, t,
+      Request(params = Map("d" -> "1996-02-10"), limit = Some(-1)))
+    assert(point.count() == 1L)
+    val planned = point.inputFiles.filter(_.contains("/part-"))
+    assert(planned.nonEmpty && planned.forall(_.contains("d=1996-02-10")),
+      planned.toSeq)
+    // range: both fields contribute — all planned files sit inside the
+    // identity date range (and therefore inside February's month bucket)
+    val range = QueryPipeline.run(spark, t, Request(params = Map(
+      "d_gte" -> "1996-02-05", "d_lte" -> "1996-02-20"), limit = Some(-1)))
+    assert(range.count() == 16L)
+    val feb = (1996 - 1970) * 12 + 1
+    val rPlanned = range.inputFiles.filter(_.contains("/part-"))
+    assert(rPlanned.nonEmpty && rPlanned.forall(p =>
+      p.contains(s"d_month=$feb") && p.contains("/d=1996-02-")),
+      rPlanned.toSeq)
+  }
+
   test("day-partitioned (timestamp source) and truncate-partitioned " +
       "iceberg-served tables prune; identity sources prune ranges too") {
     import org.apache.spark.sql.functions.col
