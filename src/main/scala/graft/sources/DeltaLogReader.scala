@@ -300,6 +300,18 @@ object DeltaLogReader {
         def bound(kind: String): Option[JsonNode] =
           Option(n.get(kind)).flatMap(m => Option(m.get(col)))
             .filterNot(_.isNull)
+        // IS [NOT] NULL answers from nullCount/numRecords exactly: no
+        // nulls ⇒ IS NULL matches nothing; nullCount = numRecords ⇒
+        // IS NOT NULL matches nothing. Unknown counts keep the file.
+        if (op == "null" || op == "notnull") {
+          val nc = bound("nullCount").filter(_.isNumber).map(_.asLong())
+          return if (op == "null") nc.forall(_ > 0L)
+          else !(for {
+            c <- nc
+            r <- Option(n.get("numRecords")).filter(_.isNumber)
+              .map(_.asLong())
+          } yield c >= r).getOrElse(false)
+        }
         (bound("minValues"), bound("maxValues")) match {
           case (Some(mn), Some(mx)) =>
             (cmpStat(mn, value, dt), cmpStat(mx, value, dt)) match {

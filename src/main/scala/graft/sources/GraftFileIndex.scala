@@ -147,6 +147,20 @@ final class GraftFileIndex(
         check(a, "<=", l)
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
         check(a, ">=", l)
+      // Catalyst inserts IsNotNull for every filtered column, so the
+      // null-count planes prune all-null files on virtually every
+      // pushed predicate; IS NULL prunes no-null files symmetrically
+      case IsNull(a: AttributeReference) => Seq((a.name, "null", ""))
+      case IsNotNull(a: AttributeReference) => Seq((a.name, "notnull", ""))
+      // LIKE 'abc%' pushes as StartsWith: matching strings sit in
+      // [prefix, prefixUpper) — both ends are plain range checks the
+      // stats planes already answer (codepoint order = unsigned UTF-8
+      // order for the non-surrogate increments prefixUpper allows)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if l.dataType == StringType && l.value != null =>
+        val prefix = l.value.toString
+        (a.name, ">=", prefix) +: prefixUpper(prefix)
+          .map(u => Seq((a.name, "<", u))).getOrElse(Nil)
       case In(a: AttributeReference, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Literal]) =>
         // IN prunes as the [min, max] envelope of its values — coarse
@@ -164,6 +178,17 @@ final class GraftFileIndex(
   private def check(a: AttributeReference, op: String,
       l: Literal): Seq[(String, String, String)] =
     render(l).map(v => (a.name, op, v)).toSeq
+
+  /** The least string strictly greater than every string with this
+    * prefix, when the last char can be incremented without leaving the
+    * single-unit non-surrogate BMP range (where codepoint order and
+    * unsigned-UTF-8 order agree); None = open upper end, range check
+    * degrades to `>= prefix` alone.
+    */
+  private def prefixUpper(prefix: String): Option[String] =
+    prefix.lastOption.collect {
+      case c if c < 0xD7FF.toChar => prefix.init + (c + 1).toChar
+    }
 
   /** The literal in the string form the stats planes parse; None =
     * a type they don't compare (timestamps, decimals, ...) — no check.

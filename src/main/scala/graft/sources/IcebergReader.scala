@@ -89,7 +89,11 @@ object IcebergReader {
   private case class DataFileEntry(path: String, seq: Long,
       equalityIds: Seq[Int] = Nil,
       partitionValues: Map[String, String] = Map.empty,
-      bounds: Map[Int, (Option[Array[Byte]], Option[Array[Byte]])] = Map.empty)
+      bounds: Map[Int, (Option[Array[Byte]], Option[Array[Byte]])] = Map.empty,
+      // spec fields 109/110: per-column value counts (nulls included) and
+      // null counts — the IS [NOT] NULL file-skipping plane
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   private case class Snapshot(
       schema: StructType,
@@ -243,7 +247,9 @@ object IcebergReader {
           content match {
             case 0 => data += DataFileEntry(path, seq,
               partitionValues = partitionTuple(df),
-              bounds = entryBounds(df))
+              bounds = entryBounds(df),
+              valueCounts = countsMap(df, "value_counts"),
+              nullCounts = countsMap(df, "null_value_counts"))
             case 1 => deletes += DataFileEntry(path, seq)
             case 2 =>
               val ids = fieldOpt(df, "equality_ids")
@@ -414,6 +420,22 @@ object IcebergReader {
           r.get("key").asInstanceOf[Number].intValue -> bytes
       }.toMap
       case _ => Map.empty[Int, Array[Byte]]
+    }.getOrElse(Map.empty)
+  }
+
+  /** Decode one counts map (Avro map-as-array of (key int, value long)
+    * records) off a manifest entry's data_file record.
+    */
+  private def countsMap(df: GenericRecord,
+      field: String): Map[Int, Long] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    Option(df.get(field)).map {
+      case l: java.util.List[_] => l.asScala.collect {
+        case r: GenericRecord =>
+          r.get("key").asInstanceOf[Number].intValue ->
+            r.get("value").asInstanceOf[Number].longValue
+      }.toMap
+      case _ => Map.empty[Int, Long]
     }.getOrElse(Map.empty)
   }
 
@@ -645,6 +667,8 @@ object IcebergReader {
     val entries = dataFiles.map { f =>
       val p = normPath(f.path)
       val bounds = f.bounds
+      val valueCounts = f.valueCounts
+      val nullCounts = f.nullCounts
       // filesystem size (memoized per snapshot), not the manifest's
       // recorded one: FileStatus.len drives split planning and a
       // foreign/minimal manifest's wrong size would silently truncate
@@ -652,8 +676,20 @@ object IcebergReader {
       IndexedFile(p, snap.fileSize(p), Nil,
         (colName, op, value) =>
           colLookup.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
-            case Some((fid, dt)) =>
-              boundsMayMatch(bounds.get(fid), op, value, dt)
+            case Some((fid, dt)) => op match {
+              // manifest null/value counts answer IS [NOT] NULL exactly:
+              // no nulls ⇒ IS NULL matches nothing; all-null (null count
+              // = value count, which INCLUDES nulls per spec field 109)
+              // ⇒ IS NOT NULL matches nothing. Unknown counts keep the
+              // file.
+              case "null" => nullCounts.get(fid).forall(_ > 0L)
+              case "notnull" =>
+                !(for {
+                  n <- nullCounts.get(fid)
+                  v <- valueCounts.get(fid)
+                } yield n >= v).getOrElse(false)
+              case _ => boundsMayMatch(bounds.get(fid), op, value, dt)
+            }
             case None => true
           })
     }

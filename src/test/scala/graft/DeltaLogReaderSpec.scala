@@ -509,6 +509,35 @@ class DeltaLogReaderSpec extends SparkSpec {
       s1.files.size)
   }
 
+  test("IS [NOT] NULL and LIKE-prefix predicates file-skip from the log " +
+      "stats (null counts / bounds) at planning time") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_null_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      Seq((1L, None: Option[String]), (2L, None))
+        .toDF("id", "v").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq((3L, Some("apple")), (4L, Some("apricot")))
+        .toDF("id", "v").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq((5L, Some("zebra"))).toDF("id", "v").coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    assert(t.inputFiles.length == 3)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    // all-null file pruned for IS NOT NULL; no-null files for IS NULL
+    val nn = t.filter(col("v").isNotNull)
+    assert(nn.count() == 3L && planned(nn) == 2, planned(nn))
+    val nl = t.filter(col("v").isNull)
+    assert(nl.count() == 2L && planned(nl) == 1, planned(nl))
+    // LIKE 'ap%' = [ap, aq) range (+ the implied IS NOT NULL): one file
+    val pf = t.filter(col("v").startsWith("ap"))
+    assert(pf.count() == 2L && planned(pf) == 1, planned(pf))
+  }
+
   test("GraftFileIndex: ONE scan relation for partitioned tables, and " +
       "Catalyst-pushed predicates prune partitions AND stats-skip files " +
       "at planning time (the /api/sql path)") {

@@ -407,4 +407,32 @@ class IcebergReaderSpec extends SparkSpec {
     }.head
     assert(scan2.selectedPartitions.totalNumberOfFiles < 8)
   }
+
+  test("IS [NOT] NULL predicates file-skip from manifest value/null " +
+      "counts at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_ice_null_${System.nanoTime()}").toString
+    graft.output.IcebergWriter.create(
+      Seq((1L, None: Option[String]), (2L, None))
+        .toDF("id", "v").coalesce(1), path)
+    graft.output.IcebergWriter.append(
+      Seq((3L, Some("apple")), (4L, Some("apricot")))
+        .toDF("id", "v").coalesce(1), path)
+    graft.output.IcebergWriter.append(
+      Seq((5L, Some("zebra"))).toDF("id", "v").coalesce(1), path)
+    val t = IcebergReader.read(spark, path)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val nn = t.filter(col("v").isNotNull)
+    assert(nn.count() == 3L && planned(nn) == 2, planned(nn))
+    val nl = t.filter(col("v").isNull)
+    assert(nl.count() == 2L && planned(nl) == 1, planned(nl))
+    // LIKE-prefix range through the string bounds, nulls pruned too
+    val pf = t.filter(col("v").startsWith("ap"))
+    assert(pf.count() == 2L && planned(pf) == 1, planned(pf))
+  }
 }
