@@ -124,7 +124,11 @@ object FilterCompiler {
     case _ => false
   }
 
-  private def seqValue(v: Any): Seq[Any] = v match {
+  /** Shared with the partition/stats pruning planes (QueryPipeline):
+    * pruning must see exactly the value list the row predicate compiles,
+    * or a parsing drift would prune files whose rows the request serves.
+    */
+  private[graft] def seqValue(v: Any): Seq[Any] = v match {
     case s: Seq[_] => s
     case s: String => s.split(",").toSeq // CSV list from a GET query string
     case other => Seq(other)
@@ -152,7 +156,13 @@ object FilterCompiler {
       case _: TimestampNTZType => // wall-clock literal, no zone involved
         lit(java.time.LocalDateTime.parse(normalizeDateTime(s).replace(" ", "T")))
       case _: TimestampType =>
-        lit(java.sql.Timestamp.valueOf(normalizeDateTime(s)))
+        // resolve the literal to an instant in the SESSION timezone —
+        // Spark's own string→timestamp cast semantics (sessions pin UTC,
+        // matching DuckDB's naive-as-UTC) — never Timestamp.valueOf,
+        // whose JVM-default-zone parse makes results host-dependent and
+        // disagrees with the partition-pruning planes' UTC math.
+        // Offset/Z-suffixed ISO instants are accepted verbatim.
+        lit(java.sql.Timestamp.from(instantFor(s)))
       case _: DateType => lit(java.sql.Date.valueOf(s.take(10)))
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => lit(s.trim.toLong)
       case _: DoubleType | _: FloatType => lit(s.trim.toDouble)
@@ -161,6 +171,37 @@ object FilterCompiler {
       case _ => lit(s)
     }
     case other => lit(other)
+  }
+
+  /** The session timezone (spark.sql.session.timeZone): the thread's
+    * active session, else the process default session (server pool
+    * threads have no active session set), else the bare conf default —
+    * the JVM zone — only in session-less unit contexts.
+    */
+  private[graft] def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.conf.sessionLocalTimeZone)
+        .getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+
+  /** A timestamp request literal as the instant the row predicate
+    * compares: offset/Z-suffixed ISO parses as written; a naive wall
+    * clock resolves in the session timezone; a bare date is that day's
+    * midnight. Shared with QueryPipeline's temporal partition pruning,
+    * which buckets this instant's UTC representation — the two MUST
+    * agree or pruning drops rows the predicate matches.
+    */
+  private[graft] def instantFor(s: String): java.time.Instant = {
+    val raw = s.trim.replace(" ", "T")
+    try java.time.OffsetDateTime.parse(raw).toInstant
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        java.time.LocalDateTime
+          .parse(normalizeDateTime(s).replace(" ", "T"))
+          .atZone(sessionZone).toInstant
+    }
   }
 
   /** "2023-01-01T00:00" → "2023-01-01 00:00:00" (ISO input to JDBC form). */

@@ -150,19 +150,17 @@ object QueryPipeline {
     }
 
   /** The between param's (lo, hi) as strings; None = not a 2-value list
-    * (the compiler will reject the request anyway). Mirrors
-    * FilterCompiler.seqValue's CSV parsing exactly — bounds stay RAW
-    * (no trim): the row predicate compares the untrimmed literal, and a
-    * trimmed skip bound would be strictly narrower for string columns,
-    * pruning files whose rows the request serves. Numeric/date parse
-    * sites trim internally, where it cannot change row semantics.
+    * (the compiler will reject the request anyway). Splits via THE SAME
+    * FilterCompiler.seqValue the row predicate uses — a parsing drift
+    * between the two planes would prune files whose rows the request
+    * serves. Bounds stay RAW (no trim): the row predicate compares the
+    * untrimmed literal, and a trimmed skip bound would be strictly
+    * narrower for string columns. Numeric/date parse sites trim
+    * internally, where it cannot change row semantics.
     */
   private def betweenBounds(value: Any): Option[(String, String)] = {
-    val xs = value match {
-      case s: Seq[_] => s.map(String.valueOf)
-      case s: String => s.split(",").toSeq
-      case other => Seq(String.valueOf(other))
-    }
+    val xs =
+      graft.filters.FilterCompiler.seqValue(value).map(String.valueOf)
     if (xs.size == 2) Some((xs.head, xs(1))) else None
   }
 
@@ -264,11 +262,9 @@ object QueryPipeline {
       ps: graft.sources.IcebergReader.PartitionSource, value: Any)
       : Option[graft.sources.IcebergReader.PartitionPredicate] = {
     import org.apache.spark.sql.types.IntegerType
-    val vals: Seq[String] = value match {
-      case s: Seq[_] => s.map(String.valueOf)
-      case s: String => s.split(",").toSeq
-      case other => Seq(String.valueOf(other))
-    }
+    // split via THE SAME FilterCompiler.seqValue the row predicate uses
+    val vals: Seq[String] =
+      graft.filters.FilterCompiler.seqValue(value).map(String.valueOf)
     if (vals.isEmpty) return None
     val rendered: Seq[Option[(String, org.apache.spark.sql.types.DataType)]] =
       vals.map { v =>
@@ -388,19 +384,26 @@ object QueryPipeline {
       : Option[java.time.LocalDateTime] = {
     import org.apache.spark.sql.types._
     dt match {
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        // the row predicate (FilterCompiler.litFor) resolves the literal
+        // to an INSTANT via instantFor — session-timezone for naive wall
+        // clocks, as-written for offset/Z-suffixed ISO. Iceberg temporal
+        // transforms bucket the UTC representation of the stored instant,
+        // so the pruning bound is THAT instant's UTC wall clock (identity
+        // when the session is UTC-pinned, still exact when it isn't).
+        try Some(graft.filters.FilterCompiler.instantFor(s)
+          .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+        catch { case scala.util.control.NonFatal(_) => None }
+      case TimestampNTZType =>
+        // NTZ transforms bucket the wall clock directly — no zone. An
+        // offset-suffixed literal fails the ROW compiler (litFor's NTZ
+        // branch parses LocalDateTime only), so pruning fail-opens here.
         val iso = s.trim.replace(' ', 'T')
         try Some(java.time.LocalDateTime.parse(iso))
         catch {
           case scala.util.control.NonFatal(_) =>
-            try Some(java.time.OffsetDateTime.parse(iso)
-              .withOffsetSameInstant(java.time.ZoneOffset.UTC)
-              .toLocalDateTime)
-            catch {
-              case scala.util.control.NonFatal(_) =>
-                try Some(java.time.LocalDate.parse(s.trim).atStartOfDay)
-                catch { case scala.util.control.NonFatal(_) => None }
-            }
+            try Some(java.time.LocalDate.parse(s.trim).atStartOfDay)
+            catch { case scala.util.control.NonFatal(_) => None }
         }
       case _ => None
     }

@@ -117,21 +117,13 @@ object DeltaLogReader {
     * newest commit and the checkpoint pointer can legally change).
     * Keying by table (not by token) means a commit REPLACES the entry
     * instead of stranding the superseded snapshot, so the map grows only
-    * with distinct (table, asked-version) pairs. Replays run OUTSIDE the
-    * map's locks: a cold seconds-long replay of one table must not block
-    * cache hits for others (worst case two threads replay the same cold
-    * log once).
+    * with distinct (table, asked-version) pairs. Sweep/shed/lock
+    * discipline lives in [[FreshCache]] (shared with IcebergReader);
+    * time-travel keys (_2 != -1) shed first on overflow.
     */
-  private val snapshotCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long),
-    ((Long, Long, Long, Long), Snapshot,
-      java.util.concurrent.atomic.AtomicLong)]()
-  // big snapshots (10⁴-file tables hold multi-MB of stats strings) must
-  // not stay pinned for tables no longer served: entries idle past the
-  // horizon are swept every few hundred cache operations — hits included,
-  // so an all-hits steady state still ages out the cold rest
-  private val snapshotCacheOps = new java.util.concurrent.atomic.AtomicLong()
-  private val IdleEvictMs = 30L * 60 * 1000
+  private val snapshotCache =
+    new FreshCache[(String, Long), (Long, Long, Long, Long), Snapshot](
+      shedFirst = _._2 != -1L)
 
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
@@ -156,24 +148,8 @@ object DeltaLogReader {
       case scala.util.control.NonFatal(_) =>
         return computeSnapshot(spark, tablePath, versionAsOf)
     }
-    val now = System.currentTimeMillis()
-    if (snapshotCacheOps.incrementAndGet() % 512 == 0)
-      snapshotCache.entrySet.removeIf(e =>
-        now - e.getValue._3.get > IdleEvictMs)
-    Option(snapshotCache.get(key)) match {
-      case Some((`fresh`, snap, at)) => at.set(now); snap
-      case _ =>
-        val snap = computeSnapshot(spark, tablePath, versionAsOf)
-        if (snapshotCache.size > 128) {
-          // shed time-travel entries first (cold by nature); wholesale
-          // clear only if the live-version working set itself overflows
-          snapshotCache.keySet.removeIf(_._2 != -1L)
-          if (snapshotCache.size > 128) snapshotCache.clear()
-        }
-        snapshotCache.put(key,
-          (fresh, snap, new java.util.concurrent.atomic.AtomicLong(now)))
-        snap
-    }
+    snapshotCache.get(key, fresh)(
+      computeSnapshot(spark, tablePath, versionAsOf))
   }
 
   private def computeSnapshot(spark: SparkSession, tablePath: String,
@@ -549,8 +525,11 @@ object DeltaLogReader {
       // the FILESYSTEM size (memoized per snapshot), deliberately not
       // the log's recorded one: FileStatus.len drives split planning,
       // and hand-authored / foreign minimal logs record wrong sizes (a
-      // too-small len would silently truncate the read) — fail-open
-      IndexedFile(abs, snap.fileSize(abs),
+      // too-small len would silently truncate the read) — fail-open.
+      // Sizes come off snap0 — the CACHED instance — because the
+      // skip-filtered `snap` is a fresh copy whose memo starts empty
+      // (every filtered serving request would re-stat every file)
+      IndexedFile(abs, snap0.fileSize(abs),
         partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
         (colName, op, value) =>
           schemaFields.find(_.name.equalsIgnoreCase(colName)) match {

@@ -1,0 +1,49 @@
+package graft.sources
+
+/** A freshness-token-checked cache shared by the snapshot planes
+  * (DeltaLogReader, IcebergReader) — one implementation of the
+  * get/sweep/shed contract instead of two hand-synced copies.
+  *
+  * Contract:
+  *   - an entry is served only while its stored token equals the token
+  *     the caller derived from the filesystem NOW — staleness is
+  *     structural (new commit ⇒ new token), never time-based;
+  *   - `compute` runs OUTSIDE the map's locks: a cold seconds-long build
+  *     of one key must not block other keys' hits (worst case two
+  *     threads compute the same cold key once, last put wins);
+  *   - entries idle past `idleEvictMs` are swept every `sweepEvery`
+  *     operations — HITS included, so an all-hits steady state still
+  *     ages out the cold rest (big snapshots of no-longer-served tables
+  *     must not stay pinned);
+  *   - past `maxLive` entries, keys matching `shedFirst` (time-travel
+  *     reads — cold by nature) are dropped before the wholesale clear
+  *     that only fires if the live working set itself overflows.
+  */
+private[graft] final class FreshCache[K, T, V](
+    maxLive: Int = 128,
+    idleEvictMs: Long = 30L * 60 * 1000,
+    sweepEvery: Long = 512,
+    shedFirst: K => Boolean = (_: K) => false) {
+
+  private val map = new java.util.concurrent.ConcurrentHashMap[
+    K, (T, V, java.util.concurrent.atomic.AtomicLong)]()
+  private val ops = new java.util.concurrent.atomic.AtomicLong()
+
+  def get(key: K, fresh: T)(compute: => V): V = {
+    val now = System.currentTimeMillis()
+    if (ops.incrementAndGet() % sweepEvery == 0)
+      map.entrySet.removeIf(e => now - e.getValue._3.get > idleEvictMs)
+    Option(map.get(key)) match {
+      case Some((t, v, at)) if t == fresh => at.set(now); v
+      case _ =>
+        val v = compute
+        if (map.size > maxLive) {
+          map.keySet.removeIf(k => shedFirst(k))
+          if (map.size > maxLive) map.clear()
+        }
+        map.put(key,
+          (fresh, v, new java.util.concurrent.atomic.AtomicLong(now)))
+        v
+    }
+  }
+}

@@ -125,18 +125,13 @@ object IcebergReader {
     * mtime (nanosecond-granular where the filesystem supports it) AND
     * file size — a sub-granule double edit still almost surely changes
     * the byte count. Keying by table means a commit REPLACES the entry
-    * (no stranded snapshots); resolution runs OUTSIDE the map's locks so
-    * a cold manifest decode never blocks other tables' cache hits.
+    * (no stranded snapshots). Sweep/shed/lock discipline lives in
+    * [[FreshCache]] (shared with DeltaLogReader); time-travel keys
+    * (snapshot id or timestamp asked) shed first on overflow.
     */
-  private val resolvedSnapshotCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long),
-      ((String, Long, Long), Snapshot,
-        java.util.concurrent.atomic.AtomicLong)]()
-  // idle-entry sweep on the same contract as DeltaLogReader's: big
-  // resolved snapshots for tables no longer served age out rather than
-  // staying pinned until a 128-entry overflow
-  private val resolvedCacheOps = new java.util.concurrent.atomic.AtomicLong()
-  private val IdleEvictMs = 30L * 60 * 1000
+  private val resolvedSnapshotCache =
+    new FreshCache[(String, Long, Long), (String, Long, Long), Snapshot](
+      shedFirst = k => k._2 != -1L || k._3 != -1L)
 
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
@@ -153,25 +148,8 @@ object IcebergReader {
       case scala.util.control.NonFatal(_) =>
         return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
     }
-    val now = System.currentTimeMillis()
-    if (resolvedCacheOps.incrementAndGet() % 512 == 0)
-      resolvedSnapshotCache.entrySet.removeIf(e =>
-        now - e.getValue._3.get > IdleEvictMs)
-    Option(resolvedSnapshotCache.get(key)) match {
-      case Some((`fresh`, snap, at)) => at.set(now); snap
-      case _ =>
-        val snap = computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
-        if (resolvedSnapshotCache.size > 128) {
-          // shed time-travel entries first; wholesale clear only if the
-          // current-snapshot working set itself overflows
-          resolvedSnapshotCache.keySet
-            .removeIf(k => k._2 != -1L || k._3 != -1L)
-          if (resolvedSnapshotCache.size > 128) resolvedSnapshotCache.clear()
-        }
-        resolvedSnapshotCache.put(key,
-          (fresh, snap, new java.util.concurrent.atomic.AtomicLong(now)))
-        snap
-    }
+    resolvedSnapshotCache.get(key, fresh)(
+      computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs))
   }
 
   private def computeResolveSnapshot(tablePath: String,

@@ -658,19 +658,28 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.deleteWhere(spark, path, col("id") % 100 === 7) > 0)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path, None)
     assert(snap.files.count(_.deletionVector.isDefined) == 12)
-    // second sweep touches all 12 DV'd files again — count the jobs
+    // second sweep touches all 12 DV'd files again — count the jobs,
+    // scoped to a job group so concurrent suites on the shared context
+    // (and any future unrelated background action) can't pollute it
+    val group = s"dvbatch-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(js.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "dv batch count")
       assert(DeltaWriter.deleteWhere(spark, path, col("id") % 100 === 13) > 0)
       // listener events are async; give the bus a beat to drain
       Thread.sleep(500)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // the per-file shape ran 12 old-DV jobs ALONE; the batched delete
     // runs a small constant number end to end
     assert(jobs.get() <= 8, s"delete ran ${jobs.get()} jobs — old DVs " +

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FreshCacheSpec extends AnyFunSuite {
+
+  test("serves cached value only while the freshness token matches") {
+    val c = new graft.sources.FreshCache[String, Long, String]()
+    var builds = 0
+    def build(v: String): String = { builds += 1; v }
+    assert(c.get("t", 1L)(build("a")) == "a")
+    assert(c.get("t", 1L)(build("b")) == "a") // hit: stale compute unused
+    assert(builds == 1)
+    assert(c.get("t", 2L)(build("c")) == "c") // token moved: recompute
+    assert(builds == 2)
+  }
+
+  test("overflow sheds shedFirst keys before clearing the live set") {
+    val c = new graft.sources.FreshCache[(String, Long), Long, Int](
+      maxLive = 4, shedFirst = _._2 != -1L)
+    // 4 live keys + 2 time-travel keys; the 7th insert overflows
+    (0 until 4).foreach(i => c.get((s"live$i", -1L), 0L)(i))
+    c.get(("tt0", 5L), 0L)(100)
+    c.get(("tt1", 6L), 0L)(101)
+    var rebuilt = false
+    c.get(("live5", -1L), 0L) { rebuilt = true; 5 }
+    assert(rebuilt)
+    // live keys survived the shed (hits, no recompute) ...
+    (0 until 4).foreach { i =>
+      var re = false
+      assert(c.get((s"live$i", -1L), 0L) { re = true; -1 } == i && !re)
+    }
+    // ... the time-travel keys were shed (recompute)
+    var re = false
+    c.get(("tt0", 5L), 0L) { re = true; 100 }
+    assert(re)
+  }
+
+  test("idle entries age out on the periodic sweep") {
+    val c = new graft.sources.FreshCache[String, Long, Int](
+      idleEvictMs = 0L, sweepEvery = 2)
+    c.get("k", 1L)(7)
+    Thread.sleep(5)
+    // op #2 sweeps: the entry is idle past the (zero) horizon
+    var re = false
+    c.get("other", 1L)(1)
+    c.get("k", 1L) { re = true; 7 }
+    assert(re)
+  }
+}

@@ -504,4 +504,43 @@ class QueryPipelineSpec extends SparkSpec {
     assert(idPlanned.nonEmpty && idPlanned.forall(_.contains("grp=2")),
       idPlanned.toSeq)
   }
+
+  test("temporal pruning and the row predicate agree on the SESSION " +
+      "timezone: a non-UTC session keeps the next-UTC-day partition a " +
+      "local-evening bound still reaches") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_tzday_${System.nanoTime()}").toString
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    // written under the UTC-pinned suite session → UTC day buckets
+    graft.output.IcebergWriter.create(
+      Seq((1L, ts("1996-01-04T23:00:00Z")),
+        (2L, ts("1996-01-05T00:30:00Z")),
+        (3L, ts("1996-01-05T12:00:00Z")),
+        (4L, ts("1996-01-06T12:00:00Z"))).toDF("id", "ts").coalesce(1),
+      root, partitionBy = Seq("days(ts)"))
+    val t = TableConfig("icetzday", "test",
+      datasource = DatasourceConfig(root, fileType = "iceberg"),
+      params = Seq(Param("ts", operators = Seq("=", ">=", "<=", "<", ">"))))
+    // serve under America/New_York: "1996-01-04 20:00:00" resolves to
+    // the instant 1996-01-05T01:00Z, so rows 1 AND 2 match — row 2 lives
+    // in the ts_day=1996-01-05 partition, which a bound computed as-if
+    // the literal were UTC would prune (the pre-fix silent row loss)
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    org.apache.spark.sql.SparkSession.setActiveSession(ny)
+    try {
+      val out = QueryPipeline.run(ny, t, Request(params = Map(
+        "ts_lte" -> "1996-01-04 20:00:00"), limit = Some(-1)))
+      assert(out.select("id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq == Seq(1L, 2L))
+      val planned = out.inputFiles.filter(_.contains("/part-"))
+      assert(planned.exists(_.contains("ts_day=1996-01-05")), planned.toSeq)
+      // and the day after the bound's UTC day still prunes
+      assert(!planned.exists(_.contains("ts_day=1996-01-06")))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
 }
