@@ -112,27 +112,52 @@ final class GraftFileIndex(
           })
         grouped.filter { case (row, _) => bound.eval(row) }
       }
-    // ---- data skipping: =/range conjuncts against per-file stats
-    val checks = dataFilters.flatMap(skipChecks)
+    // ---- data skipping: =/range/null/prefix predicate TREES against
+    // per-file stats — And/Or recurse, leaves answer from the closures
+    val tests = dataFilters.flatMap(fileTest)
     afterPartition.map { case (row, fs) =>
       val kept =
-        if (checks.isEmpty) fs
-        else fs.filter(f => checks.forall { case (c, op, v) =>
-          f.mayMatch(c, op, v)
-        })
+        if (tests.isEmpty) fs
+        else fs.filter(f => tests.forall(_(f)))
       PartitionDirectory(row, kept.map(f =>
         new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
           new HadoopPath(f.path))).toArray)
     }.filter(_.files.nonEmpty)
   }
 
-  /** Conjuncts of `e` in (column, op, rendered value) form — only the
-    * shapes the stats planes understand; everything else contributes
+  private type FileTest = IndexedFile => Boolean
+
+  /** `e` as a may-match test over one file's stats; None = a shape the
+    * stats planes can't bound at this node (the full predicate still
+    * runs on the rows). And keeps whichever sides translate — dropping
+    * a conjunct only widens. Or is sound only when BOTH disjuncts
+    * translate: each side's test over-approximates its true match set
+    * (fail-open leaves, envelope INs, partially-translated Ands), so
+    * the union over-approximates the disjunction — never row loss.
+    * This is what lets `a = 1 OR a = 5` (and analyst raw-SQL date
+    * disjunctions) skip files the conjunct-only plane had to keep.
+    */
+  private def fileTest(e: Expression): Option[FileTest] = e match {
+    case And(l, r) => (fileTest(l), fileTest(r)) match {
+      case (Some(a), Some(b)) => Some(f => a(f) && b(f))
+      case (one, other) => one.orElse(other)
+    }
+    case Or(l, r) =>
+      for { a <- fileTest(l); b <- fileTest(r) } yield {
+        f: IndexedFile => a(f) || b(f)
+      }
+    case leaf =>
+      val checks = skipChecks(leaf)
+      if (checks.isEmpty) None
+      else Some(f => checks.forall { case (c, op, v) => f.mayMatch(c, op, v) })
+  }
+
+  /** Conjuncts of one LEAF in (column, op, rendered value) form — only
+    * the shapes the stats planes understand; everything else contributes
     * nothing (the full predicate still runs on the rows).
     */
   private def skipChecks(e: Expression): Seq[(String, String, String)] =
     e match {
-      case And(l, r) => skipChecks(l) ++ skipChecks(r)
       case EqualTo(a: AttributeReference, l: Literal) => check(a, "=", l)
       case EqualTo(l: Literal, a: AttributeReference) => check(a, "=", l)
       case GreaterThan(a: AttributeReference, l: Literal) => check(a, ">", l)
@@ -152,6 +177,14 @@ final class GraftFileIndex(
       // pushed predicate; IS NULL prunes no-null files symmetrically
       case IsNull(a: AttributeReference) => Seq((a.name, "null", ""))
       case IsNotNull(a: AttributeReference) => Seq((a.name, "notnull", ""))
+      // <=> with a non-null literal is `= AND IS NOT NULL`; with a null
+      // literal it IS `IS NULL`
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) Seq((a.name, "null", ""))
+        else check(a, "=", l) :+ ((a.name, "notnull", ""))
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) Seq((a.name, "null", ""))
+        else check(a, "=", l) :+ ((a.name, "notnull", ""))
       // LIKE 'abc%' pushes as StartsWith: matching strings sit in
       // [prefix, prefixUpper) — both ends are plain range checks the
       // stats planes already answer (codepoint order = unsigned UTF-8

@@ -538,6 +538,37 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(pf.count() == 2L && planned(pf) == 1, planned(pf))
   }
 
+  test("OR predicate trees file-skip: a disjunction of ranges plans only " +
+      "its branches' files; an untranslatable side fails the whole OR open") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_gfi_or_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      (100 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      (200 until 300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    assert(t.inputFiles.length == 3)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val q = t.filter(col("id") < 50 || col("id") >= 250)
+    assert(q.count() == 100L && planned(q) == 2, planned(q))
+    // point-disjunction: each side plans exactly its file
+    val pts = t.filter(col("id") === 7 || col("id") === 207)
+    assert(pts.count() == 2L && planned(pts) == 2, planned(pts))
+    // Contains doesn't translate — the whole OR fails open, full scan
+    val open = t.filter(col("id") < 50 || col("v").contains("v29"))
+    // contains("v29") = {29, 290..299}, id<50 = {0..49}; union = 60
+    assert(open.count() === 60L && planned(open) == 3, planned(open))
+  }
+
   test("GraftFileIndex: ONE scan relation for partitioned tables, and " +
       "Catalyst-pushed predicates prune partitions AND stats-skip files " +
       "at planning time (the /api/sql path)") {
