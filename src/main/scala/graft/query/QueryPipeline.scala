@@ -132,6 +132,18 @@ object QueryPipeline {
         case _ => None
       }
       (normalized, value) match {
+        // explicit-null request shapes skip on the stats planes' exact
+        // null counts: `col_null` / `col=null` are IS NULL (files with
+        // no nulls drop), `col_not_null` / `col_ne=null` are IS NOT
+        // NULL (all-null files drop) — mirroring the row compiler's
+        // compileOne exactly. The falsy shapes (real null/None/"")
+        // DROP the row predicate entirely, so they fall through to the
+        // usable() guards and contribute nothing, as before.
+        case _ if op == "null" ||
+            ((op == "=" || op == "==") && value == "null") =>
+          Seq(graft.sources.SkipPredicate(p.column, "null", ""))
+        case _ if op == "not null" || (op == "<>" && value == "null") =>
+          Seq(graft.sources.SkipPredicate(p.column, "notnull", ""))
         case (Some(o), s: String) if usable(s) =>
           Seq(graft.sources.SkipPredicate(p.column, o, s))
         // BETWEEN is a conjunctive range — both bounds skip (the single

@@ -417,6 +417,25 @@ object IcebergReader {
     }.getOrElse(Map.empty)
   }
 
+  /** One manifest entry's may-match answer — shared by the
+    * construction-time (serving skipFilters) and planning-time
+    * (GraftFileIndex closure) skip sites so they can never diverge.
+    * null/value counts answer IS [NOT] NULL exactly: no nulls ⇒ IS NULL
+    * matches nothing; all-null (null count = value count, which INCLUDES
+    * nulls per spec field 109) ⇒ IS NOT NULL matches nothing. Unknown
+    * counts keep the file; everything else asks the bounds.
+    */
+  private def entryMayMatch(f: DataFileEntry, fid: Int, op: String,
+      value: String, dt: DataType): Boolean = op match {
+    case "null" => f.nullCounts.get(fid).forall(_ > 0L)
+    case "notnull" =>
+      !(for {
+        n <- f.nullCounts.get(fid)
+        v <- f.valueCounts.get(fid)
+      } yield n >= v).getOrElse(false)
+    case _ => boundsMayMatch(f.bounds.get(fid), op, value, dt)
+  }
+
   /** Can a file whose bounds are `b` contain a row matching
     * `op value` under `dt`? Fail-open everywhere.
     */
@@ -619,7 +638,7 @@ object IcebergReader {
           } yield (p, fid, fld.dataType)
         }
         afterPartition.filter(f => typed.forall { case (p, fid, dt) =>
-          boundsMayMatch(f.bounds.get(fid), p.op, p.value, dt)
+          entryMayMatch(f, fid, p.op, p.value, dt)
         })
       }
     if (dataFiles.isEmpty)
@@ -644,9 +663,9 @@ object IcebergReader {
           (fid, fld.dataType))).toMap
     val entries = dataFiles.map { f =>
       val p = normPath(f.path)
-      val bounds = f.bounds
-      val valueCounts = f.valueCounts
-      val nullCounts = f.nullCounts
+      // the closure captures the entry's OWN small maps via
+      // entryMayMatch's arguments, never `snap`
+      val entry = f
       // filesystem size (memoized per snapshot), not the manifest's
       // recorded one: FileStatus.len drives split planning and a
       // foreign/minimal manifest's wrong size would silently truncate
@@ -654,20 +673,7 @@ object IcebergReader {
       IndexedFile(p, snap.fileSize(p), Nil,
         (colName, op, value) =>
           colLookup.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
-            case Some((fid, dt)) => op match {
-              // manifest null/value counts answer IS [NOT] NULL exactly:
-              // no nulls ⇒ IS NULL matches nothing; all-null (null count
-              // = value count, which INCLUDES nulls per spec field 109)
-              // ⇒ IS NOT NULL matches nothing. Unknown counts keep the
-              // file.
-              case "null" => nullCounts.get(fid).forall(_ > 0L)
-              case "notnull" =>
-                !(for {
-                  n <- nullCounts.get(fid)
-                  v <- valueCounts.get(fid)
-                } yield n >= v).getOrElse(false)
-              case _ => boundsMayMatch(bounds.get(fid), op, value, dt)
-            }
+            case Some((fid, dt)) => entryMayMatch(entry, fid, op, value, dt)
             case None => true
           })
     }

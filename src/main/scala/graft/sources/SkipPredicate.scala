@@ -4,8 +4,10 @@ package graft.sources
   * ([[DeltaLogReader.read]]'s stats skipping, [[IcebergReader.read]]'s
   * manifest-bounds skipping): the raw (request-string) value compared
   * against each file's recorded bounds under the table column's type.
-  * Ops: `=`, `<`, `<=`, `>`, `>=`. Readers fail OPEN on every
-  * uncertainty — skipping may only drop provably non-matching files,
-  * and the caller's real predicate still applies on the frame.
+  * Ops: `=`, `<`, `<=`, `>`, `>=`, plus the value-less `null` /
+  * `notnull` (answered exactly from the stats planes' null counts).
+  * Readers fail OPEN on every uncertainty — skipping may only drop
+  * provably non-matching files, and the caller's real predicate still
+  * applies on the frame.
   */
 final case class SkipPredicate(column: String, op: String, value: String)

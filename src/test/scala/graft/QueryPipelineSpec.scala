@@ -505,6 +505,51 @@ class QueryPipelineSpec extends SparkSpec {
       idPlanned.toSeq)
   }
 
+  test("explicit-null request params file-skip on both stats planes: " +
+      "col_null plans only null-holding files, col_not_null only value files") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_nullskip_${System.nanoTime()}")
+    def build(create: (org.apache.spark.sql.DataFrame, String) => Unit,
+        append: (org.apache.spark.sql.DataFrame, String) => Unit,
+        root: String): Unit = {
+      create(Seq((1L, None: Option[String]), (2L, None))
+        .toDF("id", "v").coalesce(1), root)
+      append(Seq((3L, Some("a")), (4L, Some("b")))
+        .toDF("id", "v").coalesce(1), root)
+      append(Seq((5L, Some("c"))).toDF("id", "v").coalesce(1), root)
+    }
+    for ((ft, root) <- Seq(
+        ("delta", base.resolve("delta").toString),
+        ("iceberg", base.resolve("ice").toString))) {
+      if (ft == "delta")
+        build(graft.output.DeltaWriter.create(_, _),
+          graft.output.DeltaWriter.append(_, _), root)
+      else
+        build(graft.output.IcebergWriter.create(_, _),
+          graft.output.IcebergWriter.append(_, _), root)
+      val t = TableConfig(s"nulls_$ft", "test",
+        datasource = DatasourceConfig(root, fileType = ft),
+        params = Seq(Param("v",
+          operators = Seq("=", "<>", "null", "not null"))))
+      val isNull = QueryPipeline.run(spark, t,
+        Request(params = Map("v_null" -> "true"), limit = Some(-1)))
+      assert(isNull.count() == 2L && isNull.inputFiles.length == 1,
+        s"$ft: ${isNull.inputFiles.length}")
+      val sentinel = QueryPipeline.run(spark, t,
+        Request(params = Map("v" -> "null"), limit = Some(-1)))
+      assert(sentinel.count() == 2L && sentinel.inputFiles.length == 1, ft)
+      val notNull = QueryPipeline.run(spark, t,
+        Request(params = Map("v_not_null" -> "true"), limit = Some(-1)))
+      assert(notNull.count() == 3L && notNull.inputFiles.length == 2,
+        s"$ft: ${notNull.inputFiles.length}")
+      val neSentinel = QueryPipeline.run(spark, t,
+        Request(params = Map("v_ne" -> "null"), limit = Some(-1)))
+      assert(neSentinel.count() == 3L && neSentinel.inputFiles.length == 2, ft)
+    }
+  }
+
   test("temporal pruning and the row predicate agree on the SESSION " +
       "timezone: a non-UTC session keeps the next-UTC-day partition a " +
       "local-evening bound still reaches") {
