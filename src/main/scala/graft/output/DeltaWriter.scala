@@ -149,10 +149,13 @@ object DeltaWriter {
     * Scope guards: files carrying deletion vectors are left alone (their
     * live-row set is not the file's row set), and column-mapped tables
     * are rejected (physical parquet names differ from the log schema).
-    * Scale: the plan is one distributed read+write per bin driven from
-    * the driver's file list — metadata-plane selection, data-plane
-    * rewrite, the same split as every writer path here. At lake scale
-    * run it per-partition-predicate (the `files.filter` is the hook), not
+    * Scale: ALL bins rewrite in ONE routed job — rows join a broadcast
+    * file→bin map and an identity Partitioner lands bin i in task i, so
+    * a hot partition's hundreds of bins compact concurrently at cluster
+    * width instead of serializing through per-bin driver jobs (the same
+    * exact-routing shape as [[IcebergWriter.rewriteDataFiles]]).
+    * Metadata-plane selection, data-plane rewrite. At lake scale run it
+    * per-partition-predicate (the `files.filter` is the hook), not
     * table-wide.
     */
   def optimize(spark: SparkSession, path: String,
@@ -166,43 +169,77 @@ object DeltaWriter {
       .filter(f => f.deletionVector.isEmpty &&
         Files.size(onDisk(f.path)) < targetBytes)
 
+    // first-fit-decreasing bin packing on actual on-disk sizes, per
+    // partition group (compaction never crosses partition values); only
+    // multi-file bins rewrite
+    val bins: IndexedSeq[(Map[String, String],
+        Seq[graft.sources.DeltaLogReader.AddFile])] =
+      candidates.groupBy(_.partitionValues).toSeq.flatMap { case (pv, files) =>
+        val sized = files.map(f => f -> Files.size(onDisk(f.path)))
+          .sortBy(-_._2)
+        val packed = scala.collection.mutable.ListBuffer
+          .empty[(scala.collection.mutable.ListBuffer[
+            graft.sources.DeltaLogReader.AddFile], Long)]
+        sized.foreach { case (f, sz) =>
+          packed.zipWithIndex.find(_._1._2 + sz <= targetBytes) match {
+            case Some(((bin, total), i)) =>
+              bin += f; packed(i) = (bin, total + sz)
+            case None =>
+              packed += ((scala.collection.mutable.ListBuffer(f), sz))
+          }
+        }
+        packed.map(_._1.toSeq).filter(_.size >= 2).map(pv -> _)
+      }.toIndexedSeq
+    if (bins.isEmpty) return 0
+
+    // ONE routed job rewrites every bin concurrently (the sequential
+    // one-coalesce(1)-job-per-bin loop serialized a 10⁴-small-file hot
+    // partition into hundreds of driver-blocking jobs): rows join a
+    // broadcast file→bin map and an identity Partitioner lands bin i in
+    // task i EXACTLY — same shape, same collision argument as
+    // [[IcebergWriter.rewriteDataFiles]]'s partitioned path. The part
+    // file index names the bin, so each output's partition values and
+    // stats are recovered without any second pass.
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import spark.implicits._
+    val fileToBin = bins.zipWithIndex.flatMap { case ((_, fs), i) =>
+      fs.map(f => onDisk(f.path).toString -> i)
+    }
+    val gdf = broadcast(fileToBin.toDF("__f", "__bin"))
+    val src = spark.read.schema(snap.dataSchema)
+      .parquet(fileToBin.map(_._1): _*)
+      .withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .join(gdf, Seq("__f"))
+    val keyed = src.rdd.map(r => r.getAs[Int]("__bin") -> r)
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = bins.size
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).values
+    val routed = spark.createDataFrame(keyed, src.schema)
+      .drop("__f", "__bin")
+    val staging = root.resolve(s".opt-staging-${java.util.UUID.randomUUID()}")
+    routed.write.parquet(staging.toString)
+
     val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
     val adds = Seq.newBuilder[Written]
-    candidates.groupBy(_.partitionValues).foreach { case (pv, files) =>
-      // first-fit-decreasing bin packing on actual on-disk sizes
-      val sized = files.map(f => f -> Files.size(onDisk(f.path)))
-        .sortBy(-_._2)
-      val bins = scala.collection.mutable.ListBuffer
-        .empty[(scala.collection.mutable.ListBuffer[
-          graft.sources.DeltaLogReader.AddFile], Long)]
-      sized.foreach { case (f, sz) =>
-        bins.zipWithIndex.find(_._1._2 + sz <= targetBytes) match {
-          case Some(((bin, total), i)) => bin += f; bins(i) = (bin, total + sz)
-          case None =>
-            bins += ((scala.collection.mutable.ListBuffer(f), sz))
-        }
-      }
-      bins.map(_._1.toSeq).filter(_.size >= 2).foreach { bin =>
-        // rewrite the bin as ONE file (data columns only — partition
-        // values live in the log, exactly as in the original adds)
-        val df = spark.read.schema(snap.dataSchema)
-          .parquet(bin.map(f => onDisk(f.path).toString): _*)
-        val staging = root.resolve(s".opt-staging-${java.util.UUID.randomUUID()}")
-        df.coalesce(1).write.parquet(staging.toString)
-        val part = Files.list(staging).iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            "compaction write produced no part file"))
-        val name = part.getFileName.toString
-        Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(Files.delete(_))
-        adds += Written(name, Files.size(root.resolve(name)), pv,
-          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
-        removes ++= bin
+    // part-%05d-* — the index IS the bin (all-empty-input bins write no
+    // file: their rows numbered zero, removing the inputs alone is exact)
+    val partIdx = "part-(\\d+)-.*\\.parquet".r
+    Files.list(staging).iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case partIdx(i) =>
+          val (pv, _) = bins(i.toInt)
+          val name = p.getFileName.toString
+          Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          adds += Written(name, Files.size(root.resolve(name)), pv,
+            ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
+        case _ => ()
       }
     }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    bins.foreach { case (_, fs) => removes ++= fs }
 
     val removed = removes.result()
     if (removed.isEmpty) return 0

@@ -635,6 +635,37 @@ class DeltaWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
   }
 
+  test("optimize: a hot partition's many bins compact in ONE routed job " +
+      "with one output file per bin") {
+    val path = tmp("opthot")
+    // hot partition "h": 12 tiny files; cold partition "c": 2
+    DeltaWriter.create(
+      Seq((0L, "h")).toDF("id", "p"), path, partitionBy = Seq("p"))
+    (1 to 11).foreach(i => DeltaWriter.append(
+      Seq((i.toLong, "h")).toDF("id", "p"), path))
+    (12 to 13).foreach(i => DeltaWriter.append(
+      Seq((i.toLong, "c")).toDF("id", "p"), path))
+    val before = DeltaLogReader.snapshot(spark, path)
+    assert(before.files.size == 14)
+    val tiny = before.files.map(f =>
+      Files.size(Paths.get(path, f.path))).max
+    // target sized so the hot partition packs into MULTIPLE bins
+    val removed = DeltaWriter.optimize(spark, path,
+      targetBytes = tiny * 3 + 1)
+    assert(removed == 14, removed)
+    val after = DeltaLogReader.snapshot(spark, path)
+    // 12 hot files / ≤3-per-bin → ≥4 hot bins, plus the one cold bin;
+    // exactly one output file per bin, all landed in ONE commit
+    val hot = after.files.filter(_.partitionValues("p") == "h")
+    assert(hot.size >= 4 && hot.size < 12, hot.size)
+    assert(after.files.count(_.partitionValues("p") == "c") == 1)
+    assert(after.version == before.version + 1)
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 13L))
+    assert(back.filter(col("p") === "c").count() == 2L)
+  }
+
   test("the written table is readable by an independent engine shape") {
     // the reader here replays the log natively, but also sanity-check the
     // raw layout: version files named %020d, adds carry relative paths
