@@ -53,6 +53,20 @@ object Layout {
     else least(lit(top), floor((c.cast("double") - lit(lo)) / lit(span) * top).cast("long"))
   }
 
+  /** Column-bounds variant — per-GROUP spans resolved row-wise (e.g.
+    * each hive partition quantizes against its own range, so a z-curve
+    * keeps full resolution inside every partition of a one-job rewrite).
+    * Degenerate or null spans map to 0, like the scalar overload.
+    */
+  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    val span = hi.cast("double") - lo.cast("double")
+    when(lo.isNull || hi.isNull || span <= 0, lit(0L))
+      .otherwise(least(lit(top),
+        floor((c.cast("double") - lo.cast("double")) / span * top)
+          .cast("long")))
+  }
+
   /** Small-file compaction — the OPTIMIZE/bin-packing half of layout
     * maintenance: rewrite a parquet directory into files of roughly
     * `targetBytes` each. Streaming ingestion and fine-grained partitioned

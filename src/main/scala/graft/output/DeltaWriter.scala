@@ -264,14 +264,21 @@ object DeltaWriter {
     * alone, groups whose z columns are all-null are skipped. Returns the
     * number of files replaced.
     *
-    * Scale: one range-exchange job per partition group (the z sample is
-    * the only coordination), driven from the driver's file list. At lake
-    * scale, scope calls per partition predicate, as with optimize.
+    * Scale: ONE per-file span aggregate + ONE range-exchange rewrite for
+    * the whole table — each partition quantizes against its OWN range
+    * (folded on the driver from the per-file spans), the exchange keys
+    * on (partition cols, z) so a hot partition spreads over many tasks,
+    * and the task sort satisfies the dynamic-partition write's ordering
+    * (no per-group job loop, no write-side re-sort scrambling z runs —
+    * the same shape as [[IcebergWriter.rewriteZOrder]]). At lake scale,
+    * scope calls per partition predicate, as with optimize.
     */
   def optimizeZOrder(spark: SparkSession, path: String, cx: String,
       cy: String, targetBytes: Long = 128L * 1024 * 1024,
       bits: Int = 16): Int = {
-    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.functions.{broadcast, col, max, min,
+      regexp_replace}
+    import spark.implicits._
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
     require(snap.columnMappingMode == "none",
@@ -280,51 +287,92 @@ object DeltaWriter {
         snap.dataSchema.fieldNames.contains(cy),
       s"z-order columns must be data columns of ${snap.dataSchema.fieldNames.toSeq}")
 
-    val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
-    val adds = Seq.newBuilder[Written]
-    snap.files.filter(_.deletionVector.isEmpty)
-      .groupBy(_.partitionValues).foreach { case (pv, files) =>
-        val paths = files.map(f => root.resolve(f.path))
-        val bytes = paths.map(Files.size).sum
-        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val df = spark.read.schema(snap.dataSchema)
-          .parquet(paths.map(_.toString): _*)
-        val r = df.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
-          min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
-        if (!r.anyNull) {
-          val z = graft.operators.Layout.zValue(
-            graft.operators.Layout.quantize(col(cx), r.getDouble(0), r.getDouble(1), bits),
-            graft.operators.Layout.quantize(col(cy), r.getDouble(2), r.getDouble(3), bits),
-            bits)
-          val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
-          df.withColumn("__z", z)
-            .repartitionByRange(nFiles, col("__z"))
-            .sortWithinPartitions(col("__z"))
-            .drop("__z")
-            .write.parquet(staging.toString)
-          Files.list(staging).iterator().asScala
-            .filter(p => p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .foreach { p =>
-              val name = p.getFileName.toString
-              Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-              adds += Written(name, Files.size(root.resolve(name)), pv,
-          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
-            }
-          Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(Files.delete(_))
-          removes ++= files
-        }
+    val candidates = snap.files.filter(_.deletionVector.isEmpty)
+    if (candidates.isEmpty) return 0
+    def absOf(f: graft.sources.DeltaLogReader.AddFile): String =
+      root.resolve(f.path).toAbsolutePath.normalize.toString
+    val partCols = snap.partitionColumns
+
+    // one agg job derives per-FILE spans of (cx, cy); the driver folds
+    // them into per-PARTITION quantization ranges (the file→partition
+    // map is already in hand), so every partition keeps full z
+    // resolution against its OWN range while the rewrite below stays
+    // ONE job — the old shape ran a range-exchange job PER partition
+    // group, serializing a 10³-partition lake through 10³ driver-
+    // blocking jobs. Partitions whose z columns are all-null are
+    // skipped whole (their files stay), matching the old behavior.
+    val withF = spark.read.schema(snap.dataSchema)
+      .parquet(candidates.map(f => absOf(f)): _*)
+      .withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val fileSpans: Map[String, (Option[Double], Option[Double],
+        Option[Double], Option[Double])] =
+      withF.groupBy(col("__f"))
+        .agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+          min(col(cy)).cast("double"), max(col(cy)).cast("double"))
+        .collect().map(r => r.getString(0) -> (
+          Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val partRange: Map[Map[String, String], (Double, Double, Double, Double)] =
+      candidates.groupBy(_.partitionValues).flatMap { case (pv, fs) =>
+        val spans = fs.flatMap(f => fileSpans.get(absOf(f)))
+        val lox = spans.flatMap(_._1); val hix = spans.flatMap(_._2)
+        val loy = spans.flatMap(_._3); val hiy = spans.flatMap(_._4)
+        if (lox.isEmpty || loy.isEmpty) None // all-null z columns: skip
+        else Some(pv -> (lox.min, hix.max, loy.min, hiy.max))
       }
-    val removed = removes.result()
-    if (removed.isEmpty) return 0
+    // files whose partition rewrites AND that hold rows; a rowless file
+    // in a rewritten partition is left alone (nothing of it to carry)
+    val rewritten = candidates.filter(f =>
+      partRange.contains(f.partitionValues) &&
+        fileSpans.contains(absOf(f)))
+    if (rewritten.isEmpty) return 0
+
+    // broadcast per-file (partition strings, quantization range); the
+    // join key is the file PATH — no null-key traps, no type rendering
+    val rows = rewritten.map { f =>
+      val (lox, hix, loy, hiy) = partRange(f.partitionValues)
+      (absOf(f), partCols.map(c => f.partitionValues.getOrElse(c, null)),
+        lox, hix, loy, hiy)
+    }
+    val rdf = broadcast(rows.toDF("__f", "__pv",
+      "__lox", "__hix", "__loy", "__hiy"))
+    val z = graft.operators.Layout.zValue(
+      graft.operators.Layout.quantize(col(cx), col("__lox"), col("__hix"),
+        bits),
+      graft.operators.Layout.quantize(col(cy), col("__loy"), col("__hiy"),
+        bits),
+      bits)
+    // partition values re-attached TYPED (data files omit them); the
+    // range exchange keys on (partition cols, z) and the sort makes
+    // each task already partition-grouped, so the dynamic-partition
+    // write inserts no re-sort of its own and z runs stay intact within
+    // every partition directory — the same staging-prefix argument as
+    // [[IcebergWriter.rewriteZOrder]]'s partitioned path.
+    val decorated = partCols.zipWithIndex.foldLeft(
+        withF.join(rdf, Seq("__f")).withColumn("__z", z)) {
+      case (df, (c, i)) =>
+        df.withColumn(c,
+          col("__pv").getItem(i).cast(snap.schema(c).dataType))
+    }
+    val keys = partCols.map(col) :+ col("__z")
+    val bytes = rewritten.map(f => Files.size(root.resolve(f.path))).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val clustered = decorated
+      .repartitionByRange(nOut, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__f", "__pv", "__lox", "__hix", "__loy", "__hiy", "__z")
+    val adds = writeData(clustered, root, partCols)
+
     val version = nextVersion(root)
     commit(root, version,
-      removed.map(f =>
+      rewritten.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
-        ++ adds.result().map(w => addAction(w, dataChange = false)))
+        ++ adds.map(w => addAction(w, dataChange = false)))
     maybeCheckpoint(spark, root, version)
-    removed.size
+    rewritten.size
   }
 
   /** REORG-PURGE: materialize deletion vectors away — the maintenance

@@ -616,6 +616,46 @@ class DeltaWriterSpec extends SparkSpec {
     assert(!commitJson.contains("\"dataChange\":true"))
   }
 
+  test("optimizeZOrder: partitioned tables cluster WITHIN each partition " +
+      "in one rewrite — narrow spans per dir, partition values intact") {
+    val path = tmp("zopart")
+    // two partitions, each a shuffled 32x32 grid across 4 files
+    val df = spark.range(0, 2048).select(
+      (col("id") % 2).cast("string").as("p"),
+      ((col("id") / 2) % 32).cast("long").as("x"),
+      (floor(col("id") / 64).cast("long") % 32).as("y"), col("id"))
+      .orderBy(org.apache.spark.sql.functions.rand(7))
+    DeltaWriter.create(df.repartition(8), path, partitionBy = Seq("p"))
+    val before = DeltaLogReader.snapshot(spark, path)
+    val total = before.files
+      .map(f => Files.size(Paths.get(path, f.path))).sum
+    val replaced = DeltaWriter.optimizeZOrder(spark, path, "x", "y",
+      targetBytes = math.max(1L, total / 8), bits = 5)
+    assert(replaced == before.files.size)
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.version == before.version + 1)
+    assert(after.files.map(_.partitionValues("p")).toSet == Set("0", "1"))
+    // every partition got a multi-file clustered layout with narrow
+    // per-file spans on x (32 values, ≥4 files/partition ⇒ mean well
+    // under the full span)
+    for (pv <- Seq("0", "1")) {
+      val fs = after.files.filter(_.partitionValues("p") == pv)
+      assert(fs.size >= 2, s"p=$pv: ${fs.size}")
+      val spans = fs.map { f =>
+        val r = spark.read.parquet(s"$path/${f.path}")
+          .agg(max(col("x")) - min(col("x"))).head()
+        r.getLong(0).toDouble
+      }
+      assert(spans.sum / spans.size < 31.0 * 0.8,
+        s"p=$pv mean x-span ${spans.sum / spans.size}")
+    }
+    // rows intact, partition column readable
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.count() == 2048L)
+    assert(back.filter(col("p") === "0").count() == 1024L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == (0L until 2048L).sum)
+  }
+
   test("optimize: partitioned tables compact within partitions only") {
     val path = tmp("optpart")
     DeltaWriter.create(
