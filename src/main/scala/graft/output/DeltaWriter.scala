@@ -386,10 +386,12 @@ object DeltaWriter {
     * [[deleteWhere]], which only unlinks logically. Returns the number of
     * files rewritten.
     *
-    * Scale shape: one distributed anti-join read + write per partition
-    * group (the same plan [[graft.sources.DeltaLogReader.read]] serves
-    * queries with) — positions never touch the driver; the write keeps
-    * the scan's parallelism (no coalesce: purged files can be large).
+    * Scale shape: ONE distributed anti-join read + dynamic-partition
+    * write for the whole table (the same plan [[graft.sources
+    * .DeltaLogReader.read]] serves queries with) — positions never touch
+    * the driver, partition groups rewrite concurrently instead of one
+    * job each, and the write keeps the scan's parallelism (no coalesce:
+    * purged files can be large).
     */
   def purgeDeletes(spark: SparkSession, path: String): Int = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
@@ -402,43 +404,50 @@ object DeltaWriter {
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       root.resolve(f.path).toAbsolutePath.normalize.toString
 
-    val adds = Seq.newBuilder[Written]
-    dvFiles.groupBy(_.partitionValues).foreach { case (pv, files) =>
-      val dvs = files.map(f => abs(f) -> f.deletionVector.get)
-      val live = spark.read.schema(snap.dataSchema)
-        .parquet(files.map(abs): _*)
-        .withColumn("__f",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-        .withColumn("__p", col("_metadata.row_index"))
-        .join(graft.sources.DeletionVectors.deletedRows(spark, path, dvs)
-            .withColumnRenamed("__dv_file", "__f")
-            .withColumnRenamed("__dv_pos", "__p"),
-          Seq("__f", "__p"), "left_anti")
-        .drop("__f", "__p")
-      val staging = root.resolve(s".purge-staging-${java.util.UUID.randomUUID()}")
-      live.write.parquet(staging.toString)
-      Files.list(staging).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toVector.sortBy(_.getFileName.toString)
-        .foreach { part =>
-          // empty part files (a fully-deleted partition slice) are not
-          // re-added — the remove alone is the correct state
-          if (IcebergWriter.footerRecordCount(part) > 0L) {
-            val name = part.getFileName.toString
-            Files.move(part, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-            adds += Written(name, Files.size(root.resolve(name)), pv,
-          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
-          }
-        }
-      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(Files.delete(_))
+    // ONE anti-join rewrite for ALL partition groups (the old per-group
+    // loop serialized a many-partition purge through one driver-blocking
+    // job per group): every file's DV decodes in the same broadcast,
+    // partition values re-attach TYPED from a per-file broadcast map,
+    // and the dynamic-partition write splits each task's rows by dir.
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val partCols = snap.partitionColumns
+    val dvs = dvFiles.map(f => abs(f) -> f.deletionVector.get)
+    val live0 = spark.read.schema(snap.dataSchema)
+      .parquet(dvFiles.map(abs): _*)
+      .withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__p", col("_metadata.row_index"))
+      .join(graft.sources.DeletionVectors.deletedRows(spark, path, dvs)
+          .withColumnRenamed("__dv_file", "__f")
+          .withColumnRenamed("__dv_pos", "__p"),
+        Seq("__f", "__p"), "left_anti")
+      .drop("__p")
+    val live =
+      if (partCols.isEmpty) live0.drop("__f")
+      else {
+        val pvDf = broadcast(dvFiles.map(f =>
+          (abs(f), partCols.map(c => f.partitionValues.getOrElse(c, null))))
+          .toDF("__f", "__pv"))
+        partCols.zipWithIndex.foldLeft(live0.join(pvDf, Seq("__f"))) {
+          case (df, (c, i)) =>
+            df.withColumn(c,
+              col("__pv").getItem(i).cast(snap.schema(c).dataType))
+        }.drop("__f", "__pv")
+      }
+    // empty outputs (a fully-deleted slice) are not re-added — the
+    // remove alone is the correct state
+    val adds = writeData(live, root, partCols).filter { w =>
+      val dest = root.resolve(w.relPath)
+      val keep = IcebergWriter.footerRecordCount(dest) > 0L
+      if (!keep) Files.delete(dest)
+      keep
     }
     val version = nextVersion(root)
     commit(root, version,
       dvFiles.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
-        ++ adds.result().map(w => addAction(w, dataChange = false)))
+        ++ adds.map(w => addAction(w, dataChange = false)))
     maybeCheckpoint(spark, root, version)
     dvFiles.size
   }

@@ -455,6 +455,29 @@ class DeltaWriterSpec extends SparkSpec {
       .inputFiles.length == 1)
   }
 
+  test("purgeDeletes: partitioned tables purge ALL groups in one rewrite " +
+      "— partition values intact, a fully-deleted partition adds nothing") {
+    val path = tmp("purgepart")
+    DeltaWriter.create(
+      (0 until 300).map(i => (i.toLong, (i % 3).toString))
+        .toDF("id", "p"), path, partitionBy = Seq("p"))
+    // delete odd ids in p=0/p=1, EVERYTHING in p=2
+    assert(DeltaWriter.deleteWhere(spark, path,
+      (col("id") % 2 === 1 && col("p") =!= "2") || col("p") === "2") > 0)
+    val before = DeltaLogReader.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq
+    val purged = DeltaWriter.purgeDeletes(spark, path)
+    assert(purged > 0)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    // the fully-deleted partition re-adds nothing
+    assert(!snap.files.exists(_.partitionValues("p") == "2"))
+    assert(snap.files.map(_.partitionValues("p")).toSet == Set("0", "1"))
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == before)
+    assert(back.filter(col("p") === "0").count() == 50L)
+  }
+
   test("purgeDeletes materializes DVs away: clean files, same rows, " +
       "dataChange=false, vacuum then reclaims the deleted bytes") {
     val path = tmp("purge")
