@@ -537,40 +537,48 @@ object DeltaWriter {
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       root.resolve(f.path).toAbsolutePath.normalize.toString
 
-    // matched (file, position) frame — per partition group so predicates
-    // over partition columns resolve (partition values live in the log,
-    // not the files), LIVE rows only (existing DVs already applied),
-    // groups unioned into ONE distributed frame
-    val partFields = snap.partitionColumns.map(c => snap.schema(c))
-    val groupFrames = snap.files.groupBy(_.partitionValues)
-      .toSeq.map { case (pv, files) =>
-        val base = spark.read.schema(snap.dataSchema)
-          .parquet(files.map(abs): _*)
-          .withColumn("__f",
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-          .withColumn("__p", col("_metadata.row_index"))
-        val withParts = partFields.foldLeft(base) { (acc, f) =>
-          val raw = pv.getOrElse(f.name, null)
-          acc.withColumn(f.name,
-            (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
-        }
-        val dvs = files.collect {
-          case f if f.deletionVector.isDefined => (abs(f), f.deletionVector.get)
-        }
-        val live =
-          if (dvs.isEmpty) withParts
-          else withParts.join(
-            graft.sources.DeletionVectors.deletedRows(spark, path, dvs)
-              .withColumnRenamed("__dv_file", "__f")
-              .withColumnRenamed("__dv_pos", "__p"),
-            Seq("__f", "__p"), "left_anti")
-        matcher(live).select(col("__f"), col("__p"))
-      }
-    if (groupFrames.isEmpty) return 0L
+    // matched (file, position) frame through ONE GraftFileIndex relation
+    // (the old shape built a relation PER partition group and unioned
+    // them — a 10³-child plan at 10³ hive partitions, the same width
+    // problem read() solved): partition columns surface as
+    // PartitionDirectory rows, so a partition-scoped delete PLANS only
+    // its partitions, and the per-file stats closures let the pushed
+    // predicate file-skip the probe itself. LIVE rows only — every
+    // existing DV decodes in one batched call.
+    if (snap.files.isEmpty) return 0L
+    val partFields = snap.partitionColumns.toIndexedSeq.map(c => snap.schema(c))
+    val schemaFields = snap.schema.fields
+    val entries = snap.files.map { f =>
+      val a = abs(f)
+      graft.sources.IndexedFile(a, snap.fileSize(a),
+        partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
+        (colName, op, value) =>
+          schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
+            case Some(fld) => graft.sources.DeltaLogReader.statsMayMatch(
+              f.statsNode, fld.name, op, value, fld.dataType)
+            case None => true
+          })
+    }
+    val base = graft.sources.GraftFileIndex.frame(spark,
+        root.toAbsolutePath.normalize,
+        StructType(partFields), snap.dataSchema, entries)
+      .withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__p", col("_metadata.row_index"))
+    val allDvs = snap.files.collect {
+      case f if f.deletionVector.isDefined => (abs(f), f.deletionVector.get)
+    }
+    val live =
+      if (allDvs.isEmpty) base
+      else base.join(
+        graft.sources.DeletionVectors.deletedRows(spark, path, allDvs)
+          .withColumnRenamed("__dv_file", "__f")
+          .withColumnRenamed("__dv_pos", "__p"),
+        Seq("__f", "__p"), "left_anti")
     // two aggregates (counts, then positions) read one materialization,
     // not two table scans
     import graft.operators.Materialize.Ops
-    val matched = groupFrames.reduce(_ union _).materialize()
+    val matched = matcher(live).select(col("__f"), col("__p")).materialize()
     val fileByAbs = snap.files.map(f => abs(f) -> f).toMap
     val newCounts: Map[String, Long] = matched.groupBy(col("__f"))
       .agg(count(lit(1)).as("n"))

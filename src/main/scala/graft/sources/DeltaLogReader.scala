@@ -79,7 +79,7 @@ object DeltaLogReader {
       */
     @transient private lazy val fsSizes =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    private[sources] def fileSize(abs: String): Long =
+    private[graft] def fileSize(abs: String): Long =
       fsSizes.computeIfAbsent(abs,
         p => Files.size(Paths.get(p))).longValue()
   }
@@ -268,7 +268,7 @@ object DeltaLogReader {
     * [[AddFile.statsNode]] — parse-once per snapshot-cached instance, no
     * process-global lock).
     */
-  private[sources] def statsMayMatch(statsOpt: Option[JsonNode], col: String,
+  private[graft] def statsMayMatch(statsOpt: Option[JsonNode], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
     case None => true
     case Some(n) =>
