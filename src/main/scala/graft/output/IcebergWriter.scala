@@ -581,29 +581,45 @@ object IcebergWriter {
       .join(broadcast(dataFiles.map(f =>
           (graft.sources.IcebergReader.normPath(f.localPath), f.seq))
         .toDF("__f", "__seq")), Seq("__f"))
+    // same one-relation-per-kind plan shapes as [[graft.sources
+    // .IcebergReader.read]]: every position delete file in ONE relation
+    // (seq joined from a broadcast path→seq map), one anti-join per
+    // DISTINCT equality-id set rather than per delete file
+    def seqJoined(entries: Seq[Entry], schema: Option[String],
+        srcCol: String, seqCol: String) = {
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(entries.map(_.localPath): _*)
+        .withColumn(srcCol, norm(col("_metadata.file_path")))
+        .join(broadcast(entries.map(e =>
+            (graft.sources.IcebergReader.normPath(e.localPath), e.seq))
+          .toDF(srcCol, seqCol)), Seq(srcCol))
+        .drop(srcCol)
+    }
     val posDeletes = st.entries.filter(_.content == 1)
     val afterPos =
       if (posDeletes.isEmpty) base
       else {
-        val dels = posDeletes.map(d => spark.read.parquet(d.localPath)
+        val dels = seqJoined(posDeletes,
+          Some("file_path string, pos bigint"), "__dsrc", "__dseq")
           .select(norm(col("file_path")).as("__df"), col("pos").as("__dp"),
-            lit(d.seq).as("__dseq")))
-          .reduce(_ union _)
+            col("__dseq"))
         base.join(dels,
           col("__f") === col("__df") && col("__p") === col("__dp") &&
             col("__dseq") >= col("__seq"),
           "left_anti")
       }
-    st.entries.filter(_.content == 2).foldLeft(afterPos) { (acc, d) =>
-      val cols = d.equalityIds.map(id => st.fieldNames.getOrElse(id,
-        throw new IllegalStateException(s"unknown equality field id $id")))
-      val delRows = spark.read.parquet(d.localPath)
-        .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
-      acc.join(delRows,
-        cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-          acc("__seq") < lit(d.seq),
-        "left_anti")
-    }
+    st.entries.filter(_.content == 2).groupBy(_.equalityIds).toSeq
+      .foldLeft(afterPos) { case (acc, (ids, ds)) =>
+        val cols = ids.map(id => st.fieldNames.getOrElse(id,
+          throw new IllegalStateException(s"unknown equality field id $id")))
+        val delRows = seqJoined(ds, None, "__eqsrc", "__eqseq")
+          .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
+            :+ col("__eqseq"): _*)
+        acc.join(delRows,
+          cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+            acc("__seq") < delRows("__eqseq"),
+          "left_anti")
+      }
   }
 
   /** Appends one snapshot node + bumps seq/version on the loaded state. */

@@ -701,17 +701,33 @@ object IcebergReader {
         raise_error(concat(
           lit("iceberg scan: data file missing from manifest path map "
             + "(path normalization drift): "), col("__ib_file")))))
-    // position deletes: (path, pos) rows from each delete file, carrying
-    // the delete file's sequence number; a position delete applies to
-    // data files with data seq <= delete seq (spec "Scan Planning")
+    // position deletes: ONE relation over every delete file (the old
+    // per-file union was 10³ children wide at 10³ delete commits), each
+    // row's delete sequence joined from a broadcast path→seq map; a
+    // position delete applies to data files with data seq <= delete seq
+    // (spec "Scan Planning"). LEFT join + fail-fast, like the data-side
+    // seq map: an inner join would silently UNDER-delete on path-
+    // normalization drift.
+    def seqJoined(paths: Seq[String], seqs: Seq[(String, Long)],
+        schema: Option[String], srcCol: String, seqCol: String) = {
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(paths: _*)
+        .withColumn(srcCol, norm(col("_metadata.file_path")))
+        .join(broadcast(seqs.toDF(srcCol, seqCol)), Seq(srcCol), "left")
+        .withColumn(seqCol, coalesce(col(seqCol),
+          raise_error(concat(
+            lit("iceberg scan: delete file missing from manifest path map "
+              + "(path normalization drift): "), col(srcCol)))))
+        .drop(srcCol)
+    }
     val afterPos =
       if (snap.positionDeletes.isEmpty) withSeq
       else {
-        val deletes = snap.positionDeletes.map { d =>
-          spark.read.parquet(d.path)
-            .select(norm(col("file_path")).as("__del_file"),
-              col("pos").as("__del_pos"), lit(d.seq).as("__del_seq"))
-        }.reduce(_ union _)
+        val deletes = seqJoined(snap.positionDeletes.map(_.path),
+          snap.positionDeletes.map(d => (normPath(d.path), d.seq)),
+          Some("file_path string, pos bigint"), "__del_src", "__del_seq")
+          .select(norm(col("file_path")).as("__del_file"),
+            col("pos").as("__del_pos"), col("__del_seq"))
         withSeq.join(deletes,
           col("__ib_file") === col("__del_file") &&
             col("__ib_pos") === col("__del_pos") &&
@@ -720,19 +736,26 @@ object IcebergReader {
       }
     // equality deletes: each file lists (by field id) the columns whose
     // values identify deleted rows; applies STRICTLY to older rows
-    // (data seq < delete seq) — one anti-join per delete file, null-safe
-    // equality per the spec ("null values ... match rows with null")
-    val afterEq = snap.equalityDeletes.foldLeft(afterPos) { (acc, d) =>
-      val cols = d.equalityIds.map(id => snap.fieldNames.getOrElse(id,
-        throw new IllegalArgumentException(
-          s"equality delete references unknown field id $id")))
-      val delRows = spark.read.parquet(d.path)
-        .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
-      acc.join(delRows,
-        cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-          acc("__ib_seq") < lit(d.seq),
-        "left_anti")
-    }
+    // (data seq < delete seq) — one anti-join per DISTINCT id set, not
+    // per file (a PK-upsert stream accumulates many same-ids delete
+    // files; chaining an anti-join per file built plans linear in the
+    // delete-commit count), null-safe equality per the spec ("null
+    // values ... match rows with null")
+    val afterEq = snap.equalityDeletes.groupBy(_.equalityIds).toSeq
+      .foldLeft(afterPos) { case (acc, (ids, ds)) =>
+        val cols = ids.map(id => snap.fieldNames.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality delete references unknown field id $id")))
+        val delRows = seqJoined(ds.map(_.path),
+          ds.map(d => (normPath(d.path), d.seq)), None,
+          "__eq_src", "__eq_seq")
+          .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
+            :+ col("__eq_seq"): _*)
+        acc.join(delRows,
+          cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+            acc("__ib_seq") < delRows("__eq_seq"),
+          "left_anti")
+      }
     afterEq.select(dataCols: _*)
   }
 
