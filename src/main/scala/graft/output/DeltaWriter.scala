@@ -164,18 +164,23 @@ object DeltaWriter {
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
     require(snap.columnMappingMode == "none",
       s"optimize does not support columnMapping=${snap.columnMappingMode}")
-    def onDisk(rel: String): Path = root.resolve(rel)
+    // the CANONICAL add resolver (absolute adds, normalization) — join
+    // keys below must match Spark's qualified _metadata.file_path, and a
+    // hand-rolled root.resolve would drift on relative table paths
+    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
+      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
     val candidates = snap.files
       .filter(f => f.deletionVector.isEmpty &&
-        Files.size(onDisk(f.path)) < targetBytes)
+        snap.fileSize(abs(f)) < targetBytes)
 
-    // first-fit-decreasing bin packing on actual on-disk sizes, per
-    // partition group (compaction never crosses partition values); only
-    // multi-file bins rewrite
+    // first-fit-decreasing bin packing on actual on-disk sizes (memoized
+    // per snapshot — no second stat pass), per partition group
+    // (compaction never crosses partition values); only multi-file bins
+    // rewrite
     val bins: IndexedSeq[(Map[String, String],
         Seq[graft.sources.DeltaLogReader.AddFile])] =
       candidates.groupBy(_.partitionValues).toSeq.flatMap { case (pv, files) =>
-        val sized = files.map(f => f -> Files.size(onDisk(f.path)))
+        val sized = files.map(f => f -> snap.fileSize(abs(f)))
           .sortBy(-_._2)
         val packed = scala.collection.mutable.ListBuffer
           .empty[(scala.collection.mutable.ListBuffer[
@@ -200,17 +205,25 @@ object DeltaWriter {
     // [[IcebergWriter.rewriteDataFiles]]'s partitioned path. The part
     // file index names the bin, so each output's partition values and
     // stats are recovered without any second pass.
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      lit, raise_error, regexp_replace}
     import spark.implicits._
     val fileToBin = bins.zipWithIndex.flatMap { case ((_, fs), i) =>
-      fs.map(f => onDisk(f.path).toString -> i)
+      fs.map(f => abs(f) -> i)
     }
     val gdf = broadcast(fileToBin.toDF("__f", "__bin"))
+    // LEFT join + fail-fast: the scan reads EXACTLY the binned files, so
+    // every row must resolve a bin — an inner join would silently drop
+    // rows on path drift while the removes below still commit
     val src = spark.read.schema(snap.dataSchema)
       .parquet(fileToBin.map(_._1): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-      .join(gdf, Seq("__f"))
+      .join(gdf, Seq("__f"), "left")
+      .withColumn("__bin", coalesce(col("__bin"),
+        raise_error(concat(
+          lit("optimize: scanned file missing from bin map (path " +
+            "normalization drift): "), col("__f")))))
     val keyed = src.rdd.map(r => r.getAs[Int]("__bin") -> r)
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = bins.size
@@ -276,8 +289,8 @@ object DeltaWriter {
   def optimizeZOrder(spark: SparkSession, path: String, cx: String,
       cy: String, targetBytes: Long = 128L * 1024 * 1024,
       bits: Int = 16): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col, max, min,
-      regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      lit, max, min, raise_error, regexp_replace}
     import spark.implicits._
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
@@ -290,7 +303,7 @@ object DeltaWriter {
     val candidates = snap.files.filter(_.deletionVector.isEmpty)
     if (candidates.isEmpty) return 0
     def absOf(f: graft.sources.DeltaLogReader.AddFile): String =
-      root.resolve(f.path).toAbsolutePath.normalize.toString
+      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
     val partCols = snap.partitionColumns
 
     // one agg job derives per-FILE spans of (cx, cy); the driver folds
@@ -330,14 +343,21 @@ object DeltaWriter {
         fileSpans.contains(absOf(f)))
     if (rewritten.isEmpty) return 0
 
-    // broadcast per-file (partition strings, quantization range); the
-    // join key is the file PATH — no null-key traps, no type rendering
+    // broadcast per-file (partition-GROUP id, quantization range); the
+    // join key is the file PATH — no null-key traps, no type rendering.
+    // Routing by a synthetic dense group id (not the value columns)
+    // keeps the log's partitionValues VERBATIM — round-tripping values
+    // through dynamic-partition dir names would collapse an
+    // empty-string value to null (__HIVE_DEFAULT_PARTITION__ encodes
+    // both) on foreign-written tables.
+    val groupIds: Map[Map[String, String], Int] =
+      rewritten.map(_.partitionValues).distinct.zipWithIndex.toMap
+    val pvOfGid: Map[Int, Map[String, String]] = groupIds.map(_.swap)
     val rows = rewritten.map { f =>
       val (lox, hix, loy, hiy) = partRange(f.partitionValues)
-      (absOf(f), partCols.map(c => f.partitionValues.getOrElse(c, null)),
-        lox, hix, loy, hiy)
+      (absOf(f), groupIds(f.partitionValues), lox, hix, loy, hiy)
     }
-    val rdf = broadcast(rows.toDF("__f", "__pv",
+    val rdf = broadcast(rows.toDF("__f", "__gid",
       "__lox", "__hix", "__loy", "__hiy"))
     val z = graft.operators.Layout.zValue(
       graft.operators.Layout.quantize(col(cx), col("__lox"), col("__hix"),
@@ -345,26 +365,47 @@ object DeltaWriter {
       graft.operators.Layout.quantize(col(cy), col("__loy"), col("__hiy"),
         bits),
       bits)
-    // partition values re-attached TYPED (data files omit them); the
-    // range exchange keys on (partition cols, z) and the sort makes
-    // each task already partition-grouped, so the dynamic-partition
-    // write inserts no re-sort of its own and z runs stay intact within
-    // every partition directory — the same staging-prefix argument as
-    // [[IcebergWriter.rewriteZOrder]]'s partitioned path.
-    val decorated = partCols.zipWithIndex.foldLeft(
-        withF.join(rdf, Seq("__f")).withColumn("__z", z)) {
-      case (df, (c, i)) =>
-        df.withColumn(c,
-          col("__pv").getItem(i).cast(snap.schema(c).dataType))
-    }
-    val keys = partCols.map(col) :+ col("__z")
-    val bytes = rewritten.map(f => Files.size(root.resolve(f.path))).sum
+    // LEFT join + fail-fast: the scan reads EXACTLY the rewritten files
+    // (an inner join would silently drop rows on path drift while the
+    // removes below still commit). The range exchange keys on (__gid, z)
+    // and the sort makes each task already group-contiguous, so the
+    // __gid-partitioned write inserts no re-sort of its own and z runs
+    // stay intact within every group — the same staging-prefix argument
+    // as [[IcebergWriter.rewriteZOrder]]'s partitioned path.
+    val decorated = withF.join(rdf, Seq("__f"), "left")
+      .withColumn("__gid", coalesce(col("__gid"),
+        raise_error(concat(
+          lit("optimizeZOrder: scanned file missing from range map (path " +
+            "normalization drift): "), col("__f")))))
+      .withColumn("__z", z)
+    val keys = Seq(col("__gid"), col("__z"))
+    val bytes = rewritten.map(f => snap.fileSize(absOf(f))).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val clustered = decorated
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .drop("__f", "__pv", "__lox", "__hix", "__loy", "__hiy", "__z")
-    val adds = writeData(clustered, root, partCols)
+      .drop("__f", "__lox", "__hix", "__loy", "__hiy", "__z")
+    val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
+    clustered.write.partitionBy("__gid").parquet(staging.toString)
+    val gidDir = "__gid=(\\d+)".r
+    val adds = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toVector.map { p =>
+        val gid = staging.relativize(p).toString.split('/').collectFirst {
+          case gidDir(g) => g.toInt
+        }.getOrElse(throw new IllegalStateException(
+          s"z-order staging file outside a __gid dir: $p"))
+        // gid-prefixed flat name: one task writes the SAME part name into
+        // every __gid dir it touches, so a bare flat move would clobber
+        // one group's file with another's
+        val name = s"g$gid-${p.getFileName}"
+        Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        Written(name, Files.size(root.resolve(name)), pvOfGid(gid),
+          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
+      }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
 
     val version = nextVersion(root)
     commit(root, version,
@@ -402,18 +443,27 @@ object DeltaWriter {
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return 0
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
-      root.resolve(f.path).toAbsolutePath.normalize.toString
+      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
 
     // ONE anti-join rewrite for ALL partition groups (the old per-group
     // loop serialized a many-partition purge through one driver-blocking
-    // job per group): every file's DV decodes in the same broadcast,
-    // partition values re-attach TYPED from a per-file broadcast map,
-    // and the dynamic-partition write splits each task's rows by dir.
-    import org.apache.spark.sql.functions.broadcast
+    // job per group): every file's DV decodes in the same broadcast, and
+    // the write routes by a synthetic dense partition-GROUP id — NOT the
+    // value columns, whose dynamic-dir round-trip would collapse an
+    // empty-string value to null — so the log's partitionValues carry
+    // VERBATIM. LEFT join + fail-fast on the gid map: the scan reads
+    // exactly the DV'd files, and an inner join would silently drop a
+    // drifted file's surviving rows while its remove still commits.
+    import org.apache.spark.sql.functions.{broadcast, coalesce, concat, lit,
+      raise_error}
     import spark.implicits._
-    val partCols = snap.partitionColumns
+    val groupIds: Map[Map[String, String], Int] =
+      dvFiles.map(_.partitionValues).distinct.zipWithIndex.toMap
+    val pvOfGid: Map[Int, Map[String, String]] = groupIds.map(_.swap)
     val dvs = dvFiles.map(f => abs(f) -> f.deletionVector.get)
-    val live0 = spark.read.schema(snap.dataSchema)
+    val gdf = broadcast(dvFiles.map(f =>
+      (abs(f), groupIds(f.partitionValues))).toDF("__f", "__gid"))
+    val live = spark.read.schema(snap.dataSchema)
       .parquet(dvFiles.map(abs): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -422,27 +472,35 @@ object DeltaWriter {
           .withColumnRenamed("__dv_file", "__f")
           .withColumnRenamed("__dv_pos", "__p"),
         Seq("__f", "__p"), "left_anti")
-      .drop("__p")
-    val live =
-      if (partCols.isEmpty) live0.drop("__f")
-      else {
-        val pvDf = broadcast(dvFiles.map(f =>
-          (abs(f), partCols.map(c => f.partitionValues.getOrElse(c, null))))
-          .toDF("__f", "__pv"))
-        partCols.zipWithIndex.foldLeft(live0.join(pvDf, Seq("__f"))) {
-          case (df, (c, i)) =>
-            df.withColumn(c,
-              col("__pv").getItem(i).cast(snap.schema(c).dataType))
-        }.drop("__f", "__pv")
+      .join(gdf, Seq("__f"), "left")
+      .withColumn("__gid", coalesce(col("__gid"),
+        raise_error(concat(
+          lit("purgeDeletes: scanned file missing from group map (path " +
+            "normalization drift): "), col("__f")))))
+      .drop("__f", "__p")
+    val staging = root.resolve(s".purge-staging-${java.util.UUID.randomUUID()}")
+    live.write.partitionBy("__gid").parquet(staging.toString)
+    // empty groups (a fully-deleted slice) produce no part files — the
+    // removes alone are the correct state
+    val gidDir = "__gid=(\\d+)".r
+    val adds = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toVector.map { p =>
+        val gid = staging.relativize(p).toString.split('/').collectFirst {
+          case gidDir(g) => g.toInt
+        }.getOrElse(throw new IllegalStateException(
+          s"purge staging file outside a __gid dir: $p"))
+        // gid-prefixed flat name: one task writes the SAME part name into
+        // every __gid dir it touches, so a bare flat move would clobber
+        // one group's file with another's
+        val name = s"g$gid-${p.getFileName}"
+        Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        Written(name, Files.size(root.resolve(name)), pvOfGid(gid),
+          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
       }
-    // empty outputs (a fully-deleted slice) are not re-added — the
-    // remove alone is the correct state
-    val adds = writeData(live, root, partCols).filter { w =>
-      val dest = root.resolve(w.relPath)
-      val keep = IcebergWriter.footerRecordCount(dest) > 0L
-      if (!keep) Files.delete(dest)
-      keep
-    }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
     val version = nextVersion(root)
     commit(root, version,
       dvFiles.map(f =>
@@ -535,7 +593,7 @@ object DeltaWriter {
     require(snap.columnMappingMode == "none",
       s"deleteWhere does not support columnMapping=${snap.columnMappingMode}")
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
-      root.resolve(f.path).toAbsolutePath.normalize.toString
+      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
 
     // matched (file, position) frame through ONE GraftFileIndex relation
     // (the old shape built a relation PER partition group and unioned

@@ -573,28 +573,34 @@ object IcebergWriter {
         StructType(st.schema.fields ++ Seq(
           StructField("__f", org.apache.spark.sql.types.StringType),
           StructField("__p", LongType), StructField("__seq", LongType))))
+    import org.apache.spark.sql.functions.{concat, raise_error}
     import spark.implicits._
+    // LEFT join + fail-fast on the data-side seq map too: an inner join
+    // would silently drop a drifted file's rows and the rewrites that
+    // call this (compaction/z-order/delete) then remove the originals
     val base = spark.read.schema(st.schema)
       .parquet(dataFiles.map(_.localPath): _*)
       .withColumn("__f", norm(col("_metadata.file_path")))
       .withColumn("__p", col("_metadata.row_index"))
       .join(broadcast(dataFiles.map(f =>
           (graft.sources.IcebergReader.normPath(f.localPath), f.seq))
-        .toDF("__f", "__seq")), Seq("__f"))
+        .toDF("__f", "__seq")), Seq("__f"), "left")
+      .withColumn("__seq", coalesce(col("__seq"),
+        raise_error(concat(
+          lit("iceberg rewrite: data file missing from manifest path map "
+            + "(path normalization drift): "), col("__f")))))
     // same one-relation-per-kind plan shapes as [[graft.sources
-    // .IcebergReader.read]]: every position delete file in ONE relation
-    // (seq joined from a broadcast path→seq map), one anti-join per
-    // DISTINCT equality-id set rather than per delete file
+    // .IcebergReader.read]], via ITS shared deleteSeqJoined: every
+    // position delete file in ONE relation (seq joined from a broadcast
+    // path→seq map, left+fail-fast), one anti-join per DISTINCT
+    // equality-id set rather than per delete file
     def seqJoined(entries: Seq[Entry], schema: Option[String],
-        srcCol: String, seqCol: String) = {
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(entries.map(_.localPath): _*)
-        .withColumn(srcCol, norm(col("_metadata.file_path")))
-        .join(broadcast(entries.map(e =>
-            (graft.sources.IcebergReader.normPath(e.localPath), e.seq))
-          .toDF(srcCol, seqCol)), Seq(srcCol))
-        .drop(srcCol)
-    }
+        srcCol: String, seqCol: String) =
+      graft.sources.IcebergReader.deleteSeqJoined(spark,
+        entries.map(_.localPath),
+        entries.map(e =>
+          (graft.sources.IcebergReader.normPath(e.localPath), e.seq)),
+        schema, srcCol, seqCol, "iceberg rewrite")
     val posDeletes = st.entries.filter(_.content == 1)
     val afterPos =
       if (posDeletes.isEmpty) base

@@ -74,8 +74,11 @@ final class GraftFileIndex(
   override def inputFiles: Array[String] = entries.map(_.path).toArray
 
   /** Partition tuple as catalyst values (UTF8String / epoch-day ints /
-    * numerics), via Cast from the log's raw strings — the exact
-    * semantics the old per-group `lit(raw).cast(dataType)` had.
+    * numerics), via Cast from the log's raw strings in the SESSION
+    * timezone — the exact semantics the old per-group
+    * `lit(raw).cast(dataType)` had (and Spark's own hive-partition
+    * parsing); a pinned "UTC" would shift timestamp-typed partition
+    * values against the session-zone literals the row predicates build.
     */
   private def typedRow(raw: Seq[String]): InternalRow =
     InternalRow.fromSeq(raw.zip(partitionSchema.fields).map { case (v, f) =>
@@ -83,7 +86,9 @@ final class GraftFileIndex(
       else Cast(
         Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
           StringType),
-        f.dataType, Some("UTC")).eval(null)
+        f.dataType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .eval(null)
     })
 
   private lazy val grouped: Seq[(InternalRow, Seq[IndexedFile])] =

@@ -417,6 +417,32 @@ object IcebergReader {
     }.getOrElse(Map.empty)
   }
 
+  /** ONE relation over a set of delete files with each row's delete
+    * SEQUENCE joined from a broadcast path→seq map — shared by the
+    * reader's delete application and [[graft.output.IcebergWriter]]'s
+    * `liveRows` (the two copies drifted once already). LEFT join +
+    * fail-fast: an inner join would silently UNDER-delete on
+    * _metadata-vs-manifest path drift.
+    */
+  private[graft] def deleteSeqJoined(spark: SparkSession,
+      paths: Seq[String], seqs: Seq[(String, Long)],
+      schema: Option[String], srcCol: String, seqCol: String,
+      errPrefix: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      lit, raise_error, regexp_replace}
+    import spark.implicits._
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(paths: _*)
+      .withColumn(srcCol,
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .join(broadcast(seqs.toDF(srcCol, seqCol)), Seq(srcCol), "left")
+      .withColumn(seqCol, coalesce(col(seqCol),
+        raise_error(concat(
+          lit(errPrefix + ": delete file missing from manifest path map "
+            + "(path normalization drift): "), col(srcCol)))))
+      .drop(srcCol)
+  }
+
   /** One manifest entry's may-match answer — shared by the
     * construction-time (serving skipFilters) and planning-time
     * (GraftFileIndex closure) skip sites so they can never diverge.
@@ -708,24 +734,13 @@ object IcebergReader {
     // (spec "Scan Planning"). LEFT join + fail-fast, like the data-side
     // seq map: an inner join would silently UNDER-delete on path-
     // normalization drift.
-    def seqJoined(paths: Seq[String], seqs: Seq[(String, Long)],
-        schema: Option[String], srcCol: String, seqCol: String) = {
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(paths: _*)
-        .withColumn(srcCol, norm(col("_metadata.file_path")))
-        .join(broadcast(seqs.toDF(srcCol, seqCol)), Seq(srcCol), "left")
-        .withColumn(seqCol, coalesce(col(seqCol),
-          raise_error(concat(
-            lit("iceberg scan: delete file missing from manifest path map "
-              + "(path normalization drift): "), col(srcCol)))))
-        .drop(srcCol)
-    }
     val afterPos =
       if (snap.positionDeletes.isEmpty) withSeq
       else {
-        val deletes = seqJoined(snap.positionDeletes.map(_.path),
+        val deletes = deleteSeqJoined(spark, snap.positionDeletes.map(_.path),
           snap.positionDeletes.map(d => (normPath(d.path), d.seq)),
-          Some("file_path string, pos bigint"), "__del_src", "__del_seq")
+          Some("file_path string, pos bigint"), "__del_src", "__del_seq",
+          "iceberg scan")
           .select(norm(col("file_path")).as("__del_file"),
             col("pos").as("__del_pos"), col("__del_seq"))
         withSeq.join(deletes,
@@ -746,9 +761,9 @@ object IcebergReader {
         val cols = ids.map(id => snap.fieldNames.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality delete references unknown field id $id")))
-        val delRows = seqJoined(ds.map(_.path),
+        val delRows = deleteSeqJoined(spark, ds.map(_.path),
           ds.map(d => (normPath(d.path), d.seq)), None,
-          "__eq_src", "__eq_seq")
+          "__eq_src", "__eq_seq", "iceberg scan")
           .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
             :+ col("__eq_seq"): _*)
         acc.join(delRows,

@@ -698,6 +698,37 @@ class DeltaWriterSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
   }
 
+  test("maintenance ops on a RELATIVE table path lose no rows: optimize, " +
+      "z-order, purge (path-drift guards + canonical add resolution)") {
+    val rel = s"target/graft_relpath_${System.nanoTime()}"
+    try {
+      DeltaWriter.create(
+        (0 until 40).map(i => (i.toLong, (i % 8).toLong, (i / 8).toLong))
+          .toDF("id", "x", "y").coalesce(1), rel)
+      (1 to 2).foreach(k => DeltaWriter.append(
+        (k * 100 until k * 100 + 40)
+          .map(i => (i.toLong, (i % 8).toLong, (i / 8).toLong))
+          .toDF("id", "x", "y").coalesce(1), rel))
+      val expect = DeltaLogReader.read(spark, rel).select("id").as[Long]
+        .collect().sorted.toSeq
+      assert(DeltaWriter.optimize(spark, rel) == 3)
+      assert(DeltaLogReader.read(spark, rel).select("id").as[Long]
+        .collect().sorted.toSeq == expect)
+      assert(DeltaWriter.optimizeZOrder(spark, rel, "x", "y", bits = 4) > 0)
+      assert(DeltaLogReader.read(spark, rel).select("id").as[Long]
+        .collect().sorted.toSeq == expect)
+      assert(DeltaWriter.deleteWhere(spark, rel, col("id") === 7L) == 1L)
+      assert(DeltaWriter.purgeDeletes(spark, rel) == 1)
+      assert(DeltaLogReader.read(spark, rel).select("id").as[Long]
+        .collect().sorted.toSeq == expect.filterNot(_ == 7L))
+    } finally {
+      val p = Paths.get(rel)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_))
+    }
+  }
+
   test("optimize: a hot partition's many bins compact in ONE routed job " +
       "with one output file per bin") {
     val path = tmp("opthot")
