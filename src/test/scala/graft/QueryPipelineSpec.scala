@@ -505,6 +505,35 @@ class QueryPipelineSpec extends SparkSpec {
       idPlanned.toSeq)
   }
 
+  test("combi request params file-skip through Catalyst OR-tree pushdown " +
+      "— no request-derived skip predicates involved") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_qp_combi_${System.nanoTime()}").toString
+    def slab(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"w$i")).toDF("k", "w").coalesce(1)
+    graft.output.DeltaWriter.create(slab(0, 10), root)
+    graft.output.DeltaWriter.append(slab(10, 20), root)
+    graft.output.DeltaWriter.append(slab(20, 30), root)
+    val t = TableConfig("combiskip", "test",
+      datasource = DatasourceConfig(root, fileType = "delta"),
+      params = Seq(Param("pk", combi = Some(Seq("k", "w")))))
+    // (k<=>3 AND w<=>w3) OR (k<=>25 AND w<=>w25): combi is excluded from
+    // the conjunctive serving skip planes BY DESIGN, but the compiled OR
+    // tree pushes into the GraftFileIndex scan and prunes there
+    val out = QueryPipeline.run(spark, t, Request(params = Map(
+      "pk" -> Seq(Map("k" -> "3", "w" -> "w3"),
+        Map("k" -> "25", "w" -> "w25"))), limit = Some(-1)))
+    assert(out.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == Seq(3L, 25L))
+    val planned = out.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(planned == 2, s"planned $planned of 3 files")
+  }
+
   test("explicit-null request params file-skip on both stats planes: " +
       "col_null plans only null-holding files, col_not_null only value files") {
     import org.apache.spark.sql.functions.col
