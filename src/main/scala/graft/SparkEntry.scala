@@ -727,7 +727,7 @@ object SparkEntry {
       }
       val t = TableConfig(name = "ord", tag = "t",
         datasource = DatasourceConfig(uri = root.toString, fileType = "delta"),
-        params = Seq(Param("o_custkey")))
+        params = Seq(Param("o_custkey")), allowGetAllPages = true)
       QueryPipeline.run(s, t, Request(
         params = Map("o_custkey" -> "7"), limit = Some(-1)))
         .select(col("o_orderkey"), col("o_custkey"))
@@ -973,10 +973,14 @@ object SparkEntry {
             root.toString, partitionBy = Seq("months(o_orderdate)"))
         }
       }
+      // allowGetAllPages: the oracle checks the FULL result set — without
+      // it limit=-1 hard-caps at 1000 rows, which silently clipped this
+      // gate once sf0.01's range held 1112 rows (sf0.001 fit under the cap)
       val t = TableConfig(name = "ord", tag = "t",
         datasource = DatasourceConfig(uri = root.toString,
           fileType = "iceberg"),
-        params = Seq(Param("o_orderdate", operators = Seq("=", ">=", "<="))))
+        params = Seq(Param("o_orderdate", operators = Seq("=", ">=", "<="))),
+        allowGetAllPages = true)
       QueryPipeline.run(s, t, Request(params = Map(
           "o_orderdate_gte" -> "1996-03-15",
           "o_orderdate_lte" -> "1996-09-15"), limit = Some(-1)))

@@ -239,7 +239,9 @@ object DeltaWriter {
     // part-%05d-* — the index IS the bin (all-empty-input bins write no
     // file: their rows numbered zero, removing the inputs alone is exact)
     val partIdx = "part-(\\d+)-.*\\.parquet".r
-    Files.list(staging).iterator().asScala.toSeq.foreach { p =>
+    val ls = Files.list(staging)
+    val staged = try ls.iterator().asScala.toVector finally ls.close()
+    staged.foreach { p =>
       p.getFileName.toString match {
         case partIdx(i) =>
           val (pv, _) = bins(i.toInt)
@@ -250,8 +252,7 @@ object DeltaWriter {
         case _ => ()
       }
     }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    deleteRecursively(staging)
     bins.foreach { case (_, fs) => removes ++= fs }
 
     val removed = removes.result()
@@ -365,14 +366,19 @@ object DeltaWriter {
       graft.operators.Layout.quantize(col(cy), col("__loy"), col("__hiy"),
         bits),
       bits)
-    // LEFT join + fail-fast: the scan reads EXACTLY the rewritten files
-    // (an inner join would silently drop rows on path drift while the
-    // removes below still commit). The range exchange keys on (__gid, z)
-    // and the sort makes each task already group-contiguous, so the
-    // __gid-partitioned write inserts no re-sort of its own and z runs
-    // stay intact within every group — the same staging-prefix argument
-    // as [[IcebergWriter.rewriteZOrder]]'s partitioned path.
-    val decorated = withF.join(rdf, Seq("__f"), "left")
+    // LEFT join + fail-fast over a scan of EXACTLY the rewritten files —
+    // a fresh relation, NOT `withF` (that one reads ALL candidates, and
+    // a skipped all-null-z partition's rows reaching the fail-fast would
+    // spuriously abort the whole rewrite). The range exchange keys on
+    // (__gid, z) and the sort makes each task already group-contiguous,
+    // so the __gid-partitioned write inserts no re-sort of its own and
+    // z runs stay intact within every group — the same staging-prefix
+    // argument as [[IcebergWriter.rewriteZOrder]]'s partitioned path.
+    val scan = spark.read.schema(snap.dataSchema)
+      .parquet(rewritten.map(f => absOf(f)): _*)
+      .withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val decorated = scan.join(rdf, Seq("__f"), "left")
       .withColumn("__gid", coalesce(col("__gid"),
         raise_error(concat(
           lit("optimizeZOrder: scanned file missing from range map (path " +
@@ -387,25 +393,8 @@ object DeltaWriter {
       .drop("__f", "__lox", "__hix", "__loy", "__hiy", "__z")
     val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
     clustered.write.partitionBy("__gid").parquet(staging.toString)
-    val gidDir = "__gid=(\\d+)".r
-    val adds = Files.walk(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toVector.map { p =>
-        val gid = staging.relativize(p).toString.split('/').collectFirst {
-          case gidDir(g) => g.toInt
-        }.getOrElse(throw new IllegalStateException(
-          s"z-order staging file outside a __gid dir: $p"))
-        // gid-prefixed flat name: one task writes the SAME part name into
-        // every __gid dir it touches, so a bare flat move would clobber
-        // one group's file with another's
-        val name = s"g$gid-${p.getFileName}"
-        Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        Written(name, Files.size(root.resolve(name)), pvOfGid(gid),
-          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
-      }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    val adds = collectGidOutputs(staging, root, pvOfGid, snap.dataSchema,
+      "z-order")
 
     val version = nextVersion(root)
     commit(root, version,
@@ -482,25 +471,8 @@ object DeltaWriter {
     live.write.partitionBy("__gid").parquet(staging.toString)
     // empty groups (a fully-deleted slice) produce no part files — the
     // removes alone are the correct state
-    val gidDir = "__gid=(\\d+)".r
-    val adds = Files.walk(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toVector.map { p =>
-        val gid = staging.relativize(p).toString.split('/').collectFirst {
-          case gidDir(g) => g.toInt
-        }.getOrElse(throw new IllegalStateException(
-          s"purge staging file outside a __gid dir: $p"))
-        // gid-prefixed flat name: one task writes the SAME part name into
-        // every __gid dir it touches, so a bare flat move would clobber
-        // one group's file with another's
-        val name = s"g$gid-${p.getFileName}"
-        Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        Written(name, Files.size(root.resolve(name)), pvOfGid(gid),
-          ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
-      }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    val adds = collectGidOutputs(staging, root, pvOfGid, snap.dataSchema,
+      "purge")
     val version = nextVersion(root)
     commit(root, version,
       dvFiles.map(f =>
@@ -801,7 +773,8 @@ object DeltaWriter {
         case d if d.storageType == "p" =>
           Paths.get(d.pathOrInlineDv).toAbsolutePath.normalize
       }
-    val victims = Files.walk(root).iterator().asScala
+    val vwalk = Files.walk(root)
+    val victims = try vwalk.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         (p.getFileName.toString.endsWith(".parquet") ||
           (p.getFileName.toString.startsWith("deletion_vector_") &&
@@ -809,6 +782,7 @@ object DeltaWriter {
         !p.startsWith(root.resolve("_delta_log")) &&
         !referenced.contains(p.toAbsolutePath.normalize))
       .toVector
+    finally vwalk.close()
     victims.foreach(Files.delete(_))
     victims.size
   }
@@ -829,10 +803,12 @@ object DeltaWriter {
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
-    val parts = Files.walk(staging).iterator().asScala
+    val walk = Files.walk(staging)
+    val parts = try walk.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
       .toVector
+    finally walk.close()
     val out = parts.map { p =>
       val rel = staging.relativize(p).toString
       val dest = root.resolve(rel)
@@ -854,8 +830,48 @@ object DeltaWriter {
       Written(rel, Files.size(dest), pv,
         ParquetStats.statsJson(dest, df.schema))
     }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+    deleteRecursively(staging)
+    out
+  }
+
+  /** Recursive delete with the walk stream CLOSED (`Files.walk` leaks a
+    * directory fd per call otherwise — material in a long-running server
+    * whose sinks auto-run maintenance).
+    */
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(Files.delete(_))
+    finally s.close()
+  }
+
+  /** Move a `__gid`-partitioned staging dir's part files into the table
+    * root under gid-prefixed FLAT names — one task writes the SAME part
+    * name into every gid dir it touches, so a bare flat move would
+    * clobber one group's file with another's — recovering each output's
+    * partition values VERBATIM from the driver's gid map. Shared by
+    * [[optimizeZOrder]] and [[purgeDeletes]].
+    */
+  private def collectGidOutputs(staging: Path, root: Path,
+      pvOfGid: Map[Int, Map[String, String]],
+      dataSchema: StructType, op: String): Vector[Written] = {
+    val gidDir = "__gid=(\\d+)".r
+    val walk = Files.walk(staging)
+    val parts = try walk.iterator().asScala.filter(p =>
+      p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).toVector
+    finally walk.close()
+    val out = parts.map { p =>
+      val gid = staging.relativize(p).toString.split('/').collectFirst {
+        case gidDir(g) => g.toInt
+      }.getOrElse(throw new IllegalStateException(
+        s"$op staging file outside a __gid dir: $p"))
+      val name = s"g$gid-${p.getFileName}"
+      Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      Written(name, Files.size(root.resolve(name)), pvOfGid(gid),
+        ParquetStats.statsJson(root.resolve(name), dataSchema))
+    }
+    deleteRecursively(staging)
     out
   }
 
@@ -1117,14 +1133,15 @@ object DeltaWriter {
     val staging = root.resolve(s".cp-staging-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
       .write.parquet(staging.toString)
-    val part = Files.list(staging).iterator().asScala
+    val cls = Files.list(staging)
+    val part = try cls.iterator().asScala
       .find(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    finally cls.close()
     Files.move(part, log.resolve(f"$version%020d.checkpoint.parquet"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    deleteRecursively(staging)
     // _last_checkpoint last: a crash before this line leaves an orphan
     // checkpoint parquet that readers simply ignore
     val tmp = log.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")

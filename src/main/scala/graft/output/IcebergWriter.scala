@@ -607,15 +607,26 @@ object IcebergWriter {
       else {
         val dels = seqJoined(posDeletes,
           Some("file_path string, pos bigint"), "__dsrc", "__dseq")
-          .select(norm(col("file_path")).as("__df"), col("pos").as("__dp"),
-            col("__dseq"))
+          // fail-fast on a file_path-less delete file, like the reader:
+          // the explicit schema reads a missing column as all-null and
+          // a null key would silently UNDER-delete
+          .select(coalesce(norm(col("file_path")),
+              raise_error(lit("iceberg rewrite: position delete file " +
+                "carries no file_path column"))).as("__df"),
+            col("pos").as("__dp"), col("__dseq"))
         base.join(dels,
           col("__f") === col("__df") && col("__p") === col("__dp") &&
             col("__dseq") >= col("__seq"),
           "left_anti")
       }
-    st.entries.filter(_.content == 2).groupBy(_.equalityIds).toSeq
-      .foldLeft(afterPos) { case (acc, (ids, ds)) =>
+    // grouped per (id set, physical footer schema) — the footer key
+    // keeps the shared inferred-schema read sound, see
+    // [[graft.sources.IcebergReader.footerSchemaKey]]
+    st.entries.filter(_.content == 2)
+      .groupBy(e => (e.equalityIds, graft.sources.IcebergReader
+        .footerSchemaKey(graft.sources.IcebergReader.normPath(e.localPath))))
+      .toSeq
+      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
         val cols = ids.map(id => st.fieldNames.getOrElse(id,
           throw new IllegalStateException(s"unknown equality field id $id")))
         val delRows = seqJoined(ds, None, "__eqsrc", "__eqseq")

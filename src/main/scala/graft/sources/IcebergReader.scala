@@ -417,6 +417,25 @@ object IcebergReader {
     }.getOrElse(Map.empty)
   }
 
+  /** Parquet footer schema string, memoized per (immutable) path —
+    * the sub-grouping key that keeps grouped equality-delete reads
+    * sound: files sharing equality ids but differing physically (a
+    * renamed column, a foreign writer's omission, int→long evolution)
+    * must NOT share one inferred-schema relation, where the minority
+    * file's missing column would read NULL and the null-safe `<=>`
+    * join would over-delete every null-valued data row.
+    */
+  private val footerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def footerSchemaKey(path: String): String =
+    footerSchemaCache.computeIfAbsent(path, { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema.toString finally r.close()
+    })
+
   /** ONE relation over a set of delete files with each row's delete
     * SEQUENCE joined from a broadcast path→seq map — shared by the
     * reader's delete application and [[graft.output.IcebergWriter]]'s
@@ -741,7 +760,12 @@ object IcebergReader {
           snap.positionDeletes.map(d => (normPath(d.path), d.seq)),
           Some("file_path string, pos bigint"), "__del_src", "__del_seq",
           "iceberg scan")
-          .select(norm(col("file_path")).as("__del_file"),
+          // fail-fast on a physically file_path-less delete file: the
+          // explicit schema reads a missing column as all-null, and a
+          // null key would silently UNDER-delete instead of erroring
+          .select(coalesce(norm(col("file_path")),
+              raise_error(lit("iceberg scan: position delete file " +
+                "carries no file_path column"))).as("__del_file"),
             col("pos").as("__del_pos"), col("__del_seq"))
         withSeq.join(deletes,
           col("__ib_file") === col("__del_file") &&
@@ -751,13 +775,17 @@ object IcebergReader {
       }
     // equality deletes: each file lists (by field id) the columns whose
     // values identify deleted rows; applies STRICTLY to older rows
-    // (data seq < delete seq) — one anti-join per DISTINCT id set, not
-    // per file (a PK-upsert stream accumulates many same-ids delete
-    // files; chaining an anti-join per file built plans linear in the
-    // delete-commit count), null-safe equality per the spec ("null
-    // values ... match rows with null")
-    val afterEq = snap.equalityDeletes.groupBy(_.equalityIds).toSeq
-      .foldLeft(afterPos) { case (acc, (ids, ds)) =>
+    // (data seq < delete seq) — one anti-join per DISTINCT (id set,
+    // physical footer schema), not per file (a PK-upsert stream
+    // accumulates many same-ids delete files; chaining an anti-join per
+    // file built plans linear in the delete-commit count). The footer
+    // key keeps the grouped inferred-schema read sound — see
+    // [[footerSchemaKey]]. Null-safe equality per the spec ("null
+    // values ... match rows with null").
+    val afterEq = snap.equalityDeletes
+      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
+      .toSeq
+      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
         val cols = ids.map(id => snap.fieldNames.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality delete references unknown field id $id")))

@@ -679,6 +679,34 @@ class DeltaWriterSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head.getLong(0) == (0L until 2048L).sum)
   }
 
+  test("optimizeZOrder: a partition whose z columns are all null is " +
+      "skipped whole — the others still rewrite (no spurious fail-fast)") {
+    val path = tmp("zonull")
+    val good = (0 until 64).map(i =>
+      ("a", Some(i.toLong % 8), Some(i.toLong / 8), i.toLong))
+    val nulls = (100 until 108).map(i =>
+      ("b", None: Option[Long], None: Option[Long], i.toLong))
+    DeltaWriter.create((good ++ nulls)
+      .toDF("p", "x", "y", "id").repartition(4), path,
+      partitionBy = Seq("p"))
+    val before = DeltaLogReader.snapshot(spark, path)
+    val nullFiles = before.files.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet
+    val replaced = DeltaWriter.optimizeZOrder(spark, path, "x", "y",
+      bits = 4)
+    assert(replaced > 0)
+    val after = DeltaLogReader.snapshot(spark, path)
+    // p=b's files carry UNTOUCHED; p=a was rewritten
+    assert(after.files.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet == nullFiles)
+    assert(after.files.filter(_.partitionValues("p") == "a")
+      .map(_.path).toSet.intersect(
+        before.files.map(_.path).toSet).isEmpty)
+    val back = DeltaLogReader.read(spark, path)
+    assert(back.count() == 72L)
+    assert(back.filter(col("p") === "b").count() == 8L)
+  }
+
   test("optimize: partitioned tables compact within partitions only") {
     val path = tmp("optpart")
     DeltaWriter.create(
