@@ -412,15 +412,14 @@ object IcebergWriter {
     val eqName = s"eqdelete-${java.util.UUID.randomUUID()}.parquet"
     val staging = st.root.resolve(s".eq-staging-${java.util.UUID.randomUUID()}")
     keys.coalesce(1).write.parquet(staging.toString)
-    val part = Files.list(staging).iterator().asScala
+    val part = listClosed(staging)
       .find(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
         "equality-delete write produced no part file"))
     Files.move(part, st.root.resolve("data").resolve(eqName),
       StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    deleteRecursively(staging)
 
     val dataFiles = writeData(updates, st.root, st.spec, invertIds(st.fieldNames))
     val seq = st.md.get("last-sequence-number").asLong() + 1
@@ -723,10 +722,10 @@ object IcebergWriter {
       .sortWithinPartitions(col("file_path"), col("pos"))
     val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
     sorted.write.parquet(staging.toString)
-    val written = Files.list(staging).iterator().asScala
+    val written = listClosed(staging)
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
-      .toVector.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .flatMap { part =>
         val n = footerRecordCount(part)
         if (n == 0) None // empty range partition: nothing to register
@@ -737,8 +736,7 @@ object IcebergWriter {
           Some(WrittenFile(delName, Files.size(dest), n))
         }
       }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    deleteRecursively(staging)
     written
   }
 
@@ -997,10 +995,9 @@ object IcebergWriter {
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val out = if (spec.isEmpty) {
       df.write.mode("overwrite").parquet(staging.toString)
-      val parts = Files.list(staging).iterator().asScala
+      val parts = listClosed(staging)
         .filter(p => p.getFileName.toString.startsWith("part-") &&
           p.getFileName.toString.endsWith(".parquet"))
-        .toVector
       parts.map { p =>
         val name = p.getFileName.toString
         val dest = root.resolve("data").resolve(name)
@@ -1040,11 +1037,10 @@ object IcebergWriter {
       }
       staged.write.mode("overwrite").partitionBy(stagingCols: _*)
         .parquet(staging.toString)
-      val parts = Files.walk(staging).iterator().asScala
+      val parts = walkClosed(staging)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.startsWith("part-") &&
           p.getFileName.toString.endsWith(".parquet"))
-        .toVector
       parts.map { p =>
         val rel = staging.relativize(p)
         val dirComps = (0 until rel.getNameCount - 1)
@@ -1073,8 +1069,7 @@ object IcebergWriter {
           records, partition = tuple, colStats = stats)
       }
     }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+    deleteRecursively(staging)
     out
   }
 
@@ -1140,6 +1135,29 @@ object IcebergWriter {
       case other => throw new IllegalArgumentException(
         s"unsupported partition type ${other.simpleString}")
     }
+
+  /** Recursive delete with the walk stream CLOSED (`Files.walk` leaks a
+    * directory fd per call otherwise — material in a long-running server
+    * whose sinks auto-run maintenance).
+    */
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
+  }
+
+  /** Directory listing with the stream CLOSED. */
+  private def listClosed(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Recursive file walk with the stream CLOSED. */
+  private def walkClosed(dir: Path): Vector[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
 
   private[output] def footerRecordCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1782,8 +1800,8 @@ object IcebergWriter {
     */
   private def latestMetadataFile(root: Path): Path = {
     val mdDir = root.resolve("metadata")
-    val files = Files.list(mdDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".metadata.json")).toVector
+    val files = listClosed(mdDir)
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
     require(files.nonEmpty, s"no *.metadata.json under $mdDir")
     files.maxBy(versionOf)
   }
