@@ -783,6 +783,34 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path, snapshotId = Some(1L))
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_tag" -> ((s, dir) => {
+      // named snapshot refs (spec v2 `refs`): tag the base corpus, append
+      // noise rows, SERVE the tag through the full pipeline (`ref`
+      // datasource option) — the frozen name returns exactly the base
+      // rows, the reproducibility handle a training run pins its corpus
+      // version with; expireSnapshots never ages a tagged snapshot out
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_tag_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.createTag(root.toString, "base")
+          graft.output.IcebergWriter.append(
+            nation.withColumn("n_nationkey", col("n_nationkey") + 1000),
+            root.toString)
+        }
+      }
+      val t = TableConfig(name = "tagged", tag = "t",
+        datasource = DatasourceConfig(uri = root.toString,
+          fileType = "iceberg", options = Map("ref" -> "base")),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(limit = Some(-1)))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
     "q_delta_changes" -> ((s, dir) => {
       // append-only change feed: create with region<2 (version 0), append
       // the rest (version 1), poll changes after version 0 — only the
@@ -2138,6 +2166,9 @@ object SparkEntry {
     "q_iceberg_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_tag" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_write_read" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

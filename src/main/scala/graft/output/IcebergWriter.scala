@@ -760,8 +760,17 @@ object IcebergWriter {
     val snaps = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toVector
     if (snaps.size <= keepLast) return 0
+    // snapshots pinned by a named ref ([[createTag]]) are NEVER expired —
+    // a tag is the durable reproducibility handle, age is irrelevant
+    val refPinned: Set[Long] = Option(md.get("refs")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("snapshot-id").asLong()).toSet
     val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
-    val (dropped, kept) = sorted.splitAt(sorted.size - keepLast)
+    val (old, newest) = sorted.splitAt(sorted.size - keepLast)
+    val (pinned, dropped) = old.partition(s =>
+      refPinned.contains(s.get("snapshot-id").asLong()))
+    val kept = (pinned ++ newest).sortBy(_.get("timestamp-ms").asLong())
+    if (dropped.isEmpty) return 0
     val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
     require(currentId.forall(id =>
         kept.exists(_.get("snapshot-id").asLong() == id)),
@@ -793,6 +802,55 @@ object IcebergWriter {
     md.set[JsonNode]("snapshots", arr)
     commitMetadata(root, versionOf(mdFile) + 1, md)
     victims.size
+  }
+
+  /** Create a named TAG ref (spec v2 `refs`) pinning `snapshotId` (the
+    * current snapshot by default) — the reproducibility primitive for a
+    * training-data lake: `createTag(path, "run-2026-08-15")` freezes the
+    * exact corpus version a run trained on, readable forever via
+    * `IcebergReader.read(ref = ...)` / the serving `ref` option, and
+    * [[expireSnapshots]] never expires a tagged snapshot. Metadata-only
+    * (one new vN.metadata.json, no snapshot, no data touched). Fails on
+    * an existing name (removeTag first — accidental re-pointing would
+    * silently change what a frozen name serves) or an unknown snapshot.
+    */
+  def createTag(path: String, name: String,
+      snapshotId: Option[Long] = None): Unit = {
+    require(name.nonEmpty, "tag name must be non-empty")
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    val snaps = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map(_.get("snapshot-id").asLong()).toSet
+    val id = snapshotId.orElse(
+      Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no snapshot to tag"))
+    require(snaps.contains(id), s"snapshot $id not found in $path")
+    val refs = Option(md.get("refs"))
+      .map(_.asInstanceOf[ObjectNode])
+      .getOrElse(md.putObject("refs"))
+    require(refs.get(name) == null,
+      s"ref '$name' already exists in $path (removeTag first)")
+    val entry = refs.putObject(name)
+    entry.put("snapshot-id", id)
+    entry.put("type", "tag")
+    commitMetadata(root, versionOf(mdFile) + 1, md)
+  }
+
+  /** Drop a named ref. The snapshot itself stays until
+    * [[expireSnapshots]] ages it out normally. Unknown names are a
+    * no-op returning false.
+    */
+  def removeTag(path: String, name: String): Boolean = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
+    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+    val refs = Option(md.get("refs")).map(_.asInstanceOf[ObjectNode])
+    if (refs.forall(_.get(name) == null)) return false
+    refs.get.remove(name)
+    commitMetadata(root, versionOf(mdFile) + 1, md)
+    true
   }
 
   /** Remove ORPHAN files — iceberg's standard third maintenance op

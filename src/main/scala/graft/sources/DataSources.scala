@@ -46,7 +46,9 @@ object DataSources {
           ds.options.get("asOfTimestampMs").map(_.toLong),
           partitionFilter = icebergPartitionFilter,
           skipFilters = skipFilters,
-          partitionPredicates = icebergPartitionPredicates)
+          partitionPredicates = icebergPartitionPredicates,
+          // named-ref pin ("serve exactly the tagged corpus version")
+          ref = ds.options.get("ref"))
       case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
       case "csv" =>
         reader

@@ -130,31 +130,39 @@ object IcebergReader {
     * (snapshot id or timestamp asked) shed first on overflow.
     */
   private val resolvedSnapshotCache =
-    new FreshCache[(String, Long, Long), (String, Long, Long), Snapshot](
+    new FreshCache[(String, Long, Long, String), (String, Long, Long),
+      Snapshot](
+      // ad-hoc time travel sheds first; ref-pinned reads do NOT — a
+      // served tag is a deliberate long-lived serving pin, not a cold
+      // exploration
       shedFirst = k => k._2 != -1L || k._3 != -1L)
 
   private def resolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
-      asOfTimestampMs: Option[Long] = None): Snapshot = {
+      asOfTimestampMs: Option[Long] = None,
+      ref: Option[String] = None): Snapshot = {
     val (key, fresh) = try {
       val mdFile = currentMetadataFile(tablePath)
       ((java.nio.file.Paths.get(tablePath).toAbsolutePath.normalize.toString,
-        snapshotId.getOrElse(-1L), asOfTimestampMs.getOrElse(-1L)),
+        snapshotId.getOrElse(-1L), asOfTimestampMs.getOrElse(-1L),
+        ref.getOrElse("")),
         (mdFile.toString,
           Files.getLastModifiedTime(mdFile)
             .to(java.util.concurrent.TimeUnit.NANOSECONDS),
           Files.size(mdFile)))
     } catch {
       case scala.util.control.NonFatal(_) =>
-        return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
+        return computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs,
+          ref)
     }
     resolvedSnapshotCache.get(key, fresh)(
-      computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs))
+      computeResolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref))
   }
 
   private def computeResolveSnapshot(tablePath: String,
       snapshotId: Option[Long],
-      asOfTimestampMs: Option[Long]): Snapshot = {
+      asOfTimestampMs: Option[Long],
+      ref: Option[String] = None): Snapshot = {
     val root = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
     val version = root.get("format-version").asInt()
     require(version == 1 || version == 2,
@@ -175,7 +183,19 @@ object IcebergReader {
           s"no snapshot at or before timestamp $ts")
         eligible.maxBy(_.get("timestamp-ms").asLong()).get("snapshot-id").asLong()
       }
-      val wanted = snapshotId.orElse(byTime).orElse(
+      // named refs (spec v2 `refs`: tags and branches): resolve the
+      // name to its pinned snapshot id — the reproducibility primitive
+      // ("read exactly the corpus version run X trained on, by name").
+      // Unknown names fail loudly; an explicit snapshotId wins over a
+      // ref, a ref over timestamp travel.
+      def byRef = ref.map { name =>
+        Option(root.get("refs")).flatMap(r => Option(r.get(name)))
+          .map(_.get("snapshot-id").asLong())
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown snapshot ref '$name' (table has " +
+              s"${Option(root.get("refs")).map(_.size).getOrElse(0)} refs)"))
+      }
+      val wanted = snapshotId.orElse(byRef).orElse(byTime).orElse(
         Option(root.get("current-snapshot-id")).map(_.asLong())
           .filter(_ != -1L))
       wanted match {
@@ -647,8 +667,9 @@ object IcebergReader {
       asOfTimestampMs: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
       skipFilters: Seq[SkipPredicate] = Nil,
-      partitionPredicates: Seq[PartitionPredicate] = Nil): DataFrame = {
-    val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs)
+      partitionPredicates: Seq[PartitionPredicate] = Nil,
+      ref: Option[String] = None): DataFrame = {
+    val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column

@@ -934,4 +934,39 @@ class IcebergWriterSpec extends SparkSpec {
         .select("id", "seg", "v").collect().toSeq)
     assert(back.filter(col("seg") === "A").count() == 2L)
   }
+
+  test("tags: a named ref pins a snapshot — readable by name, immune to " +
+      "expireSnapshots, unpinned by removeTag") {
+    val path = tmp("tags")
+    IcebergWriter.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    IcebergWriter.createTag(path, "base")
+    IcebergWriter.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((6L, "f")).toDF("id", "v"), path)
+    // read by name = the pinned snapshot, current = everything
+    assert(IcebergReader.read(spark, path, ref = Some("base")).count() == 3L)
+    assert(IcebergReader.read(spark, path).count() == 6L)
+    // unknown names and double-tagging fail loudly
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, path, ref = Some("nope")).count()
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.createTag(path, "base")
+    }
+    // expiration keeps the tagged snapshot alive (only the untagged
+    // middle snapshot ages out)
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) > 0)
+    assert(IcebergReader.read(spark, path, ref = Some("base"))
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(IcebergReader.read(spark, path).count() == 6L)
+    // unpin, then the snapshot expires normally and the name is gone
+    assert(IcebergWriter.removeTag(path, "base"))
+    assert(!IcebergWriter.removeTag(path, "base"))
+    IcebergWriter.expireSnapshots(path, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, path, ref = Some("base")).count()
+    }
+    assert(IcebergReader.read(spark, path).count() == 6L)
+  }
 }
