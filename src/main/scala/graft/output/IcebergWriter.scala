@@ -818,24 +818,44 @@ object IcebergWriter {
       snapshotId: Option[Long] = None): Unit = {
     require(name.nonEmpty, "tag name must be non-empty")
     val root = Paths.get(path).toAbsolutePath.normalize
-    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
-    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
-    val snaps = Option(md.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).map(_.get("snapshot-id").asLong()).toSet
-    val id = snapshotId.orElse(
-      Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$path has no snapshot to tag"))
-    require(snaps.contains(id), s"snapshot $id not found in $path")
-    val refs = Option(md.get("refs"))
-      .map(_.asInstanceOf[ObjectNode])
-      .getOrElse(md.putObject("refs"))
-    require(refs.get(name) == null,
-      s"ref '$name' already exists in $path (removeTag first)")
-    val entry = refs.putObject(name)
-    entry.put("snapshot-id", id)
-    entry.put("type", "tag")
-    commitMetadata(root, versionOf(mdFile) + 1, md)
+    // optimistic retry like append: a lost version race against a
+    // concurrent commit re-reads the metadata and re-applies the ref
+    retryConcurrent {
+      val mdFile =
+        graft.sources.IcebergReader.currentMetadataFile(root.toString)
+      val md =
+        mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      val snaps = Option(md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).map(_.get("snapshot-id").asLong()).toSet
+      val id = snapshotId.orElse(
+        Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path has no snapshot to tag"))
+      require(snaps.contains(id), s"snapshot $id not found in $path")
+      val refs = Option(md.get("refs"))
+        .map(_.asInstanceOf[ObjectNode])
+        .getOrElse(md.putObject("refs"))
+      require(refs.get(name) == null,
+        s"ref '$name' already exists in $path (removeTag first)")
+      val entry = refs.putObject(name)
+      entry.put("snapshot-id", id)
+      entry.put("type", "tag")
+      commitMetadata(root, versionOf(mdFile) + 1, md)
+    }
+  }
+
+  /** Re-run `body` past [[ConcurrentCommitException]]s (bounded). */
+  private def retryConcurrent[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop a named ref. The snapshot itself stays until
@@ -844,13 +864,19 @@ object IcebergWriter {
     */
   def removeTag(path: String, name: String): Boolean = {
     val root = Paths.get(path).toAbsolutePath.normalize
-    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
-    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
-    val refs = Option(md.get("refs")).map(_.asInstanceOf[ObjectNode])
-    if (refs.forall(_.get(name) == null)) return false
-    refs.get.remove(name)
-    commitMetadata(root, versionOf(mdFile) + 1, md)
-    true
+    retryConcurrent {
+      val mdFile =
+        graft.sources.IcebergReader.currentMetadataFile(root.toString)
+      val md =
+        mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      val refs = Option(md.get("refs")).map(_.asInstanceOf[ObjectNode])
+      if (refs.forall(_.get(name) == null)) false
+      else {
+        refs.get.remove(name)
+        commitMetadata(root, versionOf(mdFile) + 1, md)
+        true
+      }
+    }
   }
 
   /** Remove ORPHAN files — iceberg's standard third maintenance op
