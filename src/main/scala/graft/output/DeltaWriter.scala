@@ -834,16 +834,8 @@ object DeltaWriter {
     out
   }
 
-  /** Recursive delete with the walk stream CLOSED (`Files.walk` leaks a
-    * directory fd per call otherwise — material in a long-running server
-    * whose sinks auto-run maintenance).
-    */
-  private def deleteRecursively(dir: Path): Unit = {
-    val s = Files.walk(dir)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
-    finally s.close()
-  }
+  private def deleteRecursively(dir: Path): Unit =
+    graft.sources.Fs.deleteRecursively(dir)
 
   /** Move a `__gid`-partitioned staging dir's part files into the table
     * root under gid-prefixed FLAT names — one task writes the SAME part
@@ -908,11 +900,12 @@ object DeltaWriter {
 
   private def nextVersion(root: Path): Long = {
     val log = root.resolve("_delta_log")
-    val versions = Files.list(log).iterator().asScala
+    // closed listing: this runs once per COMMIT (every micro-batch of a
+    // streaming sink) — an unclosed stream here leaks an fd per commit
+    val versions = graft.sources.Fs.listClosed(log)
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq
     require(versions.nonEmpty, s"$root has no delta commits")
     versions.max + 1
   }
@@ -1163,7 +1156,7 @@ object DeltaWriter {
     val log = Paths.get(path, "_delta_log")
     if (!Files.isDirectory(log)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val versions = Files.list(log).iterator().asScala
+    val versions = graft.sources.Fs.listClosed(log).iterator
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
       .flatMap(p => Files.readAllLines(p).asScala)
       .filter(_.contains("\"txn\""))

@@ -753,54 +753,68 @@ object IcebergWriter {
   def expireSnapshots(path: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val root = Paths.get(path).toAbsolutePath.normalize
-    val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
-    val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
-    val location = Option(md.get("location")).map(_.asText())
-      .getOrElse(root.toString)
-    val snaps = Option(md.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).toVector
-    if (snaps.size <= keepLast) return 0
-    // snapshots pinned by a named ref ([[createTag]]) are NEVER expired —
-    // a tag is the durable reproducibility handle, age is irrelevant
-    val refPinned: Set[Long] = Option(md.get("refs")).toSeq
-      .flatMap(_.elements().asScala)
-      .map(_.get("snapshot-id").asLong()).toSet
-    val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
-    val (old, newest) = sorted.splitAt(sorted.size - keepLast)
-    val (pinned, dropped) = old.partition(s =>
-      refPinned.contains(s.get("snapshot-id").asLong()))
-    val kept = (pinned ++ newest).sortBy(_.get("timestamp-ms").asLong())
-    if (dropped.isEmpty) return 0
-    val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
-    require(currentId.forall(id =>
-        kept.exists(_.get("snapshot-id").asLong() == id)),
-      "refusing to expire the current snapshot")
+    // the metadata commit lands FIRST, file deletion only after it
+    // succeeds: the reverse order destroyed files that a lost commit
+    // race (a concurrent append or createTag) would leave durably
+    // referenced — a failed delete afterwards merely leaves orphans,
+    // which removeOrphanFiles reclaims. Max-version resolution + retry,
+    // like every other writer-side committer.
+    val victims = retryConcurrent {
+      val mdFile = latestMetadataFile(root)
+      val md =
+        mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      val location = Option(md.get("location")).map(_.asText())
+        .getOrElse(root.toString)
+      val snaps = Option(md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toVector
+      if (snaps.size <= keepLast) return 0
+      // snapshots pinned by a named ref ([[createTag]]) are NEVER
+      // expired — a tag is the durable reproducibility handle, age is
+      // irrelevant
+      val refPinned: Set[Long] = Option(md.get("refs")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(_.get("snapshot-id").asLong()).toSet
+      val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
+      val (old, newest) = sorted.splitAt(sorted.size - keepLast)
+      val (pinned, dropped) = old.partition(s =>
+        refPinned.contains(s.get("snapshot-id").asLong()))
+      val kept = (pinned ++ newest).sortBy(_.get("timestamp-ms").asLong())
+      if (dropped.isEmpty) return 0
+      val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
+      require(currentId.forall(id =>
+          kept.exists(_.get("snapshot-id").asLong() == id)),
+        "refusing to expire the current snapshot")
 
-    // full local reference closure of one snapshot: its manifest list,
-    // every manifest, every file those manifests name (any content)
-    def refs(snap: JsonNode): Set[Path] = {
-      val list = remapLocal(snap.get("manifest-list").asText(), location, root)
-      val out = Set.newBuilder[Path]
-      out += Paths.get(list)
-      readAvro(list).foreach { m =>
-        val manifest = remapLocal(m.get("manifest_path").toString, location, root)
-        out += Paths.get(manifest)
-        readAvro(manifest).foreach { e =>
-          val d = e.get("data_file").asInstanceOf[GenericRecord]
-          out += Paths.get(remapLocal(d.get("file_path").toString, location, root))
+      // full local reference closure of one snapshot: its manifest list,
+      // every manifest, every file those manifests name (any content)
+      def refs(snap: JsonNode): Set[Path] = {
+        val list = remapLocal(snap.get("manifest-list").asText(), location,
+          root)
+        val out = Set.newBuilder[Path]
+        out += Paths.get(list)
+        readAvro(list).foreach { m =>
+          val manifest = remapLocal(m.get("manifest_path").toString,
+            location, root)
+          out += Paths.get(manifest)
+          readAvro(manifest).foreach { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            out += Paths.get(remapLocal(d.get("file_path").toString,
+              location, root))
+          }
         }
+        out.result()
       }
-      out.result()
-    }
-    val keepRefs = kept.flatMap(refs).toSet
-    val victims = (dropped.flatMap(refs).toSet -- keepRefs)
-      .filter(p => p.startsWith(root) && Files.exists(p))
-    victims.foreach(Files.delete(_))
+      val keepRefs = kept.flatMap(refs).toSet
+      val doomed = (dropped.flatMap(refs).toSet -- keepRefs)
+        .filter(p => p.startsWith(root) && Files.exists(p))
 
-    val arr = mapper.createArrayNode()
-    kept.foreach(s => arr.add(s.deepCopy[JsonNode]()))
-    md.set[JsonNode]("snapshots", arr)
-    commitMetadata(root, versionOf(mdFile) + 1, md)
+      val arr = mapper.createArrayNode()
+      kept.foreach(s => arr.add(s.deepCopy[JsonNode]()))
+      md.set[JsonNode]("snapshots", arr)
+      commitMetadata(root, versionOf(mdFile) + 1, md)
+      doomed
+    }
+    victims.foreach(Files.deleteIfExists(_))
     victims.size
   }
 
@@ -819,10 +833,13 @@ object IcebergWriter {
     require(name.nonEmpty, "tag name must be non-empty")
     val root = Paths.get(path).toAbsolutePath.normalize
     // optimistic retry like append: a lost version race against a
-    // concurrent commit re-reads the metadata and re-applies the ref
+    // concurrent commit re-reads the metadata and re-applies the ref.
+    // Resolution goes by MAX VERSION, not the version hint — a racing
+    // writer can leave the hint one step behind, and a hint-following
+    // retry would spin on the same stale version forever (append's own
+    // rule, commitSnapshot)
     retryConcurrent {
-      val mdFile =
-        graft.sources.IcebergReader.currentMetadataFile(root.toString)
+      val mdFile = latestMetadataFile(root)
       val md =
         mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
       val snaps = Option(md.get("snapshots")).toSeq
@@ -865,8 +882,7 @@ object IcebergWriter {
   def removeTag(path: String, name: String): Boolean = {
     val root = Paths.get(path).toAbsolutePath.normalize
     retryConcurrent {
-      val mdFile =
-        graft.sources.IcebergReader.currentMetadataFile(root.toString)
+      val mdFile = latestMetadataFile(root) // max-version, like createTag
       val md =
         mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
       val refs = Option(md.get("refs")).map(_.asInstanceOf[ObjectNode])
@@ -1220,28 +1236,12 @@ object IcebergWriter {
         s"unsupported partition type ${other.simpleString}")
     }
 
-  /** Recursive delete with the walk stream CLOSED (`Files.walk` leaks a
-    * directory fd per call otherwise — material in a long-running server
-    * whose sinks auto-run maintenance).
-    */
-  private def deleteRecursively(dir: Path): Unit = {
-    val s = Files.walk(dir)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
-    finally s.close()
-  }
-
-  /** Directory listing with the stream CLOSED. */
-  private def listClosed(dir: Path): Vector[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  /** Recursive file walk with the stream CLOSED. */
-  private def walkClosed(dir: Path): Vector[Path] = {
-    val s = Files.walk(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
+  private def deleteRecursively(dir: Path): Unit =
+    graft.sources.Fs.deleteRecursively(dir)
+  private def listClosed(dir: Path): Vector[Path] =
+    graft.sources.Fs.listClosed(dir)
+  private def walkClosed(dir: Path): Vector[Path] =
+    graft.sources.Fs.walkClosed(dir)
 
   private[output] def footerRecordCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

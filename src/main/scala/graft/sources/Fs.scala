@@ -1,0 +1,29 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Close-safe directory-stream helpers, shared by every writer/reader
+  * path that lists or walks (`Files.list`/`Files.walk` leak a directory
+  * fd per call until GC otherwise — material in a long-running server
+  * whose sinks auto-run maintenance and commit per micro-batch).
+  */
+private[graft] object Fs {
+
+  def listClosed(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  def walkClosed(dir: Path): Vector[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+    finally s.close()
+  }
+}

@@ -669,6 +669,10 @@ object IcebergReader {
       skipFilters: Seq[SkipPredicate] = Nil,
       partitionPredicates: Seq[PartitionPredicate] = Nil,
       ref: Option[String] = None): DataFrame = {
+    // Some("") must not alias the no-ref cache key (ref.getOrElse("")):
+    // reject it loudly instead of nondeterministically serving the
+    // current snapshot on a warm cache
+    require(ref.forall(_.nonEmpty), "snapshot ref name must be non-empty")
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
