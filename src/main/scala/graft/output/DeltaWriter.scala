@@ -236,14 +236,16 @@ object DeltaWriter {
 
     val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
     val adds = Seq.newBuilder[Written]
-    // part-%05d-* — the index IS the bin (all-empty-input bins write no
-    // file: their rows numbered zero, removing the inputs alone is exact)
+    // part-%05d-* — the index IS the bin. Spark still materializes a
+    // writer for task 0 even when its iterator is empty, so an
+    // all-zero-row bin CAN leave a 0-record part file — skip it (the
+    // removes alone are exact) instead of committing junk adds.
     val partIdx = "part-(\\d+)-.*\\.parquet".r
     val ls = Files.list(staging)
     val staged = try ls.iterator().asScala.toVector finally ls.close()
     staged.foreach { p =>
       p.getFileName.toString match {
-        case partIdx(i) =>
+        case partIdx(i) if IcebergWriter.footerRecordCount(p) > 0L =>
           val (pv, _) = bins(i.toInt)
           val name = p.getFileName.toString
           Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)

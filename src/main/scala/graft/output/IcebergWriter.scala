@@ -1109,7 +1109,8 @@ object IcebergWriter {
       import org.apache.spark.sql.functions.col
       val stagingCols = spec.map(f => s"__gp_${f.name}")
       val staged0 = spec.zip(stagingCols).foldLeft(df) { case (acc, (f, c)) =>
-        acc.withColumn(c, transformColumn(df.sparkSession, f))
+        acc.withColumn(c,
+          transformColumn(df.sparkSession, f, df.schema(f.source).dataType))
       }
       // `cluster` = (order column, width): range-shuffle AND sort by the
       // STAGING columns themselves + the order column. Sorting by the
@@ -1175,14 +1176,25 @@ object IcebergWriter {
 
   /** The transform's value as a Spark column over the source column —
     * identity passthrough, codegen murmur3 bucket, floor-truncate,
-    * epoch-relative temporal buckets. Timestamps bucket in the session
-    * time zone (pinned UTC in every graft session), matching iceberg's
-    * UTC temporal transforms.
+    * epoch-relative temporal buckets. Temporal transforms over zoned
+    * timestamps bucket the instant's UTC representation (iceberg spec
+    * rule) regardless of the session time zone: `to_date`/`year`/
+    * `month` resolve in the SESSION zone, so the UTC calendar date is
+    * derived from epoch seconds instead (timestamp→long cast is a
+    * zone-independent floorDiv of the epoch micros).
     */
   private def transformColumn(spark: org.apache.spark.sql.SparkSession,
-      f: SpecField): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit, month, pmod, substring, to_date, year}
+      f: SpecField, srcType: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_from_unix_date, floor, lit, month, pmod, substring, to_date, year}
     val src = col(s"`${f.source}`")
+    // UTC calendar date of the value: dates and wall-clock (NTZ)
+    // timestamps are zone-independent already; zoned timestamps go
+    // through epoch days.
+    lazy val utcDay = srcType match {
+      case TimestampType =>
+        date_from_unix_date(floor(src.cast("long") / 86400L).cast("int"))
+      case _ => to_date(src)
+    }
     f.transform match {
       case "identity" => src
       case "bucket" => graft.plans.IcebergTransforms.bucket(spark, src, f.param)
@@ -1192,11 +1204,11 @@ object IcebergWriter {
         // (negative values truncate toward -inf): v - ((v % W + W) % W)
         case _ => src - pmod(src, lit(f.param))
       }
-      case "day" => to_date(src)
-      case "month" => (year(src) - 1970) * 12 + (month(src) - 1)
-      case "year" => year(src) - 1970
-      // hours since epoch: micros → hour bucket (timestamps only; the
-      // session is pinned UTC, matching iceberg's UTC temporal rule)
+      case "day" => utcDay
+      case "month" => (year(utcDay) - 1970) * 12 + (month(utcDay) - 1)
+      case "year" => year(utcDay) - 1970
+      // hours since epoch: micros → hour bucket (timestamps only;
+      // epoch-second arithmetic is already UTC by construction)
       case "hour" =>
         org.apache.spark.sql.functions.floor(
           src.cast("long") / 3600L).cast("int")
@@ -1696,7 +1708,18 @@ object IcebergWriter {
       |{"name":"content","type":"int","field-id":517},
       |{"name":"sequence_number","type":"long","field-id":515},
       |{"name":"min_sequence_number","type":"long","field-id":516},
-      |{"name":"added_snapshot_id","type":"long","field-id":503}]}""".stripMargin)
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+      |{"name":"contains_null","type":"boolean","field-id":509},
+      |{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]},"element-id":508}],"default":null,"field-id":507}]}""".stripMargin)
+
+  private val summarySchema: Schema = {
+    val arr = listSchema.getField("partitions").schema()
+      .getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    arr.getElementType
+  }
 
   /** One manifest: status=1 (ADDED) entries with null sequence numbers —
     * inherited from the manifest list per the spec, which keeps manifests
@@ -1783,6 +1806,19 @@ object IcebergWriter {
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
       r.put("added_snapshot_id", ref.addedSnapshotId.getOrElse(snapshotId))
+      // spec field 507 `partitions`: per-partition-field value envelope
+      // of the manifest's live entries — what lets the READER (ours and
+      // iceberg's own planner) drop the manifest from a plan without
+      // opening it. Unsummarizable manifests just omit the field.
+      summariesFor(ref.path, root).foreach { ss =>
+        r.put("partitions", ss.map { s =>
+          val sr = new GenericData.Record(summarySchema)
+          sr.put("contains_null", Boolean.box(s.containsNull))
+          s.lower.foreach(b => sr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          s.upper.foreach(b => sr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          sr: GenericRecord
+        }.asJava)
+      }
       r
     }
     val location = root.toString
@@ -1792,16 +1828,110 @@ object IcebergWriter {
     s"$location/metadata/${p.getFileName}"
   }
 
-  private def localLength(path: String, root: Path): Long = {
+  /** Resolve a declared-location metadata path to the physical file —
+    * relocated/copied tables keep `location`-prefixed paths whose tail
+    * lives under the physical root.
+    */
+  private def localMetaPath(path: String, root: Path): Path = {
     val p = Paths.get(graft.sources.IcebergReader.normPath(path))
-    if (Files.exists(p)) Files.size(p)
-    else {
-      // declared-location path on a relocated table: resolve the tail
-      val name = p.getFileName.toString
-      val local = root.resolve("metadata").resolve(name)
-      if (Files.exists(local)) Files.size(local) else 0L
-    }
+    if (Files.exists(p)) p
+    else root.resolve("metadata").resolve(p.getFileName.toString)
   }
+
+  private def localLength(path: String, root: Path): Long = {
+    val local = localMetaPath(path, root)
+    if (Files.exists(local)) Files.size(local) else 0L
+  }
+
+  private[output] final case class PartFieldSummary(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** Summaries per manifest, memoized on the physical path — manifests
+    * are immutable, so a carried-forward manifest's summary is computed
+    * ONCE per process and every later commit reuses it. `None` (stored
+    * as empty-marker absence) = unreadable manifest → omit the field,
+    * readers fail open. Count-bounded clear-all on overflow.
+    */
+  private val summaryRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[IndexedSeq[PartFieldSummary]]]()
+
+  private def summariesFor(refPath: String, root: Path)
+      : Option[IndexedSeq[PartFieldSummary]] = {
+    val abs = localMetaPath(refPath, root).toAbsolutePath.toString
+    if (summaryRegistry.size > 8192) summaryRegistry.clear()
+    summaryRegistry.computeIfAbsent(abs, computeSummaries(_))
+  }
+
+  /** Per-partition-field (contains_null, min, max) over a manifest's
+    * LIVE entries, bounds in Appendix-D single-value serialization.
+    * Field order = the manifest partition record's field order = spec
+    * order. Fields of a type this writer never partitions by (foreign
+    * manifests) get a maximally-open summary; a manifest that cannot be
+    * read at all yields None (field omitted entirely).
+    */
+  private def computeSummaries(abs: String)
+      : Option[IndexedSeq[PartFieldSummary]] = try {
+    val entries = readAvro(abs)
+    val live = entries.filter(e => intOf(e, "status", 0) != 2)
+    if (live.isEmpty) return Some(IndexedSeq.empty)
+    val parts = live.flatMap { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      if (df.getSchema.getField("partition") == null) None
+      else Option(df.get("partition")).collect { case r: GenericRecord => r }
+    }
+    if (parts.isEmpty) return Some(IndexedSeq.empty)
+    val fields = parts.head.getSchema.getFields.asScala.toIndexedSeq
+    Some(fields.map { fld =>
+      val unwrapped = {
+        val s = fld.schema()
+        if (s.getType == Schema.Type.UNION)
+          s.getTypes.asScala.find(_.getType != Schema.Type.NULL).orNull
+        else s
+      }
+      val values = parts.map(p =>
+        if (p.getSchema.getField(fld.name()) == null) null
+        else p.get(fld.name()))
+      val containsNull = values.exists(_ == null)
+      val present = values.filter(_ != null)
+      // (ordering, Appendix-D single-value serializer) per Avro type;
+      // int covers the date logical type too (epoch days order and
+      // serialize identically)
+      val kind: Option[(Ordering[AnyRef], AnyRef => Array[Byte])] =
+        Option(unwrapped).map(_.getType) match {
+          case Some(Schema.Type.INT) => Some((
+            Ordering.by((v: AnyRef) => v.asInstanceOf[Number].intValue),
+            v => leBytes(v.asInstanceOf[Number].intValue)))
+          case Some(Schema.Type.LONG) => Some((
+            Ordering.by((v: AnyRef) => v.asInstanceOf[Number].longValue),
+            v => leBytes(v.asInstanceOf[Number].longValue)))
+          case Some(Schema.Type.STRING) => Some((
+            Ordering.by((v: AnyRef) => v.toString)(new Ordering[String] {
+              def compare(a: String, b: String): Int =
+                java.util.Arrays.compareUnsigned(
+                  a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+            }),
+            v => v.toString.getBytes("UTF-8")))
+          case Some(Schema.Type.BOOLEAN) => Some((
+            Ordering.by((v: AnyRef) => v.asInstanceOf[Boolean]),
+            v => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)))
+          case _ => None // foreign type: maximally-open summary below
+        }
+      kind match {
+        case Some((ord, ser)) if present.nonEmpty =>
+          PartFieldSummary(containsNull,
+            Some(ser(present.min(ord))), Some(ser(present.max(ord))))
+        case Some(_) => PartFieldSummary(containsNull, None, None)
+        case None => PartFieldSummary(containsNull = true, None, None)
+      }
+    })
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def leBytes(n: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array
+  private def leBytes(n: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array
 
   // ---------- metadata JSON ----------
 

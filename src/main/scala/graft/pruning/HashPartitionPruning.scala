@@ -93,28 +93,43 @@ object HashPartitionPruning {
     }
 
   private val ProbeRows = 8
-  private val ProbeScanRows = 4096
+  // Escalating scan caps: a table clustered/sorted by the source column
+  // can put ONE distinct value in its first few thousand rows, and a
+  // probe that accepts on that single check would weaken the
+  // false-accept bound from 2^-ProbeRows to 2^-1 (a false accept prunes
+  // partitions, i.e. silently drops rows). Widen until ProbeRows
+  // distinct values are seen or the table is exhausted; otherwise fail
+  // CLOSED (no pruning — full scan is correct, just slower). Each cap
+  // is still input-bounded, and the TTL cache keeps the escalation off
+  // the per-request path.
+  private val ProbeScanCaps = Seq(4096, 65536, 524288)
 
   private def probeDerivation(df: DataFrame, pc: String): java.lang.Boolean =
     sourceColumn(pc) match {
       case Some(src) if df.columns.contains(src) =>
+        val pairs = df.select(col(src).cast("string"), col(pc).cast("string"))
+          .filter(col(src).isNotNull && col(pc).isNotNull)
         // bound the INPUT before deduplicating: dropDuplicates over the
         // raw frame is a full-table aggregate, which would put a
-        // whole-corpus shuffle on the first serving request (the
-        // p99-sensitive path). A LIMIT first caps the scan at a few
-        // thousand rows — Spark stops scheduling splits once the limit is
+        // whole-corpus shuffle on the serving path. A LIMIT first caps
+        // the scan — Spark stops scheduling splits once the limit is
         // satisfied — and the dedup then runs over an in-memory-sized
-        // frame. Sampling one partition's rows does NOT weaken the
-        // false-accept bound: the probe needs distinct SOURCE values, and
-        // each distinct source in a single hive dir is still an
-        // independent check of the claimed derivation.
-        val rows = df.select(col(src).cast("string"), col(pc).cast("string"))
-          .filter(col(src).isNotNull && col(pc).isNotNull)
-          .limit(ProbeScanRows)
-          .dropDuplicates(src)
-          .limit(ProbeRows).collect()
-        rows.nonEmpty && rows.forall(r =>
-          helperValue(pc, r.getString(0)).exists(_._2 == r.getString(1)))
+        // frame. Distinct values from one clustered run are each still
+        // an independent check of the claimed derivation.
+        def attempt(cap: Int): Option[java.lang.Boolean] = {
+          val pre = pairs.limit(cap)
+          val rows = pre.dropDuplicates(src).limit(ProbeRows).collect()
+          val verdict = rows.nonEmpty && rows.forall(r =>
+            helperValue(pc, r.getString(0)).exists(_._2 == r.getString(1)))
+          if (!verdict) Some(false) // any mismatch refutes outright
+          else if (rows.length >= ProbeRows) Some(true)
+          else if (pre.count() < cap) Some(verdict) // table exhausted:
+            // EVERY distinct source value was checked — exact, accept
+          else None // too few distincts in this prefix: widen or fail
+        }
+        ProbeScanCaps.iterator.map(attempt)
+          .collectFirst { case Some(v) => v }
+          .getOrElse(java.lang.Boolean.FALSE)
       case _ => false
     }
 

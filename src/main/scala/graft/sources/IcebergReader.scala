@@ -95,12 +95,48 @@ object IcebergReader {
       valueCounts: Map[Int, Long] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty)
 
+  /** One decoded `field_summary` off a manifest-list record (spec fields
+    * 509/510/511): the per-manifest partition-value envelope that lets
+    * the planner drop a manifest WITHOUT opening it.
+    */
+  private final case class FieldSummaryMeta(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** One manifest-list record (spec `manifest_file`), metadata only —
+    * the entries stay un-decoded until a read actually needs them.
+    * `summaries` is spec field 507 (`partitions`), positional per the
+    * manifest's partition spec; None when the writing tool omitted it
+    * (pruning then fails open to decoding the manifest).
+    */
+  private final case class ManifestMeta(path: String, content: Int,
+      seq: Long, specId: Int,
+      summaries: Option[IndexedSeq[FieldSummaryMeta]])
+
   private case class Snapshot(
       schema: StructType,
       fieldNames: Map[Int, String], // iceberg field id -> column name
-      dataFiles: Seq[DataFileEntry],
-      positionDeletes: Seq[DataFileEntry],
-      equalityDeletes: Seq[DataFileEntry]) {
+      manifests: Seq[ManifestMeta],
+      location: String,
+      tablePath: String,
+      // default partition spec: id + spec-field name -> (position in the
+      // spec = position in each summaries list, transform RESULT type —
+      // the type the summary's bound bytes serialize)
+      defaultSpecId: Int = 0,
+      specFieldPos: Map[String, (Int, DataType)] = Map.empty) {
+
+    /** Decode exactly the manifests `keep` admits (memoized globally —
+      * manifests are immutable — and decoded on a bounded parallel
+      * pool). The metadata plane therefore reads O(surviving manifests),
+      * not O(all manifests), per plan.
+      */
+    def files(keep: ManifestMeta => Boolean)
+        : (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry]) =
+      decodeManifests(manifests.filter(keep), location, tablePath)
+
+    private lazy val allFiles = files(_ => true)
+    def dataFiles: Seq[DataFileEntry] = allFiles._1
+    def positionDeletes: Seq[DataFileEntry] = allFiles._2
+    def equalityDeletes: Seq[DataFileEntry] = allFiles._3
     /** filesystem size statted ONCE per resolved-snapshot instance per
       * file (data files are immutable): with the snapshot cache this
       * turns the per-REQUEST O(files) stat(2) storm at plan time into a
@@ -207,59 +243,182 @@ object IcebergReader {
       }
     }
     snapNode match {
-      case None => Snapshot(schema, fieldNames, Nil, Nil, Nil)
+      case None => Snapshot(schema, fieldNames, Nil, location, tablePath)
       case Some(snap) =>
         val manifestList = remap(snap.get("manifest-list").asText(),
           location, tablePath)
-        val (dataFiles, posDeletes, eqDeletes) =
-          readManifests(manifestList, location, tablePath)
-        Snapshot(schema, fieldNames, dataFiles, posDeletes, eqDeletes)
+        val (specId, specPos) = specSummaryInfo(root, schema, fieldNames)
+        Snapshot(schema, fieldNames, readManifestList(manifestList),
+          location, tablePath, specId, specPos)
     }
   }
 
-  /** Manifest list + every manifest → (live data files, live position
-    * delete files, live equality delete files), each with its data
-    * sequence number (entry value, or inherited from the manifest when
-    * written as null — spec §"Sequence Number Inheritance").
+  /** Manifest list → metadata records only: paths, inherited content/
+    * sequence, spec id, and the spec-507 `partitions` field summaries
+    * (positional per spec field; absent or unparseable → None, which
+    * fails open to decoding the manifest). No manifest is OPENED here.
     */
-  private def readManifests(manifestList: String, location: String,
+  private def readManifestList(manifestList: String): Seq[ManifestMeta] =
+    readAvro(manifestList).map { m =>
+      val summaries = try {
+        fieldOpt(m, "partitions").map {
+          case l: java.util.List[_] => l.asScala.collect {
+            case r: GenericRecord => FieldSummaryMeta(
+              containsNull = Option(r.get("contains_null"))
+                .exists(_.asInstanceOf[Boolean]),
+              lower = Option(r.get("lower_bound")).map(byteValue),
+              upper = Option(r.get("upper_bound")).map(byteValue))
+          }.toIndexedSeq
+          case _ => IndexedSeq.empty[FieldSummaryMeta]
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      ManifestMeta(str(m, "manifest_path"),
+        intField(m, "content", 0), // v1: always data
+        longField(m, "sequence_number", 0L),
+        intField(m, "partition_spec_id", 0),
+        summaries)
+    }
+
+  private def byteValue(v: AnyRef): Array[Byte] = v match {
+    case bb: java.nio.ByteBuffer =>
+      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case b: Array[Byte] => b
+    case other => other.toString.getBytes("UTF-8")
+  }
+
+  /** Default spec's (field name → (position, transform RESULT type)) —
+    * the lookup that matches a partition predicate to its slot in each
+    * manifest's `partitions` summaries and tells [[boundsMayMatch]] how
+    * the summary's bound bytes serialize. Fields with foreign/unknown
+    * transforms are left out (no summary pruning on them — fail-open);
+    * positions still count them so the remaining slots stay aligned.
+    */
+  private def specSummaryInfo(root: JsonNode, schema: StructType,
+      fieldNames: Map[Int, String]): (Int, Map[String, (Int, DataType)]) = {
+    val specId = Option(root.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val BucketT = """bucket\[(\d+)\]""".r
+    val TruncateT = """truncate\[(\d+)\]""".r
+    val pos = Option(root.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("spec-id").asInt() == specId).toSeq
+      .flatMap(_.get("fields").elements().asScala.zipWithIndex.flatMap {
+        case (f, i) =>
+          for {
+            src <- fieldNames.get(f.get("source-id").asInt())
+            fld <- schema.fields.find(_.name == src)
+            resultType <- f.get("transform").asText() match {
+              case "identity" => Some(fld.dataType)
+              case BucketT(_) => Some(IntegerType)
+              case TruncateT(_) => Some(fld.dataType)
+              case "day" | "days" => Some(DateType)
+              case "month" | "months" | "year" | "years" |
+                  "hour" | "hours" => Some(IntegerType)
+              case _ => None
+            }
+          } yield f.get("name").asText() -> (i, resultType)
+      })
+    (specId, pos.toMap)
+  }
+
+  /** Decode cache: manifests are IMMUTABLE uuid-named files, so decoded
+    * entries are valid forever and shared across snapshots — a commit
+    * carries most manifests forward, and with this cache the next plan
+    * decodes only the NEW manifest instead of all of them. The key pins
+    * everything the decode depends on (content/seq inheritance and the
+    * location→root path remap). Count-bounded: clear-all on overflow is
+    * crude but safe (entries rebuild on demand).
+    */
+  private val manifestDecodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, String, String),
+    (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry])]()
+
+  /** Manifests OPENED (decode-cache misses) — observability for the
+    * plan-shape specs: a partitioned point lookup should open 1-of-N.
+    */
+  private[graft] val manifestsOpened = new java.util.concurrent.atomic.AtomicLong
+
+  /** Bounded pool for manifest decode: Avro decode is driver-side I/O +
+    * CPU, and a cold plan over 10²–10⁵ manifests must not read them one
+    * at a time. Daemon threads; sized to the host, capped small — this
+    * is metadata, not the data plane.
+    */
+  private lazy val decodePool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4)),
+    (r: Runnable) => {
+      val t = new Thread(r, "iceberg-manifest-decode")
+      t.setDaemon(true)
+      t
+    })
+
+  private def decodeManifests(ms: Seq[ManifestMeta], location: String,
       tablePath: String)
       : (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    if (manifestDecodeCache.size > 8192) manifestDecodeCache.clear()
+    def cached(m: ManifestMeta) = manifestDecodeCache.computeIfAbsent(
+      (m.path, m.content, m.seq, location, tablePath),
+      _ => decodeManifest(m, location, tablePath))
+    val decoded: Seq[(Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry])] =
+      if (ms.size <= 1) ms.map(cached)
+      else {
+        import java.util.concurrent.Callable
+        val futures = decodePool.invokeAll(
+          ms.map(m => new Callable[
+            (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry])] {
+            override def call() = cached(m)
+          }).asJava)
+        // rethrow decode failures with their ORIGINAL type — callers
+        // (and specs) match on IllegalArgumentException etc., and the
+        // pool's ExecutionException wrapper must not change the surface
+        futures.asScala.toSeq.map(f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null => throw e.getCause
+          })
+      }
+    (decoded.flatMap(_._1), decoded.flatMap(_._2), decoded.flatMap(_._3))
+  }
+
+  /** One manifest → (live data files, live position delete files, live
+    * equality delete files), each with its data sequence number (entry
+    * value, or inherited from the manifest when written as null — spec
+    * §"Sequence Number Inheritance").
+    */
+  private def decodeManifest(m: ManifestMeta, location: String,
+      tablePath: String)
+      : (Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    manifestsOpened.incrementAndGet()
     val data = Seq.newBuilder[DataFileEntry]
     val deletes = Seq.newBuilder[DataFileEntry]
     val eqDeletes = Seq.newBuilder[DataFileEntry]
-    readAvro(manifestList).foreach { m =>
-      val manifestPath = remap(str(m, "manifest_path"), location, tablePath)
-      val manifestContent = intField(m, "content", 0) // v1: always data
-      val manifestSeq = longField(m, "sequence_number", 0L)
-      readAvro(manifestPath).foreach { entry =>
-        val status = intField(entry, "status", 0)
-        if (status != 2) { // 2 = DELETED tombstone — file left the table
-          val seq = longField(entry, "sequence_number", manifestSeq)
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val format = str(df, "file_format").toUpperCase
-          require(format == "PARQUET",
-            s"unsupported iceberg data file format $format (parquet only)")
-          val path = remap(str(df, "file_path"), location, tablePath)
-          val content = intField(df, "content", manifestContent)
-          content match {
-            case 0 => data += DataFileEntry(path, seq,
-              partitionValues = partitionTuple(df),
-              bounds = entryBounds(df),
-              valueCounts = countsMap(df, "value_counts"),
-              nullCounts = countsMap(df, "null_value_counts"))
-            case 1 => deletes += DataFileEntry(path, seq)
-            case 2 =>
-              val ids = fieldOpt(df, "equality_ids")
-                .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
-                  .map(_.asInstanceOf[Number].intValue))
-                .getOrElse(Nil)
-              require(ids.nonEmpty, "iceberg equality delete file " +
-                s"$path carries no equality_ids")
-              eqDeletes += DataFileEntry(path, seq, ids)
-            case other => throw new IllegalArgumentException(
-              s"unknown iceberg file content $other")
-          }
+    val manifestPath = remap(m.path, location, tablePath)
+    readAvro(manifestPath).foreach { entry =>
+      val status = intField(entry, "status", 0)
+      if (status != 2) { // 2 = DELETED tombstone — file left the table
+        val seq = longField(entry, "sequence_number", m.seq)
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val format = str(df, "file_format").toUpperCase
+        require(format == "PARQUET",
+          s"unsupported iceberg data file format $format (parquet only)")
+        val path = remap(str(df, "file_path"), location, tablePath)
+        val content = intField(df, "content", m.content)
+        content match {
+          case 0 => data += DataFileEntry(path, seq,
+            partitionValues = partitionTuple(df),
+            bounds = entryBounds(df),
+            valueCounts = countsMap(df, "value_counts"),
+            nullCounts = countsMap(df, "null_value_counts"))
+          case 1 => deletes += DataFileEntry(path, seq)
+          case 2 =>
+            val ids = fieldOpt(df, "equality_ids")
+              .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+                .map(_.asInstanceOf[Number].intValue))
+              .getOrElse(Nil)
+            require(ids.nonEmpty, "iceberg equality delete file " +
+              s"$path carries no equality_ids")
+            eqDeletes += DataFileEntry(path, seq, ids)
+          case other => throw new IllegalArgumentException(
+            s"unknown iceberg file content $other")
         }
       }
     }
@@ -501,6 +660,41 @@ object IcebergReader {
     case _ => boundsMayMatch(f.bounds.get(fid), op, value, dt)
   }
 
+  /** May a manifest with these spec-507 summaries contain a file
+    * matching every partition predicate? Keeps the manifest on ANY
+    * uncertainty: no summaries, a non-default spec id (the summary
+    * positions would belong to a different field list), a field with no
+    * summary slot, or an uncomparable bound. `containsNull` keeps the
+    * manifest because file-level pruning keeps null-tuple files.
+    */
+  private def manifestMayMatch(m: ManifestMeta, defaultSpecId: Int,
+      specPos: Map[String, (Int, DataType)],
+      eqFilter: Map[String, String],
+      preds: Seq[PartitionPredicate]): Boolean = m.summaries match {
+    case Some(ss) if m.specId == defaultSpecId =>
+      def fieldOk(field: String, test: (FieldSummaryMeta, DataType) => Boolean) =
+        specPos.get(field).forall { case (i, dt) =>
+          ss.lift(i).forall(s => s.containsNull || test(s, dt))
+        }
+      eqFilter.forall { case (k, v) =>
+        fieldOk(k, (s, dt) => summaryOpMayMatch(s, "=", v, dt))
+      } && preds.forall(p =>
+        fieldOk(p.field, (s, dt) => summaryOpMayMatch(s, p.op, p.value, dt)))
+    case _ => true
+  }
+
+  /** One summary envelope vs one rendered predicate — `in` tightens to
+    * OR-of-equalities over the comma-joined candidates (the callers
+    * guarantee comma-free renderings); everything else asks
+    * [[boundsMayMatch]] directly. Fail-open.
+    */
+  private def summaryOpMayMatch(s: FieldSummaryMeta, op: String,
+      value: String, dt: DataType): Boolean = op match {
+    case "in" => value.split(",", -1).exists(v =>
+      boundsMayMatch(Some((s.lower, s.upper)), "=", v, dt))
+    case other => boundsMayMatch(Some((s.lower, s.upper)), other, value, dt)
+  }
+
   /** Can a file whose bounds are `b` contain a row matching
     * `op value` under `dt`? Fail-open everywhere.
     */
@@ -674,6 +868,20 @@ object IcebergReader {
     // current snapshot on a warm cache
     require(ref.forall(_.nonEmpty), "snapshot ref name must be non-empty")
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
+    // MANIFEST-list pruning (spec field 507 `partitions` summaries): a
+    // manifest whose per-field [lower, upper] envelope provably excludes
+    // every partition predicate is dropped WITHOUT being opened — the
+    // metadata plane reads O(surviving manifests), which is what keeps a
+    // 10⁴-manifest table's cold plan off a serial full-metadata read.
+    // Applies to data AND delete manifests alike (delete files scope to
+    // their partition, so a delete manifest outside the filtered range
+    // can only affect already-pruned data files). Manifests without
+    // summaries, under a non-default spec, or with any uncertainty are
+    // KEPT — pruning may only drop provably non-matching manifests.
+    val (dataAll, posDeletes, eqDeletes) =
+      if (partitionFilter.isEmpty && partitionPredicates.isEmpty) snap.files(_ => true)
+      else snap.files(manifestMayMatch(_, snap.defaultSpecId,
+        snap.specFieldPos, partitionFilter, partitionPredicates))
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column
@@ -684,8 +892,8 @@ object IcebergReader {
     // order-preserving transforms (identity/truncate/temporal) prune
     // date-range and comparison requests the equality map cannot express.
     val afterEquality =
-      if (partitionFilter.isEmpty) snap.dataFiles
-      else snap.dataFiles.filter(f => partitionFilter.forall { case (k, v) =>
+      if (partitionFilter.isEmpty) dataAll
+      else dataAll.filter(f => partitionFilter.forall { case (k, v) =>
         f.partitionValues.get(k).forall(_ == v)
       })
     val afterPartition =
@@ -750,7 +958,7 @@ object IcebergReader {
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
       StructType(Nil), snap.schema, entries)
-    if (snap.positionDeletes.isEmpty && snap.equalityDeletes.isEmpty)
+    if (posDeletes.isEmpty && eqDeletes.isEmpty)
       return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
@@ -761,7 +969,7 @@ object IcebergReader {
       :+ col("_metadata.row_index").as("__ib_pos"): _*)
     // per-file data sequence numbers ride a broadcast (#files rows)
     import spark.implicits._
-    val seqDf = broadcast(snap.dataFiles
+    val seqDf = broadcast(dataAll
       .map(f => (normPath(f.path), f.seq)).toDF("__ib_file", "__ib_seq"))
     // LEFT join + fail-fast: an inner join would silently drop every row
     // of a file whose _metadata.file_path and manifest path disagree
@@ -779,10 +987,10 @@ object IcebergReader {
     // seq map: an inner join would silently UNDER-delete on path-
     // normalization drift.
     val afterPos =
-      if (snap.positionDeletes.isEmpty) withSeq
+      if (posDeletes.isEmpty) withSeq
       else {
-        val deletes = deleteSeqJoined(spark, snap.positionDeletes.map(_.path),
-          snap.positionDeletes.map(d => (normPath(d.path), d.seq)),
+        val deletes = deleteSeqJoined(spark, posDeletes.map(_.path),
+          posDeletes.map(d => (normPath(d.path), d.seq)),
           Some("file_path string, pos bigint"), "__del_src", "__del_seq",
           "iceberg scan")
           // fail-fast on a physically file_path-less delete file: the
@@ -807,7 +1015,7 @@ object IcebergReader {
     // key keeps the grouped inferred-schema read sound — see
     // [[footerSchemaKey]]. Null-safe equality per the spec ("null
     // values ... match rows with null").
-    val afterEq = snap.equalityDeletes
+    val afterEq = eqDeletes
       .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
       .toSeq
       .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>

@@ -969,4 +969,66 @@ class IcebergWriterSpec extends SparkSpec {
     }
     assert(IcebergReader.read(spark, path).count() == 6L)
   }
+
+  test("manifest-list partitions summaries (spec 507) are written and " +
+      "prune manifests WITHOUT opening them: partitioned point lookup " +
+      "opens 1-of-N") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("msum")
+    // 4 commits, each wholly inside ONE partition → 4 data manifests,
+    // each with a tight single-value summary envelope
+    IcebergWriter.create(Seq((1L, 0, "a0")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    (1 to 3).foreach { b =>
+      IcebergWriter.append(
+        Seq((b * 10L, b, s"a$b")).toDF("id", "bucket", "v"), path)
+    }
+    // the CURRENT manifest list carries a non-null field-507 summary
+    // with bounds on every manifest record
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val curId = md.get("current-snapshot-id").asLong()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    def avroRecs(p: java.nio.file.Path) = {
+      val r = org.apache.avro.file.DataFileReader.openReader(p.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.toVector finally r.close()
+    }
+    val listRecs = avroRecs(Paths.get(listPath))
+    assert(listRecs.size == 4, s"expected 4 manifests, ${listRecs.size}")
+    listRecs.foreach { m =>
+      val parts = m.get("partitions")
+      assert(parts != null, "manifest-list record missing partitions summary")
+      val ss = parts.asInstanceOf[java.util.List[_]].asScala
+      assert(ss.size == 1)
+      val s = ss.head.asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(s.get("contains_null") == java.lang.Boolean.FALSE)
+      assert(s.get("lower_bound") != null && s.get("upper_bound") != null)
+    }
+    // a bucket=2 point lookup must OPEN exactly one manifest — the
+    // others are excluded by their summaries at the manifest LIST, the
+    // metadata-plane behavior that keeps a 10⁴-manifest cold plan from
+    // a serial full-manifest driver read
+    val before = IcebergReader.manifestsOpened.get()
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "2"))
+    val opened = IcebergReader.manifestsOpened.get() - before
+    assert(opened == 1L, s"expected 1 manifest opened, got $opened")
+    assert(pruned.count() == 1L)
+    assert(pruned.select("v").as[String].head() == "a2")
+    // unfiltered read still sees everything (and opens the remaining 3)
+    assert(IcebergReader.read(spark, path).count() == 4L)
+    // range predicates prune at the manifest list too: bucket >= 3
+    val before2 = IcebergReader.manifestsOpened.get()
+    val ranged = IcebergReader.read(spark, path,
+      partitionPredicates = Seq(IcebergReader.PartitionPredicate(
+        "bucket", ">=", "3", org.apache.spark.sql.types.IntegerType)))
+    assert(IcebergReader.manifestsOpened.get() - before2 == 0L,
+      "range read should hit the decode cache for its single survivor")
+    assert(ranged.count() == 1L)
+    assert(ranged.select("v").as[String].head() == "a3")
+  }
 }
