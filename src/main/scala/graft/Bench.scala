@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise rejects
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros parquet timestamps: INT96 (the default) has no
+      // footer stats, killing timestamp data skipping on written tables
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // measurement hook: comma-separated k=v session confs (e.g.

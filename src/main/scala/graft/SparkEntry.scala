@@ -811,6 +811,67 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_ts_skip" -> ((s, dir) => {
+      // EVENT-TIME range over a multi-file delta table: the serving path
+      // derives timestamp SkipPredicates (session-tz literal resolution),
+      // the stats plane prunes files by their ISO-instant bounds, and the
+      // oracle pins that no row is ever lost to a wrong bound compare —
+      // the single most common analyst predicate on a training-data lake
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_ts_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+          val orders = Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate").cast("timestamp").as("o_ts"))
+            .repartitionByRange(4, col("o_ts"))
+          graft.output.DeltaWriter.create(orders, root.toString)
+        }
+      }
+      val t = TableConfig(name = "tsdelta", tag = "t",
+        datasource = DatasourceConfig(uri = root.toString, fileType = "delta"),
+        params = Seq(Param("o_ts", operators = Seq(">=", "<"))),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(
+        params = Map("o_ts_gte" -> "1999-06-01T00:00:00",
+          "o_ts_lt" -> "2000-01-01T00:00:00"),
+        limit = Some(-1)))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_iceberg_branch" -> ((s, dir) => {
+      // write-audit-publish staging: a risky corpus transform commits to
+      // a BRANCH ref (spec v2 refs, type branch) — the branch serves the
+      // staged rows through the full pipeline (`ref` option) while main
+      // (what every plain read serves) is UNTOUCHED until fastForward
+      // publishes. The gate unions both sides, labeled, so the oracle
+      // pins exactly the pre-publish state.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_branch_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          graft.output.IcebergWriter.create(nation, root.toString)
+          graft.output.IcebergWriter.createBranch(root.toString, "audit")
+          graft.output.IcebergWriter.append(
+            nation.withColumn("n_nationkey", col("n_nationkey") + 1000),
+            root.toString, branch = Some("audit"))
+        }
+      }
+      val t = TableConfig(name = "branched", tag = "t",
+        datasource = DatasourceConfig(uri = root.toString,
+          fileType = "iceberg", options = Map("ref" -> "audit")),
+        allowGetAllPages = true)
+      val branchServed = QueryPipeline.run(s, t, Request(limit = Some(-1)))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("src", lit("branch"))
+      val mainRead = graft.sources.IcebergReader.read(s, root.toString)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("src", lit("main"))
+      branchServed.unionByName(mainRead)
+        .orderBy(col("src"), col("n_nationkey"))
+    }),
     "q_delta_changes" -> ((s, dir) => {
       // append-only change feed: create with region<2 (version 0), append
       // the rest (version 1), poll changes after version 0 — only the
@@ -2169,6 +2230,20 @@ object SparkEntry {
     "q_iceberg_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_delta_ts_skip" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1999-06-01 00:00:00'
+        |  AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_iceberg_branch" ->
+      """SELECT n_nationkey, n_name, n_regionkey, src FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'branch' AS src FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_name, n_regionkey, 'branch' FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'main' FROM nation
+        |) ORDER BY src, n_nationkey""".stripMargin,
     "q_iceberg_write_read" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

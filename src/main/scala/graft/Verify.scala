@@ -17,13 +17,32 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise rejects
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros parquet timestamps: INT96 (the default) has no
+      // footer stats, killing timestamp data skipping on written tables
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // dump zoned timestamps as NTZ wall clocks (session is pinned
+        // UTC, so the instant's wall clock is unchanged): the engine now
+        // writes int64-micros parquet (isAdjustedToUTC=true), which
+        // DuckDB reads as TIMESTAMPTZ and renders with an offset — the
+        // oracle side computes naive TIMESTAMPs, so the dump keeps the
+        // naive form the comparison has always used
+        val out = df.schema.fields.foldLeft(df) { (acc, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              acc.withColumn(f.name,
+                org.apache.spark.sql.functions.col(s"`${f.name}`")
+                  .cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => acc
+          }
+        }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

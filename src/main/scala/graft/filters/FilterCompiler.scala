@@ -204,6 +204,32 @@ object FilterCompiler {
     }
   }
 
+  /** A stats-plane timestamp comparison value as epoch MICROS. A pure
+    * (signed) integer is ALREADY micros — the Catalyst plane renders
+    * timestamp literals that way. Anything else parses as a datetime:
+    * session-timezone rules for zoned timestamps ([[instantFor]] — the
+    * same resolution the row predicate uses, so skipping can never
+    * disagree with it across a DST boundary), UTC wall clock for NTZ
+    * (no zone by definition). None = unparseable; callers fail open.
+    */
+  private[graft] def timestampValueMicros(s: String,
+      ntz: Boolean): Option[Long] = {
+    val t = s.trim
+    if (t.nonEmpty &&
+        t.drop(if (t.startsWith("-")) 1 else 0).forall(_.isDigit))
+      t.toLongOption
+    else try {
+      val inst =
+        if (ntz) java.time.LocalDateTime
+          .parse(normalizeDateTime(t).replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        else instantFor(t)
+      Some(Math.addExact(
+        Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** "2023-01-01T00:00" → "2023-01-01 00:00:00" (ISO input to JDBC form). */
   private def normalizeDateTime(s: String): String = {
     val t = s.replace("T", " ")

@@ -232,6 +232,7 @@ object DeltaWriter {
     val routed = spark.createDataFrame(keyed, src.schema)
       .drop("__f", "__bin")
     val staging = root.resolve(s".opt-staging-${java.util.UUID.randomUUID()}")
+    graft.sources.Fs.ensureMicrosTimestamps(spark)
     routed.write.parquet(staging.toString)
 
     val removes = Seq.newBuilder[graft.sources.DeltaLogReader.AddFile]
@@ -394,6 +395,7 @@ object DeltaWriter {
       .sortWithinPartitions(keys: _*)
       .drop("__f", "__lox", "__hix", "__loy", "__hiy", "__z")
     val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
+    graft.sources.Fs.ensureMicrosTimestamps(spark)
     clustered.write.partitionBy("__gid").parquet(staging.toString)
     val adds = collectGidOutputs(staging, root, pvOfGid, snap.dataSchema,
       "z-order")
@@ -470,6 +472,7 @@ object DeltaWriter {
             "normalization drift): "), col("__f")))))
       .drop("__f", "__p")
     val staging = root.resolve(s".purge-staging-${java.util.UUID.randomUUID()}")
+    graft.sources.Fs.ensureMicrosTimestamps(spark)
     live.write.partitionBy("__gid").parquet(staging.toString)
     // empty groups (a fully-deleted slice) produce no part files — the
     // removes alone are the correct state
@@ -801,6 +804,7 @@ object DeltaWriter {
     */
   private def writeData(df: DataFrame, root: Path,
       partitionBy: Seq[String]): Seq[Written] = {
+    graft.sources.Fs.ensureMicrosTimestamps(df.sparkSession)
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)

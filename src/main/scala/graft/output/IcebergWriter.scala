@@ -204,16 +204,23 @@ object IcebergWriter {
     * (real streaming sinks store their committed-checkpoint high-water
     * marks exactly this way), consumed by [[lastSummaryValue]].
     */
+  /** `branch`: commit onto a named BRANCH ref instead of main — the
+    * write side of write-audit-publish: the branch head advances,
+    * `current-snapshot-id` (what every plain read serves) is untouched,
+    * and [[fastForward]] later publishes the validated chain atomically.
+    */
   def append(df: DataFrame, path: String,
       summary: Map[String, String] = Map.empty,
-      mergeSchema: Boolean = false): Unit =
+      mergeSchema: Boolean = false,
+      branch: Option[String] = None): Unit =
     commitSnapshot(df, path, carryForward = true, operation = "append",
-      summary, mergeSchema)
+      summary, mergeSchema, branch)
 
   def overwrite(df: DataFrame, path: String,
-      summary: Map[String, String] = Map.empty): Unit =
+      summary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): Unit =
     commitSnapshot(df, path, carryForward = false, operation = "overwrite",
-      summary)
+      summary, branch = branch)
 
   /** Highest NUMERIC snapshot summary value for `key` across all
     * snapshots whose summary carries `matchKey -> matchValue` (numeric,
@@ -243,7 +250,8 @@ object IcebergWriter {
   private def commitSnapshot(df: DataFrame, path: String,
       carryForward: Boolean, operation: String,
       summary: Map[String, String],
-      mergeSchema: Boolean = false): Unit = {
+      mergeSchema: Boolean = false,
+      branch: Option[String] = None): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
 
     def validate(md: ObjectNode): Boolean = {
@@ -266,6 +274,15 @@ object IcebergWriter {
     val mdFile0 = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md0 = mapper.readTree(Files.readString(mdFile0)).asInstanceOf[ObjectNode]
     validate(md0)
+    // fail on a missing/mistyped branch BEFORE any data is written — the
+    // retry loop re-validates against each fresh metadata anyway
+    branch.foreach { b =>
+      val node = Option(md0.get("refs")).flatMap(r => Option(r.get(b)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown branch '$b' in $path (createBranch first)"))
+      require(Option(node.get("type")).forall(_.asText() == "branch"),
+        s"ref '$b' is a ${node.get("type").asText()}, not a branch")
+    }
     val location = Option(md0.get("location")).map(_.asText())
       .getOrElse(root.toString)
     val spec = defaultSpec(md0)
@@ -294,8 +311,21 @@ object IcebergWriter {
       val seq = md.get("last-sequence-number").asLong() + 1
       val version = versionOf(mdFile) + 1
       val newRef = ManifestRef(manifest, 0, seq)
+      // the BASE snapshot this commit builds on: a branch commit carries
+      // forward the BRANCH head's manifests and leaves main untouched
+      val baseId: Option[Long] = branch match {
+        case Some(b) =>
+          val node = Option(md.get("refs")).flatMap(r => Option(r.get(b)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown branch '$b' in $path (createBranch first)"))
+          require(Option(node.get("type")).forall(_.asText() == "branch"),
+            s"ref '$b' is a ${node.get("type").asText()}, not a branch")
+          Some(node.get("snapshot-id").asLong())
+        case None => Option(md.get("current-snapshot-id"))
+          .map(_.asLong()).filter(_ != -1L)
+      }
       val refs =
-        if (carryForward) currentManifests(md, root) :+ newRef
+        if (carryForward) manifestsOf(md, root, baseId) :+ newRef
         else Seq(newRef)
       val list = writeManifestList(root, seq, refs)
 
@@ -308,10 +338,14 @@ object IcebergWriter {
 
       md.put("last-sequence-number", seq)
       md.put("last-updated-ms", ts)
-      md.put("current-snapshot-id", seq)
+      branch match {
+        case Some(b) => md.get("refs").get(b).asInstanceOf[ObjectNode]
+          .put("snapshot-id", seq)
+        case None => md.put("current-snapshot-id", seq)
+      }
       md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
         .add(snapshotNode(seq, seq, list, ts, operation,
-          summary ++ fileSummary(files)))
+          summary ++ fileSummary(files), parent = baseId))
       try {
         commitMetadata(root, version, md)
         committed = true
@@ -334,16 +368,19 @@ object IcebergWriter {
     * their path/content/sequence fields; extra stats fields (partition
     * summaries etc.) are planning hints and are not carried.
     */
-  private def currentManifests(md: JsonNode, root: Path): Seq[ManifestRef] = {
-    val current = Option(md.get("current-snapshot-id")).map(_.asLong())
-      .filter(_ != -1L)
-    current match {
+  private def currentManifests(md: JsonNode, root: Path): Seq[ManifestRef] =
+    manifestsOf(md, root,
+      Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
+
+  private def manifestsOf(md: JsonNode, root: Path,
+      snapshotId: Option[Long]): Seq[ManifestRef] = {
+    snapshotId match {
       case None => Nil
       case Some(id) =>
         val snap = md.get("snapshots").elements().asScala
           .find(_.get("snapshot-id").asLong() == id)
           .getOrElse(throw new IllegalStateException(
-            s"current-snapshot-id $id missing from snapshots"))
+            s"snapshot $id missing from snapshots"))
         val listPath = remapLocal(snap.get("manifest-list").asText(),
           Option(md.get("location")).map(_.asText()).getOrElse(root.toString),
           root)
@@ -411,6 +448,7 @@ object IcebergWriter {
       throw new IllegalStateException(s"no field id for $c")))
     val eqName = s"eqdelete-${java.util.UUID.randomUUID()}.parquet"
     val staging = st.root.resolve(s".eq-staging-${java.util.UUID.randomUUID()}")
+    graft.sources.Fs.ensureMicrosTimestamps(spark)
     keys.coalesce(1).write.parquet(staging.toString)
     val part = listClosed(staging)
       .find(p => p.getFileName.toString.startsWith("part-") &&
@@ -721,6 +759,7 @@ object IcebergWriter {
       .repartitionByRange(col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
     val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
+    graft.sources.Fs.ensureMicrosTimestamps(delDf.sparkSession)
     sorted.write.parquet(staging.toString)
     val written = listClosed(staging)
       .filter(p => p.getFileName.toString.startsWith("part-") &&
@@ -829,8 +868,24 @@ object IcebergWriter {
     * silently change what a frozen name serves) or an unknown snapshot.
     */
   def createTag(path: String, name: String,
-      snapshotId: Option[Long] = None): Unit = {
-    require(name.nonEmpty, "tag name must be non-empty")
+      snapshotId: Option[Long] = None): Unit =
+    createRef(path, name, "tag", snapshotId)
+
+  /** Create a named BRANCH ref (spec v2 `refs`, `type: "branch"`) at
+    * `snapshotId` (the current snapshot by default) — the staging
+    * primitive for write-audit-publish on a training corpus: commit a
+    * risky transform to the branch ([[append]]/[[overwrite]] with
+    * `branch = Some(name)`), validate it (curation report over
+    * `IcebergReader.read(ref = ...)`), then publish atomically with
+    * [[fastForward]]. Plain reads keep serving main throughout.
+    */
+  def createBranch(path: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    createRef(path, name, "branch", snapshotId)
+
+  private def createRef(path: String, name: String, refType: String,
+      snapshotId: Option[Long]): Unit = {
+    require(name.nonEmpty, s"$refType name must be non-empty")
     val root = Paths.get(path).toAbsolutePath.normalize
     // optimistic retry like append: a lost version race against a
     // concurrent commit re-reads the metadata and re-applies the ref.
@@ -847,7 +902,7 @@ object IcebergWriter {
       val id = snapshotId.orElse(
         Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
         .getOrElse(throw new IllegalArgumentException(
-          s"$path has no snapshot to tag"))
+          s"$path has no snapshot to $refType"))
       require(snaps.contains(id), s"snapshot $id not found in $path")
       val refs = Option(md.get("refs"))
         .map(_.asInstanceOf[ObjectNode])
@@ -856,8 +911,53 @@ object IcebergWriter {
         s"ref '$name' already exists in $path (removeTag first)")
       val entry = refs.putObject(name)
       entry.put("snapshot-id", id)
-      entry.put("type", "tag")
+      entry.put("type", refType)
       commitMetadata(root, versionOf(mdFile) + 1, md)
+    }
+  }
+
+  /** PUBLISH a branch: fast-forward main (`current-snapshot-id`) to the
+    * branch head — the atomic cut-over that completes
+    * write-audit-publish. Requires main to be an ANCESTOR of the head
+    * (walking `parent-snapshot-id`): if main advanced independently
+    * since the branch was cut, the histories diverged and a
+    * fast-forward would silently discard main's commits — that case
+    * fails loudly instead (rebase the branch, or overwrite
+    * deliberately). The branch ref itself survives (drop it with
+    * [[removeTag]] when done). Returns the published snapshot id.
+    * Metadata-only; optimistic-retry like every ref op.
+    */
+  def fastForward(path: String, branch: String): Long = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    retryConcurrent {
+      val mdFile = latestMetadataFile(root)
+      val md =
+        mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      val node = Option(md.get("refs")).flatMap(r => Option(r.get(branch)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown branch '$branch' in $path"))
+      require(Option(node.get("type")).forall(_.asText() == "branch"),
+        s"ref '$branch' is a ${node.get("type").asText()}, not a branch")
+      val head = node.get("snapshot-id").asLong()
+      val main = Option(md.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L)
+      if (main.contains(head)) head // already published — idempotent
+      else {
+        val parents: Map[Long, Long] = Option(md.get("snapshots")).toSeq
+          .flatMap(_.elements().asScala)
+          .flatMap(s => Option(s.get("parent-snapshot-id"))
+            .map(p => s.get("snapshot-id").asLong() -> p.asLong()))
+          .toMap
+        val ancestors = Iterator.iterate(Option(head))(
+          _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSet
+        require(main.forall(ancestors.contains),
+          s"main (${main.get}) is not an ancestor of branch '$branch' " +
+            s"head ($head) — histories diverged; fast-forward refused")
+        md.put("current-snapshot-id", head)
+        md.put("last-updated-ms", System.currentTimeMillis())
+        commitMetadata(root, versionOf(mdFile) + 1, md)
+        head
+      }
     }
   }
 
@@ -1092,6 +1192,7 @@ object IcebergWriter {
       fieldIds: Map[String, Int] = Map.empty,
       cluster: Option[(org.apache.spark.sql.Column, Int)] = None)
       : Seq[WrittenFile] = {
+    graft.sources.Fs.ensureMicrosTimestamps(df.sparkSession)
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val out = if (spec.isEmpty) {
       df.write.mode("overwrite").parquet(staging.toString)
@@ -1947,9 +2048,14 @@ object IcebergWriter {
 
   private def snapshotNode(id: Long, seq: Long, manifestList: String,
       ts: Long, operation: String,
-      summary: Map[String, String] = Map.empty): ObjectNode = {
+      summary: Map[String, String] = Map.empty,
+      parent: Option[Long] = None): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", id)
+    // ancestry (spec `parent-snapshot-id`): what makes branch
+    // fast-forward publishable — "is main an ancestor of this head?"
+    // walks this chain
+    parent.foreach(p => n.put("parent-snapshot-id", p))
     n.put("sequence-number", seq)
     n.put("timestamp-ms", ts)
     n.put("manifest-list", manifestList)

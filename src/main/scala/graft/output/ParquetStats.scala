@@ -57,6 +57,23 @@ private[output] object ParquetStats {
           val path = c.getPath.toArray
           if (path.length == 1) {
             val st = c.getStatistics
+            // binary-physical DECIMAL stats are two's-complement
+            // unscaled values — parquet Binary's own comparator is
+            // UNSIGNED lexicographic, which orders negatives above
+            // positives; merging blocks with it would produce wrong
+            // bounds (and wrong bounds silently drop rows downstream)
+            val decBin = {
+              val pt = c.getPrimitiveType
+              pt.getLogicalTypeAnnotation.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation] &&
+                (pt.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.BINARY ||
+                 pt.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            }
             val agg = byCol.getOrElseUpdate(path(0),
               Agg(null, null, 0L, usable = true))
             if (st == null || st.isEmpty || st.getNumNulls < 0) {
@@ -65,9 +82,11 @@ private[output] object ParquetStats {
               agg.nulls += st.getNumNulls
               if (st.hasNonNullValue) {
                 if (agg.min == null ||
-                    compareGeneric(st, agg.min) < 0) agg.min = st
+                    cmpValues(st.genericGetMin, agg.min.genericGetMin,
+                      decBin) < 0) agg.min = st
                 if (agg.max == null ||
-                    compareGenericMax(st, agg.max) > 0) agg.max = st
+                    cmpValues(st.genericGetMax, agg.max.genericGetMax,
+                      decBin) > 0) agg.max = st
               }
             }
           }
@@ -133,17 +152,25 @@ private[output] object ParquetStats {
         Some(Array[Byte](if (b) 1 else 0))
       case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
         Some(b.getBytes)
+      // decimals: minimal-length big-endian two's-complement unscaled
+      // value (spec Appendix D); BigInteger.toByteArray IS that form
+      case (n: java.lang.Integer, _: DecimalType) =>
+        Some(java.math.BigInteger.valueOf(n.longValue).toByteArray)
+      case (n: java.lang.Long, _: DecimalType) =>
+        Some(java.math.BigInteger.valueOf(n.longValue).toByteArray)
+      case (b: org.apache.parquet.io.api.Binary, _: DecimalType) =>
+        Some(new java.math.BigInteger(b.getBytes).toByteArray)
       case _ => None
     }
   }
 
-  private def compareGeneric(a: Statistics[_], b: Statistics[_]): Int =
-    a.genericGetMin.asInstanceOf[Comparable[Any]]
-      .compareTo(b.genericGetMin.asInstanceOf[Any])
-
-  private def compareGenericMax(a: Statistics[_], b: Statistics[_]): Int =
-    a.genericGetMax.asInstanceOf[Comparable[Any]]
-      .compareTo(b.genericGetMax.asInstanceOf[Any])
+  private def cmpValues(a: Any, b: Any, decimalBinary: Boolean): Int =
+    if (decimalBinary)
+      new java.math.BigInteger(
+          a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        .compareTo(new java.math.BigInteger(
+          b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+    else a.asInstanceOf[Comparable[Any]].compareTo(b)
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -169,6 +196,15 @@ private[output] object ParquetStats {
     case (b: java.lang.Boolean, _: BooleanType) => Some(b.toString)
     case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
       Some(s""""${esc(b.toStringUsingUTF8)}"""")
+    // decimals: the footer's physical form depends on precision
+    // (INT32 ≤9, INT64 ≤18, else fixed/binary two's-complement unscaled)
+    case (n: java.lang.Integer, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue, d.scale).toPlainString)
+    case (n: java.lang.Long, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue, d.scale).toPlainString)
+    case (b: org.apache.parquet.io.api.Binary, d: DecimalType) =>
+      Some(new java.math.BigDecimal(
+        new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
     case _ => None
   }
 }

@@ -21,6 +21,9 @@ object ServeMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros parquet timestamps: INT96 (the default) has no
+      // footer stats, killing timestamp data skipping on written tables
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val configs = ConfigLoader.loadYaml(configPath)

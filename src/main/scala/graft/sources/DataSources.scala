@@ -28,18 +28,44 @@ object DataSources {
     * skipping for delta (log stats) and iceberg (manifest bounds)
     * sources. Every other file type ignores both.
     */
+  /** `az://container/path` (the reference's Azure shorthand,
+    * context/source_uri.py:38-78) → the Hadoop ABFS form Spark reads
+    * natively once `hadoop-azure` is on the classpath (docs/AZURE.md):
+    * `abfss://container@{account}.dfs.core.windows.net/path`. The
+    * account comes from `options.account_name` (mirroring the
+    * reference's per-source account option) or
+    * `SPARK_GRAFT_AZURE_ACCOUNT`. `abfss://` and every other Hadoop
+    * scheme pass through untouched — Spark's readers resolve them via
+    * the Hadoop FileSystem registry, no copy_local needed (executors
+    * read remote storage directly).
+    */
+  private[graft] def resolveUri(uri: String,
+      options: Map[String, String]): String =
+    if (!uri.startsWith("az://")) uri
+    else {
+      val account = options.get("account_name")
+        .orElse(sys.env.get("SPARK_GRAFT_AZURE_ACCOUNT"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"az:// uri '$uri' needs options.account_name " +
+            "(or SPARK_GRAFT_AZURE_ACCOUNT)"))
+      val rest = uri.stripPrefix("az://")
+      val (container, path) = rest.span(_ != '/')
+      s"abfss://$container@$account.dfs.core.windows.net$path"
+    }
+
   def read(spark: SparkSession, ds: DatasourceConfig,
       icebergPartitionFilter: Map[String, String] = Map.empty,
       skipFilters: Seq[SkipPredicate] = Nil,
       icebergPartitionPredicates: Seq[IcebergReader.PartitionPredicate] = Nil)
       : DataFrame = {
     val reader = spark.read.options(ds.options)
+    val uri = resolveUri(ds.uri, ds.options)
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
         DeltaLogReader.read(spark, ds.uri,
           ds.options.get("versionAsOf").map(_.toLong),
           skipFilters = skipFilters)
-      case "parquet" | "delta" => reader.parquet(ds.uri)
+      case "parquet" | "delta" => reader.parquet(uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         IcebergReader.read(spark, ds.uri,
           ds.options.get("snapshotId").map(_.toLong),
@@ -49,15 +75,15 @@ object DataSources {
           partitionPredicates = icebergPartitionPredicates,
           // named-ref pin ("serve exactly the tagged corpus version")
           ref = ds.options.get("ref"))
-      case "orc" => reader.orc(ds.uri) // read side of the O12 orc writer
+      case "orc" => reader.orc(uri) // read side of the O12 orc writer
       case "csv" =>
         reader
           .option("header", ds.options.getOrElse("header", "true"))
           .option("inferSchema", ds.options.getOrElse("inferSchema", "true"))
-          .csv(ds.uri)
+          .csv(uri)
       case "json" => // array-of-records file (df_duckdb.py:411-417)
-        reader.option("multiLine", "true").json(ds.uri)
-      case "ndjson" => reader.json(ds.uri)
+        reader.option("multiLine", "true").json(uri)
+      case "ndjson" => reader.json(uri)
       case "arrow" | "arrow-stream" | "feather" | "ipc" =>
         ArrowSource.read(spark, ds.uri) // layout sniffed from the magic bytes
       case "sqlite" => // S8: native B-tree reader (no JDBC jars in env)

@@ -331,7 +331,43 @@ object DeltaLogReader {
         val a = stat.asText.getBytes("UTF-8")
         val b = value.getBytes("UTF-8")
         Some(java.util.Arrays.compareUnsigned(a, b))
+      // timestamps: the log's ISO-8601 instant (or a foreign writer's
+      // epoch micros) vs the request value resolved through the SAME
+      // session-timezone machinery the row predicate uses — an
+      // event-time range scan is the single most common predicate on a
+      // training-data lake, and without this every file stayed planned
+      case t @ (_: TimestampType | _: TimestampNTZType) =>
+        val ntz = t.isInstanceOf[TimestampNTZType]
+        for {
+          s <- statTimestampMicros(stat)
+          v <- graft.filters.FilterCompiler.timestampValueMicros(value, ntz)
+        } yield java.lang.Long.compare(s, v)
+      case _: DecimalType =>
+        Some(new java.math.BigDecimal(stat.asText)
+          .compareTo(new java.math.BigDecimal(value.trim)))
       case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A delta-stats timestamp node as epoch micros: numeric nodes are
+    * already micros; text is ISO-8601 — offset/Z-suffixed instants
+    * (this writer's form, Instant.toString) or a naive wall clock (the
+    * protocol's timestamp_ntz form), read at UTC. None = unparseable.
+    */
+  private def statTimestampMicros(stat: JsonNode): Option[Long] = try {
+    if (stat.isNumber) Some(stat.asLong)
+    else {
+      val t = stat.asText.trim.replace(" ", "T")
+      val inst =
+        try java.time.OffsetDateTime.parse(t).toInstant
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            java.time.LocalDateTime.parse(t)
+              .toInstant(java.time.ZoneOffset.UTC)
+        }
+      Some(Math.addExact(
+        Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L))
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -491,9 +527,28 @@ object DeltaLogReader {
             statsMayMatch(f.statsNode, fld.name, p.op, p.value, fld.dataType)
           }))
       }
-    val mapped = snap.columnMappingMode == "name"
+    val mode = snap.columnMappingMode
+    val mapped = mode == "name" || mode == "id"
     val dataFields = snap.dataSchema.fields
-    val physicalSchema = StructType(dataFields.map(f => f.copy(name = physicalName(f))))
+    // `name` mode: parquet columns matched by their physical names.
+    // `id` mode: matched by parquet FIELD ID — Spark's reader does this
+    // natively when the requested schema carries `parquet.field.id`
+    // metadata and fieldId.read is enabled; the physical name is only
+    // the exposure name then, so files whose internal names drifted
+    // (foreign writers, engine round-trips) still read correctly.
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def physicalField(f: StructField): StructField = {
+      val base = f.copy(name = physicalName(f))
+      if (mode == "id" && f.metadata.contains("delta.columnMapping.id"))
+        base.copy(metadata = new MetadataBuilder()
+          .withMetadata(base.metadata)
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+      else base
+    }
+    val physicalSchema = StructType(dataFields.map(physicalField))
 
     /** `file:` URI → plain absolute path, matching [[absPath]]'s keys. */
     def normFile(c: org.apache.spark.sql.Column) =
@@ -530,7 +585,10 @@ object DeltaLogReader {
       // skip-filtered `snap` is a fresh copy whose memo starts empty
       // (every filtered serving request would re-stat every file)
       IndexedFile(abs, snap0.fileSize(abs),
-        partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
+        // under column mapping the log keys partitionValues by PHYSICAL
+        // name; plain tables by the logical one — try both
+        partFields.map(pf => f.partitionValues.get(physicalName(pf))
+          .orElse(f.partitionValues.get(pf.name)).orNull),
         (colName, op, value) =>
           schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
             case Some(fld) => statsMayMatch(f.statsNode, fld.name, op, value,

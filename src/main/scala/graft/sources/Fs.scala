@@ -10,6 +10,20 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] object Fs {
 
+  /** Pin int64-micros parquet timestamps for the calling session. The
+    * Spark default (INT96) carries NO footer statistics — parquet-mr
+    * dropped INT96 stats as undefined — which silently kills timestamp
+    * data skipping on every table this engine writes, and the iceberg
+    * spec outright requires int64 micros. Called by the table writers
+    * so written tables stay skippable regardless of how the session was
+    * built; graft's own session builders also set it up front.
+    */
+  def ensureMicrosTimestamps(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+        == "INT96")
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+
   def listClosed(dir: Path): Vector[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toVector finally s.close()

@@ -151,6 +151,23 @@ final class GraftFileIndex(
       for { a <- fileTest(l); b <- fileTest(r) } yield {
         f: IndexedFile => a(f) || b(f)
       }
+    // IN prunes as OR-of-equalities — strictly tighter than the old
+    // [min, max] envelope (`x IN ('AIR','TRUCK')` kept every file whose
+    // range straddled the middle). A null candidate matches no row
+    // (SQL IN yields NULL, filtered), so it contributes no disjunct; a
+    // type the planes can't render fails open for the whole list.
+    case In(a: AttributeReference, vs) if vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      val nonNull = vs.map(_.asInstanceOf[Literal]).filter(_.value != null)
+      val rendered = nonNull.map(render)
+      if (rendered.exists(_.isEmpty)) None // unrenderable type: fail open
+      else if (rendered.isEmpty) None      // IN (NULL): matches nothing,
+        // but planning an empty scan is the executor's job, not the
+        // index's — keep files, the row predicate drops everything
+      else {
+        val values = rendered.flatten
+        Some(f => values.exists(v => f.mayMatch(a.name, "=", v)))
+      }
     case leaf =>
       val checks = skipChecks(leaf)
       if (checks.isEmpty) None
@@ -199,17 +216,8 @@ final class GraftFileIndex(
         val prefix = l.value.toString
         (a.name, ">=", prefix) +: prefixUpper(prefix)
           .map(u => Seq((a.name, "<", u))).getOrElse(Nil)
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        // IN prunes as the [min, max] envelope of its values — coarse
-        // but sound, and exact for the 1-element case
-        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
-        if (rendered.exists(_.isEmpty)) Nil
-        else {
-          val sorted = rendered.flatten.sortWith((x, y) =>
-            compareRendered(a.dataType, x, y) < 0)
-          Seq((a.name, ">=", sorted.head), (a.name, "<=", sorted.last))
-        }
+      // IN is handled in fileTest as OR-of-equalities (a disjunction
+      // can't be expressed in this conjunct list)
       case _ => Nil
     }
 
@@ -229,7 +237,11 @@ final class GraftFileIndex(
     }
 
   /** The literal in the string form the stats planes parse; None =
-    * a type they don't compare (timestamps, decimals, ...) — no check.
+    * a type they don't compare — no check. Timestamp literals render as
+    * their epoch MICROS (a Catalyst timestamp literal's value IS the
+    * UTC-adjusted micros, so no timezone resolution happens here — the
+    * planes parse a pure integer straight back to micros); decimals as
+    * their plain decimal string.
     */
   private def render(l: Literal): Option[String] =
     if (l.value == null) None
@@ -240,19 +252,9 @@ final class GraftFileIndex(
       case DateType => Some(
         java.time.LocalDate.ofEpochDay(
           l.value.asInstanceOf[Number].longValue).toString)
+      case TimestampType | TimestampNTZType => Some(l.value.toString)
+      case _: DecimalType => Some(l.value.toString)
       case _ => None
     }
 
-  private def compareRendered(dt: DataType, x: String, y: String): Int =
-    dt match {
-      case IntegerType | LongType | ShortType | ByteType =>
-        java.lang.Long.compare(x.toLong, y.toLong)
-      case DoubleType | FloatType =>
-        java.lang.Double.compare(x.toDouble, y.toDouble)
-      // unsigned UTF-8 — the order both stats planes compare strings in
-      // (ISO dates are order-isomorphic to it too)
-      case _ => java.util.Arrays.compareUnsigned(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
 }

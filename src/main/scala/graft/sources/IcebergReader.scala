@@ -745,6 +745,18 @@ object IcebergReader {
       case _: StringType =>
         Some(java.util.Arrays.compareUnsigned(bound,
           value.getBytes("UTF-8")))
+      // timestamps: iceberg bounds are epoch-micros longs (timestamptz
+      // UTC-adjusted, timestamp wall-clock); the request value resolves
+      // through the session-timezone machinery the row predicate uses
+      case t @ (_: TimestampType | _: TimestampNTZType) =>
+        graft.filters.FilterCompiler.timestampValueMicros(value,
+            ntz = t.isInstanceOf[TimestampNTZType])
+          .map(v => java.lang.Long.compare(le.getLong, v))
+      // decimals: unscaled big-endian two's-complement at the type's
+      // scale (spec Appendix D single-value serialization)
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bound), d.scale)
+          .compareTo(new java.math.BigDecimal(value.trim)))
       case _ => None
     }
   } catch { case scala.util.control.NonFatal(_) => None }

@@ -127,6 +127,42 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(df.select(col("`Super Name_`")).as[String].head() == "hi")
   }
 
+  test("column mapping id mode: parquet columns matched by FIELD ID — " +
+      "physical names in the file can differ from the log's, read and " +
+      "serving both green") {
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("dltid").toString
+    // the physical file's INTERNAL names (x1/x2) match nothing in the
+    // log — only the parquet field ids (1/2) can resolve the columns
+    val data = Seq((1L, "hi"), (2L, "yo")).toDF("a", "b")
+    val withIds = spark.createDataFrame(data.rdd, StructType(Seq(
+      StructField("x1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("x2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build()))))
+    withIds.coalesce(1).write.parquet(s"$t/d"); relocate(t, "d", "data.parquet")
+    def field(name: String, tpe: String, phys: String, id: Int) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{"delta.columnMapping.physicalName":"$phys","delta.columnMapping.id":$id}}"""
+    val schema = s"""{"type":"struct","fields":[${field("id", "long", "col-aaa", 1)},${field("Super Name_", "string", "col-bbb", 2)}]}"""
+    writeCommit(t, 0, Seq(protocol,
+      metaAction(schema, config = Map("delta.columnMapping.mode" -> "id")),
+      """{"add":{"path":"data.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DeltaLogReader.read(spark, t)
+    assert(df.columns.toSeq == Seq("id", "Super Name_"))
+    assert(df.select(col("`Super Name_`")).as[String].collect().sorted.toSeq
+      == Seq("hi", "yo"))
+    assert(df.filter(col("id") === 2L).select(col("`Super Name_`"))
+      .as[String].head() == "yo")
+    // serving path: the pipeline filters on the LOGICAL name
+    val cfg = graft.config.TableConfig("idmode", "test",
+      datasource = graft.config.DatasourceConfig(uri = t, fileType = "delta"),
+      params = Seq(graft.config.Param("id")))
+    val served = graft.query.QueryPipeline.run(spark, cfg,
+      graft.query.QueryPipeline.Request(params = Map("id" -> "1")))
+    assert(served.count() == 1L)
+    assert(served.select(col("`Super Name_`")).as[String].head() == "hi")
+  }
+
   test("embedded lakeapi.config surfaces from table configuration (config.py:227-254)") {
     val t = Files.createTempDirectory("dlt4").toString
     Seq(1L).toDF("id").coalesce(1).write.parquet(s"$t/d"); relocate(t, "d", "d.parquet")
@@ -623,5 +659,117 @@ class DeltaLogReaderSpec extends SparkSpec {
       case s: FileSourceScanExec => s
     }.head
     assert(scan3.selectedPartitions.totalNumberOfFiles < 8)
+  }
+
+  test("timestamp range predicates file-skip on BOTH planes (Catalyst " +
+      "literal micros, serving ISO strings), oracle-clean across a DST " +
+      "boundary in a non-UTC session") {
+    def ts(s: String) = java.time.Instant.parse(s)
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ts_skip_${System.nanoTime()}").toString
+    // 3 files with disjoint event-time ranges; the middle straddles the
+    // US DST spring-forward instant (2024-03-10 07:00Z = 02:00 EST)
+    graft.output.DeltaWriter.create(
+      (0 until 50).map(i => (i.toLong, ts(f"2024-01-15T${i % 24}%02d:00:00Z")))
+        .toDF("id", "ts").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      (0 until 48).map(i =>
+          (100L + i, ts("2024-03-10T00:00:00Z").plusSeconds(i * 1800L)))
+        .toDF("id", "ts").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      (0 until 50).map(i => (200L + i, ts(f"2024-06-20T${i % 24}%02d:00:00Z")))
+        .toDF("id", "ts").coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    assert(t.inputFiles.length == 3)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    // Catalyst plane: a timestamp range plans a strict file subset
+    val q = t.filter(col("ts") >= to_timestamp(lit("2024-06-01 00:00:00")))
+    assert(q.count() == 50L && planned(q) == 1, planned(q))
+    val win = t.filter(col("ts").between(
+      to_timestamp(lit("2024-03-01 00:00:00")),
+      to_timestamp(lit("2024-03-31 00:00:00"))))
+    assert(win.count() == 48L && planned(win) == 1, planned(win))
+    // serving plane: ISO skip values through the session-tz machinery
+    import graft.sources.SkipPredicate
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("ts", ">=", "2024-06-01T00:00:00")))
+      .inputFiles.length == 1)
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("ts", "<", "2024-02-01 00:00:00")))
+      .inputFiles.length == 1)
+    // DST boundary, non-UTC session: skipping must agree with the row
+    // predicate (both resolve naive literals through the SAME session
+    // zone) — prune a strict subset AND return identical rows
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val naive = "2024-03-10 02:30:00" // inside the spring-forward gap
+      val skipped = DeltaLogReader.read(spark, path,
+        skipFilters = Seq(SkipPredicate("ts", ">=", naive)))
+      val full = DeltaLogReader.read(spark, path)
+      val expect = full
+        .filter(col("ts") >= to_timestamp(lit(naive))).count()
+      assert(skipped.inputFiles.length == 2, skipped.inputFiles.toSeq)
+      assert(skipped.filter(col("ts") >= to_timestamp(lit(naive))).count()
+        == expect)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("decimal bounds file-skip, signed — negative unscaled values " +
+      "order below positives on both planes") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_dec_skip_${System.nanoTime()}").toString
+    def d(s: String) = new java.math.BigDecimal(s)
+    graft.output.DeltaWriter.create(
+      Seq((1L, d("-500.00")), (2L, d("-100.00")))
+        .toDF("id", "amt").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq((3L, d("100.00")), (4L, d("500.00")))
+        .toDF("id", "amt").coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    assert(t.inputFiles.length == 2)
+    import graft.sources.SkipPredicate
+    val neg = DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("amt", "<=", "-200")))
+    assert(neg.inputFiles.length == 1, neg.inputFiles.toSeq)
+    assert(neg.filter(col("amt") <= -200).count() == 1L)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val q = t.filter(col("amt") >= lit(d("250.00")))
+    assert(q.count() == 1L && planned(q) == 1, planned(q))
+  }
+
+  test("IN-list predicates file-skip as OR-of-equalities: values in " +
+      "disjoint files plan ONLY those files, not the [min,max] envelope") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_in_skip_${System.nanoTime()}").toString
+    // three files with ranges [a..b], [m..n], [y..z] — the verdict's
+    // exact envelope counterexample
+    graft.output.DeltaWriter.create(
+      Seq("a0" -> 1L, "b0" -> 2L).toDF("v", "id").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq("m0" -> 3L, "n0" -> 4L).toDF("v", "id").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq("y0" -> 5L, "z0" -> 6L).toDF("v", "id").coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    assert(t.inputFiles.length == 3)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val q = t.filter(col("v").isin("a0", "z0"))
+    assert(q.count() == 2L, "IN result rows")
+    assert(planned(q) == 2, s"envelope kept the middle file: ${planned(q)}")
+    // a null candidate adds no disjunct and breaks nothing
+    val qn = t.filter(col("v").isin("m0", null))
+    assert(qn.count() == 1L && planned(qn) == 1, planned(qn))
   }
 }

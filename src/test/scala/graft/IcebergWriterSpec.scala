@@ -1031,4 +1031,103 @@ class IcebergWriterSpec extends SparkSpec {
     assert(ranged.count() == 1L)
     assert(ranged.select("v").as[String].head() == "a3")
   }
+
+  test("timestamp range predicates file-skip from manifest bounds on " +
+      "both the serving and Catalyst planes") {
+    def ts(s: String) = java.time.Instant.parse(s)
+    val path = tmp("tsskip")
+    IcebergWriter.create(
+      (0 until 40).map(i => (i.toLong, ts(f"2024-01-10T${i % 24}%02d:00:00Z")))
+        .toDF("id", "ts").coalesce(1), path)
+    IcebergWriter.append(
+      (0 until 40).map(i => (100L + i, ts(f"2024-03-10T${i % 24}%02d:00:00Z")))
+        .toDF("id", "ts").coalesce(1), path)
+    IcebergWriter.append(
+      (0 until 40).map(i => (200L + i, ts(f"2024-06-20T${i % 24}%02d:00:00Z")))
+        .toDF("id", "ts").coalesce(1), path)
+    assert(IcebergReader.read(spark, path).inputFiles.length == 3)
+    // serving plane: ISO skip values against the manifests' micros bounds
+    import graft.sources.SkipPredicate
+    val hi = IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("ts", ">=", "2024-06-01T00:00:00")))
+    assert(hi.inputFiles.length == 1, hi.inputFiles.toSeq)
+    assert(hi.count() == 40L)
+    val win = IcebergReader.read(spark, path, skipFilters = Seq(
+      SkipPredicate("ts", ">=", "2024-03-01 00:00:00"),
+      SkipPredicate("ts", "<=", "2024-03-31 00:00:00")))
+    assert(win.inputFiles.length == 1 && win.count() == 40L)
+    // Catalyst plane: a pushed timestamp range prunes at the file index
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val t = IcebergReader.read(spark, path)
+    val q = t.filter(col("ts") < to_timestamp(lit("2024-02-01 00:00:00")))
+    assert(q.count() == 40L && planned(q) == 1, planned(q))
+
+    // decimal bounds skip too (unscaled big-endian two's-complement,
+    // SIGNED compare — negatives below positives)
+    val dpath = tmp("decskip")
+    def d(s: String) = new java.math.BigDecimal(s)
+    IcebergWriter.create(
+      Seq((1L, d("-500.00")), (2L, d("-100.00")))
+        .toDF("id", "amt").coalesce(1), dpath)
+    IcebergWriter.append(
+      Seq((3L, d("100.00")), (4L, d("500.00")))
+        .toDF("id", "amt").coalesce(1), dpath)
+    val dneg = IcebergReader.read(spark, dpath,
+      skipFilters = Seq(SkipPredicate("amt", "<=", "-200")))
+    assert(dneg.inputFiles.length == 1, dneg.inputFiles.toSeq)
+    assert(dneg.count() == 2L)
+    val dt2 = IcebergReader.read(spark, dpath)
+    val dq = dt2.filter(col("amt") >= lit(d("250.00")))
+    assert(dq.count() == 1L && planned(dq) == 1, planned(dq))
+  }
+
+  test("branches: commits to a branch leave main untouched, fastForward " +
+      "publishes atomically and is idempotent, diverged main refuses") {
+    val path = tmp("branch")
+    val base = (0 until 6).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    IcebergWriter.create(base, path)
+    IcebergWriter.createBranch(path, "stage")
+    // write-audit: the risky transform lands on the branch only
+    IcebergWriter.append(
+      Seq((100L, "staged")).toDF("id", "v"), path, branch = Some("stage"))
+    assert(IcebergReader.read(spark, path).count() == 6L, "main moved")
+    val staged = IcebergReader.read(spark, path, ref = Some("stage"))
+    assert(staged.count() == 7L)
+    assert(staged.filter(col("v") === "staged").count() == 1L)
+    // a second branch commit chains on the branch head
+    IcebergWriter.append(
+      Seq((101L, "staged2")).toDF("id", "v"), path, branch = Some("stage"))
+    assert(IcebergReader.read(spark, path).count() == 6L)
+    assert(IcebergReader.read(spark, path, ref = Some("stage")).count() == 8L)
+    // publish: main fast-forwards to the branch head
+    val head = IcebergWriter.fastForward(path, "stage")
+    assert(IcebergReader.read(spark, path).count() == 8L)
+    // idempotent
+    assert(IcebergWriter.fastForward(path, "stage") == head)
+    // divergence: main advances independently of a new branch → refused
+    IcebergWriter.createBranch(path, "risky")
+    IcebergWriter.append(Seq((200L, "main2")).toDF("id", "v"), path)
+    IcebergWriter.append(
+      Seq((300L, "risky1")).toDF("id", "v"), path, branch = Some("risky"))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(path, "risky")
+    }
+    // main kept its own commit; the branch stays readable for a rebase
+    assert(IcebergReader.read(spark, path).count() == 9L)
+    assert(IcebergReader.read(spark, path, ref = Some("risky")).count() == 9L)
+    // commits to an unknown branch and tag-typed refs fail loudly
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(Seq((1L, "x")).toDF("id", "v"), path,
+        branch = Some("nope"))
+    }
+    IcebergWriter.createTag(path, "pin")
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(Seq((1L, "x")).toDF("id", "v"), path,
+        branch = Some("pin"))
+    }
+  }
 }

@@ -229,4 +229,36 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(physical.contains("TakeOrderedAndProject"), physical)
   }
+
+  test("azure URIs: az:// translates to the Hadoop ABFS form, abfss:// " +
+      "and config pass through verbatim (docs/AZURE.md, S10)") {
+    import graft.sources.DataSources.resolveUri
+    assert(resolveUri("az://data/lake/fruits",
+      Map("account_name" -> "myacct"))
+      == "abfss://data@myacct.dfs.core.windows.net/lake/fruits")
+    // container-only uri: empty path tail
+    assert(resolveUri("az://data", Map("account_name" -> "myacct"))
+      == "abfss://data@myacct.dfs.core.windows.net")
+    // abfss and every other scheme untouched
+    val abfss = "abfss://data@myacct.dfs.core.windows.net/lake/t"
+    assert(resolveUri(abfss, Map.empty) == abfss)
+    assert(resolveUri("/local/path", Map.empty) == "/local/path")
+    intercept[IllegalArgumentException] {
+      resolveUri("az://data/x", Map.empty) // no account anywhere
+    }
+    // the config loader carries an abfss uri verbatim into the source
+    val yaml =
+      """tables:
+        |  - name: remote
+        |    tag: test
+        |    datasource:
+        |      uri: abfss://data@myacct.dfs.core.windows.net/lake/fruits
+        |      file_type: parquet
+        |""".stripMargin
+    val tmp = java.nio.file.Files.createTempFile("graft_abfss", ".yml")
+    java.nio.file.Files.writeString(tmp, yaml)
+    val cfgs = graft.config.ConfigLoader.loadYaml(tmp.toString)
+    assert(cfgs.tables.head.datasource.uri
+      == "abfss://data@myacct.dfs.core.windows.net/lake/fruits")
+  }
 }

@@ -19,6 +19,9 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros parquet timestamps: INT96 (the default) has no
+      // footer stats, killing timestamp data skipping on written tables
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .getOrCreate()
 }
 
