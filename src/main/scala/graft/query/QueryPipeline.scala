@@ -146,6 +146,19 @@ object QueryPipeline {
           Seq(graft.sources.SkipPredicate(p.column, "notnull", ""))
         case (Some(o), s: String) if usable(s) =>
           Seq(graft.sources.SkipPredicate(p.column, o, s))
+        // IN-lists skip as OR-of-equalities (a point-set lookup — files
+        // holding none of the values drop). Comma-joined wire form, so
+        // any value containing a comma (or a null/falsy sentinel) makes
+        // the whole list contribute nothing — fail open, never wrong.
+        case _ if op == "in" =>
+          val vs = value match {
+            case s: Seq[_] => s.map(String.valueOf(_))
+            case s: String => s.split(",", -1).toSeq
+            case other => Seq(String.valueOf(other))
+          }
+          if (vs.nonEmpty && vs.forall(v => usable(v) && !v.contains(",")))
+            Seq(graft.sources.SkipPredicate(p.column, "in", vs.mkString(",")))
+          else Nil
         // BETWEEN is a conjunctive range — both bounds skip (the single
         // most common date-window request shape). `not between` is a
         // disjunction and contributes nothing.

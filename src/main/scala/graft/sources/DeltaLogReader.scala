@@ -271,6 +271,10 @@ object DeltaLogReader {
   private[graft] def statsMayMatch(statsOpt: Option[JsonNode], col: String,
       op: String, value: String, dt: DataType): Boolean = statsOpt match {
     case None => true
+    // IN-lists (comma-joined, caller guarantees comma-free values) test
+    // as OR-of-equalities — tighter than any envelope, same fail-open
+    case Some(_) if op == "in" =>
+      value.split(",", -1).exists(v => statsMayMatch(statsOpt, col, "=", v, dt))
     case Some(n) =>
       try {
         def bound(kind: String): Option[JsonNode] =

@@ -651,6 +651,10 @@ object IcebergReader {
     */
   private def entryMayMatch(f: DataFileEntry, fid: Int, op: String,
       value: String, dt: DataType): Boolean = op match {
+    // IN-lists (comma-joined, caller guarantees comma-free values) as
+    // OR-of-equalities against the entry's bounds
+    case "in" =>
+      value.split(",", -1).exists(v => entryMayMatch(f, fid, "=", v, dt))
     case "null" => f.nullCounts.get(fid).forall(_ > 0L)
     case "notnull" =>
       !(for {

@@ -771,5 +771,11 @@ class DeltaLogReaderSpec extends SparkSpec {
     // a null candidate adds no disjunct and breaks nothing
     val qn = t.filter(col("v").isin("m0", null))
     assert(qn.count() == 1L && planned(qn) == 1, planned(qn))
+    // serving plane: an `in` SkipPredicate prunes the same way
+    import graft.sources.SkipPredicate
+    val served = DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("v", "in", "a0,z0")))
+    assert(served.inputFiles.length == 2, served.inputFiles.toSeq)
+    assert(served.filter(col("v").isin("a0", "z0")).count() == 2L)
   }
 }

@@ -1056,6 +1056,10 @@ class IcebergWriterSpec extends SparkSpec {
       SkipPredicate("ts", ">=", "2024-03-01 00:00:00"),
       SkipPredicate("ts", "<=", "2024-03-31 00:00:00")))
     assert(win.inputFiles.length == 1 && win.count() == 40L)
+    // serving-plane IN-lists skip as OR-of-equalities over the bounds
+    val inq = IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", "in", "5,205")))
+    assert(inq.inputFiles.length == 2, inq.inputFiles.toSeq)
     // Catalyst plane: a pushed timestamp range prunes at the file index
     def planned(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.sparkPlan.collect {
