@@ -30,6 +30,9 @@ object Bench {
       // int64-micros parquet timestamps: INT96 (the default) has no
       // footer stats, killing timestamp data skipping on written tables
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // field-id parquet matching from session start (id-mode column
+      // mapping) — deterministic, not flipped mid-session by a read
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // measurement hook: comma-separated k=v session confs (e.g.

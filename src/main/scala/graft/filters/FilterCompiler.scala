@@ -212,7 +212,21 @@ object FilterCompiler {
     * disagree with it across a DST boundary), UTC wall clock for NTZ
     * (no zone by definition). None = unparseable; callers fail open.
     */
+  // parse memo: an IN-list of k timestamps over an n-file table otherwise
+  // re-parses each candidate n times inside the stats planes at PLAN time
+  // (p99-sensitive). Keyed by session zone too — specs flip it, and a
+  // naive literal's instant depends on it. Count-bounded clear-all.
+  private val tsMicrosMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean, String), Option[Long]]()
+
   private[graft] def timestampValueMicros(s: String,
+      ntz: Boolean): Option[Long] = {
+    if (tsMicrosMemo.size > 4096) tsMicrosMemo.clear()
+    tsMicrosMemo.computeIfAbsent((s, ntz, sessionZone.getId),
+      _ => computeTimestampValueMicros(s, ntz))
+  }
+
+  private def computeTimestampValueMicros(s: String,
       ntz: Boolean): Option[Long] = {
     val t = s.trim
     if (t.nonEmpty &&

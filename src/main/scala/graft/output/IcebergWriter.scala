@@ -807,19 +807,36 @@ object IcebergWriter {
       val snaps = Option(md.get("snapshots")).toSeq
         .flatMap(_.elements().asScala).toVector
       if (snaps.size <= keepLast) return 0
-      // snapshots pinned by a named ref ([[createTag]]) are NEVER
-      // expired — a tag is the durable reproducibility handle, age is
-      // irrelevant
-      val refPinned: Set[Long] = Option(md.get("refs")).toSeq
-        .flatMap(_.elements().asScala)
-        .map(_.get("snapshot-id").asLong()).toSet
+      val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L)
+      // NEVER expired: snapshots pinned by a named ref (a tag is the
+      // durable reproducibility handle — age is irrelevant), MAIN's
+      // current snapshot (a staged branch can be NEWER than main, which
+      // would otherwise age main itself into the drop set and abort
+      // every expiration until publish), and a live BRANCH's whole
+      // ancestry (fastForward's publishability check walks
+      // parent-snapshot-id — severing the chain would strand the
+      // branch unpublishable; drop the branch ref after publishing to
+      // release its history)
+      val refNodes = Option(md.get("refs")).toSeq
+        .flatMap(_.fields().asScala).map(_.getValue)
+      val parents: Map[Long, Long] = snaps.flatMap(s =>
+        Option(s.get("parent-snapshot-id"))
+          .map(p => s.get("snapshot-id").asLong() -> p.asLong())).toMap
+      def chain(id: Long): Set[Long] = Iterator.iterate(Option(id))(
+        _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSet
+      val refPinned: Set[Long] =
+        refNodes.map(_.get("snapshot-id").asLong()).toSet ++
+        refNodes.filter(n =>
+            Option(n.get("type")).exists(_.asText() == "branch"))
+          .flatMap(n => chain(n.get("snapshot-id").asLong())) ++
+        currentId
       val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
       val (old, newest) = sorted.splitAt(sorted.size - keepLast)
       val (pinned, dropped) = old.partition(s =>
         refPinned.contains(s.get("snapshot-id").asLong()))
       val kept = (pinned ++ newest).sortBy(_.get("timestamp-ms").asLong())
       if (dropped.isEmpty) return 0
-      val currentId = Option(md.get("current-snapshot-id")).map(_.asLong())
       require(currentId.forall(id =>
           kept.exists(_.get("snapshot-id").asLong() == id)),
         "refusing to expire the current snapshot")
@@ -1128,8 +1145,10 @@ object IcebergWriter {
               fid <- fieldIds.get(f.name)
               b <- byCol.get(f.name)
             } yield ColStat(fid, numRecords, b.nullCount,
-              Option(b.min).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)),
-              Option(b.max).flatMap(ParquetStats.icebergSingleValue(_, f.dataType)))
+              Option(b.min).flatMap(ParquetStats.icebergSingleValue(
+                _, f.dataType, b.tsUnit, isMax = false)),
+              Option(b.max).flatMap(ParquetStats.icebergSingleValue(
+                _, f.dataType, b.tsUnit, isMax = true)))
           }
         (numRecords, stats)
     }
@@ -1960,7 +1979,16 @@ object IcebergWriter {
       : Option[IndexedSeq[PartFieldSummary]] = {
     val abs = localMetaPath(refPath, root).toAbsolutePath.toString
     if (summaryRegistry.size > 8192) summaryRegistry.clear()
-    summaryRegistry.computeIfAbsent(abs, computeSummaries(_))
+    val cached = summaryRegistry.get(abs)
+    if (cached != null) cached
+    else {
+      val computed = computeSummaries(abs)
+      // only SUCCESSES memoize: a transient read failure must not pin
+      // "no summaries" for this manifest forever (every later commit in
+      // the process would re-emit the list entry without field 507)
+      if (computed.isDefined) summaryRegistry.put(abs, computed)
+      computed
+    }
   }
 
   /** Per-partition-field (contains_null, min, max) over a manifest's

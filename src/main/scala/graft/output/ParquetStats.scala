@@ -30,9 +30,30 @@ private[output] object ParquetStats {
 
   /** Raw (parquet-typed) merged bounds of one top-level column: min/max
     * are Integer/Long/Float/Double/Boolean/Binary as the footer carries
-    * them; null when any chunk lacked non-null values.
+    * them; null when any chunk lacked non-null values. `tsUnit` is the
+    * parquet timestamp annotation's unit (MILLIS/MICROS/NANOS) when the
+    * column carries one — consumers rendering a TIMESTAMP-typed column
+    * must normalize to micros through it, since a non-micros session
+    * (or a foreign file) makes the raw longs 1000x off and wrong bounds
+    * silently prune live rows.
     */
-  final case class ColumnBounds(min: Any, max: Any, nullCount: Long)
+  final case class ColumnBounds(min: Any, max: Any, nullCount: Long,
+      tsUnit: Option[String] = None)
+
+  /** A footer Long under a timestamp annotation, normalized to MICROS.
+    * Max bounds CEIL on the lossy nanos->micros step (a truncated upper
+    * bound would exclude rows in the truncated sub-micro range); mins
+    * floor symmetrically. None = unknown unit, caller drops the bound.
+    */
+  private def toMicros(n: Long, unit: String, isMax: Boolean): Option[Long] =
+    unit match {
+      case "MICROS" => Some(n)
+      case "MILLIS" => Some(Math.multiplyExact(n, 1000L))
+      case "NANOS" => Some(
+        if (isMax) Math.floorDiv(Math.addExact(n, 999L), 1000L)
+        else Math.floorDiv(n, 1000L))
+      case _ => None
+    }
 
   /** (total record count, per-top-level-column merged bounds) from the
     * FOOTER — the shared extraction both stats renderers (Delta JSON,
@@ -52,6 +73,7 @@ private[output] object ParquetStats {
       case class Agg(var min: Statistics[_], var max: Statistics[_],
         var nulls: Long, var usable: Boolean)
       val byCol = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
+      val tsUnits = scala.collection.mutable.HashMap.empty[String, String]
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val path = c.getPath.toArray
@@ -73,6 +95,12 @@ private[output] object ParquetStats {
                  pt.getPrimitiveTypeName ==
                   org.apache.parquet.schema.PrimitiveType
                     .PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            }
+            c.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .TimestampLogicalTypeAnnotation =>
+                tsUnits(path(0)) = t.getUnit.toString
+              case _ => ()
             }
             val agg = byCol.getOrElseUpdate(path(0),
               Agg(null, null, 0L, usable = true))
@@ -97,7 +125,7 @@ private[output] object ParquetStats {
           name -> ColumnBounds(
             if (agg.min == null) null else agg.min.genericGetMin,
             if (agg.max == null) null else agg.max.genericGetMax,
-            agg.nulls)
+            agg.nulls, tsUnits.get(name))
       }.toMap))
     } finally reader.close()
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -113,8 +141,8 @@ private[output] object ParquetStats {
         nulls += s""""${esc(f.name)}":${b.nullCount}"""
         if (b.min != null && b.max != null) {
           for {
-            mn <- render(b.min, f.dataType)
-            mx <- render(b.max, f.dataType)
+            mn <- render(b.min, f.dataType, b.tsUnit, isMax = false)
+            mx <- render(b.max, f.dataType, b.tsUnit, isMax = true)
           } {
             mins += s""""${esc(f.name)}":$mn"""
             maxs += s""""${esc(f.name)}":$mx"""
@@ -129,7 +157,9 @@ private[output] object ParquetStats {
     * manifest entry's lower/upper_bounds map. None = not representable
     * (consumers must fail open).
     */
-  def icebergSingleValue(v: Any, dt: DataType): Option[Array[Byte]] = {
+  def icebergSingleValue(v: Any, dt: DataType,
+      tsUnit: Option[String] = None,
+      isMax: Boolean = false): Option[Array[Byte]] = {
     def le(n: Int, bytes: Int): Array[Byte] =
       java.nio.ByteBuffer.allocate(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
@@ -139,8 +169,9 @@ private[output] object ParquetStats {
     (v, dt) match {
       case (n: java.lang.Integer, _: IntegerType | _: DateType) =>
         Some(le(n, 4))
-      case (n: java.lang.Long, _: LongType | _: TimestampType |
-          _: TimestampNTZType) => Some(le8(n))
+      case (n: java.lang.Long, _: TimestampType | _: TimestampNTZType) =>
+        toMicros(n, tsUnit.getOrElse("MICROS"), isMax).map(le8)
+      case (n: java.lang.Long, _: LongType) => Some(le8(n))
       case (n: java.lang.Float, _: FloatType) if java.lang.Float.isFinite(n) =>
         Some(java.nio.ByteBuffer.allocate(4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(n).array())
@@ -178,16 +209,18 @@ private[output] object ParquetStats {
   /** JSON rendering of one parquet stats value under the Spark type;
     * None = type not skippable (drop the bound, keep the file).
     */
-  private def render(v: Any, dt: DataType): Option[String] = (v, dt) match {
+  private def render(v: Any, dt: DataType, tsUnit: Option[String] = None,
+      isMax: Boolean = false): Option[String] = (v, dt) match {
     case (n: java.lang.Integer, DateType) =>
       Some(s""""${java.time.LocalDate.ofEpochDay(n.longValue)}"""")
     case (n: java.lang.Integer, _: IntegerType | _: ShortType | _: ByteType) =>
       Some(n.toString)
     case (n: java.lang.Long, TimestampType | TimestampNTZType) =>
-      val inst = java.time.Instant.ofEpochSecond(
-        Math.floorDiv(n.longValue, 1000000L),
-        Math.floorMod(n.longValue, 1000000L) * 1000L)
-      Some(s""""$inst"""")
+      toMicros(n.longValue, tsUnit.getOrElse("MICROS"), isMax).map { us =>
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        s""""$inst""""
+      }
     case (n: java.lang.Long, _: LongType) => Some(n.toString)
     case (n: java.lang.Double, _: DoubleType) =>
       if (java.lang.Double.isFinite(n)) Some(n.toString) else None

@@ -60,13 +60,26 @@ object DataSources {
       : DataFrame = {
     val reader = spark.read.options(ds.options)
     val uri = resolveUri(ds.uri, ds.options)
+    // remote delta/iceberg must FAIL, not fall back: the native log
+    // readers are local-NIO-bound (docs/AZURE.md), and the raw-parquet
+    // fallback would silently serve tombstoned/rewritten files and
+    // DV-masked rows as live data
+    def requireLocal(ft: String): Unit =
+      require(!uri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") ||
+          uri.startsWith("file:"),
+        s"$ft sources must be on a local filesystem (got '$uri') — the " +
+          "native log reader does not read remote stores; see docs/AZURE.md")
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
         DeltaLogReader.read(spark, ds.uri,
           ds.options.get("versionAsOf").map(_.toLong),
           skipFilters = skipFilters)
-      case "parquet" | "delta" => reader.parquet(uri)
+      case "delta" =>
+        requireLocal("delta")
+        reader.parquet(uri)
+      case "parquet" => reader.parquet(uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
+        requireLocal("iceberg")
         IcebergReader.read(spark, ds.uri,
           ds.options.get("snapshotId").map(_.toLong),
           ds.options.get("asOfTimestampMs").map(_.toLong),

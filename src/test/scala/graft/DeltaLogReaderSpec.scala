@@ -719,6 +719,31 @@ class DeltaLogReaderSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("TIMESTAMP_MILLIS parquet stats normalize to micros: a millis " +
+      "session's written bounds never falsely prune") {
+    def ts(s: String) = java.time.Instant.parse(s)
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ms_skip_${System.nanoTime()}").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MILLIS")
+    try {
+      graft.output.DeltaWriter.create(
+        (0 until 5).map(i => (i.toLong, ts(f"2024-01-15T0$i:00:00Z")))
+          .toDF("id", "ts").coalesce(1), path)
+      graft.output.DeltaWriter.append(
+        (0 until 5).map(i => (100L + i, ts(f"2024-06-20T0$i:00:00Z")))
+          .toDF("id", "ts").coalesce(1), path)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import graft.sources.SkipPredicate
+    // raw millis read as micros would put both bounds near 1970 and
+    // prune EVERYTHING; unit-normalized bounds keep exactly one file
+    val q = DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("ts", ">=", "2024-06-01T00:00:00")))
+    assert(q.inputFiles.length == 1, q.inputFiles.toSeq)
+    assert(q.count() == 5L)
+  }
+
   test("decimal bounds file-skip, signed — negative unscaled values " +
       "order below positives on both planes") {
     val path = Paths.get(System.getProperty("java.io.tmpdir"),

@@ -1133,5 +1133,19 @@ class IcebergWriterSpec extends SparkSpec {
       IcebergWriter.append(Seq((1L, "x")).toDF("id", "v"), path,
         branch = Some("pin"))
     }
+    // expiration with a STAGED branch (its head newer than main) must
+    // neither throw nor sever the branch: main and the branch's whole
+    // ancestry are pinned, so publish still works afterwards
+    IcebergWriter.expireSnapshots(path, keepLast = 1)
+    assert(IcebergReader.read(spark, path).count() == 9L)
+    assert(IcebergReader.read(spark, path, ref = Some("risky")).count() == 9L)
+    // rebase-equivalent: catch risky up by removing and re-cutting it,
+    // then a branch commit + publish still fast-forwards
+    IcebergWriter.removeTag(path, "risky")
+    IcebergWriter.createBranch(path, "risky2")
+    IcebergWriter.append(
+      Seq((400L, "risky2")).toDF("id", "v"), path, branch = Some("risky2"))
+    IcebergWriter.fastForward(path, "risky2")
+    assert(IcebergReader.read(spark, path).count() == 10L)
   }
 }

@@ -260,5 +260,18 @@ class PlanQualitySpec extends SparkSpec {
     val cfgs = graft.config.ConfigLoader.loadYaml(tmp.toString)
     assert(cfgs.tables.head.datasource.uri
       == "abfss://data@myacct.dfs.core.windows.net/lake/fruits")
+    // remote delta/iceberg must FAIL LOUDLY, never fall back to a raw
+    // parquet read (which would serve tombstoned files and DV-masked
+    // rows as live data)
+    intercept[IllegalArgumentException] {
+      graft.sources.DataSources.read(spark, graft.config.DatasourceConfig(
+        uri = "abfss://data@myacct.dfs.core.windows.net/lake/t",
+        fileType = "delta"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.DataSources.read(spark, graft.config.DatasourceConfig(
+        uri = "az://data/lake/t", fileType = "iceberg",
+        options = Map("account_name" -> "myacct")))
+    }
   }
 }

@@ -22,6 +22,9 @@ object TestSpark {
       // int64-micros parquet timestamps: INT96 (the default) has no
       // footer stats, killing timestamp data skipping on written tables
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // field-id parquet matching from session start (id-mode column
+      // mapping) — deterministic, not flipped mid-session by a read
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .getOrCreate()
 }
 
