@@ -1821,6 +1821,16 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1, salt = 3L)
         .orderBy(col("doc_id"))),
+    "q_domain_mix" -> ((s, dir) => {
+      // training-mixture plan: target weights ∝ source index + 1, a
+      // 2-epoch repetition cap — per-domain planned tokens + sampling
+      // rate in ALL-INTEGER arithmetic (bit-identical across engines)
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toLong).toMap
+      graft.operators.Sampling.domainMixPlan(
+        Tables.load(s, dir, "documents"), "source", "n_chars",
+        weights, epochs = 2)
+        .orderBy(col("source"))
+    }),
     "q_sample_priority_group" -> ((s, dir) =>
       // exactly 5 docs per source, length-weighted without replacement
       graft.operators.Sampling.prioritySampleByGroup(
@@ -2656,6 +2666,25 @@ object SparkEntry {
         |WHERE b < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
         |  WHEN 'src2' THEN 250000 ELSE 100000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      // weights reconstructed from the source name (srcI → I+1, Σ=210);
+      // `//` / DIV keep the whole plan in integers, so the two engines
+      // agree bit-for-bit
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS domain_tokens,
+        |         CAST(SUBSTR(source, 4) AS BIGINT) + 1 AS weight
+        |  FROM documents GROUP BY source
+        |), c AS (
+        |  SELECT *, (2 * domain_tokens * 210) // weight AS cap FROM t
+        |), m AS (
+        |  SELECT source, domain_tokens, weight,
+        |         MIN(cap) OVER () AS total_tokens FROM c
+        |)
+        |SELECT source, domain_tokens, weight, total_tokens,
+        |       (total_tokens * weight) // 210 AS planned_tokens,
+        |       ((total_tokens * weight) // 210) * 1000000 // domain_tokens
+        |         AS rate_ppm
+        |FROM m ORDER BY source""".stripMargin,
     "q_sample_priority_group" ->
       // q_sample_priority's Efraimidis–Spirakis priority, ranked per
       // source with row_number instead of a global top-n

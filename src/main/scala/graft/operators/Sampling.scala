@@ -397,4 +397,47 @@ object Sampling {
       .filter(col("__tb_before") + col(tokenCol) <= budgetTokens)
       .withColumnRenamed("__tb_before", "taken_before")
   }
+
+  /** Training-corpus MIXTURE PLAN — the standard data-recipe computation
+    * (target domain proportions under a repetition cap): given per-row
+    * domains and sizes, integer target `weights` (unnormalized) and an
+    * `epochs` repetition cap, compute the largest total corpus size N
+    * such that every domain d can supply its share N·w_d/Σw within
+    * `epochs` passes over its data (N = min_d epochs·T_d·Σw/w_d), and
+    * each domain's planned token count and sampling rate (ppm of its
+    * own tokens; >1e6 = repetition). ALL-INTEGER arithmetic (truncating
+    * division) so two engines compute bit-identical plans — a
+    * double-rounded rate that drifts by 1 ulp re-samples a different
+    * corpus.
+    *
+    * Scale: ONE map-side-combined aggregate over the corpus (the only
+    * row-count-proportional work), a broadcast k-row weights join, a
+    * k-row window — no second corpus pass. Execute the plan with
+    * [[uniformPortable]]/[[bernoulliByWeight]] per domain at
+    * rate_ppm/1e6.
+    */
+  def domainMixPlan(df: DataFrame, domainCol: String, sizeCol: String,
+      weights: Map[String, Long], epochs: Int = 1): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    require(weights.nonEmpty && weights.values.forall(_ > 0L),
+      "weights must be positive")
+    val sw = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toSeq.toDF(domainCol, "weight"))
+    val totals = df.groupBy(col(s"`$domainCol`"))
+      .agg(sum(col(s"`$sizeCol`")).cast("long").as("domain_tokens"))
+      .join(w, Seq(domainCol)) // unweighted domains are excluded (w=0)
+      .withColumn("__cap",
+        expr(s"($epochs * domain_tokens * $sw) DIV weight"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // k domains — a single tiny partition is fine
+    totals
+      .withColumn("total_tokens", min(col("__cap")).over(win))
+      .withColumn("planned_tokens",
+        expr(s"(total_tokens * weight) DIV $sw"))
+      .withColumn("rate_ppm",
+        expr("(planned_tokens * 1000000) DIV domain_tokens"))
+      .drop("__cap")
+  }
 }

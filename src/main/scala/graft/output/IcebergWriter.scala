@@ -823,13 +823,34 @@ object IcebergWriter {
       val parents: Map[Long, Long] = snaps.flatMap(s =>
         Option(s.get("parent-snapshot-id"))
           .map(p => s.get("snapshot-id").asLong() -> p.asLong())).toMap
-      def chain(id: Long): Set[Long] = Iterator.iterate(Option(id))(
-        _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSet
+      val snapTs: Map[Long, Long] = snaps.map(s =>
+        s.get("snapshot-id").asLong() -> s.get("timestamp-ms").asLong())
+        .toMap
+      def chain(id: Long): Seq[Long] = Iterator.iterate(Option(id))(
+        _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSeq
+      // a branch pins its head + ancestry, bounded by the ref's spec v2
+      // retention fields when present (min-snapshots-to-keep newest
+      // ancestors unconditionally, then an age horizon); without them
+      // the WHOLE chain is pinned — never silently strand a branch
+      val now = System.currentTimeMillis()
+      def branchPins(n: JsonNode): Seq[Long] = {
+        val full = chain(n.get("snapshot-id").asLong())
+        val minKeep = Option(n.get("min-snapshots-to-keep")).map(_.asInt())
+        val maxAge = Option(n.get("max-snapshot-age-ms")).map(_.asLong())
+        if (minKeep.isEmpty && maxAge.isEmpty) full
+        else {
+          val floor = math.max(1, minKeep.getOrElse(1))
+          full.zipWithIndex.collect {
+            case (id, i) if i < floor ||
+              maxAge.exists(a => snapTs.get(id).forall(_ >= now - a)) => id
+          }
+        }
+      }
       val refPinned: Set[Long] =
         refNodes.map(_.get("snapshot-id").asLong()).toSet ++
         refNodes.filter(n =>
             Option(n.get("type")).exists(_.asText() == "branch"))
-          .flatMap(n => chain(n.get("snapshot-id").asLong())) ++
+          .flatMap(branchPins) ++
         currentId
       val sorted = snaps.sortBy(_.get("timestamp-ms").asLong())
       val (old, newest) = sorted.splitAt(sorted.size - keepLast)
@@ -896,12 +917,26 @@ object IcebergWriter {
     * `IcebergReader.read(ref = ...)`), then publish atomically with
     * [[fastForward]]. Plain reads keep serving main throughout.
     */
+  /** `minSnapshotsToKeep` / `maxSnapshotAgeMs` are the spec v2 ref
+    * retention fields: without them a live branch pins its ENTIRE
+    * ancestry against [[expireSnapshots]] (safe, but a long-lived
+    * branch on a busy table would stop expiration cold); with them the
+    * branch keeps its head plus the newest `minSnapshotsToKeep - 1`
+    * ancestors plus anything younger than the age bound, and older
+    * ancestry expires normally (fastForward then refuses if the chain
+    * to main was aged out — rebase the branch).
+    */
   def createBranch(path: String, name: String,
-      snapshotId: Option[Long] = None): Unit =
-    createRef(path, name, "branch", snapshotId)
+      snapshotId: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): Unit =
+    createRef(path, name, "branch", snapshotId,
+      minSnapshotsToKeep, maxSnapshotAgeMs)
 
   private def createRef(path: String, name: String, refType: String,
-      snapshotId: Option[Long]): Unit = {
+      snapshotId: Option[Long],
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): Unit = {
     require(name.nonEmpty, s"$refType name must be non-empty")
     val root = Paths.get(path).toAbsolutePath.normalize
     // optimistic retry like append: a lost version race against a
@@ -929,6 +964,10 @@ object IcebergWriter {
       val entry = refs.putObject(name)
       entry.put("snapshot-id", id)
       entry.put("type", refType)
+      minSnapshotsToKeep.foreach(v =>
+        entry.put("min-snapshots-to-keep", v))
+      maxSnapshotAgeMs.foreach(v =>
+        entry.put("max-snapshot-age-ms", v))
       commitMetadata(root, versionOf(mdFile) + 1, md)
     }
   }

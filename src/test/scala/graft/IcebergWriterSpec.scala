@@ -1148,4 +1148,28 @@ class IcebergWriterSpec extends SparkSpec {
     IcebergWriter.fastForward(path, "risky2")
     assert(IcebergReader.read(spark, path).count() == 10L)
   }
+
+  test("branch retention fields (spec v2) bound the pinned ancestry: " +
+      "intermediate branch snapshots expire, the head survives, a " +
+      "severed chain refuses fast-forward") {
+    val path = tmp("branchret")
+    IcebergWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+    IcebergWriter.createBranch(path, "work",
+      minSnapshotsToKeep = Some(1), maxSnapshotAgeMs = Some(0L))
+    (1 to 3).foreach(i => IcebergWriter.append(
+      Seq((i.toLong, s"w$i")).toDF("id", "v"), path, branch = Some("work")))
+    assert(IcebergReader.read(spark, path, ref = Some("work")).count() == 4L)
+    // keepLast=1 with retention 1/0ms: only the branch HEAD and main's
+    // current snapshot are pinned — the two intermediate branch commits
+    // expire (their manifest lists reclaimed; data files carry forward
+    // inside the head's list and survive)
+    assert(IcebergWriter.expireSnapshots(path, keepLast = 1) > 0)
+    assert(IcebergReader.read(spark, path, ref = Some("work")).count() == 4L)
+    assert(IcebergReader.read(spark, path).count() == 1L)
+    // the aged-out chain no longer proves main is an ancestor — publish
+    // refuses (rebase is the recovery), rather than guessing
+    intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(path, "work")
+    }
+  }
 }

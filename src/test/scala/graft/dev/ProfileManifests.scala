@@ -1,0 +1,64 @@
+package graft.dev
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.SparkSession
+
+/** Metadata-plane scale measurement for the r15 manifest-list summary
+  * pruning: a partitioned table accumulates one manifest per append
+  * (carried forward), then a partitioned point lookup is planned COLD —
+  * with summaries the planner opens 1 manifest out of N; before r15 it
+  * opened all N sequentially on the driver. Prints manifests-opened and
+  * plan wall time for the filtered and unfiltered cold paths.
+  */
+object ProfileManifests {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 128
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prof_manifests").toString + "/t"
+    println(s"building $n single-partition commits at $path ...")
+    IcebergWriter.create(
+      Seq((0L, 0, "v0")).toDF("id", "bucket", "v"), path,
+      partitionBy = Seq("bucket"))
+    (1 until n).foreach { b =>
+      IcebergWriter.append(
+        Seq((b.toLong, b, s"v$b")).toDF("id", "bucket", "v"), path)
+    }
+
+    def timed[T](label: String)(body: => T): T = {
+      val o0 = IcebergReader.manifestsOpened.get()
+      val t0 = System.nanoTime()
+      val r = body
+      val ms = (System.nanoTime() - t0) / 1e6
+      val opened = IcebergReader.manifestsOpened.get() - o0
+      println(f"$label%-34s $ms%8.1f ms   manifests opened: $opened")
+      r
+    }
+
+    // cold: fresh process state for this table — nothing cached yet
+    timed(s"cold point lookup (1 of $n)") {
+      IcebergReader.read(spark, path,
+        partitionFilter = Map("bucket" -> (n / 2).toString)).count()
+    }
+    timed("warm repeat (decode-cache hit)") {
+      IcebergReader.read(spark, path,
+        partitionFilter = Map("bucket" -> (n / 2).toString)).count()
+    }
+    timed(s"full scan (opens remaining $n)") {
+      IcebergReader.read(spark, path).count()
+    }
+    timed("warm full scan") {
+      IcebergReader.read(spark, path).count()
+    }
+    spark.stop()
+  }
+}
