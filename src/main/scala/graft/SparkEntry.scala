@@ -1831,6 +1831,18 @@ object SparkEntry {
         weights, epochs = 2)
         .orderBy(col("source"))
     }),
+    "q_domain_mix_execute" -> ((s, dir) => {
+      // materialize the mixture: high-weight domains REPEAT (rate > 1e6
+      // ppm ⇒ full copies + a portable per-(id, copy) fractional draw),
+      // low-weight domains subsample — the (row, copy) set is exactly
+      // engine-reproducible
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toLong).toMap
+      graft.operators.Sampling.domainMixExecute(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", weights, epochs = 2, salt = 7L)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
     "q_sample_priority_group" -> ((s, dir) =>
       // exactly 5 docs per source, length-weighted without replacement
       graft.operators.Sampling.prioritySampleByGroup(
@@ -2685,6 +2697,38 @@ object SparkEntry {
         |       ((total_tokens * weight) // 210) * 1000000 // domain_tokens
         |         AS rate_ppm
         |FROM m ORDER BY source""".stripMargin,
+    "q_domain_mix_execute" ->
+      // same integer plan, then per-(doc, copy) portable md5 draws: copy
+      // indices 0..rate//1e6, full copies kept outright, the last by
+      // bucket < rate mod 1e6 — byte-identical to the Spark predicate
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS domain_tokens,
+        |         CAST(SUBSTR(source, 4) AS BIGINT) + 1 AS weight
+        |  FROM documents GROUP BY source
+        |), c AS (
+        |  SELECT *, (2 * domain_tokens * 210) // weight AS cap FROM t
+        |), m AS (
+        |  SELECT source, domain_tokens, weight,
+        |         MIN(cap) OVER () AS total_tokens FROM c
+        |), r AS (
+        |  SELECT source,
+        |         ((total_tokens * weight) // 210) * 1000000 // domain_tokens
+        |           AS rate_ppm FROM m
+        |), g AS (
+        |  SELECT UNNEST(range(0, 3)) AS copy
+        |), x AS (
+        |  SELECT d.doc_id, d.source, r.rate_ppm, g.copy
+        |  FROM documents d
+        |  JOIN r USING (source)
+        |  CROSS JOIN g
+        |  WHERE g.copy <= r.rate_ppm // 1000000
+        |)
+        |SELECT doc_id, source, copy FROM x
+        |WHERE copy < rate_ppm // 1000000
+        |   OR ('0x' || substring(md5(doc_id::VARCHAR || '#' ||
+        |         copy::VARCHAR || '#7'), 1, 8))::BIGINT % 1000000
+        |      < rate_ppm % 1000000
+        |ORDER BY doc_id, copy""".stripMargin,
     "q_sample_priority_group" ->
       // q_sample_priority's Efraimidis–Spirakis priority, ranked per
       // source with row_number instead of a global top-n

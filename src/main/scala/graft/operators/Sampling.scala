@@ -440,4 +440,33 @@ object Sampling {
         expr("(planned_tokens * 1000000) DIV domain_tokens"))
       .drop("__cap")
   }
+
+  /** EXECUTE a [[domainMixPlan]]: materialize the planned mixture, with
+    * REPETITION when a domain's rate exceeds 1e6 ppm (epochs > 1) —
+    * every row gets `rate div 1e6` full copies plus one more iff its
+    * per-copy PORTABLE draw (salted md5 of id#copy) lands under
+    * `rate mod 1e6`. Rows carry a `copy` index so downstream shuffling/
+    * packing treats repeats as distinct examples; any engine can
+    * recompute exactly which (row, copy) pairs survived.
+    *
+    * Scale: the plan is a k-row broadcast; the explode emits at most
+    * `epochs + 1` candidates per row map-side and filters map-side — no
+    * shuffle beyond [[domainMixPlan]]'s single aggregate.
+    */
+  def domainMixExecute(df: DataFrame, domainCol: String, sizeCol: String,
+      idCol: String, weights: Map[String, Long], epochs: Int = 1,
+      salt: Long = 0L): DataFrame = {
+    val plan = domainMixPlan(df, domainCol, sizeCol, weights, epochs)
+      .select(col(s"`$domainCol`"), col("rate_ppm"))
+    val bucket = pmod(
+      conv(substring(md5(concat(col(s"`$idCol`").cast("string"),
+        lit("#"), col("copy"), lit("#" + salt))), 1, 8),
+        16, 10).cast("long"), lit(M))
+    df.join(broadcast(plan), Seq(domainCol)) // unweighted domains drop
+      .withColumn("copy",
+        explode(sequence(lit(0L), expr("rate_ppm DIV 1000000"))))
+      .filter(col("copy") < expr("rate_ppm DIV 1000000") ||
+        bucket < pmod(col("rate_ppm"), lit(M)))
+      .drop("rate_ppm")
+  }
 }
