@@ -1549,6 +1549,13 @@ object SparkEntry {
       Ann.knnJoin(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("id_a"), col("rnk"))),
+    "q_hard_negatives" -> ((s, dir) =>
+      // contrastive-pair mining: per anchor, the 4 most-similar
+      // OTHER-label vectors under the 0.999 false-negative cap
+      Ann.hardNegatives(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("id_a"), col("rnk"))),
     "q_knn_align" -> ((s, dir) => {
       // cross-corpus kNN: every 10th vector is the "delivery", the rest
       // the curated corpus (modulus split keeps proportions scale-stable)
@@ -2807,6 +2814,20 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS INTEGER) AS rnk
         |  FROM p)
         |SELECT id_a, id_b, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY id_a, rnk""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+        |  FROM e a JOIN e b ON a.label <> b.label),
+        |f AS (SELECT * FROM p WHERE score <= 0.999),
+        |r AS (
+        |  SELECT id_a, id_b, score,
+        |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS INTEGER) AS rnk
+        |  FROM f)
+        |SELECT id_a, id_b, score, rnk FROM r WHERE rnk <= 4
         |ORDER BY id_a, rnk""".stripMargin,
     "q_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

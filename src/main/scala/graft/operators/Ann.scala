@@ -316,6 +316,41 @@ object Ann {
     topKPerRow(left.join(broadcast(right), col("id_a") =!= col("id_b")), k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for every anchor,
+    * the `k` most-similar rows whose LABEL differs, capped at `maxScore`
+    * — the highest-value negatives are near the decision boundary, while
+    * near-1.0 cross-label pairs are probable mislabels/duplicates (the
+    * cap excludes them) and dissimilar ones are easy negatives that
+    * teach nothing (ranking takes care of those). Same exact-broadcast
+    * contract and output shape as [[knnJoin]]; at huge×huge scale mine
+    * within SRP buckets via [[knnJoinLshAgainst]] per label stratum.
+    */
+  def hardNegatives(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, maxScore: Double = 0.999): DataFrame = {
+    val spark = embs.sparkSession
+    // pairs multiply AFTER the broadcast join — partition by pair count
+    // up front, exactly like knnJoin
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val left = embs.select(col(idCol).as("id_a"),
+        col(labelCol).as("label_a"),
+        col(vecCol).cast("array<double>").as("va"))
+      .repartition(shufflePartitions, col("id_a"))
+    val right = embs.select(col(idCol).as("id_b"),
+      col(labelCol).as("label_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    val pairs = left.join(broadcast(right), col("label_a") =!= col("label_b"))
+    val scored = pairs.withColumn("score",
+      round(graft.plans.VectorExpressions.cosine(
+        spark, col("va"), col("vb")), 4))
+      .filter(col("score") <= maxScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+  }
+
   /** Shared kNN tail: score candidate pairs with the codegen'd cosine and
     * keep each id_a's top-k by (score desc, id_b).
     */
