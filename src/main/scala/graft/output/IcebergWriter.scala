@@ -2146,7 +2146,58 @@ object IcebergWriter {
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
 
+  /** Spec housekeeping on the outgoing metadata: `metadata-log` gets the
+    * file this commit was BASED on (bounded at iceberg's default 100
+    * previous versions), `snapshot-log` gets an entry whenever
+    * `current-snapshot-id` CHANGED (branch commits leave main and thus
+    * the log untouched) and loses entries whose snapshot left the table
+    * (the spec requires expired ids pruned). External tools read table
+    * history from these; our own reader resolves from `snapshots`
+    * directly, so failures here must never block a commit.
+    */
+  private def maintainLogs(root: Path, md: ObjectNode): Unit = {
+    import com.fasterxml.jackson.databind.node.ArrayNode
+    val ts = Option(md.get("last-updated-ms")).map(_.asLong())
+      .getOrElse(System.currentTimeMillis())
+    val location = Option(md.get("location")).map(_.asText())
+      .getOrElse(root.toString)
+    try {
+      val prev = latestMetadataFile(root)
+      val mlog = md.withArray[ArrayNode]("metadata-log")
+      val entry = mapper.createObjectNode()
+      entry.put("timestamp-ms", ts)
+      entry.put("metadata-file",
+        s"$location/metadata/${prev.getFileName.toString}")
+      mlog.add(entry)
+      while (mlog.size() > 100) mlog.remove(0)
+    } catch { case scala.util.control.NonFatal(_) => () } // first commit
+    val present = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("snapshot-id").asLong()).toSet
+    val slog = md.withArray[ArrayNode]("snapshot-log")
+    var i = 0
+    while (i < slog.size()) {
+      if (!present.contains(slog.get(i).get("snapshot-id").asLong()))
+        slog.remove(i)
+      else i += 1
+    }
+    Option(md.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      .foreach { id =>
+        val last = if (slog.size() > 0)
+          Some(slog.get(slog.size() - 1).get("snapshot-id").asLong())
+        else None
+        if (!last.contains(id)) {
+          val e = mapper.createObjectNode()
+          e.put("timestamp-ms", ts)
+          e.put("snapshot-id", id)
+          slog.add(e)
+        }
+      }
+  }
+
   private def commitMetadata(root: Path, version: Long, md: JsonNode): Unit = {
+    try maintainLogs(root, md.asInstanceOf[ObjectNode])
+    catch { case scala.util.control.NonFatal(_) => () } // additive only
     val mdDir = root.resolve("metadata")
     val dest = mdDir.resolve(s"v$version.metadata.json")
     val tmp = mdDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")

@@ -1149,6 +1149,36 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, path).count() == 10L)
   }
 
+  test("snapshot-log and metadata-log ride every commit: history entries " +
+      "when main moves, none for branch commits, expired ids pruned") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("logs")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+    IcebergWriter.createBranch(path, "side")
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "v"), path,
+      branch = Some("side")) // main unchanged — no snapshot-log entry
+    def md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        IcebergReader.currentMetadataFile(path)))
+    val slog = md.get("snapshot-log").elements().asScala.toVector
+    assert(slog.map(_.get("snapshot-id").asLong()) == Vector(1L, 2L),
+      slog.toString)
+    // timestamps non-decreasing, metadata-log names the previous files
+    assert(slog.map(_.get("timestamp-ms").asLong()).sliding(2)
+      .forall(p => p.size < 2 || p(0) <= p(1)))
+    val mlog = md.get("metadata-log").elements().asScala.toVector
+    assert(mlog.nonEmpty && mlog.forall(
+      _.get("metadata-file").asText().contains("/metadata/v")))
+    // publish moves main — one new entry; expiration prunes dropped ids
+    IcebergWriter.fastForward(path, "side")
+    IcebergWriter.removeTag(path, "side")
+    IcebergWriter.expireSnapshots(path, keepLast = 1)
+    val slog2 = md.get("snapshot-log").elements().asScala.toVector
+    assert(slog2.map(_.get("snapshot-id").asLong()) == Vector(3L),
+      slog2.toString)
+  }
+
   test("branch retention fields (spec v2) bound the pinned ancestry: " +
       "intermediate branch snapshots expire, the head survives, a " +
       "severed chain refuses fast-forward") {
