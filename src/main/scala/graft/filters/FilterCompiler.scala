@@ -222,12 +222,17 @@ object FilterCompiler {
   private[graft] def timestampValueMicros(s: String,
       ntz: Boolean): Option[Long] = {
     if (tsMicrosMemo.size > 4096) tsMicrosMemo.clear()
-    tsMicrosMemo.computeIfAbsent((s, ntz, sessionZone.getId),
-      _ => computeTimestampValueMicros(s, ntz))
+    // resolve the zone ONCE and thread it through: reading it again
+    // inside the compute under a concurrent session-timezone flip would
+    // cache a zone-Y instant under the zone-X key — persistently wrong
+    // skipping instead of one racy query
+    val zone = sessionZone
+    tsMicrosMemo.computeIfAbsent((s, ntz, zone.getId),
+      _ => computeTimestampValueMicros(s, ntz, zone))
   }
 
-  private def computeTimestampValueMicros(s: String,
-      ntz: Boolean): Option[Long] = {
+  private def computeTimestampValueMicros(s: String, ntz: Boolean,
+      zone: java.time.ZoneId): Option[Long] = {
     val t = s.trim
     if (t.nonEmpty &&
         t.drop(if (t.startsWith("-")) 1 else 0).forall(_.isDigit))
@@ -237,7 +242,13 @@ object FilterCompiler {
         if (ntz) java.time.LocalDateTime
           .parse(normalizeDateTime(t).replace(" ", "T"))
           .toInstant(java.time.ZoneOffset.UTC)
-        else instantFor(t)
+        else try java.time.OffsetDateTime.parse(t.replace(" ", "T")).toInstant
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            java.time.LocalDateTime
+              .parse(normalizeDateTime(t).replace(" ", "T"))
+              .atZone(zone).toInstant
+        }
       Some(Math.addExact(
         Math.multiplyExact(inst.getEpochSecond, 1000000L),
         inst.getNano / 1000L))

@@ -340,24 +340,20 @@ object Ann {
       col(labelCol).as("label_b"),
       col(vecCol).cast("array<double>").as("vb"))
     val pairs = left.join(broadcast(right), col("label_a") =!= col("label_b"))
-    val scored = pairs.withColumn("score",
-      round(graft.plans.VectorExpressions.cosine(
-        spark, col("va"), col("vb")), 4))
-      .filter(col("score") <= maxScore)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a"), col("id_b"), col("score"), col("rank"))
+    topKPerRow(pairs, k, maxScore = Some(maxScore))
   }
 
   /** Shared kNN tail: score candidate pairs with the codegen'd cosine and
-    * keep each id_a's top-k by (score desc, id_b).
+    * keep each id_a's top-k by (score desc, id_b); `maxScore` drops
+    * too-similar candidates BEFORE ranking ([[hardNegatives]]'s
+    * false-negative cap).
     */
-  private def topKPerRow(pairs: DataFrame, k: Int): DataFrame = {
-    val scored = pairs.withColumn("score",
+  private def topKPerRow(pairs: DataFrame, k: Int,
+      maxScore: Option[Double] = None): DataFrame = {
+    val scored0 = pairs.withColumn("score",
       round(graft.plans.VectorExpressions.cosine(
         pairs.sparkSession, col("va"), col("vb")), 4))
+    val scored = maxScore.fold(scored0)(m => scored0.filter(col("score") <= m))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
     scored.withColumn("rank", row_number().over(w))

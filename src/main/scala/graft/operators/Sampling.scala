@@ -18,6 +18,16 @@ object Sampling {
 
   private val M = 1000000L
 
+  /** The portable salted-md5 bucket shared by every oracle-reproducible
+    * sampler: `('0x' || md5(key)[1..8]) mod 1e6` — ONE definition,
+    * because this expression IS the reproducibility contract (any
+    * change re-selects every corpus) and hand-maintained copies invite
+    * exactly the divergence the module warns about. `key` is the
+    * caller's canonical string (id#salt, id#copy#salt, ...).
+    */
+  private def portableBucket(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(M))
+
   /** The ONE keep-predicate both entry points share — uniform and
     * stratified must agree bucket-for-bucket or the cross-table guarantee
     * breaks at fraction boundaries. The id is hashed through its string
@@ -50,9 +60,8 @@ object Sampling {
   def uniformPortable(df: DataFrame, idCol: String, fraction: Double,
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val bucket = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
-        16, 10).cast("long"), lit(M))
+    val bucket = portableBucket(
+      concat(col(idCol).cast("string"), lit("#" + salt)))
     df.filter(bucket < math.floor(fraction * M).toLong)
   }
 
@@ -84,9 +93,8 @@ object Sampling {
       salt: Long = 0L): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    val bucket = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
-        16, 10).cast("long"), lit(M))
+    val bucket = portableBucket(
+      concat(col(idCol).cast("string"), lit("#" + salt)))
     // integer thresholds (floor(f·M)) rather than a double fraction per
     // row: the comparison is exact in both engines, so the kept set can
     // never hinge on float rounding of fraction · M
@@ -110,9 +118,8 @@ object Sampling {
   def bernoulliByWeight(df: DataFrame, idCol: String, weightCol: Column,
       fraction: Double = 1.0, salt: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val bucket = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
-        16, 10).cast("long"), lit(M))
+    val bucket = portableBucket(
+      concat(col(idCol).cast("string"), lit("#" + salt)))
     val w = least(greatest(weightCol.cast("double"), lit(0.0)), lit(1.0))
     df.filter(bucket < floor(w * fraction * M).cast("long"))
   }
@@ -425,20 +432,28 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val w = broadcast(weights.toSeq.toDF(domainCol, "weight"))
+    // the intermediate PRODUCTS run through DECIMAL(38,0) so a
+    // 10¹³-token domain (the scale this operator is for) cannot wrap
+    // Long mid-plan and silently emit garbage rates; `div` (integral
+    // divide) on decimals is exact, so small inputs still match the
+    // oracle's 64-bit `//` bit for bit. The final columns fit Long by
+    // construction (total ≤ epochs·Σtokens, rate ≤ epochs·1e6).
     val totals = df.groupBy(col(s"`$domainCol`"))
       .agg(sum(col(s"`$sizeCol`")).cast("long").as("domain_tokens"))
       .join(w, Seq(domainCol)) // unweighted domains are excluded (w=0)
-      .withColumn("__cap",
-        expr(s"($epochs * domain_tokens * $sw) DIV weight"))
+      .withColumn("__cap", expr(
+        s"CAST($epochs AS DECIMAL(38,0)) * domain_tokens * $sw div weight"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)) // k domains — a single tiny partition is fine
     totals
-      .withColumn("total_tokens", min(col("__cap")).over(win))
+      .withColumn("__total_dec", min(col("__cap")).over(win))
+      .withColumn("total_tokens", col("__total_dec").cast("long"))
       .withColumn("planned_tokens",
-        expr(s"(total_tokens * weight) DIV $sw"))
-      .withColumn("rate_ppm",
-        expr("(planned_tokens * 1000000) DIV domain_tokens"))
-      .drop("__cap")
+        expr(s"CAST(__total_dec * weight div $sw AS LONG)"))
+      .withColumn("rate_ppm", expr(
+        "CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div domain_tokens AS LONG)"))
+      .drop("__cap", "__total_dec")
   }
 
   /** EXECUTE a [[domainMixPlan]]: materialize the planned mixture, with
@@ -458,10 +473,8 @@ object Sampling {
       salt: Long = 0L): DataFrame = {
     val plan = domainMixPlan(df, domainCol, sizeCol, weights, epochs)
       .select(col(s"`$domainCol`"), col("rate_ppm"))
-    val bucket = pmod(
-      conv(substring(md5(concat(col(s"`$idCol`").cast("string"),
-        lit("#"), col("copy"), lit("#" + salt))), 1, 8),
-        16, 10).cast("long"), lit(M))
+    val bucket = portableBucket(concat(col(s"`$idCol`").cast("string"),
+      lit("#"), col("copy"), lit("#" + salt)))
     df.join(broadcast(plan), Seq(domainCol)) // unweighted domains drop
       .withColumn("copy",
         explode(sequence(lit(0L), expr("rate_ppm DIV 1000000"))))

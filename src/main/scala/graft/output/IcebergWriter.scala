@@ -840,9 +840,15 @@ object IcebergWriter {
         if (minKeep.isEmpty && maxAge.isEmpty) full
         else {
           val floor = math.max(1, minKeep.getOrElse(1))
+          // min-snapshots-to-keep is a FLOOR that composes with an age
+          // bound, never a cap: with only the floor set, iceberg's own
+          // default age (5 days) applies — otherwise setting the floor
+          // alone would expire seconds-old branch history, inverting
+          // what the field means
+          val age = maxAge.getOrElse(5L * 24 * 3600 * 1000)
           full.zipWithIndex.collect {
             case (id, i) if i < floor ||
-              maxAge.exists(a => snapTs.get(id).forall(_ >= now - a)) => id
+              snapTs.get(id).forall(_ >= now - age) => id
           }
         }
       }
@@ -888,6 +894,7 @@ object IcebergWriter {
       val arr = mapper.createArrayNode()
       kept.foreach(s => arr.add(s.deepCopy[JsonNode]()))
       md.set[JsonNode]("snapshots", arr)
+      md.put("last-updated-ms", System.currentTimeMillis())
       commitMetadata(root, versionOf(mdFile) + 1, md)
       doomed
     }
@@ -968,6 +975,9 @@ object IcebergWriter {
         entry.put("min-snapshots-to-keep", v))
       maxSnapshotAgeMs.foreach(v =>
         entry.put("max-snapshot-age-ms", v))
+      // ref-only commits still advance last-updated-ms: metadata-log
+      // as-of resolution needs monotonic per-file timestamps
+      md.put("last-updated-ms", System.currentTimeMillis())
       commitMetadata(root, versionOf(mdFile) + 1, md)
     }
   }
@@ -1045,6 +1055,7 @@ object IcebergWriter {
       if (refs.forall(_.get(name) == null)) false
       else {
         refs.get.remove(name)
+        md.put("last-updated-ms", System.currentTimeMillis())
         commitMetadata(root, versionOf(mdFile) + 1, md)
         true
       }
@@ -2165,7 +2176,16 @@ object IcebergWriter {
       val prev = latestMetadataFile(root)
       val mlog = md.withArray[ArrayNode]("metadata-log")
       val entry = mapper.createObjectNode()
-      entry.put("timestamp-ms", ts)
+      // the entry's timestamp is the PREVIOUS metadata's own
+      // last-updated-ms (iceberg's rule): an as-of-time resolver walking
+      // this log must see when that file BECAME current, not when it
+      // stopped being — stamping the new commit's time here would make
+      // as-of(T) resolve one commit older than the table actually was
+      val prevTs = try {
+        Option(mapper.readTree(Files.readString(prev))
+          .get("last-updated-ms")).map(_.asLong()).getOrElse(ts)
+      } catch { case scala.util.control.NonFatal(_) => ts }
+      entry.put("timestamp-ms", prevTs)
       entry.put("metadata-file",
         s"$location/metadata/${prev.getFileName.toString}")
       mlog.add(entry)

@@ -60,18 +60,22 @@ object DataSources {
       : DataFrame = {
     val reader = spark.read.options(ds.options)
     val uri = resolveUri(ds.uri, ds.options)
+    // local NIO path for the native readers: file: URIs normalize to a
+    // plain path (Paths.get would treat the scheme as a literal path
+    // component, making isDeltaTable miss a real table and fall through
+    // to the corrupting raw-parquet read below)
+    val localPath = IcebergReader.normPath(ds.uri)
     // remote delta/iceberg must FAIL, not fall back: the native log
     // readers are local-NIO-bound (docs/AZURE.md), and the raw-parquet
     // fallback would silently serve tombstoned/rewritten files and
     // DV-masked rows as live data
     def requireLocal(ft: String): Unit =
-      require(!uri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") ||
-          uri.startsWith("file:"),
-        s"$ft sources must be on a local filesystem (got '$uri') — the " +
-          "native log reader does not read remote stores; see docs/AZURE.md")
+      require(!localPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
+        s"$ft sources must be on a local filesystem (got '${ds.uri}') — " +
+          "the native log reader does not read remote stores; see docs/AZURE.md")
     val df = ds.fileType.toLowerCase match {
-      case "delta" if DeltaLogReader.isDeltaTable(ds.uri) =>
-        DeltaLogReader.read(spark, ds.uri,
+      case "delta" if DeltaLogReader.isDeltaTable(localPath) =>
+        DeltaLogReader.read(spark, localPath,
           ds.options.get("versionAsOf").map(_.toLong),
           skipFilters = skipFilters)
       case "delta" =>
@@ -80,7 +84,7 @@ object DataSources {
       case "parquet" => reader.parquet(uri)
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         requireLocal("iceberg")
-        IcebergReader.read(spark, ds.uri,
+        IcebergReader.read(spark, localPath,
           ds.options.get("snapshotId").map(_.toLong),
           ds.options.get("asOfTimestampMs").map(_.toLong),
           partitionFilter = icebergPartitionFilter,
@@ -98,9 +102,9 @@ object DataSources {
         reader.option("multiLine", "true").json(uri)
       case "ndjson" => reader.json(uri)
       case "arrow" | "arrow-stream" | "feather" | "ipc" =>
-        ArrowSource.read(spark, ds.uri) // layout sniffed from the magic bytes
+        ArrowSource.read(spark, localPath) // layout sniffed from magic bytes
       case "sqlite" => // S8: native B-tree reader (no JDBC jars in env)
-        SQLiteReader.read(spark, ds.uri, ds.tableName.getOrElse(
+        SQLiteReader.read(spark, localPath, ds.tableName.getOrElse(
           throw new IllegalArgumentException("sqlite source needs table_name")))
       case "jdbc" => // S7/S9: duckdb/odbc become JDBC reads
         // `table_name` may be a bare table OR a parenthesized subquery —
