@@ -624,6 +624,38 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, path).count() == 959L)
   }
 
+  test("concurrent MAIN and BRANCH appends both land — neither side's " +
+      "retry clobbers the other ref") {
+    val path = tmp("bracer")
+    IcebergWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+    IcebergWriter.createBranch(path, "b")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 3).flatMap { i =>
+      Seq(
+        scala.concurrent.Future {
+          IcebergWriter.append(Seq((i.toLong, s"m$i")).toDF("id", "v"), path)
+        },
+        scala.concurrent.Future {
+          IcebergWriter.append(
+            Seq((100L + i, s"b$i")).toDF("id", "v"), path,
+            branch = Some("b"))
+        })
+    }
+    import scala.concurrent.duration.Duration
+    fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+    pool.shutdown()
+    // main: base + 3 main rows, NONE of the branch rows
+    val main = IcebergReader.read(spark, path)
+    assert(main.count() == 4L)
+    assert(main.filter(col("id") >= 100L).count() == 0L)
+    // branch: base + its 3 rows, NONE of main's post-cut rows
+    val br = IcebergReader.read(spark, path, ref = Some("b"))
+    assert(br.count() == 4L)
+    assert(br.filter(col("id") >= 100L).count() == 3L)
+  }
+
   test("two concurrent appends both land (optimistic retry, no lost commit)") {
     val path = tmp("race")
     IcebergWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
