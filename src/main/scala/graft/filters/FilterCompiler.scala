@@ -193,14 +193,23 @@ object FilterCompiler {
     * which buckets this instant's UTC representation — the two MUST
     * agree or pruning drops rows the predicate matches.
     */
-  private[graft] def instantFor(s: String): java.time.Instant = {
+  private[graft] def instantFor(s: String): java.time.Instant =
+    instantFor(s, sessionZone)
+
+  /** [[instantFor]] with an explicit zone — the ONE parse both the row
+    * predicate and the stats-plane value resolution share (two copies
+    * would let skipping desynchronize from the predicate: pruned files
+    * whose rows the predicate matches).
+    */
+  private[graft] def instantFor(s: String,
+      zone: java.time.ZoneId): java.time.Instant = {
     val raw = s.trim.replace(" ", "T")
     try java.time.OffsetDateTime.parse(raw).toInstant
     catch {
       case scala.util.control.NonFatal(_) =>
         java.time.LocalDateTime
           .parse(normalizeDateTime(s).replace(" ", "T"))
-          .atZone(sessionZone).toInstant
+          .atZone(zone).toInstant
     }
   }
 
@@ -242,13 +251,7 @@ object FilterCompiler {
         if (ntz) java.time.LocalDateTime
           .parse(normalizeDateTime(t).replace(" ", "T"))
           .toInstant(java.time.ZoneOffset.UTC)
-        else try java.time.OffsetDateTime.parse(t.replace(" ", "T")).toInstant
-        catch {
-          case scala.util.control.NonFatal(_) =>
-            java.time.LocalDateTime
-              .parse(normalizeDateTime(t).replace(" ", "T"))
-              .atZone(zone).toInstant
-        }
+        else instantFor(t, zone)
       Some(Math.addExact(
         Math.multiplyExact(inst.getEpochSecond, 1000000L),
         inst.getNano / 1000L))

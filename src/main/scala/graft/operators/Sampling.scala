@@ -412,15 +412,16 @@ object Sampling {
     * such that every domain d can supply its share N·w_d/Σw within
     * `epochs` passes over its data (N = min_d epochs·T_d·Σw/w_d), and
     * each domain's planned token count and sampling rate (ppm of its
-    * own tokens; >1e6 = repetition). ALL-INTEGER arithmetic (truncating
-    * division) so two engines compute bit-identical plans — a
-    * double-rounded rate that drifts by 1 ulp re-samples a different
-    * corpus.
+    * own tokens; >1e6 = repetition). ALL-INTEGER arithmetic (exact
+    * BigInt floor division) so two engines compute bit-identical plans
+    * — a double-rounded rate that drifts by 1 ulp re-samples a
+    * different corpus. The returned frame's domain column is the
+    * value's canonical STRING form.
     *
     * Scale: ONE map-side-combined aggregate over the corpus (the only
-    * row-count-proportional work), a broadcast k-row weights join, a
-    * k-row window — no second corpus pass. Execute the plan with
-    * [[uniformPortable]]/[[bernoulliByWeight]] per domain at
+    * row-count-proportional work); the k-row plan computes on the
+    * driver — no second corpus pass. Execute with [[domainMixExecute]],
+    * or [[uniformPortable]]/[[bernoulliByWeight]] per domain at
     * rate_ppm/1e6.
     */
   def domainMixPlan(df: DataFrame, domainCol: String, sizeCol: String,
@@ -428,32 +429,39 @@ object Sampling {
     require(epochs >= 1, "epochs must be >= 1")
     require(weights.nonEmpty && weights.values.forall(_ > 0L),
       "weights must be positive")
-    val sw = weights.values.sum
     val spark = df.sparkSession
-    import spark.implicits._
-    val w = broadcast(weights.toSeq.toDF(domainCol, "weight"))
-    // the intermediate PRODUCTS run through DECIMAL(38,0) so a
-    // 10¹³-token domain (the scale this operator is for) cannot wrap
-    // Long mid-plan and silently emit garbage rates; `div` (integral
-    // divide) on decimals is exact, so small inputs still match the
-    // oracle's 64-bit `//` bit for bit. The final columns fit Long by
-    // construction (total ≤ epochs·Σtokens, rate ≤ epochs·1e6).
-    val totals = df.groupBy(col(s"`$domainCol`"))
+    // ONE distributed aggregate — the only row-count-proportional work.
+    // The plan itself is k = |domains| rows (a mixture over more than a
+    // few thousand domains is not a meaningful recipe), so the exact
+    // arithmetic runs on the DRIVER in BigInt: engine integer ops
+    // silently wrap past 2^63 mid-plan (Spark's `div` even wraps a
+    // DECIMAL quotient at its long conversion — measured), and a
+    // wrapped plan re-samples a silently wrong corpus. BigInt floor
+    // division equals the oracle's 64-bit `//` wherever both are in
+    // range, and never wraps where they aren't.
+    val totals: Seq[(String, Long)] = df
+      .groupBy(col(s"`$domainCol`"))
       .agg(sum(col(s"`$sizeCol`")).cast("long").as("domain_tokens"))
-      .join(w, Seq(domainCol)) // unweighted domains are excluded (w=0)
-      .withColumn("__cap", expr(
-        s"CAST($epochs AS DECIMAL(38,0)) * domain_tokens * $sw div weight"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // k domains — a single tiny partition is fine
-    totals
-      .withColumn("__total_dec", min(col("__cap")).over(win))
-      .withColumn("total_tokens", col("__total_dec").cast("long"))
-      .withColumn("planned_tokens",
-        expr(s"CAST(__total_dec * weight div $sw AS LONG)"))
-      .withColumn("rate_ppm", expr(
-        "CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000" +
-          " div domain_tokens AS LONG)"))
-      .drop("__cap", "__total_dec")
+      .collect().toSeq
+      .map(r => r.getAs[Any](0).toString -> r.getLong(1))
+    val sw = BigInt(weights.values.sum)
+    val rows = totals.flatMap { case (d, t) =>
+      weights.get(d).map(w => (d, t, w)) // unweighted domains excluded
+    }
+    require(rows.nonEmpty, "no weighted domain present in the data")
+    val total: BigInt = rows.map { case (_, t, w) =>
+      BigInt(epochs) * t * sw / w
+    }.min
+    require(total.isValidLong,
+      s"mixture total $total exceeds Long — cap epochs or weights")
+    val out = rows.map { case (d, t, w) =>
+      val planned = total * w / sw
+      val rate = planned * 1000000 / t
+      (d, t, w, total.toLong, planned.toLong, rate.toLong)
+    }
+    import spark.implicits._
+    out.toDF(domainCol, "domain_tokens", "weight", "total_tokens",
+      "planned_tokens", "rate_ppm")
   }
 
   /** EXECUTE a [[domainMixPlan]]: materialize the planned mixture, with
@@ -472,10 +480,14 @@ object Sampling {
       idCol: String, weights: Map[String, Long], epochs: Int = 1,
       salt: Long = 0L): DataFrame = {
     val plan = domainMixPlan(df, domainCol, sizeCol, weights, epochs)
-      .select(col(s"`$domainCol`"), col("rate_ppm"))
+      .select(col(s"`$domainCol`").as("__mix_domain"), col("rate_ppm"))
     val bucket = portableBucket(concat(col(s"`$idCol`").cast("string"),
       lit("#"), col("copy"), lit("#" + salt)))
-    df.join(broadcast(plan), Seq(domainCol)) // unweighted domains drop
+    // join through the plan's canonical STRING domain so a non-string
+    // domain column still matches; unweighted domains drop (inner join)
+    df.join(broadcast(plan),
+        col(s"`$domainCol`").cast("string") === col("__mix_domain"))
+      .drop("__mix_domain")
       .withColumn("copy",
         explode(sequence(lit(0L), expr("rate_ppm DIV 1000000"))))
       .filter(col("copy") < expr("rate_ppm DIV 1000000") ||

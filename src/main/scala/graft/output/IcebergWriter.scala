@@ -2180,11 +2180,19 @@ object IcebergWriter {
       // last-updated-ms (iceberg's rule): an as-of-time resolver walking
       // this log must see when that file BECAME current, not when it
       // stopped being — stamping the new commit's time here would make
-      // as-of(T) resolve one commit older than the table actually was
-      val prevTs = try {
-        Option(mapper.readTree(Files.readString(prev))
-          .get("last-updated-ms")).map(_.asLong()).getOrElse(ts)
-      } catch { case scala.util.control.NonFatal(_) => ts }
+      // as-of(T) resolve one commit older than the table actually was.
+      // The value comes from a per-table cache commitMetadata fills
+      // (re-parsing the whole previous JSON per commit would sit on the
+      // streaming sink's hot path); a foreign writer's interleaved file
+      // misses the cache and falls back to one read.
+      val prevName = prev.getFileName.toString
+      val prevTs = Option(lastUpdatedCache.get(root.toString))
+        .collect { case (n, t) if n == prevName => t }
+        .getOrElse {
+          try Option(mapper.readTree(Files.readString(prev))
+            .get("last-updated-ms")).map(_.asLong()).getOrElse(ts)
+          catch { case scala.util.control.NonFatal(_) => ts }
+        }
       entry.put("timestamp-ms", prevTs)
       entry.put("metadata-file",
         s"$location/metadata/${prev.getFileName.toString}")
@@ -2215,6 +2223,13 @@ object IcebergWriter {
       }
   }
 
+  /** root → (latest metadata file WE wrote, its last-updated-ms) —
+    * feeds [[maintainLogs]]'s previous-timestamp lookup without
+    * re-parsing the previous JSON on every commit.
+    */
+  private val lastUpdatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
   private def commitMetadata(root: Path, version: Long, md: JsonNode): Unit = {
     try maintainLogs(root, md.asInstanceOf[ObjectNode])
     catch { case scala.util.control.NonFatal(_) => () } // additive only
@@ -2232,6 +2247,9 @@ object IcebergWriter {
         throw new ConcurrentCommitException(
           s"concurrent commit of iceberg metadata version $version at $root")
     } finally Files.deleteIfExists(tmp)
+    if (lastUpdatedCache.size > 1024) lastUpdatedCache.clear()
+    Option(md.get("last-updated-ms")).map(_.asLong()).foreach(t =>
+      lastUpdatedCache.put(root.toString, (dest.getFileName.toString, t)))
     // keep the hint MONOTONIC: under a commit race the hint writes can
     // land out of order, and a lower hint would point readers one step
     // back until the next commit. (The remaining tiny window is
