@@ -60,11 +60,16 @@ object DataSources {
       : DataFrame = {
     val reader = spark.read.options(ds.options)
     val uri = resolveUri(ds.uri, ds.options)
-    // local NIO path for the native readers: file: URIs normalize to a
-    // plain path (Paths.get would treat the scheme as a literal path
-    // component, making isDeltaTable miss a real table and fall through
-    // to the corrupting raw-parquet read below)
-    val localPath = IcebergReader.normPath(ds.uri)
+    // local NIO path for the native readers: file: URIs decode through
+    // java.net.URI (percent-encoding honored — a naive prefix strip left
+    // `file:///a%20b` undecoded, isDeltaTable missed the real table, and
+    // the raw-parquet fallback below served tombstoned rows). A file:
+    // URI Paths.get rejects (e.g. an authority component) keeps its
+    // scheme and trips the loud remote guard instead of going wrong.
+    val localPath =
+      if (!ds.uri.startsWith("file:")) ds.uri
+      else try java.nio.file.Paths.get(java.net.URI.create(ds.uri)).toString
+      catch { case scala.util.control.NonFatal(_) => ds.uri }
     // remote delta/iceberg must FAIL, not fall back: the native log
     // readers are local-NIO-bound (docs/AZURE.md), and the raw-parquet
     // fallback would silently serve tombstoned/rewritten files and

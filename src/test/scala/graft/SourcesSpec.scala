@@ -274,4 +274,28 @@ class PlanQualitySpec extends SparkSpec {
         options = Map("account_name" -> "myacct")))
     }
   }
+
+  test("file: URIs decode percent-encoding before the delta-table probe — " +
+      "a file:///a%20b delta table reads through the LOG, never the raw " +
+      "parquet fallback") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft src uri")
+    val t = dir.resolve("my table").toString
+    graft.output.DeltaWriter.create(
+      Seq((1L, "live")).toDF("id", "v").coalesce(1), t)
+    graft.output.DeltaWriter.overwrite(
+      Seq((2L, "current")).toDF("id", "v").coalesce(1), t)
+    val uri = java.nio.file.Paths.get(t).toUri.toString // file:///...%20...
+    assert(uri.contains("%20"), uri)
+    val df = graft.sources.DataSources.read(spark,
+      graft.config.DatasourceConfig(uri = uri, fileType = "delta"))
+    // through the LOG: only the current row — a raw parquet fallback
+    // would also resurrect the overwritten file's row
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("current"))
+    // a file: URI with an authority Paths.get rejects fails LOUDLY
+    intercept[IllegalArgumentException] {
+      graft.sources.DataSources.read(spark, graft.config.DatasourceConfig(
+        uri = "file://somehost/data/t", fileType = "delta"))
+    }
+  }
 }
