@@ -443,7 +443,11 @@ object Sampling {
       .groupBy(col(s"`$domainCol`"))
       .agg(sum(col(s"`$sizeCol`")).cast("long").as("domain_tokens"))
       .collect().toSeq
-      .map(r => r.getAs[Any](0).toString -> r.getLong(1))
+      // null-domain rows can never match a weight — drop them here
+      // instead of NPE-ing on toString
+      .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+        r.getAs[Any](0).toString -> r.getLong(1)
+      }
     val sw = BigInt(weights.values.sum)
     val rows = totals.flatMap { case (d, t) =>
       weights.get(d).map(w => (d, t, w)) // unweighted domains excluded
