@@ -393,7 +393,8 @@ object IcebergWriter {
             intOf(r, "content", 0),
             seq,
             if (minSeq != seq) Some(minSeq) else None,
-            Some(addedBy))
+            Some(addedBy),
+            specId = intOf(r, "partition_spec_id", 0))
         }
     }
   }
@@ -470,12 +471,16 @@ object IcebergWriter {
         // from its parquet footer), not the matched-row count — external
         // planners size delete application off this stat
         footerRecordCount(st.root.resolve("data").resolve(eqName)))),
-      // a cross-partition delete file: the spec shapes the partition
-      // record (all-null tuple = applies table-wide)
-      content = 2, equalityIds = eqIds, spec = st.spec)
+      // a cross-partition delete file rides the UNPARTITIONED spec —
+      // the spec-sanctioned "applies table-wide" (a null tuple under
+      // the partitioned spec scopes to the null partition externally)
+      content = 2, equalityIds = eqIds)
+    val eqSpecId =
+      if (st.spec.isEmpty) 0
+      else ensureUnpartitionedSpec(st.md)
     val list = writeManifestList(st.root, seq,
       st.refs :+ ManifestRef(dataManifest, 0, seq)
-        :+ ManifestRef(eqManifest, 1, seq))
+        :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
     commitNewSnapshot(st, seq, list, "overwrite")
     (matched, updates.count())
   }
@@ -729,10 +734,12 @@ object IcebergWriter {
 
     val seq = md.get("last-sequence-number").asLong() + 1
     val version = versionOf(mdFile) + 1
-    val delManifest = writeManifest(root, location, written, content = 1,
-      spec = st.spec)
+    val delSpecId =
+      if (st.spec.isEmpty) 0
+      else ensureUnpartitionedSpec(md.asInstanceOf[ObjectNode])
+    val delManifest = writeManifest(root, location, written, content = 1)
     val list = writeManifestList(root, seq,
-      refs :+ ManifestRef(delManifest, 1, seq))
+      refs :+ ManifestRef(delManifest, 1, seq, specId = delSpecId))
     val prevMaxTs = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
@@ -1237,9 +1244,17 @@ object IcebergWriter {
     * carried-forward manifests keep their original value instead of
     * re-stamping the committing snapshot's id (spec `added_snapshot_id`).
     */
+  /** `specId`: the manifest's partition spec (list field 502) — data
+    * manifests use the default spec; DELETE manifests on partitioned
+    * tables use the table's UNPARTITIONED spec ([[ensureUnpartitionedSpec]]),
+    * the spec-sanctioned way to say "applies table-wide" (a null tuple
+    * under a partitioned spec scopes to the null partition in external
+    * planners, silently under-deleting).
+    */
   private[output] case class ManifestRef(path: String, content: Int,
       seq: Long, minSeq: Option[Long] = None,
-      addedSnapshotId: Option[Long] = None)
+      addedSnapshotId: Option[Long] = None,
+      specId: Int = 0)
 
   /** Distributed parquet write into a staging dir, then move part files
     * into `data/`. Record counts come from the parquet FOOTERS (driver-side
@@ -1662,12 +1677,15 @@ object IcebergWriter {
           val d = keepE.head.get("data_file").asInstanceOf[GenericRecord]
           intOf(d, "content", 1)
         }
+        // rewrite under the SAME spec the original manifest declared
+        // (an unpartitioned-spec delete manifest keeps its empty tuple)
+        val mSpec = if (ref.specId == 0) st.spec else Nil
         val m = writeManifest(st.root, st.location, files, content = content,
-          spec = st.spec)
+          spec = mSpec)
         val minSeq = files.flatMap(_.seq).min
         Some(ManifestRef(m, 1, ref.seq,
           if (minSeq != ref.seq) Some(minSeq) else None,
-          ref.addedSnapshotId))
+          ref.addedSnapshotId, specId = ref.specId))
       }
     }
     (refs, dropped)
@@ -1796,10 +1814,13 @@ object IcebergWriter {
     val written = writePositionDeletes(merged, st.root)
     val (eqRefs, _) = carriedDeleteRefs(st, keep = _ == 2)
     val seq = st.md.get("last-sequence-number").asLong() + 1
+    val delSpecId =
+      if (st.spec.isEmpty) 0
+      else ensureUnpartitionedSpec(st.md)
     val newDelRef =
       if (written.isEmpty) Nil
       else Seq(ManifestRef(writeManifest(st.root, st.location, written,
-        content = 1, spec = st.spec), 1, seq))
+        content = 1), 1, seq, specId = delSpecId))
     val refs = st.refs.filter(_.content == 0) ++ eqRefs ++ newDelRef
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
@@ -1971,7 +1992,7 @@ object IcebergWriter {
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", ref.path)
       r.put("manifest_length", localLength(ref.path, root))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", ref.specId)
       r.put("content", ref.content)
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
@@ -2221,6 +2242,29 @@ object IcebergWriter {
           slog.add(e)
         }
       }
+  }
+
+  /** The table's UNPARTITIONED spec id, registering one (next free
+    * spec-id, no fields) when the table doesn't have it yet — the spec
+    * vehicle for table-wide DELETE files on partitioned tables: "a
+    * position/equality delete file applies to all partitions when its
+    * spec is unpartitioned" (spec Scan Planning). default-spec-id is
+    * untouched; the mutation commits with the caller's metadata.
+    */
+  private def ensureUnpartitionedSpec(md: ObjectNode): Int = {
+    val specs = md.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+    specs.elements().asScala.find(_.get("fields").size() == 0) match {
+      case Some(n) => n.get("spec-id").asInt()
+      case None =>
+        val next = specs.elements().asScala
+          .map(_.get("spec-id").asInt()).max + 1
+        val n = mapper.createObjectNode()
+        n.put("spec-id", next)
+        n.putArray("fields")
+        specs.add(n)
+        next
+    }
   }
 
   /** root → (latest metadata file WE wrote, its last-updated-ms) —

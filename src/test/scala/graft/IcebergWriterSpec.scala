@@ -1181,6 +1181,59 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, path).count() == 10L)
   }
 
+  test("delete manifests on PARTITIONED tables ride an UNPARTITIONED " +
+      "spec — the spec-sanctioned table-wide scope external planners " +
+      "honor (a null tuple under the partitioned spec would scope to " +
+      "the null partition and under-delete)") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("delspec")
+    val df = (0 until 100).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "bucket", "v")
+    IcebergWriter.create(df, path, partitionBy = Seq("bucket"))
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") < 10L) == 10L)
+    IcebergWriter.upsert(
+      Seq((50L, 2, "upd")).toDF("id", "bucket", "v"), path, Seq("id"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(java.nio.file.Files.readString(
+      IcebergReader.currentMetadataFile(path)))
+    // the unpartitioned spec is registered beside the default
+    val specs = md.get("partition-specs").elements().asScala.toVector
+    assert(specs.exists(_.get("fields").size() == 0), specs.toString)
+    assert(md.get("default-spec-id").asInt() == 0)
+    val unpartId = specs.find(_.get("fields").size() == 0)
+      .get.get("spec-id").asInt()
+    assert(unpartId != 0)
+    // every DELETE manifest record in the current list carries it;
+    // data manifests keep spec 0
+    val curId = md.get("current-snapshot-id").asLong()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    val reader = org.apache.avro.file.DataFileReader.openReader(
+      java.nio.file.Paths.get(listPath).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = try reader.iterator().asScala.toVector finally reader.close()
+    val (del, data) = recs.partition(
+      _.get("content").asInstanceOf[Int] == 1)
+    assert(del.nonEmpty && data.nonEmpty)
+    assert(del.forall(_.get("partition_spec_id")
+      .asInstanceOf[Int] == unpartId), del.toString)
+    assert(data.forall(_.get("partition_spec_id").asInstanceOf[Int] == 0))
+    // the table still reads correctly through both delete kinds
+    val back = IcebergReader.read(spark, path)
+    assert(back.count() == 90L)
+    assert(back.filter(col("id") === 50L).select("v")
+      .as[String].head() == "upd")
+    // and compaction of position deletes preserves the spec stamp
+    IcebergWriter.append(
+      (200 until 210).map(i => (i.toLong, i % 4, s"n$i")).toDF("id", "bucket", "v"),
+      path)
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 205L) == 1L)
+    assert(IcebergWriter.rewritePositionDeletes(spark, path) >= 2)
+    assert(IcebergReader.read(spark, path).count() == 99L)
+  }
+
   test("snapshot-log and metadata-log ride every commit: history entries " +
       "when main moves, none for branch commits, expired ids pruned") {
     import scala.jdk.CollectionConverters._
