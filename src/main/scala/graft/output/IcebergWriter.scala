@@ -70,7 +70,8 @@ object IcebergWriter {
     val spec = specFor(df.schema, partitionBy)
     val files = writeData(df, root, spec, topFieldIds(df.schema))
     val seq = 1L
-    val manifest = writeManifest(root, location, files, spec = spec)
+    val manifest = writeManifest(root, location, files, spec = spec,
+      schemaJson = Some(mapper.writeValueAsString(icebergSchema(df.schema)._1)))
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
     commitNewTable(root, df.schema, seq, list, "append",
       summary ++ fileSummary(files), spec)
@@ -168,20 +169,7 @@ object IcebergWriter {
     setNameMapping(md, schemaJson)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
-    val specFields = mapper.createArrayNode()
-    partitionSpec.foreach { f =>
-      val n = mapper.createObjectNode()
-      n.put("name", f.name)
-      n.put("transform", f.transform match {
-        case "bucket" => s"bucket[${f.param}]"
-        case "truncate" => s"truncate[${f.param}]"
-        case t => t // identity | day | month | year
-      })
-      n.put("source-id", f.sourceId)
-      n.put("field-id", f.fieldId)
-      specFields.add(n)
-    }
-    spec.set[JsonNode]("fields", specFields)
+    spec.set[JsonNode]("fields", specFieldsJson(partitionSpec))
     md.set[JsonNode]("partition-specs", mapper.createArrayNode().add(spec))
     md.put("default-spec-id", 0)
     // spec: >= 999 before any partition field
@@ -464,6 +452,9 @@ object IcebergWriter {
     val seq = st.md.get("last-sequence-number").asLong() + 1
     val dataManifest = writeManifest(st.root, st.location, dataFiles,
       spec = st.spec)
+    val eqSpecId =
+      if (st.spec.isEmpty) 0
+      else ensureUnpartitionedSpec(st.md)
     val eqManifest = writeManifest(st.root, st.location,
       Seq(WrittenFile(eqName,
         Files.size(st.root.resolve("data").resolve(eqName)),
@@ -474,10 +465,7 @@ object IcebergWriter {
       // a cross-partition delete file rides the UNPARTITIONED spec —
       // the spec-sanctioned "applies table-wide" (a null tuple under
       // the partitioned spec scopes to the null partition externally)
-      content = 2, equalityIds = eqIds)
-    val eqSpecId =
-      if (st.spec.isEmpty) 0
-      else ensureUnpartitionedSpec(st.md)
+      content = 2, equalityIds = eqIds, specId = eqSpecId)
     val list = writeManifestList(st.root, seq,
       st.refs :+ ManifestRef(dataManifest, 0, seq)
         :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
@@ -737,7 +725,8 @@ object IcebergWriter {
     val delSpecId =
       if (st.spec.isEmpty) 0
       else ensureUnpartitionedSpec(md.asInstanceOf[ObjectNode])
-    val delManifest = writeManifest(root, location, written, content = 1)
+    val delManifest = writeManifest(root, location, written, content = 1,
+      specId = delSpecId)
     val list = writeManifestList(root, seq,
       refs :+ ManifestRef(delManifest, 1, seq, specId = delSpecId))
     val prevMaxTs = Option(md.get("snapshots")).toSeq
@@ -1681,7 +1670,7 @@ object IcebergWriter {
         // (an unpartitioned-spec delete manifest keeps its empty tuple)
         val mSpec = if (ref.specId == 0) st.spec else Nil
         val m = writeManifest(st.root, st.location, files, content = content,
-          spec = mSpec)
+          spec = mSpec, specId = ref.specId)
         val minSeq = files.flatMap(_.seq).min
         Some(ManifestRef(m, 1, ref.seq,
           if (minSeq != ref.seq) Some(minSeq) else None,
@@ -1820,7 +1809,7 @@ object IcebergWriter {
     val newDelRef =
       if (written.isEmpty) Nil
       else Seq(ManifestRef(writeManifest(st.root, st.location, written,
-        content = 1), 1, seq, specId = delSpecId))
+        content = 1, specId = delSpecId), 1, seq, specId = delSpecId))
     val refs = st.refs.filter(_.content == 0) ++ eqRefs ++ newDelRef
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
@@ -1912,6 +1901,42 @@ object IcebergWriter {
     arr.getElementType
   }
 
+  /** The spec FIELDS as metadata-JSON — shared by the table metadata
+    * and each manifest's Avro file metadata (`partition-spec` key).
+    */
+  private def specFieldsJson(partitionSpec: Seq[SpecField])
+      : com.fasterxml.jackson.databind.node.ArrayNode = {
+    val specFields = mapper.createArrayNode()
+    partitionSpec.foreach { f =>
+      val n = mapper.createObjectNode()
+      n.put("name", f.name)
+      n.put("transform", f.transform match {
+        case "bucket" => s"bucket[${f.param}]"
+        case "truncate" => s"truncate[${f.param}]"
+        case t => t // identity | day | month | year
+      })
+      n.put("source-id", f.sourceId)
+      n.put("field-id", f.fieldId)
+      specFields.add(n)
+    }
+    specFields
+  }
+
+  /** The CURRENT schema's raw JSON from a table's metadata on disk —
+    * what each manifest's `schema` Avro metadata key carries. None
+    * before the first metadata commit (create passes the schema
+    * explicitly) or on any read problem (keys omitted, same surface as
+    * pre-r15 manifests).
+    */
+  private def currentSchemaJsonFromDisk(root: Path): Option[String] = try {
+    val md = mapper.readTree(Files.readString(
+      graft.sources.IcebergReader.currentMetadataFile(root.toString)))
+    val id = Option(md.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    Option(md.get("schemas")).toSeq.flatMap(_.elements().asScala)
+      .find(n => Option(n.get("schema-id")).forall(_.asInt() == id))
+      .map(mapper.writeValueAsString)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** One manifest: status=1 (ADDED) entries with null sequence numbers —
     * inherited from the manifest list per the spec, which keeps manifests
     * immutable across carries. File paths are prefixed with the table's
@@ -1920,7 +1945,8 @@ object IcebergWriter {
     */
   private[output] def writeManifest(root: Path, location: String,
       files: Seq[WrittenFile], content: Int = 0,
-      equalityIds: Seq[Int] = Nil, spec: Seq[SpecField] = Nil): String = {
+      equalityIds: Seq[Int] = Nil, spec: Seq[SpecField] = Nil,
+      specId: Int = 0, schemaJson: Option[String] = None): String = {
     val entrySchema = entrySchemaFor(spec)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -1982,7 +2008,18 @@ object IcebergWriter {
     }
     val p = root.resolve("metadata")
       .resolve(s"m-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(p, entrySchema, recs)
+    // Avro FILE metadata per spec Appendix C — strict external readers
+    // (iceberg-java's ManifestReader) resolve the partition tuple and
+    // schema from these keys, not from the entry records
+    val meta = Map(
+      "format-version" -> "2",
+      "content" -> (if (content == 0) "data" else "deletes"),
+      "partition-spec" -> mapper.writeValueAsString(specFieldsJson(spec)),
+      "partition-spec-id" -> specId.toString) ++
+      schemaJson.orElse(currentSchemaJsonFromDisk(root))
+        .map(j => Map("schema" -> j, "schema-id" -> "0"))
+        .getOrElse(Map.empty)
+    writeAvro(p, entrySchema, recs, meta)
     s"$location/metadata/${p.getFileName}"
   }
 
@@ -2015,7 +2052,9 @@ object IcebergWriter {
     val location = root.toString
     val p = root.resolve("metadata")
       .resolve(s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(p, listSchema, recs)
+    writeAvro(p, listSchema, recs, Map(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString))
     s"$location/metadata/${p.getFileName}"
   }
 
@@ -2534,8 +2573,10 @@ object IcebergWriter {
   }
 
   private def writeAvro(path: Path, schema: Schema,
-      records: Seq[GenericRecord]): Unit = {
+      records: Seq[GenericRecord],
+      meta: Map[String, String] = Map.empty): Unit = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
     w.create(schema, path.toFile)
     try records.foreach(w.append) finally w.close()
   }

@@ -1220,6 +1220,23 @@ class IcebergWriterSpec extends SparkSpec {
     assert(del.forall(_.get("partition_spec_id")
       .asInstanceOf[Int] == unpartId), del.toString)
     assert(data.forall(_.get("partition_spec_id").asInstanceOf[Int] == 0))
+    // every manifest Avro carries the spec's file metadata keys —
+    // strict external readers resolve schema/spec from THESE
+    val someManifest = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "metadata")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("m-")).get
+    val ar = new org.apache.avro.file.DataFileReader(
+      someManifest.toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(ar.getMetaString("format-version") == "2")
+      assert(Set("data", "deletes").contains(ar.getMetaString("content")))
+      assert(ar.getMetaString("partition-spec") != null)
+      assert(ar.getMetaString("partition-spec-id") != null)
+      assert(ar.getMetaString("schema") != null &&
+        ar.getMetaString("schema").contains("\"fields\""))
+    } finally ar.close()
     // the table still reads correctly through both delete kinds
     val back = IcebergReader.read(spark, path)
     assert(back.count() == 90L)
