@@ -82,8 +82,12 @@ object FormatConvert {
         records, absPath = Some(abs(f)), colStats = stats)
     }
     val refs = Seq.newBuilder[IcebergWriter.ManifestRef]
+    // explicit schema: the conversion writes manifests BEFORE the first
+    // metadata commit, so the disk fallback has nothing to read yet
+    val schemaJson = Some(IcebergWriter.icebergSchema(snap.schema)._1.toString)
     refs += IcebergWriter.ManifestRef(
-      IcebergWriter.writeManifest(root, location, dataFiles), 0, seq)
+      IcebergWriter.writeManifest(root, location, dataFiles,
+        schemaJson = schemaJson), 0, seq)
     // inline DVs → position-delete files: the one data artifact this
     // conversion writes. Both sides sit at seq 1; position deletes apply
     // at delete seq >= data seq, so they cover exactly the files they
@@ -96,7 +100,8 @@ object FormatConvert {
       val written = IcebergWriter.writePositionDeletes(delDf, root)
       if (written.nonEmpty)
         refs += IcebergWriter.ManifestRef(
-          IcebergWriter.writeManifest(root, location, written, content = 1),
+          IcebergWriter.writeManifest(root, location, written, content = 1,
+            schemaJson = schemaJson),
           1, seq)
     }
     val list = IcebergWriter.writeManifestList(root, seq, refs.result())

@@ -129,6 +129,7 @@ object QueryPipeline {
       val normalized = op match {
         case "=" | "==" => Some("=")
         case "<" | "<=" | ">" | ">=" => Some(op)
+        case "<>" => Some("<>") // prunes single-value files (min=max=v)
         case _ => None
       }
       (normalized, value) match {

@@ -302,6 +302,8 @@ object DeltaLogReader {
                 case "<=" => cMin <= 0
                 case ">" => cMax > 0
                 case ">=" => cMax >= 0
+                // single-value file (min = max = v) can't match x <> v
+                case "<>" | "!=" | "ne" => !(cMin == 0 && cMax == 0)
                 case _ => true
               }
               case _ => true

@@ -182,6 +182,12 @@ final class GraftFileIndex(
     e match {
       case EqualTo(a: AttributeReference, l: Literal) => check(a, "=", l)
       case EqualTo(l: Literal, a: AttributeReference) => check(a, "=", l)
+      // x <> v prunes only single-value files (min = max = v) — cheap
+      // and exactly the shape a dedup-ish "exclude this key" query hits
+      case Not(EqualTo(a: AttributeReference, l: Literal)) =>
+        check(a, "<>", l)
+      case Not(EqualTo(l: Literal, a: AttributeReference)) =>
+        check(a, "<>", l)
       case GreaterThan(a: AttributeReference, l: Literal) => check(a, ">", l)
       case GreaterThan(l: Literal, a: AttributeReference) => check(a, "<", l)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>

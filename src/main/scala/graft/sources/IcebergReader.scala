@@ -713,6 +713,9 @@ object IcebergReader {
           case "<=" => cLo <= 0
           case ">" => cHi > 0
           case ">=" => cHi >= 0
+          // a single-value file (min = max = v) can't match x <> v;
+          // nulls don't rescue it (<> is NULL for null x, filtered)
+          case "<>" | "!=" | "ne" => !(cLo == 0 && cHi == 0)
           case _ => true
         }
         case _ => true

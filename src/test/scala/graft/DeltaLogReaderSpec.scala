@@ -802,5 +802,14 @@ class DeltaLogReaderSpec extends SparkSpec {
       skipFilters = Seq(SkipPredicate("v", "in", "a0,z0")))
     assert(served.inputFiles.length == 2, served.inputFiles.toSeq)
     assert(served.filter(col("v").isin("a0", "z0")).count() == 2L)
+    // <> prunes SINGLE-VALUE files (min = max = v) on both planes
+    graft.output.DeltaWriter.append(
+      Seq("s0" -> 9L).toDF("v", "id").coalesce(1), path)
+    val t2 = DeltaLogReader.read(spark, path)
+    val ne = t2.filter(col("v") =!= "s0")
+    assert(ne.count() == 6L && planned(ne) == 3, planned(ne))
+    assert(DeltaLogReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("v", "<>", "s0")))
+      .inputFiles.length == 3)
   }
 }
