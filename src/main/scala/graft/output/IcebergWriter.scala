@@ -279,7 +279,12 @@ object IcebergWriter {
     // re-stamps the list, never the manifest or the data
     val files = writeData(df, root, spec,
       invertIds(graft.sources.IcebergReader.currentSchema(md0)._2))
-    val manifest = writeManifest(root, location, files, spec = spec)
+    // schemaJson from the IN-MEMORY node: a mergeSchema append evolved
+    // md0 but the evolved metadata has not committed yet, so the disk
+    // fallback would embed the STALE pre-evolution schema while the
+    // entries already carry the new columns' stats
+    val manifest = writeManifest(root, location, files, spec = spec,
+      specId = defaultSpecId(md0), schemaJson = currentSchemaJson(md0))
 
     // optimistic-concurrency retry: re-read the metadata, re-validate,
     // rebuild the manifest list against the NEW current snapshot, and
@@ -298,7 +303,8 @@ object IcebergWriter {
           "the partition spec — rewrite the incoming batch")
       val seq = md.get("last-sequence-number").asLong() + 1
       val version = versionOf(mdFile) + 1
-      val newRef = ManifestRef(manifest, 0, seq)
+      val newRef = ManifestRef(manifest, 0, seq,
+        specId = defaultSpecId(md))
       // the BASE snapshot this commit builds on: a branch commit carries
       // forward the BRANCH head's manifests and leaves main untouched
       val baseId: Option[Long] = branch match {
@@ -450,8 +456,9 @@ object IcebergWriter {
 
     val dataFiles = writeData(updates, st.root, st.spec, invertIds(st.fieldNames))
     val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dsid = defaultSpecId(st.md)
     val dataManifest = writeManifest(st.root, st.location, dataFiles,
-      spec = st.spec)
+      spec = st.spec, specId = dsid, schemaJson = currentSchemaJson(st.md))
     val eqSpecId =
       if (st.spec.isEmpty) 0
       else ensureUnpartitionedSpec(st.md)
@@ -465,9 +472,10 @@ object IcebergWriter {
       // a cross-partition delete file rides the UNPARTITIONED spec —
       // the spec-sanctioned "applies table-wide" (a null tuple under
       // the partitioned spec scopes to the null partition externally)
-      content = 2, equalityIds = eqIds, specId = eqSpecId)
+      content = 2, equalityIds = eqIds, specId = eqSpecId,
+      schemaJson = currentSchemaJson(st.md))
     val list = writeManifestList(st.root, seq,
-      st.refs :+ ManifestRef(dataManifest, 0, seq)
+      st.refs :+ ManifestRef(dataManifest, 0, seq, specId = dsid)
         :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
     commitNewSnapshot(st, seq, list, "overwrite")
     (matched, updates.count())
@@ -478,8 +486,18 @@ object IcebergWriter {
     * into tables partitioned by bucket/truncate/temporal transforms it
     * cannot compute).
     */
-  private[output] def defaultSpec(md: JsonNode): Seq[SpecField] = {
-    val specId = Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+  private[output] def defaultSpec(md: JsonNode): Seq[SpecField] =
+    specFieldsFor(md, defaultSpecId(md))
+
+  private[output] def defaultSpecId(md: JsonNode): Int =
+    Option(md.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+
+  /** The given spec's fields as [[SpecField]]s — loud on transforms this
+    * writer can't represent (silently writing a wrong tuple shape under
+    * a declared spec id would corrupt external planning).
+    */
+  private[output] def specFieldsFor(md: JsonNode,
+      specId: Int): Seq[SpecField] = {
     val specNode = Option(md.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("spec-id").asInt() == specId)
@@ -726,7 +744,7 @@ object IcebergWriter {
       if (st.spec.isEmpty) 0
       else ensureUnpartitionedSpec(md.asInstanceOf[ObjectNode])
     val delManifest = writeManifest(root, location, written, content = 1,
-      specId = delSpecId)
+      specId = delSpecId, schemaJson = currentSchemaJson(md))
     val list = writeManifestList(root, seq,
       refs :+ ManifestRef(delManifest, 1, seq, specId = delSpecId))
     val prevMaxTs = Option(md.get("snapshots")).toSeq
@@ -1548,12 +1566,14 @@ object IcebergWriter {
     // absolute paths by the zero-copy [[FormatConvert]]
     val keptFiles = kept.map(existingFile(_, st))
     val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dsid = defaultSpecId(st.md)
     val dataManifest = writeManifest(st.root, st.location,
-      keptFiles ++ compacted, spec = st.spec)
+      keptFiles ++ compacted, spec = st.spec, specId = dsid,
+      schemaJson = currentSchemaJson(st.md))
     val minSeq = (kept.map(_.seq) :+ seq).min
     val refs = st.refs.filter(_.content != 0) :+
       ManifestRef(dataManifest, 0, seq,
-        if (minSeq != seq) Some(minSeq) else None)
+        if (minSeq != seq) Some(minSeq) else None, specId = dsid)
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
     small.size
@@ -1613,10 +1633,12 @@ object IcebergWriter {
         cluster = Some((z, nOut)))
     }).filter(_.records > 0)
     val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dsid = defaultSpecId(st.md)
     val manifest = writeManifest(st.root, st.location, newFiles,
-      spec = st.spec)
+      spec = st.spec, specId = dsid,
+      schemaJson = currentSchemaJson(st.md))
     val list = writeManifestList(st.root, seq,
-      Seq(ManifestRef(manifest, 0, seq)))
+      Seq(ManifestRef(manifest, 0, seq, specId = dsid)))
     commitNewSnapshot(st, seq, list, "replace")
     dataEntries.size
   }
@@ -1666,11 +1688,14 @@ object IcebergWriter {
           val d = keepE.head.get("data_file").asInstanceOf[GenericRecord]
           intOf(d, "content", 1)
         }
-        // rewrite under the SAME spec the original manifest declared
-        // (an unpartitioned-spec delete manifest keeps its empty tuple)
-        val mSpec = if (ref.specId == 0) st.spec else Nil
+        // rewrite under the SAME spec the original manifest declared —
+        // resolved BY ID from the table metadata (assuming 0 = default
+        // and nonzero = unpartitioned corrupts foreign spec-evolved
+        // tables whose delete manifests ride a partitioned nonzero spec)
+        val mSpec = specFieldsFor(st.md, ref.specId)
         val m = writeManifest(st.root, st.location, files, content = content,
-          spec = mSpec, specId = ref.specId)
+          spec = mSpec, specId = ref.specId,
+          schemaJson = currentSchemaJson(st.md))
         val minSeq = files.flatMap(_.seq).min
         Some(ManifestRef(m, 1, ref.seq,
           if (minSeq != ref.seq) Some(minSeq) else None,
@@ -1759,12 +1784,14 @@ object IcebergWriter {
     val kept = dataEntries.filterNot(e => affectedSet.contains(norm(e.localPath)))
       .map(existingFile(_, st))
     val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dsid = defaultSpecId(st.md)
     val dataManifest = writeManifest(st.root, st.location, kept ++ newFiles,
-      spec = st.spec)
+      spec = st.spec, specId = dsid,
+      schemaJson = currentSchemaJson(st.md))
     val minSeq = (kept.flatMap(_.seq) :+ seq).min
     val (delRefs, _) = carriedDeleteRefs(st, keep = _ == 1)
     val refs = delRefs :+ ManifestRef(dataManifest, 0, seq,
-      if (minSeq != seq) Some(minSeq) else None)
+      if (minSeq != seq) Some(minSeq) else None, specId = dsid)
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
     eqFileCount
@@ -1803,13 +1830,18 @@ object IcebergWriter {
     val written = writePositionDeletes(merged, st.root)
     val (eqRefs, _) = carriedDeleteRefs(st, keep = _ == 2)
     val seq = st.md.get("last-sequence-number").asLong() + 1
-    val delSpecId =
-      if (st.spec.isEmpty) 0
-      else ensureUnpartitionedSpec(st.md)
     val newDelRef =
       if (written.isEmpty) Nil
-      else Seq(ManifestRef(writeManifest(st.root, st.location, written,
-        content = 1, specId = delSpecId), 1, seq, specId = delSpecId))
+      else {
+        // register the unpartitioned spec only when a manifest actually
+        // lands — a no-op compaction must not mutate partition-specs
+        val delSpecId =
+          if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
+        Seq(ManifestRef(writeManifest(st.root, st.location, written,
+          content = 1, specId = delSpecId,
+          schemaJson = currentSchemaJson(st.md)),
+          1, seq, specId = delSpecId))
+      }
     val refs = st.refs.filter(_.content == 0) ++ eqRefs ++ newDelRef
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
@@ -1922,6 +1954,18 @@ object IcebergWriter {
     specFields
   }
 
+  /** The CURRENT schema's raw JSON from an in-memory metadata node —
+    * the zero-I/O source every committer should pass to
+    * [[writeManifest]] (it also carries any in-flight schema EVOLUTION,
+    * which the disk fallback cannot see yet).
+    */
+  private[output] def currentSchemaJson(md: JsonNode): Option[String] = {
+    val id = Option(md.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    Option(md.get("schemas")).toSeq.flatMap(_.elements().asScala)
+      .find(n => Option(n.get("schema-id")).forall(_.asInt() == id))
+      .map(mapper.writeValueAsString)
+  }
+
   /** The CURRENT schema's raw JSON from a table's metadata on disk —
     * what each manifest's `schema` Avro metadata key carries. None
     * before the first metadata commit (create passes the schema
@@ -2017,7 +2061,14 @@ object IcebergWriter {
       "partition-spec" -> mapper.writeValueAsString(specFieldsJson(spec)),
       "partition-spec-id" -> specId.toString) ++
       schemaJson.orElse(currentSchemaJsonFromDisk(root))
-        .map(j => Map("schema" -> j, "schema-id" -> "0"))
+        .map { j =>
+          // schema-id from the schema JSON itself — hardcoding 0 would
+          // contradict the embedded schema on any evolved table
+          val sid = try Option(mapper.readTree(j).get("schema-id"))
+            .map(_.asInt()).getOrElse(0)
+          catch { case scala.util.control.NonFatal(_) => 0 }
+          Map("schema" -> j, "schema-id" -> sid.toString)
+        }
         .getOrElse(Map.empty)
     writeAvro(p, entrySchema, recs, meta)
     s"$location/metadata/${p.getFileName}"
