@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Sampling
+import org.scalacheck.{Gen, Prop}
+
+/** Property-based checks of the mixture plan against its mathematical
+  * contract: every domain's planned tokens respect the epoch cap, the
+  * total is the LARGEST achievable (feasibility is tight at the binding
+  * domain), rates reproduce planned/T exactly, and the whole plan
+  * matches an independent BigInt model — including weight/size
+  * magnitudes that would wrap 64-bit intermediates (the class of bug
+  * the driver-side BigInt arithmetic exists to rule out).
+  */
+class MixPlanPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val domainsGen = Gen.chooseNum(1, 6)
+  // token sums up to 10^14 — far past the point where epochs*T*Σw
+  // wraps a Long mid-plan
+  private val tokGen = Gen.oneOf(
+    Gen.chooseNum(1L, 1000L), Gen.chooseNum(1L, 100000000000000L))
+  private val wGen = Gen.oneOf(
+    Gen.chooseNum(1L, 20L), Gen.chooseNum(1L, 1000000L))
+
+  test("domainMixPlan matches an independent BigInt model and never " +
+      "exceeds the epoch cap, at magnitudes that wrap Long (scalacheck)") {
+    check(Prop.forAll(domainsGen, Gen.chooseNum(1, 5), Gen.long) {
+      (k: Int, epochs: Int, seed: Long) =>
+        val toks = (0 until k).map(_ => tokGen.sample.getOrElse(1L))
+        val ws = (0 until k).map(_ => wGen.sample.getOrElse(1L))
+        val weights = (0 until k).map(i => s"d$i" -> ws(i)).toMap
+        // one row per domain carrying its whole size keeps the
+        // distributed aggregate trivial — the plan math is the target
+        val df = (0 until k).map(i => (s"d$i", toks(i))).toDF("dom", "n")
+        val plan = Sampling.domainMixPlan(df, "dom", "n", weights, epochs)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5))).toMap
+        // independent model
+        val sw = BigInt(ws.sum)
+        val total = (0 until k)
+          .map(i => BigInt(epochs) * toks(i) * sw / ws(i)).min
+        (0 until k).forall { i =>
+          val (t, w, tot, planned, rate) = plan(s"d$i")
+          val expPlanned = total * ws(i) / sw
+          val expRate = expPlanned * 1000000 / toks(i)
+          t == toks(i) && w == ws(i) && BigInt(tot) == total &&
+            BigInt(planned) == expPlanned && BigInt(rate) == expRate &&
+            // the contract: never more than `epochs` passes per domain
+            planned <= BigInt(epochs) * toks(i) &&
+            rate <= epochs.toLong * 1000000L
+        } && {
+          // tightness: the binding domain sits exactly at its cap
+          (0 until k).exists(i =>
+            BigInt(epochs) * toks(i) * sw / ws(i) == total)
+        }
+    })
+  }
+}
