@@ -298,13 +298,16 @@ object IcebergWriter {
       val mdFile = latestMetadataFile(root)
       val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
       validate(md)
-      require(defaultSpec(md) == spec,
+      require(defaultSpec(md) == spec &&
+          defaultSpecId(md) == defaultSpecId(md0),
         s"$operation lost a commit race and the competing commit changed " +
           "the partition spec — rewrite the incoming batch")
       val seq = md.get("last-sequence-number").asLong() + 1
       val version = versionOf(mdFile) + 1
+      // the id the manifest's own Avro metadata embedded (md0's) — the
+      // require above pins it equal across the race
       val newRef = ManifestRef(manifest, 0, seq,
-        specId = defaultSpecId(md))
+        specId = defaultSpecId(md0))
       // the BASE snapshot this commit builds on: a branch commit carries
       // forward the BRANCH head's manifests and leaves main untouched
       val baseId: Option[Long] = branch match {
@@ -1674,11 +1677,23 @@ object IcebergWriter {
             .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
               .map(_.asInstanceOf[Number].intValue))
             .getOrElse(Nil)
+          // carry the entry's PARTITION TUPLE — rewriting a
+          // partitioned-spec delete entry with an all-null tuple would
+          // scope it to the null partition in external planners
+          // (silent under-delete)
+          val partition: Seq[(String, AnyRef)] = Option(
+              if (d.getSchema.getField("partition") == null) null
+              else d.get("partition"))
+            .collect { case r: GenericRecord =>
+              r.getSchema.getFields.asScala.toSeq.flatMap(pf =>
+                Option(r.get(pf.name())).map(pf.name() -> _))
+            }.getOrElse(Nil)
           val fp = d.get("file_path").toString
           WrittenFile(Paths.get(fp).getFileName.toString,
             longOf(d, "file_size_in_bytes", 0L),
             longOf(d, "record_count", 0L),
             seq = Some(entrySeq), existing = true, absPath = Some(fp),
+            partition = partition,
             snapshotId = Some(longOf(e, "snapshot_id",
               ref.addedSnapshotId.getOrElse(0L))),
             fileSeq = Some(longOf(e, "file_sequence_number", entrySeq)),
@@ -1691,8 +1706,18 @@ object IcebergWriter {
         // rewrite under the SAME spec the original manifest declared —
         // resolved BY ID from the table metadata (assuming 0 = default
         // and nonzero = unpartitioned corrupts foreign spec-evolved
-        // tables whose delete manifests ride a partitioned nonzero spec)
-        val mSpec = specFieldsFor(st.md, ref.specId)
+        // tables whose delete manifests ride a partitioned nonzero
+        // spec). A spec this writer cannot represent (void transforms,
+        // dropped source columns) fails the REWRITE loudly — but when
+        // no entry needed dropping, the untouched original manifest
+        // carries instead, so maintenance still completes.
+        val mSpecTry = scala.util.Try(specFieldsFor(st.md, ref.specId))
+        if (mSpecTry.isFailure && dropE.isEmpty) Some(ref)
+        else {
+        val mSpec = mSpecTry.getOrElse(throw new IllegalArgumentException(
+          s"cannot rewrite delete manifest ${ref.path}: its spec " +
+            s"${ref.specId} is not representable (" +
+            s"${mSpecTry.failed.get.getMessage})"))
         val m = writeManifest(st.root, st.location, files, content = content,
           spec = mSpec, specId = ref.specId,
           schemaJson = currentSchemaJson(st.md))
@@ -1700,6 +1725,7 @@ object IcebergWriter {
         Some(ManifestRef(m, 1, ref.seq,
           if (minSeq != ref.seq) Some(minSeq) else None,
           ref.addedSnapshotId, specId = ref.specId))
+        }
       }
     }
     (refs, dropped)
@@ -1972,14 +1998,10 @@ object IcebergWriter {
     * explicitly) or on any read problem (keys omitted, same surface as
     * pre-r15 manifests).
     */
-  private def currentSchemaJsonFromDisk(root: Path): Option[String] = try {
-    val md = mapper.readTree(Files.readString(
-      graft.sources.IcebergReader.currentMetadataFile(root.toString)))
-    val id = Option(md.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-    Option(md.get("schemas")).toSeq.flatMap(_.elements().asScala)
-      .find(n => Option(n.get("schema-id")).forall(_.asInt() == id))
-      .map(mapper.writeValueAsString)
-  } catch { case scala.util.control.NonFatal(_) => None }
+  private def currentSchemaJsonFromDisk(root: Path): Option[String] =
+    try currentSchemaJson(mapper.readTree(Files.readString(
+      graft.sources.IcebergReader.currentMetadataFile(root.toString))))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** One manifest: status=1 (ADDED) entries with null sequence numbers —
     * inherited from the manifest list per the spec, which keeps manifests
