@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling for dataset curation.
   *
@@ -439,29 +440,43 @@ object Sampling {
     // wrapped plan re-samples a silently wrong corpus. BigInt floor
     // division equals the oracle's 64-bit `//` wherever both are in
     // range, and never wraps where they aren't.
-    val totals: Seq[(String, Long)] = df
+    // sum through DECIMAL(38,0): a long-typed sum(long) silently WRAPS
+    // past 2^63 under non-ANSI semantics, and a wrapped domain total
+    // feeds nonsense into the "exact" BigInt model below
+    val totals: Seq[(String, BigInt)] = df
       .groupBy(col(s"`$domainCol`"))
-      .agg(sum(col(s"`$sizeCol`")).cast("long").as("domain_tokens"))
+      .agg(sum(col(s"`$sizeCol`").cast(DecimalType(38, 0)))
+        .as("domain_tokens"))
       .collect().toSeq
       // null-domain rows can never match a weight — drop them here
       // instead of NPE-ing on toString
       .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>
-        r.getAs[Any](0).toString -> r.getLong(1)
+        r.getAs[Any](0).toString ->
+          BigInt(r.getDecimal(1).toBigInteger)
       }
     val sw = BigInt(weights.values.sum)
     val rows = totals.flatMap { case (d, t) =>
       weights.get(d).map(w => (d, t, w)) // unweighted domains excluded
     }
     require(rows.nonEmpty, "no weighted domain present in the data")
+    // a weighted domain with no tokens (or negative sizes) cannot supply
+    // ANY share — total would be 0/0 or a nonsense negative plan
+    rows.find(_._2 <= 0).foreach { case (d, t, _) =>
+      throw new IllegalArgumentException(
+        s"weighted domain '$d' has non-positive token sum $t — " +
+          "drop it from weights or fix the size column")
+    }
     val total: BigInt = rows.map { case (_, t, w) =>
       BigInt(epochs) * t * sw / w
     }.min
     require(total.isValidLong,
       s"mixture total $total exceeds Long — cap epochs or weights")
+    require(rows.forall(_._2.isValidLong),
+      "a domain token sum exceeds Long — plan columns are 64-bit")
     val out = rows.map { case (d, t, w) =>
       val planned = total * w / sw
       val rate = planned * 1000000 / t
-      (d, t, w, total.toLong, planned.toLong, rate.toLong)
+      (d, t.toLong, w, total.toLong, planned.toLong, rate.toLong)
     }
     import spark.implicits._
     out.toDF(domainCol, "domain_tokens", "weight", "total_tokens",

@@ -542,8 +542,13 @@ object DeltaLogReader {
     // metadata and fieldId.read is enabled; the physical name is only
     // the exposure name then, so files whose internal names drifted
     // (foreign writers, engine round-trips) still read correctly.
-    if (mode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // Enabled per-RELATION (options override session confs in the
+    // relation's Hadoop conf), not by mutating the shared session —
+    // unrelated parquet reads in the same session keep their semantics.
+    val readerOptions =
+      if (mode == "id")
+        Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+      else Map.empty[String, String]
     def physicalField(f: StructField): StructField = {
       val base = f.copy(name = physicalName(f))
       if (mode == "id" && f.metadata.contains("delta.columnMapping.id"))
@@ -604,7 +609,7 @@ object DeltaLogReader {
     }
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
-      partStruct, physicalSchema, entries)
+      partStruct, physicalSchema, entries, readerOptions)
     val dataCols = dataFields.toIndexedSeq.map(f =>
       if (mapped) col(s"`${physicalName(f)}`").as(f.name)
       else col(s"`${f.name}`"))

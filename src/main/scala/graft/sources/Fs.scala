@@ -17,6 +17,15 @@ private[graft] object Fs {
     * spec outright requires int64 micros. Called by the table writers
     * so written tables stay skippable regardless of how the session was
     * built; graft's own session builders also set it up front.
+    *
+    * DELIBERATELY session-wide and sticky (a documented side effect,
+    * not an oversight): the parquet write path reads this key from the
+    * session conf at job-prepare time, so a save-restore around one
+    * write would race concurrent writers on the shared serving session
+    * — and "restoring" INT96 would restore a broken default (stat-less
+    * timestamps) for every later write. Only fires when the session
+    * still carries the INT96 default; a session that explicitly chose
+    * TIMESTAMP_MILLIS is left alone.
     */
   def ensureMicrosTimestamps(spark: org.apache.spark.sql.SparkSession): Unit =
     if (spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")

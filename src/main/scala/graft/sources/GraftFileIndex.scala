@@ -45,10 +45,18 @@ object GraftFileIndex {
     * output is dataSchema ++ partitionSchema, shared by every
     * log/manifest-backed read path.
     */
+  /** One [[HadoopFsRelation]] over the indexed files. `options` become
+    * the relation's datasource options and OVERRIDE session SQL confs in
+    * the per-relation Hadoop conf (`newHadoopConfWithOptions`) — the
+    * scoped way to flip a reader conf (e.g. parquet field-id matching)
+    * for ONE table without mutating the shared session.
+    */
   def frame(spark: org.apache.spark.sql.SparkSession,
       tableRoot: java.nio.file.Path,
       partitionSchema: StructType, dataSchema: StructType,
-      entries: Seq[IndexedFile]): org.apache.spark.sql.DataFrame = {
+      entries: Seq[IndexedFile],
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -59,7 +67,7 @@ object GraftFileIndex {
         bucketSpec = None,
         fileFormat = new org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat,
-        options = Map.empty)(classic))
+        options = options)(classic))
   }
 }
 
@@ -164,6 +172,21 @@ final class GraftFileIndex(
       else if (rendered.isEmpty) None      // IN (NULL): matches nothing,
         // but planning an empty scan is the executor's job, not the
         // index's — keep files, the row predicate drops everything
+      else {
+        val values = rendered.flatten
+        Some(f => values.exists(v => f.mayMatch(a.name, "=", v)))
+      }
+    // long IN lists (> spark.sql.optimizer.inSetConversionThreshold,
+    // default 10) arrive as InSet, not In — exactly the large point-set
+    // lookups where file skipping matters most. Elements are INTERNAL
+    // values (UTF8String etc.); wrapping each in a Literal of the
+    // attribute's type reuses the same renderer as In.
+    case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+      val rendered = hset.iterator.filter(_ != null)
+        .map(v => render(Literal(v, a.dataType))).toSeq
+      if (rendered.exists(_.isEmpty)) None // unrenderable type: fail open
+      else if (rendered.isEmpty) None      // all-null set: row predicate
+        // drops everything, not the index's job
       else {
         val values = rendered.flatten
         Some(f => values.exists(v => f.mayMatch(a.name, "=", v)))

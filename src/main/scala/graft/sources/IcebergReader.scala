@@ -892,15 +892,21 @@ object IcebergReader {
     // every partition predicate is dropped WITHOUT being opened — the
     // metadata plane reads O(surviving manifests), which is what keeps a
     // 10⁴-manifest table's cold plan off a serial full-metadata read.
-    // Applies to data AND delete manifests alike (delete files scope to
-    // their partition, so a delete manifest outside the filtered range
-    // can only affect already-pruned data files). Manifests without
-    // summaries, under a non-default spec, or with any uncertainty are
-    // KEPT — pruning may only drop provably non-matching manifests.
+    // Applies to DATA manifests only: this engine applies equality
+    // deletes globally (null-safe column equality against every kept
+    // data file, not partition-scoped), so dropping a delete manifest on
+    // its partition envelope would make a filtered read skip deletes an
+    // unfiltered read still applies — same table region, different live
+    // rows depending on the predicate. Position deletes join by
+    // file_path, so keeping their manifests is only a metadata cost,
+    // never a correctness one. Manifests without summaries, under a
+    // non-default spec, or with any uncertainty are KEPT — pruning may
+    // only drop provably non-matching manifests.
     val (dataAll, posDeletes, eqDeletes) =
       if (partitionFilter.isEmpty && partitionPredicates.isEmpty) snap.files(_ => true)
-      else snap.files(manifestMayMatch(_, snap.defaultSpecId,
-        snap.specFieldPos, partitionFilter, partitionPredicates))
+      else snap.files(m => m.content != 0 || manifestMayMatch(m,
+        snap.defaultSpecId, snap.specFieldPos, partitionFilter,
+        partitionPredicates))
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column

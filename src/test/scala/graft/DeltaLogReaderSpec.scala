@@ -812,4 +812,32 @@ class DeltaLogReaderSpec extends SparkSpec {
       skipFilters = Seq(SkipPredicate("v", "<>", "s0")))
       .inputFiles.length == 3)
   }
+
+  test("LONG IN lists (InSet, past inSetConversionThreshold) still " +
+      "file-skip — exactly the large point-set lookups that matter") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_inset_skip_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      Seq("a0" -> 1L, "b0" -> 2L).toDF("v", "id").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq("m0" -> 3L, "n0" -> 4L).toDF("v", "id").coalesce(1), path)
+    graft.output.DeltaWriter.append(
+      Seq("y0" -> 5L, "z0" -> 6L).toDF("v", "id").coalesce(1), path)
+    val t = DeltaLogReader.read(spark, path)
+    def planned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    // 12 candidates (> default threshold 10) → Catalyst plans InSet;
+    // only a0/z0 exist, in the first and last file — the middle file
+    // must be skipped
+    val vals = Seq("a0", "z0") ++ (1 to 10).map(i => s"q$i")
+    val q = t.filter(col("v").isin(vals: _*))
+    assert(q.count() == 2L, "InSet result rows")
+    assert(planned(q) == 2, s"InSet kept extra files: ${planned(q)}")
+    // long integer lists prune through the same path (non-string render)
+    val qi = t.filter(col("id").isin((Seq(1L, 6L) ++ (100L to 109L)): _*))
+    assert(qi.count() == 2L && planned(qi) == 2, planned(qi))
+  }
 }

@@ -1064,6 +1064,83 @@ class IcebergWriterSpec extends SparkSpec {
     assert(ranged.select("v").as[String].head() == "a3")
   }
 
+  test("delete manifests are NEVER summary-pruned: a foreign eq-delete " +
+      "manifest riding the default partitioned spec still applies under " +
+      "a partition filter (eq-deletes here are GLOBAL, not " +
+      "partition-scoped)") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("delprune")
+    IcebergWriter.create(Seq((1L, 0, "a0")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    (1 to 3).foreach { b =>
+      IcebergWriter.append(
+        Seq((b * 10L, b, s"a$b")).toDF("id", "bucket", "v"), path)
+    }
+    // eq-delete on id=20 (lives in bucket 2) + its replacement row
+    IcebergWriter.upsert(Seq((20L, 2, "NEW")).toDF("id", "bucket", "v"),
+      path, Seq("id"))
+    assert(IcebergReader.read(spark, path).filter(col("id") === 20L)
+      .select("v").as[String].collect().toSeq == Seq("NEW"))
+    // FOREIGN REWRITE: a partition-scoped writer would put the delete
+    // manifest on the DEFAULT spec with a real partition summary. Move
+    // every delete manifest onto the default spec with an envelope
+    // covering ONLY a bucket != 2 — if the reader summary-prunes delete
+    // manifests, a bucket=2 read silently resurrects the deleted row.
+    val mdFile = IcebergReader.currentMetadataFile(path)
+    val mdText = Files.readString(mdFile)
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mdText)
+    val curId = md.get("current-snapshot-id").asLong()
+    val defaultSpecId = md.get("default-spec-id").asInt()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    val rdr = org.apache.avro.file.DataFileReader.openReader(
+      Paths.get(listPath).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val (listSchema, recs) =
+      try (rdr.getSchema, rdr.iterator().asScala.toVector)
+      finally rdr.close()
+    def bucketOf(r: org.apache.avro.generic.GenericRecord): Option[Int] =
+      Option(r.get("partitions")).map { p =>
+        val s = p.asInstanceOf[java.util.List[_]].asScala.head
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val bb = s.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+        bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      }
+    val donor = recs.find(r => r.get("content").asInstanceOf[Int] == 0 &&
+      bucketOf(r).exists(_ != 2)).get
+    val deletes = recs.filter(_.get("content").asInstanceOf[Int] != 0)
+    assert(deletes.nonEmpty, "expected an eq-delete manifest")
+    deletes.foreach { r =>
+      r.put("partition_spec_id", defaultSpecId)
+      r.put("partitions", donor.get("partitions"))
+    }
+    val newList = Paths.get(path, "metadata",
+      s"snap-foreign-${System.nanoTime()}.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](listSchema))
+    w.create(listSchema, newList.toFile)
+    recs.foreach(w.append)
+    w.close()
+    val oldName = Paths.get(listPath).getFileName.toString
+    val ver = mdFile.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+    Files.writeString(
+      Paths.get(path, "metadata", s"v${ver + 1}.metadata.json"),
+      mdText.replace(oldName, newList.getFileName.toString))
+    Files.writeString(Paths.get(path, "metadata", "version-hint.text"),
+      (ver + 1).toString)
+    // the filtered read must return the SAME live rows as the unfiltered
+    // one over bucket 2: exactly the replacement row
+    val filtered = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "2"))
+    assert(filtered.count() == 1L,
+      "delete manifest was summary-pruned — deleted row resurrected")
+    assert(filtered.select("v").as[String].head() == "NEW")
+  }
+
   test("timestamp range predicates file-skip from manifest bounds on " +
       "both the serving and Catalyst planes") {
     def ts(s: String) = java.time.Instant.parse(s)

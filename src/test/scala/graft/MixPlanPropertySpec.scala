@@ -64,4 +64,33 @@ class MixPlanPropertySpec extends SparkSpec {
         }
     })
   }
+
+  test("a weighted domain with zero (or negative) token sum fails " +
+      "LOUDLY instead of dividing by zero or planning nonsense") {
+    val df = Seq(("a", 100L), ("b", 0L)).toDF("dom", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(df, "dom", "n", Map("a" -> 1L, "b" -> 1L))
+    }
+    assert(e.getMessage.contains("non-positive token sum"))
+    // negative sizes summing below zero are the same defect
+    val neg = Seq(("a", 100L), ("b", -5L)).toDF("dom", "n")
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(neg, "dom", "n", Map("a" -> 1L, "b" -> 1L))
+    }
+    // an UNWEIGHTED empty domain is fine — it is simply excluded
+    val plan = Sampling.domainMixPlan(df, "dom", "n", Map("a" -> 1L))
+    assert(plan.count() == 1L)
+  }
+
+  test("domain token sums route through DECIMAL(38,0): two near-Long " +
+      "rows do not wrap the 'exact' plan input") {
+    val half = Long.MaxValue / 2 + 10L // 2 rows sum past Long.MaxValue
+    val df = Seq(("a", half), ("a", half), ("b", 1000L)).toDF("dom", "n")
+    // the domain total itself exceeds Long → the plan must REFUSE (its
+    // columns are 64-bit), not silently wrap negative
+    val e = intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(df, "dom", "n", Map("a" -> 1L, "b" -> 1L))
+    }
+    assert(e.getMessage.contains("exceeds Long"))
+  }
 }
