@@ -362,8 +362,10 @@ object IcebergWriter {
 
   /** Manifest refs of the CURRENT snapshot, read back from its manifest
     * list (append carries them all forward). Foreign-written lists keep
-    * their path/content/sequence fields; extra stats fields (partition
-    * summaries etc.) are planning hints and are not carried.
+    * their path/content/sequence fields AND their field-507 partition
+    * summaries — carried verbatim into the next list, so re-committing
+    * never re-reads a carried manifest just to recompute an identical
+    * summary.
     */
   private def currentManifests(md: JsonNode, root: Path): Seq[ManifestRef] =
     manifestsOf(md, root,
@@ -391,10 +393,41 @@ object IcebergWriter {
             seq,
             if (minSeq != seq) Some(minSeq) else None,
             Some(addedBy),
-            specId = intOf(r, "partition_spec_id", 0))
+            specId = intOf(r, "partition_spec_id", 0),
+            summaries = decodeSummaries(r))
         }
     }
   }
+
+  /** Field 507 of one manifest-list record, decoded into the writer's
+    * summary form so a carried entry re-emits byte-identically. Any
+    * malformed element (missing required contains_null, unexpected
+    * shape) degrades to None — the list write then recomputes, exactly
+    * the pre-carry behavior.
+    */
+  private def decodeSummaries(r: GenericRecord)
+      : Option[IndexedSeq[PartFieldSummary]] = try {
+    if (r.getSchema.getField("partitions") == null) None
+    else Option(r.get("partitions")).map { p =>
+      p.asInstanceOf[java.util.List[_]].asScala.toIndexedSeq.map { e =>
+        val sr = e.asInstanceOf[GenericRecord]
+        def bytesOf(n: String): Option[Array[Byte]] =
+          if (sr.getSchema.getField(n) == null) None
+          else Option(sr.get(n)).map { b =>
+            val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+            val a = new Array[Byte](bb.remaining()); bb.get(a); a
+          }
+        val nan =
+          if (sr.getSchema.getField("contains_nan") == null) None
+          else Option(sr.get("contains_nan"))
+            .map(_.asInstanceOf[java.lang.Boolean].booleanValue())
+        PartFieldSummary(
+          sr.get("contains_null").asInstanceOf[java.lang.Boolean]
+            .booleanValue(),
+          bytesOf("lower_bound"), bytesOf("upper_bound"), nan)
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Row-level DELETE via POSITION DELETE files (spec "Position Delete
     * Files") — the Iceberg twin of [[DeltaWriter.deleteWhere]]: rows
@@ -1264,7 +1297,15 @@ object IcebergWriter {
   private[output] case class ManifestRef(path: String, content: Int,
       seq: Long, minSeq: Option[Long] = None,
       addedSnapshotId: Option[Long] = None,
-      specId: Int = 0)
+      specId: Int = 0,
+      // field-507 summaries decoded VERBATIM from the prior manifest
+      // list for carried entries — manifests are immutable, so a carried
+      // entry's summary is identical to the one already written; reusing
+      // it keeps a cold-process commit from re-reading every carried
+      // manifest Avro serially on the driver. None = a NEW or rewritten
+      // manifest (computed at list-write time) or a prior list without
+      // summaries (recomputed once, then carried).
+      summaries: Option[IndexedSeq[PartFieldSummary]] = None)
 
   /** Distributed parquet write into a staging dir, then move part files
     * into `data/`. Record counts come from the parquet FOOTERS (driver-side
@@ -2110,11 +2151,15 @@ object IcebergWriter {
       // spec field 507 `partitions`: per-partition-field value envelope
       // of the manifest's live entries — what lets the READER (ours and
       // iceberg's own planner) drop the manifest from a plan without
-      // opening it. Unsummarizable manifests just omit the field.
-      summariesFor(ref.path, root).foreach { ss =>
+      // opening it. CARRIED entries reuse the prior list's summary
+      // verbatim (manifests are immutable, so it cannot differ); only
+      // NEW/rewritten manifests are read and summarized. Unsummarizable
+      // manifests just omit the field.
+      ref.summaries.orElse(summariesFor(ref.path, root)).foreach { ss =>
         r.put("partitions", ss.map { s =>
           val sr = new GenericData.Record(summarySchema)
           sr.put("contains_null", Boolean.box(s.containsNull))
+          s.containsNan.foreach(b => sr.put("contains_nan", Boolean.box(b)))
           s.lower.foreach(b => sr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
           s.upper.foreach(b => sr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
           sr: GenericRecord
@@ -2147,7 +2192,11 @@ object IcebergWriter {
   }
 
   private[output] final case class PartFieldSummary(containsNull: Boolean,
-      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]],
+      // spec field 518, only meaningful for float/double partition
+      // fields (bounds must exclude NaN, so a NaN-bearing manifest is
+      // otherwise invisible to pruning); None for non-floating types
+      containsNan: Option[Boolean] = None)
 
   /** Summaries per manifest, memoized on the physical path — manifests
     * are immutable, so a carried-forward manifest's summary is computed
@@ -2157,6 +2206,20 @@ object IcebergWriter {
     */
   private val summaryRegistry = new java.util.concurrent.ConcurrentHashMap[
     String, Option[IndexedSeq[PartFieldSummary]]]()
+
+  /** Manifest files actually READ+summarized (cache misses) — the
+    * write-plane twin of [[graft.sources.IcebergReader.manifestsOpened]];
+    * specs and ProfileManifests assert a commit to an N-manifest table
+    * summarizes O(new manifests), not N.
+    */
+  private[graft] val summaryComputes =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Simulate a cold process for profiling: drop the per-process
+    * summary memo so the next commit exercises the carry path.
+    */
+  private[graft] def clearSummaryMemoForTest(): Unit =
+    summaryRegistry.clear()
 
   private def summariesFor(refPath: String, root: Path)
       : Option[IndexedSeq[PartFieldSummary]] = {
@@ -2183,6 +2246,7 @@ object IcebergWriter {
     */
   private def computeSummaries(abs: String)
       : Option[IndexedSeq[PartFieldSummary]] = try {
+    summaryComputes.incrementAndGet()
     val entries = readAvro(abs)
     val live = entries.filter(e => intOf(e, "status", 0) != 2)
     if (live.isEmpty) return Some(IndexedSeq.empty)
@@ -2226,13 +2290,37 @@ object IcebergWriter {
           case Some(Schema.Type.BOOLEAN) => Some((
             Ordering.by((v: AnyRef) => v.asInstanceOf[Boolean]),
             v => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)))
+          case Some(Schema.Type.FLOAT) => Some((
+            Ordering.by((v: AnyRef) => v.asInstanceOf[Number].floatValue),
+            v => leBytes(java.lang.Float.floatToIntBits(
+              v.asInstanceOf[Number].floatValue))))
+          case Some(Schema.Type.DOUBLE) => Some((
+            Ordering.by((v: AnyRef) => v.asInstanceOf[Number].doubleValue),
+            v => leBytes(java.lang.Double.doubleToLongBits(
+              v.asInstanceOf[Number].doubleValue))))
           case _ => None // foreign type: maximally-open summary below
         }
+      // spec: bounds on float/double fields EXCLUDE NaN (NaN compares
+      // unusably); field 518 `contains_nan` records it instead so a
+      // NaN-aware planner still prunes correctly
+      val isNan: AnyRef => Boolean = Option(unwrapped).map(_.getType) match {
+        case Some(Schema.Type.FLOAT) =>
+          v => v.asInstanceOf[Number].floatValue.isNaN
+        case Some(Schema.Type.DOUBLE) =>
+          v => v.asInstanceOf[Number].doubleValue.isNaN
+        case _ => _ => false
+      }
+      val nan: Option[Boolean] = Option(unwrapped).map(_.getType) match {
+        case Some(Schema.Type.FLOAT) | Some(Schema.Type.DOUBLE) =>
+          Some(present.exists(isNan))
+        case _ => None
+      }
+      val bounded = present.filterNot(isNan)
       kind match {
-        case Some((ord, ser)) if present.nonEmpty =>
+        case Some((ord, ser)) if bounded.nonEmpty =>
           PartFieldSummary(containsNull,
-            Some(ser(present.min(ord))), Some(ser(present.max(ord))))
-        case Some(_) => PartFieldSummary(containsNull, None, None)
+            Some(ser(bounded.min(ord))), Some(ser(bounded.max(ord))), nan)
+        case Some(_) => PartFieldSummary(containsNull, None, None, nan)
         case None => PartFieldSummary(containsNull = true, None, None)
       }
     })

@@ -1064,6 +1064,62 @@ class IcebergWriterSpec extends SparkSpec {
     assert(ranged.select("v").as[String].head() == "a3")
   }
 
+  test("carried manifests reuse the prior list's field-507 summaries " +
+      "VERBATIM — a cold-process commit summarizes only its NEW manifest") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("mcarry")
+    IcebergWriter.create(Seq((1L, 0, "a0")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    (1 to 3).foreach { b =>
+      IcebergWriter.append(
+        Seq((b * 10L, b, s"a$b")).toDF("id", "bucket", "v"), path)
+    }
+    // simulate a COLD process: drop the per-process summary memo, so any
+    // recompute of a carried manifest would have to re-READ its Avro
+    graft.output.IcebergWriter.clearSummaryMemoForTest()
+    val c0 = graft.output.IcebergWriter.summaryComputes.get()
+    IcebergWriter.append(Seq((40L, 4, "a4")).toDF("id", "bucket", "v"), path)
+    val computes = graft.output.IcebergWriter.summaryComputes.get() - c0
+    assert(computes == 1L,
+      s"cold commit re-summarized carried manifests ($computes reads, " +
+        "expected 1 — the new manifest only)")
+    // byte-identical carry: every carried record's `partitions` field in
+    // the NEW list equals the one in the PRIOR list
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val snaps = md.get("snapshots").elements().asScala.toVector
+      .sortBy(_.get("sequence-number").asLong())
+    def listRecs(s: com.fasterxml.jackson.databind.JsonNode) = {
+      val p = s.get("manifest-list").asText().replaceFirst("^file:/+", "/")
+      val r = org.apache.avro.file.DataFileReader.openReader(
+        Paths.get(p).toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.toVector finally r.close()
+    }
+    val prior = listRecs(snaps(snaps.size - 2))
+      .map(r => r.get("manifest_path").toString -> r).toMap
+    val current = listRecs(snaps.last)
+    assert(current.size == 5)
+    val carried = current.filter(r =>
+      prior.contains(r.get("manifest_path").toString))
+    assert(carried.size == 4, "expected 4 carried manifests")
+    carried.foreach { r =>
+      val was = prior(r.get("manifest_path").toString).get("partitions")
+      val now = r.get("partitions")
+      assert(now != null, "carried entry lost its summary")
+      assert(now.toString == was.toString,
+        s"carried summary drifted: $was -> $now")
+    }
+    // the carried summaries still PRUNE: a bucket=2 lookup opens only
+    // its own manifest
+    val before = IcebergReader.manifestsOpened.get()
+    val pruned = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "2"))
+    assert(pruned.count() == 1L)
+    assert(IcebergReader.manifestsOpened.get() - before <= 1L)
+  }
+
   test("delete manifests are NEVER summary-pruned: a foreign eq-delete " +
       "manifest riding the default partitioned spec still applies under " +
       "a partition filter (eq-deletes here are GLOBAL, not " +

@@ -59,6 +59,27 @@ object ProfileManifests {
     timed("warm full scan") {
       IcebergReader.read(spark, path).count()
     }
+
+    // WRITE plane: a cold-process commit to a table with n carried
+    // manifests must summarize O(1) manifests (the NEW one) — carried
+    // entries reuse the prior list's field-507 summaries verbatim
+    def timedCommit(label: String)(body: => Unit): Unit = {
+      val c0 = IcebergWriter.summaryComputes.get()
+      val t0 = System.nanoTime()
+      body
+      val ms = (System.nanoTime() - t0) / 1e6
+      val computed = IcebergWriter.summaryComputes.get() - c0
+      println(f"$label%-34s $ms%8.1f ms   manifests summarized: $computed")
+    }
+    IcebergWriter.clearSummaryMemoForTest()
+    timedCommit(s"cold commit (carrying $n)") {
+      IcebergWriter.append(
+        Seq((n.toLong, n, s"v$n")).toDF("id", "bucket", "v"), path)
+    }
+    timedCommit("warm commit") {
+      IcebergWriter.append(
+        Seq((n + 1L, n + 1, s"v${n + 1}")).toDF("id", "bucket", "v"), path)
+    }
     spark.stop()
   }
 }

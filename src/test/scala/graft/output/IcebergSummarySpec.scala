@@ -1,0 +1,126 @@
+package graft.output
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Manifest-list field-507 summary mechanics that need package-private
+  * access: `contains_nan` (field 518) computation for float/double
+  * partition fields, and NaN exclusion from the value bounds — both per
+  * the table spec's "Manifest Lists" rules. No SparkSession needed:
+  * this is pure metadata-plane Avro.
+  */
+class IcebergSummarySpec extends AnyFunSuite {
+
+  private val entrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |{"name":"f","type":["null","float"],"default":null},
+      |{"name":"d","type":["null","double"],"default":null}]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeManifest(dir: Path,
+      tuples: Seq[(Option[Float], Option[Double])]): String = {
+    val p = dir.resolve(s"m-${System.nanoTime()}.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](
+      entrySchema))
+    w.create(entrySchema, p.toFile)
+    tuples.foreach { case (f, d) =>
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val part = new GenericData.Record(
+        dfSchema.getField("partition").schema())
+      f.foreach(v => part.put("f", Float.box(v)))
+      d.foreach(v => part.put("d", Double.box(v)))
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", "data/x.parquet")
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", df)
+      w.append(e)
+    }
+    w.close()
+    p.toString
+  }
+
+  private def readList(path: String): Vector[GenericRecord] = {
+    val r = DataFileReader.openReader(new java.io.File(path),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  private def summariesOf(rec: GenericRecord): Vector[GenericRecord] =
+    rec.get("partitions").asInstanceOf[java.util.List[_]].asScala
+      .map(_.asInstanceOf[GenericRecord]).toVector
+
+  private def leFloat(v: Float): Seq[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(v); bb.array().toSeq
+  }
+
+  test("contains_nan (field 518) is set for float/double partition " +
+      "fields and NaN is excluded from the bounds") {
+    val root = Files.createTempDirectory("graft_sum_nan")
+    Files.createDirectories(root.resolve("metadata"))
+    val m = writeManifest(root.resolve("metadata"), Seq(
+      (Some(1.5f), Some(2.5)),
+      (Some(Float.NaN), Some(7.5)),
+      (Some(9.5f), None)))
+    val list = IcebergWriter.writeManifestList(root, 1L,
+      Seq(IcebergWriter.ManifestRef(m, 0, 1L)))
+    val recs = readList(list.replaceFirst("^file:/+", "/"))
+    assert(recs.size == 1)
+    val Vector(fSum, dSum) = summariesOf(recs.head)
+    // float field: NaN present → contains_nan true, bounds over the
+    // NON-NaN values only (1.5 .. 9.5)
+    assert(fSum.get("contains_nan") == java.lang.Boolean.TRUE)
+    assert(fSum.get("contains_null") == java.lang.Boolean.FALSE)
+    val lo = fSum.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+    val hi = fSum.get("upper_bound").asInstanceOf[java.nio.ByteBuffer]
+    assert(lo.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getFloat == 1.5f)
+    assert(hi.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getFloat == 9.5f)
+    assert(leFloat(1.5f) == {
+      val bb = lo.duplicate(); val a = new Array[Byte](bb.remaining())
+      bb.get(a); a.toSeq
+    }, "Appendix-D little-endian serialization")
+    // double field: no NaN → contains_nan FALSE (explicitly known), one
+    // null tuple value → contains_null true, bounds 2.5 .. 7.5
+    assert(dSum.get("contains_nan") == java.lang.Boolean.FALSE)
+    assert(dSum.get("contains_null") == java.lang.Boolean.TRUE)
+    assert(dSum.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+      .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getDouble == 2.5)
+  }
+
+  test("an all-NaN float field omits the bounds but still flags " +
+      "contains_nan") {
+    val root = Files.createTempDirectory("graft_sum_allnan")
+    Files.createDirectories(root.resolve("metadata"))
+    val m = writeManifest(root.resolve("metadata"), Seq(
+      (Some(Float.NaN), Some(1.0)),
+      (Some(Float.NaN), Some(2.0))))
+    val list = IcebergWriter.writeManifestList(root, 1L,
+      Seq(IcebergWriter.ManifestRef(m, 0, 1L)))
+    val Vector(fSum, _) = summariesOf(
+      readList(list.replaceFirst("^file:/+", "/")).head)
+    assert(fSum.get("contains_nan") == java.lang.Boolean.TRUE)
+    assert(fSum.get("lower_bound") == null && fSum.get("upper_bound") == null)
+  }
+}
