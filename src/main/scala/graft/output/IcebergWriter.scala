@@ -321,9 +321,15 @@ object IcebergWriter {
         case None => Option(md.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L)
       }
-      val refs =
-        if (carryForward) manifestsOf(md, root, baseId) :+ newRef
-        else Seq(newRef)
+      // carried refs, with small data manifests MERGED once their count
+      // crosses the table's min-count-to-merge — the bound that keeps
+      // live manifest count flat under sustained appends
+      val (carriedRefs, mergedPath) =
+        if (carryForward)
+          mergeDataManifests(root, location, md,
+            manifestsOf(md, root, baseId), seq)
+        else (Seq.empty[ManifestRef], None)
+      val refs = carriedRefs :+ newRef
       val list = writeManifestList(root, seq, refs)
 
       // timestamps strictly increase so timestamp travel stays well-ordered
@@ -348,12 +354,16 @@ object IcebergWriter {
         committed = true
       } catch {
         case e: ConcurrentCommitException =>
-          // the losing attempt's manifest list was never referenced by
-          // any committed snapshot (our link lost) and its name is
-          // unique to this attempt — reclaim it eagerly rather than
-          // leaving it for removeOrphanFiles' horizon
-          try Files.deleteIfExists(Paths.get(remapLocal(list, location, root)))
-          catch { case scala.util.control.NonFatal(_) => () }
+          // the losing attempt's manifest list (and merged manifest, if
+          // any) was never referenced by any committed snapshot (our
+          // link lost) and its name is unique to this attempt — reclaim
+          // both eagerly rather than leaving them for
+          // removeOrphanFiles' horizon
+          try {
+            Files.deleteIfExists(Paths.get(remapLocal(list, location, root)))
+            mergedPath.foreach(m =>
+              Files.deleteIfExists(Paths.get(remapLocal(m, location, root))))
+          } catch { case scala.util.control.NonFatal(_) => () }
           attempt += 1
           if (attempt > 10) throw e
       }
@@ -396,6 +406,144 @@ object IcebergWriter {
             specId = intOf(r, "partition_spec_id", 0),
             summaries = decodeSummaries(r))
         }
+    }
+  }
+
+  /** MERGE small carried DATA manifests at commit time — Iceberg's own
+    * `commit.manifest-merge.enabled` behavior, the bound on the
+    * otherwise-linear growth of live manifest count with commit count
+    * (10⁵ appends must not leave 10⁵ tiny manifest Avros for every cold
+    * full plan to decode). When the carried data manifests under the
+    * default spec number ≥ `commit.manifest.min-count-to-merge`
+    * (default 100), those below `commit.manifest.target-size-bytes`
+    * (default 8 MiB) are transcribed — metadata-plane only, ENTRIES
+    * COPIED VERBATIM with status EXISTING and explicit
+    * sequence_number / file_sequence_number / snapshot_id (per spec,
+    * only ADDED entries may inherit) — into ONE merged manifest whose
+    * list record carries `min_sequence_number` = the true entry
+    * minimum, so external planners still scope delete application
+    * correctly. The committing snapshot's own new manifest and any
+    * non-default-spec / delete / oversized manifests are left
+    * untouched. Any transcription surprise (foreign entry shapes)
+    * fails OPEN: the commit proceeds unmerged.
+    *
+    * Returns (possibly-merged refs, the merged manifest's path if one
+    * was written — so a losing commit race can reclaim it).
+    */
+  private def mergeDataManifests(root: Path, location: String,
+      md: JsonNode, carried: Seq[ManifestRef], commitSeq: Long)
+      : (Seq[ManifestRef], Option[String]) = {
+    def prop(key: String, dflt: Long): Long =
+      Option(md.get("properties")).flatMap(p => Option(p.get(key)))
+        .flatMap(v => scala.util.Try(v.asText().toLong).toOption)
+        .getOrElse(dflt)
+    val enabled = Option(md.get("properties"))
+      .flatMap(p => Option(p.get("commit.manifest-merge.enabled")))
+      .forall(_.asText() != "false")
+    val minCount = prop("commit.manifest.min-count-to-merge", 100L).toInt
+    val targetBytes = prop("commit.manifest.target-size-bytes",
+      8L * 1024 * 1024)
+    val dsid = defaultSpecId(md)
+    val dataRefs = carried.filter(r => r.content == 0 && r.specId == dsid)
+    if (!enabled || dataRefs.size < minCount) return (carried, None)
+    val small = dataRefs.filter(r => localLength(r.path, root) < targetBytes)
+    if (small.size < 2) return (carried, None)
+    try {
+      val spec = defaultSpec(md)
+      val entrySchema = entrySchemaFor(spec)
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val partSchema = dfSchema.getField("partition").schema()
+      def statItemSchema(field: String): Schema = {
+        val s = dfSchema.getField(field).schema()
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+          .getElementType
+      }
+      var minSeq = Long.MaxValue
+      val recs: Seq[GenericRecord] = small.flatMap { ref =>
+        readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
+          if (intOf(e, "status", 0) == 2) None // historical tombstone
+          else {
+            val src = e.get("data_file").asInstanceOf[GenericRecord]
+            val d = new GenericData.Record(dfSchema)
+            d.put("content", intOf(src, "content", 0))
+            d.put("file_path", src.get("file_path").toString)
+            d.put("file_format",
+              Option(src.get("file_format")).map(_.toString)
+                .getOrElse("PARQUET"))
+            val part = new GenericData.Record(partSchema)
+            Option(
+                if (src.getSchema.getField("partition") == null) null
+                else src.get("partition"))
+              .collect { case r: GenericRecord =>
+                r.getSchema.getFields.asScala.foreach { f =>
+                  if (partSchema.getField(f.name()) != null)
+                    part.put(f.name(), r.get(f.name()))
+                }
+              }
+            d.put("partition", part)
+            d.put("record_count", longOf(src, "record_count", 0L))
+            d.put("file_size_in_bytes",
+              longOf(src, "file_size_in_bytes", 0L))
+            // per-column stats maps transcribe into the canonical
+            // key/value item records — pruning power survives the merge
+            Seq("value_counts", "null_value_counts",
+                "lower_bounds", "upper_bounds").foreach { f =>
+              if (src.getSchema.getField(f) != null &&
+                  dfSchema.getField(f) != null) {
+                Option(src.get(f)).foreach { v =>
+                  val item = statItemSchema(f)
+                  d.put(f, v.asInstanceOf[java.util.List[_]].asScala.map {
+                    kv =>
+                      val s = kv.asInstanceOf[GenericRecord]
+                      val r = new GenericData.Record(item)
+                      r.put("key", s.get("key"))
+                      r.put("value", s.get("value"))
+                      r: GenericRecord
+                  }.asJava)
+                }
+              }
+            }
+            if (src.getSchema.getField("equality_ids") != null)
+              Option(src.get("equality_ids")).foreach(v =>
+                d.put("equality_ids", v))
+            val entrySeq = longOf(e, "sequence_number", ref.seq)
+            minSeq = math.min(minSeq, entrySeq)
+            val out = new GenericData.Record(entrySchema)
+            out.put("status", 0) // EXISTING
+            out.put("snapshot_id", longOf(e, "snapshot_id",
+              ref.addedSnapshotId.getOrElse(commitSeq)))
+            out.put("sequence_number", entrySeq)
+            out.put("file_sequence_number",
+              longOf(e, "file_sequence_number", entrySeq))
+            out.put("data_file", d)
+            Some(out: GenericRecord)
+          }
+        }
+      }
+      val smallPaths = small.map(_.path).toSet
+      val rest = carried.filterNot(r => smallPaths.contains(r.path))
+      if (recs.isEmpty) return (rest, None) // all-tombstone manifests drop
+      val p = root.resolve("metadata")
+        .resolve(s"m-${java.util.UUID.randomUUID()}.avro")
+      val meta = Map(
+        "format-version" -> "2",
+        "content" -> "data",
+        "partition-spec" -> mapper.writeValueAsString(specFieldsJson(spec)),
+        "partition-spec-id" -> dsid.toString) ++
+        currentSchemaJson(md).map { j =>
+          val sid = try Option(mapper.readTree(j).get("schema-id"))
+            .map(_.asInt()).getOrElse(0)
+          catch { case scala.util.control.NonFatal(_) => 0 }
+          Map("schema" -> j, "schema-id" -> sid.toString)
+        }.getOrElse(Map.empty)
+      writeAvro(p, entrySchema, recs, meta)
+      val mergedPath = s"$location/metadata/${p.getFileName}"
+      val mergedRef = ManifestRef(mergedPath, 0, commitSeq,
+        if (minSeq != commitSeq) Some(minSeq) else None,
+        specId = dsid)
+      (rest :+ mergedRef, Some(mergedPath))
+    } catch {
+      case scala.util.control.NonFatal(_) => (carried, None) // fail open
     }
   }
 
@@ -989,6 +1137,28 @@ object IcebergWriter {
       maxSnapshotAgeMs: Option[Long] = None): Unit =
     createRef(path, name, "branch", snapshotId,
       minSnapshotsToKeep, maxSnapshotAgeMs)
+
+  /** SET table properties (Iceberg `ALTER TABLE ... SET TBLPROPERTIES`)
+    * — a metadata-only commit. Commit behavior keys take effect on the
+    * next snapshot commit: `commit.manifest.min-count-to-merge`,
+    * `commit.manifest-merge.enabled`, `commit.manifest.target-size-bytes`
+    * (see [[mergeDataManifests]]).
+    */
+  def setTableProperties(path: String, props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "no properties to set")
+    val root = Paths.get(path).toAbsolutePath.normalize
+    retryConcurrent {
+      val mdFile = latestMetadataFile(root)
+      val md =
+        mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
+      val node = Option(md.get("properties"))
+        .collect { case o: ObjectNode => o }
+        .getOrElse(md.putObject("properties"))
+      props.foreach { case (k, v) => node.put(k, v) }
+      md.put("last-updated-ms", System.currentTimeMillis())
+      commitMetadata(root, versionOf(mdFile) + 1, md)
+    }
+  }
 
   private def createRef(path: String, name: String, refType: String,
       snapshotId: Option[Long],

@@ -1064,6 +1064,75 @@ class IcebergWriterSpec extends SparkSpec {
     assert(ranged.select("v").as[String].head() == "a3")
   }
 
+  test("manifest MERGING bounds live manifest count under sustained " +
+      "appends: entries carry EXISTING with original sequence numbers, " +
+      "rows and time travel intact") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("mmerge")
+    IcebergWriter.create(Seq((0L, 0, "v0")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    IcebergWriter.setTableProperties(path,
+      Map("commit.manifest.min-count-to-merge" -> "8"))
+    (1 to 24).foreach { b =>
+      IcebergWriter.append(
+        Seq((b.toLong, b, s"v$b")).toDF("id", "bucket", "v"), path)
+    }
+    // bounded: without merging this table would carry 25 manifests;
+    // with min-count-to-merge=8 the live count stays under 9
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val curId = md.get("current-snapshot-id").asLong()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    def avroRecs(p: java.nio.file.Path) = {
+      val r = org.apache.avro.file.DataFileReader.openReader(p.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.toVector finally r.close()
+    }
+    val listRecs = avroRecs(Paths.get(listPath))
+    assert(listRecs.size <= 9,
+      s"manifest count not bounded: ${listRecs.size}")
+    // every row is live exactly once, pruning still works
+    val t = IcebergReader.read(spark, path)
+    assert(t.count() == 25L)
+    assert(t.select(sum("id")).as[Long].head() == (0 to 24).map(_.toLong).sum)
+    assert(IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "3")).select("v")
+      .as[String].head() == "v3")
+    // merged-manifest legality: a merged manifest's list record carries
+    // min_sequence_number = its true entry minimum, and its entries are
+    // EXISTING with explicit per-entry sequence numbers
+    val merged = listRecs.filter { r =>
+      val seq = r.get("sequence_number").asInstanceOf[Long]
+      val minSeq = r.get("min_sequence_number").asInstanceOf[Long]
+      minSeq < seq
+    }
+    assert(merged.nonEmpty, "expected at least one merged manifest")
+    merged.foreach { m =>
+      val mPath = m.get("manifest_path").toString.replaceFirst("^file:/+", "/")
+      val entries = avroRecs(Paths.get(mPath))
+      assert(entries.nonEmpty)
+      val seqs = entries.map { e =>
+        assert(e.get("status").asInstanceOf[Int] == 0, "entry not EXISTING")
+        assert(e.get("snapshot_id") != null, "EXISTING needs snapshot_id")
+        e.get("sequence_number").asInstanceOf[Long]
+      }
+      assert(seqs.min == m.get("min_sequence_number").asInstanceOf[Long],
+        "min_sequence_number must be the true entry minimum")
+    }
+    // older snapshots still time-travel (their lists reference the
+    // pre-merge manifests, which are never deleted by a merge)
+    assert(IcebergReader.read(spark, path, snapshotId = Some(5L))
+      .count() == 5L)
+    // a later delete still applies against merged-manifest entries
+    IcebergWriter.deleteWhere(spark, path, col("id") === 3L)
+    assert(IcebergReader.read(spark, path).count() == 24L)
+    assert(IcebergReader.read(spark, path)
+      .filter(col("id") === 3L).count() == 0L)
+  }
+
   test("carried manifests reuse the prior list's field-507 summaries " +
       "VERBATIM — a cold-process commit summarizes only its NEW manifest") {
     import scala.jdk.CollectionConverters._
