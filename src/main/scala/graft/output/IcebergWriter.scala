@@ -959,18 +959,28 @@ object IcebergWriter {
     val staging = root.resolve(s".del-staging-${java.util.UUID.randomUUID()}")
     graft.sources.Fs.ensureMicrosTimestamps(delDf.sparkSession)
     sorted.write.parquet(staging.toString)
+    // spec-reserved field ids for position-delete columns — the
+    // file_path bounds (2147483546) are what let planners scope a
+    // delete file to the data files it actually references instead of
+    // carrying every delete entry in every plan forever
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val delFieldIds = Map("file_path" -> 2147483546, "pos" -> 2147483545)
     val written = listClosed(staging)
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
       .flatMap { part =>
-        val n = footerRecordCount(part)
+        val (n, stats) = recordsAndStats(part, delSchema, delFieldIds)
         if (n == 0) None // empty range partition: nothing to register
         else {
           val delName = s"delete-${java.util.UUID.randomUUID()}.parquet"
           val dest = root.resolve("data").resolve(delName)
           Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-          Some(WrittenFile(delName, Files.size(dest), n))
+          Some(WrittenFile(delName, Files.size(dest), n, colStats = stats))
         }
       }
     deleteRecursively(staging)

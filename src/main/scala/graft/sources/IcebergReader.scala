@@ -93,7 +93,17 @@ object IcebergReader {
       // spec fields 109/110: per-column value counts (nulls included) and
       // null counts — the IS [NOT] NULL file-skipping plane
       valueCounts: Map[Int, Long] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      // the file_path exactly as the manifest declares it (pre-remap) —
+      // position-delete file_path bounds live in THIS namespace, so
+      // delete pruning must compare against it, not the local path
+      declaredPath: String = "")
+
+  /** Spec-reserved field id of the position-delete `file_path` column —
+    * a delete file's bounds on it scope the delete to the data files it
+    * references.
+    */
+  private val PosDeleteFilePathFid = 2147483546
 
   /** One decoded `field_summary` off a manifest-list record (spec fields
     * 509/510/511): the per-manifest partition-value envelope that lets
@@ -407,8 +417,10 @@ object IcebergReader {
             partitionValues = partitionTuple(df),
             bounds = entryBounds(df),
             valueCounts = countsMap(df, "value_counts"),
-            nullCounts = countsMap(df, "null_value_counts"))
-          case 1 => deletes += DataFileEntry(path, seq)
+            nullCounts = countsMap(df, "null_value_counts"),
+            declaredPath = str(df, "file_path"))
+          case 1 => deletes += DataFileEntry(path, seq,
+            bounds = entryBounds(df))
           case 2 =>
             val ids = fieldOpt(df, "equality_ids")
               .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
@@ -687,6 +699,43 @@ object IcebergReader {
     case _ => true
   }
 
+  /** Drop position-delete entries whose file_path bounds (reserved
+    * field 2147483546) exclude every planned data file. Comparison runs
+    * in the manifests' declared-path namespace with unsigned UTF-8 byte
+    * order (the order parquet/iceberg string bounds serialize); spec
+    * truncation rules keep lower ≤ true min and upper ≥ true max, so a
+    * truncated bound can only widen the kept set. Entries without
+    * bounds — older writers — are KEPT (fail-open). O(d log n) for d
+    * delete entries over n planned files.
+    */
+  private def prunePositionDeletes(dels: Seq[DataFileEntry],
+      data: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    if (dels.isEmpty ||
+        dels.forall(_.bounds.get(PosDeleteFilePathFid).isEmpty)) return dels
+    val paths: Array[Array[Byte]] = data
+      .map(_.declaredPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toArray
+    java.util.Arrays.sort(paths,
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b))
+    // any planned path inside [lo, hi]? — ceiling search for lo, then
+    // one compare against hi
+    def anyInRange(lo: Array[Byte], hi: Array[Byte]): Boolean = {
+      var l = 0; var r = paths.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (java.util.Arrays.compareUnsigned(paths(m), lo) < 0) l = m + 1
+        else r = m
+      }
+      l < paths.length && java.util.Arrays.compareUnsigned(paths(l), hi) <= 0
+    }
+    dels.filter { d =>
+      d.bounds.get(PosDeleteFilePathFid) match {
+        case Some((Some(lo), Some(hi))) => anyInRange(lo, hi)
+        case _ => true // no/partial bounds: keep
+      }
+    }
+  }
+
   /** One summary envelope vs one rendered predicate — `in` tightens to
     * OR-of-equalities over the comma-joined candidates (the callers
     * guarantee comma-free renderings); everything else asks
@@ -911,8 +960,9 @@ object IcebergReader {
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column
     // are conservatively KEPT (pruning may only ever drop provably
-    // non-matching files); delete files are never pruned (a kept data
-    // file's deletes must all apply). `partitionPredicates` adds typed
+    // non-matching files); delete files prune only by their file_path
+    // bounds against the final planned data set (below) — a kept data
+    // file's deletes must all apply. `partitionPredicates` adds typed
     // RANGE semantics on top of the rendered-equality map — the
     // order-preserving transforms (identity/truncate/temporal) prune
     // date-range and comparison requests the equality map cannot express.
@@ -947,6 +997,15 @@ object IcebergReader {
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    // POSITION-DELETE pruning by file_path bounds (reserved field
+    // 2147483546): a delete file whose [lower, upper] file_path envelope
+    // excludes every PLANNED data file cannot delete anything in this
+    // scan — at 100× this is what keeps a long-lived table's filtered
+    // plans from joining every historical delete file forever. Bounds
+    // compare against the data files' DECLARED manifest paths (the
+    // namespace the delete file's footer stats serialized), unsigned
+    // UTF-8; entries without bounds are kept (fail-open).
+    val posDeletesPlanned = prunePositionDeletes(posDeletes, dataFiles)
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
     // ONE [[GraftFileIndex]]-backed relation (identity sources live IN
@@ -983,7 +1042,7 @@ object IcebergReader {
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
       StructType(Nil), snap.schema, entries)
-    if (posDeletes.isEmpty && eqDeletes.isEmpty)
+    if (posDeletesPlanned.isEmpty && eqDeletes.isEmpty)
       return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
@@ -1012,10 +1071,10 @@ object IcebergReader {
     // seq map: an inner join would silently UNDER-delete on path-
     // normalization drift.
     val afterPos =
-      if (posDeletes.isEmpty) withSeq
+      if (posDeletesPlanned.isEmpty) withSeq
       else {
-        val deletes = deleteSeqJoined(spark, posDeletes.map(_.path),
-          posDeletes.map(d => (normPath(d.path), d.seq)),
+        val deletes = deleteSeqJoined(spark, posDeletesPlanned.map(_.path),
+          posDeletesPlanned.map(d => (normPath(d.path), d.seq)),
           Some("file_path string, pos bigint"), "__del_src", "__del_seq",
           "iceberg scan")
           // fail-fast on a physically file_path-less delete file: the

@@ -1064,6 +1064,40 @@ class IcebergWriterSpec extends SparkSpec {
     assert(ranged.select("v").as[String].head() == "a3")
   }
 
+  test("position-delete files PRUNE by file_path bounds: a filtered " +
+      "scan plans only the delete files that scope its data files") {
+    val path = tmp("posprune")
+    IcebergWriter.create(
+      Seq((1L, 0, "a"), (2L, 0, "b")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    IcebergWriter.append(
+      Seq((10L, 1, "c"), (11L, 1, "d")).toDF("id", "bucket", "v"), path)
+    // one deleteWhere per partition → two delete files, each bounded to
+    // ONE data file's path
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 1L) == 1L)
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") === 10L) == 1L)
+    def delFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.filter(_.contains("/delete-")).toSeq
+    // unfiltered: both deletes apply, both delete files planned
+    val all = IcebergReader.read(spark, path)
+    assert(all.count() == 2L)
+    assert(delFiles(all).size == 2, delFiles(all))
+    // bucket=1 scan: only its own delete file is planned, and the
+    // result is still correct (id=10 deleted, id=11 live)
+    val q = IcebergReader.read(spark, path,
+      partitionFilter = Map("bucket" -> "1"))
+    assert(q.count() == 1L)
+    assert(q.select("v").as[String].head() == "d")
+    assert(delFiles(q).size == 1,
+      s"expected 1 planned delete file, got ${delFiles(q)}")
+    // skip-filter pruning composes the same way on the serving plane
+    import graft.sources.SkipPredicate
+    val served = IcebergReader.read(spark, path,
+      skipFilters = Seq(SkipPredicate("id", ">=", "10")))
+    assert(served.count() == 1L && delFiles(served).size == 1,
+      delFiles(served))
+  }
+
   test("manifest MERGING bounds live manifest count under sustained " +
       "appends: entries carry EXISTING with original sequence numbers, " +
       "rows and time travel intact") {
