@@ -965,8 +965,112 @@ object DeltaWriter {
 
   private def maybeCheckpoint(spark: SparkSession, root: Path,
       version: Long): Unit =
-    if (version > 0 && version % CheckpointInterval == 0)
-      writeCheckpoint(spark, root, version)
+    if (version > 0 && version % CheckpointInterval == 0) {
+      // `delta.checkpointPolicy` (Delta's own table property) selects the
+      // layout: `v2` = uuid manifest + distributed sidecars (the live add
+      // set never materializes on the driver — the 10⁷-file path), else
+      // the classic single-file checkpoint. Opt in via
+      // [[enableV2Checkpoints]] (which also upgrades the protocol, as the
+      // v2Checkpoint table feature requires).
+      val policy = try graft.sources.DeltaLogReader
+        .snapshot(spark, root.toString)
+        .configuration.getOrElse("delta.checkpointPolicy", "classic")
+      catch { case scala.util.control.NonFatal(_) => "classic" }
+      if (policy == "v2") writeCheckpointV2(spark, root, version)
+      else writeCheckpoint(spark, root, version)
+    }
+
+  // ---- typed checkpoint action shapes (partitionValues/configuration
+  // as real maps so the reader's Row.json round-trip yields
+  // protocol-shaped JSON) — shared by the classic and v2 layouts
+
+  private[output] val ProtocolActionType: StructType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+
+  private[output] val MetaDataActionType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType)),
+    StructField("createdTime", LongType)))
+
+  private[output] val TxnActionType: StructType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType)))
+
+  private[output] val AddActionType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("deletionVector", StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))),
+    StructField("stats", StringType)))
+
+  private def jmap(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, String] =
+    if (n == null || n.isNull) Map.empty
+    else n.properties().asScala.map(e => e.getKey ->
+      (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+
+  private def protocolRow(p: com.fasterxml.jackson.databind.JsonNode): Row = {
+    def featArr(name: String): Seq[String] =
+      Option(p.get(name)).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText).toSeq).orNull
+    Row(p.get("minReaderVersion").asInt(1), p.get("minWriterVersion").asInt(2),
+      featArr("readerFeatures"), featArr("writerFeatures"))
+  }
+
+  private def metaDataRow(md: com.fasterxml.jackson.databind.JsonNode): Row =
+    Row(md.get("id").asText,
+      Row(Option(md.get("format")).map(_.get("provider").asText)
+        .getOrElse("parquet")),
+      md.get("schemaString").asText,
+      md.get("partitionColumns").elements().asScala.map(_.asText).toSeq,
+      jmap(md.get("configuration")),
+      Option(md.get("createdTime")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L))
+
+  private def txnRow(t: com.fasterxml.jackson.databind.JsonNode): Row =
+    Row(t.get("appId").asText, t.get("version").asLong,
+      Option(t.get("lastUpdated")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L))
+
+  private def addActionRow(a: com.fasterxml.jackson.databind.JsonNode): Row =
+    Row(a.get("path").asText,
+      jmap(a.get("partitionValues")),
+      a.get("size").asLong,
+      Option(a.get("modificationTime")).filterNot(_.isNull).map(_.asLong)
+        .getOrElse(0L),
+      Option(a.get("dataChange")).forall(_.asBoolean),
+      // deletionVector must survive checkpointing — dropping it would
+      // RESURRECT deleted rows the first time a deleteWhere commit gets
+      // compacted away
+      Option(a.get("deletionVector")).filterNot(_.isNull).map(dv => Row(
+        dv.get("storageType").asText,
+        dv.get("pathOrInlineDv").asText,
+        // a missing offset means "right after the 1-byte format version",
+        // i.e. 1 — the SAME default DeltaLogReader.parseAdd applies; a 0
+        // here would point a foreign u/p DV's reader one byte early after
+        // the first checkpoint (size/CRC mismatch)
+        Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
+          .getOrElse(1),
+        dv.get("sizeInBytes").asInt,
+        dv.get("cardinality").asLong)).orNull,
+      // stats survive checkpointing — dropping them would turn off data
+      // skipping the first time a stats-bearing commit gets compacted
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).orNull)
 
   /** Replay state needed for a checkpoint: last protocol / metaData seen,
     * latest txn per appId, and the live add set keyed by DECODED path (the
@@ -1043,86 +1147,16 @@ object DeltaWriter {
     }
     require(st.metaData != null, s"no metaData in delta log at $root")
 
-    // typed checkpoint rows (partitionValues/configuration as real maps so
-    // the reader's Row.json round-trip yields protocol-shaped JSON)
-    def jmap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
-      if (n == null || n.isNull) Map.empty
-      else n.properties().asScala.map(e => e.getKey ->
-        (if (e.getValue.isNull) null else e.getValue.asText)).toMap
-    def featArr(name: String): Seq[String] =
-      Option(st.protocol.get(name)).filterNot(_.isNull)
-        .map(_.elements().asScala.map(_.asText).toSeq).orNull
-    val protoRow = Row(st.protocol.get("minReaderVersion").asInt(1),
-      st.protocol.get("minWriterVersion").asInt(2),
-      featArr("readerFeatures"), featArr("writerFeatures"))
-    val md = st.metaData
-    val mdRow = Row(md.get("id").asText,
-      Row(Option(md.get("format")).map(_.get("provider").asText)
-        .getOrElse("parquet")),
-      md.get("schemaString").asText,
-      md.get("partitionColumns").elements().asScala.map(_.asText).toSeq,
-      jmap(md.get("configuration")),
-      Option(md.get("createdTime")).filterNot(_.isNull).map(_.asLong)
-        .getOrElse(0L))
-    val txnRows = st.txns.values.toSeq.map(t => Row(t.get("appId").asText,
-      t.get("version").asLong,
-      Option(t.get("lastUpdated")).filterNot(_.isNull).map(_.asLong)
-        .getOrElse(0L)))
-    val addRows = st.adds.values.toSeq.map(a => Row(a.get("path").asText,
-      jmap(a.get("partitionValues")),
-      a.get("size").asLong,
-      Option(a.get("modificationTime")).filterNot(_.isNull).map(_.asLong)
-        .getOrElse(0L),
-      Option(a.get("dataChange")).forall(_.asBoolean),
-      // deletionVector must survive checkpointing — dropping it would
-      // RESURRECT deleted rows the first time a deleteWhere commit gets
-      // compacted away
-      Option(a.get("deletionVector")).filterNot(_.isNull).map(dv => Row(
-        dv.get("storageType").asText,
-        dv.get("pathOrInlineDv").asText,
-        // a missing offset means "right after the 1-byte format version",
-        // i.e. 1 — the SAME default DeltaLogReader.parseAdd applies; a 0
-        // here would point a foreign u/p DV's reader one byte early after
-        // the first checkpoint (size/CRC mismatch)
-        Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
-          .getOrElse(1),
-        dv.get("sizeInBytes").asInt,
-        dv.get("cardinality").asLong)).orNull,
-      // stats survive checkpointing — dropping them would turn off data
-      // skipping the first time a stats-bearing commit gets compacted
-      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).orNull))
+    val protoRow = protocolRow(st.protocol)
+    val mdRow = metaDataRow(st.metaData)
+    val txnRows = st.txns.values.toSeq.map(txnRow)
+    val addRows = st.adds.values.toSeq.map(addActionRow)
 
     val cpSchema = StructType(Seq(
-      StructField("protocol", StructType(Seq(
-        StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType),
-        StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType))))),
-      StructField("metaData", StructType(Seq(
-        StructField("id", StringType),
-        StructField("format", StructType(Seq(
-          StructField("provider", StringType)))),
-        StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)),
-        StructField("configuration", MapType(StringType, StringType)),
-        StructField("createdTime", LongType)))),
-      StructField("txn", StructType(Seq(
-        StructField("appId", StringType),
-        StructField("version", LongType),
-        StructField("lastUpdated", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", MapType(StringType, StringType)),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("offset", IntegerType),
-          StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))),
-        StructField("stats", StringType))))))
+      StructField("protocol", ProtocolActionType),
+      StructField("metaData", MetaDataActionType),
+      StructField("txn", TxnActionType),
+      StructField("add", AddActionType)))
     val rows: Seq[Row] =
       Seq(Row(protoRow, null, null, null), Row(null, mdRow, null, null)) ++
         txnRows.map(t => Row(null, null, t, null)) ++
@@ -1145,6 +1179,268 @@ object DeltaWriter {
     // checkpoint parquet that readers simply ignore
     val tmp = log.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, s"""{"version":$version,"size":${rows.size}}""")
+    Files.move(tmp, log.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Switch a table to V2 CHECKPOINTS (PROTOCOL.md "V2 Checkpoint Table
+    * Feature"): commits one version carrying the required protocol
+    * upgrade (reader 3 / writer 7 + `v2Checkpoint` on both feature
+    * lists, current features preserved) and
+    * `delta.checkpointPolicy=v2`. Every later checkpoint then writes a
+    * uuid-named manifest plus DISTRIBUTED sidecars — the live add set
+    * never materializes on the driver and no single-file serial write
+    * bounds checkpoint throughput, the layout for 10⁷-file tables.
+    * Idempotent; safe on tables this engine reads (it consumes all
+    * three checkpoint layouts).
+    */
+  def enableV2Checkpoints(spark: SparkSession, path: String): Unit = {
+    val root = Paths.get(path)
+    var attempts = 0
+    while (true) {
+      val snap = graft.sources.DeltaLogReader.snapshot(spark, root.toString)
+      if (snap.configuration.get("delta.checkpointPolicy").contains("v2") &&
+          snap.protocol.readerFeatures.contains("v2Checkpoint")) return
+      val cur = snap.protocol
+      val rf = ((if (cur.minReaderVersion >= 3) cur.readerFeatures
+                 else legacyReaderFeatures(cur.minReaderVersion)) +
+        "v2Checkpoint").toSeq.sorted
+      val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
+                 else legacyWriterFeatures(cur.minWriterVersion)) +
+        "v2Checkpoint").toSeq.sorted
+      def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
+      val proto = s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,"readerFeatures":[${arr(rf)}],""" +
+        s""""writerFeatures":[${arr(wf)}]}}"""
+      val conf = snap.configuration + ("delta.checkpointPolicy" -> "v2")
+      val confJson = conf.map { case (k, v) =>
+        s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
+      }.mkString(",")
+      val mdAction = s"""{"metaData":{"id":"${escape(snap.metaDataId)}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${escape(snap.schema.json)}",""" +
+        s""""partitionColumns":[${snap.partitionColumns
+          .map(c => s""""${escape(c)}"""").mkString(",")}],""" +
+        s""""configuration":{$confJson},"createdTime":0}}"""
+      try { commit(root, snap.version + 1, Seq(proto, mdAction)); return }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1; if (attempts > 10) throw e
+      }
+    }
+  }
+
+  /** Rows per sidecar file — bounds a single sidecar's memory and keeps
+    * re-reads parallel even when the upstream frame has few partitions.
+    */
+  private val SidecarMaxRecords = 100000L
+
+  /** V2 checkpoint write (PROTOCOL.md "V2 Spec Checkpoints"): the live
+    * add set is reconciled and written ENTIRELY on executors — the
+    * previous checkpoint's adds are read as a DataFrame, the interval's
+    * few commit JSONs contribute a small driver-side delta (adds +
+    * touched paths), and the union lands in `_delta_log/_sidecars/`
+    * parquet files via a distributed write. The driver handles only the
+    * metadata plane: protocol / metaData / txn rows, sidecar
+    * references, and the uuid-named manifest. Contrast
+    * [[writeCheckpoint]], which builds the whole live set in a driver
+    * LinkedHashMap and serially writes one parquet — fine at 10⁵ files,
+    * a driver-memory and serial-write term at 10⁷.
+    */
+  private[graft] def writeCheckpointV2(spark: SparkSession, root: Path,
+      version: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
+    val log = root.resolve("_delta_log")
+    val sidecarDir = log.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    val st = new ReplayState
+
+    val prevCp = {
+      val f = log.resolve("_last_checkpoint")
+      if (Files.exists(f))
+        Some(st.mapper.readTree(Files.readString(f)).get("version").asLong())
+          .filter(_ < version)
+      else None
+    }
+    val prevFiles = prevCp.map(v =>
+      graft.sources.DeltaLogReader.checkpointFiles(log, v)).getOrElse(Nil)
+    var prevSidecarFiles: Seq[Path] = Nil
+    var prevManifestDf: Option[org.apache.spark.sql.DataFrame] = None
+    if (prevFiles.nonEmpty) {
+      val df =
+        if (prevFiles.forall(_.toString.endsWith(".json")))
+          spark.read.json(prevFiles.map(_.toString): _*)
+        else spark.read.parquet(prevFiles.map(_.toString): _*)
+      prevManifestDf = Some(df)
+      val cols = df.columns.toSet
+      val small = Seq("protocol", "metaData", "txn").filter(cols.contains)
+      if (small.nonEmpty)
+        df.select(small.map(c => col(s"`$c`")): _*)
+          .where(small.map(c => col(s"`$c`").isNotNull).reduce(_ || _))
+          .toJSON.collect().foreach(st.applyLine(_))
+      if (cols.contains("sidecar"))
+        prevSidecarFiles = df.select(col("sidecar"))
+          .where(col("sidecar").isNotNull).collect().toSeq
+          .map(r => sidecarDir.resolve(
+            st.mapper.readTree(r.json).get("sidecar").get("path").asText))
+    }
+
+    // the interval's commits: metadata plane into `st`, file actions into
+    // a SMALL driver delta (≤ interval commits' worth, never the table)
+    val from = prevCp.map(_ + 1).getOrElse(0L)
+    val recentAdds = scala.collection.mutable.LinkedHashMap
+      .empty[String, com.fasterxml.jackson.databind.JsonNode]
+    val recentTouched = scala.collection.mutable.HashSet.empty[String]
+    (from to version).foreach { v =>
+      val f = log.resolve(f"$v%020d.json")
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
+          val n = st.mapper.readTree(line)
+          if (n.has("protocol") || n.has("metaData") || n.has("txn"))
+            st.applyLine(line)
+          if (n.has("add")) {
+            val a = n.get("add")
+            val k = graft.sources.DeltaLogReader
+              .decodePath(a.get("path").asText)
+            recentAdds(k) = a; recentTouched += k
+          }
+          if (n.has("remove")) {
+            val k = graft.sources.DeltaLogReader
+              .decodePath(n.get("remove").get("path").asText)
+            recentAdds.remove(k); recentTouched += k
+          }
+        }
+    }
+    require(st.metaData != null, s"no metaData in delta log at $root")
+
+    // previous checkpoint's adds, normalized to the canonical flat shape
+    // — subfield-by-subfield so foreign checkpoints with extra fields
+    // (tags, baseRowId, dv maxRowIndex) still transcribe
+    def canonicalFlat(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val at = df.schema("add").dataType.asInstanceOf[StructType]
+      val dvT = AddActionType("deletionVector").dataType
+        .asInstanceOf[StructType]
+      val dvCol =
+        if (!at.fieldNames.contains("deletionVector"))
+          lit(null).cast(dvT).as("deletionVector")
+        else {
+          val dvAt = at("deletionVector").dataType.asInstanceOf[StructType]
+          def sub(n: String, t: org.apache.spark.sql.types.DataType) =
+            if (dvAt.fieldNames.contains(n))
+              col(s"add.deletionVector.`$n`").cast(t)
+            else lit(null).cast(t)
+          when(col("add.deletionVector").isNotNull,
+            struct(dvT.fields.toIndexedSeq.map { fd =>
+              // a foreign null offset means "right after the format
+              // version byte" = 1, the same default parseAdd applies
+              val c = if (fd.name == "offset")
+                coalesce(sub(fd.name, fd.dataType), lit(1))
+              else sub(fd.name, fd.dataType)
+              c.as(fd.name)
+            }: _*)).as("deletionVector")
+        }
+      def top(n: String, t: org.apache.spark.sql.types.DataType) =
+        if (at.fieldNames.contains(n)) col(s"add.`$n`").cast(t).as(n)
+        else lit(null).cast(t).as(n)
+      df.where(col("add").isNotNull).select(
+        top("path", StringType),
+        top("partitionValues", MapType(StringType, StringType)),
+        top("size", LongType),
+        top("modificationTime", LongType),
+        top("dataChange", BooleanType),
+        dvCol,
+        top("stats", StringType))
+    }
+    val addSources = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.DataFrame]
+    prevManifestDf.filter(_.columns.contains("add")).foreach(addSources += _)
+    if (prevSidecarFiles.nonEmpty) {
+      val sdf = spark.read.parquet(prevSidecarFiles.map(_.toString): _*)
+      if (sdf.columns.contains("add")) addSources += sdf
+    }
+    // carried = previous live set minus every path the interval touched
+    // (re-added paths come back from the driver delta with their new
+    // action) — an executor-side filter against a broadcast-sized set
+    val touched = recentTouched.toSet
+    val carried = addSources.toSeq.map(canonicalFlat)
+      .reduceOption(_ unionByName _)
+      .map(_.filter((r: Row) => !touched.contains(
+        graft.sources.DeltaLogReader.decodePath(r.getString(0)))))
+    val recentDf = spark.createDataFrame(
+      recentAdds.values.toSeq.map(addActionRow).asJava, AddActionType)
+    val live = (carried.toSeq :+ recentDf).reduce(_ unionByName _)
+
+    // distributed sidecar write: each part file becomes one sidecar
+    val staging = root.resolve(s".cp2-staging-${java.util.UUID.randomUUID()}")
+    live.select(struct(AddActionType.fieldNames.toIndexedSeq
+        .map(n => col(s"`$n`")): _*).as("add"))
+      .write.option("maxRecordsPerFile", SidecarMaxRecords)
+      .parquet(staging.toString)
+    val sidecars: Seq[(String, Long, Long, Long)] = {
+      val parts = {
+        val s = Files.list(staging)
+        try s.iterator().asScala.toVector finally s.close()
+      }.filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      parts.map { part =>
+        val rows = ParquetStats.columnBounds(part).map(_._1).getOrElse(0L)
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val dest = sidecarDir.resolve(name)
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        (name, Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+          rows)
+      }
+    }
+    deleteRecursively(staging)
+
+    // uuid-named manifest: metadata plane + checkpointMetadata + sidecar
+    // references (file actions live ONLY in the sidecars)
+    val cpmType = StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    val manSchema = StructType(Seq(
+      StructField("protocol", ProtocolActionType),
+      StructField("metaData", MetaDataActionType),
+      StructField("txn", TxnActionType),
+      StructField("checkpointMetadata", cpmType),
+      StructField("sidecar", sidecarType)))
+    val manRows: Seq[Row] =
+      (Seq(
+        Row(protocolRow(st.protocol), null, null, null, null),
+        Row(null, metaDataRow(st.metaData), null, null, null),
+        Row(null, null, null, Row(version, null), null)) ++
+        st.txns.values.toSeq.map(t => Row(null, null, txnRow(t), null, null)) ++
+        sidecars.map { case (name, size, mtime, _) =>
+          Row(null, null, null, null, Row(name, size, mtime, null))
+        })
+    val manStaging = root.resolve(s".cp2m-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(manRows.asJava, manSchema).coalesce(1)
+      .write.parquet(manStaging.toString)
+    val manPart = {
+      val s = Files.list(manStaging)
+      try s.iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          "v2 checkpoint manifest write produced no part file"))
+      finally s.close()
+    }
+    Files.move(manPart, log.resolve(
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(manStaging)
+    // _last_checkpoint last, like the classic path; `size` counts every
+    // action in the checkpoint (manifest rows + sidecar contents)
+    val size = manRows.size + sidecars.map(_._4).sum
+    val tmp = log.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"version":$version,"size":$size}""")
     Files.move(tmp, log.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }

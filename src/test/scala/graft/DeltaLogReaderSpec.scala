@@ -813,6 +813,60 @@ class DeltaLogReaderSpec extends SparkSpec {
       .inputFiles.length == 3)
   }
 
+  test("SELF-WRITTEN v2 checkpoint round-trips: enableV2Checkpoints " +
+      "upgrades the protocol, checkpoints write a uuid manifest + " +
+      "distributed sidecars, and replay (incl. DVs) is exact") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_v2cp_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(
+      Seq((0L, "v0")).toDF("id", "v"), path)                      // v0
+    graft.output.DeltaWriter.enableV2Checkpoints(spark, path)     // v1
+    (2 to 9).foreach { i =>                                       // v2..v9
+      graft.output.DeltaWriter.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    }
+    // a DV delete BEFORE the checkpoint: the vector must survive
+    // compaction or deleted rows resurrect
+    assert(graft.output.DeltaWriter.deleteWhere(
+      spark, path, col("id") === 3L) == 1L)                       // v10 → cp
+    val log = Paths.get(path, "_delta_log")
+    assert(!Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")),
+      "v2-policy table wrote a classic checkpoint")
+    val manifest = graft.sources.DeltaLogReader.checkpointFiles(log, 10L)
+    assert(manifest.size == 1 &&
+      manifest.head.getFileName.toString
+        .matches("\\d{20}\\.checkpoint\\.[^.]+\\.parquet"), manifest)
+    val sidecars = Files.list(log.resolve("_sidecars")).iterator().asScala
+      .toVector
+    assert(sidecars.nonEmpty, "no sidecar files written")
+    // replay from the v2 checkpoint only: drop the pre-checkpoint commit
+    // JSONs (vacuumed-log scenario) — the checkpoint must be
+    // self-sufficient
+    (0L to 9L).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    val t = graft.sources.DeltaLogReader.read(spark, path)
+    assert(t.count() == 8L) // 9 rows written, id=3 deleted
+    assert(t.filter(col("id") === 3L).count() == 0L)
+    assert(t.filter(col("id") === 7L).select("v").as[String].head() == "v7")
+    // commits AFTER the checkpoint apply on top; the NEXT v2 checkpoint
+    // reconciles carried sidecar adds with the interval's delta
+    (11 to 19).foreach { i =>
+      graft.output.DeltaWriter.append(
+        Seq((100L + i, s"w$i")).toDF("id", "v"), path)
+    }
+    graft.output.DeltaWriter.append(
+      Seq((200L, "last")).toDF("id", "v"), path) // v20 → second v2 cp
+    val manifest2 = graft.sources.DeltaLogReader.checkpointFiles(log, 20L)
+    assert(manifest2.size == 1 && manifest2 != manifest)
+    (10L to 19L).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    val t2 = graft.sources.DeltaLogReader.read(spark, path)
+    assert(t2.count() == 8L + 9L + 1L)
+    assert(t2.filter(col("id") === 3L).count() == 0L,
+      "DV lost across v2 checkpoint carry")
+    assert(t2.filter(col("id") === 200L).count() == 1L)
+  }
+
   test("LONG IN lists (InSet, past inSetConversionThreshold) still " +
       "file-skip — exactly the large point-set lookups that matter") {
     val path = Paths.get(System.getProperty("java.io.tmpdir"),
