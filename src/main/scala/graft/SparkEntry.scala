@@ -1850,6 +1850,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))
     }),
+    "q_domain_mix_quality" -> ((s, dir) => {
+      // quality-aware mixture: each domain fills its integer-exact
+      // planned token budget BEST-FIRST (n_chars desc, doc_id tiebreak)
+      // — the data-recipe composition of domain quotas with in-domain
+      // priority ranking, bit-reproducible across engines
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toLong).toMap
+      graft.operators.Sampling.domainMixTakeByQuality(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", "n_chars", weights)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("taken_before"), col("planned_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_sample_priority_group" -> ((s, dir) =>
       // exactly 5 docs per source, length-weighted without replacement
       graft.operators.Sampling.prioritySampleByGroup(
@@ -2736,6 +2750,33 @@ object SparkEntry {
         |         copy::VARCHAR || '#7'), 1, 8))::BIGINT % 1000000
         |      < rate_ppm % 1000000
         |ORDER BY doc_id, copy""".stripMargin,
+    "q_domain_mix_quality" ->
+      // the q_domain_mix integer plan (epochs=1), then a per-domain
+      // best-first running-token window — `//` keeps both engines
+      // bit-identical, (n_chars DESC, doc_id) makes the order total
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS domain_tokens,
+        |         CAST(SUBSTR(source, 4) AS BIGINT) + 1 AS weight
+        |  FROM documents GROUP BY source
+        |), c AS (
+        |  SELECT *, (domain_tokens * 210) // weight AS cap FROM t
+        |), m AS (
+        |  SELECT source, weight, MIN(cap) OVER () AS total_tokens FROM c
+        |), p AS (
+        |  SELECT source, (total_tokens * weight) // 210 AS planned_tokens
+        |  FROM m
+        |), r AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, p.planned_tokens,
+        |         CAST(COALESCE(SUM(d.n_chars) OVER (
+        |           PARTITION BY d.source
+        |           ORDER BY d.n_chars DESC, d.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS taken_before
+        |  FROM documents d JOIN p USING (source)
+        |)
+        |SELECT doc_id, source, n_chars, taken_before, planned_tokens
+        |FROM r WHERE taken_before + n_chars <= planned_tokens
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_priority_group" ->
       // q_sample_priority's Efraimidis–Spirakis priority, ranked per
       // source with row_number instead of a global top-n

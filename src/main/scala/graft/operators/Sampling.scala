@@ -483,6 +483,45 @@ object Sampling {
       "planned_tokens", "rate_ppm")
   }
 
+  /** QUALITY-AWARE mixture execution — the data-recipe composition of
+    * [[domainMixPlan]] (domain token quotas) with priority ranking:
+    * each weighted domain fills its `planned_tokens` budget BEST-FIRST
+    * by `priorityCol` (ties broken by `idCol`, so the kept row set is
+    * bit-reproducible across engines — the same portable-ordering
+    * contract as [[takeByTokenBudget]]). A row is kept when every token
+    * ranked ahead of it still fits the domain's plan. Rows are taken at
+    * most ONCE (no repetition) — compose with [[domainMixExecute]] when
+    * an up-weighted domain must repeat instead. Output adds
+    * `taken_before` and `planned_tokens`.
+    *
+    * Scale: the plan is a k-row broadcast; the only data-proportional
+    * work is ONE window shuffle keyed by domain — the same shape the
+    * per-domain budget window already has, no extra pass.
+    */
+  def domainMixTakeByQuality(df: DataFrame, domainCol: String,
+      sizeCol: String, idCol: String, priorityCol: String,
+      weights: Map[String, Long], epochs: Int = 1): DataFrame = {
+    require(!df.columns.contains("taken_before") &&
+        !df.columns.contains("planned_tokens"),
+      "input already has a generated output column " +
+        "(taken_before/planned_tokens)")
+    val plan = domainMixPlan(df, domainCol, sizeCol, weights, epochs)
+      .select(col(s"`$domainCol`").cast("string").as("__mix_domain"),
+        col("planned_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$domainCol`"))
+      .orderBy(col(s"`$priorityCol`").desc, col(s"`$idCol`"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.join(broadcast(plan),
+        col(s"`$domainCol`").cast("string") === col("__mix_domain"))
+      .drop("__mix_domain")
+      .withColumn("taken_before",
+        coalesce(sum(col(s"`$sizeCol`")).over(w), lit(0L)))
+      .filter(col("taken_before") + col(s"`$sizeCol`") <=
+        col("planned_tokens"))
+  }
+
   /** EXECUTE a [[domainMixPlan]]: materialize the planned mixture, with
     * REPETITION when a domain's rate exceeds 1e6 ppm (epochs > 1) —
     * every row gets `rate div 1e6` full copies plus one more iff its

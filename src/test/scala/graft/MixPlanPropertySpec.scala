@@ -82,6 +82,27 @@ class MixPlanPropertySpec extends SparkSpec {
     assert(plan.count() == 1L)
   }
 
+  test("domainMixTakeByQuality never exceeds a domain's planned budget " +
+      "and takes best-first") {
+    val df = Seq(
+      ("a", 1L, 10L, 5.0), ("a", 2L, 10L, 9.0), ("a", 3L, 10L, 7.0),
+      ("b", 4L, 20L, 1.0), ("b", 5L, 20L, 2.0)
+    ).toDF("dom", "id", "n", "q")
+    val out = Sampling.domainMixTakeByQuality(df, "dom", "n", "id", "q",
+      Map("a" -> 1L, "b" -> 1L))
+      .select("dom", "id", "taken_before", "planned_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // plan: t_a=30, t_b=40, SW=2 → total=min(30*2/1, 40*2/1)=60;
+    // planned_a = planned_b = 30 → a takes all 3; b takes 1 (20+20>30),
+    // and the one taken is the HIGHER-priority row (id=5, q=2.0)
+    val byDom = out.groupBy(_._1)
+    assert(byDom("a").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(byDom("b").map(_._2).toSeq == Seq(5L))
+    // budget invariant: taken_before + size <= planned for every row
+    assert(out.forall { case (_, _, before, planned) => before < planned })
+  }
+
   test("domain token sums route through DECIMAL(38,0): two near-Long " +
       "rows do not wrap the 'exact' plan input") {
     val half = Long.MaxValue / 2 + 10L // 2 rows sum past Long.MaxValue
