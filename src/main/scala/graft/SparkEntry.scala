@@ -36,6 +36,27 @@ object SparkEntry {
       datasource = DatasourceConfig(uri = s"$dir/$t.parquet", select = select, sortby = sortby),
       params = params, search = search, nearby = nearby, allowGetAllPages = true)
 
+  /** The multi-file event-time delta fixture shared by the timestamp
+    * skipping gates (`q_delta_ts_skip` / `_between` / `_in`): orders with
+    * `o_orderdate` as a timestamp, range-partitioned into 4 files so the
+    * stats plane has disjoint per-file bounds to prune. Built once per
+    * testdata dir, memoized on disk.
+    */
+  private def tsDeltaGateRoot(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_ts_gate_v1_${math.abs(dir.hashCode)}")
+    SparkEntry.synchronized {
+      if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("o_ts"))
+          .repartitionByRange(4, col("o_ts"))
+        graft.output.DeltaWriter.create(orders, root.toString)
+      }
+    }
+    root.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
@@ -817,24 +838,43 @@ object SparkEntry {
       // the stats plane prunes files by their ISO-instant bounds, and the
       // oracle pins that no row is ever lost to a wrong bound compare —
       // the single most common analyst predicate on a training-data lake
-      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_delta_ts_gate_v1_${math.abs(dir.hashCode)}")
-      SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
-          val orders = Tables.load(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"),
-              col("o_orderdate").cast("timestamp").as("o_ts"))
-            .repartitionByRange(4, col("o_ts"))
-          graft.output.DeltaWriter.create(orders, root.toString)
-        }
-      }
       val t = TableConfig(name = "tsdelta", tag = "t",
-        datasource = DatasourceConfig(uri = root.toString, fileType = "delta"),
+        datasource = DatasourceConfig(uri = tsDeltaGateRoot(s, dir),
+          fileType = "delta"),
         params = Seq(Param("o_ts", operators = Seq(">=", "<"))),
         allowGetAllPages = true)
       QueryPipeline.run(s, t, Request(
         params = Map("o_ts_gte" -> "1999-06-01T00:00:00",
           "o_ts_lt" -> "2000-01-01T00:00:00"),
+        limit = Some(-1)))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_delta_ts_between" -> ((s, dir) => {
+      // timestamp BETWEEN through the serving plane: both bounds become
+      // SkipPredicates through the same shared literal resolution as the
+      // row predicate — the date-window request shape, stats-pruned
+      val t = TableConfig(name = "tsdelta", tag = "t",
+        datasource = DatasourceConfig(uri = tsDeltaGateRoot(s, dir),
+          fileType = "delta"),
+        params = Seq(Param("o_ts", operators = Seq("between"))),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(
+        params = Map("o_ts_between" ->
+          Seq("1999-06-01T00:00:00", "1999-12-31T23:59:59")),
+        limit = Some(-1)))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_delta_ts_in" -> ((s, dir) => {
+      // timestamp IN through the serving plane: the point-set lookup
+      // skips files as OR-of-equalities over the ISO-instant bounds
+      val t = TableConfig(name = "tsdelta", tag = "t",
+        datasource = DatasourceConfig(uri = tsDeltaGateRoot(s, dir),
+          fileType = "delta"),
+        params = Seq(Param("o_ts", operators = Seq("in"))),
+        allowGetAllPages = true)
+      QueryPipeline.run(s, t, Request(
+        params = Map("o_ts_in" ->
+          Seq("1999-06-15T00:00:00", "1997-03-01T00:00:00")),
         limit = Some(-1)))
         .orderBy(col("o_orderkey"))
     }),
@@ -2278,6 +2318,20 @@ object SparkEntry {
         |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders
         |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1999-06-01 00:00:00'
         |  AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_delta_ts_between" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP)
+        |      BETWEEN TIMESTAMP '1999-06-01 00:00:00'
+        |          AND TIMESTAMP '1999-12-31 23:59:59'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_delta_ts_in" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) IN (
+        |      TIMESTAMP '1999-06-15 00:00:00',
+        |      TIMESTAMP '1997-03-01 00:00:00')
         |ORDER BY o_orderkey""".stripMargin,
     "q_iceberg_branch" ->
       """SELECT n_nationkey, n_name, n_regionkey, src FROM (

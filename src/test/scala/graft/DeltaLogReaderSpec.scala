@@ -716,6 +716,19 @@ class DeltaLogReaderSpec extends SparkSpec {
       assert(skipped.inputFiles.length == 2, skipped.inputFiles.toSeq)
       assert(skipped.filter(col("ts") >= to_timestamp(lit(naive))).count()
         == expect)
+      // BETWEEN (conjunctive pair, the serving plane's expansion) prunes
+      // to the straddling file and loses no row across the DST boundary
+      val win = DeltaLogReader.read(spark, path, skipFilters = Seq(
+        SkipPredicate("ts", ">=", "2024-03-09 00:00:00"),
+        SkipPredicate("ts", "<=", "2024-03-11 00:00:00")))
+      assert(win.inputFiles.length == 1, win.inputFiles.toSeq)
+      assert(win.count() == 48L)
+      // IN on timestamps: OR-of-equalities over the ISO bounds — one
+      // value per outer file, the middle file drops
+      val inq = DeltaLogReader.read(spark, path, skipFilters = Seq(
+        SkipPredicate("ts", "in",
+          "2024-01-15T03:00:00Z,2024-06-20T05:00:00Z")))
+      assert(inq.inputFiles.length == 2, inq.inputFiles.toSeq)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
