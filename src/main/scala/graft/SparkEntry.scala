@@ -991,6 +991,39 @@ object SparkEntry {
           partitionFilter = Map("c_mktsegment" -> "BUILDING"))
         .orderBy(col("c_custkey"))
     }),
+    "q_iceberg_delete_prune" -> ((s, dir) => {
+      // partitioned table + per-segment position deletes, then a
+      // partition-filtered read: the plan joins ONLY the delete files
+      // whose file_path bounds scope its planned data files (plan shape
+      // asserted in IcebergWriterSpec; the oracle pins the rows) — and a
+      // rewriteManifests pass first, so the read also goes through a
+      // MERGED manifest with carried EXISTING entries
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_delprune_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          graft.output.IcebergWriter.create(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+              .filter(col("c_mktsegment") === "BUILDING"),
+            root.toString, partitionBy = Seq("c_mktsegment"))
+          graft.output.IcebergWriter.append(
+            Tables.load(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+              .filter(col("c_mktsegment") === "MACHINERY"),
+            root.toString)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("c_mktsegment") === "BUILDING" && col("c_custkey") % 7 === 0)
+          graft.output.IcebergWriter.deleteWhere(s, root.toString,
+            col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 5 === 0)
+          graft.output.IcebergWriter.rewriteManifests(root.toString)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString,
+          partitionFilter = Map("c_mktsegment" -> "MACHINERY"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_iceberg_zorder" -> ((s, dir) => {
       // z-order rewrite on an iceberg table: rows identical through the
       // clustered layout (the narrow per-file bounds it produces are
@@ -2380,6 +2413,10 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
     "q_iceberg_bucket" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_delete_prune" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 5 <> 0
         |ORDER BY c_custkey""".stripMargin,
     "q_iceberg_temporal" ->
       """SELECT o_orderkey, o_custkey, o_orderdate FROM orders

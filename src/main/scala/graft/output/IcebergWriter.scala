@@ -443,9 +443,17 @@ object IcebergWriter {
     val minCount = prop("commit.manifest.min-count-to-merge", 100L).toInt
     val targetBytes = prop("commit.manifest.target-size-bytes",
       8L * 1024 * 1024)
+    if (!enabled) return (carried, None)
+    mergeRefs(root, location, md, carried, commitSeq, minCount, targetBytes)
+  }
+
+  private def mergeRefs(root: Path, location: String,
+      md: JsonNode, carried: Seq[ManifestRef], commitSeq: Long,
+      minCount: Int, targetBytes: Long)
+      : (Seq[ManifestRef], Option[String]) = {
     val dsid = defaultSpecId(md)
     val dataRefs = carried.filter(r => r.content == 0 && r.specId == dsid)
-    if (!enabled || dataRefs.size < minCount) return (carried, None)
+    if (dataRefs.size < minCount) return (carried, None)
     val small = dataRefs.filter(r => localLength(r.path, root) < targetBytes)
     if (small.size < 2) return (carried, None)
     try {
@@ -545,6 +553,28 @@ object IcebergWriter {
     } catch {
       case scala.util.control.NonFatal(_) => (carried, None) // fail open
     }
+  }
+
+  /** EXPLICIT manifest compaction — Iceberg's `rewrite_manifests`
+    * maintenance action for tables written before merge-on-append (or
+    * with a raised min-count): merge every small default-spec data
+    * manifest in the CURRENT snapshot into one, in a metadata-only
+    * `replace` commit. Data files untouched; entries carry EXISTING
+    * with their original sequence numbers ([[mergeRefs]]); older
+    * snapshots still time-travel (their lists keep the pre-merge
+    * manifests). Returns the number of manifests merged away, 0 when
+    * there was nothing to merge.
+    */
+  def rewriteManifests(path: String,
+      targetBytes: Long = 8L * 1024 * 1024): Int = {
+    val st = loadState(path)
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val (merged, mergedPath) = mergeRefs(st.root, st.location, st.md,
+      st.refs, seq, minCount = 2, targetBytes = targetBytes)
+    if (merged == st.refs) return 0
+    val list = writeManifestList(st.root, seq, merged)
+    commitNewSnapshot(st, seq, list, "replace")
+    st.refs.size - merged.size + (if (mergedPath.isDefined) 1 else 0)
   }
 
   /** Field 507 of one manifest-list record, decoded into the writer's

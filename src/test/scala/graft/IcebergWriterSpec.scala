@@ -1167,6 +1167,40 @@ class IcebergWriterSpec extends SparkSpec {
       .filter(col("id") === 3L).count() == 0L)
   }
 
+  test("rewriteManifests: explicit metadata-only compaction for legacy " +
+      "tables — one merged manifest, rows and deletes intact") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("rwm")
+    IcebergWriter.create(Seq((0L, 0, "v0")).toDF("id", "bucket", "v"),
+      path, partitionBy = Seq("bucket"))
+    (1 to 5).foreach { b =>
+      IcebergWriter.append(
+        Seq((b.toLong, b, s"v$b")).toDF("id", "bucket", "v"), path)
+    }
+    IcebergWriter.deleteWhere(spark, path, col("id") === 2L)
+    val mergedAway = IcebergWriter.rewriteManifests(path)
+    assert(mergedAway == 6, s"expected 6 data manifests merged, $mergedAway")
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val curId = md.get("current-snapshot-id").asLong()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    val r = org.apache.avro.file.DataFileReader.openReader(
+      Paths.get(listPath).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = try r.iterator().asScala.toVector finally r.close()
+    // 1 merged data manifest + 1 delete manifest
+    assert(recs.count(_.get("content").asInstanceOf[Int] == 0) == 1, recs.size)
+    assert(recs.count(_.get("content").asInstanceOf[Int] != 0) == 1)
+    // rows intact, the delete still applies against the merged entries
+    val t = IcebergReader.read(spark, path)
+    assert(t.count() == 5L && t.filter(col("id") === 2L).count() == 0L)
+    // idempotent: nothing left to merge
+    assert(IcebergWriter.rewriteManifests(path) == 0)
+  }
+
   test("carried manifests reuse the prior list's field-507 summaries " +
       "VERBATIM — a cold-process commit summarizes only its NEW manifest") {
     import scala.jdk.CollectionConverters._
