@@ -972,13 +972,57 @@ object DeltaWriter {
       // the classic single-file checkpoint. Opt in via
       // [[enableV2Checkpoints]] (which also upgrades the protocol, as the
       // v2Checkpoint table feature requires).
-      val policy = try graft.sources.DeltaLogReader
-        .snapshot(spark, root.toString)
-        .configuration.getOrElse("delta.checkpointPolicy", "classic")
+      val policy = try checkpointPolicy(spark, root.resolve("_delta_log"),
+        version)
       catch { case scala.util.control.NonFatal(_) => "classic" }
       if (policy == "v2") writeCheckpointV2(spark, root, version)
       else writeCheckpoint(spark, root, version)
     }
+
+  /** The table's `delta.checkpointPolicy` at `version`, WITHOUT
+    * materializing a snapshot (a full snapshot builds the whole live
+    * add set on the driver — the exact O(table) term the v2 layout
+    * exists to avoid): the newest metaData action in the interval's
+    * commits wins, else the previous checkpoint's own metaData row
+    * (a small filtered projection, file actions never collected).
+    */
+  private def checkpointPolicy(spark: SparkSession, log: Path,
+      version: Long): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def policyOf(md: com.fasterxml.jackson.databind.JsonNode): String =
+      Option(md.get("configuration"))
+        .flatMap(c => Option(c.get("delta.checkpointPolicy")))
+        .map(_.asText).getOrElse("classic")
+    val (prevCp, prevFiles) = prevCheckpointFiles(log, version)
+    val from = prevCp.map(_ + 1).getOrElse(0L)
+    var v = version
+    while (v >= from) {
+      val f = log.resolve(f"$v%020d.json")
+      if (Files.exists(f)) {
+        val md = Files.readAllLines(f).asScala.filter(_.nonEmpty)
+          .flatMap(l => Option(mapper.readTree(l).get("metaData"))
+            .filterNot(_.isNull))
+          .lastOption
+        md.foreach(m => return policyOf(m))
+      }
+      v -= 1
+    }
+    if (prevFiles.nonEmpty) {
+      val df =
+        if (prevFiles.forall(_.toString.endsWith(".json")))
+          spark.read.json(prevFiles.map(_.toString): _*)
+        else spark.read.parquet(prevFiles.map(_.toString): _*)
+      if (df.columns.contains("metaData")) {
+        val rows = df.select("metaData")
+          .where(org.apache.spark.sql.functions.col("metaData").isNotNull)
+          .toJSON.collect()
+        rows.lastOption.foreach { j =>
+          return policyOf(mapper.readTree(j).get("metaData"))
+        }
+      }
+    }
+    "classic"
+  }
 
   // ---- typed checkpoint action shapes (partitionValues/configuration
   // as real maps so the reader's Row.json round-trip yields
@@ -1103,6 +1147,35 @@ object DeltaWriter {
     }
   }
 
+  /** The previous checkpoint to replay from: (_last_checkpoint's version,
+    * its on-disk files) — shared by BOTH checkpoint layouts so their
+    * replay semantics can never diverge. When the pointer names a version
+    * whose files are GONE (corruption, manual deletion), the version is
+    * dropped and replay falls back to commit 0 — silently trusting the
+    * pointer would compact only the tail interval and the rest of the
+    * table would vanish from the new checkpoint (the reader applies the
+    * same fallback). If commit 0 is gone TOO, fail loud: there is no
+    * complete source of truth to checkpoint from.
+    */
+  private def prevCheckpointFiles(log: Path, version: Long)
+      : (Option[Long], Seq[Path]) = {
+    val f = log.resolve("_last_checkpoint")
+    val prevCp =
+      if (Files.exists(f))
+        Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(f)).get("version").asLong())
+          .filter(_ < version)
+      else None
+    val files = prevCp.map(v =>
+      graft.sources.DeltaLogReader.checkpointFiles(log, v)).getOrElse(Nil)
+    if (prevCp.isDefined && files.isEmpty) {
+      require(Files.exists(log.resolve(f"${0L}%020d.json")),
+        s"checkpoint ${prevCp.get} has no readable files and the commit " +
+          s"log does not start at version 0: cannot checkpoint $log")
+      (None, Nil)
+    } else (prevCp, files)
+  }
+
   /** Compact commits `0..version` into a classic single-file checkpoint.
     * Replay starts from the PREVIOUS checkpoint when one exists (via
     * `toJSON`, which yields the same one-action-per-line shape as commit
@@ -1114,13 +1187,7 @@ object DeltaWriter {
     val log = root.resolve("_delta_log")
     val st = new ReplayState
 
-    val prevCp = {
-      val f = log.resolve("_last_checkpoint")
-      if (Files.exists(f))
-        Some(st.mapper.readTree(Files.readString(f)).get("version").asLong())
-          .filter(_ < version)
-      else None
-    }
+    val (prevCp, prevCpFiles) = prevCheckpointFiles(log, version)
     def applyCheckpointJson(lines: Seq[String]): Unit = lines.foreach { line =>
       val n = st.mapper.readTree(line)
       if (n.has("sidecar") && !n.get("sidecar").isNull) {
@@ -1130,12 +1197,12 @@ object DeltaWriter {
           spark.read.parquet(p.toString).toJSON.collect().toSeq)
       } else st.applyLine(line)
     }
-    prevCp.foreach { pv =>
-      val files = graft.sources.DeltaLogReader.checkpointFiles(log, pv)
+    if (prevCpFiles.nonEmpty) {
       val lines =
-        if (files.forall(_.toString.endsWith(".json")))
-          files.flatMap(p => Files.readAllLines(p).asScala.filter(_.nonEmpty))
-        else spark.read.parquet(files.map(_.toString): _*)
+        if (prevCpFiles.forall(_.toString.endsWith(".json")))
+          prevCpFiles.flatMap(p =>
+            Files.readAllLines(p).asScala.filter(_.nonEmpty))
+        else spark.read.parquet(prevCpFiles.map(_.toString): _*)
           .toJSON.collect().toSeq
       applyCheckpointJson(lines)
     }
@@ -1255,15 +1322,9 @@ object DeltaWriter {
     Files.createDirectories(sidecarDir)
     val st = new ReplayState
 
-    val prevCp = {
-      val f = log.resolve("_last_checkpoint")
-      if (Files.exists(f))
-        Some(st.mapper.readTree(Files.readString(f)).get("version").asLong())
-          .filter(_ < version)
-      else None
-    }
-    val prevFiles = prevCp.map(v =>
-      graft.sources.DeltaLogReader.checkpointFiles(log, v)).getOrElse(Nil)
+    // shared prev-checkpoint resolution (incl. the missing-files →
+    // replay-from-0 fallback) so the two layouts can never diverge
+    val (prevCp, prevFiles) = prevCheckpointFiles(log, version)
     var prevSidecarFiles: Seq[Path] = Nil
     var prevManifestDf: Option[org.apache.spark.sql.DataFrame] = None
     if (prevFiles.nonEmpty) {

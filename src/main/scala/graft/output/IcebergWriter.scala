@@ -416,8 +416,10 @@ object IcebergWriter {
     * full plan to decode). When the carried data manifests under the
     * default spec number ≥ `commit.manifest.min-count-to-merge`
     * (default 100), those below `commit.manifest.target-size-bytes`
-    * (default 8 MiB) are transcribed — metadata-plane only, ENTRIES
-    * COPIED VERBATIM with status EXISTING and explicit
+    * (default 8 MiB) are transcribed — metadata-plane only, every spec
+    * `data_file` field carried (path/format/partition/counts, all six
+    * per-column stats maps, split_offsets, equality_ids, sort_order_id)
+    * with status EXISTING and explicit
     * sequence_number / file_sequence_number / snapshot_id (per spec,
     * only ADDED entries may inherit) — into ONE merged manifest whose
     * list record carries `min_sequence_number` = the true entry
@@ -494,26 +496,32 @@ object IcebergWriter {
               longOf(src, "file_size_in_bytes", 0L))
             // per-column stats maps transcribe into the canonical
             // key/value item records — pruning power survives the merge
-            Seq("value_counts", "null_value_counts",
-                "lower_bounds", "upper_bounds").foreach { f =>
-              if (src.getSchema.getField(f) != null &&
-                  dfSchema.getField(f) != null) {
-                Option(src.get(f)).foreach { v =>
-                  val item = statItemSchema(f)
-                  d.put(f, v.asInstanceOf[java.util.List[_]].asScala.map {
-                    kv =>
-                      val s = kv.asInstanceOf[GenericRecord]
-                      val r = new GenericData.Record(item)
-                      r.put("key", s.get("key"))
-                      r.put("value", s.get("value"))
-                      r: GenericRecord
-                  }.asJava)
+            Seq("column_sizes", "value_counts", "null_value_counts",
+                "nan_value_counts", "distinct_counts", "lower_bounds",
+                "upper_bounds")
+              .foreach { f =>
+                if (src.getSchema.getField(f) != null &&
+                    dfSchema.getField(f) != null) {
+                  Option(src.get(f)).foreach { v =>
+                    val item = statItemSchema(f)
+                    d.put(f, v.asInstanceOf[java.util.List[_]].asScala.map {
+                      kv =>
+                        val s = kv.asInstanceOf[GenericRecord]
+                        val r = new GenericData.Record(item)
+                        r.put("key", s.get("key"))
+                        r.put("value", s.get("value"))
+                        r: GenericRecord
+                    }.asJava)
+                  }
                 }
               }
-            }
-            if (src.getSchema.getField("equality_ids") != null)
-              Option(src.get("equality_ids")).foreach(v =>
-                d.put("equality_ids", v))
+            // plain-valued optional fields copy as-is
+            Seq("split_offsets", "equality_ids", "sort_order_id")
+              .foreach { f =>
+                if (src.getSchema.getField(f) != null &&
+                    dfSchema.getField(f) != null)
+                  Option(src.get(f)).foreach(v => d.put(f, v))
+              }
             val entrySeq = longOf(e, "sequence_number", ref.seq)
             minSeq = math.min(minSeq, entrySeq)
             val out = new GenericData.Record(entrySchema)
@@ -567,14 +575,34 @@ object IcebergWriter {
     */
   def rewriteManifests(path: String,
       targetBytes: Long = 8L * 1024 * 1024): Int = {
-    val st = loadState(path)
-    val seq = st.md.get("last-sequence-number").asLong() + 1
-    val (merged, mergedPath) = mergeRefs(st.root, st.location, st.md,
-      st.refs, seq, minCount = 2, targetBytes = targetBytes)
-    if (merged == st.refs) return 0
-    val list = writeManifestList(st.root, seq, merged)
-    commitNewSnapshot(st, seq, list, "replace")
-    st.refs.size - merged.size + (if (mergedPath.isDefined) 1 else 0)
+    var attempt = 0
+    while (true) {
+      val st = loadState(path)
+      val seq = st.md.get("last-sequence-number").asLong() + 1
+      val (merged, mergedPath) = mergeRefs(st.root, st.location, st.md,
+        st.refs, seq, minCount = 2, targetBytes = targetBytes)
+      if (merged == st.refs) return 0
+      val list = writeManifestList(st.root, seq, merged)
+      try {
+        commitNewSnapshot(st, seq, list, "replace")
+        return st.refs.size - merged.size +
+          (if (mergedPath.isDefined) 1 else 0)
+      } catch {
+        case e: ConcurrentCommitException =>
+          // losing attempt: reclaim its never-referenced list + merged
+          // manifest eagerly (append's rule), re-read, retry — a racing
+          // append composes fine with a re-run merge
+          try {
+            Files.deleteIfExists(
+              Paths.get(remapLocal(list, st.location, st.root)))
+            mergedPath.foreach(m => Files.deleteIfExists(
+              Paths.get(remapLocal(m, st.location, st.root))))
+          } catch { case scala.util.control.NonFatal(_) => () }
+          attempt += 1
+          if (attempt > 10) throw e
+      }
+    }
+    0 // unreachable
   }
 
   /** Field 507 of one manifest-list record, decoded into the writer's
@@ -2179,11 +2207,16 @@ object IcebergWriter {
           |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
           |{"name":"record_count","type":"long","field-id":103},
           |{"name":"file_size_in_bytes","type":"long","field-id":104},
+          |{"name":"column_sizes","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k117_v118","fields":[{"name":"key","type":"int","field-id":117},{"name":"value","type":"long","field-id":118}]}}],"default":null,"field-id":108},
           |{"name":"value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},
           |{"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+          |{"name":"nan_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k138_v139","fields":[{"name":"key","type":"int","field-id":138},{"name":"value","type":"long","field-id":139}]}}],"default":null,"field-id":137},
+          |{"name":"distinct_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k123_v124","fields":[{"name":"key","type":"int","field-id":123},{"name":"value","type":"long","field-id":124}]}}],"default":null,"field-id":111},
           |{"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
           |{"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
-          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
+          |{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+          |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}]}}]}""".stripMargin)
     })
 
   private val entrySchemaCache =

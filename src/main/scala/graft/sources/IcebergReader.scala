@@ -110,7 +110,12 @@ object IcebergReader {
     * the planner drop a manifest WITHOUT opening it.
     */
   private final case class FieldSummaryMeta(containsNull: Boolean,
-      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]],
+      // spec field 518: bounds on float/double fields EXCLUDE NaN, so a
+      // NaN-bearing manifest is invisible to its own bounds — pruning a
+      // floating field must keep the manifest unless contains_nan is an
+      // explicit false (None = unknown = keep)
+      containsNan: Option[Boolean] = None)
 
   /** One manifest-list record (spec `manifest_file`), metadata only —
     * the entries stay un-decoded until a read actually needs them.
@@ -277,7 +282,11 @@ object IcebergReader {
               containsNull = Option(r.get("contains_null"))
                 .exists(_.asInstanceOf[Boolean]),
               lower = Option(r.get("lower_bound")).map(byteValue),
-              upper = Option(r.get("upper_bound")).map(byteValue))
+              upper = Option(r.get("upper_bound")).map(byteValue),
+              containsNan =
+                if (r.getSchema.getField("contains_nan") == null) None
+                else Option(r.get("contains_nan"))
+                  .map(_.asInstanceOf[java.lang.Boolean].booleanValue()))
           }.toIndexedSeq
           case _ => IndexedSeq.empty[FieldSummaryMeta]
         }
@@ -688,9 +697,17 @@ object IcebergReader {
       eqFilter: Map[String, String],
       preds: Seq[PartitionPredicate]): Boolean = m.summaries match {
     case Some(ss) if m.specId == defaultSpecId =>
+      // floating-typed fields: bounds exclude NaN per spec, and Spark
+      // treats NaN as the LARGEST value (NaN > x, NaN = NaN are true) —
+      // a manifest that may contain NaN partition values can match any
+      // comparison its bounds deny, so it is kept unless contains_nan
+      // is an explicit false
+      def nanMayMatch(s: FieldSummaryMeta, dt: DataType): Boolean =
+        (dt == FloatType || dt == DoubleType) && s.containsNan != Some(false)
       def fieldOk(field: String, test: (FieldSummaryMeta, DataType) => Boolean) =
         specPos.get(field).forall { case (i, dt) =>
-          ss.lift(i).forall(s => s.containsNull || test(s, dt))
+          ss.lift(i).forall(s =>
+            s.containsNull || nanMayMatch(s, dt) || test(s, dt))
         }
       eqFilter.forall { case (k, v) =>
         fieldOk(k, (s, dt) => summaryOpMayMatch(s, "=", v, dt))
@@ -700,23 +717,38 @@ object IcebergReader {
   }
 
   /** Drop position-delete entries whose file_path bounds (reserved
-    * field 2147483546) exclude every planned data file. Comparison runs
-    * in the manifests' declared-path namespace with unsigned UTF-8 byte
-    * order (the order parquet/iceberg string bounds serialize); spec
-    * truncation rules keep lower ≤ true min and upper ≥ true max, so a
-    * truncated bound can only widen the kept set. Entries without
-    * bounds — older writers — are KEPT (fail-open). O(d log n) for d
-    * delete entries over n planned files.
+    * field 2147483546) exclude every planned data file, compared with
+    * unsigned UTF-8 byte order (the order parquet/iceberg string bounds
+    * serialize); spec truncation rules keep lower ≤ true min and
+    * upper ≥ true max, so a truncated bound can only widen the kept
+    * set. NAMESPACE rule: the delete APPLICATION join normalizes both
+    * sides through [[normPath]] (file:-scheme strip), so pruning must
+    * agree — declared data paths are normalized, and a bound that
+    * normalization would CHANGE (a file:-scheme delete file against
+    * scheme-less manifests, or a prefix truncated mid-scheme) fails
+    * OPEN: normalization is not order-preserving across mixed
+    * namespaces, and a pruned-but-still-applicable delete resurrects
+    * rows. Entries without bounds — older writers — are KEPT.
+    * O(d log n) for d delete entries over n planned files.
     */
   private def prunePositionDeletes(dels: Seq[DataFileEntry],
       data: Seq[DataFileEntry]): Seq[DataFileEntry] = {
     if (dels.isEmpty ||
         dels.forall(_.bounds.get(PosDeleteFilePathFid).isEmpty)) return dels
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val paths: Array[Array[Byte]] = data
-      .map(_.declaredPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(f => normPath(f.declaredPath).getBytes(utf8))
       .toArray
     java.util.Arrays.sort(paths,
       (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b))
+    // a bound is usable only when it is ALREADY in the canonical
+    // (scheme-less) namespace — including a truncated "fil"/"file:"
+    // prefix, which could be a cut-short scheme
+    def usable(b: Array[Byte]): Boolean = {
+      val s = new String(b, utf8)
+      normPath(s) == s &&
+        !"file:/".regionMatches(true, 0, s, 0, math.min(6, s.length))
+    }
     // any planned path inside [lo, hi]? — ceiling search for lo, then
     // one compare against hi
     def anyInRange(lo: Array[Byte], hi: Array[Byte]): Boolean = {
@@ -730,8 +762,9 @@ object IcebergReader {
     }
     dels.filter { d =>
       d.bounds.get(PosDeleteFilePathFid) match {
-        case Some((Some(lo), Some(hi))) => anyInRange(lo, hi)
-        case _ => true // no/partial bounds: keep
+        case Some((Some(lo), Some(hi))) if usable(lo) && usable(hi) =>
+          anyInRange(lo, hi)
+        case _ => true // no/partial/foreign-namespace bounds: keep
       }
     }
   }

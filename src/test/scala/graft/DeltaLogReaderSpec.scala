@@ -826,6 +826,30 @@ class DeltaLogReaderSpec extends SparkSpec {
       .inputFiles.length == 3)
   }
 
+  test("checkpoint write falls back to commit 0 when the previous " +
+      "checkpoint's files are gone — never a silently truncated " +
+      "checkpoint") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cpmiss_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    (1 to 10).foreach { i =>
+      graft.output.DeltaWriter.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    } // classic checkpoint at v10
+    val log = Paths.get(path, "_delta_log")
+    val cp10 = log.resolve(f"${10L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp10))
+    Files.delete(cp10) // corrupt: pointer survives, files gone
+    (11 to 20).foreach { i =>
+      graft.output.DeltaWriter.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    } // checkpoint at v20 must replay from commit 0, not v11
+    // the v20 checkpoint alone must carry the WHOLE table
+    (0L to 19L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    val t = graft.sources.DeltaLogReader.read(spark, path)
+    assert(t.count() == 21L, "pre-interval adds lost by the checkpoint")
+  }
+
   test("SELF-WRITTEN v2 checkpoint round-trips: enableV2Checkpoints " +
       "upgrades the protocol, checkpoints write a uuid manifest + " +
       "distributed sidecars, and replay (incl. DVs) is exact") {
