@@ -324,11 +324,11 @@ object IcebergWriter {
       // carried refs, with small data manifests MERGED once their count
       // crosses the table's min-count-to-merge — the bound that keeps
       // live manifest count flat under sustained appends
-      val (carriedRefs, mergedPath) =
+      val (carriedRefs, mergedPaths) =
         if (carryForward)
           mergeDataManifests(root, location, md,
             manifestsOf(md, root, baseId), seq)
-        else (Seq.empty[ManifestRef], None)
+        else (Seq.empty[ManifestRef], Seq.empty[String])
       val refs = carriedRefs :+ newRef
       val list = writeManifestList(root, seq, refs)
 
@@ -361,7 +361,7 @@ object IcebergWriter {
           // removeOrphanFiles' horizon
           try {
             Files.deleteIfExists(Paths.get(remapLocal(list, location, root)))
-            mergedPath.foreach(m =>
+            mergedPaths.foreach(m =>
               Files.deleteIfExists(Paths.get(remapLocal(m, location, root))))
           } catch { case scala.util.control.NonFatal(_) => () }
           attempt += 1
@@ -434,7 +434,7 @@ object IcebergWriter {
     */
   private def mergeDataManifests(root: Path, location: String,
       md: JsonNode, carried: Seq[ManifestRef], commitSeq: Long)
-      : (Seq[ManifestRef], Option[String]) = {
+      : (Seq[ManifestRef], Seq[String]) = {
     def prop(key: String, dflt: Long): Long =
       Option(md.get("properties")).flatMap(p => Option(p.get(key)))
         .flatMap(v => scala.util.Try(v.asText().toLong).toOption)
@@ -445,21 +445,66 @@ object IcebergWriter {
     val minCount = prop("commit.manifest.min-count-to-merge", 100L).toInt
     val targetBytes = prop("commit.manifest.target-size-bytes",
       8L * 1024 * 1024)
-    if (!enabled) return (carried, None)
+    if (!enabled) return (carried, Nil)
     mergeRefs(root, location, md, carried, commitSeq, minCount, targetBytes)
   }
 
+  /** Merge-eligible (content, specId) groups of `carried`, merged
+    * independently: data manifests under the DEFAULT spec, and DELETE
+    * manifests per spec id (list content 1 covers both delete kinds —
+    * entries keep their own `data_file.content`, and the merged ref's
+    * true `min_sequence_number` preserves external planners'
+    * delete-application scoping). Without the delete half, a streaming
+    * upsert workload's one-eq-delete-manifest-per-commit grows the
+    * metadata plane linearly even while data manifests stay bounded.
+    * Returns (refs with merged groups replaced, merged manifest paths
+    * for race reclaim).
+    */
   private def mergeRefs(root: Path, location: String,
       md: JsonNode, carried: Seq[ManifestRef], commitSeq: Long,
       minCount: Int, targetBytes: Long)
-      : (Seq[ManifestRef], Option[String]) = {
+      : (Seq[ManifestRef], Seq[String]) = {
     val dsid = defaultSpecId(md)
-    val dataRefs = carried.filter(r => r.content == 0 && r.specId == dsid)
-    if (dataRefs.size < minCount) return (carried, None)
-    val small = dataRefs.filter(r => localLength(r.path, root) < targetBytes)
-    if (small.size < 2) return (carried, None)
+    val groups: Seq[(Int, Int)] = (0, dsid) +:
+      carried.filter(_.content == 1).map(r => (1, r.specId)).distinct
+    var refs = carried
+    val mergedPaths = scala.collection.mutable.Buffer.empty[String]
+    groups.foreach { case (content, specId) =>
+      val group = refs.filter(r => r.content == content && r.specId == specId)
+      if (group.size >= minCount) {
+        val small = group.filter(r => localLength(r.path, root) < targetBytes)
+        if (small.size >= 2) {
+          mergeGroup(root, location, md, small, commitSeq, content, specId)
+            .foreach { case (newRef, path) =>
+              val smallPaths = small.map(_.path).toSet
+              refs = refs.filterNot(r => smallPaths.contains(r.path)) ++
+                newRef.toSeq
+              path.foreach(mergedPaths += _)
+            }
+        }
+      }
+    }
+    (refs, mergedPaths.toSeq)
+  }
+
+  /** One group's merge: transcribe the small manifests' live entries
+    * into a single new manifest. None = transcription surprise (foreign
+    * entry shapes, unrepresentable spec) — the caller leaves the group
+    * untouched, fail-open. Some((None, None)) = every entry was a
+    * historical tombstone, the manifests simply drop.
+    */
+  private def mergeGroup(root: Path, location: String, md: JsonNode,
+      small: Seq[ManifestRef], commitSeq: Long, content: Int, specId: Int)
+      : Option[(Option[ManifestRef], Option[String])] = {
     try {
-      val spec = defaultSpec(md)
+      // an UNKNOWN spec id resolves to Nil exactly like a real empty
+      // spec — merging under it would silently strip partition tuples
+      // from a foreign partitioned group, so require the spec to exist
+      val known = Option(md.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala)
+        .exists(_.get("spec-id").asInt() == specId)
+      if (!known) return None
+      val spec = specFieldsFor(md, specId)
       val entrySchema = entrySchemaFor(spec)
       val dfSchema = entrySchema.getField("data_file").schema()
       val partSchema = dfSchema.getField("partition").schema()
@@ -475,7 +520,7 @@ object IcebergWriter {
           else {
             val src = e.get("data_file").asInstanceOf[GenericRecord]
             val d = new GenericData.Record(dfSchema)
-            d.put("content", intOf(src, "content", 0))
+            d.put("content", intOf(src, "content", if (content == 0) 0 else 1))
             d.put("file_path", src.get("file_path").toString)
             d.put("file_format",
               Option(src.get("file_format")).map(_.toString)
@@ -536,16 +581,14 @@ object IcebergWriter {
           }
         }
       }
-      val smallPaths = small.map(_.path).toSet
-      val rest = carried.filterNot(r => smallPaths.contains(r.path))
-      if (recs.isEmpty) return (rest, None) // all-tombstone manifests drop
+      if (recs.isEmpty) return Some((None, None)) // all tombstones: drop
       val p = root.resolve("metadata")
         .resolve(s"m-${java.util.UUID.randomUUID()}.avro")
       val meta = Map(
         "format-version" -> "2",
-        "content" -> "data",
+        "content" -> (if (content == 0) "data" else "deletes"),
         "partition-spec" -> mapper.writeValueAsString(specFieldsJson(spec)),
-        "partition-spec-id" -> dsid.toString) ++
+        "partition-spec-id" -> specId.toString) ++
         currentSchemaJson(md).map { j =>
           val sid = try Option(mapper.readTree(j).get("schema-id"))
             .map(_.asInt()).getOrElse(0)
@@ -554,12 +597,12 @@ object IcebergWriter {
         }.getOrElse(Map.empty)
       writeAvro(p, entrySchema, recs, meta)
       val mergedPath = s"$location/metadata/${p.getFileName}"
-      val mergedRef = ManifestRef(mergedPath, 0, commitSeq,
+      val mergedRef = ManifestRef(mergedPath, content, commitSeq,
         if (minSeq != commitSeq) Some(minSeq) else None,
-        specId = dsid)
-      (rest :+ mergedRef, Some(mergedPath))
+        specId = specId)
+      Some((Some(mergedRef), Some(mergedPath)))
     } catch {
-      case scala.util.control.NonFatal(_) => (carried, None) // fail open
+      case scala.util.control.NonFatal(_) => None // fail open
     }
   }
 
@@ -579,23 +622,22 @@ object IcebergWriter {
     while (true) {
       val st = loadState(path)
       val seq = st.md.get("last-sequence-number").asLong() + 1
-      val (merged, mergedPath) = mergeRefs(st.root, st.location, st.md,
+      val (merged, mergedPaths) = mergeRefs(st.root, st.location, st.md,
         st.refs, seq, minCount = 2, targetBytes = targetBytes)
       if (merged == st.refs) return 0
       val list = writeManifestList(st.root, seq, merged)
       try {
         commitNewSnapshot(st, seq, list, "replace")
-        return st.refs.size - merged.size +
-          (if (mergedPath.isDefined) 1 else 0)
+        return st.refs.size - merged.size + mergedPaths.size
       } catch {
         case e: ConcurrentCommitException =>
           // losing attempt: reclaim its never-referenced list + merged
-          // manifest eagerly (append's rule), re-read, retry — a racing
+          // manifests eagerly (append's rule), re-read, retry — a racing
           // append composes fine with a re-run merge
           try {
             Files.deleteIfExists(
               Paths.get(remapLocal(list, st.location, st.root)))
-            mergedPath.foreach(m => Files.deleteIfExists(
+            mergedPaths.foreach(m => Files.deleteIfExists(
               Paths.get(remapLocal(m, st.location, st.root))))
           } catch { case scala.util.control.NonFatal(_) => () }
           attempt += 1

@@ -1167,6 +1167,45 @@ class IcebergWriterSpec extends SparkSpec {
       .filter(col("id") === 3L).count() == 0L)
   }
 
+  test("DELETE manifests merge at commit too: a sustained " +
+      "delete/upsert workload keeps a bounded metadata plane with " +
+      "every delete still applied") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("dmerge")
+    IcebergWriter.create(
+      (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), path)
+    IcebergWriter.setTableProperties(path,
+      Map("commit.manifest.min-count-to-merge" -> "6"))
+    // 14 single-row deleteWhere commits → 14 delete manifests unmerged
+    (0 until 14).foreach { i =>
+      IcebergWriter.deleteWhere(spark, path, col("id") === i.toLong)
+    }
+    // deleteWhere itself doesn't carry-merge (replace-shaped commit);
+    // an APPEND triggers the merge pass over the carried delete refs
+    IcebergWriter.append(Seq((1000L, "new")).toDF("id", "v"), path)
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergReader.currentMetadataFile(path)))
+    val curId = md.get("current-snapshot-id").asLong()
+    val listPath = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+      .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+    val r = org.apache.avro.file.DataFileReader.openReader(
+      Paths.get(listPath).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = try r.iterator().asScala.toVector finally r.close()
+    val delManifests = recs.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(delManifests.size <= 6,
+      s"delete manifests not bounded: ${delManifests.size}")
+    // every deleted row still gone, everything else (incl. the new
+    // append) live
+    val t = IcebergReader.read(spark, path)
+    assert(t.count() == 60L - 14L + 1L)
+    assert(t.filter(col("id") < 14).count() == 0L)
+    assert(t.filter(col("id") === 1000L).count() == 1L)
+  }
+
   test("rewriteManifests: explicit metadata-only compaction for legacy " +
       "tables — one merged manifest, rows and deletes intact") {
     import scala.jdk.CollectionConverters._
