@@ -1302,6 +1302,24 @@ object DeltaWriter {
     */
   private val SidecarMaxRecords = 100000L
 
+  /** Sidecars smaller than this are rewritten even when untouched —
+    * otherwise every checkpoint's interval tail adds one tiny sidecar
+    * and the sidecar COUNT grows linearly with checkpoint count.
+    * Mutable only for specs (tiny fixtures never cross a real floor).
+    */
+  private[graft] var sidecarMinReuseBytes: Long = 1L * 1024 * 1024
+
+  /** One sidecar reference row (the `sidecar` action): `tags` carries
+    * this writer's reuse metadata — `graft.minPath`/`graft.maxPath`
+    * (DECODED-path bounds of the file's adds) and `graft.numRecords`
+    * (namespaced so a foreign writer's coincidental tag keys can never
+    * trigger a wrong reuse). Foreign tools ignore
+    * tags per the protocol; foreign sidecars without them simply never
+    * reuse.
+    */
+  private case class SidecarRef(path: String, sizeInBytes: Long,
+      modificationTime: Long, tags: Map[String, String])
+
   /** V2 checkpoint write (PROTOCOL.md "V2 Spec Checkpoints"): the live
     * add set is reconciled and written ENTIRELY on executors — the
     * previous checkpoint's adds are read as a DataFrame, the interval's
@@ -1325,7 +1343,7 @@ object DeltaWriter {
     // shared prev-checkpoint resolution (incl. the missing-files →
     // replay-from-0 fallback) so the two layouts can never diverge
     val (prevCp, prevFiles) = prevCheckpointFiles(log, version)
-    var prevSidecarFiles: Seq[Path] = Nil
+    var prevSidecars: Seq[SidecarRef] = Nil
     var prevManifestDf: Option[org.apache.spark.sql.DataFrame] = None
     if (prevFiles.nonEmpty) {
       val df =
@@ -1340,10 +1358,21 @@ object DeltaWriter {
           .where(small.map(c => col(s"`$c`").isNotNull).reduce(_ || _))
           .toJSON.collect().foreach(st.applyLine(_))
       if (cols.contains("sidecar"))
-        prevSidecarFiles = df.select(col("sidecar"))
-          .where(col("sidecar").isNotNull).collect().toSeq
-          .map(r => sidecarDir.resolve(
-            st.mapper.readTree(r.json).get("sidecar").get("path").asText))
+        prevSidecars = df.select(col("sidecar"))
+          .where(col("sidecar").isNotNull).toJSON.collect().toSeq
+          .map { j =>
+            val n = st.mapper.readTree(j).get("sidecar")
+            val tags = Option(n.get("tags")).filterNot(_.isNull)
+              .map(t => t.properties().asScala.map(e =>
+                e.getKey -> e.getValue.asText).toMap)
+              .getOrElse(Map.empty[String, String])
+            SidecarRef(n.get("path").asText,
+              Option(n.get("sizeInBytes")).filterNot(_.isNull)
+                .map(_.asLong).getOrElse(0L),
+              Option(n.get("modificationTime")).filterNot(_.isNull)
+                .map(_.asLong).getOrElse(0L),
+              tags)
+          }
     }
 
     // the interval's commits: metadata plane into `st`, file actions into
@@ -1413,17 +1442,33 @@ object DeltaWriter {
         dvCol,
         top("stats", StringType))
     }
+    // SIDECAR REUSE (the v2 layout's incremental-checkpoint payoff): a
+    // previous sidecar whose tagged DECODED-path range provably contains
+    // no path the interval touched is referenced VERBATIM in the new
+    // manifest — only affected (and tag-less foreign, and tiny-tail)
+    // sidecars are re-read and rewritten, so a checkpoint's work is
+    // O(touched + interval), not O(live files). Tags are this writer's
+    // own (minPath/maxPath in DECODED form + numRecords); decoded-form
+    // bounds make the touched-key interval test exact even when raw
+    // spellings are percent-encoded.
+    val touched = recentTouched.toSet
+    def reusable(s: SidecarRef): Boolean =
+      s.sizeInBytes >= sidecarMinReuseBytes &&
+        (for {
+          lo <- s.tags.get("graft.minPath"); hi <- s.tags.get("graft.maxPath")
+        } yield !touched.exists(t => t >= lo && t <= hi)).getOrElse(false)
+    val (reused, affected) = prevSidecars.partition(reusable)
     val addSources = scala.collection.mutable.Buffer
       .empty[org.apache.spark.sql.DataFrame]
     prevManifestDf.filter(_.columns.contains("add")).foreach(addSources += _)
-    if (prevSidecarFiles.nonEmpty) {
-      val sdf = spark.read.parquet(prevSidecarFiles.map(_.toString): _*)
+    if (affected.nonEmpty) {
+      val sdf = spark.read.parquet(
+        affected.map(s => sidecarDir.resolve(s.path).toString): _*)
       if (sdf.columns.contains("add")) addSources += sdf
     }
     // carried = previous live set minus every path the interval touched
     // (re-added paths come back from the driver delta with their new
     // action) — an executor-side filter against a broadcast-sized set
-    val touched = recentTouched.toSet
     val carried = addSources.toSeq.map(canonicalFlat)
       .reduceOption(_ unionByName _)
       .map(_.filter((r: Row) => !touched.contains(
@@ -1432,20 +1477,23 @@ object DeltaWriter {
       recentAdds.values.toSeq.map(addActionRow).asJava, AddActionType)
     val live = (carried.toSeq :+ recentDf).reduce(_ unionByName _)
 
-    // distributed sidecar write: each part file becomes one sidecar
+    // distributed sidecar write, RANGE-partitioned on path so each new
+    // sidecar covers a disjoint slice — the precondition for the next
+    // checkpoint's reuse test to exclude most of them
     val staging = root.resolve(s".cp2-staging-${java.util.UUID.randomUUID()}")
-    live.select(struct(AddActionType.fieldNames.toIndexedSeq
+    live.repartitionByRange(col("path"))
+      .select(struct(AddActionType.fieldNames.toIndexedSeq
         .map(n => col(s"`$n`")): _*).as("add"))
       .write.option("maxRecordsPerFile", SidecarMaxRecords)
       .parquet(staging.toString)
-    val sidecars: Seq[(String, Long, Long, Long)] = {
+    val newSidecars: Seq[SidecarRef] = {
       val parts = {
         val s = Files.list(staging)
         try s.iterator().asScala.toVector finally s.close()
       }.filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString)
-      parts.map { part =>
+      val moved = parts.map { part =>
         val rows = ParquetStats.columnBounds(part).map(_._1).getOrElse(0L)
         val name = s"${java.util.UUID.randomUUID()}.parquet"
         val dest = sidecarDir.resolve(name)
@@ -1453,8 +1501,40 @@ object DeltaWriter {
         (name, Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
           rows)
       }
+      // decoded-path bounds per new sidecar, via ONE projection-only job
+      // over just the path column (the reuse tags for the NEXT
+      // checkpoint); tag failure degrades to bound-less sidecars that
+      // simply never reuse
+      val bounds: Map[String, (String, String)] =
+        if (moved.isEmpty) Map.empty
+        else try {
+          import spark.implicits._
+          spark.read.parquet(
+              moved.map(m => sidecarDir.resolve(m._1).toString): _*)
+            .select(org.apache.spark.sql.functions.input_file_name()
+              .as("f"), col("add.path").as("p"))
+            .as[(String, String)]
+            .map { case (f, p) =>
+              (f.replaceFirst("^file:/+", "/"),
+                graft.sources.DeltaLogReader.decodePath(p))
+            }
+            .toDF("f", "p").groupBy("f")
+            .agg(org.apache.spark.sql.functions.min("p").as("lo"),
+              org.apache.spark.sql.functions.max("p").as("hi"))
+            .collect()
+            .map(r => Paths.get(r.getString(0)).getFileName.toString ->
+              (r.getString(1), r.getString(2))).toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      moved.map { case (name, size, mtime, rows) =>
+        SidecarRef(name, size, mtime,
+          Map("graft.numRecords" -> rows.toString) ++
+            bounds.get(name).map { case (lo, hi) =>
+              Map("graft.minPath" -> lo, "graft.maxPath" -> hi)
+            }.getOrElse(Map.empty))
+      }
     }
     deleteRecursively(staging)
+    val sidecars = reused ++ newSidecars
 
     // uuid-named manifest: metadata plane + checkpointMetadata + sidecar
     // references (file actions live ONLY in the sidecars)
@@ -1478,8 +1558,9 @@ object DeltaWriter {
         Row(null, metaDataRow(st.metaData), null, null, null),
         Row(null, null, null, Row(version, null), null)) ++
         st.txns.values.toSeq.map(t => Row(null, null, txnRow(t), null, null)) ++
-        sidecars.map { case (name, size, mtime, _) =>
-          Row(null, null, null, null, Row(name, size, mtime, null))
+        sidecars.map { s =>
+          Row(null, null, null, null, Row(s.path, s.sizeInBytes,
+            s.modificationTime, if (s.tags.isEmpty) null else s.tags))
         })
     val manStaging = root.resolve(s".cp2m-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(manRows.asJava, manSchema).coalesce(1)
@@ -1498,8 +1579,10 @@ object DeltaWriter {
       StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(manStaging)
     // _last_checkpoint last, like the classic path; `size` counts every
-    // action in the checkpoint (manifest rows + sidecar contents)
-    val size = manRows.size + sidecars.map(_._4).sum
+    // action in the checkpoint (manifest rows + sidecar contents — row
+    // counts ride the sidecars' own numRecords tags)
+    val size = manRows.size + sidecars
+      .map(_.tags.get("graft.numRecords").map(_.toLong).getOrElse(0L)).sum
     val tmp = log.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, s"""{"version":$version,"size":$size}""")
     Files.move(tmp, log.resolve("_last_checkpoint"),

@@ -904,6 +904,56 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(t2.filter(col("id") === 200L).count() == 1L)
   }
 
+  test("v2 checkpoints REUSE untouched sidecars across checkpoints — " +
+      "incremental checkpointing: work is O(touched + interval), not " +
+      "O(live files)") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_v2reuse_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    graft.output.DeltaWriter.enableV2Checkpoints(spark, path)        // v1
+    (2 to 10).foreach { i =>                                         // → cp@10
+      graft.output.DeltaWriter.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    }
+    val log = Paths.get(path, "_delta_log")
+    def sidecarNames(v: Long): Set[String] = {
+      val mf = graft.sources.DeltaLogReader.checkpointFiles(log, v)
+      spark.read.parquet(mf.map(_.toString): _*)
+        .select("sidecar.path").where(col("sidecar").isNotNull)
+        .as[String].collect().toSet
+    }
+    val s10 = sidecarNames(10L)
+    assert(s10.nonEmpty)
+    val floor = graft.output.DeltaWriter.sidecarMinReuseBytes
+    graft.output.DeltaWriter.sidecarMinReuseBytes = 0L
+    try {
+      // ten metadata-only commits: the interval touches NO path, so
+      // every prior sidecar must carry into the next checkpoint verbatim
+      (11 to 20).foreach { i =>
+        graft.output.DeltaWriter.commit(Paths.get(path), i,
+          Seq(s"""{"txn":{"appId":"t","version":$i,"lastUpdated":0}}"""))
+      }
+      graft.output.DeltaWriter.writeCheckpointV2(
+        spark, Paths.get(path), 20L)
+      val s20 = sidecarNames(20L)
+      assert(s10.subsetOf(s20),
+        s"untouched sidecars not reused: cp10=$s10 cp20=$s20")
+      // a touching interval REWRITES only affected ranges: append one
+      // row, checkpoint again — the table stays complete either way
+      (21 to 29).foreach { i =>
+        graft.output.DeltaWriter.commit(Paths.get(path), i,
+          Seq(s"""{"txn":{"appId":"t","version":$i,"lastUpdated":0}}"""))
+      }
+      graft.output.DeltaWriter.append(
+        Seq((100L, "new")).toDF("id", "v"), path)                    // → cp@30
+      // the incremental checkpoint is still COMPLETE: kill the log
+      (0L to 29L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+      val t = graft.sources.DeltaLogReader.read(spark, path)
+      assert(t.count() == 11L)
+      assert(t.filter(col("id") === 100L).count() == 1L)
+    } finally graft.output.DeltaWriter.sidecarMinReuseBytes = floor
+  }
+
   test("LONG IN lists (InSet, past inSetConversionThreshold) still " +
       "file-skip — exactly the large point-set lookups that matter") {
     val path = Paths.get(System.getProperty("java.io.tmpdir"),
