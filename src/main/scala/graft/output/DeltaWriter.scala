@@ -1008,10 +1008,7 @@ object DeltaWriter {
       v -= 1
     }
     if (prevFiles.nonEmpty) {
-      val df =
-        if (prevFiles.forall(_.toString.endsWith(".json")))
-          spark.read.json(prevFiles.map(_.toString): _*)
-        else spark.read.parquet(prevFiles.map(_.toString): _*)
+      val df = readCheckpointDf(spark, prevFiles)
       if (df.columns.contains("metaData")) {
         val rows = df.select("metaData")
           .where(org.apache.spark.sql.functions.col("metaData").isNotNull)
@@ -1176,6 +1173,17 @@ object DeltaWriter {
     } else (prevCp, files)
   }
 
+  /** Previous-checkpoint files as one action DataFrame — classic and
+    * multi-part checkpoints are parquet, a v2 manifest may be json
+    * (PROTOCOL.md permits both encodings). ONE dispatch shared by every
+    * reader of prior checkpoints so the encodings rule cannot drift.
+    */
+  private def readCheckpointDf(spark: SparkSession,
+      files: Seq[Path]): org.apache.spark.sql.DataFrame =
+    if (files.forall(_.toString.endsWith(".json")))
+      spark.read.json(files.map(_.toString): _*)
+    else spark.read.parquet(files.map(_.toString): _*)
+
   /** Compact commits `0..version` into a classic single-file checkpoint.
     * Replay starts from the PREVIOUS checkpoint when one exists (via
     * `toJSON`, which yields the same one-action-per-line shape as commit
@@ -1197,20 +1205,17 @@ object DeltaWriter {
           spark.read.parquet(p.toString).toJSON.collect().toSeq)
       } else st.applyLine(line)
     }
-    if (prevCpFiles.nonEmpty) {
-      val lines =
-        if (prevCpFiles.forall(_.toString.endsWith(".json")))
-          prevCpFiles.flatMap(p =>
-            Files.readAllLines(p).asScala.filter(_.nonEmpty))
-        else spark.read.parquet(prevCpFiles.map(_.toString): _*)
-          .toJSON.collect().toSeq
-      applyCheckpointJson(lines)
-    }
+    if (prevCpFiles.nonEmpty)
+      applyCheckpointJson(
+        readCheckpointDf(spark, prevCpFiles).toJSON.collect().toSeq)
     val from = prevCp.map(_ + 1).getOrElse(0L)
     (from to version).foreach { v =>
       val f = log.resolve(f"$v%020d.json")
-      if (Files.exists(f))
-        Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach(st.applyLine)
+      // a GAP in the replayed range silently drops that commit's adds
+      // from the checkpoint forever — corruption, never skippable
+      require(Files.exists(f),
+        s"commit $v missing from delta log — cannot checkpoint over a gap")
+      Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach(st.applyLine)
     }
     require(st.metaData != null, s"no metaData in delta log at $root")
 
@@ -1346,10 +1351,7 @@ object DeltaWriter {
     var prevSidecars: Seq[SidecarRef] = Nil
     var prevManifestDf: Option[org.apache.spark.sql.DataFrame] = None
     if (prevFiles.nonEmpty) {
-      val df =
-        if (prevFiles.forall(_.toString.endsWith(".json")))
-          spark.read.json(prevFiles.map(_.toString): _*)
-        else spark.read.parquet(prevFiles.map(_.toString): _*)
+      val df = readCheckpointDf(spark, prevFiles)
       prevManifestDf = Some(df)
       val cols = df.columns.toSet
       val small = Seq("protocol", "metaData", "txn").filter(cols.contains)
@@ -1383,23 +1385,26 @@ object DeltaWriter {
     val recentTouched = scala.collection.mutable.HashSet.empty[String]
     (from to version).foreach { v =>
       val f = log.resolve(f"$v%020d.json")
-      if (Files.exists(f))
-        Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
-          val n = st.mapper.readTree(line)
-          if (n.has("protocol") || n.has("metaData") || n.has("txn"))
-            st.applyLine(line)
-          if (n.has("add")) {
-            val a = n.get("add")
-            val k = graft.sources.DeltaLogReader
-              .decodePath(a.get("path").asText)
-            recentAdds(k) = a; recentTouched += k
-          }
-          if (n.has("remove")) {
-            val k = graft.sources.DeltaLogReader
-              .decodePath(n.get("remove").get("path").asText)
-            recentAdds.remove(k); recentTouched += k
-          }
+      // same gap rule as the classic layout: a skipped commit is a
+      // silently truncated checkpoint
+      require(Files.exists(f),
+        s"commit $v missing from delta log — cannot checkpoint over a gap")
+      Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
+        val n = st.mapper.readTree(line)
+        if (n.has("protocol") || n.has("metaData") || n.has("txn"))
+          st.applyLine(line)
+        if (n.has("add")) {
+          val a = n.get("add")
+          val k = graft.sources.DeltaLogReader
+            .decodePath(a.get("path").asText)
+          recentAdds(k) = a; recentTouched += k
         }
+        if (n.has("remove")) {
+          val k = graft.sources.DeltaLogReader
+            .decodePath(n.get("remove").get("path").asText)
+          recentAdds.remove(k); recentTouched += k
+        }
+      }
     }
     require(st.metaData != null, s"no metaData in delta log at $root")
 
@@ -1452,11 +1457,24 @@ object DeltaWriter {
     // bounds make the touched-key interval test exact even when raw
     // spellings are percent-encoded.
     val touched = recentTouched.toSet
+    // the tags were computed by Spark min/max, which orders strings by
+    // UTF-8 BYTES — Java String's UTF-16 compareTo disagrees above the
+    // BMP (a supplementary-plane path would test outside bounds it is
+    // inside, wrongly reusing a sidecar whose file was removed), so the
+    // membership test runs in the same byte order
+    def u8(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val touchedBytes = touched.toSeq.map(u8)
     def reusable(s: SidecarRef): Boolean =
       s.sizeInBytes >= sidecarMinReuseBytes &&
         (for {
           lo <- s.tags.get("graft.minPath"); hi <- s.tags.get("graft.maxPath")
-        } yield !touched.exists(t => t >= lo && t <= hi)).getOrElse(false)
+        } yield {
+          val (lb, hb) = (u8(lo), u8(hi))
+          !touchedBytes.exists(t =>
+            java.util.Arrays.compareUnsigned(t, lb) >= 0 &&
+              java.util.Arrays.compareUnsigned(t, hb) <= 0)
+        }).getOrElse(false)
     val (reused, affected) = prevSidecars.partition(reusable)
     val addSources = scala.collection.mutable.Buffer
       .empty[org.apache.spark.sql.DataFrame]

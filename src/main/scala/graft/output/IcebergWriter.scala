@@ -560,8 +560,11 @@ object IcebergWriter {
                   }
                 }
               }
-            // plain-valued optional fields copy as-is
-            Seq("split_offsets", "equality_ids", "sort_order_id")
+            // plain-valued optional fields copy as-is (key_metadata:
+            // dropping a per-file encryption key would make the merged
+            // entry undecryptable for engines that need it)
+            Seq("key_metadata", "split_offsets", "equality_ids",
+                "sort_order_id")
               .foreach { f =>
                 if (src.getSchema.getField(f) != null &&
                     dfSchema.getField(f) != null)
@@ -2256,6 +2259,7 @@ object IcebergWriter {
           |{"name":"distinct_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k123_v124","fields":[{"name":"key","type":"int","field-id":123},{"name":"value","type":"long","field-id":124}]}}],"default":null,"field-id":111},
           |{"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
           |{"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
+          |{"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
           |{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
           |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
           |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}]}}]}""".stripMargin)
