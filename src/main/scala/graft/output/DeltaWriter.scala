@@ -1190,7 +1190,7 @@ object DeltaWriter {
     * files; v2 sidecars are recursed), so checkpointing stays
     * O(interval + live files), not O(all commits ever).
     */
-  private def writeCheckpoint(spark: SparkSession, root: Path,
+  private[graft] def writeCheckpoint(spark: SparkSession, root: Path,
       version: Long): Unit = {
     val log = root.resolve("_delta_log")
     val st = new ReplayState

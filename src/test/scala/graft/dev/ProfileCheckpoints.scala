@@ -1,0 +1,100 @@
+package graft.dev
+
+import graft.output.DeltaWriter
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Delta checkpoint-plane profile: classic (driver map + one serial
+  * parquet) vs v2 (executor reconciliation + range-partitioned sidecars
+  * + reuse) at a synthetic live-file count. The log is synthesized —
+  * checkpointing never touches data files, so tens of thousands of adds
+  * profile in seconds. Usage: `Test/runMain graft.dev.ProfileCheckpoints
+  * [nFiles] [perCommit]`.
+  */
+object ProfileCheckpoints {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val perCommit = if (args.length > 1) args(1).toInt else 10000
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      r
+    }
+
+    def addLine(i: Int): String =
+      f"""{"add":{"path":"part-$i%09d-${java.util.UUID.randomUUID()}.parquet","partitionValues":{},"size":1048576,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":1000}"}}"""
+
+    def build(tag: String): java.nio.file.Path = {
+      val root = Files.createTempDirectory(s"graft_prof_cp_$tag")
+      val meta =
+        """{"metaData":{"id":"prof","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+      DeltaWriter.commit(root, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        meta) ++ (0 until perCommit).map(addLine))
+      var v = 0L
+      var written = perCommit
+      while (written < n) {
+        v += 1
+        DeltaWriter.commit(root, v,
+          (written until math.min(n, written + perCommit)).map(addLine))
+        written += perCommit
+      }
+      println(s"$tag: $n adds across ${v + 1} commits at $root")
+      root
+    }
+
+    // classic: whole live set in a driver LinkedHashMap + one serial file
+    val c = build("classic")
+    val classicVer = (n + perCommit - 1) / perCommit - 1
+    timed(s"classic checkpoint ($n adds)") {
+      DeltaWriter.writeCheckpoint(spark, c, classicVer.toLong)
+    }
+
+    // v2: executor reconciliation + sidecars; then an incremental
+    // re-checkpoint whose interval touches ~perCommit paths
+    val d = build("v2")
+    DeltaWriter.commit(d, classicVer + 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"prof","format":{"provider":"parquet","options":{}},"schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":{}}]}","partitionColumns":[],"configuration":{"delta.checkpointPolicy":"v2"},"createdTime":0}}"""))
+    timed(s"v2 checkpoint ($n adds, cold)") {
+      DeltaWriter.writeCheckpointV2(spark, d, classicVer + 1L)
+    }
+    val sidecarCount = {
+      val s = Files.list(d.resolve("_delta_log").resolve("_sidecars"))
+      try s.count() finally s.close()
+    }
+    println(f"${"sidecars written"}%-46s $sidecarCount%9d")
+    // incremental: 10 more small commits, re-checkpoint — most sidecars
+    // must REUSE (only touched ranges + the interval tail rewrite)
+    (1 to 10).foreach { i =>
+      DeltaWriter.commit(d, classicVer + 1L + i,
+        (0 until 100).map(j => addLine(n + i * 100 + j)))
+    }
+    timed("v2 INCREMENTAL re-checkpoint (1k touched)") {
+      DeltaWriter.writeCheckpointV2(spark, d, classicVer + 11L)
+    }
+    val sidecarCount2 = {
+      val s = Files.list(d.resolve("_delta_log").resolve("_sidecars"))
+      try s.count() finally s.close()
+    }
+    println(f"${"sidecars on disk after re-checkpoint"}%-46s $sidecarCount2%9d")
+    // correctness: the final checkpoint alone replays the whole table
+    val log = d.resolve("_delta_log")
+    (0L to classicVer + 10L).foreach { v =>
+      Files.deleteIfExists(log.resolve(f"$v%020d.json"))
+    }
+    val adds = graft.sources.DeltaLogReader
+      .snapshot(spark, d.toString).files.size
+    println(f"${"live adds replayed from checkpoint alone"}%-46s $adds%9d")
+    require(adds == n + 1000, s"expected ${n + 1000} adds, got $adds")
+    spark.stop()
+  }
+}
