@@ -1607,6 +1607,73 @@ object DeltaWriter {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Checkpoint-plane space reclaim — the metadata twin of [[vacuum]]:
+    * keep the newest `keepLast` checkpoint versions (always including
+    * the one `_last_checkpoint` names), delete older checkpoint files
+    * and every `_sidecars/` file no kept v2 manifest references.
+    * Sidecar reuse makes naive sidecar deletion WRONG (a v30 manifest
+    * may reference sidecars first written for v10), so the referenced
+    * set is computed from the kept manifests, and unreferenced sidecars
+    * are deleted only past `horizonMs` (an in-flight checkpoint's
+    * freshly-moved sidecars are not yet referenced by anything).
+    * Commit JSONs are untouched — versionAsOf below the oldest kept
+    * checkpoint still replays from commit 0. Returns files deleted.
+    */
+  def cleanupCheckpoints(spark: SparkSession, path: String,
+      keepLast: Int = 2, horizonMs: Long = 60L * 60 * 1000): Int = {
+    require(keepLast >= 1, "must keep at least one checkpoint")
+    val log = Paths.get(path).resolve("_delta_log")
+    if (!Files.isDirectory(log)) return 0
+    val cpName = "(\\d{20})\\.checkpoint(\\.[^.]+)*\\.(parquet|json)".r
+    val byVersion: Map[Long, Seq[Path]] = {
+      val s = Files.list(log)
+      try s.iterator().asScala.toVector finally s.close()
+    }.flatMap { p =>
+      p.getFileName.toString match {
+        case cpName(v, _, _) => Some(v.toLong -> p)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
+    if (byVersion.isEmpty) return 0
+    val pointed = {
+      val f = log.resolve("_last_checkpoint")
+      if (Files.exists(f))
+        try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(f)).get("version").asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    }
+    val keptVersions = (byVersion.keys.toSeq.sorted.takeRight(keepLast) ++
+      pointed.toSeq).distinct.toSet
+    val dropFiles = byVersion.filterNot(kv => keptVersions(kv._1))
+      .values.flatten.toSeq
+    // sidecars referenced by ANY kept manifest survive; the rest are
+    // reclaimable once older than the horizon
+    val sidecarDir = log.resolve("_sidecars")
+    val referenced: Set[String] = keptVersions.toSeq.flatMap { v =>
+      val files = byVersion(v)
+      import org.apache.spark.sql.functions.col
+      val df = readCheckpointDf(spark, files)
+      if (!df.columns.contains("sidecar")) Nil
+      else df.select(col("sidecar.path"))
+        .where(col("sidecar").isNotNull)
+        .collect().map(_.getString(0)).toSeq
+    }.toSet
+    val dropSidecars =
+      if (!Files.isDirectory(sidecarDir)) Nil
+      else {
+        val now = System.currentTimeMillis()
+        val s = Files.list(sidecarDir)
+        val all = try s.iterator().asScala.toVector finally s.close()
+        all.filter(p => !referenced(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis < now - horizonMs)
+      }
+    (dropFiles ++ dropSidecars).count { p =>
+      try Files.deleteIfExists(p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
   private def txnActions(txn: Option[(String, Long)]): Seq[String] =
     txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":"${escape(appId)}","version":$v,"lastUpdated":0}}"""

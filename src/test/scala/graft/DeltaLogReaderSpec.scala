@@ -954,6 +954,53 @@ class DeltaLogReaderSpec extends SparkSpec {
     } finally graft.output.DeltaWriter.sidecarMinReuseBytes = floor
   }
 
+  test("cleanupCheckpoints reclaims superseded checkpoints and ONLY the " +
+      "sidecars no kept manifest references — reused sidecars survive") {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cpgc_${System.nanoTime()}").toString
+    graft.output.DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    graft.output.DeltaWriter.enableV2Checkpoints(spark, path)        // v1
+    (2 to 10).foreach { i =>                                         // cp@10
+      graft.output.DeltaWriter.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    }
+    val log = Paths.get(path, "_delta_log")
+    val floor = graft.output.DeltaWriter.sidecarMinReuseBytes
+    graft.output.DeltaWriter.sidecarMinReuseBytes = 0L
+    try {
+      // touch-free interval → cp@20 REUSES cp@10's sidecars
+      (11 to 20).foreach { i =>
+        graft.output.DeltaWriter.commit(Paths.get(path), i,
+          Seq(s"""{"txn":{"appId":"t","version":$i,"lastUpdated":0}}"""))
+      }
+      graft.output.DeltaWriter.writeCheckpointV2(
+        spark, Paths.get(path), 20L)
+      def cpFiles(v: Long) =
+        graft.sources.DeltaLogReader.checkpointFiles(log, v)
+      assert(cpFiles(10L).nonEmpty && cpFiles(20L).nonEmpty)
+      val sidecarsBefore = {
+        val s = Files.list(log.resolve("_sidecars"))
+        try s.iterator().asScala.size finally s.close()
+      }
+      val deleted = graft.output.DeltaWriter.cleanupCheckpoints(
+        spark, path, keepLast = 1, horizonMs = 0L)
+      assert(deleted >= 1, "nothing reclaimed")
+      // the v10 manifest is gone; v20 (pointed) survives; the sidecars
+      // v20 references — including the REUSED ones first written for
+      // v10 — all survive
+      assert(cpFiles(10L).isEmpty, "superseded checkpoint not reclaimed")
+      assert(cpFiles(20L).nonEmpty)
+      val sidecarsAfter = {
+        val s = Files.list(log.resolve("_sidecars"))
+        try s.iterator().asScala.size finally s.close()
+      }
+      assert(sidecarsAfter <= sidecarsBefore)
+      // the kept checkpoint still replays the whole table
+      (0L to 19L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+      assert(graft.sources.DeltaLogReader.read(spark, path).count() == 10L)
+    } finally graft.output.DeltaWriter.sidecarMinReuseBytes = floor
+  }
+
   test("LONG IN lists (InSet, past inSetConversionThreshold) still " +
       "file-skip — exactly the large point-set lookups that matter") {
     val path = Paths.get(System.getProperty("java.io.tmpdir"),
