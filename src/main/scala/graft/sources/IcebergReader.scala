@@ -97,7 +97,11 @@ object IcebergReader {
       // the file_path exactly as the manifest declares it (pre-remap) —
       // position-delete file_path bounds live in THIS namespace, so
       // delete pruning must compare against it, not the local path
-      declaredPath: String = "")
+      declaredPath: String = "",
+      // the manifest's partition spec id — equality-delete SCOPING needs
+      // it (deletes under a partitioned spec apply only to their
+      // partition; unpartitioned-spec deletes are global per spec)
+      specId: Int = 0)
 
   /** Spec-reserved field id of the position-delete `file_path` column —
     * a delete file's bounds on it scope the delete to the data files it
@@ -437,7 +441,8 @@ object IcebergReader {
               .getOrElse(Nil)
             require(ids.nonEmpty, "iceberg equality delete file " +
               s"$path carries no equality_ids")
-            eqDeletes += DataFileEntry(path, seq, ids)
+            eqDeletes += DataFileEntry(path, seq, ids,
+              partitionValues = partitionTuple(df), specId = m.specId)
           case other => throw new IllegalArgumentException(
             s"unknown iceberg file content $other")
         }
@@ -1084,10 +1089,25 @@ object IcebergReader {
     val withPos = base.select(dataCols
       :+ norm(col("_metadata.file_path")).as("__ib_file")
       :+ col("_metadata.row_index").as("__ib_pos"): _*)
-    // per-file data sequence numbers ride a broadcast (#files rows)
+    // per-file data sequence numbers ride a broadcast (#files rows);
+    // __ib_pt is the file's DEFAULT-SPEC partition tuple key, the
+    // equality-delete scoping handle (null = incomplete/foreign tuple —
+    // such files are outside any default-spec partition, so a scoped
+    // delete never matches them, per spec)
     import spark.implicits._
+    val specFieldNames = snap.specFieldPos.keys.toSeq.sorted
+    def tupleKey(pv: Map[String, String]): Option[String] =
+      if (specFieldNames.isEmpty) None
+      else {
+        val parts = specFieldNames.map(pv.get)
+        if (parts.exists(_.isEmpty)) None
+        // NUL-joined: rendered partition values never carry NUL, so the
+        // key is collision-free across multi-field tuples
+        else Some(parts.map(_.get).mkString("\u0000"))
+      }
     val seqDf = broadcast(dataAll
-      .map(f => (normPath(f.path), f.seq)).toDF("__ib_file", "__ib_seq"))
+      .map(f => (normPath(f.path), f.seq, tupleKey(f.partitionValues).orNull))
+      .toDF("__ib_file", "__ib_seq", "__ib_pt"))
     // LEFT join + fail-fast: an inner join would silently drop every row
     // of a file whose _metadata.file_path and manifest path disagree
     // (path-normalization drift); surface that as an error instead.
@@ -1126,16 +1146,29 @@ object IcebergReader {
     // equality deletes: each file lists (by field id) the columns whose
     // values identify deleted rows; applies STRICTLY to older rows
     // (data seq < delete seq) — one anti-join per DISTINCT (id set,
-    // physical footer schema), not per file (a PK-upsert stream
-    // accumulates many same-ids delete files; chaining an anti-join per
-    // file built plans linear in the delete-commit count). The footer
-    // key keeps the grouped inferred-schema read sound — see
-    // [[footerSchemaKey]]. Null-safe equality per the spec ("null
-    // values ... match rows with null").
+    // physical footer schema, partition scope), not per file (a
+    // PK-upsert stream accumulates many same-ids delete files; chaining
+    // an anti-join per file built plans linear in the delete-commit
+    // count). The footer key keeps the grouped inferred-schema read
+    // sound — see [[footerSchemaKey]]. Null-safe equality per the spec
+    // ("null values ... match rows with null").
+    //
+    // PARTITION SCOPING (spec "Scan Planning"): an equality delete
+    // stored under a PARTITIONED spec applies only to data files of the
+    // SAME partition — applying it globally would over-delete same-key
+    // rows in other partitions (a per-partition upsert stream's exact
+    // shape). A complete default-spec tuple scopes via the broadcast
+    // __ib_pt key; unpartitioned-spec deletes, incomplete tuples and
+    // non-default specs apply globally (unpartitioned IS global per
+    // spec; the others fail open to the historical behavior).
+    def scopeOf(d: DataFileEntry): Option[String] =
+      if (d.specId != snap.defaultSpecId) None
+      else tupleKey(d.partitionValues)
     val afterEq = eqDeletes
-      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
+      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path)),
+        scopeOf(d)))
       .toSeq
-      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
+      .foldLeft(afterPos) { case (acc, ((ids, _, scope), ds)) =>
         val cols = ids.map(id => snap.fieldNames.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality delete references unknown field id $id")))
@@ -1144,10 +1177,14 @@ object IcebergReader {
           "__eq_src", "__eq_seq", "iceberg scan")
           .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
             :+ col("__eq_seq"): _*)
-        acc.join(delRows,
+        val keyCond =
           cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__ib_seq") < delRows("__eq_seq"),
-          "left_anti")
+            acc("__ib_seq") < delRows("__eq_seq")
+        val cond = scope match {
+          case Some(k) => keyCond && acc("__ib_pt") === lit(k)
+          case None => keyCond
+        }
+        acc.join(delRows, cond, "left_anti")
       }
     afterEq.select(dataCols: _*)
   }

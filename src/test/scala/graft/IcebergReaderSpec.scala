@@ -267,6 +267,83 @@ class IcebergReaderSpec extends SparkSpec {
     assert(err.getMessage.contains("equality_ids"))
   }
 
+  test("equality deletes under a PARTITIONED spec scope to their " +
+      "partition: the same key in another partition survives") {
+    // spec "Scan Planning": an eq-delete stored with a partitioned spec
+    // applies only to data files of the SAME partition — the
+    // per-partition upsert-stream shape (Flink CDC). Global application
+    // would over-delete id=7 in bucket 1 too.
+    val entrySchemaP = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |{"name":"bucket","type":["null","int"],"default":null}]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        |"default":null}]}}]}""".stripMargin)
+    def manifestP(path: Path,
+        entries: Seq[(Int, String, Seq[Int], Int)]): String = {
+      val recs = entries.map { case (content, file, eqIds, bucket) =>
+        val dfSchema = entrySchemaP.getField("data_file").schema()
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", content)
+        df.put("file_path", file)
+        df.put("file_format", "PARQUET")
+        val part = new GenericData.Record(
+          dfSchema.getField("partition").schema())
+        part.put("bucket", Integer.valueOf(bucket))
+        df.put("partition", part)
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", 1L)
+        if (eqIds.nonEmpty)
+          df.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+        val e = new GenericData.Record(entrySchemaP)
+        e.put("status", 1)
+        e.put("data_file", df)
+        e
+      }
+      IcebergTestFixtures.writeAvro(path, entrySchemaP, recs)
+      path.toString
+    }
+    val root = freshRoot("eqscope")
+    val md = root.resolve("metadata")
+    val schema3 =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"bucket","required":false,"type":"int"}]}"""
+        .stripMargin
+    def data3(name: String, rows: Seq[(Long, String, Int)]): String =
+      IcebergTestFixtures.writeDataFile(
+        rows.toDF("id", "v", "bucket"), root, name)
+    val fileA = data3("a.parquet", Seq((7L, "a0", 0), (8L, "b0", 0)))
+    val fileB = data3("b.parquet", Seq((7L, "a1", 1)))
+    val eqDel = data3("eqdel.parquet", Seq((7L, "x", 0)))
+    val mA = manifestP(md.resolve("ma.avro"), Seq((0, fileA, Nil, 0)))
+    val mB = manifestP(md.resolve("mb.avro"), Seq((0, fileB, Nil, 1)))
+    val mD = manifestP(md.resolve("md.avro"),
+      Seq((2, eqDel, Seq(1), 0))) // eq delete on id, SCOPED to bucket=0
+    val list = IcebergTestFixtures.manifestList(md.resolve("snap-1.avro"),
+      IcebergTestFixtures.listSchemaV2,
+      Seq((mA, 0, 1L), (mB, 0, 2L), (mD, 1, 3L)))
+    IcebergTestFixtures.writeMetadata(root, 1, 2, Seq((1L, 3L, list)), 1L,
+      schema3, specs = """[{"spec-id":0,"fields":[
+        |{"name":"bucket","transform":"identity","source-id":3,
+        |"field-id":1000}]}]""".stripMargin)
+    val got = IcebergReader.read(spark, root.toString)
+      .orderBy(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "a1"), (8L, "b0")),
+      s"scoped delete misapplied: $got")
+  }
+
   test("no-snapshot table is empty with the declared schema") {
     val root = freshRoot("empty")
     writeMetadata(root, 1, 2, Nil, current = -1L)

@@ -88,7 +88,8 @@ object IcebergTestFixtures {
 
   def writeMetadata(root: Path, version: Int, formatVersion: Int,
       snapshots: Seq[(Long, Long, String)], current: Long,
-      schema: String, hint: Boolean = true): Unit = {
+      schema: String, hint: Boolean = true,
+      specs: String = """[{"spec-id":0,"fields":[]}]"""): Unit = {
     val snaps = snapshots.map { case (id, seq, list) =>
       // timestamp-ms = snapshot id, so timestamp travel is testable
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$id,
@@ -102,7 +103,7 @@ object IcebergTestFixtures {
       s"""{"format-version":$formatVersion,"table-uuid":"t","location":"$root",
          |"last-sequence-number":9,"last-updated-ms":0,"last-column-id":9,
          |$schemas
-         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"partition-specs":$specs,"default-spec-id":0,
          |"current-snapshot-id":$current,"snapshots":[$snaps]}""".stripMargin)
     if (hint)
       Files.writeString(root.resolve("metadata/version-hint.text"),
