@@ -1650,14 +1650,19 @@ object DeltaWriter {
     // sidecars referenced by ANY kept manifest survive; the rest are
     // reclaimable once older than the horizon
     val sidecarDir = log.resolve("_sidecars")
+    // a stale _last_checkpoint (files removed externally) must not
+    // abort cleanup — it keeps nothing, references nothing
     val referenced: Set[String] = keptVersions.toSeq.flatMap { v =>
-      val files = byVersion(v)
-      import org.apache.spark.sql.functions.col
-      val df = readCheckpointDf(spark, files)
-      if (!df.columns.contains("sidecar")) Nil
-      else df.select(col("sidecar.path"))
-        .where(col("sidecar").isNotNull)
-        .collect().map(_.getString(0)).toSeq
+      val files = byVersion.getOrElse(v, Nil)
+      if (files.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.col
+        val df = readCheckpointDf(spark, files)
+        if (!df.columns.contains("sidecar")) Nil
+        else df.select(col("sidecar.path"))
+          .where(col("sidecar").isNotNull)
+          .collect().map(_.getString(0)).toSeq
+      }
     }.toSet
     val dropSidecars =
       if (!Files.isDirectory(sidecarDir)) Nil

@@ -431,7 +431,8 @@ object IcebergReader {
             bounds = entryBounds(df),
             valueCounts = countsMap(df, "value_counts"),
             nullCounts = countsMap(df, "null_value_counts"),
-            declaredPath = str(df, "file_path"))
+            declaredPath = str(df, "file_path"),
+            specId = m.specId)
           case 1 => deletes += DataFileEntry(path, seq,
             bounds = entryBounds(df))
           case 2 =>
@@ -648,15 +649,21 @@ object IcebergReader {
     * fail-fast: an inner join would silently UNDER-delete on
     * _metadata-vs-manifest path drift.
     */
+  /** `scopes`: optional per-file metadata column (path → value, null =
+    * none) joined through the same broadcast path map — equality-delete
+    * partition scoping rides here so the delete read stays ONE grouped
+    * relation instead of one per scope.
+    */
   private[graft] def deleteSeqJoined(spark: SparkSession,
       paths: Seq[String], seqs: Seq[(String, Long)],
       schema: Option[String], srcCol: String, seqCol: String,
-      errPrefix: String): DataFrame = {
+      errPrefix: String,
+      scopes: Option[(Seq[(String, String)], String)] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
       lit, raise_error, regexp_replace}
     import spark.implicits._
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    reader.parquet(paths: _*)
+    val withSeq = reader.parquet(paths: _*)
       .withColumn(srcCol,
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .join(broadcast(seqs.toDF(srcCol, seqCol)), Seq(srcCol), "left")
@@ -664,7 +671,9 @@ object IcebergReader {
         raise_error(concat(
           lit(errPrefix + ": delete file missing from manifest path map "
             + "(path normalization drift): "), col(srcCol)))))
-      .drop(srcCol)
+    scopes.fold(withSeq) { case (sc, scCol) =>
+      withSeq.join(broadcast(sc.toDF(srcCol, scCol)), Seq(srcCol), "left")
+    }.drop(srcCol)
   }
 
   /** One manifest entry's may-match answer — shared by the
@@ -720,6 +729,20 @@ object IcebergReader {
         fieldOk(p.field, (s, dt) => summaryOpMayMatch(s, p.op, p.value, dt)))
     case _ => true
   }
+
+  /** The (spec id, partition tuple) key Iceberg planners group delete
+    * application by: equality deletes under a partitioned spec apply
+    * only to data files of the SAME spec and partition. None = no
+    * partition record / an unpartitioned spec (those deletes are
+    * global; those data files are in no partitioned-spec partition).
+    * Null partition VALUES render as a sentinel — the null partition
+    * is a real partition, not an unscoped one. Canonical name-sorted
+    * form, so two manifests of the same spec always agree.
+    */
+  private def fileScopeKey(f: DataFileEntry): Option[String] =
+    if (f.partitionValues.isEmpty) None
+    else Some(f.specId + "\u0000" + f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => k + "=" + v }.mkString("\u0000"))
 
   /** Drop position-delete entries whose file_path bounds (reserved
     * field 2147483546) exclude every planned data file, compared with
@@ -867,6 +890,11 @@ object IcebergReader {
     * form Spark renders in filters and hive paths, so pruning compares
     * rendered-to-rendered.
     */
+  /** Rendering of a NULL partition value — NUL-prefixed so no real
+    * rendered value collides.
+    */
+  private val NullPartitionValue = "\u0000null"
+
   private def partitionTuple(df: GenericRecord): Map[String, String] = {
     val f = df.getSchema.getField("partition")
     if (f == null) return Map.empty
@@ -890,6 +918,14 @@ object IcebergReader {
                   v.asInstanceOf[Number].longValue).toString
               else v.toString
             pf.name() -> rendered
+          }.orElse {
+            // a NULL partition value is a REAL partition (the null
+            // partition), not an absent field: render it as a sentinel
+            // no real value can collide with, so equality pruning can
+            // drop null-partition files (null equals nothing) and
+            // delete scoping treats the null partition as its own scope
+            // instead of falling back to a global over-delete
+            Some(pf.name() -> NullPartitionValue)
           }
         }.toMap
       case _ => Map.empty
@@ -1090,23 +1126,14 @@ object IcebergReader {
       :+ norm(col("_metadata.file_path")).as("__ib_file")
       :+ col("_metadata.row_index").as("__ib_pos"): _*)
     // per-file data sequence numbers ride a broadcast (#files rows);
-    // __ib_pt is the file's DEFAULT-SPEC partition tuple key, the
-    // equality-delete scoping handle (null = incomplete/foreign tuple —
-    // such files are outside any default-spec partition, so a scoped
-    // delete never matches them, per spec)
+    // __ib_pt is the file's (spec id, partition tuple) key, the
+    // equality-delete scoping handle — Iceberg planners group delete
+    // application by exactly (specId, partition). null = no partition
+    // record / an unpartitioned spec: such files are outside any
+    // partitioned-spec partition, so a scoped delete never matches them
     import spark.implicits._
-    val specFieldNames = snap.specFieldPos.keys.toSeq.sorted
-    def tupleKey(pv: Map[String, String]): Option[String] =
-      if (specFieldNames.isEmpty) None
-      else {
-        val parts = specFieldNames.map(pv.get)
-        if (parts.exists(_.isEmpty)) None
-        // NUL-joined: rendered partition values never carry NUL, so the
-        // key is collision-free across multi-field tuples
-        else Some(parts.map(_.get).mkString("\u0000"))
-      }
     val seqDf = broadcast(dataAll
-      .map(f => (normPath(f.path), f.seq, tupleKey(f.partitionValues).orNull))
+      .map(f => (normPath(f.path), f.seq, fileScopeKey(f).orNull))
       .toDF("__ib_file", "__ib_seq", "__ib_pt"))
     // LEFT join + fail-fast: an inner join would silently drop every row
     // of a file whose _metadata.file_path and manifest path disagree
@@ -1161,30 +1188,29 @@ object IcebergReader {
     // __ib_pt key; unpartitioned-spec deletes, incomplete tuples and
     // non-default specs apply globally (unpartitioned IS global per
     // spec; the others fail open to the historical behavior).
-    def scopeOf(d: DataFileEntry): Option[String] =
-      if (d.specId != snap.defaultSpecId) None
-      else tupleKey(d.partitionValues)
     val afterEq = eqDeletes
-      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path)),
-        scopeOf(d)))
+      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
       .toSeq
-      .foldLeft(afterPos) { case (acc, ((ids, _, scope), ds)) =>
+      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
         val cols = ids.map(id => snap.fieldNames.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality delete references unknown field id $id")))
+        // each delete FILE's scope rides the broadcast path map as a
+        // column — the plan stays one anti-join per (ids, footer)
+        // group, never one per partition
         val delRows = deleteSeqJoined(spark, ds.map(_.path),
           ds.map(d => (normPath(d.path), d.seq)), None,
-          "__eq_src", "__eq_seq", "iceberg scan")
+          "__eq_src", "__eq_seq", "iceberg scan",
+          scopes = Some((ds.map(d =>
+            (normPath(d.path), fileScopeKey(d).orNull)), "__eq_pt")))
           .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-            :+ col("__eq_seq"): _*)
-        val keyCond =
+            :+ col("__eq_seq") :+ col("__eq_pt"): _*)
+        acc.join(delRows,
           cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__ib_seq") < delRows("__eq_seq")
-        val cond = scope match {
-          case Some(k) => keyCond && acc("__ib_pt") === lit(k)
-          case None => keyCond
-        }
-        acc.join(delRows, cond, "left_anti")
+            acc("__ib_seq") < delRows("__eq_seq") &&
+            (delRows("__eq_pt").isNull ||
+              acc("__ib_pt") === delRows("__eq_pt")),
+          "left_anti")
       }
     afterEq.select(dataCols: _*)
   }

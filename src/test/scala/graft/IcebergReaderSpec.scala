@@ -289,7 +289,7 @@ class IcebergReaderSpec extends SparkSpec {
         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
         |"default":null}]}}]}""".stripMargin)
     def manifestP(path: Path,
-        entries: Seq[(Int, String, Seq[Int], Int)]): String = {
+        entries: Seq[(Int, String, Seq[Int], Option[Int])]): String = {
       val recs = entries.map { case (content, file, eqIds, bucket) =>
         val dfSchema = entrySchemaP.getField("data_file").schema()
         val df = new GenericData.Record(dfSchema)
@@ -298,7 +298,7 @@ class IcebergReaderSpec extends SparkSpec {
         df.put("file_format", "PARQUET")
         val part = new GenericData.Record(
           dfSchema.getField("partition").schema())
-        part.put("bucket", Integer.valueOf(bucket))
+        bucket.foreach(b => part.put("bucket", Integer.valueOf(b)))
         df.put("partition", part)
         df.put("record_count", 1L)
         df.put("file_size_in_bytes", 1L)
@@ -320,26 +320,37 @@ class IcebergReaderSpec extends SparkSpec {
         |{"id":2,"name":"v","required":false,"type":"string"},
         |{"id":3,"name":"bucket","required":false,"type":"int"}]}"""
         .stripMargin
-    def data3(name: String, rows: Seq[(Long, String, Int)]): String =
+    def data3(name: String, rows: Seq[(Long, String, Option[Int])]): String =
       IcebergTestFixtures.writeDataFile(
         rows.toDF("id", "v", "bucket"), root, name)
-    val fileA = data3("a.parquet", Seq((7L, "a0", 0), (8L, "b0", 0)))
-    val fileB = data3("b.parquet", Seq((7L, "a1", 1)))
-    val eqDel = data3("eqdel.parquet", Seq((7L, "x", 0)))
-    val mA = manifestP(md.resolve("ma.avro"), Seq((0, fileA, Nil, 0)))
-    val mB = manifestP(md.resolve("mb.avro"), Seq((0, fileB, Nil, 1)))
+    val fileA = data3("a.parquet",
+      Seq((7L, "a0", Some(0)), (8L, "b0", Some(0))))
+    val fileB = data3("b.parquet", Seq((7L, "a1", Some(1))))
+    // the NULL partition is a REAL partition: a delete scoped to it must
+    // not leak into bucket 0/1 (and vice versa)
+    val fileC = data3("c.parquet", Seq((8L, "bn", None)))
+    val eqDel = data3("eqdel.parquet", Seq((7L, "x", Some(0))))
+    val eqDelN = data3("eqdeln.parquet", Seq((8L, "x", None)))
+    val mA = manifestP(md.resolve("ma.avro"), Seq((0, fileA, Nil, Some(0))))
+    val mB = manifestP(md.resolve("mb.avro"), Seq((0, fileB, Nil, Some(1))))
+    val mC = manifestP(md.resolve("mc.avro"), Seq((0, fileC, Nil, None)))
     val mD = manifestP(md.resolve("md.avro"),
-      Seq((2, eqDel, Seq(1), 0))) // eq delete on id, SCOPED to bucket=0
+      Seq((2, eqDel, Seq(1), Some(0)))) // eq delete on id, SCOPED bucket=0
+    val mDN = manifestP(md.resolve("mdn.avro"),
+      Seq((2, eqDelN, Seq(1), None))) // eq delete SCOPED to the null part
     val list = IcebergTestFixtures.manifestList(md.resolve("snap-1.avro"),
       IcebergTestFixtures.listSchemaV2,
-      Seq((mA, 0, 1L), (mB, 0, 2L), (mD, 1, 3L)))
-    IcebergTestFixtures.writeMetadata(root, 1, 2, Seq((1L, 3L, list)), 1L,
+      Seq((mA, 0, 1L), (mB, 0, 2L), (mC, 0, 3L),
+        (mD, 1, 4L), (mDN, 1, 5L)))
+    IcebergTestFixtures.writeMetadata(root, 1, 2, Seq((1L, 5L, list)), 1L,
       schema3, specs = """[{"spec-id":0,"fields":[
         |{"name":"bucket","transform":"identity","source-id":3,
         |"field-id":1000}]}]""".stripMargin)
     val got = IcebergReader.read(spark, root.toString)
       .orderBy(col("id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // deleted: (7,a0) by the bucket-0 delete, (8,bn) by the null-
+    // partition delete; SURVIVING: (7,a1) bucket 1, (8,b0) bucket 0
     assert(got == Seq((7L, "a1"), (8L, "b0")),
       s"scoped delete misapplied: $got")
   }

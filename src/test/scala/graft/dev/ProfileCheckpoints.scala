@@ -38,7 +38,7 @@ object ProfileCheckpoints {
         """{"metaData":{"id":"prof","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":0}}"""
       DeltaWriter.commit(root, 0L, Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        meta) ++ (0 until perCommit).map(addLine))
+        meta) ++ (0 until math.min(n, perCommit)).map(addLine))
       var v = 0L
       var written = perCommit
       while (written < n) {
