@@ -844,7 +844,10 @@ object IcebergWriter {
   private[output] case class Entry(localPath: String, content: Int,
       seq: Long, equalityIds: Seq[Int],
       partitionValues: Seq[(String, AnyRef)] = Nil,
-      snapshotId: Option[Long] = None, fileSeq: Option[Long] = None)
+      snapshotId: Option[Long] = None, fileSeq: Option[Long] = None,
+      // the manifest's spec id — equality-delete scoping groups by
+      // (spec, partition), mirroring the reader
+      specId: Int = 0)
 
   private[output] def loadState(path: String): TableState = {
     val root = Paths.get(path).toAbsolutePath.normalize
@@ -883,7 +886,8 @@ object IcebergWriter {
             intOf(d, "content", ref.content), seq, ids, partition,
             snapshotId = Some(longOf(e, "snapshot_id",
               ref.addedSnapshotId.getOrElse(0L))),
-            fileSeq = Some(longOf(e, "file_sequence_number", seq))))
+            fileSeq = Some(longOf(e, "file_sequence_number", seq)),
+            specId = ref.specId))
         }
       }
     }
@@ -896,6 +900,21 @@ object IcebergWriter {
     * equality deletes null-safely at strictly delete seq > data seq,
     * mirroring [[graft.sources.IcebergReader]] exactly.
     */
+  /** The (spec id, partition tuple) scope key for equality-delete
+    * application, the writer-side twin of the reader's fileScopeKey —
+    * internally consistent within one [[liveRows]] evaluation (data and
+    * delete entries decode through the same [[loadState]]), so the two
+    * sides always agree. Length-prefixed: unambiguous for any value.
+    * None = no partition record / unpartitioned spec (global delete).
+    */
+  private def entryScopeKey(e: Entry): Option[String] =
+    if (e.partitionValues.isEmpty) None
+    else Some(e.specId + ":" + e.partitionValues.sortBy(_._1)
+      .map { case (k, v) =>
+        val r = if (v == null) "\u0000null" else v.toString
+        s"${k.length}:${r.length}:$k$r"
+      }.mkString)
+
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
       st: TableState): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
@@ -918,8 +937,9 @@ object IcebergWriter {
       .withColumn("__f", norm(col("_metadata.file_path")))
       .withColumn("__p", col("_metadata.row_index"))
       .join(broadcast(dataFiles.map(f =>
-          (graft.sources.IcebergReader.normPath(f.localPath), f.seq))
-        .toDF("__f", "__seq")), Seq("__f"), "left")
+          (graft.sources.IcebergReader.normPath(f.localPath), f.seq,
+            entryScopeKey(f).orNull))
+        .toDF("__f", "__seq", "__pt")), Seq("__f"), "left")
       .withColumn("__seq", coalesce(col("__seq"),
         raise_error(concat(
           lit("iceberg rewrite: data file missing from manifest path map "
@@ -930,12 +950,13 @@ object IcebergWriter {
     // path→seq map, left+fail-fast), one anti-join per DISTINCT
     // equality-id set rather than per delete file
     def seqJoined(entries: Seq[Entry], schema: Option[String],
-        srcCol: String, seqCol: String) =
+        srcCol: String, seqCol: String,
+        scopes: Option[(Seq[(String, String)], String)] = None) =
       graft.sources.IcebergReader.deleteSeqJoined(spark,
         entries.map(_.localPath),
         entries.map(e =>
           (graft.sources.IcebergReader.normPath(e.localPath), e.seq)),
-        schema, srcCol, seqCol, "iceberg rewrite")
+        schema, srcCol, seqCol, "iceberg rewrite", scopes)
     val posDeletes = st.entries.filter(_.content == 1)
     val afterPos =
       if (posDeletes.isEmpty) base
@@ -964,14 +985,30 @@ object IcebergWriter {
       .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
         val cols = ids.map(id => st.fieldNames.getOrElse(id,
           throw new IllegalStateException(s"unknown equality field id $id")))
-        val delRows = seqJoined(ds, None, "__eqsrc", "__eqseq")
+        // per-(spec, partition) SCOPING, mirroring the reader exactly:
+        // a partitioned-spec delete applies only to its own partition's
+        // files — a global rewrite here would permanently drop rows the
+        // reader keeps (compaction/z-order read THROUGH this frame)
+        val scopePairs = ds.map(e =>
+          (graft.sources.IcebergReader.normPath(e.localPath),
+            entryScopeKey(e).orNull))
+        val anyScope = scopePairs.exists(_._2 != null)
+        val delRows = seqJoined(ds, None, "__eqsrc", "__eqseq",
+          scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
           .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-            :+ col("__eqseq"): _*)
-        acc.join(delRows,
+            ++ (col("__eqseq") +:
+              (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
+        val keyCond =
           cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__seq") < delRows("__eqseq"),
-          "left_anti")
+            acc("__seq") < delRows("__eqseq")
+        val cond =
+          if (anyScope)
+            keyCond && (delRows("__eqscope").isNull ||
+              acc("__pt") === delRows("__eqscope"))
+          else keyCond
+        acc.join(delRows, cond, "left_anti")
       }
+      .drop("__pt") // scoping handle, not part of the liveRows contract
   }
 
   /** Appends one snapshot node + bumps seq/version on the loaded state. */

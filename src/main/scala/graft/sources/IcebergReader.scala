@@ -647,12 +647,11 @@ object IcebergReader {
     * reader's delete application and [[graft.output.IcebergWriter]]'s
     * `liveRows` (the two copies drifted once already). LEFT join +
     * fail-fast: an inner join would silently UNDER-delete on
-    * _metadata-vs-manifest path drift.
-    */
-  /** `scopes`: optional per-file metadata column (path → value, null =
-    * none) joined through the same broadcast path map — equality-delete
-    * partition scoping rides here so the delete read stays ONE grouped
-    * relation instead of one per scope.
+    * _metadata-vs-manifest path drift. `scopes`: optional per-file
+    * metadata column (path → value, null = none) joined through the
+    * same broadcast path map — equality-delete partition scoping rides
+    * here so the delete read stays ONE grouped relation instead of one
+    * per scope.
     */
   private[graft] def deleteSeqJoined(spark: SparkSession,
       paths: Seq[String], seqs: Seq[(String, Long)],
@@ -737,12 +736,14 @@ object IcebergReader {
     * global; those data files are in no partitioned-spec partition).
     * Null partition VALUES render as a sentinel — the null partition
     * is a real partition, not an unscoped one. Canonical name-sorted
-    * form, so two manifests of the same spec always agree.
+    * LENGTH-PREFIXED form: unambiguous for ANY rendered value
+    * (including values containing the join characters), so two
+    * manifests of the same spec always agree and never collide.
     */
   private def fileScopeKey(f: DataFileEntry): Option[String] =
     if (f.partitionValues.isEmpty) None
-    else Some(f.specId + "\u0000" + f.partitionValues.toSeq.sortBy(_._1)
-      .map { case (k, v) => k + "=" + v }.mkString("\u0000"))
+    else Some(f.specId + ":" + f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${k.length}:${v.length}:$k$v" }.mkString)
 
   /** Drop position-delete entries whose file_path bounds (reserved
     * field 2147483546) exclude every planned data file, compared with
@@ -885,16 +886,19 @@ object IcebergReader {
     (lo.keySet ++ hi.keySet).map(k => k -> (lo.get(k), hi.get(k))).toMap
   }
 
-  /** Render a manifest entry's `partition` record to by-name strings.
-    * Dates (Avro int + `date` logical type) render ISO-8601 — the same
-    * form Spark renders in filters and hive paths, so pruning compares
-    * rendered-to-rendered.
-    */
-  /** Rendering of a NULL partition value — NUL-prefixed so no real
-    * rendered value collides.
+  /** Rendering of a NULL partition value — NUL-prefixed, which no
+    * plausible real value starts with (a pathological string partition
+    * value beginning with NUL would alias the null partition; the
+    * scoping keys built over these are otherwise length-prefixed and
+    * collision-free).
     */
   private val NullPartitionValue = "\u0000null"
 
+  /** Render a manifest entry's `partition` record to by-name strings.
+    * Dates (Avro int + `date` logical type) render ISO-8601 — the same
+    * form Spark renders in filters and hive paths, so pruning compares
+    * rendered-to-rendered. Null values render [[NullPartitionValue]].
+    */
   private def partitionTuple(df: GenericRecord): Map[String, String] = {
     val f = df.getSchema.getField("partition")
     if (f == null) return Map.empty
@@ -1182,12 +1186,18 @@ object IcebergReader {
     //
     // PARTITION SCOPING (spec "Scan Planning"): an equality delete
     // stored under a PARTITIONED spec applies only to data files of the
-    // SAME partition — applying it globally would over-delete same-key
-    // rows in other partitions (a per-partition upsert stream's exact
-    // shape). A complete default-spec tuple scopes via the broadcast
-    // __ib_pt key; unpartitioned-spec deletes, incomplete tuples and
-    // non-default specs apply globally (unpartitioned IS global per
-    // spec; the others fail open to the historical behavior).
+    // SAME (spec, partition) — applying it globally would over-delete
+    // same-key rows in other partitions (a per-partition upsert
+    // stream's exact shape). Every delete with a partition record
+    // scopes via [[fileScopeKey]] (null tuple values = the null
+    // partition, its own scope); only unpartitioned-spec deletes and
+    // record-less foreign entries apply globally (unpartitioned IS
+    // global per spec; record-less fails open). The scope rides the
+    // delete read's broadcast path map as a COLUMN ("__eqscope" —
+    // structurally collision-free vs the "__eq_<col>" key aliases), so
+    // the plan stays one anti-join per (ids, footer) group, never one
+    // per partition; an all-global group skips the scope join and
+    // condition entirely.
     val afterEq = eqDeletes
       .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
       .toSeq
@@ -1195,22 +1205,25 @@ object IcebergReader {
         val cols = ids.map(id => snap.fieldNames.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality delete references unknown field id $id")))
-        // each delete FILE's scope rides the broadcast path map as a
-        // column — the plan stays one anti-join per (ids, footer)
-        // group, never one per partition
+        val scopePairs = ds.map(d =>
+          (normPath(d.path), fileScopeKey(d).orNull))
+        val anyScope = scopePairs.exists(_._2 != null)
         val delRows = deleteSeqJoined(spark, ds.map(_.path),
           ds.map(d => (normPath(d.path), d.seq)), None,
           "__eq_src", "__eq_seq", "iceberg scan",
-          scopes = Some((ds.map(d =>
-            (normPath(d.path), fileScopeKey(d).orNull)), "__eq_pt")))
+          scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
           .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-            :+ col("__eq_seq") :+ col("__eq_pt"): _*)
-        acc.join(delRows,
+            ++ (col("__eq_seq") +:
+              (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
+        val keyCond =
           cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__ib_seq") < delRows("__eq_seq") &&
-            (delRows("__eq_pt").isNull ||
-              acc("__ib_pt") === delRows("__eq_pt")),
-          "left_anti")
+            acc("__ib_seq") < delRows("__eq_seq")
+        val cond =
+          if (anyScope)
+            keyCond && (delRows("__eqscope").isNull ||
+              acc("__ib_pt") === delRows("__eqscope"))
+          else keyCond
+        acc.join(delRows, cond, "left_anti")
       }
     afterEq.select(dataCols: _*)
   }

@@ -353,6 +353,17 @@ class IcebergReaderSpec extends SparkSpec {
     // partition delete; SURVIVING: (7,a1) bucket 1, (8,b0) bucket 0
     assert(got == Seq((7L, "a1"), (8L, "b0")),
       s"scoped delete misapplied: $got")
+    // MAINTENANCE must see the same live set: materializing the
+    // equality deletes away (which rewrites losing files from liveRows)
+    // must not permanently drop the rows the reader keeps
+    val removed = graft.output.IcebergWriter
+      .rewriteEqualityDeletes(spark, root.toString)
+    assert(removed == 2, s"expected 2 eq-delete files removed, $removed")
+    val after = IcebergReader.read(spark, root.toString)
+      .orderBy(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((7L, "a1"), (8L, "b0")),
+      s"maintenance dropped scoped-surviving rows: $after")
   }
 
   test("no-snapshot table is empty with the declared schema") {
