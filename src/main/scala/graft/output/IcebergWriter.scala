@@ -895,26 +895,37 @@ object IcebergWriter {
       defaultSpec(md))
   }
 
-  /** The LIVE rows of the current snapshot with `__f`/`__p`/`__seq`
-    * columns — position deletes applied at delete seq >= data seq,
-    * equality deletes null-safely at strictly delete seq > data seq,
-    * mirroring [[graft.sources.IcebergReader]] exactly.
-    */
   /** The (spec id, partition tuple) scope key for equality-delete
     * application, the writer-side twin of the reader's fileScopeKey —
     * internally consistent within one [[liveRows]] evaluation (data and
     * delete entries decode through the same [[loadState]]), so the two
-    * sides always agree. Length-prefixed: unambiguous for any value.
-    * None = no partition record / unpartitioned spec (global delete).
+    * sides always agree. Length-prefixed, and BINARY values render as
+    * hex (ByteBuffer.toString is content-blind — two distinct binary
+    * partitions would otherwise collide into one scope). None = no
+    * partition record / unpartitioned spec (global delete).
     */
   private def entryScopeKey(e: Entry): Option[String] =
     if (e.partitionValues.isEmpty) None
     else Some(e.specId + ":" + e.partitionValues.sortBy(_._1)
       .map { case (k, v) =>
-        val r = if (v == null) "\u0000null" else v.toString
+        val r = v match {
+          case null => "\u0000null"
+          case bb: java.nio.ByteBuffer =>
+            val b = new Array[Byte](bb.remaining())
+            bb.duplicate().get(b)
+            b.map("%02x".format(_)).mkString
+          case fx: org.apache.avro.generic.GenericFixed =>
+            fx.bytes().map("%02x".format(_)).mkString
+          case other => other.toString
+        }
         s"${k.length}:${r.length}:$k$r"
       }.mkString)
 
+  /** The LIVE rows of the current snapshot with `__f`/`__p`/`__seq`
+    * columns — position deletes applied at delete seq >= data seq,
+    * equality deletes null-safely at strictly delete seq > data seq,
+    * mirroring [[graft.sources.IcebergReader]] exactly.
+    */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
       st: TableState): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
@@ -939,7 +950,7 @@ object IcebergWriter {
       .join(broadcast(dataFiles.map(f =>
           (graft.sources.IcebergReader.normPath(f.localPath), f.seq,
             entryScopeKey(f).orNull))
-        .toDF("__f", "__seq", "__pt")), Seq("__f"), "left")
+        .toDF("__f", "__seq", "__graft_pt")), Seq("__f"), "left")
       .withColumn("__seq", coalesce(col("__seq"),
         raise_error(concat(
           lit("iceberg rewrite: data file missing from manifest path map "
@@ -950,13 +961,12 @@ object IcebergWriter {
     // path→seq map, left+fail-fast), one anti-join per DISTINCT
     // equality-id set rather than per delete file
     def seqJoined(entries: Seq[Entry], schema: Option[String],
-        srcCol: String, seqCol: String,
-        scopes: Option[(Seq[(String, String)], String)] = None) =
+        srcCol: String, seqCol: String) =
       graft.sources.IcebergReader.deleteSeqJoined(spark,
         entries.map(_.localPath),
         entries.map(e =>
           (graft.sources.IcebergReader.normPath(e.localPath), e.seq)),
-        schema, srcCol, seqCol, "iceberg rewrite", scopes)
+        schema, srcCol, seqCol, "iceberg rewrite")
     val posDeletes = st.entries.filter(_.content == 1)
     val afterPos =
       if (posDeletes.isEmpty) base
@@ -978,37 +988,27 @@ object IcebergWriter {
     // grouped per (id set, physical footer schema) — the footer key
     // keeps the shared inferred-schema read sound, see
     // [[graft.sources.IcebergReader.footerSchemaKey]]
-    st.entries.filter(_.content == 2)
+    // per-(spec, partition) SCOPED equality deletes, via the SAME shared
+    // implementation as the reader's scan (applyEqualityDeletes): a
+    // global rewrite here would permanently drop rows a scoped read
+    // keeps — compaction/z-order/eq-materialization read THROUGH this
+    // frame
+    val eqGroups = st.entries.filter(_.content == 2)
       .groupBy(e => (e.equalityIds, graft.sources.IcebergReader
         .footerSchemaKey(graft.sources.IcebergReader.normPath(e.localPath))))
       .toSeq
-      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
-        val cols = ids.map(id => st.fieldNames.getOrElse(id,
-          throw new IllegalStateException(s"unknown equality field id $id")))
-        // per-(spec, partition) SCOPING, mirroring the reader exactly:
-        // a partitioned-spec delete applies only to its own partition's
-        // files — a global rewrite here would permanently drop rows the
-        // reader keeps (compaction/z-order read THROUGH this frame)
-        val scopePairs = ds.map(e =>
-          (graft.sources.IcebergReader.normPath(e.localPath),
-            entryScopeKey(e).orNull))
-        val anyScope = scopePairs.exists(_._2 != null)
-        val delRows = seqJoined(ds, None, "__eqsrc", "__eqseq",
-          scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
-          .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-            ++ (col("__eqseq") +:
-              (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
-        val keyCond =
-          cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__seq") < delRows("__eqseq")
-        val cond =
-          if (anyScope)
-            keyCond && (delRows("__eqscope").isNull ||
-              acc("__pt") === delRows("__eqscope"))
-          else keyCond
-        acc.join(delRows, cond, "left_anti")
+      .map { case ((ids, _), ds) =>
+        graft.sources.IcebergReader.EqDeleteGroup(
+          ids.map(id => st.fieldNames.getOrElse(id,
+            throw new IllegalStateException(
+              s"unknown equality field id $id"))),
+          ds.map(e => (e.localPath,
+            graft.sources.IcebergReader.normPath(e.localPath), e.seq,
+            entryScopeKey(e))))
       }
-      .drop("__pt") // scoping handle, not part of the liveRows contract
+    graft.sources.IcebergReader.applyEqualityDeletes(spark, afterPos,
+        eqGroups, "__seq", "__graft_pt", "iceberg rewrite")
+      .drop("__graft_pt") // scoping handle, not the liveRows contract
   }
 
   /** Appends one snapshot node + bumps seq/version on the loaded state. */

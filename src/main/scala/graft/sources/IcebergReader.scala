@@ -675,6 +675,47 @@ object IcebergReader {
     }.drop(srcCol)
   }
 
+  /** One equality-delete group for [[applyEqualityDeletes]]: the key
+    * COLUMN NAMES and, per delete file, (read path, normalized path
+    * key, delete sequence, optional partition scope key).
+    */
+  private[graft] final case class EqDeleteGroup(cols: Seq[String],
+      files: Seq[(String, String, Long, Option[String])])
+
+  /** Scoped equality-delete application — ONE implementation shared by
+    * the reader's scan and [[graft.output.IcebergWriter]]'s `liveRows`
+    * (whose correctness contract is to mirror the scan exactly; the
+    * scope-condition assembly drifted once already). One anti-join per
+    * group: null-safe key equality, strict `data seq < delete seq`,
+    * and — when any file in the group is partition-scoped — the scope
+    * condition (a null scope = a global delete; a null `ptCol` = a
+    * file outside any partitioned-spec partition, never matched by a
+    * scoped delete). All-global groups skip the scope join entirely.
+    */
+  private[graft] def applyEqualityDeletes(spark: SparkSession,
+      acc0: DataFrame, groups: Seq[EqDeleteGroup],
+      seqCol: String, ptCol: String, errPrefix: String): DataFrame =
+    groups.foldLeft(acc0) { case (acc, g) =>
+      val scopePairs = g.files.map(f => (f._2, f._4.orNull))
+      val anyScope = scopePairs.exists(_._2 != null)
+      val delRows = deleteSeqJoined(spark, g.files.map(_._1),
+        g.files.map(f => (f._2, f._3)), None, "__eq_src", "__eq_seq",
+        errPrefix,
+        scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
+        .select(g.cols.map(c => col(s"`$c`").as(s"__eq_$c"))
+          ++ (col("__eq_seq") +:
+            (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
+      val keyCond =
+        g.cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+          acc(seqCol) < delRows("__eq_seq")
+      val cond =
+        if (anyScope)
+          keyCond && (delRows("__eqscope").isNull ||
+            acc(ptCol) === delRows("__eqscope"))
+        else keyCond
+      acc.join(delRows, cond, "left_anti")
+    }
+
   /** One manifest entry's may-match answer — shared by the
     * construction-time (serving skipFilters) and planning-time
     * (GraftFileIndex closure) skip sites so they can never diverge.
@@ -920,7 +961,19 @@ object IcebergReader {
               if (isDate)
                 java.time.LocalDate.ofEpochDay(
                   v.asInstanceOf[Number].longValue).toString
-              else v.toString
+              else v match {
+                // binary values render as hex — ByteBuffer.toString is
+                // CONTENT-BLIND, which would collapse distinct binary
+                // partitions into one rendered value (and one delete
+                // scope)
+                case bb: java.nio.ByteBuffer =>
+                  val b = new Array[Byte](bb.remaining())
+                  bb.duplicate().get(b)
+                  b.map("%02x".format(_)).mkString
+                case fx: org.apache.avro.generic.GenericFixed =>
+                  fx.bytes().map("%02x".format(_)).mkString
+                case other => other.toString
+              }
             pf.name() -> rendered
           }.orElse {
             // a NULL partition value is a REAL partition (the null
@@ -1198,33 +1251,18 @@ object IcebergReader {
     // the plan stays one anti-join per (ids, footer) group, never one
     // per partition; an all-global group skips the scope join and
     // condition entirely.
-    val afterEq = eqDeletes
+    val eqGroups = eqDeletes
       .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
       .toSeq
-      .foldLeft(afterPos) { case (acc, ((ids, _), ds)) =>
-        val cols = ids.map(id => snap.fieldNames.getOrElse(id,
-          throw new IllegalArgumentException(
-            s"equality delete references unknown field id $id")))
-        val scopePairs = ds.map(d =>
-          (normPath(d.path), fileScopeKey(d).orNull))
-        val anyScope = scopePairs.exists(_._2 != null)
-        val delRows = deleteSeqJoined(spark, ds.map(_.path),
-          ds.map(d => (normPath(d.path), d.seq)), None,
-          "__eq_src", "__eq_seq", "iceberg scan",
-          scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
-          .select(cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-            ++ (col("__eq_seq") +:
-              (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
-        val keyCond =
-          cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-            acc("__ib_seq") < delRows("__eq_seq")
-        val cond =
-          if (anyScope)
-            keyCond && (delRows("__eqscope").isNull ||
-              acc("__ib_pt") === delRows("__eqscope"))
-          else keyCond
-        acc.join(delRows, cond, "left_anti")
+      .map { case ((ids, _), ds) =>
+        EqDeleteGroup(
+          ids.map(id => snap.fieldNames.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality delete references unknown field id $id"))),
+          ds.map(d => (d.path, normPath(d.path), d.seq, fileScopeKey(d))))
       }
+    val afterEq = applyEqualityDeletes(spark, afterPos, eqGroups,
+      "__ib_seq", "__ib_pt", "iceberg scan")
     afterEq.select(dataCols: _*)
   }
 
