@@ -912,8 +912,16 @@ object DeltaWriter {
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
-    require(versions.nonEmpty, s"$root has no delta commits")
-    versions.max + 1
+    if (versions.nonEmpty) versions.max + 1
+    else {
+      // checkpoint-only log (every commit JSON reclaimed by retention or
+      // external cleanup): the next version chains off the checkpoint —
+      // failing here would brick writes to a perfectly readable table
+      val f = log.resolve("_last_checkpoint")
+      require(Files.exists(f), s"$root has no delta commits and no checkpoint")
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(f)).get("version").asLong() + 1
+    }
   }
 
   /** Stage + atomic rename. A same-version race is detected by an
@@ -1679,14 +1687,120 @@ object DeltaWriter {
     }
   }
 
+  /** Reclaim commit JSONs made redundant by checkpointing — the
+    * `delta.logRetentionDuration` semantic (public PROTOCOL.md: a
+    * checkpoint at version V captures the complete state at V, so commits
+    * ≤ V are needed only for time travel / change feeds below V).
+    *
+    * Deletes commit JSONs STRICTLY below the newest checkpoint whose files
+    * are actually readable, and only those older than `horizonMs`. After
+    * cleanup:
+    *   - current-state reads replay checkpoint + surviving commits
+    *     unchanged;
+    *   - `versionAsOf` below the oldest surviving base FAILS with a clear
+    *     "predates the oldest reconstructable state" error (DeltaLogReader
+    *     gap/base checks), never a truncated answer;
+    *   - `readAppends` over a reclaimed range fails its existing
+    *     contiguity check ("full-refresh the consumer");
+    *   - `txn` idempotence state survives (checkpoints carry txn rows —
+    *     use the SparkSession overload of [[lastTxnVersion]], which
+    *     consults the checkpoint).
+    *
+    * Without this, `nextVersion` (one `_delta_log` listing per commit) and
+    * every cold snapshot degrade with table LIFETIME: a per-micro-batch
+    * streaming sink writes ~0.5M commits/year and each commit then pays an
+    * O(500k)-entry listing forever. With it, per-commit cost is bounded by
+    * the checkpoint interval, flat in lifetime (ProfileLogRetention
+    * measures this).
+    *
+    * Returns the number of files deleted. Safe no-op when no checkpoint
+    * exists.
+    */
+  def cleanupExpiredLogs(path: String,
+      horizonMs: Long = 24L * 60 * 60 * 1000): Int = {
+    val log = Paths.get(path).resolve("_delta_log")
+    if (!Files.isDirectory(log)) return 0
+    // newest checkpoint with readable files = the retention floor; the
+    // pointer alone is not trusted (its files may be gone — deleting
+    // commits below a phantom checkpoint would destroy the only source
+    // of truth)
+    val pointed = {
+      val f = log.resolve("_last_checkpoint")
+      if (!Files.exists(f)) None
+      else try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(f)).get("version").asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val floor = pointed.filter(v =>
+      graft.sources.DeltaLogReader.checkpointFiles(log, v).nonEmpty)
+    floor match {
+      case None => 0
+      case Some(cpVersion) =>
+        val now = System.currentTimeMillis()
+        val commits = {
+          val s = Files.list(log)
+          try s.iterator().asScala.toVector finally s.close()
+        }.filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+        commits
+          .filter(p => p.getFileName.toString.stripSuffix(".json").toLong
+            < cpVersion)
+          .filter(p => Files.getLastModifiedTime(p).toMillis < now - horizonMs)
+          .count { p =>
+            try Files.deleteIfExists(p)
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+    }
+  }
+
   private def txnActions(txn: Option[(String, Long)]): Seq[String] =
     txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":"${escape(appId)}","version":$v,"lastUpdated":0}}"""
     }
 
+  /** Checkpoint-aware [[lastTxnVersion]]: commit JSONs first, then the
+    * newest checkpoint's `txn` rows. Checkpoints carry the latest txn per
+    * appId (PROTOCOL.md checkpoint schema), so idempotence state SURVIVES
+    * log retention ([[cleanupExpiredLogs]]) — the JSON-only overload would
+    * forget a sink's high-water mark the first time its txn commit is
+    * reclaimed, and the restarted stream would double-apply a batch.
+    */
+  def lastTxnVersion(spark: SparkSession, path: String,
+      appId: String): Option[Long] = {
+    val fromJson = lastTxnVersion(path, appId)
+    val log = Paths.get(path, "_delta_log")
+    val pointed = {
+      val f = log.resolve("_last_checkpoint")
+      if (!Files.exists(f)) None
+      else try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(f)).get("version").asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val fromCp = pointed.toSeq
+      .map(v => graft.sources.DeltaLogReader.checkpointFiles(log, v))
+      .filter(_.nonEmpty)
+      .flatMap { files =>
+        // v2 manifests put file actions in sidecars, but txn rows stay in
+        // the manifest itself (PROTOCOL.md V2 checkpoint layout) — no
+        // sidecar recursion needed for either layout
+        import org.apache.spark.sql.functions.col
+        val df = readCheckpointDf(spark, files)
+        if (!df.columns.contains("txn")) Nil
+        else df.select(col("txn.version"))
+          .where(col("txn").isNotNull && col("txn.appId") === appId &&
+            col("txn.version").isNotNull)
+          .collect().map(_.getLong(0)).toSeq
+      }
+    (fromJson.toSeq ++ fromCp) match {
+      case Nil => None
+      case vs => Some(vs.max)
+    }
+  }
+
   /** Highest `txn` version committed for `appId` (streaming idempotence:
     * a micro-batch whose id is ≤ this has already landed). Scans the
     * commit JSONs driver-side — metadata-plane work like the replay.
+    * NOTE: JSON-only; over a retention-cleaned log prefer the
+    * SparkSession overload, which also consults the checkpoint.
     */
   def lastTxnVersion(path: String, appId: String): Option[Long] = {
     val log = Paths.get(path, "_delta_log")

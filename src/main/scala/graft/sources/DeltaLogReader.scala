@@ -155,9 +155,10 @@ object DeltaLogReader {
   private def computeSnapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long]): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
-    val commitFiles = listDir(logDir)
+    val allCommitFiles = listDir(logDir)
       .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
       .sortBy(_.getFileName.toString)
+    val commitFiles = allCommitFiles
       .filter(p => versionAsOf.forall(v => versionOf(p) <= v))
     require(commitFiles.nonEmpty || lastCheckpoint(logDir).isDefined,
       s"empty delta log: $tablePath")
@@ -214,24 +215,58 @@ object DeltaLogReader {
       }
     }
 
-    // start from the newest usable checkpoint, if any; classic single-file,
-    // classic multi-part, and v2 (uuid-named manifest + sidecars) layouts
-    val cp = lastCheckpoint(logDir).filter(v => versionAsOf.forall(v <= _))
-    val cpFiles = cp.map(v => checkpointFiles(logDir, v)).getOrElse(Nil)
-    if (cpFiles.nonEmpty) {
+    // Start from the newest USABLE checkpoint ≤ versionAsOf: the
+    // `_last_checkpoint` pointer first (O(1)), then any on-disk checkpoint
+    // version (time travel over a retention-cleaned log: the pointer names
+    // the newest checkpoint, but an OLDER surviving checkpoint may be the
+    // only reconstructable base for versionAsOf below it). Classic
+    // single-file, classic multi-part, and v2 (uuid-named manifest +
+    // sidecars) layouts all qualify.
+    val candidates: Seq[Long] =
+      (lastCheckpoint(logDir).toSeq ++ checkpointVersionsOnDisk(logDir))
+        .distinct.filter(v => versionAsOf.forall(v <= _))
+        .sorted(Ordering.Long.reverse)
+    val chosen: Option[(Long, Seq[Path])] = candidates.iterator
+      .map { v =>
+        // an incomplete multi-part set throws — in a fallback scan that
+        // just disqualifies the candidate, it must not abort the read
+        v -> (try checkpointFiles(logDir, v)
+              catch { case scala.util.control.NonFatal(_) => Nil })
+      }
+      .find(_._2.nonEmpty)
+    chosen.foreach { case (_, cpFiles) =>
       // classic/multi-part checkpoints are parquet; a v2 manifest (always a
       // single file here) may be json (PROTOCOL.md permits both encodings)
       val df = if (cpFiles.forall(_.toString.endsWith(".json")))
         spark.read.json(cpFiles.map(_.toString): _*)
       else spark.read.parquet(cpFiles.map(_.toString): _*)
       applyCheckpoint(df)
-    } else
-      require(cp.isEmpty || commitFiles.headOption.exists(versionOf(_) == 0L),
-        s"checkpoint ${cp.getOrElse(-1L)} has no readable files and the " +
-          s"commit log does not start at version 0: $tablePath")
+    }
 
-    val replayFrom = if (cpFiles.nonEmpty) cp.get else -1L
-    commitFiles.filter(p => versionOf(p) > replayFrom).foreach { p =>
+    val replayFrom = chosen.map(_._1).getOrElse(-1L)
+    val replay = commitFiles.filter(p => versionOf(p) > replayFrom)
+    val replayVersions = replay.map(versionOf)
+    // Gap safety over a retention-cleaned log: replaying across a missing
+    // commit would silently drop that commit's actions — reconstructed
+    // state must either chain from a checkpoint or from commit 0, with no
+    // holes, or the read FAILS (never answers wrong).
+    require(replayVersions.isEmpty ||
+        replayVersions == (replayVersions.head to replayVersions.last),
+      s"delta log at $tablePath has gaps after version $replayFrom " +
+        s"(found commits ${replayVersions.mkString(",")}) — state cannot " +
+        "be reconstructed; a commit JSON is missing or was reclaimed")
+    require(replayFrom >= 0 || replayVersions.headOption.contains(0L),
+      versionAsOf match {
+        case Some(v) =>
+          s"version $v of $tablePath predates the oldest reconstructable " +
+            "state: commit JSONs below the retention horizon were " +
+            "reclaimed (cleanupExpiredLogs) and no checkpoint at or " +
+            s"below $v survives"
+        case None =>
+          s"delta log at $tablePath does not start at version 0 and no " +
+            "usable checkpoint exists — state cannot be reconstructed"
+      })
+    replay.foreach { p =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
         if (action.has("protocol")) {
@@ -254,7 +289,22 @@ object DeltaLogReader {
       }
     }
     require(schema != null, s"no metaData action found in $tablePath")
-    val version = commitFiles.lastOption.map(versionOf).orElse(cp).getOrElse(0L)
+    val version = commitFiles.lastOption.map(versionOf)
+      .orElse(chosen.map(_._1)).getOrElse(0L)
+    // Time travel must land EXACTLY on min(versionAsOf, latest): delta
+    // versions are dense, so replay stopping short means the commits in
+    // between were reclaimed — answering with the earlier state would be
+    // silent truncation, not time travel.
+    versionAsOf.foreach { v =>
+      val latest = (allCommitFiles.map(versionOf) ++
+        checkpointVersionsOnDisk(logDir)).max
+      val target = math.min(v, latest)
+      require(version == target,
+        s"version $v of $tablePath cannot be reconstructed: replay " +
+          s"reaches only version $version — commits ${version + 1}..$target " +
+          "predate the oldest reconstructable state (reclaimed by log " +
+          "retention)")
+    }
     Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq,
       metaDataId, protocol)
   }
@@ -495,6 +545,23 @@ object DeltaLogReader {
     val f = logDir.resolve("_last_checkpoint")
     if (!Files.exists(f)) None
     else Some(mapper.readTree(Files.readString(f)).get("version").asLong())
+  }
+
+  /** Distinct checkpoint versions present on disk (any layout), from the
+    * file names alone — the fallback base-selection scan for time travel
+    * over a retention-cleaned log, where `_last_checkpoint` names only the
+    * NEWEST checkpoint but an older surviving one may be the only valid
+    * replay base for a small `versionAsOf`. One directory listing,
+    * metadata-plane.
+    */
+  private def checkpointVersionsOnDisk(logDir: Path): Seq[Long] = {
+    val cpName = "(\\d{20})\\.checkpoint(\\.[^/]+)?\\.(parquet|json)".r
+    listDir(logDir).flatMap { p =>
+      p.getFileName.toString match {
+        case cpName(v, _, _) => Some(v.toLong)
+        case _ => None
+      }
+    }.distinct.sorted
   }
 
   /** physical parquet field name under column mapping `name` mode. */

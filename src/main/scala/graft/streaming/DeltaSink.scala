@@ -37,7 +37,11 @@ object DeltaSink {
       batchId: Long): Unit = {
     if (!DeltaLogReader.isDeltaTable(path))
       DeltaWriter.create(batch, path, txn = Some(appId -> batchId))
-    else if (!DeltaWriter.lastTxnVersion(path, appId).exists(_ >= batchId))
+    // checkpoint-aware high-water lookup: over a retention-cleaned log
+    // (cleanupExpiredLogs) the txn state lives in the checkpoint, and the
+    // JSON-only overload would double-apply a replayed batch
+    else if (!DeltaWriter.lastTxnVersion(batch.sparkSession, path, appId)
+        .exists(_ >= batchId))
       DeltaWriter.append(batch, path, txn = Some(appId -> batchId))
     // else: replayed batch, already committed — exactly-once by skip
   }

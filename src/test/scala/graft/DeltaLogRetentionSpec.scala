@@ -1,0 +1,153 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import java.nio.file.{Files, Paths}
+
+/** Delta log retention (`cleanupExpiredLogs`, the `delta.logRetentionDuration`
+  * semantic): commit JSONs below the newest readable checkpoint are
+  * reclaimable, current reads replay unchanged, time travel below the
+  * horizon FAILS clearly (never answers truncated), and writes continue
+  * over a cleaned — even checkpoint-only — log.
+  */
+class DeltaLogRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ret_${tag}_${System.nanoTime()}").toString
+
+  /** create + appends through ≥ one checkpoint; returns (path, log). */
+  private def tableWithCheckpoint(tag: String, upTo: Int = 13) = {
+    val path = tmp(tag)
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    (1 to upTo).foreach(i =>
+      DeltaWriter.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    (path, Paths.get(path, "_delta_log"))
+  }
+
+  test("cleanupExpiredLogs reclaims commits strictly below the checkpoint; reads unchanged") {
+    val (path, log) = tableWithCheckpoint("basic")
+    val before = DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    Thread.sleep(10) // mtime granularity vs horizon 0
+    val n = DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    // checkpoint at 10 → commits 0..9 reclaimed, 10..13 kept
+    assert(n == 10, s"expected 10 reclaimed, got $n")
+    (0L to 9L).foreach(v =>
+      assert(!Files.exists(log.resolve(f"$v%020d.json")), s"commit $v kept"))
+    (10L to 13L).foreach(v =>
+      assert(Files.exists(log.resolve(f"$v%020d.json")), s"commit $v gone"))
+    val after = DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before)
+    // time travel at/above the checkpoint still replays
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(12L))
+      .count() == 13L)
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(10L))
+      .count() == 11L)
+  }
+
+  test("versionAsOf below the retention horizon fails clearly, never truncates") {
+    val (path, _) = tableWithCheckpoint("horizon")
+    Thread.sleep(10)
+    DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, path, versionAsOf = Some(5L)).count()
+    }
+    assert(e.getMessage.contains("predates the oldest reconstructable"),
+      e.getMessage)
+  }
+
+  test("a fresh horizon keeps everything (no premature reclaim)") {
+    val (path, log) = tableWithCheckpoint("fresh")
+    val n = DeltaWriter.cleanupExpiredLogs(path) // default 24h horizon
+    assert(n == 0)
+    (0L to 13L).foreach(v =>
+      assert(Files.exists(log.resolve(f"$v%020d.json"))))
+  }
+
+  test("no checkpoint → cleanup is a safe no-op") {
+    val path = tmp("nocp")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+    Thread.sleep(10)
+    assert(DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L) == 0)
+    assert(DeltaLogReader.read(spark, path).count() == 2L)
+  }
+
+  test("gap safety: a missing commit AFTER the replay base fails, never drops actions") {
+    val (path, log) = tableWithCheckpoint("gap")
+    Files.delete(log.resolve(f"${12L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, path)
+    }
+    assert(e.getMessage.contains("gaps"), e.getMessage)
+  }
+
+  test("cleaned log + destroyed checkpoint fails loudly, never truncates to the tail") {
+    val (path, log) = tableWithCheckpoint("destroyed")
+    Thread.sleep(10)
+    DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    // simulate external damage: the only replay base vanishes
+    Files.delete(log.resolve(f"${10L}%020d.checkpoint.parquet"))
+    Files.delete(log.resolve("_last_checkpoint"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, path)
+    }
+    assert(e.getMessage.contains("state cannot be reconstructed") ||
+      e.getMessage.contains("does not start at version 0"), e.getMessage)
+  }
+
+  test("time travel through an OLDER surviving on-disk checkpoint (pointer names the newest)") {
+    val (path, _) = tableWithCheckpoint("oldcp", upTo = 23)
+    // checkpoints at 10 and 20; _last_checkpoint → 20
+    Thread.sleep(10)
+    val n = DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    assert(n == 20) // commits 0..19 reclaimed
+    // versionAsOf=10 reconstructs from checkpoint 10 ALONE (no commits
+    // survive in (−∞,10]; the pointer names 20, the disk scan finds 10)
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(10L))
+      .count() == 11L)
+    // versionAsOf=15 needs commits 11..15 — reclaimed → clear failure
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, path, versionAsOf = Some(15L)).count()
+    }
+    assert(e.getMessage.contains("predate the oldest reconstructable"),
+      e.getMessage)
+    // versionAsOf past the latest version still resolves to the latest
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(99L))
+      .count() == 24L)
+  }
+
+  test("writes continue over a checkpoint-only log (every commit JSON reclaimed)") {
+    val (path, log) = tableWithCheckpoint("cponly", upTo = 10)
+    // reclaim ALL commit JSONs incl. the checkpoint's own (external cleanup)
+    (0L to 10L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    assert(DeltaLogReader.read(spark, path).count() == 11L)
+    DeltaWriter.append(Seq((99L, "z")).toDF("id", "v"), path)
+    // nextVersion chained off the checkpoint: 11, not a collision/failure
+    assert(Files.exists(log.resolve(f"${11L}%020d.json")))
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.version == 11L)
+    assert(DeltaLogReader.read(spark, path).count() == 12L)
+  }
+
+  test("txn idempotence survives retention: checkpoint carries the high-water mark") {
+    import graft.streaming.DeltaSink
+    val path = tmp("txn")
+    (0 to 12).foreach(i => DeltaSink.appendBatch(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), path, "retapp", i.toLong))
+    Thread.sleep(10)
+    val n = DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    assert(n == 10)
+    // JSON-only overload now sees only commits 10..12 (txn 10..12) — but
+    // the checkpoint-aware one must still see 12 and skip a replay of ≤12
+    assert(DeltaWriter.lastTxnVersion(spark, path, "retapp").contains(12L))
+    DeltaSink.appendBatch(Seq((5L, "dup")).toDF("id", "v"), path, "retapp", 5L)
+    assert(DeltaLogReader.read(spark, path).count() == 13L) // no double-apply
+    DeltaSink.appendBatch(Seq((13L, "v13")).toDF("id", "v"), path,
+      "retapp", 13L)
+    assert(DeltaLogReader.read(spark, path).count() == 14L)
+  }
+}

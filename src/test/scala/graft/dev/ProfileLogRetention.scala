@@ -1,0 +1,79 @@
+package graft.dev
+
+import graft.output.DeltaWriter
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Delta log-retention profile: per-commit and cold-read cost at a large
+  * table LIFETIME (commit count), before vs after `cleanupExpiredLogs`.
+  * Every commit lists `_delta_log` (nextVersion), so an uncleaned log makes
+  * commit cost grow with lifetime — ~0.5M commits/year for a
+  * per-micro-batch streaming sink. After checkpoint + cleanup the listing
+  * is bounded by the checkpoint interval: flat in lifetime. The log is
+  * synthesized (commits only, no data files), so 50k commits profile in
+  * seconds. Usage: `Test/runMain graft.dev.ProfileLogRetention [nCommits]`.
+  */
+object ProfileLogRetention {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-52s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      r
+    }
+
+    val root = Files.createTempDirectory("graft_prof_ret")
+    val path = root.toString
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    def addLine(i: Int): String =
+      f"""{"add":{"path":"part-$i%09d-${java.util.UUID.randomUUID()}.parquet","partitionValues":{},"size":1048576,"modificationTime":0,"dataChange":true}}"""
+    timed(s"synthesize $n commits") {
+      (1 to n).foreach(v => DeltaWriter.commit(root, v.toLong,
+        Seq(addLine(v))))
+    }
+
+    def listMs(): Double = {
+      val t0 = System.nanoTime()
+      val s = Files.list(root.resolve("_delta_log"))
+      val c = try s.count() finally s.close()
+      println(f"${s"  log listing ($c entries)"}%-52s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    println(s"-- lifetime $n commits, NO cleanup --")
+    listMs()
+    timed(s"append (commit ${n + 1}) at lifetime $n, uncleaned") {
+      DeltaWriter.append(Seq((1L, "x")).toDF("id", "v"), path)
+    }
+
+    timed(s"one-time checkpoint at version ${n + 1}") {
+      DeltaWriter.writeCheckpoint(spark, root, (n + 1).toLong)
+    }
+    val reclaimed = timed("cleanupExpiredLogs(horizon=0)") {
+      DeltaWriter.cleanupExpiredLogs(path, horizonMs = 0L)
+    }
+    println(f"${"  commit JSONs reclaimed"}%-52s $reclaimed%9d")
+
+    println(s"-- same lifetime, AFTER checkpoint + cleanup --")
+    listMs()
+    timed(s"append (commit ${n + 2}) at lifetime $n, cleaned") {
+      DeltaWriter.append(Seq((2L, "y")).toDF("id", "v"), path)
+    }
+    timed("cold snapshot load, cleaned log") {
+      graft.sources.DeltaLogReader.snapshot(spark, path)
+    }
+    val live = graft.sources.DeltaLogReader.snapshot(spark, path).files.size
+    println(f"${"live adds in final state"}%-52s $live%9d")
+    require(live == n + 3, s"expected ${n + 3} adds, got $live")
+    spark.stop()
+  }
+}
