@@ -146,6 +146,60 @@ object SparkEntry {
     root.toString
   }
 
+  /** COLUMN-MAPPED (mode=name) Delta table over `nation` whose parquet
+    * files carry PHYSICAL uuid-style column names, then the two
+    * maintenance ops the mapping guard used to block (reference
+    * tests/test_colmap.py:12-30 treats mapped tables as first-class):
+    * `deleteWhere` resolves the LOGICAL predicate against the physical
+    * scan and lands DVs, `purgeDeletes` rewrites the files physically —
+    * the rewritten files must keep their physical names for the reader's
+    * logical rename to keep resolving. Oracle: plain SQL over `nation`.
+    */
+  private def deltaColmapFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_colmap_gate_v1_${math.abs(dir.hashCode)}")
+      if (graft.sources.DeltaLogReader.isDeltaTable(root.toString) &&
+          graft.sources.DeltaLogReader.snapshot(s, root.toString).version >= 2L)
+        return root.toString
+      def deleteRec(p: Path): Unit = if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(Files.delete(_))
+      deleteRec(root)
+      val logDir = root.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val physNames = nation.schema.fields.indices.map(i => s"p-${i + 1}")
+      val tmp = root.resolve("staging")
+      nation.toDF(physNames: _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, root.resolve("part-0.parquet"))
+      deleteRec(tmp)
+      val mappedSchema = StructType(nation.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(f.name, f.dataType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", physNames(i))
+            .putLong("delta.columnMapping.id", (i + 1).toLong).build())
+      })
+      val schemaStr = mappedSchema.json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"colmapgate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+        """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+      graft.output.DeltaWriter.deleteWhere(s, root.toString,
+        col("n_nationkey") % 2 === 1)
+      graft.output.DeltaWriter.purgeDeletes(s, root.toString)
+      root.toString
+    }
+
   /** Hand-authored two-snapshot Iceberg v2 table over `nation`, exercising
     * the whole metadata plane the reader implements: snapshot 1 adds file
     * A (n_regionkey < 2, sorted by key so row position is a pure function
@@ -788,6 +842,16 @@ object SparkEntry {
         }
       }
       graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_colmap_delete" -> ((s, dir) => {
+      // row-level DELETE + purge on a COLUMN-MAPPED (mode=name) table:
+      // logical predicate over physical parquet names, physical rewrite,
+      // logical read-back — the maintenance plane without the old
+      // columnMapping=none guard
+      val path = deltaColmapFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
     "q_iceberg_scan" -> ((s, dir) => {
@@ -2334,6 +2398,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "q_delta_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_colmap_delete" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_scan" ->

@@ -158,12 +158,30 @@ object DeltaWriter {
     * per-partition-predicate (the `files.filter` is the hook), not
     * table-wide.
     */
+  /** Data schema in PHYSICAL field names (what a column-mapped table's
+    * parquet files carry; identity when mapping is none). Under `id` mode
+    * the fields also carry `parquet.field.id` metadata, so maintenance
+    * scans match columns by FIELD ID and rewritten files re-emit the ids
+    * (Spark's parquet writer honors the metadata by default) — a foreign
+    * id-mode reader keeps resolving the rewritten files.
+    */
+  private def physicalDataSchema(
+      snap: graft.sources.DeltaLogReader.Snapshot): StructType =
+    StructType(snap.dataSchema.fields.map(f =>
+      graft.sources.DeltaLogReader.physicalField(f, snap.columnMappingMode)))
+
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
-    require(snap.columnMappingMode == "none",
-      s"optimize does not support columnMapping=${snap.columnMappingMode}")
+    // column-mapped tables: scan and rewrite in PHYSICAL column names
+    // (what the parquet files carry; `id` mode also rides field ids
+    // through read and write), so compaction never renames anything and
+    // the log's logical schema keeps resolving — reference serves
+    // column-mapped tables as first-class (tests/test_colmap.py:12-30)
+    val physSchema = physicalDataSchema(snap)
+    val readerOpts = graft.sources.DeltaLogReader
+      .readerOptionsFor(snap.columnMappingMode)
     // the CANONICAL add resolver (absolute adds, normalization) — join
     // keys below must match Spark's qualified _metadata.file_path, and a
     // hand-rolled root.resolve would drift on relative table paths
@@ -215,7 +233,7 @@ object DeltaWriter {
     // LEFT join + fail-fast: the scan reads EXACTLY the binned files, so
     // every row must resolve a bin — an inner join would silently drop
     // rows on path drift while the removes below still commit
-    val src = spark.read.schema(snap.dataSchema)
+    val src = spark.read.options(readerOpts).schema(physSchema)
       .parquet(fileToBin.map(_._1): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -251,7 +269,9 @@ object DeltaWriter {
           val name = p.getFileName.toString
           Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
           adds += Written(name, Files.size(root.resolve(name)), pv,
-            ParquetStats.statsJson(root.resolve(name), snap.dataSchema))
+            // stats keyed by PHYSICAL name (how mapped tables record them;
+            // identical to logical when unmapped)
+            ParquetStats.statsJson(root.resolve(name), physSchema))
         case _ => ()
       }
     }
@@ -298,11 +318,16 @@ object DeltaWriter {
     import spark.implicits._
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
-    require(snap.columnMappingMode == "none",
-      s"optimizeZOrder does not support columnMapping=${snap.columnMappingMode}")
     require(snap.dataSchema.fieldNames.contains(cx) &&
         snap.dataSchema.fieldNames.contains(cy),
       s"z-order columns must be data columns of ${snap.dataSchema.fieldNames.toSeq}")
+    // column-mapped tables: the whole rewrite runs in PHYSICAL names (see
+    // [[optimize]]); the caller's z columns are LOGICAL — resolve once
+    val physSchema = physicalDataSchema(snap)
+    val readerOpts = graft.sources.DeltaLogReader
+      .readerOptionsFor(snap.columnMappingMode)
+    val px = graft.sources.DeltaLogReader.physicalName(snap.dataSchema(cx))
+    val py = graft.sources.DeltaLogReader.physicalName(snap.dataSchema(cy))
 
     val candidates = snap.files.filter(_.deletionVector.isEmpty)
     if (candidates.isEmpty) return 0
@@ -318,15 +343,15 @@ object DeltaWriter {
     // group, serializing a 10³-partition lake through 10³ driver-
     // blocking jobs. Partitions whose z columns are all-null are
     // skipped whole (their files stay), matching the old behavior.
-    val withF = spark.read.schema(snap.dataSchema)
+    val withF = spark.read.options(readerOpts).schema(physSchema)
       .parquet(candidates.map(f => absOf(f)): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     val fileSpans: Map[String, (Option[Double], Option[Double],
         Option[Double], Option[Double])] =
       withF.groupBy(col("__f"))
-        .agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
-          min(col(cy)).cast("double"), max(col(cy)).cast("double"))
+        .agg(min(col(s"`$px`")).cast("double"), max(col(s"`$px`")).cast("double"),
+          min(col(s"`$py`")).cast("double"), max(col(s"`$py`")).cast("double"))
         .collect().map(r => r.getString(0) -> (
           Option(r.get(1)).map(_.asInstanceOf[Double]),
           Option(r.get(2)).map(_.asInstanceOf[Double]),
@@ -364,10 +389,10 @@ object DeltaWriter {
     val rdf = broadcast(rows.toDF("__f", "__gid",
       "__lox", "__hix", "__loy", "__hiy"))
     val z = graft.operators.Layout.zValue(
-      graft.operators.Layout.quantize(col(cx), col("__lox"), col("__hix"),
-        bits),
-      graft.operators.Layout.quantize(col(cy), col("__loy"), col("__hiy"),
-        bits),
+      graft.operators.Layout.quantize(col(s"`$px`"), col("__lox"),
+        col("__hix"), bits),
+      graft.operators.Layout.quantize(col(s"`$py`"), col("__loy"),
+        col("__hiy"), bits),
       bits)
     // LEFT join + fail-fast over a scan of EXACTLY the rewritten files —
     // a fresh relation, NOT `withF` (that one reads ALL candidates, and
@@ -377,7 +402,7 @@ object DeltaWriter {
     // so the __gid-partitioned write inserts no re-sort of its own and
     // z runs stay intact within every group — the same staging-prefix
     // argument as [[IcebergWriter.rewriteZOrder]]'s partitioned path.
-    val scan = spark.read.schema(snap.dataSchema)
+    val scan = spark.read.options(readerOpts).schema(physSchema)
       .parquet(rewritten.map(f => absOf(f)): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -397,7 +422,7 @@ object DeltaWriter {
     val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
     graft.sources.Fs.ensureMicrosTimestamps(spark)
     clustered.write.partitionBy("__gid").parquet(staging.toString)
-    val adds = collectGidOutputs(staging, root, pvOfGid, snap.dataSchema,
+    val adds = collectGidOutputs(staging, root, pvOfGid, physSchema,
       "z-order")
 
     val version = nextVersion(root)
@@ -431,8 +456,11 @@ object DeltaWriter {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
-    require(snap.columnMappingMode == "none",
-      s"purgeDeletes does not support columnMapping=${snap.columnMappingMode}")
+    // column-mapped tables: scan and rewrite in PHYSICAL names (see
+    // [[optimize]]) — the purge never references a data column by name
+    val physSchema = physicalDataSchema(snap)
+    val readerOpts = graft.sources.DeltaLogReader
+      .readerOptionsFor(snap.columnMappingMode)
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return 0
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
@@ -456,7 +484,7 @@ object DeltaWriter {
     val dvs = dvFiles.map(f => abs(f) -> f.deletionVector.get)
     val gdf = broadcast(dvFiles.map(f =>
       (abs(f), groupIds(f.partitionValues))).toDF("__f", "__gid"))
-    val live = spark.read.schema(snap.dataSchema)
+    val live = spark.read.options(readerOpts).schema(physSchema)
       .parquet(dvFiles.map(abs): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -476,7 +504,7 @@ object DeltaWriter {
     live.write.partitionBy("__gid").parquet(staging.toString)
     // empty groups (a fully-deleted slice) produce no part files — the
     // removes alone are the correct state
-    val adds = collectGidOutputs(staging, root, pvOfGid, snap.dataSchema,
+    val adds = collectGidOutputs(staging, root, pvOfGid, physSchema,
       "purge")
     val version = nextVersion(root)
     commit(root, version,
@@ -567,10 +595,17 @@ object DeltaWriter {
     import org.apache.spark.sql.functions.{col, collect_set, count, lit, regexp_replace, sort_array}
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
-    require(snap.columnMappingMode == "none",
-      s"deleteWhere does not support columnMapping=${snap.columnMappingMode}")
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       graft.sources.DeltaLogReader.resolveAdd(path, f.path)
+    // column-mapped tables: the probe scans PHYSICAL columns and aliases
+    // them back to LOGICAL names before the caller's predicate applies —
+    // no data file is rewritten (DVs only), so nothing else changes
+    val mode = snap.columnMappingMode
+    val mapped = mode == "name" || mode == "id"
+    val physSchema = physicalDataSchema(snap)
+    val readerOpts = graft.sources.DeltaLogReader.readerOptionsFor(mode)
+    def physName(f: StructField): String =
+      graft.sources.DeltaLogReader.physicalName(f)
 
     // matched (file, position) frame through ONE GraftFileIndex relation
     // (the old shape built a relation PER partition group and unioned
@@ -586,20 +621,30 @@ object DeltaWriter {
     val entries = snap.files.map { f =>
       val a = abs(f)
       graft.sources.IndexedFile(a, snap.fileSize(a),
-        partFields.map(pf => f.partitionValues.getOrElse(pf.name, null)),
+        // the log keys partitionValues by PHYSICAL name under mapping
+        partFields.map(pf => f.partitionValues.get(physName(pf))
+          .orElse(f.partitionValues.get(pf.name)).orNull),
         (colName, op, value) =>
-          schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
+          // pushed predicates arrive on the relation's PHYSICAL attribute
+          // names; stats are keyed physical too (see DeltaLogReader.read)
+          schemaFields.find(fl => fl.name.equalsIgnoreCase(colName) ||
+              physName(fl).equalsIgnoreCase(colName)) match {
             case Some(fld) => graft.sources.DeltaLogReader.statsMayMatch(
-              f.statsNode, fld.name, op, value, fld.dataType)
+              f.statsNode, physName(fld), op, value, fld.dataType)
             case None => true
           })
     }
+    val dataFields = snap.dataSchema.fields.toIndexedSeq
     val base = graft.sources.GraftFileIndex.frame(spark,
         root.toAbsolutePath.normalize,
-        StructType(partFields), snap.dataSchema, entries)
-      .withColumn("__f",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-      .withColumn("__p", col("_metadata.row_index"))
+        StructType(partFields), physSchema, entries, readerOpts)
+      .select(dataFields.map(f =>
+        if (mapped) col(s"`${physName(f)}`").as(f.name)
+        else col(s"`${f.name}`")) ++
+        partFields.map(f => col(s"`${f.name}`")) :+
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          .as("__f") :+
+        col("_metadata.row_index").as("__p"): _*)
     val allDvs = snap.files.collect {
       case f if f.deletionVector.isDefined => (abs(f), f.deletionVector.get)
     }

@@ -564,11 +564,36 @@ object DeltaLogReader {
     }.distinct.sorted
   }
 
-  /** physical parquet field name under column mapping `name` mode. */
-  private def physicalName(f: StructField): String =
+  /** physical parquet field name under column mapping `name`/`id` mode. */
+  private[graft] def physicalName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
+
+  /** The field as the parquet reader must request it: physical name, plus
+    * `parquet.field.id` metadata under `id` mode so Spark matches columns
+    * by FIELD ID (files whose internal names drifted still read). Shared
+    * by [[read]] and the writer's maintenance plane, so the two can never
+    * disagree on what "physical" means.
+    */
+  private[graft] def physicalField(f: StructField, mode: String): StructField = {
+    val base = f.copy(name = physicalName(f))
+    if (mode == "id" && f.metadata.contains("delta.columnMapping.id"))
+      base.copy(metadata = new MetadataBuilder()
+        .withMetadata(base.metadata)
+        .putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+        .build())
+    else base
+  }
+
+  /** Per-relation reader options for a column mapping mode (options
+    * override session confs in the relation's Hadoop conf — unrelated
+    * parquet reads keep their semantics).
+    */
+  private[graft] def readerOptionsFor(mode: String): Map[String, String] =
+    if (mode == "id") Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+    else Map.empty
 
   /** Materialize the snapshot as a DataFrame. Partition values are attached
     * per file group as typed literal columns — layout-independent and
@@ -597,7 +622,10 @@ object DeltaLogReader {
           .find(_.name.equalsIgnoreCase(p.column)).map(f => (p, f)))
         snap0.copy(files = snap0.files.filter(f =>
           typed.forall { case (p, fld) =>
-            statsMayMatch(f.statsNode, fld.name, p.op, p.value, fld.dataType)
+            // per-file stats are keyed by PHYSICAL name under column
+            // mapping (spec) — same as plain tables when mode is none
+            statsMayMatch(f.statsNode, physicalName(fld), p.op, p.value,
+              fld.dataType)
           }))
       }
     val mode = snap.columnMappingMode
@@ -612,21 +640,8 @@ object DeltaLogReader {
     // Enabled per-RELATION (options override session confs in the
     // relation's Hadoop conf), not by mutating the shared session —
     // unrelated parquet reads in the same session keep their semantics.
-    val readerOptions =
-      if (mode == "id")
-        Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
-      else Map.empty[String, String]
-    def physicalField(f: StructField): StructField = {
-      val base = f.copy(name = physicalName(f))
-      if (mode == "id" && f.metadata.contains("delta.columnMapping.id"))
-        base.copy(metadata = new MetadataBuilder()
-          .withMetadata(base.metadata)
-          .putLong("parquet.field.id",
-            f.metadata.getLong("delta.columnMapping.id"))
-          .build())
-      else base
-    }
-    val physicalSchema = StructType(dataFields.map(physicalField))
+    val readerOptions = readerOptionsFor(mode)
+    val physicalSchema = StructType(dataFields.map(physicalField(_, mode)))
 
     /** `file:` URI → plain absolute path, matching [[absPath]]'s keys. */
     def normFile(c: org.apache.spark.sql.Column) =
@@ -668,9 +683,14 @@ object DeltaLogReader {
         partFields.map(pf => f.partitionValues.get(physicalName(pf))
           .orElse(f.partitionValues.get(pf.name)).orNull),
         (colName, op, value) =>
-          schemaFields.find(_.name.equalsIgnoreCase(colName)) match {
-            case Some(fld) => statsMayMatch(f.statsNode, fld.name, op, value,
-              fld.dataType)
+          // Catalyst pushes predicates below the logical-name Project, so
+          // `colName` arrives as the relation's PHYSICAL attribute — match
+          // either name, query the stats by the physical key (how mapped
+          // tables record them)
+          schemaFields.find(fl => fl.name.equalsIgnoreCase(colName) ||
+              physicalName(fl).equalsIgnoreCase(colName)) match {
+            case Some(fld) => statsMayMatch(f.statsNode, physicalName(fld),
+              op, value, fld.dataType)
             case None => true
           })
     }

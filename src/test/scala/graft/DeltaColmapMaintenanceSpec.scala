@@ -1,0 +1,155 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Maintenance ops on COLUMN-MAPPED Delta tables (the former
+  * `columnMapping == none` guards, lifted): scans resolve physical parquet
+  * names, predicates arrive logical, rewrites keep physical names (and
+  * field ids under `id` mode) so the reader's logical rename keeps
+  * resolving. The reference treats mapped tables as first-class
+  * (tests/test_colmap.py:12-30).
+  */
+class DeltaColmapMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): Path =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cmm_${tag}_${System.nanoTime()}")
+
+  /** `name`-mode table over (id: long, v: string, x: long) with physical
+    * names p-1/p-2/p-3, one data file per `rows` batch.
+    */
+  private def nameModeTable(tag: String,
+      batches: Seq[Seq[(Long, String, Long)]], mode: String = "name"): Path = {
+    val root = tmp(tag)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val phys = Seq("p-1", "p-2", "p-3")
+    val adds = batches.zipWithIndex.map { case (rows, i) =>
+      val staging = root.resolve("staging")
+      val df0 = rows.toDF(phys: _*)
+      val df =
+        if (mode == "id")
+          // `id` mode: the files' INTERNAL names differ from the log's
+          // physicalName — only the parquet field ids can resolve them
+          spark.createDataFrame(df0.rdd, StructType(
+            df0.schema.fields.zipWithIndex.map { case (f, j) =>
+              f.copy(name = s"x$j", metadata = new MetadataBuilder()
+                .putLong("parquet.field.id", (j + 1).toLong).build())
+            }))
+        else df0
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val name = s"f$i.parquet"
+      Files.move(part, root.resolve(name))
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+      s"""{"add":{"path":"$name","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    }
+    def field(n: String, t: String, p: String, id: Int) =
+      s"""{"name":"$n","type":"$t","nullable":true,"metadata":{"delta.columnMapping.physicalName":"$p","delta.columnMapping.id":$id}}"""
+    val schemaStr = s"""{"type":"struct","fields":[${Seq(
+      field("id", "long", "p-1", 1), field("v", "string", "p-2", 2),
+      field("x", "long", "p-3", 3)).mkString(",")}]}"""
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), (Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cmm","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}""")
+      ++ adds).mkString("\n"))
+    root
+  }
+
+  test("optimize compacts a name-mapped table; physical names survive the rewrite") {
+    val root = nameModeTable("opt",
+      (0 until 6).map(i => Seq((i.toLong, s"v$i", i.toLong * 10))))
+    val before = DeltaLogReader.read(spark, root.toString)
+      .select("id", "v", "x").as[(Long, String, Long)].collect().sorted.toSeq
+    val compacted = DeltaWriter.optimize(spark, root.toString)
+    assert(compacted == 6, s"expected 6 files compacted, got $compacted")
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    assert(snap.files.size == 1)
+    // the rewritten file carries PHYSICAL column names
+    val raw = spark.read.parquet(
+      DeltaLogReader.resolveAdd(root.toString, snap.files.head.path))
+    assert(raw.columns.toSeq == Seq("p-1", "p-2", "p-3"))
+    // and its stats are keyed physical (data skipping stays alive)
+    assert(snap.files.head.stats.exists(_.contains("\"p-1\"")))
+    val after = DeltaLogReader.read(spark, root.toString)
+      .select("id", "v", "x").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(after == before)
+  }
+
+  test("optimizeZOrder on a name-mapped table resolves logical z columns") {
+    val root = nameModeTable("zo",
+      (0 until 4).map(i => (0 until 25).map(j =>
+        ((i * 25 + j).toLong, s"v$j", ((i * 7 + j * 13) % 100).toLong))))
+    val before = DeltaLogReader.read(spark, root.toString)
+      .select("id", "v", "x").as[(Long, String, Long)].collect().sorted.toSeq
+    val n = DeltaWriter.optimizeZOrder(spark, root.toString, "id", "x")
+    assert(n == 4, s"expected 4 files rewritten, got $n")
+    val after = DeltaLogReader.read(spark, root.toString)
+      .select("id", "v", "x").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(after == before)
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    snap.files.foreach { f =>
+      val raw = spark.read.parquet(
+        DeltaLogReader.resolveAdd(root.toString, f.path))
+      assert(raw.columns.toSeq == Seq("p-1", "p-2", "p-3"))
+    }
+  }
+
+  test("deleteWhere + purgeDeletes on an id-mapped table (field-id resolution)") {
+    val root = nameModeTable("iddel",
+      Seq((0L to 9L).map(i => (i, s"v$i", i * 2)).toSeq), mode = "id")
+    val deleted = DeltaWriter.deleteWhere(spark, root.toString,
+      col("id") % 2 === 1)
+    assert(deleted == 5L)
+    assert(DeltaLogReader.read(spark, root.toString)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L))
+    val purged = DeltaWriter.purgeDeletes(spark, root.toString)
+    assert(purged == 1)
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaLogReader.read(spark, root.toString)
+      .select("id", "v", "x").as[(Long, String, Long)].collect().sorted.toSeq
+      == (0L to 9L).filter(_ % 2 == 0).map(i => (i, s"v$i", i * 2)))
+  }
+
+  test("deleteWhere probe still file-skips on a name-mapped table (physical stats keys)") {
+    // two files with disjoint id ranges and physical-keyed stats: a
+    // predicate on the logical name must still plan only the matching file
+    val root = nameModeTable("skip", Seq(
+      (0L to 4L).map(i => (i, s"a$i", i)).toSeq,
+      (100L to 104L).map(i => (i, s"b$i", i)).toSeq))
+    // attach physical-keyed stats via a rewriting commit: simplest is to
+    // verify the read-side honors them — serve with a skip predicate
+    val logDir = root.resolve("_delta_log")
+    val v0 = Files.readString(logDir.resolve(f"${0L}%020d.json"))
+    val patched = v0.replace(
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":5,\"minValues\":{\"p-1\":0},\"maxValues\":{\"p-1\":4},\"nullCount\":{\"p-1\":0}}"}}""")
+      .replace(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":5,\"minValues\":{\"p-1\":100},\"maxValues\":{\"p-1\":104},\"nullCount\":{\"p-1\":0}}"}}""")
+    assert(patched != v0, "fixture add lines drifted; patch failed")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), patched)
+    // skipFilters on the LOGICAL name must prune to one file
+    val skipped = DeltaLogReader.read(spark, root.toString,
+      skipFilters = Seq(graft.sources.SkipPredicate("id", "=", "2")))
+    assert(skipped.count() == 5L) // only f0's rows planned
+    assert(skipped.filter(col("id") === 2L).count() == 1L)
+    // and deleteWhere over the same table still deletes correctly
+    val deleted = DeltaWriter.deleteWhere(spark, root.toString,
+      col("id") >= 100L)
+    assert(deleted == 5L)
+    assert(DeltaLogReader.read(spark, root.toString)
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+  }
+}
