@@ -24,11 +24,13 @@ import scala.jdk.CollectionConverters._
   *    `col=value/` directories, partitionValues parsed back from the
   *    layout Spark wrote.
   *
-  * Commits are single-writer: the JSON is staged and atomically renamed
-  * into `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`; a concurrent committer
-  * of the same version loses the rename race and errors — optimistic
-  * multi-writer coordination (a LogStore) is out of scope and documented,
-  * matching the single-pipeline sink shape this serves.
+  * Commits are OPTIMISTIC: the JSON publishes put-if-absent through the
+  * pluggable [[LogStore]] (`_delta_log/NNNNNNNNNNNNNNNNNNNN.json`), so a
+  * concurrent committer of the same version loses atomically and gets the
+  * retryable [[DeltaWriter.ConcurrentCommitException]] — `append` retries
+  * with a recomputed version, probe-based ops surface it (their probe is
+  * stale). The default store is single-machine-safe; an object-store
+  * deployment binds its conditional-put adapter via [[LogStore.set]].
   *
   * Scale: data files are written by executors via the normal parquet
   * path (distributed); only the file LIST touches the driver — the same
@@ -969,11 +971,6 @@ object DeltaWriter {
     }
   }
 
-  /** Stage + atomic rename. A same-version race is detected by an
-    * existence check before the rename — BEST-EFFORT only (POSIX rename
-    * replaces silently), which is exactly why the contract above is
-    * single-writer; true multi-writer needs a putIfAbsent LogStore.
-    */
   /** Lost a commit race: another writer landed this version first. The
     * caller may retry with a recomputed version after RE-VALIDATING its
     * preconditions against the new table state ([[append]] does so
@@ -987,20 +984,16 @@ object DeltaWriter {
       actions: Seq[String]): Unit = {
     val log = root.resolve("_delta_log")
     Files.createDirectories(log) // created here, not in create(): see create()
-    val tmp = log.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, actions.mkString("\n"))
     val dest = log.resolve(f"$version%020d.json")
-    // atomic CREATE-NEW: a hard link fails if dest exists — unlike
-    // rename(2), which silently REPLACES, so the old exists-check-then-
-    // move left a window where two committers of the same version both
-    // "succeeded" and one commit vanished. Exactly one linker wins;
-    // losers get the retryable conflict.
-    try Files.createLink(dest, tmp)
+    // put-if-absent through the pluggable [[LogStore]] (local hard-link
+    // CREATE-NEW by default; conditional put on an object store): exactly
+    // one committer of a version wins, losers get the retryable conflict.
+    try LogStore.current.putIfAbsent(dest, actions.mkString("\n"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(
           s"concurrent commit of delta version $version at $root")
-    } finally Files.deleteIfExists(tmp)
+    }
   }
 
   // ---------- checkpoints ----------

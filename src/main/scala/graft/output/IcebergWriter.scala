@@ -2805,18 +2805,16 @@ object IcebergWriter {
     catch { case scala.util.control.NonFatal(_) => () } // additive only
     val mdDir = root.resolve("metadata")
     val dest = mdDir.resolve(s"v$version.metadata.json")
-    val tmp = mdDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp,
+    // put-if-absent through the pluggable [[LogStore]] (the same seam the
+    // Delta commit uses): exactly one committer of a metadata version
+    // wins, losers get the retryable conflict
+    try LogStore.current.putIfAbsent(dest,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(md))
-    // atomic CREATE-NEW via hard link — rename(2) silently replaces, so a
-    // check-then-move pair lost one of two same-version committers;
-    // exactly one linker wins, losers get the retryable conflict
-    try Files.createLink(dest, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(
           s"concurrent commit of iceberg metadata version $version at $root")
-    } finally Files.deleteIfExists(tmp)
+    }
     if (lastUpdatedCache.size > 1024) lastUpdatedCache.clear()
     Option(md.get("last-updated-ms")).map(_.asLong()).foreach(t =>
       lastUpdatedCache.put(root.toString, (dest.getFileName.toString, t)))

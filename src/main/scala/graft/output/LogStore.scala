@@ -1,0 +1,61 @@
+package graft.output
+
+import java.nio.file.{Files, Path}
+
+/** The atomic-commit primitive behind both transaction logs (Delta's
+  * `_delta_log/N.json`, Iceberg's `metadata/vN.metadata.json`): publish a
+  * fully-written file at `dest` IFF nothing exists there yet, atomically.
+  * Exactly one of two same-destination committers may succeed; the loser
+  * MUST observe [[java.nio.file.FileAlreadyExistsException]] — the writers
+  * translate it into their retryable ConcurrentCommitException, which is
+  * the whole optimistic-concurrency story (Delta PROTOCOL.md "Requirements
+  * for Writers": commit files must be put-if-absent; Iceberg spec: the
+  * metadata swap must be an atomic compare-and-swap).
+  *
+  * This is the SEAM a cluster deployment swaps: the default
+  * [[LocalLogStore]] is single-MACHINE-safe (POSIX hard-link CREATE-NEW —
+  * correct for any number of processes on one host, which is what
+  * local[32] and a single driver node exercise). An object-store
+  * deployment plugs a store mapping putIfAbsent onto the native
+  * conditional put: abfss/az = `If-None-Match: *` on the blob PUT, S3 =
+  * `If-None-Match: *` (supported since 2024), GCS = `ifGenerationMatch=0`.
+  * None of those need a coordination service — the store's own
+  * conditional-create IS the mutex, the same contract delta-rs and
+  * Iceberg's object-store catalogs rely on. Swap via [[LogStore.set]]
+  * before any writer runs (a process-wide binding, like a Hadoop
+  * filesystem registration).
+  */
+trait LogStore {
+  /** Atomically create `dest` containing exactly `content` (UTF-8), or
+    * throw [[java.nio.file.FileAlreadyExistsException]] if ANYTHING
+    * already exists at `dest`. On any other failure nothing may be
+    * visible at `dest` (no torn files — stage first, publish atomically).
+    */
+  def putIfAbsent(dest: Path, content: String): Unit
+}
+
+/** Stage-then-hard-link CREATE-NEW: `link(2)` fails with EEXIST when
+  * `dest` exists — unlike `rename(2)`, which silently REPLACES, so a
+  * check-then-move pair lost one of two same-version committers. Exactly
+  * one linker wins; the staged temp is always reclaimed.
+  */
+object LocalLogStore extends LogStore {
+  override def putIfAbsent(dest: Path, content: String): Unit = {
+    val tmp = dest.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try Files.createLink(dest, tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+}
+
+object LogStore {
+  @volatile private var active: LogStore = LocalLogStore
+
+  /** The store every commit publishes through. */
+  def current: LogStore = active
+
+  /** Bind a deployment-specific store (conditional-put adapter for an
+    * object store). Process-wide; call before any writer runs.
+    */
+  def set(store: LogStore): Unit = { active = store }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.output.{DeltaWriter, IcebergWriter, LocalLogStore, LogStore}
+import graft.sources.DeltaLogReader
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+/** The LogStore seam: put-if-absent is the commit mutex for BOTH
+  * transaction logs. Two same-version committers → exactly one winner,
+  * the loser observes the retryable conflict, and no commit is ever lost
+  * or torn — the multi-writer contract an object-store deployment gets
+  * from its conditional put (abfss If-None-Match, S3 If-None-Match, GCS
+  * ifGenerationMatch=0).
+  */
+class LogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ls_${tag}_${System.nanoTime()}").toString
+
+  test("putIfAbsent: exactly one of two racing writers wins; content is the winner's") {
+    val dir = Files.createTempDirectory("graft_ls_put")
+    val dest = dir.resolve("00000000000000000001.json")
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val results = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try { LocalLogStore.putIfAbsent(dest, s"writer-$i"); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(30, TimeUnit.SECONDS))
+      val failures = outcomes.flatten
+      assert(failures.size == 1, s"expected exactly one loser, got $outcomes")
+      assert(failures.head.isInstanceOf[java.nio.file.FileAlreadyExistsException])
+      val content = Files.readString(dest)
+      assert(content == "writer-1" || content == "writer-2")
+      // no staging litter
+      val leftovers = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toSeq finally s.close()
+      }.filter(_.getFileName.toString.startsWith(".tmp-"))
+      assert(leftovers.isEmpty, s"staged temps leaked: $leftovers")
+    } finally pool.shutdownNow()
+  }
+
+  test("delta: concurrent same-version commits — one ConcurrentCommitException, no lost commit") {
+    val path = tmp("delta_race")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    val root = Paths.get(path)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val results = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try {
+              DeltaWriter.commit(root, 1L, Seq(
+                s"""{"add":{"path":"w$i.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+              None
+            } catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(30, TimeUnit.SECONDS))
+      val failures = outcomes.flatten
+      assert(failures.size == 1, s"expected exactly one loser, got $outcomes")
+      assert(failures.head.isInstanceOf[DeltaWriter.ConcurrentCommitException],
+        failures.head.toString)
+      // the winning commit is intact (exactly one add action)
+      val committed = Files.readString(
+        root.resolve("_delta_log").resolve(f"${1L}%020d.json"))
+      assert(committed.contains("w1.parquet") != committed.contains("w2.parquet"))
+    } finally pool.shutdownNow()
+  }
+
+  test("delta: two concurrent APPENDS both land (loser retries at the next version)") {
+    val path = tmp("delta_appends")
+    DeltaWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val results = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try {
+              DeltaWriter.append(
+                Seq((i.toLong, s"writer$i")).toDF("id", "v"), path)
+              None
+            } catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      assert(outcomes.flatten.isEmpty, s"appends failed: ${outcomes.flatten}")
+      assert(DeltaLogReader.read(spark, path)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+      assert(DeltaLogReader.snapshot(spark, path).version == 2L)
+    } finally pool.shutdownNow()
+  }
+
+  test("iceberg: concurrent same-version metadata commits — one loser, table intact") {
+    val path = tmp("ice_race")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val results = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try {
+              IcebergWriter.append(
+                Seq((i.toLong + 10L, s"w$i")).toDF("id", "v"), path)
+              None
+            } catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      // appends retry internally — both must land
+      assert(outcomes.flatten.isEmpty, s"appends failed: ${outcomes.flatten}")
+      assert(graft.sources.IcebergReader.read(spark, path)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 11L, 12L))
+    } finally pool.shutdownNow()
+  }
+
+  test("the seam is pluggable: a wrapped store observes every commit publish") {
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new LogStore {
+      override def putIfAbsent(dest: java.nio.file.Path,
+          content: String): Unit = {
+        seen.incrementAndGet()
+        LocalLogStore.putIfAbsent(dest, content)
+      }
+    }
+    LogStore.set(counting)
+    try {
+      val path = tmp("plug")
+      DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
+      DeltaWriter.append(Seq((2L, "b")).toDF("id", "v"), path)
+      assert(seen.get() == 2, s"expected 2 publishes, saw ${seen.get()}")
+      assert(DeltaLogReader.read(spark, path).count() == 2L)
+    } finally LogStore.set(LocalLogStore)
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(it).asScala
+  }
+}
