@@ -344,6 +344,179 @@ object SparkEntry {
     root.toString
   }
 
+  /** Hand-authored FORMAT-V3 Iceberg table over `nation` — the foreign-
+    * writer shape [[graft.sources.IcebergReader]]'s v3 plane must read:
+    * snapshot 1 adds file A (n_regionkey < 2) + file B (n_regionkey >= 2)
+    * + a pre-upgrade PARQUET position delete on B (keys % 3 == 0);
+    * snapshot 2 adds a puffin DELETION VECTOR on A (odd keys). The scan
+    * must apply the DV (executor-side blob decode, CRC + cardinality
+    * checked) AND the legacy parquet delete on the non-DV file in the
+    * same plan. Both files sorted by n_nationkey so row position is a
+    * pure function of the key and the oracle is plain SQL.
+    */
+  private def icebergV3Fixture(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_v3_gate_v1_${math.abs(dir.hashCode)}")
+    val mdDir = root.resolve("metadata")
+    if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
+    def deleteRec(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    deleteRec(root)
+    Files.createDirectories(mdDir)
+    Files.createDirectories(root.resolve("data"))
+    val nation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def writeFile(df: DataFrame, name: String): String = {
+      val tmp = root.resolve("staging")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root.resolve(name)
+      Files.move(part, dest)
+      deleteRec(tmp)
+      dest.toString
+    }
+    val fileA = writeFile(
+      nation.filter(col("n_regionkey") < 2).orderBy(col("n_nationkey")),
+      "data/a.parquet")
+    val fileB = writeFile(
+      nation.filter(col("n_regionkey") >= 2).orderBy(col("n_nationkey")),
+      "data/b.parquet")
+    def sortedKeys(pred: org.apache.spark.sql.Column): Array[Long] =
+      nation.filter(pred).orderBy(col("n_nationkey"))
+        .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    // puffin DV on file A: odd-key row positions
+    val dvPositions = sortedKeys(col("n_regionkey") < 2).zipWithIndex
+      .collect { case (k, i) if k % 2 == 1 => i.toLong }.toSeq
+    val dvPath = root.resolve("data/dv-a.puffin").toString
+    val dvRef = graft.sources.PuffinDV.writeFile(dvPath,
+      Seq((fileA, dvPositions)), snapshotId = 2L, sequenceNumber = 2L).head
+    // pre-upgrade parquet position delete on file B: keys % 3 == 0
+    val delPosB = sortedKeys(col("n_regionkey") >= 2).zipWithIndex
+      .collect { case (k, i) if k % 3 == 0 => i.toLong }
+    val delDf = {
+      import s.implicits._
+      delPosB.toSeq.map(p => (fileB, p)).toDF("file_path", "pos")
+    }
+    val delFileB = writeFile(delDf, "data/del-b.parquet")
+
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    // one entry schema for all manifests: the v3 DV fields (143/144/145)
+    // ride as optional, null on parquet entries
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null},
+        |{"name":"content_offset","type":["null","long"],"default":null},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    def writeAvro(path: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, path.toFile)
+      records.foreach(w.append)
+      w.close()
+    }
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def entry(content: Int, path: String, format: String,
+        recordCount: Long,
+        dv: Option[graft.sources.PuffinDV.BlobRef] = None): GenericRecord = {
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", format)
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", recordCount)
+      df.put("file_size_in_bytes", 1L)
+      dv.foreach { r =>
+        df.put("referenced_data_file", r.referencedDataFile)
+        df.put("content_offset", r.offset)
+        df.put("content_size_in_bytes", r.length)
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", df) // sequence_number stays null → inherited
+      e
+    }
+    def manifest(name: String, recs: Seq[GenericRecord]): String = {
+      val p = mdDir.resolve(name)
+      writeAvro(p, entrySchema, recs)
+      p.toString
+    }
+    val m1 = manifest("m1.avro", Seq(entry(0, fileA, "PARQUET", 1L)))
+    val m2 = manifest("m2.avro", Seq(entry(0, fileB, "PARQUET", 1L)))
+    val m3 = manifest("m3.avro",
+      Seq(entry(1, delFileB, "PARQUET", delPosB.length.toLong)))
+    val m4 = manifest("m4.avro",
+      Seq(entry(1, dvPath, "PUFFIN", dvRef.cardinality, dv = Some(dvRef))))
+    def manifestList(name: String, entries: Seq[(String, Int, Long)]): String = {
+      val recs = entries.map { case (path, content, seq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path)
+        r.put("manifest_length", 1L)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", 1L)
+        r
+      }
+      val p = mdDir.resolve(name)
+      writeAvro(p, listSchema, recs)
+      p.toString
+    }
+    val list1 = manifestList("snap-1.avro",
+      Seq((m1, 0, 1L), (m2, 0, 1L), (m3, 1, 1L)))
+    val list2 = manifestList("snap-2.avro",
+      Seq((m1, 0, 1L), (m2, 0, 1L), (m3, 1, 1L), (m4, 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+        |{"id":2,"name":"n_name","required":false,"type":"string"},
+        |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}""".stripMargin
+    def snapJson(id: Long, seq: Long, list: String, firstRowId: Long): String =
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":0,
+         |"first-row-id":$firstRowId,
+         |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
+    Files.writeString(mdDir.resolve("v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"gate-v3","location":"$root",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
+         |"next-row-id":100,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"current-snapshot-id":2,"snapshots":[
+         |${snapJson(1L, 1L, list1, 0L)},${snapJson(2L, 2L, list2, 50L)}]}"""
+        .stripMargin)
+    Files.writeString(mdDir.resolve("version-hint.text"), "1")
+    root.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -785,6 +958,86 @@ object SparkEntry {
       graft.sources.DeltaLogReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_v2_checkpoint_scan" -> ((s, dir) => {
+      // v2-checkpoint-ONLY serving: the table's log is retention-cleaned
+      // so every commit below the v2 checkpoint (uuid manifest +
+      // sidecars) is GONE — the scan must reconstruct from the
+      // checkpoint alone plus the post-checkpoint commits, proving the
+      // serving plane never needs commit 0 (the shape a year-old
+      // streaming table serves from after log retention)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_v2cp_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          val W = graft.output.DeltaWriter
+          W.create(nation.filter(col("n_nationkey") === 0), root.toString)
+          W.enableV2Checkpoints(s, root.toString) // v1
+          // one key per commit → v2 checkpoint lands at v10 (keys 0..9)
+          (1 to 10).foreach(k => W.append(
+            nation.filter(col("n_nationkey") === k), root.toString))
+          // post-checkpoint commits: delete odds (v12), append key 11
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 2 === 1)
+          W.append(nation.filter(col("n_nationkey") === 11), root.toString)
+          // reclaim every commit JSON below the checkpoint
+          Thread.sleep(10)
+          val n = W.cleanupExpiredLogs(root.toString, horizonMs = 0L)
+          require(n >= 10, s"expected >=10 commits reclaimed, got $n")
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_maintain_delta" -> ((s, dir) => {
+      // one-call maintenance sweep on a delta table that lived a little
+      // (create → 12 appends through a checkpoint → delete): checkpoints
+      // compacted, expired commit JSONs reclaimed — and the rows are
+      // EXACTLY what they were before the sweep (the oracle pins them)
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_maintain_delta_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          val W = graft.output.DeltaWriter
+          W.create(nation.filter(col("n_nationkey") === 0), root.toString)
+          (1 to 11).foreach(k => W.append(
+            nation.filter(col("n_nationkey") === k), root.toString))
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 3 === 0)
+          Thread.sleep(10)
+          graft.operators.Maintenance.maintain(s, root.toString,
+            horizonMs = 0L).collect()
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_maintain_iceberg" -> ((s, dir) => {
+      // the same sweep on an iceberg table (manifests merged, history
+      // expired to the last snapshot, orphans reclaimed) — reads after
+      // the sweep must be bit-identical to before
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_maintain_ice_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!java.nio.file.Files.exists(
+            root.resolve("metadata").resolve("v1.metadata.json"))) {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          val W = graft.output.IcebergWriter
+          W.create(cust.filter(col("c_mktsegment") === "BUILDING"),
+            root.toString)
+          W.append(cust.filter(col("c_mktsegment") === "MACHINERY"),
+            root.toString)
+          W.deleteWhere(s, root.toString, col("c_custkey") % 3 === 0)
+          Thread.sleep(10)
+          graft.operators.Maintenance.maintain(s, root.toString,
+            keepSnapshots = 1, horizonMs = 0L).collect()
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("c_custkey"))
+    }),
     "q_delta_stats_skip" -> ((s, dir) => {
       // the serving path over a delta table whose adds carry per-file
       // stats: the '=' param becomes a SkipPredicate, so the point lookup
@@ -859,6 +1112,15 @@ object SparkEntry {
       // manifest-list/manifest replay, sequence inheritance and the
       // (_metadata.file_path, row_index) anti-join all on the gated path
       val path = icebergFixture(s, dir)
+      graft.sources.IcebergReader.read(s, path)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_v3_dv" -> ((s, dir) => {
+      // format-v3 table: puffin deletion vector on file A (odd keys,
+      // executor-decoded, CRC + cardinality checked) plus a pre-upgrade
+      // parquet position delete on file B (keys % 3 == 0) — both delete
+      // planes applied in ONE scan, DV precedence plane live
+      val path = icebergV3Fixture(s, dir)
       graft.sources.IcebergReader.read(s, path)
         .orderBy(col("n_nationkey"))
     }),
@@ -2403,6 +2665,20 @@ object SparkEntry {
     "q_delta_colmap_delete" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_v2_checkpoint_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE (n_nationkey <= 10 AND n_nationkey % 2 = 0)
+        |   OR n_nationkey = 11
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_maintain_delta" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey <= 11 AND n_nationkey % 3 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_maintain_iceberg" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |  AND c_custkey % 3 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_iceberg_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0) OR n_regionkey >= 2
@@ -2410,6 +2686,11 @@ object SparkEntry {
     "q_iceberg_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_v3_dv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0)
+        |   OR (n_regionkey >= 2 AND n_nationkey % 3 <> 0)
+        |ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

@@ -32,15 +32,17 @@ import scala.jdk.CollectionConverters._
   * frame is itself a distributed parquet read, so a delete-heavy table
   * never materializes positions on the driver.
   *
-  * Supported: format v1 and v2, unpartitioned and identity-partitioned
+  * Supported: format v1-v3, unpartitioned and identity-partitioned
   * layouts (identity source columns are PRESENT in Iceberg data files, so
   * no partition-value attachment is needed for correctness), snapshot
   * time travel by id or timestamp, sequence-number inheritance, position
-  * deletes (content=1, data seq <= delete seq), and equality deletes
+  * deletes (content=1, data seq <= delete seq — parquet files in v2,
+  * puffin deletion vectors in v3 via [[PuffinDV]], with the spec's
+  * DV-supersedes-position-files precedence), and equality deletes
   * (content=2, strict data seq < delete seq, null-safe column equality,
   * one anti-join per delete file). Rejected with clear errors: format
-  * v3+, non-parquet data files, unknown schema types, equality deletes
-  * without `equality_ids`.
+  * v4+, non-parquet data files, v3 `initial-default` schema defaults,
+  * unknown schema types, equality deletes without `equality_ids`.
   */
 object IcebergReader {
 
@@ -101,7 +103,17 @@ object IcebergReader {
       // the manifest's partition spec id — equality-delete SCOPING needs
       // it (deletes under a partitioned spec apply only to their
       // partition; unpartitioned-spec deletes are global per spec)
-      specId: Int = 0)
+      specId: Int = 0,
+      // v3 deletion vectors (content=1, file_format=PUFFIN): the single
+      // data file this DV deletes from (spec field 143, REMAPPED to the
+      // local namespace like data paths), the blob's coordinates inside
+      // the puffin file (fields 144/145), and the entry's record_count
+      // (= DV cardinality, cross-checked at decode). None/-1 for
+      // parquet position-delete files.
+      referencedDataFile: Option[String] = None,
+      contentOffset: Long = -1L,
+      contentSize: Long = -1L,
+      recordCount: Long = -1L)
 
   /** Spec-reserved field id of the position-delete `file_path` column —
     * a delete file's bounds on it scope the delete to the data files it
@@ -220,8 +232,8 @@ object IcebergReader {
       ref: Option[String] = None): Snapshot = {
     val root = mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
     val version = root.get("format-version").asInt()
-    require(version == 1 || version == 2,
-      s"unsupported iceberg format-version $version (this reader handles 1 and 2)")
+    require(version >= 1 && version <= 3,
+      s"unsupported iceberg format-version $version (this reader handles 1-3)")
     val location = Option(root.get("location")).map(_.asText()).getOrElse(tablePath)
 
     val (schema, fieldNames) = currentSchema(root)
@@ -421,10 +433,13 @@ object IcebergReader {
         val seq = longField(entry, "sequence_number", m.seq)
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val format = str(df, "file_format").toUpperCase
-        require(format == "PARQUET",
-          s"unsupported iceberg data file format $format (parquet only)")
         val path = remap(str(df, "file_path"), location, tablePath)
         val content = intField(df, "content", m.content)
+        // data and equality-delete files must be parquet; position
+        // deletes may also be PUFFIN deletion vectors (v3)
+        require(format == "PARQUET" || (content == 1 && format == "PUFFIN"),
+          s"unsupported iceberg file format $format for content $content " +
+            "(parquet only; puffin for deletion vectors)")
         content match {
           case 0 => data += DataFileEntry(path, seq,
             partitionValues = partitionTuple(df),
@@ -433,8 +448,25 @@ object IcebergReader {
             nullCounts = countsMap(df, "null_value_counts"),
             declaredPath = str(df, "file_path"),
             specId = m.specId)
-          case 1 => deletes += DataFileEntry(path, seq,
-            bounds = entryBounds(df))
+          case 1 =>
+            if (format == "PUFFIN") {
+              // v3 deletion vector: exactly one referenced data file +
+              // the blob's coordinates. All three fields are spec-
+              // REQUIRED for DVs; a missing one means a malformed
+              // manifest, and guessing under-deletes.
+              val ref = fieldOpt(df, "referenced_data_file")
+                .map(_.toString).getOrElse(throw new IllegalArgumentException(
+                  s"deletion vector $path carries no referenced_data_file"))
+              val off = longField(df, "content_offset", -1L)
+              val size = longField(df, "content_size_in_bytes", -1L)
+              require(off >= 0 && size > 0, s"deletion vector $path " +
+                "carries no content_offset/content_size_in_bytes")
+              deletes += DataFileEntry(path, seq,
+                referencedDataFile = Some(remap(ref, location, tablePath)),
+                contentOffset = off, contentSize = size,
+                recordCount = longField(df, "record_count", -1L))
+            } else deletes += DataFileEntry(path, seq,
+              bounds = entryBounds(df))
           case 2 =>
             val ids = fieldOpt(df, "equality_ids")
               .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
@@ -1012,6 +1044,16 @@ object IcebergReader {
 
   private def structOf(node: JsonNode): StructType =
     StructType(node.get("fields").elements().asScala.map { f =>
+      // v3 `initial-default` changes READ semantics: files written before
+      // the column was added must surface the default, not null. Ignoring
+      // it would be a silently wrong answer, so fail closed until
+      // implemented (a literal-null default is the v1/v2 behavior — fine).
+      Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
+        throw new IllegalArgumentException(
+          s"unsupported iceberg schema: field '${f.get("name").asText()}' " +
+            s"carries initial-default $d (this reader would return null " +
+            "where the default belongs)")
+      }
       StructField(f.get("name").asText(), typeOf(f.get("type")),
         nullable = !f.get("required").asBoolean(false))
     }.toSeq)
@@ -1135,8 +1177,18 @@ object IcebergReader {
     // plans from joining every historical delete file forever. Bounds
     // compare against the data files' DECLARED manifest paths (the
     // namespace the delete file's footer stats serialized), unsigned
-    // UTF-8; entries without bounds are kept (fail-open).
-    val posDeletesPlanned = prunePositionDeletes(posDeletes, dataFiles)
+    // UTF-8; entries without bounds are kept (fail-open). v3 deletion
+    // vectors split off first: a DV names its single referenced data
+    // file, so DV pruning is EXACT — referenced file ∈ planned set —
+    // and never fails open to a join.
+    val (dvAll, parquetPos) =
+      posDeletes.partition(_.referencedDataFile.isDefined)
+    val posDeletesPlanned = prunePositionDeletes(parquetPos, dataFiles)
+    val dvPlanned = {
+      lazy val plannedPaths =
+        dataFiles.iterator.map(f => normPath(f.path)).toSet
+      dvAll.filter(d => plannedPaths(normPath(d.referencedDataFile.get)))
+    }
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
     // ONE [[GraftFileIndex]]-backed relation (identity sources live IN
@@ -1173,7 +1225,7 @@ object IcebergReader {
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
       StructType(Nil), snap.schema, entries)
-    if (posDeletesPlanned.isEmpty && eqDeletes.isEmpty)
+    if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty && eqDeletes.isEmpty)
       return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
@@ -1208,19 +1260,43 @@ object IcebergReader {
     // seq map: an inner join would silently UNDER-delete on path-
     // normalization drift.
     val afterPos =
-      if (posDeletesPlanned.isEmpty) withSeq
+      if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty) withSeq
       else {
-        val deletes = deleteSeqJoined(spark, posDeletesPlanned.map(_.path),
-          posDeletesPlanned.map(d => (normPath(d.path), d.seq)),
-          Some("file_path string, pos bigint"), "__del_src", "__del_seq",
-          "iceberg scan")
-          // fail-fast on a physically file_path-less delete file: the
-          // explicit schema reads a missing column as all-null, and a
-          // null key would silently UNDER-delete instead of erroring
-          .select(coalesce(norm(col("file_path")),
-              raise_error(lit("iceberg scan: position delete file " +
-                "carries no file_path column"))).as("__del_file"),
-            col("pos").as("__del_pos"), col("__del_seq"))
+        val dvTargets =
+          dvPlanned.map(d => normPath(d.referencedDataFile.get)).distinct
+        val parquetRows =
+          if (posDeletesPlanned.isEmpty) None
+          else {
+            val rows = deleteSeqJoined(spark, posDeletesPlanned.map(_.path),
+              posDeletesPlanned.map(d => (normPath(d.path), d.seq)),
+              Some("file_path string, pos bigint"), "__del_src", "__del_seq",
+              "iceberg scan")
+              // fail-fast on a physically file_path-less delete file: the
+              // explicit schema reads a missing column as all-null, and a
+              // null key would silently UNDER-delete instead of erroring
+              .select(coalesce(norm(col("file_path")),
+                  raise_error(lit("iceberg scan: position delete file " +
+                    "carries no file_path column"))).as("__del_file"),
+                col("pos").as("__del_pos"), col("__del_seq"))
+            // v3 precedence (spec "Deletion Vectors"): a data file with a
+            // DV IGNORES position-delete files — the writer merged every
+            // prior position delete into the DV at write time, so the DV
+            // alone is authoritative and the scan skips reading obsolete
+            // delete rows for those files
+            Some(if (dvTargets.isEmpty) rows
+              else rows.join(broadcast(dvTargets.toDF("__del_file")),
+                Seq("__del_file"), "left_anti"))
+          }
+        // v3 deletion vectors: blob decode happens on EXECUTORS
+        // (PuffinDV.deletedRows), one (file, pos, seq) relation unioned
+        // with the parquet delete rows — same single anti-join either way
+        val dvRows =
+          if (dvPlanned.isEmpty) None
+          else Some(PuffinDV.deletedRows(spark, dvPlanned.map(d =>
+            PuffinDV.Dv(d.path, d.contentOffset, d.contentSize,
+              normPath(d.referencedDataFile.get), d.seq, d.recordCount))))
+        val deletes = (parquetRows.toSeq ++ dvRows.toSeq)
+          .reduce(_.unionByName(_))
         withSeq.join(deletes,
           col("__ib_file") === col("__del_file") &&
             col("__ib_pos") === col("__del_pos") &&

@@ -36,6 +36,54 @@ object IcebergTestFixtures {
       |{"name":"record_count","type":"long"},
       |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
 
+  /** v3 manifest entry schema: the v2 shape plus the deletion-vector
+    * fields (spec ids 143/144/145), optional so parquet entries leave
+    * them null.
+    */
+  val entrySchemaV3: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"referenced_data_file","type":["null","string"],"default":null},
+      |{"name":"content_offset","type":["null","long"],"default":null},
+      |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
+      |]}}]}""".stripMargin)
+
+  /** One-entry deletion-vector manifest: a content=1 PUFFIN entry whose
+    * coordinates come from the written blob. `recordCount` defaults to
+    * the DV cardinality (the spec-required value); pass an override to
+    * build deliberately-inconsistent fixtures.
+    */
+  def dvManifest(path: Path, puffinPath: String,
+      ref: graft.sources.PuffinDV.BlobRef,
+      recordCount: Option[Long] = None): String = {
+    val dfSchema = entrySchemaV3.getField("data_file").schema()
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", 1)
+    df.put("file_path", puffinPath)
+    df.put("file_format", "PUFFIN")
+    df.put("partition",
+      new GenericData.Record(dfSchema.getField("partition").schema()))
+    df.put("record_count", recordCount.getOrElse(ref.cardinality))
+    df.put("file_size_in_bytes", 1L)
+    df.put("referenced_data_file", ref.referencedDataFile)
+    df.put("content_offset", ref.offset)
+    df.put("content_size_in_bytes", ref.length)
+    val e = new GenericData.Record(entrySchemaV3)
+    e.put("status", 1)
+    e.put("data_file", df)
+    writeAvro(path, entrySchemaV3, Seq(e))
+    path.toString
+  }
+
   def writeAvro(path: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, path.toFile)
