@@ -1020,8 +1020,10 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_maintain_ice_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        // probe via version-hint, NOT v1.metadata.json: the sweep's
+        // removeOrphanFiles legitimately reclaims superseded metadata
+        // jsons, and a v1-probe would rebuild over the maintained table
+        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
           val cust = Tables.load(s, dir, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           val W = graft.output.IcebergWriter

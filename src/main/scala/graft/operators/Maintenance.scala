@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-call table maintenance — the declarative sweep a lakehouse cron
+  * runs per table (the reference's config-driven spirit: one entry point,
+  * not four hand-sequenced ops; reference config/tables themes at
+  * bmsdna/lakeapi README.md:66 treat table upkeep as the engine's job).
+  *
+  * Detects the table format and runs its full metadata-plane sweep:
+  *
+  *  - Delta: [[graft.output.DeltaWriter.cleanupCheckpoints]] (superseded
+  *    checkpoints + unreferenced v2 sidecars), then
+  *    [[graft.output.DeltaWriter.cleanupExpiredLogs]] (commit JSONs below
+  *    the newest checkpoint past the horizon — keeps per-commit
+  *    `_delta_log` listing cost flat in table LIFETIME), then optionally
+  *    [[graft.output.DeltaWriter.vacuum]] (unreferenced data files; opt-in
+  *    because it narrows time travel).
+  *  - Iceberg: [[graft.output.IcebergWriter.rewriteManifests]] (bounds the
+  *    live manifest count), then
+  *    [[graft.output.IcebergWriter.expireSnapshots]] (history past
+  *    `keepSnapshots`, tags/branches always pinned), then
+  *    [[graft.output.IcebergWriter.removeOrphanFiles]] (files no surviving
+  *    snapshot references, past the horizon).
+  *
+  * Order matters and is deliberate: structure first (merge/checkpoint),
+  * then history, then physical reclamation — each step only widens what
+  * the next may reclaim, and every step is individually crash-safe
+  * (metadata commits land before file deletion in the underlying ops).
+  *
+  * Returns a small report DataFrame `(format, op, reclaimed)` — one row
+  * per op, `reclaimed` = that op's own unit (files deleted, manifests
+  * merged, snapshots expired). Driver-side metadata work only; row data
+  * is never read.
+  */
+object Maintenance {
+
+  final case class OpReport(format: String, op: String, reclaimed: Long)
+
+  def maintain(spark: SparkSession, path: String,
+      keepSnapshots: Int = 2,
+      horizonMs: Long = 24L * 60 * 60 * 1000,
+      vacuumRetainVersions: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[OpReport] =
+      if (graft.sources.DeltaLogReader.isDeltaTable(path)) {
+        val W = graft.output.DeltaWriter
+        Seq(
+          OpReport("delta", "cleanupCheckpoints",
+            W.cleanupCheckpoints(spark, path, horizonMs = horizonMs).toLong),
+          OpReport("delta", "cleanupExpiredLogs",
+            W.cleanupExpiredLogs(path, horizonMs = horizonMs).toLong)) ++
+          vacuumRetainVersions.map(r => OpReport("delta", "vacuum",
+            W.vacuum(spark, path, r).toLong))
+      } else if (graft.sources.IcebergReader.isIcebergTable(path)) {
+        val W = graft.output.IcebergWriter
+        Seq(
+          OpReport("iceberg", "rewriteManifests",
+            W.rewriteManifests(path).toLong),
+          OpReport("iceberg", "expireSnapshots",
+            W.expireSnapshots(path, keepLast = keepSnapshots).toLong),
+          OpReport("iceberg", "removeOrphanFiles",
+            W.removeOrphanFiles(path, olderThanMs = horizonMs).toLong))
+      } else throw new IllegalArgumentException(
+        s"$path is neither a Delta nor an Iceberg table")
+    rows.toDF("format", "op", "reclaimed")
+  }
+}

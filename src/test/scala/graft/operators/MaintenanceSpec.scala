@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.output.{DeltaWriter, IcebergWriter}
+import graft.sources.{DeltaLogReader, IcebergReader}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Unified maintain(): format detection, the per-op report, physical
+  * reclamation actually happening, and reads staying bit-identical
+  * through the sweep.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_maint_${tag}_${System.nanoTime()}").toString
+
+  test("delta sweep reclaims and preserves") {
+    val path = tmp("delta2")
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    (1 to 21).foreach(i =>
+      DeltaWriter.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    val log = Paths.get(path, "_delta_log")
+    val before = DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    Thread.sleep(10)
+    val report = Maintenance.maintain(spark, path, horizonMs = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(report.map(_._1).toSet == Set("delta"))
+    assert(report.map(_._2).toSeq ==
+      Seq("cleanupCheckpoints", "cleanupExpiredLogs"))
+    // commits below checkpoint 20 reclaimed; checkpoint 10 superseded
+    val logReclaimed = report.find(_._2 == "cleanupExpiredLogs").get._3
+    assert(logReclaimed == 20L, s"expected 20 commits reclaimed, $report")
+    assert(!Files.exists(log.resolve(f"${0L}%020d.json")))
+    assert(Files.exists(log.resolve(f"${20L}%020d.json")))
+    val after = DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before)
+  }
+
+  test("iceberg sweep: history expired, orphans gone, rows unchanged") {
+    val path = tmp("ice")
+    IcebergWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    (3 to 8).foreach(i =>
+      IcebergWriter.append(Seq((i, s"v$i")).toDF("id", "v"), path))
+    IcebergWriter.deleteWhere(spark, path, org.apache.spark.sql.functions
+      .col("id") % 2 === 0)
+    val before = IcebergReader.read(spark, path)
+      .select("id").as[Int].collect().sorted.toSeq
+    val listsBefore = Files.list(Paths.get(path, "metadata")).iterator()
+      .asScala.count(_.getFileName.toString.startsWith("snap-"))
+    Thread.sleep(10)
+    val report = Maintenance.maintain(spark, path,
+      keepSnapshots = 1, horizonMs = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(report.map(_._1).toSet == Set("iceberg"))
+    assert(report.map(_._2).toSeq ==
+      Seq("rewriteManifests", "expireSnapshots", "removeOrphanFiles"))
+    assert(report.find(_._2 == "expireSnapshots").get._3 > 0)
+    assert(report.find(_._2 == "removeOrphanFiles").get._3 > 0)
+    val listsAfter = Files.list(Paths.get(path, "metadata")).iterator()
+      .asScala.count(_.getFileName.toString.startsWith("snap-"))
+    assert(listsAfter < listsBefore)
+    val after = IcebergReader.read(spark, path)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(after == before && after == Seq(1, 3, 5, 7))
+  }
+
+  test("neither format → clear error") {
+    val path = tmp("none")
+    Files.createDirectories(Paths.get(path))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.maintain(spark, path)
+    }
+    assert(e.getMessage.contains("neither"))
+  }
+
+  test("vacuum is opt-in and reclaims unreferenced data files") {
+    val path = tmp("vac")
+    DeltaWriter.create(Seq((0L, "a")).toDF("id", "v"), path)
+    DeltaWriter.append(Seq((1L, "b")).toDF("id", "v"), path)
+    DeltaWriter.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("id") === 0L)
+    Thread.sleep(10)
+    val noVac = Maintenance.maintain(spark, path, horizonMs = 0L)
+    assert(!noVac.collect().map(_.getString(1)).contains("vacuum"))
+    val report = Maintenance.maintain(spark, path, horizonMs = 0L,
+      vacuumRetainVersions = Some(1))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(report.contains("vacuum"))
+    assert(DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
