@@ -1126,6 +1126,49 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, path)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_v3_write" -> ((s, dir) => {
+      // full v3 writer round-trip: create(formatVersion=3) + append,
+      // then TWO deleteWhere passes — the second exercises the
+      // DV-merge + superseded-manifest-rewrite path (one DV per data
+      // file, spec invariant) — read back through the v3 scan
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_v3w_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          val W = graft.output.IcebergWriter
+          W.create(cust.filter(col("c_mktsegment") === "BUILDING"),
+            root.toString, formatVersion = 3)
+          W.append(cust.filter(col("c_mktsegment") === "MACHINERY"),
+            root.toString)
+          W.deleteWhere(s, root.toString, col("c_custkey") % 5 === 0)
+          W.deleteWhere(s, root.toString, col("c_custkey") % 7 === 0)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("c_custkey"))
+    }),
+    "q_iceberg_upgrade_v3" -> ((s, dir) => {
+      // v2 table with parquet position deletes → upgradeToV3 (deletes
+      // fold into DVs, pos-delete manifests leave the snapshot) → a
+      // post-upgrade delete merges the pre-upgrade state per file
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_upg3_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          val W = graft.output.IcebergWriter
+          W.create(nation, root.toString)
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 4 === 0)
+          W.upgradeToV3(s, root.toString)
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 6 === 1)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_time_travel" -> ((s, dir) => {
       // snapshot 1: file A only, before the delete existed
       val path = icebergFixture(s, dir)
@@ -2692,6 +2735,15 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0)
         |   OR (n_regionkey >= 2 AND n_nationkey % 3 <> 0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_v3_write" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |  AND c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_iceberg_upgrade_v3" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 4 <> 0 AND n_nationkey % 6 <> 1
         |ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

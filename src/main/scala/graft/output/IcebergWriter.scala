@@ -64,7 +64,11 @@ object IcebergWriter {
     */
   def create(df: DataFrame, path: String,
       summary: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      formatVersion: Int = 2): Unit = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"can only create iceberg format-version 2 or 3 tables, " +
+        s"asked for $formatVersion")
     val root = newTableRoot(path)
     val location = root.toString
     val spec = specFor(df.schema, partitionBy)
@@ -74,7 +78,8 @@ object IcebergWriter {
       schemaJson = Some(mapper.writeValueAsString(icebergSchema(df.schema)._1)))
     val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
     commitNewTable(root, df.schema, seq, list, "append",
-      summary ++ fileSummary(files), spec)
+      summary ++ fileSummary(files), spec, formatVersion = formatVersion,
+      addedRows = files.map(_.records).sum)
   }
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
@@ -154,11 +159,12 @@ object IcebergWriter {
   private[output] def commitNewTable(root: Path, schema: StructType,
       seq: Long, list: String, operation: String,
       summary: Map[String, String] = Map.empty,
-      partitionSpec: Seq[SpecField] = Nil): Unit = {
+      partitionSpec: Seq[SpecField] = Nil,
+      formatVersion: Int = 2, addedRows: Long = 0L): Unit = {
     val location = root.toString
     val (schemaJson, lastColId) = icebergSchema(schema)
     val md = mapper.createObjectNode()
-    md.put("format-version", 2)
+    md.put("format-version", formatVersion)
     md.put("table-uuid", java.util.UUID.randomUUID().toString)
     md.put("location", location)
     md.put("last-sequence-number", seq)
@@ -181,9 +187,10 @@ object IcebergWriter {
     md.set[JsonNode]("sort-orders", mapper.createArrayNode().add(order))
     md.put("default-sort-order-id", 0)
     md.put("current-snapshot-id", seq)
-    md.set[JsonNode]("snapshots",
-      mapper.createArrayNode().add(snapshotNode(seq, seq, list,
-        System.currentTimeMillis(), operation, summary)))
+    val snap = snapshotNode(seq, seq, list,
+      System.currentTimeMillis(), operation, summary)
+    assignRowLineage(md, snap, addedRows)
+    md.set[JsonNode]("snapshots", mapper.createArrayNode().add(snap))
     commitMetadata(root, 1, md)
   }
 
@@ -243,9 +250,10 @@ object IcebergWriter {
     val root = Paths.get(path).toAbsolutePath.normalize
 
     def validate(md: ObjectNode): Boolean = {
-      require(md.get("format-version").asInt() == 2,
-        s"can only commit to iceberg format-version 2 tables, " +
-          s"found ${md.get("format-version").asInt()} at $path")
+      val fv = md.get("format-version").asInt()
+      require(fv == 2 || fv == 3,
+        s"can only commit to iceberg format-version 2 or 3 tables, " +
+          s"found $fv at $path")
       // fail-fast on drift between the incoming frame and the table schema
       // unless mergeSchema authorizes add-column evolution
       val (tableSchema, _) = graft.sources.IcebergReader.currentSchema(md)
@@ -346,9 +354,11 @@ object IcebergWriter {
           .put("snapshot-id", seq)
         case None => md.put("current-snapshot-id", seq)
       }
+      val snap = snapshotNode(seq, seq, list, ts, operation,
+        summary ++ fileSummary(files), parent = baseId)
+      assignRowLineage(md, snap, files.map(_.records).sum)
       md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-        .add(snapshotNode(seq, seq, list, ts, operation,
-          summary ++ fileSummary(files), parent = baseId))
+        .add(snap)
       try {
         commitMetadata(root, version, md)
         committed = true
@@ -494,7 +504,8 @@ object IcebergWriter {
     * historical tombstone, the manifests simply drop.
     */
   private def mergeGroup(root: Path, location: String, md: JsonNode,
-      small: Seq[ManifestRef], commitSeq: Long, content: Int, specId: Int)
+      small: Seq[ManifestRef], commitSeq: Long, content: Int, specId: Int,
+      drop: GenericRecord => Boolean = _ => false)
       : Option[(Option[ManifestRef], Option[String])] = {
     try {
       // an UNKNOWN spec id resolves to Nil exactly like a real empty
@@ -517,6 +528,8 @@ object IcebergWriter {
       val recs: Seq[GenericRecord] = small.flatMap { ref =>
         readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
           if (intOf(e, "status", 0) == 2) None // historical tombstone
+          else if (drop(e.get("data_file").asInstanceOf[GenericRecord]))
+            None // caller-superseded entry (v3 DV replacement)
           else {
             val src = e.get("data_file").asInstanceOf[GenericRecord]
             val d = new GenericData.Record(dfSchema)
@@ -562,9 +575,12 @@ object IcebergWriter {
               }
             // plain-valued optional fields copy as-is (key_metadata:
             // dropping a per-file encryption key would make the merged
-            // entry undecryptable for engines that need it)
+            // entry undecryptable for engines that need it; the v3
+            // deletion-vector coordinates 143/144/145: stripping them
+            // would leave an unreadable PUFFIN entry behind a merge)
             Seq("key_metadata", "split_offsets", "equality_ids",
-                "sort_order_id")
+                "sort_order_id", "referenced_data_file", "content_offset",
+                "content_size_in_bytes")
               .foreach { f =>
                 if (src.getSchema.getField(f) != null &&
                     dfSchema.getField(f) != null)
@@ -764,7 +780,8 @@ object IcebergWriter {
     val list = writeManifestList(st.root, seq,
       st.refs :+ ManifestRef(dataManifest, 0, seq, specId = dsid)
         :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
-    commitNewSnapshot(st, seq, list, "overwrite")
+    commitNewSnapshot(st, seq, list, "overwrite",
+      addedRows = dataFiles.map(_.records).sum)
     (matched, updates.count())
   }
 
@@ -834,7 +851,7 @@ object IcebergWriter {
   private[output] case class TableState(root: Path, md: ObjectNode,
       location: String, schema: StructType, fieldNames: Map[Int, String],
       refs: Seq[ManifestRef], entries: Seq[Entry], mdFile: Path,
-      spec: Seq[SpecField])
+      spec: Seq[SpecField], formatVersion: Int = 2)
 
   /** `partitionValues`: the entry's identity-partition tuple by spec
     * field name, Avro-raw values (Utf8 already converted to String);
@@ -847,14 +864,30 @@ object IcebergWriter {
       snapshotId: Option[Long] = None, fileSeq: Option[Long] = None,
       // the manifest's spec id — equality-delete scoping groups by
       // (spec, partition), mirroring the reader
-      specId: Int = 0)
+      specId: Int = 0,
+      // v3 deletion vectors (content=1, PUFFIN): the referenced data
+      // file (LOCAL namespace, remapped like localPath), blob
+      // coordinates (spec fields 144/145), and record_count
+      // (= cardinality). None/-1 for everything else.
+      referencedDataFile: Option[String] = None,
+      contentOffset: Long = -1L,
+      contentSize: Long = -1L,
+      recordCount: Long = -1L,
+      // the manifest this entry decoded from (ManifestRef.path) — what
+      // lets the v3 delete path rewrite ONLY the manifests that carry a
+      // superseded DV instead of re-reading every delete manifest
+      manifestPath: String = "") {
+    def isDv: Boolean = referencedDataFile.isDefined
+  }
 
   private[output] def loadState(path: String): TableState = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val mdFile = graft.sources.IcebergReader.currentMetadataFile(root.toString)
     val md = mapper.readTree(Files.readString(mdFile)).asInstanceOf[ObjectNode]
-    require(md.get("format-version").asInt() == 2,
-      "row-level operations need an iceberg format-version 2 table")
+    val formatVersion = md.get("format-version").asInt()
+    require(formatVersion == 2 || formatVersion == 3,
+      "row-level operations need an iceberg format-version 2 or 3 table, " +
+        s"found $formatVersion")
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
@@ -882,17 +915,27 @@ object IcebergWriter {
                 })
               }
             }.getOrElse(Nil)
+          // v3 DV coordinates (null on parquet entries / v2 manifests)
+          val refDataFile = Option(
+              if (d.getSchema.getField("referenced_data_file") == null) null
+              else d.get("referenced_data_file"))
+            .map(v => remapLocal(v.toString, location, root))
           Some(Entry(remapLocal(d.get("file_path").toString, location, root),
             intOf(d, "content", ref.content), seq, ids, partition,
             snapshotId = Some(longOf(e, "snapshot_id",
               ref.addedSnapshotId.getOrElse(0L))),
             fileSeq = Some(longOf(e, "file_sequence_number", seq)),
-            specId = ref.specId))
+            specId = ref.specId,
+            referencedDataFile = refDataFile,
+            contentOffset = longOf(d, "content_offset", -1L),
+            contentSize = longOf(d, "content_size_in_bytes", -1L),
+            recordCount = longOf(d, "record_count", -1L),
+            manifestPath = ref.path))
         }
       }
     }
     TableState(root, md, location, schema, fieldNames, refs, entries, mdFile,
-      defaultSpec(md))
+      defaultSpec(md), formatVersion)
   }
 
   /** The (spec id, partition tuple) scope key for equality-delete
@@ -967,19 +1010,48 @@ object IcebergWriter {
         entries.map(e =>
           (graft.sources.IcebergReader.normPath(e.localPath), e.seq)),
         schema, srcCol, seqCol, "iceberg rewrite")
-    val posDeletes = st.entries.filter(_.content == 1)
+    // v3 deletion vectors split from parquet position-delete files,
+    // mirroring the reader's scan: DVs whose referenced file is live
+    // decode on executors; a file WITH a DV ignores parquet position
+    // deletes (spec precedence — the DV absorbed them at write time)
+    def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val (dvAll, parquetPos) =
+      st.entries.filter(_.content == 1).partition(_.isDv)
+    val dvLive = {
+      lazy val dataPaths = dataFiles.map(f => normS(f.localPath)).toSet
+      dvAll.filter(d => dataPaths(normS(d.referencedDataFile.get)))
+    }
     val afterPos =
-      if (posDeletes.isEmpty) base
+      if (parquetPos.isEmpty && dvLive.isEmpty) base
       else {
-        val dels = seqJoined(posDeletes,
-          Some("file_path string, pos bigint"), "__dsrc", "__dseq")
-          // fail-fast on a file_path-less delete file, like the reader:
-          // the explicit schema reads a missing column as all-null and
-          // a null key would silently UNDER-delete
-          .select(coalesce(norm(col("file_path")),
-              raise_error(lit("iceberg rewrite: position delete file " +
-                "carries no file_path column"))).as("__df"),
-            col("pos").as("__dp"), col("__dseq"))
+        val dvTargets = dvLive.map(d => normS(d.referencedDataFile.get))
+          .distinct
+        val parquetRows =
+          if (parquetPos.isEmpty) None
+          else {
+            val dels = seqJoined(parquetPos,
+              Some("file_path string, pos bigint"), "__dsrc", "__dseq")
+              // fail-fast on a file_path-less delete file, like the
+              // reader: the explicit schema reads a missing column as
+              // all-null and a null key would silently UNDER-delete
+              .select(coalesce(norm(col("file_path")),
+                  raise_error(lit("iceberg rewrite: position delete file " +
+                    "carries no file_path column"))).as("__df"),
+                col("pos").as("__dp"), col("__dseq"))
+            Some(if (dvTargets.isEmpty) dels
+              else dels.join(broadcast(dvTargets.toDF("__df")),
+                Seq("__df"), "left_anti"))
+          }
+        val dvRows =
+          if (dvLive.isEmpty) None
+          else Some(graft.sources.PuffinDV.deletedRows(spark,
+            dvLive.map(d => graft.sources.PuffinDV.Dv(normS(d.localPath),
+              d.contentOffset, d.contentSize,
+              normS(d.referencedDataFile.get), d.seq, d.recordCount)))
+            .select(col("__del_file").as("__df"),
+              col("__del_pos").as("__dp"), col("__del_seq").as("__dseq")))
+        val dels = (parquetRows.toSeq ++ dvRows.toSeq)
+          .reduce(_.unionByName(_))
         base.join(dels,
           col("__f") === col("__df") && col("__p") === col("__dp") &&
             col("__dseq") >= col("__seq"),
@@ -1013,7 +1085,7 @@ object IcebergWriter {
 
   /** Appends one snapshot node + bumps seq/version on the loaded state. */
   private def commitNewSnapshot(st: TableState, seq: Long, list: String,
-      operation: String): Unit = {
+      operation: String, addedRows: Long = 0L): Unit = {
     val prevMaxTs = Option(st.md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
@@ -1021,8 +1093,10 @@ object IcebergWriter {
     st.md.put("last-sequence-number", seq)
     st.md.put("last-updated-ms", ts)
     st.md.put("current-snapshot-id", seq)
+    val snap = snapshotNode(seq, seq, list, ts, operation)
+    assignRowLineage(st.md, snap, addedRows)
     st.md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-      .add(snapshotNode(seq, seq, list, ts, operation))
+      .add(snap)
     commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
   }
 
@@ -1046,6 +1120,7 @@ object IcebergWriter {
     val mdFile = st.mdFile
     val refs = st.refs
     if (st.entries.forall(_.content != 0)) return 0L
+    if (st.formatVersion >= 3) return deleteMatchingV3(spark, st, matcher)
 
     // local probe paths → manifest-form paths (location-prefixed), so the
     // delete file's content matches the data files as manifests name them —
@@ -1078,10 +1153,225 @@ object IcebergWriter {
     md.put("last-sequence-number", seq)
     md.put("last-updated-ms", ts)
     md.put("current-snapshot-id", seq)
+    val snap = snapshotNode(seq, seq, list, ts, "delete")
+    assignRowLineage(md, snap, 0L) // deletes add no rows
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
-      .add(snapshotNode(seq, seq, list, ts, "delete"))
+      .add(snap)
     commitMetadata(root, version, md)
     matchedCount
+  }
+
+  /** v3 row-level DELETE via deletion vectors (spec "Deletion Vectors"):
+    * the matched (file, pos) frame never reaches the driver — it merges
+    * with the affected files' PRIOR delete state (their existing DVs
+    * plus any applicable pre-upgrade parquet position-delete rows, both
+    * decoded on executors), is hash-partitioned by data file (a file's
+    * DV must never split — at most ONE DV per data file per snapshot)
+    * and streamed into puffin blobs. Manifests that carried a now-
+    * superseded DV are rewritten WITHOUT it in the same commit, so the
+    * one-DV invariant holds snapshot-wide. The driver handles only file
+    * names, per-file counts and blob coordinates. Returns the number of
+    * NEWLY deleted rows.
+    */
+  private def deleteMatchingV3(spark: org.apache.spark.sql.SparkSession,
+      st: TableState, matcher: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import spark.implicits._
+    def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val matched = matcher(liveRows(spark, st))
+      .select(col("__f").as("file_path"), col("__p").as("pos"))
+    // ONE job both names the affected files and sizes the return value —
+    // metadata-plane (bounded by live file count, never row count)
+    val matchedPerFile = matched.groupBy("file_path").count()
+      .as[(String, Long)].collect()
+    if (matchedPerFile.isEmpty) return 0L
+    val matchedCount = matchedPerFile.map(_._2).sum
+    val affected = matchedPerFile.map(_._1).toSet
+    val (dvAll, parquetPos) =
+      st.entries.filter(_.content == 1).partition(_.isDv)
+    // prior state folded into the new DVs: the affected files' current
+    // DV positions…
+    val affectedDvs =
+      dvAll.filter(d => affected(normS(d.referencedDataFile.get)))
+    val oldDvRows =
+      if (affectedDvs.isEmpty) Nil
+      else Seq(graft.sources.PuffinDV.deletedRows(spark,
+        affectedDvs.map(d => graft.sources.PuffinDV.Dv(normS(d.localPath),
+          d.contentOffset, d.contentSize,
+          normS(d.referencedDataFile.get), d.seq, d.recordCount)))
+        .select(col("__del_file").as("file_path"),
+          col("__del_pos").as("pos")))
+    // …and any still-applicable parquet position-delete rows aimed at
+    // them (pre-upgrade files; delete seq >= data seq, like the scan)
+    val oldParquetRows =
+      if (parquetPos.isEmpty) Nil
+      else {
+        val dataSeqs = broadcast(st.entries.filter(_.content == 0)
+          .map(e => (normS(e.localPath), e.seq)).toDF("file_path", "__fseq"))
+        val affectedDf = broadcast(affected.toSeq.toDF("file_path"))
+        Seq(graft.sources.IcebergReader.deleteSeqJoined(spark,
+          parquetPos.map(_.localPath),
+          parquetPos.map(e => (normS(e.localPath), e.seq)),
+          Some("file_path string, pos bigint"), "__dsrc", "__dseq",
+          "iceberg v3 delete")
+          .select(regexp_replace(col("file_path"), "^file:/+", "/")
+            .as("file_path"), col("pos"), col("__dseq"))
+          .join(affectedDf, Seq("file_path"), "left_semi")
+          .join(dataSeqs, Seq("file_path"))
+          .filter(col("__dseq") >= col("__fseq"))
+          .select(col("file_path"), col("pos")))
+      }
+    val allRows = (matched +: (oldDvRows ++ oldParquetRows))
+      .reduce(_.unionByName(_)).distinct()
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dataDir = st.root.resolve("data").toString
+    val written = allRows.as[(String, Long)]
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .mapPartitions(it =>
+        graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
+      .collect()
+    val rootStr = st.root.toString
+    def manifestForm(local: String): String =
+      if (local.startsWith(rootStr + "/"))
+        st.location + local.stripPrefix(rootStr)
+      else local
+    val files = written.toSeq.map { case (refFile, name, off, len, card) =>
+      WrittenFile(name, Files.size(st.root.resolve("data").resolve(name)),
+        card, dv = Some(DvCoords(manifestForm(refFile), off, len)))
+    }
+    val delSpecId =
+      if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
+    val dvManifest = writeManifest(st.root, st.location, files, content = 1,
+      specId = delSpecId, schemaJson = currentSchemaJson(st.md))
+    // supersede: the affected files' OLD DV entries leave their carried
+    // manifests (only manifests that actually hold one are rewritten)
+    val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
+      rewriteDeleteRef(st, ref, seq,
+        needsRewrite = e => e.isDv &&
+          affected(normS(e.referencedDataFile.get)),
+        drop = d => Option(
+            if (d.getSchema.getField("referenced_data_file") == null) null
+            else d.get("referenced_data_file"))
+          .exists(v => affected(normS(
+            remapLocal(v.toString, st.location, st.root)))))
+    }
+    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel :+
+      ManifestRef(dvManifest, 1, seq, specId = delSpecId)
+    val list = writeManifestList(st.root, seq, refsOut)
+    commitNewSnapshot(st, seq, list, "delete")
+    matchedCount
+  }
+
+  /** Carried delete-manifest pass-through/rewrite for the v3 paths:
+    * keep `ref` verbatim unless one of ITS entries satisfies
+    * `needsRewrite` (per the already-decoded state — no re-read on the
+    * common path); then transcribe it without the `drop`-matched
+    * entries via [[mergeGroup]]. None = every live entry dropped (the
+    * manifest leaves the snapshot). Fails CLOSED on a transcription
+    * surprise — leaving a superseded DV behind would break the
+    * one-DV-per-file invariant.
+    */
+  private def rewriteDeleteRef(st: TableState, ref: ManifestRef,
+      commitSeq: Long, needsRewrite: Entry => Boolean,
+      drop: GenericRecord => Boolean): Option[ManifestRef] = {
+    val touched = st.entries.exists(e =>
+      e.manifestPath == ref.path && needsRewrite(e))
+    if (!touched) return Some(ref)
+    mergeGroup(st.root, st.location, st.md, Seq(ref), commitSeq, 1,
+      ref.specId, drop = drop) match {
+      case Some((newRef, _)) => newRef
+      case None => throw new IllegalStateException(
+        s"cannot rewrite delete manifest ${ref.path} to drop superseded " +
+          "entries (unrepresentable foreign entry shape)")
+    }
+  }
+
+  /** Upgrade a v2 table to format-version 3 in ONE commit, per the
+    * public spec's v3 rules: every live parquet position-delete row is
+    * folded into per-file deletion vectors (v3 writers must not add
+    * position-delete files, and a DV supersedes the file's prior
+    * position deletes), position-delete manifests leave the snapshot,
+    * equality deletes stay (legal in v3), and the metadata gains
+    * `next-row-id` (0 — no rows carry lineage ids yet; assignment
+    * starts with the first v3 commit's window). Time travel to pre-
+    * upgrade snapshots still replays their own manifests. Idempotent:
+    * returns 0 on an already-v3 table; returns the number of
+    * position-delete files folded otherwise.
+    */
+  def upgradeToV3(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val st = loadState(path)
+    if (st.formatVersion >= 3) return 0
+    import spark.implicits._
+    def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val posEntries = st.entries.filter(e => e.content == 1 && !e.isDv)
+    if (posEntries.isEmpty) {
+      // metadata-only flip: no delete state to fold
+      st.md.put("format-version", 3)
+      st.md.put("next-row-id", 0L)
+      commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
+      return 0
+    }
+    val dataSeqs = broadcast(st.entries.filter(_.content == 0)
+      .map(e => (normS(e.localPath), e.seq)).toDF("file_path", "__fseq"))
+    // live delete rows only (delete seq >= data seq; rows aimed at dead
+    // files drop via the inner join) — dead rows must not resurrect as
+    // DV positions
+    val merged = graft.sources.IcebergReader.deleteSeqJoined(spark,
+      posEntries.map(_.localPath),
+      posEntries.map(e => (normS(e.localPath), e.seq)),
+      Some("file_path string, pos bigint"), "__dsrc", "__dseq",
+      "iceberg v3 upgrade")
+      .select(regexp_replace(col("file_path"), "^file:/+", "/")
+        .as("file_path"), col("pos"), col("__dseq"))
+      .join(dataSeqs, Seq("file_path"))
+      .filter(col("__dseq") >= col("__fseq"))
+      .select(col("file_path"), col("pos")).distinct()
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val dataDir = st.root.resolve("data").toString
+    val written = merged.as[(String, Long)]
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .mapPartitions(it =>
+        graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
+      .collect()
+    val rootStr = st.root.toString
+    def manifestForm(local: String): String =
+      if (local.startsWith(rootStr + "/"))
+        st.location + local.stripPrefix(rootStr)
+      else local
+    val dvRef =
+      if (written.isEmpty) Nil // every delete row was aimed at dead files
+      else {
+        val files = written.toSeq.map { case (refFile, name, off, len, card) =>
+          WrittenFile(name,
+            Files.size(st.root.resolve("data").resolve(name)),
+            card, dv = Some(DvCoords(manifestForm(refFile), off, len)))
+        }
+        val delSpecId =
+          if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
+        Seq(ManifestRef(writeManifest(st.root, st.location, files,
+          content = 1, specId = delSpecId,
+          schemaJson = currentSchemaJson(st.md)), 1, seq,
+          specId = delSpecId))
+      }
+    // carried delete manifests lose their parquet position-delete
+    // entries (folded above); equality-delete entries stay put
+    val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
+      rewriteDeleteRef(st, ref, seq,
+        needsRewrite = e => e.content == 1 && !e.isDv,
+        drop = d => intOf(d, "content", 1) == 1 &&
+          Option(d.get("file_format")).forall(_.toString
+            .equalsIgnoreCase("PARQUET")))
+    }
+    st.md.put("format-version", 3)
+    st.md.put("next-row-id", 0L)
+    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++ dvRef
+    val list = writeManifestList(st.root, seq, refsOut)
+    commitNewSnapshot(st, seq, list, "replace")
+    posEntries.size
   }
 
   /** Write a (file_path, pos) frame as spec-sorted position-delete
@@ -1527,7 +1817,16 @@ object IcebergWriter {
       partition: Seq[(String, AnyRef)] = Nil,
       snapshotId: Option[Long] = None, fileSeq: Option[Long] = None,
       equalityIds: Seq[Int] = Nil,
-      colStats: Seq[ColStat] = Nil)
+      colStats: Seq[ColStat] = Nil,
+      // v3 deletion-vector coordinates: Some(...) makes this a PUFFIN
+      // content=1 entry; records then equals the DV cardinality
+      dv: Option[DvCoords] = None)
+
+  /** Manifest coordinates of one deletion-vector blob (spec data_file
+    * fields 143/144/145) — `referencedDataFile` in MANIFEST namespace.
+    */
+  private[output] case class DvCoords(referencedDataFile: String,
+      contentOffset: Long, contentSize: Long)
 
   /** Per-column manifest statistics of one data file (spec data_file
     * fields 109/110/125/128): value/null counts plus the single-value-
@@ -1849,6 +2148,10 @@ object IcebergWriter {
       path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.spark.sql.functions.col
     val st = loadState(path)
+    require(st.formatVersion == 2,
+      "rewriteDataFiles is not yet supported on format-v3 tables " +
+        "(data-file rewrites must preserve row lineage, which this " +
+        "writer does not implement yet)")
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
     val dataEntries = st.entries.filter(_.content == 0)
     val small = dataEntries.filter(e =>
@@ -1969,6 +2272,10 @@ object IcebergWriter {
       bits: Int = 16): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     val st = loadState(path)
+    require(st.formatVersion == 2,
+      "rewriteZOrder is not yet supported on format-v3 tables " +
+        "(data-file rewrites must preserve row lineage, which this " +
+        "writer does not implement yet)")
     require(st.schema.fieldNames.contains(cx) &&
         st.schema.fieldNames.contains(cy),
       s"z-order columns must be table columns of ${st.schema.fieldNames.toSeq}")
@@ -2112,6 +2419,10 @@ object IcebergWriter {
       path: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, regexp_replace}
     val st = loadState(path)
+    require(st.formatVersion == 2,
+      "rewriteEqualityDeletes is not yet supported on format-v3 tables " +
+        "(it rewrites affected data files, which must preserve row " +
+        "lineage in v3 — not implemented yet)")
     val eqFileCount = st.entries.count(_.content == 2)
     if (eqFileCount == 0) return 0
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
@@ -2199,6 +2510,10 @@ object IcebergWriter {
       path: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val st = loadState(path)
+    require(st.formatVersion == 2,
+      "rewritePositionDeletes is not yet supported on format-v3 tables " +
+        "(v3 forbids new position-delete files; delete compaction " +
+        "there is the deletion-vector plane's job)")
     val posEntries = st.entries.filter(_.content == 1)
     if (posEntries.size < 2) return 0
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
@@ -2299,7 +2614,10 @@ object IcebergWriter {
           |{"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
           |{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
           |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-          |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}]}}]}""".stripMargin)
+          |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+          |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}]}}]}""".stripMargin)
     })
 
   private val entrySchemaCache =
@@ -2387,7 +2705,12 @@ object IcebergWriter {
       val d = new GenericData.Record(dfSchema)
       d.put("content", content)
       d.put("file_path", f.absPath.getOrElse(s"$location/data/${f.name}"))
-      d.put("file_format", "PARQUET")
+      d.put("file_format", if (f.dv.isDefined) "PUFFIN" else "PARQUET")
+      f.dv.foreach { c =>
+        d.put("referenced_data_file", c.referencedDataFile)
+        d.put("content_offset", c.contentOffset)
+        d.put("content_size_in_bytes", c.contentSize)
+      }
       val part = new GenericData.Record(partSchema)
       f.partition.foreach { case (k, v) =>
         if (partSchema.getField(k) != null) part.put(k, v)
@@ -2670,6 +2993,21 @@ object IcebergWriter {
       "added-data-files" -> files.size.toString,
       "added-records" -> files.map(_.records).sum.toString,
       "added-files-size" -> files.map(_.size).sum.toString)
+
+  /** v3 row lineage (spec "Row Lineage"): the new snapshot's
+    * `first-row-id` is the table's `next-row-id`, which then advances by
+    * the commit's ADDED row count — rows of data files without an
+    * explicit `first_row_id` inherit ids from this window at read time
+    * (the spec's inheritance rule, which is what lets existing manifests
+    * stay byte-identical across commits). No-op on v2 tables.
+    */
+  private def assignRowLineage(md: ObjectNode, snap: ObjectNode,
+      addedRows: Long): Unit =
+    if (Option(md.get("format-version")).exists(_.asInt() >= 3)) {
+      val next = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
+      snap.put("first-row-id", next)
+      md.put("next-row-id", next + addedRows)
+    }
 
   private def snapshotNode(id: Long, seq: Long, manifestList: String,
       ts: Long, operation: String,

@@ -167,6 +167,79 @@ object PuffinDV {
     refs.result()
   }
 
+  /** Executor-side partition writer — the distributed half of
+    * [[graft.output.IcebergWriter]]'s v3 delete path (the shape of
+    * [[DeletionVectors.writeSidecars]]): ONE puffin file per non-empty
+    * partition, one deletion-vector-v1 blob per data file. Rows MUST
+    * arrive sorted by (file, pos) and a file's rows must not split
+    * across partitions (the caller hash-partitions by file), so neither
+    * a file's position array nor the puffin bytes ever sit in memory —
+    * positions stream into the current roaring container, frames stream
+    * to disk, and only the per-blob footer metadata (a few fields per
+    * data file) accumulates. Returns (referencedDataFile, puffinFileName,
+    * offset, length, cardinality) rows — metadata-plane.
+    */
+  def writePartitionBlobs(dir: String, rows: Iterator[(String, Long)],
+      snapshotId: Long, sequenceNumber: Long)
+      : Iterator[(String, String, Long, Long, Long)] = {
+    if (!rows.hasNext) return Iterator.empty
+    val name = s"dv-${java.util.UUID.randomUUID()}.puffin"
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir).resolve(name)))
+    val refs = Seq.newBuilder[(String, String, Long, Long, Long)]
+    val footerBlobs = new StringBuilder
+    try {
+      out.write(FileMagic)
+      var offset = 4L
+      var curFile: String = null
+      var builder: DeletionVectors.RoaringArrayBuilder = null
+      def finish(): Unit = if (curFile != null) {
+        val vector = builder.serialize()
+        val crc = new java.util.zip.CRC32
+        crc.update(BlobMagic)
+        crc.update(vector)
+        val frame = java.nio.ByteBuffer.allocate(12 + vector.length)
+        frame.putInt(4 + vector.length)
+        frame.put(BlobMagic)
+        frame.put(vector)
+        frame.putInt(crc.getValue.toInt)
+        out.write(frame.array())
+        val length = 12L + vector.length
+        refs += ((curFile, name, offset, length, builder.cardinality))
+        if (footerBlobs.nonEmpty) footerBlobs.append(',')
+        footerBlobs.append(
+          s"""{"type":"deletion-vector-v1","fields":[],""" +
+            s""""snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
+            s""""offset":$offset,"length":$length,"properties":{""" +
+            s""""referenced-data-file":${jsonStr(curFile)},""" +
+            s""""cardinality":"${builder.cardinality}"}}""")
+        offset += length
+      }
+      rows.foreach { case (f, pos) =>
+        if (f != curFile) {
+          finish()
+          curFile = f
+          builder = new DeletionVectors.RoaringArrayBuilder
+        }
+        builder.add(pos)
+      }
+      finish()
+      val payload = (s"""{"blobs":[$footerBlobs],""" +
+        """"properties":{"created-by":"graft"}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(FileMagic)
+      out.write(payload)
+      val tail = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: footer payload uncompressed
+      out.write(tail.array())
+      out.write(FileMagic)
+    } finally out.close()
+    refs.result().iterator
+  }
+
   private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {

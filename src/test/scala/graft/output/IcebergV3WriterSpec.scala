@@ -1,0 +1,193 @@
+package graft.output
+
+import graft.SparkSpec
+import graft.sources.IcebergReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg v3 WRITE plane: create(formatVersion=3), deletion-vector
+  * deletes (one DV per data file, merge-on-second-delete, superseded-DV
+  * manifest rewrite), upgradeToV3 folding parquet position deletes into
+  * DVs, row-lineage metadata accounting, v3 maintenance, and the
+  * documented v3 rejections for data-rewrite ops.
+  */
+class IcebergV3WriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_v3w_${tag}_${System.nanoTime()}").toString
+
+  private def ids(path: String): Seq[Int] =
+    IcebergReader.read(spark, path).select("id").as[Int]
+      .collect().sorted.toSeq
+
+  private def dvEntries(path: String) =
+    IcebergWriter.loadState(path).entries.filter(_.isDv)
+
+  private def parquetDeleteEntries(path: String) =
+    IcebergWriter.loadState(path).entries
+      .filter(e => e.content == 1 && !e.isDv)
+
+  test("v3 create + delete writes a deletion vector, not parquet deletes") {
+    val path = tmp("basic")
+    IcebergWriter.create((0 until 10).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, formatVersion = 3)
+    val n = IcebergWriter.deleteWhere(spark, path, col("id") % 2 === 1)
+    assert(n == 5)
+    assert(ids(path) == Seq(0, 2, 4, 6, 8))
+    val dvs = dvEntries(path)
+    assert(dvs.nonEmpty && parquetDeleteEntries(path).isEmpty)
+    assert(dvs.forall(_.localPath.endsWith(".puffin")))
+    // one DV per referenced data file
+    val byRef = dvs.groupBy(_.referencedDataFile.get)
+    assert(byRef.values.forall(_.size == 1))
+  }
+
+  test("second delete merges into ONE DV per file (supersede rewrite)") {
+    val path = tmp("merge")
+    IcebergWriter.create((0 until 20).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), path, formatVersion = 3)
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") % 5 === 0) == 4)
+    val afterFirst = dvEntries(path)
+    assert(afterFirst.map(_.recordCount).sum == 4)
+    // second delete: matched rows EXCLUDE already-deleted; new DV holds
+    // the union; old DV entry leaves the snapshot
+    assert(IcebergWriter.deleteWhere(spark, path, col("id") % 2 === 0) == 8)
+    assert(ids(path) == (0 until 20).filter(i => i % 5 != 0 && i % 2 != 0))
+    val dvs = dvEntries(path)
+    assert(dvs.groupBy(_.referencedDataFile.get).values.forall(_.size == 1),
+      s"expected one DV per file, got $dvs")
+    assert(dvs.map(_.recordCount).sum == 12) // 4 + 8 merged positions
+  }
+
+  test("v3 row lineage: next-row-id advances by added rows only") {
+    val path = tmp("lineage")
+    IcebergWriter.create((0 until 7).map(i => (i, "a")).toDF("id", "v"),
+      path, formatVersion = 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def md = mapper.readTree(Files.readString(
+      IcebergReader.currentMetadataFile(path)))
+    assert(md.get("next-row-id").asLong() == 7)
+    IcebergWriter.append((7 until 12).map(i => (i, "b")).toDF("id", "v"), path)
+    assert(md.get("next-row-id").asLong() == 12)
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    assert(snaps.map(_.get("first-row-id").asLong()) == Seq(0L, 7L))
+    IcebergWriter.deleteWhere(spark, path, col("id") === 3)
+    assert(md.get("next-row-id").asLong() == 12) // deletes add no rows
+    assert(md.get("snapshots").elements().asScala.toSeq.last
+      .get("first-row-id").asLong() == 12L)
+  }
+
+  test("upgradeToV3 folds parquet position deletes into DVs") {
+    val path = tmp("upgrade")
+    IcebergWriter.create((0 until 12).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), path)
+    IcebergWriter.append((12 until 16).map(i => (i, s"w$i")).toDF("id", "v")
+      .coalesce(1), path)
+    IcebergWriter.deleteWhere(spark, path, col("id") % 3 === 0)
+    val before = ids(path)
+    assert(parquetDeleteEntries(path).nonEmpty)
+    val folded = IcebergWriter.upgradeToV3(spark, path)
+    assert(folded > 0)
+    assert(IcebergWriter.upgradeToV3(spark, path) == 0) // idempotent
+    assert(ids(path) == before)
+    assert(parquetDeleteEntries(path).isEmpty && dvEntries(path).nonEmpty)
+    // post-upgrade delete merges pre-upgrade state per file
+    IcebergWriter.deleteWhere(spark, path, col("id") % 2 === 1)
+    assert(ids(path) == (0 until 16).filter(i => i % 3 != 0 && i % 2 != 1))
+    assert(dvEntries(path).groupBy(_.referencedDataFile.get)
+      .values.forall(_.size == 1))
+  }
+
+  test("upgradeToV3 on a table without deletes is a metadata-only flip") {
+    val path = tmp("flip")
+    IcebergWriter.create(Seq((1, "a")).toDF("id", "v"), path)
+    assert(IcebergWriter.upgradeToV3(spark, path) == 0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(Files.readString(
+      IcebergReader.currentMetadataFile(path)))
+    assert(md.get("format-version").asInt() == 3)
+    assert(md.get("next-row-id").asLong() == 0)
+    assert(ids(path) == Seq(1))
+  }
+
+  test("v3 maintenance: manifest merge carries DV coordinates; sweep keeps DVs") {
+    val path = tmp("maint")
+    IcebergWriter.create((0 until 10).map(i => (i, "a")).toDF("id", "v")
+      .coalesce(1), path, formatVersion = 3)
+    (10 until 14).foreach(i => IcebergWriter.append(
+      Seq((i, "b")).toDF("id", "v").coalesce(1), path))
+    IcebergWriter.deleteWhere(spark, path, col("id") % 4 === 0)
+    val before = ids(path)
+    IcebergWriter.rewriteManifests(path, targetBytes = 64L * 1024 * 1024)
+    assert(ids(path) == before, "manifest merge must carry DV fields")
+    Thread.sleep(10)
+    graft.operators.Maintenance.maintain(spark, path,
+      keepSnapshots = 1, horizonMs = 0L).collect()
+    assert(ids(path) == before)
+    assert(dvEntries(path).nonEmpty)
+  }
+
+  test("upsert works on v3 (equality deletes are v3-legal)") {
+    val path = tmp("upsert")
+    IcebergWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "v"), path,
+      formatVersion = 3)
+    val (matched, inserted) = IcebergWriter.upsert(
+      Seq((2, "B"), (3, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(matched == 1 && inserted == 2)
+    val got = IcebergReader.read(spark, path).as[(Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("time travel to pre-delete v3 snapshots replays without the DV") {
+    val path = tmp("travel")
+    IcebergWriter.create((0 until 6).map(i => (i, "a")).toDF("id", "v"),
+      path, formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, path, col("id") < 3)
+    assert(ids(path) == Seq(3, 4, 5))
+    assert(IcebergReader.read(spark, path, snapshotId = Some(1L))
+      .select("id").as[Int].collect().sorted.toSeq == (0 until 6))
+  }
+
+  test("data-rewrite ops fail closed on v3 with a clear error") {
+    val path = tmp("guards")
+    IcebergWriter.create(Seq((1, "a")).toDF("id", "v"), path,
+      formatVersion = 3)
+    Seq[(String, () => Any)](
+      ("rewriteDataFiles",
+        () => IcebergWriter.rewriteDataFiles(spark, path)),
+      ("rewriteZOrder",
+        () => IcebergWriter.rewriteZOrder(spark, path, "id", "id")),
+      ("rewriteEqualityDeletes",
+        () => IcebergWriter.rewriteEqualityDeletes(spark, path)),
+      ("rewritePositionDeletes",
+        () => IcebergWriter.rewritePositionDeletes(spark, path))
+    ).foreach { case (name, op) =>
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains(name) &&
+        e.getMessage.contains("format-v3"), s"$name: ${e.getMessage}")
+    }
+  }
+
+  test("a v3 DV table round-trips through the reader's DuckDB-shaped plan") {
+    // partitioned create + per-partition deletes: the reader's partition
+    // pruning must not lose DV application (exact referenced-file
+    // pruning keeps only the planned files' DVs)
+    val path = tmp("part")
+    IcebergWriter.create(
+      (0 until 30).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "side"),
+      path, partitionBy = Seq("side"), formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, path,
+      col("side") === "even" && col("id") % 3 === 0)
+    val all = ids(path)
+    assert(all == (0 until 30).filterNot(i => i % 2 == 0 && i % 3 == 0))
+    val evens = IcebergReader.read(spark, path,
+      partitionFilter = Map("side" -> "even"))
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(evens == (0 until 30).filter(i => i % 2 == 0 && i % 3 != 0))
+  }
+}
