@@ -180,9 +180,40 @@ object FormatConvert {
     // first so the inline guard fires before any row-level collect (the
     // same discipline as DeltaWriter.deleteMatching). Sequence rule:
     // a position delete applies to files with data seq <= delete seq.
-    val posDeletes = st.entries.filter(_.content == 1)
-    val dvByFile: Map[String, Seq[Long]] =
-      if (posDeletes.isEmpty) Map.empty
+    // v3 puffin DELETION VECTORS split off first — they are not parquet
+    // and decode through PuffinDV on executors; per the spec precedence
+    // a data file with a DV ignores position-delete files entirely, so
+    // the DV map OVERRIDES the parquet map per file below.
+    val (dvDeletes, posDeletes) =
+      st.entries.filter(_.content == 1).partition(_.isDv)
+    val puffinByFile: Map[String, Seq[Long]] =
+      if (dvDeletes.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{collect_set, sort_array}
+        // cardinality guard BEFORE any positions reach the driver —
+        // record_count is the DV cardinality, checked at decode
+        dvDeletes.foreach(d => require(
+          d.recordCount <= DeltaWriter.MaxInlinePositions,
+          s"${d.recordCount} deletion-vector positions for " +
+            s"${d.referencedDataFile.get} exceed the inline-DV guard " +
+            s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
+            "table before converting"))
+        val live = dvDeletes.filter(d =>
+          fileSeq.get(norm(d.referencedDataFile.get))
+            .exists(_ <= d.seq)) // dead-file / stale DVs translate to nothing
+        if (live.isEmpty) Map.empty
+        else graft.sources.PuffinDV.deletedRows(spark,
+          live.map(d => graft.sources.PuffinDV.Dv(norm(d.localPath),
+            d.contentOffset, d.contentSize,
+            norm(d.referencedDataFile.get), d.seq, d.recordCount)))
+          .groupBy(col("__del_file"))
+          .agg(sort_array(collect_set(col("__del_pos"))).as("pd"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+          .toMap
+      }
+    val dvByFile: Map[String, Seq[Long]] = puffinByFile ++ (
+      if (posDeletes.isEmpty) Map.empty[String, Seq[Long]]
       else {
         import org.apache.spark.sql.functions.{collect_set, count, lit, sort_array}
         val dels = posDeletes.map { d =>
@@ -213,7 +244,7 @@ object FormatConvert {
               case (pos, dseq) if dseq >= dseqMin => pos
             }.distinct.sorted
           }.filter(_._2.nonEmpty).toMap
-      }
+      }).filterNot { case (f, _) => puffinByFile.contains(f) }
 
     val schemaStr = DeltaWriter.escape(st.schema.json)
     val needDv = dvByFile.nonEmpty

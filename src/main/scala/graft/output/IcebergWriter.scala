@@ -1178,8 +1178,13 @@ object IcebergWriter {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     import spark.implicits._
     def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
-    val matched = matcher(liveRows(spark, st))
-      .select(col("__f").as("file_path"), col("__p").as("pos"))
+    // MATERIALIZED (strategy conf, Materialize scaladoc): the frame feeds
+    // two consumers — the per-file count below and the DV write union —
+    // and recomputing the matcher's full scan per consumer doubled the
+    // dominant cost (ProfileDv measured it)
+    val matched = graft.operators.Materialize(
+      matcher(liveRows(spark, st))
+        .select(col("__f").as("file_path"), col("__p").as("pos")))
     // ONE job both names the affected files and sizes the return value —
     // metadata-plane (bounded by live file count, never row count)
     val matchedPerFile = matched.groupBy("file_path").count()
@@ -1221,8 +1226,14 @@ object IcebergWriter {
           .filter(col("__dseq") >= col("__fseq"))
           .select(col("file_path"), col("pos")))
       }
-    val allRows = (matched +: (oldDvRows ++ oldParquetRows))
-      .reduce(_.unionByName(_)).distinct()
+    // distinct only when old rows actually merged in: matched is
+    // duplicate-free by construction (liveRows anti-joined the prior
+    // deletes away), and the first-delete fast path should not pay an
+    // extra shuffle for it
+    val oldRows = oldDvRows ++ oldParquetRows
+    val allRows =
+      if (oldRows.isEmpty) matched
+      else (matched +: oldRows).reduce(_.unionByName(_)).distinct()
     val seq = st.md.get("last-sequence-number").asLong() + 1
     val dataDir = st.root.resolve("data").toString
     val written = allRows.as[(String, Long)]

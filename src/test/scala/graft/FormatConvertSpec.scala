@@ -82,6 +82,35 @@ class FormatConvertSpec extends SparkSpec {
       == expect)
   }
 
+  test("iceberg V3 (puffin deletion vectors) → delta: DVs translate, " +
+      "spec precedence honored, zero copies") {
+    val iceberg = tmp("i3d_src")
+    val delta = tmp("i3d_dst")
+    IcebergWriter.create(
+      (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"), iceberg,
+      formatVersion = 3)
+    // two delete passes: the second exercises the merge/supersede path,
+    // so the converted table must reflect the MERGED vector only
+    assert(IcebergWriter.deleteWhere(spark, iceberg, col("id") % 4 === 0) > 0)
+    assert(IcebergWriter.deleteWhere(spark, iceberg, col("id") % 6 === 1) > 0)
+
+    val n = FormatConvert.icebergToDelta(spark, iceberg, delta)
+    assert(n >= 1)
+    val expect = IcebergReader.read(spark, iceberg)
+      .orderBy("id").collect().toSeq
+    assert(expect.map(_.getLong(0)) ==
+      (0L until 60L).filter(i => i % 4 != 0 && i % 6 != 1))
+    assert(DeltaLogReader.read(spark, delta).orderBy("id").collect().toSeq
+      == expect)
+    val copied = Files.walk(Paths.get(delta)).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log"))
+    assert(copied == 0, s"$copied parquet files copied into the delta root")
+    // source untouched (still serves v3 with its DVs)
+    assert(IcebergReader.read(spark, iceberg).orderBy("id").collect().toSeq
+      == expect)
+  }
+
   test("round-trip delta → iceberg → delta preserves every live row") {
     val a = tmp("rt_a"); val b = tmp("rt_b"); val c = tmp("rt_c")
     DeltaWriter.create(

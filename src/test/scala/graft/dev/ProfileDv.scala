@@ -1,0 +1,78 @@
+package graft.dev
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Iceberg delete-plane profile: v3 deletion vectors vs v2 parquet
+  * position deletes at a synthetic row count — delete-commit wall time
+  * (including the DV merge on a SECOND delete over the same files, the
+  * supersede path) and the read-back cost of applying each
+  * representation. Usage:
+  * `Test/runMain graft.dev.ProfileDv [rows] [files]`.
+  */
+object ProfileDv {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toInt else 2000000
+    val nFiles = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-52s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      r
+    }
+
+    def freshTable(tag: String, formatVersion: Int): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_prof_dv_$tag").resolve("t").toString
+      val df = spark.range(rows).select(col("id"),
+        (col("id") % 1000).as("k")).repartition(nFiles)
+      IcebergWriter.create(df, root, formatVersion = formatVersion)
+      root
+    }
+
+    Seq(("v3 deletion vectors", 3), ("v2 position deletes", 2))
+      .foreach { case (tag, fv) =>
+        println(s"== $tag: $rows rows / $nFiles files ==")
+        val t = freshTable(s"v$fv", fv)
+        timed(s"  delete 25% (first commit)") {
+          IcebergWriter.deleteWhere(spark, t, col("id") % 4 === 0)
+        }
+        timed(s"  read-back count after first delete") {
+          val n = IcebergReader.read(spark, t).count()
+          require(n == rows - rows / 4, s"wrong live count $n")
+        }
+        timed(s"  delete next 25% (merge/supersede commit)") {
+          IcebergWriter.deleteWhere(spark, t, col("id") % 4 === 1)
+        }
+        timed(s"  read-back count after second delete") {
+          val n = IcebergReader.read(spark, t).count()
+          require(n == rows / 2, s"wrong live count $n")
+        }
+        // physical footprint of the delete representation
+        import scala.jdk.CollectionConverters._
+        val dataDir = java.nio.file.Paths.get(t).resolve("data")
+        val listing = {
+          val s = java.nio.file.Files.list(dataDir)
+          try s.iterator().asScala.toVector finally s.close()
+        }
+        val puffins = listing.filter(_.getFileName.toString.endsWith(".puffin"))
+        val delParquet = listing.filter(_.getFileName.toString
+          .startsWith("delete-"))
+        println(s"  delete files on disk: ${puffins.size} puffin " +
+          s"(${puffins.map(java.nio.file.Files.size).sum} bytes) / " +
+          s"${delParquet.size} parquet " +
+          s"(${delParquet.map(java.nio.file.Files.size).sum} bytes)")
+      }
+    spark.stop()
+  }
+}
