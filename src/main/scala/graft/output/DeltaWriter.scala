@@ -628,9 +628,13 @@ object DeltaWriter {
           .orElse(f.partitionValues.get(pf.name)).orNull),
         (colName, op, value) =>
           // pushed predicates arrive on the relation's PHYSICAL attribute
-          // names; stats are keyed physical too (see DeltaLogReader.read)
-          schemaFields.find(fl => fl.name.equalsIgnoreCase(colName) ||
-              physName(fl).equalsIgnoreCase(colName)) match {
+          // names; under mapping match physical ONLY (a logical-name
+          // match could bind to the wrong field's stats after a
+          // rename + re-add and silently under-delete — see
+          // DeltaLogReader.read's twin closure)
+          schemaFields.find(fl =>
+              if (mapped) physName(fl).equalsIgnoreCase(colName)
+              else fl.name.equalsIgnoreCase(colName)) match {
             case Some(fld) => graft.sources.DeltaLogReader.statsMayMatch(
               f.statsNode, physName(fld), op, value, fld.dataType)
             case None => true
@@ -964,10 +968,10 @@ object DeltaWriter {
       // checkpoint-only log (every commit JSON reclaimed by retention or
       // external cleanup): the next version chains off the checkpoint —
       // failing here would brick writes to a perfectly readable table
-      val f = log.resolve("_last_checkpoint")
-      require(Files.exists(f), s"$root has no delta commits and no checkpoint")
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(f)).get("version").asLong() + 1
+      graft.sources.DeltaLogReader.lastCheckpoint(log).getOrElse(
+        throw new IllegalStateException(
+          s"$root has no delta commits and no readable checkpoint pointer")
+      ) + 1
     }
   }
 
@@ -1681,14 +1685,7 @@ object DeltaWriter {
       }
     }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
     if (byVersion.isEmpty) return 0
-    val pointed = {
-      val f = log.resolve("_last_checkpoint")
-      if (Files.exists(f))
-        try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(Files.readString(f)).get("version").asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
-      else None
-    }
+    val pointed = graft.sources.DeltaLogReader.lastCheckpoint(log)
     val keptVersions = (byVersion.keys.toSeq.sorted.takeRight(keepLast) ++
       pointed.toSeq).distinct.toSet
     val dropFiles = byVersion.filterNot(kv => keptVersions(kv._1))
@@ -1762,13 +1759,7 @@ object DeltaWriter {
     // pointer alone is not trusted (its files may be gone — deleting
     // commits below a phantom checkpoint would destroy the only source
     // of truth)
-    val pointed = {
-      val f = log.resolve("_last_checkpoint")
-      if (!Files.exists(f)) None
-      else try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(f)).get("version").asLong())
-      catch { case scala.util.control.NonFatal(_) => None }
-    }
+    val pointed = graft.sources.DeltaLogReader.lastCheckpoint(log)
     val floor = pointed.filter(v =>
       graft.sources.DeltaLogReader.checkpointFiles(log, v).nonEmpty)
     floor match {
@@ -1804,35 +1795,78 @@ object DeltaWriter {
     */
   def lastTxnVersion(spark: SparkSession, path: String,
       appId: String): Option[Long] = {
-    val fromJson = lastTxnVersion(path, appId)
     val log = Paths.get(path, "_delta_log")
-    val pointed = {
-      val f = log.resolve("_last_checkpoint")
-      if (!Files.exists(f)) None
-      else try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(f)).get("version").asLong())
-      catch { case scala.util.control.NonFatal(_) => None }
+    graft.sources.DeltaLogReader.lastCheckpoint(log) match {
+      case None => lastTxnVersion(path, appId)
+      case Some(cp) =>
+        // a txn in a commit STRICTLY ABOVE the checkpoint supersedes the
+        // checkpoint's row (a checkpoint carries txn state as of its own
+        // version, and the sink's batch ids are monotone), so the
+        // steady-state streaming path — every batch commits a txn —
+        // answers from the cheap driver-side JSON scan and NEVER pays
+        // the checkpoint parquet job per batch
+        txnInCommitsAbove(path, appId, cp).orElse {
+          val fromOldJson = lastTxnVersion(path, appId)
+          val fromCp = checkpointTxnVersion(spark, log, cp, appId)
+          (fromOldJson.toSeq ++ fromCp.toSeq).maxOption
+        }
     }
-    val fromCp = pointed.toSeq
-      .map(v => graft.sources.DeltaLogReader.checkpointFiles(log, v))
-      .filter(_.nonEmpty)
-      .flatMap { files =>
+  }
+
+  /** Highest txn version for `appId` among commit JSONs strictly above
+    * `floorVersion` — the replay-cost-free half of the checkpoint-aware
+    * lookup.
+    */
+  private def txnInCommitsAbove(path: String, appId: String,
+      floorVersion: Long): Option[Long] = {
+    val log = Paths.get(path, "_delta_log")
+    if (!Files.isDirectory(log)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = graft.sources.Fs.listClosed(log).iterator
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.matches("\\d{20}\\.json") &&
+          n.stripSuffix(".json").toLong > floorVersion
+      }
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.contains("\"txn\""))
+      .flatMap { line =>
+        val t = Option(mapper.readTree(line).get("txn")).filterNot(_.isNull)
+        t.filter(n => Option(n.get("appId")).exists(_.asText == appId))
+          .flatMap(n => Option(n.get("version")).map(_.asLong))
+      }
+      .toSeq
+    versions.maxOption
+  }
+
+  /** One checkpoint's txn row for `appId` — memoized on (log, version):
+    * checkpoints are immutable, so the parquet read (a Spark job over
+    * the manifest) runs at most once per checkpoint per process instead
+    * of once per micro-batch.
+    */
+  private val checkpointTxnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
+
+  private def checkpointTxnVersion(spark: SparkSession, log: Path,
+      cpVersion: Long, appId: String): Option[Long] =
+    checkpointTxnCache.computeIfAbsent((log.toString, cpVersion), { _ =>
+      val files = graft.sources.DeltaLogReader.checkpointFiles(log, cpVersion)
+      if (files.isEmpty) Map.empty[String, Long]
+      else {
         // v2 manifests put file actions in sidecars, but txn rows stay in
         // the manifest itself (PROTOCOL.md V2 checkpoint layout) — no
         // sidecar recursion needed for either layout
         import org.apache.spark.sql.functions.col
         val df = readCheckpointDf(spark, files)
-        if (!df.columns.contains("txn")) Nil
-        else df.select(col("txn.version"))
-          .where(col("txn").isNotNull && col("txn.appId") === appId &&
+        if (!df.columns.contains("txn")) Map.empty[String, Long]
+        else df.select(col("txn.appId"), col("txn.version"))
+          .where(col("txn").isNotNull && col("txn.appId").isNotNull &&
             col("txn.version").isNotNull)
-          .collect().map(_.getLong(0)).toSeq
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (id, rows) => id -> rows.map(_.getLong(1)).max }
       }
-    (fromJson.toSeq ++ fromCp) match {
-      case Nil => None
-      case vs => Some(vs.max)
-    }
-  }
+    }).get(appId)
 
   /** Highest `txn` version committed for `appId` (streaming idempotence:
     * a micro-batch whose id is ≤ this has already landed). Scans the

@@ -190,17 +190,19 @@ object FormatConvert {
       if (dvDeletes.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{collect_set, sort_array}
-        // cardinality guard BEFORE any positions reach the driver —
-        // record_count is the DV cardinality, checked at decode
-        dvDeletes.foreach(d => require(
+        val live = dvDeletes.filter(d =>
+          fileSeq.get(norm(d.referencedDataFile.get))
+            .exists(_ <= d.seq)) // dead-file / stale DVs translate to nothing
+        // cardinality guard on the LIVE set only (a dead file's oversized
+        // DV translates to nothing and must not abort the conversion),
+        // and still BEFORE any positions reach the driver — record_count
+        // is the DV cardinality, checked at decode
+        live.foreach(d => require(
           d.recordCount <= DeltaWriter.MaxInlinePositions,
           s"${d.recordCount} deletion-vector positions for " +
             s"${d.referencedDataFile.get} exceed the inline-DV guard " +
             s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
             "table before converting"))
-        val live = dvDeletes.filter(d =>
-          fileSeq.get(norm(d.referencedDataFile.get))
-            .exists(_ <= d.seq)) // dead-file / stale DVs translate to nothing
         if (live.isEmpty) Map.empty
         else graft.sources.PuffinDV.deletedRows(spark,
           live.map(d => graft.sources.PuffinDV.Dv(norm(d.localPath),

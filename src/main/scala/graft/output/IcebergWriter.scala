@@ -1242,19 +1242,6 @@ object IcebergWriter {
       .mapPartitions(it =>
         graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
       .collect()
-    val rootStr = st.root.toString
-    def manifestForm(local: String): String =
-      if (local.startsWith(rootStr + "/"))
-        st.location + local.stripPrefix(rootStr)
-      else local
-    val files = written.toSeq.map { case (refFile, name, off, len, card) =>
-      WrittenFile(name, Files.size(st.root.resolve("data").resolve(name)),
-        card, dv = Some(DvCoords(manifestForm(refFile), off, len)))
-    }
-    val delSpecId =
-      if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
-    val dvManifest = writeManifest(st.root, st.location, files, content = 1,
-      specId = delSpecId, schemaJson = currentSchemaJson(st.md))
     // supersede: the affected files' OLD DV entries leave their carried
     // manifests (only manifests that actually hold one are rewritten)
     val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
@@ -1267,11 +1254,37 @@ object IcebergWriter {
           .exists(v => affected(normS(
             remapLocal(v.toString, st.location, st.root)))))
     }
-    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel :+
-      ManifestRef(dvManifest, 1, seq, specId = delSpecId)
+    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++
+      dvManifestRef(st, written.toSeq, seq)
     val list = writeManifestList(st.root, seq, refsOut)
     commitNewSnapshot(st, seq, list, "delete")
     matchedCount
+  }
+
+  /** The DV-commit tail [[deleteMatchingV3]] and [[upgradeToV3]] share:
+    * collected (referenced local path, puffin name, offset, length,
+    * cardinality) rows → PUFFIN manifest entries (referenced path back
+    * in MANIFEST namespace) → one content=1 manifest ref at `seq`.
+    * Nil when nothing was written.
+    */
+  private def dvManifestRef(st: TableState,
+      written: Seq[(String, String, Long, Long, Long)],
+      seq: Long): Seq[ManifestRef] = {
+    if (written.isEmpty) return Nil
+    val rootStr = st.root.toString
+    def manifestForm(local: String): String =
+      if (local.startsWith(rootStr + "/"))
+        st.location + local.stripPrefix(rootStr)
+      else local
+    val files = written.map { case (refFile, name, off, len, card) =>
+      WrittenFile(name, Files.size(st.root.resolve("data").resolve(name)),
+        card, dv = Some(DvCoords(manifestForm(refFile), off, len)))
+    }
+    val delSpecId =
+      if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
+    Seq(ManifestRef(writeManifest(st.root, st.location, files, content = 1,
+      specId = delSpecId, schemaJson = currentSchemaJson(st.md)), 1, seq,
+      specId = delSpecId))
   }
 
   /** Carried delete-manifest pass-through/rewrite for the v3 paths:
@@ -1348,26 +1361,8 @@ object IcebergWriter {
       .mapPartitions(it =>
         graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
       .collect()
-    val rootStr = st.root.toString
-    def manifestForm(local: String): String =
-      if (local.startsWith(rootStr + "/"))
-        st.location + local.stripPrefix(rootStr)
-      else local
-    val dvRef =
-      if (written.isEmpty) Nil // every delete row was aimed at dead files
-      else {
-        val files = written.toSeq.map { case (refFile, name, off, len, card) =>
-          WrittenFile(name,
-            Files.size(st.root.resolve("data").resolve(name)),
-            card, dv = Some(DvCoords(manifestForm(refFile), off, len)))
-        }
-        val delSpecId =
-          if (st.spec.isEmpty) 0 else ensureUnpartitionedSpec(st.md)
-        Seq(ManifestRef(writeManifest(st.root, st.location, files,
-          content = 1, specId = delSpecId,
-          schemaJson = currentSchemaJson(st.md)), 1, seq,
-          specId = delSpecId))
-      }
+    // empty = every delete row was aimed at dead files
+    val dvRef = dvManifestRef(st, written.toSeq, seq)
     // carried delete manifests lose their parquet position-delete
     // entries (folded above); equality-delete entries stay put
     val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>

@@ -155,9 +155,21 @@ object DeltaLogReader {
   private def computeSnapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long]): Snapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
-    val allCommitFiles = listDir(logDir)
+    // ONE directory listing serves the commit scan, the on-disk
+    // checkpoint scan (candidates AND the versionAsOf latest check) —
+    // this runs once per snapshot load, i.e. per commit on the write
+    // path, exactly the per-commit listing cost log retention bounds
+    val logEntries = listDir(logDir)
+    val allCommitFiles = logEntries
       .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
       .sortBy(_.getFileName.toString)
+    val cpOnDisk: Seq[Long] = {
+      val cpName = "(\\d{20})\\.checkpoint(\\.[^/]+)?\\.(parquet|json)".r
+      logEntries.flatMap(p => p.getFileName.toString match {
+        case cpName(v, _, _) => Some(v.toLong)
+        case _ => None
+      }).distinct.sorted
+    }
     val commitFiles = allCommitFiles
       .filter(p => versionAsOf.forall(v => versionOf(p) <= v))
     require(commitFiles.nonEmpty || lastCheckpoint(logDir).isDefined,
@@ -223,7 +235,7 @@ object DeltaLogReader {
     // single-file, classic multi-part, and v2 (uuid-named manifest +
     // sidecars) layouts all qualify.
     val candidates: Seq[Long] =
-      (lastCheckpoint(logDir).toSeq ++ checkpointVersionsOnDisk(logDir))
+      (lastCheckpoint(logDir).toSeq ++ cpOnDisk)
         .distinct.filter(v => versionAsOf.forall(v <= _))
         .sorted(Ordering.Long.reverse)
     val chosen: Option[(Long, Seq[Path])] = candidates.iterator
@@ -255,6 +267,17 @@ object DeltaLogReader {
       s"delta log at $tablePath has gaps after version $replayFrom " +
         s"(found commits ${replayVersions.mkString(",")}) — state cannot " +
         "be reconstructed; a commit JSON is missing or was reclaimed")
+    // the replay must also CHAIN onto the checkpoint base: internally
+    // contiguous commits starting above base+1 (base's successors
+    // reclaimed but younger commits surviving — a partially-aged window,
+    // or a newer checkpoint's files lost while an older one survives)
+    // would silently drop the missing commits' adds AND removes
+    require(replayFrom < 0 || replayVersions.isEmpty ||
+        replayVersions.head == replayFrom + 1,
+      s"delta log at $tablePath has a gap between checkpoint $replayFrom " +
+        s"and the first surviving commit ${replayVersions.head} — state " +
+        "cannot be reconstructed; the commits between were reclaimed " +
+        "without a usable checkpoint covering them")
     require(replayFrom >= 0 || replayVersions.headOption.contains(0L),
       versionAsOf match {
         case Some(v) =>
@@ -289,15 +312,19 @@ object DeltaLogReader {
       }
     }
     require(schema != null, s"no metaData action found in $tablePath")
-    val version = commitFiles.lastOption.map(versionOf)
-      .orElse(chosen.map(_._1)).getOrElse(0L)
+    // the reconstructed version is the NEWER of the last replayed commit
+    // and the checkpoint base — surviving commits BELOW a replay-empty
+    // checkpoint (e.g. its own commit JSON externally reclaimed while
+    // older ones linger) must not misreport the state as older than the
+    // checkpoint that produced it
+    val version = (commitFiles.lastOption.map(versionOf).toSeq ++
+      chosen.map(_._1)).maxOption.getOrElse(0L)
     // Time travel must land EXACTLY on min(versionAsOf, latest): delta
     // versions are dense, so replay stopping short means the commits in
     // between were reclaimed — answering with the earlier state would be
     // silent truncation, not time travel.
     versionAsOf.foreach { v =>
-      val latest = (allCommitFiles.map(versionOf) ++
-        checkpointVersionsOnDisk(logDir)).max
+      val latest = (allCommitFiles.map(versionOf) ++ cpOnDisk).max
       val target = math.min(v, latest)
       require(version == target,
         s"version $v of $tablePath cannot be reconstructed: replay " +
@@ -541,28 +568,20 @@ object DeltaLogReader {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private def lastCheckpoint(logDir: Path): Option[Long] = {
+  /** `_last_checkpoint` pointer version — the ONE parse every consumer
+    * (reader base selection, writer's nextVersion fallback, checkpoint
+    * GC, log retention, txn lookup) shares. Tolerant: a corrupt/partial
+    * pointer is None, never an abort — the on-disk checkpoint scan and
+    * the commit JSONs remain the sources of truth.
+    */
+  private[graft] def lastCheckpoint(logDir: Path): Option[Long] = {
     val f = logDir.resolve("_last_checkpoint")
     if (!Files.exists(f)) None
-    else Some(mapper.readTree(Files.readString(f)).get("version").asLong())
+    else try Option(mapper.readTree(Files.readString(f)).get("version"))
+      .map(_.asLong())
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Distinct checkpoint versions present on disk (any layout), from the
-    * file names alone — the fallback base-selection scan for time travel
-    * over a retention-cleaned log, where `_last_checkpoint` names only the
-    * NEWEST checkpoint but an older surviving one may be the only valid
-    * replay base for a small `versionAsOf`. One directory listing,
-    * metadata-plane.
-    */
-  private def checkpointVersionsOnDisk(logDir: Path): Seq[Long] = {
-    val cpName = "(\\d{20})\\.checkpoint(\\.[^/]+)?\\.(parquet|json)".r
-    listDir(logDir).flatMap { p =>
-      p.getFileName.toString match {
-        case cpName(v, _, _) => Some(v.toLong)
-        case _ => None
-      }
-    }.distinct.sorted
-  }
 
   /** physical parquet field name under column mapping `name`/`id` mode. */
   private[graft] def physicalName(f: StructField): String =
@@ -684,11 +703,14 @@ object DeltaLogReader {
           .orElse(f.partitionValues.get(pf.name)).orNull),
         (colName, op, value) =>
           // Catalyst pushes predicates below the logical-name Project, so
-          // `colName` arrives as the relation's PHYSICAL attribute — match
-          // either name, query the stats by the physical key (how mapped
-          // tables record them)
-          schemaFields.find(fl => fl.name.equalsIgnoreCase(colName) ||
-              physicalName(fl).equalsIgnoreCase(colName)) match {
+          // `colName` arrives as the relation's PHYSICAL attribute. Under
+          // mapping, match the physical name ONLY — accepting the logical
+          // name too could bind a predicate to the WRONG field's stats
+          // when one field's logical name equals another's physical name
+          // (rename + re-add), silently skipping files that match
+          schemaFields.find(fl =>
+              if (mapped) physicalName(fl).equalsIgnoreCase(colName)
+              else fl.name.equalsIgnoreCase(colName)) match {
             case Some(fld) => statsMayMatch(f.statsNode, physicalName(fld),
               op, value, fld.dataType)
             case None => true

@@ -117,77 +117,50 @@ object PuffinDV {
     * spec-complete footer (type, snapshot-id, sequence-number, offset,
     * length, referenced-data-file + cardinality properties) so foreign
     * tools that DO read footers can index it. Returns each blob's
-    * manifest coordinates in input order.
+    * manifest coordinates in input order. Thin wrapper over the one
+    * streaming frame/footer emitter ([[writeBlobStream]]) — the byte
+    * layout exists exactly once.
     */
   def writeFile(path: String, blobs: Seq[(String, Seq[Long])],
-      snapshotId: Long, sequenceNumber: Long): Seq[BlobRef] = {
-    val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
-    val refs = Seq.newBuilder[BlobRef]
-    try {
-      out.write(FileMagic)
-      var offset = 4L
-      val footerBlobs = new StringBuilder
-      blobs.foreach { case (dataFile, positions) =>
-        val b = new DeletionVectors.RoaringArrayBuilder
-        positions.foreach(b.add)
-        val vector = b.serialize()
-        val crc = new java.util.zip.CRC32
-        crc.update(BlobMagic)
-        crc.update(vector)
-        val frame = java.nio.ByteBuffer.allocate(12 + vector.length)
-        frame.putInt(4 + vector.length)
-        frame.put(BlobMagic)
-        frame.put(vector)
-        frame.putInt(crc.getValue.toInt)
-        out.write(frame.array())
-        val length = 12L + vector.length
-        refs += BlobRef(dataFile, offset, length, b.cardinality)
-        if (footerBlobs.nonEmpty) footerBlobs.append(',')
-        footerBlobs.append(
-          s"""{"type":"deletion-vector-v1","fields":[],""" +
-            s""""snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
-            s""""offset":$offset,"length":$length,"properties":{""" +
-            s""""referenced-data-file":${jsonStr(dataFile)},""" +
-            s""""cardinality":"${b.cardinality}"}}""")
-        offset += length
-      }
-      val payload = (s"""{"blobs":[$footerBlobs],""" +
-        """"properties":{"created-by":"graft"}}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.write(FileMagic)
-      out.write(payload)
-      val tail = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      tail.putInt(payload.length)
-      tail.putInt(0) // flags: footer payload uncompressed
-      out.write(tail.array())
-      out.write(FileMagic)
-    } finally out.close()
-    refs.result()
-  }
+      snapshotId: Long, sequenceNumber: Long): Seq[BlobRef] =
+    writeBlobStream(path,
+      blobs.iterator.flatMap { case (f, ps) => ps.iterator.map((f, _)) },
+      snapshotId, sequenceNumber)
+      .map { case (ref, off, len, card) => BlobRef(ref, off, len, card) }
 
   /** Executor-side partition writer — the distributed half of
     * [[graft.output.IcebergWriter]]'s v3 delete path (the shape of
     * [[DeletionVectors.writeSidecars]]): ONE puffin file per non-empty
     * partition, one deletion-vector-v1 blob per data file. Rows MUST
     * arrive sorted by (file, pos) and a file's rows must not split
-    * across partitions (the caller hash-partitions by file), so neither
-    * a file's position array nor the puffin bytes ever sit in memory —
-    * positions stream into the current roaring container, frames stream
-    * to disk, and only the per-blob footer metadata (a few fields per
-    * data file) accumulates. Returns (referencedDataFile, puffinFileName,
-    * offset, length, cardinality) rows — metadata-plane.
+    * across partitions (the caller hash-partitions by file). Returns
+    * (referencedDataFile, puffinFileName, offset, length, cardinality)
+    * rows — metadata-plane.
     */
   def writePartitionBlobs(dir: String, rows: Iterator[(String, Long)],
       snapshotId: Long, sequenceNumber: Long)
       : Iterator[(String, String, Long, Long, Long)] = {
     if (!rows.hasNext) return Iterator.empty
     val name = s"dv-${java.util.UUID.randomUUID()}.puffin"
+    writeBlobStream(java.nio.file.Paths.get(dir).resolve(name).toString,
+      rows, snapshotId, sequenceNumber)
+      .iterator.map { case (ref, off, len, card) => (ref, name, off, len, card) }
+  }
+
+  /** The ONE frame + footer emitter both writers share: streams (file,
+    * pos) rows — ascending per file, files contiguous — into
+    * deletion-vector-v1 blobs back-to-back inside a fresh puffin file.
+    * Neither a file's position array nor the puffin bytes ever sit in
+    * memory (positions fold into the current roaring container, frames
+    * stream to disk); only the per-blob footer metadata accumulates.
+    * Returns (referencedDataFile, offset, length, cardinality) per blob.
+    */
+  private def writeBlobStream(path: String, rows: Iterator[(String, Long)],
+      snapshotId: Long, sequenceNumber: Long)
+      : Seq[(String, Long, Long, Long)] = {
     val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(
-        java.nio.file.Paths.get(dir).resolve(name)))
-    val refs = Seq.newBuilder[(String, String, Long, Long, Long)]
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    val refs = Seq.newBuilder[(String, Long, Long, Long)]
     val footerBlobs = new StringBuilder
     try {
       out.write(FileMagic)
@@ -206,7 +179,7 @@ object PuffinDV {
         frame.putInt(crc.getValue.toInt)
         out.write(frame.array())
         val length = 12L + vector.length
-        refs += ((curFile, name, offset, length, builder.cardinality))
+        refs += ((curFile, offset, length, builder.cardinality))
         if (footerBlobs.nonEmpty) footerBlobs.append(',')
         footerBlobs.append(
           s"""{"type":"deletion-vector-v1","fields":[],""" +
@@ -237,7 +210,7 @@ object PuffinDV {
       out.write(tail.array())
       out.write(FileMagic)
     } finally out.close()
-    refs.result().iterator
+    refs.result()
   }
 
   private def jsonStr(s: String): String = {

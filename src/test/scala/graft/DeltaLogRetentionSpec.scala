@@ -67,6 +67,34 @@ class DeltaLogRetentionSpec extends SparkSpec {
       assert(Files.exists(log.resolve(f"$v%020d.json"))))
   }
 
+  test("a hole between the checkpoint and the first surviving commit " +
+      "FAILS — never silently drops the missing commits") {
+    // checkpoint at 10, commits 11..12 externally destroyed, 13 survives:
+    // replay {13} is internally contiguous but does NOT chain onto the
+    // base — serving checkpoint@10 + commit 13 would drop 11..12's adds
+    // AND removes (deleted rows resurrect)
+    val (path, log) = tableWithCheckpoint("chainhole")
+    Files.delete(log.resolve(f"${11L}%020d.json"))
+    Files.delete(log.resolve(f"${12L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, path).count()
+    }
+    assert(e.getMessage.contains("gap between checkpoint"), e.getMessage)
+  }
+
+  test("surviving commits BELOW a replay-empty checkpoint neither " +
+      "misreport the version nor fail exact-landing time travel") {
+    // commits 10..13 externally destroyed while 0..9 linger: the state
+    // is exactly checkpoint@10; versionAsOf=10 must land (the old
+    // last-commit version calc said 9 and threw 'predates'), and the
+    // reconstructed row set is the checkpoint's
+    val (path, log) = tableWithCheckpoint("cpnewer")
+    (10L to 13L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    assert(DeltaLogReader.read(spark, path, versionAsOf = Some(10L))
+      .count() == 11L)
+    assert(DeltaLogReader.read(spark, path).count() == 11L)
+  }
+
   test("no checkpoint → cleanup is a safe no-op") {
     val path = tmp("nocp")
     DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), path)
