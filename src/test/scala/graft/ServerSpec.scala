@@ -361,6 +361,35 @@ class ServerSpec extends SparkSpec {
       assert(md.statusCode() == 200 && md.body().contains("\"data_schema\""))
     } finally srv.stop()
   }
+  test("iceberg V3 table (puffin deletion vectors) over HTTP") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_srv_ice_v3_${System.nanoTime()}")
+    graft.output.IcebergWriter.create(
+      (0 until 12).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "v"), root.toString, formatVersion = 3)
+    graft.output.IcebergWriter.deleteWhere(spark, root.toString,
+      org.apache.spark.sql.functions.col("id") % 3 === 0)
+    val cfg = Configs(Seq(TableConfig(name = "icev3", tag = "lake",
+      datasource = DatasourceConfig(uri = root.toString, fileType = "iceberg"),
+      params = Seq(Param("v")), allowGetAllPages = true)))
+    val srv = new LakeApiServer(spark, cfg)
+    val p = srv.start()
+    try {
+      // DV-deleted rows (0,3,6,9) never serve
+      val all = get(s"http://127.0.0.1:$p/api/v1/lake/icev3?format=json&limit=20")
+      assert(all.statusCode() == 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(all.body())
+      assert(node.size() == 8, all.body())
+      val ids = (0 until node.size()).map(i => node.get(i).get("id").asLong())
+      assert(ids.toSet == (0L until 12L).filter(_ % 3 != 0).toSet)
+      val f = get(s"http://127.0.0.1:$p/api/v1/lake/icev3?format=json&limit=20&v=even")
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f.body()).size() == 4) // 2,4,8,10
+    } finally srv.stop()
+  }
+
   test("sqlite table over HTTP — the reference's test_sqlite.py surface") {
     import com.fasterxml.jackson.databind.ObjectMapper
     val chinook = "/root/reference/tests/data/chinook.db"
