@@ -1085,7 +1085,8 @@ object IcebergWriter {
 
   /** Appends one snapshot node + bumps seq/version on the loaded state. */
   private def commitNewSnapshot(st: TableState, seq: Long, list: String,
-      operation: String, addedRows: Long = 0L): Unit = {
+      operation: String, addedRows: Long = 0L,
+      summary: Map[String, String] = Map.empty): Unit = {
     val prevMaxTs = Option(st.md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
@@ -1093,7 +1094,7 @@ object IcebergWriter {
     st.md.put("last-sequence-number", seq)
     st.md.put("last-updated-ms", ts)
     st.md.put("current-snapshot-id", seq)
-    val snap = snapshotNode(seq, seq, list, ts, operation)
+    val snap = snapshotNode(seq, seq, list, ts, operation, summary)
     assignRowLineage(st.md, snap, addedRows)
     st.md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snap)
@@ -1153,7 +1154,9 @@ object IcebergWriter {
     md.put("last-sequence-number", seq)
     md.put("last-updated-ms", ts)
     md.put("current-snapshot-id", seq)
-    val snap = snapshotNode(seq, seq, list, ts, "delete")
+    val snap = snapshotNode(seq, seq, list, ts, "delete", Map(
+      "added-delete-files" -> written.size.toString,
+      "added-position-deletes" -> matchedCount.toString))
     assignRowLineage(md, snap, 0L) // deletes add no rows
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snap)
@@ -1257,7 +1260,11 @@ object IcebergWriter {
     val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++
       dvManifestRef(st, written.toSeq, seq)
     val list = writeManifestList(st.root, seq, refsOut)
-    commitNewSnapshot(st, seq, list, "delete")
+    // standard delete-commit summary metrics (what external planners /
+    // UIs size delete application from)
+    commitNewSnapshot(st, seq, list, "delete", summary = Map(
+      "added-delete-files" -> written.length.toString,
+      "added-position-deletes" -> matchedCount.toString))
     matchedCount
   }
 
@@ -1376,7 +1383,9 @@ object IcebergWriter {
     st.md.put("next-row-id", 0L)
     val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++ dvRef
     val list = writeManifestList(st.root, seq, refsOut)
-    commitNewSnapshot(st, seq, list, "replace")
+    commitNewSnapshot(st, seq, list, "replace", summary = Map(
+      "removed-delete-files" -> posEntries.size.toString,
+      "added-delete-files" -> written.length.toString))
     posEntries.size
   }
 

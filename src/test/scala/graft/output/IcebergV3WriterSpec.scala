@@ -62,6 +62,21 @@ class IcebergV3WriterSpec extends SparkSpec {
     assert(dvs.map(_.recordCount).sum == 12) // 4 + 8 merged positions
   }
 
+  test("delete commits carry the standard summary metrics") {
+    val path = tmp("summary")
+    IcebergWriter.create((0 until 10).map(i => (i, "a")).toDF("id", "v")
+      .coalesce(1), path, formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, path, col("id") % 2 === 0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val snaps = mapper.readTree(Files.readString(
+      IcebergReader.currentMetadataFile(path)))
+      .get("snapshots").elements().asScala.toSeq
+    val sum = snaps.last.get("summary")
+    assert(sum.get("operation").asText == "delete")
+    assert(sum.get("added-position-deletes").asText == "5")
+    assert(sum.get("added-delete-files").asText.toInt >= 1)
+  }
+
   test("v3 row lineage: next-row-id advances by added rows only") {
     val path = tmp("lineage")
     IcebergWriter.create((0 until 7).map(i => (i, "a")).toDF("id", "v"),
