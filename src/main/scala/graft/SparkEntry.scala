@@ -200,6 +200,24 @@ object SparkEntry {
       root.toString
     }
 
+  /** Crash-safe multi-step gate fixtures: the probe is an explicit
+    * completion MARKER written after the last mutation, not "is a
+    * table" — a JVM death between create and the later deleteWhere /
+    * upgrade / maintenance steps would otherwise leave a valid-looking
+    * half-built table that every later run serves, silently diverging
+    * from the oracle. No marker → wipe and rebuild.
+    */
+  private def gateFixture(root: java.nio.file.Path)(build: => Unit): Unit = {
+    import java.nio.file.{Files, Path}
+    val marker = root.resolve(".gate_complete")
+    if (Files.exists(marker)) return
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    build
+    Files.createFile(marker)
+  }
+
   /** Hand-authored two-snapshot Iceberg v2 table over `nation`, exercising
     * the whole metadata plane the reader implements: snapshot 1 adds file
     * A (n_regionkey < 2, sorted by key so row position is a pure function
@@ -968,7 +986,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_v2cp_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           val W = graft.output.DeltaWriter
@@ -997,7 +1015,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_maintain_delta_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           val W = graft.output.DeltaWriter
@@ -1020,10 +1038,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_maintain_ice_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        // probe via version-hint, NOT v1.metadata.json: the sweep's
-        // removeOrphanFiles legitimately reclaims superseded metadata
-        // jsons, and a v1-probe would rebuild over the maintained table
-        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
+        gateFixture(root) {
           val cust = Tables.load(s, dir, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           val W = graft.output.IcebergWriter
@@ -1134,7 +1149,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_v3w_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
+        gateFixture(root) {
           val cust = Tables.load(s, dir, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           val W = graft.output.IcebergWriter
@@ -1156,7 +1171,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_upg3_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.IcebergReader.isIcebergTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           val W = graft.output.IcebergWriter

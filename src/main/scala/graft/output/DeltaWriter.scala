@@ -1805,28 +1805,33 @@ object DeltaWriter {
         // steady-state streaming path — every batch commits a txn —
         // answers from the cheap driver-side JSON scan and NEVER pays
         // the checkpoint parquet job per batch
-        txnInCommitsAbove(path, appId, cp).orElse {
-          val fromOldJson = lastTxnVersion(path, appId)
+        txnInCommits(path, appId, above = cp).orElse {
+          // miss path scans ONLY the commits at/below the checkpoint —
+          // the above-cp files were just read and hold nothing
+          val fromOldJson = txnInCommits(path, appId, atOrBelow = cp)
           val fromCp = checkpointTxnVersion(spark, log, cp, appId)
           (fromOldJson.toSeq ++ fromCp.toSeq).maxOption
         }
     }
   }
 
-  /** Highest txn version for `appId` among commit JSONs strictly above
-    * `floorVersion` — the replay-cost-free half of the checkpoint-aware
-    * lookup.
+  /** Highest txn version for `appId` among commit JSONs with version in
+    * (`above`, `atOrBelow`] — the replay-cost-free half of the
+    * checkpoint-aware lookup, range-bounded so its two call sites never
+    * read the same file twice.
     */
-  private def txnInCommitsAbove(path: String, appId: String,
-      floorVersion: Long): Option[Long] = {
+  private def txnInCommits(path: String, appId: String,
+      above: Long = -1L, atOrBelow: Long = Long.MaxValue): Option[Long] = {
     val log = Paths.get(path, "_delta_log")
     if (!Files.isDirectory(log)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val versions = graft.sources.Fs.listClosed(log).iterator
       .filter { p =>
         val n = p.getFileName.toString
-        n.matches("\\d{20}\\.json") &&
-          n.stripSuffix(".json").toLong > floorVersion
+        n.matches("\\d{20}\\.json") && {
+          val v = n.stripSuffix(".json").toLong
+          v > above && v <= atOrBelow
+        }
       }
       .flatMap(p => Files.readAllLines(p).asScala)
       .filter(_.contains("\"txn\""))
@@ -1848,25 +1853,31 @@ object DeltaWriter {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
 
   private def checkpointTxnVersion(spark: SparkSession, log: Path,
-      cpVersion: Long, appId: String): Option[Long] =
+      cpVersion: Long, appId: String): Option[Long] = {
+    // the files probe stays OUTSIDE the memo: a phantom pointer (files
+    // missing NOW) must not negative-cache forever — checkpoint files
+    // restored later must become visible, or a restarted stream would
+    // double-apply a batch whose only txn record lives there
+    val files = graft.sources.DeltaLogReader.checkpointFiles(log, cpVersion)
+    if (files.isEmpty) return None
+    // bounded: one entry per (table, checkpoint) would otherwise
+    // accumulate for the process lifetime of a many-table server
+    if (checkpointTxnCache.size > 64) checkpointTxnCache.clear()
     checkpointTxnCache.computeIfAbsent((log.toString, cpVersion), { _ =>
-      val files = graft.sources.DeltaLogReader.checkpointFiles(log, cpVersion)
-      if (files.isEmpty) Map.empty[String, Long]
-      else {
-        // v2 manifests put file actions in sidecars, but txn rows stay in
-        // the manifest itself (PROTOCOL.md V2 checkpoint layout) — no
-        // sidecar recursion needed for either layout
-        import org.apache.spark.sql.functions.col
-        val df = readCheckpointDf(spark, files)
-        if (!df.columns.contains("txn")) Map.empty[String, Long]
-        else df.select(col("txn.appId"), col("txn.version"))
-          .where(col("txn").isNotNull && col("txn.appId").isNotNull &&
-            col("txn.version").isNotNull)
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (id, rows) => id -> rows.map(_.getLong(1)).max }
-      }
+      // v2 manifests put file actions in sidecars, but txn rows stay in
+      // the manifest itself (PROTOCOL.md V2 checkpoint layout) — no
+      // sidecar recursion needed for either layout
+      import org.apache.spark.sql.functions.col
+      val df = readCheckpointDf(spark, files)
+      if (!df.columns.contains("txn")) Map.empty[String, Long]
+      else df.select(col("txn.appId"), col("txn.version"))
+        .where(col("txn").isNotNull && col("txn.appId").isNotNull &&
+          col("txn.version").isNotNull)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (id, rows) => id -> rows.map(_.getLong(1)).max }
     }).get(appId)
+  }
 
   /** Highest `txn` version committed for `appId` (streaming idempotence:
     * a micro-batch whose id is ≤ this has already landed). Scans the

@@ -228,10 +228,14 @@ object FormatConvert {
           .agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         counts.foreach { case (f, n) =>
-          require(n <= DeltaWriter.MaxInlinePositions,
-            s"$n deleted positions in $f exceed the inline-DV guard " +
-              s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
-              "table before converting")
+          // files covered by a v3 DV translate from the DV alone — their
+          // superseded parquet rows are discarded below and must not
+          // trip the guard for a table that converts fine
+          if (!puffinByFile.contains(localForm(f)))
+            require(n <= DeltaWriter.MaxInlinePositions,
+              s"$n deleted positions in $f exceed the inline-DV guard " +
+                s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
+                "table before converting")
         }
         matched.groupBy(col("file_path"))
           .agg(sort_array(collect_set(org.apache.spark.sql.functions

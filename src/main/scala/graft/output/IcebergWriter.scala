@@ -1198,9 +1198,17 @@ object IcebergWriter {
     val (dvAll, parquetPos) =
       st.entries.filter(_.content == 1).partition(_.isDv)
     // prior state folded into the new DVs: the affected files' current
-    // DV positions…
+    // DV positions — gated on APPLICABILITY exactly like every reader
+    // (data seq <= DV seq): a stale foreign DV whose referenced path was
+    // re-used by a newer data file deletes nothing today, and folding it
+    // into a fresh current-seq DV would resurrect it as a live delete
+    val dataSeqOf: Map[String, Long] = st.entries.filter(_.content == 0)
+      .map(e => normS(e.localPath) -> e.seq).toMap
     val affectedDvs =
-      dvAll.filter(d => affected(normS(d.referencedDataFile.get)))
+      dvAll.filter { d =>
+        val ref = normS(d.referencedDataFile.get)
+        affected(ref) && dataSeqOf.get(ref).exists(_ <= d.seq)
+      }
     val oldDvRows =
       if (affectedDvs.isEmpty) Nil
       else Seq(graft.sources.PuffinDV.deletedRows(spark,
@@ -1213,22 +1221,9 @@ object IcebergWriter {
     // them (pre-upgrade files; delete seq >= data seq, like the scan)
     val oldParquetRows =
       if (parquetPos.isEmpty) Nil
-      else {
-        val dataSeqs = broadcast(st.entries.filter(_.content == 0)
-          .map(e => (normS(e.localPath), e.seq)).toDF("file_path", "__fseq"))
-        val affectedDf = broadcast(affected.toSeq.toDF("file_path"))
-        Seq(graft.sources.IcebergReader.deleteSeqJoined(spark,
-          parquetPos.map(_.localPath),
-          parquetPos.map(e => (normS(e.localPath), e.seq)),
-          Some("file_path string, pos bigint"), "__dsrc", "__dseq",
-          "iceberg v3 delete")
-          .select(regexp_replace(col("file_path"), "^file:/+", "/")
-            .as("file_path"), col("pos"), col("__dseq"))
-          .join(affectedDf, Seq("file_path"), "left_semi")
-          .join(dataSeqs, Seq("file_path"))
-          .filter(col("__dseq") >= col("__fseq"))
-          .select(col("file_path"), col("pos")))
-      }
+      else Seq(applicableParquetDeleteRows(spark, st, parquetPos)
+        .join(broadcast(affected.toSeq.toDF("file_path")),
+          Seq("file_path"), "left_semi"))
     // distinct only when old rows actually merged in: matched is
     // duplicate-free by construction (liveRows anti-joined the prior
     // deletes away), and the first-delete fast path should not pay an
@@ -1238,13 +1233,7 @@ object IcebergWriter {
       if (oldRows.isEmpty) matched
       else (matched +: oldRows).reduce(_.unionByName(_)).distinct()
     val seq = st.md.get("last-sequence-number").asLong() + 1
-    val dataDir = st.root.resolve("data").toString
-    val written = allRows.as[(String, Long)]
-      .repartition(col("file_path"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
-      .mapPartitions(it =>
-        graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
-      .collect()
+    val written = writeDvBlobs(st, allRows, seq)
     // supersede: the affected files' OLD DV entries leave their carried
     // manifests (only manifests that actually hold one are rewritten)
     val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
@@ -1258,14 +1247,59 @@ object IcebergWriter {
             remapLocal(v.toString, st.location, st.root)))))
     }
     val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++
-      dvManifestRef(st, written.toSeq, seq)
+      dvManifestRef(st, written, seq)
     val list = writeManifestList(st.root, seq, refsOut)
     // standard delete-commit summary metrics (what external planners /
     // UIs size delete application from)
     commitNewSnapshot(st, seq, list, "delete", summary = Map(
-      "added-delete-files" -> written.length.toString,
+      "added-delete-files" -> written.size.toString,
       "added-position-deletes" -> matchedCount.toString))
     matchedCount
+  }
+
+  /** Still-APPLICABLE parquet position-delete rows of `entries` as a
+    * (file_path, pos) frame in the LOCAL namespace — delete seq >= data
+    * seq per the spec, rows aimed at dead files dropped by the inner
+    * join. Shared by [[deleteMatchingV3]] (affected-file fold) and
+    * [[upgradeToV3]] (whole-table fold); the two copies of this exact
+    * chain had already started to exist.
+    */
+  private def applicableParquetDeleteRows(
+      spark: org.apache.spark.sql.SparkSession, st: TableState,
+      entries: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import spark.implicits._
+    def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val dataSeqs = broadcast(st.entries.filter(_.content == 0)
+      .map(e => (normS(e.localPath), e.seq)).toDF("file_path", "__fseq"))
+    graft.sources.IcebergReader.deleteSeqJoined(spark,
+      entries.map(_.localPath),
+      entries.map(e => (normS(e.localPath), e.seq)),
+      Some("file_path string, pos bigint"), "__dsrc", "__dseq",
+      "iceberg v3 delete fold")
+      .select(regexp_replace(col("file_path"), "^file:/+", "/")
+        .as("file_path"), col("pos"), col("__dseq"))
+      .join(dataSeqs, Seq("file_path"))
+      .filter(col("__dseq") >= col("__fseq"))
+      .select(col("file_path"), col("pos"))
+  }
+
+  /** The distributed DV write both v3 commit paths share: hash-partition
+    * the (file_path, pos) frame by data file (a file's DV never splits),
+    * sort within partitions as the roaring builder requires, stream into
+    * puffin blobs on executors, collect only the per-blob coordinates.
+    */
+  private def writeDvBlobs(st: TableState, rows: DataFrame,
+      seq: Long): Seq[(String, String, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import rows.sparkSession.implicits._
+    val dataDir = st.root.resolve("data").toString
+    rows.as[(String, Long)]
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .mapPartitions(it =>
+        graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
+      .collect().toSeq
   }
 
   /** The DV-commit tail [[deleteMatchingV3]] and [[upgradeToV3]] share:
@@ -1345,31 +1379,15 @@ object IcebergWriter {
       commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
       return 0
     }
-    val dataSeqs = broadcast(st.entries.filter(_.content == 0)
-      .map(e => (normS(e.localPath), e.seq)).toDF("file_path", "__fseq"))
     // live delete rows only (delete seq >= data seq; rows aimed at dead
     // files drop via the inner join) — dead rows must not resurrect as
     // DV positions
-    val merged = graft.sources.IcebergReader.deleteSeqJoined(spark,
-      posEntries.map(_.localPath),
-      posEntries.map(e => (normS(e.localPath), e.seq)),
-      Some("file_path string, pos bigint"), "__dsrc", "__dseq",
-      "iceberg v3 upgrade")
-      .select(regexp_replace(col("file_path"), "^file:/+", "/")
-        .as("file_path"), col("pos"), col("__dseq"))
-      .join(dataSeqs, Seq("file_path"))
-      .filter(col("__dseq") >= col("__fseq"))
-      .select(col("file_path"), col("pos")).distinct()
+    val merged =
+      applicableParquetDeleteRows(spark, st, posEntries).distinct()
     val seq = st.md.get("last-sequence-number").asLong() + 1
-    val dataDir = st.root.resolve("data").toString
-    val written = merged.as[(String, Long)]
-      .repartition(col("file_path"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
-      .mapPartitions(it =>
-        graft.sources.PuffinDV.writePartitionBlobs(dataDir, it, seq, seq))
-      .collect()
+    val written = writeDvBlobs(st, merged, seq)
     // empty = every delete row was aimed at dead files
-    val dvRef = dvManifestRef(st, written.toSeq, seq)
+    val dvRef = dvManifestRef(st, written, seq)
     // carried delete manifests lose their parquet position-delete
     // entries (folded above); equality-delete entries stay put
     val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
@@ -1385,7 +1403,7 @@ object IcebergWriter {
     val list = writeManifestList(st.root, seq, refsOut)
     commitNewSnapshot(st, seq, list, "replace", summary = Map(
       "removed-delete-files" -> posEntries.size.toString,
-      "added-delete-files" -> written.length.toString))
+      "added-delete-files" -> written.size.toString))
     posEntries.size
   }
 

@@ -122,11 +122,19 @@ object PuffinDV {
     * layout exists exactly once.
     */
   def writeFile(path: String, blobs: Seq[(String, Seq[Long])],
-      snapshotId: Long, sequenceNumber: Long): Seq[BlobRef] =
+      snapshotId: Long, sequenceNumber: Long): Seq[BlobRef] = {
+    // the returned refs align 1:1 with the input — enforce the
+    // preconditions that make that true instead of silently merging
+    // adjacent same-file tuples or skipping an empty one
+    require(blobs.map(_._1).distinct.size == blobs.size,
+      "one deletion vector per data file (duplicate referenced files)")
+    require(blobs.forall(_._2.nonEmpty),
+      "a deletion vector needs at least one position")
     writeBlobStream(path,
       blobs.iterator.flatMap { case (f, ps) => ps.iterator.map((f, _)) },
       snapshotId, sequenceNumber)
       .map { case (ref, off, len, card) => BlobRef(ref, off, len, card) }
+  }
 
   /** Executor-side partition writer — the distributed half of
     * [[graft.output.IcebergWriter]]'s v3 delete path (the shape of
