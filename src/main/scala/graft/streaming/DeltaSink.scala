@@ -53,11 +53,26 @@ object DeltaSink {
     * high-water mark nor [[graft.sources.DeltaLogReader.readAppends]]
     * consumers observe it; a replayed trigger re-compacting is a no-op
     * (nothing under the size target remains).
+    *
+    * `maintainEvery = Some(n)` runs the METADATA sweep
+    * ([[graft.output.DeltaWriter.cleanupCheckpoints]] +
+    * [[graft.output.DeltaWriter.cleanupExpiredLogs]] past
+    * `maintainHorizonMs`) every n-th batch — the knob that keeps a
+    * year-lived sink's `_delta_log` bounded: a per-micro-batch committer
+    * produces ~0.5M commits/year, and without inline retention every
+    * commit pays an O(all-commits-ever) directory listing while the log
+    * becomes a half-million-file directory. Idempotence SURVIVES the
+    * sweep (txn high-water marks ride the checkpoints —
+    * DeltaLogRetentionSpec pins it), and time travel below the horizon
+    * fails loudly rather than answering wrong, the documented retention
+    * trade.
     */
   def start(df: DataFrame, path: String, checkpointDir: String,
       appId: String = "graft-delta-sink",
       compactEvery: Option[Int] = None,
-      targetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
+      targetBytes: Long = 128L * 1024 * 1024,
+      maintainEvery: Option[Int] = None,
+      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -66,6 +81,11 @@ object DeltaSink {
         if (compactEvery.exists(n => id > 0 && id % n == 0)) {
           graft.output.DeltaWriter.optimize(batch.sparkSession, path,
             targetBytes)
+          ()
+        }
+        if (maintainEvery.exists(n => id > 0 && id % n == 0)) {
+          graft.operators.Maintenance.maintain(batch.sparkSession, path,
+            horizonMs = maintainHorizonMs).collect()
           ()
         }
       }

@@ -55,10 +55,20 @@ object IcebergSink {
     * always preserves idempotence (the newest snapshot carries the
     * highest batch id).
     */
+  /** `maintainEvery = Some(n)` runs the FULL metadata sweep
+    * ([[graft.operators.Maintenance.maintain]]: rewriteManifests +
+    * expireSnapshots(keepSnapshots) + removeOrphanFiles past
+    * `maintainHorizonMs`) every n-th batch — the superset of
+    * `expireEvery` for sinks that also want manifest compaction and
+    * crash-leftover reclamation inline. The high-water marks live in
+    * kept snapshots' summaries, so idempotence survives the sweep.
+    */
   def start(df: DataFrame, path: String, checkpointDir: String,
       appId: String = "graft-iceberg-sink",
       expireEvery: Option[Int] = None,
-      keepSnapshots: Int = 10): StreamingQuery =
+      keepSnapshots: Int = 10,
+      maintainEvery: Option[Int] = None,
+      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -66,6 +76,12 @@ object IcebergSink {
         appendBatch(batch.toDF(), path, appId, id)
         if (expireEvery.exists(n => id > 0 && id % n == 0)) {
           graft.output.IcebergWriter.expireSnapshots(path, keepSnapshots)
+          ()
+        }
+        if (maintainEvery.exists(n => id > 0 && id % n == 0)) {
+          graft.operators.Maintenance.maintain(batch.sparkSession, path,
+            keepSnapshots = keepSnapshots,
+            horizonMs = maintainHorizonMs).collect()
           ()
         }
       }

@@ -69,6 +69,66 @@ class MaintenanceSpec extends SparkSpec {
     assert(after == before && after == Seq(1, 3, 5, 7))
   }
 
+  test("DeltaSink maintainEvery: inline retention bounds the log, " +
+      "idempotence and rows survive") {
+    import graft.streaming.DeltaSink
+    val path = tmp("sinkret")
+    val cp = tmp("sinkretcp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = DeltaSink.start(input.toDF().toDF("id", "v"), path, cp,
+      maintainEvery = Some(6), maintainHorizonMs = 0L)
+    try {
+      (0 to 12).foreach { i =>
+        input.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+      // batch 12's sweep: checkpoint at v10 → commits 0..9 reclaimed
+      val log = Paths.get(path, "_delta_log")
+      (0L to 9L).foreach(v =>
+        assert(!Files.exists(log.resolve(f"$v%020d.json")),
+          s"commit $v not reclaimed"))
+      assert(DeltaLogReader.read(spark, path).select("id")
+        .as[Long].collect().sorted.toSeq == (0L to 12L))
+      // txn high-water survives retention (checkpoint carries it):
+      // a replayed batch must still skip
+      DeltaSink.appendBatch(Seq((99L, "dup")).toDF("id", "v"), path,
+        "graft-delta-sink", 5L)
+      assert(DeltaLogReader.read(spark, path).count() == 13L,
+        "replayed batch re-applied after inline retention")
+    } finally q.stop()
+  }
+
+  test("IcebergSink maintainEvery: snapshots + manifests bounded inline") {
+    import graft.streaming.IcebergSink
+    import scala.jdk.CollectionConverters._
+    val path = tmp("isinkret")
+    val cp = tmp("isinkretcp")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IcebergSink.start(input.toDF().toDF("id", "v"), path, cp,
+      keepSnapshots = 2, maintainEvery = Some(4), maintainHorizonMs = 0L)
+    try {
+      (0 to 8).foreach { i =>
+        input.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val md = mapper.readTree(Files.readString(
+        graft.sources.IcebergReader.currentMetadataFile(path)))
+      val snaps = md.get("snapshots").elements().asScala.size
+      assert(snaps <= 3, s"snapshot history unbounded: $snaps")
+      assert(IcebergReader.read(spark, path).select("id")
+        .as[Long].collect().sorted.toSeq == (0L to 8L))
+      // a replayed batch still skips (high-water rides kept summaries)
+      IcebergSink.appendBatch(Seq((99L, "dup")).toDF("id", "v"), path,
+        "graft-iceberg-sink", 3L)
+      assert(IcebergReader.read(spark, path).count() == 9L)
+    } finally q.stop()
+  }
+
   test("neither format → clear error") {
     val path = tmp("none")
     Files.createDirectories(Paths.get(path))
