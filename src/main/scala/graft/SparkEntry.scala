@@ -46,7 +46,7 @@ object SparkEntry {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_delta_ts_gate_v1_${math.abs(dir.hashCode)}")
     SparkEntry.synchronized {
-      if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+      gateFixture(root) {
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderdate").cast("timestamp").as("o_ts"))
@@ -74,8 +74,7 @@ object SparkEntry {
       s"graft_delta_gate_v1_${math.abs(dir.hashCode)}")
     val logDir = root.resolve("_delta_log")
     if (Files.exists(logDir.resolve(f"${1L}%020d.json"))) return root.toString
-    def deleteRec(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    def deleteRec(p: Path): Unit = deleteRecursively(p)
     deleteRec(root)
     Files.createDirectories(logDir)
     val nation = Tables.load(s, dir, "nation")
@@ -120,8 +119,7 @@ object SparkEntry {
       s"graft_delta_dv_gate_v1_${math.abs(dir.hashCode)}")
     val logDir = root.resolve("_delta_log")
     if (Files.exists(logDir.resolve(f"${1L}%020d.json"))) return root.toString
-    def deleteRec(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    def deleteRec(p: Path): Unit = deleteRecursively(p)
     deleteRec(root)
     Files.createDirectories(logDir)
     val nation = Tables.load(s, dir, "nation")
@@ -165,9 +163,7 @@ object SparkEntry {
       if (graft.sources.DeltaLogReader.isDeltaTable(root.toString) &&
           graft.sources.DeltaLogReader.snapshot(s, root.toString).version >= 2L)
         return root.toString
-      def deleteRec(p: Path): Unit = if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(Files.delete(_))
+      def deleteRec(p: Path): Unit = deleteRecursively(p)
       deleteRec(root)
       val logDir = root.resolve("_delta_log")
       Files.createDirectories(logDir)
@@ -208,15 +204,23 @@ object SparkEntry {
     * from the oracle. No marker → wipe and rebuild.
     */
   private def gateFixture(root: java.nio.file.Path)(build: => Unit): Unit = {
-    import java.nio.file.{Files, Path}
     val marker = root.resolve(".gate_complete")
-    if (Files.exists(marker)) return
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(Files.delete(_))
+    if (java.nio.file.Files.exists(marker)) return
+    deleteRecursively(root)
     build
-    Files.createFile(marker)
+    java.nio.file.Files.createFile(marker)
   }
+
+  /** Recursive delete with the walk stream CLOSED (Files.walk holds open
+    * directory handles) — the ONE copy the fixtures share.
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally w.close()
+    }
 
   /** Hand-authored two-snapshot Iceberg v2 table over `nation`, exercising
     * the whole metadata plane the reader implements: snapshot 1 adds file
@@ -237,8 +241,7 @@ object SparkEntry {
       s"graft_iceberg_gate_v1_${math.abs(dir.hashCode)}")
     val mdDir = root.resolve("metadata")
     if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
-    def deleteRec(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    def deleteRec(p: Path): Unit = deleteRecursively(p)
     deleteRec(root)
     Files.createDirectories(mdDir)
     Files.createDirectories(root.resolve("data"))
@@ -382,8 +385,7 @@ object SparkEntry {
       s"graft_iceberg_v3_gate_v1_${math.abs(dir.hashCode)}")
     val mdDir = root.resolve("metadata")
     if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
-    def deleteRec(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    def deleteRec(p: Path): Unit = deleteRecursively(p)
     deleteRec(root)
     Files.createDirectories(mdDir)
     Files.createDirectories(root.resolve("data"))
@@ -964,7 +966,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_wr_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(
@@ -1063,7 +1065,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_stats_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "orders")
               .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1085,7 +1087,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_purge_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -1103,7 +1105,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_del_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -1199,8 +1201,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_tag_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1274,8 +1275,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_branch_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1305,7 +1305,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_chg_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(
@@ -1324,7 +1324,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_delta_ups_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, root.toString)
@@ -1342,8 +1342,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_ups_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1365,8 +1364,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_part_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
@@ -1387,8 +1385,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_delprune_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -1418,8 +1415,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_zo_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "part")
               .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
@@ -1442,8 +1438,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_bucket_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
@@ -1460,8 +1455,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_eqrw_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1485,7 +1479,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_sql_delta_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!graft.sources.DeltaLogReader.isDeltaTable(root.toString)) {
+        gateFixture(root) {
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "orders")
               .select(col("o_orderkey"), col("o_custkey"),
@@ -1513,8 +1507,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_temporal_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "orders")
               .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
@@ -1542,8 +1535,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_posrw_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1566,8 +1558,7 @@ object SparkEntry {
       val src = root.resolve("ice")
       val dst = root.resolve("delta")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            dst.resolve("_delta_log").resolve(f"${0L}%020d.json"))) {
+        gateFixture(root) {
           graft.output.IcebergWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
@@ -1592,17 +1583,7 @@ object SparkEntry {
       val src = root.resolve("delta")
       val dst = root.resolve("ice")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            dst.resolve("metadata").resolve("v1.metadata.json"))) {
-          // crash-resumable: a kill between the source create and the
-          // hydrate commit leaves a half-built src that create() would
-          // refuse — rebuild the whole fixture from scratch
-          if (java.nio.file.Files.exists(root)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-          }
+        gateFixture(root) {
           graft.output.DeltaWriter.create(
             Tables.load(s, dir, "customer")
               .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
@@ -1625,8 +1606,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_chg_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(
@@ -1645,8 +1625,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_del_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(nation, root.toString)
@@ -1663,8 +1642,7 @@ object SparkEntry {
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_wr_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("metadata").resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(
@@ -1687,9 +1665,7 @@ object SparkEntry {
       val delta = root.resolve("delta").toString
       val iceberg = root.resolve("iceberg").toString
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("iceberg").resolve("metadata")
-              .resolve("v1.metadata.json"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.DeltaWriter.create(nation, delta)
@@ -1711,8 +1687,7 @@ object SparkEntry {
       val iceberg = root.resolve("iceberg").toString
       val delta = root.resolve("delta").toString
       SparkEntry.synchronized {
-        if (!java.nio.file.Files.exists(
-            root.resolve("delta").resolve("_delta_log"))) {
+        gateFixture(root) {
           val nation = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           graft.output.IcebergWriter.create(

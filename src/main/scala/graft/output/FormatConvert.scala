@@ -217,39 +217,60 @@ object FormatConvert {
     val dvByFile: Map[String, Seq[Long]] = puffinByFile ++ (
       if (posDeletes.isEmpty) Map.empty[String, Seq[Long]]
       else {
-        import org.apache.spark.sql.functions.{collect_set, count, lit, sort_array}
+        import org.apache.spark.sql.functions.{broadcast, collect_set,
+          concat, count, lit, regexp_replace, sort_array, substring, when}
+        import spark.implicits._
+        val locNorm = graft.sources.IcebergReader.normPath(st.location)
+        val rootStr = st.root.toString
+        // column-space twin of localForm/remapLocal, so every row-level
+        // filter below runs DISTRIBUTED — nothing untranslatable is
+        // ever collected
+        def localFormCol(c: org.apache.spark.sql.Column) = {
+          val n = regexp_replace(c, "^file:/+", "/")
+          when(n.startsWith(locNorm + "/"),
+            concat(lit(rootStr),
+              substring(n, locNorm.length + 1, Int.MaxValue)))
+            .when(n.startsWith("/"), n)
+            .otherwise(concat(lit(rootStr + "/"), n))
+        }
         val dels = posDeletes.map { d =>
           spark.read.parquet(norm(d.localPath))
             .select(col("file_path"), col("pos"), lit(d.seq).as("del_seq"))
         }.reduce(_ union _)
+        // DISTRIBUTED pre-filters: every class of untranslatable row
+        // drops BEFORE the count guard or any collect — a superseded or
+        // dead-file delete set can be arbitrarily large and must neither
+        // OOM the driver nor spuriously trip the guard:
+        //  1. rows aimed at files covered by a v3 DV (the DV supersedes
+        //     position-delete files per the spec precedence)
+        //  2. rows aimed at dead files (inner join against live files)
+        //  3. non-applicable rows (delete seq < data file seq)
+        val fileSeqDf = broadcast(fileSeq.toSeq.toDF("__lf", "__fseq"))
+        val applicable0 = dels
+          .withColumn("__lf", localFormCol(col("file_path")))
+          .join(fileSeqDf, Seq("__lf"))
+          .filter(col("del_seq") >= col("__fseq"))
+        val applicable =
+          if (puffinByFile.isEmpty) applicable0
+          else applicable0.join(
+            broadcast(puffinByFile.keys.toSeq.toDF("__lf")),
+            Seq("__lf"), "left_anti")
         import graft.operators.Materialize.Ops
-        val matched = dels.materialize()
-        val counts = matched.groupBy(col("file_path"))
+        val matched = applicable.select(col("__lf"), col("pos")).materialize()
+        val counts = matched.groupBy(col("__lf"))
           .agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         counts.foreach { case (f, n) =>
-          // files covered by a v3 DV translate from the DV alone — their
-          // superseded parquet rows are discarded below and must not
-          // trip the guard for a table that converts fine
-          if (!puffinByFile.contains(localForm(f)))
-            require(n <= DeltaWriter.MaxInlinePositions,
-              s"$n deleted positions in $f exceed the inline-DV guard " +
-                s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
-                "table before converting")
+          require(n <= DeltaWriter.MaxInlinePositions,
+            s"$n deleted positions in $f exceed the inline-DV guard " +
+              s"(${DeltaWriter.MaxInlinePositions}); compact the iceberg " +
+              "table before converting")
         }
-        matched.groupBy(col("file_path"))
-          .agg(sort_array(collect_set(org.apache.spark.sql.functions
-            .struct(col("pos"), col("del_seq")))).as("pd"))
-          .collect().map { r =>
-            val f = localForm(r.getString(0))
-            val pairs = r.getSeq[org.apache.spark.sql.Row](1)
-              .map(p => (p.getLong(0), p.getLong(1)))
-            // keep only positions whose delete seq covers this file
-            val dseqMin = fileSeq.getOrElse(f, Long.MaxValue)
-            f -> pairs.collect {
-              case (pos, dseq) if dseq >= dseqMin => pos
-            }.distinct.sorted
-          }.filter(_._2.nonEmpty).toMap
+        matched.groupBy(col("__lf"))
+          .agg(sort_array(collect_set(col("pos"))).as("pd"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+          .filter(_._2.nonEmpty).toMap
       }).filterNot { case (f, _) => puffinByFile.contains(f) }
 
     val schemaStr = DeltaWriter.escape(st.schema.json)

@@ -61,14 +61,23 @@ object IcebergSink {
     * `maintainHorizonMs`) every n-th batch — the superset of
     * `expireEvery` for sinks that also want manifest compaction and
     * crash-leftover reclamation inline. The high-water marks live in
-    * kept snapshots' summaries, so idempotence survives the sweep.
+    * kept snapshots' summaries; with the sweep, `keepSnapshots >= 2` is
+    * REQUIRED for that to hold — rewriteManifests commits a summary-less
+    * `replace` snapshot as the newest, so keepLast=1 would expire the
+    * append snapshot carrying the batch-id mark and a restarted stream
+    * would re-apply its last batch (enforced below, fail-fast).
     */
   def start(df: DataFrame, path: String, checkpointDir: String,
       appId: String = "graft-iceberg-sink",
       expireEvery: Option[Int] = None,
       keepSnapshots: Int = 10,
       maintainEvery: Option[Int] = None,
-      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery =
+      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery = {
+    require(maintainEvery.isEmpty || keepSnapshots >= 2,
+      "maintainEvery needs keepSnapshots >= 2: the sweep's " +
+        "rewriteManifests commits a summary-less replace snapshot, and " +
+        "keeping only it would expire the batch-id high-water mark — a " +
+        "restarted stream would double-apply its last batch")
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -86,4 +95,5 @@ object IcebergSink {
         }
       }
       .start()
+  }
 }
