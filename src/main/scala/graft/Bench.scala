@@ -44,6 +44,14 @@ object Bench {
         spark.conf.set(k, v)
       })
 
+    // ambient-load audit trail (VERDICT r17: cross-round bench absolutes
+    // drift with driver-environment load; recording the 1-min loadavg in
+    // the artifact makes the quiet-window adjudication mechanical). The
+    // LAUNCH value is the comparable one — the suite itself drives the
+    // machine, so the end value mostly measures the bench.
+    val launchLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -154,7 +162,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load":$launchLoad,"queries":$fullQs,"sf":"$sfDir"}"""
     System.err.println(s"[bench] full record: $fullLine")
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
@@ -164,7 +172,7 @@ object Bench {
     }
 
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    println(formatFinalLine(results, total, sfShort))
+    println(formatFinalLine(results, total, sfShort, load = launchLoad))
     spark.stop()
   }
 
@@ -204,7 +212,8 @@ object Bench {
     * Never an empty map while any entry fits.
     */
   private[graft] def formatFinalLine(results: Seq[(String, Double)],
-      total: Double, sfShort: String, maxLen: Int = 1990): String = {
+      total: Double, sfShort: String, maxLen: Int = 1990,
+      load: Double = -1.0): String = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
@@ -212,10 +221,11 @@ object Bench {
       kept.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(v, dp))
       }.mkString("{", ",", "}")
+    val loadField = s""","load":${num(load, 2)}"""
     def compactLine(dp: Int): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${entries(results, dp)},"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$loadField,"queries":${entries(results, dp)},"sf":"$sfShort"}"""
     def partial(kept: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${entries(kept, 2)},"sf":"$sfShort","omitted_fastest":${results.size - kept.size},"detail":"bench_full.json"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$loadField,"queries":${entries(kept, 2)},"sf":"$sfShort","omitted_fastest":${results.size - kept.size},"detail":"bench_full.json"}"""
     Seq(compactLine(3), compactLine(2)).find(_.length <= maxLen).getOrElse {
       System.err.println(
         "[bench] full per-query map exceeds the tail budget; emitting " +

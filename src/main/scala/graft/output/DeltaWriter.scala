@@ -1850,7 +1850,8 @@ object DeltaWriter {
     * of once per micro-batch.
     */
   private val checkpointTxnCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      Map[String, Long]]()
 
   private def checkpointTxnVersion(spark: SparkSession, log: Path,
       cpVersion: Long, appId: String): Option[Long] = {
@@ -1863,7 +1864,19 @@ object DeltaWriter {
     // bounded: one entry per (table, checkpoint) would otherwise
     // accumulate for the process lifetime of a many-table server
     if (checkpointTxnCache.size > 64) checkpointTxnCache.clear()
-    checkpointTxnCache.computeIfAbsent((log.toString, cpVersion), { _ =>
+    // the key carries the checkpoint FILE IDENTITY (name, size, mtime per
+    // file), not just the version number: a table deleted and recreated
+    // at the same path within one process can reach the same checkpoint
+    // version, and serving the old table's memoized txn map would wrongly
+    // skip a batch (data loss) on the idempotent-append path
+    val identity = files.map { p =>
+      val name = p.getFileName.toString
+      val (sz, mt) = try (Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)
+      catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+      s"$name:$sz:$mt"
+    }.mkString(",")
+    checkpointTxnCache.computeIfAbsent((log.toString, cpVersion, identity), { _ =>
       // v2 manifests put file actions in sidecars, but txn rows stay in
       // the manifest itself (PROTOCOL.md V2 checkpoint layout) — no
       // sidecar recursion needed for either layout

@@ -1017,9 +1017,14 @@ object IcebergWriter {
     def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
     val (dvAll, parquetPos) =
       st.entries.filter(_.content == 1).partition(_.isDv)
+    // applicability (data seq <= DV seq) gates membership here too: a
+    // stale foreign DV on a re-used path must not enter dvTargets and
+    // suppress still-applicable parquet deletes — the reader's rule
     val dvLive = {
-      lazy val dataPaths = dataFiles.map(f => normS(f.localPath)).toSet
-      dvAll.filter(d => dataPaths(normS(d.referencedDataFile.get)))
+      lazy val dataSeqs: Map[String, Long] =
+        dataFiles.map(f => normS(f.localPath) -> f.seq).toMap
+      dvAll.filter(d => dataSeqs.get(normS(d.referencedDataFile.get))
+        .exists(_ <= d.seq))
     }
     val afterPos =
       if (parquetPos.isEmpty && dvLive.isEmpty) base

@@ -1184,10 +1184,17 @@ object IcebergReader {
     val (dvAll, parquetPos) =
       posDeletes.partition(_.referencedDataFile.isDefined)
     val posDeletesPlanned = prunePositionDeletes(parquetPos, dataFiles)
+    // APPLICABILITY gates membership, not just application: a stale
+    // foreign DV whose referenced path was re-used by a NEWER data file
+    // (data seq > DV seq) deletes nothing — but if it entered dvTargets
+    // below, it would suppress still-applicable parquet position deletes
+    // on that file (silent under-delete). Same data-seq <= DV-seq rule
+    // as deleteMatchingV3's fold and FormatConvert.
     val dvPlanned = {
-      lazy val plannedPaths =
-        dataFiles.iterator.map(f => normPath(f.path)).toSet
-      dvAll.filter(d => plannedPaths(normPath(d.referencedDataFile.get)))
+      lazy val plannedSeq: Map[String, Long] =
+        dataFiles.iterator.map(f => normPath(f.path) -> f.seq).toMap
+      dvAll.filter(d => plannedSeq.get(normPath(d.referencedDataFile.get))
+        .exists(_ <= d.seq))
     }
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))

@@ -72,7 +72,12 @@ object DeltaSink {
       compactEvery: Option[Int] = None,
       targetBytes: Long = 128L * 1024 * 1024,
       maintainEvery: Option[Int] = None,
-      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery =
+      maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery = {
+    // fail fast at start(): a zero interval would otherwise surface as an
+    // opaque ArithmeticException (id % 0) from inside foreachBatch,
+    // killing the stream mid-flight instead of at wiring time
+    require(compactEvery.forall(_ > 0), "compactEvery must be > 0")
+    require(maintainEvery.forall(_ > 0), "maintainEvery must be > 0")
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -90,4 +95,5 @@ object DeltaSink {
         }
       }
       .start()
+  }
 }

@@ -73,6 +73,10 @@ object IcebergSink {
       keepSnapshots: Int = 10,
       maintainEvery: Option[Int] = None,
       maintainHorizonMs: Long = 24L * 60 * 60 * 1000): StreamingQuery = {
+    // fail fast at start(): a zero interval would otherwise surface as an
+    // opaque ArithmeticException (id % 0) from inside foreachBatch
+    require(expireEvery.forall(_ > 0), "expireEvery must be > 0")
+    require(maintainEvery.forall(_ > 0), "maintainEvery must be > 0")
     require(maintainEvery.isEmpty || keepSnapshots >= 2,
       "maintainEvery needs keepSnapshots >= 2: the sweep's " +
         "rewriteManifests commits a summary-less replace snapshot, and " +
