@@ -76,7 +76,10 @@ object IcebergWriter {
     val seq = 1L
     val manifest = writeManifest(root, location, files, spec = spec,
       schemaJson = Some(mapper.writeValueAsString(icebergSchema(df.schema)._1)))
-    val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq)))
+    // v3: the first manifest's inheritance window starts at row id 0
+    // (commitNewTable's lineage fallback then sets next-row-id = rows)
+    val list = writeManifestList(root, seq, Seq(ManifestRef(manifest, 0, seq,
+      firstRowId = if (formatVersion >= 3) Some(0L) else None)))
     commitNewTable(root, df.schema, seq, list, "append",
       summary ++ fileSummary(files), spec, formatVersion = formatVersion,
       addedRows = files.map(_.records).sum)
@@ -315,7 +318,8 @@ object IcebergWriter {
       // the id the manifest's own Avro metadata embedded (md0's) — the
       // require above pins it equal across the race
       val newRef = ManifestRef(manifest, 0, seq,
-        specId = defaultSpecId(md0))
+        specId = defaultSpecId(md0),
+        liveRowCount = Some(files.map(_.records).sum))
       // the BASE snapshot this commit builds on: a branch commit carries
       // forward the BRANCH head's manifests and leaves main untouched
       val baseId: Option[Long] = branch match {
@@ -337,7 +341,8 @@ object IcebergWriter {
           mergeDataManifests(root, location, md,
             manifestsOf(md, root, baseId), seq)
         else (Seq.empty[ManifestRef], Seq.empty[String])
-      val refs = carriedRefs :+ newRef
+      val (refs, lineage) = lineageAssign(md, root, location,
+        carriedRefs :+ newRef)
       val list = writeManifestList(root, seq, refs)
 
       // timestamps strictly increase so timestamp travel stays well-ordered
@@ -356,7 +361,7 @@ object IcebergWriter {
       }
       val snap = snapshotNode(seq, seq, list, ts, operation,
         summary ++ fileSummary(files), parent = baseId)
-      assignRowLineage(md, snap, files.map(_.records).sum)
+      assignRowLineage(md, snap, files.map(_.records).sum, lineage)
       md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
         .add(snap)
       try {
@@ -414,6 +419,10 @@ object IcebergWriter {
             if (minSeq != seq) Some(minSeq) else None,
             Some(addedBy),
             specId = intOf(r, "partition_spec_id", 0),
+            firstRowId =
+              if (r.getSchema.getField("first_row_id") == null) None
+              else Option(r.get("first_row_id"))
+                .map(_.asInstanceOf[Number].longValue),
             summaries = decodeSummaries(r))
         }
     }
@@ -525,7 +534,19 @@ object IcebergWriter {
           .getElementType
       }
       var minSeq = Long.MaxValue
+      // v3 row lineage over DATA merges: entries leave their original
+      // manifests (whose list-level windows assigned their ids), so the
+      // merged manifest must pin each entry's EFFECTIVE id explicitly
+      // (field 142) — the spec's preservation rule, and exactly what
+      // keeps foreign readers from positionally reassigning lineage
+      // after a compaction. A source manifest without a derivable
+      // window throws, which the outer catch turns into "don't merge".
+      val v3data = content == 0 &&
+        Option(md.get("format-version")).exists(_.asInt() >= 3)
+      var minRowId = Long.MaxValue
+      var liveRows = 0L
       val recs: Seq[GenericRecord] = small.flatMap { ref =>
+        var rowOffset = 0L
         readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
           if (intOf(e, "status", 0) == 2) None // historical tombstone
           else if (drop(e.get("data_file").asInstanceOf[GenericRecord]))
@@ -549,6 +570,23 @@ object IcebergWriter {
                 }
               }
             d.put("partition", part)
+            if (v3data && intOf(src, "content", 0) == 0) {
+              val explicit =
+                if (src.getSchema.getField("first_row_id") == null) None
+                else Option(src.get("first_row_id"))
+                  .map(_.asInstanceOf[Number].longValue)
+              val eff = explicit.orElse(ref.firstRowId.map(_ + rowOffset))
+                .getOrElse(throw new IllegalStateException(
+                  s"manifest ${ref.path} has no derivable row-id window"))
+              d.put("first_row_id", eff)
+              val rc = Option(src.get("record_count"))
+                .map(_.asInstanceOf[Number].longValue)
+                .getOrElse(throw new IllegalStateException(
+                  s"data entry without record_count in ${ref.path}"))
+              rowOffset += rc
+              liveRows += rc
+              minRowId = math.min(minRowId, eff)
+            }
             d.put("record_count", longOf(src, "record_count", 0L))
             d.put("file_size_in_bytes",
               longOf(src, "file_size_in_bytes", 0L))
@@ -618,7 +656,13 @@ object IcebergWriter {
       val mergedPath = s"$location/metadata/${p.getFileName}"
       val mergedRef = ManifestRef(mergedPath, content, commitSeq,
         if (minSeq != commitSeq) Some(minSeq) else None,
-        specId = specId)
+        specId = specId,
+        // every entry is explicit, so the list-level window is
+        // informational — the min keeps it spec-shaped and stops
+        // lineageAssign from burning fresh id space on it
+        firstRowId = if (v3data && minRowId != Long.MaxValue)
+          Some(minRowId) else None,
+        liveRowCount = if (v3data) Some(liveRows) else None)
       Some((Some(mergedRef), Some(mergedPath)))
     } catch {
       case scala.util.control.NonFatal(_) => None // fail open
@@ -644,9 +688,11 @@ object IcebergWriter {
       val (merged, mergedPaths) = mergeRefs(st.root, st.location, st.md,
         st.refs, seq, minCount = 2, targetBytes = targetBytes)
       if (merged == st.refs) return 0
-      val list = writeManifestList(st.root, seq, merged)
+      val (mergedA, lineage) = lineageAssign(st.md, st.root, st.location,
+        merged)
+      val list = writeManifestList(st.root, seq, mergedA)
       try {
-        commitNewSnapshot(st, seq, list, "replace")
+        commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
         return st.refs.size - merged.size + mergedPaths.size
       } catch {
         case e: ConcurrentCommitException =>
@@ -777,11 +823,13 @@ object IcebergWriter {
       // the partitioned spec scopes to the null partition externally)
       content = 2, equalityIds = eqIds, specId = eqSpecId,
       schemaJson = currentSchemaJson(st.md))
-    val list = writeManifestList(st.root, seq,
-      st.refs :+ ManifestRef(dataManifest, 0, seq, specId = dsid)
+    val (upsertRefs, lineage) = lineageAssign(st.md, st.root, st.location,
+      st.refs :+ ManifestRef(dataManifest, 0, seq, specId = dsid,
+        liveRowCount = Some(dataFiles.map(_.records).sum))
         :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
+    val list = writeManifestList(st.root, seq, upsertRefs)
     commitNewSnapshot(st, seq, list, "overwrite",
-      addedRows = dataFiles.map(_.records).sum)
+      addedRows = dataFiles.map(_.records).sum, lineage = lineage)
     (matched, updates.count())
   }
 
@@ -876,7 +924,13 @@ object IcebergWriter {
       // the manifest this entry decoded from (ManifestRef.path) — what
       // lets the v3 delete path rewrite ONLY the manifests that carry a
       // superseded DV instead of re-reading every delete manifest
-      manifestPath: String = "") {
+      manifestPath: String = "",
+      // v3 row lineage: the data file's EFFECTIVE first row id —
+      // explicit entry value (field 142) or derived from its manifest's
+      // window by the spec's inheritance rule in [[loadState]]. None on
+      // v2 tables, delete entries, and underivable foreign shapes
+      // (rewrites that must preserve lineage then fail loudly).
+      firstRowId: Option[Long] = None) {
     def isDv: Boolean = referencedDataFile.isDefined
   }
 
@@ -892,7 +946,40 @@ object IcebergWriter {
       .getOrElse(root.toString)
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
     val refs = currentManifests(md, root)
+    // v3 row lineage: each DATA manifest's inheritance-window start —
+    // explicit list value (field 520) when written, else derived in list
+    // order from the current snapshot's first-row-id (the spec's
+    // read-time inheritance rule). None per manifest when underivable.
+    val windowStart: Map[String, Option[Long]] =
+      if (formatVersion < 3) Map.empty
+      else {
+        val snapFirst: Option[Long] = Option(md.get("current-snapshot-id"))
+          .map(_.asLong()).filter(_ != -1L).flatMap { id =>
+            Option(md.get("snapshots")).toSeq
+              .flatMap(_.elements().asScala)
+              .find(_.get("snapshot-id").asLong() == id)
+              .flatMap(s => Option(s.get("first-row-id")).map(_.asLong()))
+          }
+        var counter = snapFirst
+        refs.map { r =>
+          if (r.content != 0) r.path -> None
+          else r.firstRowId match {
+            case some @ Some(_) => r.path -> some
+            case None =>
+              val start = counter
+              counter = counter
+                .map(_ + manifestLiveRowCount(root, location, r))
+              r.path -> start
+          }
+        }.toMap
+      }
     val entries = refs.flatMap { ref =>
+      // within-manifest inheritance offset: running record_count over
+      // live data entries in entry order (the same walk
+      // [[manifestLiveRowCount]] sums); a data entry without a readable
+      // record_count poisons the offsets BEHIND it, never before
+      var rowOffset = 0L
+      var offsetValid = true
       readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
         if (intOf(e, "status", 0) == 2) None
         else {
@@ -920,8 +1007,28 @@ object IcebergWriter {
               if (d.getSchema.getField("referenced_data_file") == null) null
               else d.get("referenced_data_file"))
             .map(v => remapLocal(v.toString, location, root))
+          val entryContent = intOf(d, "content", ref.content)
+          val rc = longOf(d, "record_count", -1L)
+          // effective row-id (v3 data entries): explicit field 142, else
+          // manifest window start + the running offset
+          val effFirstRowId: Option[Long] =
+            if (formatVersion < 3 || entryContent != 0) None
+            else {
+              val explicit =
+                if (d.getSchema.getField("first_row_id") == null) None
+                else Option(d.get("first_row_id"))
+                  .map(_.asInstanceOf[Number].longValue)
+              val derived =
+                if (!offsetValid) None
+                else windowStart.getOrElse(ref.path, None)
+                  .map(_ + rowOffset)
+              if (entryContent == 0) {
+                if (rc < 0) offsetValid = false else rowOffset += rc
+              }
+              explicit.orElse(derived)
+            }
           Some(Entry(remapLocal(d.get("file_path").toString, location, root),
-            intOf(d, "content", ref.content), seq, ids, partition,
+            entryContent, seq, ids, partition,
             snapshotId = Some(longOf(e, "snapshot_id",
               ref.addedSnapshotId.getOrElse(0L))),
             fileSeq = Some(longOf(e, "file_sequence_number", seq)),
@@ -929,8 +1036,9 @@ object IcebergWriter {
             referencedDataFile = refDataFile,
             contentOffset = longOf(d, "content_offset", -1L),
             contentSize = longOf(d, "content_size_in_bytes", -1L),
-            recordCount = longOf(d, "record_count", -1L),
-            manifestPath = ref.path))
+            recordCount = rc,
+            manifestPath = ref.path,
+            firstRowId = effFirstRowId))
         }
       }
     }
@@ -968,36 +1076,71 @@ object IcebergWriter {
     * columns — position deletes applied at delete seq >= data seq,
     * equality deletes null-safely at strictly delete seq > data seq,
     * mirroring [[graft.sources.IcebergReader]] exactly.
+    *
+    * `withLineage` (v3 rewrites): adds the spec's `_row_id` and
+    * `_last_updated_sequence_number` metadata columns — materialized
+    * file values when present (files written by a prior lineage-
+    * preserving rewrite), else entry first_row_id + in-file position /
+    * the file's data sequence number. Fails LOUDLY on a row whose id is
+    * underivable: the callers are exactly the rewrites that must
+    * preserve lineage, and writing a null id would silently break it.
     */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
-      st: TableState): DataFrame = {
+      st: TableState, withLineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
+    if (withLineage) {
+      require(st.formatVersion >= 3,
+        "row lineage columns need a format-v3 table")
+      require(!st.schema.fieldNames.exists(n =>
+          n == "_row_id" || n == "_last_updated_sequence_number"),
+        "table schema uses the spec-reserved lineage column names")
+    }
+    val lineageFields = Seq(
+      StructField("_row_id", LongType),
+      StructField("_last_updated_sequence_number", LongType))
+    val readSchema =
+      if (withLineage) StructType(st.schema.fields ++ lineageFields)
+      else st.schema
     val dataFiles = st.entries.filter(_.content == 0)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(st.schema.fields ++ Seq(
           StructField("__f", org.apache.spark.sql.types.StringType),
-          StructField("__p", LongType), StructField("__seq", LongType))))
+          StructField("__p", LongType), StructField("__seq", LongType)) ++
+          (if (withLineage) lineageFields else Nil)))
     import org.apache.spark.sql.functions.{concat, raise_error}
     import spark.implicits._
     // LEFT join + fail-fast on the data-side seq map too: an inner join
     // would silently drop a drifted file's rows and the rewrites that
     // call this (compaction/z-order/delete) then remove the originals
-    val base = spark.read.schema(st.schema)
+    val base0 = spark.read.schema(readSchema)
       .parquet(dataFiles.map(_.localPath): _*)
       .withColumn("__f", norm(col("_metadata.file_path")))
       .withColumn("__p", col("_metadata.row_index"))
       .join(broadcast(dataFiles.map(f =>
           (graft.sources.IcebergReader.normPath(f.localPath), f.seq,
-            entryScopeKey(f).orNull))
-        .toDF("__f", "__seq", "__graft_pt")), Seq("__f"), "left")
+            entryScopeKey(f).orNull,
+            f.firstRowId.map(Long.box).orNull: java.lang.Long))
+        .toDF("__f", "__seq", "__graft_pt", "__frow")), Seq("__f"), "left")
       .withColumn("__seq", coalesce(col("__seq"),
         raise_error(concat(
           lit("iceberg rewrite: data file missing from manifest path map "
             + "(path normalization drift): "), col("__f")))))
+    val base =
+      if (!withLineage) base0.drop("__frow")
+      else base0
+        // materialized value wins (null materialized = row added by an
+        // upsert-style writer, assigned from the entry window)
+        .withColumn("_row_id", coalesce(col("_row_id"),
+          col("__frow") + col("__p"),
+          raise_error(concat(lit("iceberg rewrite: underivable _row_id " +
+            "for a row of "), col("__f")))))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("_last_updated_sequence_number"), col("__seq")))
+        .drop("__frow")
     // same one-relation-per-kind plan shapes as [[graft.sources
     // .IcebergReader.read]], via ITS shared deleteSeqJoined: every
     // position delete file in ONE relation (seq joined from a broadcast
@@ -1088,10 +1231,14 @@ object IcebergWriter {
       .drop("__graft_pt") // scoping handle, not the liveRows contract
   }
 
-  /** Appends one snapshot node + bumps seq/version on the loaded state. */
+  /** Appends one snapshot node + bumps seq/version on the loaded state.
+    * `lineage`: [[lineageAssign]]'s (first-row-id, next-row-id) when the
+    * caller assigned list-level v3 windows.
+    */
   private def commitNewSnapshot(st: TableState, seq: Long, list: String,
       operation: String, addedRows: Long = 0L,
-      summary: Map[String, String] = Map.empty): Unit = {
+      summary: Map[String, String] = Map.empty,
+      lineage: Option[(Long, Long)] = None): Unit = {
     val prevMaxTs = Option(st.md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
@@ -1100,7 +1247,7 @@ object IcebergWriter {
     st.md.put("last-updated-ms", ts)
     st.md.put("current-snapshot-id", seq)
     val snap = snapshotNode(seq, seq, list, ts, operation, summary)
-    assignRowLineage(st.md, snap, addedRows)
+    assignRowLineage(st.md, snap, addedRows, lineage)
     st.md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snap)
     commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
@@ -1251,14 +1398,16 @@ object IcebergWriter {
           .exists(v => affected(normS(
             remapLocal(v.toString, st.location, st.root)))))
     }
-    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++
-      dvManifestRef(st, written, seq)
+    val (refsOut, lineage) = lineageAssign(st.md, st.root, st.location,
+      st.refs.filter(_.content != 1) ++ carriedDel ++
+        dvManifestRef(st, written, seq))
     val list = writeManifestList(st.root, seq, refsOut)
     // standard delete-commit summary metrics (what external planners /
     // UIs size delete application from)
     commitNewSnapshot(st, seq, list, "delete", summary = Map(
       "added-delete-files" -> written.size.toString,
-      "added-position-deletes" -> matchedCount.toString))
+      "added-position-deletes" -> matchedCount.toString),
+      lineage = lineage)
     matchedCount
   }
 
@@ -1376,11 +1525,37 @@ object IcebergWriter {
     if (st.formatVersion >= 3) return 0
     import spark.implicits._
     def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    // v3 requires `first-row-id` on every snapshot: retained PRE-upgrade
+    // snapshots back-fill 0 — row ids are only meaningful from the
+    // upgrade state forward (pre-lineage history had none), and 0 makes
+    // time travel below the upgrade at least well-formed for strict
+    // foreign readers. The upgrade itself assigns the CURRENT rows'
+    // ids: every live data manifest gets an explicit window and
+    // `next-row-id` covers them all, so post-upgrade scans serve stable
+    // `_row_id`s and later commits never collide with them.
+    def backfillSnapshots(): Unit =
+      Option(st.md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).foreach {
+          case o: ObjectNode if o.get("first-row-id") == null =>
+            o.put("first-row-id", 0L)
+          case _ => ()
+        }
+    // live data row count (manifest record counts; footer fallback for
+    // foreign entries without one) — the id space existing rows occupy
+    val liveDataRows = st.entries.filter(_.content == 0).map { e =>
+      if (e.recordCount >= 0) e.recordCount
+      else footerRecordCount(
+        Paths.get(graft.sources.IcebergReader.normPath(e.localPath)))
+    }.sum
     val posEntries = st.entries.filter(e => e.content == 1 && !e.isDv)
     if (posEntries.isEmpty) {
-      // metadata-only flip: no delete state to fold
+      // metadata-only flip: no delete state to fold. Data manifests keep
+      // null windows in the (unchanged) current manifest list; the
+      // read-time inheritance rule derives them from first-row-id 0 in
+      // list order, and next-row-id fences the occupied space.
       st.md.put("format-version", 3)
-      st.md.put("next-row-id", 0L)
+      backfillSnapshots()
+      st.md.put("next-row-id", liveDataRows)
       commitMetadata(st.root, versionOf(st.mdFile) + 1, st.md)
       return 0
     }
@@ -1403,12 +1578,16 @@ object IcebergWriter {
             .equalsIgnoreCase("PARQUET")))
     }
     st.md.put("format-version", 3)
-    st.md.put("next-row-id", 0L)
-    val refsOut = st.refs.filter(_.content != 1) ++ carriedDel ++ dvRef
+    backfillSnapshots()
+    // windows for every data manifest, assigned from 0 (lineageAssign
+    // reads the absent next-row-id as 0); the upgrade snapshot then
+    // carries first-row-id 0 and next-row-id = total live rows
+    val (refsOut, lineage) = lineageAssign(st.md, st.root, st.location,
+      st.refs.filter(_.content != 1) ++ carriedDel ++ dvRef)
     val list = writeManifestList(st.root, seq, refsOut)
     commitNewSnapshot(st, seq, list, "replace", summary = Map(
       "removed-delete-files" -> posEntries.size.toString,
-      "added-delete-files" -> written.size.toString))
+      "added-delete-files" -> written.size.toString), lineage = lineage)
     posEntries.size
   }
 
@@ -1858,7 +2037,13 @@ object IcebergWriter {
       colStats: Seq[ColStat] = Nil,
       // v3 deletion-vector coordinates: Some(...) makes this a PUFFIN
       // content=1 entry; records then equals the DV cardinality
-      dv: Option[DvCoords] = None)
+      dv: Option[DvCoords] = None,
+      // v3 row lineage (data_file field 142): the EXPLICIT first row id
+      // of this file — set on EXISTING entries carried into rewritten/
+      // merged manifests (the spec's preservation rule: a rewritten
+      // manifest must pin ids that were previously inherited). None =
+      // inherit from the manifest's window at read time.
+      firstRowId: Option[Long] = None)
 
   /** Manifest coordinates of one deletion-vector blob (spec data_file
     * fields 143/144/145) — `referencedDataFile` in MANIFEST namespace.
@@ -1927,12 +2112,23 @@ object IcebergWriter {
     val (records, stats) =
       if (e.content == 0) recordsAndStats(p, st.schema, invertIds(st.fieldNames))
       else (footerRecordCount(p), Nil)
+    // v3 preservation rule: a data entry carried into a NEW manifest
+    // pins its effective row id explicitly (field 142) — its new
+    // manifest's window differs from the one it inherited from, so a
+    // null id here would silently reassign every row's lineage
+    if (st.formatVersion >= 3 && e.content == 0 && e.firstRowId.isEmpty)
+      throw new IllegalStateException(
+        s"cannot carry data file ${e.localPath} into a rewritten " +
+          "manifest: its row-id window is not derivable (v3 row " +
+          "lineage would be silently reassigned)")
     WrittenFile(p.getFileName.toString, Files.size(p), records,
       seq = Some(e.seq), existing = true, absPath = Some(manifestPath),
       partition = e.partitionValues,
       snapshotId = e.snapshotId, fileSeq = e.fileSeq,
       equalityIds = e.equalityIds,
-      colStats = stats)
+      colStats = stats,
+      firstRowId = if (e.content == 0 && st.formatVersion >= 3)
+        e.firstRowId else None)
   }
   /** `minSeq`: the true minimum entry sequence in the manifest when it
     * differs from the ref's own seq (rewrite manifests carrying old
@@ -1951,10 +2147,22 @@ object IcebergWriter {
     * under a partitioned spec scopes to the null partition in external
     * planners, silently under-deleting).
     */
+  /** `firstRowId`: v3 row lineage (manifest-list field 520) — the
+    * starting `_row_id` of this DATA manifest's inheritance window.
+    * Decoded from the prior list for carried manifests and preserved
+    * verbatim; [[lineageAssign]] fills it for new/legacy data manifests
+    * at list-write time. None on v2 tables and delete manifests.
+    * `liveRowCount`: writer-known live data row count of a NEW manifest
+    * (sum of its entries' record_count) — sizes the inheritance window
+    * without re-reading the manifest Avro. None for carried refs (their
+    * explicit firstRowId makes the count unnecessary).
+    */
   private[output] case class ManifestRef(path: String, content: Int,
       seq: Long, minSeq: Option[Long] = None,
       addedSnapshotId: Option[Long] = None,
       specId: Int = 0,
+      firstRowId: Option[Long] = None,
+      liveRowCount: Option[Long] = None,
       // field-507 summaries decoded VERBATIM from the prior manifest
       // list for carried entries — manifests are immutable, so a carried
       // entry's summary is identical to the one already written; reusing
@@ -2182,22 +2390,46 @@ object IcebergWriter {
     * no snapshot committed). Executors stream the rows; the driver
     * handles only file names and footers.
     */
+  /** `maxDeleteRatio` (v3): a file whose applicable deletion vector
+    * covers at least this fraction of its rows is rewritten even when
+    * it is not small — the DV-materialization half of v3 compaction
+    * (every scan otherwise pays the DV anti-join on that file forever).
+    */
   def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+      path: String, targetBytes: Long = 128L * 1024 * 1024,
+      maxDeleteRatio: Double = 0.3): Int = {
     import org.apache.spark.sql.functions.col
     val st = loadState(path)
-    require(st.formatVersion == 2,
-      "rewriteDataFiles is not yet supported on format-v3 tables " +
-        "(data-file rewrites must preserve row lineage, which this " +
-        "writer does not implement yet)")
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
     val dataEntries = st.entries.filter(_.content == 0)
-    val small = dataEntries.filter(e =>
-      Files.size(Paths.get(norm(e.localPath))) < targetBytes)
-    if (small.size < 2) return 0
+    // v3: row lineage survives the rewrite as MATERIALIZED `_row_id` /
+    // `_last_updated_sequence_number` columns in the rewritten files
+    // (the spec's preservation rule for rewrites that merge files, where
+    // a single first_row_id cannot express the surviving ids); carried
+    // entries pin their windows explicitly via [[existingFile]].
+    val v3 = st.formatVersion >= 3
+    val dataSeqOf: Map[String, Long] =
+      dataEntries.map(e => norm(e.localPath) -> e.seq).toMap
+    // applicable DV cardinality per referenced data file (v3 only)
+    val dvCardOf: Map[String, Long] =
+      if (!v3) Map.empty
+      else st.entries.filter(e => e.content == 1 && e.isDv)
+        .filter(d => dataSeqOf.get(norm(d.referencedDataFile.get))
+          .exists(_ <= d.seq))
+        .groupBy(d => norm(d.referencedDataFile.get))
+        .map { case (f, ds) =>
+          f -> ds.map(d => math.max(d.recordCount, 0L)).sum }
+    val small = dataEntries.filter { e =>
+      val p = norm(e.localPath)
+      Files.size(Paths.get(p)) < targetBytes ||
+        (e.recordCount > 0 && dvCardOf.getOrElse(p, 0L) >=
+          maxDeleteRatio * e.recordCount)
+    }
+    if (small.size < 2 && !small.exists(e =>
+        dvCardOf.contains(norm(e.localPath)))) return 0
     val smallPaths = small.map(e => norm(e.localPath)).toSet
 
-    val live0 = liveRows(spark, st)
+    val live0 = liveRows(spark, st, withLineage = v3)
       .filter(col("__f").isin(smallPaths.toSeq: _*))
     val live = live0.drop("__f", "__p", "__seq")
     val sizes: Map[String, Long] =
@@ -2276,11 +2508,28 @@ object IcebergWriter {
       keptFiles ++ compacted, spec = st.spec, specId = dsid,
       schemaJson = currentSchemaJson(st.md))
     val minSeq = (kept.map(_.seq) :+ seq).min
-    val refs = st.refs.filter(_.content != 0) :+
-      ManifestRef(dataManifest, 0, seq,
-        if (minSeq != seq) Some(minSeq) else None, specId = dsid)
+    // v3: the rewritten files' DVs are MATERIALIZED by this rewrite
+    // (liveRows applied them) — their entries must leave the snapshot,
+    // or they would reference removed files forever
+    val delRefs =
+      if (!v3) st.refs.filter(_.content == 1)
+      else st.refs.filter(_.content == 1).flatMap { ref =>
+        rewriteDeleteRef(st, ref, seq,
+          needsRewrite = e => e.isDv &&
+            smallPaths(norm(e.referencedDataFile.get)),
+          drop = d => Option(
+              if (d.getSchema.getField("referenced_data_file") == null) null
+              else d.get("referenced_data_file"))
+            .exists(v => smallPaths(norm(
+              remapLocal(v.toString, st.location, st.root)))))
+      }
+    val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
+      delRefs :+
+        ManifestRef(dataManifest, 0, seq,
+          if (minSeq != seq) Some(minSeq) else None, specId = dsid,
+          liveRowCount = Some((keptFiles ++ compacted).map(_.records).sum)))
     val list = writeManifestList(st.root, seq, refs)
-    commitNewSnapshot(st, seq, list, "replace")
+    commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     small.size
   }
 
@@ -2310,17 +2559,17 @@ object IcebergWriter {
       bits: Int = 16): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     val st = loadState(path)
-    require(st.formatVersion == 2,
-      "rewriteZOrder is not yet supported on format-v3 tables " +
-        "(data-file rewrites must preserve row lineage, which this " +
-        "writer does not implement yet)")
     require(st.schema.fieldNames.contains(cx) &&
         st.schema.fieldNames.contains(cy),
       s"z-order columns must be table columns of ${st.schema.fieldNames.toSeq}")
     val dataEntries = st.entries.filter(_.content == 0)
     if (dataEntries.isEmpty) return 0
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
-    val live = liveRows(spark, st).drop("__f", "__p", "__seq")
+    // v3: lineage rides as materialized `_row_id` /
+    // `_last_updated_sequence_number` columns through the re-clustering
+    // (see rewriteDataFiles) — extra sort payload, same plan shape
+    val live = liveRows(spark, st, withLineage = st.formatVersion >= 3)
+      .drop("__f", "__p", "__seq")
     val r = live.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
       min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
     if (r.anyNull) return 0
@@ -2346,9 +2595,11 @@ object IcebergWriter {
     val manifest = writeManifest(st.root, st.location, newFiles,
       spec = st.spec, specId = dsid,
       schemaJson = currentSchemaJson(st.md))
-    val list = writeManifestList(st.root, seq,
-      Seq(ManifestRef(manifest, 0, seq, specId = dsid)))
-    commitNewSnapshot(st, seq, list, "replace")
+    val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
+      Seq(ManifestRef(manifest, 0, seq, specId = dsid,
+        liveRowCount = Some(newFiles.map(_.records).sum))))
+    val list = writeManifestList(st.root, seq, refs)
+    commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     dataEntries.size
   }
 
@@ -2376,6 +2627,16 @@ object IcebergWriter {
       else {
         val files = keepE.map { e =>
           val d = e.get("data_file").asInstanceOf[GenericRecord]
+          // WrittenFile transcription has no DV-coordinate carry — a
+          // deletion-vector entry through this path would silently lose
+          // fields 143/144/145 (and its PUFFIN format). The v3 paths use
+          // rewriteDeleteRef instead; fail loudly if one ever lands here.
+          require(Option(
+              if (d.getSchema.getField("referenced_data_file") == null)
+                null
+              else d.get("referenced_data_file")).isEmpty,
+            s"carriedDeleteRefs cannot transcribe deletion-vector " +
+              s"entries (manifest ${ref.path})")
           val entrySeq = longOf(e, "sequence_number", ref.seq)
           val ids = Option(
               if (d.getSchema.getField("equality_ids") == null) null
@@ -2457,10 +2718,7 @@ object IcebergWriter {
       path: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, regexp_replace}
     val st = loadState(path)
-    require(st.formatVersion == 2,
-      "rewriteEqualityDeletes is not yet supported on format-v3 tables " +
-        "(it rewrites affected data files, which must preserve row " +
-        "lineage in v3 — not implemented yet)")
+    val v3 = st.formatVersion >= 3
     val eqFileCount = st.entries.count(_.content == 2)
     if (eqFileCount == 0) return 0
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
@@ -2469,29 +2727,59 @@ object IcebergWriter {
     // only files OLDER than some equality delete can lose rows to one
     val candidates = dataEntries.filter(_.seq < maxEqSeq)
 
+    // v3: affected files are REWRITTEN, so their surviving rows carry
+    // lineage as materialized columns (see rewriteDataFiles)
     val live = graft.operators.Materialize.Ops(
-      liveRows(spark, st)).materialize()
+      liveRows(spark, st, withLineage = v3)).materialize()
     val liveCounts: Map[String, Long] = live.groupBy(col("__f"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // rows each candidate would serve if ONLY position deletes applied:
-    // footer count minus applicable distinct (file, pos) pairs
+    // footer count minus applicable distinct (file, pos) pairs — v3
+    // deletion vectors (PUFFIN blobs, not parquet) decode through
+    // [[graft.sources.PuffinDV]] and supersede parquet deletes on
+    // their referenced file, exactly like every scan
     val posDeletes = st.entries.filter(_.content == 1)
     val posApplied: Map[String, Long] =
       if (posDeletes.isEmpty || candidates.isEmpty) Map.empty
       else {
         import spark.implicits._
+        val (dvs, parquetPos) = posDeletes.partition(_.isDv)
+        val dataSeqOf: Map[String, Long] =
+          dataEntries.map(e => norm(e.localPath) -> e.seq).toMap
+        val dvLive = dvs.filter(d =>
+          dataSeqOf.get(norm(d.referencedDataFile.get)).exists(_ <= d.seq))
+        val dvTargets = dvLive.map(d => norm(d.referencedDataFile.get))
+          .distinct
         val seqDf = broadcast(dataEntries
           .map(e => (norm(e.localPath), e.seq)).toDF("__pf", "__pseq"))
-        posDeletes.map { d =>
-          spark.read.parquet(norm(d.localPath))
-            .select(regexp_replace(col("file_path"), "^file:/+", "/")
-              .as("__pf"), col("pos").as("__pp"), lit(d.seq).as("__dseq"))
-        }.reduce(_ union _)
-          .join(seqDf, Seq("__pf"))
-          .filter(col("__dseq") >= col("__pseq"))
-          .select(col("__pf"), col("__pp")).distinct()
+        val parquetRows =
+          if (parquetPos.isEmpty) None
+          else {
+            val rows = parquetPos.map { d =>
+              spark.read.parquet(norm(d.localPath))
+                .select(regexp_replace(col("file_path"), "^file:/+", "/")
+                  .as("__pf"), col("pos").as("__pp"),
+                  lit(d.seq).as("__dseq"))
+            }.reduce(_ union _)
+              .join(seqDf, Seq("__pf"))
+              .filter(col("__dseq") >= col("__pseq"))
+              .select(col("__pf"), col("__pp"))
+            Some(if (dvTargets.isEmpty) rows
+              else rows.join(broadcast(dvTargets.toDF("__pf")),
+                Seq("__pf"), "left_anti"))
+          }
+        val dvRows =
+          if (dvLive.isEmpty) None
+          else Some(graft.sources.PuffinDV.deletedRows(spark,
+            dvLive.map(d => graft.sources.PuffinDV.Dv(norm(d.localPath),
+              d.contentOffset, d.contentSize,
+              norm(d.referencedDataFile.get), d.seq, d.recordCount)))
+            .select(col("__del_file").as("__pf"),
+              col("__del_pos").as("__pp")))
+        (parquetRows.toSeq ++ dvRows.toSeq)
+          .reduce(_.unionByName(_)).distinct()
           .groupBy(col("__pf")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
@@ -2501,13 +2789,30 @@ object IcebergWriter {
         posApplied.getOrElse(f, 0L)
       liveCounts.getOrElse(f, 0L) != beforeEq
     }
+    // delete-manifest carry: v2 uses the WrittenFile transcription; v3
+    // goes through [[rewriteDeleteRef]] (GenericRecord transcription),
+    // which preserves DV coordinates a WrittenFile carry would strip
+    def carryDeletes(seq: Long, dropDvFor: Set[String]): Seq[ManifestRef] =
+      if (!v3) carriedDeleteRefs(st, keep = _ == 1)._1
+      else st.refs.filter(_.content == 1).flatMap { ref =>
+        rewriteDeleteRef(st, ref, seq,
+          needsRewrite = e => e.content == 2 ||
+            (e.isDv && dropDvFor(norm(e.referencedDataFile.get))),
+          drop = d => intOf(d, "content", 1) == 2 || Option(
+              if (d.getSchema.getField("referenced_data_file") == null)
+                null
+              else d.get("referenced_data_file"))
+            .exists(v => dropDvFor(norm(
+              remapLocal(v.toString, st.location, st.root)))))
+      }
     if (affected.isEmpty) {
       // no row actually lost: just drop the vacuous equality manifests
-      val (delRefs, _) = carriedDeleteRefs(st, keep = _ == 1)
       val seq = st.md.get("last-sequence-number").asLong() + 1
-      val refs = st.refs.filter(_.content == 0) ++ delRefs
+      val delRefs = carryDeletes(seq, Set.empty)
+      val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
+        st.refs.filter(_.content == 0) ++ delRefs)
       val list = writeManifestList(st.root, seq, refs)
-      commitNewSnapshot(st, seq, list, "replace")
+      commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
       return eqFileCount
     }
     val affectedSet = affected.map(e => norm(e.localPath)).toSet
@@ -2525,11 +2830,14 @@ object IcebergWriter {
       spec = st.spec, specId = dsid,
       schemaJson = currentSchemaJson(st.md))
     val minSeq = (kept.flatMap(_.seq) :+ seq).min
-    val (delRefs, _) = carriedDeleteRefs(st, keep = _ == 1)
-    val refs = delRefs :+ ManifestRef(dataManifest, 0, seq,
-      if (minSeq != seq) Some(minSeq) else None, specId = dsid)
+    // v3: rewritten files' DVs were materialized by the rewrite — drop
+    val delRefs = carryDeletes(seq, if (v3) affectedSet else Set.empty)
+    val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
+      delRefs :+ ManifestRef(dataManifest, 0, seq,
+        if (minSeq != seq) Some(minSeq) else None, specId = dsid,
+        liveRowCount = Some((kept ++ newFiles).map(_.records).sum)))
     val list = writeManifestList(st.root, seq, refs)
-    commitNewSnapshot(st, seq, list, "replace")
+    commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     eqFileCount
   }
 
@@ -2548,10 +2856,9 @@ object IcebergWriter {
       path: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val st = loadState(path)
-    require(st.formatVersion == 2,
-      "rewritePositionDeletes is not yet supported on format-v3 tables " +
-        "(v3 forbids new position-delete files; delete compaction " +
-        "there is the deletion-vector plane's job)")
+    // v3 forbids new position-delete FILES: the v3 analog folds
+    // pre-upgrade parquet position deletes into deletion vectors
+    if (st.formatVersion >= 3) return rewritePositionDeletesV3(spark, st)
     val posEntries = st.entries.filter(_.content == 1)
     if (posEntries.size < 2) return 0
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
@@ -2586,6 +2893,55 @@ object IcebergWriter {
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace")
     posEntries.size
+  }
+
+  /** [[rewritePositionDeletes]]'s v3 half: fold every still-applicable
+    * PRE-UPGRADE parquet position-delete row into per-file deletion
+    * vectors and drop all parquet position-delete entries. Files that
+    * already carry an applicable DV keep it untouched — their parquet
+    * rows were folded at DV creation (DV-supersedes precedence), so only
+    * files WITHOUT a DV get one here. Returns the number of parquet
+    * position-delete files folded away; data files untouched (row
+    * lineage unaffected — this is a delete-plane rewrite).
+    */
+  private def rewritePositionDeletesV3(
+      spark: org.apache.spark.sql.SparkSession, st: TableState): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    def normS(p: String): String = graft.sources.IcebergReader.normPath(p)
+    val parquetPos = st.entries.filter(e => e.content == 1 && !e.isDv)
+    if (parquetPos.isEmpty) return 0
+    val dataSeqOf: Map[String, Long] = st.entries.filter(_.content == 0)
+      .map(e => normS(e.localPath) -> e.seq).toMap
+    val dvCovered = st.entries
+      .filter(e => e.content == 1 && e.isDv)
+      .filter(d => dataSeqOf.get(normS(d.referencedDataFile.get))
+        .exists(_ <= d.seq))
+      .map(d => normS(d.referencedDataFile.get)).distinct
+    val rows = {
+      val applicable = applicableParquetDeleteRows(spark, st, parquetPos)
+      (if (dvCovered.isEmpty) applicable
+       else applicable.join(broadcast(dvCovered.toDF("file_path")),
+         Seq("file_path"), "left_anti")).distinct()
+    }
+    val seq = st.md.get("last-sequence-number").asLong() + 1
+    val written = writeDvBlobs(st, rows, seq)
+    // every parquet position-delete entry leaves (folded or superseded)
+    val carriedDel = st.refs.filter(_.content == 1).flatMap { ref =>
+      rewriteDeleteRef(st, ref, seq,
+        needsRewrite = e => e.content == 1 && !e.isDv,
+        drop = d => intOf(d, "content", 1) == 1 &&
+          Option(d.get("file_format")).forall(_.toString
+            .equalsIgnoreCase("PARQUET")))
+    }
+    val (refsOut, lineage) = lineageAssign(st.md, st.root, st.location,
+      st.refs.filter(_.content != 1) ++ carriedDel ++
+        dvManifestRef(st, written, seq))
+    val list = writeManifestList(st.root, seq, refsOut)
+    commitNewSnapshot(st, seq, list, "replace", summary = Map(
+      "removed-delete-files" -> parquetPos.size.toString,
+      "added-delete-files" -> written.size.toString), lineage = lineage)
+    parquetPos.size
   }
 
   // ---------- manifests ----------
@@ -2653,6 +3009,7 @@ object IcebergWriter {
           |{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
           |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
           |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+          |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
           |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
           |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
           |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}]}}]}""".stripMargin)
@@ -2670,6 +3027,7 @@ object IcebergWriter {
       |{"name":"sequence_number","type":"long","field-id":515},
       |{"name":"min_sequence_number","type":"long","field-id":516},
       |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520},
       |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
       |{"name":"contains_null","type":"boolean","field-id":509},
       |{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
@@ -2756,6 +3114,7 @@ object IcebergWriter {
       d.put("partition", part)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.size)
+      f.firstRowId.foreach(v => d.put("first_row_id", v))
       if (f.colStats.nonEmpty) {
         def kvArray(field: String, value: ColStat => Option[Any])
             : java.util.List[GenericRecord] = {
@@ -2835,6 +3194,10 @@ object IcebergWriter {
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
       r.put("added_snapshot_id", ref.addedSnapshotId.getOrElse(snapshotId))
+      // v3 row lineage (list field 520): written whenever assigned —
+      // carried manifests keep their original window verbatim, which is
+      // what makes row ids stable across commits
+      ref.firstRowId.foreach(v => r.put("first_row_id", v))
       // spec field 507 `partitions`: per-partition-field value envelope
       // of the manifest's live entries — what lets the READER (ours and
       // iceberg's own planner) drop the manifest from a plan without
@@ -3032,19 +3395,76 @@ object IcebergWriter {
       "added-records" -> files.map(_.records).sum.toString,
       "added-files-size" -> files.map(_.size).sum.toString)
 
-  /** v3 row lineage (spec "Row Lineage"): the new snapshot's
-    * `first-row-id` is the table's `next-row-id`, which then advances by
-    * the commit's ADDED row count — rows of data files without an
-    * explicit `first_row_id` inherit ids from this window at read time
-    * (the spec's inheritance rule, which is what lets existing manifests
-    * stay byte-identical across commits). No-op on v2 tables.
+  /** v3 row lineage at LIST-write time (spec "Row Lineage" + manifest-
+    * list field 520 `first_row_id`): every DATA manifest in the outgoing
+    * list gets an EXPLICIT inheritance window — carried manifests keep
+    * their decoded value verbatim (what makes a row's id stable across
+    * commits), new/legacy ones are assigned from a counter that starts
+    * at the table's `next-row-id` and advances by each assigned
+    * manifest's live data row count. Explicit windows never need
+    * re-validation: the spec's own invariant (`next-row-id` >= every
+    * assigned window end) holds across this writer's commits. Returns
+    * (refs with windows filled, Some((snapshot first-row-id, new
+    * next-row-id))); (refs, None) untouched on v2 tables.
+    */
+  private def lineageAssign(md: JsonNode, root: Path, location: String,
+      refs: Seq[ManifestRef]): (Seq[ManifestRef], Option[(Long, Long)]) = {
+    if (Option(md.get("format-version")).forall(_.asInt() < 3))
+      return (refs, None)
+    val start = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
+    var counter = start
+    val out = refs.map { r =>
+      if (r.content != 0 || r.firstRowId.isDefined) r
+      else {
+        // window size: the manifest's live data row count — from the
+        // writer's own bookkeeping for manifests written this commit,
+        // one Avro read for legacy/foreign ones (one-time: the explicit
+        // window then carries forever)
+        val rows = r.liveRowCount.getOrElse(
+          manifestLiveRowCount(root, location, r))
+        val assigned = r.copy(firstRowId = Some(counter))
+        counter += rows
+        assigned
+      }
+    }
+    (out, Some((start, counter)))
+  }
+
+  /** Live data row count of one manifest: running record_count over
+    * live (status != DELETED) data entries in entry order — the SAME
+    * rule the reader's within-manifest inheritance walks, so windows
+    * sized here always cover the ids a reader derives.
+    */
+  private def manifestLiveRowCount(root: Path, location: String,
+      ref: ManifestRef): Long =
+    readAvro(remapLocal(ref.path, location, root)).iterator
+      .filter(e => intOf(e, "status", 0) != 2)
+      .map { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        if (intOf(d, "content", ref.content) != 0) 0L
+        else longOf(d, "record_count", 0L)
+      }.sum
+
+  /** Stamp the snapshot's `first-row-id` and advance the table's
+    * `next-row-id` (spec "Row Lineage"). `lineage` is
+    * [[lineageAssign]]'s counter result for commits that assigned
+    * list-level windows; the fallback (advance by `addedRows`) covers
+    * v3 commits whose list carried only pre-assigned windows. No-op on
+    * v2 tables.
     */
   private def assignRowLineage(md: ObjectNode, snap: ObjectNode,
-      addedRows: Long): Unit =
+      addedRows: Long, lineage: Option[(Long, Long)] = None): Unit =
     if (Option(md.get("format-version")).exists(_.asInt() >= 3)) {
-      val next = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
-      snap.put("first-row-id", next)
-      md.put("next-row-id", next + addedRows)
+      lineage match {
+        case Some((first, next)) =>
+          snap.put("first-row-id", first)
+          md.put("next-row-id", next)
+        case None =>
+          val next = Option(md.get("next-row-id")).map(_.asLong())
+            .getOrElse(0L)
+          snap.put("first-row-id", next)
+          md.put("next-row-id", next + addedRows)
+      }
     }
 
   private def snapshotNode(id: Long, seq: Long, manifestList: String,

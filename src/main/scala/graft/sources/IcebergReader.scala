@@ -113,7 +113,16 @@ object IcebergReader {
       referencedDataFile: Option[String] = None,
       contentOffset: Long = -1L,
       contentSize: Long = -1L,
-      recordCount: Long = -1L)
+      recordCount: Long = -1L,
+      // v3 row lineage: the entry's EXPLICIT first_row_id (spec field
+      // 142; None = inherit), its running in-manifest inheritance
+      // offset (record_count sum over preceding live data entries; -1 =
+      // underivable), and the manifest-list path it decoded from (the
+      // window-grouping key). Lineage reads derive each file's
+      // effective first row id from these + the manifest's window.
+      explicitFirstRowId: Option[Long] = None,
+      rowIdOffset: Long = -1L,
+      manifestPath: String = "")
 
   /** Spec-reserved field id of the position-delete `file_path` column —
     * a delete file's bounds on it scope the delete to the data files it
@@ -141,7 +150,11 @@ object IcebergReader {
     */
   private final case class ManifestMeta(path: String, content: Int,
       seq: Long, specId: Int,
-      summaries: Option[IndexedSeq[FieldSummaryMeta]])
+      summaries: Option[IndexedSeq[FieldSummaryMeta]],
+      // v3 row lineage (list field 520): this data manifest's explicit
+      // inheritance-window start; None = assigned at read time from the
+      // snapshot's first-row-id in list order (spec "Row Lineage")
+      firstRowId: Option[Long] = None)
 
   private case class Snapshot(
       schema: StructType,
@@ -153,7 +166,12 @@ object IcebergReader {
       // spec = position in each summaries list, transform RESULT type —
       // the type the summary's bound bytes serialize)
       defaultSpecId: Int = 0,
-      specFieldPos: Map[String, (Int, DataType)] = Map.empty) {
+      specFieldPos: Map[String, (Int, DataType)] = Map.empty,
+      formatVersion: Int = 2,
+      // v3 row lineage: the resolved snapshot's `first-row-id` — the
+      // read-time inheritance counter's start for data manifests whose
+      // list entry carries no explicit window
+      firstRowId: Option[Long] = None) {
 
     /** Decode exactly the manifests `keep` admits (memoized globally —
       * manifests are immutable — and decoded on a bounded parallel
@@ -274,13 +292,16 @@ object IcebergReader {
       }
     }
     snapNode match {
-      case None => Snapshot(schema, fieldNames, Nil, location, tablePath)
+      case None => Snapshot(schema, fieldNames, Nil, location, tablePath,
+        formatVersion = version)
       case Some(snap) =>
         val manifestList = remap(snap.get("manifest-list").asText(),
           location, tablePath)
         val (specId, specPos) = specSummaryInfo(root, schema, fieldNames)
         Snapshot(schema, fieldNames, readManifestList(manifestList),
-          location, tablePath, specId, specPos)
+          location, tablePath, specId, specPos,
+          formatVersion = version,
+          firstRowId = Option(snap.get("first-row-id")).map(_.asLong()))
     }
   }
 
@@ -311,7 +332,9 @@ object IcebergReader {
         intField(m, "content", 0), // v1: always data
         longField(m, "sequence_number", 0L),
         intField(m, "partition_spec_id", 0),
-        summaries)
+        summaries,
+        firstRowId = fieldOpt(m, "first_row_id")
+          .map(_.asInstanceOf[Number].longValue))
     }
 
   private def byteValue(v: AnyRef): Array[Byte] = v match {
@@ -427,6 +450,12 @@ object IcebergReader {
     val deletes = Seq.newBuilder[DataFileEntry]
     val eqDeletes = Seq.newBuilder[DataFileEntry]
     val manifestPath = remap(m.path, location, tablePath)
+    // v3 row-lineage inheritance offset: running record_count over live
+    // data entries in entry order (manifest-intrinsic, so safe to cache
+    // with the decode); an entry without a readable record_count poisons
+    // the offsets BEHIND it only
+    var rowIdOffset = 0L
+    var offsetValid = true
     readAvro(manifestPath).foreach { entry =>
       val status = intField(entry, "status", 0)
       if (status != 2) { // 2 = DELETED tombstone — file left the table
@@ -441,13 +470,22 @@ object IcebergReader {
           s"unsupported iceberg file format $format for content $content " +
             "(parquet only; puffin for deletion vectors)")
         content match {
-          case 0 => data += DataFileEntry(path, seq,
-            partitionValues = partitionTuple(df),
-            bounds = entryBounds(df),
-            valueCounts = countsMap(df, "value_counts"),
-            nullCounts = countsMap(df, "null_value_counts"),
-            declaredPath = str(df, "file_path"),
-            specId = m.specId)
+          case 0 =>
+            val rc = longField(df, "record_count", -1L)
+            val off = if (offsetValid) rowIdOffset else -1L
+            if (rc < 0) offsetValid = false else rowIdOffset += rc
+            data += DataFileEntry(path, seq,
+              partitionValues = partitionTuple(df),
+              bounds = entryBounds(df),
+              valueCounts = countsMap(df, "value_counts"),
+              nullCounts = countsMap(df, "null_value_counts"),
+              declaredPath = str(df, "file_path"),
+              specId = m.specId,
+              recordCount = rc,
+              explicitFirstRowId = fieldOpt(df, "first_row_id")
+                .map(_.asInstanceOf[Number].longValue),
+              rowIdOffset = off,
+              manifestPath = m.path)
           case 1 =>
             if (format == "PUFFIN") {
               // v3 deletion vector: exactly one referenced data file +
@@ -1097,18 +1135,44 @@ object IcebergReader {
     * timestamp travel picks the latest snapshot at-or-before the instant).
     * See object doc for the delete-application plan shape.
     */
+  /** `withLineage` (v3): appends the spec's `_row_id` and
+    * `_last_updated_sequence_number` metadata columns, derived by the
+    * "Row Lineage" inheritance rules — a row's id is the file's
+    * MATERIALIZED `_row_id` value when the file carries the column (a
+    * lineage-preserving rewrite wrote it), else the file's effective
+    * `first_row_id` (explicit entry field 142, else its manifest's
+    * window start + the running in-manifest record_count offset) plus
+    * the row's position; the manifest window is the list's explicit
+    * field 520, else assigned from the snapshot's `first-row-id` in
+    * list order. Underivable ids fail LOUDLY (raise_error), never null.
+    */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
       skipFilters: Seq[SkipPredicate] = Nil,
       partitionPredicates: Seq[PartitionPredicate] = Nil,
-      ref: Option[String] = None): DataFrame = {
+      ref: Option[String] = None,
+      withLineage: Boolean = false): DataFrame = {
     // Some("") must not alias the no-ref cache key (ref.getOrElse("")):
     // reject it loudly instead of nondeterministically serving the
     // current snapshot on a warm cache
     require(ref.forall(_.nonEmpty), "snapshot ref name must be non-empty")
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
+    if (withLineage) {
+      require(snap.formatVersion >= 3,
+        "row lineage columns need a format-v3 iceberg table, found " +
+          s"format-version ${snap.formatVersion} at $tablePath")
+      require(!snap.schema.fieldNames.exists(n =>
+          n == "_row_id" || n == "_last_updated_sequence_number"),
+        "table schema uses the spec-reserved lineage column names")
+    }
+    // inherited windows need EVERY data manifest's row count — lineage
+    // reads over a list with any null window (field 520) decode all
+    // data manifests instead of pruning (our own writer always writes
+    // explicit windows, so this is the foreign-table slow path only)
+    val lineageNeedsAll = withLineage &&
+      snap.manifests.exists(m => m.content == 0 && m.firstRowId.isEmpty)
     // MANIFEST-list pruning (spec field 507 `partitions` summaries): a
     // manifest whose per-field [lower, upper] envelope provably excludes
     // every partition predicate is dropped WITHOUT being opened — the
@@ -1125,10 +1189,41 @@ object IcebergReader {
     // non-default spec, or with any uncertainty are KEPT — pruning may
     // only drop provably non-matching manifests.
     val (dataAll, posDeletes, eqDeletes) =
-      if (partitionFilter.isEmpty && partitionPredicates.isEmpty) snap.files(_ => true)
+      if ((partitionFilter.isEmpty && partitionPredicates.isEmpty) ||
+          lineageNeedsAll) snap.files(_ => true)
       else snap.files(m => m.content != 0 || manifestMayMatch(m,
         snap.defaultSpecId, snap.specFieldPos, partitionFilter,
         partitionPredicates))
+    // v3 lineage: each planned data file's effective first row id —
+    // explicit entry value, else manifest window start + in-manifest
+    // offset; windows themselves explicit (field 520) or assigned from
+    // the snapshot's first-row-id over null-window data manifests in
+    // list order. Files whose id is underivable stay OUT of the map and
+    // fail loudly at scan time (below), never serve a wrong id.
+    val fileFirstRow: Map[String, Long] =
+      if (!withLineage) Map.empty
+      else {
+        val byManifest = dataAll.groupBy(_.manifestPath)
+        var counter: Option[Long] = snap.firstRowId
+        val out = Map.newBuilder[String, Long]
+        snap.manifests.filter(_.content == 0).foreach { mm =>
+          val entries = byManifest.getOrElse(mm.path, Nil)
+          val start: Option[Long] = mm.firstRowId.orElse {
+            val s = counter
+            counter =
+              if (entries.exists(_.recordCount < 0)) None
+              else counter.map(_ + entries.map(_.recordCount).sum)
+            s
+          }
+          entries.foreach { e =>
+            e.explicitFirstRowId
+              .orElse(start.filter(_ => e.rowIdOffset >= 0)
+                .map(_ + e.rowIdOffset))
+              .foreach(v => out += normPath(e.path) -> v)
+          }
+        }
+        out.result()
+      }
     // manifest-level partition PRUNING: a data file is skipped at PLANNING
     // time when its partition tuple carries a different rendered value for
     // every filtered column. Files without a tuple for a filtered column
@@ -1167,9 +1262,15 @@ object IcebergReader {
           entryMayMatch(f, fid, p.op, p.value, dt)
         })
       }
+    val lineageFields = Seq(
+      StructField("_row_id", LongType),
+      StructField("_last_updated_sequence_number", LongType))
+    val outSchema =
+      if (withLineage) StructType(snap.schema.fields ++ lineageFields)
+      else snap.schema
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     // POSITION-DELETE pruning by file_path bounds (reserved field
     // 2147483546): a delete file whose [lower, upper] file_path envelope
     // excludes every PLANNED data file cannot delete anything in this
@@ -1229,16 +1330,23 @@ object IcebergReader {
             case None => true
           })
     }
+    // lineage reads extend the FILE schema with the two reserved
+    // columns: files materializing them (lineage-preserving rewrites)
+    // serve the stored values, all others read null and derive
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
-      StructType(Nil), snap.schema, entries)
-    if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty && eqDeletes.isEmpty)
+      StructType(Nil), outSchema, entries)
+    if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty &&
+        eqDeletes.isEmpty && !withLineage)
       return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
-    val withPos = base.select(dataCols
+    val materializedCols =
+      if (withLineage) lineageFields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+      else IndexedSeq.empty
+    val withPos = base.select(dataCols ++ materializedCols
       :+ norm(col("_metadata.file_path")).as("__ib_file")
       :+ col("_metadata.row_index").as("__ib_pos"): _*)
     // per-file data sequence numbers ride a broadcast (#files rows);
@@ -1249,8 +1357,10 @@ object IcebergReader {
     // partitioned-spec partition, so a scoped delete never matches them
     import spark.implicits._
     val seqDf = broadcast(dataAll
-      .map(f => (normPath(f.path), f.seq, fileScopeKey(f).orNull))
-      .toDF("__ib_file", "__ib_seq", "__ib_pt"))
+      .map(f => (normPath(f.path), f.seq, fileScopeKey(f).orNull,
+        fileFirstRow.get(normPath(f.path)).map(Long.box)
+          .orNull: java.lang.Long))
+      .toDF("__ib_file", "__ib_seq", "__ib_pt", "__ib_frow"))
     // LEFT join + fail-fast: an inner join would silently drop every row
     // of a file whose _metadata.file_path and manifest path disagree
     // (path-normalization drift); surface that as an error instead.
@@ -1346,7 +1456,23 @@ object IcebergReader {
       }
     val afterEq = applyEqualityDeletes(spark, afterPos, eqGroups,
       "__ib_seq", "__ib_pt", "iceberg scan")
-    afterEq.select(dataCols: _*)
+    if (!withLineage) afterEq.select(dataCols: _*)
+    else {
+      // materialized value wins (null materialized inside a lineage-
+      // carrying file = a row added without an id, assigned from the
+      // window); derivation failure is an ERROR, not a null id
+      val finalized = afterEq
+        .withColumn("_row_id", coalesce(col("`_row_id`"),
+          col("__ib_frow") + col("__ib_pos"),
+          raise_error(concat(
+            lit("iceberg scan: underivable _row_id for a row of "),
+            col("__ib_file")))))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("`_last_updated_sequence_number`"),
+            col("__ib_seq")))
+      finalized.select(dataCols ++ lineageFields.map(f =>
+        col(s"`${f.name}`")): _*)
+    }
   }
 
   /** Append-only incremental feed, the Iceberg twin of

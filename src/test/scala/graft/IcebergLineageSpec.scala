@@ -1,0 +1,162 @@
+package graft
+
+import graft.sources.IcebergReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Iceberg v3 ROW LINEAGE (spec "Row Lineage"): the writer persists
+  * explicit inheritance windows (manifest-list field 520, data-file
+  * field 142), scans derive `_row_id` / `_last_updated_sequence_number`
+  * by the spec's inheritance rules, and every data-file rewrite
+  * (compaction, z-order, equality-delete materialization) PRESERVES
+  * surviving rows' ids by materializing the two reserved columns into
+  * the rewritten files. The invariant each test pins: a row's
+  * (key → _row_id) mapping never changes across any maintenance op.
+  */
+class IcebergLineageSpec extends SparkSpec {
+  import spark.implicits._
+  private val W = graft.output.IcebergWriter
+
+  private def tmp(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    p.toString
+  }
+
+  /** key → (_row_id, _last_updated_sequence_number) of the live rows. */
+  private def lineage(table: String): Map[Int, (Long, Long)] =
+    IcebergReader.read(spark, table, withLineage = true)
+      .select(col("id"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def df(r: Range) = r.map(i => (i, s"v$i")).toDF("id", "v")
+
+  test("v3 create + append assign dense unique row ids across windows") {
+    val t = tmp("lin_basic")
+    W.create(df(0 until 10), t, formatVersion = 3)
+    W.append(df(10 until 25), t)
+    val m = lineage(t)
+    assert(m.keySet == (0 until 25).toSet)
+    // windows are consecutive: ids cover exactly [0, 25)
+    assert(m.values.map(_._1).toSeq.sorted == (0L until 25L).toSeq)
+    // the appended batch's ids all sit in the SECOND window
+    assert((10 until 25).map(k => m(k)._1).min >= 10L)
+    // seq: create = 1, append = 2
+    assert((0 until 10).forall(k => m(k)._2 == 1L))
+    assert((10 until 25).forall(k => m(k)._2 == 2L))
+  }
+
+  test("deleteWhere (DV plane) keeps survivors' row ids") {
+    val t = tmp("lin_delete")
+    W.create(df(0 until 20), t, formatVersion = 3)
+    W.append(df(20 until 30), t)
+    val before = lineage(t)
+    W.deleteWhere(spark, t, col("id") % 3 === 0)
+    val after = lineage(t)
+    assert(after == before.filter { case (k, _) => k % 3 != 0 })
+  }
+
+  test("rewriteDataFiles preserves row ids and materializes DVs away") {
+    val t = tmp("lin_compact")
+    W.create(df(0 until 20), t, formatVersion = 3)
+    W.append(df(20 until 30), t)
+    W.deleteWhere(spark, t, col("id") % 4 === 1)
+    val before = lineage(t)
+    assert(W.rewriteDataFiles(spark, t) > 0)
+    val after = lineage(t)
+    assert(after == before, "compaction must not reassign row ids")
+    // deleted rows stay deleted (DVs were materialized, not lost), and
+    // a fresh delete on the compacted table still works + stays stable
+    W.deleteWhere(spark, t, col("id") === 2)
+    assert(lineage(t) == before - 2)
+  }
+
+  test("rewriteZOrder preserves row ids through re-clustering") {
+    val t = tmp("lin_zorder")
+    W.create(df(0 until 50), t, formatVersion = 3)
+    W.deleteWhere(spark, t, col("id") % 7 === 0)
+    val before = lineage(t)
+    assert(W.rewriteZOrder(spark, t, "id", "id") > 0)
+    assert(lineage(t) == before)
+  }
+
+  test("upsert assigns fresh ids to its batch; rewriteEqualityDeletes " +
+      "preserves the survivors") {
+    val t = tmp("lin_upsert")
+    W.create(df(0 until 20), t, formatVersion = 3)
+    val before = lineage(t)
+    // replace keys 0-4, add 100-104
+    val updates = ((0 until 5) ++ (100 until 105))
+      .map(i => (i, s"u$i")).toDF("id", "v")
+    W.upsert(updates, t, Seq("id"))
+    val afterUpsert = lineage(t)
+    // untouched keys keep their ids; the batch's rows all carry NEW ids
+    // from a window past every pre-upsert id
+    assert((5 until 20).forall(k => afterUpsert(k) == before(k)))
+    val maxBefore = before.values.map(_._1).max
+    assert(((0 until 5) ++ (100 until 105))
+      .forall(k => afterUpsert(k)._1 > maxBefore))
+    assert(W.rewriteEqualityDeletes(spark, t) > 0)
+    assert(lineage(t) == afterUpsert,
+      "equality-delete materialization must not reassign row ids")
+  }
+
+  test("upgradeToV3 assigns ids to existing rows; later ops keep them") {
+    val t = tmp("lin_upgrade")
+    W.create(df(0 until 20), t) // v2
+    W.append(df(20 until 30), t)
+    W.deleteWhere(spark, t, col("id") % 5 === 0) // parquet pos deletes
+    W.upgradeToV3(spark, t)
+    val m = lineage(t)
+    assert(m.keySet == (0 until 30).filter(_ % 5 != 0).toSet)
+    // unique ids fenced by next-row-id: all within [0, total rows)
+    val ids = m.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size)
+    assert(ids.forall(v => v >= 0 && v < 30))
+    W.deleteWhere(spark, t, col("id") % 7 === 1)
+    val m2 = lineage(t)
+    assert(m2 == m.filter { case (k, _) => k % 7 != 1 })
+    assert(W.rewriteDataFiles(spark, t) > 0)
+    assert(lineage(t) == m2)
+  }
+
+  test("rewritePositionDeletes is a no-op on a DV-only v3 table") {
+    val t = tmp("lin_posrewrite")
+    W.create(df(0 until 10), t, formatVersion = 3)
+    W.deleteWhere(spark, t, col("id") === 3)
+    val before = lineage(t)
+    assert(W.rewritePositionDeletes(spark, t) == 0)
+    assert(lineage(t) == before)
+  }
+
+  test("manifest merge carries explicit per-entry row ids (field 142)") {
+    val t = tmp("lin_merge")
+    W.create(df(0 until 4), t, formatVersion = 3)
+    (1 until 6).foreach(i => W.append(df(i * 4 until i * 4 + 4), t))
+    val before = lineage(t)
+    assert(before.keySet == (0 until 24).toSet)
+    assert(W.rewriteManifests(t, targetBytes = 64L * 1024 * 1024) > 0)
+    assert(lineage(t) == before,
+      "manifest compaction must not reassign row ids")
+    // and the merged manifest's entries are EXPLICIT: appending more
+    // (whose window derives from next-row-id) never collides
+    W.append(df(24 until 28), t)
+    val m2 = lineage(t)
+    assert(m2.keySet == (0 until 28).toSet)
+    assert(m2.values.map(_._1).toSeq.distinct.size == 28)
+    assert((0 until 24).forall(k => m2(k) == before(k)))
+  }
+
+  test("lineage read on a v2 table fails loudly") {
+    val t = tmp("lin_v2")
+    W.create(df(0 until 5), t) // v2
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, t, withLineage = true)
+    }
+    assert(e.getMessage.contains("format-v3"))
+  }
+}
