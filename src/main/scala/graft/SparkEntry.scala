@@ -382,7 +382,7 @@ object SparkEntry {
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val root = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_iceberg_v3_gate_v1_${math.abs(dir.hashCode)}")
+      s"graft_iceberg_v3_gate_v2_${math.abs(dir.hashCode)}")
     val mdDir = root.resolve("metadata")
     if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
     def deleteRec(p: Path): Unit = deleteRecursively(p)
@@ -410,6 +410,11 @@ object SparkEntry {
     def sortedKeys(pred: org.apache.spark.sql.Column): Array[Long] =
       nation.filter(pred).orderBy(col("n_nationkey"))
         .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    // REAL record counts: the v3 row-lineage inheritance rule sizes
+    // manifest windows and in-manifest offsets by record_count, so a
+    // foreign-writer fixture must carry the true values
+    val nA = sortedKeys(col("n_regionkey") < 2).length.toLong
+    val nB = sortedKeys(col("n_regionkey") >= 2).length.toLong
     // puffin DV on file A: odd-key row positions
     val dvPositions = sortedKeys(col("n_regionkey") < 2).zipWithIndex
       .collect { case (k, i) if k % 2 == 1 => i.toLong }.toSeq
@@ -488,14 +493,15 @@ object SparkEntry {
       writeAvro(p, entrySchema, recs)
       p.toString
     }
-    val m1 = manifest("m1.avro", Seq(entry(0, fileA, "PARQUET", 1L)))
-    val m2 = manifest("m2.avro", Seq(entry(0, fileB, "PARQUET", 1L)))
+    val m1 = manifest("m1.avro", Seq(entry(0, fileA, "PARQUET", nA)))
+    val m2 = manifest("m2.avro", Seq(entry(0, fileB, "PARQUET", nB)))
     val m3 = manifest("m3.avro",
       Seq(entry(1, delFileB, "PARQUET", delPosB.length.toLong)))
     val m4 = manifest("m4.avro",
       Seq(entry(1, dvPath, "PUFFIN", dvRef.cardinality, dv = Some(dvRef))))
-    def manifestList(name: String, entries: Seq[(String, Int, Long)]): String = {
-      val recs = entries.map { case (path, content, seq) =>
+    def manifestList(name: String,
+        entries: Seq[(String, Int, Long, Option[Long])]): String = {
+      val recs = entries.map { case (path, content, seq, firstRowId) =>
         val r = new GenericData.Record(listSchema)
         r.put("manifest_path", path)
         r.put("manifest_length", 1L)
@@ -504,16 +510,24 @@ object SparkEntry {
         r.put("sequence_number", seq)
         r.put("min_sequence_number", seq)
         r.put("added_snapshot_id", 1L)
+        firstRowId.foreach(v => r.put("first_row_id", v))
         r
       }
       val p = mdDir.resolve(name)
       writeAvro(p, listSchema, recs)
       p.toString
     }
+    // snapshot 1's list leaves the data windows NULL (the freshly-added
+    // manifests inherit from the snapshot's first-row-id 0 in list
+    // order: A = [0, nA), B = [nA, nA+nB)); snapshot 2 — a compliant
+    // writer carrying them forward — pins both EXPLICITLY (field 520),
+    // so the current-snapshot lineage gate exercises the explicit path
+    // and time travel to snapshot 1 the inheritance path.
     val list1 = manifestList("snap-1.avro",
-      Seq((m1, 0, 1L), (m2, 0, 1L), (m3, 1, 1L)))
+      Seq((m1, 0, 1L, None), (m2, 0, 1L, None), (m3, 1, 1L, None)))
     val list2 = manifestList("snap-2.avro",
-      Seq((m1, 0, 1L), (m2, 0, 1L), (m3, 1, 1L), (m4, 1, 2L)))
+      Seq((m1, 0, 1L, Some(0L)), (m2, 0, 1L, Some(nA)),
+        (m3, 1, 1L, None), (m4, 1, 2L, None)))
     val schemaJson =
       """{"type":"struct","schema-id":0,"fields":[
         |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
@@ -1185,6 +1199,46 @@ object SparkEntry {
       }
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_v3_lineage" -> ((s, dir) => {
+      // v3 ROW LINEAGE read surface: _row_id / _last_updated_sequence_
+      // number derived by the spec's inheritance rules over the
+      // hand-authored foreign fixture (explicit field-520 windows on the
+      // current snapshot; files sorted by key so the oracle recomputes
+      // ids with row_number). DV + parquet-delete survivors keep their
+      // position-derived ids.
+      val path = icebergV3Fixture(s, dir)
+      graft.sources.IcebergReader.read(s, path, withLineage = true)
+        .select(col("n_nationkey"), col("n_name"), col("_row_id"),
+          col("_last_updated_sequence_number"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_v3_rewrite" -> ((s, dir) => {
+      // v3 LINEAGE-PRESERVING data rewrite: create + append + DV delete,
+      // COMPACT (rewriteDataFiles materializes the DVs into rewritten
+      // files carrying materialized _row_id columns), then a SECOND
+      // delete on the compacted table — correctness of the data plane
+      // through the full maintenance cycle; id stability is pinned by
+      // IcebergLineageSpec
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_v3rw_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          val W = graft.output.IcebergWriter
+          W.create(cust.filter(col("c_mktsegment") === "BUILDING"),
+            root.toString, formatVersion = 3)
+          W.append(cust.filter(col("c_mktsegment") === "MACHINERY"),
+            root.toString)
+          W.deleteWhere(s, root.toString, col("c_custkey") % 5 === 0)
+          require(W.rewriteDataFiles(s, root.toString) > 0,
+            "v3 compaction rewrote no files")
+          W.deleteWhere(s, root.toString, col("c_custkey") % 7 === 0)
+        }
+      }
+      graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("c_custkey"))
     }),
     "q_iceberg_time_travel" -> ((s, dir) => {
       // snapshot 1: file A only, before the delete existed
@@ -2726,6 +2780,29 @@ object SparkEntry {
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0)
         |   OR (n_regionkey >= 2 AND n_nationkey % 3 <> 0)
         |ORDER BY n_nationkey""".stripMargin,
+    // _row_id recomputed from the fixture's layout: file A = region < 2
+    // sorted by key starting at window 0, file B = region >= 2 starting
+    // at window count(A); id = window + in-file position; every file
+    // was added at sequence 1
+    "q_iceberg_v3_lineage" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+        |    row_number() OVER (ORDER BY n_nationkey) - 1 AS rid
+        |  FROM nation WHERE n_regionkey < 2),
+        |b AS (SELECT n_nationkey, n_name,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+        |      + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid
+        |  FROM nation WHERE n_regionkey >= 2)
+        |SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS _row_id,
+        |       CAST(1 AS BIGINT) AS _last_updated_sequence_number
+        |FROM (SELECT * FROM a WHERE n_nationkey % 2 = 0
+        |      UNION ALL
+        |      SELECT * FROM b WHERE n_nationkey % 3 <> 0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_v3_rewrite" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |  AND c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_iceberg_v3_write" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
