@@ -3397,37 +3397,58 @@ object IcebergWriter {
 
   /** v3 row lineage at LIST-write time (spec "Row Lineage" + manifest-
     * list field 520 `first_row_id`): every DATA manifest in the outgoing
-    * list gets an EXPLICIT inheritance window — carried manifests keep
-    * their decoded value verbatim (what makes a row's id stable across
-    * commits), new/legacy ones are assigned from a counter that starts
-    * at the table's `next-row-id` and advances by each assigned
-    * manifest's live data row count. Explicit windows never need
-    * re-validation: the spec's own invariant (`next-row-id` >= every
-    * assigned window end) holds across this writer's commits. Returns
-    * (refs with windows filled, Some((snapshot first-row-id, new
-    * next-row-id))); (refs, None) untouched on v2 tables.
+    * list gets an EXPLICIT inheritance window. Three cases:
+    *   - carried manifests with a decoded window keep it VERBATIM
+    *     (what makes a row's id stable across commits);
+    *   - NEW manifests (the commit's own, `liveRowCount` set by the
+    *     caller) are assigned from a counter starting at the table's
+    *     `next-row-id`;
+    *   - LEGACY carried manifests (null window, e.g. after a
+    *     metadata-only v3 upgrade) are pinned to the window readers
+    *     ALREADY derive by the read-time inheritance rule — from the
+    *     current snapshot's `first-row-id`, in list order over
+    *     null-window data manifests — because assigning them fresh ids
+    *     would silently renumber every existing row.
+    * Explicit windows never need re-validation: the spec's invariant
+    * (`next-row-id` >= every assigned window end) holds across this
+    * writer's commits. Returns (refs with windows filled,
+    * Some((snapshot first-row-id, new next-row-id))); (refs, None)
+    * untouched on v2 tables.
     */
   private def lineageAssign(md: JsonNode, root: Path, location: String,
       refs: Seq[ManifestRef]): (Seq[ManifestRef], Option[(Long, Long)]) = {
     if (Option(md.get("format-version")).forall(_.asInt() < 3))
       return (refs, None)
     val start = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
-    var counter = start
+    var newCounter = start
+    // the read-time inheritance start: the CURRENT (pre-commit)
+    // snapshot's first-row-id — what every null-window manifest's rows
+    // have been serving as ids until now
+    var inheritCounter: Long =
+      Option(md.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L).flatMap { id =>
+          Option(md.get("snapshots")).toSeq
+            .flatMap(_.elements().asScala)
+            .find(_.get("snapshot-id").asLong() == id)
+            .flatMap(s => Option(s.get("first-row-id")).map(_.asLong()))
+        }.getOrElse(0L)
     val out = refs.map { r =>
       if (r.content != 0 || r.firstRowId.isDefined) r
-      else {
-        // window size: the manifest's live data row count — from the
-        // writer's own bookkeeping for manifests written this commit,
-        // one Avro read for legacy/foreign ones (one-time: the explicit
-        // window then carries forever)
-        val rows = r.liveRowCount.getOrElse(
-          manifestLiveRowCount(root, location, r))
-        val assigned = r.copy(firstRowId = Some(counter))
-        counter += rows
-        assigned
+      else r.liveRowCount match {
+        case Some(rows) => // NEW manifest written by this commit
+          val assigned = r.copy(firstRowId = Some(newCounter))
+          newCounter += rows
+          assigned
+        case None => // legacy carried manifest: pin the inherited window
+          val rows = manifestLiveRowCount(root, location, r)
+          val assigned = r.copy(firstRowId = Some(inheritCounter))
+          inheritCounter += rows
+          assigned
       }
     }
-    (out, Some((start, counter)))
+    // a foreign table whose inherited windows overrun its next-row-id
+    // fence still must not collide with future assignments
+    (out, Some((start, math.max(newCounter, inheritCounter))))
   }
 
   /** Live data row count of one manifest: running record_count over

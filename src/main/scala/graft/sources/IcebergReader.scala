@@ -40,9 +40,11 @@ import scala.jdk.CollectionConverters._
   * puffin deletion vectors in v3 via [[PuffinDV]], with the spec's
   * DV-supersedes-position-files precedence), and equality deletes
   * (content=2, strict data seq < delete seq, null-safe column equality,
-  * one anti-join per delete file). Rejected with clear errors: format
-  * v4+, non-parquet data files, v3 `initial-default` schema defaults,
-  * unknown schema types, equality deletes without `equality_ids`.
+  * one anti-join per delete file). v3 `initial-default`s apply on
+  * top-level columns (per-file footer presence decides stored value vs
+  * default). Rejected with clear errors: format v4+, non-parquet data
+  * files, NESTED initial-defaults, unknown schema types, equality
+  * deletes without `equality_ids`.
   */
 object IcebergReader {
 
@@ -171,7 +173,10 @@ object IcebergReader {
       // v3 row lineage: the resolved snapshot's `first-row-id` — the
       // read-time inheritance counter's start for data manifests whose
       // list entry carries no explicit window
-      firstRowId: Option[Long] = None) {
+      firstRowId: Option[Long] = None,
+      // v3 `initial-default`s of top-level columns (name → Spark
+      // literal): files physically lacking the column serve the default
+      defaults: Map[String, Any] = Map.empty) {
 
     /** Decode exactly the manifests `keep` admits (memoized globally —
       * manifests are immutable — and decoded on a bounded parallel
@@ -301,7 +306,8 @@ object IcebergReader {
         Snapshot(schema, fieldNames, readManifestList(manifestList),
           location, tablePath, specId, specPos,
           formatVersion = version,
-          firstRowId = Option(snap.get("first-row-id")).map(_.asLong()))
+          firstRowId = Option(snap.get("first-row-id")).map(_.asLong()),
+          defaults = columnDefaults(root))
     }
   }
 
@@ -701,6 +707,23 @@ object IcebergReader {
     * file's missing column would read NULL and the null-safe `<=>`
     * join would over-delete every null-valued data row.
     */
+  /** Top-level column NAMES of one parquet footer (cached — data files
+    * are immutable): the per-file presence probe `initial-default`
+    * application needs (a file lacking the column serves the default).
+    */
+  private val footerColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private def footerTopColumns(path: String): Set[String] =
+    footerColsCache.computeIfAbsent(normPath(path), { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+      finally r.close()
+    })
+
   private val footerSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def footerSchemaKey(path: String): String =
@@ -1077,21 +1100,70 @@ object IcebergReader {
     }
     val ids = node.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
-    (structOf(node), ids)
+    (structOf(node, topLevel = true), ids)
   }
 
-  private def structOf(node: JsonNode): StructType =
+  /** Top-level `initial-default`s of the current schema (v3 "Default
+    * values"), as Spark-literal values: column name → default. Files
+    * that physically LACK the column serve this value; files that carry
+    * it serve their stored values (nulls included). Unsupported default
+    * types fail loudly — serving null where a default belongs is a
+    * wrong answer.
+    */
+  private def columnDefaults(root: JsonNode): Map[String, Any] = {
+    val node = Option(root.get("schemas")) match {
+      case Some(schemas) =>
+        val id = root.get("current-schema-id").asInt()
+        schemas.elements().asScala
+          .find(_.get("schema-id").asInt() == id).get
+      case None => root.get("schema")
+    }
+    node.get("fields").elements().asScala.flatMap { f =>
+      Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
+        val name = f.get("name").asText()
+        val dt = typeOf(f.get("type"))
+        name -> defaultValueOf(dt, d, name)
+      }
+    }.toMap
+  }
+
+  /** One JSON single-value-serialized default → a Spark literal value
+    * (spec Appendix D "Single-value serialization", JSON column).
+    */
+  private def defaultValueOf(dt: DataType, d: JsonNode,
+      field: String): Any = dt match {
+    case BooleanType if d.isBoolean => d.asBoolean()
+    case IntegerType if d.isNumber => d.asInt()
+    case LongType if d.isNumber => d.asLong()
+    case FloatType if d.isNumber => d.floatValue()
+    case DoubleType if d.isNumber => d.doubleValue()
+    case StringType if d.isTextual => d.asText()
+    case DateType if d.isTextual => java.sql.Date.valueOf(d.asText())
+    case _: DecimalType => new java.math.BigDecimal(d.asText())
+    case TimestampNTZType if d.isTextual =>
+      java.time.LocalDateTime.parse(d.asText())
+    case TimestampType if d.isTextual =>
+      java.time.OffsetDateTime.parse(d.asText()).toInstant
+    case other => throw new IllegalArgumentException(
+      s"unsupported iceberg initial-default for field '$field' of type " +
+        s"${other.simpleString}: $d")
+  }
+
+  private def structOf(node: JsonNode, topLevel: Boolean = false): StructType =
     StructType(node.get("fields").elements().asScala.map { f =>
       // v3 `initial-default` changes READ semantics: files written before
-      // the column was added must surface the default, not null. Ignoring
-      // it would be a silently wrong answer, so fail closed until
-      // implemented (a literal-null default is the v1/v2 behavior — fine).
-      Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
-        throw new IllegalArgumentException(
-          s"unsupported iceberg schema: field '${f.get("name").asText()}' " +
-            s"carries initial-default $d (this reader would return null " +
-            "where the default belongs)")
-      }
+      // the column was added must surface the default, not null. TOP-LEVEL
+      // defaults are applied by [[read]] (per-file column presence decides
+      // stored value vs default — see [[columnDefaults]]); NESTED defaults
+      // stay fail-closed (a silently-nulled nested default would be a
+      // wrong answer). A literal-null default is the v1/v2 behavior — fine.
+      if (!topLevel)
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
+          throw new IllegalArgumentException(
+            s"unsupported iceberg schema: NESTED field " +
+              s"'${f.get("name").asText()}' carries initial-default $d " +
+              "(this reader applies defaults on top-level columns only)")
+        }
       StructField(f.get("name").asText(), typeOf(f.get("type")),
         nullable = !f.get("required").asBoolean(false))
     }.toSeq)
@@ -1262,6 +1334,13 @@ object IcebergReader {
           entryMayMatch(f, fid, p.op, p.value, dt)
         })
       }
+    // v3 initial-defaults present on planned columns: files physically
+    // lacking a defaulted column serve the default instead of null —
+    // decided per FILE (footer column names), so files that DO carry the
+    // column keep their stored values, nulls included
+    val defaulted: IndexedSeq[(StructField, Any)] =
+      snap.schema.fields.toIndexedSeq
+        .flatMap(f => snap.defaults.get(f.name).map(v => (f, v)))
     val lineageFields = Seq(
       StructField("_row_id", LongType),
       StructField("_last_updated_sequence_number", LongType))
@@ -1337,7 +1416,7 @@ object IcebergReader {
       Paths.get(tablePath).toAbsolutePath.normalize,
       StructType(Nil), outSchema, entries)
     if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty &&
-        eqDeletes.isEmpty && !withLineage)
+        eqDeletes.isEmpty && !withLineage && defaulted.isEmpty)
       return base.select(dataCols: _*)
 
     // `file:` URI → plain path so manifest paths and _metadata agree
@@ -1346,9 +1425,35 @@ object IcebergReader {
     val materializedCols =
       if (withLineage) lineageFields.toIndexedSeq.map(f => col(s"`${f.name}`"))
       else IndexedSeq.empty
-    val withPos = base.select(dataCols ++ materializedCols
+    val withPos0 = base.select(dataCols ++ materializedCols
       :+ norm(col("_metadata.file_path")).as("__ib_file")
       :+ col("_metadata.row_index").as("__ib_pos"): _*)
+    // default substitution happens BEFORE equality-delete application:
+    // an equality delete matches the row's LOGICAL value, which for an
+    // old file's missing column is the default
+    val withPos =
+      if (defaulted.isEmpty) withPos0
+      else {
+        import org.apache.spark.sql.functions.when
+        val presenceSchema = StructType(
+          StructField("__ib_file", org.apache.spark.sql.types.StringType)
+            +: defaulted.indices.map(i =>
+              StructField(s"__ib_has_$i", BooleanType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          dataFiles.map { f =>
+            org.apache.spark.sql.Row.fromSeq(normPath(f.path) +:
+              defaulted.map { case (fld, _) =>
+                footerTopColumns(f.path).contains(fld.name) })
+          }.asJava
+        val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
+        defaulted.zipWithIndex.foldLeft(
+            withPos0.join(pres, Seq("__ib_file"), "left")) {
+          case (acc, ((fld, v), i)) =>
+            acc.withColumn(fld.name,
+              when(col(s"__ib_has_$i"), col(s"`${fld.name}`"))
+                .otherwise(lit(v).cast(fld.dataType)))
+        }.drop(defaulted.indices.map(i => s"__ib_has_$i"): _*)
+      }
     // per-file data sequence numbers ride a broadcast (#files rows);
     // __ib_pt is the file's (spec id, partition tuple) key, the
     // equality-delete scoping handle — Iceberg planners group delete

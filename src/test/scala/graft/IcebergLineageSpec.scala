@@ -151,6 +151,24 @@ class IcebergLineageSpec extends SparkSpec {
     assert((0 until 24).forall(k => m2(k) == before(k)))
   }
 
+  test("metadata-only upgrade derives ids by pure INHERITANCE " +
+      "(null windows, snapshot first-row-id, record_count offsets)") {
+    val t = tmp("lin_upgrade_meta")
+    W.create(df(0 until 12), t) // v2, no deletes
+    W.append(df(12 until 20), t)
+    W.upgradeToV3(spark, t) // metadata-only flip: windows stay null
+    val m = lineage(t)
+    assert(m.keySet == (0 until 20).toSet)
+    assert(m.values.map(_._1).toSeq.sorted == (0L until 20L).toSeq)
+    // the first commit's rows occupy the FIRST window (list order)
+    assert((0 until 12).map(k => m(k)._1).max < 12L)
+    // and a post-upgrade append derives from the fenced next-row-id
+    W.append(df(20 until 23), t)
+    val m2 = lineage(t)
+    assert((0 until 20).forall(k => m2(k) == m(k)))
+    assert((20 until 23).map(k => m2(k)._1).min >= 20L)
+  }
+
   test("lineage read on a v2 table fails loudly") {
     val t = tmp("lin_v2")
     W.create(df(0 until 5), t) // v2

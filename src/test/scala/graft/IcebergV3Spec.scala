@@ -162,9 +162,37 @@ class IcebergV3Spec extends SparkSpec {
     assert(DeletionVectors.decode(vector) == positions)
   }
 
-  test("v3 initial-default schema defaults are rejected, not nulled") {
+  test("v3 initial-default: files lacking the column serve the " +
+      "default, files carrying it serve stored values") {
+    // fileA predates the add-column (only `id`); fileB carries `v`,
+    // including a genuine NULL that must NOT be replaced by the default
     val root = tmpRoot("graft_v3_default")
-    val fileA = writeDataFile(Seq((1, "x")).toDF("id", "v").coalesce(1),
+    val fileA = writeDataFile(Seq(1, 2).toDF("id").coalesce(1),
+      root, "a.parquet")
+    val fileB = writeDataFile(
+      Seq((3, "real"), (4, null)).toDF("id", "v").coalesce(1),
+      root, "b.parquet")
+    val md = root.resolve("metadata")
+    val mA = manifest(md.resolve("m1.avro"), entrySchemaV3,
+      Seq((1, 0, fileA, None)))
+    val mB = manifest(md.resolve("m2.avro"), entrySchemaV3,
+      Seq((1, 0, fileB, None)))
+    val l = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((mA, 0, 1L), (mB, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string",
+        |"initial-default":"backfilled"}]}""".stripMargin)
+    val got = IcebergReader.read(spark, root.toString)
+      .select("id", "v").as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "backfilled"), (2, "backfilled"),
+      (3, "real"), (4, null)))
+  }
+
+  test("v3 NESTED initial-default stays rejected, not nulled") {
+    val root = tmpRoot("graft_v3_default_nested")
+    val fileA = writeDataFile(Seq(1).toDF("id").coalesce(1),
       root, "a.parquet")
     val md = root.resolve("metadata")
     val m = manifest(md.resolve("m1.avro"), entrySchemaV3,
@@ -174,8 +202,9 @@ class IcebergV3Spec extends SparkSpec {
     writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
       """{"type":"struct","schema-id":0,"fields":[
         |{"id":1,"name":"id","required":false,"type":"int"},
-        |{"id":2,"name":"v","required":false,"type":"string",
-        |"initial-default":"backfilled"}]}""".stripMargin)
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"inner","required":false,
+        |"type":"string","initial-default":"x"}]}}]}""".stripMargin)
     val e = intercept[Exception] {
       IcebergReader.read(spark, root.toString).count()
     }
