@@ -1048,24 +1048,29 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
     "q_maintain_iceberg" -> ((s, dir) => {
-      // the same sweep on an iceberg table (manifests merged, history
-      // expired to the last snapshot, orphans reclaimed) — reads after
-      // the sweep must be bit-identical to before
+      // the same sweep on a FORMAT-V3 iceberg table: the ~33%-coverage
+      // deletion vector trips the delete-debt materialization pass
+      // (row lineage preserved via materialized columns), then manifests
+      // merge, history expires, orphans reclaim — reads after the sweep
+      // must be bit-identical to before
       val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_maintain_ice_gate_v1_${math.abs(dir.hashCode)}")
+        s"graft_maintain_ice_gate_v2_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
         gateFixture(root) {
           val cust = Tables.load(s, dir, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           val W = graft.output.IcebergWriter
           W.create(cust.filter(col("c_mktsegment") === "BUILDING"),
-            root.toString)
+            root.toString, formatVersion = 3)
           W.append(cust.filter(col("c_mktsegment") === "MACHINERY"),
             root.toString)
           W.deleteWhere(s, root.toString, col("c_custkey") % 3 === 0)
           Thread.sleep(10)
-          graft.operators.Maintenance.maintain(s, root.toString,
-            keepSnapshots = 1, horizonMs = 0L).collect()
+          val report = graft.operators.Maintenance.maintain(s,
+              root.toString, keepSnapshots = 1, horizonMs = 0L)
+            .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+          require(report("rewriteDeleteDebt") > 0,
+            s"v3 delete-debt sweep rewrote nothing: $report")
         }
       }
       graft.sources.IcebergReader.read(s, root.toString)

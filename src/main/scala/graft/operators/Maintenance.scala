@@ -22,6 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `keepSnapshots`, tags/branches always pinned), then
   *    [[graft.output.IcebergWriter.removeOrphanFiles]] (files no surviving
   *    snapshot references, past the horizon).
+  *  - Iceberg FORMAT V3 additionally runs the delete-debt data sweep
+  *    FIRST: [[graft.output.IcebergWriter.rewritePositionDeletes]] folds
+  *    any pre-upgrade parquet position deletes into deletion vectors,
+  *    and [[graft.output.IcebergWriter.rewriteDataFiles]] in
+  *    delete-debt-only mode rewrites files whose DV covers >=
+  *    `dvMaterializeRatio` of their rows (row lineage preserved via
+  *    materialized `_row_id` columns) — without it a delete-heavy v3
+  *    table pays its DV anti-join on every scan forever.
   *
   * Order matters and is deliberate: structure first (merge/checkpoint),
   * then history, then physical reclamation — each step only widens what
@@ -40,7 +48,8 @@ object Maintenance {
   def maintain(spark: SparkSession, path: String,
       keepSnapshots: Int = 2,
       horizonMs: Long = 24L * 60 * 60 * 1000,
-      vacuumRetainVersions: Option[Int] = None): DataFrame = {
+      vacuumRetainVersions: Option[Int] = None,
+      dvMaterializeRatio: Double = 0.3): DataFrame = {
     import spark.implicits._
     val rows: Seq[OpReport] =
       if (graft.sources.DeltaLogReader.isDeltaTable(path)) {
@@ -54,7 +63,22 @@ object Maintenance {
             W.vacuum(spark, path, r).toLong))
       } else if (graft.sources.IcebergReader.isIcebergTable(path)) {
         val W = graft.output.IcebergWriter
-        Seq(
+        val formatVersion = try {
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(
+              graft.sources.IcebergReader.currentMetadataFile(path)))
+            .get("format-version").asInt()
+        } catch { case scala.util.control.NonFatal(_) => 2 }
+        // v3 data sweep FIRST (deletes materialize away before the
+        // metadata passes merge/expire the resulting state)
+        (if (formatVersion >= 3) Seq(
+          OpReport("iceberg", "rewritePositionDeletes",
+            W.rewritePositionDeletes(spark, path).toLong),
+          OpReport("iceberg", "rewriteDeleteDebt",
+            W.rewriteDataFiles(spark, path,
+              maxDeleteRatio = dvMaterializeRatio,
+              deleteDebtOnly = true).toLong))
+        else Nil) ++ Seq(
           OpReport("iceberg", "rewriteManifests",
             W.rewriteManifests(path).toLong),
           OpReport("iceberg", "expireSnapshots",

@@ -2395,9 +2395,14 @@ object IcebergWriter {
     * it is not small — the DV-materialization half of v3 compaction
     * (every scan otherwise pays the DV anti-join on that file forever).
     */
+  /** `deleteDebtOnly`: select ONLY delete-debt files (DV coverage >=
+    * `maxDeleteRatio`), never merely-small ones — the maintenance
+    * sweep's DV-materialization pass, cheap no-op on healthy tables.
+    */
   def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024,
-      maxDeleteRatio: Double = 0.3): Int = {
+      maxDeleteRatio: Double = 0.3,
+      deleteDebtOnly: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val st = loadState(path)
     def norm(p: String): String = graft.sources.IcebergReader.normPath(p)
@@ -2421,9 +2426,9 @@ object IcebergWriter {
           f -> ds.map(d => math.max(d.recordCount, 0L)).sum }
     val small = dataEntries.filter { e =>
       val p = norm(e.localPath)
-      Files.size(Paths.get(p)) < targetBytes ||
-        (e.recordCount > 0 && dvCardOf.getOrElse(p, 0L) >=
-          maxDeleteRatio * e.recordCount)
+      val debt = e.recordCount > 0 && dvCardOf.getOrElse(p, 0L) >=
+        maxDeleteRatio * e.recordCount
+      debt || (!deleteDebtOnly && Files.size(Paths.get(p)) < targetBytes)
     }
     if (small.size < 2 && !small.exists(e =>
         dvCardOf.contains(norm(e.localPath)))) return 0
