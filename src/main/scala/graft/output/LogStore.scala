@@ -48,6 +48,52 @@ object LocalLogStore extends LogStore {
   }
 }
 
+/** Conditional-put adapter for object stores speaking the HTTP
+  * `If-None-Match: *` create-if-absent contract — Azure Blob `Put Blob`
+  * and S3 `PutObject` verbatim; GCS spells the same contract
+  * `ifGenerationMatch=0`. The REMOTE conditional put is the commit
+  * mutex: HTTP 2xx = this writer won; 412 Precondition Failed (or 409
+  * Conflict, Azure's spelling while a competing create is in flight)
+  * maps to [[java.nio.file.FileAlreadyExistsException]], the retryable
+  * conflict both table writers already translate. On a win the file is
+  * ALSO materialized locally so same-process readers and the staging
+  * layout keep working — a fully remote deployment replaces that local
+  * half with the store's own read path. Blob name = the URL-encoded
+  * destination path under `baseUri` (a deployment maps table roots to
+  * container prefixes here).
+  */
+final class HttpLogStore(baseUri: java.net.URI,
+    client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newHttpClient()) extends LogStore {
+  override def putIfAbsent(dest: Path, content: String): Unit = {
+    val blob = java.net.URLEncoder.encode(dest.toString, "UTF-8")
+    val uri = java.net.URI.create(
+      s"${baseUri.toString.stripSuffix("/")}/$blob")
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .header("If-None-Match", "*")
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(content,
+        java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.discarding())
+    resp.statusCode() match {
+      case c if c / 100 == 2 =>
+        // remote arbitration decided: the winner's local materialization
+        // may REPLACE stale local state (no second mutex needed)
+        val tmp = dest.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(tmp, content)
+        try Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally Files.deleteIfExists(tmp)
+      case 412 | 409 =>
+        throw new java.nio.file.FileAlreadyExistsException(dest.toString)
+      case other => throw new java.io.IOException(
+        s"conditional put of $uri failed: HTTP $other")
+    }
+  }
+}
+
 object LogStore {
   @volatile private var active: LogStore = LocalLogStore
 

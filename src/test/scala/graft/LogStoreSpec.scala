@@ -155,6 +155,114 @@ class LogStoreSpec extends SparkSpec {
     } finally LogStore.set(LocalLogStore)
   }
 
+  /** In-process object-store double speaking the `If-None-Match: *`
+    * conditional-put contract (atomic via ConcurrentHashMap.putIfAbsent,
+    * so the contention scenarios are real): PUT → 201 created / 412
+    * precondition failed / 400 unconditional; GET serves the blob.
+    */
+  private def withConditionalPutServer(
+      f: (java.net.URI, () => Int) => Unit): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val blobs = new java.util.concurrent.ConcurrentHashMap[String,
+      Array[Byte]]()
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        try {
+          val key = x.getRequestURI.getPath
+          x.getRequestMethod match {
+            case "PUT" =>
+              val body = x.getRequestBody.readAllBytes()
+              if (!Option(x.getRequestHeaders.getFirst("If-None-Match"))
+                  .contains("*"))
+                x.sendResponseHeaders(400, -1)
+              else if (blobs.putIfAbsent(key, body) == null)
+                x.sendResponseHeaders(201, -1)
+              else x.sendResponseHeaders(412, -1)
+            case "GET" => Option(blobs.get(key)) match {
+              case Some(b) =>
+                x.sendResponseHeaders(200, b.length.toLong)
+                x.getResponseBody.write(b)
+              case None => x.sendResponseHeaders(404, -1)
+            }
+            case _ => x.sendResponseHeaders(405, -1)
+          }
+        } finally x.close()
+      }
+    })
+    server.start()
+    try f(java.net.URI.create(
+      s"http://127.0.0.1:${server.getAddress.getPort}"), () => blobs.size())
+    finally server.stop(0)
+  }
+
+  test("HttpLogStore: the remote conditional put arbitrates a race — " +
+      "one winner, loser sees FileAlreadyExists, one blob") {
+    withConditionalPutServer { (uri, blobCount) =>
+      val store = new graft.output.HttpLogStore(uri)
+      val dir = Files.createTempDirectory("graft_ls_http")
+      val dest = dir.resolve("00000000000000000001.json")
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      try {
+        val results = (1 to 2).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+            override def call(): Option[Throwable] = {
+              start.await()
+              try { store.putIfAbsent(dest, s"writer-$i"); None }
+              catch { case t: Throwable => Some(t) }
+            }
+          })
+        }
+        start.countDown()
+        val failures = results.map(_.get(30, TimeUnit.SECONDS)).flatten
+        assert(failures.size == 1, s"expected exactly one loser: $failures")
+        assert(failures.head
+          .isInstanceOf[java.nio.file.FileAlreadyExistsException])
+        assert(blobCount() == 1)
+        // local materialization matches the REMOTE winner
+        val content = Files.readString(dest)
+        assert(content == "writer-1" || content == "writer-2")
+      } finally pool.shutdownNow()
+    }
+  }
+
+  test("delta through HttpLogStore: concurrent appends both land, " +
+      "every commit remote-arbitrated") {
+    withConditionalPutServer { (uri, blobCount) =>
+      LogStore.set(new graft.output.HttpLogStore(uri))
+      try {
+        val path = tmp("http_delta")
+        DeltaWriter.create(Seq((0L, "base")).toDF("id", "v"), path)
+        val start = new CountDownLatch(1)
+        val pool = Executors.newFixedThreadPool(2)
+        try {
+          val results = (1 to 2).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+              override def call(): Option[Throwable] = {
+                start.await()
+                try {
+                  DeltaWriter.append(
+                    Seq((i.toLong, s"writer$i")).toDF("id", "v"), path)
+                  None
+                } catch { case t: Throwable => Some(t) }
+              }
+            })
+          }
+          start.countDown()
+          val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+          assert(outcomes.flatten.isEmpty, s"appends failed: ${outcomes.flatten}")
+          assert(DeltaLogReader.read(spark, path)
+            .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+          // one blob per committed version (0, 1, 2): the losing retry's
+          // 412 never created one
+          assert(blobCount() == 3, s"expected 3 blobs, got ${blobCount()}")
+        } finally pool.shutdownNow()
+      } finally LogStore.set(LocalLogStore)
+    }
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters
       .IteratorHasAsScala(it).asScala
