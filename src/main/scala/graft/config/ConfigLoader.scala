@@ -80,7 +80,8 @@ object ConfigLoader {
 
   private def parseSearch(m: Map[String, Any]): SearchConfig =
     SearchConfig(str(m.getOrElse("name", "search")), seqOf(m("columns")).map(str),
-      method = str(m.getOrElse("method", "like")))
+      method = str(m.getOrElse("method", "like")),
+      indexDir = m.get("index_dir").map(str))
 
   private def parseNearby(m: Map[String, Any]): NearbyConfig =
     NearbyConfig(str(m.getOrElse("name", "nearby")), str(m("lat_col")), str(m("lon_col")))

