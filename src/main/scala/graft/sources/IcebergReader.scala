@@ -1439,11 +1439,20 @@ object IcebergReader {
           StructField("__ib_file", org.apache.spark.sql.types.StringType)
             +: defaulted.indices.map(i =>
               StructField(s"__ib_has_$i", BooleanType)))
+        // presence probe, cheapest first: a manifest stats entry for the
+        // column's field id proves the file carries it (writers record
+        // stats only for physically-present columns) with no I/O; only
+        // stats-less entries pay the cached footer open
+        val defaultedFids: IndexedSeq[Option[Int]] = {
+          val nameToId = snap.fieldNames.map(_.swap)
+          defaulted.map { case (fld, _) => nameToId.get(fld.name) }
+        }
         val rows: java.util.List[org.apache.spark.sql.Row] =
           dataFiles.map { f =>
             org.apache.spark.sql.Row.fromSeq(normPath(f.path) +:
-              defaulted.map { case (fld, _) =>
-                footerTopColumns(f.path).contains(fld.name) })
+              defaulted.zip(defaultedFids).map { case ((fld, _), fid) =>
+                fid.exists(id => f.valueCounts.contains(id)) ||
+                  footerTopColumns(f.path).contains(fld.name) })
           }.asJava
         val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
         defaulted.zipWithIndex.foldLeft(

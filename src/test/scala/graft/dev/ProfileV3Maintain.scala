@@ -1,0 +1,81 @@
+package graft.dev
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** v3 delete-debt lifetime profile: sustained `deleteWhere` rounds on a
+  * format-v3 table WITH vs WITHOUT the maintenance sweep
+  * ([[graft.operators.Maintenance.maintain]]'s rewritePositionDeletes +
+  * delete-debt rewriteDataFiles). The claim under test: with the sweep,
+  * read-back cost stays FLAT in the number of delete rounds (DVs are
+  * materialized away once they cover >= 30% of a file), while without it
+  * every scan pays the accumulated DV anti-join forever. Row lineage is
+  * asserted stable across every sweep. Usage:
+  * `Test/runMain graft.dev.ProfileV3Maintain [rows] [rounds]`.
+  */
+object ProfileV3Maintain {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toInt else 2000000
+    val rounds = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedMs[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+
+    def freshTable(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_prof_v3m_$tag").resolve("t").toString
+      val df = spark.range(rows).select(col("id"),
+        (col("id") % 1000).as("k")).repartition(8)
+      IcebergWriter.create(df, root, formatVersion = 3)
+      root
+    }
+
+    Seq(("maintain", true), ("no-maintain", false)).foreach {
+      case (tag, sweep) =>
+        println(s"== v3 $tag: $rows rows, $rounds delete rounds ==")
+        val t = freshTable(tag)
+        val lineageBefore = IcebergReader
+          .read(spark, t, withLineage = true)
+          .filter(col("id") % 1000 === 7)
+          .select(col("id"), col("_row_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (1 to rounds).foreach { i =>
+          // each round deletes a fresh ~6% slice (mod residue i of 17)
+          val (_, delMs) = timedMs(
+            IcebergWriter.deleteWhere(spark, t, col("id") % 17 === i))
+          val maintMs =
+            if (!sweep) 0.0
+            else timedMs(graft.operators.Maintenance.maintain(spark, t,
+              keepSnapshots = 2, horizonMs = 0L).collect())._2
+          val (n, readMs) = timedMs(IcebergReader.read(spark, t).count())
+          println(f"  round $i%2d: delete $delMs%8.1f ms  " +
+            f"maintain $maintMs%8.1f ms  read-back $readMs%8.1f ms  " +
+            f"($n%9d rows)")
+        }
+        if (sweep) {
+          val lineageAfter = IcebergReader
+            .read(spark, t, withLineage = true)
+            .filter(col("id") % 1000 === 7)
+            .select(col("id"), col("_row_id"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val stable = lineageAfter.forall { case (id, rid) =>
+            lineageBefore.get(id).contains(rid) }
+          println(s"  row-lineage stable across sweeps: $stable " +
+            s"(${lineageAfter.size} surviving sampled rows)")
+          require(stable, "row ids changed across maintenance sweeps")
+        }
+    }
+    spark.stop()
+  }
+}
