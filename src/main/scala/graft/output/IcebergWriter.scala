@@ -342,7 +342,7 @@ object IcebergWriter {
             manifestsOf(md, root, baseId), seq)
         else (Seq.empty[ManifestRef], Seq.empty[String])
       val (refs, lineage) = lineageAssign(md, root, location,
-        carriedRefs :+ newRef)
+        carriedRefs :+ newRef, baseSnapshotId = baseId)
       val list = writeManifestList(root, seq, refs)
 
       // timestamps strictly increase so timestamp travel stays well-ordered
@@ -3421,17 +3421,23 @@ object IcebergWriter {
     * untouched on v2 tables.
     */
   private def lineageAssign(md: JsonNode, root: Path, location: String,
-      refs: Seq[ManifestRef]): (Seq[ManifestRef], Option[(Long, Long)]) = {
+      refs: Seq[ManifestRef],
+      baseSnapshotId: Option[Long] = None)
+      : (Seq[ManifestRef], Option[(Long, Long)]) = {
     if (Option(md.get("format-version")).forall(_.asInt() < 3))
       return (refs, None)
     val start = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
     var newCounter = start
-    // the read-time inheritance start: the CURRENT (pre-commit)
-    // snapshot's first-row-id — what every null-window manifest's rows
-    // have been serving as ids until now
+    // the read-time inheritance start: the BASE (pre-commit) snapshot's
+    // first-row-id — what every null-window manifest's rows have been
+    // serving as ids until now. `baseSnapshotId` overrides for branch
+    // commits (the carried manifests come from the branch head, not
+    // main's current snapshot).
     var inheritCounter: Long =
-      Option(md.get("current-snapshot-id")).map(_.asLong())
-        .filter(_ != -1L).flatMap { id =>
+      baseSnapshotId.orElse(
+          Option(md.get("current-snapshot-id")).map(_.asLong())
+            .filter(_ != -1L))
+        .flatMap { id =>
           Option(md.get("snapshots")).toSeq
             .flatMap(_.elements().asScala)
             .find(_.get("snapshot-id").asLong() == id)

@@ -9,8 +9,9 @@ import scala.jdk.CollectionConverters._
 /** Iceberg v3 WRITE plane: create(formatVersion=3), deletion-vector
   * deletes (one DV per data file, merge-on-second-delete, superseded-DV
   * manifest rewrite), upgradeToV3 folding parquet position deletes into
-  * DVs, row-lineage metadata accounting, v3 maintenance, and the
-  * documented v3 rejections for data-rewrite ops.
+  * DVs, row-lineage metadata accounting, and v3 maintenance including
+  * the r18 delete-debt sweep (data rewrites run on v3 with lineage
+  * preserved — per-op id stability is pinned by IcebergLineageSpec).
   */
 class IcebergV3WriterSpec extends SparkSpec {
   import spark.implicits._
@@ -124,11 +125,17 @@ class IcebergV3WriterSpec extends SparkSpec {
     val md = mapper.readTree(Files.readString(
       IcebergReader.currentMetadataFile(path)))
     assert(md.get("format-version").asInt() == 3)
-    assert(md.get("next-row-id").asLong() == 0)
+    // next-row-id FENCES the id space existing rows occupy (r18: the
+    // read-time inheritance rule assigns them [0, liveRows) from the
+    // back-filled snapshot first-row-id)
+    assert(md.get("next-row-id").asLong() == 1)
+    assert(md.get("snapshots").elements().asScala.forall(s =>
+      s.get("first-row-id") != null))
     assert(ids(path) == Seq(1))
   }
 
-  test("v3 maintenance: manifest merge carries DV coordinates; sweep keeps DVs") {
+  test("v3 maintenance: manifest merge carries DV coordinates; the " +
+      "delete-debt sweep materializes heavy DVs away") {
     val path = tmp("maint")
     IcebergWriter.create((0 until 10).map(i => (i, "a")).toDF("id", "v")
       .coalesce(1), path, formatVersion = 3)
@@ -138,11 +145,19 @@ class IcebergV3WriterSpec extends SparkSpec {
     val before = ids(path)
     IcebergWriter.rewriteManifests(path, targetBytes = 64L * 1024 * 1024)
     assert(ids(path) == before, "manifest merge must carry DV fields")
+    assert(dvEntries(path).nonEmpty)
     Thread.sleep(10)
+    // r18: the sweep's delete-debt pass rewrites files whose DV covers
+    // >= 30% of rows — here BOTH dv'd files (3/10 and 1/1), so the DVs
+    // are materialized away and the data is bit-identical
     graft.operators.Maintenance.maintain(spark, path,
       keepSnapshots = 1, horizonMs = 0L).collect()
     assert(ids(path) == before)
-    assert(dvEntries(path).nonEmpty)
+    assert(dvEntries(path).isEmpty,
+      "delete-debt sweep must materialize >=30%-coverage DVs away")
+    // and a fresh delete on the swept table still works
+    IcebergWriter.deleteWhere(spark, path, col("id") === 1)
+    assert(ids(path) == before.filterNot(_ == 1))
   }
 
   test("upsert works on v3 (equality deletes are v3-legal)") {
@@ -167,24 +182,23 @@ class IcebergV3WriterSpec extends SparkSpec {
       .select("id").as[Int].collect().sorted.toSeq == (0 until 6))
   }
 
-  test("data-rewrite ops fail closed on v3 with a clear error") {
+  test("data-rewrite ops RUN on v3 (r18: lineage-preserving rewrites " +
+      "lifted the fail-closed guards)") {
     val path = tmp("guards")
-    IcebergWriter.create(Seq((1, "a")).toDF("id", "v"), path,
-      formatVersion = 3)
-    Seq[(String, () => Any)](
-      ("rewriteDataFiles",
-        () => IcebergWriter.rewriteDataFiles(spark, path)),
-      ("rewriteZOrder",
-        () => IcebergWriter.rewriteZOrder(spark, path, "id", "id")),
-      ("rewriteEqualityDeletes",
-        () => IcebergWriter.rewriteEqualityDeletes(spark, path)),
-      ("rewritePositionDeletes",
-        () => IcebergWriter.rewritePositionDeletes(spark, path))
-    ).foreach { case (name, op) =>
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains(name) &&
-        e.getMessage.contains("format-v3"), s"$name: ${e.getMessage}")
-    }
+    IcebergWriter.create((0 until 8).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, formatVersion = 3)
+    // no-ops on a healthy table return 0 instead of throwing
+    assert(IcebergWriter.rewriteEqualityDeletes(spark, path) == 0)
+    assert(IcebergWriter.rewritePositionDeletes(spark, path) == 0)
+    // z-order rewrites every file; compaction then folds the z files —
+    // data identical throughout (id preservation is pinned per-op by
+    // IcebergLineageSpec)
+    val before = ids(path)
+    assert(IcebergWriter.rewriteZOrder(spark, path, "id", "id") > 0)
+    assert(ids(path) == before)
+    IcebergWriter.deleteWhere(spark, path, col("id") === 3)
+    assert(IcebergWriter.rewriteDataFiles(spark, path) > 0)
+    assert(ids(path) == before.filterNot(_ == 3))
   }
 
   test("a v3 DV table round-trips through the reader's DuckDB-shaped plan") {
