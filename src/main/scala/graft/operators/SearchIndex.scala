@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** BM25 full-text search as a batch-computed index (SURVEY.md §2.9).
   *
@@ -169,23 +170,68 @@ object SearchIndex {
   }
 
   /** Load-or-rebuild a persisted index keyed on the SOURCE fingerprint
-    * (the reference's mtime-keyed FTS rebuild, df_duckdb.py:341-353): a
-    * `_fingerprint` marker records what the index was built from; a
-    * mismatch (or absence) rebuilds from `corpus` and rewrites the
-    * marker LAST, so a crash mid-build leaves a stale-marked index that
-    * simply rebuilds again.
+    * (the reference's mtime-keyed FTS rebuild, df_duckdb.py:341-353).
+    * Rebuilds are GENERATIONAL so concurrent readers never see a
+    * half-written index: each build lands in a fresh `idx-<uuid>`
+    * directory and the `_fingerprint` marker (`<fingerprint>|<dir>`) is
+    * swapped in with an atomic rename LAST — a crash mid-build leaves a
+    * stale marker that simply rebuilds again; a racing reader keeps
+    * loading the previous complete generation. One build at a time per
+    * process (JVM lock); superseded generations older than the previous
+    * one are reclaimed best-effort after the swap.
     */
+  private val buildLock = new Object
   def ensureIndex(spark: SparkSession, indexDir: String,
       fingerprint: String, corpus: => DataFrame, idCol: String,
       textCols: Seq[String]): Bm25Index = {
-    val marker = java.nio.file.Paths.get(indexDir, "_fingerprint")
-    val fresh = java.nio.file.Files.isRegularFile(marker) &&
-      java.nio.file.Files.readString(marker).trim == fingerprint
-    if (!fresh) {
-      save(build(corpus, idCol, textCols), indexDir)
-      java.nio.file.Files.writeString(marker, fingerprint)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(indexDir)
+    Files.createDirectories(root)
+    val marker = root.resolve("_fingerprint")
+    def currentGen(): Option[java.nio.file.Path] =
+      if (!Files.isRegularFile(marker)) None
+      else Files.readString(marker).trim.split("\\|", 2) match {
+        case Array(fp, dir) if fp == fingerprint =>
+          Some(root.resolve(dir)).filter(Files.isDirectory(_))
+        case _ => None
+      }
+    currentGen() match {
+      case Some(dir) => load(spark, dir.toString)
+      case None => buildLock.synchronized {
+        // re-check under the lock: a concurrent request may have built
+        currentGen() match {
+          case Some(dir) => load(spark, dir.toString)
+          case None =>
+            val gen = s"idx-${java.util.UUID.randomUUID()}"
+            save(build(corpus, idCol, textCols),
+              root.resolve(gen).toString)
+            val prevGen = Option(marker)
+              .filter(Files.isRegularFile(_))
+              .map(m => Files.readString(m).trim.split("\\|", 2))
+              .collect { case Array(_, dir) => dir }
+            val tmp = root.resolve(s".marker-${java.util.UUID.randomUUID()}")
+            Files.writeString(tmp, s"$fingerprint|$gen")
+            Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            // reclaim generations BEHIND the previous one (the previous
+            // stays for in-flight readers of the old marker)
+            try {
+              val s = Files.list(root)
+              try s.iterator().asScala
+                .filter(p => p.getFileName.toString.startsWith("idx-") &&
+                  p.getFileName.toString != gen &&
+                  !prevGen.contains(p.getFileName.toString))
+                .foreach { p =>
+                  Files.walk(p)
+                    .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                    .forEach(f => Files.deleteIfExists(f))
+                }
+              finally s.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
+            load(spark, root.resolve(gen).toString)
+        }
+      }
     }
-    load(spark, indexDir)
   }
 
   /** Per-row BM25 score as a pure Column: corpus stats are inlined as

@@ -153,6 +153,14 @@ object FormatConvert {
     require(st.entries.forall(_.equalityIds.isEmpty),
       "icebergToDelta cannot represent equality deletes in delta — " +
         "rewrite them away first (rewriteEqualityDeletes)")
+    // zero-copy registration serves the parquet bytes as-is: a v3
+    // initial-default column missing from old files would read NULL on
+    // the delta side — fail closed; compaction (rewriteDataFiles)
+    // materializes defaults into the files and unlocks the conversion
+    require(graft.sources.IcebergReader.columnDefaults(st.md).isEmpty,
+      "icebergToDelta cannot represent v3 initial-default columns in " +
+        "delta (old files would serve null) — compact the table first " +
+        "(rewriteDataFiles materializes the defaults)")
     val root = Paths.get(deltaPath).toAbsolutePath.normalize
     // ANY existing log state rejects — probing only for the version-0
     // JSON would let a table whose early commits were cleaned up past a

@@ -319,7 +319,8 @@ object IcebergWriter {
       // require above pins it equal across the race
       val newRef = ManifestRef(manifest, 0, seq,
         specId = defaultSpecId(md0),
-        liveRowCount = Some(files.map(_.records).sum))
+        liveRowCount = Some(files.map(_.records).sum),
+        freshlyWritten = true)
       // the BASE snapshot this commit builds on: a branch commit carries
       // forward the BRANCH head's manifests and leaves main untouched
       val baseId: Option[Long] = branch match {
@@ -825,7 +826,8 @@ object IcebergWriter {
       schemaJson = currentSchemaJson(st.md))
     val (upsertRefs, lineage) = lineageAssign(st.md, st.root, st.location,
       st.refs :+ ManifestRef(dataManifest, 0, seq, specId = dsid,
-        liveRowCount = Some(dataFiles.map(_.records).sum))
+        liveRowCount = Some(dataFiles.map(_.records).sum),
+        freshlyWritten = true)
         :+ ManifestRef(eqManifest, 1, seq, specId = eqSpecId))
     val list = writeManifestList(st.root, seq, upsertRefs)
     commitNewSnapshot(st, seq, list, "overwrite",
@@ -945,11 +947,23 @@ object IcebergWriter {
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
-    val refs = currentManifests(md, root)
+    val refs0 = currentManifests(md, root)
+    // ONE Avro read per manifest: the same live records feed the window
+    // walk, the legacy liveRowCount enrichment, and the entry decode —
+    // the naive layering read each legacy manifest two or three times
+    val rawByRef: Seq[(ManifestRef, Seq[GenericRecord])] =
+      refs0.map(r => r -> readAvro(remapLocal(r.path, location, root))
+        .filter(e => intOf(e, "status", 0) != 2))
+    // legacy data refs carry their live row count forward so a later
+    // commit's lineageAssign never re-reads the manifest for it
+    val refs = rawByRef.map { case (r, recs) =>
+      if (formatVersion >= 3 && r.content == 0 && r.firstRowId.isEmpty)
+        r.copy(liveRowCount = liveDataRowCountOf(recs, r.content))
+      else r
+    }
     // v3 row lineage: each DATA manifest's inheritance-window start —
-    // explicit list value (field 520) when written, else derived in list
-    // order from the current snapshot's first-row-id (the spec's
-    // read-time inheritance rule). None per manifest when underivable.
+    // explicit list value (field 520) when written, else derived by THE
+    // shared window-walk rule. None per manifest when underivable.
     val windowStart: Map[String, Option[Long]] =
       if (formatVersion < 3) Map.empty
       else {
@@ -960,27 +974,18 @@ object IcebergWriter {
               .find(_.get("snapshot-id").asLong() == id)
               .flatMap(s => Option(s.get("first-row-id")).map(_.asLong()))
           }
-        var counter = snapFirst
-        refs.map { r =>
-          if (r.content != 0) r.path -> None
-          else r.firstRowId match {
-            case some @ Some(_) => r.path -> some
-            case None =>
-              val start = counter
-              counter = counter
-                .map(_ + manifestLiveRowCount(root, location, r))
-              r.path -> start
-          }
-        }.toMap
+        graft.sources.IcebergReader.assignInheritedWindows(snapFirst,
+          refs.filter(_.content == 0)
+            .map(r => (r.path, r.firstRowId, r.liveRowCount)))
       }
-    val entries = refs.flatMap { ref =>
+    val entries = refs.zip(rawByRef.map(_._2)).flatMap { case (ref, recs) =>
       // within-manifest inheritance offset: running record_count over
       // live data entries in entry order (the same walk
-      // [[manifestLiveRowCount]] sums); a data entry without a readable
+      // [[liveDataRowCountOf]] sums); a data entry without a readable
       // record_count poisons the offsets BEHIND it, never before
       var rowOffset = 0L
       var offsetValid = true
-      readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
+      recs.flatMap { e =>
         if (intOf(e, "status", 0) == 2) None
         else {
           val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -1129,7 +1134,7 @@ object IcebergWriter {
         raise_error(concat(
           lit("iceberg rewrite: data file missing from manifest path map "
             + "(path normalization drift): "), col("__f")))))
-    val base =
+    val base1 =
       if (!withLineage) base0.drop("__frow")
       else base0
         // materialized value wins (null materialized = row added by an
@@ -1141,6 +1146,44 @@ object IcebergWriter {
         .withColumn("_last_updated_sequence_number",
           coalesce(col("_last_updated_sequence_number"), col("__seq")))
         .drop("__frow")
+    // v3 initial-defaults apply HERE too, exactly like the scan (the
+    // reader's rule: files lacking the column serve the default, files
+    // carrying it serve stored values): deleteWhere predicates must
+    // match logical values, and a rewrite MATERIALIZES this frame into
+    // new files — substituting here bakes the default in, whereas a raw
+    // read would bake in NULL and destroy the default permanently
+    // keyed on the defaults' PRESENCE, not the format version — the
+    // reader applies them whenever declared, and the two sides must
+    // agree on every row's logical value
+    val defaulted: Seq[(StructField, Any)] = {
+      val ds = graft.sources.IcebergReader.columnDefaults(st.md)
+      st.schema.fields.toSeq.flatMap(f => ds.get(f.name).map(v => (f, v)))
+    }
+    val base =
+      if (defaulted.isEmpty) base1
+      else {
+        import org.apache.spark.sql.functions.when
+        val presenceSchema = StructType(
+          StructField("__f", org.apache.spark.sql.types.StringType)
+            +: defaulted.indices.map(i =>
+              StructField(s"__has_$i", org.apache.spark.sql.types.BooleanType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          dataFiles.map { f =>
+            org.apache.spark.sql.Row.fromSeq(
+              graft.sources.IcebergReader.normPath(f.localPath) +:
+                defaulted.map { case (fld, _) =>
+                  graft.sources.IcebergReader
+                    .footerTopColumns(f.localPath).contains(fld.name) })
+          }.asJava
+        val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
+        defaulted.zipWithIndex.foldLeft(
+            base1.join(pres, Seq("__f"), "left")) {
+          case (acc, ((fld, v), i)) =>
+            acc.withColumn(fld.name,
+              when(col(s"__has_$i"), col(s"`${fld.name}`"))
+                .otherwise(lit(v).cast(fld.dataType)))
+        }.drop(defaulted.indices.map(i => s"__has_$i"): _*)
+      }
     // same one-relation-per-kind plan shapes as [[graft.sources
     // .IcebergReader.read]], via ITS shared deleteSeqJoined: every
     // position delete file in ONE relation (seq joined from a broadcast
@@ -1511,9 +1554,13 @@ object IcebergWriter {
     * folded into per-file deletion vectors (v3 writers must not add
     * position-delete files, and a DV supersedes the file's prior
     * position deletes), position-delete manifests leave the snapshot,
-    * equality deletes stay (legal in v3), and the metadata gains
-    * `next-row-id` (0 — no rows carry lineage ids yet; assignment
-    * starts with the first v3 commit's window). Time travel to pre-
+    * equality deletes stay (legal in v3), and ROW LINEAGE is assigned to
+    * the existing rows: every retained snapshot back-fills
+    * `first-row-id` 0 (spec-required on v3 snapshots), live data
+    * manifests get explicit windows (or derive them by inheritance on
+    * the metadata-only path), and `next-row-id` fences the occupied id
+    * space at the live row count, so later commits never collide.
+    * Time travel to pre-
     * upgrade snapshots still replays their own manifests. Idempotent:
     * returns 0 on an already-v3 table; returns the number of
     * position-delete files folded otherwise.
@@ -2163,6 +2210,10 @@ object IcebergWriter {
       specId: Int = 0,
       firstRowId: Option[Long] = None,
       liveRowCount: Option[Long] = None,
+      // true = a manifest THIS commit wrote (its window allocates fresh
+      // id space from next-row-id); false = carried (a null window is a
+      // LEGACY manifest whose inherited window gets pinned instead)
+      freshlyWritten: Boolean = false,
       // field-507 summaries decoded VERBATIM from the prior manifest
       // list for carried entries — manifests are immutable, so a carried
       // entry's summary is identical to the one already written; reusing
@@ -2424,14 +2475,21 @@ object IcebergWriter {
         .groupBy(d => norm(d.referencedDataFile.get))
         .map { case (f, ds) =>
           f -> ds.map(d => math.max(d.recordCount, 0L)).sum }
+    // delete DEBT = DV coverage at/over the ratio threshold — the set
+    // that justifies a single-file rewrite (materializing the DV away);
+    // a file with a small DV below the threshold is NOT debt and must
+    // not trigger 1-to-1 rewrite churn on every delete+compact cycle
+    val debtPaths: Set[String] = dataEntries.filter { e =>
+      e.recordCount > 0 && dvCardOf.getOrElse(norm(e.localPath), 0L) >=
+        maxDeleteRatio * e.recordCount
+    }.map(e => norm(e.localPath)).toSet
     val small = dataEntries.filter { e =>
       val p = norm(e.localPath)
-      val debt = e.recordCount > 0 && dvCardOf.getOrElse(p, 0L) >=
-        maxDeleteRatio * e.recordCount
-      debt || (!deleteDebtOnly && Files.size(Paths.get(p)) < targetBytes)
+      debtPaths(p) ||
+        (!deleteDebtOnly && Files.size(Paths.get(p)) < targetBytes)
     }
     if (small.size < 2 && !small.exists(e =>
-        dvCardOf.contains(norm(e.localPath)))) return 0
+        debtPaths(norm(e.localPath)))) return 0
     val smallPaths = small.map(e => norm(e.localPath)).toSet
 
     val live0 = liveRows(spark, st, withLineage = v3)
@@ -2532,7 +2590,8 @@ object IcebergWriter {
       delRefs :+
         ManifestRef(dataManifest, 0, seq,
           if (minSeq != seq) Some(minSeq) else None, specId = dsid,
-          liveRowCount = Some((keptFiles ++ compacted).map(_.records).sum)))
+          liveRowCount = Some((keptFiles ++ compacted).map(_.records).sum),
+          freshlyWritten = true))
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     small.size
@@ -2602,7 +2661,8 @@ object IcebergWriter {
       schemaJson = currentSchemaJson(st.md))
     val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
       Seq(ManifestRef(manifest, 0, seq, specId = dsid,
-        liveRowCount = Some(newFiles.map(_.records).sum))))
+        liveRowCount = Some(newFiles.map(_.records).sum),
+        freshlyWritten = true)))
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     dataEntries.size
@@ -2840,7 +2900,8 @@ object IcebergWriter {
     val (refs, lineage) = lineageAssign(st.md, st.root, st.location,
       delRefs :+ ManifestRef(dataManifest, 0, seq,
         if (minSeq != seq) Some(minSeq) else None, specId = dsid,
-        liveRowCount = Some((kept ++ newFiles).map(_.records).sum)))
+        liveRowCount = Some((kept ++ newFiles).map(_.records).sum),
+        freshlyWritten = true))
     val list = writeManifestList(st.root, seq, refs)
     commitNewSnapshot(st, seq, list, "replace", lineage = lineage)
     eqFileCount
@@ -3433,7 +3494,7 @@ object IcebergWriter {
     // serving as ids until now. `baseSnapshotId` overrides for branch
     // commits (the carried manifests come from the branch head, not
     // main's current snapshot).
-    var inheritCounter: Long =
+    val baseFirst: Option[Long] =
       baseSnapshotId.orElse(
           Option(md.get("current-snapshot-id")).map(_.asLong())
             .filter(_ != -1L))
@@ -3442,40 +3503,70 @@ object IcebergWriter {
             .flatMap(_.elements().asScala)
             .find(_.get("snapshot-id").asLong() == id)
             .flatMap(s => Option(s.get("first-row-id")).map(_.asLong()))
-        }.getOrElse(0L)
+        }
+    // legacy carried manifests pin the window readers ALREADY derive —
+    // through the one shared window-walk rule ([[graft.sources
+    // .IcebergReader.assignInheritedWindows]]); a manifest whose row
+    // count is underivable POISONS later legacy windows to None (kept
+    // null — readers keep failing loudly there) rather than pinning a
+    // guessed, possibly-overlapping window.
+    lazy val legacyRows: Map[String, Option[Long]] =
+      refs.filter(r => r.content == 0 && !r.freshlyWritten &&
+          r.firstRowId.isEmpty)
+        .map(r => r.path -> r.liveRowCount.orElse(
+          manifestLiveRowCount(root, location, r))).toMap
+    lazy val inheritedWindows: Map[String, Option[Long]] =
+      graft.sources.IcebergReader.assignInheritedWindows(baseFirst,
+        refs.filter(r => r.content == 0 && !r.freshlyWritten).map(r =>
+          (r.path, r.firstRowId,
+            if (r.firstRowId.isDefined) r.liveRowCount
+            else legacyRows(r.path))))
+    var maxPinnedEnd = start
     val out = refs.map { r =>
       if (r.content != 0 || r.firstRowId.isDefined) r
-      else r.liveRowCount match {
-        case Some(rows) => // NEW manifest written by this commit
-          val assigned = r.copy(firstRowId = Some(newCounter))
-          newCounter += rows
-          assigned
-        case None => // legacy carried manifest: pin the inherited window
-          val rows = manifestLiveRowCount(root, location, r)
-          val assigned = r.copy(firstRowId = Some(inheritCounter))
-          inheritCounter += rows
-          assigned
+      else if (r.freshlyWritten) {
+        val rows = r.liveRowCount.getOrElse(throw new IllegalStateException(
+          s"freshly written manifest ${r.path} carries no row count"))
+        val assigned = r.copy(firstRowId = Some(newCounter))
+        newCounter += rows
+        assigned
+      } else {
+        val window = inheritedWindows.getOrElse(r.path, None)
+        for { w <- window; n <- legacyRows(r.path) }
+          maxPinnedEnd = math.max(maxPinnedEnd, w + n)
+        r.copy(firstRowId = window) // None stays None (underivable)
       }
     }
     // a foreign table whose inherited windows overrun its next-row-id
     // fence still must not collide with future assignments
-    (out, Some((start, math.max(newCounter, inheritCounter))))
+    (out, Some((start, math.max(newCounter, maxPinnedEnd))))
   }
 
-  /** Live data row count of one manifest: running record_count over
-    * live (status != DELETED) data entries in entry order — the SAME
-    * rule the reader's within-manifest inheritance walks, so windows
-    * sized here always cover the ids a reader derives.
+  /** Live data row count of one manifest's live entries — None when any
+    * live data entry lacks a readable record_count (the reader treats
+    * that manifest's tail, and every later null window, as underivable;
+    * the writer must agree or it would pin overlapping windows).
     */
   private def manifestLiveRowCount(root: Path, location: String,
-      ref: ManifestRef): Long =
-    readAvro(remapLocal(ref.path, location, root)).iterator
-      .filter(e => intOf(e, "status", 0) != 2)
-      .map { e =>
-        val d = e.get("data_file").asInstanceOf[GenericRecord]
-        if (intOf(d, "content", ref.content) != 0) 0L
-        else longOf(d, "record_count", 0L)
-      }.sum
+      ref: ManifestRef): Option[Long] =
+    liveDataRowCountOf(
+      readAvro(remapLocal(ref.path, location, root))
+        .filter(e => intOf(e, "status", 0) != 2),
+      ref.content)
+
+  /** The counting rule shared by every writer-side window sizing: sum
+    * of record_count over live DATA entries, None if any lacks one.
+    */
+  private def liveDataRowCountOf(liveRecs: Seq[GenericRecord],
+      refContent: Int): Option[Long] = {
+    val counts = liveRecs.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      if (intOf(d, "content", refContent) != 0) Some(0L)
+      else if (d.getSchema.getField("record_count") == null) None
+      else Option(d.get("record_count")).map(_.asInstanceOf[Number].longValue)
+    }
+    if (counts.contains(None)) None else Some(counts.flatten.sum)
+  }
 
   /** Stamp the snapshot's `first-row-id` and advance the table's
     * `next-row-id` (spec "Row Lineage"). `lineage` is

@@ -540,18 +540,23 @@ object QueryPipeline {
         val score = sc.method.toLowerCase match {
           case "bm25" =>
             // with a configured index_dir, stats come from the persisted
-            // bucket-pruned postings (fingerprint-keyed rebuild inside
-            // ensureIndex) — the corpus thunk below is then never
-            // evaluated, so an indexed serving query never re-scans text
-            val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
-              df.withColumn("__sid", monotonically_increasing_id())
-            }, index = sc.indexDir.map { d =>
+            // bucket-pruned postings (fingerprint-keyed generational
+            // rebuild inside ensureIndex) — the corpus thunk below is
+            // then never evaluated, so an indexed serving query never
+            // re-scans text. Resolved EAGERLY, before stats(): a cold
+            // rebuild must run on this request's thread, not inside the
+            // stats cache's process-wide lock where it would stall every
+            // table's search requests for the build's duration.
+            val resolvedIndex = sc.indexDir.map { d =>
               graft.operators.SearchIndex.ensureIndex(df.sparkSession, d,
                 graft.meta.Metadata.sourceFingerprint(table.datasource.uri)
                   .map(_.toString).getOrElse("unfingerprintable"),
                 df.withColumn("__sid", monotonically_increasing_id()),
                 "__sid", sc.columns)
-            })
+            }
+            val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
+              df.withColumn("__sid", monotonically_increasing_id())
+            }, index = resolvedIndex)
             graft.operators.SearchIndex.scoreColumn(
               stats, sc.columns.map(c => col(quote(c))), q)
           case _ => Search.searchScore(sc.columns.map(c => col(quote(c))), q)

@@ -311,6 +311,34 @@ object IcebergReader {
     }
   }
 
+  /** THE v3 row-id window-walk rule, shared by this reader's lineage
+    * derivation and [[graft.output.IcebergWriter]]'s window pinning (the
+    * two sides must agree byte-for-byte or a pinned window would
+    * contradict what readers served before the pin): manifests in LIST
+    * order; an explicit window (field 520) is kept verbatim and does not
+    * advance the counter; a null window is assigned the counter —
+    * starting at the snapshot's `first-row-id` — which then advances by
+    * the manifest's live data row count. A manifest whose row count is
+    * underivable (None) POISONS the counter: every later null window
+    * stays None (underivable), never a guessed value.
+    * Input tuples: (manifest path, explicit window, live row count).
+    */
+  private[graft] def assignInheritedWindows(
+      snapshotFirstRowId: Option[Long],
+      manifests: Seq[(String, Option[Long], Option[Long])])
+      : Map[String, Option[Long]] = {
+    var counter = snapshotFirstRowId
+    manifests.map { case (path, explicit, liveRows) =>
+      explicit match {
+        case some @ Some(_) => path -> some
+        case None =>
+          val start = counter
+          counter = for { c <- counter; n <- liveRows } yield c + n
+          path -> start
+      }
+    }.toMap
+  }
+
   /** Manifest list → metadata records only: paths, inherited content/
     * sequence, spec id, and the spec-507 `partitions` field summaries
     * (positional per spec field; absent or unparseable → None, which
@@ -713,7 +741,7 @@ object IcebergReader {
     */
   private val footerColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-  private def footerTopColumns(path: String): Set[String] =
+  private[graft] def footerTopColumns(path: String): Set[String] =
     footerColsCache.computeIfAbsent(normPath(path), { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
@@ -1110,7 +1138,7 @@ object IcebergReader {
     * types fail loudly — serving null where a default belongs is a
     * wrong answer.
     */
-  private def columnDefaults(root: JsonNode): Map[String, Any] = {
+  private[graft] def columnDefaults(root: JsonNode): Map[String, Any] = {
     val node = Option(root.get("schemas")) match {
       case Some(schemas) =>
         val id = root.get("current-schema-id").asInt()
@@ -1276,17 +1304,17 @@ object IcebergReader {
       if (!withLineage) Map.empty
       else {
         val byManifest = dataAll.groupBy(_.manifestPath)
-        var counter: Option[Long] = snap.firstRowId
+        def liveRowsOf(path: String): Option[Long] = {
+          val es = byManifest.getOrElse(path, Nil)
+          if (es.exists(_.recordCount < 0)) None
+          else Some(es.map(_.recordCount).sum)
+        }
+        val windows = assignInheritedWindows(snap.firstRowId,
+          snap.manifests.filter(_.content == 0)
+            .map(mm => (mm.path, mm.firstRowId, liveRowsOf(mm.path))))
         val out = Map.newBuilder[String, Long]
-        snap.manifests.filter(_.content == 0).foreach { mm =>
-          val entries = byManifest.getOrElse(mm.path, Nil)
-          val start: Option[Long] = mm.firstRowId.orElse {
-            val s = counter
-            counter =
-              if (entries.exists(_.recordCount < 0)) None
-              else counter.map(_ + entries.map(_.recordCount).sum)
-            s
-          }
+        byManifest.foreach { case (mPath, entries) =>
+          val start = windows.getOrElse(mPath, None)
           entries.foreach { e =>
             e.explicitFirstRowId
               .orElse(start.filter(_ => e.rowIdOffset >= 0)
@@ -1606,6 +1634,13 @@ object IcebergReader {
       afterSnapshotId: Long): DataFrame = {
     val rootNode = mapper.readTree(
       Files.readString(currentMetadataFile(tablePath)))
+    // initial-default columns stay fail-closed on this feed: a new file
+    // written by an old-schema writer could still lack the column, and
+    // this raw parquet read would silently serve null where the default
+    // belongs — the same wrong answer the full scan substitutes away
+    require(columnDefaults(rootNode).isEmpty,
+      "readAppends does not support v3 initial-default columns (a file " +
+        "lacking the column would feed null where the default belongs)")
     val afterSeq = Option(rootNode.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("snapshot-id").asLong() == afterSnapshotId)

@@ -137,10 +137,16 @@ object IcebergTestFixtures {
   def writeMetadata(root: Path, version: Int, formatVersion: Int,
       snapshots: Seq[(Long, Long, String)], current: Long,
       schema: String, hint: Boolean = true,
-      specs: String = """[{"spec-id":0,"fields":[]}]"""): Unit = {
+      specs: String = """[{"spec-id":0,"fields":[]}]""",
+      // v3 row lineage: `first-row-id` stamped on every snapshot (and
+      // next-row-id derivable) when set — what makes lineage-dependent
+      // ops (rewrites) runnable on hand-authored fixtures
+      firstRowId: Option[Long] = None): Unit = {
     val snaps = snapshots.map { case (id, seq, list) =>
+      val lineage = firstRowId.map(v => s""""first-row-id":$v,""").getOrElse("")
       // timestamp-ms = snapshot id, so timestamp travel is testable
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$id,
+         |$lineage
          |"manifest-list":"$list","summary":{"operation":"append"}}""".stripMargin
     }.mkString(",")
     val schemas =

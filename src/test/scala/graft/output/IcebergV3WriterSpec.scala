@@ -196,9 +196,28 @@ class IcebergV3WriterSpec extends SparkSpec {
     val before = ids(path)
     assert(IcebergWriter.rewriteZOrder(spark, path, "id", "id") > 0)
     assert(ids(path) == before)
-    IcebergWriter.deleteWhere(spark, path, col("id") === 3)
+    // 3/8 deleted = 37.5% DV coverage, over the 30% debt threshold, so
+    // compaction rewrites even a lone small file (sub-threshold DVs on
+    // a lone file are a deliberate no-op — see the churn test)
+    IcebergWriter.deleteWhere(spark, path, col("id") % 3 === 0)
     assert(IcebergWriter.rewriteDataFiles(spark, path) > 0)
-    assert(ids(path) == before.filterNot(_ == 3))
+    assert(ids(path) == before.filterNot(_ % 3 == 0))
+  }
+
+  test("compaction is a no-op for a lone small file whose DV sits " +
+      "below the delete-debt threshold (no 1-to-1 rewrite churn)") {
+    val path = tmp("churn")
+    IcebergWriter.create((0 until 100).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), path, formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, path, col("id") === 7) // 1% coverage
+    assert(IcebergWriter.rewriteDataFiles(spark, path) == 0,
+      "a single small file with a sub-threshold DV must not rewrite")
+    assert(dvEntries(path).nonEmpty) // the DV stays until real debt
+    // at/above the threshold the same lone file DOES purge its DV
+    IcebergWriter.deleteWhere(spark, path, col("id") % 3 === 0)
+    assert(IcebergWriter.rewriteDataFiles(spark, path) > 0)
+    assert(dvEntries(path).isEmpty)
+    assert(ids(path) == (0 until 100).filterNot(i => i == 7 || i % 3 == 0))
   }
 
   test("a v3 DV table round-trips through the reader's DuckDB-shaped plan") {
