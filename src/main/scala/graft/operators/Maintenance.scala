@@ -38,8 +38,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Returns a small report DataFrame `(format, op, reclaimed)` — one row
   * per op, `reclaimed` = that op's own unit (files deleted, manifests
-  * merged, snapshots expired). Driver-side metadata work only; row data
-  * is never read.
+  * merged, snapshots expired). Delta and v2-Iceberg sweeps are
+  * driver-side metadata work only; the v3 delete-debt passes run DATA
+  * Spark jobs bounded by the files they purge (never the whole table) —
+  * size maintenance windows accordingly on delete-heavy v3 tables.
   */
 object Maintenance {
 

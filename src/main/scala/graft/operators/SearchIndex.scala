@@ -181,7 +181,24 @@ object SearchIndex {
     * one are reclaimed best-effort after the swap.
     */
   private val buildLock = new Object
+  // loaded generation per index dir — the warm serving path must not
+  // pay marker reads and fresh parquet relation setup per request
+  private val loadedGenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Bm25Index)]()
   def ensureIndex(spark: SparkSession, indexDir: String,
+      fingerprint: String, corpus: => DataFrame, idCol: String,
+      textCols: Seq[String]): Bm25Index = {
+    Option(loadedGenCache.get(indexDir))
+      .collect { case (fp, idx) if fp == fingerprint => idx }
+      .getOrElse {
+        val idx = ensureIndexCold(spark, indexDir, fingerprint, corpus,
+          idCol, textCols)
+        if (loadedGenCache.size > 64) loadedGenCache.clear()
+        loadedGenCache.put(indexDir, (fingerprint, idx))
+        idx
+      }
+  }
+  private def ensureIndexCold(spark: SparkSession, indexDir: String,
       fingerprint: String, corpus: => DataFrame, idCol: String,
       textCols: Seq[String]): Bm25Index = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -222,9 +239,11 @@ object SearchIndex {
                   p.getFileName.toString != gen &&
                   !prevGen.contains(p.getFileName.toString))
                 .foreach { p =>
-                  Files.walk(p)
+                  val w = Files.walk(p)
+                  try w
                     .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
                     .forEach(f => Files.deleteIfExists(f))
+                  finally w.close()
                 }
               finally s.close()
             } catch { case scala.util.control.NonFatal(_) => () }

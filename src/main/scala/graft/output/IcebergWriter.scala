@@ -1161,29 +1161,14 @@ object IcebergWriter {
     }
     val base =
       if (defaulted.isEmpty) base1
-      else {
-        import org.apache.spark.sql.functions.when
-        val presenceSchema = StructType(
-          StructField("__f", org.apache.spark.sql.types.StringType)
-            +: defaulted.indices.map(i =>
-              StructField(s"__has_$i", org.apache.spark.sql.types.BooleanType)))
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          dataFiles.map { f =>
-            org.apache.spark.sql.Row.fromSeq(
-              graft.sources.IcebergReader.normPath(f.localPath) +:
-                defaulted.map { case (fld, _) =>
-                  graft.sources.IcebergReader
-                    .footerTopColumns(f.localPath).contains(fld.name) })
-          }.asJava
-        val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
-        defaulted.zipWithIndex.foldLeft(
-            base1.join(pres, Seq("__f"), "left")) {
-          case (acc, ((fld, v), i)) =>
-            acc.withColumn(fld.name,
-              when(col(s"__has_$i"), col(s"`${fld.name}`"))
-                .otherwise(lit(v).cast(fld.dataType)))
-        }.drop(defaulted.indices.map(i => s"__has_$i"): _*)
-      }
+      else graft.sources.IcebergReader.substituteDefaults(base1, "__f",
+        defaulted,
+        dataFiles.map { f =>
+          graft.sources.IcebergReader.normPath(f.localPath) ->
+            defaulted.map { case (fld, _) =>
+              graft.sources.IcebergReader
+                .footerTopColumns(f.localPath).contains(fld.name) }
+        })
     // same one-relation-per-kind plan shapes as [[graft.sources
     // .IcebergReader.read]], via ITS shared deleteSeqJoined: every
     // position delete file in ONE relation (seq joined from a broadcast
@@ -1209,8 +1194,8 @@ object IcebergWriter {
     val dvLive = {
       lazy val dataSeqs: Map[String, Long] =
         dataFiles.map(f => normS(f.localPath) -> f.seq).toMap
-      dvAll.filter(d => dataSeqs.get(normS(d.referencedDataFile.get))
-        .exists(_ <= d.seq))
+      dvAll.filter(d => graft.sources.IcebergReader.dvApplies(
+        normS(d.referencedDataFile.get), d.seq, dataSeqs))
     }
     val afterPos =
       if (parquetPos.isEmpty && dvLive.isEmpty) base
@@ -1402,7 +1387,8 @@ object IcebergWriter {
     val affectedDvs =
       dvAll.filter { d =>
         val ref = normS(d.referencedDataFile.get)
-        affected(ref) && dataSeqOf.get(ref).exists(_ <= d.seq)
+        affected(ref) &&
+          graft.sources.IcebergReader.dvApplies(ref, d.seq, dataSeqOf)
       }
     val oldDvRows =
       if (affectedDvs.isEmpty) Nil
@@ -2470,8 +2456,8 @@ object IcebergWriter {
     val dvCardOf: Map[String, Long] =
       if (!v3) Map.empty
       else st.entries.filter(e => e.content == 1 && e.isDv)
-        .filter(d => dataSeqOf.get(norm(d.referencedDataFile.get))
-          .exists(_ <= d.seq))
+        .filter(d => graft.sources.IcebergReader.dvApplies(
+          norm(d.referencedDataFile.get), d.seq, dataSeqOf))
         .groupBy(d => norm(d.referencedDataFile.get))
         .map { case (f, ds) =>
           f -> ds.map(d => math.max(d.recordCount, 0L)).sum }
@@ -2813,8 +2799,8 @@ object IcebergWriter {
         val (dvs, parquetPos) = posDeletes.partition(_.isDv)
         val dataSeqOf: Map[String, Long] =
           dataEntries.map(e => norm(e.localPath) -> e.seq).toMap
-        val dvLive = dvs.filter(d =>
-          dataSeqOf.get(norm(d.referencedDataFile.get)).exists(_ <= d.seq))
+        val dvLive = dvs.filter(d => graft.sources.IcebergReader
+          .dvApplies(norm(d.referencedDataFile.get), d.seq, dataSeqOf))
         val dvTargets = dvLive.map(d => norm(d.referencedDataFile.get))
           .distinct
         val seqDf = broadcast(dataEntries
@@ -2843,10 +2829,15 @@ object IcebergWriter {
               norm(d.referencedDataFile.get), d.seq, d.recordCount)))
             .select(col("__del_file").as("__pf"),
               col("__del_pos").as("__pp")))
+        // both sides can be empty even when posDeletes is not (only
+        // INAPPLICABLE stale DVs left): reduceOption, never empty.reduce
         (parquetRows.toSeq ++ dvRows.toSeq)
-          .reduce(_.unionByName(_)).distinct()
-          .groupBy(col("__pf")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .reduceOption(_.unionByName(_)) match {
+          case None => Map.empty[String, Long]
+          case Some(rows) => rows.distinct()
+            .groupBy(col("__pf")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
       }
     val affected = candidates.filter { e =>
       val f = norm(e.localPath)
@@ -2981,8 +2972,8 @@ object IcebergWriter {
       .map(e => normS(e.localPath) -> e.seq).toMap
     val dvCovered = st.entries
       .filter(e => e.content == 1 && e.isDv)
-      .filter(d => dataSeqOf.get(normS(d.referencedDataFile.get))
-        .exists(_ <= d.seq))
+      .filter(d => graft.sources.IcebergReader.dvApplies(
+        normS(d.referencedDataFile.get), d.seq, dataSeqOf))
       .map(d => normS(d.referencedDataFile.get)).distinct
     val rows = {
       val applicable = applicableParquetDeleteRows(spark, st, parquetPos)
@@ -3506,10 +3497,14 @@ object IcebergWriter {
         }
     // legacy carried manifests pin the window readers ALREADY derive —
     // through the one shared window-walk rule ([[graft.sources
-    // .IcebergReader.assignInheritedWindows]]); a manifest whose row
-    // count is underivable POISONS later legacy windows to None (kept
-    // null — readers keep failing loudly there) rather than pinning a
-    // guessed, possibly-overlapping window.
+    // .IcebergReader.assignInheritedWindows]]). A null window this
+    // commit cannot PIN is a hard error: a manifest list may not carry
+    // "underivable", so any null left behind would be re-derived by
+    // readers from the NEW snapshot's first-row-id and silently collide
+    // with the fresh manifests' id space (duplicate _row_ids). The two
+    // unsizable cases — a live data entry without record_count, and a
+    // base snapshot without first-row-id — only occur on nonconforming
+    // foreign metadata, where minting ids at all would be a guess.
     lazy val legacyRows: Map[String, Option[Long]] =
       refs.filter(r => r.content == 0 && !r.freshlyWritten &&
           r.firstRowId.isEmpty)
@@ -3532,9 +3527,18 @@ object IcebergWriter {
         assigned
       } else {
         val window = inheritedWindows.getOrElse(r.path, None)
-        for { w <- window; n <- legacyRows(r.path) }
-          maxPinnedEnd = math.max(maxPinnedEnd, w + n)
-        r.copy(firstRowId = window) // None stays None (underivable)
+          .getOrElse(throw new IllegalStateException(
+            s"cannot commit to this v3 table: data manifest ${r.path}'s " +
+              "row-id window is underivable (a live data entry without " +
+              "record_count, or a snapshot without first-row-id, sits " +
+              "before it) — any assignment could mint duplicate row ids"))
+        val rows = legacyRows(r.path).getOrElse(
+          throw new IllegalStateException(
+            s"cannot commit to this v3 table: data manifest ${r.path} " +
+              "has a live data entry without record_count — its row-id " +
+              "window is unsizable"))
+        maxPinnedEnd = math.max(maxPinnedEnd, window + rows)
+        r.copy(firstRowId = Some(window))
       }
     }
     // a foreign table whose inherited windows overrun its next-row-id

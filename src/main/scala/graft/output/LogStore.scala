@@ -66,7 +66,12 @@ final class HttpLogStore(baseUri: java.net.URI,
     client: java.net.http.HttpClient =
       java.net.http.HttpClient.newHttpClient()) extends LogStore {
   override def putIfAbsent(dest: Path, content: String): Unit = {
+    // PERCENT-encoding, not form encoding: URLEncoder maps space to '+',
+    // so '/a b/1.json' and '/a+b/1.json' would collide into one blob key
+    // on any server that percent-decodes request paths — two tables
+    // permanently blocking each other's commits
     val blob = java.net.URLEncoder.encode(dest.toString, "UTF-8")
+      .replace("+", "%20")
     val uri = java.net.URI.create(
       s"${baseUri.toString.stripSuffix("/")}/$blob")
     val req = java.net.http.HttpRequest.newBuilder(uri)
@@ -80,12 +85,24 @@ final class HttpLogStore(baseUri: java.net.URI,
       case c if c / 100 == 2 =>
         // remote arbitration decided: the winner's local materialization
         // may REPLACE stale local state (no second mutex needed)
-        val tmp = dest.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
-        Files.writeString(tmp, content)
-        try Files.move(tmp, dest,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        finally Files.deleteIfExists(tmp)
+        try {
+          val tmp = dest.resolveSibling(
+            s".tmp-${java.util.UUID.randomUUID()}")
+          Files.writeString(tmp, content)
+          try Files.move(tmp, dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally Files.deleteIfExists(tmp)
+        } catch {
+          case e: Exception =>
+            // the commit IS durable remotely; a plain rethrow would send
+            // the writer into a 412-retry loop against its own blob.
+            // Surface the divergence with the reconciliation step instead.
+            throw new IllegalStateException(
+              s"commit $dest is durable at $uri but the local " +
+                "materialization failed — reconcile by downloading the " +
+                "blob to that path before retrying", e)
+        }
       case 412 | 409 =>
         throw new java.nio.file.FileAlreadyExistsException(dest.toString)
       case other => throw new java.io.IOException(

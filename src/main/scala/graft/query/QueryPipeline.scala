@@ -547,13 +547,21 @@ object QueryPipeline {
             // rebuild must run on this request's thread, not inside the
             // stats cache's process-wide lock where it would stall every
             // table's search requests for the build's duration.
-            val resolvedIndex = sc.indexDir.map { d =>
-              graft.operators.SearchIndex.ensureIndex(df.sparkSession, d,
-                graft.meta.Metadata.sourceFingerprint(table.datasource.uri)
-                  .map(_.toString).getOrElse("unfingerprintable"),
-                df.withColumn("__sid", monotonically_increasing_id()),
-                "__sid", sc.columns)
-            }
+            // the index key composes the SOURCE fingerprint with the
+            // searched columns and a tokenizer version — a config change
+            // (new search columns) must rebuild even when the data did
+            // not move. An unfingerprintable source falls back to the
+            // corpus-scan path instead of serving a never-invalidated
+            // index forever.
+            val resolvedIndex = for {
+              d <- sc.indexDir
+              fp <- graft.meta.Metadata.sourceFingerprint(
+                table.datasource.uri)
+            } yield graft.operators.SearchIndex.ensureIndex(
+              df.sparkSession, d,
+              s"$fp|cols=${sc.columns.mkString(",")}|tok=words1",
+              df.withColumn("__sid", monotonically_increasing_id()),
+              "__sid", sc.columns)
             val stats = SearchStatsCache.stats(table.datasource.uri, sc.columns, q, {
               df.withColumn("__sid", monotonically_increasing_id())
             }, index = resolvedIndex)

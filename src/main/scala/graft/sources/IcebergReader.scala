@@ -311,6 +311,48 @@ object IcebergReader {
     }
   }
 
+  /** THE initial-default substitution (spec v3 "Default values"), shared
+    * by the scan and [[graft.output.IcebergWriter]]'s rewrite frame (the
+    * two must agree on every row's logical value): each defaulted column
+    * becomes when(file has the column, stored value).otherwise(default),
+    * with per-file presence joined through `fileCol` from a broadcast.
+    * `presence` rows: (normalized file path, booleans in `defaulted`
+    * order).
+    */
+  private[graft] def substituteDefaults(
+      frame: org.apache.spark.sql.DataFrame, fileCol: String,
+      defaulted: Seq[(StructField, Any)],
+      presence: Seq[(String, Seq[Boolean])])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val spark = frame.sparkSession
+    val presenceSchema = StructType(
+      StructField(fileCol, StringType) +: defaulted.indices.map(i =>
+        StructField(s"__ib_has_$i", BooleanType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      presence.map { case (f, hs) =>
+        org.apache.spark.sql.Row.fromSeq(f +: hs) }.asJava
+    val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
+    defaulted.zipWithIndex.foldLeft(
+        frame.join(pres, Seq(fileCol), "left")) {
+      case (acc, ((fld, v), i)) =>
+        acc.withColumn(fld.name,
+          when(col(s"__ib_has_$i"), col(s"`${fld.name}`"))
+            .otherwise(lit(v).cast(fld.dataType)))
+    }.drop(defaulted.indices.map(i => s"__ib_has_$i"): _*)
+  }
+
+  /** THE deletion-vector applicability rule (spec "Scan Planning"): a DV
+    * applies iff its referenced data file is live AND the file's data
+    * sequence number is at or below the DV's — a stale DV whose path was
+    * re-used by a NEWER file deletes nothing and must not enter the
+    * supersede set either. One definition for every consumer (scan,
+    * rewrite liveRows, delete folds, debt accounting, convert).
+    */
+  private[graft] def dvApplies(referencedNormPath: String, dvSeq: Long,
+      dataSeqByPath: Map[String, Long]): Boolean =
+    dataSeqByPath.get(referencedNormPath).exists(_ <= dvSeq)
+
   /** THE v3 row-id window-walk rule, shared by this reader's lineage
     * derivation and [[graft.output.IcebergWriter]]'s window pinning (the
     * two sides must agree byte-for-byte or a pinned window would
@@ -1394,15 +1436,14 @@ object IcebergReader {
     val posDeletesPlanned = prunePositionDeletes(parquetPos, dataFiles)
     // APPLICABILITY gates membership, not just application: a stale
     // foreign DV whose referenced path was re-used by a NEWER data file
-    // (data seq > DV seq) deletes nothing — but if it entered dvTargets
-    // below, it would suppress still-applicable parquet position deletes
-    // on that file (silent under-delete). Same data-seq <= DV-seq rule
-    // as deleteMatchingV3's fold and FormatConvert.
+    // deletes nothing — but if it entered dvTargets below, it would
+    // suppress still-applicable parquet position deletes on that file
+    // (silent under-delete). One shared rule: [[dvApplies]].
     val dvPlanned = {
       lazy val plannedSeq: Map[String, Long] =
         dataFiles.iterator.map(f => normPath(f.path) -> f.seq).toMap
-      dvAll.filter(d => plannedSeq.get(normPath(d.referencedDataFile.get))
-        .exists(_ <= d.seq))
+      dvAll.filter(d =>
+        dvApplies(normPath(d.referencedDataFile.get), d.seq, plannedSeq))
     }
 
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
@@ -1462,11 +1503,6 @@ object IcebergReader {
     val withPos =
       if (defaulted.isEmpty) withPos0
       else {
-        import org.apache.spark.sql.functions.when
-        val presenceSchema = StructType(
-          StructField("__ib_file", org.apache.spark.sql.types.StringType)
-            +: defaulted.indices.map(i =>
-              StructField(s"__ib_has_$i", BooleanType)))
         // presence probe, cheapest first: a manifest stats entry for the
         // column's field id proves the file carries it (writers record
         // stats only for physically-present columns) with no I/O; only
@@ -1475,21 +1511,14 @@ object IcebergReader {
           val nameToId = snap.fieldNames.map(_.swap)
           defaulted.map { case (fld, _) => nameToId.get(fld.name) }
         }
-        val rows: java.util.List[org.apache.spark.sql.Row] =
+        substituteDefaults(withPos0, "__ib_file", defaulted,
           dataFiles.map { f =>
-            org.apache.spark.sql.Row.fromSeq(normPath(f.path) +:
-              defaulted.zip(defaultedFids).map { case ((fld, _), fid) =>
+            normPath(f.path) -> defaulted.zip(defaultedFids).map {
+              case ((fld, _), fid) =>
                 fid.exists(id => f.valueCounts.contains(id)) ||
-                  footerTopColumns(f.path).contains(fld.name) })
-          }.asJava
-        val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
-        defaulted.zipWithIndex.foldLeft(
-            withPos0.join(pres, Seq("__ib_file"), "left")) {
-          case (acc, ((fld, v), i)) =>
-            acc.withColumn(fld.name,
-              when(col(s"__ib_has_$i"), col(s"`${fld.name}`"))
-                .otherwise(lit(v).cast(fld.dataType)))
-        }.drop(defaulted.indices.map(i => s"__ib_has_$i"): _*)
+                  footerTopColumns(f.path).contains(fld.name)
+            }
+          })
       }
     // per-file data sequence numbers ride a broadcast (#files rows);
     // __ib_pt is the file's (spec id, partition tuple) key, the
