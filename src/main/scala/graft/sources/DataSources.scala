@@ -96,7 +96,11 @@ object DataSources {
           skipFilters = skipFilters,
           partitionPredicates = icebergPartitionPredicates,
           // named-ref pin ("serve exactly the tagged corpus version")
-          ref = ds.options.get("ref"))
+          ref = ds.options.get("ref"),
+          // v3 row lineage on the serving surface: `lineage: "true"`
+          // appends _row_id / _last_updated_sequence_number — the
+          // provenance handle an incremental training pipeline keys on
+          withLineage = ds.options.get("lineage").exists(_.toBoolean))
       case "orc" => reader.orc(uri) // read side of the O12 orc writer
       case "csv" =>
         reader

@@ -169,6 +169,29 @@ class IcebergLineageSpec extends SparkSpec {
     assert((20 until 23).map(k => m2(k)._1).min >= 20L)
   }
 
+  test("lineage serves through the datasource surface (`lineage: true` " +
+      "option) and the raw SQL endpoint's view") {
+    val t = tmp("lin_serve")
+    W.create(df(0 until 10), t, formatVersion = 3)
+    W.deleteWhere(spark, t, col("id") % 2 === 1)
+    val frame = graft.sources.DataSources.read(spark,
+      graft.config.DatasourceConfig(t, fileType = "iceberg",
+        options = Map("lineage" -> "true")))
+    assert(frame.columns.contains("_row_id") &&
+      frame.columns.contains("_last_updated_sequence_number"))
+    // _-prefixed columns are pipeline-HIDDEN by convention (reference
+    // semantics); the raw SQL endpoint's registered view serves them
+    frame.createOrReplaceTempView("lin_serve_v")
+    val got = spark.sql(
+      "SELECT id, _row_id FROM lin_serve_v ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bit-identical to the reader-API lineage (row position within a
+    // distributed write is not key order — compare mappings, not ranks)
+    assert(got == lineage(t).map { case (k, (rid, _)) => k -> rid })
+    assert(got.keySet == (0 until 10 by 2).toSet)
+    assert(got.values.toSeq.distinct.size == got.size)
+  }
+
   test("lineage read on a v2 table fails loudly") {
     val t = tmp("lin_v2")
     W.create(df(0 until 5), t) // v2
