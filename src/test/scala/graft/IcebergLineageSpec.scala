@@ -192,6 +192,89 @@ class IcebergLineageSpec extends SparkSpec {
     assert(got.values.toSeq.distinct.size == got.size)
   }
 
+  test("an unreadable record_count POISONS later windows: lineage reads " +
+      "raise, commits refuse — never a guessed id") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tmp("lin_poison"))
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    def writeFile(r: Range, name: String): String = {
+      val stage = root.resolve("stage")
+      df(r).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root.resolve("data").resolve(name)
+      Files.move(part, dest)
+      dest.toString
+    }
+    val fileA = writeFile(0 until 4, "a.parquet")
+    val fileB = writeFile(4 until 9, "b.parquet")
+    // entry schema WITHOUT record_count — the nonconforming foreign shape
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val full = IcebergTestFixtures.entrySchemaV3
+    def manifest(name: String, schema: Schema, path: String): String = {
+      val dfSchema = schema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      if (dfSchema.getField("record_count") != null)
+        d.put("record_count", 5L)
+      d.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(schema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      val p = root.resolve("metadata").resolve(name)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, p.toFile)
+      w.append(e)
+      w.close()
+      p.toString
+    }
+    val mBad = manifest("m1.avro", entrySchema, fileA) // no record_count
+    val mOk = manifest("m2.avro", full, fileB)
+    val list = IcebergTestFixtures.manifestList(
+      root.resolve("metadata/snap-1.avro"),
+      IcebergTestFixtures.listSchemaV2,
+      Seq((mBad, 0, 1L), (mOk, 0, 1L)))
+    IcebergTestFixtures.writeMetadata(root, 1, 3, Seq((1L, 1L, list)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin, firstRowId = Some(0L))
+    // reader: file B sits BEHIND the poisoned window — its ids must
+    // raise, never serve a guess (file A's window start is still sound)
+    val e1 = intercept[Exception] {
+      IcebergReader.read(spark, root.toString, withLineage = true)
+        .filter(col("id") >= 4).select(col("_row_id")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e1).exists(m => m != null && m.contains("underivable")))
+    // writer: a commit would have to leave a null window behind that
+    // readers re-derive against the NEW snapshot (duplicate ids) —
+    // refuse loudly instead
+    val e2 = intercept[IllegalStateException] {
+      W.append(df(100 until 103), root.toString)
+    }
+    assert(e2.getMessage.contains("record_count") ||
+      e2.getMessage.contains("underivable"))
+  }
+
   test("lineage read on a v2 table fails loudly") {
     val t = tmp("lin_v2")
     W.create(df(0 until 5), t) // v2
