@@ -181,10 +181,23 @@ object SearchIndex {
     * one are reclaimed best-effort after the swap.
     */
   private val buildLock = new Object
+  /** Age a superseded generation must reach before reclaim may delete
+    * it (multi-process safety — see the reclaim comment below).
+    * Test-tunable; 15 min comfortably exceeds any build + swap window.
+    */
+  private[graft] var reclaimGraceMs: Long = 15L * 60 * 1000
   // loaded generation per index dir — the warm serving path must not
-  // pay marker reads and fresh parquet relation setup per request
-  private val loadedGenCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Bm25Index)]()
+  // pay marker reads and fresh parquet relation setup per request.
+  // Access-ordered LRU evicting ONE eldest entry past capacity: a
+  // clear-all would momentarily stampede every warm serving path back
+  // to marker reads the moment a 65th index dir shows up.
+  private[graft] val loadedGenCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Bm25Index)](64, 0.75f,
+        /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Bm25Index)]): Boolean =
+        size() > 64
+    })
   def ensureIndex(spark: SparkSession, indexDir: String,
       fingerprint: String, corpus: => DataFrame, idCol: String,
       textCols: Seq[String]): Bm25Index = {
@@ -193,7 +206,6 @@ object SearchIndex {
       .getOrElse {
         val idx = ensureIndexCold(spark, indexDir, fingerprint, corpus,
           idCol, textCols)
-        if (loadedGenCache.size > 64) loadedGenCache.clear()
         loadedGenCache.put(indexDir, (fingerprint, idx))
         idx
       }
@@ -231,13 +243,22 @@ object SearchIndex {
             Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
             // reclaim generations BEHIND the previous one (the previous
-            // stays for in-flight readers of the old marker)
+            // stays for in-flight readers of the old marker) — and only
+            // past a GRACE period: buildLock is JVM-local, so in a
+            // multi-process deployment another builder's in-flight
+            // idx-<uuid> (or a generation a racing reader just loaded)
+            // must not be deleted under it. mtime-based: any dir touched
+            // within the grace window is spared; a truly orphaned one is
+            // reclaimed by whichever later build runs after it ages out.
             try {
+              val cutoff = System.currentTimeMillis() - reclaimGraceMs
               val s = Files.list(root)
               try s.iterator().asScala
                 .filter(p => p.getFileName.toString.startsWith("idx-") &&
                   p.getFileName.toString != gen &&
-                  !prevGen.contains(p.getFileName.toString))
+                  !prevGen.contains(p.getFileName.toString) &&
+                  (try Files.getLastModifiedTime(p).toMillis < cutoff
+                   catch { case scala.util.control.NonFatal(_) => false }))
                 .foreach { p =>
                   val w = Files.walk(p)
                   try w

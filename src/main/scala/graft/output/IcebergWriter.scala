@@ -584,7 +584,10 @@ object IcebergWriter {
                 .map(_.asInstanceOf[Number].longValue)
                 .getOrElse(throw new IllegalStateException(
                   s"data entry without record_count in ${ref.path}"))
-              rowOffset += rc
+              // spec inheritance: the offset advances only over entries
+              // that themselves inherit — explicit entries' rows belong
+              // to windows pinned elsewhere
+              if (explicit.isEmpty) rowOffset += rc
               liveRows += rc
               minRowId = math.min(minRowId, eff)
             }
@@ -980,9 +983,12 @@ object IcebergWriter {
       }
     val entries = refs.zip(rawByRef.map(_._2)).flatMap { case (ref, recs) =>
       // within-manifest inheritance offset: running record_count over
-      // live data entries in entry order (the same walk
-      // [[liveDataRowCountOf]] sums); a data entry without a readable
-      // record_count poisons the offsets BEHIND it, never before
+      // live data entries IN ENTRY ORDER THAT THEMSELVES INHERIT (null
+      // field 142 — the same null-only walk [[liveDataRowCountOf]]
+      // sums; spec: explicit entries' rows belong to windows pinned
+      // elsewhere and consume none of this manifest's window); a null
+      // data entry without a readable record_count poisons the offsets
+      // BEHIND it, never before
       var rowOffset = 0L
       var offsetValid = true
       recs.flatMap { e =>
@@ -1027,7 +1033,7 @@ object IcebergWriter {
                 if (!offsetValid) None
                 else windowStart.getOrElse(ref.path, None)
                   .map(_ + rowOffset)
-              if (entryContent == 0) {
+              if (explicit.isEmpty) {
                 if (rc < 0) offsetValid = false else rowOffset += rc
               }
               explicit.orElse(derived)
@@ -3516,7 +3522,22 @@ object IcebergWriter {
           (r.path, r.firstRowId,
             if (r.firstRowId.isDefined) r.liveRowCount
             else legacyRows(r.path))))
-    var maxPinnedEnd = start
+    // pinned legacy window ends must be known BEFORE fresh assignment:
+    // on a nonconforming foreign table whose derivable windows already
+    // overrun `next-row-id`, a fresh window starting at `next-row-id`
+    // would overlap a window pinned IN THIS SAME COMMIT (a trailing
+    // fence only protects future commits). Underivable/unsizable legacy
+    // windows are skipped here — the map below still refuses them with
+    // the descriptive error. Forces the lazy maps only when legacy
+    // manifests exist.
+    val maxPinnedEnd: Long = refs.iterator.collect {
+      case r if r.content == 0 && !r.freshlyWritten && r.firstRowId.isEmpty =>
+        for {
+          w <- inheritedWindows.getOrElse(r.path, None)
+          n <- legacyRows(r.path)
+        } yield w + n
+    }.flatten.foldLeft(start)(math.max)
+    newCounter = maxPinnedEnd
     val out = refs.map { r =>
       if (r.content != 0 || r.firstRowId.isDefined) r
       else if (r.freshlyWritten) {
@@ -3532,18 +3553,15 @@ object IcebergWriter {
               "row-id window is underivable (a live data entry without " +
               "record_count, or a snapshot without first-row-id, sits " +
               "before it) — any assignment could mint duplicate row ids"))
-        val rows = legacyRows(r.path).getOrElse(
+        legacyRows(r.path).getOrElse(
           throw new IllegalStateException(
             s"cannot commit to this v3 table: data manifest ${r.path} " +
               "has a live data entry without record_count — its row-id " +
               "window is unsizable"))
-        maxPinnedEnd = math.max(maxPinnedEnd, window + rows)
         r.copy(firstRowId = Some(window))
       }
     }
-    // a foreign table whose inherited windows overrun its next-row-id
-    // fence still must not collide with future assignments
-    (out, Some((start, math.max(newCounter, maxPinnedEnd))))
+    (out, Some((start, newCounter)))
   }
 
   /** Live data row count of one manifest's live entries — None when any
@@ -3559,13 +3577,19 @@ object IcebergWriter {
       ref.content)
 
   /** The counting rule shared by every writer-side window sizing: sum
-    * of record_count over live DATA entries, None if any lacks one.
+    * of record_count over live DATA entries that themselves INHERIT
+    * (null field 142 — spec: explicit entries' rows belong to windows
+    * pinned elsewhere and consume none of this manifest's window; same
+    * null-only rule as the readers' in-manifest offset walk), None if
+    * any inheriting entry lacks a record_count.
     */
   private def liveDataRowCountOf(liveRecs: Seq[GenericRecord],
       refContent: Int): Option[Long] = {
     val counts = liveRecs.map { e =>
       val d = e.get("data_file").asInstanceOf[GenericRecord]
-      if (intOf(d, "content", refContent) != 0) Some(0L)
+      val explicit = d.getSchema.getField("first_row_id") != null &&
+        d.get("first_row_id") != null
+      if (intOf(d, "content", refContent) != 0 || explicit) Some(0L)
       else if (d.getSchema.getField("record_count") == null) None
       else Option(d.get("record_count")).map(_.asInstanceOf[Number].longValue)
     }

@@ -83,32 +83,50 @@ final class HttpLogStore(baseUri: java.net.URI,
       java.net.http.HttpResponse.BodyHandlers.discarding())
     resp.statusCode() match {
       case c if c / 100 == 2 =>
-        // remote arbitration decided: the winner's local materialization
-        // may REPLACE stale local state (no second mutex needed)
-        try {
-          val tmp = dest.resolveSibling(
-            s".tmp-${java.util.UUID.randomUUID()}")
-          Files.writeString(tmp, content)
-          try Files.move(tmp, dest,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          finally Files.deleteIfExists(tmp)
-        } catch {
-          case e: Exception =>
-            // the commit IS durable remotely; a plain rethrow would send
-            // the writer into a 412-retry loop against its own blob.
-            // Surface the divergence with the reconciliation step instead.
-            throw new IllegalStateException(
-              s"commit $dest is durable at $uri but the local " +
-                "materialization failed — reconcile by downloading the " +
-                "blob to that path before retrying", e)
-        }
+        materializeLocal(dest, content, uri)
       case 412 | 409 =>
-        throw new java.nio.file.FileAlreadyExistsException(dest.toString)
+        // a 412 is NOT always a lost race: if this writer's own earlier
+        // PUT succeeded remotely but its response was lost (network
+        // error → caller retried), the retry collides with our own blob.
+        // Read it back and compare — byte-identical content means OUR
+        // commit is durable (finish the local materialization and
+        // succeed); anything else is a genuine competing committer.
+        val won = try {
+          val get = client.send(
+            java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString(
+              java.nio.charset.StandardCharsets.UTF_8))
+          get.statusCode() / 100 == 2 && get.body() == content
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (won) materializeLocal(dest, content, uri)
+        else throw new java.nio.file.FileAlreadyExistsException(dest.toString)
       case other => throw new java.io.IOException(
         s"conditional put of $uri failed: HTTP $other")
     }
   }
+
+  /** Local materialization AFTER remote arbitration decided this writer
+    * won: REPLACE is safe (the remote conditional put is the mutex), and
+    * a local failure must not read as a lost race — the commit IS
+    * durable; surface the reconciliation step instead.
+    */
+  private def materializeLocal(dest: Path, content: String,
+      uri: java.net.URI): Unit =
+    try {
+      val tmp = dest.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, content)
+      try Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally Files.deleteIfExists(tmp)
+    } catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"commit $dest is durable at $uri but the local " +
+            "materialization failed — reconcile by downloading the " +
+            "blob to that path before retrying", e)
+    }
 }
 
 object LogStore {

@@ -360,10 +360,13 @@ object IcebergReader {
     * order; an explicit window (field 520) is kept verbatim and does not
     * advance the counter; a null window is assigned the counter —
     * starting at the snapshot's `first-row-id` — which then advances by
-    * the manifest's live data row count. A manifest whose row count is
-    * underivable (None) POISONS the counter: every later null window
-    * stays None (underivable), never a guessed value.
-    * Input tuples: (manifest path, explicit window, live row count).
+    * the manifest's ASSIGNED row count: the summed record_count of live
+    * data entries that themselves inherit (null field 142; explicit
+    * entries' rows belong to windows pinned elsewhere and consume no
+    * fresh id space). A manifest whose assigned count is underivable
+    * (None) POISONS the counter: every later null window stays None
+    * (underivable), never a guessed value.
+    * Input tuples: (manifest path, explicit window, assigned row count).
     */
   private[graft] def assignInheritedWindows(
       snapshotFirstRowId: Option[Long],
@@ -527,9 +530,13 @@ object IcebergReader {
     val eqDeletes = Seq.newBuilder[DataFileEntry]
     val manifestPath = remap(m.path, location, tablePath)
     // v3 row-lineage inheritance offset: running record_count over live
-    // data entries in entry order (manifest-intrinsic, so safe to cache
-    // with the decode); an entry without a readable record_count poisons
-    // the offsets BEHIND it only
+    // data entries IN ENTRY ORDER THAT THEMSELVES INHERIT (null field
+    // 142) — an explicit entry's rows belong to a window pinned
+    // elsewhere and consume none of this manifest's window (spec "Row
+    // Lineage": ids are assigned only to files without first_row_id).
+    // Manifest-intrinsic, so safe to cache with the decode; a NULL
+    // entry without a readable record_count poisons the offsets BEHIND
+    // it only (explicit entries never poison — they don't advance).
     var rowIdOffset = 0L
     var offsetValid = true
     readAvro(manifestPath).foreach { entry =>
@@ -548,8 +555,12 @@ object IcebergReader {
         content match {
           case 0 =>
             val rc = longField(df, "record_count", -1L)
+            val explicitFrid = fieldOpt(df, "first_row_id")
+              .map(_.asInstanceOf[Number].longValue)
             val off = if (offsetValid) rowIdOffset else -1L
-            if (rc < 0) offsetValid = false else rowIdOffset += rc
+            if (explicitFrid.isEmpty) {
+              if (rc < 0) offsetValid = false else rowIdOffset += rc
+            }
             data += DataFileEntry(path, seq,
               partitionValues = partitionTuple(df),
               bounds = entryBounds(df),
@@ -558,8 +569,7 @@ object IcebergReader {
               declaredPath = str(df, "file_path"),
               specId = m.specId,
               recordCount = rc,
-              explicitFirstRowId = fieldOpt(df, "first_row_id")
-                .map(_.asInstanceOf[Number].longValue),
+              explicitFirstRowId = explicitFrid,
               rowIdOffset = off,
               manifestPath = m.path)
           case 1 =>
@@ -1185,7 +1195,9 @@ object IcebergReader {
       case Some(schemas) =>
         val id = root.get("current-schema-id").asInt()
         schemas.elements().asScala
-          .find(_.get("schema-id").asInt() == id).get
+          .find(_.get("schema-id").asInt() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $id not present in schemas"))
       case None => root.get("schema")
     }
     node.get("fields").elements().asScala.flatMap { f =>
@@ -1346,8 +1358,13 @@ object IcebergReader {
       if (!withLineage) Map.empty
       else {
         val byManifest = dataAll.groupBy(_.manifestPath)
+        // window sizing counts only the entries that INHERIT (null field
+        // 142) — same null-only rule as the in-manifest offset walk, so
+        // a foreign merged manifest (explicit EXISTING entries followed
+        // by null ADDED ones) sizes by its assigned rows, not all rows
         def liveRowsOf(path: String): Option[Long] = {
           val es = byManifest.getOrElse(path, Nil)
+            .filter(_.explicitFirstRowId.isEmpty)
           if (es.exists(_.recordCount < 0)) None
           else Some(es.map(_.recordCount).sum)
         }

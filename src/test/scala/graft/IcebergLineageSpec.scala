@@ -275,6 +275,44 @@ class IcebergLineageSpec extends SparkSpec {
       e2.getMessage.contains("underivable"))
   }
 
+  test("foreign merged manifest: the inheritance offset and window " +
+      "sizing count ONLY entries that inherit (null field 142)") {
+    // The standard output of Iceberg's merging snapshot producer: a
+    // manifest whose EXISTING entries carry explicit first_row_id and
+    // whose freshly ADDED entries are null. Spec rule: a null entry's id
+    // window starts at manifest.first_row_id + record_count of preceding
+    // null entries ONLY (explicit rows belong to windows pinned
+    // elsewhere), and the NEXT null-window manifest starts after this
+    // manifest's ASSIGNED rows only.
+    val root = Paths.get(tmp("lin_foreign_merge"))
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val F = IcebergTestFixtures
+    // keys 0..4 explicit ids 100..104; keys 10..12 inherit; keys 20..21
+    // inherit in a SECOND null-window manifest
+    val fileE = F.writeDataFile(df(0 until 5), root, "e.parquet")
+    val fileN = F.writeDataFile(df(10 until 13), root, "n.parquet")
+    val fileN2 = F.writeDataFile(df(20 until 22), root, "n2.parquet")
+    val m1 = F.lineageManifest(root.resolve("metadata/m1.avro"),
+      Seq((fileE, 5L, Some(100L)), (fileN, 3L, None)))
+    val m2 = F.lineageManifest(root.resolve("metadata/m2.avro"),
+      Seq((fileN2, 2L, None)))
+    val list = F.lineageManifestList(root.resolve("metadata/snap-1.avro"),
+      Seq((m1, 0, 1L, None), (m2, 0, 1L, None)))
+    F.writeMetadata(root, 1, 3, Seq((1L, 1L, list)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin, firstRowId = Some(0L))
+    val got = lineage(root.toString).map { case (k, (rid, _)) => k -> rid }
+    val want = Map(
+      0 -> 100L, 1 -> 101L, 2 -> 102L, 3 -> 103L, 4 -> 104L, // explicit
+      10 -> 0L, 11 -> 1L, 12 -> 2L, // m1 window 0 + null-only offset 0
+      20 -> 3L, 21 -> 4L) // m2 window = 0 + m1's ASSIGNED rows (3)
+    assert(got == want,
+      s"inheritance must skip explicit entries: got $got, want $want")
+  }
+
   test("lineage read on a v2 table fails loudly") {
     val t = tmp("lin_v2")
     W.create(df(0 until 5), t) // v2

@@ -57,6 +57,86 @@ object IcebergTestFixtures {
       |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
       |]}}]}""".stripMargin)
 
+  /** v3 manifest-list schema: the v2 shape plus the row-lineage window
+    * (spec field 520), optional so pre-lineage lists leave it null.
+    */
+  val listSchemaV3: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"first_row_id","type":["null","long"],"default":null}]}"""
+      .stripMargin)
+
+  /** v3 entry schema WITH the per-file row-lineage window (spec field
+    * 142) — what a conforming foreign MERGED manifest carries on its
+    * EXISTING entries while freshly added entries leave it null.
+    */
+  val entrySchemaV3Lineage: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"first_row_id","type":["null","long"],"default":null}
+      |]}}]}""".stripMargin)
+
+  /** (path, recordCount, explicit first_row_id) data entries → one v3
+    * manifest with per-entry lineage fields.
+    */
+  def lineageManifest(path: Path,
+      entries: Seq[(String, Long, Option[Long])]): String = {
+    val dfSchema = entrySchemaV3Lineage.getField("data_file").schema()
+    val recs = entries.map { case (file, rc, frid) =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", file)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", rc)
+      df.put("file_size_in_bytes", 1L)
+      frid.foreach(v => df.put("first_row_id", v))
+      val e = new GenericData.Record(entrySchemaV3Lineage)
+      e.put("status", if (frid.isDefined) 0 else 1) // EXISTING vs ADDED
+      e.put("data_file", df)
+      e: GenericRecord
+    }
+    writeAvro(path, entrySchemaV3Lineage, recs)
+    path.toString
+  }
+
+  /** (manifest path, content, seq, list-level first_row_id) rows → a v3
+    * manifest list carrying field 520.
+    */
+  def lineageManifestList(path: Path,
+      entries: Seq[(String, Int, Long, Option[Long])]): String = {
+    val recs = entries.map { case (mp, content, seq, frid) =>
+      val r = new GenericData.Record(listSchemaV3)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 1L)
+      frid.foreach(v => r.put("first_row_id", v))
+      r: GenericRecord
+    }
+    writeAvro(path, listSchemaV3, recs)
+    path.toString
+  }
+
   /** One-entry deletion-vector manifest: a content=1 PUFFIN entry whose
     * coordinates come from the written blob. `recordCount` defaults to
     * the DV cardinality (the spec-required value); pass an override to

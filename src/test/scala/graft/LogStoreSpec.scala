@@ -228,6 +228,26 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("HttpLogStore: a retried own commit (lost 2xx response) is " +
+      "recognized by content read-back, not treated as a lost race") {
+    withConditionalPutServer { (uri, blobCount) =>
+      val store = new graft.output.HttpLogStore(uri)
+      val dir = Files.createTempDirectory("graft_ls_http_retry")
+      val dest = dir.resolve("00000000000000000001.json")
+      store.putIfAbsent(dest, "mine")
+      // simulate the lost-response window: the blob is durable remotely
+      // but nothing happened locally, and the writer retries
+      Files.deleteIfExists(dest)
+      store.putIfAbsent(dest, "mine") // must succeed, not 412→conflict
+      assert(Files.readString(dest) == "mine")
+      assert(blobCount() == 1)
+      // a genuine competing commit still observes the conflict
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        store.putIfAbsent(dest, "other")
+      }
+    }
+  }
+
   test("delta through HttpLogStore: concurrent appends both land, " +
       "every commit remote-arbitrated") {
     withConditionalPutServer { (uri, blobCount) =>

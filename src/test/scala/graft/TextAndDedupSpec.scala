@@ -360,6 +360,56 @@ class SearchIndexSpec extends SparkSpec {
         s"probe listed $listed of $totalDirs partitions, want <= ${wantBuckets.length}")
     }
   }
+  test("loadedGenCache is an access-ordered LRU: one eldest evicted, warm entries survive") {
+    val cache = SearchIndex.loadedGenCache
+    cache.clear()
+    val dummy = graft.operators.SearchIndex.Bm25Index(
+      Seq(("t", 1L, 1)).toDF("term", "id", "tf"),
+      Seq((1.0, 1.0)).toDF("n", "avgdl"))
+    try {
+      (1 to 64).foreach(i => cache.put(s"dir-$i", (s"fp-$i", dummy)))
+      cache.get("dir-1") // touch: dir-1 becomes most-recent
+      cache.put("dir-65", ("fp-65", dummy))
+      assert(cache.size() == 64, s"expected capacity hold, got ${cache.size()}")
+      assert(cache.containsKey("dir-1"), "recently-touched entry was evicted")
+      assert(!cache.containsKey("dir-2"),
+        "eldest untouched entry should be the one evicted")
+      assert(cache.containsKey("dir-65"))
+    } finally cache.clear()
+  }
+  test("generational reclaim honors the grace window (multi-process safety), then reclaims") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bm25gen").toString
+    def gens(): Set[String] = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        val it = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          s.iterator()).asScala
+        it.map(_.getFileName.toString).filter(_.startsWith("idx-")).toSet
+      } finally s.close()
+    }
+    val saved = SearchIndex.reclaimGraceMs
+    try {
+      SearchIndex.reclaimGraceMs = Long.MaxValue / 4 // spare everything
+      SearchIndex.ensureIndex(spark, dir, "fp1", docs, "doc_id", Seq("text"))
+      SearchIndex.ensureIndex(spark, dir, "fp2", docs, "doc_id", Seq("text"))
+      SearchIndex.ensureIndex(spark, dir, "fp3", docs, "doc_id", Seq("text"))
+      assert(gens().size == 3,
+        s"in-grace generations must be spared: ${gens()}")
+      SearchIndex.reclaimGraceMs = 0L // everything aged out
+      SearchIndex.ensureIndex(spark, dir, "fp4", docs, "doc_id", Seq("text"))
+      // new generation + the previous one survive; older reclaimed
+      assert(gens().size == 2,
+        s"aged-out generations must be reclaimed: ${gens()}")
+      // the surviving marker still serves
+      val idx = SearchIndex.ensureIndex(spark, dir, "fp4", docs,
+        "doc_id", Seq("text"))
+      assert(SearchIndex.score(idx, "engine").count() == 3L)
+    } finally {
+      SearchIndex.reclaimGraceMs = saved
+      SearchIndex.loadedGenCache.clear()
+    }
+  }
 }
 
 class AnnSpec extends SparkSpec {
