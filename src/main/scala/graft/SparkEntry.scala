@@ -144,6 +144,61 @@ object SparkEntry {
     root.toString
   }
 
+  /** Foreign Delta table whose `n_nationkey` was WIDENED int→long
+    * (protocol "Type Widening"): commit 0 = int schema + an int32 file,
+    * commit 1 = the widening metaData (widened type + `delta.typeChanges`
+    * history on the field), commit 2 = an int64 file — the exact layout
+    * Delta 3.2+ `ALTER COLUMN ... TYPE BIGINT` leaves behind. The reader
+    * must serve BOTH files under the widened logical type.
+    */
+  private def deltaTypeWideningFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_widen_gate_v1_${math.abs(dir.hashCode)}")
+      val logDir = root.resolve("_delta_log")
+      if (Files.exists(logDir.resolve(f"${2L}%020d.json"))) return root.toString
+      def deleteRec(p: Path): Unit = deleteRecursively(p)
+      deleteRec(root)
+      Files.createDirectories(logDir)
+      val nation = Tables.load(s, dir, "nation")
+      def writeFile(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve("staging")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        Files.move(part, root.resolve(name))
+        deleteRec(tmp)
+      }
+      writeFile(nation.filter(col("n_regionkey") < 2)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int")), "part-old.parquet")
+      writeFile(nation.filter(col("n_regionkey") >= 2)
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("int")), "part-new.parquet")
+      def field(n: String, t: String, meta: String = "{}") =
+        s"""{"name":"$n","type":"$t","nullable":true,"metadata":$meta}"""
+      def schemaStr(keyType: String, keyMeta: String) = (
+        s"""{"type":"struct","fields":[${field("n_nationkey", keyType, keyMeta)},""" +
+          s"""${field("n_name", "string")},${field("n_regionkey", "integer")}]}""")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      def add(path: String) =
+        s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      def md(schema: String) =
+        s"""{"metaData":{"id":"widengate","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+      Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+        md(schemaStr("integer", "{}")),
+        add("part-old.parquet")).mkString("\n"))
+      Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+        md(schemaStr("long",
+          """{"delta.typeChanges":[{"fromType":"integer","toType":"long","tableVersion":1}]}""")))
+      Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+        add("part-new.parquet"))
+      root.toString
+    }
+
   /** COLUMN-MAPPED (mode=name) Delta table over `nation` whose parquet
     * files carry PHYSICAL uuid-style column names, then the two
     * maintenance ops the mapping guard used to block (reference
@@ -990,6 +1045,53 @@ object SparkEntry {
         }
       }
       graft.sources.DeltaLogReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_row_lineage" -> ((s, dir) => {
+      // Delta ROW TRACKING read surface (the Delta twin of
+      // q_iceberg_v3_lineage): create(rowTracking) + append land
+      // deterministic ids (one sorted file per commit), a DV delete
+      // keeps survivors' ids, and OPTIMIZE compaction preserves them
+      // through MATERIALIZED columns — the oracle recomputes every id
+      // and commit version with row_number over the raw table
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_rowlin_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          val W = graft.output.DeltaWriter
+          // one globally-sorted single file per commit → ids follow
+          // row_number order, exactly what the oracle recomputes
+          W.create(nation.filter(col("n_regionkey") < 2)
+            .orderBy(col("n_nationkey")).coalesce(1),
+            root.toString, rowTracking = true)
+          W.append(nation.filter(col("n_regionkey") >= 2)
+            .orderBy(col("n_nationkey")).coalesce(1), root.toString)
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 3 === 0)
+          // purge materializes the DVs away (ids preserved via the
+          // materialized columns), then optimize compacts the two clean
+          // files into one (ids carried again)
+          require(W.purgeDeletes(s, root.toString) > 0,
+            "purge rewrote no files")
+          require(W.optimize(s, root.toString) > 0,
+            "optimize compacted no files")
+        }
+      }
+      graft.sources.DeltaLogReader.read(s, root.toString, withLineage = true)
+        .select(col("n_nationkey"), col("n_name"), col("_row_id"),
+          col("_row_commit_version"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_type_widening" -> ((s, dir) => {
+      // Delta typeWidening READ (protocol "Type Widening"): a foreign
+      // table whose column was widened int→long serves whole — the old
+      // int32 file reads under the widened logical type (Spark 4
+      // parquet widening promotions), the post-widening int64 file
+      // natively
+      val root = deltaTypeWideningFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, root)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
     "q_delta_v2_checkpoint_scan" -> ((s, dir) => {
@@ -2820,6 +2922,30 @@ object SparkEntry {
     "q_iceberg_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // _row_id recomputed from the fixture's layout: the create's file =
+    // region < 2 sorted by key starting at id 0 with commit version 0,
+    // the append's file = region >= 2 starting at count(region<2) with
+    // commit version 1; id = base + in-file position. The DV delete,
+    // purge and optimize must all be INVISIBLE here — ids stable.
+    "q_delta_row_lineage" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+        |    row_number() OVER (ORDER BY n_nationkey) - 1 AS rid,
+        |    0 AS rcv
+        |  FROM nation WHERE n_regionkey < 2),
+        |b AS (SELECT n_nationkey, n_name,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+        |      + row_number() OVER (ORDER BY n_nationkey) - 1 AS rid,
+        |    1 AS rcv
+        |  FROM nation WHERE n_regionkey >= 2)
+        |SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS _row_id,
+        |       CAST(rcv AS BIGINT) AS _row_commit_version
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |WHERE n_nationkey % 3 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_delta_type_widening" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_delta_ts_skip" ->
       """SELECT o_orderkey, o_custkey,
         |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders

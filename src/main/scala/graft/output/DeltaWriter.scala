@@ -38,21 +38,59 @@ import scala.jdk.CollectionConverters._
   */
 object DeltaWriter {
 
+  /** `rowTracking = true` creates the table with ROW TRACKING enabled
+    * (PROTOCOL.md "Row Tracking"): the protocol carries the
+    * `rowTracking` + `domainMetadata` writer features, the configuration
+    * enables it and names the materialized lineage columns, every add
+    * gets a fresh `baseRowId`/`defaultRowCommitVersion`, and the commit
+    * records the id high-water mark — the Delta twin of Iceberg v3 row
+    * lineage, read back via [[graft.sources.DeltaLogReader.read]]'s
+    * `withLineage`.
+    */
   def create(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      rowTracking: Boolean = false): Unit = {
     val root = Paths.get(path)
     // a table exists only once commit 0 exists — a crash between data
     // write and commit leaves no _delta_log entry, so create() retries
     // cleanly instead of wedging on an empty log directory
     require(!Files.exists(root.resolve("_delta_log").resolve(f"${0L}%020d.json")),
       s"$path is already a delta table; use append or overwrite")
+    require(!rowTracking || !df.schema.fieldNames.exists(n =>
+        n == "_row_id" || n == "_row_commit_version"),
+      "row tracking reserves the _row_id/_row_commit_version column names")
     val files = writeData(df, root, partitionBy)
     val schemaStr = escape(df.schema.json)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val conf: Map[String, String] =
+      if (!rowTracking) Map.empty
+      else Map(
+        "delta.enableRowTracking" -> "true",
+        // uuid-suffixed physical names, like delta-spark's, so a later
+        // logical column can never collide with them
+        "delta.rowTracking.materializedRowIdColumnName" ->
+          s"_row_id_col_$uuid",
+        "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+          s"_row_commit_version_col_$uuid")
+    val confJson = conf.map { case (k, v) =>
+      s""""${escape(k)}":"${escape(v)}"""" }.mkString(",")
+    // rowTracking + domainMetadata are WRITER features (feature-listed
+    // protocols need minWriterVersion 7, with writer-v2's implied legacy
+    // features spelled out); readers stay at 1 — row ids are optional
+    // metadata a legacy reader may ignore
+    val protocolAction =
+      if (rowTracking)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking"]}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val (lineage, domainActs) =
+      assignRowLineage(rowTracking, None, root, files, 0L)
     commit(root, 0L,
-      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{},"createdTime":0}}""")
-        ++ txnActions(txn) ++ files.map(addAction(_)))
+      Seq(protocolAction,
+        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{$confJson},"createdTime":0}}""")
+        ++ txnActions(txn)
+        ++ files.zip(lineage).map { case (w, l) => addAction(w, lineage = l) }
+        ++ domainActs)
   }
 
   /** `txn` stamps the commit with a `{"txn":{"appId","version"}}` action
@@ -108,17 +146,32 @@ object DeltaWriter {
       val snap =
         if (attempt == 0) snap0
         else graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
-      val actions =
-        validatedMdAction(snap) ++ txnActions(txn) ++ files.map(addAction(_))
       val version = nextVersion(root)
-      try {
-        commit(root, version, actions)
-        maybeCheckpoint(df.sparkSession, root, version)
-        committed = true
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > 10) throw e
+      // row tracking: base ids derive from THIS snapshot's high-water
+      // mark, so the commit must land exactly at snap.version + 1 — a
+      // drifted nextVersion means a competitor committed after our read
+      // (possibly bumping the mark); re-read instead of minting
+      // colliding ids. Untracked appends stay order-independent.
+      if (snap.rowTrackingEnabled && version != snap.version + 1) {
+        attempt += 1
+        if (attempt > 10) throw new ConcurrentCommitException(
+          s"append to $path keeps losing the row-id high-water-mark race")
+      } else {
+        val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
+          snap.rowIdHighWaterMark, root, files, version)
+        val actions =
+          validatedMdAction(snap) ++ txnActions(txn) ++
+            files.zip(lineage).map { case (w, l) =>
+              addAction(w, lineage = l) } ++ domainActs
+        try {
+          commit(root, version, actions)
+          maybeCheckpoint(df.sparkSession, root, version)
+          committed = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 10) throw e
+        }
       }
     }
   }
@@ -135,7 +188,14 @@ object DeltaWriter {
       // decoded path cancels the original add's
       s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":true}}""")
     val version = nextVersion(root)
-    commit(root, version, removes ++ files.map(addAction(_)))
+    require(!snap.rowTrackingEnabled || version == snap.version + 1,
+      s"overwrite of $path raced a concurrent commit — fresh row ids " +
+        "would derive from a stale high-water mark; retry")
+    val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
+      snap.rowIdHighWaterMark, root, files, version)
+    commit(root, version, removes ++
+      files.zip(lineage).map { case (w, l) => addAction(w, lineage = l) } ++
+      domainActs)
     maybeCheckpoint(df.sparkSession, root, version)
   }
 
@@ -228,29 +288,55 @@ object DeltaWriter {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
       lit, raise_error, regexp_replace}
     import spark.implicits._
-    val fileToBin = bins.zipWithIndex.flatMap { case ((_, fs), i) =>
-      fs.map(f => abs(f) -> i)
+    // row tracking: rewritten files must MATERIALIZE every surviving
+    // row's id/commit-version into the config-named physical columns, or
+    // the rewrite renumbers rows (the per-file base map rides the same
+    // broadcast as the bin routing; sources that already carry the
+    // materialized columns — earlier rewrites — win via coalesce)
+    val matLin = materializedLineageCols(snap)
+    val scanSchema = matLin match {
+      case Some((rid, rcv)) => StructType(physSchema.fields ++
+        Seq(StructField(rid, LongType), StructField(rcv, LongType)))
+      case None => physSchema
     }
-    val gdf = broadcast(fileToBin.toDF("__f", "__bin"))
+    val binnedFiles = bins.zipWithIndex.flatMap { case ((_, fs), i) =>
+      fs.map(f => f -> i)
+    }
+    val gdf = broadcast(binnedFiles.map { case (f, i) =>
+      (abs(f), i, f.baseRowId, f.defaultRowCommitVersion)
+    }.toDF("__f", "__bin", "__rt_base", "__rt_rcv"))
     // LEFT join + fail-fast: the scan reads EXACTLY the binned files, so
     // every row must resolve a bin — an inner join would silently drop
     // rows on path drift while the removes below still commit
-    val src = spark.read.options(readerOpts).schema(physSchema)
-      .parquet(fileToBin.map(_._1): _*)
+    val src0 = spark.read.options(readerOpts).schema(scanSchema)
+      .parquet(binnedFiles.map(p => abs(p._1)): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
       .join(gdf, Seq("__f"), "left")
       .withColumn("__bin", coalesce(col("__bin"),
         raise_error(concat(
           lit("optimize: scanned file missing from bin map (path " +
             "normalization drift): "), col("__f")))))
+    val src = matLin match {
+      case None => src0
+      case Some((rid, rcv)) =>
+        src0.withColumn(rid, coalesce(col(s"`$rid`"),
+            col("__rt_base") + col("__pos"),
+            raise_error(concat(lit(
+              "optimize: underivable row id for a row of "), col("__f")))))
+          .withColumn(rcv, coalesce(col(s"`$rcv`"), col("__rt_rcv"),
+            raise_error(concat(lit(
+              "optimize: underivable row commit version for a row of "),
+              col("__f")))))
+    }
     val keyed = src.rdd.map(r => r.getAs[Int]("__bin") -> r)
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = bins.size
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       }).values
     val routed = spark.createDataFrame(keyed, src.schema)
-      .drop("__f", "__bin")
+      .drop("__f", "__bin", "__pos", "__rt_base", "__rt_rcv")
     val staging = root.resolve(s".opt-staging-${java.util.UUID.randomUUID()}")
     graft.sources.Fs.ensureMicrosTimestamps(spark)
     routed.write.parquet(staging.toString)
@@ -283,10 +369,20 @@ object DeltaWriter {
     val removed = removes.result()
     if (removed.isEmpty) return 0
     val version = nextVersion(root)
+    require(!snap.rowTrackingEnabled || version == snap.version + 1,
+      s"optimize of $path raced a concurrent commit — fresh row ids " +
+        "would derive from a stale high-water mark; retry")
+    val newAdds = adds.result()
+    // rewritten adds still get FRESH base ids (spec: every add on a
+    // tracked table carries one) — readers ignore them because the
+    // materialized columns win
+    val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
+      snap.rowIdHighWaterMark, root, newAdds, version)
     commit(root, version,
       removed.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
-        ++ adds.result().map(w => addAction(w, dataChange = false)))
+        ++ newAdds.zip(lineage).map { case (w, l) =>
+          addAction(w, dataChange = false, l) } ++ domainActs)
     maybeCheckpoint(spark, root, version)
     removed.size
   }
@@ -386,10 +482,19 @@ object DeltaWriter {
     val pvOfGid: Map[Int, Map[String, String]] = groupIds.map(_.swap)
     val rows = rewritten.map { f =>
       val (lox, hix, loy, hiy) = partRange(f.partitionValues)
-      (absOf(f), groupIds(f.partitionValues), lox, hix, loy, hiy)
+      (absOf(f), groupIds(f.partitionValues), lox, hix, loy, hiy,
+        f.baseRowId, f.defaultRowCommitVersion)
     }
     val rdf = broadcast(rows.toDF("__f", "__gid",
-      "__lox", "__hix", "__loy", "__hiy"))
+      "__lox", "__hix", "__loy", "__hiy", "__rt_base", "__rt_rcv"))
+    // row tracking: the re-clustered files must carry every row's id
+    // (see [[optimize]] — same materialization, same coalesce order)
+    val matLin = materializedLineageCols(snap)
+    val scanSchema = matLin match {
+      case Some((rid, rcv)) => StructType(physSchema.fields ++
+        Seq(StructField(rid, LongType), StructField(rcv, LongType)))
+      case None => physSchema
+    }
     val z = graft.operators.Layout.zValue(
       graft.operators.Layout.quantize(col(s"`$px`"), col("__lox"),
         col("__hix"), bits),
@@ -404,23 +509,38 @@ object DeltaWriter {
     // so the __gid-partitioned write inserts no re-sort of its own and
     // z runs stay intact within every group — the same staging-prefix
     // argument as [[IcebergWriter.rewriteZOrder]]'s partitioned path.
-    val scan = spark.read.options(readerOpts).schema(physSchema)
+    val scan = spark.read.options(readerOpts).schema(scanSchema)
       .parquet(rewritten.map(f => absOf(f)): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-    val decorated = scan.join(rdf, Seq("__f"), "left")
+      .withColumn("__pos", col("_metadata.row_index"))
+    val decorated0 = scan.join(rdf, Seq("__f"), "left")
       .withColumn("__gid", coalesce(col("__gid"),
         raise_error(concat(
           lit("optimizeZOrder: scanned file missing from range map (path " +
             "normalization drift): "), col("__f")))))
       .withColumn("__z", z)
+    val decorated = matLin match {
+      case None => decorated0
+      case Some((rid, rcv)) =>
+        decorated0.withColumn(rid, coalesce(col(s"`$rid`"),
+            col("__rt_base") + col("__pos"),
+            raise_error(concat(lit(
+              "optimizeZOrder: underivable row id for a row of "),
+              col("__f")))))
+          .withColumn(rcv, coalesce(col(s"`$rcv`"), col("__rt_rcv"),
+            raise_error(concat(lit(
+              "optimizeZOrder: underivable row commit version for a row of "),
+              col("__f")))))
+    }
     val keys = Seq(col("__gid"), col("__z"))
     val bytes = rewritten.map(f => snap.fileSize(absOf(f))).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val clustered = decorated
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .drop("__f", "__lox", "__hix", "__loy", "__hiy", "__z")
+      .drop("__f", "__pos", "__rt_base", "__rt_rcv",
+        "__lox", "__hix", "__loy", "__hiy", "__z")
     val staging = root.resolve(s".zo-staging-${java.util.UUID.randomUUID()}")
     graft.sources.Fs.ensureMicrosTimestamps(spark)
     clustered.write.partitionBy("__gid").parquet(staging.toString)
@@ -428,10 +548,16 @@ object DeltaWriter {
       "z-order")
 
     val version = nextVersion(root)
+    require(!snap.rowTrackingEnabled || version == snap.version + 1,
+      s"optimizeZOrder of $path raced a concurrent commit — fresh row " +
+        "ids would derive from a stale high-water mark; retry")
+    val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
+      snap.rowIdHighWaterMark, root, adds, version)
     commit(root, version,
       rewritten.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
-        ++ adds.map(w => addAction(w, dataChange = false)))
+        ++ adds.zip(lineage).map { case (w, l) =>
+          addAction(w, dataChange = false, l) } ++ domainActs)
     maybeCheckpoint(spark, root, version)
     rewritten.size
   }
@@ -485,8 +611,19 @@ object DeltaWriter {
     val pvOfGid: Map[Int, Map[String, String]] = groupIds.map(_.swap)
     val dvs = dvFiles.map(f => abs(f) -> f.deletionVector.get)
     val gdf = broadcast(dvFiles.map(f =>
-      (abs(f), groupIds(f.partitionValues))).toDF("__f", "__gid"))
-    val live = spark.read.options(readerOpts).schema(physSchema)
+      (abs(f), groupIds(f.partitionValues), f.baseRowId,
+        f.defaultRowCommitVersion))
+      .toDF("__f", "__gid", "__rt_base", "__rt_rcv"))
+    // row tracking: survivors keep their ids — materialize them from the
+    // SOURCE position before the anti-join's survivors are re-laid-out
+    // (see [[optimize]]; same materialization, same coalesce order)
+    val matLin = materializedLineageCols(snap)
+    val scanSchema = matLin match {
+      case Some((rid, rcv)) => StructType(physSchema.fields ++
+        Seq(StructField(rid, LongType), StructField(rcv, LongType)))
+      case None => physSchema
+    }
+    val live0 = spark.read.options(readerOpts).schema(scanSchema)
       .parquet(dvFiles.map(abs): _*)
       .withColumn("__f",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -500,7 +637,19 @@ object DeltaWriter {
         raise_error(concat(
           lit("purgeDeletes: scanned file missing from group map (path " +
             "normalization drift): "), col("__f")))))
-      .drop("__f", "__p")
+    val live = (matLin match {
+      case None => live0
+      case Some((rid, rcv)) =>
+        live0.withColumn(rid, coalesce(col(s"`$rid`"),
+            col("__rt_base") + col("__p"),
+            raise_error(concat(lit(
+              "purgeDeletes: underivable row id for a row of "),
+              col("__f")))))
+          .withColumn(rcv, coalesce(col(s"`$rcv`"), col("__rt_rcv"),
+            raise_error(concat(lit(
+              "purgeDeletes: underivable row commit version for a row of "),
+              col("__f")))))
+    }).drop("__f", "__p", "__rt_base", "__rt_rcv")
     val staging = root.resolve(s".purge-staging-${java.util.UUID.randomUUID()}")
     graft.sources.Fs.ensureMicrosTimestamps(spark)
     live.write.partitionBy("__gid").parquet(staging.toString)
@@ -509,10 +658,16 @@ object DeltaWriter {
     val adds = collectGidOutputs(staging, root, pvOfGid, physSchema,
       "purge")
     val version = nextVersion(root)
+    require(!snap.rowTrackingEnabled || version == snap.version + 1,
+      s"purgeDeletes of $path raced a concurrent commit — fresh row ids " +
+        "would derive from a stale high-water mark; retry")
+    val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
+      snap.rowIdHighWaterMark, root, adds, version)
     commit(root, version,
       dvFiles.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
-        ++ adds.map(w => addAction(w, dataChange = false)))
+        ++ adds.zip(lineage).map { case (w, l) =>
+          addAction(w, dataChange = false, l) } ++ domainActs)
     maybeCheckpoint(spark, root, version)
     dvFiles.size
   }
@@ -690,7 +845,17 @@ object DeltaWriter {
       // only remove rows) — dropping them would turn off data skipping
       // for every file a delete ever touched
       val st = f.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson$st}}"""
+      // row tracking: a DV delete re-adds the SAME file, so its lineage
+      // carries verbatim (survivors' positions are unchanged — dropping
+      // these would renumber every surviving row of the file)
+      val rt = Seq(
+        f.baseRowId.map(b => s""""baseRowId":$b"""),
+        f.defaultRowCommitVersion.map(v =>
+          s""""defaultRowCommitVersion":$v""")).flatten match {
+        case Nil => ""
+        case fs => "," + fs.mkString(",")
+      }
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson$st$rt}}"""
     }
     val adds: Seq[String] = if (useSidecar) {
       // on-disk DV files (storageType `u`): old ∪ new positions per file
@@ -924,15 +1089,77 @@ object DeltaWriter {
     out
   }
 
-  private def addAction(w: Written, dataChange: Boolean = true): String = {
+  private def addAction(w: Written, dataChange: Boolean = true,
+      lineage: Option[(Long, Long)] = None): String = {
     val pv = w.partitionValues.map { case (k, v) =>
       s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
     }.mkString(",")
     // per-file stats (PROTOCOL.md "Per-file Statistics") make the table
     // data-skippable — the stats JSON rides the add as an escaped string
     val st = w.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
-    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":$dataChange$st}}"""
+    val rt = lineage.map { case (base, v) =>
+      s""","baseRowId":$base,"defaultRowCommitVersion":$v""" }.getOrElse("")
+    s"""{"add":{"path":"${escape(encodePath(w.relPath))}","partitionValues":{$pv},"size":${w.size},"modificationTime":0,"dataChange":$dataChange$st$rt}}"""
   }
+
+  // ---------- row tracking (PROTOCOL.md "Row Tracking") ----------
+
+  /** numRecords of a written file — from its stats JSON (this writer
+    * always records one), else the parquet footer.
+    */
+  private def recordsOf(root: Path, w: Written): Long =
+    w.stats.flatMap { s =>
+      try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(s).get("numRecords")).filterNot(_.isNull).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(IcebergWriter.footerRecordCount(root.resolve(w.relPath)))
+
+  /** Fresh row-id assignment for one commit's adds: each file's
+    * `baseRowId` starts past the table's high-water mark, the mark
+    * advances by the file's record count, and the commit carries the
+    * `delta.rowTracking` domainMetadata action recording the new mark.
+    * `version` must be the version this commit will land at — a row's
+    * commit version IS the add's `defaultRowCommitVersion`. No-op
+    * (all-None lineage, no action) on untracked tables.
+    */
+  private def assignRowLineage(enabled: Boolean, hwm: Option[Long],
+      root: Path, files: Seq[Written], version: Long)
+      : (Seq[Option[(Long, Long)]], Seq[String]) =
+    if (!enabled) (files.map(_ => None), Nil)
+    else {
+      var next = hwm.map(_ + 1).getOrElse(0L)
+      val lineage = files.map { w =>
+        val base = next
+        next += recordsOf(root, w)
+        Some((base, version))
+      }
+      val newMark = math.max(next - 1, hwm.getOrElse(-1L))
+      (lineage,
+        if (files.isEmpty) Nil else Seq(rowTrackingDomainAction(newMark)))
+    }
+
+  private[output] def rowTrackingDomainAction(hwm: Long): String = {
+    val cfg = escape(s"""{"rowIdHighWaterMark":$hwm}""")
+    s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"$cfg","removed":false}}"""
+  }
+
+  /** Materialized lineage column names for a REWRITE on a row-tracked
+    * table: both config keys are required (set at enable time) — a
+    * rewrite without them would renumber every row it touches, which is
+    * exactly what row tracking promises never happens.
+    */
+  private def materializedLineageCols(
+      snap: graft.sources.DeltaLogReader.Snapshot): Option[(String, String)] =
+    if (!snap.rowTrackingEnabled) None
+    else Some((
+      snap.materializedRowIdColumn.getOrElse(
+        throw new IllegalStateException(
+          "cannot rewrite files on a row-tracked delta table without " +
+            "delta.rowTracking.materializedRowIdColumnName")),
+      snap.materializedRowCommitVersionColumn.getOrElse(
+        throw new IllegalStateException(
+          "cannot rewrite files on a row-tracked delta table without " +
+            "delta.rowTracking.materializedRowCommitVersionColumnName"))))
 
   /** add/remove paths are stored PERCENT-ENCODED (URI syntax, PROTOCOL.md
     * "Add File and Remove File"): one `new URI(p).getPath` decode — what
@@ -1107,7 +1334,17 @@ object DeltaWriter {
       StructField("offset", IntegerType),
       StructField("sizeInBytes", IntegerType),
       StructField("cardinality", LongType)))),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    // row tracking (PROTOCOL.md "Row Tracking"): lineage must survive
+    // checkpointing or every row id silently changes after the first
+    // log compaction
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
+
+  private[output] val DomainMetadataActionType: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
 
   private def jmap(n: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, String] =
@@ -1161,7 +1398,18 @@ object DeltaWriter {
         dv.get("cardinality").asLong)).orNull,
       // stats survive checkpointing — dropping them would turn off data
       // skipping the first time a stats-bearing commit gets compacted
-      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).orNull)
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).orNull,
+      Option(a.get("baseRowId")).filterNot(_.isNull)
+        .map(v => Long.box(v.asLong)).orNull,
+      Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+        .map(v => Long.box(v.asLong)).orNull)
+
+  private def domainMetadataRow(
+      d: com.fasterxml.jackson.databind.JsonNode): Row =
+    Row(d.get("domain").asText,
+      Option(d.get("configuration")).filterNot(_.isNull)
+        .map(_.asText).getOrElse(""),
+      Option(d.get("removed")).exists(_.asBoolean(false)))
 
   /** Replay state needed for a checkpoint: last protocol / metaData seen,
     * latest txn per appId, and the live add set keyed by DECODED path (the
@@ -1177,6 +1425,11 @@ object DeltaWriter {
       .empty[String, com.fasterxml.jackson.databind.JsonNode]
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, com.fasterxml.jackson.databind.JsonNode]
+    // latest domainMetadata action per domain, TOMBSTONES INCLUDED — the
+    // protocol keeps removal markers in checkpoints so late readers of
+    // older commits still see the removal
+    val domains = scala.collection.mutable.LinkedHashMap
+      .empty[String, com.fasterxml.jackson.databind.JsonNode]
 
     def applyLine(line: String): Unit = {
       val n = mapper.readTree(line)
@@ -1184,6 +1437,10 @@ object DeltaWriter {
       if (n.has("metaData")) metaData = n.get("metaData")
       if (n.has("txn")) {
         val t = n.get("txn"); txns(t.get("appId").asText) = t
+      }
+      if (n.has("domainMetadata")) {
+        val d = n.get("domainMetadata")
+        domains(d.get("domain").asText) = d
       }
       if (n.has("add")) {
         val a = n.get("add")
@@ -1273,16 +1530,20 @@ object DeltaWriter {
     val mdRow = metaDataRow(st.metaData)
     val txnRows = st.txns.values.toSeq.map(txnRow)
     val addRows = st.adds.values.toSeq.map(addActionRow)
+    val domainRows = st.domains.values.toSeq.map(domainMetadataRow)
 
     val cpSchema = StructType(Seq(
       StructField("protocol", ProtocolActionType),
       StructField("metaData", MetaDataActionType),
       StructField("txn", TxnActionType),
-      StructField("add", AddActionType)))
+      StructField("add", AddActionType),
+      StructField("domainMetadata", DomainMetadataActionType)))
     val rows: Seq[Row] =
-      Seq(Row(protoRow, null, null, null), Row(null, mdRow, null, null)) ++
-        txnRows.map(t => Row(null, null, t, null)) ++
-        addRows.map(a => Row(null, null, null, a))
+      Seq(Row(protoRow, null, null, null, null),
+          Row(null, mdRow, null, null, null)) ++
+        txnRows.map(t => Row(null, null, t, null, null)) ++
+        addRows.map(a => Row(null, null, null, a, null)) ++
+        domainRows.map(d => Row(null, null, null, null, d))
 
     // single-file parquet: stage a coalesce(1) write, move the part file
     val staging = root.resolve(s".cp-staging-${java.util.UUID.randomUUID()}")
@@ -1404,7 +1665,8 @@ object DeltaWriter {
       val df = readCheckpointDf(spark, prevFiles)
       prevManifestDf = Some(df)
       val cols = df.columns.toSet
-      val small = Seq("protocol", "metaData", "txn").filter(cols.contains)
+      val small = Seq("protocol", "metaData", "txn", "domainMetadata")
+        .filter(cols.contains)
       if (small.nonEmpty)
         df.select(small.map(c => col(s"`$c`")): _*)
           .where(small.map(c => col(s"`$c`").isNotNull).reduce(_ || _))
@@ -1441,7 +1703,8 @@ object DeltaWriter {
         s"commit $v missing from delta log — cannot checkpoint over a gap")
       Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
         val n = st.mapper.readTree(line)
-        if (n.has("protocol") || n.has("metaData") || n.has("txn"))
+        if (n.has("protocol") || n.has("metaData") || n.has("txn") ||
+            n.has("domainMetadata"))
           st.applyLine(line)
         if (n.has("add")) {
           val a = n.get("add")
@@ -1495,7 +1758,9 @@ object DeltaWriter {
         top("modificationTime", LongType),
         top("dataChange", BooleanType),
         dvCol,
-        top("stats", StringType))
+        top("stats", StringType),
+        top("baseRowId", LongType),
+        top("defaultRowCommitVersion", LongType))
     }
     // SIDECAR REUSE (the v2 layout's incremental-checkpoint payoff): a
     // previous sidecar whose tagged DECODED-path range provably contains
@@ -1618,16 +1883,20 @@ object DeltaWriter {
       StructField("protocol", ProtocolActionType),
       StructField("metaData", MetaDataActionType),
       StructField("txn", TxnActionType),
+      StructField("domainMetadata", DomainMetadataActionType),
       StructField("checkpointMetadata", cpmType),
       StructField("sidecar", sidecarType)))
     val manRows: Seq[Row] =
       (Seq(
-        Row(protocolRow(st.protocol), null, null, null, null),
-        Row(null, metaDataRow(st.metaData), null, null, null),
-        Row(null, null, null, Row(version, null), null)) ++
-        st.txns.values.toSeq.map(t => Row(null, null, txnRow(t), null, null)) ++
+        Row(protocolRow(st.protocol), null, null, null, null, null),
+        Row(null, metaDataRow(st.metaData), null, null, null, null),
+        Row(null, null, null, null, Row(version, null), null)) ++
+        st.txns.values.toSeq.map(t =>
+          Row(null, null, txnRow(t), null, null, null)) ++
+        st.domains.values.toSeq.map(d =>
+          Row(null, null, null, domainMetadataRow(d), null, null)) ++
         sidecars.map { s =>
-          Row(null, null, null, null, Row(s.path, s.sizeInBytes,
+          Row(null, null, null, null, null, Row(s.path, s.sizeInBytes,
             s.modificationTime, if (s.tags.isEmpty) null else s.tags))
         })
     val manStaging = root.resolve(s".cp2m-${java.util.UUID.randomUUID()}")

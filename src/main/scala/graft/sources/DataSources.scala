@@ -82,7 +82,11 @@ object DataSources {
       case "delta" if DeltaLogReader.isDeltaTable(localPath) =>
         DeltaLogReader.read(spark, localPath,
           ds.options.get("versionAsOf").map(_.toLong),
-          skipFilters = skipFilters)
+          skipFilters = skipFilters,
+          // row tracking on the serving surface: `lineage: "true"`
+          // appends _row_id / _row_commit_version — same handle as the
+          // iceberg side below, one option name across both formats
+          withLineage = ds.options.get("lineage").exists(_.toBoolean))
       case "delta" =>
         requireLocal("delta")
         reader.parquet(uri)

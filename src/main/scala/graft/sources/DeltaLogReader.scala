@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -37,9 +37,17 @@ object DeltaLogReader {
     * maxValues, nullCount) when the writer emitted one — the data-
     * skipping plane [[read]]'s `skipFilters` prunes against.
     */
+  /** `baseRowId`/`defaultRowCommitVersion`: the file's ROW TRACKING
+    * lineage (PROTOCOL.md "Row Tracking") — a row's id is
+    * baseRowId + its position unless the file carries the table's
+    * materialized row-id column, and its commit version is
+    * defaultRowCommitVersion unless materialized likewise.
+    */
   final case class AddFile(path: String, partitionValues: Map[String, String],
       deletionVector: Option[DeletionVectors.Descriptor] = None,
-      stats: Option[String] = None) {
+      stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None) {
     /** stats parsed ONCE per AddFile instance — with the snapshot cache
       * that is once per file per snapshot lifetime. Replaces the former
       * process-global parse LRU, whose single mutex serialized every
@@ -66,9 +74,33 @@ object DeltaLogReader {
       configuration: Map[String, String],
       files: Seq[AddFile],
       metaDataId: String = "graft",
-      protocol: Protocol = Protocol(1, 2, Set.empty, Set.empty)) {
+      protocol: Protocol = Protocol(1, 2, Set.empty, Set.empty),
+      // latest domainMetadata configuration per domain (removed domains
+      // absent) — PROTOCOL.md "Domain Metadata"; row tracking stores its
+      // id high-water mark in the `delta.rowTracking` domain
+      domainMetadata: Map[String, String] = Map.empty) {
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
+    def rowTrackingEnabled: Boolean =
+      configuration.get("delta.enableRowTracking").contains("true")
+    /** Highest fresh row id ever assigned (domain `delta.rowTracking`,
+      * key `rowIdHighWaterMark`); None before the first assignment.
+      */
+    def rowIdHighWaterMark: Option[Long] =
+      domainMetadata.get("delta.rowTracking").flatMap { cfg =>
+        try Option(mapper.readTree(cfg).get("rowIdHighWaterMark"))
+          .filterNot(_.isNull).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    /** Physical parquet column names holding MATERIALIZED row ids /
+      * commit versions (what lets a rewrite preserve lineage) — table
+      * configuration per the protocol, absent until set at enable time.
+      */
+    def materializedRowIdColumn: Option[String] =
+      configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    def materializedRowCommitVersionColumn: Option[String] =
+      configuration.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName")
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     /** filesystem size statted ONCE per snapshot instance per file (data
@@ -181,6 +213,15 @@ object DeltaLogReader {
     var metaDataId: String = "graft"
     var protocol = Protocol(1, 2, Set.empty, Set.empty)
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def applyDomainMetadata(d: JsonNode): Unit = {
+      val name = d.get("domain").asText
+      if (Option(d.get("removed")).exists(_.asBoolean(false)))
+        domains.remove(name)
+      else domains(name) =
+        Option(d.get("configuration")).filterNot(_.isNull)
+          .map(_.asText).getOrElse("")
+    }
     def readProtocol(p: JsonNode): Protocol = {
       def feats(field: String): Set[String] =
         Option(p.get(field)).filterNot(_.isNull)
@@ -197,7 +238,8 @@ object DeltaLogReader {
       */
     def applyCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
       val cols = df.columns.toSet
-      val actions = Seq("metaData", "add", "remove", "protocol").filter(cols.contains)
+      val actions = Seq("metaData", "add", "remove", "protocol",
+        "domainMetadata").filter(cols.contains)
       if (actions.nonEmpty) {
         df.select(actions.map(c => col(s"`$c`")): _*).collect().foreach { r =>
           val row = mapper.readTree(r.json)
@@ -216,6 +258,8 @@ object DeltaLogReader {
           Option(row.get("remove")).filterNot(_.isNull).foreach { rm =>
             adds.remove(decodePath(rm.get("path").asText))
           }
+          Option(row.get("domainMetadata")).filterNot(_.isNull)
+            .foreach(applyDomainMetadata)
         }
       }
       if (cols.contains("sidecar")) {
@@ -309,6 +353,8 @@ object DeltaLogReader {
         }
         if (action.has("remove"))
           adds.remove(decodePath(action.get("remove").get("path").asText))
+        if (action.has("domainMetadata"))
+          applyDomainMetadata(action.get("domainMetadata"))
       }
     }
     require(schema != null, s"no metaData action found in $tablePath")
@@ -333,7 +379,7 @@ object DeltaLogReader {
           "retention)")
     }
     Snapshot(version, schema, partitionCols, configuration, adds.values.toSeq,
-      metaDataId, protocol)
+      metaDataId, protocol, domains.toMap)
   }
 
   /** Can a file whose stats JSON is `statsOpt` contain a row matching
@@ -466,7 +512,11 @@ object DeltaLogReader {
         d.get("cardinality").asLong)
     }
     AddFile(decodePath(a.get("path").asText), jsonMap(a.get("partitionValues")), dv,
-      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty),
+      baseRowId = Option(a.get("baseRowId")).filterNot(_.isNull)
+        .map(_.asLong()),
+      defaultRowCommitVersion = Option(a.get("defaultRowCommitVersion"))
+        .filterNot(_.isNull).map(_.asLong()))
   }
 
   /** Delta stores `add.path`/`remove.path` percent-encoded (URI syntax,
@@ -495,8 +545,14 @@ object DeltaLogReader {
     } catch { case _: java.net.URISyntaxException => p }
 
   private def checkProtocol(p: JsonNode): Unit = {
+    // typeWidening reads work because Spark 4's parquet readers apply
+    // widening type promotions natively (SPARK-40876): the pinned
+    // logical (widened) schema reads pre-widening files directly —
+    // int32→long, float→double etc. — so no per-file reconciliation is
+    // needed (DeltaTypeWideningSpec pins it against a foreign fixture).
     val supported = Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint", "appendOnly", "invariants", "deletionVectors")
+      "v2Checkpoint", "appendOnly", "invariants", "deletionVectors",
+      "typeWidening", "typeWidening-preview")
     val minReader = p.get("minReaderVersion").asInt(1)
     if (minReader >= 3 && p.has("readerFeatures")) {
       val feats = p.get("readerFeatures").elements().asScala.map(_.asText).toSet
@@ -624,10 +680,28 @@ object DeltaLogReader {
     * decode). Files without a DV skip the metadata projection and the join
     * entirely — an undeleted table pays nothing.
     */
+  /** `withLineage` (PROTOCOL.md "Row Tracking"): appends `_row_id` and
+    * `_row_commit_version` — a row's id is the file's MATERIALIZED
+    * row-id column value when present (a lineage-preserving rewrite
+    * wrote it), else the add action's `baseRowId` plus the row's
+    * position; the commit version likewise materialized-else-
+    * `defaultRowCommitVersion`. The exact shape of the Iceberg v3
+    * lineage surface ([[IcebergReader.read]]), so a pipeline deduping
+    * by row identity runs unchanged on either format. Underivable ids
+    * fail LOUDLY (raise_error), never null.
+    */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
-      skipFilters: Seq[SkipPredicate] = Nil): DataFrame = {
+      skipFilters: Seq[SkipPredicate] = Nil,
+      withLineage: Boolean = false): DataFrame = {
     val snap0 = snapshot(spark, tablePath, versionAsOf)
+    if (withLineage) {
+      require(snap0.rowTrackingEnabled,
+        s"row lineage columns need delta.enableRowTracking=true at $tablePath")
+      require(!snap0.schema.fieldNames.exists(n =>
+          n == "_row_id" || n == "_row_commit_version"),
+        "table schema uses the reserved lineage column names")
+    }
     // stats-based FILE skipping (the log-metadata twin of parquet
     // row-group pruning): a file whose [min, max] provably excludes a
     // predicate is dropped at PLANNING time — no task, no footer read.
@@ -660,21 +734,36 @@ object DeltaLogReader {
     // relation's Hadoop conf), not by mutating the shared session —
     // unrelated parquet reads in the same session keep their semantics.
     val readerOptions = readerOptionsFor(mode)
-    val physicalSchema = StructType(dataFields.map(physicalField(_, mode)))
+    // materialized lineage columns are PHYSICAL parquet columns outside
+    // the logical schema (config-named, PROTOCOL.md "Row Tracking");
+    // adding them to the scan schema makes carrying files serve values
+    // and plain files serve null (pinned-schema semantics) — exactly
+    // the coalesce order the derivation below needs
+    val matCols: IndexedSeq[String] =
+      if (!withLineage) IndexedSeq.empty
+      else IndexedSeq(snap.materializedRowIdColumn,
+        snap.materializedRowCommitVersionColumn).flatten
+    val physicalSchema = StructType(dataFields.map(physicalField(_, mode)) ++
+      matCols.map(n => StructField(n, LongType)))
 
     /** `file:` URI → plain absolute path, matching [[absPath]]'s keys. */
     def normFile(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
     def absPath(f: AddFile): String = resolveAdd(tablePath, f.path)
 
+    val lineageFields = IndexedSeq(
+      StructField("_row_id", LongType),
+      StructField("_row_commit_version", LongType))
     if (snap.files.isEmpty) { // fully-deleted snapshot: empty frame, right schema
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withLineage) StructType(snap.schema.fields ++ lineageFields)
+        else snap.schema)
     }
     val dvFiles = snap.files.collect {
       case f if f.deletionVector.isDefined => (absPath(f), f.deletionVector.get)
     }
-    val withPos = dvFiles.nonEmpty
+    val withPos = dvFiles.nonEmpty || withLineage
     // ONE relation for every layout, via [[GraftFileIndex]]: partition
     // values surface as PartitionDirectory rows (no more per-group
     // union — at 10³ hive partitions the old unionByName plan was 10³
@@ -723,18 +812,49 @@ object DeltaLogReader {
       if (mapped) col(s"`${physicalName(f)}`").as(f.name)
       else col(s"`${f.name}`"))
     val partCols = partFields.map(f => col(s"`${f.name}`"))
+    val matSelect = matCols.map(n => col(s"`$n`"))
     val joined =
       if (withPos)
-        base.select(dataCols ++ partCols
+        base.select(dataCols ++ partCols ++ matSelect
           :+ normFile(col("_metadata.file_path")).as("__dv_file")
           :+ col("_metadata.row_index").as("__dv_pos"): _*)
       else base.select(dataCols ++ partCols: _*)
     val live =
-      if (!withPos) joined
+      if (dvFiles.isEmpty) joined
       else joined.join(
         DeletionVectors.deletedRows(spark, tablePath, dvFiles),
         Seq("__dv_file", "__dv_pos"), "left_anti")
-    live.select(snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
+    val outCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    if (!withLineage) live.select(outCols: _*)
+    else {
+      // per-file lineage constants ride a broadcast (#files rows), the
+      // same metadata-plane shape as the DV join; LEFT join keeps
+      // path-drift loud through the raise_error fallbacks below
+      import spark.implicits._
+      val baseMap = broadcast(snap.files.map(f => (absPath(f),
+          f.baseRowId.map(Long.box).orNull: java.lang.Long,
+          f.defaultRowCommitVersion.map(Long.box).orNull: java.lang.Long))
+        .toDF("__dv_file", "__rt_base", "__rt_rcv"))
+      val matRid = snap.materializedRowIdColumn.map(n => col(s"`$n`"))
+        .getOrElse(lit(null).cast(LongType))
+      val matRcv = snap.materializedRowCommitVersionColumn
+        .map(n => col(s"`$n`")).getOrElse(lit(null).cast(LongType))
+      // materialized value wins (a rewrite pinned it); else the add's
+      // baseRowId + position; a row with neither is an ERROR, never a
+      // null id — the spec guarantees one of the two on conforming tables
+      live.join(baseMap, Seq("__dv_file"), "left")
+        .withColumn("_row_id", coalesce(matRid,
+          col("__rt_base") + col("__dv_pos"),
+          raise_error(concat(
+            lit("delta scan: underivable _row_id for a row of "),
+            col("__dv_file")))))
+        .withColumn("_row_commit_version", coalesce(matRcv,
+          col("__rt_rcv"),
+          raise_error(concat(
+            lit("delta scan: underivable _row_commit_version for a row of "),
+            col("__dv_file")))))
+        .select(outCols ++ lineageFields.map(f => col(s"`${f.name}`")): _*)
+    }
   }
 
   /** Embedded table config JSON, if present (config-from-delta,

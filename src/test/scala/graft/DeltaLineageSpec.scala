@@ -1,0 +1,179 @@
+package graft
+
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Delta ROW TRACKING (PROTOCOL.md "Row Tracking"), the Delta twin of
+  * [[IcebergLineageSpec]]: the writer assigns `baseRowId` /
+  * `defaultRowCommitVersion` on adds and records the id high-water mark
+  * in the `delta.rowTracking` domain; scans derive `_row_id` /
+  * `_row_commit_version`; and every file rewrite (optimize, z-order,
+  * purge) PRESERVES surviving rows' ids by materializing the config-named
+  * physical columns. The invariant each test pins: a row's
+  * (key → _row_id) mapping never changes across any maintenance op.
+  */
+class DeltaLineageSpec extends SparkSpec {
+  import spark.implicits._
+  private val W = graft.output.DeltaWriter
+
+  private def tmp(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    p.toString
+  }
+
+  /** key → (_row_id, _row_commit_version) of the live rows. */
+  private def lineage(table: String): Map[Int, (Long, Long)] =
+    DeltaLogReader.read(spark, table, withLineage = true)
+      .select(col("id"), col("_row_id"), col("_row_commit_version"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def df(r: Range) = r.map(i => (i, s"v$i")).toDF("id", "v")
+
+  test("create + append assign dense unique row ids; commit versions " +
+      "track the adding commit") {
+    val t = tmp("dlin_basic")
+    W.create(df(0 until 10), t, rowTracking = true)
+    W.append(df(10 until 25), t)
+    val m = lineage(t)
+    assert(m.keySet == (0 until 25).toSet)
+    // ids cover exactly [0, 25): dense, unique, fenced by the mark
+    assert(m.values.map(_._1).toSeq.sorted == (0L until 25L).toSeq)
+    assert((10 until 25).map(k => m(k)._1).min >= 10L)
+    // commit versions: create = 0, append = 1
+    assert((0 until 10).forall(k => m(k)._2 == 0L))
+    assert((10 until 25).forall(k => m(k)._2 == 1L))
+    // the protocol carries the required writer features
+    val proto = DeltaLogReader.snapshot(spark, t).protocol
+    assert(proto.writerFeatures.contains("rowTracking") &&
+      proto.writerFeatures.contains("domainMetadata"), proto.toString)
+  }
+
+  test("deleteWhere (DV plane) keeps survivors' row ids") {
+    val t = tmp("dlin_delete")
+    W.create(df(0 until 20), t, rowTracking = true)
+    W.append(df(20 until 30), t)
+    val before = lineage(t)
+    W.deleteWhere(spark, t, col("id") % 3 === 0)
+    assert(lineage(t) == before.filter { case (k, _) => k % 3 != 0 })
+  }
+
+  test("optimize compaction preserves row ids via materialized columns") {
+    val t = tmp("dlin_optimize")
+    W.create(df(0 until 20), t, rowTracking = true)
+    W.append(df(20 until 30), t)
+    val before = lineage(t)
+    assert(W.optimize(spark, t) > 0, "expected the two files to compact")
+    assert(lineage(t) == before, "compaction must not reassign row ids")
+    // a delete on the compacted table still works and stays stable
+    W.deleteWhere(spark, t, col("id") === 2)
+    assert(lineage(t) == before - 2)
+    // and a SECOND rewrite carries the already-materialized values
+    assert(W.purgeDeletes(spark, t) > 0)
+    assert(lineage(t) == before - 2,
+      "purge after compaction must keep the materialized ids")
+  }
+
+  test("optimizeZOrder preserves row ids through re-clustering") {
+    val t = tmp("dlin_zorder")
+    val d = (0 until 60).map(i => (i, (i * 37) % 60)).toDF("id", "y")
+    val td = tmp("dlin_zorder")
+    W.create(d, td, rowTracking = true)
+    val before = DeltaLogReader.read(spark, td, withLineage = true)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(W.optimizeZOrder(spark, td, "id", "y") > 0)
+    val after = DeltaLogReader.read(spark, td, withLineage = true)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before, "z-order must not reassign row ids")
+  }
+
+  test("purgeDeletes drops DVs, keeps survivors' ids") {
+    val t = tmp("dlin_purge")
+    W.create(df(0 until 30), t, rowTracking = true)
+    W.deleteWhere(spark, t, col("id") % 4 === 1)
+    val before = lineage(t)
+    assert(W.purgeDeletes(spark, t) > 0)
+    val snap = DeltaLogReader.snapshot(spark, t)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    assert(lineage(t) == before)
+  }
+
+  test("upsert: untouched rows keep ids; the batch gets fresh ids past " +
+      "every pre-upsert id") {
+    val t = tmp("dlin_upsert")
+    W.create(df(0 until 20), t, rowTracking = true)
+    val before = lineage(t)
+    val updates = ((0 until 5) ++ (100 until 105))
+      .map(i => (i, s"u$i")).toDF("id", "v")
+    W.upsert(updates, t, Seq("id"))
+    val after = lineage(t)
+    assert((5 until 20).forall(k => after(k) == before(k)))
+    val maxBefore = before.values.map(_._1).max
+    assert(((0 until 5) ++ (100 until 105))
+      .forall(k => after(k)._1 > maxBefore))
+  }
+
+  test("lineage survives checkpoint compaction (baseRowId + " +
+      "domainMetadata ride the checkpoint)") {
+    val t = tmp("dlin_checkpoint")
+    W.create(df(0 until 5), t, rowTracking = true)
+    // versions 1..10 — version 10 writes a classic checkpoint
+    (1 to 10).foreach(i => W.append(df(i * 5 until i * 5 + 5), t))
+    val before = lineage(t)
+    assert(before.keySet == (0 until 55).toSet)
+    // reclaim every commit JSON below the checkpoint: replay now starts
+    // AT the checkpoint, so lineage must come from its transcribed rows
+    assert(W.cleanupExpiredLogs(t, horizonMs = 0L) > 0)
+    assert(lineage(t) == before,
+      "checkpointed lineage must replay identically")
+    // and the high-water mark survives too: a fresh append lands past it
+    W.append(df(55 until 58), t)
+    val after = lineage(t)
+    assert((0 until 55).forall(k => after(k) == before(k)))
+    assert((55 until 58).map(k => after(k)._1).min >= 55L)
+  }
+
+  test("lineage serves through the datasource surface (`lineage: true`)") {
+    val t = tmp("dlin_serve")
+    W.create(df(0 until 10), t, rowTracking = true)
+    W.deleteWhere(spark, t, col("id") % 2 === 1)
+    val frame = graft.sources.DataSources.read(spark,
+      graft.config.DatasourceConfig(t, fileType = "delta",
+        options = Map("lineage" -> "true")))
+    assert(frame.columns.contains("_row_id") &&
+      frame.columns.contains("_row_commit_version"))
+    frame.createOrReplaceTempView("dlin_serve_v")
+    val got = spark.sql("SELECT id, _row_id FROM dlin_serve_v ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == lineage(t).map { case (k, (rid, _)) => k -> rid })
+    assert(got.keySet == (0 until 10 by 2).toSet)
+  }
+
+  test("lineage read on an untracked table fails loudly") {
+    val t = tmp("dlin_untracked")
+    W.create(df(0 until 5), t)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, t, withLineage = true)
+    }
+    assert(e.getMessage.contains("enableRowTracking"))
+  }
+
+  test("time travel reads lineage as of that version") {
+    val t = tmp("dlin_travel")
+    W.create(df(0 until 8), t, rowTracking = true)
+    val v0 = lineage(t)
+    W.append(df(8 until 12), t)
+    W.deleteWhere(spark, t, col("id") === 1)
+    val back = DeltaLogReader.read(spark, t, versionAsOf = Some(0L),
+        withLineage = true)
+      .select(col("id"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(back == v0)
+  }
+}

@@ -94,6 +94,48 @@ class DeltaLogReaderSpec extends SparkSpec {
       .collect().toSeq == Seq(2L))
   }
 
+  test("typeWidening: a widened foreign table (old int32 file + new " +
+      "int64 file) serves the widened logical type whole") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val t = Files.createTempDirectory("dlt_widen").toString
+    // pre-widening file: n is int32, f is float — the physical shapes a
+    // Delta 3.2+ `ALTER TABLE ... ALTER COLUMN ... TYPE` leaves behind
+    Seq((1, 10, 1.5f), (2, 20, 2.5f)).toDF("id", "n", "f").coalesce(1)
+      .write.parquet(s"$t/f1"); relocate(t, "f1", "part-old.parquet")
+    // post-widening file: n int64, f double
+    Seq((3, 30L, 3.5d)).toDF("id", "n", "f").coalesce(1)
+      .write.parquet(s"$t/f2"); relocate(t, "f2", "part-new.parquet")
+    writeCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      metaAction(schemaJson("id" -> "integer", "n" -> "integer",
+        "f" -> "float")),
+      """{"add":{"path":"part-old.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"n\":10},\"maxValues\":{\"n\":20}}"}}"""))
+    // the widening commit: new metaData whose widened fields carry the
+    // protocol's `delta.typeChanges` history metadata
+    val widened = """{"type":"struct","fields":[""" +
+      """{"name":"id","type":"integer","nullable":true,"metadata":{}},""" +
+      """{"name":"n","type":"long","nullable":true,"metadata":{"delta.typeChanges":[{"fromType":"integer","toType":"long","tableVersion":1}]}},""" +
+      """{"name":"f","type":"double","nullable":true,"metadata":{"delta.typeChanges":[{"fromType":"float","toType":"double","tableVersion":1}]}}]}"""
+    writeCommit(t, 1, Seq(metaAction(widened)))
+    writeCommit(t, 2, Seq(
+      """{"add":{"path":"part-new.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\"numRecords\":1,\"minValues\":{\"n\":30},\"maxValues\":{\"n\":30}}"}}"""))
+    val df = DeltaLogReader.read(spark, t)
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("f").dataType == DoubleType)
+    assert(df.select("id", "n", "f").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1, 10L, 1.5), (2, 20L, 2.5), (3, 30L, 3.5)))
+    // data skipping still prunes on the widened column: the old file's
+    // int-typed stats compare under the widened LongType
+    val skipped = DeltaLogReader.read(spark, t, skipFilters = Seq(
+      graft.sources.SkipPredicate("n", ">=", "25")))
+    assert(skipped.select("id").as[Int].collect().toSeq == Seq(3))
+    // and through the serving surface
+    val served = DataSources.read(spark,
+      DatasourceConfig(t, fileType = "delta"))
+    assert(served.count() == 3L)
+  }
+
   test("partition values re-attached as typed columns, any layout") {
     val t = Files.createTempDirectory("dlt2").toString
     Seq(("x", 1.5)).toDF("name", "score").coalesce(1)
