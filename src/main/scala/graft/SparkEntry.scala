@@ -606,6 +606,253 @@ object SparkEntry {
     root.toString
   }
 
+  /** Foreign v3 table exercising `initial-default`s on BOTH levels the
+    * spec defines them (recursive rule): the old file (region < 2)
+    * predates the `extra` column AND the nested `info.tag` field, so it
+    * serves their defaults; the new file carries real values. Authored
+    * by hand so the fixture is what a FOREIGN writer leaves behind.
+    */
+  private def icebergDefaultsFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import org.apache.spark.sql.functions.{struct, upper}
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_defaults_gate_v1_${math.abs(dir.hashCode)}")
+      val mdDir = root.resolve("metadata")
+      if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
+      deleteRecursively(root)
+      Files.createDirectories(mdDir)
+      Files.createDirectories(root.resolve("data"))
+      val nation = Tables.load(s, dir, "nation")
+      def writeFile(df: DataFrame, name: String): String = {
+        val tmp = root.resolve("staging")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        val dest = root.resolve(name)
+        Files.move(part, dest)
+        deleteRecursively(tmp)
+        dest.toString
+      }
+      val fileOld = writeFile(nation.filter(col("n_regionkey") < 2)
+        .select(col("n_nationkey").cast("int"),
+          struct(col("n_name").as("src")).as("info")),
+        "data/old.parquet")
+      val fileNew = writeFile(nation.filter(col("n_regionkey") >= 2)
+        .select(col("n_nationkey").cast("int"),
+          struct(col("n_name").as("src"),
+            upper(col("n_name")).as("tag")).as("info"),
+          col("n_name").as("extra")),
+        "data/new.parquet")
+      val listSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"partition_spec_id","type":"int"},
+          |{"name":"content","type":"int"},
+          |{"name":"sequence_number","type":"long"},
+          |{"name":"min_sequence_number","type":"long"},
+          |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      val entrySchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"content","type":"int"},
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      def writeAvro(path: Path, schema: Schema,
+          records: Seq[GenericRecord]): Unit = {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, path.toFile)
+        records.foreach(w.append)
+        w.close()
+      }
+      def manifest(name: String, path: String, rc: Long): String = {
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", 0)
+        d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("partition",
+          new GenericData.Record(dfSchema.getField("partition").schema()))
+        d.put("record_count", rc)
+        d.put("file_size_in_bytes", 1L)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("data_file", d)
+        val p = mdDir.resolve(name)
+        writeAvro(p, entrySchema, Seq(e))
+        p.toString
+      }
+      val nOld = nation.filter(col("n_regionkey") < 2).count()
+      val nNew = nation.filter(col("n_regionkey") >= 2).count()
+      val m1 = manifest("m1.avro", fileOld, nOld)
+      val m2 = manifest("m2.avro", fileNew, nNew)
+      val recs = Seq(m1, m2).map { mp =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", 1L)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", 1L)
+        r.put("min_sequence_number", 1L)
+        r.put("added_snapshot_id", 1L)
+        r: GenericRecord
+      }
+      val listPath = mdDir.resolve("snap-1.avro")
+      writeAvro(listPath, listSchema, recs)
+      val schemaJson =
+        """{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"info","required":false,"type":{"type":"struct",
+          |"fields":[{"id":3,"name":"src","required":false,"type":"string"},
+          |{"id":4,"name":"tag","required":false,"type":"string",
+          |"initial-default":"t0"}]}},
+          |{"id":5,"name":"extra","required":false,"type":"string",
+          |"initial-default":"e0"}]}""".stripMargin
+      Files.writeString(mdDir.resolve("v1.metadata.json"),
+        s"""{"format-version":3,"table-uuid":"gate-defaults","location":"$root",
+           |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":5,
+           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+           |"current-snapshot-id":1,"snapshots":[
+           |{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+           |"manifest-list":"$listPath","summary":{"operation":"append"}}]}"""
+          .stripMargin)
+      Files.writeString(mdDir.resolve("version-hint.text"), "1")
+      root.toString
+    }
+
+  /** Foreign v3 table with a `timestamp_ns` column (physical parquet
+    * int64 TIMESTAMP(NANOS), the spec-required shape — written via
+    * parquet-java's example API since Spark itself only writes µs) and
+    * an `unknown` column (absent from files, always null). ns values
+    * carry a sub-µs residue (`o_orderkey % 997` ns) so the gate proves
+    * the documented µs TRUNCATION, not a lossless pass-through.
+    */
+  private def icebergNsFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Path, Paths}
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_ns_gate_v1_${math.abs(dir.hashCode)}")
+      val mdDir = root.resolve("metadata")
+      if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
+      deleteRecursively(root)
+      Files.createDirectories(mdDir)
+      Files.createDirectories(root.resolve("data"))
+      val rows = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long"),
+          expr("unix_date(cast(o_orderdate as date))").cast("long"))
+        .orderBy(col("o_orderkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // NANOS parquet via parquet-java (Spark writes only µs)
+      val file = root.resolve("data/f.parquet")
+      locally {
+        import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val msg = Types.buildMessage()
+          .addField(Types.optional(PrimitiveTypeName.INT64)
+            .named("o_orderkey"))
+          .addField(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(false,
+              LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+          .named("m")
+        val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.toUri),
+            new org.apache.hadoop.conf.Configuration()))
+          .withType(msg).build()
+        val gf = new org.apache.parquet.example.data.simple
+          .SimpleGroupFactory(msg)
+        rows.foreach { case (k, days) =>
+          val g = gf.newGroup()
+          g.add("o_orderkey", k)
+          g.add("ts", days * 86400L * 1000000000L + (k % 997))
+          writer.write(g)
+        }
+        writer.close()
+      }
+      val listSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"partition_spec_id","type":"int"},
+          |{"name":"content","type":"int"},
+          |{"name":"sequence_number","type":"long"},
+          |{"name":"min_sequence_number","type":"long"},
+          |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      val entrySchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"content","type":"int"},
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      def writeAvro(path: Path, schema: Schema,
+          records: Seq[GenericRecord]): Unit = {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, path.toFile)
+        records.foreach(w.append)
+        w.close()
+      }
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", file.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", rows.length.toLong)
+      d.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      val m1 = mdDir.resolve("m1.avro")
+      writeAvro(m1, entrySchema, Seq(e))
+      val lr = new GenericData.Record(listSchema)
+      lr.put("manifest_path", m1.toString)
+      lr.put("manifest_length", 1L)
+      lr.put("partition_spec_id", 0)
+      lr.put("content", 0)
+      lr.put("sequence_number", 1L)
+      lr.put("min_sequence_number", 1L)
+      lr.put("added_snapshot_id", 1L)
+      val listPath = mdDir.resolve("snap-1.avro")
+      writeAvro(listPath, listSchema, Seq(lr))
+      val schemaJson =
+        """{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"o_orderkey","required":false,"type":"long"},
+          |{"id":2,"name":"ts","required":false,"type":"timestamp_ns"},
+          |{"id":3,"name":"u","required":false,"type":"unknown"}]}"""
+          .stripMargin
+      Files.writeString(mdDir.resolve("v1.metadata.json"),
+        s"""{"format-version":3,"table-uuid":"gate-ns","location":"$root",
+           |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":3,
+           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+           |"current-snapshot-id":1,"snapshots":[
+           |{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+           |"manifest-list":"$listPath","summary":{"operation":"append"}}]}"""
+          .stripMargin)
+      Files.writeString(mdDir.resolve("version-hint.text"), "1")
+      root.toString
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -1305,6 +1552,26 @@ object SparkEntry {
         }
       }
       graft.sources.IcebergReader.read(s, root.toString)
+        .orderBy(col("n_nationkey"))
+    }),
+    "q_iceberg_ts_ns" -> ((s, dir) => {
+      // v3 timestamp_ns (physical NANOS parquet) serves µs-TRUNCATED
+      // (the int96 coercion precedent) and `unknown` serves null —
+      // the oracle recomputes the µs values from the raw orders table
+      val path = icebergNsFixture(s, dir)
+      graft.sources.IcebergReader.read(s, path)
+        .select(col("o_orderkey"), col("ts"),
+          col("u").cast("string").as("u"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_iceberg_defaults" -> ((s, dir) => {
+      // v3 initial-defaults, TOP-LEVEL and NESTED (spec's recursive
+      // rule): the pre-evolution file serves `extra` = 'e0' and
+      // `info.tag` = 't0'; the post-evolution file serves stored values
+      val path = icebergDefaultsFixture(s, dir)
+      graft.sources.IcebergReader.read(s, path)
+        .select(col("n_nationkey"), col("info.src").as("src"),
+          col("info.tag").as("tag"), col("extra"))
         .orderBy(col("n_nationkey"))
     }),
     "q_iceberg_v3_lineage" -> ((s, dir) => {
@@ -2887,6 +3154,16 @@ object SparkEntry {
         |WHERE (n_regionkey < 2 AND n_nationkey % 2 = 0)
         |   OR (n_regionkey >= 2 AND n_nationkey % 3 <> 0)
         |ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_ts_ns" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts,
+        |       CAST(NULL AS VARCHAR) AS u
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_iceberg_defaults" ->
+      """SELECT n_nationkey, n_name AS src,
+        |       CASE WHEN n_regionkey < 2 THEN 't0' ELSE upper(n_name) END AS tag,
+        |       CASE WHEN n_regionkey < 2 THEN 'e0' ELSE n_name END AS extra
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // _row_id recomputed from the fixture's layout: file A = region < 2
     // sorted by key starting at window 0, file B = region >= 2 starting
     // at window count(A); id = window + in-file position; every file

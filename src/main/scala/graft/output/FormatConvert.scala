@@ -157,7 +157,7 @@ object FormatConvert {
     // initial-default column missing from old files would read NULL on
     // the delta side — fail closed; compaction (rewriteDataFiles)
     // materializes defaults into the files and unlocks the conversion
-    require(graft.sources.IcebergReader.columnDefaults(st.md).isEmpty,
+    require(graft.sources.IcebergReader.schemaDefaults(st.md).isEmpty,
       "icebergToDelta cannot represent v3 initial-default columns in " +
         "delta (old files would serve null) — compact the table first " +
         "(rewriteDataFiles materializes the defaults)")

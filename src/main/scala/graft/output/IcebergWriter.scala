@@ -949,6 +949,13 @@ object IcebergWriter {
         s"found $formatVersion")
     val location = Option(md.get("location")).map(_.asText())
       .getOrElse(root.toString)
+    // the write plane reads source files under the LOGICAL µs schema —
+    // on an ns-timestamp/unknown table that would misread the physical
+    // nanos (the READ plane converts; rewrites would bake wrong values)
+    require(graft.sources.IcebergReader.specialV3Columns(md) ==
+        ((Map.empty, Set.empty)),
+      "row-level operations on tables with timestamp_ns/unknown columns " +
+        "are not supported (read-only)")
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
     val refs0 = currentManifests(md, root)
     // ONE Avro read per manifest: the same live records feed the window
@@ -1161,20 +1168,22 @@ object IcebergWriter {
     // keyed on the defaults' PRESENCE, not the format version — the
     // reader applies them whenever declared, and the two sides must
     // agree on every row's logical value
-    val defaulted: Seq[(StructField, Any)] = {
-      val ds = graft.sources.IcebergReader.columnDefaults(st.md)
-      st.schema.fields.toSeq.flatMap(f => ds.get(f.name).map(v => (f, v)))
-    }
+    val defaultEntries =
+      graft.sources.IcebergReader.schemaDefaults(st.md).toIndexedSeq
+    val defaulted: Seq[(StructField, Seq[String], Any)] =
+      defaultEntries.flatMap(e =>
+        st.schema.fields.find(_.name == e.path.head)
+          .map(f => (f, e.path.tail, e.value)))
     val base =
       if (defaulted.isEmpty) base1
       else graft.sources.IcebergReader.substituteDefaults(base1, "__f",
         defaulted,
         dataFiles.map { f =>
           graft.sources.IcebergReader.normPath(f.localPath) ->
-            defaulted.map { case (fld, _) =>
-              graft.sources.IcebergReader
-                .footerTopColumns(f.localPath).contains(fld.name) }
-        })
+            defaultEntries.map(e => graft.sources.IcebergReader
+              .footerColumnPaths(f.localPath)
+              .contains(e.path.mkString("."))) }
+        )
     // same one-relation-per-kind plan shapes as [[graft.sources
     // .IcebergReader.read]], via ITS shared deleteSeqJoined: every
     // position delete file in ONE relation (seq joined from a broadcast

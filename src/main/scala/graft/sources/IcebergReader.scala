@@ -174,9 +174,14 @@ object IcebergReader {
       // read-time inheritance counter's start for data manifests whose
       // list entry carries no explicit window
       firstRowId: Option[Long] = None,
-      // v3 `initial-default`s of top-level columns (name → Spark
-      // literal): files physically lacking the column serve the default
-      defaults: Map[String, Any] = Map.empty) {
+      // v3 `initial-default`s, top-level and struct-nested
+      // ([[DefaultEntry]]): files physically lacking the field serve
+      // the default
+      defaults: Seq[DefaultEntry] = Nil,
+      // v3 ns-timestamp columns (read as raw int64 nanos, converted to
+      // the logical µs type) and `unknown` columns (always null)
+      nsColumns: Map[String, DataType] = Map.empty,
+      unknownColumns: Set[String] = Set.empty) {
 
     /** Decode exactly the manifests `keep` admits (memoized globally —
       * manifests are immutable — and decoded on a bounded parallel
@@ -296,9 +301,11 @@ object IcebergReader {
               s"snapshot $id not found in ${snaps.size} snapshots")))
       }
     }
+    val (nsCols, unknownCols) = specialV3Columns(root)
     snapNode match {
       case None => Snapshot(schema, fieldNames, Nil, location, tablePath,
-        formatVersion = version)
+        formatVersion = version,
+        nsColumns = nsCols, unknownColumns = unknownCols)
       case Some(snap) =>
         val manifestList = remap(snap.get("manifest-list").asText(),
           location, tablePath)
@@ -307,21 +314,44 @@ object IcebergReader {
           location, tablePath, specId, specPos,
           formatVersion = version,
           firstRowId = Option(snap.get("first-row-id")).map(_.asLong()),
-          defaults = columnDefaults(root))
+          defaults = schemaDefaults(root),
+          nsColumns = nsCols, unknownColumns = unknownCols)
     }
+  }
+
+  /** Rebuild a struct column with `v` planted at `path` (the
+    * struct-nested default substitution): every OTHER field keeps its
+    * stored value, NULL parents stay null at every level — a default
+    * fills a field missing from the FILE, it never resurrects a null
+    * struct value the file genuinely stored.
+    */
+  private def nestedSubstitute(base: org.apache.spark.sql.Column,
+      dt: DataType, path: Seq[String], v: Any)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, when}
+    val st = dt.asInstanceOf[StructType]
+    val rebuilt = struct(st.fields.toIndexedSeq.map { f =>
+      (if (f.name == path.head) {
+        if (path.lengthCompare(1) == 0) lit(v).cast(f.dataType)
+        else nestedSubstitute(base.getField(f.name), f.dataType, path.tail, v)
+      } else base.getField(f.name)).as(f.name)
+    }: _*)
+    when(base.isNull, lit(null).cast(dt)).otherwise(rebuilt)
   }
 
   /** THE initial-default substitution (spec v3 "Default values"), shared
     * by the scan and [[graft.output.IcebergWriter]]'s rewrite frame (the
     * two must agree on every row's logical value): each defaulted column
-    * becomes when(file has the column, stored value).otherwise(default),
+    * becomes when(file has the field, stored value).otherwise(default),
     * with per-file presence joined through `fileCol` from a broadcast.
+    * Each `defaulted` entry is (top-level column, path INSIDE it — empty
+    * for a whole-column default, value).
     * `presence` rows: (normalized file path, booleans in `defaulted`
     * order).
     */
   private[graft] def substituteDefaults(
       frame: org.apache.spark.sql.DataFrame, fileCol: String,
-      defaulted: Seq[(StructField, Any)],
+      defaulted: Seq[(StructField, Seq[String], Any)],
       presence: Seq[(String, Seq[Boolean])])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.when
@@ -335,10 +365,14 @@ object IcebergReader {
     val pres = broadcast(spark.createDataFrame(rows, presenceSchema))
     defaulted.zipWithIndex.foldLeft(
         frame.join(pres, Seq(fileCol), "left")) {
-      case (acc, ((fld, v), i)) =>
+      case (acc, ((fld, innerPath, v), i)) =>
+        val substituted =
+          if (innerPath.isEmpty) lit(v).cast(fld.dataType)
+          else nestedSubstitute(col(s"`${fld.name}`"), fld.dataType,
+            innerPath, v)
         acc.withColumn(fld.name,
           when(col(s"__ib_has_$i"), col(s"`${fld.name}`"))
-            .otherwise(lit(v).cast(fld.dataType)))
+            .otherwise(substituted))
     }.drop(defaulted.indices.map(i => s"__ib_has_$i"): _*)
   }
 
@@ -804,6 +838,35 @@ object IcebergReader {
       finally r.close()
     })
 
+  /** ALL dotted column paths (groups and leaves) of one parquet footer
+    * (cached — data files are immutable): the presence probe for
+    * STRUCT-NESTED `initial-default` application. Struct paths come out
+    * as `outer.inner`; list/map internals carry the parquet envelope
+    * names, which never collide with struct-default probes.
+    */
+  private val footerPathsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private[graft] def footerColumnPaths(path: String): Set[String] =
+    footerPathsCache.computeIfAbsent(normPath(path), { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        def walk(g: org.apache.parquet.schema.GroupType,
+            prefix: String): Seq[String] =
+          g.getFields.asScala.toSeq.flatMap { f =>
+            val full =
+              if (prefix.isEmpty) f.getName else s"$prefix.${f.getName}"
+            full +: (f match {
+              case gt: org.apache.parquet.schema.GroupType => walk(gt, full)
+              case _ => Nil
+            })
+          }
+        walk(r.getFileMetaData.getSchema, "").toSet
+      } finally r.close()
+    })
+
   private val footerSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def footerSchemaKey(path: String): String =
@@ -1168,8 +1231,8 @@ object IcebergReader {
     * plus the top-level field-id → name map (equality deletes reference
     * columns by field id).
     */
-  private[graft] def currentSchema(root: JsonNode): (StructType, Map[Int, String]) = {
-    val node = Option(root.get("schemas")) match {
+  private def currentSchemaNode(root: JsonNode): JsonNode =
+    Option(root.get("schemas")) match {
       case Some(schemas) =>
         val id = root.get("current-schema-id").asInt()
         schemas.elements().asScala
@@ -1178,36 +1241,56 @@ object IcebergReader {
             s"current-schema-id $id not present in schemas"))
       case None => root.get("schema")
     }
+
+  private[graft] def currentSchema(root: JsonNode): (StructType, Map[Int, String]) = {
+    val node = currentSchemaNode(root)
     val ids = node.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
-    (structOf(node, topLevel = true), ids)
+    (structOf(node), ids)
   }
 
-  /** Top-level `initial-default`s of the current schema (v3 "Default
-    * values"), as Spark-literal values: column name → default. Files
-    * that physically LACK the column serve this value; files that carry
-    * it serve their stored values (nulls included). Unsupported default
-    * types fail loudly — serving null where a default belongs is a
-    * wrong answer.
+  /** One `initial-default` of the current schema (spec v3 "Default
+    * values", recursive): `path` is the full column path from the root
+    * (head = top-level column), `fieldId` the field's own id (the
+    * stats-presence probe key), `value` the Spark literal. Defaults
+    * under lists/maps reject in [[structOf]] (no per-element
+    * application exists); struct-nested defaults apply like top-level
+    * ones — per-file presence of the nested path decides stored value
+    * vs default, and a NULL parent struct stays null (a default fills
+    * a field MISSING from the file, it never resurrects a null value).
     */
-  private[graft] def columnDefaults(root: JsonNode): Map[String, Any] = {
-    val node = Option(root.get("schemas")) match {
-      case Some(schemas) =>
-        val id = root.get("current-schema-id").asInt()
-        schemas.elements().asScala
-          .find(_.get("schema-id").asInt() == id)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $id not present in schemas"))
-      case None => root.get("schema")
-    }
-    node.get("fields").elements().asScala.flatMap { f =>
-      Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
-        val name = f.get("name").asText()
-        val dt = typeOf(f.get("type"))
-        name -> defaultValueOf(dt, d, name)
+  private[graft] final case class DefaultEntry(
+      path: Seq[String], fieldId: Int, dataType: DataType, value: Any)
+
+  private[graft] def schemaDefaults(root: JsonNode): Seq[DefaultEntry] = {
+    def walk(fields: JsonNode, prefix: Seq[String]): Seq[DefaultEntry] =
+      fields.elements().asScala.toSeq.flatMap { f =>
+        val p = prefix :+ f.get("name").asText()
+        val own = Option(f.get("initial-default")).filterNot(_.isNull)
+          .map { d =>
+            val dt = typeOf(f.get("type"))
+            DefaultEntry(p, f.get("id").asInt(), dt,
+              defaultValueOf(dt, d, p.mkString(".")))
+          }
+        val t = f.get("type")
+        val nested =
+          if (t != null && !t.isTextual &&
+              Option(t.get("type")).exists(_.asText() == "struct"))
+            walk(t.get("fields"), p)
+          else Nil
+        own.toSeq ++ nested
       }
-    }.toMap
+    walk(currentSchemaNode(root).get("fields"), Nil)
   }
+
+  /** Top-level `initial-default`s only (column name → Spark literal) —
+    * kept for callers that reason about whole columns; the full
+    * (nested-inclusive) inventory is [[schemaDefaults]].
+    */
+  private[graft] def columnDefaults(root: JsonNode): Map[String, Any] =
+    schemaDefaults(root).collect {
+      case DefaultEntry(Seq(name), _, _, v) => name -> v
+    }.toMap
 
   /** One JSON single-value-serialized default → a Spark literal value
     * (spec Appendix D "Single-value serialization", JSON column).
@@ -1231,32 +1314,36 @@ object IcebergReader {
         s"${other.simpleString}: $d")
   }
 
-  private def structOf(node: JsonNode, topLevel: Boolean = false): StructType =
+  private def structOf(node: JsonNode,
+      inContainer: Boolean = false): StructType =
     StructType(node.get("fields").elements().asScala.map { f =>
       // v3 `initial-default` changes READ semantics: files written before
-      // the column was added must surface the default, not null. TOP-LEVEL
-      // defaults are applied by [[read]] (per-file column presence decides
-      // stored value vs default — see [[columnDefaults]]); NESTED defaults
-      // stay fail-closed (a silently-nulled nested default would be a
-      // wrong answer). A literal-null default is the v1/v2 behavior — fine.
-      if (!topLevel)
+      // the column was added must surface the default, not null. Applied
+      // by [[read]] for top-level AND struct-nested fields (per-file
+      // presence decides stored value vs default — [[schemaDefaults]]).
+      // Fields under LISTS/MAPS stay fail-closed: no per-element
+      // application exists, and silently nulling would be a wrong
+      // answer. A literal-null default is the v1/v2 behavior — fine.
+      if (inContainer)
         Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
           throw new IllegalArgumentException(
-            s"unsupported iceberg schema: NESTED field " +
-              s"'${f.get("name").asText()}' carries initial-default $d " +
-              "(this reader applies defaults on top-level columns only)")
+            s"unsupported iceberg schema: field " +
+              s"'${f.get("name").asText()}' nested under a list/map " +
+              s"carries initial-default $d (no per-element application)")
         }
-      StructField(f.get("name").asText(), typeOf(f.get("type")),
+      StructField(f.get("name").asText(),
+        typeOf(f.get("type"), inContainer),
         nullable = !f.get("required").asBoolean(false))
     }.toSeq)
 
-  private def typeOf(t: JsonNode): DataType =
+  private def typeOf(t: JsonNode, inContainer: Boolean = false): DataType =
     if (t.isTextual) primitive(t.asText())
     else t.get("type").asText() match {
-      case "struct" => structOf(t)
-      case "list" => ArrayType(typeOf(t.get("element")),
+      case "struct" => structOf(t, inContainer)
+      case "list" => ArrayType(typeOf(t.get("element"), inContainer = true),
         containsNull = !t.get("element-required").asBoolean(false))
-      case "map" => MapType(typeOf(t.get("key")), typeOf(t.get("value")),
+      case "map" => MapType(typeOf(t.get("key"), inContainer = true),
+        typeOf(t.get("value"), inContainer = true),
         valueContainsNull = !t.get("value-required").asBoolean(false))
       case other => throw new IllegalArgumentException(
         s"unsupported iceberg nested type $other")
@@ -1276,10 +1363,89 @@ object IcebergReader {
     case "binary" => BinaryType
     case "timestamp" => TimestampNTZType // no zone, micros
     case "timestamptz" => TimestampType  // UTC-adjusted, micros
+    // v3 nanosecond timestamps serve µs-TRUNCATED (floor), the same
+    // documented coercion rule as int96 (SURVEY §1.2): Spark has no ns
+    // timestamp type. The scan reads the raw int64 nanos (nanosAsLong)
+    // and converts — see [[read]]'s nsMicros.
+    case "timestamp_ns" => TimestampNTZType
+    case "timestamptz_ns" => TimestampType
+    // v3 `unknown`: a column with no type yet — always null per spec;
+    // served as a NullType column (cast to use)
+    case "unknown" => NullType
     case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case fixedRe(_) => BinaryType
     case other => throw new IllegalArgumentException(
       s"unsupported iceberg type $other")
+  }
+
+  /** Top-level v3 `timestamp_ns`/`timestamptz_ns` columns (name →
+    * logical Spark type) and `unknown` columns of the current schema.
+    * NESTED occurrences reject loudly — the scan's read-nanos-as-long +
+    * convert plane (and the unknown column's null projection) covers
+    * top-level columns only; silently misreading nested ones would be a
+    * wrong answer.
+    */
+  private[graft] def specialV3Columns(root: JsonNode)
+      : (Map[String, DataType], Set[String]) = {
+    val ns = Map.newBuilder[String, DataType]
+    val unknown = Set.newBuilder[String]
+    def check(t: JsonNode, where: String): Unit =
+      if (t.isTextual) {
+        val s = t.asText()
+        if (s == "timestamp_ns" || s == "timestamptz_ns" || s == "unknown")
+          throw new IllegalArgumentException(
+            s"unsupported iceberg schema: NESTED field $where has type " +
+              s"$s (this reader serves ns timestamps and unknown columns " +
+              "at top level only)")
+      } else t.get("type").asText() match {
+        case "struct" => t.get("fields").elements().asScala.foreach(f =>
+          check(f.get("type"), s"$where.${f.get("name").asText()}"))
+        case "list" => check(t.get("element"), s"$where.element")
+        case "map" =>
+          check(t.get("key"), s"$where.key")
+          check(t.get("value"), s"$where.value")
+        case _ => ()
+      }
+    currentSchemaNode(root).get("fields").elements().asScala.foreach { f =>
+      val name = f.get("name").asText()
+      val t = f.get("type")
+      if (t.isTextual) t.asText() match {
+        case "timestamp_ns" => ns += name -> TimestampNTZType
+        case "timestamptz_ns" => ns += name -> TimestampType
+        case "unknown" => unknown += name
+        case _ => ()
+      } else check(t, name)
+    }
+    (ns.result(), unknown.result())
+  }
+
+  /** Registered once per session: exact ns→µs conversion columns. The
+    * NTZ variant casts through TimestampType AT UTC (a fixed zone, so
+    * the instant's UTC wall clock — i.e. the naive µs value itself —
+    * comes back, independent of the session timezone).
+    */
+  private val NsToNtzFn = "graft_iceberg_ns_ntz"
+  private val NsToTzFn = "graft_iceberg_ns_tz"
+  private def nsMicros(spark: SparkSession, name: String,
+      logical: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, MicrosToTimestamp}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NsToTzFn, exprs => MicrosToTimestamp(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NsToNtzFn, exprs => Cast(MicrosToTimestamp(exprs.head),
+        TimestampNTZType, Some("UTC")), "built-in")
+    val quoted = name.replace("`", "``")
+    // exact integer FLOOR division to µs — never a double (ns magnitudes
+    // exceed 2^53); pmod keeps pre-epoch values flooring too, matching
+    // the int96 truncation precedent
+    val us = org.apache.spark.sql.functions.expr(
+      s"(`$quoted` - pmod(`$quoted`, 1000L)) div 1000L")
+    logical match {
+      case TimestampType =>
+        org.apache.spark.sql.functions.call_function(NsToTzFn, us)
+      case _ =>
+        org.apache.spark.sql.functions.call_function(NsToNtzFn, us)
+    }
   }
 
   // ---------- data plane ----------
@@ -1414,6 +1580,9 @@ object IcebergReader {
         val typed = skipFilters.flatMap { p =>
           for {
             fld <- snap.schema.fields.find(_.name.equalsIgnoreCase(p.column))
+            // ns/unknown columns fail open (ns bounds are ns-encoded)
+            if !snap.nsColumns.contains(fld.name) &&
+              !snap.unknownColumns.contains(fld.name)
             fid <- nameToId.get(fld.name)
           } yield (p, fid, fld.dataType)
         }
@@ -1421,13 +1590,16 @@ object IcebergReader {
           entryMayMatch(f, fid, p.op, p.value, dt)
         })
       }
-    // v3 initial-defaults present on planned columns: files physically
-    // lacking a defaulted column serve the default instead of null —
-    // decided per FILE (footer column names), so files that DO carry the
-    // column keep their stored values, nulls included
-    val defaulted: IndexedSeq[(StructField, Any)] =
-      snap.schema.fields.toIndexedSeq
-        .flatMap(f => snap.defaults.get(f.name).map(v => (f, v)))
+    // v3 initial-defaults (top-level AND struct-nested): files
+    // physically lacking a defaulted field serve the default instead of
+    // null — decided per FILE (stats field-id probe, else footer
+    // paths), so files that DO carry the field keep their stored
+    // values, nulls included
+    val defaultEntries: IndexedSeq[DefaultEntry] = snap.defaults.toIndexedSeq
+    val defaulted: IndexedSeq[(StructField, Seq[String], Any)] =
+      defaultEntries.flatMap(e =>
+        snap.schema.fields.find(_.name == e.path.head)
+          .map(f => (f, e.path.tail, e.value)))
     val lineageFields = Seq(
       StructField("_row_id", LongType),
       StructField("_last_updated_sequence_number", LongType))
@@ -1463,7 +1635,17 @@ object IcebergReader {
         dvApplies(normPath(d.referencedDataFile.get), d.seq, plannedSeq))
     }
 
-    val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    // v3 special columns: ns timestamps read as raw int64 nanos and
+    // convert to the logical µs type (exact floor division — the int96
+    // truncation precedent); `unknown` columns never exist in files and
+    // project as literal null
+    val dataCols = snap.schema.fields.toIndexedSeq.map { f =>
+      if (snap.unknownColumns.contains(f.name)) lit(null).as(f.name)
+      else snap.nsColumns.get(f.name) match {
+        case Some(lt) => nsMicros(spark, f.name, lt).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }
     // ONE [[GraftFileIndex]]-backed relation (identity sources live IN
     // the files, so no partitionSchema is needed for correctness):
     // Catalyst-pushed =/range predicates prune files against the
@@ -1475,10 +1657,16 @@ object IcebergReader {
     // returned plan (temp views, cached frames), and capturing the
     // snapshot would keep a superseded one fully reachable long after
     // the cache replaced it
+    // ns/unknown columns stay OUT of the stats-skip lookup: their
+    // manifest bounds are ns-encoded / absent, and a µs-typed compare
+    // would mis-prune — fail open instead
     val colLookup: Map[String, (Int, DataType)] =
-      snap.schema.fields.flatMap(fld => nameToIdIdx.get(fld.name)
-        .map(fid => fld.name.toLowerCase(java.util.Locale.ROOT) ->
-          (fid, fld.dataType))).toMap
+      snap.schema.fields
+        .filterNot(fld => snap.nsColumns.contains(fld.name) ||
+          snap.unknownColumns.contains(fld.name))
+        .flatMap(fld => nameToIdIdx.get(fld.name)
+          .map(fid => fld.name.toLowerCase(java.util.Locale.ROOT) ->
+            (fid, fld.dataType))).toMap
     val entries = dataFiles.map { f =>
       val p = normPath(f.path)
       // the closure captures the entry's OWN small maps via
@@ -1497,10 +1685,18 @@ object IcebergReader {
     }
     // lineage reads extend the FILE schema with the two reserved
     // columns: files materializing them (lineage-preserving rewrites)
-    // serve the stored values, all others read null and derive
+    // serve the stored values, all others read null and derive.
+    // ns columns read as their raw int64 nanos (nanosAsLong); unknown
+    // columns never exist in files and are left out of the scan schema
+    val relationSchema = StructType(outSchema.fields.flatMap { f =>
+      if (snap.unknownColumns.contains(f.name)) None
+      else if (snap.nsColumns.contains(f.name))
+        Some(f.copy(dataType = LongType))
+      else Some(f)
+    })
     val base = GraftFileIndex.frame(spark,
       Paths.get(tablePath).toAbsolutePath.normalize,
-      StructType(Nil), outSchema, entries)
+      StructType(Nil), relationSchema, entries)
     if (posDeletesPlanned.isEmpty && dvPlanned.isEmpty &&
         eqDeletes.isEmpty && !withLineage && defaulted.isEmpty)
       return base.select(dataCols: _*)
@@ -1521,19 +1717,14 @@ object IcebergReader {
       if (defaulted.isEmpty) withPos0
       else {
         // presence probe, cheapest first: a manifest stats entry for the
-        // column's field id proves the file carries it (writers record
-        // stats only for physically-present columns) with no I/O; only
-        // stats-less entries pay the cached footer open
-        val defaultedFids: IndexedSeq[Option[Int]] = {
-          val nameToId = snap.fieldNames.map(_.swap)
-          defaulted.map { case (fld, _) => nameToId.get(fld.name) }
-        }
+        // FIELD's id proves the file carries it (writers record stats
+        // only for physically-present fields, nested leaves included)
+        // with no I/O; only stats-less entries pay the cached footer open
         substituteDefaults(withPos0, "__ib_file", defaulted,
           dataFiles.map { f =>
-            normPath(f.path) -> defaulted.zip(defaultedFids).map {
-              case ((fld, _), fid) =>
-                fid.exists(id => f.valueCounts.contains(id)) ||
-                  footerTopColumns(f.path).contains(fld.name)
+            normPath(f.path) -> defaultEntries.map { e =>
+              f.valueCounts.contains(e.fieldId) ||
+                footerColumnPaths(f.path).contains(e.path.mkString("."))
             }
           })
       }
@@ -1637,9 +1828,19 @@ object IcebergReader {
       .toSeq
       .map { case ((ids, _), ds) =>
         EqDeleteGroup(
-          ids.map(id => snap.fieldNames.getOrElse(id,
-            throw new IllegalArgumentException(
-              s"equality delete references unknown field id $id"))),
+          ids.map { id =>
+            val name = snap.fieldNames.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"equality delete references unknown field id $id"))
+            // the delete file stores raw ns / typeless values while the
+            // frame carries converted µs — a silent join would
+            // under-delete every row
+            require(!snap.nsColumns.contains(name) &&
+                !snap.unknownColumns.contains(name),
+              s"equality delete on ns-timestamp/unknown column '$name' " +
+                "is not supported")
+            name
+          },
           ds.map(d => (d.path, normPath(d.path), d.seq, fileScopeKey(d))))
       }
     val afterEq = applyEqualityDeletes(spark, afterPos, eqGroups,
@@ -1684,9 +1885,12 @@ object IcebergReader {
     // written by an old-schema writer could still lack the column, and
     // this raw parquet read would silently serve null where the default
     // belongs — the same wrong answer the full scan substitutes away
-    require(columnDefaults(rootNode).isEmpty,
+    require(schemaDefaults(rootNode).isEmpty,
       "readAppends does not support v3 initial-default columns (a file " +
         "lacking the column would feed null where the default belongs)")
+    require(specialV3Columns(rootNode) == ((Map.empty, Set.empty)),
+      "readAppends does not support timestamp_ns/unknown columns (its " +
+        "raw scan would misread the physical nanos)")
     val afterSeq = Option(rootNode.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("snapshot-id").asLong() == afterSnapshotId)

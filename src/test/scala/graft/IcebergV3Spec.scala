@@ -227,8 +227,93 @@ class IcebergV3Spec extends SparkSpec {
     assert(served() == Seq((3, "real")))
   }
 
-  test("v3 NESTED initial-default stays rejected, not nulled") {
+  test("v3 NESTED initial-default (struct field): files lacking the " +
+      "field serve it, stored values win, NULL parents stay null") {
+    // fileA predates the s.tag add (struct has only src; row 2's struct
+    // is genuinely NULL and must stay null); fileB carries s.tag,
+    // including a genuine null that must NOT be replaced
     val root = tmpRoot("graft_v3_default_nested")
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    val fileA = writeDataFile(
+      Seq((1, Some("a1")), (2, None)).toDF("id", "src")
+        .select(col("id"), org.apache.spark.sql.functions
+          .when(col("src").isNotNull, sstruct(col("src").as("src")))
+          .as("s")).coalesce(1),
+      root, "a.parquet")
+    val fileB = writeDataFile(
+      Seq((3, "b3", "real"), (4, "b4", null))
+        .toDF("id", "src", "tag")
+        .select(col("id"),
+          sstruct(col("src").as("src"), col("tag").as("tag")).as("s"))
+        .coalesce(1),
+      root, "b.parquet")
+    val md = root.resolve("metadata")
+    val mA = manifest(md.resolve("m1.avro"), entrySchemaV3,
+      Seq((1, 0, fileA, None)))
+    val mB = manifest(md.resolve("m2.avro"), entrySchemaV3,
+      Seq((1, 0, fileB, None)))
+    val l = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((mA, 0, 1L), (mB, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"src","required":false,"type":"string"},
+        |{"id":4,"name":"tag","required":false,
+        |"type":"string","initial-default":"t0"}]}}]}""".stripMargin)
+    val got = IcebergReader.read(spark, root.toString)
+      .select(col("id"), col("s.src"), col("s.tag"), col("s").isNull)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "a1", "t0", false), // missing field → default
+      (2, null, null, true),  // NULL struct stays null, not resurrected
+      (3, "b3", "real", false), // stored value wins
+      (4, "b4", null, false))) // genuine stored null wins too
+  }
+
+  test("v3 NESTED initial-default applies on the WRITE plane: deleteWhere " +
+      "matches the defaulted nested value") {
+    val root = tmpRoot("graft_v3_default_nested_write")
+    import org.apache.spark.sql.functions.{struct => sstruct}
+    val fileA = writeDataFile(
+      Seq((1, "a1"), (2, "a2")).toDF("id", "src")
+        .select(col("id"), sstruct(col("src").as("src")).as("s")).coalesce(1),
+      root, "a.parquet")
+    val fileB = writeDataFile(
+      Seq((3, "b3", "t0"), (4, "b4", "keep")).toDF("id", "src", "tag")
+        .select(col("id"),
+          sstruct(col("src").as("src"), col("tag").as("tag")).as("s"))
+        .coalesce(1),
+      root, "b.parquet")
+    val md = root.resolve("metadata")
+    val mA = manifest(md.resolve("m1.avro"), entrySchemaV3,
+      Seq((1, 0, fileA, None)))
+    val mB = manifest(md.resolve("m2.avro"), entrySchemaV3,
+      Seq((1, 0, fileB, None)))
+    val l = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((mA, 0, 1L), (mB, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"src","required":false,"type":"string"},
+        |{"id":4,"name":"tag","required":false,
+        |"type":"string","initial-default":"t0"}]}}]}""".stripMargin,
+      firstRowId = Some(0L))
+    // matches ids 1,2 ONLY through the nested default (+ id 3 stored)
+    val n = graft.output.IcebergWriter.deleteWhere(spark, root.toString,
+      col("s").getField("tag") === "t0")
+    assert(n == 3, s"expected ids 1,2 (defaulted) + 3 (stored), got $n")
+    val left = IcebergReader.read(spark, root.toString)
+      .select(col("id")).collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(4))
+  }
+
+  test("initial-default under a LIST/MAP stays rejected, not nulled") {
+    val root = tmpRoot("graft_v3_default_container")
     val fileA = writeDataFile(Seq(1).toDF("id").coalesce(1),
       root, "a.parquet")
     val md = root.resolve("metadata")
@@ -239,13 +324,93 @@ class IcebergV3Spec extends SparkSpec {
     writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
       """{"type":"struct","schema-id":0,"fields":[
         |{"id":1,"name":"id","required":false,"type":"int"},
-        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
-        |"fields":[{"id":3,"name":"inner","required":false,
-        |"type":"string","initial-default":"x"}]}}]}""".stripMargin)
+        |{"id":2,"name":"xs","required":false,"type":{"type":"list",
+        |"element-id":3,"element-required":false,
+        |"element":{"type":"struct","fields":[
+        |{"id":4,"name":"inner","required":false,
+        |"type":"string","initial-default":"x"}]}}}]}""".stripMargin)
     val e = intercept[Exception] {
       IcebergReader.read(spark, root.toString).count()
     }
     assert(e.getMessage.contains("initial-default"))
+  }
+
+  test("v3 timestamp_ns serves µs-TRUNCATED, unknown serves null; " +
+      "the write plane refuses (read-only)") {
+    val root = tmpRoot("graft_v3_ns")
+    java.nio.file.Files.createDirectories(root.resolve("data"))
+    // physical NANOS parquet (the spec-required shape), via parquet-java
+    val file = root.resolve("data/f.parquet")
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val msg = Types.buildMessage()
+        .addField(Types.optional(PrimitiveTypeName.INT64).named("id"))
+        .addField(Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+        .named("m")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toUri),
+          new org.apache.hadoop.conf.Configuration()))
+        .withType(msg).build()
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      // 1,500,000,000,123,456,789 ns → 1,500,000,000,123,456 µs (floor)
+      Seq((1L, 1500000000123456789L), (2L, 999L)).foreach { case (k, ns) =>
+        val g = gf.newGroup(); g.add("id", k); g.add("ts", ns); w.write(g)
+      }
+      w.close()
+    }
+    val md = root.resolve("metadata")
+    val m = manifest(md.resolve("m1.avro"), entrySchemaV3,
+      Seq((1, 0, file.toString, None)))
+    val l = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamp_ns"},
+        |{"id":3,"name":"u","required":false,"type":"unknown"}]}"""
+        .stripMargin)
+    val df = IcebergReader.read(spark, root.toString)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(df.select(col("u").isNull).collect().forall(_.getBoolean(0)),
+      "unknown column must serve null")
+    // NTZ renders its WALL CLOCK — timezone-independent comparison
+    val rendered = df.select(col("id"), col("ts").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rendered(1L) == "2017-07-14 02:40:00.123456",
+      s"expected µs truncation, got ${rendered(1L)}")
+    assert(rendered(2L) == "1970-01-01 00:00:00",
+      s"sub-µs value must floor to 0, got ${rendered(2L)}")
+    // write plane: read-only, refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.output.IcebergWriter.deleteWhere(spark, root.toString,
+        col("id") === 1)
+    }
+    assert(e.getMessage.contains("timestamp_ns"))
+    // NESTED ns rejects loudly (the conversion plane is top-level only)
+    val root2 = tmpRoot("graft_v3_ns_nested")
+    java.nio.file.Files.createDirectories(root2.resolve("metadata"))
+    val f2 = writeDataFile(Seq(1).toDF("id").coalesce(1), root2, "a.parquet")
+    val m2 = manifest(root2.resolve("metadata/m1.avro"), entrySchemaV3,
+      Seq((1, 0, f2, None)))
+    val l2 = manifestList(root2.resolve("metadata/snap-1.avro"),
+      listSchemaV2, Seq((m2, 0, 1L)))
+    writeMetadata(root2, 1, 3, Seq((1L, 1L, l2)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"t","required":false,
+        |"type":"timestamp_ns"}]}}]}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root2.toString).count()
+    }
+    assert(e2.getMessage.contains("timestamp_ns") ||
+      e2.getMessage.contains("NESTED"))
   }
 
   test("format-version 4 is rejected with a clear error") {
