@@ -49,8 +49,28 @@ object Bench {
     // the artifact makes the quiet-window adjudication mechanical). The
     // LAUNCH value is the comparable one — the suite itself drives the
     // machine, so the end value mostly measures the bench.
-    val launchLoad = java.lang.management.ManagementFactory
+    def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // QUIET-WINDOW wait (VERDICT r18 item 7: the official r18 artifact
+    // shipped at load 5.81 and needed manual adjudication): before any
+    // measurement, wait — bounded — for the 1-min loadavg to fall under
+    // the threshold, polling coarsely so the wait itself adds no load.
+    // Every ambient burst observed so far decayed within a few minutes;
+    // if it doesn't, run anyway and let the recorded `load` flag it.
+    val quietThreshold = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .getOrElse(1.0)
+    val quietWaitSecs = sys.env.get("SPARK_GRAFT_QUIET_WAIT_SECS")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(300L)
+    val waitDeadline = System.nanoTime() + quietWaitSecs * 1000000000L
+    while (loadAvg() > quietThreshold && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        f"[bench] ambient load ${loadAvg()}%.2f > $quietThreshold%.1f — " +
+          "waiting for a quiet window")
+      Thread.sleep(15000)
+    }
+    val launchLoad = loadAvg()
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()

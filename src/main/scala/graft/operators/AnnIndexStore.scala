@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** PERSISTED ANN serving indexes — the missing half of [[Ann]]'s
+  * transient builders: `ivfIndex` / `sq8Index` / `binaryIndex` return
+  * DataFrames a serving process would otherwise rebuild per restart
+  * (k-means iterations over the full corpus, corpus-wide min/max/mean
+  * aggregates). Each variant persists its codes table as parquet plus
+  * its small driver-side state (centroids / ranges / means) as JSON
+  * under the same generational `_fingerprint` scheme as the BM25 index
+  * ([[GenerationalStore]]) keyed on source fingerprint + index params:
+  * a second `ensure*` call — warm or cold — never touches the corpus
+  * (the thunk is by-name and only evaluated on a fingerprint miss).
+  *
+  * The IVF codes table is PARTITIONED BY `cell`, so a probe's
+  * `cell IN (nearest nprobe centroids)` prunes directories at
+  * file-listing time — the persisted twin of the in-memory index's
+  * cell filter, and the layout that keeps a 100 TB corpus probe at
+  * O(nprobe/nlist) of the data.
+  */
+object AnnIndexStore {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeState(dir: java.nio.file.Path, state: AnyRef): Unit =
+    java.nio.file.Files.writeString(dir.resolve("state.json"),
+      mapper.writeValueAsString(state))
+
+  private def readState(dir: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "state.json")))
+
+  /** IVF index: (codes frame with `cell`, centroids) — probe with
+    * [[Ann.ivfTopK]] / [[Ann.ivfSq8TopK]] exactly like the transient
+    * build.
+    */
+  def ensureIvf(spark: SparkSession, indexDir: String, fingerprint: String,
+      embs: => DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iterations: Int = 3): (DataFrame, Seq[Seq[Double]]) =
+    GenerationalStore.ensure[(DataFrame, Seq[Seq[Double]])](indexDir,
+      s"$fingerprint|ivf|$idCol|$vecCol|$nlist|$iterations",
+      build = { p =>
+        val (idx, centroids) = Ann.ivfIndex(embs, idCol, vecCol, nlist,
+          iterations)
+        idx.repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$p/index")
+        writeState(p, centroids.map(_.toArray).toArray)
+      },
+      load = { dir =>
+        val centroids: Seq[Seq[Double]] =
+          jsonRows(readState(dir)).map(r => jsonDoubles(r))
+        (spark.read.parquet(s"$dir/index"), centroids)
+      })
+
+  /** SQ8 index: (codes frame, interleaved [min, scale]× ranges) — probe
+    * with [[Ann.sq8TopK]].
+    */
+  def ensureSq8(spark: SparkSession, indexDir: String, fingerprint: String,
+      embs: => DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Double]) =
+    GenerationalStore.ensure[(DataFrame, Seq[Double])](indexDir,
+      s"$fingerprint|sq8|$idCol|$vecCol",
+      build = { p =>
+        val (codes, ranges) = Ann.sq8Index(embs, idCol, vecCol)
+        codes.write.parquet(s"$p/index")
+        writeState(p, ranges.toArray)
+      },
+      load = { dir =>
+        (spark.read.parquet(s"$dir/index"), jsonDoubles(readState(dir)))
+      })
+
+  /** Binary (1-bit) index: (codes frame, per-dimension means) — probe
+    * with [[Ann.binaryTopK]] / [[Ann.binaryRerankTopK]].
+    */
+  def ensureBinary(spark: SparkSession, indexDir: String,
+      fingerprint: String, embs: => DataFrame, idCol: String,
+      vecCol: String): (DataFrame, Seq[Double]) =
+    GenerationalStore.ensure[(DataFrame, Seq[Double])](indexDir,
+      s"$fingerprint|binary|$idCol|$vecCol",
+      build = { p =>
+        val (codes, means) = Ann.binaryIndex(embs, idCol, vecCol)
+        codes.write.parquet(s"$p/index")
+        writeState(p, means.toArray)
+      },
+      load = { dir =>
+        (spark.read.parquet(s"$dir/index"), jsonDoubles(readState(dir)))
+      })
+
+  private def jsonRows(n: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala.toSeq
+  }
+
+  private def jsonDoubles(n: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[Double] = jsonRows(n).map(_.asDouble())
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+/** Generational load-or-rebuild persistence for serving-side DERIVED
+  * indexes (BM25 postings, ANN codes/centroids) keyed on a SOURCE
+  * fingerprint — the pattern the reference applies to its FTS index
+  * (bmsuisse/lakeapi df_duckdb.py:341-353, mtime-keyed rebuild), made
+  * safe for concurrent readers:
+  *
+  *  - each build lands in a fresh `idx-<uuid>` generation directory and
+  *    the `_fingerprint` marker (`<fingerprint>|<dir>`) swaps in with an
+  *    atomic rename LAST — a crash mid-build leaves a stale marker that
+  *    simply rebuilds again; a racing reader keeps loading the previous
+  *    complete generation;
+  *  - one build at a time per process (JVM lock), double-checked under
+  *    the lock;
+  *  - superseded generations older than the previous one reclaim
+  *    best-effort AFTER a grace window (mtime-based): buildLock is
+  *    JVM-local, so another PROCESS's in-flight build dir — or a
+  *    generation a racing reader just loaded — must never be deleted
+  *    under it; a truly orphaned dir ages out and the next build sweeps
+  *    it;
+  *  - loaded generations memoize per index dir in an access-ordered LRU
+  *    (warm serving paths skip marker reads and relation setup; one
+  *    overflow evicts ONE eldest entry, never the whole memo).
+  */
+private[graft] object GenerationalStore {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  private val buildLock = new Object
+
+  /** Age a superseded generation must reach before reclaim may delete
+    * it. Test-tunable; 15 min comfortably exceeds any build + swap
+    * window.
+    */
+  private[graft] var reclaimGraceMs: Long = 15L * 60 * 1000
+
+  private[graft] val loadedGenCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Any)](64, 0.75f,
+        /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Any)]): Boolean =
+        size() > 64
+    })
+
+  /** Load-or-rebuild the index at `indexDir` for `fingerprint`:
+    * `build(genDir)` materializes a fresh generation (called only on a
+    * fingerprint miss — its by-name captures, e.g. the corpus frame,
+    * are never touched on a warm or marker-served path), `load(dir)`
+    * opens a complete generation.
+    */
+  def ensure[T](indexDir: String, fingerprint: String,
+      build: Path => Unit, load: String => T): T =
+    Option(loadedGenCache.get(indexDir))
+      .collect { case (fp, idx) if fp == fingerprint => idx.asInstanceOf[T] }
+      .getOrElse {
+        val idx = ensureCold(indexDir, fingerprint, build, load)
+        loadedGenCache.put(indexDir, (fingerprint, idx))
+        idx
+      }
+
+  private def ensureCold[T](indexDir: String, fingerprint: String,
+      build: Path => Unit, load: String => T): T = {
+    val root = Paths.get(indexDir)
+    Files.createDirectories(root)
+    val marker = root.resolve("_fingerprint")
+    // marker format `<fingerprint>|<generation dir>`: the FINGERPRINT may
+    // itself contain '|' (composed source+params keys), the generation
+    // dir never does — so the split anchors on the LAST separator
+    def parseMarker(): Option[(String, String)] =
+      if (!Files.isRegularFile(marker)) None
+      else {
+        val s = Files.readString(marker).trim
+        val i = s.lastIndexOf('|')
+        if (i < 0) None else Some((s.substring(0, i), s.substring(i + 1)))
+      }
+    def currentGen(): Option[Path] =
+      parseMarker() match {
+        case Some((fp, dir)) if fp == fingerprint =>
+          Some(root.resolve(dir)).filter(Files.isDirectory(_))
+        case _ => None
+      }
+    currentGen() match {
+      case Some(dir) => load(dir.toString)
+      case None => buildLock.synchronized {
+        // re-check under the lock: a concurrent request may have built
+        currentGen() match {
+          case Some(dir) => load(dir.toString)
+          case None =>
+            val gen = s"idx-${java.util.UUID.randomUUID()}"
+            build(root.resolve(gen))
+            val prevGen = parseMarker().map(_._2)
+            val tmp = root.resolve(s".marker-${java.util.UUID.randomUUID()}")
+            Files.writeString(tmp, s"$fingerprint|$gen")
+            Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            // reclaim generations BEHIND the previous one (the previous
+            // stays for in-flight readers of the old marker), and only
+            // past the grace window — see the object doc
+            try {
+              val cutoff = System.currentTimeMillis() - reclaimGraceMs
+              val s = Files.list(root)
+              try s.iterator().asScala
+                .filter(p => p.getFileName.toString.startsWith("idx-") &&
+                  p.getFileName.toString != gen &&
+                  !prevGen.contains(p.getFileName.toString) &&
+                  (try Files.getLastModifiedTime(p).toMillis < cutoff
+                   catch { case scala.util.control.NonFatal(_) => false }))
+                .foreach { p =>
+                  val w = Files.walk(p)
+                  try w
+                    .sorted(java.util.Comparator
+                      .reverseOrder[java.nio.file.Path]())
+                    .forEach(f => Files.deleteIfExists(f))
+                  finally w.close()
+                }
+              finally s.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
+            load(root.resolve(gen).toString)
+        }
+      }
+    }
+  }
+}

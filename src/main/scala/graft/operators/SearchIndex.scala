@@ -170,109 +170,18 @@ object SearchIndex {
   }
 
   /** Load-or-rebuild a persisted index keyed on the SOURCE fingerprint
-    * (the reference's mtime-keyed FTS rebuild, df_duckdb.py:341-353).
-    * Rebuilds are GENERATIONAL so concurrent readers never see a
-    * half-written index: each build lands in a fresh `idx-<uuid>`
-    * directory and the `_fingerprint` marker (`<fingerprint>|<dir>`) is
-    * swapped in with an atomic rename LAST — a crash mid-build leaves a
-    * stale marker that simply rebuilds again; a racing reader keeps
-    * loading the previous complete generation. One build at a time per
-    * process (JVM lock); superseded generations older than the previous
-    * one are reclaimed best-effort after the swap.
+    * (the reference's mtime-keyed FTS rebuild, df_duckdb.py:341-353) —
+    * generational swap, grace-windowed reclaim and the warm LRU all
+    * live in [[GenerationalStore]], shared with the ANN indexes
+    * ([[AnnIndexStore]]). The corpus thunk is never touched on a warm
+    * or marker-served path.
     */
-  private val buildLock = new Object
-  /** Age a superseded generation must reach before reclaim may delete
-    * it (multi-process safety — see the reclaim comment below).
-    * Test-tunable; 15 min comfortably exceeds any build + swap window.
-    */
-  private[graft] var reclaimGraceMs: Long = 15L * 60 * 1000
-  // loaded generation per index dir — the warm serving path must not
-  // pay marker reads and fresh parquet relation setup per request.
-  // Access-ordered LRU evicting ONE eldest entry past capacity: a
-  // clear-all would momentarily stampede every warm serving path back
-  // to marker reads the moment a 65th index dir shows up.
-  private[graft] val loadedGenCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (String, Bm25Index)](64, 0.75f,
-        /* accessOrder = */ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, Bm25Index)]): Boolean =
-        size() > 64
-    })
   def ensureIndex(spark: SparkSession, indexDir: String,
       fingerprint: String, corpus: => DataFrame, idCol: String,
-      textCols: Seq[String]): Bm25Index = {
-    Option(loadedGenCache.get(indexDir))
-      .collect { case (fp, idx) if fp == fingerprint => idx }
-      .getOrElse {
-        val idx = ensureIndexCold(spark, indexDir, fingerprint, corpus,
-          idCol, textCols)
-        loadedGenCache.put(indexDir, (fingerprint, idx))
-        idx
-      }
-  }
-  private def ensureIndexCold(spark: SparkSession, indexDir: String,
-      fingerprint: String, corpus: => DataFrame, idCol: String,
-      textCols: Seq[String]): Bm25Index = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(indexDir)
-    Files.createDirectories(root)
-    val marker = root.resolve("_fingerprint")
-    def currentGen(): Option[java.nio.file.Path] =
-      if (!Files.isRegularFile(marker)) None
-      else Files.readString(marker).trim.split("\\|", 2) match {
-        case Array(fp, dir) if fp == fingerprint =>
-          Some(root.resolve(dir)).filter(Files.isDirectory(_))
-        case _ => None
-      }
-    currentGen() match {
-      case Some(dir) => load(spark, dir.toString)
-      case None => buildLock.synchronized {
-        // re-check under the lock: a concurrent request may have built
-        currentGen() match {
-          case Some(dir) => load(spark, dir.toString)
-          case None =>
-            val gen = s"idx-${java.util.UUID.randomUUID()}"
-            save(build(corpus, idCol, textCols),
-              root.resolve(gen).toString)
-            val prevGen = Option(marker)
-              .filter(Files.isRegularFile(_))
-              .map(m => Files.readString(m).trim.split("\\|", 2))
-              .collect { case Array(_, dir) => dir }
-            val tmp = root.resolve(s".marker-${java.util.UUID.randomUUID()}")
-            Files.writeString(tmp, s"$fingerprint|$gen")
-            Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-            // reclaim generations BEHIND the previous one (the previous
-            // stays for in-flight readers of the old marker) — and only
-            // past a GRACE period: buildLock is JVM-local, so in a
-            // multi-process deployment another builder's in-flight
-            // idx-<uuid> (or a generation a racing reader just loaded)
-            // must not be deleted under it. mtime-based: any dir touched
-            // within the grace window is spared; a truly orphaned one is
-            // reclaimed by whichever later build runs after it ages out.
-            try {
-              val cutoff = System.currentTimeMillis() - reclaimGraceMs
-              val s = Files.list(root)
-              try s.iterator().asScala
-                .filter(p => p.getFileName.toString.startsWith("idx-") &&
-                  p.getFileName.toString != gen &&
-                  !prevGen.contains(p.getFileName.toString) &&
-                  (try Files.getLastModifiedTime(p).toMillis < cutoff
-                   catch { case scala.util.control.NonFatal(_) => false }))
-                .foreach { p =>
-                  val w = Files.walk(p)
-                  try w
-                    .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                    .forEach(f => Files.deleteIfExists(f))
-                  finally w.close()
-                }
-              finally s.close()
-            } catch { case scala.util.control.NonFatal(_) => () }
-            load(spark, root.resolve(gen).toString)
-        }
-      }
-    }
-  }
+      textCols: Seq[String]): Bm25Index =
+    GenerationalStore.ensure[Bm25Index](indexDir, fingerprint,
+      build = p => save(build(corpus, idCol, textCols), p.toString),
+      load = dir => load(spark, dir))
 
   /** Per-row BM25 score as a pure Column: corpus stats are inlined as
     * literals (driver-side, a handful of numbers), tf and doc length are

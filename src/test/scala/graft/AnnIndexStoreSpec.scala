@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Ann, AnnIndexStore, GenerationalStore}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN serving indexes: a second `ensure*` call — warm memo
+  * or cold marker-served — must run ZERO corpus work. Pinned with a
+  * POISONED corpus thunk (it throws if ever evaluated), which is
+  * stronger than a job count: not even a plan over the corpus may be
+  * constructed. Probe results must be identical to the transient
+  * builders', and the persisted IVF layout must partition-prune probes.
+  */
+class AnnIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = {
+    val rows = (0 until 120).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 31 + d * 7))
+      (i.toLong, v)
+    }
+    rows.toDF("id", "vec")
+  }
+  private def poisoned: org.apache.spark.sql.DataFrame =
+    throw new IllegalStateException("corpus thunk evaluated on a warm path")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ann_$tag").toString
+
+  private val query: Seq[Double] = (0 until 8).map(d => math.cos(d * 3.0))
+
+  test("ivf: persists once, serves from the index thereafter; results " +
+      "match the transient build; probes partition-prune") {
+    val dir = tmp("ivf")
+    val (idx1, cents1) = AnnIndexStore.ensureIvf(spark, dir, "fp1",
+      embs, "id", "vec", nlist = 4)
+    val (tIdx, tCents) = Ann.ivfIndex(embs, "id", "vec", nlist = 4)
+    assert(cents1 == tCents, "persisted centroids must equal the transient")
+    val got = Ann.ivfTopK(idx1, cents1, "id", "vec", query, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Ann.ivfTopK(tIdx, tCents, "id", "vec", query, k = 10,
+      nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // warm path: the memo serves, the corpus thunk must never evaluate
+    val (idx2, cents2) = AnnIndexStore.ensureIvf(spark, dir, "fp1",
+      poisoned, "id", "vec", nlist = 4)
+    assert(cents2 == cents1)
+    // cold path: drop the memo — the MARKER serves, still no corpus work
+    GenerationalStore.loadedGenCache.clear()
+    val (idx3, cents3) = AnnIndexStore.ensureIvf(spark, dir, "fp1",
+      poisoned, "id", "vec", nlist = 4)
+    assert(cents3 == cents1)
+    assert(Ann.ivfTopK(idx3, cents3, "id", "vec", query, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+    // the persisted layout is cell-partitioned and the probe prunes:
+    // only the probed cells' directories are listed
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probed = graft.operators.Ann.ivfTopK(idx3, cents3, "id", "vec",
+      query, k = 10, nprobe = 2)
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"cell pruning filter must reach the persisted index scan:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"probe listed ${s.selectedPartitions.partitionCount} cells, want <= nprobe")
+    }
+    // a changed fingerprint rebuilds (and the poisoned thunk proves the
+    // OLD one would not have)
+    val (idx4, _) = AnnIndexStore.ensureIvf(spark, dir, "fp2",
+      embs, "id", "vec", nlist = 4)
+    assert(idx4.count() == 120)
+    assert(idx2.columns.contains("cell") && idx1.columns.contains("cell"))
+  }
+
+  test("sq8: persisted codes + ranges probe identically, zero corpus " +
+      "work on re-ensure") {
+    val dir = tmp("sq8")
+    val (codes1, ranges1) = AnnIndexStore.ensureSq8(spark, dir, "fp1",
+      embs, "id", "vec")
+    val (tCodes, tRanges) = Ann.sq8Index(embs, "id", "vec")
+    assert(ranges1 == tRanges)
+    val want = Ann.sq8TopK(tCodes, tRanges, "id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(Ann.sq8TopK(codes1, ranges1, "id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+    GenerationalStore.loadedGenCache.clear()
+    val (codes2, ranges2) = AnnIndexStore.ensureSq8(spark, dir, "fp1",
+      poisoned, "id", "vec")
+    assert(ranges2 == ranges1)
+    assert(Ann.sq8TopK(codes2, ranges2, "id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+  }
+
+  test("binary: persisted codes + means probe identically, zero corpus " +
+      "work on re-ensure") {
+    val dir = tmp("bin")
+    val (codes1, means1) = AnnIndexStore.ensureBinary(spark, dir, "fp1",
+      embs, "id", "vec")
+    val (tCodes, tMeans) = Ann.binaryIndex(embs, "id", "vec")
+    assert(means1 == tMeans)
+    val want = Ann.binaryTopK(tCodes, tMeans, "id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    GenerationalStore.loadedGenCache.clear()
+    val (codes2, means2) = AnnIndexStore.ensureBinary(spark, dir, "fp1",
+      poisoned, "id", "vec")
+    assert(means2 == means1)
+    assert(Ann.binaryTopK(codes2, means2, "id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+  }
+}

@@ -361,7 +361,7 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
   test("loadedGenCache is an access-ordered LRU: one eldest evicted, warm entries survive") {
-    val cache = SearchIndex.loadedGenCache
+    val cache = graft.operators.GenerationalStore.loadedGenCache
     cache.clear()
     val dummy = graft.operators.SearchIndex.Bm25Index(
       Seq(("t", 1L, 1)).toDF("term", "id", "tf"),
@@ -388,15 +388,15 @@ class SearchIndexSpec extends SparkSpec {
         it.map(_.getFileName.toString).filter(_.startsWith("idx-")).toSet
       } finally s.close()
     }
-    val saved = SearchIndex.reclaimGraceMs
+    val saved = graft.operators.GenerationalStore.reclaimGraceMs
     try {
-      SearchIndex.reclaimGraceMs = Long.MaxValue / 4 // spare everything
+      graft.operators.GenerationalStore.reclaimGraceMs = Long.MaxValue / 4 // spare everything
       SearchIndex.ensureIndex(spark, dir, "fp1", docs, "doc_id", Seq("text"))
       SearchIndex.ensureIndex(spark, dir, "fp2", docs, "doc_id", Seq("text"))
       SearchIndex.ensureIndex(spark, dir, "fp3", docs, "doc_id", Seq("text"))
       assert(gens().size == 3,
         s"in-grace generations must be spared: ${gens()}")
-      SearchIndex.reclaimGraceMs = 0L // everything aged out
+      graft.operators.GenerationalStore.reclaimGraceMs = 0L // everything aged out
       SearchIndex.ensureIndex(spark, dir, "fp4", docs, "doc_id", Seq("text"))
       // new generation + the previous one survive; older reclaimed
       assert(gens().size == 2,
@@ -406,8 +406,8 @@ class SearchIndexSpec extends SparkSpec {
         "doc_id", Seq("text"))
       assert(SearchIndex.score(idx, "engine").count() == 3L)
     } finally {
-      SearchIndex.reclaimGraceMs = saved
-      SearchIndex.loadedGenCache.clear()
+      graft.operators.GenerationalStore.reclaimGraceMs = saved
+      graft.operators.GenerationalStore.loadedGenCache.clear()
     }
   }
 }
