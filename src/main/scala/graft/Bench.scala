@@ -64,11 +64,13 @@ object Bench {
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .getOrElse(300L)
     val waitDeadline = System.nanoTime() + quietWaitSecs * 1000000000L
-    while (loadAvg() > quietThreshold && System.nanoTime() < waitDeadline) {
+    var sampled = loadAvg()
+    while (sampled > quietThreshold && System.nanoTime() < waitDeadline) {
       System.err.println(
-        f"[bench] ambient load ${loadAvg()}%.2f > $quietThreshold%.1f — " +
+        f"[bench] ambient load $sampled%.2f > $quietThreshold%.1f — " +
           "waiting for a quiet window")
       Thread.sleep(15000)
+      sampled = loadAvg()
     }
     val launchLoad = loadAvg()
 

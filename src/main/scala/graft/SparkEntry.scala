@@ -614,11 +614,8 @@ object SparkEntry {
     */
   private def icebergDefaultsFixture(s: SparkSession, dir: String): String =
     synchronized {
-      import java.nio.file.{Files, Path, Paths}
+      import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
       import org.apache.spark.sql.functions.{struct, upper}
       val root = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_defaults_gate_v1_${math.abs(dir.hashCode)}")
@@ -648,66 +645,12 @@ object SparkEntry {
             upper(col("n_name")).as("tag")).as("info"),
           col("n_name").as("extra")),
         "data/new.parquet")
-      val listSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          |{"name":"manifest_path","type":"string"},
-          |{"name":"manifest_length","type":"long"},
-          |{"name":"partition_spec_id","type":"int"},
-          |{"name":"content","type":"int"},
-          |{"name":"sequence_number","type":"long"},
-          |{"name":"min_sequence_number","type":"long"},
-          |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
-      val entrySchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_entry","fields":[
-          |{"name":"status","type":"int"},
-          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-          |{"name":"content","type":"int"},
-          |{"name":"file_path","type":"string"},
-          |{"name":"file_format","type":"string"},
-          |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
-          |{"name":"record_count","type":"long"},
-          |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-      def writeAvro(path: Path, schema: Schema,
-          records: Seq[GenericRecord]): Unit = {
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, path.toFile)
-        records.foreach(w.append)
-        w.close()
-      }
-      def manifest(name: String, path: String, rc: Long): String = {
-        val dfSchema = entrySchema.getField("data_file").schema()
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", 0)
-        d.put("file_path", path)
-        d.put("file_format", "PARQUET")
-        d.put("partition",
-          new GenericData.Record(dfSchema.getField("partition").schema()))
-        d.put("record_count", rc)
-        d.put("file_size_in_bytes", 1L)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1)
-        e.put("data_file", d)
-        val p = mdDir.resolve(name)
-        writeAvro(p, entrySchema, Seq(e))
-        p.toString
-      }
       val nOld = nation.filter(col("n_regionkey") < 2).count()
       val nNew = nation.filter(col("n_regionkey") >= 2).count()
-      val m1 = manifest("m1.avro", fileOld, nOld)
-      val m2 = manifest("m2.avro", fileNew, nNew)
-      val recs = Seq(m1, m2).map { mp =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", mp)
-        r.put("manifest_length", 1L)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", 1L)
-        r.put("min_sequence_number", 1L)
-        r.put("added_snapshot_id", 1L)
-        r: GenericRecord
-      }
-      val listPath = mdDir.resolve("snap-1.avro")
-      writeAvro(listPath, listSchema, recs)
+      val m1 = simpleDataManifest(mdDir.resolve("m1.avro"), fileOld, nOld)
+      val m2 = simpleDataManifest(mdDir.resolve("m2.avro"), fileNew, nNew)
+      val listPath = simpleManifestList(mdDir.resolve("snap-1.avro"),
+        Seq(m1, m2))
       val schemaJson =
         """{"type":"struct","schema-id":0,"fields":[
           |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
@@ -731,6 +674,76 @@ object SparkEntry {
       root.toString
     }
 
+  // ---- shared plumbing for the minimal FOREIGN-iceberg fixtures (the
+  // defaults and ns gates): one basic manifest-list/manifest-entry
+  // shape, one writer. The v3 lineage fixture keeps its own richer
+  // schemas (first_row_id / DV fields).
+  private lazy val simpleListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+  private lazy val simpleEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+  private def writeAvroFile(path: java.nio.file.Path,
+      schema: org.apache.avro.Schema,
+      records: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, path.toFile)
+    records.foreach(w.append)
+    w.close()
+  }
+  /** One-data-entry manifest with a REAL record count. */
+  private def simpleDataManifest(path: java.nio.file.Path,
+      filePath: String, recordCount: Long): String = {
+    import org.apache.avro.generic.GenericData
+    val dfSchema = simpleEntrySchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 0)
+    d.put("file_path", filePath)
+    d.put("file_format", "PARQUET")
+    d.put("partition",
+      new GenericData.Record(dfSchema.getField("partition").schema()))
+    d.put("record_count", recordCount)
+    d.put("file_size_in_bytes", 1L)
+    val e = new GenericData.Record(simpleEntrySchema)
+    e.put("status", 1)
+    e.put("data_file", d)
+    writeAvroFile(path, simpleEntrySchema, Seq(e))
+    path.toString
+  }
+  private def simpleManifestList(path: java.nio.file.Path,
+      manifests: Seq[String], seq: Long = 1L): String = {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    val recs = manifests.map { mp =>
+      val r = new GenericData.Record(simpleListSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 1L)
+      r: GenericRecord
+    }
+    writeAvroFile(path, simpleListSchema, recs)
+    path.toString
+  }
+
   /** Foreign v3 table with a `timestamp_ns` column (physical parquet
     * int64 TIMESTAMP(NANOS), the spec-required shape — written via
     * parquet-java's example API since Spark itself only writes µs) and
@@ -740,10 +753,7 @@ object SparkEntry {
     */
   private def icebergNsFixture(s: SparkSession, dir: String): String =
     synchronized {
-      import java.nio.file.{Files, Path, Paths}
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import java.nio.file.{Files, Paths}
       val root = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_iceberg_ns_gate_v1_${math.abs(dir.hashCode)}")
       val mdDir = root.resolve("metadata")
@@ -783,56 +793,9 @@ object SparkEntry {
         }
         writer.close()
       }
-      val listSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          |{"name":"manifest_path","type":"string"},
-          |{"name":"manifest_length","type":"long"},
-          |{"name":"partition_spec_id","type":"int"},
-          |{"name":"content","type":"int"},
-          |{"name":"sequence_number","type":"long"},
-          |{"name":"min_sequence_number","type":"long"},
-          |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
-      val entrySchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_entry","fields":[
-          |{"name":"status","type":"int"},
-          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-          |{"name":"content","type":"int"},
-          |{"name":"file_path","type":"string"},
-          |{"name":"file_format","type":"string"},
-          |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
-          |{"name":"record_count","type":"long"},
-          |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-      def writeAvro(path: Path, schema: Schema,
-          records: Seq[GenericRecord]): Unit = {
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, path.toFile)
-        records.foreach(w.append)
-        w.close()
-      }
-      val dfSchema = entrySchema.getField("data_file").schema()
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
-      d.put("file_path", file.toString)
-      d.put("file_format", "PARQUET")
-      d.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
-      d.put("record_count", rows.length.toLong)
-      d.put("file_size_in_bytes", 1L)
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1)
-      e.put("data_file", d)
-      val m1 = mdDir.resolve("m1.avro")
-      writeAvro(m1, entrySchema, Seq(e))
-      val lr = new GenericData.Record(listSchema)
-      lr.put("manifest_path", m1.toString)
-      lr.put("manifest_length", 1L)
-      lr.put("partition_spec_id", 0)
-      lr.put("content", 0)
-      lr.put("sequence_number", 1L)
-      lr.put("min_sequence_number", 1L)
-      lr.put("added_snapshot_id", 1L)
-      val listPath = mdDir.resolve("snap-1.avro")
-      writeAvro(listPath, listSchema, Seq(lr))
+      val m1 = simpleDataManifest(mdDir.resolve("m1.avro"), file.toString,
+        rows.length.toLong)
+      val listPath = simpleManifestList(mdDir.resolve("snap-1.avro"), Seq(m1))
       val schemaJson =
         """{"type":"struct","schema-id":0,"fields":[
           |{"id":1,"name":"o_orderkey","required":false,"type":"long"},

@@ -369,9 +369,16 @@ object DeltaWriter {
     val removed = removes.result()
     if (removed.isEmpty) return 0
     val version = nextVersion(root)
-    require(!snap.rowTrackingEnabled || version == snap.version + 1,
-      s"optimize of $path raced a concurrent commit — fresh row ids " +
-        "would derive from a stale high-water mark; retry")
+    // PROBE-STALENESS guard, unconditional: the bins derive from `snap`,
+    // so any commit that landed during the rewrite (a delete re-adding a
+    // binned file with a DV, another optimize) would make this commit
+    // resurrect rows or double-add — fail loudly, caller re-runs. (Row
+    // tracking additionally derives base ids from snap's high-water
+    // mark.) The rewritten staging files are already moved; a re-run
+    // re-plans from the fresh snapshot and vacuum reclaims the orphans.
+    require(version == snap.version + 1,
+      s"optimize of $path raced a concurrent commit (snapshot " +
+        s"${snap.version}, next version $version) — re-run optimize")
     val newAdds = adds.result()
     // rewritten adds still get FRESH base ids (spec: every add on a
     // tracked table carries one) — readers ignore them because the
@@ -548,9 +555,10 @@ object DeltaWriter {
       "z-order")
 
     val version = nextVersion(root)
-    require(!snap.rowTrackingEnabled || version == snap.version + 1,
-      s"optimizeZOrder of $path raced a concurrent commit — fresh row " +
-        "ids would derive from a stale high-water mark; retry")
+    // probe-staleness guard, unconditional — see [[optimize]]'s
+    require(version == snap.version + 1,
+      s"optimizeZOrder of $path raced a concurrent commit (snapshot " +
+        s"${snap.version}, next version $version) — re-run")
     val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
       snap.rowIdHighWaterMark, root, adds, version)
     commit(root, version,
@@ -658,9 +666,10 @@ object DeltaWriter {
     val adds = collectGidOutputs(staging, root, pvOfGid, physSchema,
       "purge")
     val version = nextVersion(root)
-    require(!snap.rowTrackingEnabled || version == snap.version + 1,
-      s"purgeDeletes of $path raced a concurrent commit — fresh row ids " +
-        "would derive from a stale high-water mark; retry")
+    // probe-staleness guard, unconditional — see [[optimize]]'s
+    require(version == snap.version + 1,
+      s"purgeDeletes of $path raced a concurrent commit (snapshot " +
+        s"${snap.version}, next version $version) — re-run")
     val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
       snap.rowIdHighWaterMark, root, adds, version)
     commit(root, version,
@@ -1104,13 +1113,17 @@ object DeltaWriter {
 
   // ---------- row tracking (PROTOCOL.md "Row Tracking") ----------
 
+  // shared, thread-safe for reads — a tracked commit landing 10⁴ files
+  // must not pay 10⁴ ObjectMapper constructions just to read numRecords
+  private val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** numRecords of a written file — from its stats JSON (this writer
     * always records one), else the parquet footer.
     */
   private def recordsOf(root: Path, w: Written): Long =
     w.stats.flatMap { s =>
-      try Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(s).get("numRecords")).filterNot(_.isNull).map(_.asLong())
+      try Option(statsMapper.readTree(s).get("numRecords"))
+        .filterNot(_.isNull).map(_.asLong())
       catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(IcebergWriter.footerRecordCount(root.resolve(w.relPath)))
 

@@ -545,6 +545,7 @@ object IcebergWriter {
       val v3data = content == 0 &&
         Option(md.get("format-version")).exists(_.asInt() >= 3)
       var minRowId = Long.MaxValue
+      var maxRowEnd = Long.MinValue
       var liveRows = 0L
       val recs: Seq[GenericRecord] = small.flatMap { ref =>
         var rowOffset = 0L
@@ -590,6 +591,7 @@ object IcebergWriter {
               if (explicit.isEmpty) rowOffset += rc
               liveRows += rc
               minRowId = math.min(minRowId, eff)
+              maxRowEnd = math.max(maxRowEnd, eff + rc)
             }
             d.put("record_count", longOf(src, "record_count", 0L))
             d.put("file_size_in_bytes",
@@ -666,7 +668,11 @@ object IcebergWriter {
         // lineageAssign from burning fresh id space on it
         firstRowId = if (v3data && minRowId != Long.MaxValue)
           Some(minRowId) else None,
-        liveRowCount = if (v3data) Some(liveRows) else None)
+        liveRowCount = if (v3data) Some(liveRows) else None,
+        // exact id-space end: gaps between merged windows make
+        // min + total an undershooting fence; this one is precise
+        maxRowIdEnd = if (v3data && maxRowEnd != Long.MinValue)
+          Some(maxRowEnd) else None)
       Some((Some(mergedRef), Some(mergedPath)))
     } catch {
       case scala.util.control.NonFatal(_) => None // fail open
@@ -1060,8 +1066,25 @@ object IcebergWriter {
         }
       }
     }
-    TableState(root, md, location, schema, fieldNames, refs, entries, mdFile,
-      defaultSpec(md), formatVersion)
+    // exact per-manifest id-space END (max effective first_row_id +
+    // record_count over live data entries) — free here, where every
+    // manifest is already decoded; [[lineageAssign]]'s collision fence
+    // for EXPLICIT windows too, not just derived ones
+    val endByManifest: Map[String, Long] =
+      if (formatVersion < 3) Map.empty
+      else entries
+        .filter(e => e.content == 0 && e.firstRowId.isDefined &&
+          e.recordCount >= 0)
+        .groupBy(_.manifestPath)
+        .map { case (p, es) =>
+          p -> es.map(e => e.firstRowId.get + e.recordCount).max }
+    val refsOut =
+      if (endByManifest.isEmpty) refs
+      else refs.map(r =>
+        if (r.content == 0) r.copy(maxRowIdEnd = endByManifest.get(r.path))
+        else r)
+    TableState(root, md, location, schema, fieldNames, refsOut, entries,
+      mdFile, defaultSpec(md), formatVersion)
   }
 
   /** The (spec id, partition tuple) scope key for equality-delete
@@ -2211,6 +2234,11 @@ object IcebergWriter {
       specId: Int = 0,
       firstRowId: Option[Long] = None,
       liveRowCount: Option[Long] = None,
+      // highest (effective first_row_id + record_count) over the
+      // manifest's live data entries — the EXACT id-space end, known
+      // wherever the manifest was decoded ([[loadState]]); None on the
+      // decode-free append path. [[lineageAssign]]'s collision fence.
+      maxRowIdEnd: Option[Long] = None,
       // true = a manifest THIS commit wrote (its window allocates fresh
       // id space from next-row-id); false = carried (a null window is a
       // LEGACY manifest whose inherited window gets pinned instead)
@@ -3531,20 +3559,29 @@ object IcebergWriter {
           (r.path, r.firstRowId,
             if (r.firstRowId.isDefined) r.liveRowCount
             else legacyRows(r.path))))
-    // pinned legacy window ends must be known BEFORE fresh assignment:
-    // on a nonconforming foreign table whose derivable windows already
-    // overrun `next-row-id`, a fresh window starting at `next-row-id`
-    // would overlap a window pinned IN THIS SAME COMMIT (a trailing
-    // fence only protects future commits). Underivable/unsizable legacy
-    // windows are skipped here — the map below still refuses them with
-    // the descriptive error. Forces the lazy maps only when legacy
-    // manifests exist.
+    // pinned/carried window ends must be known BEFORE fresh assignment:
+    // on a nonconforming foreign table whose windows already overrun
+    // `next-row-id`, a fresh window starting at `next-row-id` would
+    // overlap ids pinned IN THIS SAME COMMIT (a trailing fence only
+    // protects future commits). Per ref, most-exact-first: the decoded
+    // per-entry max end (loadState paths — covers EXPLICIT windows
+    // too), else explicit window + known row count, else the derived
+    // window + legacy row count. The decode-free append path leaves
+    // carried EXPLICIT refs unfenced — on a CONFORMING table
+    // `next-row-id` already dominates them (the spec invariant), and
+    // sizing them there would cost O(manifests) reads per append.
+    // Underivable/unsizable legacy windows are skipped here — the map
+    // below still refuses them with the descriptive error. Forces the
+    // lazy maps only when legacy manifests exist.
     val maxPinnedEnd: Long = refs.iterator.collect {
-      case r if r.content == 0 && !r.freshlyWritten && r.firstRowId.isEmpty =>
-        for {
-          w <- inheritedWindows.getOrElse(r.path, None)
-          n <- legacyRows(r.path)
-        } yield w + n
+      case r if r.content == 0 && !r.freshlyWritten =>
+        r.maxRowIdEnd.orElse(r.firstRowId match {
+          case Some(w) => r.liveRowCount.map(w + _)
+          case None => for {
+            w <- inheritedWindows.getOrElse(r.path, None)
+            n <- legacyRows(r.path)
+          } yield w + n
+        })
     }.flatten.foldLeft(start)(math.max)
     newCounter = maxPinnedEnd
     val out = refs.map { r =>

@@ -84,13 +84,25 @@ object DeltaLogReader {
     def rowTrackingEnabled: Boolean =
       configuration.get("delta.enableRowTracking").contains("true")
     /** Highest fresh row id ever assigned (domain `delta.rowTracking`,
-      * key `rowIdHighWaterMark`); None before the first assignment.
+      * key `rowIdHighWaterMark`); None only when the domain is ABSENT
+      * (before the first assignment). A PRESENT-but-malformed domain
+      * fails loudly: treating it as "no mark" would mint base ids from
+      * 0 and silently duplicate every existing row id.
       */
     def rowIdHighWaterMark: Option[Long] =
-      domainMetadata.get("delta.rowTracking").flatMap { cfg =>
-        try Option(mapper.readTree(cfg).get("rowIdHighWaterMark"))
-          .filterNot(_.isNull).map(_.asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
+      domainMetadata.get("delta.rowTracking").map { cfg =>
+        val node =
+          try mapper.readTree(cfg)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(
+                s"malformed delta.rowTracking domain configuration: $cfg", e)
+          }
+        val v = node.get("rowIdHighWaterMark")
+        require(v != null && v.isNumber,
+          s"delta.rowTracking domain carries no numeric " +
+            s"rowIdHighWaterMark: $cfg")
+        v.asLong()
       }
     /** Physical parquet column names holding MATERIALIZED row ids /
       * commit versions (what lets a rewrite preserve lineage) — table

@@ -821,23 +821,6 @@ object IcebergReader {
     * file's missing column would read NULL and the null-safe `<=>`
     * join would over-delete every null-valued data row.
     */
-  /** Top-level column NAMES of one parquet footer (cached — data files
-    * are immutable): the per-file presence probe `initial-default`
-    * application needs (a file lacking the column serves the default).
-    */
-  private val footerColsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-  private[graft] def footerTopColumns(path: String): Set[String] =
-    footerColsCache.computeIfAbsent(normPath(path), { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFileMetaData.getSchema.getFields.asScala
-        .map(_.getName).toSet
-      finally r.close()
-    })
-
   /** ALL dotted column paths (groups and leaves) of one parquet footer
     * (cached — data files are immutable): the presence probe for
     * STRUCT-NESTED `initial-default` application. Struct paths come out
@@ -1268,7 +1251,16 @@ object IcebergReader {
         val p = prefix :+ f.get("name").asText()
         val own = Option(f.get("initial-default")).filterNot(_.isNull)
           .map { d =>
-            val dt = typeOf(f.get("type"))
+            val tNode = f.get("type")
+            // the scan reads ns columns as RAW nanos and unknown as a
+            // null projection — a default literal could not type-check
+            // against either; reject instead of a cryptic analysis error
+            if (tNode.isTextual && Set("timestamp_ns", "timestamptz_ns",
+                "unknown")(tNode.asText()))
+              throw new IllegalArgumentException(
+                s"initial-default on ${tNode.asText()} column " +
+                  s"'${p.mkString(".")}' is not supported")
+            val dt = typeOf(tNode)
             DefaultEntry(p, f.get("id").asInt(), dt,
               defaultValueOf(dt, d, p.mkString(".")))
           }
@@ -1283,14 +1275,6 @@ object IcebergReader {
     walk(currentSchemaNode(root).get("fields"), Nil)
   }
 
-  /** Top-level `initial-default`s only (column name → Spark literal) —
-    * kept for callers that reason about whole columns; the full
-    * (nested-inclusive) inventory is [[schemaDefaults]].
-    */
-  private[graft] def columnDefaults(root: JsonNode): Map[String, Any] =
-    schemaDefaults(root).collect {
-      case DefaultEntry(Seq(name), _, _, v) => name -> v
-    }.toMap
 
   /** One JSON single-value-serialized default → a Spark literal value
     * (spec Appendix D "Single-value serialization", JSON column).

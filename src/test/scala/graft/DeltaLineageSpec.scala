@@ -79,7 +79,6 @@ class DeltaLineageSpec extends SparkSpec {
   }
 
   test("optimizeZOrder preserves row ids through re-clustering") {
-    val t = tmp("dlin_zorder")
     val d = (0 until 60).map(i => (i, (i * 37) % 60)).toDF("id", "y")
     val td = tmp("dlin_zorder")
     W.create(d, td, rowTracking = true)
@@ -162,6 +161,17 @@ class DeltaLineageSpec extends SparkSpec {
       DeltaLogReader.read(spark, t, withLineage = true)
     }
     assert(e.getMessage.contains("enableRowTracking"))
+  }
+
+  test("a malformed rowTracking high-water mark fails the next " +
+      "assignment loudly — never re-mints ids from zero") {
+    val t = tmp("dlin_badhwm")
+    W.create(df(0 until 5), t, rowTracking = true)
+    // a foreign writer corrupts the domain configuration
+    W.commit(Paths.get(t), 1L, Seq(
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"not json","removed":false}}"""))
+    val e = intercept[IllegalStateException] { W.append(df(5 until 8), t) }
+    assert(e.getMessage.contains("delta.rowTracking"), e.getMessage)
   }
 
   test("time travel reads lineage as of that version") {

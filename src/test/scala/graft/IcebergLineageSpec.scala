@@ -313,6 +313,45 @@ class IcebergLineageSpec extends SparkSpec {
       s"inheritance must skip explicit entries: got $got, want $want")
   }
 
+  test("fresh windows fence past EXPLICIT per-entry ids on a " +
+      "nonconforming foreign table (next-row-id behind the ids)") {
+    // same foreign merged-manifest shape as above — explicit ids
+    // 100..104 — but the metadata carries NO next-row-id, so a naive
+    // fresh assignment would start at 0 and, after enough rows, walk
+    // straight into the pinned 100..104 range. The decoded per-entry
+    // max end must fence it.
+    val root = Paths.get(tmp("lin_foreign_fence"))
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val F = IcebergTestFixtures
+    val fileE = F.writeDataFile(df(0 until 5), root, "e.parquet")
+    val fileN = F.writeDataFile(df(10 until 13), root, "n.parquet")
+    val m1 = F.lineageManifest(root.resolve("metadata/m1.avro"),
+      Seq((fileE, 5L, Some(100L)), (fileN, 3L, None)))
+    val list = F.lineageManifestList(root.resolve("metadata/snap-1.avro"),
+      Seq((m1, 0, 1L, None)))
+    F.writeMetadata(root, 1, 3, Seq((1L, 1L, list)), 1L,
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin, firstRowId = Some(0L))
+    val before = lineage(root.toString)
+    assert(before.values.map(_._1).toSet ==
+      (100L until 105L).toSet ++ (0L until 3L).toSet)
+    // a loadState-path commit (upsert) assigns fresh windows: 120 new
+    // rows would cross into the explicit 100.. range without the fence
+    W.upsert(df(200 until 320), root.toString, Seq("id"))
+    val after = lineage(root.toString)
+    val ids = after.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size,
+      s"duplicate row ids minted: ${ids.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert((200 until 320).map(k => after(k)._1).min >= 105L,
+      "fresh ids must start past the explicit per-entry ends")
+    // untouched rows keep their ids
+    assert((0 until 13).filter(after.contains)
+      .forall(k => after(k) == before(k)))
+  }
+
   test("lineage read on a v2 table fails loudly") {
     val t = tmp("lin_v2")
     W.create(df(0 until 5), t) // v2
