@@ -1,0 +1,37 @@
+package graft.dev
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot plan audit: the lineage read must be scan → (optional DV
+  * anti-join) → ONE BroadcastHashJoin on the per-file base map + two
+  * projections — no shuffle, no sort-merge join.
+  * Usage: `Test/runMain graft.dev.PlanAuditDeltaLineage`.
+  */
+object PlanAuditDeltaLineage {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_pa_dlin")
+      .resolve("t").toString
+    DeltaWriter.create((0 until 1000).map(i => (i, s"v$i")).toDF("id", "v"),
+      t, rowTracking = true)
+    DeltaWriter.deleteWhere(spark, t, col("id") % 5 === 0)
+    val df = DeltaLogReader.read(spark, t, withLineage = true)
+    df.explain("formatted")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin"),
+      "base map must broadcast-join")
+    require(!plan.contains("SortMergeJoin"),
+      "lineage read must not sort-merge")
+    require(!plan.contains("Exchange hashpartitioning"),
+      "lineage read must not shuffle")
+    println("PLAN_AUDIT_OK")
+    spark.stop()
+  }
+}

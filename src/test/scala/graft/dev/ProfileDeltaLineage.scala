@@ -1,0 +1,109 @@
+package graft.dev
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Delta row-tracking cost profile. The claims under test:
+  *  - the LINEAGE read surface costs one broadcast of #files rows over
+  *    the plain scan (constant metadata-plane work, invisible at scale);
+  *  - write-side tracking (baseRowId assignment + one domainMetadata
+  *    action per commit) adds only metadata-plane cost to appends;
+  *  - a lifetime of maintenance (DV deletes → purge → optimize) keeps
+  *    every surviving row's id BIT-STABLE while the materialized-column
+  *    path keeps lineage reads at scan speed (no derivation join needed
+  *    for rewritten files, the coalesce favors the stored column).
+  * Usage: `Test/runMain graft.dev.ProfileDeltaLineage [rows] [files]`.
+  */
+object ProfileDeltaLineage {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toInt else 2000000
+    val files = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedMs[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    def best3(body: => Long): (Long, Double) = {
+      val runs = (0 until 3).map(_ => timedMs(body))
+      (runs.head._1, runs.map(_._2).min)
+    }
+
+    val perFile = rows / files
+    def batch(i: Int) = spark.range(i * perFile.toLong,
+        (i + 1) * perFile.toLong)
+      .select(col("id"), (col("id") % 1000).as("k")).repartition(1)
+
+    // JVM/codegen/parquet warmup, unbilled
+    locally {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft_prof_dlin_w").resolve("t").toString
+      DeltaWriter.create(batch(0).limit(1000), w, rowTracking = true)
+      DeltaLogReader.read(spark, w, withLineage = true).count()
+    }
+
+    // write-side: tracked vs untracked create+appends
+    val untracked = java.nio.file.Files
+      .createTempDirectory("graft_prof_dlin_u").resolve("t").toString
+    val tracked = java.nio.file.Files
+      .createTempDirectory("graft_prof_dlin_t").resolve("t").toString
+    val (_, wt) = timedMs {
+      DeltaWriter.create(batch(0), tracked, rowTracking = true)
+      (1 until files).foreach(i => DeltaWriter.append(batch(i), tracked))
+    }
+    val (_, wu) = timedMs {
+      DeltaWriter.create(batch(0), untracked)
+      (1 until files).foreach(i => DeltaWriter.append(batch(i), untracked))
+    }
+    println(f"write  $rows%,d rows / $files files:  untracked $wu%8.0f ms" +
+      f"   tracked $wt%8.0f ms   (+${(wt / wu - 1) * 100}%.0f%%)")
+
+    // read-side: plain vs lineage scan on the tracked table — both sides
+    // aggregate real column data (a bare count() answers from parquet
+    // footers and would flatter the plain side)
+    val (sPlain, rp) = best3(DeltaLogReader.read(spark, tracked)
+      .agg(sum(col("id"))).head().getLong(0))
+    val (sLin, rl) = best3(
+      DeltaLogReader.read(spark, tracked, withLineage = true)
+        .agg(sum(col("id")), sum(col("_row_id"))).head().getLong(0))
+    require(sPlain == sLin)
+    println(f"read   plain $rp%8.0f ms   " +
+      f"lineage $rl%8.0f ms   (+${(rl / rp - 1) * 100}%.0f%%)")
+
+    // lifetime: DV delete → purge → optimize, ids bit-stable throughout,
+    // lineage read cost measured at each stage
+    def lineageSample(): Map[Long, Long] =
+      DeltaLogReader.read(spark, tracked, withLineage = true)
+        .filter(col("k") === 7).select(col("id"), col("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = lineageSample()
+    val (_, dDel) = timedMs(
+      DeltaWriter.deleteWhere(spark, tracked, col("k") % 5 === 1))
+    val (_, rAfterDel) = best3(DeltaLogReader
+      .read(spark, tracked, withLineage = true).count())
+    val (_, dPurge) = timedMs(DeltaWriter.purgeDeletes(spark, tracked))
+    val (nOpt, dOpt) = timedMs(
+      DeltaWriter.optimize(spark, tracked, targetBytes = 1L << 40))
+    val (_, rAfterOpt) = best3(DeltaLogReader
+      .read(spark, tracked, withLineage = true).count())
+    val after = lineageSample()
+    require(after == base,
+      "row ids drifted across deleteWhere+purge+optimize")
+    println(f"life   deleteWhere $dDel%8.0f ms   lineage read after " +
+      f"$rAfterDel%8.0f ms")
+    println(f"       purge $dPurge%8.0f ms   optimize($nOpt files) " +
+      f"$dOpt%8.0f ms   lineage read after $rAfterOpt%8.0f ms")
+    println("       ids of k=7 sample BIT-STABLE across the lifetime: " +
+      s"${after.size} rows checked")
+    spark.stop()
+  }
+}
