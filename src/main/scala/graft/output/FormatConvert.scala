@@ -64,6 +64,14 @@ object FormatConvert {
         "reader could not project them")
     require(snap.columnMappingMode == "none",
       s"deltaToIceberg does not support columnMapping=${snap.columnMappingMode}")
+    // row tracking is OPT-IN: the table owner explicitly asked for
+    // stable row identity, and a zero-copy registration would silently
+    // drop it (the iceberg side would mint fresh v3 ids, or none) —
+    // fail closed; hydrate if identity loss is acceptable
+    require(!snap.rowTrackingEnabled,
+      "deltaToIceberg cannot carry delta row tracking identity into " +
+        "iceberg — convert via deltaToIcebergHydrate (new rows, new " +
+        "identity) if dropping the row ids is acceptable")
     val deltaRoot = Paths.get(deltaPath).toAbsolutePath.normalize
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       deltaRoot.resolve(f.path).toAbsolutePath.normalize.toString

@@ -140,6 +140,18 @@ class FormatConvertSpec extends SparkSpec {
       FormatConvert.icebergToDelta(spark, eq, tmp("eq_delta"))
     }
     assert(e2.getMessage.contains("equality deletes"))
+    // row-tracked delta: identity must not silently vanish in zero-copy
+    val rt = tmp("rt_delta")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "v"), rt,
+      rowTracking = true)
+    val e3 = intercept[IllegalArgumentException] {
+      FormatConvert.deltaToIceberg(spark, rt, tmp("rt_ice"))
+    }
+    assert(e3.getMessage.contains("row tracking"), e3.getMessage)
+    // ...while the explicit hydrate path converts (new identity)
+    val hydrated = tmp("rt_ice_h")
+    FormatConvert.deltaToIcebergHydrate(spark, rt, hydrated)
+    assert(graft.sources.IcebergReader.read(spark, hydrated).count() == 1L)
   }
 
   test("upsert → rewriteEqualityDeletes → convert: the maintenance op " +
