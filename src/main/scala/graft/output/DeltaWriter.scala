@@ -188,9 +188,12 @@ object DeltaWriter {
       // decoded path cancels the original add's
       s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":true}}""")
     val version = nextVersion(root)
-    require(!snap.rowTrackingEnabled || version == snap.version + 1,
-      s"overwrite of $path raced a concurrent commit — fresh row ids " +
-        "would derive from a stale high-water mark; retry")
+    // STRICT staleness guard (no benign-append tolerance here: an
+    // intervening append's file would survive a whole-table overwrite —
+    // the removes derive from this snapshot and must cover everything)
+    require(version == snap.version + 1,
+      s"overwrite of $path raced a concurrent commit (snapshot " +
+        s"${snap.version}, next version $version) — retry")
     val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
       snap.rowIdHighWaterMark, root, files, version)
     commit(root, version, removes ++
@@ -369,14 +372,17 @@ object DeltaWriter {
     val removed = removes.result()
     if (removed.isEmpty) return 0
     val version = nextVersion(root)
-    // PROBE-STALENESS guard, unconditional: the bins derive from `snap`,
-    // so any commit that landed during the rewrite (a delete re-adding a
-    // binned file with a DV, another optimize) would make this commit
-    // resurrect rows or double-add — fail loudly, caller re-runs. (Row
-    // tracking additionally derives base ids from snap's high-water
-    // mark.) The rewritten staging files are already moved; a re-run
-    // re-plans from the fresh snapshot and vacuum reclaims the orphans.
-    require(version == snap.version + 1,
+    // PROBE-STALENESS guard: the bins derive from `snap`, so a commit
+    // that landed during the rewrite and touched them (a delete
+    // re-adding a binned file with a DV, another optimize) would make
+    // this commit resurrect rows or double-add — fail loudly, caller
+    // re-runs (vacuum reclaims the orphaned rewrite output). Concurrent
+    // PLAIN APPENDS are tolerated on untracked tables (they cannot
+    // invalidate the bins); tracked tables stay strict — fresh base ids
+    // derive from this snapshot's high-water mark.
+    require(version == snap.version + 1 ||
+        (!snap.rowTrackingEnabled && benignAppendsBetween(root,
+          snap.version, version, removed.map(_.path).toSet)),
       s"optimize of $path raced a concurrent commit (snapshot " +
         s"${snap.version}, next version $version) — re-run optimize")
     val newAdds = adds.result()
@@ -555,8 +561,10 @@ object DeltaWriter {
       "z-order")
 
     val version = nextVersion(root)
-    // probe-staleness guard, unconditional — see [[optimize]]'s
-    require(version == snap.version + 1,
+    // probe-staleness guard, plain appends tolerated — see [[optimize]]
+    require(version == snap.version + 1 ||
+        (!snap.rowTrackingEnabled && benignAppendsBetween(root,
+          snap.version, version, rewritten.map(_.path).toSet)),
       s"optimizeZOrder of $path raced a concurrent commit (snapshot " +
         s"${snap.version}, next version $version) — re-run")
     val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
@@ -666,8 +674,10 @@ object DeltaWriter {
     val adds = collectGidOutputs(staging, root, pvOfGid, physSchema,
       "purge")
     val version = nextVersion(root)
-    // probe-staleness guard, unconditional — see [[optimize]]'s
-    require(version == snap.version + 1,
+    // probe-staleness guard, plain appends tolerated — see [[optimize]]
+    require(version == snap.version + 1 ||
+        (!snap.rowTrackingEnabled && benignAppendsBetween(root,
+          snap.version, version, dvFiles.map(_.path).toSet)),
       s"purgeDeletes of $path raced a concurrent commit (snapshot " +
         s"${snap.version}, next version $version) — re-run")
     val (lineage, domainActs) = assignRowLineage(snap.rowTrackingEnabled,
@@ -919,6 +929,17 @@ object DeltaWriter {
       }
     }
     val version = nextVersion(root)
+    // probe-staleness guard: the DV adds re-emit files from `snap` — a
+    // concurrent remove/rewrite of one would resurrect its rows under
+    // this commit. Benign concurrent appends are tolerated, INCLUDING
+    // tracked ones (this commit mints no ids, so an hwm bump is
+    // irrelevant); anything else fails loudly, caller re-runs.
+    require(version == snap.version + 1 ||
+        benignAppendsBetween(root, snap.version, version,
+          newCounts.keySet.map(a => fileByAbs(a).path),
+          allowRowTrackingDomain = true),
+      s"row-level delete of $path raced a concurrent commit (snapshot " +
+        s"${snap.version}, next version $version) — re-run")
     commit(root, version,
       // DVs need the feature-gated protocol; emitting it in the same
       // commit upgrades older tables in place — MERGED with the current
@@ -1135,11 +1156,15 @@ object DeltaWriter {
     * commit version IS the add's `defaultRowCommitVersion`. No-op
     * (all-None lineage, no action) on untracked tables.
     */
-  private def assignRowLineage(enabled: Boolean, hwm: Option[Long],
+  private def assignRowLineage(enabled: Boolean, hwm: => Option[Long],
       root: Path, files: Seq[Written], version: Long)
       : (Seq[Option[(Long, Long)]], Seq[String]) =
     if (!enabled) (files.map(_ => None), Nil)
     else {
+      // hwm is BY-NAME: Snapshot.rowIdHighWaterMark throws on a
+      // malformed domain, and an untracked table carrying a foreign
+      // leftover domain must still accept writes — the mark is only
+      // forced here, behind the enabled gate
       var next = hwm.map(_ + 1).getOrElse(0L)
       val lineage = files.map { w =>
         val base = next
@@ -1194,6 +1219,43 @@ object DeltaWriter {
       }
       sb.toString
     }.mkString("/")
+
+  /** Are the commits STRICTLY BETWEEN `from` and `until` all benign
+    * plain appends for a probe taken at `from`: add/txn/commitInfo
+    * actions only (no remove, no metaData/protocol — schema or feature
+    * changes invalidate any probe; domainMetadata only when the caller
+    * allows the row-tracking domain, i.e. it mints no ids itself), no
+    * DV on any add, and no added path colliding with `touched` (a
+    * re-add of a probed file changes its row set)? Lets maintenance
+    * and DV deletes commit beside concurrent appends instead of
+    * failing loudly; anything unreadable fails CLOSED.
+    */
+  private def benignAppendsBetween(root: Path, from: Long, until: Long,
+      touched: Set[String],
+      allowRowTrackingDomain: Boolean = false): Boolean =
+    try {
+      ((from + 1) until until).forall { v =>
+        val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
+        Files.exists(f) && Files.readAllLines(f).asScala
+          .filter(_.nonEmpty).forall { line =>
+            val n = statsMapper.readTree(line)
+            val keys = n.properties().asScala.map(_.getKey).toSet
+            val allowed = Set("add", "txn", "commitInfo") ++
+              (if (allowRowTrackingDomain) Set("domainMetadata") else Set())
+            keys.subsetOf(allowed) &&
+              (!n.has("domainMetadata") ||
+                n.get("domainMetadata").get("domain").asText ==
+                  "delta.rowTracking") &&
+              (!n.has("add") || {
+                val a = n.get("add")
+                val p = graft.sources.DeltaLogReader
+                  .decodePath(a.get("path").asText)
+                !touched.contains(p) &&
+                  Option(a.get("deletionVector")).forall(_.isNull)
+              })
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def nextVersion(root: Path): Long = {
     val log = root.resolve("_delta_log")

@@ -291,10 +291,37 @@ object FormatConvert {
 
     val schemaStr = DeltaWriter.escape(st.schema.json)
     val needDv = dvByFile.nonEmpty
-    val protocol =
-      if (needDv)
+    // v3 ROW LINEAGE carries INTO delta row tracking — the two planes
+    // define a row's id identically (file base + position, materialized
+    // column wins), so the mapping is exact and zero-copy:
+    //   entry first_row_id            → add.baseRowId
+    //   materialized `_row_id` column → delta's materialized row-id
+    //     column (config names it verbatim; null slots fall to
+    //     base + position on BOTH sides, the same rule)
+    //   next-row-id                   → rowIdHighWaterMark + 1
+    // Row COMMIT VERSIONS restart at 0 (every row genuinely arrived at
+    // the converted table's version 0 — iceberg sequence numbers name
+    // versions the delta log does not have); the rcv materialized name
+    // points at a fresh uuid column no file carries.
+    val tracked = st.formatVersion >= 3
+    if (tracked) {
+      dataEntries.foreach(e => require(e.firstRowId.isDefined,
+        s"cannot carry row lineage for ${e.localPath}: its row-id " +
+          "window is underivable — fix the source table first"))
+      require(Option(st.md.get("next-row-id")).exists(_.isNumber),
+        "v3 source carries no next-row-id — cannot derive the row-id " +
+          "high-water mark")
+    }
+    val protocol = (tracked, needDv) match {
+      case (false, false) =>
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      case (false, true) =>
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      case (true, false) =>
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking"]}}"""
+      case (true, true) =>
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["appendOnly","deletionVectors","domainMetadata","invariants","rowTracking"]}}"""
+    }
     // identity partition spec → Delta partitionColumns; each add carries
     // the entry's tuple RENDERED to Delta's string form (dates ISO-8601 —
     // the exact strings DeltaLogReader casts back via the schema type).
@@ -333,8 +360,19 @@ object FormatConvert {
         if (rendered == null) "null"
         else s""""${DeltaWriter.escape(rendered)}""""}"""
     }.mkString(",")
+    val rtConf =
+      if (!tracked) ""
+      else {
+        val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+        // the materialized ROW-ID name is the ICEBERG physical column —
+        // rewritten source files carry it and the delta reader's
+        // coalesce must find it there
+        s""","delta.enableRowTracking":"true"""" +
+          s""","delta.rowTracking.materializedRowIdColumnName":"_row_id"""" +
+          s""","delta.rowTracking.materializedRowCommitVersionColumnName":"_row_commit_version_col_$uuid""""
+      }
     val metaData =
-      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[$partColsJson],"configuration":{"graft.converted-from":"iceberg:${DeltaWriter.escape(st.root.toString)}"},"createdTime":0}}"""
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[$partColsJson],"configuration":{"graft.converted-from":"iceberg:${DeltaWriter.escape(st.root.toString)}"$rtConf},"createdTime":0}}"""
     val adds = dataEntries.map { e =>
       val p = norm(e.localPath)
       val size = Files.size(Paths.get(p))
@@ -347,9 +385,17 @@ object FormatConvert {
           graft.sources.DeletionVectors.encodeInline(positions)
         s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$dvSize,"cardinality":${positions.size}}"""
       }.getOrElse("")
-      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{${renderPv(e)}},"size":$size,"modificationTime":0,"dataChange":true$dv$stats}}"""
+      val rt =
+        if (!tracked) ""
+        else s""","baseRowId":${e.firstRowId.get},"defaultRowCommitVersion":0"""
+      s"""{"add":{"path":"${DeltaWriter.escape(DeltaWriter.encodePath(p))}","partitionValues":{${renderPv(e)}},"size":$size,"modificationTime":0,"dataChange":true$dv$stats$rt}}"""
     }
-    DeltaWriter.commit(root, 0L, Seq(protocol, metaData) ++ adds)
+    val domainActs =
+      if (!tracked) Nil
+      else Seq(DeltaWriter.rowTrackingDomainAction(
+        st.md.get("next-row-id").asLong() - 1))
+    DeltaWriter.commit(root, 0L, Seq(protocol, metaData) ++ adds ++
+      domainActs)
     dataEntries.size
   }
 }

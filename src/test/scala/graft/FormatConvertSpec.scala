@@ -154,6 +154,44 @@ class FormatConvertSpec extends SparkSpec {
     assert(graft.sources.IcebergReader.read(spark, hydrated).count() == 1L)
   }
 
+  test("iceberg v3 row lineage carries into delta ROW TRACKING " +
+      "zero-copy: every surviving row keeps its id across formats") {
+    val src = tmp("v3lin_src")
+    val df0 = (0 until 40).map(i => (i, s"v$i")).toDF("id", "v")
+    IcebergWriter.create(df0, src, formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, src, col("id") % 4 === 1)
+    // materializes _row_id into rewritten files (the coalesce-first path)
+    assert(IcebergWriter.rewriteDataFiles(spark, src) > 0)
+    // a post-rewrite append: a plain file whose ids derive base+position
+    IcebergWriter.append((40 until 60).map(i => (i, s"v$i")).toDF("id", "v"),
+      src)
+    // live DVs at conversion time too
+    IcebergWriter.deleteWhere(spark, src, col("id") % 7 === 0)
+    val want = graft.sources.IcebergReader
+      .read(spark, src, withLineage = true)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dst = tmp("v3lin_dst")
+    FormatConvert.icebergToDelta(spark, src, dst)
+    def deltaLineage(): Map[Int, Long] = graft.sources.DeltaLogReader
+      .read(spark, dst, withLineage = true)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(deltaLineage() == want,
+      "delta-side row ids must equal the iceberg-side ids")
+    // the converted table keeps tracking through its own lifecycle: a
+    // delta-side DV delete preserves survivors, fresh rows get ids past
+    // the carried high-water mark
+    DeltaWriter.deleteWhere(spark, dst, col("id") === 2)
+    assert(deltaLineage() == want - 2)
+    DeltaWriter.append((100 until 103).map(i => (i, s"n$i")).toDF("id", "v"),
+      dst)
+    val after = deltaLineage()
+    val maxCarried = want.values.max
+    assert((100 until 103).forall(k => after(k) > maxCarried))
+    assert(after.values.toSeq.distinct.size == after.size)
+  }
+
   test("upsert → rewriteEqualityDeletes → convert: the maintenance op " +
       "unlocks conversion of upserted tables") {
     val iceberg = tmp("eqrt_src")
