@@ -424,9 +424,25 @@ object IcebergWriter {
               if (r.getSchema.getField("first_row_id") == null) None
               else Option(r.get("first_row_id"))
                 .map(_.asInstanceOf[Number].longValue),
-            summaries = decodeSummaries(r))
+            summaries = decodeSummaries(r),
+            counts = decodeCounts(r))
         }
     }
+  }
+
+  /** Fields 504-506/512-514 of one manifest-list record — all six or
+    * None (a partial set cannot be carried faithfully).
+    */
+  private def decodeCounts(r: GenericRecord): Option[ManifestCounts] = {
+    def num(n: String): Option[Number] =
+      if (r.getSchema.getField(n) == null) None
+      else Option(r.get(n)).map(_.asInstanceOf[Number])
+    for {
+      af <- num("added_files_count"); ef <- num("existing_files_count")
+      df <- num("deleted_files_count"); ar <- num("added_rows_count")
+      er <- num("existing_rows_count"); dr <- num("deleted_rows_count")
+    } yield ManifestCounts(af.intValue, ef.intValue, df.intValue,
+      ar.longValue, er.longValue, dr.longValue)
   }
 
   /** MERGE small carried DATA manifests at commit time — Iceberg's own
@@ -2228,6 +2244,16 @@ object IcebergWriter {
     * without re-reading the manifest Avro. None for carried refs (their
     * explicit firstRowId makes the count unnecessary).
     */
+  /** The spec's per-manifest file/row counts (manifest_file fields
+    * 504-506 / 512-514): what iceberg-java's planner reads for scan
+    * estimates, and required-in-v2 surface this writer emits on every
+    * list entry (carried verbatim from the prior list, computed once
+    * per new manifest).
+    */
+  private[output] case class ManifestCounts(addedFiles: Int,
+      existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
+
   private[output] case class ManifestRef(path: String, content: Int,
       seq: Long, minSeq: Option[Long] = None,
       addedSnapshotId: Option[Long] = None,
@@ -2239,6 +2265,9 @@ object IcebergWriter {
       // wherever the manifest was decoded ([[loadState]]); None on the
       // decode-free append path. [[lineageAssign]]'s collision fence.
       maxRowIdEnd: Option[Long] = None,
+      // spec fields 504-506/512-514, carried verbatim for list entries
+      // that already have them; None = compute at list-write time
+      counts: Option[ManifestCounts] = None,
       // true = a manifest THIS commit wrote (its window allocates fresh
       // id space from next-row-id); false = carried (a null window is a
       // LEGACY manifest whose inherited window gets pinned instead)
@@ -3127,6 +3156,12 @@ object IcebergWriter {
       |{"name":"sequence_number","type":"long","field-id":515},
       |{"name":"min_sequence_number","type":"long","field-id":516},
       |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":["null","int"],"default":null,"field-id":504},
+      |{"name":"existing_files_count","type":["null","int"],"default":null,"field-id":505},
+      |{"name":"deleted_files_count","type":["null","int"],"default":null,"field-id":506},
+      |{"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512},
+      |{"name":"existing_rows_count","type":["null","long"],"default":null,"field-id":513},
+      |{"name":"deleted_rows_count","type":["null","long"],"default":null,"field-id":514},
       |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520},
       |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
       |{"name":"contains_null","type":"boolean","field-id":509},
@@ -3294,6 +3329,17 @@ object IcebergWriter {
       r.put("sequence_number", ref.seq)
       r.put("min_sequence_number", ref.minSeq.getOrElse(ref.seq))
       r.put("added_snapshot_id", ref.addedSnapshotId.getOrElse(snapshotId))
+      // spec fields 504-506/512-514 (required in v2 — iceberg-java's
+      // planner reads them for scan estimates): carried verbatim from
+      // the prior list, computed once per new/rewritten manifest
+      ref.counts.orElse(countsFor(ref.path, root)).foreach { c =>
+        r.put("added_files_count", Int.box(c.addedFiles))
+        r.put("existing_files_count", Int.box(c.existingFiles))
+        r.put("deleted_files_count", Int.box(c.deletedFiles))
+        r.put("added_rows_count", Long.box(c.addedRows))
+        r.put("existing_rows_count", Long.box(c.existingRows))
+        r.put("deleted_rows_count", Long.box(c.deletedRows))
+      }
       // v3 row lineage (list field 520): written whenever assigned —
       // carried manifests keep their original window verbatim, which is
       // what makes row ids stable across commits
@@ -3370,6 +3416,47 @@ object IcebergWriter {
     */
   private[graft] def clearSummaryMemoForTest(): Unit =
     summaryRegistry.clear()
+
+  private val countsRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[ManifestCounts]]()
+
+  /** Counts of one manifest's entries by status (0 EXISTING / 1 ADDED /
+    * 2 DELETED) — computed once per immutable manifest (the same memo
+    * discipline as [[summariesFor]]); None (fields omitted) when the
+    * manifest is unreadable or an entry's record_count is — approximate
+    * counts would mislead external planners.
+    */
+  private def countsFor(refPath: String, root: Path)
+      : Option[ManifestCounts] = {
+    val abs = localMetaPath(refPath, root).toAbsolutePath.toString
+    if (countsRegistry.size > 8192) countsRegistry.clear()
+    val cached = countsRegistry.get(abs)
+    if (cached != null) cached
+    else {
+      val computed = try {
+        val entries = readAvro(abs)
+        var af = 0; var ef = 0; var df = 0
+        var ar = 0L; var er = 0L; var dr = 0L
+        var ok = true
+        entries.foreach { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val rc =
+            if (d.getSchema.getField("record_count") == null) None
+            else Option(d.get("record_count"))
+              .map(_.asInstanceOf[Number].longValue)
+          if (rc.isEmpty) ok = false
+          else intOf(e, "status", 0) match {
+            case 1 => af += 1; ar += rc.get
+            case 2 => df += 1; dr += rc.get
+            case _ => ef += 1; er += rc.get
+          }
+        }
+        if (ok) Some(ManifestCounts(af, ef, df, ar, er, dr)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      if (computed.isDefined) countsRegistry.put(abs, computed)
+      computed
+    }
+  }
 
   private def summariesFor(refPath: String, root: Path)
       : Option[IndexedSeq[PartFieldSummary]] = {

@@ -1002,6 +1002,57 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, path).count() == 6L)
   }
 
+  test("manifest lists carry the spec's file/row counts (fields " +
+      "504-506/512-514) — fresh, carried and merged entries") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("mcounts")
+    IcebergWriter.create((0 until 5).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), path)
+    IcebergWriter.append((5 until 8).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), path)
+    def listRecs() = {
+      val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readString(IcebergReader.currentMetadataFile(path)))
+      val curId = md.get("current-snapshot-id").asLong()
+      val lp = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).get
+        .get("manifest-list").asText().replaceFirst("^file:/+", "/")
+      val r = org.apache.avro.file.DataFileReader.openReader(
+        Paths.get(lp).toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.toVector finally r.close()
+    }
+    case class C(af: Int, ef: Int, ar: Long, er: Long, df: Int, dr: Long)
+    def counts(m: org.apache.avro.generic.GenericRecord) = C(
+      m.get("added_files_count").asInstanceOf[Int],
+      m.get("existing_files_count").asInstanceOf[Int],
+      m.get("added_rows_count").asInstanceOf[Long],
+      m.get("existing_rows_count").asInstanceOf[Long],
+      m.get("deleted_files_count").asInstanceOf[Int],
+      m.get("deleted_rows_count").asInstanceOf[Long])
+    val recs = listRecs().sortBy(_.get("sequence_number")
+      .asInstanceOf[Long])
+    assert(recs.size == 2)
+    val (c0, c1) = (counts(recs(0)), counts(recs(1)))
+    // fresh manifests: every entry ADDED, exact row totals (file counts
+    // follow Spark's write parallelism — assert shape, not layout)
+    assert(c0.af > 0 && c0.ef == 0 && c0.df == 0 &&
+      c0.ar == 5L && c0.er == 0L && c0.dr == 0L, s"create counts: $c0")
+    assert(c1.af > 0 && c1.ef == 0 && c1.df == 0 &&
+      c1.ar == 3L && c1.er == 0L && c1.dr == 0L, s"append counts: $c1")
+    // a MERGED manifest's entries are all EXISTING
+    assert(IcebergWriter.rewriteManifests(path,
+      targetBytes = 64L * 1024 * 1024) > 0)
+    val merged = listRecs()
+    assert(merged.size == 1)
+    val cm = counts(merged.head)
+    assert(cm == C(0, c0.af + c1.af, 0L, 8L, 0, 0L),
+      s"merged manifest counts: $cm")
+    // content still intact
+    assert(IcebergReader.read(spark, path).count() == 8L)
+  }
+
   test("manifest-list partitions summaries (spec 507) are written and " +
       "prune manifests WITHOUT opening them: partitioned point lookup " +
       "opens 1-of-N") {
