@@ -430,6 +430,20 @@ object IcebergWriter {
     }
   }
 
+  /** The spec's per-manifest file/row counts (manifest_file fields
+    * 504-506 / 512-514): what iceberg-java's planner reads for scan
+    * estimates. Carried entries keep the prior list's values verbatim;
+    * merge and fresh-write sites fill them from the entries already in
+    * memory; anything else computes once per immutable manifest
+    * ([[countsFor]]). Unknowable counts (an unreadable manifest / a
+    * record_count-less entry) are OMITTED whole — approximate values
+    * would mislead planners, and iceberg-java's read schema treats the
+    * fields as optional.
+    */
+  private[output] case class ManifestCounts(addedFiles: Int,
+      existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
+
   /** Fields 504-506/512-514 of one manifest-list record — all six or
     * None (a partial set cannot be carried faithfully).
     */
@@ -563,6 +577,10 @@ object IcebergWriter {
       var minRowId = Long.MaxValue
       var maxRowEnd = Long.MinValue
       var liveRows = 0L
+      // spec fields 505/513 for the merged ref (all entries EXISTING) —
+      // filled from the records already in hand, no re-read
+      var totalRows = 0L
+      var totalRowsKnown = true
       val recs: Seq[GenericRecord] = small.flatMap { ref =>
         var rowOffset = 0L
         readAvro(remapLocal(ref.path, location, root)).flatMap { e =>
@@ -609,6 +627,8 @@ object IcebergWriter {
               minRowId = math.min(minRowId, eff)
               maxRowEnd = math.max(maxRowEnd, eff + rc)
             }
+            val srcRc = longOf(src, "record_count", -1L)
+            if (srcRc < 0) totalRowsKnown = false else totalRows += srcRc
             d.put("record_count", longOf(src, "record_count", 0L))
             d.put("file_size_in_bytes",
               longOf(src, "file_size_in_bytes", 0L))
@@ -688,7 +708,10 @@ object IcebergWriter {
         // exact id-space end: gaps between merged windows make
         // min + total an undershooting fence; this one is precise
         maxRowIdEnd = if (v3data && maxRowEnd != Long.MinValue)
-          Some(maxRowEnd) else None)
+          Some(maxRowEnd) else None,
+        counts = if (totalRowsKnown)
+          Some(ManifestCounts(0, recs.size, 0, 0L, totalRows, 0L))
+        else None)
       Some((Some(mergedRef), Some(mergedPath)))
     } catch {
       case scala.util.control.NonFatal(_) => None // fail open
@@ -2244,16 +2267,6 @@ object IcebergWriter {
     * without re-reading the manifest Avro. None for carried refs (their
     * explicit firstRowId makes the count unnecessary).
     */
-  /** The spec's per-manifest file/row counts (manifest_file fields
-    * 504-506 / 512-514): what iceberg-java's planner reads for scan
-    * estimates, and required-in-v2 surface this writer emits on every
-    * list entry (carried verbatim from the prior list, computed once
-    * per new manifest).
-    */
-  private[output] case class ManifestCounts(addedFiles: Int,
-      existingFiles: Int, deletedFiles: Int,
-      addedRows: Long, existingRows: Long, deletedRows: Long)
-
   private[output] case class ManifestRef(path: String, content: Int,
       seq: Long, minSeq: Option[Long] = None,
       addedSnapshotId: Option[Long] = None,
@@ -3412,19 +3425,29 @@ object IcebergWriter {
     new java.util.concurrent.atomic.AtomicLong()
 
   /** Simulate a cold process for profiling: drop the per-process
-    * summary memo so the next commit exercises the carry path.
+    * summary AND counts memos so the next commit exercises the carry
+    * path for both.
     */
-  private[graft] def clearSummaryMemoForTest(): Unit =
+  private[graft] def clearSummaryMemoForTest(): Unit = {
     summaryRegistry.clear()
+    countsRegistry.clear()
+  }
 
   private val countsRegistry = new java.util.concurrent.ConcurrentHashMap[
     String, Option[ManifestCounts]]()
+  /** Manifests READ for counts (memo misses) — observability for the
+    * I/O-boundedness specs, the [[summaryComputes]] twin.
+    */
+  private[graft] val countsComputes =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** Counts of one manifest's entries by status (0 EXISTING / 1 ADDED /
     * 2 DELETED) — computed once per immutable manifest (the same memo
     * discipline as [[summariesFor]]); None (fields omitted) when the
     * manifest is unreadable or an entry's record_count is — approximate
-    * counts would mislead external planners.
+    * counts would mislead external planners. The fallback for refs no
+    * in-memory site could fill (e.g. a foreign prior list without the
+    * fields).
     */
   private def countsFor(refPath: String, root: Path)
       : Option[ManifestCounts] = {
@@ -3433,6 +3456,7 @@ object IcebergWriter {
     val cached = countsRegistry.get(abs)
     if (cached != null) cached
     else {
+      countsComputes.incrementAndGet()
       val computed = try {
         val entries = readAvro(abs)
         var af = 0; var ef = 0; var df = 0
