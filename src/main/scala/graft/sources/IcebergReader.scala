@@ -1829,7 +1829,12 @@ object IcebergReader {
       }
     val afterEq = applyEqualityDeletes(spark, afterPos, eqGroups,
       "__ib_seq", "__ib_pt", "iceberg scan")
-    if (!withLineage) afterEq.select(dataCols: _*)
+    // NAME-ONLY projection here: `dataCols` contains the ns-conversion
+    // and unknown-null EXPRESSIONS, already applied by withPos0's select
+    // — re-applying them to the converted columns would double-convert
+    val outCols = snap.schema.fields.toIndexedSeq
+      .map(f => col(s"`${f.name}`"))
+    if (!withLineage) afterEq.select(outCols: _*)
     else {
       // materialized value wins (null materialized inside a lineage-
       // carrying file = a row added without an id, assigned from the
@@ -1843,7 +1848,7 @@ object IcebergReader {
         .withColumn("_last_updated_sequence_number",
           coalesce(col("`_last_updated_sequence_number`"),
             col("__ib_seq")))
-      finalized.select(dataCols ++ lineageFields.map(f =>
+      finalized.select(outCols ++ lineageFields.map(f =>
         col(s"`${f.name}`")): _*)
     }
   }

@@ -358,16 +358,25 @@ class IcebergV3Spec extends SparkSpec {
       val gf = new org.apache.parquet.example.data.simple
         .SimpleGroupFactory(msg)
       // 1,500,000,000,123,456,789 ns → 1,500,000,000,123,456 µs (floor)
-      Seq((1L, 1500000000123456789L), (2L, 999L)).foreach { case (k, ns) =>
-        val g = gf.newGroup(); g.add("id", k); g.add("ts", ns); w.write(g)
-      }
+      Seq((1L, 1500000000123456789L), (2L, 999L), (3L, 1000L))
+        .foreach { case (k, ns) =>
+          val g = gf.newGroup(); g.add("id", k); g.add("ts", ns); w.write(g)
+        }
       w.close()
     }
     val md = root.resolve("metadata")
     val m = manifest(md.resolve("m1.avro"), entrySchemaV3,
       Seq((1, 0, file.toString, None)))
+    // a puffin DV on row position 2 (id=3) forces the SLOW read path
+    // (anti-join + final projection) — the ns conversion must apply
+    // exactly once there too, never re-applied to the converted column
+    val dvPath = root.resolve("data/dv.puffin").toString
+    val dvRef = graft.sources.PuffinDV.writeFile(dvPath,
+      Seq((file.toString, Seq(2L))), snapshotId = 1L,
+      sequenceNumber = 1L).head
+    val mdv = dvManifest(md.resolve("m2.avro"), dvPath, dvRef)
     val l = manifestList(md.resolve("snap-1.avro"), listSchemaV2,
-      Seq((m, 0, 1L)))
+      Seq((m, 0, 1L), (mdv, 1, 1L)))
     writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L,
       """{"type":"struct","schema-id":0,"fields":[
         |{"id":1,"name":"id","required":false,"type":"long"},
@@ -382,6 +391,7 @@ class IcebergV3Spec extends SparkSpec {
     // NTZ renders its WALL CLOCK — timezone-independent comparison
     val rendered = df.select(col("id"), col("ts").cast("string"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rendered.contains(3L), "DV'd row must be gone")
     assert(rendered(1L) == "2017-07-14 02:40:00.123456",
       s"expected µs truncation, got ${rendered(1L)}")
     assert(rendered(2L) == "1970-01-01 00:00:00",
