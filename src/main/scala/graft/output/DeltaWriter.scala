@@ -988,6 +988,77 @@ object DeltaWriter {
     }
   }
 
+  /** Enable ROW TRACKING on an EXISTING table — the delta twin of
+    * [[IcebergWriter.upgradeToV3]]'s lineage backfill, and the
+    * protocol's backfill shape: ONE metadata-only commit upgrades the
+    * protocol (rowTracking + domainMetadata over writer v7, current
+    * features preserved), enables the configuration and names the
+    * materialized columns, RE-COMMITS every live add with a fresh
+    * `baseRowId` (positions of DV-deleted rows consume ids too —
+    * base + position stays exact) and this commit's version as
+    * `defaultRowCommitVersion`, and records the high-water mark. No
+    * data file is touched; ids are stable from here on. Idempotent.
+    * Returns the number of add actions backfilled.
+    */
+  def enableRowTracking(spark: SparkSession, path: String): Int = {
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    if (snap.rowTrackingEnabled) return 0
+    require(!snap.schema.fieldNames.exists(n =>
+        n == "_row_id" || n == "_row_commit_version"),
+      "row tracking reserves the _row_id/_row_commit_version column names")
+    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
+      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
+    // PHYSICAL row count (numRecords counts DV-deleted rows too — their
+    // positions consume ids, which is what keeps base + position exact)
+    def physicalRows(f: graft.sources.DeltaLogReader.AddFile): Long =
+      f.statsNode.flatMap(n => Option(n.get("numRecords"))
+          .filterNot(_.isNull).map(_.asLong()))
+        .getOrElse(IcebergWriter.footerRecordCount(Paths.get(abs(f))))
+    val cur = snap.protocol
+    val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
+               else legacyWriterFeatures(cur.minWriterVersion)) ++
+      Set("rowTracking", "domainMetadata")).toSeq.sorted
+    def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
+    val proto =
+      if (cur.minReaderVersion >= 3)
+        s"""{"protocol":{"minReaderVersion":${cur.minReaderVersion},"minWriterVersion":7,"readerFeatures":[${arr(cur.readerFeatures.toSeq.sorted)}],"writerFeatures":[${arr(wf)}]}}"""
+      else
+        s"""{"protocol":{"minReaderVersion":${cur.minReaderVersion},"minWriterVersion":7,"writerFeatures":[${arr(wf)}]}}"""
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val conf = snap.configuration ++ Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" ->
+        s"_row_id_col_$uuid",
+      "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+        s"_row_commit_version_col_$uuid")
+    val confJson = conf.map { case (k, v) =>
+      s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
+    }.mkString(",")
+    val mdAction = s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(snap.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""${escape(c)}"""").mkString(",")}],"configuration":{$confJson},"createdTime":0}}"""
+    val version = nextVersion(root)
+    require(version == snap.version + 1,
+      s"enableRowTracking on $path raced a concurrent commit — retry")
+    var next = 0L
+    val addActions = snap.files.map { f =>
+      val base = next
+      next += physicalRows(f)
+      val pv = f.partitionValues.map { case (k, v) =>
+        s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
+      }.mkString(",")
+      val st = f.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
+      val dv = f.deletionVector.map(d =>
+        s""","deletionVector":{"storageType":"${escape(d.storageType)}","pathOrInlineDv":"${escape(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("")
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pv},"size":${Files.size(Paths.get(abs(f)))},"modificationTime":0,"dataChange":false$dv$st,"baseRowId":$base,"defaultRowCommitVersion":$version}}"""
+    }
+    val domainActs =
+      if (snap.files.isEmpty) Nil
+      else Seq(rowTrackingDomainAction(next - 1))
+    commit(root, version, Seq(proto, mdAction) ++ addActions ++ domainActs)
+    maybeCheckpoint(spark, root, version)
+    snap.files.size
+  }
+
   /** VACUUM: delete data files referenced by NONE of the newest
     * `retainVersions` snapshots — the space-reclaim half of the
     * [[optimize]] story (compaction leaves the replaced small files on

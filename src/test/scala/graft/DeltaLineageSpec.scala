@@ -163,6 +163,32 @@ class DeltaLineageSpec extends SparkSpec {
     assert(e.getMessage.contains("enableRowTracking"))
   }
 
+  test("enableRowTracking backfills an EXISTING table (the upgradeToV3 " +
+      "twin): ids appear, survive maintenance, appends continue") {
+    val t = tmp("dlin_enable")
+    W.create(df(0 until 12), t) // untracked
+    W.append(df(12 until 20), t)
+    W.deleteWhere(spark, t, col("id") % 5 === 0) // DVs BEFORE enabling
+    assert(W.enableRowTracking(spark, t) > 0)
+    assert(W.enableRowTracking(spark, t) == 0, "must be idempotent")
+    val m = lineage(t)
+    assert(m.keySet == (0 until 20).filter(_ % 5 != 0).toSet)
+    val ids = m.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size, "backfilled ids must be unique")
+    // every pre-existing row reports the BACKFILL commit's version
+    assert(m.values.map(_._2).toSet.size == 1)
+    // survivors keep their ids across DV materialization + compaction
+    assert(W.purgeDeletes(spark, t) > 0)
+    assert(W.optimize(spark, t) > 0)
+    assert(lineage(t) == m,
+      "backfilled ids must survive purge + optimize")
+    // fresh appends derive from the backfilled high-water mark
+    W.append(df(100 until 103), t)
+    val after = lineage(t)
+    assert((100 until 103).map(k => after(k)._1).min > ids.max)
+    assert((0 until 20).filter(_ % 5 != 0).forall(k => after(k) == m(k)))
+  }
+
   test("a malformed rowTracking high-water mark fails the next " +
       "assignment loudly — never re-mints ids from zero") {
     val t = tmp("dlin_badhwm")
