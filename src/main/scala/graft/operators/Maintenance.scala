@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Detects the table format and runs its full metadata-plane sweep:
   *
-  *  - Delta: [[graft.output.DeltaWriter.cleanupCheckpoints]] (superseded
+  *  - Delta: [[graft.output.DeltaWriter.purgeDeletes]] in delete-debt
+  *    mode FIRST (files whose DV covers >= `dvMaterializeRatio` of
+  *    their rows rewrite clean — the same lifetime argument as the v3
+  *    sweep below; row ids preserved on tracked tables), then
+  *    [[graft.output.DeltaWriter.cleanupCheckpoints]] (superseded
   *    checkpoints + unreferenced v2 sidecars), then
   *    [[graft.output.DeltaWriter.cleanupExpiredLogs]] (commit JSONs below
   *    the newest checkpoint past the horizon — keeps per-commit
@@ -38,10 +42,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Returns a small report DataFrame `(format, op, reclaimed)` — one row
   * per op, `reclaimed` = that op's own unit (files deleted, manifests
-  * merged, snapshots expired). Delta and v2-Iceberg sweeps are
-  * driver-side metadata work only; the v3 delete-debt passes run DATA
-  * Spark jobs bounded by the files they purge (never the whole table) —
-  * size maintenance windows accordingly on delete-heavy v3 tables.
+  * merged, snapshots expired). The metadata passes are driver-side
+  * only; BOTH formats' delete-debt passes run DATA Spark jobs bounded
+  * by the files they purge (never the whole table) — size maintenance
+  * windows accordingly on delete-heavy tables.
   */
 object Maintenance {
 
@@ -57,6 +61,13 @@ object Maintenance {
       if (graft.sources.DeltaLogReader.isDeltaTable(path)) {
         val W = graft.output.DeltaWriter
         Seq(
+          // delete-debt sweep FIRST (the iceberg v3 twin): files whose
+          // DV covers >= the ratio rewrite clean, so the scan-side
+          // anti-join debt stays bounded in table lifetime; row ids are
+          // preserved on tracked tables via the materialized columns
+          OpReport("delta", "purgeDeleteDebt",
+            W.purgeDeletes(spark, path,
+              minDeleteRatio = dvMaterializeRatio).toLong),
           OpReport("delta", "cleanupCheckpoints",
             W.cleanupCheckpoints(spark, path, horizonMs = horizonMs).toLong),
           OpReport("delta", "cleanupExpiredLogs",

@@ -596,7 +596,18 @@ object DeltaWriter {
     * job each, and the write keeps the scan's parallelism (no coalesce:
     * purged files can be large).
     */
-  def purgeDeletes(spark: SparkSession, path: String): Int = {
+  /** `minDeleteRatio` selects the DELETE-DEBT subset: only files whose
+    * DV covers at least that fraction of their physical rows rewrite
+    * (cardinality / numRecords; files without a readable row count are
+    * treated as over-threshold — fail toward reclaiming). 0.0 = every
+    * DV'd file, the full REORG PURGE. The ratio form is what
+    * [[graft.operators.Maintenance.maintain]] runs per sweep so a
+    * delete-heavy table's scan-side anti-join debt stays bounded
+    * without rewriting barely-deleted files every round (the same
+    * churn-guard rationale as the iceberg v3 sweep).
+    */
+  def purgeDeletes(spark: SparkSession, path: String,
+      minDeleteRatio: Double = 0.0): Int = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val root = Paths.get(path)
     val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
@@ -605,7 +616,14 @@ object DeltaWriter {
     val physSchema = physicalDataSchema(snap)
     val readerOpts = graft.sources.DeltaLogReader
       .readerOptionsFor(snap.columnMappingMode)
-    val dvFiles = snap.files.filter(_.deletionVector.isDefined)
+    val dvFiles = snap.files.filter(f => f.deletionVector.isDefined && {
+      minDeleteRatio <= 0.0 || {
+        val rows = f.statsNode.flatMap(n => Option(n.get("numRecords"))
+          .filterNot(_.isNull).map(_.asLong()))
+        rows.forall(r => r <= 0 ||
+          f.deletionVector.get.cardinality.toDouble / r >= minDeleteRatio)
+      }
+    })
     if (dvFiles.isEmpty) return 0
     def abs(f: graft.sources.DeltaLogReader.AddFile): String =
       graft.sources.DeltaLogReader.resolveAdd(path, f.path)

@@ -30,7 +30,7 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(report.map(_._1).toSet == Set("delta"))
     assert(report.map(_._2).toSeq ==
-      Seq("cleanupCheckpoints", "cleanupExpiredLogs"))
+      Seq("purgeDeleteDebt", "cleanupCheckpoints", "cleanupExpiredLogs"))
     // commits below checkpoint 20 reclaimed; checkpoint 10 superseded
     val logReclaimed = report.find(_._2 == "cleanupExpiredLogs").get._3
     assert(logReclaimed == 20L, s"expected 20 commits reclaimed, $report")
@@ -39,6 +39,33 @@ class MaintenanceSpec extends SparkSpec {
     val after = DeltaLogReader.read(spark, path)
       .select("id").as[Long].collect().sorted.toSeq
     assert(after == before)
+  }
+
+  test("delta sweep purges DV debt past the ratio, spares light DVs " +
+      "(the v3 sweep's churn guard, delta side)") {
+    val path = tmp("delta_debt")
+    // two single-file commits so per-file delete ratios are exact
+    DeltaWriter.create((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), path)
+    DeltaWriter.append((10 until 20).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), path)
+    DeltaWriter.deleteWhere(spark, path, $"id" < 4)   // file A: 40%
+    DeltaWriter.deleteWhere(spark, path, $"id" === 10L) // file B: 10%
+    val before = DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    val report = Maintenance.maintain(spark, path)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(report("purgeDeleteDebt") == 1L,
+      s"exactly the 40%-deleted file must rewrite: $report")
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.files.count(_.deletionVector.isDefined) == 1,
+      "the lightly-deleted file keeps its DV (churn guard)")
+    assert(DeltaLogReader.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq == before)
+    // a second sweep is a no-op on the debt front
+    val again = Maintenance.maintain(spark, path)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(again("purgeDeleteDebt") == 0L)
   }
 
   test("iceberg sweep: history expired, orphans gone, rows unchanged") {
