@@ -1,0 +1,82 @@
+package graft.dev
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Delta delete-debt lifetime profile — the [[ProfileV3Maintain]] twin:
+  * sustained `deleteWhere` rounds on a ROW-TRACKED delta table WITH vs
+  * WITHOUT the maintenance sweep (`Maintenance.maintain`'s
+  * ratio-driven `purgeDeletes`). The claim under test: with the sweep,
+  * read-back cost stays FLAT in the number of delete rounds (files
+  * whose DV covers >= 30% rewrite clean), while without it every scan
+  * pays the accumulated DV anti-join forever. Row lineage is asserted
+  * BIT-STABLE across every sweep. Usage:
+  * `Test/runMain graft.dev.ProfileDeltaMaintain [rows] [rounds]`.
+  */
+object ProfileDeltaMaintain {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toInt else 2000000
+    val rounds = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedMs[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+
+    def freshTable(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_prof_dm_$tag").resolve("t").toString
+      val df = spark.range(rows).select(col("id"),
+        (col("id") % 1000).as("k")).repartition(8)
+      DeltaWriter.create(df, root, rowTracking = true)
+      root
+    }
+
+    Seq(("maintain", true), ("no-maintain", false)).foreach {
+      case (tag, sweep) =>
+        println(s"== delta $tag: $rows rows, $rounds delete rounds ==")
+        val t = freshTable(tag)
+        val lineageBefore = DeltaLogReader
+          .read(spark, t, withLineage = true)
+          .filter(col("id") % 1000 === 7)
+          .select(col("id"), col("_row_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (1 to rounds).foreach { i =>
+          // each round deletes a fresh ~6% slice (mod residue i of 17)
+          val (_, delMs) = timedMs(
+            DeltaWriter.deleteWhere(spark, t, col("id") % 17 === i))
+          val maintMs =
+            if (!sweep) 0.0
+            else timedMs(graft.operators.Maintenance.maintain(spark, t,
+              horizonMs = 0L).collect())._2
+          val (n, readMs) = timedMs(DeltaLogReader.read(spark, t).count())
+          println(f"  round $i%2d: delete $delMs%8.1f ms  " +
+            f"maintain $maintMs%8.1f ms  read-back $readMs%8.1f ms  " +
+            f"($n%9d rows)")
+        }
+        if (sweep) {
+          val lineageAfter = DeltaLogReader
+            .read(spark, t, withLineage = true)
+            .filter(col("id") % 1000 === 7)
+            .select(col("id"), col("_row_id"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val stable = lineageAfter.forall { case (id, rid) =>
+            lineageBefore.get(id).contains(rid) }
+          println(s"  row-lineage stable across sweeps: $stable " +
+            s"(${lineageAfter.size} surviving sampled rows)")
+          require(stable, "row ids changed across maintenance sweeps")
+        }
+    }
+    spark.stop()
+  }
+}
