@@ -35,10 +35,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    materialized `_row_id` columns) — without it a delete-heavy v3
   *    table pays its DV anti-join on every scan forever.
   *
-  * Order matters and is deliberate: structure first (merge/checkpoint),
-  * then history, then physical reclamation — each step only widens what
-  * the next may reclaim, and every step is individually crash-safe
-  * (metadata commits land before file deletion in the underlying ops).
+  * Order matters and is deliberate: the DELETE-DEBT data sweep first
+  * on both formats (deletes materialize away before the metadata
+  * passes merge/checkpoint/expire the resulting state), then
+  * structure, then history, then physical reclamation — each step only
+  * widens what the next may reclaim, and every step is individually
+  * crash-safe (metadata commits land before file deletion in the
+  * underlying ops).
   *
   * Returns a small report DataFrame `(format, op, reclaimed)` — one row
   * per op, `reclaimed` = that op's own unit (files deleted, manifests

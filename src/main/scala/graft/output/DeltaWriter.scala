@@ -595,8 +595,8 @@ object DeltaWriter {
     * the driver, partition groups rewrite concurrently instead of one
     * job each, and the write keeps the scan's parallelism (no coalesce:
     * purged files can be large).
-    */
-  /** `minDeleteRatio` selects the DELETE-DEBT subset: only files whose
+    *
+    * `minDeleteRatio` selects the DELETE-DEBT subset: only files whose
     * DV covers at least that fraction of their physical rows rewrite
     * (cardinality / numRecords; files without a readable row count are
     * treated as over-threshold — fail toward reclaiming). 0.0 = every
@@ -984,9 +984,33 @@ object DeltaWriter {
   private def legacyReaderFeatures(v: Int): Set[String] =
     if (v >= 2) Set("columnMapping") else Set.empty
 
+  /** One feature-protocol upgrade rule for every upgrading op: the NEW
+    * protocol is the CURRENT one (legacy versions expanded to their
+    * implied features — protocol actions REPLACE, so a bare listing
+    * would silently drop a foreign table's other features) plus the
+    * requested additions; `readerFeatures` is present exactly when the
+    * resulting reader version is feature-listed (>= 3).
+    */
+  private def featureProtocolAction(
+      cur: graft.sources.DeltaLogReader.Protocol,
+      readerAdds: Set[String], writerAdds: Set[String],
+      minReaderFloor: Int): String = {
+    val minReader = math.max(cur.minReaderVersion, minReaderFloor)
+    val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
+               else legacyWriterFeatures(cur.minWriterVersion)) ++
+      writerAdds).toSeq.sorted
+    def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
+    if (minReader >= 3) {
+      val rf = ((if (cur.minReaderVersion >= 3) cur.readerFeatures
+                 else legacyReaderFeatures(cur.minReaderVersion)) ++
+        readerAdds).toSeq.sorted
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7,"readerFeatures":[${arr(rf)}],"writerFeatures":[${arr(wf)}]}}"""
+    } else
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7,"writerFeatures":[${arr(wf)}]}}"""
+  }
+
   /** The protocol action upgrading a table for inline DVs, merged with its
-    * CURRENT protocol (feature-set union, legacy versions expanded to
-    * their implied features); None when the table already supports DVs.
+    * CURRENT protocol; None when the table already supports DVs.
     */
   private[output] def dvProtocolAction(
       cur: graft.sources.DeltaLogReader.Protocol): Option[String] = {
@@ -994,16 +1018,8 @@ object DeltaWriter {
       cur.readerFeatures.contains("deletionVectors") &&
       cur.writerFeatures.contains("deletionVectors")
     if (already) None
-    else {
-      val rf = ((if (cur.minReaderVersion >= 3) cur.readerFeatures
-                 else legacyReaderFeatures(cur.minReaderVersion)) +
-        "deletionVectors").toSeq.sorted
-      val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
-                 else legacyWriterFeatures(cur.minWriterVersion)) +
-        "deletionVectors").toSeq.sorted
-      def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
-      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${arr(rf)}],"writerFeatures":[${arr(wf)}]}}""")
-    }
+    else Some(featureProtocolAction(cur, Set("deletionVectors"),
+      Set("deletionVectors"), minReaderFloor = 3))
   }
 
   /** Enable ROW TRACKING on an EXISTING table — the delta twin of
@@ -1025,56 +1041,68 @@ object DeltaWriter {
     require(!snap.schema.fieldNames.exists(n =>
         n == "_row_id" || n == "_row_commit_version"),
       "row tracking reserves the _row_id/_row_commit_version column names")
-    def abs(f: graft.sources.DeltaLogReader.AddFile): String =
-      graft.sources.DeltaLogReader.resolveAdd(path, f.path)
-    // PHYSICAL row count (numRecords counts DV-deleted rows too — their
-    // positions consume ids, which is what keeps base + position exact)
-    def physicalRows(f: graft.sources.DeltaLogReader.AddFile): Long =
-      f.statsNode.flatMap(n => Option(n.get("numRecords"))
-          .filterNot(_.isNull).map(_.asLong()))
-        .getOrElse(IcebergWriter.footerRecordCount(Paths.get(abs(f))))
-    val cur = snap.protocol
-    val wf = ((if (cur.minWriterVersion >= 7) cur.writerFeatures
-               else legacyWriterFeatures(cur.minWriterVersion)) ++
-      Set("rowTracking", "domainMetadata")).toSeq.sorted
-    def arr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString(",")
-    val proto =
-      if (cur.minReaderVersion >= 3)
-        s"""{"protocol":{"minReaderVersion":${cur.minReaderVersion},"minWriterVersion":7,"readerFeatures":[${arr(cur.readerFeatures.toSeq.sorted)}],"writerFeatures":[${arr(wf)}]}}"""
-      else
-        s"""{"protocol":{"minReaderVersion":${cur.minReaderVersion},"minWriterVersion":7,"writerFeatures":[${arr(wf)}]}}"""
+    val proto = featureProtocolAction(snap.protocol, Set.empty,
+      Set("rowTracking", "domainMetadata"),
+      minReaderFloor = snap.protocol.minReaderVersion)
+    // RAW replay, not the typed snapshot: the backfill RE-EMITS the
+    // latest metaData and every live add, and a model round-trip would
+    // strip every field the reader doesn't model (metaData name/
+    // description/createdTime, per-add tags, foreign extensions) —
+    // instead each original JSON node is carried verbatim with only
+    // the lineage fields (and the tracking configuration) injected
+    val st = replayUpTo(spark, root, snap.version)
+    require(st.metaData != null, s"no metaData in delta log at $root")
+    val mapper = st.mapper
+    val md = st.metaData.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val cfg = Option(md.get("configuration")).collect {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode
+          if !o.isNull => o
+    }.getOrElse {
+      val o = mapper.createObjectNode()
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", o)
+      o
+    }
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
-    val conf = snap.configuration ++ Map(
-      "delta.enableRowTracking" -> "true",
-      "delta.rowTracking.materializedRowIdColumnName" ->
-        s"_row_id_col_$uuid",
-      "delta.rowTracking.materializedRowCommitVersionColumnName" ->
-        s"_row_commit_version_col_$uuid")
-    val confJson = conf.map { case (k, v) =>
-      s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
-    }.mkString(",")
-    val mdAction = s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(snap.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""${escape(c)}"""").mkString(",")}],"configuration":{$confJson},"createdTime":0}}"""
+    cfg.put("delta.enableRowTracking", "true")
+    cfg.put("delta.rowTracking.materializedRowIdColumnName",
+      s"_row_id_col_$uuid")
+    cfg.put("delta.rowTracking.materializedRowCommitVersionColumnName",
+      s"_row_commit_version_col_$uuid")
+    val mdAction = {
+      val w = mapper.createObjectNode()
+      w.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+      mapper.writeValueAsString(w)
+    }
     val version = nextVersion(root)
     require(version == snap.version + 1,
       s"enableRowTracking on $path raced a concurrent commit — retry")
     var next = 0L
-    val addActions = snap.files.map { f =>
-      val base = next
-      next += physicalRows(f)
-      val pv = f.partitionValues.map { case (k, v) =>
-        s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
-      }.mkString(",")
-      val st = f.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")
-      val dv = f.deletionVector.map(d =>
-        s""","deletionVector":{"storageType":"${escape(d.storageType)}","pathOrInlineDv":"${escape(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("")
-      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pv},"size":${Files.size(Paths.get(abs(f)))},"modificationTime":0,"dataChange":false$dv$st,"baseRowId":$base,"defaultRowCommitVersion":$version}}"""
+    val addActions = st.adds.values.toSeq.map { a0 =>
+      val a = a0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      // PHYSICAL row count (stats numRecords counts DV-deleted rows too
+      // — their positions consume ids, keeping base + position exact)
+      val rows = Option(a.get("stats")).filterNot(_.isNull).flatMap { s =>
+        try Option(mapper.readTree(s.asText).get("numRecords"))
+          .filterNot(_.isNull).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse(IcebergWriter.footerRecordCount(Paths.get(
+        graft.sources.DeltaLogReader.resolveAdd(path,
+          graft.sources.DeltaLogReader.decodePath(a.get("path").asText)))))
+      a.put("baseRowId", next)
+      a.put("defaultRowCommitVersion", version)
+      a.put("dataChange", false) // layout/metadata change, no new rows
+      next += rows
+      val w = mapper.createObjectNode()
+      w.set[com.fasterxml.jackson.databind.JsonNode]("add", a)
+      mapper.writeValueAsString(w)
     }
     val domainActs =
-      if (snap.files.isEmpty) Nil
+      if (addActions.isEmpty) Nil
       else Seq(rowTrackingDomainAction(next - 1))
     commit(root, version, Seq(proto, mdAction) ++ addActions ++ domainActs)
     maybeCheckpoint(spark, root, version)
-    snap.files.size
+    addActions.size
   }
 
   /** VACUUM: delete data files referenced by NONE of the newest
@@ -1552,12 +1580,16 @@ object DeltaWriter {
       Option(a.get("deletionVector")).filterNot(_.isNull).map(dv => Row(
         dv.get("storageType").asText,
         dv.get("pathOrInlineDv").asText,
-        // a missing offset means "right after the 1-byte format version",
-        // i.e. 1 — the SAME default DeltaLogReader.parseAdd applies; a 0
-        // here would point a foreign u/p DV's reader one byte early after
-        // the first checkpoint (size/CRC mismatch)
-        Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt)
-          .getOrElse(1),
+        // u/p DVs: a missing offset means "right after the 1-byte format
+        // version", i.e. 1 — the SAME default DeltaLogReader.parseAdd
+        // applies (a 0 would point a foreign reader one byte early).
+        // INLINE DVs keep it ABSENT — the protocol says offset is always
+        // omitted for storageType "i", and fabricating one would make
+        // the checkpointed descriptor nonconforming
+        Option(dv.get("offset")).filterNot(_.isNull)
+          .map(v => Int.box(v.asInt))
+          .getOrElse(if (dv.get("storageType").asText == "i") null
+            else Int.box(1)),
         dv.get("sizeInBytes").asInt,
         dv.get("cardinality").asLong)).orNull,
       // stats survive checkpointing — dropping them would turn off data
@@ -1661,11 +1693,17 @@ object DeltaWriter {
     * files; v2 sidecars are recursed), so checkpointing stays
     * O(interval + live files), not O(all commits ever).
     */
-  private[graft] def writeCheckpoint(spark: SparkSession, root: Path,
-      version: Long): Unit = {
+  /** Raw-JSON replay of the log up to `version` inclusive (previous
+    * checkpoint + interval commits, v2 sidecars recursed) — the shared
+    * prologue of [[writeCheckpoint]] and [[enableRowTracking]], both of
+    * which must RE-EMIT actions VERBATIM (a model-typed round-trip
+    * would strip every field the reader doesn't model: metaData
+    * name/description, per-add tags, foreign extensions).
+    */
+  private def replayUpTo(spark: SparkSession, root: Path,
+      version: Long): ReplayState = {
     val log = root.resolve("_delta_log")
     val st = new ReplayState
-
     val (prevCp, prevCpFiles) = prevCheckpointFiles(log, version)
     def applyCheckpointJson(lines: Seq[String]): Unit = lines.foreach { line =>
       val n = st.mapper.readTree(line)
@@ -1683,11 +1721,18 @@ object DeltaWriter {
     (from to version).foreach { v =>
       val f = log.resolve(f"$v%020d.json")
       // a GAP in the replayed range silently drops that commit's adds
-      // from the checkpoint forever — corruption, never skippable
+      // forever — corruption, never skippable
       require(Files.exists(f),
-        s"commit $v missing from delta log — cannot checkpoint over a gap")
+        s"commit $v missing from delta log — cannot replay over a gap")
       Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach(st.applyLine)
     }
+    st
+  }
+
+  private[graft] def writeCheckpoint(spark: SparkSession, root: Path,
+      version: Long): Unit = {
+    val log = root.resolve("_delta_log")
+    val st = replayUpTo(spark, root, version)
     require(st.metaData != null, s"no metaData in delta log at $root")
 
     val protoRow = protocolRow(st.protocol)
@@ -1904,10 +1949,14 @@ object DeltaWriter {
             else lit(null).cast(t)
           when(col("add.deletionVector").isNotNull,
             struct(dvT.fields.toIndexedSeq.map { fd =>
-              // a foreign null offset means "right after the format
-              // version byte" = 1, the same default parseAdd applies
+              // u/p: a foreign null offset means "right after the format
+              // version byte" = 1, the same default parseAdd applies;
+              // INLINE DVs keep offset ABSENT (protocol: always omitted
+              // for storageType "i" — fabricating one is nonconforming)
               val c = if (fd.name == "offset")
-                coalesce(sub(fd.name, fd.dataType), lit(1))
+                when(sub("storageType", StringType) === "i",
+                  sub(fd.name, fd.dataType))
+                  .otherwise(coalesce(sub(fd.name, fd.dataType), lit(1)))
               else sub(fd.name, fd.dataType)
               c.as(fd.name)
             }: _*)).as("deletionVector")
