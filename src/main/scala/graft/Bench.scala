@@ -137,9 +137,12 @@ object Bench {
     // r11 record (cutoff 3 s) kept ~4 s of 1–2 s inflations that sailed
     // under it (q_split recorded 1.87 s vs 0.18 s isolated). Two triggers
     // now mark a query suspect: (a) min above max(1.5 s, 3× the suite
-    // median), and (b) min above 2× the same query's entry in the latest
-    // official BENCH_r*.json record — the per-query history catches a
-    // sub-cutoff inflation that an absolute threshold can't see. Suspects
+    // median), and (b) min above 1.5× the same query's entry in the latest
+    // official BENCH_r*.json record (2× through r19 — it let a 1.9×-history
+    // inflation of q_agg_tpch_q1 into the official record) — the per-query
+    // history catches a sub-cutoff inflation an absolute threshold can't
+    // see; the 0.5 s floor keeps millisecond-scale jitter requeue-free.
+    // Suspects
     // are re-measured in up to two later quiet passes and the overall min
     // kept. A genuinely slow query is requeued once, fails to improve
     // (>10%), and is then ACCEPTED at its true cost instead of burning
@@ -152,7 +155,7 @@ object Bench {
     val prior = latestOfficialRecord()
     def inflated(n: String, t: Double): Boolean =
       t > cutoff ||
-        (t > 0.5 && prior.get(n).exists(p => p > 0 && t > 2.0 * p))
+        (t > 0.5 && prior.get(n).exists(p => p > 0 && t > 1.5 * p))
     var accepted = Set.empty[String] // requeued once, didn't move: genuine
     var pass = 0
     var suspects = results.filter { case (n, t) => t >= 0 && inflated(n, t) }
@@ -202,7 +205,7 @@ object Bench {
     * (`BENCH_r{N}.json`, highest N, pairs regex-extracted from its tail —
     * the tail may be front-truncated by the driver's 2000-byte capture, in
     * which case whatever intact pairs survive are still usable). Empty on
-    * any problem: the 2×-prior requeue trigger simply stays inert.
+    * any problem: the 1.5×-prior requeue trigger simply stays inert.
     */
   private[graft] def latestOfficialRecord(dir: String = "."): Map[String, Double] =
     try {

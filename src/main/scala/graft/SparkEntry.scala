@@ -199,6 +199,82 @@ object SparkEntry {
       root.toString
     }
 
+  /** Two foreign Delta tables for TIMESTAMP time travel, one per
+    * resolution path (PROTOCOL.md "In-Commit Timestamps"): `mtime/` is a
+    * plain two-commit table whose commit-file mtimes are pinned (v0 at
+    * [[TsFixT0]], v1 at [[TsFixT1]]); `ict/` carries the
+    * `inCommitTimestamp` writer feature with commitInfo FIRST lines
+    * (v0 at [[TsFixI0]], v1 at [[TsFixI1]]) and commit-file mtimes set
+    * DELIBERATELY WRONG (both far before every ICT) — a resolver that
+    * peeked at mtimes on this table would reject the gate's timestamp as
+    * prehistoric, so the gate passing proves the ICT path is the one
+    * taken. Both tables: v0 = region<2, v1 adds region>=2.
+    */
+  private val TsFixT0 = 1000000000000L
+  private val TsFixT1 = 1100000000000L
+  private val TsFixI0 = 1600000000000L
+  private val TsFixI1 = 1700000000000L
+  private def deltaTimestampFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Path, Paths}
+      import java.nio.file.attribute.FileTime
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_tstravel_gate_v1_${math.abs(dir.hashCode)}")
+      gateFixture(root) {
+        val nation = Tables.load(s, dir, "nation")
+        val schemaStr = nation.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        def build(sub: String, ict: Boolean): Unit = {
+          val tbl = root.resolve(sub)
+          val logDir = tbl.resolve("_delta_log")
+          Files.createDirectories(logDir)
+          def writeFile(df: DataFrame, name: String): Unit = {
+            val tmp = tbl.resolve("staging")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.startsWith("part-")).get
+            Files.move(part, tbl.resolve(name))
+            deleteRecursively(tmp)
+          }
+          writeFile(nation.filter(col("n_regionkey") < 2), "part-0.parquet")
+          writeFile(nation.filter(col("n_regionkey") >= 2), "part-1.parquet")
+          def add(path: String) =
+            s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+          def commitInfo(ts: Long) =
+            s"""{"commitInfo":{"inCommitTimestamp":$ts,"operation":"WRITE"}}"""
+          val protocol =
+            if (ict)
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","inCommitTimestamp"]}}"""
+            else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+          val conf =
+            if (ict) """{"delta.enableInCommitTimestamps":"true"}"""
+            else "{}"
+          val md =
+            s"""{"metaData":{"id":"tsgate-$sub","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":$conf,"createdTime":0}}"""
+          val v0 = logDir.resolve(f"${0L}%020d.json")
+          val v1 = logDir.resolve(f"${1L}%020d.json")
+          Files.writeString(v0,
+            ((if (ict) Seq(commitInfo(TsFixI0)) else Nil) ++
+              Seq(protocol, md, add("part-0.parquet"))).mkString("\n"))
+          Files.writeString(v1,
+            ((if (ict) Seq(commitInfo(TsFixI1)) else Nil) :+
+              add("part-1.parquet")).mkString("\n"))
+          if (ict) {
+            // misleading mtimes: ICT must win over them
+            Files.setLastModifiedTime(v0, FileTime.fromMillis(500000000000L))
+            Files.setLastModifiedTime(v1, FileTime.fromMillis(500000000000L))
+          } else {
+            Files.setLastModifiedTime(v0, FileTime.fromMillis(TsFixT0))
+            Files.setLastModifiedTime(v1, FileTime.fromMillis(TsFixT1))
+          }
+        }
+        build("mtime", ict = false)
+        build("ict", ict = true)
+      }
+      root.toString
+    }
+
   /** COLUMN-MAPPED (mode=name) Delta table over `nation` whose parquet
     * files carry PHYSICAL uuid-style column names, then the two
     * maintenance ops the mapping guard used to block (reference
@@ -1232,6 +1308,27 @@ object SparkEntry {
       graft.sources.DeltaLogReader.read(s, path, versionAsOf = Some(0L))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    }),
+    "q_delta_time_travel_ts" -> ((s, dir) => {
+      // TIMESTAMP time travel, both resolution paths in one gate: the
+      // `mtime` table resolves by pinned commit-file mtimes, the `ict`
+      // table by commitInfo.inCommitTimestamp (its mtimes are set
+      // deliberately prehistoric — a resolver peeking at them would
+      // reject the asked timestamp, so matching rows proves ICT won).
+      // Each asks for the midpoint between its two commits → version 0
+      // (region < 2) on both.
+      val root = deltaTimestampFixture(s, dir)
+      val R = graft.sources.DeltaLogReader
+      val mt = R.read(s, s"$root/mtime",
+          asOfTimestampMs = Some((TsFixT0 + TsFixT1) / 2))
+        .withColumn("src", lit("mtime"))
+      val ic = R.read(s, s"$root/ict",
+          asOfTimestampMs = Some((TsFixI0 + TsFixI1) / 2))
+        .withColumn("src", lit("ict"))
+      mt.unionAll(ic)
+        .select(col("src"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .orderBy(col("src"), col("n_nationkey"))
     }),
     "q_delta_dv" -> ((s, dir) => {
       val path = deltaDvFixture(s, dir)
@@ -3079,6 +3176,12 @@ object SparkEntry {
     "q_delta_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_time_travel_ts" ->
+      """SELECT src, n_nationkey, n_name, n_regionkey
+        |FROM (SELECT 'mtime' AS src UNION ALL SELECT 'ict') tags
+        |CROSS JOIN nation
+        |WHERE n_regionkey < 2
+        |ORDER BY src, n_nationkey""".stripMargin,
     "q_delta_dv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 2 AND n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,

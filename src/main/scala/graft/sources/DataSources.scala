@@ -86,7 +86,10 @@ object DataSources {
           // row tracking on the serving surface: `lineage: "true"`
           // appends _row_id / _row_commit_version — same handle as the
           // iceberg side below, one option name across both formats
-          withLineage = ds.options.get("lineage").exists(_.toBoolean))
+          withLineage = ds.options.get("lineage").exists(_.toBoolean),
+          // same option name as the iceberg branch below — "as of
+          // yesterday" addresses either format identically
+          asOfTimestampMs = ds.options.get("asOfTimestampMs").map(_.toLong))
       case "delta" =>
         requireLocal("delta")
         reader.parquet(uri)

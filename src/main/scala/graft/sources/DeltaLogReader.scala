@@ -651,6 +651,79 @@ object DeltaLogReader {
   }
 
 
+  /** Resolve an as-of timestamp to a commit version (PROTOCOL.md
+    * "In-Commit Timestamps"): each surviving commit's timestamp is its
+    * `commitInfo.inCommitTimestamp` when the `inCommitTimestamp` writer
+    * feature is active for that version (the protocol requires commitInfo
+    * as the commit's FIRST action then — one line read per commit, no
+    * full parse), and the commit file's mtime otherwise. Mtimes can lie
+    * after a log rewrite (copy, restore, clock skew), so the mtime path
+    * applies the same monotonic adjustment delta-spark uses: a commit's
+    * effective timestamp is max(mtime, predecessor + 1 ms) — versions are
+    * ordered, timestamps must be. The result is the NEWEST version whose
+    * timestamp ≤ `tsMs` ("as of yesterday" = the state yesterday ended
+    * with); a timestamp past the latest commit serves the latest version
+    * (a serving engine answering "as of now" on a quiet table must not
+    * 500), and one before the first surviving commit fails LOUDLY — the
+    * asked-for state predates the oldest reconstructable one, answering
+    * with a younger state would be silent time travel to the wrong place.
+    * Cost: one log listing + one stat or first-line read per surviving
+    * commit, bounded by log retention exactly like replay itself.
+    */
+  def resolveTimestamp(spark: SparkSession, tablePath: String,
+      tsMs: Long): Long = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
+    val commits = listDir(logDir)
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .sortBy(_.getFileName.toString)
+    require(commits.nonEmpty,
+      s"timestamp time travel over $tablePath needs commit JSONs: all " +
+        "were reclaimed by log retention, only checkpoint state survives")
+    // ICT activation comes from the LATEST snapshot (feature + table
+    // property), its enablement version from the property the enabling
+    // commit is required to set; absent means enabled since creation.
+    val snap = snapshot(spark, tablePath)
+    val ict = snap.protocol.writerFeatures.contains("inCommitTimestamp") &&
+      snap.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true"))
+    val ictFrom: Long =
+      if (!ict) Long.MaxValue
+      else snap.configuration
+        .get("delta.inCommitTimestampEnablementVersion")
+        .map(_.toLong).getOrElse(0L)
+    def ictOf(p: Path): Long = {
+      val first = {
+        val in = Files.newBufferedReader(p)
+        try in.readLine() finally in.close()
+      }
+      val node = Option(mapper.readTree(first))
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(n => Option(n.get("inCommitTimestamp")))
+        .filter(_.isNumber)
+      require(node.isDefined,
+        s"commit ${p.getFileName} of $tablePath: inCommitTimestamp is " +
+          "active but the commit's first action carries no " +
+          "commitInfo.inCommitTimestamp — the log is malformed; refusing " +
+          "to fall back to mtime (it may disagree with the committed order)")
+      node.get.asLong()
+    }
+    var prev = Long.MinValue
+    val timed = commits.map { p =>
+      val v = versionOf(p)
+      val raw =
+        if (v >= ictFrom) ictOf(p)
+        else Files.getLastModifiedTime(p).toMillis
+      val eff = math.max(raw, if (prev == Long.MinValue) raw else prev + 1L)
+      prev = eff
+      (v, eff)
+    }
+    require(tsMs >= timed.head._2,
+      s"timestamp $tsMs predates the oldest reconstructable version of " +
+        s"$tablePath (version ${timed.head._1} at ${timed.head._2})")
+    timed.takeWhile(_._2 <= tsMs).last._1
+  }
+
   /** physical parquet field name under column mapping `name`/`id` mode. */
   private[graft] def physicalName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -705,8 +778,14 @@ object DeltaLogReader {
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
       skipFilters: Seq[SkipPredicate] = Nil,
-      withLineage: Boolean = false): DataFrame = {
-    val snap0 = snapshot(spark, tablePath, versionAsOf)
+      withLineage: Boolean = false,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
+    // an explicit version wins over a timestamp (the Iceberg side's rule,
+    // IcebergReader.resolveSnapshot); a timestamp resolves to a version
+    // first so the snapshot cache keys stay purely version-shaped
+    val pinned = versionAsOf.orElse(
+      asOfTimestampMs.map(resolveTimestamp(spark, tablePath, _)))
+    val snap0 = snapshot(spark, tablePath, pinned)
     if (withLineage) {
       require(snap0.rowTrackingEnabled,
         s"row lineage columns need delta.enableRowTracking=true at $tablePath")

@@ -1,0 +1,157 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+/** Delta TIMESTAMP time travel (PROTOCOL.md "In-Commit Timestamps"):
+  * resolution by commit-file mtime with the monotonic adjustment, by
+  * commitInfo.inCommitTimestamp when the feature is active (mtimes then
+  * deliberately misleading — ICT must win), mixed tables where ICT was
+  * enabled mid-life, the loud edges (timestamp before the first commit,
+  * ICT active but commitInfo missing), and precedence (an explicit
+  * versionAsOf wins over a timestamp).
+  */
+class DeltaTimestampSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ts_${tag}_${System.nanoTime()}").toString
+
+  private def commitFile(path: String, v: Long) =
+    Paths.get(path, "_delta_log", f"$v%020d.json")
+
+  private def pinMtime(path: String, v: Long, ms: Long): Unit =
+    Files.setLastModifiedTime(commitFile(path, v), FileTime.fromMillis(ms))
+
+  /** Three-commit writer-made table: v0={0}, v1={1}, v2={2}. */
+  private def threeCommits(tag: String): String = {
+    val path = tmp(tag)
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    DeltaWriter.append(Seq((1L, "v1")).toDF("id", "v"), path)
+    DeltaWriter.append(Seq((2L, "v2")).toDF("id", "v"), path)
+    path
+  }
+
+  /** Rewrite a writer-made table's log so the `inCommitTimestamp` feature
+    * is active from `fromVersion` with the given per-version timestamps —
+    * the exact on-disk shape a foreign ICT writer leaves: commitInfo as
+    * the commit's FIRST action, the feature in writerFeatures, the table
+    * properties set, and (when enabled mid-life) the enablement version
+    * recorded.
+    */
+  private def enableIct(path: String, icts: Map[Long, Long],
+      fromVersion: Long = 0L): Unit = {
+    icts.foreach { case (v, ts) =>
+      val f = commitFile(path, v)
+      val lines = Files.readAllLines(f)
+      Files.writeString(f,
+        (s"""{"commitInfo":{"inCommitTimestamp":$ts,"operation":"WRITE"}}""" +
+          "\n" + String.join("\n", lines)))
+    }
+    // upgrade v0's protocol + metaData configuration in place
+    val v0 = commitFile(path, 0L)
+    val rewritten = Files.readAllLines(v0).toArray.map(_.toString).map {
+      case l if l.contains("\"protocol\"") =>
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","inCommitTimestamp"]}}"""
+      case l if l.contains("\"metaData\"") =>
+        val enable = s""""delta.enableInCommitTimestamps":"true"""" +
+          (if (fromVersion > 0L)
+            s""","delta.inCommitTimestampEnablementVersion":"$fromVersion""""
+          else "")
+        l.replaceFirst("\"configuration\":\\{", s""""configuration":{$enable""")
+      case l => l
+    }
+    Files.writeString(v0, rewritten.mkString("\n"))
+  }
+
+  test("mtime resolution: midpoints, exact hits, past-latest serves latest") {
+    val path = threeCommits("mtime")
+    pinMtime(path, 0L, 1000000L)
+    pinMtime(path, 1L, 2000000L)
+    pinMtime(path, 2L, 3000000L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 1500000L) == 0L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 2000000L) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 2999999L) == 1L)
+    // "as of now" on a quiet table = latest, not a 500
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 9999999L) == 2L)
+    val rows = DeltaLogReader.read(spark, path,
+      asOfTimestampMs = Some(2500000L)).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(0L, 1L))
+  }
+
+  test("timestamp before the first commit fails loudly") {
+    val path = threeCommits("early")
+    pinMtime(path, 0L, 1000000L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.resolveTimestamp(spark, path, 999L)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
+  test("non-monotonic mtimes get the monotonic adjustment (rewritten log)") {
+    val path = threeCommits("mono")
+    // a log copy/restore left v1 with an OLDER mtime than v0: effective
+    // timestamps must still be ordered (v1 → v0+1ms), so v0's own
+    // timestamp resolves to v0, one past it to v1
+    pinMtime(path, 0L, 2000000L)
+    pinMtime(path, 1L, 1000000L)
+    pinMtime(path, 2L, 3000000L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 2000000L) == 0L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 2000001L) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 3000000L) == 2L)
+  }
+
+  test("ICT wins over deliberately misleading mtimes") {
+    val path = threeCommits("ict")
+    enableIct(path, Map(0L -> 5000000L, 1L -> 6000000L, 2L -> 7000000L))
+    // mtimes say "everything happened at 1970+1s" — ICT must be the
+    // source of truth; an mtime resolver would reject 5500000 as
+    // predating the whole table
+    (0L to 2L).foreach(v => pinMtime(path, v, 1000L))
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 5500000L) == 0L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 6000000L) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 99999999L) == 2L)
+    val rows = DeltaLogReader.read(spark, path,
+      asOfTimestampMs = Some(6500000L)).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(0L, 1L))
+  }
+
+  test("ICT enabled mid-life: mtime below the enablement version, ICT at and above") {
+    val path = threeCommits("mixed")
+    enableIct(path, Map(2L -> 7000000L), fromVersion = 2L)
+    pinMtime(path, 0L, 1000000L)
+    pinMtime(path, 1L, 2000000L)
+    pinMtime(path, 2L, 1500L) // misleading — v2 must read its ICT instead
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 1999999L) == 0L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 6999999L) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 7000000L) == 2L)
+  }
+
+  test("ICT active but commitInfo missing fails loudly, never falls back to mtime") {
+    val path = threeCommits("malformed")
+    // feature + property set, but v1/v2 carry no commitInfo first line
+    enableIct(path, Map(0L -> 5000000L))
+    // touch the LATEST commit so the snapshot cache's freshness token
+    // (latest version, file count, latest commit + pointer mtimes) sees
+    // the off-protocol v0 rewrite above — commit JSONs are immutable
+    // under the protocol, only tests edit them in place
+    pinMtime(path, 2L, 1000L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.resolveTimestamp(spark, path, 5000000L)
+    }
+    assert(e.getMessage.contains("inCommitTimestamp"), e.getMessage)
+  }
+
+  test("explicit versionAsOf wins over asOfTimestampMs") {
+    val path = threeCommits("precedence")
+    pinMtime(path, 0L, 1000000L)
+    pinMtime(path, 1L, 2000000L)
+    pinMtime(path, 2L, 3000000L)
+    val rows = DeltaLogReader.read(spark, path, versionAsOf = Some(0L),
+      asOfTimestampMs = Some(9999999L)).select("id").as[Long].collect()
+    assert(rows.toSeq == Seq(0L))
+  }
+}
