@@ -275,6 +275,128 @@ object SparkEntry {
       root.toString
     }
 
+  /** The shared variant column the two variant gates serve: an OBJECT
+    * built from nation's columns for most rows (keys in sorted order —
+    * `to_json`'s canonical form — so the oracle can rebuild the exact
+    * string), a BARE NUMBER for `% 7 == 0` rows, SQL NULL for `% 5 == 0`
+    * — a realistic semi-structured mix, not one homogeneous shape.
+    */
+  private def variantMixCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, parse_json, when}
+    when(col("n_nationkey") % 7 === 0,
+        parse_json(col("n_nationkey").cast("string")))
+      .when(col("n_nationkey") % 5 === 0,
+        parse_json(lit(null).cast("string")))
+      .otherwise(parse_json(concat(
+        lit("{\"key\":"), col("n_nationkey"),
+        lit(",\"name\":\""), col("n_name"),
+        lit("\",\"region\":"), col("n_regionkey"), lit("}"))))
+  }
+  private val variantMixOracleSql: String =
+    """CASE WHEN n_nationkey % 7 = 0 THEN CAST(n_nationkey AS VARCHAR)
+      |     WHEN n_nationkey % 5 = 0 THEN NULL
+      |     ELSE '{"key":' || n_nationkey || ',"name":"' || n_name ||
+      |          '","region":' || n_regionkey || '}'
+      |END""".stripMargin
+
+  /** Foreign Delta table with a VARIANT column (protocol feature
+    * `variantType`): one Spark-written parquet file (annotated VARIANT
+    * group) + a hand-authored log whose schemaString carries
+    * `"type":"variant"` and whose protocol lists the reader feature —
+    * the exact shape delta-spark 4 leaves behind.
+    */
+  private def deltaVariantFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_variant_gate_v1_${math.abs(dir.hashCode)}")
+      gateFixture(root) {
+        val logDir = root.resolve("_delta_log")
+        Files.createDirectories(logDir)
+        val df = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), variantMixCol.as("v"))
+        val tmp = root.resolve("staging")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        Files.move(part, root.resolve("part-0.parquet"))
+        deleteRecursively(tmp)
+        val schemaStr = df.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+          s"""{"metaData":{"id":"variantgate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+          """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+          .mkString("\n"))
+      }
+      root.toString
+    }
+
+  /** Foreign Delta table with a CHANGE DATA FEED history
+    * (`delta.enableChangeDataFeed`, legacy writer v4): v0 creates the
+    * base (region < 2), v1 is a real CDF commit — a `cdc` action naming
+    * a `_change_data` file that carries update_preimage / update_postimage
+    * (`% 2 == 0` rows renamed lowercase) and delete (`% 2 == 1`) rows,
+    * PLUS the remove/add pair a reader of the current state uses (the
+    * feed must ignore those in favor of the cdc file) — and v2 is a pure
+    * append (region >= 2), which writes NO change file per the protocol
+    * (its adds serve as inserts).
+    */
+  private def deltaCdfFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_cdf_gate_v1_${math.abs(dir.hashCode)}")
+      gateFixture(root) {
+        val logDir = root.resolve("_delta_log")
+        Files.createDirectories(logDir)
+        Files.createDirectories(root.resolve("_change_data"))
+        val nation = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val base = nation.filter(col("n_regionkey") < 2)
+        def writeFile(df: DataFrame, name: String): Unit = {
+          val tmp = root.resolve("staging")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-")).get
+          Files.move(part, root.resolve(name))
+          deleteRecursively(tmp)
+        }
+        val updatedPost = base.filter(col("n_nationkey") % 2 === 0)
+          .withColumn("n_name", lower(col("n_name")))
+        writeFile(base.orderBy(col("n_nationkey")), "part-0.parquet")
+        writeFile(updatedPost.orderBy(col("n_nationkey")), "part-0b.parquet")
+        writeFile(
+          base.filter(col("n_nationkey") % 2 === 0)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionAll(updatedPost
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionAll(base.filter(col("n_nationkey") % 2 === 1)
+              .withColumn("_change_type", lit("delete")))
+            .orderBy(col("_change_type"), col("n_nationkey")),
+          "_change_data/cdc-1.parquet")
+        writeFile(nation.filter(col("n_regionkey") >= 2)
+          .orderBy(col("n_nationkey")), "part-1.parquet")
+        val schemaStr = nation.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        def add(path: String) =
+          s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+          s"""{"metaData":{"id":"cdfgate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+          add("part-0.parquet")).mkString("\n"))
+        Files.writeString(logDir.resolve(f"${1L}%020d.json"), Seq(
+          """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+          """{"remove":{"path":"part-0.parquet","deletionTimestamp":0,"dataChange":true}}""",
+          add("part-0b.parquet")).mkString("\n"))
+        Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+          add("part-1.parquet"))
+      }
+      root.toString
+    }
+
   /** COLUMN-MAPPED (mode=name) Delta table over `nation` whose parquet
     * files carry PHYSICAL uuid-style column names, then the two
     * maintenance ops the mapping guard used to block (reference
@@ -892,6 +1014,52 @@ object SparkEntry {
       root.toString
     }
 
+  /** Foreign v3 table with a `variant` column over nation — the same
+    * variant mix as the delta fixture ([[variantMixCol]]), served
+    * through iceberg's metadata plane instead.
+    */
+  private def icebergVariantFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_variant_gate_v1_${math.abs(dir.hashCode)}")
+      val mdDir = root.resolve("metadata")
+      if (Files.exists(mdDir.resolve("version-hint.text"))) return root.toString
+      deleteRecursively(root)
+      Files.createDirectories(mdDir)
+      Files.createDirectories(root.resolve("data"))
+      val df = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), variantMixCol.as("v"))
+      val n = df.count()
+      val tmp = root.resolve("staging")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val file = root.resolve("data/f1.parquet")
+      Files.move(part, file)
+      deleteRecursively(tmp)
+      val m1 = simpleDataManifest(mdDir.resolve("m1.avro"), file.toString, n)
+      val listPath = simpleManifestList(mdDir.resolve("snap-1.avro"), Seq(m1))
+      val schemaJson =
+        """{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"variant"}]}"""
+          .stripMargin
+      Files.writeString(mdDir.resolve("v1.metadata.json"),
+        s"""{"format-version":3,"table-uuid":"gate-variant","location":"$root",
+           |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":2,
+           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+           |"current-snapshot-id":1,"snapshots":[
+           |{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+           |"manifest-list":"$listPath","summary":{"operation":"append"}}]}"""
+          .stripMargin)
+      Files.writeString(mdDir.resolve("version-hint.text"), "1")
+      root.toString
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 filters through the param->predicate compiler ----
     "q_filter_eq" -> ((s, dir) => {
@@ -1401,6 +1569,16 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
+    "q_delta_variant" -> ((s, dir) => {
+      // VARIANT serving (protocol feature variantType): a foreign table
+      // whose schema carries a variant column serves its CANONICAL JSON
+      // (to_json, object keys sorted) — the mix covers objects, a bare
+      // number and SQL NULL; the oracle rebuilds the exact strings
+      val root = deltaVariantFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, root)
+        .select(col("n_nationkey"), to_json(col("v")).as("vj"))
+        .orderBy(col("n_nationkey"))
+    }),
     "q_delta_v2_checkpoint_scan" -> ((s, dir) => {
       // v2-checkpoint-ONLY serving: the table's log is retention-cleaned
       // so every commit below the v2 checkpoint (uuid manifest +
@@ -1614,6 +1792,15 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_variant" -> ((s, dir) => {
+      // v3 variant serving through the iceberg metadata plane — same
+      // canonical-JSON contract as q_delta_variant (the encoding spec is
+      // shared by both formats)
+      val root = icebergVariantFixture(s, dir)
+      graft.sources.IcebergReader.read(s, root)
+        .select(col("n_nationkey"), to_json(col("v")).as("vj"))
+        .orderBy(col("n_nationkey"))
+    }),
     "q_iceberg_ts_ns" -> ((s, dir) => {
       // v3 timestamp_ns (physical NANOS parquet) serves µs-TRUNCATED
       // (the int96 coercion precedent) and `unknown` serves null —
@@ -1785,6 +1972,19 @@ object SparkEntry {
         .withColumn("src", lit("main"))
       branchServed.unionByName(mainRead)
         .orderBy(col("src"), col("n_nationkey"))
+    }),
+    "q_delta_cdf" -> ((s, dir) => {
+      // foreign CHANGE DATA FEED read: v1's changes come from the cdc
+      // action's _change_data file (update_preimage/postimage + delete —
+      // the remove/add pair in that commit must be IGNORED), v2's pure
+      // append serves its add as inserts; the oracle reconstructs every
+      // change row from nation
+      val root = deltaCdfFixture(s, dir)
+      graft.sources.DeltaLogReader.readChanges(s, root, afterVersion = 0L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("n_nationkey"))
     }),
     "q_delta_changes" -> ((s, dir) => {
       // append-only change feed: create with region<2 (version 0), append
@@ -3289,6 +3489,12 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS INT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_delta_variant" ->
+      s"""SELECT n_nationkey, $variantMixOracleSql AS vj
+         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_variant" ->
+      s"""SELECT n_nationkey, $variantMixOracleSql AS vj
+         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_delta_ts_skip" ->
       """SELECT o_orderkey, o_custkey,
         |       CAST(o_orderdate AS TIMESTAMP) AS o_ts FROM orders
@@ -3333,6 +3539,27 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(1 AS BIGINT) AS _commit_version
         |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
+    "q_delta_cdf" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
+        |              FROM nation WHERE n_regionkey < 2)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(v AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'update_preimage' AS ct, 1 AS v
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, lower(n_name), n_regionkey,
+        |         'update_postimage', 1
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1
+        |  FROM base WHERE n_nationkey % 2 = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert', 2
+        |  FROM nation WHERE n_regionkey >= 2
+        |)
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q_iceberg_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(2 AS BIGINT) AS _snapshot_seq

@@ -78,11 +78,22 @@ object DeltaWriter {
     // rowTracking + domainMetadata are WRITER features (feature-listed
     // protocols need minWriterVersion 7, with writer-v2's implied legacy
     // features spelled out); readers stay at 1 — row ids are optional
-    // metadata a legacy reader may ignore
-    val protocolAction =
-      if (rowTracking)
+    // metadata a legacy reader may ignore. A variant column flips the
+    // protocol to reader-feature form: variantType is a READER feature
+    // (a legacy reader would misread the parquet {metadata,value} group
+    // as a plain struct), so a schema carrying one without the feature
+    // would be a malformed table.
+    val hasVariant = df.schema.fields.exists(f => containsVariant(f.dataType))
+    val protocolAction = (rowTracking, hasVariant) match {
+      case (false, false) =>
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      case (true, false) =>
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking"]}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      case (false, true) =>
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["appendOnly","invariants","variantType"]}}"""
+      case (true, true) =>
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking","variantType"]}}"""
+    }
     val (lineage, domainActs) =
       assignRowLineage(rowTracking, None, root, files, 0L)
     commit(root, 0L,
@@ -130,7 +141,21 @@ object DeltaWriter {
           "added columns must be nullable (old files have no values for them)")
       }
       if (!evolved) Nil
-      else Seq(s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(df.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""$c"""").mkString(",")}],"configuration":{${snap.configuration.map { case (k, v) => s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}""" }.mkString(",")}},"createdTime":0}}""")
+      else {
+        // an evolved schema INTRODUCING a variant column upgrades the
+        // protocol in the same commit (variantType is a reader feature;
+        // committing the schema without it would leave a malformed table)
+        val needsVariant =
+          df.schema.fields.exists(f => containsVariant(f.dataType)) &&
+            !(snap.protocol.readerFeatures.contains("variantType") ||
+              snap.protocol.readerFeatures.contains("variantType-preview"))
+        val protoAct =
+          if (!needsVariant) Nil
+          else Seq(featureProtocolAction(snap.protocol, Set("variantType"),
+            Set("variantType"), minReaderFloor = 3))
+        protoAct :+
+          s"""{"metaData":{"id":"${escape(snap.metaDataId)}","format":{"provider":"parquet","options":{}},"schemaString":"${escape(df.schema.json)}","partitionColumns":[${snap.partitionColumns.map(c => s""""$c"""").mkString(",")}],"configuration":{${snap.configuration.map { case (k, v) => s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}""" }.mkString(",")}},"createdTime":0}}"""
+      }
     }
 
     val snap0 = graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
@@ -983,6 +1008,17 @@ object DeltaWriter {
 
   private def legacyReaderFeatures(v: Int): Set[String] =
     if (v >= 2) Set("columnMapping") else Set.empty
+
+  /** Does `dt` contain a VariantType anywhere (nested included)? Drives
+    * the variantType protocol feature on create and schema evolution.
+    */
+  private def containsVariant(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+    case a: ArrayType => containsVariant(a.elementType)
+    case m: MapType => containsVariant(m.keyType) || containsVariant(m.valueType)
+    case _ => false
+  }
 
   /** One feature-protocol upgrade rule for every upgrading op: the NEW
     * protocol is the CURRENT one (legacy versions expanded to their

@@ -998,9 +998,9 @@ object IcebergWriter {
     // on an ns-timestamp/unknown table that would misread the physical
     // nanos (the READ plane converts; rewrites would bake wrong values)
     require(graft.sources.IcebergReader.specialV3Columns(md) ==
-        ((Map.empty, Set.empty)),
-      "row-level operations on tables with timestamp_ns/unknown columns " +
-        "are not supported (read-only)")
+        ((Map.empty, Set.empty, Set.empty)),
+      "row-level operations on tables with timestamp_ns/unknown/geo " +
+        "columns are not supported (read-only)")
     val (schema, fieldNames) = graft.sources.IcebergReader.currentSchema(md)
     val refs0 = currentManifests(md, root)
     // ONE Avro read per manifest: the same live records feed the window

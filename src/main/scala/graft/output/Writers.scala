@@ -170,7 +170,8 @@ object Writers {
   def jsonifyComplex(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType =>
+        case _: StructType | _: ArrayType | _: MapType |
+            org.apache.spark.sql.types.VariantType =>
           acc.withColumn(f.name, to_json(col(f.name)))
         case _ => acc
       }

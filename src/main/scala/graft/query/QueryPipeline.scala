@@ -9,7 +9,7 @@ import graft.pruning.HashPartitionPruning
 import graft.sources.DataSources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType, VariantType}
 
 /** The request pipeline — replicates the reference endpoint's stage ordering
   * (endpoint/endpoint.py:213-310) as a chain of pure `DataFrame => DataFrame`
@@ -589,7 +589,10 @@ object QueryPipeline {
       if (!req.jsonifyComplex) projected
       else projected.schema.fields.foldLeft(projected) { (acc, f) =>
         f.dataType match {
-          case _: StructType | _: ArrayType | _: MapType =>
+          // variant jsonifies with the same to_json (its canonical JSON
+          // form, object keys sorted) — flat exporters (csv, xlsx) would
+          // otherwise choke on the opaque binary pair
+          case _: StructType | _: ArrayType | _: MapType | VariantType =>
             acc.withColumn(f.name, to_json(col(quote(f.name))))
           case _ => acc
         }

@@ -562,9 +562,16 @@ object DeltaLogReader {
     // logical (widened) schema reads pre-widening files directly —
     // int32→long, float→double etc. — so no per-file reconciliation is
     // needed (DeltaTypeWideningSpec pins it against a foreign fixture).
+    // variantType: the schemaString's "variant" parses straight to Spark
+    // VariantType (DataType.fromJson) and Spark 4's parquet readers
+    // decode every physical shape — annotated VARIANT groups, foreign
+    // unannotated {metadata,value} groups, shredded typed_value — under
+    // a variant read schema (DeltaVariantSpec pins all three). Stats
+    // skipping stays fail-open (cmpStat has no variant arm → file kept).
     val supported = Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
       "v2Checkpoint", "appendOnly", "invariants", "deletionVectors",
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      "variantType", "variantType-preview")
     val minReader = p.get("minReaderVersion").asInt(1)
     if (minReader >= 3 && p.has("readerFeatures")) {
       val feats = p.get("readerFeatures").elements().asScala.map(_.asText).toSet
@@ -672,14 +679,29 @@ object DeltaLogReader {
     */
   def resolveTimestamp(spark: SparkSession, tablePath: String,
       tsMs: Long): Long = {
+    val timed = commitTimestamps(spark, tablePath)
+    require(timed.nonEmpty,
+      s"timestamp time travel over $tablePath needs commit JSONs: all " +
+        "were reclaimed by log retention, only checkpoint state survives")
+    require(tsMs >= timed.head._2,
+      s"timestamp $tsMs predates the oldest reconstructable version of " +
+        s"$tablePath (version ${timed.head._1} at ${timed.head._2})")
+    timed.takeWhile(_._2 <= tsMs).last._1
+  }
+
+  /** Effective (version, timestampMs) for every SURVIVING commit, in
+    * version order — the shared source for [[resolveTimestamp]] and
+    * [[readChanges]]'s `_commit_timestamp` column (one rule, the two
+    * surfaces can never disagree on when a commit happened).
+    */
+  private[graft] def commitTimestamps(spark: SparkSession,
+      tablePath: String): Seq[(Long, Long)] = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
     val commits = listDir(logDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
       .sortBy(_.getFileName.toString)
-    require(commits.nonEmpty,
-      s"timestamp time travel over $tablePath needs commit JSONs: all " +
-        "were reclaimed by log retention, only checkpoint state survives")
+    if (commits.isEmpty) return Nil
     // ICT activation comes from the LATEST snapshot (feature + table
     // property), its enablement version from the property the enabling
     // commit is required to set; absent means enabled since creation.
@@ -709,7 +731,7 @@ object DeltaLogReader {
       node.get.asLong()
     }
     var prev = Long.MinValue
-    val timed = commits.map { p =>
+    commits.map { p =>
       val v = versionOf(p)
       val raw =
         if (v >= ictFrom) ictOf(p)
@@ -718,10 +740,6 @@ object DeltaLogReader {
       prev = eff
       (v, eff)
     }
-    require(tsMs >= timed.head._2,
-      s"timestamp $tsMs predates the oldest reconstructable version of " +
-        s"$tablePath (version ${timed.head._1} at ${timed.head._2})")
-    timed.takeWhile(_._2 <= tsMs).last._1
   }
 
   /** physical parquet field name under column mapping `name`/`id` mode. */
@@ -1049,5 +1067,155 @@ object DeltaLogReader {
       added.map(t => (abs(t.file), t.version)).toDF("__cf", "_commit_version"))
     scanned.join(versionDf, Seq("__cf"))
       .select(dataCols :+ col("_commit_version"): _*)
+  }
+
+  /** CHANGE DATA FEED read (PROTOCOL.md "Add CDC File"): row-level changes
+    * of commits in `(afterVersion, untilVersion]`, each row tagged
+    * `_change_type` / `_commit_version` / `_commit_timestamp` — the
+    * delta-spark `table_changes` surface, natively. Per commit:
+    *
+    *  - `cdc` actions present → that commit's changes are EXACTLY its
+    *    `_change_data` files' rows (they carry `_change_type`:
+    *    insert / update_preimage / update_postimage / delete); the
+    *    commit's add/remove actions are ignored per the protocol.
+    *  - no `cdc`, only `dataChange` adds → each add's rows as `insert`
+    *    (a pure append needs no change file — delta-spark writes none).
+    *  - no `cdc`, only `dataChange` removes → each removed FILE's rows as
+    *    `delete` (a full-file delete is unambiguous; the file must still
+    *    exist — vacuumed history fails at first touch, never serves
+    *    partial changes).
+    *  - no `cdc` but adds AND removes (a rewrite: update/merge/optimize-
+    *    with-dataChange on a non-CDF table), or a DV'd `dataChange` add
+    *    → FAIL LOUDLY: the row-level delta is not reconstructable from
+    *    file actions alone, and guessing would desync the consumer.
+    *
+    * Commit timestamps come from [[commitTimestamps]] (ICT when the
+    * feature is active, monotonic-adjusted mtimes otherwise) — the same
+    * rule timestamp time travel uses.
+    *
+    * Scale: commit JSONs parse driver-side (O(commits polled), the same
+    * metadata plane as [[readAppends]]); rows come from at most three
+    * [[GraftFileIndex]] relations (cdc / insert / delete file groups) and
+    * the per-file tags ride two BROADCAST maps — no shuffle at any size.
+    */
+  def readChanges(spark: SparkSession, tablePath: String,
+      afterVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
+    val snap = snapshot(spark, tablePath) // current schema pins the scan
+    require(snap.columnMappingMode == "none",
+      "readChanges does not support column-mapped tables")
+    val upper = untilVersion.getOrElse(snap.version)
+    val commits = listDir(logDir)
+      .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter(p => versionOf(p) > afterVersion && versionOf(p) <= upper)
+      .sortBy(versionOf)
+    val versions = commits.map(versionOf)
+    require(versions == (afterVersion + 1 to upper),
+      s"commit range ($afterVersion, $upper] has gaps: " +
+        s"found ${versions.mkString(",")} — change history is " +
+        "incomplete, full-refresh the consumer")
+    // (file, partitionValues via AddFile, version, kind)
+    // kind: None = cdc file (carries its own _change_type column),
+    // Some(t) = whole file serves as change type t
+    case class Tagged(file: AddFile, version: Long, kind: Option[String])
+    val tagged: Seq[Tagged] = commits.flatMap { p =>
+      val v = versionOf(p)
+      val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        .map(mapper.readTree).toSeq
+      def of(field: String): Seq[JsonNode] =
+        actions.flatMap(a => Option(a.get(field)).filterNot(_.isNull))
+      val cdcs = of("cdc")
+      if (cdcs.nonEmpty) cdcs.map(c => Tagged(parseAdd(c), v, None))
+      else {
+        val adds = of("add").filter(a =>
+          Option(a.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
+        val removes = of("remove").filter(r =>
+          Option(r.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
+        require(adds.isEmpty || removes.isEmpty,
+          s"commit $v rewrites data (adds AND removes) without a cdc " +
+            "action — its row-level changes are not reconstructable; " +
+            "full-refresh the consumer (or enable the change data feed " +
+            "on the producer)")
+        require(adds.forall(_.deletionVector.isEmpty),
+          s"commit $v adds a deletion vector without a cdc action — its " +
+            "row-level deletes are not reconstructable; full-refresh " +
+            "the consumer")
+        // a removed file that CARRIED a DV has only its live rows as
+        // deletes — serving the whole file would re-report rows deleted
+        // in earlier commits; reconstructable in principle (DV anti-join)
+        // but rejected until a real table needs it
+        require(removes.forall(_.deletionVector.isEmpty),
+          s"commit $v removes a deletion-vector-carrying file without a " +
+            "cdc action — its live-row delete set is not served here; " +
+            "full-refresh the consumer")
+        adds.map(Tagged(_, v, Some("insert"))) ++
+          removes.map(Tagged(_, v, Some("delete")))
+      }
+    }
+    val ctField = StructField("_change_type", StringType)
+    val outFields = snap.schema.fields :+ ctField :+
+      StructField("_commit_version", LongType) :+
+      StructField("_commit_timestamp", TimestampType)
+    if (tagged.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
+    val partFields = snap.partitionColumns.toIndexedSeq
+      .map(c => snap.schema(c))
+    tagged.filter(t => t.kind.contains("delete")).foreach(t =>
+      require(partFields.isEmpty || t.file.partitionValues.nonEmpty,
+        s"remove action for ${t.file.path} carries no partitionValues " +
+          "on a partitioned table — its delete rows cannot be " +
+          "reconstructed"))
+    def abs(f: AddFile): String = resolveAdd(tablePath, f.path)
+    import spark.implicits._
+    val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    // Per-ENTRY synthetic partition column as the tag join key: one FILE
+    // can legitimately carry several change events in range (added at v1,
+    // removed at v3 → its rows are both inserts and deletes), so a
+    // path-keyed join would cross-multiply the tags. A distinct partition
+    // tuple per entry makes GraftFileIndex scan the file once per event
+    // and the broadcast join attach exactly that event's tag.
+    val tagField = StructField("__chg_tag", StringType)
+    val indexed = tagged.zipWithIndex
+    def frameOf(group: Seq[(Tagged, Int)], withCt: Boolean)
+        : Option[DataFrame] = {
+      if (group.isEmpty) return None
+      val fileSchema =
+        if (withCt) StructType(snap.dataSchema.fields :+ ctField)
+        else snap.dataSchema
+      val entries = group.map { case (t, i) =>
+        val a = abs(t.file)
+        IndexedFile(a, snap.fileSize(a),
+          partFields.map(pf =>
+            t.file.partitionValues.getOrElse(pf.name, null)) :+ i.toString,
+          (_, _, _) => true) // polled ranges are small: no per-file skip
+      }
+      val scanned = GraftFileIndex.frame(spark,
+        Paths.get(tablePath).toAbsolutePath.normalize,
+        StructType(partFields :+ tagField), fileSchema, entries)
+      val ct =
+        if (withCt) col("`_change_type`")
+        else lit(null).cast(StringType)
+      Some(scanned.select(dataCols ++ Seq(ct.as("__ct"),
+        col("__chg_tag")): _*))
+    }
+    val cdcFrame = frameOf(indexed.filter(_._1.kind.isEmpty), withCt = true)
+    val wholeFrame = frameOf(indexed.filter(_._1.kind.isDefined),
+      withCt = false)
+    val unioned = (cdcFrame.toSeq ++ wholeFrame.toSeq).reduce(_ unionAll _)
+    // tag → (change type for whole-file groups, commit version, commit
+    // timestamp): ONE broadcast map, no shuffle at any table size
+    val times = commitTimestamps(spark, tablePath).toMap
+    val tagDf = broadcast(indexed.map { case (t, i) =>
+      val ts = times.getOrElse(t.version, throw new IllegalStateException(
+        s"commit ${t.version} vanished between listing and timestamping"))
+      (i.toString, t.kind.orNull, t.version, new java.sql.Timestamp(ts))
+    }.toDF("__chg_tag", "__kind", "_commit_version", "_commit_timestamp"))
+    unioned.join(tagDf, Seq("__chg_tag"))
+      .select(dataCols ++ Seq(
+        coalesce(col("__ct"), col("__kind")).as("_change_type"),
+        col("_commit_version"), col("_commit_timestamp")): _*)
   }
 }

@@ -181,7 +181,13 @@ object IcebergReader {
       // v3 ns-timestamp columns (read as raw int64 nanos, converted to
       // the logical µs type) and `unknown` columns (always null)
       nsColumns: Map[String, DataType] = Map.empty,
-      unknownColumns: Set[String] = Set.empty) {
+      unknownColumns: Set[String] = Set.empty,
+      // v3 `geometry`/`geography` columns, served as raw WKB binary:
+      // indistinguishable from plain binary in the Spark schema, so the
+      // NAME set is what keeps their bbox-encoded bounds out of the
+      // stats-skip planes (a byte-order compare against a bbox would
+      // mis-prune)
+      geoColumns: Set[String] = Set.empty) {
 
     /** Decode exactly the manifests `keep` admits (memoized globally —
       * manifests are immutable — and decoded on a bounded parallel
@@ -301,11 +307,12 @@ object IcebergReader {
               s"snapshot $id not found in ${snaps.size} snapshots")))
       }
     }
-    val (nsCols, unknownCols) = specialV3Columns(root)
+    val (nsCols, unknownCols, geoCols) = specialV3Columns(root)
     snapNode match {
       case None => Snapshot(schema, fieldNames, Nil, location, tablePath,
         formatVersion = version,
-        nsColumns = nsCols, unknownColumns = unknownCols)
+        nsColumns = nsCols, unknownColumns = unknownCols,
+        geoColumns = geoCols)
       case Some(snap) =>
         val manifestList = remap(snap.get("manifest-list").asText(),
           location, tablePath)
@@ -315,7 +322,8 @@ object IcebergReader {
           formatVersion = version,
           firstRowId = Option(snap.get("first-row-id")).map(_.asLong()),
           defaults = schemaDefaults(root),
-          nsColumns = nsCols, unknownColumns = unknownCols)
+          nsColumns = nsCols, unknownColumns = unknownCols,
+          geoColumns = geoCols)
     }
   }
 
@@ -1356,8 +1364,26 @@ object IcebergReader {
     // v3 `unknown`: a column with no type yet — always null per spec;
     // served as a NullType column (cast to use)
     case "unknown" => NullType
+    // v3 `variant` (the variant binary encoding spec shared with Delta):
+    // Spark 4 reads the parquet group — annotated VARIANT, plain
+    // {metadata,value}, or shredded typed_value — natively under a
+    // VariantType read schema (graft.dev.ProbeVariant + the variant
+    // specs pin the shapes). Top level only; nested rejects in
+    // specialV3Columns.
+    // Variant stays OUT of stats-skipping ([[read]]'s colLookup) and
+    // equality deletes reject on it — bounds for a variant column have
+    // no comparable encoding here, and fail-open is the rule.
+    case "variant" => VariantType
     case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case fixedRe(_) => BinaryType
+    // v3 `geometry(<crs>)` / `geography(<crs>, <algorithm>)`: served as
+    // the raw WKB bytes (Spark 4 has no geo type) — the useful minimal
+    // read: a pipeline can hand the WKB to its own geo library instead
+    // of the whole table 500ing. Bounds are bbox-encoded, so these
+    // columns stay OUT of every stats-skip plane (Snapshot.geoColumns);
+    // geo-typed skip predicates fail open, never mis-prune.
+    case s if s == "geometry" || s.startsWith("geometry(") ||
+        s == "geography" || s.startsWith("geography(") => BinaryType
     case other => throw new IllegalArgumentException(
       s"unsupported iceberg type $other")
   }
@@ -1370,17 +1396,22 @@ object IcebergReader {
     * wrong answer.
     */
   private[graft] def specialV3Columns(root: JsonNode)
-      : (Map[String, DataType], Set[String]) = {
+      : (Map[String, DataType], Set[String], Set[String]) = {
     val ns = Map.newBuilder[String, DataType]
     val unknown = Set.newBuilder[String]
+    val geo = Set.newBuilder[String]
+    def isGeo(s: String): Boolean =
+      s == "geometry" || s.startsWith("geometry(") ||
+        s == "geography" || s.startsWith("geography(")
     def check(t: JsonNode, where: String): Unit =
       if (t.isTextual) {
         val s = t.asText()
-        if (s == "timestamp_ns" || s == "timestamptz_ns" || s == "unknown")
+        if (s == "timestamp_ns" || s == "timestamptz_ns" || s == "unknown" ||
+            s == "variant" || isGeo(s))
           throw new IllegalArgumentException(
             s"unsupported iceberg schema: NESTED field $where has type " +
-              s"$s (this reader serves ns timestamps and unknown columns " +
-              "at top level only)")
+              s"$s (this reader serves ns timestamps, unknown, variant " +
+              "and geometry/geography columns at top level only)")
       } else t.get("type").asText() match {
         case "struct" => t.get("fields").elements().asScala.foreach(f =>
           check(f.get("type"), s"$where.${f.get("name").asText()}"))
@@ -1397,10 +1428,11 @@ object IcebergReader {
         case "timestamp_ns" => ns += name -> TimestampNTZType
         case "timestamptz_ns" => ns += name -> TimestampType
         case "unknown" => unknown += name
+        case s if isGeo(s) => geo += name
         case _ => ()
       } else check(t, name)
     }
-    (ns.result(), unknown.result())
+    (ns.result(), unknown.result(), geo.result())
   }
 
   /** Registered once per session: exact ns→µs conversion columns. The
@@ -1463,6 +1495,12 @@ object IcebergReader {
     // current snapshot on a warm cache
     require(ref.forall(_.nonEmpty), "snapshot ref name must be non-empty")
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
+    // variant is a v3 type: a v1/v2 metadata claiming one is malformed,
+    // and serving it would legitimize files no v2 reader can interpret
+    if (snap.schema.fields.exists(_.dataType == VariantType))
+      require(snap.formatVersion >= 3,
+        "variant columns need a format-v3 iceberg table, found " +
+          s"format-version ${snap.formatVersion} at $tablePath")
     if (withLineage) {
       require(snap.formatVersion >= 3,
         "row lineage columns need a format-v3 iceberg table, found " +
@@ -1564,9 +1602,13 @@ object IcebergReader {
         val typed = skipFilters.flatMap { p =>
           for {
             fld <- snap.schema.fields.find(_.name.equalsIgnoreCase(p.column))
-            // ns/unknown columns fail open (ns bounds are ns-encoded)
+            // ns/unknown/variant/geo columns fail open (ns bounds are
+            // ns-encoded, variant bounds have no comparable encoding,
+            // geo bounds are bboxes — not byte order)
             if !snap.nsColumns.contains(fld.name) &&
-              !snap.unknownColumns.contains(fld.name)
+              !snap.unknownColumns.contains(fld.name) &&
+              !snap.geoColumns.contains(fld.name) &&
+              fld.dataType != VariantType
             fid <- nameToId.get(fld.name)
           } yield (p, fid, fld.dataType)
         }
@@ -1641,13 +1683,16 @@ object IcebergReader {
     // returned plan (temp views, cached frames), and capturing the
     // snapshot would keep a superseded one fully reachable long after
     // the cache replaced it
-    // ns/unknown columns stay OUT of the stats-skip lookup: their
-    // manifest bounds are ns-encoded / absent, and a µs-typed compare
-    // would mis-prune — fail open instead
+    // ns/unknown/variant/geo columns stay OUT of the stats-skip lookup:
+    // their manifest bounds are ns-encoded / absent / not comparably
+    // encoded / bbox-encoded, and a mistyped compare would mis-prune —
+    // fail open instead
     val colLookup: Map[String, (Int, DataType)] =
       snap.schema.fields
         .filterNot(fld => snap.nsColumns.contains(fld.name) ||
-          snap.unknownColumns.contains(fld.name))
+          snap.unknownColumns.contains(fld.name) ||
+          snap.geoColumns.contains(fld.name) ||
+          fld.dataType == VariantType)
         .flatMap(fld => nameToIdIdx.get(fld.name)
           .map(fid => fld.name.toLowerCase(java.util.Locale.ROOT) ->
             (fid, fld.dataType))).toMap
@@ -1820,9 +1865,12 @@ object IcebergReader {
             // frame carries converted µs — a silent join would
             // under-delete every row
             require(!snap.nsColumns.contains(name) &&
-                !snap.unknownColumns.contains(name),
-              s"equality delete on ns-timestamp/unknown column '$name' " +
-                "is not supported")
+                !snap.unknownColumns.contains(name) &&
+                !snap.geoColumns.contains(name) &&
+                !snap.schema.fields.exists(f =>
+                  f.name == name && f.dataType == VariantType),
+              s"equality delete on ns-timestamp/unknown/variant/geo " +
+                s"column '$name' is not supported")
             name
           },
           ds.map(d => (d.path, normPath(d.path), d.seq, fileScopeKey(d))))
@@ -1877,9 +1925,16 @@ object IcebergReader {
     require(schemaDefaults(rootNode).isEmpty,
       "readAppends does not support v3 initial-default columns (a file " +
         "lacking the column would feed null where the default belongs)")
-    require(specialV3Columns(rootNode) == ((Map.empty, Set.empty)),
-      "readAppends does not support timestamp_ns/unknown columns (its " +
-        "raw scan would misread the physical nanos)")
+    require(specialV3Columns(rootNode) == ((Map.empty, Set.empty, Set.empty)),
+      "readAppends does not support timestamp_ns/unknown/geo columns " +
+        "(its raw scan would misread the physical representation)")
+    // variant stays off this feed too: the raw inferred-schema scan
+    // would read an UNANNOTATED foreign {metadata,value} group as a
+    // plain struct, silently diverging from the logical variant type
+    require(!currentSchema(rootNode)._1.fields.exists(
+        _.dataType == VariantType),
+      "readAppends does not support variant columns (the raw scan " +
+        "cannot force the variant read schema per file)")
     val afterSeq = Option(rootNode.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("snapshot-id").asLong() == afterSnapshotId)

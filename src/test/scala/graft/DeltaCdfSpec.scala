@@ -1,0 +1,181 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
+
+/** Foreign CHANGE DATA FEED reads ([[DeltaLogReader.readChanges]]):
+  * cdc-file commits (their add/remove pairs ignored), pure-append and
+  * whole-file-delete fallbacks, commit timestamps from the shared
+  * [[DeltaLogReader.commitTimestamps]] rule, the untilVersion bound,
+  * and the loud edges (rewrites and DV deletes without cdc actions).
+  */
+class DeltaCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cdf_${tag}_${System.nanoTime()}")
+
+  private def writeFile(df: org.apache.spark.sql.DataFrame,
+      root: java.nio.file.Path, name: String): Unit = {
+    val tmpDir = root.resolve("staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, root.resolve(name))
+    Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+  }
+
+  private def add(path: String) =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+  private def remove(path: String) =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+  private def cdc(path: String) =
+    s"""{"cdc":{"path":"$path","partitionValues":{},"size":1,"dataChange":false}}"""
+  private def md(schemaJson: String) = {
+    val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"metaData":{"id":"cdf","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+  }
+
+  /** v0: {1,2} added; v1: cdc commit updating id 1 (pre/post) and
+    * deleting id 2, with the remove/add pair present; v2: {3} appended.
+    */
+  private def cdfTable(tag: String): java.nio.file.Path = {
+    val root = tmp(tag)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.createDirectories(root.resolve("_change_data"))
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    writeFile(base, root, "f0.parquet")
+    writeFile(Seq((1L, "A")).toDF("id", "s"), root, "f0b.parquet")
+    writeFile(Seq((1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+        (2L, "b", "delete")).toDF("id", "s", "_change_type"),
+      root, "_change_data/c1.parquet")
+    writeFile(Seq((3L, "c")).toDF("id", "s"), root, "f1.parquet")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      md(base.schema.json), add("f0.parquet")).mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"), Seq(
+      cdc("_change_data/c1.parquet"), remove("f0.parquet"),
+      add("f0b.parquet")).mkString("\n"))
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"), add("f1.parquet"))
+    Seq(0L, 1L, 2L).foreach(v => Files.setLastModifiedTime(
+      logDir.resolve(f"$v%020d.json"),
+      FileTime.fromMillis(1000000L * (v + 1))))
+    root
+  }
+
+  test("cdc commits serve their change files; appends serve as inserts; timestamps ride along") {
+    val root = cdfTable("full")
+    val got = DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getTimestamp(4).getTime)).sortBy(t => (t._4, t._3, t._1))
+    assert(got.toSeq == Seq(
+      (2L, "b", "delete", 1L, 2000000L),
+      (1L, "A", "update_postimage", 1L, 2000000L),
+      (1L, "a", "update_preimage", 1L, 2000000L),
+      (3L, "c", "insert", 2L, 3000000L)))
+    // the cdc commit's own remove/add pair stayed invisible to the feed:
+    // exactly 4 change rows, and the current state still reads via them
+    val state = DeltaLogReader.read(spark, root.toString)
+      .select("id", "s").as[(Long, String)].collect().sorted.toSeq
+    assert(state == Seq((1L, "A"), (3L, "c")))
+  }
+
+  test("untilVersion bounds the feed (inclusive)") {
+    val root = cdfTable("until")
+    val got = DeltaLogReader.readChanges(spark, root.toString,
+      afterVersion = 0L, untilVersion = Some(1L))
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(got == Seq("delete", "update_postimage", "update_preimage"))
+  }
+
+  test("non-CDF writer tables serve pure appends as inserts") {
+    val path = tmp("plain").toString
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    DeltaWriter.append(Seq((2L, "b")).toDF("id", "s"), path)
+    val got = DeltaLogReader.readChanges(spark, path, afterVersion = 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "insert", 1L)))
+  }
+
+  test("a whole-file remove without cdc serves the file's rows as deletes") {
+    val root = tmp("del")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    writeFile(df, root, "f0.parquet")
+    writeFile(Seq((3L, "c")).toDF("id", "s"), root, "f1.parquet")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      md(df.schema.json), add("f0.parquet"), add("f1.parquet"))
+      .mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"), remove("f0.parquet"))
+    val got = DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "delete", 1L), (2L, "delete", 1L)))
+  }
+
+  test("a file both added and removed in range carries BOTH events, exactly once each") {
+    val root = tmp("addrm")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, "a")).toDF("id", "s")
+    writeFile(df, root, "f0.parquet")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      md(df.schema.json)).mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"), add("f0.parquet"))
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"), remove("f0.parquet"))
+    val got = DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
+      .select("_change_type", "_commit_version")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(got == Seq(("delete", 2L), ("insert", 1L)))
+  }
+
+  test("a rewrite (adds AND removes) without cdc fails loudly") {
+    val root = tmp("rewrite")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, "a")).toDF("id", "s")
+    writeFile(df, root, "f0.parquet")
+    writeFile(df, root, "f0b.parquet")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      md(df.schema.json), add("f0.parquet")).mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      Seq(remove("f0.parquet"), add("f0b.parquet")).mkString("\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
+    }
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+  }
+
+  test("a DV delete without cdc fails loudly") {
+    val path = tmp("dv").toString
+    DeltaWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    DeltaWriter.deleteWhere(spark, path, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.readChanges(spark, path, afterVersion = 0L)
+    }
+    assert(e.getMessage.toLowerCase.contains("deletion vector") ||
+      e.getMessage.contains("cdc"), e.getMessage)
+  }
+
+  test("version gaps fail loudly") {
+    val root = cdfTable("gap")
+    Files.delete(root.resolve("_delta_log").resolve(f"${1L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L,
+        untilVersion = Some(2L))
+    }
+    assert(e.getMessage.contains("gaps"), e.getMessage)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Delta VARIANT serving (protocol feature `variantType`): the writer
+  * round trip (create stamps the reader+writer feature, values survive
+  * bit-exact through to_json), foreign UNANNOTATED {metadata,value}
+  * parquet groups (the shape a non-Spark engine writes — no VARIANT
+  * logical annotation, decode is schema-forced), mergeSchema evolution
+  * upgrading the protocol in the same commit, and the jsonify plane.
+  */
+class DeltaVariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_variant_${tag}_${System.nanoTime()}").toString
+
+  private val jsons = Seq(
+    (1L, """{"a":[1,2],"k":1,"name":"A"}"""),
+    (2L, """{"k":2,"nested":{"x":true,"y":null}}"""),
+    (3L, null.asInstanceOf[String]),
+    (4L, "7"),
+    (5L, """"bare string""""))
+
+  private def variantDf = jsons.toDF("id", "js")
+    .select(col("id"), parse_json(col("js")).as("v"))
+
+  test("writer round trip: create stamps variantType, values survive") {
+    val path = tmp("roundtrip")
+    DeltaWriter.create(variantDf, path)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.protocol.readerFeatures.contains("variantType"),
+      snap.protocol.toString)
+    assert(snap.protocol.writerFeatures.contains("variantType"))
+    assert(snap.schema("v").dataType == VariantType)
+    val got = DeltaLogReader.read(spark, path)
+      .select(col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == """{"a":[1,2],"k":1,"name":"A"}""")
+    assert(got(2L) == """{"k":2,"nested":{"x":true,"y":null}}""")
+    assert(got(3L) == null)
+    assert(got(4L) == "7")
+    assert(got(5L) == "\"bare string\"")
+  }
+
+  test("plain create without variant keeps the legacy (1,2) protocol") {
+    val path = tmp("legacy")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.protocol.minReaderVersion == 1 &&
+      snap.protocol.minWriterVersion == 2)
+  }
+
+  test("foreign UNANNOTATED {metadata,value} group decodes under the variant schema") {
+    // a non-Spark engine writes the variant column as a bare binary
+    // pair, no parquet VARIANT logical annotation — the reader must
+    // still serve it because the LOGICAL schema says variant.
+    // Hand-built encoding: metadata [1,0,0] = v1 + empty dictionary;
+    // value [12, k] = primitive int8 k.
+    val root = Paths.get(tmp("unannotated"))
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, Array[Byte](1, 0, 0), Array[Byte](12, 42)),
+        (2L, Array[Byte](1, 0, 0), Array[Byte](12, 7)))
+      .toDF("id", "metadata", "value")
+      .select(col("id"), struct(col("metadata"), col("value")).as("v"))
+    val tmpDir = root.resolve("staging")
+    df.coalesce(1).write.parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, root.resolve("f.parquet"))
+    val logical = StructType(Seq(StructField("id", LongType),
+      StructField("v", VariantType)))
+    val schemaStr = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    val got = DeltaLogReader.read(spark, root.toString)
+      .select(col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "42", 2L -> "7"))
+  }
+
+  test("variantType-preview is accepted on the read whitelist") {
+    val root = Paths.get(tmp("preview"))
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = variantDf.filter(col("id") === 4L)
+    val tmpDir = root.resolve("staging")
+    df.coalesce(1).write.parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, root.resolve("f.parquet"))
+    val schemaStr = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType-preview"],"writerFeatures":["variantType-preview"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .mkString("\n"))
+    assert(DeltaLogReader.read(spark, root.toString)
+      .select(to_json(col("v"))).as[String].collect().toSeq == Seq("7"))
+  }
+
+  test("mergeSchema append introducing variant upgrades the protocol in-commit") {
+    val path = tmp("evolve")
+    DeltaWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    val before = DeltaLogReader.snapshot(spark, path)
+    assert(!before.protocol.readerFeatures.contains("variantType"))
+    val evolved = Seq((2L, "b", """{"k":2}"""))
+      .toDF("id", "s", "js")
+      .select(col("id"), col("s"), parse_json(col("js")).as("v"))
+    DeltaWriter.append(evolved, path, mergeSchema = true)
+    val after = DeltaLogReader.snapshot(spark, path)
+    assert(after.protocol.readerFeatures.contains("variantType"),
+      after.protocol.toString)
+    assert(after.protocol.writerFeatures.contains("variantType"))
+    assert(after.schema("v").dataType == VariantType)
+    val got = DeltaLogReader.read(spark, path)
+      .select(col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("""{"k":2}""")))
+  }
+
+  test("jsonify plane stringifies variant for flat exporters") {
+    val out = graft.output.Writers.jsonifyComplex(variantDf)
+    assert(out.schema("v").dataType == StringType)
+    val csv = graft.output.Writers.toCsv(out.filter(col("id") === 4L))
+    assert(csv.contains("7"), csv)
+  }
+}

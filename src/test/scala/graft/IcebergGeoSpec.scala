@@ -1,0 +1,146 @@
+package graft
+
+import graft.sources.{IcebergReader, SkipPredicate}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Iceberg v3 `geometry`/`geography` minimal read: served as the raw WKB
+  * bytes (BinaryType — Spark 4 has no geo type), bbox bounds NEVER used
+  * for skipping (fail-open), nested geo and row-level write ops reject
+  * loudly. Fixtures cover BOTH physical shapes: a parquet file whose
+  * column carries the GEOMETRY logical annotation (parquet-java 1.16,
+  * what a real geo writer emits) and a plain unannotated BINARY column
+  * (minimal foreign writers).
+  */
+class IcebergGeoSpec extends SparkSpec {
+  import spark.implicits._
+  import IcebergTestFixtures._
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ibgeo_${tag}_${System.nanoTime()}")
+
+  /** Little-endian WKB POINT(x y). */
+  private def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  private def geoSchemaJson(geoType: String) =
+    s"""{"type":"struct","schema-id":0,"fields":[
+       |{"id":1,"name":"id","required":false,"type":"long"},
+       |{"id":2,"name":"geom","required":false,"type":"$geoType"}]}"""
+      .stripMargin
+
+  /** Annotated GEOMETRY parquet via parquet-java's example API (Spark
+    * itself cannot write the annotation).
+    */
+  private def writeAnnotated(file: Path, rows: Seq[(Long, Array[Byte])]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.io.api.Binary
+    val msg = Types.buildMessage()
+      .addField(Types.optional(PrimitiveTypeName.INT64).named("id"))
+      .addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.geometryType("OGC:CRS84")).named("geom"))
+      .named("m")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(msg).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    rows.foreach { case (id, wkb) =>
+      val g = gf.newGroup()
+      g.add("id", id)
+      g.add("geom", Binary.fromConstantByteArray(wkb))
+      writer.write(g)
+    }
+    writer.close()
+  }
+
+  private def tableOver(tag: String, geoType: String,
+      write: Path => Unit): String = {
+    val root = tmp(tag)
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val file = root.resolve("data/a.parquet")
+    write(file)
+    val m = manifest(root.resolve("metadata/m1.avro"), entrySchemaV2,
+      Seq((1, 0, file.toString, None)))
+    val l = manifestList(root.resolve("metadata/snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L, geoSchemaJson(geoType))
+    root.toString
+  }
+
+  test("GEOMETRY-annotated parquet serves raw WKB bytes") {
+    val pts = Seq(1L -> wkbPoint(1.5, -2.5), 2L -> wkbPoint(0.0, 90.0))
+    val t = tableOver("annotated", "geometry", writeAnnotated(_, pts))
+    val got = IcebergReader.read(spark, t)
+      .select("id", "geom").as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> b.toSeq }.toMap
+    assert(got == pts.map { case (id, b) => id -> b.toSeq }.toMap)
+  }
+
+  test("crs-parameterized geometry and geography types serve too") {
+    val pts = Seq(3L -> wkbPoint(10.0, 20.0))
+    def plain(file: Path): Unit = {
+      val tmpDir = file.getParent.resolve("stage")
+      pts.toDF("id", "geom").coalesce(1).write.parquet(tmpDir.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmpDir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, file)
+    }
+    Seq("geometry(srid:3857)", "geography", "geography(OGC:CRS84, spherical)")
+      .zipWithIndex.foreach { case (gt, i) =>
+        val t = tableOver(s"param$i", gt, plain)
+        val got = IcebergReader.read(spark, t)
+          .select("geom").as[Array[Byte]].collect()
+        assert(got.map(_.toSeq).toSeq == Seq(wkbPoint(10.0, 20.0).toSeq), gt)
+      }
+  }
+
+  test("skip filters on a geo column fail open (bbox bounds never prune)") {
+    val pts = Seq(1L -> wkbPoint(1.0, 1.0), 2L -> wkbPoint(2.0, 2.0))
+    val t = tableOver("skip", "geometry", writeAnnotated(_, pts))
+    val n = IcebergReader.read(spark, t,
+      skipFilters = Seq(SkipPredicate("geom", "=", "anything"))).count()
+    assert(n == 2L)
+  }
+
+  test("NESTED geometry rejects loudly") {
+    val root = tmp("nested")
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val nested =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"g","required":false,"type":"geometry"}]}}]}"""
+        .stripMargin
+    val df = Seq((1L, "x")).toDF("id", "x")
+    val file = writeDataFile(df, root, "a.parquet")
+    val m = manifest(root.resolve("metadata/m1.avro"), entrySchemaV2,
+      Seq((1, 0, file, None)))
+    val l = manifestList(root.resolve("metadata/snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L, nested)
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root.toString).count()
+    }
+    assert(e.getMessage.contains("NESTED"), e.getMessage)
+  }
+
+  test("row-level write ops on a geo table reject loudly (read-only)") {
+    val pts = Seq(1L -> wkbPoint(1.0, 1.0))
+    val t = tableOver("readonly", "geometry", writeAnnotated(_, pts))
+    val e = intercept[IllegalArgumentException] {
+      graft.output.IcebergWriter.deleteWhere(spark, t, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+}

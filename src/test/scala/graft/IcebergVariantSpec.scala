@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.IcebergReader
+import graft.sources.SkipPredicate
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Iceberg v3 VARIANT serving: values through the metadata plane,
+  * fail-open stats-skipping, and the loud edges — nested variant,
+  * variant on a pre-v3 table, readAppends.
+  */
+class IcebergVariantSpec extends SparkSpec {
+  import spark.implicits._
+  import IcebergTestFixtures._
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ibvariant_${tag}_${System.nanoTime()}")
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"variant"}]}"""
+      .stripMargin
+
+  private def variantTable(tag: String, formatVersion: Int = 3): String = {
+    val root = tmp(tag)
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val df = Seq((1L, """{"b":true,"k":1}"""), (2L, "9"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("v"))
+    val file = writeDataFile(df, root, "a.parquet")
+    val m = manifest(root.resolve("metadata/m1.avro"), entrySchemaV2,
+      Seq((1, 0, file, None)))
+    val l = manifestList(root.resolve("metadata/snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, formatVersion, Seq((1L, 1L, l)), 1L, schemaJson)
+    root.toString
+  }
+
+  test("v3 variant column serves its canonical JSON") {
+    val t = variantTable("basic")
+    val got = IcebergReader.read(spark, t)
+      .select(col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("""{"b":true,"k":1}"""),
+      2L -> Some("9"), 3L -> None))
+  }
+
+  test("skip filters on a variant column fail open (never prune)") {
+    val t = variantTable("skip")
+    val n = IcebergReader.read(spark, t,
+      skipFilters = Seq(SkipPredicate("v", "=", "nope"))).count()
+    assert(n == 3L)
+  }
+
+  test("variant on a pre-v3 table rejects loudly") {
+    val t = variantTable("v2", formatVersion = 2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, t).count()
+    }
+    assert(e.getMessage.contains("format-v3"), e.getMessage)
+  }
+
+  test("NESTED variant rejects loudly") {
+    val root = tmp("nested")
+    Files.createDirectories(root.resolve("metadata"))
+    Files.createDirectories(root.resolve("data"))
+    val nestedSchema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":3,"name":"v","required":false,"type":"variant"}]}}]}"""
+        .stripMargin
+    val df = Seq((1L, "x")).toDF("id", "x")
+    val file = writeDataFile(df, root, "a.parquet")
+    val m = manifest(root.resolve("metadata/m1.avro"), entrySchemaV2,
+      Seq((1, 0, file, None)))
+    val l = manifestList(root.resolve("metadata/snap-1.avro"), listSchemaV2,
+      Seq((m, 0, 1L)))
+    writeMetadata(root, 1, 3, Seq((1L, 1L, l)), 1L, nestedSchema)
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, root.toString).count()
+    }
+    assert(e.getMessage.contains("NESTED"), e.getMessage)
+  }
+
+  test("readAppends rejects variant tables loudly") {
+    val t = variantTable("appends")
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.readAppends(spark, t, afterSnapshotId = 1L)
+    }
+    assert(e.getMessage.contains("variant"), e.getMessage)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.dev
+
+import org.apache.spark.sql.functions._
+
+/** Empirical probe of Spark 4.1.2's variant plane (throwaway dev harness,
+  * backs the q_*_variant design notes): VariantType JSON serialization,
+  * parquet write/read round trips (annotated and schema-forced), and
+  * to_json canonicalization — run with
+  * `sbt -batch "Test/runMain graft.dev.ProbeVariant"`.
+  */
+object ProbeVariant {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+
+    println("== VariantType.json ==")
+    println(org.apache.spark.sql.types.VariantType.json)
+    println(org.apache.spark.sql.types.VariantType.catalogString)
+
+    println("== DataType.fromJson(\"\\\"variant\\\"\") ==")
+    try println(org.apache.spark.sql.types.DataType.fromJson("\"variant\""))
+    catch { case e: Throwable => println(s"FAIL: ${e.getMessage}") }
+
+    val df = Seq(
+      (1L, """{"k":1,"name":"A","tags":[1,2],"ok":true,"z":null}"""),
+      (2L, """{"k":2,"name":"B \"q\"","pi":3.5,"neg":-7}"""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "js").select(col("id"), parse_json(col("js")).as("v"))
+    df.printSchema()
+    println("== to_json(variant) ==")
+    df.select(col("id"), to_json(col("v")).as("j")).collect()
+      .foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+
+    val out = "/tmp/graft_variant_probe"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out))) graft.sources.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+    df.write.parquet(out)
+
+    println("== parquet footer schema ==")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.toString), conf))
+    println(rdr.getFooter.getFileMetaData.getSchema)
+    rdr.close()
+
+    println("== read back, inferred ==")
+    val back = spark.read.parquet(out)
+    back.printSchema()
+    back.select(col("id"), to_json(col("v")).as("j")).orderBy("id")
+      .collect().foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+
+    println("== read back with FORCED variant schema ==")
+    import org.apache.spark.sql.types._
+    val forced = StructType(Seq(StructField("id", LongType),
+      StructField("v", VariantType)))
+    try {
+      val f = spark.read.schema(forced).parquet(out)
+      f.select(col("id"), to_json(col("v")).as("j")).orderBy("id")
+        .collect().foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+    } catch { case e: Throwable => println(s"FAIL: ${e.getMessage}") }
+
+    println("== read RAW as struct<metadata,value> ==")
+    val raw = StructType(Seq(StructField("id", LongType),
+      StructField("v", StructType(Seq(
+        StructField("metadata", BinaryType),
+        StructField("value", BinaryType))))))
+    try {
+      val f = spark.read.schema(raw).parquet(out)
+      f.orderBy("id").collect().foreach { r =>
+        val s = r.getStruct(1)
+        println(s"${r.get(0)} -> " + (if (s == null) "null" else
+          s"md=${Option(s.get(0)).map(_.asInstanceOf[Array[Byte]].length)} " +
+          s"v=${Option(s.get(1)).map(_.asInstanceOf[Array[Byte]].length)}"))
+      }
+    } catch { case e: Throwable => println(s"FAIL: ${e.getMessage}") }
+
+    println("== struct<metadata,value> written PLAIN, read FORCED variant ==")
+    val plain = Seq((1L, Array[Byte](1, 0, 0), Array[Byte](12, 5)))
+      .toDF("id", "metadata", "value")
+      .select(col("id"), struct(col("metadata"), col("value")).as("v"))
+    val out2 = "/tmp/graft_variant_probe2"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out2))) graft.sources.Fs.deleteRecursively(java.nio.file.Paths.get(out2))
+    plain.write.parquet(out2)
+    try {
+      val f = spark.read.schema(forced).parquet(out2)
+      f.select(col("id"), to_json(col("v")).as("j"))
+        .collect().foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+    } catch { case e: Throwable =>
+      println(s"FAIL: ${e.toString.linesIterator.next()}") }
+
+    spark.stop()
+  }
+}
