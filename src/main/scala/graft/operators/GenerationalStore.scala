@@ -13,8 +13,19 @@ import scala.jdk.CollectionConverters._
   *    atomic rename LAST — a crash mid-build leaves a stale marker that
   *    simply rebuilds again; a racing reader keeps loading the previous
   *    complete generation;
-  *  - one build at a time per process (JVM lock), double-checked under
-  *    the lock;
+  *  - one build at a time ACROSS PROCESSES: a `.build_lock` file in the
+  *    index dir (create-new atomicity, pid+timestamp content) arbitrates
+  *    between serving processes sharing the dir, on top of the JVM
+  *    monitor that serializes same-process callers cheaply. A waiter
+  *    polls; if the winner publishes the SAME fingerprint the waiter
+  *    loads that generation without ever invoking its build thunk. A
+  *    lock whose mtime has aged past the grace window is STOLEN (its
+  *    holder crashed mid-build — the uuid generation dir it abandoned
+  *    ages out and is swept later); a build genuinely longer than the
+  *    grace window can therefore be duplicated by a second process —
+  *    wasted work, never corruption, since every build lands in its own
+  *    generation dir and the marker rename is atomic (last swap wins,
+  *    both generations complete);
   *  - superseded generations older than the previous one reclaim
   *    best-effort AFTER a grace window (mtime-based): buildLock is
   *    JVM-local, so another PROCESS's in-flight build dir — or a
@@ -35,6 +46,9 @@ private[graft] object GenerationalStore {
     * window.
     */
   private[graft] var reclaimGraceMs: Long = 15L * 60 * 1000
+
+  /** Cross-process lock-wait poll interval (test-tunable). */
+  private[graft] var lockPollMs: Long = 50L
 
   private[graft] val loadedGenCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, (String, Any)](64, 0.75f,
@@ -81,9 +95,40 @@ private[graft] object GenerationalStore {
           Some(root.resolve(dir)).filter(Files.isDirectory(_))
         case _ => None
       }
+    // One shot at CREATE_NEW on the lock file; a stale lock (holder
+    // crashed — mtime past the grace window) is stolen by deleting and
+    // letting the next attempt race create-new again (exactly one
+    // stealer wins the recreate).
+    def tryAcquire(lock: Path): Boolean =
+      try {
+        Files.write(lock,
+          (s"pid=${ProcessHandle.current().pid()} " +
+            s"ts=${System.currentTimeMillis()}").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis() - reclaimGraceMs
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (stale) Files.deleteIfExists(lock)
+          false
+      }
     currentGen() match {
       case Some(dir) => load(dir.toString)
       case None => buildLock.synchronized {
+        val lock = root.resolve(".build_lock")
+        var published: Option[T] = None
+        while (published.isEmpty && !tryAcquire(lock)) {
+          // another PROCESS holds the build: if it publishes our
+          // fingerprint while we wait, serve its generation — this
+          // waiter's build thunk is never invoked
+          published = currentGen().map(d => load(d.toString))
+          if (published.isEmpty) Thread.sleep(lockPollMs)
+        }
+        if (published.isDefined) published.get
+        else try {
         // re-check under the lock: a concurrent request may have built
         currentGen() match {
           case Some(dir) => load(dir.toString)
@@ -119,6 +164,7 @@ private[graft] object GenerationalStore {
             } catch { case scala.util.control.NonFatal(_) => () }
             load(root.resolve(gen).toString)
         }
+        } finally Files.deleteIfExists(lock)
       }
     }
   }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.GenerationalStore
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Cross-PROCESS build arbitration for [[GenerationalStore]]: the
+  * `.build_lock` file is the boundary a second serving process hits, so
+  * these tests play the foreign process directly — pre-creating the
+  * lock (a live holder), publishing a marker while a waiter polls (the
+  * holder finishing), and aging the lock past the grace window (a
+  * crashed holder). The JVM monitor cannot shield any of this: the
+  * foreign side here never runs through this JVM's `ensure` at all.
+  */
+class GenerationalStoreLockSpec extends SparkSpec {
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_genlock_${tag}_${System.nanoTime()}")
+
+  private def buildGen(dir: java.nio.file.Path, payload: String): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("data.txt"), payload)
+  }
+  private def loadGen(dir: String): String =
+    Files.readString(Paths.get(dir).resolve("data.txt"))
+
+  test("a live foreign lock makes the waiter poll; the foreign PUBLISH serves it without building") {
+    val root = tmp("foreign")
+    Files.createDirectories(root)
+    val lock = root.resolve(".build_lock")
+    Files.writeString(lock, "pid=99999 ts=0") // live foreign holder
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(
+      System.currentTimeMillis())) // fresh mtime: NOT stealable
+    val builds = new AtomicInteger(0)
+    @volatile var got: String = null
+    val waiter = new Thread(() => {
+      got = GenerationalStore.ensure[String](root.toString, "fp1",
+        d => { builds.incrementAndGet(); buildGen(d, "local") }, loadGen)
+    })
+    waiter.start()
+    Thread.sleep(300) // waiter is polling against the held lock
+    assert(waiter.isAlive, "waiter must block while the foreign lock is held")
+    assert(builds.get() == 0)
+    // the foreign process finishes: lands its generation, swaps the
+    // marker, releases its lock — exactly GenerationalStore's own order
+    buildGen(root.resolve("idx-foreign"), "foreign-built")
+    Files.writeString(root.resolve("_fingerprint"), "fp1|idx-foreign")
+    Files.delete(lock)
+    waiter.join(10000)
+    assert(!waiter.isAlive, "waiter should have served the foreign build")
+    assert(got == "foreign-built")
+    assert(builds.get() == 0,
+      "the waiter's build thunk must never run when the foreign " +
+        "process published the same fingerprint")
+  }
+
+  test("a foreign lock releasing WITHOUT a matching publish lets the waiter acquire and build") {
+    val root = tmp("release")
+    Files.createDirectories(root)
+    val lock = root.resolve(".build_lock")
+    Files.writeString(lock, "pid=99999 ts=0")
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(
+      System.currentTimeMillis()))
+    val builds = new AtomicInteger(0)
+    @volatile var got: String = null
+    val waiter = new Thread(() => {
+      got = GenerationalStore.ensure[String](root.toString, "fp-mine",
+        d => { builds.incrementAndGet(); buildGen(d, "mine") }, loadGen)
+    })
+    waiter.start()
+    Thread.sleep(200)
+    assert(waiter.isAlive)
+    Files.delete(lock) // foreign process released (built a DIFFERENT fp)
+    waiter.join(10000)
+    assert(!waiter.isAlive)
+    assert(got == "mine")
+    assert(builds.get() == 1)
+    assert(!Files.exists(lock), "the waiter must release its own lock")
+  }
+
+  test("a STALE foreign lock (crashed holder) is stolen past the grace window") {
+    val root = tmp("stale")
+    Files.createDirectories(root)
+    val lock = root.resolve(".build_lock")
+    Files.writeString(lock, "pid=99999 ts=0")
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(1000L)) // ancient
+    val builds = new AtomicInteger(0)
+    val got = GenerationalStore.ensure[String](root.toString, "fp-steal",
+      d => { builds.incrementAndGet(); buildGen(d, "stolen") }, loadGen)
+    assert(got == "stolen")
+    assert(builds.get() == 1)
+    assert(!Files.exists(lock))
+  }
+
+  test("the winner leaves no lock behind and a warm re-ensure never touches the build thunk") {
+    val root = tmp("clean")
+    val builds = new AtomicInteger(0)
+    def ensure() = GenerationalStore.ensure[String](root.toString, "fp",
+      d => { builds.incrementAndGet(); buildGen(d, "v1") }, loadGen)
+    assert(ensure() == "v1")
+    assert(!Files.exists(root.resolve(".build_lock")))
+    assert(ensure() == "v1")
+    assert(builds.get() == 1)
+  }
+}
