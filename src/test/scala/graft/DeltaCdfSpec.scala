@@ -169,6 +169,16 @@ class DeltaCdfSpec extends SparkSpec {
       e.getMessage.contains("cdc"), e.getMessage)
   }
 
+  test("readChanges plans scans + ONE broadcast tag join — no shuffle at any size") {
+    val root = cdfTable("plan")
+    val df = DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
+    df.collect() // finalize any adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("version gaps fail loudly") {
     val root = cdfTable("gap")
     Files.delete(root.resolve("_delta_log").resolve(f"${1L}%020d.json"))
