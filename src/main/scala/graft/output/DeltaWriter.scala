@@ -50,7 +50,8 @@ object DeltaWriter {
   def create(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      rowTracking: Boolean = false): Unit = {
+      rowTracking: Boolean = false,
+      inCommitTimestamps: Boolean = false): Unit = {
     val root = Paths.get(path)
     // a table exists only once commit 0 exists — a crash between data
     // write and commit leaves no _delta_log entry, so create() retries
@@ -64,15 +65,19 @@ object DeltaWriter {
     val schemaStr = escape(df.schema.json)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val conf: Map[String, String] =
-      if (!rowTracking) Map.empty
-      else Map(
-        "delta.enableRowTracking" -> "true",
-        // uuid-suffixed physical names, like delta-spark's, so a later
-        // logical column can never collide with them
-        "delta.rowTracking.materializedRowIdColumnName" ->
-          s"_row_id_col_$uuid",
-        "delta.rowTracking.materializedRowCommitVersionColumnName" ->
-          s"_row_commit_version_col_$uuid")
+      (if (!rowTracking) Map.empty[String, String]
+       else Map(
+         "delta.enableRowTracking" -> "true",
+         // uuid-suffixed physical names, like delta-spark's, so a later
+         // logical column can never collide with them
+         "delta.rowTracking.materializedRowIdColumnName" ->
+           s"_row_id_col_$uuid",
+         "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+           s"_row_commit_version_col_$uuid")) ++
+      // enabled at creation: no enablement version/timestamp properties
+      // (the protocol defines them only for mid-life enablement)
+      (if (!inCommitTimestamps) Map.empty[String, String]
+       else Map("delta.enableInCommitTimestamps" -> "true"))
     val confJson = conf.map { case (k, v) =>
       s""""${escape(k)}":"${escape(v)}"""" }.mkString(",")
     // rowTracking + domainMetadata are WRITER features (feature-listed
@@ -84,16 +89,25 @@ object DeltaWriter {
     // as a plain struct), so a schema carrying one without the feature
     // would be a malformed table.
     val hasVariant = df.schema.fields.exists(f => containsVariant(f.dataType))
-    val protocolAction = (rowTracking, hasVariant) match {
-      case (false, false) =>
+    val readerFeats =
+      (if (hasVariant) Set("variantType") else Set.empty[String])
+    val writerFeats =
+      (if (rowTracking) Set("domainMetadata", "rowTracking")
+       else Set.empty[String]) ++
+      (if (hasVariant) Set("variantType") else Set.empty[String]) ++
+      (if (inCommitTimestamps) Set("inCommitTimestamp")
+       else Set.empty[String])
+    val protocolAction =
+      if (readerFeats.isEmpty && writerFeats.isEmpty)
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      case (true, false) =>
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking"]}}"""
-      case (false, true) =>
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["appendOnly","invariants","variantType"]}}"""
-      case (true, true) =>
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking","variantType"]}}"""
-    }
+      else {
+        def arr(fs: Set[String]) = (fs ++ Set("appendOnly", "invariants"))
+          .toSeq.sorted.map("\"" + _ + "\"").mkString(",")
+        if (readerFeats.isEmpty)
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":[${arr(writerFeats)}]}}"""
+        else
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${readerFeats.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"writerFeatures":[${arr(writerFeats)}]}}"""
+      }
     val (lineage, domainActs) =
       assignRowLineage(rowTracking, None, root, files, 0L)
     commit(root, 0L,
@@ -101,7 +115,7 @@ object DeltaWriter {
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[${partitionBy.map(c => s""""$c"""").mkString(",")}],"configuration":{$confJson},"createdTime":0}}""")
         ++ txnActions(txn)
         ++ files.zip(lineage).map { case (w, l) => addAction(w, lineage = l) }
-        ++ domainActs)
+        ++ domainActs, ictEnabled = inCommitTimestamps)
   }
 
   /** `txn` stamps the commit with a `{"txn":{"appId","version"}}` action
@@ -189,7 +203,7 @@ object DeltaWriter {
             files.zip(lineage).map { case (w, l) =>
               addAction(w, lineage = l) } ++ domainActs
         try {
-          commit(root, version, actions)
+          commit(root, version, actions, ictEnabled = snap.ictEnabled)
           maybeCheckpoint(df.sparkSession, root, version)
           committed = true
         } catch {
@@ -223,7 +237,7 @@ object DeltaWriter {
       snap.rowIdHighWaterMark, root, files, version)
     commit(root, version, removes ++
       files.zip(lineage).map { case (w, l) => addAction(w, lineage = l) } ++
-      domainActs)
+      domainActs, ictEnabled = snap.ictEnabled)
     maybeCheckpoint(df.sparkSession, root, version)
   }
 
@@ -420,7 +434,8 @@ object DeltaWriter {
       removed.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
         ++ newAdds.zip(lineage).map { case (w, l) =>
-          addAction(w, dataChange = false, l) } ++ domainActs)
+          addAction(w, dataChange = false, l) } ++ domainActs,
+      ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     removed.size
   }
@@ -598,7 +613,8 @@ object DeltaWriter {
       rewritten.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
         ++ adds.zip(lineage).map { case (w, l) =>
-          addAction(w, dataChange = false, l) } ++ domainActs)
+          addAction(w, dataChange = false, l) } ++ domainActs,
+      ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     rewritten.size
   }
@@ -729,7 +745,8 @@ object DeltaWriter {
       dvFiles.map(f =>
         s"""{"remove":{"path":"${escape(encodePath(f.path))}","deletionTimestamp":0,"dataChange":false}}""")
         ++ adds.zip(lineage).map { case (w, l) =>
-          addAction(w, dataChange = false, l) } ++ domainActs)
+          addAction(w, dataChange = false, l) } ++ domainActs,
+      ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     dvFiles.size
   }
@@ -989,7 +1006,8 @@ object DeltaWriter {
       // protocol's features, and only when the table doesn't already
       // support DVs (protocol actions REPLACE, so a bare deletionVectors
       // listing would silently drop a foreign table's other features)
-      dvProtocolAction(snap.protocol).toSeq ++ adds)
+      dvProtocolAction(snap.protocol).toSeq ++ adds,
+      ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     newCounts.values.sum
   }
@@ -1136,9 +1154,62 @@ object DeltaWriter {
     val domainActs =
       if (addActions.isEmpty) Nil
       else Seq(rowTrackingDomainAction(next - 1))
-    commit(root, version, Seq(proto, mdAction) ++ addActions ++ domainActs)
+    commit(root, version, Seq(proto, mdAction) ++ addActions ++ domainActs,
+      ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     addActions.size
+  }
+
+  /** Enable IN-COMMIT TIMESTAMPS on an EXISTING table (PROTOCOL.md
+    * "In-Commit Timestamps"): one metadata-only commit upgrades the
+    * protocol (inCommitTimestamp writer feature over v7, current
+    * features preserved), sets `delta.enableInCommitTimestamps` plus the
+    * protocol-required enablement version/timestamp properties (mtimes
+    * below the boundary stay the resolution source, ICT above), and —
+    * being itself an ICT commit — carries commitInfo as its FIRST
+    * action. The metaData node is carried VERBATIM from the raw log
+    * (the enableRowTracking precedent: a typed round-trip would strip
+    * foreign fields) with only the three properties injected.
+    * Idempotent; a lost version race fails loudly for the caller to
+    * retry, exactly like [[enableRowTracking]].
+    */
+  def enableInCommitTimestamps(spark: SparkSession, path: String): Unit = {
+    val root = Paths.get(path)
+    val snap = graft.sources.DeltaLogReader.snapshot(spark, path)
+    if (snap.ictEnabled) return
+    val version = nextVersion(root)
+    require(version == snap.version + 1,
+      s"enableInCommitTimestamps on $path raced a concurrent commit — retry")
+    val proto = featureProtocolAction(snap.protocol, Set.empty,
+      Set("inCommitTimestamp"),
+      minReaderFloor = snap.protocol.minReaderVersion)
+    val st = replayUpTo(spark, root, snap.version)
+    require(st.metaData != null, s"no metaData in delta log at $root")
+    val mapper = st.mapper
+    val md = st.metaData.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val cfg = Option(md.get("configuration")).collect {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode
+          if !o.isNull => o
+    }.getOrElse {
+      val o = mapper.createObjectNode()
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", o)
+      o
+    }
+    // the protocol pins enablementTimestamp to the enablement commit's
+    // OWN inCommitTimestamp — write the commitInfo line explicitly with
+    // the exact value the property records
+    val enableTs = System.currentTimeMillis()
+    cfg.put("delta.enableInCommitTimestamps", "true")
+    cfg.put("delta.inCommitTimestampEnablementVersion", version.toString)
+    cfg.put("delta.inCommitTimestampEnablementTimestamp", enableTs.toString)
+    val mdAction = {
+      val w = mapper.createObjectNode()
+      w.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+      mapper.writeValueAsString(w)
+    }
+    commit(root, version, Seq(ictCommitInfoAt(enableTs), proto, mdAction))
+    maybeCheckpoint(spark, root, version)
   }
 
   /** VACUUM: delete data files referenced by NONE of the newest
@@ -1440,20 +1511,58 @@ object DeltaWriter {
     extends IllegalStateException(msg)
 
   private[graft] def commit(root: Path, version: Long,
-      actions: Seq[String]): Unit = {
+      actions: Seq[String], ictEnabled: Boolean = false): Unit = {
     val log = root.resolve("_delta_log")
     Files.createDirectories(log) // created here, not in create(): see create()
     val dest = log.resolve(f"$version%020d.json")
+    // In-commit timestamps (PROTOCOL.md "In-Commit Timestamps"): on ICT
+    // tables every commit's FIRST action is commitInfo with a strictly
+    // monotonic inCommitTimestamp — callers pass their snapshot's
+    // `ictEnabled` so the rule rides the one commit choke point.
+    val all =
+      if (!ictEnabled) actions
+      else ictCommitInfo(root, version) +: actions
     // put-if-absent through the pluggable [[LogStore]] (local hard-link
     // CREATE-NEW by default; conditional put on an object store): exactly
     // one committer of a version wins, losers get the retryable conflict.
-    try LogStore.current.putIfAbsent(dest, actions.mkString("\n"))
+    try LogStore.current.putIfAbsent(dest, all.mkString("\n"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(
           s"concurrent commit of delta version $version at $root")
     }
   }
+
+  /** The commitInfo first-line for an ICT commit: wall clock, floored to
+    * strictly-after the PREDECESSOR commit's own inCommitTimestamp (one
+    * first-line read — the protocol's monotonicity requirement survives
+    * clock skew between writers). A reclaimed/ICT-less predecessor (the
+    * enablement boundary, or retention below a checkpoint) contributes
+    * no floor.
+    */
+  private def ictCommitInfo(root: Path, version: Long): String = {
+    val prev: Option[Long] =
+      if (version == 0L) None
+      else {
+        val p = root.resolve("_delta_log").resolve(f"${version - 1}%020d.json")
+        if (!Files.isRegularFile(p)) None
+        else try {
+          val in = Files.newBufferedReader(p)
+          val first = try in.readLine() finally in.close()
+          Option(new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(first))
+            .flatMap(n => Option(n.get("commitInfo")))
+            .flatMap(n => Option(n.get("inCommitTimestamp")))
+            .filter(_.isNumber).map(_.asLong())
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val ts = math.max(System.currentTimeMillis(),
+      prev.map(_ + 1L).getOrElse(Long.MinValue))
+    ictCommitInfoAt(ts)
+  }
+
+  private def ictCommitInfoAt(ts: Long): String =
+    s"""{"commitInfo":{"inCommitTimestamp":$ts,"operation":"WRITE"}}"""
 
   // ---------- checkpoints ----------
 
@@ -1850,7 +1959,11 @@ object DeltaWriter {
         s""""partitionColumns":[${snap.partitionColumns
           .map(c => s""""${escape(c)}"""").mkString(",")}],""" +
         s""""configuration":{$confJson},"createdTime":0}}"""
-      try { commit(root, snap.version + 1, Seq(proto, mdAction)); return }
+      try {
+        commit(root, snap.version + 1, Seq(proto, mdAction),
+          ictEnabled = snap.ictEnabled)
+        return
+      }
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1; if (attempts > 10) throw e

@@ -104,6 +104,15 @@ object DeltaLogReader {
             s"rowIdHighWaterMark: $cfg")
         v.asLong()
       }
+    /** In-commit timestamps active (feature + table property) — when
+      * true every commit MUST carry `commitInfo.inCommitTimestamp` as
+      * its first action; the writer prepends it, the timestamp resolver
+      * reads it. One definition, both sides.
+      */
+    def ictEnabled: Boolean =
+      protocol.writerFeatures.contains("inCommitTimestamp") &&
+        configuration.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true"))
     /** Physical parquet column names holding MATERIALIZED row ids /
       * commit versions (what lets a rewrite preserve lineage) — table
       * configuration per the protocol, absent until set at enable time.
@@ -706,9 +715,7 @@ object DeltaLogReader {
     // property), its enablement version from the property the enabling
     // commit is required to set; absent means enabled since creation.
     val snap = snapshot(spark, tablePath)
-    val ict = snap.protocol.writerFeatures.contains("inCommitTimestamp") &&
-      snap.configuration.get("delta.enableInCommitTimestamps")
-        .exists(_.equalsIgnoreCase("true"))
+    val ict = snap.ictEnabled
     val ictFrom: Long =
       if (!ict) Long.MaxValue
       else snap.configuration

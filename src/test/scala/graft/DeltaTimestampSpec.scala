@@ -145,6 +145,64 @@ class DeltaTimestampSpec extends SparkSpec {
     assert(e.getMessage.contains("inCommitTimestamp"), e.getMessage)
   }
 
+  test("WRITER ICT: create(inCommitTimestamps) stamps every commit's first action, monotonic") {
+    val path = tmp("wict")
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path,
+      inCommitTimestamps = true)
+    DeltaWriter.append(Seq((1L, "v1")).toDF("id", "v"), path)
+    DeltaWriter.deleteWhere(spark, path, org.apache.spark.sql.functions
+      .col("id") === 0L)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.ictEnabled)
+    assert(snap.protocol.writerFeatures.contains("inCommitTimestamp"))
+    val icts = (0L to 2L).map { v =>
+      val first = Files.readAllLines(commitFile(path, v)).get(0)
+      assert(first.contains("\"commitInfo\""),
+        s"commit $v first action is not commitInfo: $first")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(first).get("commitInfo").get("inCommitTimestamp")
+      assert(node != null && node.isNumber, first)
+      node.asLong()
+    }
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"ICTs not strictly monotonic: $icts")
+    // resolution trusts ICT over deliberately-destroyed mtimes
+    (0L to 2L).foreach(v => pinMtime(path, v, 1000L))
+    assert(DeltaLogReader.resolveTimestamp(spark, path, icts(1)) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, icts(2) - 1) == 1L)
+  }
+
+  test("WRITER ICT: enableInCommitTimestamps on an existing table — boundary resolution, exact enablement properties") {
+    val path = tmp("wenable")
+    DeltaWriter.create(Seq((0L, "v0")).toDF("id", "v"), path)
+    DeltaWriter.append(Seq((1L, "v1")).toDF("id", "v"), path)
+    DeltaWriter.enableInCommitTimestamps(spark, path)
+    DeltaWriter.enableInCommitTimestamps(spark, path) // idempotent
+    DeltaWriter.append(Seq((3L, "v3")).toDF("id", "v"), path)
+    val snap = DeltaLogReader.snapshot(spark, path)
+    assert(snap.version == 3L)
+    assert(snap.ictEnabled)
+    assert(snap.configuration.get("delta.inCommitTimestampEnablementVersion")
+      .contains("2"))
+    // the enablement commit's OWN ICT equals the recorded property
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ictOf(v: Long): Long = mapper
+      .readTree(Files.readAllLines(commitFile(path, v)).get(0))
+      .get("commitInfo").get("inCommitTimestamp").asLong()
+    assert(snap.configuration(
+      "delta.inCommitTimestampEnablementTimestamp").toLong == ictOf(2L))
+    // mixed resolution: mtimes below the enablement version, ICT at and
+    // above — v2's prehistoric mtime must NOT be consulted
+    pinMtime(path, 0L, 1000000L)
+    pinMtime(path, 1L, 2000000L)
+    pinMtime(path, 2L, 1500L)
+    pinMtime(path, 3L, 1500L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 2000000L) == 1L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, ictOf(2L)) == 2L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path,
+      System.currentTimeMillis() + 60000L) == 3L)
+  }
+
   test("explicit versionAsOf wins over asOfTimestampMs") {
     val path = threeCommits("precedence")
     pinMtime(path, 0L, 1000000L)
