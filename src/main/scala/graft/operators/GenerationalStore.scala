@@ -14,9 +14,12 @@ import scala.jdk.CollectionConverters._
   *    simply rebuilds again; a racing reader keeps loading the previous
   *    complete generation;
   *  - one build at a time ACROSS PROCESSES: a `.build_lock` file in the
-  *    index dir (create-new atomicity, pid+timestamp content) arbitrates
-  *    between serving processes sharing the dir, on top of the JVM
-  *    monitor that serializes same-process callers cheaply. A waiter
+  *    index dir (create-new atomicity, unique pid+nanos+uuid content —
+  *    content identity IS ownership, guarding steals and release)
+  *    arbitrates between serving processes sharing the dir, on top of a
+  *    PER-INDEX-DIR JVM monitor that serializes same-process callers
+  *    cheaply (per-dir, so a dead foreign holder of one dir never
+  *    stalls this process's other index builds). A waiter
   *    polls; if the winner publishes the SAME fingerprint the waiter
   *    loads that generation without ever invoking its build thunk. A
   *    lock whose mtime has aged past the grace window is STOLEN (its
@@ -39,7 +42,18 @@ import scala.jdk.CollectionConverters._
 private[graft] object GenerationalStore {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-  private val buildLock = new Object
+  /** One monitor PER index dir (not a global one): a foreign process
+    * holding dir A's on-disk lock makes this JVM's A-waiter poll for up
+    * to the grace window — under a single global monitor that dead
+    * foreign holder would stall every unrelated index build in this
+    * process too.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def buildLockFor(indexDir: String): Object =
+    buildLocks.computeIfAbsent(
+      Paths.get(indexDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
 
   /** Age a superseded generation must reach before reclaim may delete
     * it. Test-tunable; 15 min comfortably exceeds any build + swap
@@ -95,15 +109,23 @@ private[graft] object GenerationalStore {
           Some(root.resolve(dir)).filter(Files.isDirectory(_))
         case _ => None
       }
-    // One shot at CREATE_NEW on the lock file; a stale lock (holder
-    // crashed — mtime past the grace window) is stolen by deleting and
-    // letting the next attempt race create-new again (exactly one
-    // stealer wins the recreate).
-    def tryAcquire(lock: Path): Boolean =
+    // One shot at CREATE_NEW on the lock file (unique content:
+    // pid + nanotime + uuid — content identity IS lock ownership). A
+    // stale lock (holder crashed — mtime past the grace window) is
+    // stolen by a content-guarded delete: re-read immediately before
+    // deleting and only delete if the bytes still match the stale
+    // observation — a holder that just replaced the lock wrote
+    // DIFFERENT content (fresh timestamp/uuid), so the stealer backs
+    // off instead of deleting a live lock. The re-read→delete window
+    // is not zero, but crossing it needs the old lock deleted AND a
+    // new one created inside it, and the consequence is a duplicate
+    // build (wasted work), never corruption.
+    def readLock(lock: Path): Option[String] =
+      try Some(Files.readString(lock))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def tryAcquire(lock: Path, myContent: String): Boolean =
       try {
-        Files.write(lock,
-          (s"pid=${ProcessHandle.current().pid()} " +
-            s"ts=${System.currentTimeMillis()}").getBytes("UTF-8"),
+        Files.write(lock, myContent.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch {
@@ -112,15 +134,21 @@ private[graft] object GenerationalStore {
             try Files.getLastModifiedTime(lock).toMillis <
               System.currentTimeMillis() - reclaimGraceMs
             catch { case scala.util.control.NonFatal(_) => false }
-          if (stale) Files.deleteIfExists(lock)
+          if (stale) {
+            val observed = readLock(lock)
+            if (observed.isDefined && readLock(lock) == observed)
+              Files.deleteIfExists(lock)
+          }
           false
       }
     currentGen() match {
       case Some(dir) => load(dir.toString)
-      case None => buildLock.synchronized {
+      case None => buildLockFor(indexDir).synchronized {
         val lock = root.resolve(".build_lock")
+        val myContent = s"pid=${ProcessHandle.current().pid()} " +
+          s"nanos=${System.nanoTime()} id=${java.util.UUID.randomUUID()}"
         var published: Option[T] = None
-        while (published.isEmpty && !tryAcquire(lock)) {
+        while (published.isEmpty && !tryAcquire(lock, myContent)) {
           // another PROCESS holds the build: if it publishes our
           // fingerprint while we wait, serve its generation — this
           // waiter's build thunk is never invoked
@@ -164,7 +192,12 @@ private[graft] object GenerationalStore {
             } catch { case scala.util.control.NonFatal(_) => () }
             load(root.resolve(gen).toString)
         }
-        } finally Files.deleteIfExists(lock)
+        } finally {
+          // release only OUR OWN lock: a stealer past the grace window
+          // may have replaced it, and deleting the stealer's lock would
+          // cascade further duplicate builds
+          if (readLock(lock).contains(myContent)) Files.deleteIfExists(lock)
+        }
       }
     }
   }

@@ -1198,8 +1198,17 @@ object DeltaWriter {
     }
     // the protocol pins enablementTimestamp to the enablement commit's
     // OWN inCommitTimestamp — write the commitInfo line explicitly with
-    // the exact value the property records
-    val enableTs = System.currentTimeMillis()
+    // the exact value the property records. The ICT is floored STRICTLY
+    // past the predecessor's effective (monotonic-adjusted mtime)
+    // timestamp: a restored/copied log (mtimes = restore time) or a
+    // skewed writer clock would otherwise mint an enablement ICT the
+    // resolver's own monotonic pass silently bumps, desyncing it from
+    // the stored property — resolveTimestamp(storedEnablementTs) would
+    // land BEFORE the enablement commit.
+    val prevEff = graft.sources.DeltaLogReader
+      .commitTimestamps(spark, path).lastOption.map(_._2)
+    val enableTs = math.max(System.currentTimeMillis(),
+      prevEff.map(_ + 1L).getOrElse(Long.MinValue))
     cfg.put("delta.enableInCommitTimestamps", "true")
     cfg.put("delta.inCommitTimestampEnablementVersion", version.toString)
     cfg.put("delta.inCommitTimestampEnablementTimestamp", enableTs.toString)
@@ -1541,19 +1550,36 @@ object DeltaWriter {
     * no floor.
     */
   private def ictCommitInfo(root: Path, version: Long): String = {
+    def ictOf(p: Path): Option[Long] =
+      if (!Files.isRegularFile(p)) None
+      else try {
+        val in = Files.newBufferedReader(p)
+        val first = try in.readLine() finally in.close()
+        Option(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(first))
+          .flatMap(n => Option(n.get("commitInfo")))
+          .flatMap(n => Option(n.get("inCommitTimestamp")))
+          .filter(_.isNumber).map(_.asLong())
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val logDir = root.resolve("_delta_log")
     val prev: Option[Long] =
       if (version == 0L) None
-      else {
-        val p = root.resolve("_delta_log").resolve(f"${version - 1}%020d.json")
-        if (!Files.isRegularFile(p)) None
-        else try {
-          val in = Files.newBufferedReader(p)
-          val first = try in.readLine() finally in.close()
-          Option(new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(first))
-            .flatMap(n => Option(n.get("commitInfo")))
-            .flatMap(n => Option(n.get("inCommitTimestamp")))
-            .filter(_.isNumber).map(_.asLong())
+      else ictOf(logDir.resolve(f"${version - 1}%020d.json")).orElse {
+        // the immediate predecessor's JSON can be gone under external
+        // tooling (retention keeps it, but a foreign vacuum may not):
+        // floor on the NEWEST surviving commit's ICT below `version`,
+        // else a backwards clock step (NTP) would durably write a
+        // non-monotonic ICT — a protocol violation foreign readers
+        // reject
+        try {
+          val s = Files.list(logDir)
+          val newest =
+            try s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.matches("\\d{20}\\.json"))
+              .filter(_.takeWhile(_.isDigit).toLong < version)
+              .maxOption
+            finally s.close()
+          newest.flatMap(n => ictOf(logDir.resolve(n)))
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     val ts = math.max(System.currentTimeMillis(),

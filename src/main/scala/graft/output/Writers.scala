@@ -167,12 +167,18 @@ object Writers {
   /** Jsonify complex columns — the pre-step the pipeline forces for
     * csv/excel formats (P5, df_base.py:317-327).
     */
+  /** THE one copy of the rule (QueryPipeline's jsonify stage delegates
+    * here — two hand-synced copies diverged once already, when variant
+    * had to be patched into both). Names are backtick-quoted so dotted
+    * columns resolve as columns, not field paths.
+    */
   def jsonifyComplex(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType |
             org.apache.spark.sql.types.VariantType =>
-          acc.withColumn(f.name, to_json(col(f.name)))
+          acc.withColumn(f.name,
+            to_json(col("`" + f.name.replace("`", "``") + "`")))
         case _ => acc
       }
     }

@@ -9,7 +9,7 @@ import graft.pruning.HashPartitionPruning
 import graft.sources.DataSources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType, VariantType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** The request pipeline — replicates the reference endpoint's stage ordering
   * (endpoint/endpoint.py:213-310) as a chain of pure `DataFrame => DataFrame`
@@ -585,18 +585,12 @@ object QueryPipeline {
     }
 
     // ---- stage 5: jsonify complex columns (df_base.py:317-327) ----
+    // ONE copy of the which-types-stringify rule (struct/array/map/
+    // variant), shared with the direct export path — it lives in
+    // [[graft.output.Writers.jsonifyComplex]]
     val jsonified =
       if (!req.jsonifyComplex) projected
-      else projected.schema.fields.foldLeft(projected) { (acc, f) =>
-        f.dataType match {
-          // variant jsonifies with the same to_json (its canonical JSON
-          // form, object keys sorted) — flat exporters (csv, xlsx) would
-          // otherwise choke on the opaque binary pair
-          case _: StructType | _: ArrayType | _: MapType | VariantType =>
-            acc.withColumn(f.name, to_json(col(quote(f.name))))
-          case _ => acc
-        }
-      }
+      else graft.output.Writers.jsonifyComplex(projected)
 
     // ---- stage 6: distinct, guarded ≤ maxDistinctColumns (endpoint.py:172-177) ----
     val distinctDf =

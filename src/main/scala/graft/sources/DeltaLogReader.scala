@@ -698,18 +698,30 @@ object DeltaLogReader {
     timed.takeWhile(_._2 <= tsMs).last._1
   }
 
-  /** Effective (version, timestampMs) for every SURVIVING commit, in
-    * version order — the shared source for [[resolveTimestamp]] and
-    * [[readChanges]]'s `_commit_timestamp` column (one rule, the two
-    * surfaces can never disagree on when a commit happened).
+  /** Effective (version, timestampMs) for every SURVIVING commit at or
+    * above `fromVersion`, in version order — the shared source for
+    * [[resolveTimestamp]] and [[readChanges]]'s `_commit_timestamp`
+    * column (one rule, the two surfaces can never disagree on when a
+    * commit happened).
+    *
+    * `fromVersion > 0` bounds the work to O(range): a change-feed poll
+    * over a long-lived table must not stat / first-line-read the whole
+    * surviving history every few seconds. The monotonic floor is then
+    * seeded from the single predecessor commit's RAW timestamp — exact
+    * unless a non-monotonic mtime RUN (a log copy/restore) crosses the
+    * range boundary by more than one commit, where the bounded prefix
+    * can floor lower than the full scan would; [[resolveTimestamp]]
+    * always passes 0 and stays exact.
     */
   private[graft] def commitTimestamps(spark: SparkSession,
-      tablePath: String): Seq[(Long, Long)] = {
+      tablePath: String, fromVersion: Long = 0L): Seq[(Long, Long)] = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
-    val commits = listDir(logDir)
+    val all = listDir(logDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
       .sortBy(_.getFileName.toString)
+    val seed = all.filter(versionOf(_) < fromVersion).lastOption
+    val commits = all.filter(versionOf(_) >= fromVersion)
     if (commits.isEmpty) return Nil
     // ICT activation comes from the LATEST snapshot (feature + table
     // property), its enablement version from the property the enabling
@@ -737,12 +749,16 @@ object DeltaLogReader {
           "to fall back to mtime (it may disagree with the committed order)")
       node.get.asLong()
     }
-    var prev = Long.MinValue
+    def rawOf(p: Path): Long =
+      if (versionOf(p) >= ictFrom) ictOf(p)
+      else Files.getLastModifiedTime(p).toMillis
+    // bounded-prefix floor: the predecessor's RAW timestamp (see doc)
+    var prev = seed.map(s =>
+      try rawOf(s) catch { case scala.util.control.NonFatal(_) => Long.MinValue })
+      .getOrElse(Long.MinValue)
     commits.map { p =>
       val v = versionOf(p)
-      val raw =
-        if (v >= ictFrom) ictOf(p)
-        else Files.getLastModifiedTime(p).toMillis
+      val raw = rawOf(p)
       val eff = math.max(raw, if (prev == Long.MinValue) raw else prev + 1L)
       prev = eff
       (v, eff)
@@ -1170,11 +1186,15 @@ object DeltaLogReader {
         StructType(outFields))
     val partFields = snap.partitionColumns.toIndexedSeq
       .map(c => snap.schema(c))
-    tagged.filter(t => t.kind.contains("delete")).foreach(t =>
+    // every change file on a partitioned table must carry its
+    // partitionValues (cdc and add actions are required to; removes may
+    // legally omit them) — serving null partition columns would be a
+    // silent wrong answer, against this module's fail-loud rule
+    tagged.foreach(t =>
       require(partFields.isEmpty || t.file.partitionValues.nonEmpty,
-        s"remove action for ${t.file.path} carries no partitionValues " +
-          "on a partitioned table — its delete rows cannot be " +
-          "reconstructed"))
+        s"change action for ${t.file.path} (commit ${t.version}) carries " +
+          "no partitionValues on a partitioned table — its change rows' " +
+          "partition columns cannot be reconstructed"))
     def abs(f: AddFile): String = resolveAdd(tablePath, f.path)
     import spark.implicits._
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
@@ -1213,8 +1233,11 @@ object DeltaLogReader {
       withCt = false)
     val unioned = (cdcFrame.toSeq ++ wholeFrame.toSeq).reduce(_ unionAll _)
     // tag → (change type for whole-file groups, commit version, commit
-    // timestamp): ONE broadcast map, no shuffle at any table size
-    val times = commitTimestamps(spark, tablePath).toMap
+    // timestamp): ONE broadcast map, no shuffle at any table size.
+    // Timestamps bounded to the polled range (+1 predecessor floor
+    // seed) — a poll must not re-read the whole surviving history.
+    val times = commitTimestamps(spark, tablePath,
+      fromVersion = afterVersion + 1).toMap
     val tagDf = broadcast(indexed.map { case (t, i) =>
       val ts = times.getOrElse(t.version, throw new IllegalStateException(
         s"commit ${t.version} vanished between listing and timestamping"))

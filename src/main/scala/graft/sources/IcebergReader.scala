@@ -1495,12 +1495,14 @@ object IcebergReader {
     // current snapshot on a warm cache
     require(ref.forall(_.nonEmpty), "snapshot ref name must be non-empty")
     val snap = resolveSnapshot(tablePath, snapshotId, asOfTimestampMs, ref)
-    // variant is a v3 type: a v1/v2 metadata claiming one is malformed,
-    // and serving it would legitimize files no v2 reader can interpret
-    if (snap.schema.fields.exists(_.dataType == VariantType))
+    // variant/geometry/geography are v3 types: a v1/v2 metadata claiming
+    // one is malformed, and serving it would legitimize files no v2
+    // reader can interpret
+    if (snap.schema.fields.exists(_.dataType == VariantType) ||
+        snap.geoColumns.nonEmpty)
       require(snap.formatVersion >= 3,
-        "variant columns need a format-v3 iceberg table, found " +
-          s"format-version ${snap.formatVersion} at $tablePath")
+        "variant/geometry/geography columns need a format-v3 iceberg " +
+          s"table, found format-version ${snap.formatVersion} at $tablePath")
     if (withLineage) {
       require(snap.formatVersion >= 3,
         "row lineage columns need a format-v3 iceberg table, found " +
