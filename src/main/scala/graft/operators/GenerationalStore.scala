@@ -135,8 +135,21 @@ private[graft] object GenerationalStore {
               System.currentTimeMillis() - reclaimGraceMs
             catch { case scala.util.control.NonFatal(_) => false }
           if (stale) {
+            // re-validate IMMEDIATELY before deleting: both the content
+            // (unchanged since the stale observation) and the mtime
+            // (still past the grace window) — a holder that released
+            // and a successor that just acquired present fresh
+            // content/mtime and the steal backs off. The remaining
+            // read→delete window needs a delete AND a create inside
+            // microseconds to mis-fire, and costs a duplicate build,
+            // never corruption.
             val observed = readLock(lock)
-            if (observed.isDefined && readLock(lock) == observed)
+            val stillStale =
+              try Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - reclaimGraceMs
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (observed.isDefined && stillStale &&
+                readLock(lock) == observed)
               Files.deleteIfExists(lock)
           }
           false

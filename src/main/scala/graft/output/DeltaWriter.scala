@@ -182,10 +182,21 @@ object DeltaWriter {
     var attempt = 0
     var committed = false
     while (!committed) {
-      val snap =
+      val snapRead =
         if (attempt == 0) snap0
         else graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
       val version = nextVersion(root)
+      // DRIFT RE-READ: an untracked append tolerates landing past a
+      // competitor's version, but it must evaluate table-wide commit
+      // invariants (ICT enablement, schema, row tracking) against the
+      // state it actually lands on — a competitor's
+      // enableInCommitTimestamps between our snapshot and this commit
+      // would otherwise get a durable ICT-less commit stamped from the
+      // stale snapshot, permanently malforming the log for every ICT
+      // reader.
+      val snap =
+        if (version == snapRead.version + 1) snapRead
+        else graft.sources.DeltaLogReader.snapshot(df.sparkSession, path)
       // row tracking: base ids derive from THIS snapshot's high-water
       // mark, so the commit must land exactly at snap.version + 1 — a
       // drifted nextVersion means a competitor committed after our read
@@ -1206,7 +1217,7 @@ object DeltaWriter {
     // the stored property — resolveTimestamp(storedEnablementTs) would
     // land BEFORE the enablement commit.
     val prevEff = graft.sources.DeltaLogReader
-      .commitTimestamps(spark, path).lastOption.map(_._2)
+      .commitTimestamps(spark, path).times.lastOption.map(_._2)
     val enableTs = math.max(System.currentTimeMillis(),
       prevEff.map(_ + 1L).getOrElse(Long.MinValue))
     cfg.put("delta.enableInCommitTimestamps", "true")
@@ -1550,17 +1561,10 @@ object DeltaWriter {
     * no floor.
     */
   private def ictCommitInfo(root: Path, version: Long): String = {
+    // ONE extraction rule shared with the resolver — the reader and the
+    // writer can never disagree on where a commit's ICT lives
     def ictOf(p: Path): Option[Long] =
-      if (!Files.isRegularFile(p)) None
-      else try {
-        val in = Files.newBufferedReader(p)
-        val first = try in.readLine() finally in.close()
-        Option(new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(first))
-          .flatMap(n => Option(n.get("commitInfo")))
-          .flatMap(n => Option(n.get("inCommitTimestamp")))
-          .filter(_.isNumber).map(_.asLong())
-      } catch { case scala.util.control.NonFatal(_) => None }
+      graft.sources.DeltaLogReader.ictOfFirstLine(p)
     val logDir = root.resolve("_delta_log")
     val prev: Option[Long] =
       if (version == 0L) None

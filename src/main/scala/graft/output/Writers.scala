@@ -164,13 +164,13 @@ object Writers {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  /** Jsonify complex columns — the pre-step the pipeline forces for
-    * csv/excel formats (P5, df_base.py:317-327).
-    */
-  /** THE one copy of the rule (QueryPipeline's jsonify stage delegates
-    * here — two hand-synced copies diverged once already, when variant
-    * had to be patched into both). Names are backtick-quoted so dotted
-    * columns resolve as columns, not field paths.
+  /** Jsonify complex columns (struct/array/map/variant → their JSON
+    * strings) — the pre-step the pipeline forces for csv/excel formats
+    * (P5, df_base.py:317-327). THE one copy of the which-types rule:
+    * QueryPipeline's jsonify stage delegates here (two hand-synced
+    * copies diverged once already, when variant had to be patched into
+    * both). Names are backtick-quoted so dotted columns resolve as
+    * columns, not field paths.
     */
   def jsonifyComplex(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>

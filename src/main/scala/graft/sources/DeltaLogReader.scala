@@ -110,7 +110,8 @@ object DeltaLogReader {
       * reads it. One definition, both sides.
       */
     def ictEnabled: Boolean =
-      protocol.writerFeatures.contains("inCommitTimestamp") &&
+      (protocol.writerFeatures.contains("inCommitTimestamp") ||
+        protocol.writerFeatures.contains("inCommitTimestamp-preview")) &&
         configuration.get("delta.enableInCommitTimestamps")
           .exists(_.equalsIgnoreCase("true"))
     /** Physical parquet column names holding MATERIALIZED row ids /
@@ -688,80 +689,162 @@ object DeltaLogReader {
     */
   def resolveTimestamp(spark: SparkSession, tablePath: String,
       tsMs: Long): Long = {
-    val timed = commitTimestamps(spark, tablePath)
+    val ct = commitTimestamps(spark, tablePath)
+    val timed = ct.times
     require(timed.nonEmpty,
       s"timestamp time travel over $tablePath needs commit JSONs: all " +
         "were reclaimed by log retention, only checkpoint state survives")
-    require(tsMs >= timed.head._2,
-      s"timestamp $tsMs predates the oldest reconstructable version of " +
-        s"$tablePath (version ${timed.head._1} at ${timed.head._2})")
-    timed.takeWhile(_._2 <= tsMs).last._1
+    // Two-era resolution on mid-life-ICT tables: in-commit timestamps
+    // are protocol-AUTHORITATIVE and never mtime-adjusted, so after a
+    // log restore the mtime era's effective timestamps can sit ABOVE
+    // the ICT era's genuine values. A target at or past the first ICT
+    // answers from the ICT era alone (delta-spark's rule); below it,
+    // from the mtime era alone.
+    val (mtimeEra, ictEra) = timed.partition(_._1 < ct.ictFrom)
+    if (ictEra.nonEmpty && tsMs >= ictEra.head._2)
+      ictEra.takeWhile(_._2 <= tsMs).last._1
+    else {
+      require(mtimeEra.nonEmpty && tsMs >= mtimeEra.head._2,
+        s"timestamp $tsMs predates the oldest reconstructable version " +
+          s"of $tablePath (version ${timed.head._1} at ${timed.head._2})")
+      mtimeEra.takeWhile(_._2 <= tsMs).last._1
+    }
   }
+
+  /** First-line `commitInfo.inCommitTimestamp` of a commit JSON, or None
+    * (absent file, no commitInfo, unparseable) — the ONE extraction rule
+    * the resolver reads by and [[graft.output.DeltaWriter]] floors its
+    * next ICT by.
+    */
+  private[graft] def ictOfFirstLine(p: Path): Option[Long] =
+    if (!Files.isRegularFile(p)) None
+    else try {
+      val in = Files.newBufferedReader(p)
+      val first = try in.readLine() finally in.close()
+      Option(mapper.readTree(first))
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(n => Option(n.get("inCommitTimestamp")))
+        .filter(_.isNumber).map(_.asLong())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[commitTimestamps]] result: effective (version, timestampMs)
+    * pairs in version order, plus the first ICT-governed version
+    * (Long.MaxValue when ICT is off) so consumers can respect era
+    * boundaries.
+    */
+  private[graft] final case class CommitTimes(
+      times: Seq[(Long, Long)], ictFrom: Long)
+
+  /** Cached full-history commit times per table (the serving path runs
+    * [[resolveTimestamp]] PER REQUEST on timestamp-pinned sources — an
+    * uncached sweep is one stat / first-line read per surviving commit
+    * per request, the exact p99 storm the snapshot cache kills). Same
+    * structural freshness token as the snapshot cache: commit JSONs are
+    * immutable under the protocol, only the newest commit and the
+    * checkpoint pointer legally change.
+    */
+  private val commitTimesCache =
+    new FreshCache[String, (Long, Long, Long, Long), CommitTimes]()
 
   /** Effective (version, timestampMs) for every SURVIVING commit at or
     * above `fromVersion`, in version order — the shared source for
     * [[resolveTimestamp]] and [[readChanges]]'s `_commit_timestamp`
     * column (one rule, the two surfaces can never disagree on when a
-    * commit happened).
+    * commit happened). In-commit timestamps are AUTHORITATIVE: the
+    * mtime-era monotonic floor never adjusts them (a restored log's
+    * inflated mtimes must not drag genuine ICTs upward — delta-spark
+    * treats ICT values as exact), and a non-monotonic ICT SEQUENCE
+    * fails loudly as a malformed log. Mtime-era commits keep the
+    * max(mtime, predecessor + 1 ms) adjustment.
     *
     * `fromVersion > 0` bounds the work to O(range): a change-feed poll
     * over a long-lived table must not stat / first-line-read the whole
-    * surviving history every few seconds. The monotonic floor is then
+    * surviving history every few seconds. The mtime floor is then
     * seeded from the single predecessor commit's RAW timestamp — exact
     * unless a non-monotonic mtime RUN (a log copy/restore) crosses the
-    * range boundary by more than one commit, where the bounded prefix
-    * can floor lower than the full scan would; [[resolveTimestamp]]
-    * always passes 0 and stays exact.
+    * range boundary by more than one commit; [[resolveTimestamp]]
+    * always passes 0 and stays exact (and warm: full-history results
+    * cache behind the same freshness probe as snapshots).
     */
   private[graft] def commitTimestamps(spark: SparkSession,
-      tablePath: String, fromVersion: Long = 0L): Seq[(Long, Long)] = {
+      tablePath: String, fromVersion: Long = 0L): CommitTimes = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"not a delta table: $tablePath")
-    val all = listDir(logDir)
-      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .sortBy(_.getFileName.toString)
-    val seed = all.filter(versionOf(_) < fromVersion).lastOption
-    val commits = all.filter(versionOf(_) >= fromVersion)
-    if (commits.isEmpty) return Nil
-    // ICT activation comes from the LATEST snapshot (feature + table
-    // property), its enablement version from the property the enabling
-    // commit is required to set; absent means enabled since creation.
-    val snap = snapshot(spark, tablePath)
-    val ict = snap.ictEnabled
-    val ictFrom: Long =
-      if (!ict) Long.MaxValue
-      else snap.configuration
-        .get("delta.inCommitTimestampEnablementVersion")
-        .map(_.toLong).getOrElse(0L)
-    def ictOf(p: Path): Long = {
-      val first = {
-        val in = Files.newBufferedReader(p)
-        try in.readLine() finally in.close()
+    def compute(): CommitTimes = {
+      val all = listDir(logDir)
+        .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+        .sortBy(_.getFileName.toString)
+      val seed = all.filter(versionOf(_) < fromVersion).lastOption
+      val commits = all.filter(versionOf(_) >= fromVersion)
+      // ICT activation comes from the LATEST snapshot (feature + table
+      // property), its enablement version from the property the enabling
+      // commit is required to set; absent means enabled since creation.
+      val snap = snapshot(spark, tablePath)
+      val ictFrom: Long =
+        if (!snap.ictEnabled) Long.MaxValue
+        else snap.configuration
+          .get("delta.inCommitTimestampEnablementVersion")
+          .map(_.toLong).getOrElse(0L)
+      if (commits.isEmpty) return CommitTimes(Nil, ictFrom)
+      def ictOf(p: Path): Long = ictOfFirstLine(p).getOrElse(
+        throw new IllegalArgumentException(
+          s"commit ${p.getFileName} of $tablePath: inCommitTimestamp is " +
+            "active but the commit's first action carries no " +
+            "commitInfo.inCommitTimestamp — the log is malformed; " +
+            "refusing to fall back to mtime (it may disagree with the " +
+            "committed order)"))
+      def rawOf(p: Path): Long =
+        if (versionOf(p) >= ictFrom) ictOf(p)
+        else Files.getLastModifiedTime(p).toMillis
+      // mtime-era floor seed (bounded-prefix, see doc); ICT commits
+      // never contribute to nor receive the mtime floor
+      var prevMtime = seed.filter(versionOf(_) < ictFrom).map(s =>
+        try rawOf(s)
+        catch { case scala.util.control.NonFatal(_) => Long.MinValue })
+        .getOrElse(Long.MinValue)
+      var prevIct = seed.filter(versionOf(_) >= ictFrom)
+        .flatMap(ictOfFirstLine).getOrElse(Long.MinValue)
+      val times = commits.map { p =>
+        val v = versionOf(p)
+        if (v >= ictFrom) {
+          val raw = ictOf(p)
+          require(prevIct == Long.MinValue || raw >= prevIct,
+            s"commit $v of $tablePath carries inCommitTimestamp $raw " +
+              s"below its predecessor's $prevIct — the protocol requires " +
+              "monotonic ICTs; the log is malformed")
+          prevIct = raw
+          (v, raw)
+        } else {
+          val raw = Files.getLastModifiedTime(p).toMillis
+          val eff = math.max(raw,
+            if (prevMtime == Long.MinValue) raw else prevMtime + 1L)
+          prevMtime = eff
+          (v, eff)
+        }
       }
-      val node = Option(mapper.readTree(first))
-        .flatMap(n => Option(n.get("commitInfo")))
-        .flatMap(n => Option(n.get("inCommitTimestamp")))
-        .filter(_.isNumber)
-      require(node.isDefined,
-        s"commit ${p.getFileName} of $tablePath: inCommitTimestamp is " +
-          "active but the commit's first action carries no " +
-          "commitInfo.inCommitTimestamp — the log is malformed; refusing " +
-          "to fall back to mtime (it may disagree with the committed order)")
-      node.get.asLong()
+      CommitTimes(times, ictFrom)
     }
-    def rawOf(p: Path): Long =
-      if (versionOf(p) >= ictFrom) ictOf(p)
-      else Files.getLastModifiedTime(p).toMillis
-    // bounded-prefix floor: the predecessor's RAW timestamp (see doc)
-    var prev = seed.map(s =>
-      try rawOf(s) catch { case scala.util.control.NonFatal(_) => Long.MinValue })
-      .getOrElse(Long.MinValue)
-    commits.map { p =>
-      val v = versionOf(p)
-      val raw = rawOf(p)
-      val eff = math.max(raw, if (prev == Long.MinValue) raw else prev + 1L)
-      prev = eff
-      (v, eff)
+    if (fromVersion != 0L) compute()
+    else {
+      // same structural freshness probe as the snapshot cache
+      val fresh = try {
+        val all = listDir(logDir)
+        val latest = all
+          .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+          .maxByOption(_.getFileName.toString)
+        val lv = math.max(latest.map(versionOf).getOrElse(-1L),
+          lastCheckpoint(logDir).getOrElse(-1L))
+        def mtimeOf(p: Option[Path]): Long = p.map { f =>
+          try Files.getLastModifiedTime(f)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        }.getOrElse(-1L)
+        val ckptPtr = all.find(_.getFileName.toString == "_last_checkpoint")
+        (lv, all.size.toLong, mtimeOf(latest), mtimeOf(ckptPtr))
+      } catch { case scala.util.control.NonFatal(_) => return compute() }
+      commitTimesCache.get(
+        Paths.get(tablePath).toAbsolutePath.normalize.toString, fresh)(
+        compute())
     }
   }
 
@@ -1186,15 +1269,21 @@ object DeltaLogReader {
         StructType(outFields))
     val partFields = snap.partitionColumns.toIndexedSeq
       .map(c => snap.schema(c))
-    // every change file on a partitioned table must carry its
-    // partitionValues (cdc and add actions are required to; removes may
-    // legally omit them) — serving null partition columns would be a
-    // silent wrong answer, against this module's fail-loud rule
-    tagged.foreach(t =>
-      require(partFields.isEmpty || t.file.partitionValues.nonEmpty,
+    // every change file on a partitioned table must carry a value for
+    // EVERY partition column (a null VALUE is legal — the null
+    // partition — but an absent KEY is not; cdc and add actions are
+    // required to carry the full tuple, removes may legally omit it) —
+    // serving null partition columns would be a silent wrong answer,
+    // against this module's fail-loud rule
+    tagged.foreach { t =>
+      val missing = partFields.filterNot(pf =>
+        t.file.partitionValues.contains(pf.name))
+      require(missing.isEmpty,
         s"change action for ${t.file.path} (commit ${t.version}) carries " +
-          "no partitionValues on a partitioned table — its change rows' " +
-          "partition columns cannot be reconstructed"))
+          s"no partitionValues for ${missing.map(_.name).mkString(", ")} " +
+          "on a partitioned table — its change rows' partition columns " +
+          "cannot be reconstructed")
+    }
     def abs(f: AddFile): String = resolveAdd(tablePath, f.path)
     import spark.implicits._
     val dataCols = snap.schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
@@ -1237,7 +1326,7 @@ object DeltaLogReader {
     // Timestamps bounded to the polled range (+1 predecessor floor
     // seed) — a poll must not re-read the whole surviving history.
     val times = commitTimestamps(spark, tablePath,
-      fromVersion = afterVersion + 1).toMap
+      fromVersion = afterVersion + 1).times.toMap
     val tagDf = broadcast(indexed.map { case (t, i) =>
       val ts = times.getOrElse(t.version, throw new IllegalStateException(
         s"commit ${t.version} vanished between listing and timestamping"))

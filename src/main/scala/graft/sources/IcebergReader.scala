@@ -1344,6 +1344,15 @@ object IcebergReader {
   private val decimalRe = "decimal\\((\\d+),\\s*(\\d+)\\)".r
   private val fixedRe = "fixed\\[(\\d+)\\]".r
 
+  /** THE one v3 geo-type predicate (bare and crs/algorithm-parameterized
+    * forms) — [[primitive]] and [[specialV3Columns]] must agree, or a
+    * spelling served by one and unregistered by the other would re-enable
+    * the bbox-bounds pruning the design forbids.
+    */
+  private def isGeoType(s: String): Boolean =
+    s == "geometry" || s.startsWith("geometry(") ||
+      s == "geography" || s.startsWith("geography(")
+
   private def primitive(t: String): DataType = t match {
     case "boolean" => BooleanType
     case "int" => IntegerType
@@ -1382,8 +1391,7 @@ object IcebergReader {
     // of the whole table 500ing. Bounds are bbox-encoded, so these
     // columns stay OUT of every stats-skip plane (Snapshot.geoColumns);
     // geo-typed skip predicates fail open, never mis-prune.
-    case s if s == "geometry" || s.startsWith("geometry(") ||
-        s == "geography" || s.startsWith("geography(") => BinaryType
+    case s if isGeoType(s) => BinaryType
     case other => throw new IllegalArgumentException(
       s"unsupported iceberg type $other")
   }
@@ -1400,14 +1408,11 @@ object IcebergReader {
     val ns = Map.newBuilder[String, DataType]
     val unknown = Set.newBuilder[String]
     val geo = Set.newBuilder[String]
-    def isGeo(s: String): Boolean =
-      s == "geometry" || s.startsWith("geometry(") ||
-        s == "geography" || s.startsWith("geography(")
     def check(t: JsonNode, where: String): Unit =
       if (t.isTextual) {
         val s = t.asText()
         if (s == "timestamp_ns" || s == "timestamptz_ns" || s == "unknown" ||
-            s == "variant" || isGeo(s))
+            s == "variant" || isGeoType(s))
           throw new IllegalArgumentException(
             s"unsupported iceberg schema: NESTED field $where has type " +
               s"$s (this reader serves ns timestamps, unknown, variant " +
@@ -1428,7 +1433,7 @@ object IcebergReader {
         case "timestamp_ns" => ns += name -> TimestampNTZType
         case "timestamptz_ns" => ns += name -> TimestampType
         case "unknown" => unknown += name
-        case s if isGeo(s) => geo += name
+        case s if isGeoType(s) => geo += name
         case _ => ()
       } else check(t, name)
     }

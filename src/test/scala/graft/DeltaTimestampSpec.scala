@@ -43,7 +43,8 @@ class DeltaTimestampSpec extends SparkSpec {
     * recorded.
     */
   private def enableIct(path: String, icts: Map[Long, Long],
-      fromVersion: Long = 0L): Unit = {
+      fromVersion: Long = 0L,
+      featureName: String = "inCommitTimestamp"): Unit = {
     icts.foreach { case (v, ts) =>
       val f = commitFile(path, v)
       val lines = Files.readAllLines(f)
@@ -55,7 +56,7 @@ class DeltaTimestampSpec extends SparkSpec {
     val v0 = commitFile(path, 0L)
     val rewritten = Files.readAllLines(v0).toArray.map(_.toString).map {
       case l if l.contains("\"protocol\"") =>
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","inCommitTimestamp"]}}"""
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","$featureName"]}}"""
       case l if l.contains("\"metaData\"") =>
         val enable = s""""delta.enableInCommitTimestamps":"true"""" +
           (if (fromVersion > 0L)
@@ -117,6 +118,37 @@ class DeltaTimestampSpec extends SparkSpec {
     val rows = DeltaLogReader.read(spark, path,
       asOfTimestampMs = Some(6500000L)).select("id").as[Long].collect().sorted
     assert(rows.toSeq == Seq(0L, 1L))
+  }
+
+  test("the preview feature name (inCommitTimestamp-preview) activates ICT too") {
+    val path = threeCommits("preview")
+    enableIct(path, Map(0L -> 5000000L, 1L -> 6000000L, 2L -> 7000000L),
+      featureName = "inCommitTimestamp-preview")
+    (0L to 2L).foreach(v => pinMtime(path, v, 1000L))
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 6500000L) == 1L)
+  }
+
+  test("restored-log mtimes do NOT drag authoritative ICTs upward (mid-life enablement)") {
+    val path = threeCommits("restore")
+    // ICT from v2 with a GENUINE value far BELOW the restore-era mtimes
+    // of the pre-enablement commits: ICT is protocol-authoritative, so
+    // resolution at the ICT value must land on v2, not fail 'predates'
+    enableIct(path, Map(2L -> 5000000L), fromVersion = 2L)
+    pinMtime(path, 0L, 8000000L) // restore time: AFTER every ICT
+    pinMtime(path, 1L, 9000000L)
+    pinMtime(path, 2L, 9500000L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 5000000L) == 2L)
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 99999999L) == 2L)
+    // at/past the first ICT the ICT era is authoritative even though
+    // restored mtimes sit higher
+    assert(DeltaLogReader.resolveTimestamp(spark, path, 8500000L) == 2L)
+    // below the first ICT the mtime era answers — and here the restore
+    // pushed every mtime above the target, so the honest answer is
+    // "predates" (no state provably existed at that instant)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.resolveTimestamp(spark, path, 4000000L)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
   test("ICT enabled mid-life: mtime below the enablement version, ICT at and above") {
