@@ -2158,6 +2158,23 @@ object SparkEntry {
       graft.sources.IcebergReader.read(s, root.toString)
         .orderBy(col("n_nationkey"))
     }),
+    "q_sql_variant" -> ((s, dir) => {
+      // the raw SQL endpoint over a VARIANT-carrying delta view:
+      // variant_get path extraction (typed int + string) and to_json
+      // canonicalization, all inside plan-whitelisted SQL — the shape a
+      // user explores a semi-structured corpus with
+      val root = deltaVariantFixture(s, dir)
+      graft.sources.DeltaLogReader.read(s, root)
+        .createOrReplaceTempView("delta_variant_sql")
+      SqlEndpoint.query(s,
+        """SELECT n_nationkey,
+          |  CAST(variant_get(v, '$.key', 'int') AS INT) AS vkey,
+          |  CAST(variant_get(v, '$.name', 'string') AS STRING) AS vname,
+          |  to_json(v) AS vj
+          |FROM delta_variant_sql
+          |ORDER BY n_nationkey""".stripMargin,
+        Set("delta_variant_sql"))
+    }),
     "q_sql_delta" -> ((s, dir) => {
       // the raw SQL endpoint over a DELTA-served view: the pushed WHERE
       // reaches GraftFileIndex, so the point-range scan file-skips from
@@ -3491,6 +3508,14 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_delta_variant" ->
       s"""SELECT n_nationkey, $variantMixOracleSql AS vj
+         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_sql_variant" ->
+      s"""SELECT n_nationkey,
+         |  CAST(CASE WHEN n_nationkey % 7 = 0 OR n_nationkey % 5 = 0
+         |       THEN NULL ELSE n_nationkey END AS INTEGER) AS vkey,
+         |  CASE WHEN n_nationkey % 7 = 0 OR n_nationkey % 5 = 0
+         |       THEN NULL ELSE n_name END AS vname,
+         |  $variantMixOracleSql AS vj
          |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_variant" ->
       s"""SELECT n_nationkey, $variantMixOracleSql AS vj

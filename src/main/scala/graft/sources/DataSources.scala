@@ -80,16 +80,30 @@ object DataSources {
           "the native log reader does not read remote stores; see docs/AZURE.md")
     val df = ds.fileType.toLowerCase match {
       case "delta" if DeltaLogReader.isDeltaTable(localPath) =>
-        DeltaLogReader.read(spark, localPath,
-          ds.options.get("versionAsOf").map(_.toLong),
-          skipFilters = skipFilters,
-          // row tracking on the serving surface: `lineage: "true"`
-          // appends _row_id / _row_commit_version — same handle as the
-          // iceberg side below, one option name across both formats
-          withLineage = ds.options.get("lineage").exists(_.toBoolean),
-          // same option name as the iceberg branch below — "as of
-          // yesterday" addresses either format identically
-          asOfTimestampMs = ds.options.get("asOfTimestampMs").map(_.toLong))
+        ds.options.get("changesAfterVersion") match {
+          // CHANGE DATA FEED on the serving surface: a consumer polls
+          // `changesAfterVersion` (+ optional `changesUntilVersion`)
+          // and gets the row-level changes tagged _change_type /
+          // _commit_version / _commit_timestamp — cdc-file commits,
+          // append fallback and the loud edges per
+          // [[DeltaLogReader.readChanges]]
+          case Some(after) =>
+            DeltaLogReader.readChanges(spark, localPath, after.toLong,
+              ds.options.get("changesUntilVersion").map(_.toLong))
+          case None =>
+            DeltaLogReader.read(spark, localPath,
+              ds.options.get("versionAsOf").map(_.toLong),
+              skipFilters = skipFilters,
+              // row tracking on the serving surface: `lineage: "true"`
+              // appends _row_id / _row_commit_version — same handle as
+              // the iceberg side below, one option name across both
+              // formats
+              withLineage = ds.options.get("lineage").exists(_.toBoolean),
+              // same option name as the iceberg branch below — "as of
+              // yesterday" addresses either format identically
+              asOfTimestampMs =
+                ds.options.get("asOfTimestampMs").map(_.toLong))
+        }
       case "delta" =>
         requireLocal("delta")
         reader.parquet(uri)

@@ -179,6 +179,18 @@ class DeltaCdfSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("the feed serves through the datasource surface (`changesAfterVersion`)") {
+    val root = cdfTable("serve")
+    val frame = graft.sources.DataSources.read(spark,
+      graft.config.DatasourceConfig(root.toString, fileType = "delta",
+        options = Map("changesAfterVersion" -> "0",
+          "changesUntilVersion" -> "1")))
+    val got = frame.select("id", "_change_type")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "update_postimage"), (1L, "update_preimage"),
+      (2L, "delete")))
+  }
+
   test("version gaps fail loudly") {
     val root = cdfTable("gap")
     Files.delete(root.resolve("_delta_log").resolve(f"${1L}%020d.json"))
