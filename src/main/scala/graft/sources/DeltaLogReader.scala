@@ -1187,13 +1187,21 @@ object DeltaLogReader {
     *  - no `cdc`, only `dataChange` adds → each add's rows as `insert`
     *    (a pure append needs no change file — delta-spark writes none).
     *  - no `cdc`, only `dataChange` removes → each removed FILE's rows as
-    *    `delete` (a full-file delete is unambiguous; the file must still
+    *    `delete` (a full-file delete is unambiguous; a removed file that
+    *    CARRIED a DV serves only its LIVE rows; the file must still
     *    exist — vacuumed history fails at first touch, never serves
     *    partial changes).
-    *  - no `cdc` but adds AND removes (a rewrite: update/merge/optimize-
-    *    with-dataChange on a non-CDF table), or a DV'd `dataChange` add
-    *    → FAIL LOUDLY: the row-level delta is not reconstructable from
-    *    file actions alone, and guessing would desync the consumer.
+    *  - DV DELETES without `cdc` serve exactly their newly masked rows:
+    *    add+remove pairs re-adding the removed paths with merged DVs
+    *    (delta-spark's shape — old DV from the remove action) and
+    *    remove-less DV re-adds (this repo's deleteWhere — old DV from
+    *    the predecessor snapshot's entry) both compute
+    *    `new DV ∖ old DV` executor-side; a rewrite that UNMASKS rows
+    *    (RESTORE) fails loudly instead of omitting the resurrections.
+    *  - no `cdc` but any OTHER add+remove mix (a rewrite: update/merge
+    *    on a non-CDF table) → FAIL LOUDLY: the row-level delta is not
+    *    reconstructable from file actions alone, and guessing would
+    *    desync the consumer.
     *
     * Commit timestamps come from [[commitTimestamps]] (ICT when the
     * feature is active, monotonic-adjusted mtimes otherwise) — the same
@@ -1221,10 +1229,19 @@ object DeltaLogReader {
       s"commit range ($afterVersion, $upper] has gaps: " +
         s"found ${versions.mkString(",")} — change history is " +
         "incomplete, full-refresh the consumer")
-    // (file, partitionValues via AddFile, version, kind)
-    // kind: None = cdc file (carries its own _change_type column),
-    // Some(t) = whole file serves as change type t
-    case class Tagged(file: AddFile, version: Long, kind: Option[String])
+    // One entry per change EVENT:
+    //  kind None  = cdc file (carries its own _change_type column)
+    //  kind Some  = whole file serves as that change type, optionally
+    //    position-filtered:
+    //  dvExclude  = rows NOT in this DV (a removed file that carried a
+    //    DV has only its LIVE rows as deletes; a v0 create-with-DV
+    //    inserts only its live rows)
+    //  dvDelta    = rows in (new DV ∖ old DV) — a DV-delete commit's
+    //    newly masked positions are exactly its deletes
+    case class Tagged(file: AddFile, version: Long, kind: Option[String],
+        dvExclude: Option[DeletionVectors.Descriptor] = None,
+        dvDelta: Option[(DeletionVectors.Descriptor,
+          Option[DeletionVectors.Descriptor])] = None)
     val tagged: Seq[Tagged] = commits.flatMap { p =>
       val v = versionOf(p)
       val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
@@ -1238,25 +1255,48 @@ object DeltaLogReader {
           Option(a.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
         val removes = of("remove").filter(r =>
           Option(r.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
-        require(adds.isEmpty || removes.isEmpty,
-          s"commit $v rewrites data (adds AND removes) without a cdc " +
-            "action — its row-level changes are not reconstructable; " +
-            "full-refresh the consumer (or enable the change data feed " +
-            "on the producer)")
-        require(adds.forall(_.deletionVector.isEmpty),
-          s"commit $v adds a deletion vector without a cdc action — its " +
-            "row-level deletes are not reconstructable; full-refresh " +
-            "the consumer")
-        // a removed file that CARRIED a DV has only its live rows as
-        // deletes — serving the whole file would re-report rows deleted
-        // in earlier commits; reconstructable in principle (DV anti-join)
-        // but rejected until a real table needs it
-        require(removes.forall(_.deletionVector.isEmpty),
-          s"commit $v removes a deletion-vector-carrying file without a " +
-            "cdc action — its live-row delete set is not served here; " +
-            "full-refresh the consumer")
-        adds.map(Tagged(_, v, Some("insert"))) ++
-          removes.map(Tagged(_, v, Some("delete")))
+        val dvAdds = adds.filter(_.deletionVector.isDefined)
+        if (adds.nonEmpty && removes.nonEmpty) {
+          // delta-spark's DV-delete shape: every add re-adds a removed
+          // path with a (merged) DV — the newly masked rows are the
+          // commit's deletes. Any OTHER add+remove mix is a rewrite
+          // whose row-level delta file actions cannot express.
+          require(dvAdds.size == adds.size &&
+              adds.map(_.path).toSet == removes.map(_.path).toSet,
+            s"commit $v rewrites data (adds AND removes) without a cdc " +
+              "action — its row-level changes are not reconstructable; " +
+              "full-refresh the consumer (or enable the change data " +
+              "feed on the producer)")
+          val oldByPath = removes.map(r => r.path -> r.deletionVector).toMap
+          adds.map(a => Tagged(a, v, Some("delete"),
+            dvDelta = Some((a.deletionVector.get, oldByPath(a.path)))))
+        } else if (dvAdds.nonEmpty && v > 0) {
+          // remove-less DV adds (this repo's own deleteWhere shape): a
+          // re-add of a file the PREDECESSOR snapshot already held is a
+          // DV-delete (newly masked rows = new DV ∖ the prior entry's
+          // DV); a genuinely NEW file arriving with a DV is an insert
+          // of its live rows. Plain adds riding along stay inserts.
+          lazy val prev = snapshot(spark, tablePath, Some(v - 1))
+          adds.map { a =>
+            a.deletionVector match {
+              case None => Tagged(a, v, Some("insert"))
+              case Some(dv) => prev.files.find(_.path == a.path) match {
+                case Some(pf) => Tagged(a, v, Some("delete"),
+                  dvDelta = Some((dv, pf.deletionVector)))
+                case None =>
+                  Tagged(a, v, Some("insert"), dvExclude = Some(dv))
+              }
+            }
+          }
+        } else {
+          // plain appends (a v0 create-with-DV inserts only its live
+          // rows) and whole-file removes (a DV-carrying removed file
+          // only has its live rows as deletes)
+          adds.map(a => Tagged(a, v, Some("insert"),
+            dvExclude = a.deletionVector)) ++
+            removes.map(r => Tagged(r, v, Some("delete"),
+              dvExclude = r.deletionVector))
+        }
       }
     }
     val ctField = StructField("_change_type", StringType)
@@ -1295,8 +1335,8 @@ object DeltaLogReader {
     // and the broadcast join attach exactly that event's tag.
     val tagField = StructField("__chg_tag", StringType)
     val indexed = tagged.zipWithIndex
-    def frameOf(group: Seq[(Tagged, Int)], withCt: Boolean)
-        : Option[DataFrame] = {
+    def frameOf(group: Seq[(Tagged, Int)], withCt: Boolean,
+        withPos: Boolean = false): Option[DataFrame] = {
       if (group.isEmpty) return None
       val fileSchema =
         if (withCt) StructType(snap.dataSchema.fields :+ ctField)
@@ -1314,13 +1354,60 @@ object DeltaLogReader {
       val ct =
         if (withCt) col("`_change_type`")
         else lit(null).cast(StringType)
-      Some(scanned.select(dataCols ++ Seq(ct.as("__ct"),
-        col("__chg_tag")): _*))
+      val pos =
+        if (withPos) Seq(col("_metadata.row_index").as("__chg_pos"))
+        else Nil
+      Some(scanned.select(dataCols ++ Seq(ct.as("__ct")) ++ pos
+        :+ col("__chg_tag"): _*))
+    }
+    // (tag, position) rows of each entry's (DV ∖ old DV) — decoded on
+    // EXECUTORS, broadcast back as the join side (a poll window's
+    // deleted-position count is bounded by the deletes in range)
+    def positionsDf(entries: Seq[(Int, DeletionVectors.Descriptor,
+        Option[DeletionVectors.Descriptor])]): DataFrame = {
+      val tp = tablePath
+      spark.createDataset(entries.map { case (i, d, o) =>
+        (i.toString,
+          (d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality),
+          o.map(x => (x.storageType, x.pathOrInlineDv, x.offset,
+            x.sizeInBytes, x.cardinality)))
+      }).flatMap { case (tag, n, o) =>
+        def dec(t: (String, String, Int, Int, Long)): Seq[Long] =
+          DeletionVectors.decode(DeletionVectors.dvBytes(tp,
+            DeletionVectors.Descriptor(t._1, t._2, t._3, t._4, t._5)))
+        val newPos = dec(n)
+        val newSet = newPos.toSet
+        val oldPos = o.map(dec).map(_.toSet).getOrElse(Set.empty[Long])
+        // a DV rewrite that UNMASKS rows (RESTORE) re-inserts them —
+        // not expressible as this feed's delete set; fail loud, never
+        // silently omit the resurrections
+        if (oldPos.exists(p => !newSet.contains(p)))
+          throw new IllegalArgumentException(
+            "a DV rewrite in the polled range resurrects rows " +
+              "(restore?) — not expressible as a change feed; " +
+              "full-refresh the consumer")
+        newPos.iterator.filterNot(oldPos).map(p => (tag, p))
+      }.toDF("__chg_tag", "__chg_pos")
     }
     val cdcFrame = frameOf(indexed.filter(_._1.kind.isEmpty), withCt = true)
-    val wholeFrame = frameOf(indexed.filter(_._1.kind.isDefined),
-      withCt = false)
-    val unioned = (cdcFrame.toSeq ++ wholeFrame.toSeq).reduce(_ unionAll _)
+    val plainGroup = indexed.filter { case (t, _) =>
+      t.kind.isDefined && t.dvExclude.isEmpty && t.dvDelta.isEmpty }
+    val wholeFrame = frameOf(plainGroup, withCt = false)
+    val exclGroup = indexed.filter(_._1.dvExclude.isDefined)
+    val exclFrame = frameOf(exclGroup, withCt = false, withPos = true)
+      .map(_.join(broadcast(positionsDf(exclGroup.map { case (t, i) =>
+          (i, t.dvExclude.get, None) })),
+        Seq("__chg_tag", "__chg_pos"), "left_anti")
+        .drop("__chg_pos"))
+    val deltaGroup = indexed.filter(_._1.dvDelta.isDefined)
+    val deltaFrame = frameOf(deltaGroup, withCt = false, withPos = true)
+      .map(_.join(broadcast(positionsDf(deltaGroup.map { case (t, i) =>
+          (i, t.dvDelta.get._1, t.dvDelta.get._2) })),
+        Seq("__chg_tag", "__chg_pos"), "left_semi")
+        .drop("__chg_pos"))
+    val unioned = (cdcFrame.toSeq ++ wholeFrame.toSeq ++ exclFrame.toSeq ++
+      deltaFrame.toSeq).reduce(_ unionAll _)
     // tag → (change type for whole-file groups, commit version, commit
     // timestamp): ONE broadcast map, no shuffle at any table size.
     // Timestamps bounded to the polled range (+1 predecessor floor

@@ -158,15 +158,53 @@ class DeltaCdfSpec extends SparkSpec {
     assert(e.getMessage.contains("cdc"), e.getMessage)
   }
 
-  test("a DV delete without cdc fails loudly") {
+  test("DV deletes without cdc serve exactly their newly masked rows (merged DVs subtract)") {
     val path = tmp("dv").toString
-    DeltaWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    DeltaWriter.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .orderBy("id").coalesce(1), path)
     DeltaWriter.deleteWhere(spark, path, col("id") === 1L)
-    val e = intercept[IllegalArgumentException] {
-      DeltaLogReader.readChanges(spark, path, afterVersion = 0L)
-    }
-    assert(e.getMessage.toLowerCase.contains("deletion vector") ||
-      e.getMessage.contains("cdc"), e.getMessage)
+    // second delete MERGES into the file's DV: the v2 feed row must be
+    // id 2 alone (new DV {1,2} minus old DV {1})
+    DeltaWriter.deleteWhere(spark, path, col("id") === 2L)
+    val got = DeltaLogReader.readChanges(spark, path, afterVersion = 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "delete", 1L), (2L, "delete", 2L)))
+  }
+
+  test("whole-file remove of a DV-carrying file serves only its LIVE rows; a NEW file arriving with a DV inserts only its live rows") {
+    val root = tmp("dvwhole")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s").orderBy("id")
+    writeFile(df.coalesce(1), root, "f0.parquet")
+    writeFile(Seq((3L, "c"), (4L, "d")).toDF("id", "s").orderBy("id")
+      .coalesce(1), root, "f1.parquet")
+    val (dv0, size0) = graft.sources.DeletionVectors.encodeInline(Seq(0L))
+    def addDv(p: String, inline: String, size: Int, card: Int) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":$card}}}"""
+    def removeDv(p: String, inline: String, size: Int, card: Int) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":$card}}}"""
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      md(df.schema.json),
+      // create WITH a DV masking id 1: only id 2 is ever live
+      addDv("f0.parquet", dv0, size0, 1)).mkString("\n"))
+    // v1: a NEW file arrives already carrying a DV (id 3 masked) —
+    // an insert of its LIVE rows (id 4), not a delete
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      addDv("f1.parquet", dv0, size0, 1))
+    // v2: whole-file remove of the DV-carrying f0 — only the LIVE row
+    // (id 2) dies; re-reporting id 1 would double-delete it
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+      removeDv("f0.parquet", dv0, size0, 1))
+    val got = DeltaLogReader.readChanges(spark, root.toString,
+      afterVersion = -1L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((2L, "insert", 0L), (2L, "delete", 2L),
+      (4L, "insert", 1L)).sorted)
   }
 
   test("readChanges plans scans + ONE broadcast tag join — no shuffle at any size") {
