@@ -2324,6 +2324,33 @@ object SparkEntry {
           afterSnapshotId = 1L)
         .orderBy(col("n_nationkey"))
     }),
+    "q_iceberg_cdf" -> ((s, dir) => {
+      // CHANGELOG scan (the iceberg twin of q_delta_cdf): create with
+      // region<2 (snapshot 1), append the rest (snapshot 2), then a
+      // position-delete commit on %3==0 keys (snapshot 3) — polling
+      // after snapshot 1 serves the appended rows as inserts AND the
+      // delete commit's exact rows as deletes, per-snapshot granularity
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_cdf_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          val nation = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          val W = graft.output.IcebergWriter
+          W.create(nation.filter(col("n_regionkey") < 2)
+            .orderBy(col("n_nationkey")).coalesce(1), root.toString)
+          W.append(nation.filter(col("n_regionkey") >= 2)
+            .orderBy(col("n_nationkey")).coalesce(1), root.toString)
+          W.deleteWhere(s, root.toString, col("n_nationkey") % 3 === 0)
+        }
+      }
+      graft.sources.IcebergReader.readChanges(s, root.toString,
+          afterSnapshotId = 1L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_snapshot_seq"))
+        .orderBy(col("_snapshot_seq"), col("_change_type"),
+          col("n_nationkey"))
+    }),
     "q_iceberg_delete" -> ((s, dir) => {
       // position-delete round-trip: create from nation, mark odd keys
       // deleted (one content=1 manifest), read the live rows back
@@ -3589,6 +3616,17 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(2 AS BIGINT) AS _snapshot_seq
         |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
+    "q_iceberg_cdf" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(v AS BIGINT) AS _snapshot_seq
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS ct, 2 AS v
+        |  FROM nation WHERE n_regionkey >= 2
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 3
+        |  FROM nation WHERE n_nationkey % 3 = 0
+        |)
+        |ORDER BY _snapshot_seq, _change_type, n_nationkey""".stripMargin,
     "q_delta_upsert" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey < 2 THEN upper(n_name) ELSE n_name END AS n_name,

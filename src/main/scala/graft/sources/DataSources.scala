@@ -108,6 +108,14 @@ object DataSources {
         requireLocal("delta")
         reader.parquet(uri)
       case "parquet" => reader.parquet(uri)
+      case "iceberg"
+          if ds.options.contains("changesAfterSnapshotId") =>
+        // the changelog feed on the serving surface — the iceberg twin
+        // of the delta branch's changesAfterVersion
+        requireLocal("iceberg")
+        IcebergReader.readChanges(spark, localPath,
+          ds.options("changesAfterSnapshotId").toLong,
+          ds.options.get("changesUntilSnapshotId").map(_.toLong))
       case "iceberg" => // native metadata/manifest replay (no iceberg jars)
         requireLocal("iceberg")
         IcebergReader.read(spark, localPath,

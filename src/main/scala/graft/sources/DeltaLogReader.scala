@@ -1390,6 +1390,10 @@ object DeltaLogReader {
         newPos.iterator.filterNot(oldPos).map(p => (tag, p))
       }.toDF("__chg_tag", "__chg_pos")
     }
+    // a USING join reorders the key columns to the FRONT of the output,
+    // and the later union is POSITIONAL — every joined branch re-selects
+    // the canonical (dataCols, __ct, __chg_tag) order explicitly
+    val canon = dataCols ++ Seq(col("__ct"), col("__chg_tag"))
     val cdcFrame = frameOf(indexed.filter(_._1.kind.isEmpty), withCt = true)
     val plainGroup = indexed.filter { case (t, _) =>
       t.kind.isDefined && t.dvExclude.isEmpty && t.dvDelta.isEmpty }
@@ -1399,13 +1403,13 @@ object DeltaLogReader {
       .map(_.join(broadcast(positionsDf(exclGroup.map { case (t, i) =>
           (i, t.dvExclude.get, None) })),
         Seq("__chg_tag", "__chg_pos"), "left_anti")
-        .drop("__chg_pos"))
+        .select(canon: _*))
     val deltaGroup = indexed.filter(_._1.dvDelta.isDefined)
     val deltaFrame = frameOf(deltaGroup, withCt = false, withPos = true)
       .map(_.join(broadcast(positionsDf(deltaGroup.map { case (t, i) =>
           (i, t.dvDelta.get._1, t.dvDelta.get._2) })),
         Seq("__chg_tag", "__chg_pos"), "left_semi")
-        .drop("__chg_pos"))
+        .select(canon: _*))
     val unioned = (cdcFrame.toSeq ++ wholeFrame.toSeq ++ exclFrame.toSeq ++
       deltaFrame.toSeq).reduce(_ unionAll _)
     // tag → (change type for whole-file groups, commit version, commit

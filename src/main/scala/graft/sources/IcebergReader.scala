@@ -1970,6 +1970,247 @@ object IcebergReader {
     }.reduce(_ unionByName _)
   }
 
+  /** CHANGELOG scan — the Iceberg twin of
+    * [[DeltaLogReader.readChanges]]: row-level changes between
+    * `afterSnapshotId` (exclusive) and `untilSnapshotId` (inclusive,
+    * default current), each row tagged `_change_type` (insert/delete) /
+    * `_snapshot_seq` / `_commit_timestamp`. Computed as PER-SNAPSHOT
+    * state diffs (so granularity is per commit, not a net range diff):
+    *
+    *  - `replace` snapshots (compaction / z-order / manifest rewrites)
+    *    contribute NOTHING — layout work is invisible to the feed.
+    *  - a file present in the next state but not the previous serves its
+    *    LIVE rows (DV/pos-deletes applied) as `insert`.
+    *  - a file REMOVED by a snapshot (overwrite/delete) serves its rows
+    *    live AS OF the previous state as `delete` — rows its deletes
+    *    had already masked are not re-reported.
+    *  - a file in BOTH states serves its NEWLY masked positions
+    *    (next state's applicable delete set minus the previous state's)
+    *    as `delete` — a DV/pos-delete commit's exact row set; a diff
+    *    that UNMASKS positions (RESTORE) fails loudly rather than
+    *    omitting the resurrections.
+    *  - EQUALITY deletes in either state of a step fail loudly (their
+    *    row sets require evaluating the as-of-prior content against the
+    *    predicates — full-refresh is the honest answer for upsert
+    *    streams in this version).
+    *
+    * Scale: the diff is metadata-plane (cached resolved snapshots);
+    * rows come from one [[GraftFileIndex]] relation per event kind per
+    * step with tag-keyed BROADCAST position joins — plan size grows
+    * with snapshots polled, not table size, and a poll is a bounded
+    * window by construction.
+    */
+  def readChanges(spark: SparkSession, tablePath: String,
+      afterSnapshotId: Long,
+      untilSnapshotId: Option[Long] = None): DataFrame = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    require(schemaDefaults(rootNode).isEmpty,
+      "readChanges does not support v3 initial-default columns")
+    require(specialV3Columns(rootNode) == ((Map.empty, Set.empty, Set.empty)),
+      "readChanges does not support timestamp_ns/unknown/geo columns")
+    require(!currentSchema(rootNode)._1.fields.exists(
+        _.dataType == VariantType),
+      "readChanges does not support variant columns")
+    // snapshot log ordered by sequence number: (id, seq, ts, operation)
+    val snaps = Option(rootNode.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        (s.get("snapshot-id").asLong(),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+            .map(_.asText()).getOrElse("append"))
+      }.sortBy(_._2)
+    val ai = snaps.indexWhere(_._1 == afterSnapshotId)
+    require(ai >= 0,
+      s"baseline snapshot $afterSnapshotId not found (expired?) — " +
+        "full-refresh the consumer")
+    val ui = untilSnapshotId.map { id =>
+      val i = snaps.indexWhere(_._1 == id)
+      require(i >= 0, s"until snapshot $id not found")
+      i
+    }.getOrElse(snaps.size - 1)
+    require(ui >= ai, s"until snapshot precedes the baseline")
+    val (schema, _) = currentSchema(rootNode)
+    val ctField = StructField("_change_type", StringType)
+    val outFields = schema.fields :+ ctField :+
+      StructField("_snapshot_seq", LongType) :+
+      StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)
+    def empty() = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(outFields))
+    if (ai == ui) return empty()
+
+    // one change EVENT per (file, step): kind insert/delete, positions
+    // either EXCLUDED from the scan (a state's applicable delete set)
+    // or the scan RESTRICTED to them (newly masked positions)
+    case class Ev(entry: DataFileEntry, kind: String, seq: Long,
+        tsMs: Long, excl: Option[Snapshot],
+        incl: Option[(Snapshot, Snapshot)])
+    val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
+    (ai until ui).foreach { i =>
+      val (prevId, _, _, _) = snaps(i)
+      val (curId, seq, ts, op) = snaps(i + 1)
+      if (op != "replace") {
+        val a = resolveSnapshot(tablePath, Some(prevId))
+        val b = resolveSnapshot(tablePath, Some(curId))
+        require(a.equalityDeletes.isEmpty && b.equalityDeletes.isEmpty,
+          s"snapshot $curId's step carries equality deletes — their row " +
+            "sets need as-of-prior content evaluation; full-refresh the " +
+            "consumer")
+        val aFiles = a.dataFiles.map(f => normPath(f.path) -> f).toMap
+        val bFiles = b.dataFiles.map(f => normPath(f.path) -> f).toMap
+        // a common file only needs a delete-diff event when this STEP
+        // added a delete source that can touch it: a DV minted at the
+        // step's seq names its target exactly; a parquet position-delete
+        // file at the step's seq can target anything (events for every
+        // common file then, bounded to steps that actually delete) —
+        // without this gate every poll would rescan the whole table
+        val stepParquetDeletes = b.positionDeletes.exists(d =>
+          d.seq == seq && d.referencedDataFile.isEmpty)
+        val stepDvTargets = b.positionDeletes.filter(d =>
+            d.seq == seq && d.referencedDataFile.isDefined)
+          .map(d => normPath(d.referencedDataFile.get)).toSet
+        bFiles.foreach { case (p, f) =>
+          if (!aFiles.contains(p))
+            events += Ev(f, "insert", seq, ts, excl = Some(b), incl = None)
+        }
+        aFiles.foreach { case (p, f) =>
+          if (!bFiles.contains(p))
+            events += Ev(f, "delete", seq, ts, excl = Some(a), incl = None)
+          else if (stepParquetDeletes || stepDvTargets.contains(p))
+            events += Ev(f, "delete", seq, ts, excl = None,
+              incl = Some((a, b))) // newly masked positions only
+        }
+      }
+    }
+    if (events.isEmpty) return empty()
+
+    import spark.implicits._
+    val dataCols = schema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    val tagField = StructField("__chg_tag", StringType)
+    val indexed = events.toSeq.zipWithIndex
+
+    // applicable (tag, pos) delete positions of `state` for the given
+    // tagged files: parquet position-delete rows + puffin DVs, v3
+    // precedence (a DV'd file ignores parquet delete rows), seq
+    // applicability (delete seq >= file's data seq), file→tag fan-out
+    // via one broadcast map
+    def statePos(state: Snapshot,
+        wanted: Seq[(String, String, Long)]): Option[DataFrame] = {
+      if (wanted.isEmpty) return None
+      val wantedPaths = wanted.map(_._1).toSet
+      val (dvAll, parquetPos) =
+        state.positionDeletes.partition(_.referencedDataFile.isDefined)
+      val dvs = dvAll.filter(d =>
+        wantedPaths.contains(normPath(d.referencedDataFile.get)))
+      val dvTargets = dvs.map(d => normPath(d.referencedDataFile.get))
+        .distinct
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val parquetRows =
+        if (parquetPos.isEmpty) None
+        else {
+          val rows = deleteSeqJoined(spark, parquetPos.map(_.path),
+            parquetPos.map(d => (normPath(d.path), d.seq)),
+            Some("file_path string, pos bigint"), "__del_src", "__del_seq",
+            "iceberg changelog")
+            .select(coalesce(norm(col("file_path")),
+                raise_error(lit("iceberg changelog: position delete " +
+                  "file carries no file_path column"))).as("__del_file"),
+              col("pos").as("__del_pos"), col("__del_seq"))
+          Some(if (dvTargets.isEmpty) rows
+            else rows.join(broadcast(dvTargets.toDF("__del_file")),
+              Seq("__del_file"), "left_anti"))
+        }
+      val dvRows =
+        if (dvs.isEmpty) None
+        else Some(PuffinDV.deletedRows(spark, dvs.map(d =>
+          PuffinDV.Dv(d.path, d.contentOffset, d.contentSize,
+            normPath(d.referencedDataFile.get), d.seq, d.recordCount))))
+      val all = (parquetRows.toSeq ++ dvRows.toSeq)
+        .reduceOption(_ unionByName _)
+      all.map(_.join(broadcast(wanted
+          .toDF("__del_file", "__chg_tag", "__file_seq")),
+          Seq("__del_file"))
+        .filter(col("__del_seq") >= col("__file_seq"))
+        .select(col("__chg_tag"), col("__del_pos").as("__chg_pos")))
+    }
+
+    def frameOf(group: Seq[(Ev, Int)], withPos: Boolean)
+        : Option[DataFrame] = {
+      if (group.isEmpty) return None
+      val entries = group.map { case (e, i) =>
+        val p = normPath(e.entry.path)
+        IndexedFile(p,
+          try Files.size(Paths.get(p))
+          catch { case scala.util.control.NonFatal(_) => 1L },
+          Seq(i.toString), (_, _, _) => true)
+      }
+      val scanned = GraftFileIndex.frame(spark,
+        Paths.get(tablePath).toAbsolutePath.normalize,
+        StructType(Seq(tagField)), schema, entries)
+      val pos =
+        if (withPos) Seq(col("_metadata.row_index").as("__chg_pos"))
+        else Nil
+      Some(scanned.select(dataCols ++ pos :+ col("__chg_tag"): _*))
+    }
+    def posOf(group: Seq[(Ev, Int)], pick: Ev => Snapshot)
+        : Option[DataFrame] = {
+      val byState = group.groupBy { case (e, _) => pick(e) }
+      byState.flatMap { case (state, evs) =>
+        statePos(state, evs.map { case (e, i) =>
+          (normPath(e.entry.path), i.toString, e.entry.seq) })
+      }.reduceOption(_ unionByName _)
+    }
+    // a USING join reorders the key columns to the FRONT of the output,
+    // and the later union is POSITIONAL — every branch re-selects the
+    // canonical (dataCols, __chg_tag) order explicitly
+    val canon = dataCols :+ col("__chg_tag")
+    val exclGroup = indexed.filter(_._1.excl.isDefined)
+    val exclFrame = frameOf(exclGroup, withPos = true).map { f =>
+      (posOf(exclGroup, _.excl.get) match {
+        case Some(p) => f.join(broadcast(p),
+          Seq("__chg_tag", "__chg_pos"), "left_anti")
+        case None => f
+      }).select(canon: _*)
+    }
+    val inclGroup = indexed.filter(_._1.incl.isDefined)
+    val inclFrame = inclGroup.headOption.flatMap { _ =>
+      val posB = posOf(inclGroup, _.incl.get._2)
+      val posA = posOf(inclGroup, _.incl.get._1)
+      val newly = (posB, posA) match {
+        case (Some(b), Some(a)) =>
+          // RESTORE guard: a position masked in A but not in B was
+          // resurrected — not expressible as a change feed
+          require(a.join(b, Seq("__chg_tag", "__chg_pos"), "left_anti")
+              .isEmpty,
+            "a delete-set diff in the polled range resurrects rows " +
+              "(restore?) — not expressible as a change feed; " +
+              "full-refresh the consumer")
+          Some(b.join(broadcast(a), Seq("__chg_tag", "__chg_pos"),
+            "left_anti"))
+        case (b, None) => b
+        case (None, _) => None
+      }
+      newly.flatMap(p => frameOf(inclGroup, withPos = true).map(f =>
+        f.join(broadcast(p), Seq("__chg_tag", "__chg_pos"), "left_semi")
+          .select(canon: _*)))
+    }
+    val unioned = (exclFrame.toSeq ++ inclFrame.toSeq) match {
+      case Nil => return empty()
+      case fs => fs.reduce(_ unionAll _)
+    }
+    val tagDf = broadcast(indexed.map { case (e, i) =>
+      (i.toString, e.kind, e.seq, new java.sql.Timestamp(e.tsMs))
+    }.toDF("__chg_tag", "_change_type", "_snapshot_seq",
+      "_commit_timestamp"))
+    unioned.join(tagDf, Seq("__chg_tag"))
+      .select(dataCols ++ Seq(col("_change_type"),
+        col("_snapshot_seq"), col("_commit_timestamp")): _*)
+  }
+
   // ---------- helpers ----------
 
   /** Paths inside metadata carry the table's declared `location` (often a

@@ -167,10 +167,15 @@ class DeltaCdfSpec extends SparkSpec {
     // second delete MERGES into the file's DV: the v2 feed row must be
     // id 2 alone (new DV {1,2} minus old DV {1})
     DeltaWriter.deleteWhere(spark, path, col("id") === 2L)
+    // a plain append rides the same range: the positional union of the
+    // insert and DV-delta branches must stay column-aligned (a USING
+    // join reorders keys to the front — regression pin)
+    DeltaWriter.append(Seq((4L, "d")).toDF("id", "s"), path)
     val got = DeltaLogReader.readChanges(spark, path, afterVersion = 0L)
-      .select("id", "_change_type", "_commit_version")
-      .as[(Long, String, Long)].collect().sorted.toSeq
-    assert(got == Seq((1L, "delete", 1L), (2L, "delete", 2L)))
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", "delete", 1L), (2L, "b", "delete", 2L),
+      (4L, "d", "insert", 3L)))
   }
 
   test("whole-file remove of a DV-carrying file serves only its LIVE rows; a NEW file arriving with a DV inserts only its live rows") {

@@ -1,0 +1,125 @@
+package graft
+
+import graft.output.IcebergWriter
+import graft.sources.IcebergReader
+import org.apache.spark.sql.functions._
+import java.nio.file.Paths
+
+/** Iceberg CHANGELOG scan ([[IcebergReader.readChanges]]): per-snapshot
+  * state diffs — appends as inserts, position-delete/DV commits as
+  * exactly their newly masked rows, overwrites as live-row deletes plus
+  * inserts, `replace` (compaction) invisible, equality deletes loud.
+  * Writer snapshot ids are their sequence numbers (1, 2, ...), which the
+  * tests lean on.
+  */
+class IcebergChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ibchg_${tag}_${System.nanoTime()}").toString
+
+  private def changes(path: String, after: Long,
+      until: Option[Long] = None): Seq[(Long, String, Long)] =
+    IcebergReader.readChanges(spark, path, after, until)
+      .select("id", "_change_type", "_snapshot_seq")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+  test("appends insert; a position-delete commit serves exactly its newly masked rows") {
+    val path = tmp("basic")
+    IcebergWriter.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .orderBy("id").coalesce(1), path)
+    IcebergWriter.append(Seq((4L, "d"), (5L, "e")).toDF("id", "s")
+      .orderBy("id").coalesce(1), path)
+    IcebergWriter.deleteWhere(spark, path, col("id") === 1L || col("id") === 4L)
+    assert(changes(path, after = 1L) == Seq(
+      (1L, "delete", 3L), (4L, "delete", 3L),
+      (4L, "insert", 2L), (5L, "insert", 2L)).sorted)
+    // a SECOND delete on an already-deleted-from file reports only the
+    // newly masked row
+    IcebergWriter.deleteWhere(spark, path, col("id") === 2L)
+    assert(changes(path, after = 3L) == Seq((2L, "delete", 4L)))
+  }
+
+  test("untilSnapshotId bounds the feed; empty range is empty") {
+    val path = tmp("until")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "s"), path)
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "s"), path)
+    assert(changes(path, after = 1L, until = Some(2L)) ==
+      Seq((2L, "insert", 2L)))
+    assert(changes(path, after = 2L, until = Some(2L)) == Nil)
+  }
+
+  test("compaction (replace) is invisible; changes around it still serve") {
+    val path = tmp("compact")
+    IcebergWriter.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").orderBy("id").coalesce(1),
+      path)
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "s"), path)
+    val rewritten = IcebergWriter.rewriteDataFiles(spark, path)
+    assert(rewritten > 0, "compaction rewrote nothing")
+    IcebergWriter.append(Seq((4L, "d")).toDF("id", "s"), path)
+    assert(changes(path, after = 1L) == Seq(
+      (3L, "insert", 2L), (4L, "insert", 4L)).sorted)
+  }
+
+  test("overwrite serves live-row deletes of the replaced state plus inserts") {
+    val path = tmp("overwrite")
+    IcebergWriter.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").orderBy("id").coalesce(1),
+      path)
+    // mask id 1 first: the overwrite's delete set must be LIVE rows
+    // only (id 2), never the already-deleted id 1
+    IcebergWriter.deleteWhere(spark, path, col("id") === 1L)
+    IcebergWriter.overwrite(Seq((9L, "z")).toDF("id", "s"), path)
+    assert(changes(path, after = 2L) == Seq(
+      (2L, "delete", 3L), (9L, "insert", 3L)).sorted)
+  }
+
+  test("equality deletes (upsert) in a step fail loudly") {
+    val path = tmp("eq")
+    IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    IcebergWriter.upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "s"), path,
+      keyCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      changes(path, after = 1L)
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+  }
+
+  test("v3 DV deletes serve their newly masked rows too") {
+    val path = tmp("v3dv")
+    IcebergWriter.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .orderBy("id").coalesce(1), path, formatVersion = 3)
+    IcebergWriter.deleteWhere(spark, path, col("id") === 2L)
+    IcebergWriter.deleteWhere(spark, path, col("id") === 3L)
+    assert(changes(path, after = 1L) == Seq(
+      (2L, "delete", 2L), (3L, "delete", 3L)).sorted)
+  }
+
+  test("the changelog serves through the datasource surface (`changesAfterSnapshotId`)") {
+    val path = tmp("serve")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "s"), path)
+    IcebergWriter.append(Seq((3L, "c")).toDF("id", "s"), path)
+    val frame = graft.sources.DataSources.read(spark,
+      graft.config.DatasourceConfig(path, fileType = "iceberg",
+        options = Map("changesAfterSnapshotId" -> "1",
+          "changesUntilSnapshotId" -> "2")))
+    val got = frame.select("id", "_change_type")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "insert")))
+  }
+
+  test("an expired/unknown baseline fails loudly") {
+    val path = tmp("expired")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    val e = intercept[IllegalArgumentException] {
+      changes(path, after = 77L)
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+}
