@@ -1348,10 +1348,15 @@ object IcebergWriter {
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
     val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+    // ancestry: the commit's parent is the PREVIOUS current head — the
+    // chain the changelog scan and branch fast-forward both walk
+    val parent = Option(st.md.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong()).filter(_ >= 0)
     st.md.put("last-sequence-number", seq)
     st.md.put("last-updated-ms", ts)
     st.md.put("current-snapshot-id", seq)
-    val snap = snapshotNode(seq, seq, list, ts, operation, summary)
+    val snap = snapshotNode(seq, seq, list, ts, operation, summary,
+      parent = parent)
     assignRowLineage(st.md, snap, addedRows, lineage)
     st.md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snap)
@@ -1408,12 +1413,15 @@ object IcebergWriter {
       .flatMap(_.elements().asScala)
       .map(_.get("timestamp-ms").asLong()).maxOption.getOrElse(0L)
     val ts = math.max(prevMaxTs + 1, System.currentTimeMillis())
+    val parent = Option(md.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong()).filter(_ >= 0)
     md.put("last-sequence-number", seq)
     md.put("last-updated-ms", ts)
     md.put("current-snapshot-id", seq)
     val snap = snapshotNode(seq, seq, list, ts, "delete", Map(
       "added-delete-files" -> written.size.toString,
-      "added-position-deletes" -> matchedCount.toString))
+      "added-position-deletes" -> matchedCount.toString),
+      parent = parent)
     assignRowLineage(md, snap, 0L) // deletes add no rows
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snap)

@@ -1208,9 +1208,11 @@ object DeltaLogReader {
     * rule timestamp time travel uses.
     *
     * Scale: commit JSONs parse driver-side (O(commits polled), the same
-    * metadata plane as [[readAppends]]); rows come from at most three
-    * [[GraftFileIndex]] relations (cdc / insert / delete file groups) and
-    * the per-file tags ride two BROADCAST maps — no shuffle at any size.
+    * metadata plane as [[readAppends]]); rows come from at most FOUR
+    * [[GraftFileIndex]] relations (cdc / plain / DV-excluded /
+    * DV-delta groups), position sets decode on executors and ride
+    * BROADCAST (tag, pos) joins, and the per-event tags one broadcast
+    * map — no shuffle at any size.
     */
   def readChanges(spark: SparkSession, tablePath: String,
       afterVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
@@ -1255,47 +1257,51 @@ object DeltaLogReader {
           Option(a.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
         val removes = of("remove").filter(r =>
           Option(r.get("dataChange")).forall(_.asBoolean)).map(parseAdd)
-        val dvAdds = adds.filter(_.deletionVector.isDefined)
-        if (adds.nonEmpty && removes.nonEmpty) {
-          // delta-spark's DV-delete shape: every add re-adds a removed
-          // path with a (merged) DV — the newly masked rows are the
-          // commit's deletes. Any OTHER add+remove mix is a rewrite
-          // whose row-level delta file actions cannot express.
-          require(dvAdds.size == adds.size &&
-              adds.map(_.path).toSet == removes.map(_.path).toSet,
-            s"commit $v rewrites data (adds AND removes) without a cdc " +
-              "action — its row-level changes are not reconstructable; " +
-              "full-refresh the consumer (or enable the change data " +
-              "feed on the producer)")
-          val oldByPath = removes.map(r => r.path -> r.deletionVector).toMap
-          adds.map(a => Tagged(a, v, Some("delete"),
-            dvDelta = Some((a.deletionVector.get, oldByPath(a.path)))))
-        } else if (dvAdds.nonEmpty && v > 0) {
-          // remove-less DV adds (this repo's own deleteWhere shape): a
-          // re-add of a file the PREDECESSOR snapshot already held is a
-          // DV-delete (newly masked rows = new DV ∖ the prior entry's
-          // DV); a genuinely NEW file arriving with a DV is an insert
-          // of its live rows. Plain adds riding along stay inserts.
-          lazy val prev = snapshot(spark, tablePath, Some(v - 1))
-          adds.map { a =>
-            a.deletionVector match {
-              case None => Tagged(a, v, Some("insert"))
-              case Some(dv) => prev.files.find(_.path == a.path) match {
-                case Some(pf) => Tagged(a, v, Some("delete"),
-                  dvDelta = Some((dv, pf.deletionVector)))
-                case None =>
-                  Tagged(a, v, Some("insert"), dvExclude = Some(dv))
-              }
-            }
+        // Per-PATH classification (one rule covers every DV-delete
+        // shape, including the mixed commit delta-spark emits when a
+        // predicate empties one file and partially masks another):
+        //  - an add WITHOUT a DV is an insert — but never legal
+        //    alongside removes (that's a rewrite the file actions
+        //    cannot express row-level).
+        //  - an add WITH a DV re-adding a file the prior state held is
+        //    a DV-delete: newly masked rows = new DV ∖ the old DV (the
+        //    remove action's descriptor when paired, else the
+        //    predecessor snapshot's entry — the remove's field is
+        //    OPTIONAL and omitting it must not re-report old deletes).
+        //  - an add WITH a DV of a genuinely NEW file (and a v0
+        //    create-with-DV) is an insert of its LIVE rows.
+        //  - a remove with no matching re-add is a whole-file delete of
+        //    its LIVE rows (its own descriptor, else the predecessor
+        //    snapshot's entry's).
+        require(removes.isEmpty || adds.forall(_.deletionVector.isDefined),
+          s"commit $v rewrites data (adds AND removes) without a cdc " +
+            "action — its row-level changes are not reconstructable; " +
+            "full-refresh the consumer (or enable the change data " +
+            "feed on the producer)")
+        lazy val prevByPath: Map[String, AddFile] =
+          if (v == 0) Map.empty
+          else snapshot(spark, tablePath, Some(v - 1)).files
+            .map(f => f.path -> f).toMap
+        val removedByPath = removes.map(r => r.path -> r).toMap
+        val addPaths = adds.map(_.path).toSet
+        def oldDvOf(path: String,
+            fromRemove: Option[AddFile]): Option[DeletionVectors.Descriptor] =
+          fromRemove.flatMap(_.deletionVector)
+            .orElse(prevByPath.get(path).flatMap(_.deletionVector))
+        adds.map { a =>
+          a.deletionVector match {
+            case None => Tagged(a, v, Some("insert"))
+            case Some(dv) =>
+              val paired = removedByPath.get(a.path)
+              if (paired.isDefined || prevByPath.contains(a.path))
+                Tagged(a, v, Some("delete"),
+                  dvDelta = Some((dv, oldDvOf(a.path, paired))))
+              else Tagged(a, v, Some("insert"), dvExclude = Some(dv))
           }
-        } else {
-          // plain appends (a v0 create-with-DV inserts only its live
-          // rows) and whole-file removes (a DV-carrying removed file
-          // only has its live rows as deletes)
-          adds.map(a => Tagged(a, v, Some("insert"),
-            dvExclude = a.deletionVector)) ++
-            removes.map(r => Tagged(r, v, Some("delete"),
-              dvExclude = r.deletionVector))
+        } ++ removes.filterNot(r => addPaths.contains(r.path)).map { r =>
+          Tagged(r, v, Some("delete"),
+            dvExclude = r.deletionVector.orElse(
+              prevByPath.get(r.path).flatMap(_.deletionVector)))
         }
       }
     }
@@ -1373,9 +1379,17 @@ object DeltaLogReader {
           o.map(x => (x.storageType, x.pathOrInlineDv, x.offset,
             x.sizeInBytes, x.cardinality)))
       }).flatMap { case (tag, n, o) =>
-        def dec(t: (String, String, Int, Int, Long)): Seq[Long] =
-          DeletionVectors.decode(DeletionVectors.dvBytes(tp,
+        def dec(t: (String, String, Int, Int, Long)): Seq[Long] = {
+          val positions = DeletionVectors.decode(DeletionVectors.dvBytes(tp,
             DeletionVectors.Descriptor(t._1, t._2, t._3, t._4, t._5)))
+          // the under-delete guard every DV consumer enforces: a
+          // truncated sidecar that still decodes must not silently
+          // shrink the feed's delete set
+          require(positions.length == t._5,
+            s"change-feed DV decoded ${positions.length} positions, " +
+              s"descriptor says ${t._5}")
+          positions
+        }
         val newPos = dec(n)
         val newSet = newPos.toSet
         val oldPos = o.map(dec).map(_.toSet).getOrElse(Set.empty[Long])

@@ -2012,25 +2012,51 @@ object IcebergReader {
     require(!currentSchema(rootNode)._1.fields.exists(
         _.dataType == VariantType),
       "readChanges does not support variant columns")
-    // snapshot log ordered by sequence number: (id, seq, ts, operation)
-    val snaps = Option(rootNode.get("snapshots")).toSeq
+    // snapshot catalogue: id → (seq, ts, operation, parent). The walk
+    // follows the CURRENT ANCESTRY (parent-snapshot-id chain), never the
+    // raw list order — staged WAP snapshots and rolled-back branches
+    // live in the list without being part of the served lineage, and a
+    // seq-ordered walk would report their never-published rows as
+    // phantom changes.
+    case class SnapMeta(id: Long, seq: Long, ts: Long, op: String,
+        parent: Option[Long])
+    val byId: Map[Long, SnapMeta] = Option(rootNode.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).map { s =>
-        (s.get("snapshot-id").asLong(),
+        val id = s.get("snapshot-id").asLong()
+        id -> SnapMeta(id,
           Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
           Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
           Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
-            .map(_.asText()).getOrElse("append"))
-      }.sortBy(_._2)
-    val ai = snaps.indexWhere(_._1 == afterSnapshotId)
-    require(ai >= 0,
+            .map(_.asText()).getOrElse("append"),
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong()))
+      }.toMap
+    require(byId.contains(afterSnapshotId),
       s"baseline snapshot $afterSnapshotId not found (expired?) — " +
         "full-refresh the consumer")
-    val ui = untilSnapshotId.map { id =>
-      val i = snaps.indexWhere(_._1 == id)
-      require(i >= 0, s"until snapshot $id not found")
-      i
-    }.getOrElse(snaps.size - 1)
-    require(ui >= ai, s"until snapshot precedes the baseline")
+    val untilId = untilSnapshotId.getOrElse {
+      val cur = Option(rootNode.get("current-snapshot-id"))
+        .map(_.asLong()).getOrElse(-1L)
+      require(cur >= 0, s"$tablePath has no current snapshot")
+      cur
+    }
+    require(byId.contains(untilId), s"until snapshot $untilId not found")
+    // ancestry from until back to the baseline (exclusive)
+    val lineage: Seq[SnapMeta] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SnapMeta]
+      var cur: Option[Long] = Some(untilId)
+      while (cur.isDefined && cur.get != afterSnapshotId) {
+        val m = byId.getOrElse(cur.get, throw new IllegalArgumentException(
+          s"snapshot ${cur.get} in the ancestry chain was expired — " +
+            "full-refresh the consumer"))
+        buf += m
+        cur = m.parent
+      }
+      require(cur.contains(afterSnapshotId) || untilId == afterSnapshotId,
+        s"snapshot $afterSnapshotId is not an ancestor of $untilId " +
+          "(rollback or branch divergence) — full-refresh the consumer")
+      buf.reverse.toSeq
+    }
     val (schema, _) = currentSchema(rootNode)
     val ctField = StructField("_change_type", StringType)
     val outFields = schema.fields :+ ctField :+
@@ -2040,7 +2066,7 @@ object IcebergReader {
     def empty() = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(outFields))
-    if (ai == ui) return empty()
+    if (lineage.isEmpty) return empty()
 
     // one change EVENT per (file, step): kind insert/delete, positions
     // either EXCLUDED from the scan (a state's applicable delete set)
@@ -2049,9 +2075,9 @@ object IcebergReader {
         tsMs: Long, excl: Option[Snapshot],
         incl: Option[(Snapshot, Snapshot)])
     val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
-    (ai until ui).foreach { i =>
-      val (prevId, _, _, _) = snaps(i)
-      val (curId, seq, ts, op) = snaps(i + 1)
+    var prevId = afterSnapshotId
+    lineage.foreach { m =>
+      val (curId, seq, ts, op) = (m.id, m.seq, m.ts, m.op)
       if (op != "replace") {
         val a = resolveSnapshot(tablePath, Some(prevId))
         val b = resolveSnapshot(tablePath, Some(curId))
@@ -2062,13 +2088,23 @@ object IcebergReader {
         val aFiles = a.dataFiles.map(f => normPath(f.path) -> f).toMap
         val bFiles = b.dataFiles.map(f => normPath(f.path) -> f).toMap
         // a common file only needs a delete-diff event when this STEP
-        // added a delete source that can touch it: a DV minted at the
+        // changed a delete source that can touch it: a DV minted at the
         // step's seq names its target exactly; a parquet position-delete
         // file at the step's seq can target anything (events for every
-        // common file then, bounded to steps that actually delete) —
-        // without this gate every poll would rescan the whole table
-        val stepParquetDeletes = b.positionDeletes.exists(d =>
-          d.seq == seq && d.referencedDataFile.isEmpty)
+        // common file then, bounded to steps that actually delete); and
+        // a DROPPED delete file (rollback-and-continue) can UNMASK any
+        // file — events for every common file then, so the RESTORE
+        // guard below fires loudly instead of silently omitting the
+        // resurrections. Without this gate every poll would rescan the
+        // whole table.
+        val aDel = a.positionDeletes
+          .map(d => (normPath(d.path), d.seq)).toSet
+        val bDel = b.positionDeletes
+          .map(d => (normPath(d.path), d.seq)).toSet
+        val scanAllCommon =
+          b.positionDeletes.exists(d =>
+            d.seq == seq && d.referencedDataFile.isEmpty) ||
+          (aDel -- bDel).nonEmpty
         val stepDvTargets = b.positionDeletes.filter(d =>
             d.seq == seq && d.referencedDataFile.isDefined)
           .map(d => normPath(d.referencedDataFile.get)).toSet
@@ -2079,11 +2115,12 @@ object IcebergReader {
         aFiles.foreach { case (p, f) =>
           if (!bFiles.contains(p))
             events += Ev(f, "delete", seq, ts, excl = Some(a), incl = None)
-          else if (stepParquetDeletes || stepDvTargets.contains(p))
+          else if (scanAllCommon || stepDvTargets.contains(p))
             events += Ev(f, "delete", seq, ts, excl = None,
               incl = Some((a, b))) // newly masked positions only
         }
       }
+      prevId = curId
     }
     if (events.isEmpty) return empty()
 
@@ -2096,13 +2133,20 @@ object IcebergReader {
     // tagged files: parquet position-delete rows + puffin DVs, v3
     // precedence (a DV'd file ignores parquet delete rows), seq
     // applicability (delete seq >= file's data seq), file→tag fan-out
-    // via one broadcast map
+    // via one broadcast map. Parquet delete files PRUNE by their
+    // file_path bounds against the wanted entries (the scan path's own
+    // prunePositionDeletes) — per-poll delete reads stay O(relevant),
+    // not O(the table's whole delete history).
     def statePos(state: Snapshot,
-        wanted: Seq[(String, String, Long)]): Option[DataFrame] = {
-      if (wanted.isEmpty) return None
+        wantedEntries: Seq[(DataFileEntry, String)]): Option[DataFrame] = {
+      if (wantedEntries.isEmpty) return None
+      val wanted = wantedEntries.map { case (e, tag) =>
+        (normPath(e.path), tag, e.seq) }
       val wantedPaths = wanted.map(_._1).toSet
-      val (dvAll, parquetPos) =
+      val (dvAll, parquetAll) =
         state.positionDeletes.partition(_.referencedDataFile.isDefined)
+      val parquetPos =
+        prunePositionDeletes(parquetAll, wantedEntries.map(_._1))
       val dvs = dvAll.filter(d =>
         wantedPaths.contains(normPath(d.referencedDataFile.get)))
       val dvTargets = dvs.map(d => normPath(d.referencedDataFile.get))
@@ -2145,7 +2189,13 @@ object IcebergReader {
         val p = normPath(e.entry.path)
         IndexedFile(p,
           try Files.size(Paths.get(p))
-          catch { case scala.util.control.NonFatal(_) => 1L },
+          catch { case scala.util.control.NonFatal(ex) =>
+            // loud at PLAN time: a silent size fallback would let Spark
+            // plan an empty split and the event's rows vanish
+            throw new IllegalArgumentException(
+              s"iceberg changelog: change file $p is unreadable " +
+                s"(vacuumed?): $ex")
+          },
           Seq(i.toString), (_, _, _) => true)
       }
       val scanned = GraftFileIndex.frame(spark,
@@ -2160,8 +2210,7 @@ object IcebergReader {
         : Option[DataFrame] = {
       val byState = group.groupBy { case (e, _) => pick(e) }
       byState.flatMap { case (state, evs) =>
-        statePos(state, evs.map { case (e, i) =>
-          (normPath(e.entry.path), i.toString, e.entry.seq) })
+        statePos(state, evs.map { case (e, i) => (e.entry, i.toString) })
       }.reduceOption(_ unionByName _)
     }
     // a USING join reorders the key columns to the FRONT of the output,

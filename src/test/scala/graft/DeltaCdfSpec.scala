@@ -212,6 +212,35 @@ class DeltaCdfSpec extends SparkSpec {
       (4L, "insert", 1L)).sorted)
   }
 
+  test("a mixed DV commit (one file fully removed, one pair-masked) serves both halves") {
+    // delta-spark's DELETE WHERE shape when the predicate empties one
+    // file and partially masks another: remove(f0) + remove(f1)+add(f1
+    // with DV) in ONE commit — reconstructable per path, never loud
+    val root = tmp("mixed")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s").orderBy("id")
+    writeFile(df.coalesce(1), root, "f0.parquet")
+    writeFile(Seq((3L, "c"), (4L, "d")).toDF("id", "s").orderBy("id")
+      .coalesce(1), root, "f1.parquet")
+    val (dv0, size0) = graft.sources.DeletionVectors.encodeInline(Seq(0L))
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      md(df.schema.json), add("f0.parquet"), add("f1.parquet"))
+      .mkString("\n"))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"), Seq(
+      remove("f0.parquet"),
+      remove("f1.parquet"),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$dv0","sizeInBytes":$size0,"cardinality":1}}}""")
+      .mkString("\n"))
+    val got = DeltaLogReader.readChanges(spark, root.toString,
+      afterVersion = 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "delete", 1L), (2L, "delete", 1L),
+      (3L, "delete", 1L)))
+  }
+
   test("readChanges plans scans + ONE broadcast tag join — no shuffle at any size") {
     val root = cdfTable("plan")
     val df = DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)

@@ -114,6 +114,26 @@ class IcebergChangelogSpec extends SparkSpec {
     assert(got == Seq((2L, "insert")))
   }
 
+  test("branch/WAP snapshots outside the current ancestry are invisible; a non-ancestor baseline is loud") {
+    val path = tmp("wap")
+    IcebergWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
+    IcebergWriter.createBranch(path, "wap")
+    // a staged write on the branch: in the snapshot LIST, not in main's
+    // ancestry — a seq-ordered walk would phantom-report its rows
+    IcebergWriter.append(Seq((99L, "staged")).toDF("id", "s"), path,
+      branch = Some("wap"))
+    IcebergWriter.append(Seq((2L, "b")).toDF("id", "s"), path)
+    val got = changes(path, after = 1L)
+    assert(got.map(_._1) == Seq(2L), got.toString)
+    // polling FROM the branch snapshot against main's current is a
+    // divergence, not a feed
+    val branchSnap = 2L // writer ids are sequence numbers
+    val e = intercept[IllegalArgumentException] {
+      changes(path, after = branchSnap)
+    }
+    assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+  }
+
   test("an expired/unknown baseline fails loudly") {
     val path = tmp("expired")
     IcebergWriter.create(Seq((1L, "a")).toDF("id", "s"), path)
