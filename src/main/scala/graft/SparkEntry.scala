@@ -397,6 +397,28 @@ object SparkEntry {
       root.toString
     }
 
+  /** Three-snapshot Iceberg table over `nation` shared by the changelog
+    * gates (`q_iceberg_cdf`, `q_stream_iceberg_cdf`): snapshot 1 =
+    * region<2, snapshot 2 appends the rest, snapshot 3 position-deletes
+    * the %3==0 keys.
+    */
+  private def icebergCdfFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_cdf_gate_v1_${math.abs(dir.hashCode)}")
+      gateFixture(root) {
+        val nation = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val W = graft.output.IcebergWriter
+        W.create(nation.filter(col("n_regionkey") < 2)
+          .orderBy(col("n_nationkey")).coalesce(1), root.toString)
+        W.append(nation.filter(col("n_regionkey") >= 2)
+          .orderBy(col("n_nationkey")).coalesce(1), root.toString)
+        W.deleteWhere(s, root.toString, col("n_nationkey") % 3 === 0)
+      }
+      root.toString
+    }
+
   /** COLUMN-MAPPED (mode=name) Delta table over `nation` whose parquet
     * files carry PHYSICAL uuid-style column names, then the two
     * maintenance ops the mapping guard used to block (reference
@@ -1986,6 +2008,26 @@ object SparkEntry {
         .orderBy(col("_commit_version"), col("_change_type"),
           col("n_nationkey"))
     }),
+    "q_stream_delta_cdf" -> ((s, dir) => {
+      // the CDF feed consumed AS A STREAM (graft.streaming.ChangeSources):
+      // same foreign fixture as q_delta_cdf, but served through the
+      // Structured-Streaming source from "earliest" with
+      // maxCommitsPerBatch=1 — one micro-batch per commit (v0 create,
+      // v1 cdc update/delete, v2 append), engine-checkpointed offsets,
+      // memory-sinked; the oracle reconstructs every change row from
+      // nation including v0's initial inserts
+      val root = deltaCdfFixture(s, dir)
+      val q = graft.streaming.ChangeSources.delta(s, root, feed = "cdf",
+          startingVersion = "earliest", maxCommitsPerBatch = Some(1))
+        .writeStream.format("memory").queryName("stream_delta_cdf_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_delta_cdf_gate")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("n_nationkey"))
+    }),
     "q_delta_changes" -> ((s, dir) => {
       // append-only change feed: create with region<2 (version 0), append
       // the rest (version 1), poll changes after version 0 — only the
@@ -2330,22 +2372,28 @@ object SparkEntry {
       // position-delete commit on %3==0 keys (snapshot 3) — polling
       // after snapshot 1 serves the appended rows as inserts AND the
       // delete commit's exact rows as deletes, per-snapshot granularity
-      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_iceberg_cdf_gate_v1_${math.abs(dir.hashCode)}")
-      SparkEntry.synchronized {
-        gateFixture(root) {
-          val nation = Tables.load(s, dir, "nation")
-            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-          val W = graft.output.IcebergWriter
-          W.create(nation.filter(col("n_regionkey") < 2)
-            .orderBy(col("n_nationkey")).coalesce(1), root.toString)
-          W.append(nation.filter(col("n_regionkey") >= 2)
-            .orderBy(col("n_nationkey")).coalesce(1), root.toString)
-          W.deleteWhere(s, root.toString, col("n_nationkey") % 3 === 0)
-        }
-      }
-      graft.sources.IcebergReader.readChanges(s, root.toString,
+      val root = icebergCdfFixture(s, dir)
+      graft.sources.IcebergReader.readChanges(s, root,
           afterSnapshotId = 1L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_snapshot_seq"))
+        .orderBy(col("_snapshot_seq"), col("_change_type"),
+          col("n_nationkey"))
+    }),
+    "q_stream_iceberg_cdf" -> ((s, dir) => {
+      // the changelog consumed AS A STREAM: same fixture as
+      // q_iceberg_cdf, served through the Structured-Streaming source
+      // from baseline snapshot 1 with maxSnapshotsPerBatch=1 — one
+      // micro-batch per snapshot (append, then position-delete),
+      // ancestry-walked offsets, memory-sinked; oracle identical to
+      // q_iceberg_cdf's reconstruction
+      val root = icebergCdfFixture(s, dir)
+      val q = graft.streaming.ChangeSources.iceberg(s, root,
+          startingSnapshotId = Some(1L), maxSnapshotsPerBatch = Some(1))
+        .writeStream.format("memory").queryName("stream_iceberg_cdf_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_iceberg_cdf_gate")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("_change_type"), col("_snapshot_seq"))
         .orderBy(col("_snapshot_seq"), col("_change_type"),
@@ -3612,11 +3660,46 @@ object SparkEntry {
         |  FROM nation WHERE n_regionkey >= 2
         |)
         |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
+    "q_stream_delta_cdf" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
+        |              FROM nation WHERE n_regionkey < 2)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(v AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS ct, 0 AS v
+        |  FROM base
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'update_preimage', 1
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, lower(n_name), n_regionkey,
+        |         'update_postimage', 1
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1
+        |  FROM base WHERE n_nationkey % 2 = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert', 2
+        |  FROM nation WHERE n_regionkey >= 2
+        |)
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q_iceberg_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(2 AS BIGINT) AS _snapshot_seq
         |FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
     "q_iceberg_cdf" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(v AS BIGINT) AS _snapshot_seq
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS ct, 2 AS v
+        |  FROM nation WHERE n_regionkey >= 2
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 3
+        |  FROM nation WHERE n_nationkey % 3 = 0
+        |)
+        |ORDER BY _snapshot_seq, _change_type, n_nationkey""".stripMargin,
+    "q_stream_iceberg_cdf" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |       ct AS _change_type, CAST(v AS BIGINT) AS _snapshot_seq
         |FROM (

@@ -903,7 +903,8 @@ object DeltaLogReader {
       versionAsOf: Option[Long] = None,
       skipFilters: Seq[SkipPredicate] = Nil,
       withLineage: Boolean = false,
-      asOfTimestampMs: Option[Long] = None): DataFrame = {
+      asOfTimestampMs: Option[Long] = None,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
     // an explicit version wins over a timestamp (the Iceberg side's rule,
     // IcebergReader.resolveSnapshot); a timestamp resolves to a version
     // first so the snapshot cache keys stay purely version-shaped
@@ -923,7 +924,7 @@ object DeltaLogReader {
     // Strictly plan-narrowing and fail-open: files without stats or
     // bounds, unparseable values and unknown columns are all kept, and
     // the caller's real predicate still applies on the frame.
-    val snap =
+    val snapS =
       if (skipFilters.isEmpty) snap0
       else {
         val typed = skipFilters.flatMap(p => snap0.schema.fields
@@ -936,6 +937,18 @@ object DeltaLogReader {
               fld.dataType)
           }))
       }
+    // file-subset reads (the change feed's rewrite reconstruction):
+    // every requested log path must exist in this snapshot — a silently
+    // absent file would shrink the caller's row set without a word
+    val snap = onlyFiles match {
+      case None => snapS
+      case Some(keep) =>
+        val kept = snapS.files.filter(f => keep.contains(f.path))
+        require(kept.size == keep.size,
+          s"onlyFiles: ${keep.size - kept.size} requested path(s) absent " +
+            s"from snapshot v${snapS.version} of $tablePath")
+        snapS.copy(files = kept)
+    }
     val mode = snap.columnMappingMode
     val mapped = mode == "name" || mode == "id"
     val dataFields = snap.dataSchema.fields

@@ -1970,6 +1970,56 @@ object IcebergReader {
     }.reduce(_ unionByName _)
   }
 
+  /** The table's current snapshot id, `None` before the first commit —
+    * the metadata-plane probe a streaming poller runs per trigger
+    * (one JSON read, no manifest work).
+    */
+  def currentSnapshotId(tablePath: String): Option[Long] = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    Option(rootNode.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ >= 0)
+  }
+
+  /** Snapshot ids strictly after `afterSnapshotId` on the CURRENT
+    * ancestry (parent-snapshot-id chain), oldest → newest — the exact
+    * lineage [[readChanges]] will walk, so a poller can split it into
+    * rate-limited windows whose batches are guaranteed servable. Fails
+    * like the changelog does: an expired or non-ancestor baseline is a
+    * full-refresh, not an empty list.
+    */
+  def ancestorsAfter(tablePath: String, afterSnapshotId: Long): Seq[Long] = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    val parents: Map[Long, Option[Long]] =
+      Option(rootNode.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).map { s =>
+          s.get("snapshot-id").asLong() ->
+            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+        }.toMap
+    require(parents.contains(afterSnapshotId),
+      s"baseline snapshot $afterSnapshotId not found (expired?) — " +
+        "full-refresh the consumer")
+    val cur = Option(rootNode.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tablePath has no current snapshot"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var walk: Option[Long] = Some(cur)
+    while (walk.isDefined && walk.get != afterSnapshotId) {
+      val id = walk.get
+      buf += id
+      walk = parents.getOrElse(id, throw new IllegalArgumentException(
+        s"snapshot $id in the ancestry chain was expired — " +
+          "full-refresh the consumer"))
+    }
+    require(walk.contains(afterSnapshotId) || cur == afterSnapshotId,
+      s"snapshot $afterSnapshotId is not an ancestor of $cur " +
+        "(rollback or branch divergence) — full-refresh the consumer")
+    buf.reverse.toSeq
+  }
+
   /** CHANGELOG scan — the Iceberg twin of
     * [[DeltaLogReader.readChanges]]: row-level changes between
     * `afterSnapshotId` (exclusive) and `untilSnapshotId` (inclusive,

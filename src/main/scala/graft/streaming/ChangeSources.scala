@@ -1,0 +1,317 @@
+package graft.streaming
+
+import graft.sources.{DeltaLogReader, IcebergReader}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graftbridge.StreamingBridge
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCES over the native change feeds — the read
+  * half of the loop whose write half is [[DeltaSink]]/[[IcebergSink]]: a
+  * downstream pipeline subscribes to an upstream table it does not own
+  * with `spark.readStream`, and each micro-batch is exactly one polled
+  * window of [[graft.sources.DeltaLogReader.readAppends]] /
+  * [[graft.sources.DeltaLogReader.readChanges]] /
+  * [[graft.sources.IcebergReader.readChanges]] (reference
+  * `delta-rs`-backed consumers poll the same surface request-by-request;
+  * this is the push-based twin). Implemented against the v1
+  * `Source`/`StreamSourceProvider` contract — the API delta-spark's own
+  * streaming source uses — because getBatch can then BE the existing
+  * DataFrame-building readers (multi-relation plans with broadcast
+  * position joins), with [[StreamingBridge]] stamping the streaming flag.
+  *
+  * Exactly-once: offsets are table versions (Delta) / snapshot ids
+  * (Iceberg) checkpointed by the engine; `getBatch(start, end)` is a
+  * pure function of the immutable log range, so a replayed batch after a
+  * crash re-serves byte-identical rows, and an idempotent sink
+  * ([[DeltaSink]]'s txn high-water mark) upgrades the engine's
+  * at-least-once delivery to exactly-once table contents end-to-end.
+  *
+  * Failure surface inherited from the feeds, deliberately loud: a
+  * vacuumed/expired range, a non-reconstructable rewrite, an eq-delete
+  * snapshot — each kills the stream with the feeds' own "full-refresh
+  * the consumer" message instead of silently skipping changes.
+  *
+  * 100-TB shape: `getOffset` per trigger is one metadata probe (Delta:
+  * cached snapshot version with a structural freshness check; Iceberg:
+  * one metadata-JSON parse); a batch's plan size grows with COMMITS
+  * POLLED, never table size, and `maxCommitsPerBatch` /
+  * `maxSnapshotsPerBatch` is the admission control that keeps a
+  * catch-up after downtime from planning one giant batch.
+  */
+object ChangeSources {
+
+  /** Subscribe to a Delta table. `feed` = "appends" (default — rows added
+    * by each commit, tagged `_commit_version`; maintenance commits
+    * invisible; non-append history fails loudly) or "cdf" (full change
+    * rows tagged `_change_type`/`_commit_version`/`_commit_timestamp`,
+    * serving cdc files, whole-file deletes and DV deletes exactly).
+    * `startingVersion`: "latest" (default — only commits after stream
+    * start), "earliest" (the full history from version 0), or a numeric
+    * version (INCLUSIVE, delta-spark's own `startingVersion` semantics).
+    */
+  def delta(spark: SparkSession, path: String, feed: String = "appends",
+      startingVersion: String = "latest",
+      maxCommitsPerBatch: Option[Int] = None): DataFrame = {
+    require(maxCommitsPerBatch.forall(_ > 0), "maxCommitsPerBatch must be > 0")
+    val r = spark.readStream.format(classOf[DeltaChangeSource].getName)
+      .option("path", path).option("feed", feed)
+      .option("startingVersion", startingVersion)
+    maxCommitsPerBatch.fold(r)(m =>
+      r.option("maxCommitsPerBatch", m.toString)).load()
+  }
+
+  /** Subscribe to an Iceberg table's changelog (insert/delete rows tagged
+    * `_change_type`/`_snapshot_seq`/`_commit_timestamp`, per-snapshot
+    * granularity, `replace` snapshots invisible). `startingSnapshotId`
+    * is the EXCLUSIVE baseline — `None` (default) starts at the current
+    * snapshot, serving only commits after stream start. History from
+    * before the oldest retained snapshot is not expressible (Iceberg's
+    * own incremental-read contract); full-refresh instead.
+    */
+  def iceberg(spark: SparkSession, path: String,
+      startingSnapshotId: Option[Long] = None,
+      maxSnapshotsPerBatch: Option[Int] = None): DataFrame = {
+    require(maxSnapshotsPerBatch.forall(_ > 0),
+      "maxSnapshotsPerBatch must be > 0")
+    val r = spark.readStream.format(classOf[IcebergChangeSource].getName)
+      .option("path", path)
+    val r2 = startingSnapshotId.fold(r)(id =>
+      r.option("startingSnapshotId", id.toString))
+    maxSnapshotsPerBatch.fold(r2)(m =>
+      r2.option("maxSnapshotsPerBatch", m.toString)).load()
+  }
+}
+
+/** Offset = the newest table version / snapshot id served (inclusive).
+  * The engine compares offsets by their JSON only, and checkpointed
+  * offsets come back as `SerializedOffset` — every consumer parses
+  * `json`, never pattern-matches the class.
+  */
+private[streaming] case class VersionOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** The source's own high-water record under its checkpoint-scoped
+  * `metadataPath` — the v1-contract spot for source-private state
+  * (FileStreamSource keeps its seen-files log there the same way). Why
+  * it exists: after a restart the engine replays only the UNCOMMITTED
+  * tail through getBatch, so a rate-limited `getOffset` fired before any
+  * getBatch would otherwise window from the options' baseline and hand
+  * the engine an offset OLDER than what it already committed (on
+  * Iceberg's unordered snapshot ids that is a loud non-ancestor death,
+  * not just an empty batch). Persisted in getBatch — which runs before
+  * the engine can ever commit the batch — so the recovered base is
+  * always >= the newest committed offset. Local-NIO like every native
+  * log reader in this build (docs/AZURE.md bound).
+  */
+private[streaming] final class HighWater(metadataPath: String) {
+  private val file = java.nio.file.Paths.get(
+    stripFileScheme(metadataPath), "graft-offset-high-water")
+
+  private def stripFileScheme(p: String): String =
+    if (!p.startsWith("file:")) p
+    else try java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    catch { case scala.util.control.NonFatal(_) => p }
+
+  def read: Option[Long] =
+    if (!java.nio.file.Files.exists(file)) None
+    else Some(java.nio.file.Files.readString(file).trim.toLong)
+
+  def write(v: Long): Unit = {
+    java.nio.file.Files.createDirectories(file.getParent)
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+private[streaming] object ChangeSourceOptions {
+  def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "option 'path' is required"))
+
+  def maxOf(parameters: Map[String, String], key: String): Option[Int] = {
+    val m = parameters.get(key).map(_.toInt)
+    require(m.forall(_ > 0), s"$key must be > 0")
+    m
+  }
+
+  def offsetValue(o: Offset): Long = o.json.toLong
+}
+
+/** `spark.readStream.format(classOf[DeltaChangeSource].getName)` —
+  * registered by class name (no service-loader indirection; the format
+  * string IS the class).
+  */
+class DeltaChangeSource extends StreamSourceProvider {
+  import ChangeSourceOptions._
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the delta change source derives its schema from the table log — " +
+        "a user-provided schema is not accepted")
+    (providerName, DeltaChangeSource.schemaOf(sqlContext.sparkSession,
+      pathOf(parameters), DeltaChangeSource.cdfOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    new DeltaChangeStream(spark, path, DeltaChangeSource.cdfOf(parameters),
+      DeltaChangeSource.startAfterOf(spark, path, parameters),
+      maxOf(parameters, "maxCommitsPerBatch"), new HighWater(metadataPath))
+  }
+}
+
+private[streaming] object DeltaChangeSource {
+  def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("feed", "appends") match {
+      case "cdf"     => true
+      case "appends" => false
+      case other => throw new IllegalArgumentException(
+        s"feed must be 'appends' or 'cdf', got '$other'")
+    }
+
+  /** The declared schema is the feed's own on an EMPTY window — schema
+    * drift mid-stream (a column added upstream) then fails the engine's
+    * batch/schema check loudly; restart the stream to pick up the new
+    * shape.
+    */
+  def schemaOf(spark: SparkSession, path: String, cdf: Boolean)
+      : StructType = {
+    val v = DeltaLogReader.snapshot(spark, path).version
+    if (cdf) DeltaLogReader.readChanges(spark, path, v, Some(v)).schema
+    else DeltaLogReader.readAppends(spark, path, v, Some(v)).schema
+  }
+
+  /** The EXCLUSIVE lower bound of the first window. */
+  def startAfterOf(spark: SparkSession, path: String,
+      parameters: Map[String, String]): Long =
+    parameters.getOrElse("startingVersion", "latest") match {
+      case "latest"   => DeltaLogReader.snapshot(spark, path).version
+      case "earliest" => -1L
+      case n          =>
+        val v = n.toLong
+        require(v >= 0, s"startingVersion must be >= 0, got $v")
+        v - 1 // inclusive option → exclusive bound
+    }
+}
+
+private[streaming] class DeltaChangeStream(spark: SparkSession,
+    path: String, cdf: Boolean, startAfter: Long,
+    maxCommits: Option[Int], highWater: HighWater) extends Source {
+  import ChangeSourceOptions.offsetValue
+
+  private val declared = DeltaChangeSource.schemaOf(spark, path, cdf)
+
+  /** Rate-limit base: the newest version this checkpoint has ever been
+    * handed ([[HighWater]]), else the options' baseline on a fresh start.
+    */
+  @volatile private var base: Long = highWater.read.getOrElse(startAfter)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[Offset] = {
+    val current = DeltaLogReader.snapshot(spark, path).version
+    val target = maxCommits.fold(current)(m => math.min(current, base + m))
+    if (target <= base) None else Some(VersionOffset(target))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val after = start.map(offsetValue).getOrElse(startAfter)
+    val until = offsetValue(end)
+    if (until > base) { base = until; highWater.write(until) }
+    StreamingBridge.asStreamingBatch(
+      if (cdf) DeltaLogReader.readChanges(spark, path, after, Some(until))
+      else DeltaLogReader.readAppends(spark, path, after, Some(until)))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(classOf[IcebergChangeSource].getName)`. */
+class IcebergChangeSource extends StreamSourceProvider {
+  import ChangeSourceOptions._
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the iceberg change source derives its schema from table " +
+        "metadata — a user-provided schema is not accepted")
+    (providerName, IcebergChangeSource.schemaOf(sqlContext.sparkSession,
+      pathOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    new IcebergChangeStream(spark, path,
+      IcebergChangeSource.startAfterOf(path, parameters),
+      maxOf(parameters, "maxSnapshotsPerBatch"), new HighWater(metadataPath))
+  }
+}
+
+private[streaming] object IcebergChangeSource {
+  def schemaOf(spark: SparkSession, path: String): StructType = {
+    val cur = currentOrFail(path)
+    IcebergReader.readChanges(spark, path, cur, Some(cur)).schema
+  }
+
+  def startAfterOf(path: String, parameters: Map[String, String]): Long =
+    parameters.get("startingSnapshotId") match {
+      case Some(id) => id.toLong
+      case None     => currentOrFail(path)
+    }
+
+  private def currentOrFail(path: String): Long =
+    IcebergReader.currentSnapshotId(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no snapshot yet — subscribe after its first commit"))
+}
+
+private[streaming] class IcebergChangeStream(spark: SparkSession,
+    path: String, startAfter: Long, maxSnapshots: Option[Int],
+    highWater: HighWater) extends Source {
+  import ChangeSourceOptions.offsetValue
+
+  private val declared = IcebergChangeSource.schemaOf(spark, path)
+
+  /** Last snapshot id handed to the engine under this checkpoint
+    * ([[HighWater]] — ids are unordered, so "newest" means last written,
+    * which getBatch's write order guarantees), else the baseline.
+    */
+  @volatile private var base: Long = highWater.read.getOrElse(startAfter)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[Offset] = {
+    // snapshot ids are NOT ordered (foreign writers use random ids) — the
+    // next offset comes from walking the current ancestry past the base,
+    // the exact lineage the batch read will re-walk
+    val chain = IcebergReader.ancestorsAfter(path, base)
+    if (chain.isEmpty) None
+    else Some(VersionOffset(maxSnapshots.fold(chain.last)(m =>
+      chain.take(m).last)))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val after = start.map(offsetValue).getOrElse(startAfter)
+    val until = offsetValue(end)
+    if (until != base) { base = until; highWater.write(until) }
+    StreamingBridge.asStreamingBatch(
+      IcebergReader.readChanges(spark, path, after, Some(until)))
+  }
+
+  override def stop(): Unit = ()
+}

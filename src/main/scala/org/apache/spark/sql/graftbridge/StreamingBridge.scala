@@ -1,0 +1,40 @@
+/* Bridge into the org.apache.spark.sql package namespace — the ONE place
+ * the build steps outside `graft`: the v1 streaming Source contract
+ * (org.apache.spark.sql.execution.streaming.Source) requires getBatch to
+ * return a DataFrame whose logical plan is flagged `isStreaming=true`
+ * (MicroBatchExecution rejects the batch otherwise: "DataFrame returned
+ * by getBatch ... did not have isStreaming=true"), and the only way to
+ * stamp the flag onto an already-planned batch is
+ * SparkSession.internalCreateDataFrame — `private[sql]`, hence this
+ * package. This is the standard v1-connector shape: Spark's own
+ * FileStreamSource does exactly `internalCreateDataFrame(rdd, schema,
+ * isStreaming = true)` per batch (spark/sql/core
+ * execution/streaming/sources); delta-spark's DeltaSource wraps its
+ * batches the same way.
+ */
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic
+
+/** Re-wraps a fully planned BATCH DataFrame as a streaming one, so a v1
+  * [[org.apache.spark.sql.execution.streaming.Source]] can serve plans
+  * built with the ordinary DataFrame API (the graft change feeds are
+  * multi-relation plans — file-index scans, broadcast position joins —
+  * not a single RDD, so the usual "build the RDD yourself" connector
+  * shape does not apply; the planned `toRdd` of the finished batch is
+  * the RDD).
+  */
+object StreamingBridge {
+
+  /** The batch plan's executed RDD, re-rooted as a streaming LogicalRDD.
+    * Evaluation stays lazy: `queryExecution.toRdd` plans but does not run
+    * — the micro-batch executes it when the sink consumes the batch.
+    */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+}
