@@ -2008,6 +2008,62 @@ object SparkEntry {
         .orderBy(col("_commit_version"), col("_change_type"),
           col("n_nationkey"))
     }),
+    "q_delta_cdf_rewrite" -> ((s, dir) => {
+      // REWRITE commit reconstructed through ROW TRACKING: a foreign
+      // update-shaped commit (remove + re-add, no cdc) on a row-tracked
+      // base — carried rows (key%3==2) vanish from the feed, updated
+      // rows (%3==0, lower-cased names) serve exact pre/postimages,
+      // dropped ids (%3==1) serve deletes, and one fresh-id row inserts;
+      // the oracle reconstructs all of it from nation
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_cdfrw_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          import scala.jdk.CollectionConverters._
+          val base = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .filter(col("n_regionkey") < 2)
+          graft.output.DeltaWriter.create(base.coalesce(1), root.toString,
+            rowTracking = true)
+          val snap = graft.sources.DeltaLogReader.snapshot(s, root.toString)
+          val ridCol = snap.materializedRowIdColumn.get
+          val ids = graft.sources.DeltaLogReader.read(s, root.toString,
+            withLineage = true)
+          val carried = ids.filter(col("n_nationkey") % 3 === 2)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+              col("_row_id").as(ridCol))
+          val updated = ids.filter(col("n_nationkey") % 3 === 0)
+            .select(col("n_nationkey"), lower(col("n_name")).as("n_name"),
+              col("n_regionkey"), col("_row_id").as(ridCol))
+          // fresh-id insert derived from an existing row so the column
+          // TYPES track the testdata exactly (int width matters to the
+          // oracle hash)
+          val inserted = ids.orderBy(col("_row_id").desc).limit(1)
+            .select((col("n_nationkey") * 0 + 999).as("n_nationkey"),
+              lit("zz-new").as("n_name"),
+              (col("n_regionkey") * 0).as("n_regionkey"),
+              (col("_row_id") + 1).as(ridCol))
+          val post = carried.unionByName(updated).unionByName(inserted)
+          val staging = root.resolve("staging")
+          post.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          val part = java.nio.file.Files.list(staging).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-")).get
+          java.nio.file.Files.move(part, root.resolve("part-rewrite.parquet"))
+          deleteRecursively(staging)
+          java.nio.file.Files.writeString(
+            root.resolve("_delta_log").resolve(f"${1L}%020d.json"),
+            Seq(
+              s"""{"remove":{"path":"${snap.files.head.path}","deletionTimestamp":0,"dataChange":true}}""",
+              s"""{"add":{"path":"part-rewrite.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"defaultRowCommitVersion":1}}"""
+            ).mkString("\n"))
+        }
+      }
+      graft.sources.DeltaLogReader.readChanges(s, root.toString,
+          afterVersion = 0L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_change_type"), col("n_nationkey"))
+    }),
     "q_stream_delta_cdf" -> ((s, dir) => {
       // the CDF feed consumed AS A STREAM (graft.streaming.ChangeSources):
       // same foreign fixture as q_delta_cdf, but served through the
@@ -3660,6 +3716,26 @@ object SparkEntry {
         |  FROM nation WHERE n_regionkey >= 2
         |)
         |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
+    "q_delta_cdf_rewrite" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
+        |              FROM nation WHERE n_regionkey < 2)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' AS ct
+        |  FROM base WHERE n_nationkey % 3 = 1
+        |  UNION ALL
+        |  SELECT DISTINCT n_nationkey * 0 + 999, 'zz-new', n_regionkey * 0,
+        |         'insert'
+        |  FROM base
+        |  UNION ALL
+        |  SELECT n_nationkey, lower(n_name), n_regionkey, 'update_postimage'
+        |  FROM base WHERE n_nationkey % 3 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'update_preimage'
+        |  FROM base WHERE n_nationkey % 3 = 0
+        |)
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q_stream_delta_cdf" ->
       """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
         |              FROM nation WHERE n_regionkey < 2)

@@ -1257,6 +1257,10 @@ object DeltaLogReader {
         dvExclude: Option[DeletionVectors.Descriptor] = None,
         dvDelta: Option[(DeletionVectors.Descriptor,
           Option[DeletionVectors.Descriptor])] = None)
+    // rewrite commits (adds AND removes, no cdc) reconstructable through
+    // ROW TRACKING: (version, added paths, removed paths)
+    val rewrites =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String], Set[String])]
     val tagged: Seq[Tagged] = commits.flatMap { p =>
       val v = versionOf(p)
       val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
@@ -1286,11 +1290,22 @@ object DeltaLogReader {
         //  - a remove with no matching re-add is a whole-file delete of
         //    its LIVE rows (its own descriptor, else the predecessor
         //    snapshot's entry's).
-        require(removes.isEmpty || adds.forall(_.deletionVector.isDefined),
-          s"commit $v rewrites data (adds AND removes) without a cdc " +
-            "action — its row-level changes are not reconstructable; " +
-            "full-refresh the consumer (or enable the change data " +
-            "feed on the producer)")
+        if (removes.nonEmpty && !adds.forall(_.deletionVector.isDefined)) {
+          // A REWRITE (update/merge on a non-CDF table): file actions
+          // alone cannot express its row-level changes — but ROW
+          // TRACKING can: pre-rows (removed files live as of v-1) and
+          // post-rows (added files live under their DVs) match by
+          // `_row_id`, so updates, carried rows, deletes and inserts
+          // all classify EXACTLY ([[rewriteChanges]]). Without row
+          // tracking this stays the loud full-refresh edge.
+          require(snap.rowTrackingEnabled,
+            s"commit $v rewrites data (adds AND removes) without a cdc " +
+              "action — its row-level changes are not reconstructable; " +
+              "full-refresh the consumer (or enable the change data " +
+              "feed or row tracking on the producer)")
+          rewrites += ((v, adds.map(_.path).toSet, removes.map(_.path).toSet))
+          Nil
+        } else {
         lazy val prevByPath: Map[String, AddFile] =
           if (v == 0) Map.empty
           else snapshot(spark, tablePath, Some(v - 1)).files
@@ -1316,16 +1331,27 @@ object DeltaLogReader {
             dvExclude = r.deletionVector.orElse(
               prevByPath.get(r.path).flatMap(_.deletionVector)))
         }
+        }
       }
     }
     val ctField = StructField("_change_type", StringType)
     val outFields = snap.schema.fields :+ ctField :+
       StructField("_commit_version", LongType) :+
       StructField("_commit_timestamp", TimestampType)
-    if (tagged.isEmpty)
+    if (tagged.isEmpty && rewrites.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(outFields))
+    val rewriteTimes = commitTimestamps(spark, tablePath,
+      fromVersion = afterVersion + 1).times.toMap
+    val rewriteFrames: Seq[DataFrame] = rewrites.toSeq.map {
+      case (v, addPaths, rmPaths) =>
+        rewriteChanges(spark, tablePath, snap, v, addPaths, rmPaths,
+          rewriteTimes.getOrElse(v, throw new IllegalStateException(
+            s"commit $v vanished between listing and timestamping")))
+    }
+    if (tagged.isEmpty)
+      return rewriteFrames.reduce(_ unionAll _)
     val partFields = snap.partitionColumns.toIndexedSeq
       .map(c => snap.schema(c))
     // every change file on a partitioned table must carry a value for
@@ -1443,16 +1469,71 @@ object DeltaLogReader {
     // timestamp): ONE broadcast map, no shuffle at any table size.
     // Timestamps bounded to the polled range (+1 predecessor floor
     // seed) — a poll must not re-read the whole surviving history.
-    val times = commitTimestamps(spark, tablePath,
-      fromVersion = afterVersion + 1).times.toMap
+    val times = rewriteTimes
     val tagDf = broadcast(indexed.map { case (t, i) =>
       val ts = times.getOrElse(t.version, throw new IllegalStateException(
         s"commit ${t.version} vanished between listing and timestamping"))
       (i.toString, t.kind.orNull, t.version, new java.sql.Timestamp(ts))
     }.toDF("__chg_tag", "__kind", "_commit_version", "_commit_timestamp"))
-    unioned.join(tagDf, Seq("__chg_tag"))
+    val main = unioned.join(tagDf, Seq("__chg_tag"))
       .select(dataCols ++ Seq(
         coalesce(col("__ct"), col("__kind")).as("_change_type"),
         col("_commit_version"), col("_commit_timestamp")): _*)
+    (main +: rewriteFrames).reduce(_ unionAll _)
+  }
+
+  /** Exact change rows of ONE rewrite commit on a row-tracked table
+    * (PROTOCOL.md "Row Tracking" — ids survive rewrites): pre-state =
+    * the removed files' live rows as of `v-1`, post-state = the added
+    * files' live rows as of `v`, both with derived `_row_id`; a
+    * full-outer match on id classifies every row — pre-only `delete`,
+    * post-only `insert`, both-and-equal a CARRIED row (omitted: a
+    * compaction-shaped rewrite with dataChange=true contributes
+    * nothing), both-and-different `update_preimage`/`update_postimage`.
+    * A producer that re-minted ids in the rewrite honestly reads as
+    * delete+insert — ids ARE row identity on a row-tracked table.
+    *
+    * Scale: the two file-subset reads are bounded by the COMMIT's file
+    * set, not the table; the id match is the feed's one genuine
+    * shuffle, keyed on the rewritten rows only (a commit-bounded set —
+    * the alternative, full refresh, rescans the table). Schema changes
+    * across the rewrite fail loudly: pre and post must agree on the
+    * compared columns.
+    */
+  private def rewriteChanges(spark: SparkSession, tablePath: String,
+      snap: Snapshot, v: Long, addPaths: Set[String],
+      removePaths: Set[String], tsMs: Long): DataFrame = {
+    val prevSchema = snapshot(spark, tablePath, Some(v - 1)).schema
+    val atSchema = snapshot(spark, tablePath, Some(v)).schema
+    require(prevSchema == snap.schema && atSchema == snap.schema,
+      s"commit $v rewrites data across a schema change — its pre/post " +
+        "rows are not comparable; full-refresh the consumer")
+    val pre = read(spark, tablePath, versionAsOf = Some(v - 1),
+      withLineage = true, onlyFiles = Some(removePaths))
+    val post = read(spark, tablePath, versionAsOf = Some(v),
+      withLineage = true, onlyFiles = Some(addPaths))
+    val fields = snap.schema.fields.toIndexedSeq
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("`_row_id`").as("__rid") +:
+        lit(true).as(s"__${tag}_present") +:
+        fields.map(f => col(s"`${f.name}`").as(s"__${tag}_${f.name}")): _*)
+    val j = side(pre, "pre").join(side(post, "post"), Seq("__rid"),
+      "full_outer")
+    val same = fields.map(f =>
+      col(s"`__pre_${f.name}`") <=> col(s"`__post_${f.name}`"))
+      .reduce(_ && _)
+    def out(tag: String, ct: String) =
+      fields.map(f => col(s"`__${tag}_${f.name}`").as(f.name)) ++ Seq(
+        lit(ct).as("_change_type"), lit(v).as("_commit_version"),
+        lit(new java.sql.Timestamp(tsMs)).as("_commit_timestamp"))
+    val deletes = j.filter(col("__pre_present") && col("__post_present").isNull)
+      .select(out("pre", "delete"): _*)
+    val inserts = j.filter(col("__post_present") && col("__pre_present").isNull)
+      .select(out("post", "insert"): _*)
+    val changed = j.filter(col("__pre_present") && col("__post_present") &&
+      !same)
+    deletes.unionAll(inserts)
+      .unionAll(changed.select(out("pre", "update_preimage"): _*))
+      .unionAll(changed.select(out("post", "update_postimage"): _*))
   }
 }

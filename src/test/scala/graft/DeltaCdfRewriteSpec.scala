@@ -1,0 +1,126 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** REWRITE commits (adds AND removes, no cdc) reconstructed through row
+  * tracking ([[DeltaLogReader.readChanges]] → rewriteChanges): pre/post
+  * rows match by `_row_id`, so carried rows vanish from the feed,
+  * updated rows serve exact pre/postimages, dropped ids serve deletes
+  * and fresh ids inserts. Without row tracking the same commit stays the
+  * loud full-refresh edge (DeltaCdfSpec pins that).
+  */
+class DeltaCdfRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cdfrw_${tag}_${System.nanoTime()}")
+
+  /** Writes `df` as ONE parquet file named `name` under `root`. */
+  private def writeFile(df: org.apache.spark.sql.DataFrame,
+      root: java.nio.file.Path, name: String): Unit = {
+    val tmpDir = root.resolve("staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, root.resolve(name))
+    Files.walk(tmpDir)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+  }
+
+  /** Row-tracked table (k, s) with ids 0..4, then a foreign rewrite
+    * commit v1: remove the create's file, add one file that carries k=2
+    * and k=3 unchanged, k=1 with a new `s`, drops k=0/k=4, and inserts
+    * k=9 under a fresh materialized id — the delta-spark UPDATE shape on
+    * a non-CDF table. Returns (root, id-by-k of the create).
+    */
+  private def rewriteFixture(): (String, Map[Int, Long]) = {
+    val root = tmp("fix")
+    val base = Seq((0, "s0"), (1, "s1"), (2, "s2"), (3, "s3"), (4, "s4"))
+      .toDF("k", "s").coalesce(1)
+    DeltaWriter.create(base, root.toString, rowTracking = true)
+    val idOf = DeltaLogReader.read(spark, root.toString, withLineage = true)
+      .select(col("k"), col("_row_id")).as[(Int, Long)].collect().toMap
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    val ridCol = snap.materializedRowIdColumn.get
+    val oldPath = snap.files.head.path
+    val post = Seq(
+      (1, "S1-updated", idOf(1)),
+      (2, "s2", idOf(2)),
+      (3, "s3", idOf(3)),
+      (9, "fresh", 100L)
+    ).toDF("k", "s", ridCol)
+    writeFile(post, root, "part-rewrite.parquet")
+    Files.writeString(root.resolve("_delta_log").resolve(f"${1L}%020d.json"),
+      Seq(
+        s"""{"remove":{"path":"$oldPath","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"part-rewrite.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"defaultRowCommitVersion":1}}""",
+        """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":100}","removed":false}}"""
+      ).mkString("\n"))
+    (root.toString, idOf)
+  }
+
+  test("rewrite classifies exactly: carried omitted, update/delete/insert") {
+    val (root, _) = rewriteFixture()
+    val got = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0, "s0", "delete", 1L),
+      (1, "S1-updated", "update_postimage", 1L),
+      (1, "s1", "update_preimage", 1L),
+      (4, "s4", "delete", 1L),
+      (9, "fresh", "insert", 1L)))
+  }
+
+  test("rewrite unions with surrounding plain commits in one feed") {
+    val (root, _) = rewriteFixture()
+    DeltaWriter.append(Seq((7, "later")).toDF("k", "s"), root)
+    val got = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Int, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((0, "delete", 1L), (1, "update_postimage", 1L),
+      (1, "update_preimage", 1L), (4, "delete", 1L), (7, "insert", 2L),
+      (9, "insert", 1L)))
+  }
+
+  test("compaction-shaped rewrite (all rows carried) contributes nothing") {
+    val root = tmp("compact")
+    val base = Seq((0, "a"), (1, "b")).toDF("k", "s").coalesce(1)
+    DeltaWriter.create(base, root.toString, rowTracking = true)
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    val ridCol = snap.materializedRowIdColumn.get
+    val idOf = DeltaLogReader.read(spark, root.toString, withLineage = true)
+      .select(col("k"), col("_row_id")).as[(Int, Long)].collect().toMap
+    val post = Seq((0, "a", idOf(0)), (1, "b", idOf(1)))
+      .toDF("k", "s", ridCol)
+    writeFile(post, root, "part-compact.parquet")
+    Files.writeString(root.resolve("_delta_log").resolve(f"${1L}%020d.json"),
+      Seq(
+        s"""{"remove":{"path":"${snap.files.head.path}","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"part-compact.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"defaultRowCommitVersion":1}}"""
+      ).mkString("\n"))
+    assert(DeltaLogReader.readChanges(spark, root.toString,
+      afterVersion = 0L).isEmpty)
+  }
+
+  test("a rewrite polled across a schema change fails loudly") {
+    val (root, _) = rewriteFixture()
+    // v2 widens the schema (mergeSchema evolution): the poll now pins
+    // the evolved schema, and the v1 rewrite's pre/post rows were
+    // written under the old one — comparing them under null-backfill
+    // could misclassify, so the feed refuses instead
+    DeltaWriter.append(
+      Seq((8, "x", Option(1.5))).toDF("k", "s", "extra"), root,
+      mergeSchema = true)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.readChanges(spark, root, afterVersion = 0L).collect()
+    }
+    assert(e.getMessage.contains("schema change"))
+  }
+}
