@@ -2436,6 +2436,34 @@ object SparkEntry {
         .orderBy(col("_snapshot_seq"), col("_change_type"),
           col("n_nationkey"))
     }),
+    "q_iceberg_cdf_upsert" -> ((s, dir) => {
+      // EQUALITY-DELETE (upsert) step on the changelog: create region<2
+      // (snapshot 1), then upsert the even keys with upper-cased names
+      // (snapshot 2 = eq-delete file on n_nationkey + insert file) — the
+      // feed evaluates the eq delete BY VALUE into exact delete rows
+      // (old values) and serves the re-inserts, untouched keys invisible
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_iceberg_cdfeq_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          val base = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .filter(col("n_regionkey") < 2)
+          val W = graft.output.IcebergWriter
+          W.create(base.orderBy(col("n_nationkey")).coalesce(1),
+            root.toString)
+          W.upsert(base.filter(col("n_nationkey") % 2 === 0)
+              .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+                col("n_regionkey")),
+            root.toString, Seq("n_nationkey"))
+        }
+      }
+      graft.sources.IcebergReader.readChanges(s, root.toString,
+          afterSnapshotId = 1L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_snapshot_seq"))
+        .orderBy(col("_change_type"), col("n_nationkey"))
+    }),
     "q_stream_iceberg_cdf" -> ((s, dir) => {
       // the changelog consumed AS A STREAM: same fixture as
       // q_iceberg_cdf, served through the Structured-Streaming source
@@ -3775,6 +3803,19 @@ object SparkEntry {
         |  FROM nation WHERE n_nationkey % 3 = 0
         |)
         |ORDER BY _snapshot_seq, _change_type, n_nationkey""".stripMargin,
+    "q_iceberg_cdf_upsert" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
+        |              FROM nation WHERE n_regionkey < 2)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(2 AS BIGINT) AS _snapshot_seq
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' AS ct
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, upper(n_name), n_regionkey, 'insert'
+        |  FROM base WHERE n_nationkey % 2 = 0
+        |)
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q_stream_iceberg_cdf" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |       ct AS _change_type, CAST(v AS BIGINT) AS _snapshot_seq

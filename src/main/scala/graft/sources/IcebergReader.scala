@@ -922,26 +922,83 @@ object IcebergReader {
   private[graft] def applyEqualityDeletes(spark: SparkSession,
       acc0: DataFrame, groups: Seq[EqDeleteGroup],
       seqCol: String, ptCol: String, errPrefix: String): DataFrame =
-    groups.foldLeft(acc0) { case (acc, g) =>
-      val scopePairs = g.files.map(f => (f._2, f._4.orNull))
-      val anyScope = scopePairs.exists(_._2 != null)
-      val delRows = deleteSeqJoined(spark, g.files.map(_._1),
-        g.files.map(f => (f._2, f._3)), None, "__eq_src", "__eq_seq",
-        errPrefix,
-        scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
-        .select(g.cols.map(c => col(s"`$c`").as(s"__eq_$c"))
-          ++ (col("__eq_seq") +:
-            (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
-      val keyCond =
-        g.cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
-          acc(seqCol) < delRows("__eq_seq")
-      val cond =
-        if (anyScope)
-          keyCond && (delRows("__eqscope").isNull ||
-            acc(ptCol) === delRows("__eqscope"))
-        else keyCond
-      acc.join(delRows, cond, "left_anti")
-    }
+    groups.foldLeft(acc0)(
+      eqDeleteJoin(spark, _, _, seqCol, ptCol, errPrefix, "left_anti"))
+
+  /** The inverse selection — rows of `frame` MATCHED by any group (the
+    * changelog's "which rows did this eq delete newly mask" question):
+    * one left-semi per group, unioned. A row matched by several groups
+    * appears once per group — callers consume the result through
+    * semi/anti joins, where duplicates are harmless.
+    */
+  private[graft] def matchedByEqualityDeletes(spark: SparkSession,
+      frame: DataFrame, groups: Seq[EqDeleteGroup],
+      seqCol: String, ptCol: String, errPrefix: String): Option[DataFrame] =
+    groups.map(g =>
+      eqDeleteJoin(spark, frame, g, seqCol, ptCol, errPrefix, "left_semi"))
+      .reduceOption(_ unionAll _)
+
+  /** Group `eqDeletes` for application under `snap`'s schema — one
+    * group per DISTINCT (equality-id set, physical footer schema), not
+    * per file (a PK-upsert stream accumulates many same-ids delete
+    * files; per-file anti-joins build plans linear in the delete-commit
+    * count; the footer key keeps the grouped inferred-schema read
+    * sound — [[footerSchemaKey]]). Rejects keys on ns-timestamp /
+    * unknown / variant / geo columns: the delete file stores raw ns /
+    * typeless values while the frame carries converted µs — a silent
+    * join would under-delete every row. Shared by the scan and the
+    * changelog so the two can never disagree on grouping or rejects.
+    */
+  private[graft] def eqGroupsOf(snap: Snapshot,
+      eqDeletes: Seq[DataFileEntry]): Seq[EqDeleteGroup] =
+    eqDeletes
+      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
+      .toSeq
+      .map { case ((ids, _), ds) =>
+        EqDeleteGroup(
+          ids.map { id =>
+            val name = snap.fieldNames.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"equality delete references unknown field id $id"))
+            require(!snap.nsColumns.contains(name) &&
+                !snap.unknownColumns.contains(name) &&
+                !snap.geoColumns.contains(name) &&
+                !snap.schema.fields.exists(f =>
+                  f.name == name && f.dataType == VariantType),
+              s"equality delete on ns-timestamp/unknown/variant/geo " +
+                s"column '$name' is not supported")
+            name
+          },
+          ds.map(d => (d.path, normPath(d.path), d.seq, fileScopeKey(d))))
+      }
+
+  /** One group's delete-condition join — the ONE place the null-safe
+    * key equality, strict `data seq < delete seq` gate and partition
+    * scope condition are assembled (anti = apply, semi = select
+    * matched).
+    */
+  private def eqDeleteJoin(spark: SparkSession, acc: DataFrame,
+      g: EqDeleteGroup, seqCol: String, ptCol: String, errPrefix: String,
+      joinType: String): DataFrame = {
+    val scopePairs = g.files.map(f => (f._2, f._4.orNull))
+    val anyScope = scopePairs.exists(_._2 != null)
+    val delRows = deleteSeqJoined(spark, g.files.map(_._1),
+      g.files.map(f => (f._2, f._3)), None, "__eq_src", "__eq_seq",
+      errPrefix,
+      scopes = if (anyScope) Some((scopePairs, "__eqscope")) else None)
+      .select(g.cols.map(c => col(s"`$c`").as(s"__eq_$c"))
+        ++ (col("__eq_seq") +:
+          (if (anyScope) Seq(col("__eqscope")) else Nil)): _*)
+    val keyCond =
+      g.cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+        acc(seqCol) < delRows("__eq_seq")
+    val cond =
+      if (anyScope)
+        keyCond && (delRows("__eqscope").isNull ||
+          acc(ptCol) === delRows("__eqscope"))
+      else keyCond
+    acc.join(delRows, cond, joinType)
+  }
 
   /** One manifest entry's may-match answer — shared by the
     * construction-time (serving skipFilters) and planning-time
@@ -1859,29 +1916,7 @@ object IcebergReader {
     // the plan stays one anti-join per (ids, footer) group, never one
     // per partition; an all-global group skips the scope join and
     // condition entirely.
-    val eqGroups = eqDeletes
-      .groupBy(d => (d.equalityIds, footerSchemaKey(normPath(d.path))))
-      .toSeq
-      .map { case ((ids, _), ds) =>
-        EqDeleteGroup(
-          ids.map { id =>
-            val name = snap.fieldNames.getOrElse(id,
-              throw new IllegalArgumentException(
-                s"equality delete references unknown field id $id"))
-            // the delete file stores raw ns / typeless values while the
-            // frame carries converted µs — a silent join would
-            // under-delete every row
-            require(!snap.nsColumns.contains(name) &&
-                !snap.unknownColumns.contains(name) &&
-                !snap.geoColumns.contains(name) &&
-                !snap.schema.fields.exists(f =>
-                  f.name == name && f.dataType == VariantType),
-              s"equality delete on ns-timestamp/unknown/variant/geo " +
-                s"column '$name' is not supported")
-            name
-          },
-          ds.map(d => (d.path, normPath(d.path), d.seq, fileScopeKey(d))))
-      }
+    val eqGroups = eqGroupsOf(snap, eqDeletes)
     val afterEq = applyEqualityDeletes(spark, afterPos, eqGroups,
       "__ib_seq", "__ib_pt", "iceberg scan")
     // NAME-ONLY projection here: `dataCols` contains the ns-conversion
@@ -2020,6 +2055,45 @@ object IcebergReader {
     buf.reverse.toSeq
   }
 
+  /** The oldest snapshot on the CURRENT ancestry (the parent-chain
+    * root) as (id, sequence number, timestamp ms) — a streaming
+    * consumer's "earliest" bootstrap point: its full content plus the
+    * changelog after it reconstructs the whole retained history. A
+    * chain that references an EXPIRED parent before reaching a
+    * parentless snapshot is loud — the true beginning of history is
+    * gone, and silently bootstrapping from a mid-chain state would
+    * under-serve the consumer.
+    */
+  def rootAncestor(tablePath: String): (Long, Long, Long) = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    val metas: Map[Long, (Long, Long, Option[Long])] =
+      Option(rootNode.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).map { s =>
+          s.get("snapshot-id").asLong() -> ((
+            Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+            Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())))
+        }.toMap
+    var cur = Option(rootNode.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tablePath has no current snapshot"))
+    while (true) {
+      val (seq, ts, parent) = metas.getOrElse(cur,
+        throw new IllegalArgumentException(
+          s"snapshot $cur in the ancestry chain was expired — the " +
+            "earliest retained history is incomplete; full-refresh " +
+            "the consumer"))
+      parent match {
+        case Some(p) => cur = p
+        case None    => return (cur, seq, ts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** CHANGELOG scan — the Iceberg twin of
     * [[DeltaLogReader.readChanges]]: row-level changes between
     * `afterSnapshotId` (exclusive) and `untilSnapshotId` (inclusive,
@@ -2039,10 +2113,13 @@ object IcebergReader {
     *    as `delete` — a DV/pos-delete commit's exact row set; a diff
     *    that UNMASKS positions (RESTORE) fails loudly rather than
     *    omitting the resurrections.
-    *  - EQUALITY deletes in either state of a step fail loudly (their
-    *    row sets require evaluating the as-of-prior content against the
-    *    predicates — full-refresh is the honest answer for upsert
-    *    streams in this version).
+    *  - EQUALITY deletes (the Flink-CDC upsert-stream shape) resolve to
+    *    their exact row sets: a step minting eq-delete files diffs every
+    *    older common file, whose masked rows are evaluated by VALUE
+    *    (null-safe keys, strict `data seq < delete seq`, partition
+    *    scope — the scan's own [[eqGroupsOf]]/[[eqDeleteJoin]] rules)
+    *    into (file, position) form, so the same set algebra serves
+    *    position deletes, DVs and eq deletes uniformly.
     *
     * Scale: the diff is metadata-plane (cached resolved snapshots);
     * rows come from one [[GraftFileIndex]] relation per event kind per
@@ -2131,30 +2208,33 @@ object IcebergReader {
       if (op != "replace") {
         val a = resolveSnapshot(tablePath, Some(prevId))
         val b = resolveSnapshot(tablePath, Some(curId))
-        require(a.equalityDeletes.isEmpty && b.equalityDeletes.isEmpty,
-          s"snapshot $curId's step carries equality deletes — their row " +
-            "sets need as-of-prior content evaluation; full-refresh the " +
-            "consumer")
         val aFiles = a.dataFiles.map(f => normPath(f.path) -> f).toMap
         val bFiles = b.dataFiles.map(f => normPath(f.path) -> f).toMap
         // a common file only needs a delete-diff event when this STEP
         // changed a delete source that can touch it: a DV minted at the
         // step's seq names its target exactly; a parquet position-delete
         // file at the step's seq can target anything (events for every
-        // common file then, bounded to steps that actually delete); and
-        // a DROPPED delete file (rollback-and-continue) can UNMASK any
-        // file — events for every common file then, so the RESTORE
-        // guard below fires loudly instead of silently omitting the
-        // resurrections. Without this gate every poll would rescan the
-        // whole table.
+        // common file then, bounded to steps that actually delete); an
+        // EQUALITY delete minted at the step's seq masks by value in any
+        // older file (events for every common file then — the upsert
+        // stream's shape); and a DROPPED delete file
+        // (rollback-and-continue) can UNMASK any file — events for
+        // every common file then, so the RESTORE guard below fires
+        // loudly instead of silently omitting the resurrections.
+        // Without this gate every poll would rescan the whole table.
         val aDel = a.positionDeletes
           .map(d => (normPath(d.path), d.seq)).toSet
         val bDel = b.positionDeletes
           .map(d => (normPath(d.path), d.seq)).toSet
+        val aEq = a.equalityDeletes
+          .map(d => (normPath(d.path), d.seq)).toSet
+        val bEq = b.equalityDeletes
+          .map(d => (normPath(d.path), d.seq)).toSet
         val scanAllCommon =
           b.positionDeletes.exists(d =>
             d.seq == seq && d.referencedDataFile.isEmpty) ||
-          (aDel -- bDel).nonEmpty
+          (aDel -- bDel).nonEmpty ||
+          bEq.exists(_._2 == seq) || (aEq -- bEq).nonEmpty
         val stepDvTargets = b.positionDeletes.filter(d =>
             d.seq == seq && d.referencedDataFile.isDefined)
           .map(d => normPath(d.referencedDataFile.get)).toSet
@@ -2225,11 +2305,52 @@ object IcebergReader {
             normPath(d.referencedDataFile.get), d.seq, d.recordCount))))
       val all = (parquetRows.toSeq ++ dvRows.toSeq)
         .reduceOption(_ unionByName _)
-      all.map(_.join(broadcast(wanted
+      val posPart = all.map(_.join(broadcast(wanted
           .toDF("__del_file", "__chg_tag", "__file_seq")),
           Seq("__del_file"))
         .filter(col("__del_seq") >= col("__file_seq"))
         .select(col("__chg_tag"), col("__del_pos").as("__chg_pos")))
+      // EQUALITY deletes mask by VALUE (the upsert-stream shape): scan
+      // the wanted files' key columns with row_index and semi-join each
+      // group's delete rows (shared [[eqGroupsOf]] grouping +
+      // [[matchedByEqualityDeletes]] condition: null-safe keys, strict
+      // data seq < delete seq, partition scope) — masked rows come out
+      // as (tag, pos) exactly like the positional sets, so the
+      // diff/restore algebra downstream is oblivious to HOW a row was
+      // masked. Pruned to deletes that can touch a wanted file at all;
+      // the key-column scan is column-pruned to the equality ids.
+      val eqRelevant = state.equalityDeletes.filter(d =>
+        wantedEntries.exists(_._1.seq < d.seq))
+      val eqPart =
+        if (eqRelevant.isEmpty) None
+        else {
+          val groups = eqGroupsOf(state, eqRelevant)
+          val keyCols = groups.flatMap(_.cols).distinct
+          val entries = wantedEntries.map { case (e, tag) =>
+            val p = normPath(e.path)
+            IndexedFile(p,
+              try Files.size(Paths.get(p))
+              catch { case scala.util.control.NonFatal(ex) =>
+                throw new IllegalArgumentException(
+                  s"iceberg changelog: change file $p is unreadable " +
+                    s"(vacuumed?): $ex") },
+              Seq(tag), (_, _, _) => true)
+          }
+          val armed = GraftFileIndex.frame(spark,
+              Paths.get(tablePath).toAbsolutePath.normalize,
+              StructType(Seq(tagField)), schema, entries)
+            .select(keyCols.map(c => col(s"`$c`")) :+
+              col("_metadata.row_index").as("__chg_pos") :+
+              col("__chg_tag"): _*)
+            .join(broadcast(wantedEntries.map { case (e, tag) =>
+                (tag, e.seq, fileScopeKey(e).orNull) }
+              .toDF("__chg_tag", "__file_seq", "__file_scope")),
+              Seq("__chg_tag"))
+          matchedByEqualityDeletes(spark, armed, groups,
+            "__file_seq", "__file_scope", "iceberg changelog")
+            .map(_.select(col("__chg_tag"), col("__chg_pos")))
+        }
+      (posPart.toSeq ++ eqPart.toSeq).reduceOption(_ unionAll _)
     }
 
     def frameOf(group: Seq[(Ev, Int)], withPos: Boolean)

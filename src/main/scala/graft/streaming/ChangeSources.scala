@@ -3,6 +3,7 @@ package graft.streaming
 import graft.sources.{DeltaLogReader, IcebergReader}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.StreamingBridge
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
@@ -66,19 +67,28 @@ object ChangeSources {
     * `_change_type`/`_snapshot_seq`/`_commit_timestamp`, per-snapshot
     * granularity, `replace` snapshots invisible). `startingSnapshotId`
     * is the EXCLUSIVE baseline — `None` (default) starts at the current
-    * snapshot, serving only commits after stream start. History from
-    * before the oldest retained snapshot is not expressible (Iceberg's
-    * own incremental-read contract); full-refresh instead.
+    * snapshot, serving only commits after stream start. `earliest=true`
+    * BOOTSTRAPS instead: the first micro-batch is the oldest retained
+    * ancestor's full content as `insert` rows, then the changelog
+    * follows — the full reconstructable history in one subscription
+    * (history from before the oldest retained snapshot is gone by
+    * definition; an ancestry that leaves the retained catalogue is
+    * loud).
     */
   def iceberg(spark: SparkSession, path: String,
       startingSnapshotId: Option[Long] = None,
-      maxSnapshotsPerBatch: Option[Int] = None): DataFrame = {
+      maxSnapshotsPerBatch: Option[Int] = None,
+      earliest: Boolean = false): DataFrame = {
     require(maxSnapshotsPerBatch.forall(_ > 0),
       "maxSnapshotsPerBatch must be > 0")
+    require(!(earliest && startingSnapshotId.isDefined),
+      "earliest and startingSnapshotId are mutually exclusive")
     val r = spark.readStream.format(classOf[IcebergChangeSource].getName)
       .option("path", path)
-    val r2 = startingSnapshotId.fold(r)(id =>
-      r.option("startingSnapshotId", id.toString))
+    val r2 =
+      if (earliest) r.option("startingSnapshotId", "earliest")
+      else startingSnapshotId.fold(r)(id =>
+        r.option("startingSnapshotId", id.toString))
     maxSnapshotsPerBatch.fold(r2)(m =>
       r2.option("maxSnapshotsPerBatch", m.toString)).load()
   }
@@ -263,6 +273,11 @@ class IcebergChangeSource extends StreamSourceProvider {
 }
 
 private[streaming] object IcebergChangeSource {
+  /** `base` sentinel for the earliest-bootstrap mode: no snapshot has
+    * been served yet, the first batch is the root ancestor's content.
+    */
+  val Earliest: Long = Long.MinValue
+
   def schemaOf(spark: SparkSession, path: String): StructType = {
     val cur = currentOrFail(path)
     IcebergReader.readChanges(spark, path, cur, Some(cur)).schema
@@ -270,8 +285,9 @@ private[streaming] object IcebergChangeSource {
 
   def startAfterOf(path: String, parameters: Map[String, String]): Long =
     parameters.get("startingSnapshotId") match {
-      case Some(id) => id.toLong
-      case None     => currentOrFail(path)
+      case Some("earliest") => Earliest
+      case Some(id)         => id.toLong
+      case None             => currentOrFail(path)
     }
 
   private def currentOrFail(path: String): Long =
@@ -296,6 +312,10 @@ private[streaming] class IcebergChangeStream(spark: SparkSession,
   override def schema: StructType = declared
 
   override def getOffset: Option[Offset] = {
+    // earliest-bootstrap: the first offset is the parent-chain ROOT —
+    // its full content is the bootstrap batch, the changelog follows
+    if (base == IcebergChangeSource.Earliest)
+      return Some(VersionOffset(IcebergReader.rootAncestor(path)._1))
     // snapshot ids are NOT ordered (foreign writers use random ids) — the
     // next offset comes from walking the current ancestry past the base,
     // the exact lineage the batch read will re-walk
@@ -306,11 +326,28 @@ private[streaming] class IcebergChangeStream(spark: SparkSession,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val after = start.map(offsetValue).getOrElse(startAfter)
     val until = offsetValue(end)
     if (until != base) { base = until; highWater.write(until) }
-    StreamingBridge.asStreamingBatch(
-      IcebergReader.readChanges(spark, path, after, Some(until)))
+    val batch = start match {
+      // `start = None` = the stream's first-ever batch (same on crash
+      // recovery): under earliest mode it is the BOOTSTRAP — the root
+      // ancestor's full content as inserts, tagged like the changelog
+      case None if startAfter == IcebergChangeSource.Earliest =>
+        val (rootId, seq, tsMs) = IcebergReader.rootAncestor(path)
+        require(rootId == until, s"bootstrap offset drifted: the " +
+          s"checkpointed first batch ends at $until but the current " +
+          s"ancestry roots at $rootId — the chain was rewritten; " +
+          "full-refresh the consumer")
+        IcebergReader.read(spark, path, snapshotId = Some(until))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_snapshot_seq", lit(seq))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(tsMs)))
+      case _ =>
+        val after = start.map(offsetValue).getOrElse(startAfter)
+        IcebergReader.readChanges(spark, path, after, Some(until))
+    }
+    StreamingBridge.asStreamingBatch(batch)
   }
 
   override def stop(): Unit = ()

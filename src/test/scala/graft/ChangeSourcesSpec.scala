@@ -177,6 +177,28 @@ class ChangeSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("iceberg earliest bootstraps the root content then follows the changelog") {
+    val up = tmp("ice_earliest")
+    IcebergWriter.create(rows(1, 2), up)   // snapshot 1 (the root)
+    IcebergWriter.append(rows(3), up)      // snapshot 2
+    val q = ChangeSources.iceberg(spark, up, earliest = true,
+        maxSnapshotsPerBatch = Some(1))
+      .writeStream.format("memory").queryName("chg_ice_early")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chg_ice_early")
+        .select("id", "_change_type", "_snapshot_seq")
+        .as[(Int, String, Long)].collect().sorted.toSeq
+      assert(got == Seq((1, "insert", 1L), (2, "insert", 1L),
+        (3, "insert", 2L)))
+      // and new commits keep flowing after the bootstrap
+      IcebergWriter.append(rows(4), up)
+      q.processAllAvailable()
+      assert(spark.table("chg_ice_early").count() == 4)
+    } finally q.stop()
+  }
+
   test("iceberg default baseline is the snapshot current at stream start") {
     val up = tmp("ice_latest")
     IcebergWriter.create(rows(1, 2), up)

@@ -1,0 +1,195 @@
+package graft
+
+import graft.sources.IcebergReader
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** EQUALITY deletes on the changelog ([[IcebergReader.readChanges]]):
+  * an eq-delete snapshot's newly masked rows are evaluated by VALUE
+  * into (file, position) form and flow through the same diff algebra as
+  * position deletes — upsert steps (eq delete + re-insert) serve exact
+  * delete+insert pairs, rows already masked are not re-reported, and a
+  * dropped eq-delete file still trips the restore guard. Fixtures are
+  * hand-authored v2 tables (IcebergReaderSpec's approach) with explicit
+  * parent-snapshot-id chains for the ancestry walk.
+  */
+class IcebergChangelogEqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val listSchemaV2 = IcebergTestFixtures.listSchemaV2
+
+  private val entrySchemaEq = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null}]}}]}""".stripMargin)
+
+  /** entries: (status, content — 0 data / 1 position / 2 equality,
+    * file, equality ids).
+    */
+  private def manifestEq(path: Path,
+      entries: Seq[(Int, Int, String, Seq[Int])]): String = {
+    val recs = entries.map { case (status, content, file, eqIds) =>
+      val dfSchema = entrySchemaEq.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", content)
+      df.put("file_path", file)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty)
+        df.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+      val e = new GenericData.Record(entrySchemaEq)
+      e.put("status", status)
+      e.put("data_file", df)
+      e
+    }
+    IcebergTestFixtures.writeAvro(path, entrySchemaEq, recs)
+    path.toString
+  }
+
+  private def manifestList(path: Path,
+      entries: Seq[(String, Int, Long)]): String =
+    IcebergTestFixtures.manifestList(path, listSchemaV2, entries)
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"}]}""".stripMargin
+
+  private def freshRoot(tag: String): Path = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ibeqchg_${tag}_${System.nanoTime()}")
+    Files.createDirectories(p.resolve("metadata"))
+    Files.createDirectories(p.resolve("data"))
+    p
+  }
+
+  private def writeData(root: Path, name: String,
+      rows: Seq[(Long, String)]): String =
+    IcebergTestFixtures.writeDataFile(rows.toDF("id", "v"), root, name)
+
+  /** snaps: (id, seq, manifest list, parent) — explicit parent chain. */
+  private def writeMeta(root: Path,
+      snaps: Seq[(Long, Long, String, Option[Long])], current: Long): Unit = {
+    val snapsJson = snaps.map { case (id, seq, list, parent) =>
+      val par = parent.map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$id,$par"manifest-list":"$list","summary":{"operation":"overwrite"}}"""
+    }.mkString(",")
+    Files.writeString(root.resolve("metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":9,"last-updated-ms":0,"last-column-id":9,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"current-snapshot-id":$current,"snapshots":[$snapsJson]}""".stripMargin)
+    Files.writeString(root.resolve("metadata/version-hint.text"), "1")
+  }
+
+  private def changes(root: Path, after: Long): Seq[(Long, String, String, Long)] =
+    IcebergReader.readChanges(spark, root.toString, afterSnapshotId = after)
+      .select("id", "v", "_change_type", "_snapshot_seq")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+
+  test("upsert steps serve exact delete+insert; later eq delete diffs only newly masked") {
+    val root = freshRoot("upsert")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val fileB = writeData(root, "b.parquet", Seq((2L, "b2")))
+    val eqDel2 = writeData(root, "eqdel2.parquet", Seq((2L, "x")))
+    val eqDel3 = writeData(root, "eqdel3.parquet", Seq((1L, "x")))
+    val mA = manifestEq(md.resolve("ma.avro"), Seq((1, 0, fileA, Nil)))
+    val mB = manifestEq(md.resolve("mb.avro"), Seq((1, 0, fileB, Nil)))
+    val mD2 = manifestEq(md.resolve("md2.avro"), Seq((1, 2, eqDel2, Seq(1))))
+    val mD3 = manifestEq(md.resolve("md3.avro"), Seq((1, 2, eqDel3, Seq(1))))
+    val l1 = manifestList(md.resolve("s1.avro"), Seq((mA, 0, 1L)))
+    val l2 = manifestList(md.resolve("s2.avro"),
+      Seq((mA, 0, 1L), (mB, 0, 2L), (mD2, 1, 2L)))
+    val l3 = manifestList(md.resolve("s3.avro"),
+      Seq((mA, 0, 1L), (mB, 0, 2L), (mD2, 1, 2L), (mD3, 1, 3L)))
+    writeMeta(root, Seq((1L, 1L, l1, None), (2L, 2L, l2, Some(1L)),
+      (3L, 3L, l3, Some(2L))), current = 3L)
+    // step 2 (upsert of id 2): A's old row deletes, B's new row inserts —
+    // B itself is NOT masked (strict data seq < delete seq);
+    // step 3 (eq delete of id 1): only A's id-1 row, id 2 NOT re-reported
+    assert(changes(root, after = 1L) == Seq(
+      (1L, "a", "delete", 3L),
+      (2L, "b", "delete", 2L),
+      (2L, "b2", "insert", 2L)).sorted)
+    // polling only the last step sees only its diff
+    assert(IcebergReader.readChanges(spark, root.toString,
+        afterSnapshotId = 2L)
+      .select("id", "v", "_change_type", "_snapshot_seq")
+      .as[(Long, String, String, Long)].collect().toSeq ==
+      Seq((1L, "a", "delete", 3L)))
+  }
+
+  test("eq delete over an already position-deleted row is not re-reported") {
+    val root = freshRoot("overlap")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // position delete of A pos 0 (id 1) at seq 2
+    val posDel = {
+      val tmp = root.resolve("staging")
+      Seq((fileA, 0L)).toDF("file_path", "pos").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = root.resolve("data/posdel.parquet")
+      Files.move(part, dest)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+      dest.toString
+    }
+    // eq delete of ids {1, 3} at seq 3: id 1 already masked, id 3 newly
+    val eqDel = writeData(root, "eqdel.parquet", Seq((1L, "x"), (3L, "x")))
+    val mA = manifestEq(md.resolve("ma.avro"), Seq((1, 0, fileA, Nil)))
+    val mP = manifestEq(md.resolve("mp.avro"), Seq((1, 1, posDel, Nil)))
+    val mE = manifestEq(md.resolve("me.avro"), Seq((1, 2, eqDel, Seq(1))))
+    val l1 = manifestList(md.resolve("s1.avro"), Seq((mA, 0, 1L)))
+    val l2 = manifestList(md.resolve("s2.avro"),
+      Seq((mA, 0, 1L), (mP, 1, 2L)))
+    val l3 = manifestList(md.resolve("s3.avro"),
+      Seq((mA, 0, 1L), (mP, 1, 2L), (mE, 1, 3L)))
+    writeMeta(root, Seq((1L, 1L, l1, None), (2L, 2L, l2, Some(1L)),
+      (3L, 3L, l3, Some(2L))), current = 3L)
+    assert(changes(root, after = 1L) == Seq(
+      (1L, "a", "delete", 2L),
+      (3L, "c", "delete", 3L)).sorted)
+  }
+
+  test("a dropped eq-delete file trips the restore guard") {
+    val root = freshRoot("restore")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a"), (2L, "b")))
+    val eqDel = writeData(root, "eqdel.parquet", Seq((2L, "x")))
+    val mA = manifestEq(md.resolve("ma.avro"), Seq((1, 0, fileA, Nil)))
+    val mE = manifestEq(md.resolve("me.avro"), Seq((1, 2, eqDel, Seq(1))))
+    val l1 = manifestList(md.resolve("s1.avro"), Seq((mA, 0, 1L)))
+    val l2 = manifestList(md.resolve("s2.avro"),
+      Seq((mA, 0, 1L), (mE, 1, 2L)))
+    val l3 = manifestList(md.resolve("s3.avro"), Seq((mA, 0, 1L)))
+    writeMeta(root, Seq((1L, 1L, l1, None), (2L, 2L, l2, Some(1L)),
+      (3L, 3L, l3, Some(2L))), current = 3L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergReader.readChanges(spark, root.toString,
+        afterSnapshotId = 1L).collect()
+    }
+    assert(e.getMessage.contains("resurrects"))
+  }
+}

@@ -8,7 +8,8 @@ import java.nio.file.Paths
 /** Iceberg CHANGELOG scan ([[IcebergReader.readChanges]]): per-snapshot
   * state diffs — appends as inserts, position-delete/DV commits as
   * exactly their newly masked rows, overwrites as live-row deletes plus
-  * inserts, `replace` (compaction) invisible, equality deletes loud.
+  * inserts, `replace` (compaction) invisible, equality-delete (upsert)
+  * steps served by value (IcebergChangelogEqSpec drills the eq shapes).
   * Writer snapshot ids are their sequence numbers (1, 2, ...), which the
   * tests lean on.
   */
@@ -78,15 +79,15 @@ class IcebergChangelogSpec extends SparkSpec {
       (2L, "delete", 3L), (9L, "insert", 3L)).sorted)
   }
 
-  test("equality deletes (upsert) in a step fail loudly") {
+  test("an upsert step (equality delete + re-insert) serves exact changes") {
     val path = tmp("eq")
     IcebergWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
     IcebergWriter.upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "s"), path,
       keyCols = Seq("id"))
-    val e = intercept[IllegalArgumentException] {
-      changes(path, after = 1L)
-    }
-    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+    // the eq delete masks the OLD id-1 row (strictly older), never the
+    // re-inserted one; untouched id 2 stays out of the feed
+    assert(changes(path, after = 1L) == Seq(
+      (1L, "delete", 2L), (1L, "insert", 2L), (3L, "insert", 2L)).sorted)
   }
 
   test("v3 DV deletes serve their newly masked rows too") {
