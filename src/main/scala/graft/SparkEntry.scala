@@ -356,14 +356,8 @@ object SparkEntry {
         val nation = Tables.load(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         val base = nation.filter(col("n_regionkey") < 2)
-        def writeFile(df: DataFrame, name: String): Unit = {
-          val tmp = root.resolve("staging")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-")).get
-          Files.move(part, root.resolve(name))
-          deleteRecursively(tmp)
-        }
+        def writeFile(df: DataFrame, name: String): Unit =
+          writeSingleParquet(df, root, name)
         val updatedPost = base.filter(col("n_nationkey") % 2 === 0)
           .withColumn("n_name", lower(col("n_name")))
         writeFile(base.orderBy(col("n_nationkey")), "part-0.parquet")
@@ -484,6 +478,25 @@ object SparkEntry {
     deleteRecursively(root)
     build
     java.nio.file.Files.createFile(marker)
+  }
+
+  /** Writes `df` as exactly ONE parquet file named `name` under `root`
+    * (gate fixtures hand-author logs around real files) — the ONE copy
+    * the fixtures share, with the listing stream CLOSED (Files.list
+    * leaks a descriptor per call otherwise).
+    */
+  private def writeSingleParquet(df: DataFrame, root: java.nio.file.Path,
+      name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = root.resolve("staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val s = java.nio.file.Files.list(tmp)
+    val part =
+      try s.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      finally s.close()
+    java.nio.file.Files.move(part, root.resolve(name))
+    deleteRecursively(tmp)
   }
 
   /** Recursive delete with the walk stream CLOSED (Files.walk holds open
@@ -2019,7 +2032,6 @@ object SparkEntry {
         s"graft_delta_cdfrw_gate_v1_${math.abs(dir.hashCode)}")
       SparkEntry.synchronized {
         gateFixture(root) {
-          import scala.jdk.CollectionConverters._
           val base = Tables.load(s, dir, "nation")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
             .filter(col("n_regionkey") < 2)
@@ -2044,12 +2056,7 @@ object SparkEntry {
               (col("n_regionkey") * 0).as("n_regionkey"),
               (col("_row_id") + 1).as(ridCol))
           val post = carried.unionByName(updated).unionByName(inserted)
-          val staging = root.resolve("staging")
-          post.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          val part = java.nio.file.Files.list(staging).iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-")).get
-          java.nio.file.Files.move(part, root.resolve("part-rewrite.parquet"))
-          deleteRecursively(staging)
+          writeSingleParquet(post, root, "part-rewrite.parquet")
           java.nio.file.Files.writeString(
             root.resolve("_delta_log").resolve(f"${1L}%020d.json"),
             Seq(

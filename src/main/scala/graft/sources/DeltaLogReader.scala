@@ -1303,7 +1303,18 @@ object DeltaLogReader {
               "action — its row-level changes are not reconstructable; " +
               "full-refresh the consumer (or enable the change data " +
               "feed or row tracking on the producer)")
-          rewrites += ((v, adds.map(_.path).toSet, removes.map(_.path).toSet))
+          // an add of a path the PRIOR state already held is an implicit
+          // remove of its old entry — its v-1 rows belong to the
+          // pre-state, else a re-added file's unchanged rows would
+          // double-serve as inserts (and its newly DV-masked rows would
+          // vanish)
+          val prevPaths: Set[String] =
+            if (v == 0) Set.empty
+            else snapshot(spark, tablePath, Some(v - 1)).files
+              .map(_.path).toSet
+          rewrites += ((v, adds.map(_.path).toSet,
+            removes.map(_.path).toSet ++
+              adds.map(_.path).filter(prevPaths)))
           Nil
         } else {
         lazy val prevByPath: Map[String, AddFile] =

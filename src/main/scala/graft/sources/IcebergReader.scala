@@ -2009,11 +2009,73 @@ object IcebergReader {
     * the metadata-plane probe a streaming poller runs per trigger
     * (one JSON read, no manifest work).
     */
+  /** The table's `table-uuid` — the identity a streaming checkpoint pins
+    * so a dropped-and-recreated table (numbering restarted) can never
+    * silently splice into an old offset history.
+    */
+  def tableUuid(tablePath: String): String = {
+    val rootNode = mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath)))
+    Option(rootNode.get("table-uuid")).map(_.asText()).getOrElse("")
+  }
+
   def currentSnapshotId(tablePath: String): Option[Long] = {
     val rootNode = mapper.readTree(
       Files.readString(currentMetadataFile(tablePath)))
     Option(rootNode.get("current-snapshot-id")).map(_.asLong())
       .filter(_ >= 0)
+  }
+
+  /** The snapshot catalogue of the current metadata: id → meta, plus
+    * the current snapshot id — the ONE parse behind every ancestry
+    * consumer ([[ancestorsAfter]], [[rootAncestor]], [[readChanges]]).
+    */
+  private[graft] final case class SnapMeta(id: Long, seq: Long, ts: Long,
+      op: String, parent: Option[Long])
+
+  private def snapshotCatalogue(rootNode: JsonNode)
+      : (Map[Long, SnapMeta], Option[Long]) = {
+    val byId = Option(rootNode.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        val id = s.get("snapshot-id").asLong()
+        id -> SnapMeta(id,
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+            .map(_.asText()).getOrElse("append"),
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong()))
+      }.toMap
+    (byId, Option(rootNode.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ >= 0))
+  }
+
+  /** The parent-chain walk from `untilId` back to `stopAt` (exclusive)
+    * when given, else to the chain root — oldest → newest. The ONE walk
+    * every ancestry consumer shares: loud on expired links, parent
+    * CYCLES (malformed metadata must not loop a poller forever), and a
+    * `stopAt` that is not an ancestor.
+    */
+  private def walkAncestry(byId: Map[Long, SnapMeta], untilId: Long,
+      stopAt: Option[Long]): Seq[SnapMeta] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SnapMeta]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var cur: Option[Long] = Some(untilId)
+    while (cur.isDefined && !stopAt.contains(cur.get)) {
+      val id = cur.get
+      require(seen.add(id),
+        s"snapshot parent chain cycles at $id — malformed metadata")
+      val m = byId.getOrElse(id, throw new IllegalArgumentException(
+        s"snapshot $id in the ancestry chain was expired — " +
+          "full-refresh the consumer"))
+      buf += m
+      cur = m.parent
+    }
+    require(stopAt.isEmpty || cur.isDefined,
+      s"snapshot ${stopAt.getOrElse(-1L)} is not an ancestor of " +
+        s"$untilId (rollback or branch divergence) — full-refresh the " +
+        "consumer")
+    buf.reverse.toSeq
   }
 
   /** Snapshot ids strictly after `afterSnapshotId` on the CURRENT
@@ -2024,35 +2086,14 @@ object IcebergReader {
     * full-refresh, not an empty list.
     */
   def ancestorsAfter(tablePath: String, afterSnapshotId: Long): Seq[Long] = {
-    val rootNode = mapper.readTree(
-      Files.readString(currentMetadataFile(tablePath)))
-    val parents: Map[Long, Option[Long]] =
-      Option(rootNode.get("snapshots")).toSeq
-        .flatMap(_.elements().asScala).map { s =>
-          s.get("snapshot-id").asLong() ->
-            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
-              .map(_.asLong())
-        }.toMap
-    require(parents.contains(afterSnapshotId),
+    val (byId, curOpt) = snapshotCatalogue(mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath))))
+    require(byId.contains(afterSnapshotId),
       s"baseline snapshot $afterSnapshotId not found (expired?) — " +
         "full-refresh the consumer")
-    val cur = Option(rootNode.get("current-snapshot-id"))
-      .map(_.asLong()).filter(_ >= 0).getOrElse(
-        throw new IllegalArgumentException(
-          s"$tablePath has no current snapshot"))
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var walk: Option[Long] = Some(cur)
-    while (walk.isDefined && walk.get != afterSnapshotId) {
-      val id = walk.get
-      buf += id
-      walk = parents.getOrElse(id, throw new IllegalArgumentException(
-        s"snapshot $id in the ancestry chain was expired — " +
-          "full-refresh the consumer"))
-    }
-    require(walk.contains(afterSnapshotId) || cur == afterSnapshotId,
-      s"snapshot $afterSnapshotId is not an ancestor of $cur " +
-        "(rollback or branch divergence) — full-refresh the consumer")
-    buf.reverse.toSeq
+    val cur = curOpt.getOrElse(throw new IllegalArgumentException(
+      s"$tablePath has no current snapshot"))
+    walkAncestry(byId, cur, Some(afterSnapshotId)).map(_.id)
   }
 
   /** The oldest snapshot on the CURRENT ancestry (the parent-chain
@@ -2065,33 +2106,12 @@ object IcebergReader {
     * under-serve the consumer.
     */
   def rootAncestor(tablePath: String): (Long, Long, Long) = {
-    val rootNode = mapper.readTree(
-      Files.readString(currentMetadataFile(tablePath)))
-    val metas: Map[Long, (Long, Long, Option[Long])] =
-      Option(rootNode.get("snapshots")).toSeq
-        .flatMap(_.elements().asScala).map { s =>
-          s.get("snapshot-id").asLong() -> ((
-            Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-            Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
-            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
-              .map(_.asLong())))
-        }.toMap
-    var cur = Option(rootNode.get("current-snapshot-id"))
-      .map(_.asLong()).filter(_ >= 0).getOrElse(
-        throw new IllegalArgumentException(
-          s"$tablePath has no current snapshot"))
-    while (true) {
-      val (seq, ts, parent) = metas.getOrElse(cur,
-        throw new IllegalArgumentException(
-          s"snapshot $cur in the ancestry chain was expired — the " +
-            "earliest retained history is incomplete; full-refresh " +
-            "the consumer"))
-      parent match {
-        case Some(p) => cur = p
-        case None    => return (cur, seq, ts)
-      }
-    }
-    sys.error("unreachable")
+    val (byId, curOpt) = snapshotCatalogue(mapper.readTree(
+      Files.readString(currentMetadataFile(tablePath))))
+    val cur = curOpt.getOrElse(throw new IllegalArgumentException(
+      s"$tablePath has no current snapshot"))
+    val root = walkAncestry(byId, cur, stopAt = None).head
+    (root.id, root.seq, root.ts)
   }
 
   /** CHANGELOG scan — the Iceberg twin of
@@ -2139,51 +2159,23 @@ object IcebergReader {
     require(!currentSchema(rootNode)._1.fields.exists(
         _.dataType == VariantType),
       "readChanges does not support variant columns")
-    // snapshot catalogue: id → (seq, ts, operation, parent). The walk
-    // follows the CURRENT ANCESTRY (parent-snapshot-id chain), never the
-    // raw list order — staged WAP snapshots and rolled-back branches
-    // live in the list without being part of the served lineage, and a
-    // seq-ordered walk would report their never-published rows as
-    // phantom changes.
-    case class SnapMeta(id: Long, seq: Long, ts: Long, op: String,
-        parent: Option[Long])
-    val byId: Map[Long, SnapMeta] = Option(rootNode.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).map { s =>
-        val id = s.get("snapshot-id").asLong()
-        id -> SnapMeta(id,
-          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
-          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
-            .map(_.asText()).getOrElse("append"),
-          Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
-            .map(_.asLong()))
-      }.toMap
+    // snapshot catalogue + parent-chain walk (shared [[snapshotCatalogue]]
+    // / [[walkAncestry]]): the lineage follows the CURRENT ANCESTRY,
+    // never the raw list order — staged WAP snapshots and rolled-back
+    // branches live in the list without being part of the served
+    // lineage, and a seq-ordered walk would report their never-published
+    // rows as phantom changes.
+    val (byId, curOpt) = snapshotCatalogue(rootNode)
     require(byId.contains(afterSnapshotId),
       s"baseline snapshot $afterSnapshotId not found (expired?) — " +
         "full-refresh the consumer")
-    val untilId = untilSnapshotId.getOrElse {
-      val cur = Option(rootNode.get("current-snapshot-id"))
-        .map(_.asLong()).getOrElse(-1L)
-      require(cur >= 0, s"$tablePath has no current snapshot")
-      cur
-    }
+    val untilId = untilSnapshotId.getOrElse(
+      curOpt.getOrElse(throw new IllegalArgumentException(
+        s"$tablePath has no current snapshot")))
     require(byId.contains(untilId), s"until snapshot $untilId not found")
     // ancestry from until back to the baseline (exclusive)
-    val lineage: Seq[SnapMeta] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[SnapMeta]
-      var cur: Option[Long] = Some(untilId)
-      while (cur.isDefined && cur.get != afterSnapshotId) {
-        val m = byId.getOrElse(cur.get, throw new IllegalArgumentException(
-          s"snapshot ${cur.get} in the ancestry chain was expired — " +
-            "full-refresh the consumer"))
-        buf += m
-        cur = m.parent
-      }
-      require(cur.contains(afterSnapshotId) || untilId == afterSnapshotId,
-        s"snapshot $afterSnapshotId is not an ancestor of $untilId " +
-          "(rollback or branch divergence) — full-refresh the consumer")
-      buf.reverse.toSeq
-    }
+    val lineage: Seq[SnapMeta] =
+      walkAncestry(byId, untilId, Some(afterSnapshotId))
     val (schema, _) = currentSchema(rootNode)
     val ctField = StructField("_change_type", StringType)
     val outFields = schema.fields :+ ctField :+

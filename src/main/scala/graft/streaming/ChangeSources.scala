@@ -117,25 +117,65 @@ private[streaming] case class VersionOffset(version: Long) extends Offset {
   * log reader in this build (docs/AZURE.md bound).
   */
 private[streaming] final class HighWater(metadataPath: String) {
-  private val file = java.nio.file.Paths.get(
-    stripFileScheme(metadataPath), "graft-offset-high-water")
-
-  private def stripFileScheme(p: String): String =
-    if (!p.startsWith("file:")) p
-    else try java.nio.file.Paths.get(java.net.URI.create(p)).toString
-    catch { case scala.util.control.NonFatal(_) => p }
+  private val file =
+    ChangeSourceOptions.localPath(metadataPath, "graft-offset-high-water")
 
   def read: Option[Long] =
     if (!java.nio.file.Files.exists(file)) None
     else Some(java.nio.file.Files.readString(file).trim.toLong)
 
-  def write(v: Long): Unit = {
-    java.nio.file.Files.createDirectories(file.getParent)
-    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, file,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  def write(v: Long): Unit =
+    ChangeSourceOptions.atomicWrite(file, v.toString)
+}
+
+/** The stream's RESOLVED starting point plus the upstream table's
+  * identity, persisted once at first start under the checkpoint-scoped
+  * `metadataPath`. Two failure modes this kills:
+  *
+  *  - Non-deterministic baselines ("latest", Iceberg's default
+  *    current-snapshot) re-resolved at RESTART would drift past commits
+  *    the engine already logged — a batch-0 replay after a crash would
+  *    then window from the drifted value and silently serve an
+  *    empty/wrong range. The checkpoint's resolved baseline always
+  *    wins over the options (delta-spark's own restart rule).
+  *  - Offsets are bare version/snapshot numbers; a DROPPED-AND-RECREATED
+  *    upstream table restarts its numbering, and the checkpoint would
+  *    silently stitch two unrelated histories together. The persisted
+  *    table id (Delta `metaData.id` / Iceberg `table-uuid` — the same
+  *    identity delta-spark embeds in its offsets as `reservoirId`) is
+  *    checked at every source start AND every poll; a mismatch is a
+  *    loud full-refresh, never a silent splice.
+  */
+private[streaming] final class BaselineStore(metadataPath: String) {
+  private val file =
+    ChangeSourceOptions.localPath(metadataPath, "graft-offset-baseline")
+
+  /** (startAfter, tableId) recorded at first start, if any. */
+  def read: Option[(Long, String)] =
+    if (!java.nio.file.Files.exists(file)) None
+    else {
+      val s = java.nio.file.Files.readString(file).trim
+      val cut = s.indexOf('|')
+      Some((s.take(cut).toLong, s.drop(cut + 1)))
+    }
+
+  /** First start resolves and records; every later start answers from
+    * the record (a changed option never moves a live checkpoint) and
+    * verifies the table is still the same one.
+    */
+  def resolve(resolveBaseline: => Long, currentTableId: String,
+      path: String): Long = read match {
+    case Some((after, id)) =>
+      require(id == currentTableId,
+        s"$path is not the table this checkpoint was started on " +
+          s"(table id '$currentTableId' != checkpointed '$id') — it was " +
+          "dropped and recreated; full-refresh the consumer (new " +
+          "checkpoint)")
+      after
+    case None =>
+      val after = resolveBaseline
+      ChangeSourceOptions.atomicWrite(file, s"$after|$currentTableId")
+      after
   }
 }
 
@@ -151,6 +191,27 @@ private[streaming] object ChangeSourceOptions {
   }
 
   def offsetValue(o: Offset): Long = o.json.toLong
+
+  /** Checkpoint metadata lives on the local filesystem, like every
+    * native log reader in this build (docs/AZURE.md bound).
+    */
+  def localPath(metadataPath: String, name: String): java.nio.file.Path = {
+    val base =
+      if (!metadataPath.startsWith("file:")) metadataPath
+      else try java.nio.file.Paths.get(java.net.URI.create(metadataPath))
+        .toString
+      catch { case scala.util.control.NonFatal(_) => metadataPath }
+    java.nio.file.Paths.get(base, name)
+  }
+
+  def atomicWrite(file: java.nio.file.Path, content: String): Unit = {
+    java.nio.file.Files.createDirectories(file.getParent)
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 /** `spark.readStream.format(classOf[DeltaChangeSource].getName)` —
@@ -160,13 +221,27 @@ private[streaming] object ChangeSourceOptions {
 class DeltaChangeSource extends StreamSourceProvider {
   import ChangeSourceOptions._
 
+  // DataSource calls sourceSchema then createSource on the SAME provider
+  // instance — memoize so the empty-window schema probe runs once per
+  // stream start, not twice
+  private var schemaMemo: Option[((String, Boolean), StructType)] = None
+
+  private def schemaFor(spark: SparkSession, path: String, cdf: Boolean)
+      : StructType = schemaMemo match {
+    case Some((k, s)) if k == ((path, cdf)) => s
+    case _ =>
+      val s = DeltaChangeSource.schemaOf(spark, path, cdf)
+      schemaMemo = Some(((path, cdf), s))
+      s
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "the delta change source derives its schema from the table log — " +
         "a user-provided schema is not accepted")
-    (providerName, DeltaChangeSource.schemaOf(sqlContext.sparkSession,
+    (providerName, schemaFor(sqlContext.sparkSession,
       pathOf(parameters), DeltaChangeSource.cdfOf(parameters)))
   }
 
@@ -175,9 +250,14 @@ class DeltaChangeSource extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    new DeltaChangeStream(spark, path, DeltaChangeSource.cdfOf(parameters),
+    val cdf = DeltaChangeSource.cdfOf(parameters)
+    val tableId = DeltaLogReader.snapshot(spark, path).metaDataId
+    val startAfter = new BaselineStore(metadataPath).resolve(
       DeltaChangeSource.startAfterOf(spark, path, parameters),
-      maxOf(parameters, "maxCommitsPerBatch"), new HighWater(metadataPath))
+      tableId, path)
+    new DeltaChangeStream(spark, path, cdf, startAfter, tableId,
+      maxOf(parameters, "maxCommitsPerBatch"), new HighWater(metadataPath),
+      schemaFor(spark, path, cdf))
   }
 }
 
@@ -216,11 +296,10 @@ private[streaming] object DeltaChangeSource {
 }
 
 private[streaming] class DeltaChangeStream(spark: SparkSession,
-    path: String, cdf: Boolean, startAfter: Long,
-    maxCommits: Option[Int], highWater: HighWater) extends Source {
+    path: String, cdf: Boolean, startAfter: Long, tableId: String,
+    maxCommits: Option[Int], highWater: HighWater,
+    declared: StructType) extends Source {
   import ChangeSourceOptions.offsetValue
-
-  private val declared = DeltaChangeSource.schemaOf(spark, path, cdf)
 
   /** Rate-limit base: the newest version this checkpoint has ever been
     * handed ([[HighWater]]), else the options' baseline on a fresh start.
@@ -230,7 +309,13 @@ private[streaming] class DeltaChangeStream(spark: SparkSession,
   override def schema: StructType = declared
 
   override def getOffset: Option[Offset] = {
-    val current = DeltaLogReader.snapshot(spark, path).version
+    val snap = DeltaLogReader.snapshot(spark, path)
+    // live drop-and-recreate: versions restart and would silently
+    // splice into this checkpoint's history ([[BaselineStore]])
+    require(snap.metaDataId == tableId,
+      s"$path was dropped and recreated mid-stream (table id " +
+        s"'${snap.metaDataId}' != '$tableId') — full-refresh the consumer")
+    val current = snap.version
     val target = maxCommits.fold(current)(m => math.min(current, base + m))
     if (target <= base) None else Some(VersionOffset(target))
   }
@@ -251,14 +336,26 @@ private[streaming] class DeltaChangeStream(spark: SparkSession,
 class IcebergChangeSource extends StreamSourceProvider {
   import ChangeSourceOptions._
 
+  // same one-instance memo as the delta provider: one schema probe per
+  // stream start
+  private var schemaMemo: Option[(String, StructType)] = None
+
+  private def schemaFor(spark: SparkSession, path: String): StructType =
+    schemaMemo match {
+      case Some((k, s)) if k == path => s
+      case _ =>
+        val s = IcebergChangeSource.schemaOf(spark, path)
+        schemaMemo = Some((path, s))
+        s
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "the iceberg change source derives its schema from table " +
         "metadata — a user-provided schema is not accepted")
-    (providerName, IcebergChangeSource.schemaOf(sqlContext.sparkSession,
-      pathOf(parameters)))
+    (providerName, schemaFor(sqlContext.sparkSession, pathOf(parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -266,9 +363,12 @@ class IcebergChangeSource extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    new IcebergChangeStream(spark, path,
-      IcebergChangeSource.startAfterOf(path, parameters),
-      maxOf(parameters, "maxSnapshotsPerBatch"), new HighWater(metadataPath))
+    val tableId = IcebergReader.tableUuid(path)
+    val startAfter = new BaselineStore(metadataPath).resolve(
+      IcebergChangeSource.startAfterOf(path, parameters), tableId, path)
+    new IcebergChangeStream(spark, path, startAfter, tableId,
+      maxOf(parameters, "maxSnapshotsPerBatch"), new HighWater(metadataPath),
+      schemaFor(spark, path))
   }
 }
 
@@ -297,11 +397,10 @@ private[streaming] object IcebergChangeSource {
 }
 
 private[streaming] class IcebergChangeStream(spark: SparkSession,
-    path: String, startAfter: Long, maxSnapshots: Option[Int],
-    highWater: HighWater) extends Source {
+    path: String, startAfter: Long, tableId: String,
+    maxSnapshots: Option[Int], highWater: HighWater,
+    declared: StructType) extends Source {
   import ChangeSourceOptions.offsetValue
-
-  private val declared = IcebergChangeSource.schemaOf(spark, path)
 
   /** Last snapshot id handed to the engine under this checkpoint
     * ([[HighWater]] — ids are unordered, so "newest" means last written,
@@ -312,6 +411,10 @@ private[streaming] class IcebergChangeStream(spark: SparkSession,
   override def schema: StructType = declared
 
   override def getOffset: Option[Offset] = {
+    // live drop-and-recreate check ([[BaselineStore]])
+    require(IcebergReader.tableUuid(path) == tableId,
+      s"$path was dropped and recreated mid-stream — full-refresh " +
+        "the consumer")
     // earliest-bootstrap: the first offset is the parent-chain ROOT —
     // its full content is the bootstrap batch, the changelog follows
     if (base == IcebergChangeSource.Earliest)

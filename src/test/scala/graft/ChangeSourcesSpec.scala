@@ -143,6 +143,50 @@ class ChangeSourcesSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, down).count() == 5)
   }
 
+  test("checkpoint baseline wins over changed options; a recreated table is loud") {
+    val up = tmp("baseline")
+    DeltaWriter.create(rows(1), up)
+    DeltaWriter.append(rows(2), up)
+    val meta = tmp("baseline_meta")
+    def source(startingVersion: String) =
+      new graft.streaming.DeltaChangeSource().createSource(
+        spark.sqlContext, meta, None, "delta-chg",
+        Map("path" -> up, "startingVersion" -> startingVersion))
+    // first start resolves earliest (-1) and records it
+    assert(source("earliest").getOffset.map(_.json).contains("1"))
+    // a "restart" with startingVersion=latest must KEEP the recorded
+    // baseline — a re-resolved 'latest' would silently skip the window
+    assert(source("latest").getOffset.map(_.json).contains("1"))
+    // drop-and-recreate: versions restart; the table id pinned at first
+    // start refuses the splice
+    deleteRec(java.nio.file.Paths.get(up))
+    DeltaWriter.create(rows(9), up)
+    val e = intercept[IllegalArgumentException] { source("latest") }
+    assert(e.getMessage.contains("dropped and recreated"))
+  }
+
+  test("iceberg checkpoint pins the table uuid") {
+    val up = tmp("ice_uuid")
+    IcebergWriter.create(rows(1), up)
+    val meta = tmp("ice_uuid_meta")
+    def source() =
+      new graft.streaming.IcebergChangeSource().createSource(
+        spark.sqlContext, meta, None, "iceberg-chg", Map("path" -> up))
+    source() // records the uuid
+    deleteRec(java.nio.file.Paths.get(up))
+    IcebergWriter.create(rows(2), up)
+    val e = intercept[IllegalArgumentException] { source() }
+    assert(e.getMessage.contains("dropped and recreated"))
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally w.close()
+    }
+
   test("appends feed dies loudly on a delete commit (full-refresh edge)") {
     val up = tmp("loud")
     DeltaWriter.create(rows(1, 2, 3), up)

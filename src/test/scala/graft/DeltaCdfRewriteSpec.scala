@@ -109,6 +109,42 @@ class DeltaCdfRewriteSpec extends SparkSpec {
       afterVersion = 0L).isEmpty)
   }
 
+  test("a re-added EXISTING path is an implicit remove: carried rows " +
+      "never double-serve as inserts") {
+    // v0: file A (k=0,1); v1: file B (k=2,3); v2 rewrite: remove A,
+    // RE-ADD B untouched (the foreign stats-rewrite / clone shape) and
+    // add C carrying k=0 updated — B's rows must classify as CARRIED
+    // (pre includes the re-added path's prior rows), k=1 as delete
+    val root = tmp("readd")
+    DeltaWriter.create(Seq((0, "s0"), (1, "s1")).toDF("k", "s").coalesce(1),
+      root.toString, rowTracking = true)
+    DeltaWriter.append(Seq((2, "s2"), (3, "s3")).toDF("k", "s").coalesce(1),
+      root.toString)
+    val snap = DeltaLogReader.snapshot(spark, root.toString)
+    val pathA = DeltaLogReader.snapshot(spark, root.toString, Some(0L))
+      .files.head.path
+    val entryB = snap.files.find(_.path != pathA).get
+    val ridCol = snap.materializedRowIdColumn.get
+    val idOf = DeltaLogReader.read(spark, root.toString, withLineage = true)
+      .select(col("k"), col("_row_id")).as[(Int, Long)].collect().toMap
+    writeFile(Seq((0, "S0-upd", idOf(0))).toDF("k", "s", ridCol),
+      root, "part-c.parquet")
+    Files.writeString(root.resolve("_delta_log").resolve(f"${2L}%020d.json"),
+      Seq(
+        s"""{"remove":{"path":"$pathA","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"${entryB.path}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":${entryB.baseRowId.get},"defaultRowCommitVersion":${entryB.defaultRowCommitVersion.get}}}""",
+        s"""{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"defaultRowCommitVersion":2}}"""
+      ).mkString("\n"))
+    val got = DeltaLogReader.readChanges(spark, root.toString,
+        afterVersion = 1L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0, "S0-upd", "update_postimage", 2L),
+      (0, "s0", "update_preimage", 2L),
+      (1, "s1", "delete", 2L)))
+  }
+
   test("a rewrite polled across a schema change fails loudly") {
     val (root, _) = rewriteFixture()
     // v2 widens the schema (mergeSchema evolution): the poll now pins

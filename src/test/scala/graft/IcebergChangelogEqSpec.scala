@@ -173,6 +173,21 @@ class IcebergChangelogEqSpec extends SparkSpec {
       (3L, "c", "delete", 3L)).sorted)
   }
 
+  test("a parent cycle in the snapshot chain is loud, never an infinite walk") {
+    val root = freshRoot("cycle")
+    val md = root.resolve("metadata")
+    val fileA = writeData(root, "a.parquet", Seq((1L, "a")))
+    val mA = manifestEq(md.resolve("ma.avro"), Seq((1, 0, fileA, Nil)))
+    val l = manifestList(md.resolve("s.avro"), Seq((mA, 0, 1L)))
+    // 2 ↔ 3 cycle; baseline 1 is unreachable through it
+    writeMeta(root, Seq((1L, 1L, l, None), (2L, 2L, l, Some(3L)),
+      (3L, 3L, l, Some(2L))), current = 2L)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.IcebergReader.ancestorsAfter(root.toString, 1L)
+    }
+    assert(e.getMessage.contains("cycles"))
+  }
+
   test("a dropped eq-delete file trips the restore guard") {
     val root = freshRoot("restore")
     val md = root.resolve("metadata")
