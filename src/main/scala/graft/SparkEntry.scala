@@ -2471,6 +2471,32 @@ object SparkEntry {
           col("_change_type"), col("_snapshot_seq"))
         .orderBy(col("_change_type"), col("n_nationkey"))
     }),
+    "q_stream_mirror" -> ((s, dir) => {
+      // CDC REPLICATION end-to-end (ChangeSync.mirrorIceberg): the
+      // three-snapshot iceberg fixture replicates into a DELTA replica
+      // via the earliest-bootstrap changelog stream — create's rows,
+      // the append, and the position-delete commit all apply in order;
+      // the gate serves the REPLICA, the oracle the upstream's live
+      // rows. Replica/checkpoint dirs are keyed by the upstream's
+      // table-uuid, so a rebuilt fixture gets fresh ones (the mirror's
+      // own recreate guard would loudly refuse the stale checkpoint).
+      val src = icebergCdfFixture(s, dir)
+      val token = math.abs(graft.sources.IcebergReader.tableUuid(src)
+        .hashCode)
+      val dst = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mirror_gate_v1_${math.abs(dir.hashCode)}_$token")
+      val ckpt = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mirror_gate_ckpt_v1_${math.abs(dir.hashCode)}_$token")
+      SparkEntry.synchronized {
+        val q = graft.streaming.ChangeSync.mirrorIceberg(s, src,
+          dst.toString, ckpt.toString, Seq("n_nationkey"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      graft.sources.DeltaLogReader.read(s, dst.toString)
+        .orderBy(col("n_nationkey"))
+    }),
     "q_stream_iceberg_cdf" -> ((s, dir) => {
       // the changelog consumed AS A STREAM: same fixture as
       // q_iceberg_cdf, served through the Structured-Streaming source
@@ -3823,6 +3849,9 @@ object SparkEntry {
         |  FROM base WHERE n_nationkey % 2 = 0
         |)
         |ORDER BY _change_type, n_nationkey""".stripMargin,
+    "q_stream_mirror" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 0 ORDER BY n_nationkey""".stripMargin,
     "q_stream_iceberg_cdf" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |       ct AS _change_type, CAST(v AS BIGINT) AS _snapshot_seq

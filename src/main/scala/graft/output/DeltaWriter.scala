@@ -799,6 +799,22 @@ object DeltaWriter {
       predicate: org.apache.spark.sql.Column): Long =
     deleteMatching(spark, path, _.filter(predicate))
 
+  /** DV-deletes every live row whose `keyCols` tuple appears in `keys` —
+    * the set-shaped delete a CDC mirror applies ([[graft.streaming
+    * .ChangeSync]]). Unlike [[upsert]]'s broadcast probe, the semi-join
+    * stays unhinted: a replication batch's delete set can be
+    * arbitrarily large (a full-refresh upstream), and AQE picks
+    * broadcast on its own when it is small.
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val keyFrame = keys.select(keyCols.map(
+      org.apache.spark.sql.functions.col): _*).distinct()
+    deleteMatching(spark, path,
+      live => live.join(keyFrame, keyCols, "left_semi"))
+  }
+
   /** UPSERT (the two-statement MERGE): rows whose `keyCols` match a row
     * of `updates` are DV-deleted, then `updates` appends in one new
     * commit right after — readers at the final version see exactly
