@@ -801,18 +801,23 @@ object DeltaWriter {
 
   /** DV-deletes every live row whose `keyCols` tuple appears in `keys` —
     * the set-shaped delete a CDC mirror applies ([[graft.streaming
-    * .ChangeSync]]). Unlike [[upsert]]'s broadcast probe, the semi-join
-    * stays unhinted: a replication batch's delete set can be
-    * arbitrarily large (a full-refresh upstream), and AQE picks
-    * broadcast on its own when it is small.
+    * .ChangeSync]]). Two deliberate differences from [[upsert]]'s
+    * probe: the semi-join stays UNHINTED (a replication batch's key set
+    * can be table-sized — a full-refresh upstream — and AQE broadcasts
+    * on its own when it is small), and the key match is NULL-SAFE
+    * (`<=>`): a replicated delete of a NULL-keyed upstream row must
+    * remove it, where MERGE-style `=` matching would silently no-op and
+    * diverge the replica forever.
     */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
-    val keyFrame = keys.select(keyCols.map(
-      org.apache.spark.sql.functions.col): _*).distinct()
-    deleteMatching(spark, path,
-      live => live.join(keyFrame, keyCols, "left_semi"))
+    val keyFrame = keys.select(keyCols.map(c =>
+      org.apache.spark.sql.functions.col(c).as(s"__dk_$c")): _*).distinct()
+    deleteMatching(spark, path, live =>
+      live.join(keyFrame,
+        keyCols.map(c => live(c) <=> keyFrame(s"__dk_$c")).reduce(_ && _),
+        "left_semi"))
   }
 
   /** UPSERT (the two-statement MERGE): rows whose `keyCols` match a row

@@ -2013,6 +2013,11 @@ object IcebergReader {
     * so a dropped-and-recreated table (numbering restarted) can never
     * silently splice into an old offset history.
     */
+  /** The table's `format-version` (1-3). */
+  def formatVersion(tablePath: String): Int =
+    mapper.readTree(Files.readString(currentMetadataFile(tablePath)))
+      .get("format-version").asInt()
+
   def tableUuid(tablePath: String): String = {
     val rootNode = mapper.readTree(
       Files.readString(currentMetadataFile(tablePath)))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.output.DeltaWriter
-import graft.sources.DeltaLogReader
+import graft.sources.{DeltaLogReader, IcebergReader}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -15,26 +15,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Apply rule, per SOURCE COMMIT in version order (a key deleted at v
   * and re-inserted at v+1 inside one micro-batch must land in that
-  * order): `delete`/`update_preimage` keys not re-written in the same
-  * commit are DV-deleted ([[DeltaWriter.deleteKeys]] — unhinted
-  * semi-join, a full-refresh-sized delete set never funnels through a
-  * broadcast), then `insert`/`update_postimage` rows upsert on the
-  * key columns. The replica is created from the first batch when
-  * absent.
+  * order): ONE null-safe key-delete probe per commit removes both the
+  * `delete`/`update_preimage` keys and the keys about to be re-written
+  * ([[DeltaWriter.deleteKeys]] — an UNHINTED semi-join, so a
+  * full-refresh-sized commit never funnels its key set through a
+  * broadcast; AQE broadcasts on its own when the set is small), then
+  * the `insert`/`update_postimage` rows append. The replica is created
+  * from the first batch when absent.
   *
   * Exactly-once: offsets checkpoint in the engine; a replayed batch
   * re-applies the SAME deterministic change rows, and every apply step
-  * is idempotent BY VALUE (deleting absent keys is a no-op, upserting
-  * identical rows reproduces the same state) — so at-least-once batch
-  * delivery still converges to exactly the upstream's row set. The
-  * weaker txn-marker scheme [[DeltaSink]] uses is unnecessary here and
-  * would not cover the multi-commit batches anyway.
+  * is idempotent BY VALUE (deleting absent keys is a no-op, re-applying
+  * delete-then-append of identical rows reproduces the same state) —
+  * so at-least-once batch delivery still converges to exactly the
+  * upstream's row set. The weaker txn-marker scheme [[DeltaSink]] uses
+  * is unnecessary here and would not cover the multi-commit batches
+  * anyway.
   *
   * 100-TB shape: per batch the replica pays one live-scan probe per
   * applied source commit (rate-limit with `maxCommitsPerBatch` to
   * bound it); change rows never collect to the driver — the only
   * driver-side loop is over the batch's distinct commit VERSIONS
-  * (metadata-scale).
+  * (metadata-scale), and the batch frame is persisted ONCE so the
+  * change reconstruction is not re-run per probe.
   */
 object ChangeSync {
 
@@ -45,7 +48,7 @@ object ChangeSync {
   def mirrorDelta(spark: SparkSession, src: String, dst: String,
       checkpointDir: String, keyCols: Seq[String],
       maxCommitsPerBatch: Option[Int] = None): StreamingQuery = {
-    require(keyCols.nonEmpty, "mirror needs at least one key column")
+    requireCleanStart(dst, checkpointDir, keyCols)
     ChangeSources.delta(spark, src, feed = "cdf",
         startingVersion = "earliest",
         maxCommitsPerBatch = maxCommitsPerBatch)
@@ -61,12 +64,18 @@ object ChangeSync {
     * replication — the changelog serves insert/delete granularity, so
     * upstream updates arrive as delete+insert pairs of the same key).
     * Bootstraps from the oldest retained ancestor
-    * ([[ChangeSources.iceberg]] `earliest`).
+    * ([[ChangeSources.iceberg]] `earliest`). Format v2+ only: a v1
+    * table's snapshots all carry sequence number 0, so the per-commit
+    * apply order the mirror depends on would silently collapse.
     */
   def mirrorIceberg(spark: SparkSession, src: String, dst: String,
       checkpointDir: String, keyCols: Seq[String],
       maxSnapshotsPerBatch: Option[Int] = None): StreamingQuery = {
-    require(keyCols.nonEmpty, "mirror needs at least one key column")
+    requireCleanStart(dst, checkpointDir, keyCols)
+    require(IcebergReader.formatVersion(src) >= 2,
+      s"mirrorIceberg needs a format v2+ upstream at $src — v1 " +
+        "snapshots share sequence number 0 and the per-commit apply " +
+        "order would collapse")
     ChangeSources.iceberg(spark, src, earliest = true,
         maxSnapshotsPerBatch = maxSnapshotsPerBatch)
       .writeStream
@@ -75,6 +84,25 @@ object ChangeSync {
         applyBatch(batch.toDF(), dst, keyCols, "_snapshot_seq")
       }
       .start()
+  }
+
+  /** A replica that predates its checkpoint is a silent divergence
+    * waiting to happen: a fresh stream bootstraps from the oldest
+    * RETAINED history, which cannot remove replica rows whose upstream
+    * deletes were expired away — so an existing replica with no
+    * checkpoint refuses loudly (delete the replica for a clean
+    * re-bootstrap, or keep its original checkpoint).
+    */
+  private def requireCleanStart(dst: String, checkpointDir: String,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "mirror needs at least one key column")
+    val hasOffsets = java.nio.file.Files.exists(
+      ChangeSourceOptions.localPath(checkpointDir, "offsets"))
+    require(hasOffsets || !DeltaLogReader.isDeltaTable(dst),
+      s"replica $dst exists but checkpoint $checkpointDir has no " +
+        "offsets — a fresh bootstrap cannot reconcile rows the " +
+        "upstream deleted beyond its retained history; delete the " +
+        "replica (clean re-bootstrap) or reuse its original checkpoint")
   }
 
   /** One micro-batch of change rows → the replica, public so the apply
@@ -87,29 +115,38 @@ object ChangeSync {
     import spark.implicits._
     val metaCols = Seq("_change_type", "_commit_version",
       "_commit_timestamp", "_snapshot_seq").filter(batch.columns.contains)
-    val versions = batch.select(col(versionCol)).distinct()
-      .as[Long].collect().sorted
-    versions.foreach { v =>
-      val cv = batch.filter(col(versionCol) === v)
-      val writes = cv.filter(col("_change_type")
-          .isin("insert", "update_postimage"))
-        .drop(metaCols: _*)
-      val delKeys = cv.filter(col("_change_type")
-          .isin("delete", "update_preimage"))
-        .select(keyCols.map(col): _*)
-        // keys re-written in the same commit are handled by the upsert's
-        // own delete half — except'ing them avoids a double probe AND
-        // keeps a delete+reinsert commit landing as one replace
-        .exceptAll(writes.select(keyCols.map(col): _*)).distinct()
-      if (!DeltaLogReader.isDeltaTable(dst)) {
-        DeltaWriter.create(writes, dst)
-        if (!delKeys.isEmpty)
-          DeltaWriter.deleteKeys(spark, dst, delKeys, keyCols)
-      } else {
-        if (!delKeys.isEmpty)
-          DeltaWriter.deleteKeys(spark, dst, delKeys, keyCols)
-        if (!writes.isEmpty) DeltaWriter.upsert(writes, dst, keyCols)
+    // one evaluation of the (possibly expensive) change reconstruction
+    // feeds every per-version probe below
+    val b = batch.persist()
+    try {
+      val versions = b.select(col(versionCol)).distinct()
+        .as[Long].collect().sorted
+      versions.foreach { v =>
+        val cv = b.filter(col(versionCol) === v)
+        val writes = cv.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+          .drop(metaCols: _*)
+        val deletes = cv.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
+          .select(keyCols.map(col): _*)
+        if (!DeltaLogReader.isDeltaTable(dst)) {
+          DeltaWriter.create(writes, dst)
+          if (!deletes.isEmpty)
+            DeltaWriter.deleteKeys(spark, dst, deletes, keyCols)
+        } else {
+          // ONE probe per commit covers both halves of the apply: the
+          // removed keys AND the keys about to be re-written (the
+          // delete half of an upsert) — then the writes append plain
+          val allKeys = deletes
+            .unionAll(writes.select(keyCols.map(col): _*))
+          if (!allKeys.isEmpty)
+            DeltaWriter.deleteKeys(spark, dst, allKeys, keyCols)
+          if (!writes.isEmpty) DeltaWriter.append(writes, dst)
+        }
       }
+    } finally {
+      b.unpersist()
+      ()
     }
   }
 }

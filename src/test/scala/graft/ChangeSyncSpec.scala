@@ -64,6 +64,27 @@ class ChangeSyncSpec extends SparkSpec {
     assert(mirrorRows(dst) == Seq((1, 11), (3, 30)))
   }
 
+  test("deleteKeys is null-safe: a NULL-keyed delete removes the row") {
+    val dst = tmp("nullkey")
+    DeltaWriter.create(Seq((Option(1), 10), (Option.empty[Int], 20))
+      .toDF("id", "v"), dst)
+    val deleted = DeltaWriter.deleteKeys(spark, dst,
+      Seq(Option.empty[Int]).toDF("id"), Seq("id"))
+    assert(deleted == 1L)
+    assert(DeltaLogReader.read(spark, dst).select("v")
+      .as[Int].collect().toSeq == Seq(10))
+  }
+
+  test("an existing replica with a fresh checkpoint refuses loudly") {
+    val src = tmp("g_src"); val dst = tmp("g_dst")
+    DeltaWriter.create(rows(1), src)
+    DeltaWriter.create(rows(9), dst) // pre-existing table at the target
+    val e = intercept[IllegalArgumentException] {
+      ChangeSync.mirrorDelta(spark, src, dst, tmp("g_ckpt"), Seq("id"))
+    }
+    assert(e.getMessage.contains("no offsets"))
+  }
+
   test("iceberg upstream mirrors into a delta replica (cross-format)") {
     val src = tmp("i_src"); val dst = tmp("i_dst"); val ckpt = tmp("i_ckpt")
     IcebergWriter.create(rows(1, 2, 3), src)
