@@ -2021,6 +2021,33 @@ object SparkEntry {
         .orderBy(col("_commit_version"), col("_change_type"),
           col("n_nationkey"))
     }),
+    "q_delta_cdf_write" -> ((s, dir) => {
+      // CDF PRODUCER path: create with delta.enableChangeDataFeed
+      // (region<2, version 0), deleteWhere the odd keys (version 1 —
+      // the writer lands the deleted rows' VALUES as a _change_data
+      // file + cdc action, the delta-spark table_changes shape); the
+      // feed from earliest serves v0's adds as inserts and v1 FROM the
+      // cdc file
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_delta_cdfw_gate_v1_${math.abs(dir.hashCode)}")
+      SparkEntry.synchronized {
+        gateFixture(root) {
+          val base = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .filter(col("n_regionkey") < 2)
+          graft.output.DeltaWriter.create(base.coalesce(1), root.toString,
+            changeDataFeed = true)
+          graft.output.DeltaWriter.deleteWhere(s, root.toString,
+            col("n_nationkey") % 2 === 1)
+        }
+      }
+      graft.sources.DeltaLogReader.readChanges(s, root.toString,
+          afterVersion = -1L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("n_nationkey"))
+    }),
     "q_delta_cdf_rewrite" -> ((s, dir) => {
       // REWRITE commit reconstructed through ROW TRACKING: a foreign
       // update-shaped commit (remove + re-add, no cdc) on a row-tracked
@@ -3775,6 +3802,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n_nationkey, n_name, n_regionkey, 'insert', 2
         |  FROM nation WHERE n_regionkey >= 2
+        |)
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
+    "q_delta_cdf_write" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey
+        |              FROM nation WHERE n_regionkey < 2)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |       ct AS _change_type, CAST(v AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS ct, 0 AS v
+        |  FROM base
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1
+        |  FROM base WHERE n_nationkey % 2 = 1
         |)
         |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q_delta_cdf_rewrite" ->

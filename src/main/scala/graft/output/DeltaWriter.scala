@@ -51,7 +51,8 @@ object DeltaWriter {
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       rowTracking: Boolean = false,
-      inCommitTimestamps: Boolean = false): Unit = {
+      inCommitTimestamps: Boolean = false,
+      changeDataFeed: Boolean = false): Unit = {
     val root = Paths.get(path)
     // a table exists only once commit 0 exists — a crash between data
     // write and commit leaves no _delta_log entry, so create() retries
@@ -77,7 +78,9 @@ object DeltaWriter {
       // enabled at creation: no enablement version/timestamp properties
       // (the protocol defines them only for mid-life enablement)
       (if (!inCommitTimestamps) Map.empty[String, String]
-       else Map("delta.enableInCommitTimestamps" -> "true"))
+       else Map("delta.enableInCommitTimestamps" -> "true")) ++
+      (if (!changeDataFeed) Map.empty[String, String]
+       else Map("delta.enableChangeDataFeed" -> "true"))
     val confJson = conf.map { case (k, v) =>
       s""""${escape(k)}":"${escape(v)}"""" }.mkString(",")
     // rowTracking + domainMetadata are WRITER features (feature-listed
@@ -96,7 +99,8 @@ object DeltaWriter {
        else Set.empty[String]) ++
       (if (hasVariant) Set("variantType") else Set.empty[String]) ++
       (if (inCommitTimestamps) Set("inCommitTimestamp")
-       else Set.empty[String])
+       else Set.empty[String]) ++
+      (if (changeDataFeed) Set("changeDataFeed") else Set.empty[String])
     val protocolAction =
       if (readerFeats.isEmpty && writerFeats.isEmpty)
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -928,9 +932,20 @@ object DeltaWriter {
           .withColumnRenamed("__dv_pos", "__p"),
         Seq("__f", "__p"), "left_anti")
     // two aggregates (counts, then positions) read one materialization,
-    // not two table scans
+    // not two table scans. With the CHANGE DATA FEED enabled the FULL
+    // matched rows materialize instead — the cdc file needs their
+    // values, and the (file, position) frame is then a free projection
+    // of the same materialization.
     import graft.operators.Materialize.Ops
-    val matched = matcher(live).select(col("__f"), col("__p")).materialize()
+    val cdfEnabled =
+      snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+    require(!cdfEnabled || !mapped,
+      "change-data-feed writes on column-mapped tables are not supported")
+    val matchedFull =
+      if (cdfEnabled) Some(matcher(live).materialize()) else None
+    val matched = matchedFull
+      .map(_.select(col("__f"), col("__p")))
+      .getOrElse(matcher(live).select(col("__f"), col("__p")).materialize())
     val fileByAbs = snap.files.map(f => abs(f) -> f).toMap
     val newCounts: Map[String, Long] = matched.groupBy(col("__f"))
       .agg(count(lit(1)).as("n"))
@@ -1020,6 +1035,31 @@ object DeltaWriter {
           s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":$size,"cardinality":${all.size}}""")
       }
     }
+    // CHANGE DATA FEED (PROTOCOL.md "Add CDC File"): the deleted rows'
+    // VALUES land as `_change_data` parquet tagged `_change_type` =
+    // 'delete', one `cdc` action per written file — what lets any CDF
+    // consumer (this repo's readChanges, delta-spark's table_changes)
+    // serve this commit's exact change rows without decoding DVs. The
+    // write is the same distributed staging pipeline as data files
+    // (partitioned tables get per-partition cdc files with their tuple
+    // on the action); pure appends need no cdc per the protocol, so
+    // create/append stay untouched.
+    val cdcActions: Seq[String] = matchedFull match {
+      case None => Nil
+      case Some(full) =>
+        val changeRows = full.select(
+          snap.dataSchema.fields.toIndexedSeq.map(f => col(s"`${f.name}`")) ++
+            snap.partitionColumns.map(c => col(s"`$c`")) :+
+            lit("delete").as("_change_type"): _*)
+        writeData(changeRows, root.resolve("_change_data"),
+          snap.partitionColumns).map { w =>
+          val pvJson = w.partitionValues.map { case (k, v) =>
+            s""""${escape(k)}":${if (v == null) "null"
+              else s""""${escape(v)}""""}"""
+          }.mkString(",")
+          s"""{"cdc":{"path":"_change_data/${escape(encodePath(w.relPath))}","partitionValues":{$pvJson},"size":${w.size},"dataChange":false}}"""
+        }
+    }
     val version = nextVersion(root)
     // probe-staleness guard: the DV adds re-emit files from `snap` — a
     // concurrent remove/rewrite of one would resurrect its rows under
@@ -1038,7 +1078,7 @@ object DeltaWriter {
       // protocol's features, and only when the table doesn't already
       // support DVs (protocol actions REPLACE, so a bare deletionVectors
       // listing would silently drop a foreign table's other features)
-      dvProtocolAction(snap.protocol).toSeq ++ adds,
+      dvProtocolAction(snap.protocol).toSeq ++ cdcActions ++ adds,
       ictEnabled = snap.ictEnabled)
     maybeCheckpoint(spark, root, version)
     newCounts.values.sum

@@ -1,0 +1,88 @@
+package graft
+
+import graft.output.DeltaWriter
+import graft.sources.DeltaLogReader
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** CHANGE DATA FEED writes ([[DeltaWriter]] as a CDF PRODUCER): with
+  * `delta.enableChangeDataFeed` on, every row-level delete commit lands
+  * its deleted rows' VALUES as `_change_data` parquet + `cdc` actions —
+  * the shape delta-spark's `table_changes` consumes directly, and this
+  * repo's own [[DeltaLogReader.readChanges]] prefers over DV
+  * reconstruction.
+  */
+class DeltaCdfWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cdfw_${tag}_${System.nanoTime()}").toString
+
+  private def commitLines(root: String, v: Long): Seq[String] =
+    Files.readAllLines(Paths.get(root, "_delta_log", f"$v%020d.json"))
+      .asScala.toSeq
+
+  test("deleteWhere on a CDF table writes cdc actions + change files") {
+    val root = tmp("basic")
+    DeltaWriter.create(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"),
+      root, changeDataFeed = true)
+    DeltaWriter.deleteWhere(spark, root, col("id") % 2 === 1)
+    val v1 = commitLines(root, 1L)
+    assert(v1.exists(_.contains("\"cdc\"")), v1.mkString("\n"))
+    // the change file exists and carries exactly the deleted rows tagged
+    val cdcRel = v1.filter(_.contains("\"cdc\"")).map(l =>
+      l.split("\"path\":\"")(1).split("\"")(0))
+    assert(cdcRel.nonEmpty && cdcRel.forall(_.startsWith("_change_data/")))
+    val cdcRows = spark.read
+      .parquet(cdcRel.map(r => s"$root/$r"): _*)
+      .select("id", "s", "_change_type")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(cdcRows == Seq((1, "a", "delete"), (3, "c", "delete")))
+    // the feed serves the commit FROM the cdc file (by values)
+    val feed = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("id", "_change_type").as[(Int, String)]
+      .collect().sorted.toSeq
+    assert(feed == Seq((1, "delete"), (3, "delete")))
+    // and the table itself still reads post-delete
+    assert(DeltaLogReader.read(spark, root).select("id")
+      .as[Int].collect().sorted.toSeq == Seq(2))
+  }
+
+  test("partitioned CDF deletes write per-partition cdc files") {
+    val root = tmp("part")
+    DeltaWriter.create(
+      Seq((1, "p0"), (2, "p0"), (3, "p1"), (4, "p1")).toDF("id", "pt"),
+      root, partitionBy = Seq("pt"), changeDataFeed = true)
+    DeltaWriter.deleteWhere(spark, root, col("id") % 2 === 1) // both parts
+    val v1 = commitLines(root, 1L)
+    val cdcs = v1.filter(_.contains("\"cdc\""))
+    assert(cdcs.size == 2, cdcs.mkString("\n"))
+    assert(cdcs.exists(_.contains(""""pt":"p0"""")) &&
+      cdcs.exists(_.contains(""""pt":"p1"""")))
+    val feed = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("id", "pt", "_change_type").as[(Int, String, String)]
+      .collect().sorted.toSeq
+    assert(feed == Seq((1, "p0", "delete"), (3, "p1", "delete")))
+  }
+
+  test("upsert's delete half carries cdc; the feed serves delete+insert") {
+    val root = tmp("upsert")
+    DeltaWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
+      changeDataFeed = true)
+    DeltaWriter.upsert(Seq((1, "A")).toDF("id", "s"), root, Seq("id"))
+    assert(commitLines(root, 1L).exists(_.contains("\"cdc\"")))
+    val feed = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().sorted.toSeq
+    assert(feed == Seq((1, "A", "insert", 2L), (1, "a", "delete", 1L)))
+  }
+
+  test("a non-CDF table keeps its commits cdc-free") {
+    val root = tmp("off")
+    DeltaWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "s"), root)
+    DeltaWriter.deleteWhere(spark, root, col("id") === 1)
+    assert(!commitLines(root, 1L).exists(_.contains("\"cdc\"")))
+  }
+}
