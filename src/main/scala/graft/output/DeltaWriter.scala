@@ -62,6 +62,11 @@ object DeltaWriter {
     require(!rowTracking || !df.schema.fieldNames.exists(n =>
         n == "_row_id" || n == "_row_commit_version"),
       "row tracking reserves the _row_id/_row_commit_version column names")
+    require(!changeDataFeed || !df.schema.fieldNames.exists(n =>
+        n == "_change_type" || n == "_commit_version" ||
+          n == "_commit_timestamp"),
+      "the change data feed reserves the _change_type/_commit_version/" +
+        "_commit_timestamp column names")
     val files = writeData(df, root, partitionBy)
     val schemaStr = escape(df.schema.json)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -964,9 +969,7 @@ object DeltaWriter {
       perFileTotals.values.exists(_ > MaxInlinePositions)
     def dvAdd(f: graft.sources.DeltaLogReader.AddFile, absPath: String,
         dvJson: String): String = {
-      val pvJson = f.partitionValues.map { case (k, v) =>
-        s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
-      }.mkString(",")
+      val pvs = pvJson(f.partitionValues)
       // the original add's stats stay valid as SUPERSET bounds (deletes
       // only remove rows) — dropping them would turn off data skipping
       // for every file a delete ever touched
@@ -981,7 +984,7 @@ object DeltaWriter {
         case Nil => ""
         case fs => "," + fs.mkString(",")
       }
-      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvJson},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson$st$rt}}"""
+      s"""{"add":{"path":"${escape(encodePath(f.path))}","partitionValues":{$pvs},"size":${Files.size(Paths.get(absPath))},"modificationTime":0,"dataChange":true,"deletionVector":$dvJson$st$rt}}"""
     }
     val adds: Seq[String] = if (useSidecar) {
       // on-disk DV files (storageType `u`): old ∪ new positions per file
@@ -1052,12 +1055,8 @@ object DeltaWriter {
             snap.partitionColumns.map(c => col(s"`$c`")) :+
             lit("delete").as("_change_type"): _*)
         writeData(changeRows, root.resolve("_change_data"),
-          snap.partitionColumns).map { w =>
-          val pvJson = w.partitionValues.map { case (k, v) =>
-            s""""${escape(k)}":${if (v == null) "null"
-              else s""""${escape(v)}""""}"""
-          }.mkString(",")
-          s"""{"cdc":{"path":"_change_data/${escape(encodePath(w.relPath))}","partitionValues":{$pvJson},"size":${w.size},"dataChange":false}}"""
+          snap.partitionColumns, withStats = false).map { w =>
+          s"""{"cdc":{"path":"_change_data/${escape(encodePath(w.relPath))}","partitionValues":{${pvJson(w.partitionValues)}},"size":${w.size},"dataChange":false}}"""
         }
     }
     val version = nextVersion(root)
@@ -1317,8 +1316,29 @@ object DeltaWriter {
     val keptFiles = keepVersions.flatMap { v =>
       graft.sources.DeltaLogReader.snapshot(spark, path, Some(v)).files
     }
+    // CDC change files are referenced by COMMITS, not snapshots: any
+    // surviving commit JSON's cdc paths stay, or readChanges (and
+    // delta-spark's table_changes) would FileNotFound on a commit the
+    // log still serves — log retention, not vacuum, is what ages change
+    // files out (their commit JSON goes first, then they become
+    // unreferenced here)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logDir = root.resolve("_delta_log")
+    val lwalk = Files.list(logDir)
+    val commitJsons = try lwalk.iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json")).toVector
+    finally lwalk.close()
+    val cdcPaths: Set[Path] = commitJsons.flatMap { cj =>
+      Files.readAllLines(cj).asScala.filter(_.nonEmpty).flatMap { line =>
+        Option(mapper.readTree(line).get("cdc")).filterNot(_.isNull)
+          .map(c => Paths.get(graft.sources.DeltaLogReader.resolveAdd(
+              path, c.get("path").asText))
+            .toAbsolutePath.normalize)
+      }
+    }.toSet
     val referenced: Set[Path] = keptFiles
       .map(f => root.resolve(f.path).toAbsolutePath.normalize).toSet ++
+      cdcPaths ++
       // DV sidecar bins referenced by kept versions stay — deleting a
       // live one would fail every read of its data file, not resurrect
       // rows
@@ -1353,8 +1373,11 @@ object DeltaWriter {
     * relative path keeps Spark's `col=value/` layout so partitionValues
     * parse straight back out of it.
     */
+  /** `withStats = false` skips the per-file footer read + stats JSON —
+    * for outputs whose actions carry no stats field (cdc change files).
+    */
   private def writeData(df: DataFrame, root: Path,
-      partitionBy: Seq[String]): Seq[Written] = {
+      partitionBy: Seq[String], withStats: Boolean = true): Seq[Written] = {
     graft.sources.Fs.ensureMicrosTimestamps(df.sparkSession)
     val staging = root.resolve(s".staging-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
@@ -1385,7 +1408,7 @@ object DeltaWriter {
                 else unescaped)
       }.toMap
       Written(rel, Files.size(dest), pv,
-        ParquetStats.statsJson(dest, df.schema))
+        if (withStats) ParquetStats.statsJson(dest, df.schema) else None)
     }
     deleteRecursively(staging)
     out
@@ -1424,11 +1447,18 @@ object DeltaWriter {
     out
   }
 
-  private def addAction(w: Written, dataChange: Boolean = true,
-      lineage: Option[(Long, Long)] = None): String = {
-    val pv = w.partitionValues.map { case (k, v) =>
+  /** `partitionValues` rendered as the action's JSON object body — the
+    * ONE null-aware escape rule every action builder (add, DV re-add,
+    * cdc) shares.
+    */
+  private def pvJson(values: Map[String, String]): String =
+    values.map { case (k, v) =>
       s""""${escape(k)}":${if (v == null) "null" else s""""${escape(v)}""""}"""
     }.mkString(",")
+
+  private def addAction(w: Written, dataChange: Boolean = true,
+      lineage: Option[(Long, Long)] = None): String = {
+    val pv = pvJson(w.partitionValues)
     // per-file stats (PROTOCOL.md "Per-file Statistics") make the table
     // data-skippable — the stats JSON rides the add as an escaped string
     val st = w.stats.map(s => s""","stats":"${escape(s)}"""").getOrElse("")

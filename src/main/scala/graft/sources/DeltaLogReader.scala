@@ -1290,7 +1290,18 @@ object DeltaLogReader {
         //  - a remove with no matching re-add is a whole-file delete of
         //    its LIVE rows (its own descriptor, else the predecessor
         //    snapshot's entry's).
-        if (removes.nonEmpty && !adds.forall(_.deletionVector.isDefined)) {
+        // On a CDF-ENABLED table the protocol makes the producer
+        // responsible for cdc actions whenever file actions cannot
+        // express the change — so a cdc-LESS add+remove commit there
+        // means exactly "removed files' rows deleted, added files' rows
+        // inserted" (delta-spark's own reconstruction rule; our
+        // overwrite emits this shape), and the per-path classification
+        // below serves it. Without the CDF contract the same commit is
+        // only reconstructable through row tracking, else loud.
+        val cdfTable = snap.configuration
+          .get("delta.enableChangeDataFeed").contains("true")
+        if (removes.nonEmpty && !adds.forall(_.deletionVector.isDefined) &&
+            !cdfTable) {
           // A REWRITE (update/merge on a non-CDF table): file actions
           // alone cannot express its row-level changes — but ROW
           // TRACKING can: pre-rows (removed files live as of v-1) and

@@ -140,22 +140,47 @@ class DeltaCdfSpec extends SparkSpec {
     assert(got == Seq(("delete", 2L), ("insert", 1L)))
   }
 
-  test("a rewrite (adds AND removes) without cdc fails loudly") {
+  test("a rewrite (adds AND removes) without cdc fails loudly on a " +
+      "NON-CDF table; the CDF producer contract serves it") {
+    // non-CDF: the row-level delta is not reconstructable — loud
     val root = tmp("rewrite")
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
     val df = Seq((1L, "a")).toDF("id", "s")
+    val esc = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val mdPlain =
+      s"""{"metaData":{"id":"plain","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{},"createdTime":0}}"""
     writeFile(df, root, "f0.parquet")
     writeFile(df, root, "f0b.parquet")
     Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      md(df.schema.json), add("f0.parquet")).mkString("\n"))
+      mdPlain, add("f0.parquet")).mkString("\n"))
     Files.writeString(logDir.resolve(f"${1L}%020d.json"),
       Seq(remove("f0.parquet"), add("f0b.parquet")).mkString("\n"))
     val e = intercept[IllegalArgumentException] {
       DeltaLogReader.readChanges(spark, root.toString, afterVersion = 0L)
     }
     assert(e.getMessage.contains("cdc"), e.getMessage)
+
+    // the SAME commit shape on a CDF-enabled table means exactly
+    // removes=deletes, adds=inserts (the producer was responsible for
+    // cdc if it meant anything else — delta-spark's own rule)
+    val root2 = tmp("rewrite_cdf")
+    val logDir2 = root2.resolve("_delta_log")
+    Files.createDirectories(logDir2)
+    val old = Seq((1L, "a")).toDF("id", "s")
+    val neu = Seq((9L, "z")).toDF("id", "s")
+    writeFile(old, root2, "f0.parquet")
+    writeFile(neu, root2, "f0b.parquet")
+    Files.writeString(logDir2.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      md(old.schema.json), add("f0.parquet")).mkString("\n"))
+    Files.writeString(logDir2.resolve(f"${1L}%020d.json"),
+      Seq(remove("f0.parquet"), add("f0b.parquet")).mkString("\n"))
+    val got = DeltaLogReader.readChanges(spark, root2.toString,
+        afterVersion = 0L)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "delete"), (9L, "insert")))
   }
 
   test("DV deletes without cdc serve exactly their newly masked rows (merged DVs subtract)") {

@@ -79,6 +79,42 @@ class DeltaCdfWriteSpec extends SparkSpec {
     assert(feed == Seq((1, "A", "insert", 2L), (1, "a", "delete", 1L)))
   }
 
+  test("vacuum never reclaims change files of surviving commits") {
+    val root = tmp("vac")
+    DeltaWriter.create(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"),
+      root, changeDataFeed = true)
+    DeltaWriter.deleteWhere(spark, root, col("id") === 2)
+    DeltaWriter.append(Seq((4, "d")).toDF("id", "s"), root)
+    DeltaWriter.vacuum(spark, root, retainVersions = 1)
+    // the commit JSONs all survive, so the whole feed must still serve —
+    // including v1's rows FROM its change file
+    val feed = DeltaLogReader.readChanges(spark, root, afterVersion = -1L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Int, String, Long)].collect().sorted.toSeq
+    assert(feed == Seq((1, "insert", 0L), (2, "delete", 1L),
+      (2, "insert", 0L), (3, "insert", 0L), (4, "insert", 2L)))
+  }
+
+  test("overwrite on a CDF table serves whole-file delete+insert via the feed") {
+    val root = tmp("ovr")
+    DeltaWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "s"), root,
+      changeDataFeed = true)
+    DeltaWriter.overwrite(Seq((9, "z")).toDF("id", "s"), root)
+    // the CDF producer contract makes the cdc-less add+remove commit
+    // mean exactly removes=deletes, adds=inserts (delta-spark's rule)
+    val feed = DeltaLogReader.readChanges(spark, root, afterVersion = 0L)
+      .select("id", "_change_type").as[(Int, String)].collect().sorted.toSeq
+    assert(feed == Seq((1, "delete"), (2, "delete"), (9, "insert")))
+  }
+
+  test("create(changeDataFeed) reserves the CDF column names") {
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.create(Seq((1, "x")).toDF("id", "_change_type"),
+        tmp("reserved"), changeDataFeed = true)
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
+
   test("a non-CDF table keeps its commits cdc-free") {
     val root = tmp("off")
     DeltaWriter.create(Seq((1, "a"), (2, "b")).toDF("id", "s"), root)
