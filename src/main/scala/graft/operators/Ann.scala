@@ -207,26 +207,17 @@ object Ann {
   def randomProject(embs: DataFrame, idCol: String, vecCol: String,
       outDims: Int, dims: Int): DataFrame = {
     require(outDims > 0 && dims > 0, s"outDims $outDims / dims $dims must be positive")
-    val v = col(vecCol).cast("array<double>")
-    val grid = 1048576.0 // 2^20
-    // divide by the same expression shape the oracle uses: grid·√outDims
-    // composed left-to-right, so the doubles are bit-identical
-    val denom = lit(grid) * sqrt(lit(outDims.toDouble))
-    // quantize ONCE per element via transform — inlining the round into
-    // every (j, d) term would re-evaluate it outDims× per element and
-    // blow the generated method past JIT limits (measured 10× slower)
-    val qv = transform(v, e => round(e * lit(grid), 0).cast("long"))
-    val pre = embs.select(col(idCol), qv.as("__qv"))
-    val comps = (0 until outDims).map { j =>
-      val acc = (0 until dims).map { d =>
-        val q = element_at(col("__qv"), d + 1)
-        if (projectionSign(j, d) > 0) q else -q
-      }.reduce(_ + _)
-      struct(lit(j).as("j"),
-        (round(acc.cast("double") / denom, 6) + lit(0.0)).as("value"))
-    }
-    pre.select(col(idCol), explode(array(comps: _*)).as("c"))
-      .select(col(idCol), col("c.j").as("j"), col("c.value").as("value"))
+    // one fused codegen pass per row (r20): the previous unrolled Column
+    // formulation (outDims structs × dims element_at terms, ~4,000
+    // expression nodes for 8×64) was re-analyzed by Catalyst on every
+    // execution and generated methods past JIT-friendly sizes — measured
+    // 1.6 s for 2,000 rows at sf0.1, ~25× the fused loop. Arithmetic is
+    // bit-identical (same quantize/sum/round/±0 steps, asserted
+    // term-by-term in VectorExpressionsSpec), so the oracle SQL and the
+    // long-form output contract are unchanged.
+    val vals = graft.plans.VectorExpressions.randomProject(
+      embs.sparkSession, col(vecCol), outDims, dims)
+    embs.select(col(idCol), posexplode(vals).as(Seq("j", "value")))
   }
 
   /** ±1 matrix entry: parity of the first hex digit of md5("j:d").

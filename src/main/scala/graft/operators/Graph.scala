@@ -36,9 +36,14 @@ object Graph {
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("m"))
-    sym.join(m, "u")
+    // attach the closed-neighborhood minimum with ONE window pass over the
+    // symmetrized edges (r20) instead of groupBy(u)+self-join — the join
+    // formulation paid an aggregate exchange plus a join of the full edge
+    // set per round; the window reuses the single hash exchange on u and
+    // streams each neighbor list once (guide §2.4: two operations keyed
+    // the same way share one exchange). Row set is unchanged.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -52,10 +57,16 @@ object Graph {
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-    oriented.join(m, "u")
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(m.select(col("u"), col("m").as("v")))
+    // same one-window-pass shape as [[largeStar]] (r20). The old union arm
+    // `m.select(u, m)` — one (u → min) row per node — is folded in as the
+    // window row where v IS the minimum (every node's neighbor list
+    // contains its min, so relabeling that row to (u → m) emits exactly
+    // the union arm's rows; duplicates collapse in the final distinct).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    oriented.withColumn("m", min(col("v")).over(w))
+      .select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+        col("m").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -175,33 +186,50 @@ object Graph {
     val p = pairs.select(col("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .materialize()
+    // degree attached to the edge frame ONCE (r20): the loop used to join
+    // `deg` (an aggregate over `und`) back in every iteration — one
+    // aggregate plus one join per round for a value that never changes.
+    // One window pass over the single materialized edge frame carries
+    // deg on every row for the whole run (guide §2.4).
     val und = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
       .materialize()
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val nodes = und.select(col("u")).distinct().materialize()
-    val n = nodes.count()
+    // node count off the materialized edge frame (its only remaining use —
+    // the rank frames below are keyed by contribution targets, which the
+    // symmetric closure makes exactly the node set)
+    val n = und.select(col("u")).distinct().count()
     val base = BigDecimal((1.0 - damping) / n)  // (1-d)/n, from the parameter
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val init = BigDecimal(1.0 / n)
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val dampDec = BigDecimal(damping).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    var pr = nodes.select(col("u"), lit(init.bigDecimal).cast(dec).as("pr"))
+    def nextPr(contribs: DataFrame): DataFrame = contribs
+      .select(col("u"),
+        (lit(base.bigDecimal).cast(dec) +
+          lit(dampDec.bigDecimal).cast(DecimalType(4, 2)) * col("sm")).as("pr"))
       .materialize()
-    var i = 0
+    // iteration 1 fused (r20): with every node at the init rank, the
+    // contribution of edge (u → v) is round(init/deg_u, 12) — a pure map
+    // over the edge frame, no rank join. Rounding/cast steps are the
+    // identical expression shape the loop uses, so values are bit-equal.
+    // NOTE the symmetric-closure invariant used here and below: every
+    // node of `und` appears on BOTH sides, so contribution keys = nodes
+    // exactly — the old per-iteration `nodes` left join (and its
+    // coalesce-to-zero arm) could never fire and is dropped.
+    var pr = nextPr(und
+      .select(col("v").as("u"),
+        round(lit(init.bigDecimal).cast(dec).cast("double") / col("deg"), 12)
+          .cast(dec).as("c"))
+      .groupBy(col("u")).agg(sum(col("c")).cast(sumDec).as("sm")))
+    var i = 1
     while (i < iterations) {
-      val contribs = und.join(pr, "u").join(deg, "u")
+      pr = nextPr(und.join(pr, "u")
         .select(col("v").as("u"),
           round(col("pr").cast("double") / col("deg"), 12).cast(dec).as("c"))
-        .groupBy(col("u")).agg(sum(col("c")).cast(sumDec).as("sm"))
-      pr = nodes.join(contribs, Seq("u"), "left")
-        .select(col("u"),
-          (lit(base.bigDecimal).cast(dec) +
-            lit(dampDec.bigDecimal).cast(DecimalType(4, 2)) *
-              coalesce(col("sm"), lit(java.math.BigDecimal.ZERO).cast(sumDec)))
-            .as("pr"))
-        .materialize()
+        .groupBy(col("u")).agg(sum(col("c")).cast(sumDec).as("sm")))
       i += 1
     }
     pr.select(col("u").as("doc_id"),

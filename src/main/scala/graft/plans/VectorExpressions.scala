@@ -393,6 +393,165 @@ case class SignPack(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused ±1 random projection: one pass producing ALL `outDims` projected
+  * components of a vector as array<double>, replacing the unrolled
+  * 512-term Column formulation `q_embed_project` used to carry (8 structs
+  * × 64 element_at terms — a ~4,000-node expression tree that Catalyst
+  * re-analyzes per execution and codegen splits past JIT-friendly sizes;
+  * measured 1.6 s for 2,000 rows, §4 of the optimization guide:
+  * expression choice). Semantics are BIT-IDENTICAL to the old
+  * formulation, value by value (asserted by VectorExpressionsSpec):
+  *
+  *  - quantize: q_d = (long) round(v_d · 2^20) with Spark `round`'s exact
+  *    double path (`java.math.BigDecimal.valueOf(x).setScale(0, HALF_UP)`,
+  *    NaN/Inf passed through, then Java's saturating (long) cast — the
+  *    same non-ANSI double→long cast the old Column chain used);
+  *  - component j: acc_j = Σ_d ±q_d in d order (long addition, exact),
+  *    sign from [[graft.operators.Ann.projectionSign]] (md5-parity of
+  *    "j:d"), baked in as a packed bitmask at construction;
+  *  - publish: round(acc_j / (2^20·√outDims), 6) + 0.0 — the same
+  *    BigDecimal.valueOf round path, the +0.0 normalizing -0.0.
+  *
+  * Null contract mirrors the old chain exactly: a NULL vector, a NULL
+  * element, or fewer than `dims` elements make every component NULL (the
+  * old element_at/sum chain propagated nulls the same way) while the
+  * ARRAY itself is never null — posexplode must keep emitting `outDims`
+  * rows per input row, exactly as explode-over-literal-array did.
+  */
+case class RandomProjectValues(child: Expression, outDims: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(outDims > 0 && dims > 0, s"outDims $outDims / dims $dims must be positive")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_random_project requires array<double>, got ${t.catalogString}")
+  }
+
+  private val grid = 1048576.0 // 2^20, the oracle-shared quantization grid
+  private val denom = grid * math.sqrt(outDims.toDouble)
+
+  /** Row-major packed ±1 matrix: bit (j·dims + d) set ⇔ sign(j, d) = +1. */
+  private lazy val signWords: Array[Long] = {
+    val words = new Array[Long]((outDims * dims + 63) / 64)
+    for (j <- 0 until outDims; d <- 0 until dims) {
+      if (graft.operators.Ann.projectionSign(j, d) > 0) {
+        val bit = j * dims + d
+        words(bit >> 6) |= 1L << (bit & 63)
+      }
+    }
+    words
+  }
+
+  private def nullRow: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](outDims))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return nullRow
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n < dims) return nullRow
+    var d = 0
+    while (d < dims) {
+      if (a.isNullAt(d)) return nullRow
+      d += 1
+    }
+    val q = new Array[Long](dims)
+    d = 0
+    while (d < dims) {
+      val x = a.getDouble(d) * grid
+      val r = if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      q(d) = r.toLong
+      d += 1
+    }
+    val out = new Array[Any](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0L
+      var dd = 0
+      while (dd < dims) {
+        val bit = j * dims + dd
+        acc += (if (((signWords(bit >> 6) >> (bit & 63)) & 1L) == 1L) q(dd) else -q(dd))
+        dd += 1
+      }
+      out(j) = java.math.BigDecimal.valueOf(acc.toDouble / denom)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val signsRef = ctx.addReferenceObj("signWords", signWords, "long[]")
+    val a = ctx.freshName("a")
+    val n = ctx.freshName("n")
+    val q = ctx.freshName("q")
+    val d = ctx.freshName("d")
+    val j = ctx.freshName("j")
+    val acc = ctx.freshName("acc")
+    val bit = ctx.freshName("bit")
+    val x = ctx.freshName("x")
+    val r = ctx.freshName("r")
+    val out = ctx.freshName("out")
+    val ok = ctx.freshName("ok")
+    // exact double constants via raw bits — a decimal literal round-trip
+    // could perturb the last bit and break oracle hash equality
+    val gridJ = s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(grid)}L)"
+    val denomJ = s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(denom)}L)"
+    val adCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val code =
+      s"""
+         |${c.code}
+         |Object[] $out = new Object[$outDims];
+         |boolean $ok = !${c.isNull};
+         |if ($ok) {
+         |  $adCls $a = ${c.value};
+         |  int $n = $a.numElements();
+         |  if ($n < $dims) { $ok = false; }
+         |  for (int $d = 0; $ok && $d < $dims; $d++) {
+         |    if ($a.isNullAt($d)) { $ok = false; }
+         |  }
+         |  if ($ok) {
+         |    long[] $q = new long[$dims];
+         |    for (int $d = 0; $d < $dims; $d++) {
+         |      double $x = $a.getDouble($d) * $gridJ;
+         |      double $r = (java.lang.Double.isNaN($x) || java.lang.Double.isInfinite($x))
+         |        ? $x
+         |        : java.math.BigDecimal.valueOf($x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      $q[$d] = (long) $r;
+         |    }
+         |    for (int $j = 0; $j < $outDims; $j++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dims; $d++) {
+         |        int $bit = $j * $dims + $d;
+         |        $acc += ((($signsRef[$bit >> 6] >>> ($bit & 63)) & 1L) == 1L) ? $q[$d] : -$q[$d];
+         |      }
+         |      $out[$j] = java.lang.Double.valueOf(
+         |        java.math.BigDecimal.valueOf((double) $acc / $denomJ)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0);
+         |    }
+         |  }
+         |}
+         |$adCls ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(
+        Seq(code), Seq.empty),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   val cosineFn = "graft_cosine"
@@ -400,6 +559,7 @@ object VectorExpressions {
   val sq8QuantizeFn = "graft_sq8_quantize"
   val sq8DequantizeFn = "graft_sq8_dequantize"
   val signPackFn = "graft_sign_pack"
+  val randomProjectFn = "graft_random_project"
 
   /** Both inputs must be array<double> (the Column builders below insert
     * the casts; direct SQL calls get a real analysis error, not a
@@ -434,6 +594,20 @@ object VectorExpressions {
       sq8DequantizeFn, exprs => Sq8Dequantize(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       signPackFn, exprs => SignPack(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      randomProjectFn, exprs => RandomProjectValues(exprs.head,
+        foldableInt(randomProjectFn, exprs(1)), foldableInt(randomProjectFn, exprs(2))),
+      "built-in")
+  }
+
+  /** Shape arguments arrive as foldable int literals through the registry
+    * (call_function only carries Columns); anything non-foldable is a
+    * caller bug surfaced at construction.
+    */
+  private def foldableInt(fn: String, e: Expression): Int = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$fn shape arguments must be int literals, got $e")
+    e.eval().asInstanceOf[Int]
   }
 
   /** Codegen'd cosine similarity; arrays are cast to double first so float
@@ -466,5 +640,14 @@ object VectorExpressions {
   def signPack(spark: SparkSession, vec: Column, thresholds: Column): Column = {
     register(spark)
     call_function(signPackFn, vec.cast("array<double>"), thresholds.cast("array<double>"))
+  }
+
+  /** Codegen'd fused ±1 random projection: all `outDims` components as
+    * array<double>, bit-identical to the unrolled Column formulation.
+    */
+  def randomProject(spark: SparkSession, vec: Column, outDims: Int, dims: Int): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.lit
+    call_function(randomProjectFn, vec.cast("array<double>"), lit(outDims), lit(dims))
   }
 }

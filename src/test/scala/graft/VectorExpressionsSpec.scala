@@ -219,4 +219,54 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Double].collect()
     out.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
+  test("fused random projection is bit-identical to the unrolled Column formulation") {
+    // the r20 replacement of randomProject's 4,000-node expression tree:
+    // every (id, j) value must equal the old chain EXACTLY — the oracle
+    // hash-compares doubles, so last-bit drift is a gate failure
+    val outDims = 8; val dims = 32
+    val grid = 1048576.0
+    val denom = lit(grid) * sqrt(lit(outDims.toDouble))
+    val qv = transform($"v".cast("array<double>"), e => round(e * lit(grid), 0).cast("long"))
+    val pre = vecs.select($"id", qv.as("__qv"))
+    val comps = (0 until outDims).map { j =>
+      val acc = (0 until dims).map { d =>
+        val q = element_at(col("__qv"), d + 1)
+        if (graft.operators.Ann.projectionSign(j, d) > 0) q else -q
+      }.reduce(_ + _)
+      struct(lit(j).as("j"),
+        (round(acc.cast("double") / denom, 6) + lit(0.0)).as("value"))
+    }
+    val old = pre.select($"id", explode(array(comps: _*)).as("c"))
+      .select($"id", col("c.j").as("j"), col("c.value").as("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val fused = graft.operators.Ann.randomProject(vecs, "id", "v", outDims, dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fused.keySet == old.keySet)
+    fused.foreach { case (k, v) => assert(v == old(k), s"mismatch at $k") } // exact
+  }
+  test("fused random projection null contract: null vector/element/short rows keep outDims rows of NULL") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))),
+      (2L, None), // null vector
+      (3L, Some(Seq(Some(1.0), None, Some(3.0), Some(4.0)))), // null slot
+      (4L, Some(Seq(Some(1.0), Some(2.0)))) // shorter than dims
+    ).toDF("id", "v")
+    val out = graft.operators.Ann.randomProject(df, "id", "v", outDims = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size == 8) // 2 rows per id, ALWAYS — explode must not drop rows
+    assert(out((1L, 0)).isDefined && out((1L, 1)).isDefined)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out((id, 0)).isEmpty && out((id, 1)).isEmpty)
+    }
+  }
+  test("fused random projection participates in whole-stage codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("vxrp").toString + "/t"
+    vecs.write.parquet(dir)
+    val df = graft.operators.Ann.randomProject(
+      spark.read.parquet(dir), "id", "v", outDims = 8, dims = 32)
+    df.collect() // would throw on bad generated code
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen stage present at the scan
+  }
 }

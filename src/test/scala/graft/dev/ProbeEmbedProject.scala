@@ -1,0 +1,20 @@
+package graft.dev
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (test scope): q_embed_project's plan + codegen state. */
+object ProbeEmbedProject {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    println(s"embeddings rows: $n")
+    val df = SparkEntry.queries("q_embed_project")(spark, "/root/testdata/sf0.1")
+    println(df.queryExecution.executedPlan.toString.take(3000))
+    spark.stop()
+  }
+}

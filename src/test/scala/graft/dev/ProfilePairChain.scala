@@ -1,0 +1,68 @@
+package graft.dev
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness (test scope): warm best-of-N cost of each stage of the
+  * minhash pair chain — the shared input of the dedup/cc/pagerank/curation
+  * gates — measured with the noop sink so stage cost is engine time.
+  */
+object ProfilePairChain {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => DataFrame): Unit = {
+      val ts = (0 until 4).map { _ =>
+        val t0 = System.nanoTime()
+        drain(f)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-26s best ${ts.min}%6.3f   runs ${ts.map(t => f"$t%.2f").mkString(" ")}")
+    }
+
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    // warmup whole pipeline once
+    drain(Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+
+    time("A shingleRows")(sh)
+    val numHashes = 16
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i "), col("shingle")))).as(s"h$i"))
+    def prof() = sh.groupBy(col("id"))
+      .agg(sigAggs.head, sigAggs.tail :+ collect_set(col("shingle")).as("sh"): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"), col("sh"))
+    time("B profile-agg")(prof())
+    // banding + self-join off a materialized profile
+    import graft.operators.Materialize.Ops
+    def candsFrom(p: DataFrame): DataFrame = {
+      val exploded = p.select(col("id"),
+        posexplode(graft.functions.TextFunctions.lshBandKeys(col("sig"), 4, 4))
+          .as(Seq("band", "key")))
+      exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    }
+    time("C profile+cands")(candsFrom(prof().materialize()))
+    time("D full minhashDedup")(
+      Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5))
+    time("E clusters(labelprop)")(
+      Dedup.duplicateClusters(Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5)))
+    time("F cc(star)")(
+      graft.operators.Graph.connectedComponents(
+        Dedup.minhashDedup(docs, "doc_id", "text", 3, 4, 4, 0.5)))
+    spark.stop()
+  }
+}

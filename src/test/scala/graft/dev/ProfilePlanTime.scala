@@ -1,0 +1,52 @@
+package graft.dev
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (test scope): splits a gate's wall time into
+  * CONSTRUCT (DataFrame building incl. any driver-side fixture work),
+  * PLAN (analysis + optimization + physical planning, forced via
+  * `queryExecution.executedPlan`), and EXECUTE (noop write of the
+  * already-planned frame) — the split that tells an optimizer whether a
+  * slow gate is driver-bound (Catalyst, fixture replay) or engine-bound
+  * (stages). Args: sfDir, then query names; best-of-3 per phase.
+  */
+object ProfilePlanTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_embed_project", "q_agg_tpch_q1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: JVM + codegen
+    SparkEntry.queries("q_agg_tpch_q1")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    names.foreach { n =>
+      val runs = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      val best = runs.minBy(r => r._1 + r._2 + r._3)
+      println(f"$n%-34s construct ${best._1}%6.3f  plan ${best._2}%6.3f  exec ${best._3}%6.3f   (runs: ${runs.map(r => f"${r._1 + r._2 + r._3}%.2f").mkString(" ")})")
+    }
+    spark.stop()
+  }
+}
