@@ -27,6 +27,22 @@ object SparkEntry {
 
   private val seeds = 16 // minhash signature size = 4 bands x 4 rows
 
+  /** The fixed-centroid ANN gates' driver-side inputs — the query vector
+    * (vec_id 0) and the 16 oracle-replicable centroids (vec_id 1..16) —
+    * fetched in ONE collect (r20): the two separate filter+collect jobs
+    * per gate were pure scheduling overhead for 17 metadata rows.
+    */
+  private def queryAndCentroids(
+      embs: org.apache.spark.sql.DataFrame): (Seq[Double], Seq[Seq[Double]]) = {
+    val rows = embs.filter(col("vec_id").between(0, 16))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+    val q = rows.find(_.getLong(0) == 0L).getOrElse(throw new IllegalStateException(
+      "embeddings table has no vec_id 0 query row")).getSeq[Double](1)
+    (q, rows.filter(_.getLong(0) != 0L).map(_.getSeq[Double](1)).toSeq)
+  }
+
   private def table(dir: String, t: String,
       params: Seq[Param] = Nil, sortby: Seq[SortBy] = Nil,
       select: Seq[SelectColumn] = Nil,
@@ -2840,15 +2856,11 @@ object SparkEntry {
       // assignment, fixed oracle-replicable centroids) x SQ8 in-cell
       // scoring — nprobe/nlist corpus fraction AND 8x narrower rows
       val embs = Tables.load(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val centroids = embs.filter(col("vec_id").between(1, 16))
-        .orderBy(col("vec_id"))
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0)).toSeq
+      val (q, centroids) = queryAndCentroids(embs)
       val cells = Ann.ivfAssign(embs, "embedding", centroids)
         .select(col("vec_id"), col("cell"))
-      val (codes, ranges) = Ann.sq8Index(embs, "vec_id", "embedding")
+      val (codes, ranges) = Ann.sq8Index(embs, "vec_id", "embedding",
+        knownDims = Some(q.size))
       Ann.ivfSq8TopK(cells.join(codes, "vec_id"), centroids, ranges,
         "vec_id", q, 20, nprobe = 4)
     }),
@@ -2858,7 +2870,8 @@ object SparkEntry {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding")
+      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding",
+        knownDims = Some(q.size))
       Ann.binaryTopK(index, means, "vec_id", q, 20)
     }),
     "q_ann_binary_rerank" -> ((s, dir) => {
@@ -2867,7 +2880,8 @@ object SparkEntry {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding")
+      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding",
+        knownDims = Some(q.size))
       Ann.binaryRerankTopK(index, means, embs, "vec_id", "embedding", q,
         k = 10, shortlist = 100)
     }),
@@ -2878,7 +2892,8 @@ object SparkEntry {
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, ranges) = Ann.sq8Index(embs, "vec_id", "embedding")
+      val (index, ranges) = Ann.sq8Index(embs, "vec_id", "embedding",
+        knownDims = Some(q.size))
       Ann.sq8TopK(index, ranges, "vec_id", q, 20)
     }),
     "q_ann_lsh" -> ((s, dir) => {
@@ -2965,12 +2980,7 @@ object SparkEntry {
       // value-gated separately by q_ann_ivf_exact (whose top-k must equal
       // brute force no matter where training put the centroids)
       val embs = Tables.load(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val centroids = embs.filter(col("vec_id").between(1, 16))
-        .orderBy(col("vec_id"))
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0)).toSeq
+      val (q, centroids) = queryAndCentroids(embs)
       val index = Ann.ivfAssign(embs, "embedding", centroids)
       Ann.ivfTopK(index, centroids, "vec_id", "embedding", q, 20, nprobe = 4)
     }),
