@@ -4,6 +4,7 @@ import graft.config._
 import graft.functions.{VectorFunctions => V}
 import graft.meta.Metadata
 import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.Materialize.Ops
 import graft.query.QueryPipeline
 import graft.query.QueryPipeline.{NearbyRequest, Request}
 import graft.sql.SqlEndpoint
@@ -2034,7 +2035,7 @@ object SparkEntry {
       graft.sources.DeltaLogReader.readChanges(s, root, afterVersion = 0L)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("_change_type"), col("_commit_version"))
-        .orderBy(col("_commit_version"), col("_change_type"),
+        .materialize().orderBy(col("_commit_version"), col("_change_type"),
           col("n_nationkey"))
     }),
     "q_delta_cdf_write" -> ((s, dir) => {
@@ -2112,7 +2113,7 @@ object SparkEntry {
           afterVersion = 0L)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("_change_type"), col("_commit_version"))
-        .orderBy(col("_change_type"), col("n_nationkey"))
+        .materialize().orderBy(col("_change_type"), col("n_nationkey"))
     }),
     "q_stream_delta_cdf" -> ((s, dir) => {
       // the CDF feed consumed AS A STREAM (graft.streaming.ChangeSources):
@@ -2131,7 +2132,7 @@ object SparkEntry {
       s.table("stream_delta_cdf_gate")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("_change_type"), col("_commit_version"))
-        .orderBy(col("_commit_version"), col("_change_type"),
+        .materialize().orderBy(col("_commit_version"), col("_change_type"),
           col("n_nationkey"))
     }),
     "q_delta_changes" -> ((s, dir) => {
@@ -2538,7 +2539,7 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
       }
       graft.sources.DeltaLogReader.read(s, dst.toString)
-        .orderBy(col("n_nationkey"))
+        .materialize().orderBy(col("n_nationkey"))
     }),
     "q_stream_iceberg_cdf" -> ((s, dir) => {
       // the changelog consumed AS A STREAM: same fixture as
@@ -2556,7 +2557,7 @@ object SparkEntry {
       s.table("stream_iceberg_cdf_gate")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("_change_type"), col("_snapshot_seq"))
-        .orderBy(col("_snapshot_seq"), col("_change_type"),
+        .materialize().orderBy(col("_snapshot_seq"), col("_change_type"),
           col("n_nationkey"))
     }),
     "q_iceberg_delete" -> ((s, dir) => {
@@ -2730,14 +2731,14 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_entity_match" -> ((s, dir) =>
       // record-linkage twin of the dedup ladder: brand-blocked candidate
       // equi-join, codegen'd Jaro-Winkler verify (native expression — Spark
       // has no built-in), 4-dp rounding before the threshold verdict
       graft.operators.EntityMatch.fuzzyPairs(Tables.load(s, dir, "part"),
         "p_partkey", "p_name", Seq("p_brand"), minSimilarity = 0.9)
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_entity_link" -> ((s, dir) => {
       // cross-table linkage: odd-key parts matched against even-key parts
       // within brand blocks, best match per left row by (sim desc, id)
@@ -2754,23 +2755,23 @@ object SparkEntry {
       Dedup.editVerifiedPairs(Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", shingleSize = 3, candidateThreshold = 0.3,
         minSimilarity = 0.8, maxLen = 2000)
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_dedup_jaccard_cap" -> ((s, dir) =>
       // the boilerplate guard: shingles in > 5 docs leave the universe
       // before the self-join; exact Jaccard over the capped universe
       Dedup.jaccardPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5, maxDocFreq = Some(5))
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSketches(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.loadParallel(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         threshold = 0.3, numPlanes = 6, dim = 64)
-        .orderBy(col("id_a"), col("id_b"))),
+        .materialize().orderBy(col("id_a"), col("id_b"))),
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup with FIXED centroids (embeddings of vec_id 1..16, the
       // q_ann_ivf pattern) so the oracle replicates cell assignment; the
@@ -2805,7 +2806,7 @@ object SparkEntry {
       // the synthetic corpus are cross-document repeats)
       Dedup.segmentDedup(Tables.loadParallel(s, dir, "documents", "doc_id"),
         "doc_id", "text", segmentWords = 5)
-        .orderBy(col("doc_id"))),
+        .materialize().orderBy(col("doc_id"))),
     "q_dedup_spans" -> ((s, dir) =>
       // maximal cross-document duplicated word ranges (sliding 5-gram)
       Dedup.duplicateSpans(Tables.loadParallel(s, dir, "documents", "doc_id"),
@@ -2819,7 +2820,7 @@ object SparkEntry {
           graft.operators.Layout.zValue(
             pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
             bits = 8).as("z"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .materialize().orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_dedup_incremental_minhash" -> ((s, dir) => {
       // near-dup screening of an incoming batch (ids ≡ 0 mod 2) against
       // the ingested corpus (ids ≡ 0 mod 3); same banding/threshold as
@@ -2842,7 +2843,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text")
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) => {
@@ -2921,14 +2922,14 @@ object SparkEntry {
       // variant is spec-gated (approximate results have no SQL oracle)
       Ann.knnJoin(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .withColumnRenamed("rank", "rnk")
-        .orderBy(col("id_a"), col("rnk"))),
+        .materialize().orderBy(col("id_a"), col("rnk"))),
     "q_hard_negatives" -> ((s, dir) =>
       // contrastive-pair mining: per anchor, the 4 most-similar
       // OTHER-label vectors under the 0.999 false-negative cap
       Ann.hardNegatives(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", "label", k = 4)
         .withColumnRenamed("rank", "rnk")
-        .orderBy(col("id_a"), col("rnk"))),
+        .materialize().orderBy(col("id_a"), col("rnk"))),
     "q_knn_align" -> ((s, dir) => {
       // cross-corpus kNN: every 10th vector is the "delivery", the rest
       // the curated corpus (modulus split keeps proportions scale-stable)
@@ -2971,7 +2972,7 @@ object SparkEntry {
       graft.operators.Ann.embeddingOutliers(embs, "vec_id", "embedding",
           centroids, zThreshold = 2.0)
         .withColumn("cell", col("cell").cast("long")) // oracle cid is BIGINT
-        .orderBy(col("vec_id"))
+        .materialize().orderBy(col("vec_id"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // full hash gate with FIXED centroids (the embeddings of vec_id
@@ -3009,7 +3010,7 @@ object SparkEntry {
         round(T.punctRatio(col("text")), 4).as("punct_ratio"),
         round(T.stopwordRatio(col("text")), 4).as("stopword_ratio"),
         T.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     "q_fingerprint" -> ((s, dir) =>
       Dedup.fingerprints(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text",
@@ -3023,7 +3024,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 3, flagThreshold = 0.2)
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     "q_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space leakage screen: the same every-20th eval split as
@@ -3035,7 +3036,7 @@ object SparkEntry {
         e.filter(col("vec_id") % 20 =!= 0),
         e.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", threshold = 0.3)
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     "q_repetition" -> ((s, dir) =>
       graft.operators.Repetition.metrics(
@@ -3264,7 +3265,7 @@ object SparkEntry {
         .select(col("doc_id"), col("media.width").as("width"),
           col("media.height").as("height"), col("media.brightness").as("brightness"),
           col("media.fp").as("fp"))
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     "q_multimodal_embed" -> ((s, dir) => {
       // media → stub embedding → similarity: cosine of every doc's
@@ -3290,7 +3291,7 @@ object SparkEntry {
           round(col("img.mean_r"), 4).as("mean_r"),
           round(col("img.mean_g"), 4).as("mean_g"),
           round(col("img.mean_b"), 4).as("mean_b"))
-        .orderBy(col("doc_id"))
+        .materialize().orderBy(col("doc_id"))
     }),
     "q_mm_frames" -> ((s, dir) => {
       // frame sampling over opaque binary payloads: every 2nd 32-byte
@@ -3384,7 +3385,7 @@ object SparkEntry {
           iv, "lo", "hi", bucketWidth = gap)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_purchases"))
-        .orderBy(col("user_id"), col("session_seq"))
+        .materialize().orderBy(col("user_id"), col("session_seq"))
     }),
     "q_events_agg" -> ((s, dir) =>
       Tables.load(s, dir, "events")

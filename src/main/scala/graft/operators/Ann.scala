@@ -61,18 +61,27 @@ object Ann {
   def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iterations: Int = 3): (DataFrame, Seq[Seq[Double]]) = {
     val v = col(vecCol).cast("array<double>")
+    // Training re-reads the corpus once per Lloyd iteration plus once for
+    // seeding — cache the two training columns for the loop's lifetime
+    // (guide §5: reuse × recompute cost; the projection is (id, vec) only,
+    // a fraction of the source table) and release them before returning,
+    // so the SERVED assignment below reads the source exactly once with
+    // nothing pinned. Training at 100 TB caches a sample-sized projection
+    // in practice; the unpersist bounds the footprint either way.
+    val training = embs.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Deterministic pseudo-random seeds: the nlist rows with the smallest
     // xxhash64(id). orderBy+limit is TakeOrderedAndProject — per-partition
     // top-k heaps, no global sort and no single-partition window — so
     // seeding stays distributed at any scale, and a hash-ordered sample is
     // a better k-means init than evenly-spaced ids (ids often correlate
     // with insertion order and therefore with the data distribution).
-    var centroids: Seq[Seq[Double]] = embs
+    var centroids: Seq[Seq[Double]] = training
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
       .select(v).collect().map(_.getSeq[Double](0)).toSeq
     (0 until iterations).foreach { _ =>
-      val assigned = assignCells(embs, vecCol, centroids)
+      val assigned = assignCells(training, vecCol, centroids)
       val dims = centroids.head.length
       // per-cell mean as one hash-aggregate with `dims` flat sum + count
       // columns (sum/count(element_at(...)) are codegen'd; exploding to
@@ -102,6 +111,7 @@ object Ann {
         }
       }
     }
+    training.unpersist(false)
     (assignCells(embs, vecCol, centroids).drop("v", "__cell_dist"), centroids)
   }
 

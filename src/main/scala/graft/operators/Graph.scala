@@ -43,10 +43,17 @@ object Graph {
     // streams each neighbor list once (guide §2.4: two operations keyed
     // the same way share one exchange). Row set is unchanged.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    // no intermediate distinct (r20): the duplicates a shared minimum
+    // produces are collapsed by smallStar's OWN final distinct, and the
+    // dedup exchange here cost a full extra shuffle per round for rows
+    // the next window re-shuffles anyway (guide §2.4). smallStar's window
+    // min is duplicate-insensitive, so the round's edge SET is unchanged
+    // (GraphSpec / the shared closure oracle pin it); duplicate volume is
+    // bounded by this round's own input edge count, never compounding,
+    // because every round still ends distinct.
     sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** One small-star round (paper Alg. 4): orient every edge

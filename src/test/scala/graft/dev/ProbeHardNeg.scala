@@ -1,0 +1,88 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: where does q_hard_negatives' exec time live?
+  * Times sub-plans of the hardNegatives shape separately.
+  */
+object ProbeHardNeg {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val embs = graft.Tables.load(spark, sfDir, "embeddings")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-40s ${ts.min}%6.3f  (runs ${ts.map(t => f"$t%.2f").mkString(" ")})")
+    }
+
+    val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val left = embs.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+      col("embedding").cast("array<double>").as("va"))
+      .repartition(sp, col("id_a"))
+    val right = embs.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").cast("array<double>").as("vb"))
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    noop(graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir))
+
+    time("full gate") {
+      noop(graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir))
+    }
+    time("join only (count pairs, no cosine)") {
+      noop(left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b")))
+    }
+    time("join + cosine project, no filter") {
+      noop(left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4).as("score")))
+    }
+    time("join + cosine + filter (dup eval)") {
+      noop(left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4).as("score"))
+        .filter(col("score") <= 0.999))
+    }
+    time("join + cosine + filter + window") {
+      val scored = left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4).as("score"))
+        .filter(col("score") <= 0.999)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
+      noop(scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4))
+    }
+    time("gate orderBy tail") {
+      noop(graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir))
+    }
+    time("window + materialize + orderBy") {
+      import graft.operators.Materialize.Ops
+      val scored = left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4).as("score"))
+        .filter(col("score") <= 0.999)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("score").desc, col("id_b"))
+      noop(scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+        .materialize()
+        .orderBy(col("id_a"), col("rank")))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
