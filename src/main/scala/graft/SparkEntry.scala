@@ -1281,7 +1281,9 @@ object SparkEntry {
     }),
     // ---- §2.7 aggregations & window; §2.6 joins / set ops (SQL surface) ----
     "q_agg_tpch_q1" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
+      // loadScaled: a single-row-group lineitem fuses scan + partial agg
+      // into ONE task; fan out by orderkey first (no-op at real file sizes)
+      Tables.loadScaled(s, dir, "lineitem", "l_orderkey")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -1348,7 +1350,9 @@ object SparkEntry {
         .select(col("n_name"), col("rev").cast("double").as("revenue"))
     }),
     "q_join_agg" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      // loadScaled: the broadcast probe + partial agg otherwise run inside
+      // the single scan task of a one-row-group file (no-op at real sizes)
+      val li = Tables.loadScaled(s, dir, "lineitem", "l_orderkey")
       val o = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -89,6 +89,29 @@ object Tables {
       spark.sparkContext.defaultParallelism,
       org.apache.spark.sql.functions.col(key))
 
+  /** [[loadParallel]] gated on actual scan granularity (guide §2.5 "input
+    * skew: one huge unsplittable file ... repartition immediately after
+    * the read"): a single-row-group parquet file plans as ONE scan task,
+    * which serializes everything fused into the scan stage — broadcast
+    * probes and partial aggregations included — no matter the core count.
+    * When the file is smaller than the session's scan split size
+    * (`spark.sql.files.maxPartitionBytes`), fan out by the given
+    * high-cardinality key; a table big enough to split into many scan
+    * tasks (any real lake table) is returned UNCHANGED, so this never
+    * pays a fact-table shuffle at scale — the decision derives from input
+    * size, not from a local[:n] constant.
+    */
+  def loadScaled(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val split = spark.sessionState.conf.filesMaxPartitionBytes
+    if (f.isFile && f.length < split && spark.sparkContext.defaultParallelism > 1)
+      df.repartition(spark.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
