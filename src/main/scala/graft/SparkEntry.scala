@@ -44,6 +44,52 @@ object SparkEntry {
     (q, rows.filter(_.getLong(0) != 0L).map(_.getSeq[Double](1)).toSeq)
   }
 
+  /** The quantized ANN gates' driver-side inputs — the query vector
+    * (vec_id 0) plus the per-dimension corpus stats their index builds
+    * need (decimal means for [[Ann.binaryIndex]], [min, scale] ranges for
+    * [[Ann.sq8Index]], the 16 fixed centroids for the IVF composites) —
+    * in ONE aggregate job (r20): query collect + stats
+    * aggregate were two sequential driver jobs per gate for values one
+    * posexplode pass produces together. Arithmetic is kept bit-identical
+    * to the operators' own aggregates: decimal(38,12) sums cast to double
+    * BEFORE the count division, plain double min/max; grouping by position
+    * sees exactly the element set `element_at` aggregates see (null
+    * elements drop from count on both paths).
+    */
+  private def queryAndVecStats(embs: org.apache.spark.sql.DataFrame)
+      : (Seq[Double], Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
+    val v = col("embedding").cast("array<double>")
+    val stats = embs
+      .select(col("vec_id"), posexplode(v).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        sum(col("x").cast("decimal(38,12)")).as("s"),
+        count(col("x")).as("c"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"),
+        first(when(col("vec_id") === 0, col("x")), ignoreNulls = true).as("qx"),
+        array((1 to 16).map(i =>
+          first(when(col("vec_id") === i, col("x")), ignoreNulls = true)): _*)
+          .as("cx"))
+      .orderBy(col("pos"))
+      .collect()
+    if (stats.isEmpty) throw new IllegalArgumentException(
+      "cannot build an index over an empty corpus (no rows in 'embedding')")
+    val q = stats.map { r =>
+      if (r.isNullAt(5)) throw new IllegalStateException(
+        "embeddings table has no vec_id 0 query row")
+      r.getDouble(5)
+    }.toSeq
+    val means = stats.map(r => r.getDecimal(1).doubleValue() / r.getLong(2)).toSeq
+    val ranges = stats.flatMap { r =>
+      val mn = r.getDouble(3); val mx = r.getDouble(4)
+      Seq(mn, (mx - mn) / 255.0)
+    }.toSeq
+    val centroids = (0 until 16).map(i =>
+      stats.map(_.getSeq[Double](6)(i)).toSeq)
+    (q, means, ranges, centroids)
+  }
+
   private def table(dir: String, t: String,
       params: Seq[Param] = Nil, sortby: Seq[SortBy] = Nil,
       select: Seq[SelectColumn] = Nil,
@@ -2861,11 +2907,11 @@ object SparkEntry {
       // assignment, fixed oracle-replicable centroids) x SQ8 in-cell
       // scoring — nprobe/nlist corpus fraction AND 8x narrower rows
       val embs = Tables.load(s, dir, "embeddings")
-      val (q, centroids) = queryAndCentroids(embs)
+      val (q, _, ranges, centroids) = queryAndVecStats(embs)
       val cells = Ann.ivfAssign(embs, "embedding", centroids)
         .select(col("vec_id"), col("cell"))
-      val (codes, ranges) = Ann.sq8Index(embs, "vec_id", "embedding",
-        knownDims = Some(q.size))
+      val (codes, _) = Ann.sq8Index(embs, "vec_id", "embedding",
+        knownRanges = Some(ranges))
       Ann.ivfSq8TopK(cells.join(codes, "vec_id"), centroids, ranges,
         "vec_id", q, 20, nprobe = 4)
     }),
@@ -2873,20 +2919,18 @@ object SparkEntry {
       // 1-bit quantization: 64 dims -> one long, Hamming pre-screen; the
       // decimal-sum means make the thresholds engine-reproducible
       val embs = Tables.load(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding",
-        knownDims = Some(q.size))
+      val (q, means, _, _) = queryAndVecStats(embs)
+      val (index, _) = Ann.binaryIndex(embs, "vec_id", "embedding",
+        knownMeans = Some(means))
       Ann.binaryTopK(index, means, "vec_id", q, 20)
     }),
     "q_ann_binary_rerank" -> ((s, dir) => {
       // two-stage retrieval: Hamming shortlist over the 1-bit index, exact
       // cosine re-rank of the shortlist only — the production ANN shape
       val embs = Tables.load(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, means) = Ann.binaryIndex(embs, "vec_id", "embedding",
-        knownDims = Some(q.size))
+      val (q, means, _, _) = queryAndVecStats(embs)
+      val (index, _) = Ann.binaryIndex(embs, "vec_id", "embedding",
+        knownMeans = Some(means))
       Ann.binaryRerankTopK(index, means, embs, "vec_id", "embedding", q,
         k = 10, shortlist = 100)
     }),
@@ -2895,10 +2939,9 @@ object SparkEntry {
       // cosine over the dequantized codes — exact over the quantized
       // representation, so the oracle replicates it from the ranges
       val embs = Tables.load(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val (index, ranges) = Ann.sq8Index(embs, "vec_id", "embedding",
-        knownDims = Some(q.size))
+      val (q, _, ranges, _) = queryAndVecStats(embs)
+      val (index, _) = Ann.sq8Index(embs, "vec_id", "embedding",
+        knownRanges = Some(ranges))
       Ann.sq8TopK(index, ranges, "vec_id", q, 20)
     }),
     "q_ann_lsh" -> ((s, dir) => {

@@ -472,21 +472,28 @@ object Ann {
     * itself is a codegen'd map ([[graft.plans.Sq8Quantize]]).
     */
   def sq8Index(embs: DataFrame, idCol: String,
-      vecCol: String, knownDims: Option[Int] = None): (DataFrame, Seq[Double]) = {
+      vecCol: String, knownDims: Option[Int] = None,
+      knownRanges: Option[Seq[Double]] = None): (DataFrame, Seq[Double]) = {
     val v = col(vecCol).cast("array<double>")
-    // callers that already hold a corpus vector (the gates collect the
-    // query first) pass its length: the dims probe is a whole extra
-    // driver job per index build (r20) for a number the caller knows
-    val dims = knownDims.getOrElse(vecDims(embs, vecCol))
-    val aggs = (0 until dims).flatMap(d => Seq(
-      min(element_at(v, d + 1)).as(s"mn$d"),
-      max(element_at(v, d + 1)).as(s"mx$d")))
-    val r = embs.agg(aggs.head, aggs.tail: _*).head()
-    if (r.isNullAt(0)) throw new IllegalArgumentException(
-      s"cannot build an index over an empty corpus (no rows in '$vecCol')")
-    val ranges: Seq[Double] = (0 until dims).flatMap { d =>
-      val mn = r.getDouble(2 * d); val mx = r.getDouble(2 * d + 1)
-      Seq(mn, (mx - mn) / 255.0)
+    // callers that already hold the per-dimension [min, scale] ranges
+    // (the gates' fused one-job stats collect, SparkEntry.queryAndVecStats)
+    // pass them in: the range aggregate is a whole extra driver job per
+    // index build for values the caller already computed identically
+    val ranges: Seq[Double] = knownRanges.getOrElse {
+      // callers that already hold a corpus vector (the gates collect the
+      // query first) pass its length: the dims probe is a whole extra
+      // driver job per index build (r20) for a number the caller knows
+      val dims = knownDims.getOrElse(vecDims(embs, vecCol))
+      val aggs = (0 until dims).flatMap(d => Seq(
+        min(element_at(v, d + 1)).as(s"mn$d"),
+        max(element_at(v, d + 1)).as(s"mx$d")))
+      val r = embs.agg(aggs.head, aggs.tail: _*).head()
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"cannot build an index over an empty corpus (no rows in '$vecCol')")
+      (0 until dims).flatMap { d =>
+        val mn = r.getDouble(2 * d); val mx = r.getDouble(2 * d + 1)
+        Seq(mn, (mx - mn) / 255.0)
+      }
     }
     val rangesCol = array(ranges.map(lit): _*)
     val codes = embs.select(col(idCol),
@@ -528,19 +535,25 @@ object Ann {
     * AND lets any engine reproduce the exact thresholds (the oracle does).
     */
   def binaryIndex(embs: DataFrame, idCol: String,
-      vecCol: String, knownDims: Option[Int] = None): (DataFrame, Seq[Double]) = {
+      vecCol: String, knownDims: Option[Int] = None,
+      knownMeans: Option[Seq[Double]] = None): (DataFrame, Seq[Double]) = {
     val v = col(vecCol).cast("array<double>")
-    // same knownDims contract as [[sq8Index]]: skip the dims-probe job
-    // when the caller already holds a corpus vector
-    val dims = knownDims.getOrElse(vecDims(embs, vecCol))
-    require(dims <= 64, s"binaryIndex packs into one long: dims $dims > 64")
-    val aggs = (0 until dims).map(d =>
-      (sum(element_at(v, d + 1).cast("decimal(38,12)")).cast("double") /
-        count(element_at(v, d + 1))).as(s"mu$d"))
-    val r = embs.agg(aggs.head, aggs.tail: _*).head()
-    if (r.isNullAt(0)) throw new IllegalArgumentException(
-      s"cannot build an index over an empty corpus (no rows in '$vecCol')")
-    val means = (0 until dims).map(r.getDouble)
+    // same knownRanges contract as [[sq8Index]]: callers holding the
+    // identically-computed decimal means skip the aggregate job entirely
+    val means: Seq[Double] = knownMeans.getOrElse {
+      // same knownDims contract as [[sq8Index]]: skip the dims-probe job
+      // when the caller already holds a corpus vector
+      val dims = knownDims.getOrElse(vecDims(embs, vecCol))
+      val aggs = (0 until dims).map(d =>
+        (sum(element_at(v, d + 1).cast("decimal(38,12)")).cast("double") /
+          count(element_at(v, d + 1))).as(s"mu$d"))
+      val r = embs.agg(aggs.head, aggs.tail: _*).head()
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"cannot build an index over an empty corpus (no rows in '$vecCol')")
+      (0 until dims).map(r.getDouble)
+    }
+    require(means.length <= 64,
+      s"binaryIndex packs into one long: dims ${means.length} > 64")
     val meansCol = array(means.map(lit): _*)
     val codes = embs.select(col(idCol),
       graft.plans.VectorExpressions.signPack(embs.sparkSession, v, meansCol)
