@@ -56,7 +56,7 @@ object SparkEntry {
     * sees exactly the element set `element_at` aggregates see (null
     * elements drop from count on both paths).
     */
-  private def queryAndVecStats(embs: org.apache.spark.sql.DataFrame)
+  private[graft] def queryAndVecStats(embs: org.apache.spark.sql.DataFrame)
       : (Seq[Double], Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
     val v = col("embedding").cast("array<double>")
     val stats = embs

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r20 one-job ANN stats fusion must be arithmetic-identical to the
+  * operators' own aggregates: `SparkEntry.queryAndVecStats` feeds
+  * `knownMeans` / `knownRanges` into the index builds, so any drift in the
+  * fused aggregate would silently move quantization thresholds. This spec
+  * pins exact (bit-level) equality of query vector, decimal means, SQ8
+  * ranges and the 16 fixed centroids against the unfused paths over the
+  * real sf0.001 embeddings table.
+  */
+class QueryVecStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("fused stats equal the unfused query / means / ranges / centroids exactly") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val (q, means, ranges, centroids) = SparkEntry.queryAndVecStats(embs)
+
+    // query vector: the vec_id 0 row, element for element
+    val q0 = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    assert(q == q0)
+
+    // means: binaryIndex's own decimal aggregate (bit-level: == on doubles)
+    val (_, opMeans) = Ann.binaryIndex(embs, "vec_id", "embedding",
+      knownDims = Some(q0.size))
+    assert(means == opMeans)
+
+    // ranges: sq8Index's own min/max aggregate
+    val (_, opRanges) = Ann.sq8Index(embs, "vec_id", "embedding",
+      knownDims = Some(q0.size))
+    assert(ranges == opRanges)
+
+    // centroids: the vec_id 1..16 rows in id order
+    val opCents = embs.filter(col("vec_id").between(1, 16))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    assert(centroids == opCents)
+  }
+}

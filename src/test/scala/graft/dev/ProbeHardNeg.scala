@@ -70,6 +70,14 @@ object ProbeHardNeg {
     time("gate orderBy tail") {
       noop(graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir))
     }
+    time("join + cosine + barrier filter (1x eval)") {
+      noop(left.join(broadcast(right), col("label_a") =!= col("label_b"))
+        .select(col("id_a"), col("id_b"),
+          when(rand(7) > -1.0,
+            round(graft.plans.VectorExpressions.cosine(spark, col("va"), col("vb")), 4))
+            .as("score"))
+        .filter(col("score") <= 0.999))
+    }
     time("window + materialize + orderBy") {
       import graft.operators.Materialize.Ops
       val scored = left.join(broadcast(right), col("label_a") =!= col("label_b"))
