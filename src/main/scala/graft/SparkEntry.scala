@@ -77,7 +77,10 @@ object SparkEntry {
       "cannot build an index over an empty corpus (no rows in 'embedding')")
     val q = stats.map { r =>
       if (r.isNullAt(5)) throw new IllegalStateException(
-        "embeddings table has no vec_id 0 query row")
+        "query vector (vec_id 0) is missing or has no element at position " +
+          s"${r.getInt(0)} — either the embeddings table has no vec_id 0 " +
+          "row, its vector is shorter than the corpus dimensionality, or " +
+          "that element is null")
       r.getDouble(5)
     }.toSeq
     val means = stats.map(r => r.getDecimal(1).doubleValue() / r.getLong(2)).toSeq
@@ -85,8 +88,18 @@ object SparkEntry {
       val mn = r.getDouble(3); val mx = r.getDouble(4)
       Seq(mn, (mx - mn) / 255.0)
     }.toSeq
-    val centroids = (0 until 16).map(i =>
-      stats.map(_.getSeq[Double](6)(i)).toSeq)
+    val centroids = (0 until 16).map { i =>
+      stats.map { r =>
+        val cx = r.getSeq[Any](6)
+        // mirror the qx null-check: first(when(...)) yields null for a
+        // missing/short/null-element centroid vector, and a silent
+        // null→0.0 unboxing would fabricate a zero centroid component
+        if (cx(i) == null) throw new IllegalStateException(
+          s"centroid vector vec_id ${i + 1} is missing or has no element " +
+            s"at position ${r.getInt(0)}")
+        cx(i).asInstanceOf[Double]
+      }.toSeq
+    }
     (q, means, ranges, centroids)
   }
 
@@ -2816,8 +2829,11 @@ object SparkEntry {
       Dedup.simhashSketches(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
+      // no materialize barrier before the sort (r21): the r20 barrier
+      // shipped as a driver-measured 0.85× regression here — the banded
+      // self-join's resample is cheaper than the checkpoint write
       Dedup.simhashPairs(Tables.loadParallel(s, dir, "documents", "doc_id"), "doc_id", "text", maxHamming = 3)
-        .materialize().orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.loadParallel(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         threshold = 0.3, numPlanes = 6, dim = 64)
@@ -2870,7 +2886,10 @@ object SparkEntry {
           graft.operators.Layout.zValue(
             pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
             bits = 8).as("z"))
-        .materialize().orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // map-only over the scan: the r20 materialize barrier regressed
+        // this gate 0.77× in the official record (checkpoint write > the
+        // range-sampler's re-scan of a cheap projection) — reverted r21
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_dedup_incremental_minhash" -> ((s, dir) => {
       // near-dup screening of an incoming batch (ids ≡ 0 mod 2) against
       // the ingested corpus (ids ≡ 0 mod 3); same banding/threshold as
@@ -3071,7 +3090,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 3, flagThreshold = 0.2)
-        .materialize().orderBy(col("doc_id"))
+        // r20's materialize barrier regressed this gate 0.72× in the
+        // official record (the operator already materializes its shared
+        // n-gram frame internally; a second barrier only added a write)
+        .orderBy(col("doc_id"))
     }),
     "q_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space leakage screen: the same every-20th eval split as
@@ -3338,7 +3360,10 @@ object SparkEntry {
           round(col("img.mean_r"), 4).as("mean_r"),
           round(col("img.mean_g"), 4).as("mean_g"),
           round(col("img.mean_b"), 4).as("mean_b"))
-        .materialize().orderBy(col("doc_id"))
+        // r20's materialize barrier regressed this gate 0.80× in the
+        // official record — checkpointing the decoded features costs more
+        // than letting the range sampler re-run the map-only codec chain
+        .orderBy(col("doc_id"))
     }),
     "q_mm_frames" -> ((s, dir) => {
       // frame sampling over opaque binary payloads: every 2nd 32-byte

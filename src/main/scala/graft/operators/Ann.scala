@@ -62,57 +62,72 @@ object Ann {
       nlist: Int, iterations: Int = 3): (DataFrame, Seq[Seq[Double]]) = {
     val v = col(vecCol).cast("array<double>")
     // Training re-reads the corpus once per Lloyd iteration plus once for
-    // seeding — cache the two training columns for the loop's lifetime
-    // (guide §5: reuse × recompute cost; the projection is (id, vec) only,
-    // a fraction of the source table) and release them before returning,
-    // so the SERVED assignment below reads the source exactly once with
-    // nothing pinned. Training at 100 TB caches a sample-sized projection
-    // in practice; the unpersist bounds the footprint either way.
-    val training = embs.select(col(idCol), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Deterministic pseudo-random seeds: the nlist rows with the smallest
-    // xxhash64(id). orderBy+limit is TakeOrderedAndProject — per-partition
-    // top-k heaps, no global sort and no single-partition window — so
-    // seeding stays distributed at any scale, and a hash-ordered sample is
-    // a better k-means init than evenly-spaced ids (ids often correlate
-    // with insertion order and therefore with the data distribution).
-    var centroids: Seq[Seq[Double]] = training
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nlist)
-      .select(v).collect().map(_.getSeq[Double](0)).toSeq
-    (0 until iterations).foreach { _ =>
-      val assigned = assignCells(training, vecCol, centroids)
-      val dims = centroids.head.length
-      // per-cell mean as one hash-aggregate with `dims` flat sum + count
-      // columns (sum/count(element_at(...)) are codegen'd; exploding to
-      // (cell, dim, x) rows would shuffle n×dims rows per iteration — 64×
-      // the data). Counting per dimension, not per row, keeps the mean
-      // unbiased when vectors are null or ragged: sum skips missing
-      // elements, so the divisor must skip them too.
-      val aggCols = (0 until dims).map(d =>
-        sum(element_at(col("v"), d + 1)).as(s"s$d")) ++
-        (0 until dims).map(d =>
-          count(element_at(col("v"), d + 1)).as(s"c$d"))
-      val byCell = assigned
-        .groupBy(col("cell"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> r).toMap
-      centroids = centroids.indices.map { c =>
-        byCell.get(c) match {
-          case Some(r) =>
-            (0 until dims).map { d =>
-              val cnt = r.getLong(1 + dims + d)
-              // a dimension no vector in the cell carries keeps its value
-              if (cnt > 0 && !r.isNullAt(1 + d)) r.getDouble(1 + d) / cnt
-              else centroids(c)(d)
-            }
-          case None => centroids(c) // empty cell keeps its centroid
+    // seeding. Caching the (id, vec) projection for the loop's lifetime
+    // (guide §5: reuse × recompute cost) pays off only when a re-scan is
+    // actually expensive: the r20 unconditional persist made the official
+    // q_embed_centroids record 36% SLOWER at sf0.1, where materializing a
+    // sub-split-size table costs more than three codegen'd re-scans. Gate
+    // it on scan size the same way Tables.loadScaled gates its fan-out —
+    // persist only when the training plan exceeds one scan split
+    // (`spark.sql.files.maxPartitionBytes`), i.e. when each Lloyd pass
+    // re-reads multi-task volumes. The decision derives from input size,
+    // never from a local[:n] constant, so a real lake table still caches.
+    val projection = embs.select(col(idCol), col(vecCol))
+    val split = embs.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val bigEnoughToCache =
+      projection.queryExecution.optimizedPlan.stats.sizeInBytes > split
+    val training =
+      if (bigEnoughToCache)
+        projection.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else projection
+    try {
+      // Deterministic pseudo-random seeds: the nlist rows with the smallest
+      // xxhash64(id). orderBy+limit is TakeOrderedAndProject — per-partition
+      // top-k heaps, no global sort and no single-partition window — so
+      // seeding stays distributed at any scale, and a hash-ordered sample is
+      // a better k-means init than evenly-spaced ids (ids often correlate
+      // with insertion order and therefore with the data distribution).
+      var centroids: Seq[Seq[Double]] = training
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(nlist)
+        .select(v).collect().map(_.getSeq[Double](0)).toSeq
+      (0 until iterations).foreach { _ =>
+        val assigned = assignCells(training, vecCol, centroids)
+        val dims = centroids.head.length
+        // per-cell mean as one hash-aggregate with `dims` flat sum + count
+        // columns (sum/count(element_at(...)) are codegen'd; exploding to
+        // (cell, dim, x) rows would shuffle n×dims rows per iteration — 64×
+        // the data). Counting per dimension, not per row, keeps the mean
+        // unbiased when vectors are null or ragged: sum skips missing
+        // elements, so the divisor must skip them too.
+        val aggCols = (0 until dims).map(d =>
+          sum(element_at(col("v"), d + 1)).as(s"s$d")) ++
+          (0 until dims).map(d =>
+            count(element_at(col("v"), d + 1)).as(s"c$d"))
+        val byCell = assigned
+          .groupBy(col("cell"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> r).toMap
+        centroids = centroids.indices.map { c =>
+          byCell.get(c) match {
+            case Some(r) =>
+              (0 until dims).map { d =>
+                val cnt = r.getLong(1 + dims + d)
+                // a dimension no vector in the cell carries keeps its value
+                if (cnt > 0 && !r.isNullAt(1 + d)) r.getDouble(1 + d) / cnt
+                else centroids(c)(d)
+              }
+            case None => centroids(c) // empty cell keeps its centroid
+          }
         }
       }
+      (assignCells(embs, vecCol, centroids).drop("v", "__cell_dist"), centroids)
+    } finally {
+      // exception-safe: a failed seed/iteration (e.g. empty corpus) must
+      // not leak the persisted projection for the session's lifetime
+      if (bigEnoughToCache) training.unpersist(false)
     }
-    training.unpersist(false)
-    (assignCells(embs, vecCol, centroids).drop("v", "__cell_dist"), centroids)
   }
 
   /** Assign every vector to its nearest of the given centroids, no

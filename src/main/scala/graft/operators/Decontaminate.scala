@@ -28,14 +28,19 @@ object Decontaminate {
     val trainSh = Dedup.shingleRows(train, idCol, textCol, n)
     val evalSh = Dedup.shingleRows(eval, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    // left join against the broadcast eval set marks overlapping shingles;
-    // count_distinct in the aggregate gives set semantics without a
-    // distinct shuffle of the (much larger) training shingle rows
-    val marked = trainSh.join(
+    // set semantics via ONE distinct pass over (id, shingle), then plain
+    // counts (r21): the previous two-count_distinct aggregate planned a 2×
+    // Expand — every training shingle row shuffled twice (once per
+    // distinct group) — where a single distinct exchange with map-side
+    // partial combine carries the same information; the hit flag is a
+    // function of the shingle, so counting flags after the distinct is
+    // exactly count_distinct of the flagged shingles (guide §2.3:
+    // aggregate before you shuffle / shuffle fewer bytes)
+    val marked = trainSh.distinct().join(
       broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
     marked.groupBy(col("id"))
-      .agg(count_distinct(col("shingle")).as("n_shingles"),
-        count_distinct(when(col("hit").isNotNull, col("shingle"))).as("n_overlap"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
       .withColumn("overlap_ratio",
         round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 4))
       .withColumn("contaminated",

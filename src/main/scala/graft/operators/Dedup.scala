@@ -385,13 +385,33 @@ object Dedup {
     val texts = docs.select(col(idCol).as("__ev_id"),
       substring(col(textCol), 1, maxLen).as("__ev_t"))
     val maxSide = greatest(length(col("t_a")), length(col("t_b")))
+    // Two exact-equivalent guards around the quadratic DP (r21, guide
+    // §1.2 "don't compute things you throw away"):
+    //  1. LENGTH-BAND prefilter: levenshtein(a, b) >= |len(a) - len(b)|,
+    //     so a pair whose length gap alone caps edit_sim strictly below
+    //     `minSimilarity` can never survive the final filter — drop it
+    //     before the DP ever runs. The 5e-5 slack keeps every pair whose
+    //     true similarity could still ROUND to the threshold at 4 dp.
+    //  2. THRESHOLDED levenshtein: Spark's 3-arg levenshtein abandons the
+    //     DP once the distance provably exceeds the bound (banded
+    //     O((2k+1)·n) instead of O(n·m)) and returns -1. Any distance
+    //     above ceil((1 − minSim + 5e-5) · maxLen) yields edit_sim
+    //     strictly below the threshold even after rounding (maxSide <=
+    //     maxLen), so mapping -1 to null and filtering is exact.
+    // Both bounds are proved in TextAndDedupSpec against the unguarded
+    // form.
+    val slack = 1.0 - minSimilarity + 0.00005
+    val distBound = math.ceil(slack * maxLen).toInt
+    val lenGap = abs(length(col("t_a")) - length(col("t_b")))
     cands
       .join(texts.select(col("__ev_id").as("id_a"), col("__ev_t").as("t_a")), "id_a")
       .join(texts.select(col("__ev_id").as("id_b"), col("__ev_t").as("t_b")), "id_b")
+      .filter(lenGap.cast("double") <= lit(slack) * maxSide.cast("double"))
+      .withColumn("__lev",
+        levenshtein(col("t_a"), col("t_b"), distBound).cast("double"))
       .withColumn("edit_sim", round(
         when(maxSide > 0,
-          lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
-            maxSide.cast("double"))
+          when(col("__lev") >= 0, lit(1.0) - col("__lev") / maxSide.cast("double")))
           .otherwise(lit(1.0)), 4))
       .filter(col("edit_sim") >= minSimilarity)
       .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_sim"))
@@ -504,8 +524,16 @@ object Dedup {
     */
   def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
       scoreCol: String): DataFrame =
+    // materializeInput = false (r21): here the two-consumer frame is a
+    // bare two-column projection of the source — re-scanning a
+    // column-pruned parquet projection once per branch is cheaper at any
+    // scale than checkpointing the whole corpus's (id, score) rows (the
+    // r13/r14 barrier rule is about frames that are EXPENSIVE to
+    // recompute; a scan projection is not). Callers that pass a computed
+    // frame ([[Curation.report]]) keep their own materialization.
     keepCanonicalScored(
-      docs.select(col(idCol).as("id"), col(scoreCol).as("score")), clusters)
+      docs.select(col(idCol).as("id"), col(scoreCol).as("score")), clusters,
+      materializeInput = false)
 
   /** [[keepCanonical]] over a prebuilt (id, score) frame, so compositions
     * that already carry one ([[Curation.report]]'s fused base pass) skip

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => T}
+import graft.operators.Materialize.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -55,7 +56,12 @@ object SearchIndex {
     // explosion supply N from the cheap un-shuffled scan instead of
     // paying the repartition exchange once more for a scalar count
     val n = corpusSize.getOrElse(docs.count()).toDouble
-    val tf = termFreqs(docs, idCol, textCols)
+    // tf feeds TWO consumers (the df aggregate and the join back) and its
+    // subtree is a full corpus tokenization + shuffle — without a barrier
+    // each consumer re-derives it (Spark plans no common-subexpression
+    // reuse across a DataFrame DAG). Materializing the inverted index
+    // once is the jaccardPairs trade (r21; guide §5 reuse × recompute).
+    val tf = termFreqs(docs, idCol, textCols).materialize()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
@@ -69,8 +75,13 @@ object SearchIndex {
   /** Build the index: postings (id, term, tf, dl) + corpus stats (n, avgdl). */
   def build(docs: DataFrame, idCol: String, textCols: Seq[String]): Bm25Index = {
     val tok = tokens(docs, idCol, textCols)
+    // dl feeds two consumers (the postings join and the corpus stats),
+    // and each would otherwise re-tokenize the whole corpus for one
+    // count per document (r21). The materialized frame is one skinny row
+    // per document — the cheapest frame of the build — and cuts a full
+    // corpus tokenization + aggregate from every index build/score.
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl")).materialize()
     val tf = termFreqs(docs, idCol, textCols)
-    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
     Bm25Index(postings, stats)
@@ -220,7 +231,14 @@ object SearchIndex {
         val buckets = terms.map(termBucket).distinct
         index.postings.filter(col("tb").isin(buckets.map(lit): _*))
       } else index.postings
+    // relevant feeds two consumers (the df aggregate and the scoring
+    // join); for a freshly BUILT index its subtree is the full corpus
+    // tokenization + tf aggregate, re-run per consumer without a barrier
+    // (r21). The frame itself is only the query terms' posting rows —
+    // always small — so the checkpoint is cheap on both the built and
+    // the loaded (bucket-pruned parquet) paths.
     val relevant = pruned.filter(col("term").isin(terms.map(lit): _*))
+      .materialize()
     val df = relevant.groupBy(col("term"))
       .agg(countDistinct(col("id")).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))

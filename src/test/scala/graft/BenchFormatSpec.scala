@@ -65,6 +65,30 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"queries\":{\"q_"))
   }
 
+  test("movers vs the prior record survive the cut ahead of slow-flat entries") {
+    val n = 200
+    // every query flat at 0.5s except one fast query that regressed
+    // 0.10 -> 0.45 (delta 0.35 < 0.5s, so pure slowness would cut it last
+    // among the fast) and one that improved 3.0 -> 0.12 (now among the
+    // fastest — exactly the r20 "dropped_from_bench" artifact)
+    val base = results(n) // 0.10 .. 2.09s ascending
+    val prior = base.map { case (k, _) => k -> 0.10 }.toMap +
+      ("q_synthetic_gate_name_001" -> 3.0)
+    val line = Bench.formatFinalLine(base, 99.9, "sf0.1", maxLen = 1990,
+      prior = prior)
+    assert(line.length <= 1990)
+    assert(line.contains("\"omitted_fastest\":"))
+    // the improved-from-3.0s query is fast now (0.11s) but its |delta| of
+    // 2.89s outranks everything flat — it must be in the tail
+    assert(line.contains("\"q_synthetic_gate_name_001\""))
+    // an untouched fastest entry is still the one sacrificed
+    assert(!line.contains("\"q_synthetic_gate_name_000\""))
+    // with no prior record the order degrades to slowest-first
+    val noPrior = Bench.formatFinalLine(base, 99.9, "sf0.1", maxLen = 1990)
+    assert(noPrior.contains("q_synthetic_gate_name_199"))
+    assert(!noPrior.contains("\"q_synthetic_gate_name_001\""))
+  }
+
   test("failed queries render as -1, not as a malformed number") {
     val line = Bench.formatFinalLine(Seq("q_ok" -> 0.5, "q_bad" -> -1.0), 0.5, "sf0.1")
     assert(line.contains("\"q_bad\":-1"))

@@ -105,4 +105,46 @@ class EditVerifySpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0)
     assert(out.get((3L, 4L)).forall(_ == 1.0)) // empty docs: shingle [""] match
   }
+
+  test("r21 DP guards (length band + thresholded levenshtein) are exact-" +
+    "equivalent to the unguarded verify") {
+    // corpus engineered so every guard path fires: near-identical pairs
+    // (inside the band, DP runs, passes), same-vocabulary pairs at very
+    // different lengths (length band kills them before the DP), and
+    // rewordings inside the band whose distance exceeds the DP bound
+    // (thresholded levenshtein returns -1 → filtered)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("kappa", "lambda")),
+      (3L, (base + " ") * 6 + base),          // same shingles, 7x the length
+      (4L, base.split(" ").reverse.mkString(" ")), // same words, reordered
+      (5L, base + " mu nu xi"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val guarded = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      shingleSize = 2, candidateThreshold = 0.2, minSimilarity = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // unguarded reference: same candidates, plain levenshtein on every pair
+    val cands = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.2)
+    val texts = docs.select(col("doc_id").as("k"),
+      substring(col("text"), 1, 2000).as("t"))
+    val maxSide = greatest(length(col("t_a")), length(col("t_b")))
+    val reference = cands
+      .join(texts.select(col("k").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("k").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("edit_sim", round(
+        when(maxSide > 0, lit(1.0) -
+          levenshtein(col("t_a"), col("t_b")).cast("double") /
+            maxSide.cast("double")).otherwise(lit(1.0)), 4))
+      .filter(col("edit_sim") >= 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(guarded == reference)
+    assert(reference.contains((1L, 2L))) // the verify really kept something
+    // and the band/threshold really had candidates to kill
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candSet.exists(p => !reference.contains(p)))
+  }
 }
