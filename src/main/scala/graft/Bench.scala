@@ -33,17 +33,17 @@ object Bench {
       // field-id parquet matching from session start (id-mode column
       // mapping) — deterministic, not flipped mid-session by a read
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
-      // high-cardinality object aggregation (the dedup family's fused
-      // collect_set profile groups by DOCUMENT id): the default 128-group
-      // fallback threshold flips every such partial aggregate to
-      // sort-based after its first 128 groups, re-sorting the widest
-      // intermediate of the pipeline. Any real corpus has >>128 groups
-      // per task; 16k in-memory groups is tens of MB of buffers, and
-      // spilling still engages past it. Measured -15%% on the minhash
-      // gate family at sf0.1 (OPTIMIZATION_r20.md); env-overridable for
-      // A/B and constrained-memory deployments.
+      // objectHashAggregate fallback threshold: stock Spark unless the
+      // env explicitly overrides. r20 shipped 16384 on a 9-gate filtered
+      // A/B; the r21 FULL-186-gate A/B at local[32] (OPTIMIZATION_r21.md
+      // §1: 128 vs 2048 vs 16384 on identical code, wiped scratch) found
+      // it FLAT — totals 77.2/78.3/77.2 s, geomean 1.00/0.98 vs 128,
+      // minhash-family wins split 7/14 and 5/14 — while the r20 driver
+      // run implicated the bump in q_curation_report's 1.67→3.05 s
+      // regression. A knob with no measurable upside and a suspected
+      // memory-pressure downside is reverted to the engine default.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "16384"))
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // measurement hook: comma-separated k=v session confs (e.g.

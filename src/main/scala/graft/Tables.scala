@@ -104,9 +104,19 @@ object Tables {
   def loadScaled(spark: SparkSession, dir: String, name: String,
       key: String): DataFrame = {
     val df = load(spark, dir, name)
-    val f = new java.io.File(s"$dir/$name.parquet")
+    // resolve size through the Hadoop FileSystem of the path's scheme
+    // (r21, advisor): java.io.File silently reported "not a file" for
+    // s3://-style URIs, disabling the promised fan-out everywhere but the
+    // local bench. Directory-shaped tables stay untouched (they already
+    // plan one task per file/split); any resolution failure degrades to
+    // the unchanged frame, never to a crash.
     val split = spark.sessionState.conf.filesMaxPartitionBytes
-    if (f.isFile && f.length < split && spark.sparkContext.defaultParallelism > 1)
+    val singleSmallFile = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      st.isFile && st.getLen < split
+    } catch { case _: Exception => false }
+    if (singleSmallFile && spark.sparkContext.defaultParallelism > 1)
       df.repartition(spark.sparkContext.defaultParallelism,
         org.apache.spark.sql.functions.col(key))
     else df

@@ -23,17 +23,12 @@ object Verify {
       // field-id parquet matching from session start (id-mode column
       // mapping) — deterministic, not flipped mid-session by a read
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
-      // high-cardinality object aggregation (the dedup family's fused
-      // collect_set profile groups by DOCUMENT id): the default 128-group
-      // fallback threshold flips every such partial aggregate to
-      // sort-based after its first 128 groups, re-sorting the widest
-      // intermediate of the pipeline. Any real corpus has >>128 groups
-      // per task; 16k in-memory groups is tens of MB of buffers, and
-      // spilling still engages past it. Measured -15%% on the minhash
-      // gate family at sf0.1 (OPTIMIZATION_r20.md); env-overridable for
-      // A/B and constrained-memory deployments.
+      // objectHashAggregate fallback threshold: stock Spark unless the
+      // env explicitly overrides — the r21 full-batch A/B found the r20
+      // 16384 bump flat at best (OPTIMIZATION_r21.md §1), and the r20
+      // driver run implicated it in the q_curation_report regression.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "16384"))
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

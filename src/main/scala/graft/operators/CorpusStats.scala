@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,12 @@ object CorpusStats {
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
+    // tf feeds the model aggregate AND the scoring join — without a
+    // barrier each consumer re-tokenizes and re-aggregates the corpus
+    // (r21; the jaccardPairs inverted-index trade, guide §5). The plan
+    // drops from two explode+aggregate passes to one.
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .materialize()
     val uf = tf.groupBy(col("w")).agg(sum(col("n")).as("cnt"))
     val total = uf.agg(sum(col("cnt")).as("tot"))
     val surprisal = -log(col("cnt").cast("double") / col("tot").cast("double"))
@@ -83,9 +89,17 @@ object CorpusStats {
       .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w2")))
       .filter(col("pos") > 0) // element_at is 1-based: ws[pos] is the PREVIOUS word
       .select(col("doc_id"), element_at(col("ws"), col("pos")).as("w1"), col("w2"))
+    // tf feeds THREE consumers (bigram model, w1 totals via it, scoring
+    // join) — the unmaterialized r20 plan carried 18 Exchanges because
+    // the pair explosion + aggregate re-ran per consumer (r21; same
+    // inverted-index trade as unigramSurprisal/jaccardPairs). bf is tiny
+    // relative to tf but still feeds two consumers; materializing both
+    // leaves each aggregate computed exactly once.
     val tf = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
+      .materialize()
     val bf = tf.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+      .materialize()
     val w1f = bf.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val surprisal = -log(col("c2").cast("double") / col("c1").cast("double"))
     tf.join(bf, Seq("w1", "w2")).join(w1f, Seq("w1"))
@@ -115,13 +129,21 @@ object CorpusStats {
     require(vocabSize >= 1, "vocabSize must be positive")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // both the vocabulary and the per-doc rollup need the token stream —
+    // aggregate it ONCE to weighted (doc, word, n) rows and derive both
+    // from the materialized frame (r21): the raw token explosion ran
+    // twice before, and every downstream count is an exact integer
+    // weighted by n, so results are bit-identical (vocab counts
+    // sum n = occurrence counts; per-doc token/OOV counts likewise).
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .materialize()
+    val vocab = tf.groupBy(col("w")).agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
       .select(col("w"), lit(1L).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
+    tf.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
           .as("oov_rate"))
@@ -141,10 +163,14 @@ object CorpusStats {
     */
   def frequencyDrift(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, k: Int = 20): DataFrame = {
+    // each side's count frame feeds two consumers (its total and the
+    // full-outer join) — materialize the word-count frames (vocabulary-
+    // sized) so each snapshot is tokenized exactly once (r21)
     def counts(df: DataFrame) = df
       .select(explode(graft.functions.TextFunctions.words(
         coalesce(col(textCol), lit("")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .materialize()
     val ca = counts(a)
     val cb = counts(b)
     val ta = ca.agg(sum(col("cnt")).as("tot_a"))
@@ -182,8 +208,13 @@ object CorpusStats {
     */
   def duplicatedNgramProfile(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // the distinct n-gram frame feeds the docfreq aggregate AND the join
+    // back — materialize it once instead of re-deriving the explosion +
+    // distinct per consumer (r21; the exact materialization jaccardPairs
+    // makes for the same inverted-index shape)
     val sh = Dedup.bagNgramRows(docs, idCol, textCol, n)
       .distinct() // set semantics per document
+      .materialize()
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
     sh.join(df, "shingle")
       .groupBy(col("id"))

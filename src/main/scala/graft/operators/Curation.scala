@@ -92,12 +92,21 @@ object Curation {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = sideBranchEc
+    // r21 knob (`spark.graft.curation.sideBranches` = concurrent|serial):
+    // the r12 concurrency hides the cluster pipeline's inter-job gaps,
+    // but on a saturated local[n] the three interleaved job groups also
+    // contend for the same cores and executor memory — the full-batch
+    // A/B adjudicates the default per environment. `serial` simply runs
+    // each branch future to completion before the next construction step,
+    // so plans, materializations and results are identical either way.
+    val serialBranches = docs.sparkSession.conf
+      .get("spark.graft.curation.sideBranches", "concurrent") == "serial"
     // side-branch jobs run under their own job group so a cluster-pipeline
     // failure can CANCEL them instead of leaving orphaned executor work
     // (job groups are thread-local, so the futures tag only their own jobs)
     val sc = docs.sparkSession.sparkContext
     val sideGroup = s"graft-curation-side-${java.util.UUID.randomUUID()}"
-    val qualityF = Future {
+    def qualityBody(): DataFrame = {
       sc.setJobGroup(sideGroup, "curation report side branches",
         interruptOnCancel = true)
       try QualityFilter.verdicts(src, idCol, textCol)
@@ -105,6 +114,8 @@ object Curation {
         .materialize(eager = true)
       finally sc.clearJobGroup()
     }
+    val qualityF =
+      if (serialBranches) Future.successful(qualityBody()) else Future(qualityBody())
     // fused base pass (r9): the exact-dedup fingerprint, the canonical
     // score, and the split's id list are all per-row Column work over the
     // same scan — ONE pass instead of three source scans. The exact-dedup
@@ -113,7 +124,7 @@ object Curation {
     // keepCanonicalScored's passthrough instead of being a fourth
     // corpus-sized frame in the final id-join tree — one fewer id-keyed
     // shuffle join at any scale.
-    val withExactF = Future {
+    def withExactBody(): DataFrame = {
       sc.setJobGroup(sideGroup, "curation report side branches",
         interruptOnCancel = true)
       try {
@@ -128,6 +139,9 @@ object Curation {
           .materialize(eager = true)
       } finally sc.clearJobGroup()
     }
+    val withExactF =
+      if (serialBranches) Future.successful(withExactBody())
+      else Future(withExactBody())
     // a side branch that already FAILED must surface now, not after the
     // whole cluster pipeline burns through its label-prop rounds — probe
     // the futures at the pipeline's natural checkpoints (they complete

@@ -470,7 +470,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sk = simhashSketches(docs, idCol, textCol)
+    // both self-join sides read the sketch frame — materialize it once
+    // (r21) instead of re-running the tokenize + 64-bit sketch aggregate
+    // per side (the same two-consumer barrier embeddingNearDup's
+    // `bucketed` already carries); the quarter banding below stays a pure
+    // map off the materialized sketches
+    val sk = simhashSketches(docs, idCol, textCol).materialize()
     val banded = sk.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(65535L))): _*)).as(Seq("q", "qv")))
@@ -601,7 +606,11 @@ object Dedup {
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segmentWords: Int): DataFrame = {
+    // the segment frame feeds the first-occurrence aggregate AND the join
+    // back — materialize it once instead of re-running the tokenize +
+    // window tiling per consumer (r21; the jaccardPairs trade)
     val segs = Chunking.chunk(docs, idCol, textCol, segmentWords, segmentWords)
+      .materialize()
     val first = segs.groupBy(col("chunk_md5"))
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
     val marked = segs.join(first, "chunk_md5")

@@ -234,11 +234,15 @@ object SearchIndex {
     // relevant feeds two consumers (the df aggregate and the scoring
     // join); for a freshly BUILT index its subtree is the full corpus
     // tokenization + tf aggregate, re-run per consumer without a barrier
-    // (r21). The frame itself is only the query terms' posting rows —
-    // always small — so the checkpoint is cheap on both the built and
-    // the loaded (bucket-pruned parquet) paths.
-    val relevant = pruned.filter(col("term").isin(terms.map(lit): _*))
-      .materialize()
+    // (r21) — materialize it once (the frame is only the query terms'
+    // posting rows, always small). A LOADED index keeps the bare plan:
+    // there the subtree is a bucket-pruned parquet scan (cheap to read
+    // twice), and the partition-pruning property must stay visible on
+    // the physical plan (Bm25IndexSpec asserts the pruned FileScan).
+    val relevant0 = pruned.filter(col("term").isin(terms.map(lit): _*))
+    val relevant =
+      if (index.postings.columns.contains("tb")) relevant0
+      else relevant0.materialize()
     val df = relevant.groupBy(col("term"))
       .agg(countDistinct(col("id")).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))

@@ -27,11 +27,10 @@ object ServeMain {
       // field-id parquet matching from session start (id-mode column
       // mapping) — deterministic, not flipped mid-session by a read
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
-      // see Bench.scala: the default 128-group fallback flips
-      // high-cardinality object aggregates (collect_set profiles keyed by
-      // document id) to sort-based; env-overridable
+      // see Bench.scala: stock Spark fallback threshold unless the env
+      // overrides — the r21 full-batch A/B found the r20 bump flat
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "16384"))
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_GROUPS", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val configs = ConfigLoader.loadYaml(configPath)

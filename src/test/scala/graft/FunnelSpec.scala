@@ -139,8 +139,8 @@ class EditVerifySpec extends SparkSpec {
           levenshtein(col("t_a"), col("t_b")).cast("double") /
             maxSide.cast("double")).otherwise(lit(1.0)), 4))
       .filter(col("edit_sim") >= 0.8)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getDouble(2), r.getDouble(3)))).toMap
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("edit_sim")))).toMap
     assert(guarded == reference)
     assert(reference.contains((1L, 2L))) // the verify really kept something
     // and the band/threshold really had candidates to kill
